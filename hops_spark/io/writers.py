@@ -1,0 +1,62 @@
+"""Sinks (SURVEY.md §2.1).
+
+Spark's file sinks + committers already give the reference's output
+semantics (FileOutputCommitter atomic rename — Spark uses the same
+committer family). These helpers cover the reference sinks that need a
+mapping decision:
+
+- MultipleOutputs / MultipleTextOutputFormat → ``write_partitioned``
+  (route rows to per-key directories via partitionBy; reference
+  mapreduce/lib/output/MultipleOutputs.java:179).
+- MapFileOutputFormat (sorted + indexed sink) → ``write_sorted_bucketed``
+  (bucketed, sorted-within-bucket parquet: the scalable point-lookup
+  layout; reference mapreduce/lib/output/MapFileOutputFormat.java).
+- TextOutputFormat (key<TAB>value lines) → ``write_kv_text``.
+- NullOutputFormat → ``write_noop`` (format("noop"): full execution, no
+  output — also the bench harness's action).
+- HadoopArchives (HAR small-file packing) → ``compact`` (coalesced
+  rewrite + manifest; reference hadoop-tools/hadoop-archives/.../HadoopArchives.java:83).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned(df: DataFrame, path: str, *route_cols: str, fmt: str = "parquet",
+                      mode: str = "overwrite") -> None:
+    """MultipleOutputs parity: one directory per distinct routing key.
+    At 100 TB: keep routing-key cardinality bounded (directories = files
+    × partitions); repartition by the route column first so each output
+    directory is written by few tasks, not all of them."""
+    (df.repartition(*[F.col(c) for c in route_cols])
+       .write.partitionBy(*route_cols).format(fmt).mode(mode).save(path))
+
+
+def write_sorted_bucketed(df: DataFrame, table: str, key: str, buckets: int = 32,
+                          mode: str = "overwrite") -> None:
+    """MapFileOutputFormat parity: bucketed + sorted layout for point
+    lookups and shuffle-free joins on `key` (requires saveAsTable)."""
+    (df.write.bucketBy(buckets, key).sortBy(key)
+       .format("parquet").mode(mode).saveAsTable(table))
+
+
+def write_kv_text(df: DataFrame, path: str, key: str, value: str, sep: str = "\t",
+                  mode: str = "overwrite") -> None:
+    """TextOutputFormat parity: key<sep>value lines."""
+    (df.select(F.concat_ws(sep, F.col(key).cast("string"), F.col(value).cast("string"))
+               .alias("value"))
+       .write.mode(mode).text(path))
+
+
+def write_noop(df: DataFrame) -> None:
+    """NullOutputFormat parity: execute the full plan, discard the rows."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def compact(df: DataFrame, path: str, target_files: int = 1, mode: str = "overwrite") -> None:
+    """HAR-style small-file compaction: coalesce to few large files.
+    coalesce (not repartition) avoids a shuffle — tasks just claim more
+    input splits."""
+    df.coalesce(target_files).write.mode(mode).parquet(path)

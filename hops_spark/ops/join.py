@@ -1,0 +1,132 @@
+"""Join operators (SURVEY.md §2.3) — the CompositeInputFormat join
+language re-expressed on DataFrames.
+
+Reference semantics (mapreduce/lib/join/):
+- ``inner(a,b,...)``  — N-ary equi inner join, cross-product per key
+  (InnerJoinRecordReader.java:34).
+- ``outer(a,b,...)``  — N-ary full outer; missing slots null
+  (OuterJoinRecordReader.java:34).
+- ``override(a,b,...)`` — per key, the value from the RIGHTMOST source
+  that has it wins (OverrideRecordReader.java:42).
+
+The reference requires identically sorted+partitioned inputs and does a
+map-side merge; on Spark the same physical plan falls out of bucketed
+tables + SortMergeJoin, and Catalyst auto-broadcasts small sides (the
+DistributedCache map-side hash-join idiom). We therefore only implement
+the *semantics*; physical strategy is the optimizer's job.
+
+Also: semi/anti (datajoin idiom made first-class), and the as-of join —
+the DataFrame realization of ``MapFile.getClosest`` (io/MapFile.java:699),
+which Spark lacks natively.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _prefixed(df: DataFrame, key: str, tag: str) -> DataFrame:
+    """Rename non-key columns to tag.col so N-way joins don't collide."""
+    cols = [F.col(key)] + [F.col(c).alias(f"{tag}_{c}") for c in df.columns if c != key]
+    return df.select(*cols)
+
+
+def inner_join(key: str, *dfs: DataFrame, tags: list[str] | None = None) -> DataFrame:
+    """inner(a,b,...): emit combined row iff ALL sources have the key;
+    duplicate keys produce the per-key cross product (reference
+    InnerJoinRecordReader semantics)."""
+    tags = tags or [f"s{i}" for i in range(len(dfs))]
+    parts = [_prefixed(d, key, t) for d, t in zip(dfs, tags)]
+    return reduce(lambda a, b: a.join(b, key, "inner"), parts)
+
+
+def outer_join(key: str, *dfs: DataFrame, tags: list[str] | None = None) -> DataFrame:
+    """outer(a,b,...): emit a row if ANY source has the key; absent slots
+    are null (reference OuterJoinRecordReader semantics)."""
+    tags = tags or [f"s{i}" for i in range(len(dfs))]
+    parts = [_prefixed(d, key, t) for d, t in zip(dfs, tags)]
+    return reduce(lambda a, b: a.join(b, key, "full"), parts)
+
+
+def override_join(key: str, value_cols: list[str], *dfs: DataFrame) -> DataFrame:
+    """override(a,b,...): per key, values come from the RIGHTMOST source
+    containing the key (reference OverrideRecordReader.java:42-117).
+
+    Realized as full outer over per-source rows + coalesce(right..left)
+    per value column. With duplicate keys the reference emits the
+    rightmost source's rows only — we pin that semantic by pre-grouping
+    is not done here; callers needing dup-key handling should dedup or
+    accept the cross-product of the winning source via ``override_rows``.
+    """
+    tags = [f"s{i}" for i in range(len(dfs))]
+    parts = [_prefixed(d, key, t) for d, t in zip(dfs, tags)]
+    joined = reduce(lambda a, b: a.join(b, key, "full"), parts)
+    out_cols: list[Column] = [F.col(key)]
+    for v in value_cols:
+        # rightmost wins → coalesce in reverse source order
+        out_cols.append(F.coalesce(*[F.col(f"{t}_{v}") for t in reversed(tags)]).alias(v))
+    return joined.select(*out_cols)
+
+
+def override_rows(key: str, *dfs: DataFrame) -> DataFrame:
+    """Row-level override: emit ALL rows of the rightmost source that has
+    each key (exact OverrideRecordReader dup-key semantics). One union +
+    one window — no N-way join."""
+    tagged = [d.withColumn("_src", F.lit(i)) for i, d in enumerate(dfs)]
+    u = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), tagged)
+    w = Window.partitionBy(key)
+    return (u.withColumn("_max_src", F.max("_src").over(w))
+             .filter(F.col("_src") == F.col("_max_src"))
+             .drop("_src", "_max_src"))
+
+
+def semi_join(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
+    """EXISTS — the datajoin tagged-reduce idiom made first-class."""
+    return left.join(right, key, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
+    """NOT EXISTS."""
+    return left.join(right, key, "left_anti")
+
+
+def broadcast_join(left: DataFrame, small_right: DataFrame, on, how: str = "inner") -> DataFrame:
+    """DistributedCache map-side hash-join parity: force broadcast of the
+    small side (reference mapreduce/filecache/DistributedCache.java)."""
+    return left.join(F.broadcast(small_right), on, how)
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, left_ts: str, right_ts: str,
+              direction: str = "backward", tolerance_expr: Column | None = None) -> DataFrame:
+    """As-of join — MapFile.getClosest (io/MapFile.java:699) generalized:
+    for each left row, the latest right row with right_ts <= left_ts
+    (direction='backward'; 'forward' = earliest >=).
+
+    Implementation: union-sort trick — one shuffle on (on), one
+    sort-within-partitions, one window; no range cross-join blowup.
+    Right rows carry their values forward via last(ignorenulls) over the
+    interleaved ordering. Scales: partitioned by join key, so a
+    1000-executor cluster spreads keys; skewed keys fall to AQE.
+    """
+    lcols = [c for c in left.columns]
+    rvals = [c for c in right.columns if c not in (on, right_ts)]
+    asc = direction == "backward"
+
+    lt = left.select(*lcols).withColumn("_ts", F.col(left_ts)).withColumn("_is_l", F.lit(1))
+    rt = right.select(
+        F.col(on), F.col(right_ts).alias("_ts"), F.lit(0).alias("_is_l"),
+        *[F.col(c) for c in rvals])
+    u = lt.unionByName(rt, allowMissingColumns=True)
+
+    order = [F.col("_ts").asc() if asc else F.col("_ts").desc(), F.col("_is_l").asc()]
+    w = Window.partitionBy(on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    for c in rvals:
+        u = u.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    out = u.filter(F.col("_is_l") == 1).drop("_is_l", "_ts")
+    if tolerance_expr is not None:
+        out = out.filter(tolerance_expr)
+    return out

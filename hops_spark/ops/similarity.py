@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (north-star extension;
+``embeddings`` table: vec_id bigint, embedding array<float>, label int).
+
+- ``cosine`` / ``dot``: pure Column expressions (zip_with + aggregate)
+  — JVM-side, no Python. Elements are cast to double first so Spark and
+  the DuckDB oracle fold in identical IEEE double arithmetic
+  (left-to-right over the array).
+- ``knn_bruteforce``: exact top-k neighbors for a set of query vectors
+  — broadcast the queries, one pass over the corpus, per-query top-k
+  heap (window row_number). This is the correctness baseline.
+- ``knn_lsh``: the scale path — random-hyperplane LSH bucketing: only
+  vectors sharing a probe bucket are scored. Hyperplanes are
+  deterministic (md5-seeded ±1 component signs) so results are
+  reproducible and oracle-checkable.
+
+Scale notes (100 TB): brute force is O(N·Q·d) but embarrassingly
+parallel with a broadcast query set — fine for Q ≲ 10^3. For large Q or
+ANN latency, the LSH variant reduces candidates by ~bucket_count×; a
+production IVF would replace the deterministic hyperplanes with trained
+centroids, same plan shape (assign → co-partition → per-bucket scoring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dbl(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i, folded left-to-right in double (deterministic)."""
+    return F.aggregate(F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(_dbl(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   qid_col: str = "q_id", qvec_col: str = "q_vec") -> DataFrame:
+    """Exact k-NN by cosine: broadcast queries × corpus scan → per-query
+    top-k. Ties broken by neighbor id (deterministic)."""
+    scored = (corpus.crossJoin(F.broadcast(queries))
+                    .filter(F.col(id_col) != F.col(qid_col))
+                    .select(F.col(qid_col),
+                            F.col(id_col).alias("neighbor_id"),
+                            F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
+                             .alias("cos_sim")))
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(),
+                                            F.col("neighbor_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= k))
+
+
+def hyperplane_signs(dim: int, plane: int, seed: int = 42) -> list[int]:
+    """Deterministic ±1 hyperplane components from md5 — reproducible in
+    any engine (used by tests/oracles to re-derive the planes)."""
+    import hashlib
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"{seed}|{plane}|{i}".encode()).hexdigest()
+        out.append(1 if int(h[:2], 16) % 2 == 0 else -1)
+    return out
+
+
+def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id: bit p = sign(v · h_p)."""
+    v = _dbl(vec_col)
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        signs = hyperplane_signs(dim, p, seed)
+        proj = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(float(s)) for s in signs]),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def knn_lsh(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+            n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
+            qid_col: str = "q_id", qvec_col: str = "q_vec", seed: int = 42) -> DataFrame:
+    """ANN: score only corpus vectors in the query's LSH bucket. Recall
+    is tunable via n_planes (fewer planes → bigger buckets → higher
+    recall, more compute). Bucket assignment is one narrow pass; the
+    join co-partitions on bucket — no all-pairs shuffle."""
+    cb = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
+    qb = queries.withColumn("_bucket", lsh_bucket(F.col(qvec_col), dim, n_planes, seed))
+    scored = (cb.join(F.broadcast(qb), "_bucket")
+                .filter(F.col(id_col) != F.col(qid_col))
+                .select(F.col(qid_col), F.col(id_col).alias("neighbor_id"),
+                        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
+                         .alias("cos_sim")))
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(),
+                                            F.col("neighbor_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= k))
+
+
+def embedding_near_dup(corpus: DataFrame, dim: int, threshold: float = 0.95,
+                       n_planes: int = 8, id_col: str = "vec_id",
+                       vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking: pairs
+    sharing a bucket with cosine ≥ threshold. (id_a < id_b.)"""
+    cb = (corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
+                 .select(id_col, vec_col, "_bucket"))
+    a = cb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "_bucket")
+    b = cb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "_bucket")
+    return (a.join(b, "_bucket")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+             .distinct()
+             .filter(F.col("cos_sim") >= threshold))

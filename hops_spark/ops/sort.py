@@ -1,0 +1,108 @@
+"""Sort / partition / top-k operators (SURVEY.md §2.5).
+
+The reference's whole sort stack (MapOutputBuffer quicksort + spill,
+TotalOrderPartitioner + InputSampler range sampling, tiered k-way merge
+— MapTask.java:888-2083, TotalOrderPartitioner.java:50) is built into
+Spark: ``orderBy`` samples a RangePartitioner and Tungsten does the
+external sort. What remains to implement is the *spec surface*:
+
+- KeyFieldBasedComparator/Partitioner (`-k2,2nr` style unix-sort field
+  specs; KeyFieldBasedComparator.java:53, KeyFieldHelper.java)
+- secondary sort (partition by k1, sort by (k1,k2), iterate groups in
+  order; ReduceContextImpl.java:66, examples/SecondarySort.java)
+- top-k (global and per-group)
+- SortValidator-style self-checks (see tests).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def total_order_sort(df: DataFrame, *keys: str | Column) -> DataFrame:
+    """Total-order sort (Sort example / TeraSort driver parity,
+    examples/Sort.java:57). Spark's orderBy = sampled range partitioning
+    + per-partition external sort; the global order is the concatenation
+    of partition ranges — exactly TotalOrderPartitioner's contract."""
+    return df.orderBy(*keys)
+
+
+_KEYSPEC = re.compile(r"^-k(\d+)(?:,(\d+))?([nr]*)$")
+
+
+def parse_key_specs(specs: Iterable[str], field_cols: list[str]) -> list[Column]:
+    """Parse unix-sort `-kPOS[,POS][nr]` specs (KeyFieldBasedComparator
+    parity) into order-by Columns over the given field columns.
+    `n` → numeric (cast double), `r` → reverse. 1-based positions."""
+    cols: list[Column] = []
+    for s in specs:
+        m = _KEYSPEC.match(s)
+        if not m:
+            raise ValueError(f"bad key spec: {s}")
+        start = int(m.group(1))
+        end = int(m.group(2) or m.group(1))
+        flags = m.group(3)
+        for pos in range(start, end + 1):
+            c: Column = F.col(field_cols[pos - 1])
+            if "n" in flags:
+                c = c.cast("double")
+            cols.append(c.desc() if "r" in flags else c.asc())
+    return cols
+
+
+def key_field_sort(df: DataFrame, specs: Iterable[str]) -> DataFrame:
+    """Sort by unix-style field specs over the DataFrame's columns."""
+    return df.orderBy(*parse_key_specs(specs, df.columns))
+
+
+def secondary_sort(df: DataFrame, group_key: str | list[str], order_key: str | list[str],
+                   n_partitions: int | None = None) -> DataFrame:
+    """Secondary-sort physical layout: partition by k1, sort within
+    partitions by (k1, k2) — the exact reducer-input contract of the
+    reference (FirstPartitioner + sort comparator + grouping comparator,
+    examples/SecondarySort.java:133-224). Downstream mapPartitions /
+    applyInPandas then sees each group contiguous and k2-ordered."""
+    gk = [group_key] if isinstance(group_key, str) else list(group_key)
+    ok = [order_key] if isinstance(order_key, str) else list(order_key)
+    parts = df.repartition(n_partitions, *gk) if n_partitions else df.repartition(*gk)
+    return parts.sortWithinPartitions(*(gk + ok))
+
+
+def grouped_ordered_apply(df: DataFrame, group_key: str | list[str],
+                          order_key: str | list[str],
+                          fn: Callable, schema) -> DataFrame:
+    """Reduce-with-ordered-iteration (the general secondary-sort consumer):
+    applyInPandas over groups, with rows pre-sorted by order_key inside
+    each group pandas frame. Memory risk at 100 TB: one group must fit in
+    one executor's memory — decomposable logic should use window
+    functions instead (SURVEY §7.4.2)."""
+    gk = [group_key] if isinstance(group_key, str) else list(group_key)
+    ok = [order_key] if isinstance(order_key, str) else list(order_key)
+
+    def sorted_fn(pdf):
+        return fn(pdf.sort_values(ok, kind="mergesort"))
+
+    return df.groupBy(*gk).applyInPandas(sorted_fn, schema=schema)
+
+
+def top_k(df: DataFrame, k: int, *order: Column | str) -> DataFrame:
+    """Global top-k: orderBy + limit → Spark's TakeOrderedAndProject
+    (per-partition heaps + driver merge; no global sort). This is the
+    scalable form of the reference's sort-then-single-reducer idiom
+    (examples/Grep.java:85-90)."""
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(df: DataFrame, group_cols: list[str], k: int,
+                    *order: Column | str, rank_col: str = "rn",
+                    keep_rank: bool = False) -> DataFrame:
+    """Per-group top-k via row_number window — one shuffle on the group
+    key; AQE handles group-count skew."""
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+    return out if keep_rank else out.drop(rank_col)

@@ -1,0 +1,134 @@
+"""Text-analysis operators for training-data pipelines (north-star,
+BASELINE.json extensions; operates on the ``documents`` table).
+
+All pure Column expressions — JVM-side, codegen'd, no Python UDFs. Each
+op is deterministic so the DuckDB oracle can reproduce it exactly.
+
+- ``tokens`` / ``token_count``: whitespace tokenizer + a BPE-ish
+  word/number/punct regex tokenizer.
+- ``shingles``: word n-gram shingling (the dedup primitive).
+- ``quality_features`` / ``quality_score``: length / punctuation /
+  stopword / repetition heuristics (Gopher/C4-style rules, public).
+- ``lang_id_expr``: stopword-overlap language heuristic (en/de/fr/es).
+- ``fingerprint``: deterministic document fingerprint (md5 over the
+  sorted distinct shingle set → stable under word order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_SPLIT = r"\s+"
+# BPE-ish surface tokenizer: words (with apostrophes), numbers, or single punct.
+BPE_TOKEN_RE = r"[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny public stopword lists — enough for a deterministic heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "por", "con", "que"],
+}
+
+
+def words(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), WORD_SPLIT), lambda w: w != "")
+
+
+def tokens_bpeish(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0))
+
+
+def token_count(text: Column | str, mode: str = "ws") -> Column:
+    return F.size(words(text) if mode == "ws" else tokens_bpeish(text))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of the lowercased text, as an array<string>.
+    Docs shorter than n words yield an empty array. (Guarded: Spark's
+    sequence(1,0) counts DOWN, so short docs need the explicit branch.)"""
+    w = words(text)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    return F.when(F.size(w) >= n,
+                  F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+                  ).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    w = words(text)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    n_sw = F.size(F.filter(w, lambda t: F.array_contains(sw, t)))
+    return n_sw / F.greatest(F.size(w), F.lit(1))
+
+
+PPM = 1_000_000  # ratios are exact integer parts-per-million: floating-point
+# rounding at decimal half-boundaries differs between engines, integer
+# division does not — so every ratio here is `div(k * 1e6, n)`.
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features (C4/Gopher-style, all public rules).
+    Ratios are integer ppm (see PPM note)."""
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w)
+    n_chars = F.length(t)
+    d = df.withColumns({
+        "n_chars_m": n_chars,
+        "n_words": n_words,
+        "_nw1": F.greatest(n_words, F.lit(1)).cast("long"),
+        "_nc1": F.greatest(n_chars, F.lit(1)).cast("long"),
+        "_nonspace": F.length(F.regexp_replace(F.lower(t), r"\s+", "")).cast("long"),
+        "_punct": F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", "")).cast("long"),
+        "_digit": F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("long"),
+        "_sw": F.size(F.filter(w, lambda x: F.array_contains(
+            F.array(*[F.lit(s) for s in STOPWORDS["en"]]), x))).cast("long"),
+        "_uniq": F.size(F.array_distinct(w)).cast("long"),
+    })
+    return d.withColumns({
+        "mean_word_len_ppm": F.expr(f"(_nonspace * {PPM}) div _nw1"),
+        "punct_ppm": F.expr(f"(_punct * {PPM}) div _nc1"),
+        "digit_ppm": F.expr(f"(_digit * {PPM}) div _nc1"),
+        "stopword_ppm": F.expr(f"(_sw * {PPM}) div _nw1"),
+        "uniq_ppm": F.expr(f"(_uniq * {PPM}) div _nw1"),
+    }).drop("_nw1", "_nc1", "_nonspace", "_punct", "_digit", "_sw", "_uniq")
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0, 4·PPM]: sum of clamped sub-signals
+    (length, punctuation, stopword density, lexical diversity), exact
+    integer arithmetic. Thresholds follow published C4-ish heuristics."""
+    feats = quality_features(df, text_col)
+    score = (F.least(F.col("n_words").cast("long") * 20000, F.lit(PPM))
+             + (PPM - F.least(F.col("punct_ppm") * 5, F.lit(PPM)))
+             + F.least(F.col("stopword_ppm") * 4, F.lit(PPM))
+             + F.col("uniq_ppm"))
+    return feats.withColumn("quality_score_ppm", score.cast("long"))
+
+
+def lang_id_expr(text_col: str = "text") -> Column:
+    """Stopword-overlap language heuristic: argmax over language stopword
+    hit-counts; ties and zero-hits → 'und' (undetermined). Deterministic
+    tie-break: language order en, de, fr, es."""
+    w = words(F.col(text_col))
+    hits = {}
+    for lang, sws in STOPWORDS.items():
+        sw = F.array(*[F.lit(s) for s in sws])
+        hits[lang] = F.size(F.filter(w, lambda t: F.array_contains(sw, t)))
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # build reversed CASE chain so earlier langs win ties
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text_col: str = "text", n: int = 3) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    shingle set. Equal fingerprints ⇔ same shingle multiset-as-set —
+    a cheap exact-ish dedup key robust to duplicated paragraphs."""
+    sh = F.array_sort(F.array_distinct(shingles(text_col, n)))
+    return F.md5(F.concat_ws("\x1f", sh))

@@ -1,0 +1,179 @@
+"""ValueAggregator-framework inventory queries (SURVEY.md §2.4).
+
+Covers: LongValueSum/DoubleValueSum/Max/Min, StringValueMax/Min,
+UniqValueCount (with deterministic cap), ValueHistogram, the
+WordMean/WordMedian/WordStandardDeviation examples, and cube/rollup
+(declared Spark superset).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hops_spark.io.readers import load_table
+from hops_spark.ops import agg as A
+from hops_spark.ops.text import words
+from hops_spark.registry import register
+
+
+@register(
+    "value_aggregator_job",
+    sql="""
+    SELECT l_returnflag,
+           sum(CAST(l_quantity AS BIGINT))      AS sum_qty,
+           round(sum(l_extendedprice), 2)        AS sum_price,
+           max(CAST(l_orderkey AS BIGINT))       AS max_orderkey,
+           min(CAST(l_orderkey AS BIGINT))       AS min_orderkey,
+           max(l_linestatus)                     AS max_status,
+           min(l_linestatus)                     AS min_status,
+           count(l_partkey)                      AS n_values,
+           least(count(DISTINCT l_suppkey), 5)   AS uniq_supp_capped
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="ValueAggregatorJob spec-driven aggregation, one shuffle for the whole spec "
+        "(reference mapreduce/lib/aggregate/ValueAggregatorJob.java:1-222).",
+    tags=("agg",),
+)
+def value_aggregator_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = A.aggregate_job(
+        li, ["l_returnflag"],
+        [("LongValueSum", "l_quantity", "sum_qty"),
+         ("DoubleValueSum", "l_extendedprice", "sum_price_raw"),
+         ("LongValueMax", "l_orderkey", "max_orderkey"),
+         ("LongValueMin", "l_orderkey", "min_orderkey"),
+         ("StringValueMax", "l_linestatus", "max_status"),
+         ("StringValueMin", "l_linestatus", "min_status"),
+         ("ValueCount", "l_partkey", "n_values")])
+    out = out.withColumn("sum_price", F.round(F.col("sum_price_raw"), 2)).drop("sum_price_raw")
+    capped = (li.groupBy("l_returnflag")
+                .agg(A.uniq_count("l_suppkey", max_unique=5).alias("uniq_supp_capped")))
+    return (out.join(capped, "l_returnflag")
+               .select("l_returnflag", "sum_qty", "sum_price", "max_orderkey",
+                       "min_orderkey", "max_status", "min_status", "n_values",
+                       "uniq_supp_capped")
+               .orderBy("l_returnflag"))
+
+
+@register(
+    "uniq_value_count",
+    sql="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_orderstatus) AS n_uniq,
+           list_sort(list(DISTINCT o_orderstatus))[1:2] AS uniq_values_capped
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="UniqValueCount with cap — deterministic sort-then-slice semantics "
+        "(reference UniqValueCount.java:35; SURVEY §7.4.5).",
+    tags=("agg",),
+)
+def uniq_value_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+             .agg(A.uniq_count("o_orderstatus").alias("n_uniq"),
+                  A.uniq_values("o_orderstatus", max_unique=2).alias("uniq_values_capped"))
+             .orderBy("o_orderpriority"))
+
+
+@register(
+    "value_histogram",
+    sql="""
+    WITH per_item AS (
+        SELECT l_returnflag, l_suppkey, count(*) AS _n
+        FROM lineitem GROUP BY l_returnflag, l_suppkey
+    )
+    SELECT l_returnflag,
+           count(*)                    AS n_distinct_items,
+           min(_n)                     AS min_count,
+           median(_n)                  AS median_count,
+           max(_n)                     AS max_count,
+           round(avg(_n), 6)           AS avg_count,
+           round(stddev_pop(_n), 6)    AS stddev_count
+    FROM per_item
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="ValueHistogram: count/min/median/max/avg/stddev of per-item counts "
+        "(reference ValueHistogram.java:38).",
+    tags=("agg",),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = A.value_histogram(li, ["l_returnflag"], "l_suppkey")
+    return (h.withColumn("avg_count", F.round("avg_count", 6))
+             .withColumn("stddev_count", F.round("stddev_count", 6))
+             .withColumn("median_count", F.col("median_count").cast("double"))
+             .orderBy("l_returnflag"))
+
+
+@register(
+    "word_stats",
+    sql="""
+    WITH w AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents
+    )
+    SELECT count(*)                               AS n_words,
+           round(avg(length(word)), 6)            AS mean_len,
+           median(length(word))                   AS median_len,
+           round(stddev_pop(length(word)), 6)     AS stddev_len
+    FROM w
+    """,
+    doc="WordMean/WordMedian/WordStandardDeviation examples "
+        "(reference examples/WordMean.java:42, WordMedian.java:43).",
+    tags=("agg", "text"),
+)
+def word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.explode(words("text")).alias("word"))
+    return w.agg(F.count("*").alias("n_words"),
+                 F.round(F.avg(F.length("word")), 6).alias("mean_len"),
+                 F.expr("median(length(word))").cast("double").alias("median_len"),
+                 F.round(F.stddev_pop(F.length("word")), 6).alias("stddev_len"))
+
+
+@register(
+    "rollup_revenue",
+    sql="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+    doc="ROLLUP — declared Spark superset (reference has no grouping sets, "
+        "SURVEY §2.4 note).",
+    tags=("agg", "superset"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+                   F.count("*").alias("n"))
+              .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                      F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                      "sum_price", "n")
+              .orderBy("returnflag", "linestatus"))
+
+
+@register(
+    "approx_distinct_parts",
+    sql=None,  # approximate — no exact oracle; rows-only check
+    doc="approx_count_distinct (HLL) — the scale default for UniqValueCount-type "
+        "questions; exact opt-in per SURVEY §7.4.6.",
+    tags=("agg", "approx"),
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                   F.countDistinct("l_partkey").alias("exact_parts"))
+              .orderBy("l_returnflag"))

@@ -1,0 +1,163 @@
+"""Event/stream-shaped inventory queries (SURVEY.md §2.8) — run here in
+batch mode over the `events` fixture; the same logic runs as Structured
+Streaming in hops_spark/streaming.py (batch-equivalence tested in
+tests/test_streaming.py, per FIXTURES.md's oracle note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hops_spark.io.readers import load_table
+from hops_spark.registry import register
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "tumbling_window_agg",
+    sql="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+    doc="Tumbling 1-hour event-time window aggregation (Spark window(); "
+        "the CDC-log stream realization of SURVEY §2.8).",
+    tags=("events", "window", "streaming"),
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count("*").alias("n_events"),
+                  F.round(F.sum("value"), 2).alias("sum_value"))
+             .select(F.col("w.start").alias("window_start"), "event_type",
+                     "n_events", "sum_value")
+             .orderBy("window_start", "event_type"))
+
+
+@register(
+    "sliding_window_agg",
+    sql="""
+    WITH grid AS (
+        SELECT *, time_bucket(INTERVAL '30 minutes', ts) AS b FROM events
+    ), expanded AS (
+        SELECT event_id, value, ws
+        FROM grid, unnest([b, b - INTERVAL '30 minutes']) AS t(ws)
+    )
+    SELECT ws AS window_start, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM expanded
+    GROUP BY ws
+    ORDER BY window_start
+    """,
+    doc="Sliding window: 1 hour every 30 minutes (each event lands in 2 "
+        "windows) — Spark window(ts, '1 hour', '30 minutes').",
+    tags=("events", "window", "streaming"),
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+             .agg(F.count("*").alias("n_events"),
+                  F.round(F.sum("value"), 2).alias("sum_value"))
+             .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+             .orderBy("window_start"))
+
+
+@register(
+    "session_window_agg",
+    sql=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL '{SESSION_GAP_MIN} minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc="Sessionization (30-min gap): gaps-and-islands form; the streaming "
+        "twin uses session_window(ts, '30 minutes') — batch-equivalence "
+        "tested in tests/test_streaming.py.",
+    tags=("events", "window", "streaming", "flagship"),
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+               .rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+    return (e.withColumn("prev_ts", F.lag("ts").over(w))
+             .withColumn("new_session",
+                         F.when(F.col("prev_ts").isNull()
+                                | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0))
+             .withColumn("session_id", F.sum("new_session").over(ws))
+             .groupBy("user_id", "session_id")
+             .agg(F.min("ts").alias("session_start"),
+                  F.max("ts").alias("session_last"),
+                  F.count("*").alias("n_events"),
+                  F.round(F.sum("value"), 2).alias("sum_value"))
+             .drop("session_id")
+             .orderBy("user_id", "session_start"))
+
+
+@register(
+    "event_dedup",
+    sql="""
+    SELECT event_id, min(ts) AS first_ts, count(*) AS n_copies
+    FROM events
+    GROUP BY event_id
+    ORDER BY event_id
+    """,
+    doc="Event dedup by id (batch twin of dropDuplicatesWithinWatermark): "
+        "first-arrival wins; n_copies exposes the duplicate rate.",
+    tags=("events", "dedup", "streaming"),
+)
+def event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy("event_id")
+             .agg(F.min("ts").alias("first_ts"), F.count("*").alias("n_copies"))
+             .orderBy("event_id"))
+
+
+@register(
+    "late_data_policy",
+    sql="""
+    WITH mx AS (SELECT max(ts) AS max_ts FROM events)
+    SELECT event_type,
+           count(*) AS n_total,
+           sum(CASE WHEN ts < max_ts - INTERVAL '7 days' THEN 1 ELSE 0 END) AS n_late
+    FROM events, mx
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Watermark late-data accounting (batch view): events older than "
+        "watermark = max(ts) - 7d would be dropped by the streaming twin.",
+    tags=("events", "streaming"),
+)
+def late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("max_ts"))
+    return (e.crossJoin(F.broadcast(mx))
+             .groupBy("event_type")
+             .agg(F.count("*").alias("n_total"),
+                  F.sum(F.when(F.col("ts") < F.col("max_ts") - F.expr("INTERVAL 7 DAYS"),
+                               1).otherwise(0)).alias("n_late"))
+             .orderBy("event_type"))

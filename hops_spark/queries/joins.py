@@ -1,0 +1,195 @@
+"""Join-language inventory queries (SURVEY.md §2.3).
+
+inner(a,b,...) / outer(a,b,...) / override(a,b,...) from the reference's
+CompositeInputFormat join language (mapreduce/lib/join/), plus the
+semi/anti/as-of supersets.
+
+The KV sources mirror the reference's join tests (TestJoinDatamerge):
+per-nation aggregates from customer and supplier play the role of two
+sorted KV inputs keyed by nationkey.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hops_spark.io.readers import load_table
+from hops_spark.ops import join as J
+from hops_spark.registry import register
+
+
+def _cust_by_nation(spark, sf_dir):
+    return (load_table(spark, sf_dir, "customer")
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(F.round(F.sum("c_acctbal"), 2).alias("acctbal"),
+                 F.count("*").alias("cnt")))
+
+
+def _supp_by_nation(spark, sf_dir):
+    return (load_table(spark, sf_dir, "supplier")
+            .groupBy(F.col("s_nationkey").alias("nationkey"))
+            .agg(F.round(F.sum("s_acctbal"), 2).alias("acctbal"),
+                 F.count("*").alias("cnt")))
+
+
+_CTE = """
+    WITH ca AS (
+        SELECT c_nationkey AS nationkey, round(sum(c_acctbal), 2) AS acctbal,
+               count(*) AS cnt
+        FROM customer GROUP BY c_nationkey
+    ), sa AS (
+        SELECT s_nationkey AS nationkey, round(sum(s_acctbal), 2) AS acctbal,
+               count(*) AS cnt
+        FROM supplier GROUP BY s_nationkey
+    )
+"""
+
+
+@register(
+    "join_inner",
+    sql=_CTE + """
+    SELECT ca.nationkey,
+           ca.acctbal AS s0_acctbal, ca.cnt AS s0_cnt,
+           sa.acctbal AS s1_acctbal, sa.cnt AS s1_cnt
+    FROM ca JOIN sa USING (nationkey)
+    ORDER BY nationkey
+    """,
+    doc="inner(a,b): emit iff all sources have the key "
+        "(reference InnerJoinRecordReader.java:34).",
+    tags=("join",),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _cust_by_nation(spark, sf_dir)
+    b = _supp_by_nation(spark, sf_dir)
+    return J.inner_join("nationkey", a, b).orderBy("nationkey")
+
+
+@register(
+    "join_outer",
+    sql=_CTE + """
+    SELECT coalesce(ca.nationkey, sa.nationkey) AS nationkey,
+           ca.acctbal AS s0_acctbal, ca.cnt AS s0_cnt,
+           sa.acctbal AS s1_acctbal, sa.cnt AS s1_cnt
+    FROM ca FULL OUTER JOIN sa USING (nationkey)
+    ORDER BY nationkey
+    """,
+    doc="outer(a,b): emit if any source has the key, null slots "
+        "(reference OuterJoinRecordReader.java:34).",
+    tags=("join",),
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _cust_by_nation(spark, sf_dir)
+    b = _supp_by_nation(spark, sf_dir)
+    return J.outer_join("nationkey", a, b).orderBy("nationkey")
+
+
+@register(
+    "join_override",
+    sql=_CTE + """
+    SELECT coalesce(ca.nationkey, sa.nationkey) AS nationkey,
+           coalesce(sa.acctbal, ca.acctbal) AS acctbal,
+           coalesce(sa.cnt, ca.cnt) AS cnt
+    FROM ca FULL OUTER JOIN sa USING (nationkey)
+    ORDER BY nationkey
+    """,
+    doc="override(a,b): rightmost source with the key wins "
+        "(reference OverrideRecordReader.java:42-117).",
+    tags=("join",),
+)
+def join_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _cust_by_nation(spark, sf_dir)
+    b = _supp_by_nation(spark, sf_dir)
+    return J.override_join("nationkey", ["acctbal", "cnt"], a, b).orderBy("nationkey")
+
+
+@register(
+    "join_semi",
+    sql="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    ORDER BY c_custkey
+    """,
+    doc="left_semi (EXISTS) — datajoin tagged-join idiom made first-class "
+        "(SURVEY §2.3 note).",
+    tags=("join", "superset"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    big = (load_table(spark, sf_dir, "orders")
+           .filter(F.col("o_totalprice") > 300000)
+           .select(F.col("o_custkey").alias("c_custkey")))
+    return (J.semi_join(c, big, "c_custkey")
+             .select("c_custkey", "c_name").orderBy("c_custkey"))
+
+
+@register(
+    "join_anti",
+    sql="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="left_anti (NOT EXISTS).",
+    tags=("join", "superset"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = (load_table(spark, sf_dir, "orders")
+         .select(F.col("o_custkey").alias("c_custkey")))
+    return (J.anti_join(c, o, "c_custkey")
+             .select("c_custkey", "c_name").orderBy("c_custkey"))
+
+
+@register(
+    "join_asof",
+    sql="""
+    WITH ords AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ), probe AS (
+        SELECT o_custkey AS custkey, o_orderdate AS probe_ts
+        FROM ords WHERE rn = 3
+    ), cand AS (
+        SELECT p.custkey, p.probe_ts, o.o_orderkey,
+               row_number() OVER (PARTITION BY p.custkey
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rnk
+        FROM probe p
+        JOIN orders o ON o.o_custkey = p.custkey AND o.o_orderdate < p.probe_ts
+    )
+    SELECT custkey, probe_ts, o_orderkey AS last_orderkey
+    FROM cand WHERE rnk = 1
+    ORDER BY custkey
+    """,
+    doc="as-of join — MapFile.getClosest (io/MapFile.java:699) generalized: "
+        "for each probe (customer's 3rd order date), the latest strictly "
+        "earlier order. The generic union-sort asof operator (ops/join.py "
+        "asof_join — one shuffle, no range cross-join) is exercised in tests; "
+        "this inventory query pins the strictly-before variant.",
+    tags=("join", "superset", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    probe = (o.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 3)
+              .select(F.col("o_custkey").alias("custkey"),
+                      F.col("o_orderdate").alias("probe_ts")))
+    right = o.select(F.col("o_custkey").alias("custkey"),
+                     F.col("o_orderdate").alias("ots"),
+                     F.col("o_orderkey"))
+    wr = Window.partitionBy("custkey", "probe_ts").orderBy(
+        F.col("ots").desc(), F.col("o_orderkey").desc())
+    return (probe.join(right, "custkey")
+                 .filter(F.col("ots") < F.col("probe_ts"))
+                 .withColumn("rnk", F.row_number().over(wr))
+                 .filter(F.col("rnk") == 1)
+                 .select("custkey", "probe_ts",
+                         F.col("o_orderkey").alias("last_orderkey"))
+                 .orderBy("custkey"))

@@ -1,0 +1,140 @@
+"""Metadata-engine inventory queries (SURVEY.md §1.4, §2.11) — the
+HopsFS "file-system metadata as relational tables" surface.
+
+The catalog layer (hops_spark/catalog/) models inodes as a DataFrame
+with the reference's (name, parent, partition) addressing
+(BaseINodeLock.java:69-118). For the oracle gate we derive a
+deterministic inode tree from the `documents` fixture: each `source` is
+a directory under root, each document a file inode
+(name='doc_<id>', size=n_chars) — both engines build it identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hops_spark.catalog.metastore import inodes_from_documents
+from hops_spark.registry import register
+
+_DUCK_INODES = """
+    WITH inodes AS (
+        SELECT doc_id AS inode_id,
+               source AS parent,
+               'doc_' || CAST(doc_id AS VARCHAR) AS name,
+               n_chars AS size
+        FROM documents
+    )
+"""
+
+
+@register(
+    "meta_get_listing",
+    sql=_DUCK_INODES + """
+    SELECT parent, name, inode_id, size
+    FROM inodes
+    WHERE parent = 'src1'
+    ORDER BY name
+    LIMIT 100
+    """,
+    doc="getListing: children of a directory ordered by name, batched "
+        "(reference FSDirStatAndListingOp.java:80-113; partition-pruned "
+        "scan per BaseINodeLock PPIS — realized as partition filter).",
+    tags=("metadata",),
+)
+def meta_get_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ino = inodes_from_documents(spark, sf_dir)
+    return (ino.filter(F.col("parent") == "src1")
+               .select("parent", "name", "inode_id", "size")
+               .orderBy("name").limit(100))
+
+
+@register(
+    "meta_content_summary",
+    sql=_DUCK_INODES + """
+    SELECT parent AS dir, count(*) AS n_files, sum(size) AS total_bytes,
+           max(size) AS max_file, min(size) AS min_file
+    FROM inodes
+    GROUP BY parent
+    ORDER BY dir
+    """,
+    doc="getContentSummary / du: per-directory recursive count+sum "
+        "(reference FileSystem.java:1767; QuotaUpdateManager maintains "
+        "these incrementally — streaming twin in catalog/cdc.py).",
+    tags=("metadata", "agg"),
+)
+def meta_content_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ino = inodes_from_documents(spark, sf_dir)
+    return (ino.groupBy(F.col("parent").alias("dir"))
+               .agg(F.count("*").alias("n_files"), F.sum("size").alias("total_bytes"),
+                    F.max("size").alias("max_file"), F.min("size").alias("min_file"))
+               .orderBy("dir"))
+
+
+@register(
+    "meta_glob_status",
+    sql=_DUCK_INODES + """
+    SELECT parent, name, size
+    FROM inodes
+    WHERE regexp_matches(name, '^doc_1[0-9]$')
+    ORDER BY parent, name
+    """,
+    doc="globStatus: glob 'doc_1?' → regex scan over the namespace "
+        "(reference FileSystem.java:2042).",
+    tags=("metadata",),
+)
+def meta_glob_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ino = inodes_from_documents(spark, sf_dir)
+    return (ino.filter(F.col("name").rlike("^doc_1[0-9]$"))
+               .select("parent", "name", "size")
+               .orderBy("parent", "name"))
+
+
+@register(
+    "meta_point_lookup",
+    sql=_DUCK_INODES + """
+    SELECT inode_id, parent, name, size
+    FROM inodes
+    WHERE name = 'doc_42'
+    ORDER BY inode_id
+    """,
+    doc="getFileInfo: PK point lookup by (name, parent) "
+        "(reference FSDirStatAndListingOp.java:137-141; batched PK ops = "
+        "broadcast join against a key list).",
+    tags=("metadata",),
+)
+def meta_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ino = inodes_from_documents(spark, sf_dir)
+    return (ino.filter(F.col("name") == "doc_42")
+               .select("inode_id", "parent", "name", "size")
+               .orderBy("inode_id"))
+
+
+@register(
+    "meta_quota_rollup",
+    sql=_DUCK_INODES + """
+    , per_dir AS (
+        SELECT parent AS dir, count(*) AS ns_delta, sum(size) AS ds_delta
+        FROM inodes GROUP BY parent
+    )
+    SELECT 'root' AS dir, sum(ns_delta) AS namespace, sum(ds_delta) AS diskspace
+    FROM per_dir
+    UNION ALL
+    SELECT dir, ns_delta AS namespace, ds_delta AS diskspace FROM per_dir
+    ORDER BY dir
+    """,
+    doc="Quota rollup up the directory tree (QuotaUpdateManager.java:109-209 "
+        "batched delta aggregation): per-dir + root totals; incremental "
+        "streaming twin in catalog/cdc.py.",
+    tags=("metadata", "agg"),
+)
+def meta_quota_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ino = inodes_from_documents(spark, sf_dir)
+    per_dir = (ino.groupBy(F.col("parent").alias("dir"))
+                  .agg(F.count("*").alias("ns_delta"), F.sum("size").alias("ds_delta")))
+    root = per_dir.agg(F.sum("ns_delta").alias("namespace"),
+                       F.sum("ds_delta").alias("diskspace")) \
+                  .select(F.lit("root").alias("dir"), "namespace", "diskspace")
+    leaf = per_dir.select("dir", F.col("ns_delta").alias("namespace"),
+                          F.col("ds_delta").alias("diskspace"))
+    return root.unionByName(leaf).orderBy("dir")

@@ -1,0 +1,137 @@
+"""Similarity-search inventory queries (north-star; `embeddings` table,
+64-dim float vectors).
+
+Spark computes cosine via a zip_with/aggregate fold in double; the
+DuckDB oracle uses list_cosine_similarity on DOUBLE[] — both in IEEE
+double, rounded to 6 decimals, so hashes match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hops_spark.io.readers import load_table
+from hops_spark.ops import similarity as SIM
+from hops_spark.registry import register
+
+DIM = 64
+K = 10
+N_PLANES = 6
+NEAR_DUP_THRESHOLD = 0.3  # fixture embeddings are random; 0.3 yields pairs
+N_QUERIES = 5
+
+
+@register(
+    "knn_bruteforce",
+    sql=f"""
+    WITH d AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS q_id, v AS qv FROM d WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT q.q_id, d.vec_id AS neighbor_id,
+               round(list_cosine_similarity(d.v, q.qv), 6) AS cos_sim
+        FROM d CROSS JOIN q
+        WHERE d.vec_id <> q.q_id
+    ), ranked AS (
+        SELECT q_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cos_sim, rnk
+    FROM ranked WHERE rnk <= {K}
+    ORDER BY q_id, rnk
+    """,
+    doc="Exact k-NN by cosine: broadcast query set × corpus scan → "
+        "per-query top-k (the correctness baseline for ANN).",
+    tags=("similarity", "north-star", "flagship"),
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = (e.filter(F.col("vec_id") < N_QUERIES)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec")))
+    return (SIM.knn_bruteforce(e.select("vec_id", "embedding"), queries, K)
+               .select("q_id", "neighbor_id", "cos_sim", "rnk")
+               .orderBy("q_id", "rnk"))
+
+
+def _duck_plane_literal(plane: int) -> str:
+    signs = SIM.hyperplane_signs(DIM, plane)
+    return "[" + ", ".join(f"{s}.0" for s in signs) + "]"
+
+
+def _duck_bucket_expr(vec: str) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({vec}, {_duck_plane_literal(p)}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "knn_lsh",
+    sql=f"""
+    WITH d AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               {_duck_bucket_expr('embedding::DOUBLE[]')} AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS q_id, v AS qv, bucket FROM d WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT q.q_id, d.vec_id AS neighbor_id,
+               round(list_cosine_similarity(d.v, q.qv), 6) AS cos_sim
+        FROM d JOIN q USING (bucket)
+        WHERE d.vec_id <> q.q_id
+    ), ranked AS (
+        SELECT q_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cos_sim, rnk
+    FROM ranked WHERE rnk <= {K}
+    ORDER BY q_id, rnk
+    """,
+    doc="ANN k-NN via random-hyperplane LSH buckets (deterministic "
+        "md5-seeded planes): scores only same-bucket vectors — the scale "
+        "path; bucket assign is one narrow pass, join co-partitions on "
+        "bucket.",
+    tags=("similarity", "north-star"),
+)
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = (e.filter(F.col("vec_id") < N_QUERIES)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec")))
+    return (SIM.knn_lsh(e.select("vec_id", "embedding"), queries, DIM, K, N_PLANES)
+               .select("q_id", "neighbor_id", "cos_sim", "rnk")
+               .orderBy("q_id", "rnk"))
+
+
+@register(
+    "embedding_near_dup",
+    sql=f"""
+    WITH d AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               {_duck_bucket_expr('embedding::DOUBLE[]')} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM d a JOIN d b USING (bucket)
+    WHERE a.vec_id < b.vec_id
+      AND round(list_cosine_similarity(a.v, b.v), 6) >= {NEAR_DUP_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+    doc="Embedding-cosine near-duplicate pairs via LSH blocking "
+        "(threshold 0.3 — fixture vectors are random, no true near-dups).",
+    tags=("similarity", "dedup", "north-star"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (SIM.embedding_near_dup(e.select("vec_id", "embedding"), DIM,
+                                   NEAR_DUP_THRESHOLD, N_PLANES)
+               .orderBy("id_a", "id_b"))

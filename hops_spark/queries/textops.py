@@ -1,0 +1,169 @@
+"""Text-analysis inventory queries (north-star; `documents` table).
+
+Oracle SQL mirrors the Column expressions exactly — same tokenizer
+(regex whitespace split), same md5-based hashes, same rounding — so the
+DuckDB hash-match is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hops_spark.io.readers import load_table
+from hops_spark.ops.text import (BPE_TOKEN_RE, STOPWORDS, fingerprint,
+                                 lang_id_expr, quality_score, tokens_bpeish,
+                                 words)
+from hops_spark.registry import register
+
+# DuckDB fragment: the shared word tokenizer.
+_DUCK_WORDS = ("list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')")
+
+
+def _duck_sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+@register(
+    "doc_quality",
+    sql=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               {_DUCK_WORDS} AS w,
+               length(text) AS n_chars_m,
+               CAST(length(regexp_replace(lower(text), '\\s+', '', 'g')) AS BIGINT) AS n_nonspace,
+               CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit
+        FROM documents
+    ), q AS (
+        SELECT doc_id, n_chars_m,
+               len(w) AS n_words,
+               greatest(len(w), 1)::BIGINT AS nw1,
+               greatest(n_chars_m, 1)::BIGINT AS nc1,
+               n_nonspace, n_punct, n_digit,
+               CAST(len(list_filter(w, x -> list_contains({_duck_sw_list('en')}, x))) AS BIGINT) AS n_sw,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq
+        FROM feats
+    ), p AS (
+        SELECT doc_id, n_chars_m, n_words,
+               (n_nonspace * 1000000) // nw1 AS mean_word_len_ppm,
+               (n_punct * 1000000) // nc1 AS punct_ppm,
+               (n_digit * 1000000) // nc1 AS digit_ppm,
+               (n_sw * 1000000) // nw1 AS stopword_ppm,
+               (n_uniq * 1000000) // nw1 AS uniq_ppm
+        FROM q
+    )
+    SELECT doc_id, n_chars_m, n_words, mean_word_len_ppm, punct_ppm, digit_ppm,
+           stopword_ppm, uniq_ppm,
+           (least(n_words::BIGINT * 20000, 1000000)
+            + (1000000 - least(punct_ppm * 5, 1000000))
+            + least(stopword_ppm * 4, 1000000)
+            + uniq_ppm) AS quality_score_ppm
+    FROM p
+    ORDER BY doc_id
+    """,
+    doc="Per-document quality features + scalar score (C4/Gopher-style "
+        "public heuristics). Ratios are exact integer ppm — decimal "
+        "rounding of floats at half-boundaries differs across engines, "
+        "integer division does not.",
+    tags=("text", "north-star"),
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (quality_score(d)
+            .select("doc_id", "n_chars_m", "n_words", "mean_word_len_ppm", "punct_ppm",
+                    "digit_ppm", "stopword_ppm", "uniq_ppm", "quality_score_ppm")
+            .orderBy("doc_id"))
+
+
+def _duck_lang_case() -> str:
+    hits = {lang: (f"len(list_filter({_DUCK_WORDS}, "
+                   f"x -> list_contains({_duck_sw_list(lang)}, x)))")
+            for lang in STOPWORDS}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = "\n".join(
+        f"WHEN {hits[lang]} > 0 AND {hits[lang]} = {best} THEN '{lang}'"
+        for lang in STOPWORDS)  # first-match order = en, de, fr, es
+    return f"CASE {whens} ELSE 'und' END"
+
+
+@register(
+    "lang_id",
+    sql=f"""
+    SELECT {_duck_lang_case()} AS lang_pred, lang AS lang_actual, count(*) AS n
+    FROM documents
+    GROUP BY lang_pred, lang_actual
+    ORDER BY lang_pred, lang_actual
+    """,
+    doc="Language-ID heuristic (stopword overlap, deterministic tie-break) "
+        "vs the fixture's actual lang label — confusion-matrix output.",
+    tags=("text", "north-star"),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select(lang_id_expr("text").alias("lang_pred"),
+                     F.col("lang").alias("lang_actual"))
+             .groupBy("lang_pred", "lang_actual").agg(F.count("*").alias("n"))
+             .orderBy("lang_pred", "lang_actual"))
+
+
+@register(
+    "token_counts",
+    sql=f"""
+    SELECT source,
+           sum(len({_DUCK_WORDS})) AS ws_tokens,
+           sum(len(regexp_extract_all(text, '{BPE_TOKEN_RE.replace(chr(39), chr(39) * 2)}'))) AS bpe_tokens,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Token counting: whitespace + BPE-ish regex tokenizer, per source.",
+    tags=("text", "north-star"),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy("source")
+             .agg(F.sum(F.size(words("text"))).alias("ws_tokens"),
+                  F.sum(F.size(tokens_bpeish("text"))).alias("bpe_tokens"),
+                  F.count("*").alias("n_docs"))
+             .orderBy("source"))
+
+
+# Shingle expression over a words-array column named `w` (use inside a CTE
+# that computes `w` once).
+DUCK_SHINGLES_OF_W = (
+    "CASE WHEN len(w) >= 3 THEN "
+    "list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) "
+    "ELSE [] END"
+)
+
+
+@register(
+    "doc_fingerprint",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct({DUCK_SHINGLES_OF_W})), chr(31)))
+               AS fp
+        FROM wt
+    )
+    SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM sh
+    GROUP BY fp
+    HAVING count(*) > 1
+    ORDER BY fp
+    """,
+    doc="Document fingerprint (md5 over sorted distinct shingle set) — "
+        "groups of docs sharing a fingerprint = exact-ish duplicates.",
+    tags=("text", "dedup", "north-star"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select("doc_id", fingerprint("text", 3).alias("fp"))
+             .groupBy("fp")
+             .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+             .filter(F.col("n_docs") > 1)
+             .orderBy("fp"))
