@@ -34,78 +34,120 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
               .filter(F.col("_rn") == 1).drop("_rn"))
 
 
-def _minhash_one(sh: Column, seed: int) -> Column:
-    """One minhash permutation: lexicographic min of md5(seed|shingle).
-    md5 hex is uniform → min over it is a valid minwise hash; identical
-    in DuckDB (md5 returns the same lowercase hex)."""
-    return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))))
+# MinHash permutation constants: p_i(h) = (A_i·h + B_i) mod MERSENNE31,
+# h = 28-bit int from md5(shingle). Deterministic (md5-seeded), identical
+# in any engine with 64-bit integer arithmetic (A·h + B < 2^59).
+MERSENNE31 = 2_147_483_647
+
+
+def minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    import hashlib
+    out = []
+    for i in range(n_hashes):
+        h = hashlib.md5(f"minhash|{i}".encode()).hexdigest()
+        a = (int(h[:8], 16) | 1) % MERSENNE31
+        b = int(h[8:16], 16) % MERSENNE31
+        out.append((a or 1, b))
+    return out
+
+
+def shingle_rows(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 shingle_n: int = 3) -> DataFrame:
+    """(id, shingle, h) rows: one row per DISTINCT shingle per doc, with
+    its 28-bit md5-derived hash. The relational (no giant arrays) dedup
+    substrate — partial aggregation and joins stay map-side combinable
+    at any scale."""
+    sh = F.array_distinct(shingles(text_col, shingle_n))
+    return (df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+              .withColumn("h", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10)
+                               .cast("long")))
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        n_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
-    """Per-doc MinHash signature: array of n_hashes md5-min values over
-    word-shingles. Docs with no shingles (< n words) get null minhashes
-    and are excluded (can't be near-duplicates by shingle measure)."""
-    sh = F.array_distinct(shingles(text_col, shingle_n))
-    sig = F.array(*[_minhash_one(sh, i) for i in range(n_hashes)])
-    return (df.select(F.col(id_col), sig.alias("signature"), sh.alias("_shingles"))
-              .filter(F.size("_shingles") > 0))
+    """Per-doc MinHash signature as columns s0..s{n-1} plus set_size.
+
+    One md5 per shingle (not per shingle×hash), n integer affine
+    permutations, ONE groupBy with map-side partial min — the 100 TB
+    shape: cost O(shingles), single shuffle keyed by doc id. Docs with
+    no shingles (< n words) are absent (can't be near-duplicates)."""
+    rows = shingle_rows(df, id_col, text_col, shingle_n)
+    aggs = [F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE31)))
+             .alias(f"s{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(n_hashes))]
+    aggs.append(F.count("*").alias("set_size"))
+    return rows.groupBy(id_col).agg(*aggs)
+
+
+def signature_array(sigs: DataFrame, id_col: str = "doc_id",
+                    n_hashes: int = 16) -> DataFrame:
+    """Signature columns packed into array<bigint> (presentation form)."""
+    return sigs.select(F.col(id_col),
+                       F.array(*[F.col(f"s{i}") for i in range(n_hashes)])
+                        .alias("signature"))
 
 
 def minhash_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                             n_hashes: int = 16, bands: int = 4,
                             max_bucket: int = 1000) -> DataFrame:
-    """LSH banding: split the signature into `bands` rows of r = n/bands,
-    hash each band, bucket-join docs sharing any band hash. Emits
-    distinct candidate (a, b) pairs with a < b."""
+    """LSH banding: hash each r-row band of the signature, bucket-join
+    docs sharing any band hash. Emits distinct candidate (a, b) pairs,
+    a < b. Buckets larger than max_bucket (boilerplate signatures) are
+    dropped — the standard skew guard; AQE handles moderate skew."""
     r = n_hashes // bands
     band_cols = []
     for b in range(bands):
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"),
-                     F.md5(F.concat_ws("|", *[F.col("signature")[i]
-                                              for i in range(b * r, (b + 1) * r)]))
-                      .alias("bhash")))
+        cols = [F.col(f"s{i}").cast("string") for i in range(b * r, (b + 1) * r)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.md5(F.concat_ws("|", *cols)).alias("bhash")))
     exploded = (sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
                     .select(id_col, "bb.band", "bb.bhash"))
-    # cap pathological buckets (boilerplate shingle sets)
     wcnt = Window.partitionBy("band", "bhash")
     exploded = (exploded.withColumn("_bn", F.count("*").over(wcnt))
                         .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     a = exploded.alias("a")
     b = exploded.alias("b")
-    pairs = (a.join(b, ["band", "bhash"])
-              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-              .select(F.col(f"a.{id_col}").alias("id_a"),
-                      F.col(f"b.{id_col}").alias("id_b"))
-              .distinct())
-    return pairs
+    return (a.join(b, ["band", "bhash"])
+             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
 
 
-def jaccard_verify(pairs: DataFrame, sigs: DataFrame, id_col: str = "doc_id",
-                   threshold: float = 0.8) -> DataFrame:
-    """Verify candidates with EXACT Jaccard over the shingle sets (the
-    reference-grade check; estimated-from-signature is an option but the
-    exact set intersection on candidates only is cheap)."""
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("_shingles").alias("sh_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("_shingles").alias("sh_b"))
-    j = (pairs.join(sa, "id_a").join(sb, "id_b")
-              .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-              .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
-              .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
-              .filter(F.col("jaccard") >= threshold)
-              .select("id_a", "id_b", "jaccard"))
-    return j
+def jaccard_verify(pairs: DataFrame, rows: DataFrame, sizes: DataFrame,
+                   id_col: str = "doc_id", threshold: float = 0.8) -> DataFrame:
+    """Exact Jaccard on candidates, fully relational: intersection size =
+    count of shared shingle rows per pair (join on shingle), union =
+    |A| + |B| − inter. No per-row arrays → no group-size memory cliff."""
+    ra = rows.select(F.col(id_col).alias("id_a"), "shingle")
+    rb = rows.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (pairs.join(ra, "id_a").join(rb, ["id_b", "shingle"])
+                  .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (pairs.join(inter, ["id_a", "id_b"], "left")
+                 .withColumn("inter", F.coalesce("inter", F.lit(0)))
+                 .join(za, "id_a").join(zb, "id_b")
+                 .withColumn("uni", F.col("size_a") + F.col("size_b") - F.col("inter"))
+                 .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("id_a", "id_b", "jaccard"))
 
 
 def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                         n_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
                         threshold: float = 0.8) -> DataFrame:
-    """End-to-end near-dup pipeline: signatures → LSH candidates →
-    exact-Jaccard verify. Returns (id_a, id_b, jaccard)."""
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n).cache()
+    """End-to-end near-dup pipeline: shingle rows → signatures → LSH
+    candidates → exact-Jaccard verify. Returns (id_a, id_b, jaccard)."""
+    rows = shingle_rows(df, id_col, text_col, shingle_n).cache()
+    # signature agg over the cached rows (same shape as minhash_signatures)
+    aggs = [F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE31)))
+             .alias(f"s{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(n_hashes))]
+    aggs.append(F.count("*").alias("set_size"))
+    sigs = rows.groupBy(id_col).agg(*aggs).cache()
     cands = minhash_candidate_pairs(sigs, id_col, n_hashes, bands)
-    return jaccard_verify(cands, sigs, id_col, threshold)
+    return jaccard_verify(cands, rows, sigs, id_col, threshold)
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

@@ -40,49 +40,54 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy("doc_id"))
 
 
-def _duck_sig_exprs(n_hashes: int) -> str:
-    mins = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}|' || s)))"
-        for i in range(n_hashes))
-    return f"[{mins}]"
-
-
 def _duck_sigs_cte(where: str = "") -> str:
+    """Shared CTE: shingle rows with 28-bit md5 hash + per-doc signature
+    mins — mirrors ops/dedup.shingle_rows / minhash_signatures."""
+    mins = ", ".join(
+        f"min((({a} * h) + {b}) % {D.MERSENNE31}) AS s{i}"
+        for i, (a, b) in enumerate(D.minhash_coeffs(N_HASHES)))
     return f"""
     WITH wt AS (
         SELECT doc_id, {_DUCK_WORDS} AS w FROM documents {where}
     ), sht AS (
         SELECT doc_id, list_distinct({DUCK_SHINGLES_OF_W}) AS sh FROM wt
+    ), srows AS (
+        SELECT doc_id, shingle,
+               ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(sh) AS shingle FROM sht)
     ), sigs AS (
-        SELECT doc_id, {_duck_sig_exprs(N_HASHES)} AS signature, sh
-        FROM sht WHERE len(sh) > 0
+        SELECT doc_id, {mins}, count(*) AS set_size
+        FROM srows GROUP BY doc_id
     )
 """
 
 
 _DUCK_SIGS_CTE = _duck_sigs_cte()
+_SIG_ARRAY = "[" + ", ".join(f"s{i}" for i in range(N_HASHES)) + "]"
 
 
 @register(
     "minhash_signatures",
-    sql=_DUCK_SIGS_CTE + """
-    SELECT doc_id, signature FROM sigs ORDER BY doc_id
+    sql=_DUCK_SIGS_CTE + f"""
+    SELECT doc_id, {_SIG_ARRAY} AS signature FROM sigs ORDER BY doc_id
     """,
-    doc="MinHash signatures (16 md5-permutations over 3-word shingles) — "
-        "the dedup primitive; identical in DuckDB.",
+    doc="MinHash signatures: one md5 per shingle → 28-bit int → 16 affine "
+        "permutations mod 2^31-1 → per-doc min (single shuffle, map-side "
+        "partial min). Identical integer arithmetic in DuckDB.",
     tags=("dedup", "north-star"),
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return (D.minhash_signatures(d, "doc_id", "text", N_HASHES, SHINGLE_N)
-             .select("doc_id", "signature").orderBy("doc_id"))
+    sigs = D.minhash_signatures(d, "doc_id", "text", N_HASHES, SHINGLE_N)
+    return D.signature_array(sigs, "doc_id", N_HASHES).orderBy("doc_id")
 
 
 def _duck_band_structs() -> str:
     r = N_HASHES // BANDS
     bands = []
     for b in range(BANDS):
-        cols = " || '|' || ".join(f"signature[{i + 1}]" for i in range(b * r, (b + 1) * r))
+        cols = " || '|' || ".join(f"CAST(s{i} AS VARCHAR)"
+                                  for i in range(b * r, (b + 1) * r))
         bands.append(f"{{'band': {b}, 'bhash': md5({cols})}}")
     return "[" + ", ".join(bands) + "]"
 
@@ -97,20 +102,28 @@ def _duck_band_structs() -> str:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b USING (band, bhash)
         WHERE a.doc_id < b.doc_id
+    ), inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS inter
+        FROM cand c
+        JOIN srows ra ON ra.doc_id = c.id_a
+        JOIN srows rb ON rb.doc_id = c.id_b AND rb.shingle = ra.shingle
+        GROUP BY c.id_a, c.id_b
     )
     SELECT c.id_a, c.id_b,
-           round(len(list_intersect(sa.sh, sb.sh))
-                 / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+           round(coalesce(i.inter, 0)
+                 / (za.set_size + zb.set_size - coalesce(i.inter, 0)), 6) AS jaccard
     FROM cand c
-    JOIN sigs sa ON sa.doc_id = c.id_a
-    JOIN sigs sb ON sb.doc_id = c.id_b
-    WHERE len(list_intersect(sa.sh, sb.sh))
-          / len(list_distinct(sa.sh || sb.sh)) >= {THRESHOLD}
+    LEFT JOIN inter i USING (id_a, id_b)
+    JOIN sigs za ON za.doc_id = c.id_a
+    JOIN sigs zb ON zb.doc_id = c.id_b
+    WHERE coalesce(i.inter, 0)
+          / (za.set_size + zb.set_size - coalesce(i.inter, 0)) >= {THRESHOLD}
     ORDER BY id_a, id_b
     """,
-    doc="MinHash+LSH near-dup pipeline: signatures → banded buckets → "
-        "candidate pairs → exact-Jaccard verify ≥ 0.8. No all-pairs "
-        "product; bucket-join only (scale path).",
+    doc="MinHash+LSH near-dup pipeline: integer signatures → banded "
+        "buckets → candidate pairs → exact-Jaccard verify ≥ 0.8, fully "
+        "relational (shingle-row joins, no array intersections). No "
+        "all-pairs product anywhere (scale path).",
     tags=("dedup", "north-star", "flagship"),
 )
 def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,7 +187,8 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.sh, b.sh))
                  / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    FROM (SELECT * FROM sht WHERE len(sh) > 0) a
+    JOIN (SELECT * FROM sht WHERE len(sh) > 0) b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.sh, b.sh))
           / len(list_distinct(a.sh || b.sh)) >= {THRESHOLD}
     ORDER BY id_a, id_b
