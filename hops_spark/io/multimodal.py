@@ -1,0 +1,110 @@
+"""Multimodal (image/audio/video) column handling — north-star extension.
+
+Pattern (mirrors the reference's inline small-file storage,
+INodeFile.storeFileDataInDB, INodeFile.java:204: payload bytes live IN
+the table): media are opaque `binary` columns + a typed metadata
+struct. Decode / feature-extraction runs as Arrow-batched
+``mapInPandas`` — the Spark-side plumbing (schema, batching, partition
+sizing) is real; the codec itself is STUBBED (image/audio libraries are
+not in this container) behind ``set_decoder`` with a deterministic
+fake as the default, so pipelines are testable end-to-end.
+
+Scale notes: binary payloads inflate row size — keep
+`spark.sql.files.maxPartitionBytes` moderate and NEVER collect; the
+decode stage is per-partition streaming (constant memory per batch).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),       # image | audio | video
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+])
+
+
+def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = md5-stream bytes)."""
+    rows = spark.range(n)
+    payload = F.unhex(F.repeat(F.md5(F.concat_ws("|", F.lit(str(seed)),
+                                                 F.col("id").cast("string"))), 8))
+    return rows.select(
+        F.col("id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int")).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        payload.alias("payload"),
+        F.lit(64).alias("width"), F.lit(64).alias("height"),
+        (F.col("id") * 100).alias("duration_ms"))
+
+
+# --- decoder plug point ------------------------------------------------------
+
+def _fake_decode(payload: bytes, kind: str) -> list[float]:
+    """Deterministic stand-in for a real decoder: 8 pseudo-features from
+    the payload digest. Replace via set_decoder() when PIL/librosa/etc.
+    are available."""
+    if payload is None:
+        return [0.0] * 8
+    h = hashlib.md5(payload).digest()
+    return [b / 255.0 for b in h[:8]]
+
+
+_DECODER: Callable[[bytes, str], list[float]] = _fake_decode
+
+
+def set_decoder(fn: Callable[[bytes, str], list[float]]) -> None:
+    """Install a real decoder (e.g. PIL-based image feature extractor).
+    Raise NotImplementedError inside it for unsupported kinds."""
+    global _DECODER
+    _DECODER = fn
+
+
+FEATURES_FIELD = "features array<double>"
+
+
+def extract_features(df: DataFrame, batch_cols: list[str] | None = None) -> DataFrame:
+    """Decode/featurize media rows via mapInPandas (Arrow batches).
+    Output: input columns (minus payload) + `features` array<double>."""
+    keep = [c for c in df.columns if c != "payload"]
+    out_schema = ", ".join(f"{c} {_spark_sql_type(df, c)}" for c in keep) \
+        + ", " + FEATURES_FIELD
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _DECODER(p if p is None or isinstance(p, bytes) else bytes(p), k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            out = pdf[keep].copy()
+            out["features"] = feats
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame
+    offset (the decode of each frame is the stubbed decoder's job).
+    Pure relational explode — no Python until the decode stage."""
+    offsets = F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                         F.lit(every_ms))
+    return (df.filter(F.col("kind") == "video")
+              .withColumn("frame_ms", F.explode(offsets)))
+
+
+def _spark_sql_type(df: DataFrame, col: str) -> str:
+    return dict(df.dtypes)[col]

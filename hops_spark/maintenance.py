@@ -1,0 +1,158 @@
+"""Maintenance jobs (SURVEY.md §2.1 DistCp/DistCh, §2.10 erasure coding).
+
+- ``distcp_plan`` / ``distcp_run``: parallel copy as a listing DataFrame
+  partitioned into copy tasks executed with foreachPartition (the
+  reference's chunked map-only copy: DistCp.java, CopyMapper.java:48).
+  Work-stealing parity (DynamicInputFormat) comes from many small
+  partitions + Spark speculation.
+- ``distch_plan``: parallel chmod/chown planning table (DistCh).
+- ``xor_parity`` / ``rs_encode``: erasure-coding kernels
+  (hops-erasure-coding-project ReedSolomonCode.java:27-128 semantics)
+  as Pandas-vectorized batch jobs over block DataFrames. The RS kernel
+  is a standard GF(2^8) Vandermonde implementation written from the
+  public algorithm (NOT ported from the reference)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def list_files(spark: SparkSession, root: str) -> DataFrame:
+    """Copy listing (SimpleCopyListing parity): one row per file with
+    size — built with Spark's binaryFile source metadata (no payload
+    read: content column pruned away)."""
+    df = spark.read.format("binaryFile").option("recursiveFileLookup", "true").load(root)
+    return df.select(F.col("path").alias("src"), F.col("length").alias("size"))
+
+
+def distcp_plan(listing: DataFrame, src_root: str, dst_root: str,
+                tasks: int = 64) -> DataFrame:
+    """Assign files to copy chunks balanced by cumulative size (the
+    DistCp 'uniform size' strategy): sort by size desc, round-robin by
+    row_number — greedy LPT-ish without a driver loop."""
+    from pyspark.sql.window import Window
+    w = Window.orderBy(F.col("size").desc(), F.col("src"))
+    return (listing
+            .withColumn("dst", F.concat(F.lit(dst_root),
+                                        F.expr(f"substring(src, {len(src_root) + 1})")))
+            .withColumn("chunk", F.pmod(F.row_number().over(w), F.lit(tasks))))
+
+
+def distcp_run(plan: DataFrame) -> int:
+    """Execute the copy plan: repartition by chunk, copy per partition.
+    Returns files copied. (Local-FS copy here; on a cluster the same
+    foreachPartition body uses the hadoop FS client.)"""
+    n = plan.count()
+
+    def copy_partition(rows) -> None:
+        for r in rows:
+            src = r.src.removeprefix("file:")
+            dst = r.dst.removeprefix("file:")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(src, dst)
+
+    plan.repartition("chunk").foreachPartition(copy_partition)
+    return n
+
+
+def distch_plan(listing: DataFrame, owner: str | None = None,
+                mode: str | None = None) -> DataFrame:
+    """DistCh parity: metadata-change plan (owner/mode columns); executed
+    by a foreachPartition like distcp_run."""
+    out = listing
+    if owner:
+        out = out.withColumn("new_owner", F.lit(owner))
+    if mode:
+        out = out.withColumn("new_mode", F.lit(mode))
+    return out
+
+
+# --- erasure coding kernels --------------------------------------------------
+
+_GF_EXP = None
+_GF_LOG = None
+
+
+def _gf_tables():
+    """GF(2^8) log/antilog tables, generator polynomial 0x11d (standard
+    Reed-Solomon construction, public algorithm)."""
+    global _GF_EXP, _GF_LOG
+    if _GF_EXP is None:
+        exp = [0] * 512
+        log = [0] * 256
+        x = 1
+        for i in range(255):
+            exp[i] = x
+            log[x] = i
+            x <<= 1
+            if x & 0x100:
+                x ^= 0x11d
+        for i in range(255, 512):
+            exp[i] = exp[i - 255]
+        _GF_EXP, _GF_LOG = exp, log
+    return _GF_EXP, _GF_LOG
+
+
+def _gf_mul_bytes(a, coef: int):
+    """Vectorized GF(2^8) scalar-multiply of a numpy byte array."""
+    import numpy as np
+    if coef == 0:
+        return np.zeros_like(a)
+    exp, log = _gf_tables()
+    exp_arr = np.array(exp, dtype=np.uint8)
+    log_arr = np.array(log, dtype=np.int32)
+    out = exp_arr[(log_arr[a] + log[coef]) % 255]
+    out[a == 0] = 0
+    return out
+
+
+def xor_parity(blocks: DataFrame, group_col: str = "stripe",
+               data_col: str = "data") -> DataFrame:
+    """XOR code (XORCode parity): parity block = XOR of the stripe's data
+    blocks, computed per group with applyInPandas."""
+    import numpy as np
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in pdf[data_col]:
+            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            acc = arr.copy() if acc is None else np.bitwise_xor(acc, arr)
+        return pd.DataFrame({group_col: [pdf[group_col].iloc[0]],
+                             "parity": [acc.tobytes()]})
+
+    return (blocks.repartition(group_col)
+                  .groupBy(group_col)
+                  .applyInPandas(fold, schema=f"{group_col} long, parity binary"))
+
+
+def rs_encode(blocks: DataFrame, n_parity: int = 2, group_col: str = "stripe",
+              idx_col: str = "block_idx", data_col: str = "data") -> DataFrame:
+    """Reed-Solomon encode per stripe: parity_j = Σ_i gf_mul(data_i,
+    g^(i·j)) (Vandermonde rows over GF(2^8)). Output: (stripe,
+    parity_idx, parity). Matches ReedSolomonCode.encode's role
+    (MapReduceEncoder pipeline) without porting its code."""
+    import numpy as np
+    import pandas as pd
+    exp, _ = _gf_tables()
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx_col)
+        datas = [np.frombuffer(bytes(b), dtype=np.uint8) for b in pdf[data_col]]
+        out = []
+        for j in range(n_parity):
+            acc = np.zeros_like(datas[0])
+            for i, d in enumerate(datas):
+                coef = exp[(i * (j + 1)) % 255]
+                acc = np.bitwise_xor(acc, _gf_mul_bytes(d, coef))
+            out.append((int(pdf[group_col].iloc[0]), j, acc.tobytes()))
+        return pd.DataFrame(out, columns=[group_col, "parity_idx", "parity"])
+
+    return (blocks.repartition(group_col)
+                  .groupBy(group_col)
+                  .applyInPandas(encode,
+                                 schema=f"{group_col} long, parity_idx int, parity binary"))

@@ -1,0 +1,84 @@
+"""Subprocess pipe bridge — Hadoop Streaming parity (SURVEY.md §2.9).
+
+The reference runs arbitrary executables as mapper/reducer over
+stdin/stdout with tab-separated text framing (PipeMapper.java:38,
+PipeReducer.java:40, StreamJob.java:80). Spark-native equivalents:
+
+- ``pipe_df``: exact streaming parity — each partition's rows are
+  written tab-separated to the command's stdin, its stdout lines come
+  back as rows (``RDD.pipe`` underneath, the documented public API).
+- ``map_in_pandas_udf``: the modern path — Arrow-batched Python
+  callable via ``mapInPandas`` (what a new pipeline should use).
+- ``aggregate_reducer``: the `-reducer aggregate` shorthand
+  (StreamJob.java:860) — spec-driven ValueAggregator over piped
+  (aggType:id, value) lines, reusing ops/agg.py.
+
+Scale note: pipe forks ONE child per partition (not per row) and
+streams through it — the reference's model exactly. Python UDF paths
+are Arrow-vectorized. Neither belongs in a relational hot path; they
+exist for external-binary parity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def pipe_df(df: DataFrame, command: str, sep: str = "\t",
+            out_cols: list[str] | None = None) -> DataFrame:
+    """Run `command` (shell pipeline) once per partition, feeding rows as
+    sep-joined text lines on stdin, reading stdout lines back.
+
+    Output schema: out_cols string columns split on `sep` (default: one
+    `line` column). Mirrors PipeMapper text framing: input framing is
+    key<TAB>value...; no typedbytes (Arrow supersedes it)."""
+    import shlex
+    sc = df.sparkSession
+    as_lines = df.select(
+        F.concat_ws(sep, *[F.col(c).cast("string") for c in df.columns]).alias("l"))
+    # rdd.pipe tokenizes the command itself (no shell) — wrap in sh -c so
+    # pipelines/redirection work like Hadoop Streaming's -mapper strings.
+    piped = as_lines.rdd.map(lambda r: r.l).pipe(f"/bin/sh -c {shlex.quote(command)}")
+    if not out_cols:
+        schema = T.StructType([T.StructField("line", T.StringType())])
+        return sc.createDataFrame(piped.map(lambda l: (l,)), schema)
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in out_cols])
+    n = len(out_cols)
+    return sc.createDataFrame(
+        piped.map(lambda l: tuple((l.split(sep) + [None] * n)[:n])), schema)
+
+
+def map_in_pandas_udf(df: DataFrame, fn: Callable[[Iterator], Iterator],
+                      schema: str) -> DataFrame:
+    """Arrow-batched per-partition transform (modern PipeMapper)."""
+    return df.mapInPandas(fn, schema=schema)
+
+
+def aggregate_reducer(df: DataFrame, sep: str = "\t") -> DataFrame:
+    """`-reducer aggregate` shorthand: input rows are
+    '<aggType>:<id><sep><value>' lines; runs the matching ValueAggregator
+    per id in one groupBy (ValueAggregatorReducer parity)."""
+    from hops_spark.ops.agg import AGGREGATORS
+    parts = F.split(F.col(df.columns[0]), sep, 2)
+    tagged = df.select(
+        F.split(parts.getItem(0), ":", 2).getItem(0).alias("agg_type"),
+        F.split(parts.getItem(0), ":", 2).getItem(1).alias("id"),
+        parts.getItem(1).alias("value"))
+    outs = []
+    for agg_type in [r.agg_type for r in
+                     tagged.select("agg_type").distinct().collect()]:
+        if agg_type not in AGGREGATORS:
+            raise ValueError(f"unknown aggregator {agg_type}")
+        sub = (tagged.filter(F.col("agg_type") == agg_type)
+               .groupBy("id")
+               .agg(AGGREGATORS[agg_type]("value").cast("string").alias("out"))
+               .select(F.lit(agg_type).alias("agg_type"), "id", "out"))
+        outs.append(sub)
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

@@ -1,0 +1,95 @@
+"""Structured Streaming surface (SURVEY.md §2.8).
+
+The reference's only stream is the HopsFS CDC log (MetadataLogContext
+appends; QuotaUpdateManager incremental rollups). We realize the
+declared superset on the `events` fixture: event-time tumbling /
+sliding / session windows, watermark late-data policy, and
+dedup-within-watermark. Every op here has a batch twin in
+hops_spark/queries/events.py; tests assert batch ≡ streaming on the
+same rows (FIXTURES.md oracle note).
+
+All streams here are file/memory-driven so tests run hermetically; a
+production deployment swaps `readStream.format("parquet")` for kafka —
+the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType(), True),
+    T.StructField("ts", T.LongType(), True),   # nanos-as-long (fixture quirk)
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """events fixture as a file stream (nanos → µs timestamp, same
+    truncation as the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .option("pathGlobFilter", "events.parquet")  # source needs a dir
+           .parquet(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of queries/events.tumbling_window_agg."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "sum_value"))
+
+
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "n_events", "sum_value"))
+
+
+def session_aggregate(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "1 hour") -> DataFrame:
+    """Streaming sessionization via session_window — the stateful
+    operator the batch gaps-and-islands query emulates."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    "n_events", "sum_value"))
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """dropDuplicatesWithinWatermark on event_id — the streaming
+    at-least-once → exactly-once repair."""
+    return (events.withWatermark("ts", watermark)
+                  .dropDuplicatesWithinWatermark(["event_id"]))
+
+
+def run_to_completion(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive a (bounded file) stream to completion into a memory sink and
+    return the result as a batch DataFrame. Complete-mode for aggregates."""
+    spark = stream_df.sparkSession
+    mode = "complete" if stream_df.isStreaming and _has_agg(stream_df) else "append"
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _has_agg(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan

@@ -1,0 +1,87 @@
+"""Pipe bridge (Hadoop Streaming parity), generators, multimodal
+plumbing, maintenance jobs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hops_spark.io.multimodal import extract_features, frame_sample, synthetic_media
+from hops_spark.maintenance import rs_encode, xor_parity
+from hops_spark.ops.gen import random_text_writer, random_writer, teragen
+from hops_spark.ops.pipe import aggregate_reducer, pipe_df
+
+
+def test_pipe_wordcount_via_shell(spark):
+    """The canonical streaming job: external `tr|grep` as the mapper."""
+    df = spark.createDataFrame([("a b", ), ("b c b", )], "text string") \
+              .coalesce(1)
+    out = pipe_df(df, "tr ' ' '\\n' | grep -v '^$'")
+    counts = (out.groupBy("line").count().orderBy("line").collect())
+    assert [(r.line, r["count"]) for r in counts] == [("a", 1), ("b", 3), ("c", 1)]
+
+
+def test_pipe_multi_column_output(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string").coalesce(1)
+    out = pipe_df(df, "awk -F'\\t' '{print $2\"\\t\"$1}'", out_cols=["v", "k"])
+    assert {(r.v, r.k) for r in out.collect()} == {("x", "1"), ("y", "2")}
+
+
+def test_aggregate_reducer_shorthand(spark):
+    lines = spark.createDataFrame(
+        [("LongValueSum:a\t2",), ("LongValueSum:a\t3",), ("LongValueSum:b\t1",),
+         ("StringValueMax:s\tzz",), ("StringValueMax:s\taa",)], "line string")
+    got = {(r.agg_type, r.id, r.out) for r in aggregate_reducer(lines).collect()}
+    assert got == {("LongValueSum", "a", "5"), ("LongValueSum", "b", "1"),
+                   ("StringValueMax", "s", "zz")}
+
+
+def test_generators_deterministic(spark):
+    a = teragen(spark, 100, seed=1).collect()
+    b = teragen(spark, 100, seed=1, n_partitions=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    rw = random_writer(spark, 50).collect()
+    assert all(10 <= len(r.value) <= 100 for r in rw)
+    rt = random_text_writer(spark, 10, words_per_row=5).collect()
+    assert all(len(r.text.split()) == 5 for r in rt)
+
+
+def test_multimodal_features(spark):
+    media = synthetic_media(spark, 24)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 24
+    assert all(len(r.features) == 8 for r in rows)
+    assert "payload" not in feats.columns
+    # deterministic: same payload → same features
+    again = {r.media_id: r.features for r in extract_features(media).collect()}
+    assert all(again[r.media_id] == r.features for r in rows)
+
+
+def test_frame_sample(spark):
+    media = synthetic_media(spark, 12)
+    frames = frame_sample(media, every_ms=300)
+    vids = media.filter(F.col("kind") == "video").collect()
+    got = frames.groupBy("media_id").count().collect()
+    expect = {v.media_id: max(1, (max(v.duration_ms - 1, 0) // 300) + 1) for v in vids}
+    assert {r.media_id: r["count"] for r in got} == expect
+
+
+def test_xor_and_rs_parity(spark):
+    import numpy as np
+    blocks = [(s, i, bytes(np.frombuffer(bytes([s * 16 + i]) * 64, dtype=np.uint8)))
+              for s in range(3) for i in range(4)]
+    df = spark.createDataFrame(blocks, "stripe long, block_idx int, data binary")
+
+    xp = {r.stripe: np.frombuffer(bytes(r.parity), dtype=np.uint8)
+          for r in xor_parity(df).collect()}
+    for s in range(3):
+        exp = np.zeros(64, dtype=np.uint8)
+        for i in range(4):
+            exp ^= np.frombuffer(bytes([s * 16 + i]) * 64, dtype=np.uint8)
+        assert (xp[s] == exp).all()
+
+    rs = rs_encode(df, n_parity=2)
+    assert rs.count() == 6  # 3 stripes × 2 parity
+    # parity blocks differ from data and from each other (non-degenerate)
+    got = {(r.stripe, r.parity_idx): bytes(r.parity) for r in rs.collect()}
+    assert got[(0, 0)] != got[(0, 1)]

@@ -1,0 +1,83 @@
+"""Plan-shape assertions: the 100 TB design rules must be visible in the
+physical plan (SURVEY §4; the '.explain and iterate' directive).
+
+- filters/projections reach the parquet scan (PushedFilters/ReadSchema)
+- dimension joins broadcast
+- aggregates are partial+final (map-side combine)
+- top-k is TakeOrderedAndProject, not a global sort
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hops_spark.io.readers import load_table
+from hops_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted") \
+        if hasattr(df._sc._jvm, "PythonSQLUtils") else _plan(df)
+
+
+def test_q6_filter_pushdown(spark, sf_dir):
+    df = SPECS["q6_forecast_revenue"].fn(spark, sf_dir)
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
+    # shipdate + discount + quantity predicates pushed to the scan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    df = SPECS["q1_pricing_summary"].fn(spark, sf_dir)
+    plan = _formatted(df)
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_orderkey" not in read_schema  # unused column pruned from scan
+
+
+def test_q1_partial_final_aggregate(spark, sf_dir):
+    plan = _plan(SPECS["q1_pricing_summary"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(SPECS["q5_local_supplier_volume"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_top_customers_take_ordered(spark, sf_dir):
+    plan = _plan(SPECS["top_customers"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_wordcount_whole_stage_codegen(spark, sf_dir):
+    df = SPECS["wordcount"].fn(spark, sf_dir)
+    df.collect()  # AQE shows codegen spans only in the final plan
+    plan = _plan(df)
+    # codegen'd operators carry the '*(n)' marker in the final plan
+    assert "*(1)" in plan and "HashAggregate" in plan
+
+
+def test_scan_reads_only_needed_columns(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    plan = _formatted(li)
+    rs = plan.split("ReadSchema")[1][:200]
+    assert "l_orderkey" in rs and "l_extendedprice" not in rs
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = _plan(SPECS["join_semi"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_events_window_single_shuffle(spark, sf_dir):
+    plan = _plan(SPECS["tumbling_window_agg"].fn(spark, sf_dir))
+    # groupBy(window, type) = one exchange for the agg (+1 for orderBy)
+    assert plan.count("Exchange") <= 3

@@ -1,0 +1,67 @@
+"""Streaming ≡ batch equivalence on the events fixture (FIXTURES.md:
+'streaming correctness uses batch-equivalence')."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hops_spark import streaming as S
+from hops_spark.io.readers import load_table
+
+
+def _batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _sorted_rows(df, *cols):
+    return [tuple(r) for r in df.orderBy(*cols).collect()]
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir):
+    stream = S.tumbling_counts(S.read_events_stream(spark, sf_dir))
+    got = S.run_to_completion(stream, "tumbling_out")
+    exp = (
+        _batch_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value"))
+    assert _sorted_rows(got, "window_start", "event_type") == \
+        _sorted_rows(exp, "window_start", "event_type")
+
+
+def test_session_stream_matches_batch(spark, sf_dir):
+    stream = S.session_aggregate(S.read_events_stream(spark, sf_dir))
+    got = S.run_to_completion(stream, "session_out")
+    exp = (_batch_events(spark, sf_dir)
+           .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"))
+           .select("user_id", F.col("w.start").alias("session_start"),
+                   "n_events", "sum_value"))
+    assert _sorted_rows(got, "user_id", "session_start") == \
+        _sorted_rows(exp, "user_id", "session_start")
+
+
+def test_session_window_batch_matches_gaps_and_islands(spark, sf_dir):
+    """session_window (engine stateful op) ≡ the SQL gaps-and-islands
+    form used as the DuckDB oracle."""
+    from hops_spark.registry import load_all
+    gi = load_all()["session_window_agg"].fn(spark, sf_dir) \
+        .select("user_id", "session_start", "n_events", "sum_value")
+    sw = (_batch_events(spark, sf_dir)
+          .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+          .agg(F.count("*").alias("n_events"),
+               F.round(F.sum("value"), 2).alias("sum_value"))
+          .select("user_id", F.col("w.start").alias("session_start"),
+                  "n_events", "sum_value"))
+    assert _sorted_rows(gi, "user_id", "session_start") == \
+        _sorted_rows(sw, "user_id", "session_start")
+
+
+def test_dedup_within_watermark(spark, sf_dir):
+    stream = S.dedup_within_watermark(S.read_events_stream(spark, sf_dir))
+    got = S.run_to_completion(stream, "dedup_out")
+    n_unique = _batch_events(spark, sf_dir).select("event_id").distinct().count()
+    assert got.count() == n_unique
