@@ -56,11 +56,12 @@ def read_kv_lines(spark: SparkSession, path: str, sep: str = "\t") -> DataFrame:
     Reference: mapreduce/lib/input/KeyValueTextInputFormat.java:47 (lines
     without a separator → whole line is the key, value empty)."""
     lines = spark.read.text(path)
-    # split(..., limit=2) keeps any further separators inside the value.
+    # split(..., limit=2) keeps any further separators inside the value;
+    # get() (not getItem) tolerates separator-less lines → null → "".
     parts = F.split(F.col("value"), sep, 2)
     return lines.select(
-        parts.getItem(0).alias("key"),
-        F.coalesce(parts.getItem(1), F.lit("")).alias("value"),
+        F.get(parts, 0).alias("key"),
+        F.coalesce(F.get(parts, 1), F.lit("")).alias("value"),
     )
 
 

@@ -6,6 +6,7 @@ Each module covers one SURVEY section family.
 
 from hops_spark.queries import (  # noqa: F401
     tpch,
+    tpch2,
     aggregates,
     joins,
     sorting,

@@ -111,6 +111,37 @@ def meta_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "meta_batched_lookup",
+    sql=_DUCK_INODES + """
+    , keys AS (
+        SELECT parent, name FROM inodes WHERE inode_id IN (1, 2, 3)
+        UNION ALL
+        SELECT 'src0', 'doc_999999'
+    )
+    SELECT i.inode_id, i.parent, i.name, i.size
+    FROM inodes i
+    JOIN keys k ON i.parent = k.parent AND i.name = k.name
+    ORDER BY inode_id
+    """,
+    doc="Batched PK point lookups (BaseINodeLock.lockInodesUsingPkBatchTx, "
+        "BaseINodeLock.java:108-111): broadcast-join a key list against "
+        "the namespace — one scan for N lookups, no shuffle of inodes. "
+        "Key list: real PKs of inodes 1-3 plus one miss.",
+    tags=("metadata", "join"),
+)
+def meta_batched_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ino = inodes_from_documents(spark, sf_dir)
+    real = (ino.filter(F.col("inode_id").isin(1, 2, 3))
+               .select("parent", "name"))
+    miss = spark.createDataFrame([("src0", "doc_999999")],
+                                 "parent string, name string")
+    keys = real.unionByName(miss)
+    return (ino.join(F.broadcast(keys), ["parent", "name"], "left_semi")
+               .select("inode_id", "parent", "name", "size")
+               .orderBy("inode_id"))
+
+
+@register(
     "meta_quota_rollup",
     sql=_DUCK_INODES + """
     , per_dir AS (

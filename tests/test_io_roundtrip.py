@@ -1,0 +1,90 @@
+"""IO surface round-trips: text/kv/fixed scans, multi-output routing,
+sorted-bucketed sink, compaction, kv-text sink (SURVEY §2.1)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hops_spark.io.readers import (filter_md5, filter_percent, filter_regex,
+                                   multi_input_union, read_fixed_width,
+                                   read_kv_lines, read_lines)
+from hops_spark.io.writers import compact, write_kv_text, write_partitioned
+
+
+def test_kv_text_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a b"), (2, "c\td")], "k int, v string")
+    out = str(tmp_path / "kv")
+    write_kv_text(df, out, "k", "v")
+    back = read_kv_lines(spark, out)
+    got = sorted((r.key, r.value) for r in back.collect())
+    # KV split at FIRST tab: embedded tab stays in the value
+    assert got == [("1", "a b"), ("2", "c\td")]
+
+
+def test_kv_line_without_separator(spark, tmp_path):
+    p = str(tmp_path / "raw.txt")
+    with open(p, "w") as f:
+        f.write("justakey\nk\tv\n")
+    got = {(r.key, r.value) for r in read_kv_lines(spark, p).collect()}
+    assert got == {("justakey", ""), ("k", "v")}
+
+
+def test_fixed_width(spark, tmp_path):
+    p = str(tmp_path / "fixed.txt")
+    with open(p, "w") as f:
+        f.write("AAA11bbbb\nCCC22dddd\n")
+    df = read_fixed_width(spark, p, [3, 2, 4], ["a", "n", "b"])
+    got = sorted(map(tuple, df.collect()))
+    assert got == [("AAA", "11", "bbbb"), ("CCC", "22", "dddd")]
+
+
+def test_multi_input_union(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, a string")
+    b = spark.createDataFrame([(2, 9.5)], "id int, b double")
+    u = multi_input_union(a, b)
+    assert set(u.columns) == {"id", "a", "b"}
+    assert u.count() == 2
+
+
+def test_scan_filters(spark):
+    df = spark.createDataFrame([(i, f"key{i}") for i in range(100)], "id int, k string")
+    assert filter_regex(df, "k", "key1.*").count() == 11  # key1, key10..key19
+    pf = filter_percent(df, "id", 4)
+    assert 0 < pf.count() < 100
+    mf = filter_md5(df, "id", 4)
+    assert 0 < mf.count() < 100
+
+
+def test_write_partitioned_routes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(20)], "v int, route string")
+    out = str(tmp_path / "routed")
+    write_partitioned(df, out, "route")
+    assert sorted(d for d in os.listdir(out) if d.startswith("route=")) == \
+        ["route=a", "route=b"]
+    back = spark.read.parquet(out)
+    assert back.count() == 20
+    # partition pruning: reading one route touches only that directory
+    one = spark.read.parquet(out).filter(F.col("route") == "a")
+    assert one.count() == 10
+
+
+def test_compact_small_files(spark, tmp_path):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "v int").repartition(16)
+    src = str(tmp_path / "many")
+    df.write.parquet(src)
+    n_before = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    dst = str(tmp_path / "compacted")
+    compact(spark.read.parquet(src), dst, target_files=1)
+    n_after = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_before == 16 and n_after == 1
+    assert spark.read.parquet(dst).count() == 1000
+
+
+def test_read_lines(spark, tmp_path):
+    p = str(tmp_path / "l.txt")
+    with open(p, "w") as f:
+        f.write("one\ntwo\n")
+    assert {r.line for r in read_lines(spark, p).collect()} == {"one", "two"}
