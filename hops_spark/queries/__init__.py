@@ -7,6 +7,7 @@ Each module covers one SURVEY section family.
 from hops_spark.queries import (  # noqa: F401
     tpch,
     tpch2,
+    tpch3,
     aggregates,
     joins,
     sorting,
