@@ -183,23 +183,29 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard_pairs",
-    sql=_duck_sigs_cte("WHERE doc_id % 5 = 0") + f"""
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.sh, b.sh))
-                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-    FROM (SELECT * FROM sht WHERE len(sh) > 0) a
-    JOIN (SELECT * FROM sht WHERE len(sh) > 0) b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))
-          / len(list_distinct(a.sh || b.sh)) >= {THRESHOLD}
+    sql=_DUCK_SIGS_CTE + f"""
+    , inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM srows a JOIN srows b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.inter / (za.set_size + zb.set_size - i.inter), 6) AS jaccard
+    FROM inter i
+    JOIN sigs za ON za.doc_id = i.id_a
+    JOIN sigs zb ON zb.doc_id = i.id_b
+    WHERE i.inter / (za.set_size + zb.set_size - i.inter) >= {THRESHOLD}
     ORDER BY id_a, id_b
     """,
-    doc="Exact n-gram Jaccard all-pairs ≥ 0.8 on a 1/5 doc sample — "
-        "brute-force ground truth for the minhash pipeline (quadratic; "
-        "sampled so the oracle gate stays fast — the LSH path is the "
-        "scale answer).",
+    doc="Exact n-gram Jaccard similarity join over ALL docs — relational "
+        "shingle-row self-join (only pairs sharing a shingle are "
+        "materialized; hot shingles pruned). Ground truth for minhash: "
+        "at threshold 0.8 its output must equal minhash_dedup_pairs' "
+        "(perfect recall of the LSH path).",
     tags=("dedup", "north-star"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    d = load_table(spark, sf_dir, "documents")
     return (D.ngram_jaccard_pairs(d, "doc_id", "text", SHINGLE_N, THRESHOLD)
              .orderBy("id_a", "id_b"))

@@ -153,11 +153,11 @@ DUCK_SHINGLES_OF_W = (
     SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc
     FROM sh
     GROUP BY fp
-    HAVING count(*) > 1
     ORDER BY fp
     """,
     doc="Document fingerprint (md5 over sorted distinct shingle set) — "
-        "groups of docs sharing a fingerprint = exact-ish duplicates.",
+        "every fingerprint group (n_docs > 1 = exact-ish duplicates); "
+        "unfiltered so the oracle checks the hash math on every doc.",
     tags=("text", "dedup", "north-star"),
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,5 +165,4 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select("doc_id", fingerprint("text", 3).alias("fp"))
              .groupBy("fp")
              .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
-             .filter(F.col("n_docs") > 1)
              .orderBy("fp"))
