@@ -18,4 +18,6 @@ from hops_spark.queries import (  # noqa: F401
     similarity,
     events,
     metadata,
+    scans,
+    multimodal,
 )

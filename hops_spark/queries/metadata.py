@@ -169,3 +169,46 @@ def meta_quota_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaf = per_dir.select("dir", F.col("ns_delta").alias("namespace"),
                           F.col("ds_delta").alias("diskspace"))
     return root.unionByName(leaf).orderBy("dir")
+
+
+@register(
+    "meta_path_resolve",
+    sql=_DUCK_INODES + """
+    , paths AS (
+        SELECT * FROM (VALUES ('src1/doc_1'), ('src2/doc_2'),
+                              ('src3/doc_3'), ('src0/doc_999999')) AS t(path)
+    ), comps AS (
+        SELECT path, string_split(path, '/')[1] AS dir_name,
+               string_split(path, '/')[2] AS file_name
+        FROM paths
+    ), dirs AS (SELECT DISTINCT parent AS dir_name FROM inodes)
+    SELECT c.path, i.inode_id, i.size
+    FROM comps c
+    JOIN dirs d ON d.dir_name = c.dir_name
+    JOIN inodes i ON i.parent = c.dir_name AND i.name = c.file_name
+    ORDER BY path
+    """,
+    doc="Path resolution (iterated PK lookups component-by-component, "
+        "memoized in InMemoryCache.java:32): resolve 'dir/file' paths "
+        "level-by-level — dir existence via the cached dimension, file "
+        "via (parent, name) PK join. Misses drop out (inner join), "
+        "matching resolve semantics.",
+    tags=("metadata", "join"),
+)
+def meta_path_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ino = inodes_from_documents(spark, sf_dir)
+    paths = spark.createDataFrame(
+        [("src1/doc_1",), ("src2/doc_2",), ("src3/doc_3",), ("src0/doc_999999",)],
+        "path string")
+    comps = paths.select(
+        "path",
+        F.split("path", "/").getItem(0).alias("dir_name"),
+        F.split("path", "/").getItem(1).alias("file_name"))
+    # dirs is the small memoized dimension (path->id cache in the
+    # reference); broadcast — resolving never shuffles the namespace.
+    dirs = ino.select(F.col("parent").alias("dir_name")).distinct()
+    return (comps.join(F.broadcast(dirs), "dir_name")
+                 .join(ino, (F.col("parent") == F.col("dir_name"))
+                            & (F.col("name") == F.col("file_name")))
+                 .select("path", "inode_id", "size")
+                 .orderBy("path"))

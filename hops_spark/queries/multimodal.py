@@ -1,0 +1,63 @@
+"""Multimodal-column inventory queries (north-star; SURVEY §1.4's
+inline small-file storage maps binary payloads into table columns —
+INodeFile.storeFileDataInDB, namenode/INodeFile.java:204).
+
+The media table is generated deterministically (io/multimodal.py);
+the decode step is the documented stub (container has no image/audio
+libs) but the Spark-side plumbing — binary columns, typed metadata,
+Arrow-batched mapInPandas, frame-sampling explode — is real and
+benchmarked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hops_spark.io.multimodal import extract_features, frame_sample, synthetic_media
+from hops_spark.registry import register
+
+
+@register(
+    "media_features",
+    sql=None,  # mapInPandas + python-side md5 of binary payload: the
+               # Arrow plumbing is the subject; rows-only check.
+    doc="Multimodal feature extraction: binary payload column → "
+        "mapInPandas (Arrow batches) → features array<double>. The "
+        "decoder is the deterministic stub (set_decoder() installs a "
+        "real one); schema/batching/partitioning are production-shaped.",
+    tags=("multimodal", "north-star", "pandas-udf"),
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthetic_media(spark, n=256, seed=42)
+    feats = extract_features(media)
+    return (feats.select("media_id", "kind", "duration_ms",
+                         F.round(F.element_at("features", 1), 6).alias("f0"),
+                         F.round(F.element_at("features", 8), 6).alias("f7"))
+                 .orderBy("media_id"))
+
+
+@register(
+    "media_frame_sample",
+    sql="""
+    WITH media AS (
+        SELECT id AS media_id, id * 100 AS duration_ms
+        FROM generate_series(0, 255) AS t(id)
+        WHERE id % 3 = 2
+    )
+    SELECT media_id, duration_ms, unnest(
+               generate_series(0, greatest(duration_ms - 1, 0), 1000)
+           ) AS frame_ms
+    FROM media
+    ORDER BY media_id, frame_ms
+    """,
+    doc="Video frame sampling: one row per sampled frame offset via a "
+        "relational sequence-explode — no Python until the per-frame "
+        "decode stage (which is the stubbed decoder's job).",
+    tags=("multimodal", "north-star"),
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthetic_media(spark, n=256, seed=42)
+    return (frame_sample(media, every_ms=1000)
+            .select("media_id", "duration_ms", "frame_ms")
+            .orderBy("media_id", "frame_ms"))

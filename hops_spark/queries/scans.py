@@ -1,0 +1,209 @@
+"""Scan-filter / heterogeneous-input / scalar-hash / generator
+inventory queries (SURVEY.md §2.1, §2.2, §2.7, §2.10).
+
+Covers the pushed-down sampling scans of SequenceFileInputFilter
+(RegexFilter / MD5Filter, mapreduce/lib/input/SequenceFileInputFilter.java:111,203),
+the MultipleInputs heterogeneous union (MultipleInputs.java:40), the
+NLineInputFormat split arithmetic (NLineInputFormat.java:61), the
+ChainMapper fused narrow chain (chain/ChainMapper.java:84), the
+MD5Hash scalar surface (io/MD5Hash.java), and TeraGen + total-order
+sort (examples/terasort/TeraGen.java:68, Sort.java:57).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hops_spark.io.readers import load_table
+from hops_spark.ops.gen import teragen
+from hops_spark.registry import register
+
+
+@register(
+    "scan_regex_filter",
+    sql="""
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS key, n_chars
+    FROM documents
+    WHERE regexp_matches('doc_' || CAST(doc_id AS VARCHAR), '^doc_[0-9]*[02468]$')
+    ORDER BY doc_id
+    """,
+    doc="SequenceFileInputFilter.RegexFilter "
+        "(SequenceFileInputFilter.java:111): keep records whose key "
+        "matches a regex — a filter Catalyst pushes into the scan.",
+    tags=("scan", "filter"),
+)
+def scan_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    key = F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
+    return (d.select(key.alias("key"), "n_chars", "doc_id")
+             .filter(F.col("key").rlike("^doc_[0-9]*[02468]$"))
+             .orderBy("doc_id")
+             .drop("doc_id"))
+
+
+@register(
+    "scan_md5_filter",
+    sql="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE ('0x' || substring(md5('doc_' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 16 = 0
+    ORDER BY doc_id
+    """,
+    doc="SequenceFileInputFilter.MD5Filter "
+        "(SequenceFileInputFilter.java:203): deterministic 1-in-f "
+        "sampling by md5(key) bucket — unlike df.sample(), the same "
+        "rows are kept on every engine and every run.",
+    tags=("scan", "filter", "sampling"),
+)
+def scan_md5_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    key = F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
+    bucket = F.pmod(F.conv(F.substring(F.md5(key), 1, 7), 16, 10).cast("long"), F.lit(16))
+    return (d.filter(bucket == 0)
+             .select("doc_id", "n_chars")
+             .orderBy("doc_id"))
+
+
+@register(
+    "scan_nline_splits",
+    sql="""
+    SELECT doc_id // 100 AS split_id, count(*) AS n_records,
+           min(doc_id) AS first_rec, max(doc_id) AS last_rec
+    FROM documents
+    GROUP BY split_id
+    ORDER BY split_id
+    """,
+    doc="NLineInputFormat (NLineInputFormat.java:61): N records per "
+        "split — the split arithmetic as a query (Spark-side "
+        "parallelism control is repartition/maxRecordsPerFile).",
+    tags=("scan",),
+)
+def scan_nline_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy((F.col("doc_id") / 100).cast("long").alias("split_id"))
+             .agg(F.count("*").alias("n_records"),
+                  F.min("doc_id").alias("first_rec"),
+                  F.max("doc_id").alias("last_rec"))
+             .orderBy("split_id"))
+
+
+@register(
+    "multi_input_union",
+    sql="""
+    SELECT entity, count(*) AS n, round(sum(acctbal), 2) AS total_bal,
+           round(avg(acctbal), 4) AS avg_bal
+    FROM (
+        SELECT 'customer' AS entity, c_nationkey AS nationkey, c_acctbal AS acctbal
+        FROM customer
+        UNION ALL
+        SELECT 'supplier' AS entity, s_nationkey AS nationkey, s_acctbal AS acctbal
+        FROM supplier
+    )
+    GROUP BY entity
+    ORDER BY entity
+    """,
+    doc="MultipleInputs + DelegatingMapper (MultipleInputs.java:40): "
+        "heterogeneous sources mapped per-source into a common schema, "
+        "then processed as one — unionByName after per-source select.",
+    tags=("scan", "union"),
+)
+def multi_input_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (load_table(spark, sf_dir, "customer")
+         .select(F.lit("customer").alias("entity"),
+                 F.col("c_nationkey").alias("nationkey"),
+                 F.col("c_acctbal").alias("acctbal")))
+    s = (load_table(spark, sf_dir, "supplier")
+         .select(F.lit("supplier").alias("entity"),
+                 F.col("s_nationkey").alias("nationkey"),
+                 F.col("s_acctbal").alias("acctbal")))
+    return (c.unionByName(s)
+             .groupBy("entity")
+             .agg(F.count("*").alias("n"),
+                  F.round(F.sum("acctbal"), 2).alias("total_bal"),
+                  F.round(F.avg("acctbal"), 4).alias("avg_bal"))
+             .orderBy("entity"))
+
+
+@register(
+    "hash_surface",
+    sql="""
+    SELECT substring(md5(text), 1, 1) AS md5_nibble,
+           count(*) AS n,
+           min(substring(sha256(text), 1, 8)) AS min_sha8
+    FROM documents
+    GROUP BY md5_nibble
+    ORDER BY md5_nibble
+    """,
+    doc="Scalar hash surface (io/MD5Hash.java; util/hash/*): md5 + "
+        "sha2 over document text, grouped by leading nibble — checks "
+        "byte-identical digests across engines. (murmur3 `hash()` and "
+        "`xxhash64()` are Spark-only seeds: used in salting helpers, "
+        "not oracle-checked.)",
+    tags=("function", "hash"),
+)
+def hash_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select(F.substring(F.md5("text"), 1, 1).alias("md5_nibble"),
+                     F.substring(F.sha2("text", 256), 1, 8).alias("sha8"))
+             .groupBy("md5_nibble")
+             .agg(F.count("*").alias("n"), F.min("sha8").alias("min_sha8"))
+             .orderBy("md5_nibble"))
+
+
+@register(
+    "chain_map_reduce",
+    sql="""
+    SELECT w AS word, count(*) AS n
+    FROM (
+        SELECT unnest(list_filter(
+                   string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                   x -> len(x) > 3)) AS w
+        FROM documents
+        WHERE lang = 'en'
+    )
+    GROUP BY w
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+    doc="ChainMapper/ChainReducer (chain/ChainMapper.java:84): "
+        "filter → normalize → tokenize → filter → count as ONE fused "
+        "narrow chain before the single shuffle — whole-stage codegen "
+        "is the Spark realization of the no-materialization chain.",
+    tags=("project", "chain", "agg"),
+)
+def chain_map_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")
+    toks = F.filter(F.split(cleaned, " "),
+                    lambda w: F.length(w) > 3)
+    return (d.filter(F.col("lang") == "en")
+             .select(F.explode(toks).alias("word"))
+             .groupBy("word")
+             .agg(F.count("*").alias("n"))
+             .orderBy(F.col("n").desc(), F.col("word"))
+             .limit(20))
+
+
+@register(
+    "teragen_sorted",
+    sql="""
+    SELECT substring(md5('42|' || CAST(id AS VARCHAR)), 1, 10) AS key,
+           id AS row_id
+    FROM generate_series(0, 9999) AS t(id)
+    ORDER BY key
+    LIMIT 100
+    """,
+    doc="TeraGen + total-order sort (terasort/TeraGen.java:68, "
+        "examples/Sort.java:57): deterministic generator keyed on "
+        "(seed, row-id) — identical output at any parallelism — fed "
+        "into a range-partitioned global sort. The reference needed "
+        "TotalOrderPartitioner + InputSampler; Spark's orderBy samples "
+        "and range-partitions internally.",
+    tags=("generator", "sort"),
+)
+def teragen_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = teragen(spark, 10_000, seed=42)
+    return (g.select("key", "row_id")
+             .orderBy("key")
+             .limit(100))
