@@ -119,3 +119,14 @@ def filter_md5(df: DataFrame, key_col: str, frequency: int) -> DataFrame:
     SequenceFileInputFilter.java:203."""
     bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("bigint")
     return df.filter(F.pmod(bucket, F.lit(frequency)) == 0)
+
+
+def read_sequence_file(spark: SparkSession, path: str,
+                       schema: str = "key string, value string") -> DataFrame:
+    """SequenceFileInputFormat parity (io/SequenceFile.java:1684 Reader;
+    mapreduce/lib/input/SequenceFileInputFormat.java): read a Hadoop
+    SequenceFile of Writable KV pairs into a DataFrame. Splittability
+    (5 KB sync markers, SequenceFile.java:226) is handled by the Hadoop
+    input format underneath."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(rdd, schema)

@@ -60,3 +60,38 @@ def compact(df: DataFrame, path: str, target_files: int = 1, mode: str = "overwr
     coalesce (not repartition) avoids a shuffle — tasks just claim more
     input splits."""
     df.coalesce(target_files).write.mode(mode).parquet(path)
+
+
+_SEQ_CODECS = {
+    "gzip": "org.apache.hadoop.io.compress.GzipCodec",
+    "bzip2": "org.apache.hadoop.io.compress.BZip2Codec",
+    "snappy": "org.apache.hadoop.io.compress.SnappyCodec",
+    "deflate": "org.apache.hadoop.io.compress.DefaultCodec",
+}
+
+
+def write_sequence_file(df: DataFrame, path: str, key: str = "key",
+                        value: str = "value", compression: str | None = None) -> None:
+    """SequenceFileOutputFormat parity (io/SequenceFile.java:837 Writer;
+    mapreduce/lib/output/SequenceFileOutputFormat.java): write (key,
+    value) columns as a Hadoop SequenceFile. Writable types are inferred
+    from the column types (int/long/float/double/str/bytes). RDD-based
+    by necessity — kept for interchange with reference clusters; Parquet
+    is this engine's native format (row groups + stats replace sync
+    markers + block compression)."""
+    rdd = df.select(key, value).rdd.map(lambda r: (r[0], r[1]))
+    rdd.saveAsSequenceFile(path, _SEQ_CODECS.get(compression))
+
+
+def write_bloom_parquet(df: DataFrame, path: str, bloom_cols: list[str],
+                        expected_ndv: int = 100_000, mode: str = "overwrite") -> None:
+    """BloomMapFile parity (io/BloomMapFile.java + util/bloom/BloomFilter.java):
+    parquet with per-column bloom filters. Point lookups on a bloom
+    column skip whole row groups on definite-miss — the same
+    fast-negative contract as BloomMapFile.get(); at 100 TB this is the
+    difference between touching every file and touching one."""
+    w = df.write.mode(mode)
+    for c in bloom_cols:
+        w = (w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+              .option(f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)))
+    w.parquet(path)

@@ -246,11 +246,16 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     toks = (fan_out(df, id_col)
               .select(F.col(id_col),
                       F.explode(F.array_distinct(words(F.col(text_col)))).alias("_tok"))
-              .withColumn("_h", F.md5("_tok")))
+              # one conv of the leading bits/4 hex chars → integer; each
+              # bit is then a shift (vs. a conv per nibble per bit)
+              .withColumn("_hv", F.conv(F.substring(F.md5("_tok"), 1, bits // 4), 16, 10)
+                                  .cast("long")))
     votes = []
     for j in range(bits):
-        nib = F.conv(F.substring("_h", j // 4 + 1, 1), 16, 10).cast("int")
-        bit = F.shiftright(nib, 3 - (j % 4)).bitwiseAND(F.lit(1))
+        # bit j = bit (3 - j%4) of hex nibble j//4; nibble k sits at
+        # integer bit offset 4*(bits/4 - 1 - k)
+        pos = 4 * (bits // 4 - 1 - j // 4) + (3 - j % 4)
+        bit = F.shiftright("_hv", pos).bitwiseAND(F.lit(1))
         votes.append(F.sum(bit * 2 - 1).alias(f"_v{j}"))
     agg = toks.groupBy(id_col).agg(*votes)
     total = None

@@ -88,3 +88,44 @@ def test_read_lines(spark, tmp_path):
     with open(p, "w") as f:
         f.write("one\ntwo\n")
     assert {r.line for r in read_lines(spark, p).collect()} == {"one", "two"}
+
+
+def test_sequence_file_roundtrip(spark, tmp_path):
+    from hops_spark.io.readers import read_sequence_file
+    from hops_spark.io.writers import write_sequence_file
+
+    df = spark.createDataFrame(
+        [("k1", "v1"), ("k2", "v\twith\ttabs"), ("k3", "")],
+        "key string, value string")
+    out = str(tmp_path / "seq")
+    write_sequence_file(df, out)
+    back = read_sequence_file(spark, out)
+    assert sorted((r.key, r.value) for r in back.collect()) == \
+        [("k1", "v1"), ("k2", "v\twith\ttabs"), ("k3", "")]
+
+
+def test_sequence_file_long_keys_compressed(spark, tmp_path):
+    from hops_spark.io.readers import read_sequence_file
+    from hops_spark.io.writers import write_sequence_file
+
+    df = spark.createDataFrame([(i, f"val{i}") for i in range(100)],
+                               "key long, value string")
+    out = str(tmp_path / "seqgz")
+    write_sequence_file(df, out, compression="deflate")
+    back = read_sequence_file(spark, out, schema="key long, value string")
+    got = sorted((r.key, r.value) for r in back.collect())
+    assert got == [(i, f"val{i}") for i in range(100)]
+
+
+def test_bloom_parquet_lookup(spark, tmp_path):
+    from hops_spark.io.writers import write_bloom_parquet
+
+    df = spark.createDataFrame([(i, f"name{i}") for i in range(10_000)],
+                               "id long, name string")
+    out = str(tmp_path / "bloomed")
+    write_bloom_parquet(df, out, ["id"], expected_ndv=10_000)
+    back = spark.read.parquet(out)
+    # point lookups: hit and definite miss both answer correctly
+    assert back.filter(F.col("id") == 1234).count() == 1
+    assert back.filter(F.col("id") == 999_999).count() == 0
+    assert back.count() == 10_000
