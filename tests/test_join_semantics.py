@@ -72,3 +72,58 @@ def test_broadcast_join_plan(spark):
     b = _kv(spark, [(1, 1)])
     plan = J.broadcast_join(a, b, "key")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# --- CompositeInputFormat join expression language (Parser.java:75) ---------
+
+def _write_kv(spark, tmp_path, name, rows):
+    df = spark.createDataFrame(rows, "key int, " + f"{name} string")
+    p = str(tmp_path / name)
+    df.write.parquet(p)
+    return p
+
+
+def test_join_expr_inner_outer_nested(spark, tmp_path):
+    from hops_spark.ops.join_expr import join_expr
+
+    pa = _write_kv(spark, tmp_path, "a", [(1, "a1"), (2, "a2")])
+    pb = _write_kv(spark, tmp_path, "b", [(2, "b2"), (3, "b3")])
+    pc = _write_kv(spark, tmp_path, "c", [(2, "c2"), (9, "c9")])
+
+    inner = join_expr(spark, f'inner(tbl(parquet,"{pa}"), tbl(parquet,"{pb}"))')
+    assert [tuple(r) for r in inner.collect()] == [(2, "a2", "b2")]
+
+    nested = join_expr(
+        spark,
+        f'outer(inner(tbl(parquet,"{pa}"), tbl(parquet,"{pb}")), tbl(parquet,"{pc}"))')
+    got = {tuple(r) for r in nested.collect()}
+    # inner(a,b) = {2}; outer with c adds key 9 with null slots
+    assert got == {(2, "a2", "b2", "c2"), (9, None, None, "c9")}
+
+
+def test_join_expr_override_rightmost(spark, tmp_path):
+    from hops_spark.ops.join_expr import join_expr
+
+    pa = _write_kv(spark, tmp_path, "v", [(1, "left1"), (2, "left2")])
+    pb = str(tmp_path / "v2")
+    spark.createDataFrame([(2, "right2")], "key int, v string").write.parquet(pb)
+    out = join_expr(spark, f'override(tbl(parquet,"{pa}"), tbl(parquet,"{pb}"))')
+    got = {(r.key, r.v) for r in out.collect()}
+    assert got == {(1, "left1"), (2, "right2")}
+
+
+def test_join_expr_user_defined_and_errors(spark, tmp_path):
+    import pytest
+    from hops_spark.ops.join_expr import define, join_expr
+
+    pa = _write_kv(spark, tmp_path, "x", [(1, "x1"), (2, "x2")])
+    pb = _write_kv(spark, tmp_path, "y", [(2, "y2")])
+
+    define("semi", lambda key, dfs: dfs[0].join(dfs[1].select(key), key, "left_semi"))
+    out = join_expr(spark, f'semi(tbl(parquet,"{pa}"), tbl(parquet,"{pb}"))')
+    assert [(r.key, r.x) for r in out.collect()] == [(2, "x2")]
+
+    with pytest.raises(ValueError, match="unknown join op"):
+        join_expr(spark, f'bogus(tbl(parquet,"{pa}"))')
+    with pytest.raises(ValueError):
+        join_expr(spark, f'inner(tbl(parquet,"{pa}")')  # unbalanced
