@@ -122,3 +122,55 @@ def embedding_near_dup(corpus: DataFrame, dim: int, threshold: float = 0.95,
                      F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
              .distinct()
              .filter(F.col("cos_sim") >= threshold))
+
+
+def ivf_centroids(corpus: DataFrame, n_cells: int, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the n_cells vectors with the
+    smallest md5(id) form the centroid set — a reproducible uniform
+    sample (a production IVF k-means-refines these; the plan shape
+    below is unchanged). Centroids are driver-side metadata by design:
+    IVF's contract is a small codebook, broadcast everywhere."""
+    rows = (corpus.orderBy(F.md5(F.col(id_col).cast("string")))
+                  .limit(n_cells)
+                  .select(id_col, vec_col)
+                  .collect())
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def _cell_sims(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<sim,cell>> of rounded cosine to each centroid."""
+    return F.array(*[
+        F.struct(F.round(cosine(vec, F.array(*[F.lit(x) for x in cvec])), 6)
+                  .alias("sim"),
+                 F.lit(cid).alias("cell"))
+        for cid, cvec in centroids])
+
+
+def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
+            n_cells: int = 16, nprobe: int = 2,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            qid_col: str = "q_id", qvec_col: str = "q_vec",
+            centroids: list[tuple[int, list[float]]] | None = None) -> DataFrame:
+    """IVF ANN: assign each corpus vector to its nearest centroid cell (one
+    narrow pass — argmax over the broadcast codebook), probe the
+    query's nprobe nearest cells, score only within probed cells.
+    Candidate fraction ≈ nprobe/n_cells of the corpus; ties at 6
+    decimals break toward the larger cell id (array_max struct order)
+    so any engine reproduces the same partition."""
+    cents = centroids or ivf_centroids(corpus, n_cells, id_col, vec_col)
+    cell_of = F.array_max(_cell_sims(F.col(vec_col), cents)).getField("cell")
+    cb = corpus.select(id_col, vec_col).withColumn("_cell", cell_of)
+    probes = F.slice(F.reverse(F.array_sort(_cell_sims(F.col(qvec_col), cents))),
+                     1, nprobe)
+    qb = (queries.withColumn("_p", F.explode(probes))
+                 .select(qid_col, qvec_col, F.col("_p.cell").alias("_cell")))
+    scored = (cb.join(F.broadcast(qb), "_cell")
+                .filter(F.col(id_col) != F.col(qid_col))
+                .select(F.col(qid_col), F.col(id_col).alias("neighbor_id"),
+                        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
+                         .alias("cos_sim")))
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(),
+                                            F.col("neighbor_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= k))

@@ -135,3 +135,59 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (SIM.embedding_near_dup(e.select("vec_id", "embedding"), DIM,
                                    NEAR_DUP_THRESHOLD, N_PLANES)
                .orderBy("id_a", "id_b"))
+
+
+N_CELLS = 16
+NPROBE = 2
+
+
+@register(
+    "knn_ivf",
+    sql=f"""
+    WITH d AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cid, v AS cv FROM d
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {N_CELLS}
+    ), assign AS (
+        SELECT d.vec_id, d.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY d.vec_id
+                   ORDER BY round(list_cosine_similarity(d.v, c.cv), 6) DESC,
+                            c.cid DESC) AS rn
+        FROM d CROSS JOIN cent c
+    ), cells AS (
+        SELECT vec_id, v, cid AS cell FROM assign WHERE rn = 1
+    ), qprobe AS (
+        SELECT vec_id AS q_id, v AS qv, cid AS cell
+        FROM assign WHERE vec_id < {N_QUERIES} AND rn <= {NPROBE}
+    ), scored AS (
+        SELECT q.q_id, cells.vec_id AS neighbor_id,
+               round(list_cosine_similarity(cells.v, q.qv), 6) AS cos_sim
+        FROM cells JOIN qprobe q USING (cell)
+        WHERE cells.vec_id <> q.q_id
+    ), ranked AS (
+        SELECT q_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cos_sim, rnk
+    FROM ranked WHERE rnk <= {K}
+    ORDER BY q_id, rnk
+    """,
+    doc="IVF ANN k-NN: deterministic md5-sampled codebook, nearest-cell "
+        "assignment (argmax over broadcast centroids — one narrow pass), "
+        "nprobe-cell probing. Candidates ≈ nprobe/n_cells of the corpus; "
+        "the scale path when the LSH bucket distribution is too skewed.",
+    tags=("similarity", "north-star"),
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = (e.filter(F.col("vec_id") < N_QUERIES)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec")))
+    return (SIM.knn_ivf(e.select("vec_id", "embedding"), queries, K,
+                        N_CELLS, NPROBE)
+               .select("q_id", "neighbor_id", "cos_sim", "rnk")
+               .orderBy("q_id", "rnk"))
