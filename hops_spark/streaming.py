@@ -93,3 +93,36 @@ def run_to_completion(stream_df: DataFrame, name: str) -> DataFrame:
 def _has_agg(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan
+
+
+def stateful_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState —
+    the arbitrary-stateful-Reducer analog (and the shape of the
+    reference's QuotaUpdateManager in-flight delta accounting,
+    QuotaUpdateManager.java:109-209): per-user running
+    (n_events, sum_value) held in explicit GroupState, re-emitted on
+    every update.
+
+    State is per-key and partitioned by the grouping key, so a
+    1000-executor cluster shards it like any shuffle; the state store
+    (RocksDB in production) bounds memory per executor."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value": [round(s, 2)]})
+
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType="user_id long, n_events long, sum_value double",
+                stateStructType="n long, s double",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -65,3 +65,29 @@ def test_dedup_within_watermark(spark, sf_dir):
     got = S.run_to_completion(stream, "dedup_out")
     n_unique = _batch_events(spark, sf_dir).select("event_id").distinct().count()
     assert got.count() == n_unique
+
+
+def test_stateful_user_totals_matches_batch(spark, sf_dir):
+    """applyInPandasWithState custom stateful op: final per-user running
+    totals equal the batch groupBy on the same rows."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.streaming import read_events_stream, stateful_user_totals
+
+    stream = stateful_user_totals(read_events_stream(spark, sf_dir))
+    q = (stream.writeStream.format("memory").queryName("stateful_totals")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    q.stop()
+    # last emitted row per user = final state
+    got = (spark.sql("SELECT * FROM stateful_totals")
+           .groupBy("user_id")
+           .agg(F.max("n_events").alias("n_events"),
+                F.max("sum_value").alias("sum_value")))
+
+    ev = load_table(spark, sf_dir, "events")
+    want = (ev.groupBy("user_id")
+              .agg(F.count("*").alias("n_events"),
+                   F.round(F.sum("value"), 2).alias("sum_value")))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
