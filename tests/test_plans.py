@@ -81,3 +81,49 @@ def test_events_window_single_shuffle(spark, sf_dir):
     plan = _plan(SPECS["tumbling_window_agg"].fn(spark, sf_dir))
     # groupBy(window, type) = one exchange for the agg (+1 for orderBy)
     assert plan.count("Exchange") <= 3
+
+
+def test_jaccard_verify_broadcasts_pairs(spark, sf_dir):
+    """The dedup verify stage must stream the shingle table against
+    broadcast candidate pairs — no shuffle of the corpus-sized side."""
+    plan = _plan(SPECS["minhash_dedup_pairs"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scan_md5_filter_pushes_projection(spark, sf_dir):
+    df = SPECS["scan_md5_filter"].fn(spark, sf_dir)
+    plan = _formatted(df)
+    rs = plan.split("ReadSchema")[1][:300]
+    assert "text" not in rs  # filter is on derived key; text column pruned
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """union-sort as-of join: one exchange for the window partition key
+    (+1 possible for a final order) — never a range cross join."""
+    plan = _plan(SPECS["join_asof"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q4_semi_join_shape(spark, sf_dir):
+    plan = _plan(SPECS["q4_order_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_q22_anti_join_shape(spark, sf_dir):
+    plan = _plan(SPECS["q22_dormant_customers"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_knn_bruteforce_broadcasts_queries(spark, sf_dir):
+    plan = _plan(SPECS["knn_bruteforce"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_meta_point_lookup_prunes_text(spark, sf_dir):
+    """The inode table is derived from documents; a point lookup must
+    never drag the document text through the scan (the lookup key is a
+    derived column, so the win is pruning, not predicate pushdown)."""
+    df = SPECS["meta_point_lookup"].fn(spark, sf_dir)
+    plan = _plan(df)
+    rs = plan.split("ReadSchema")[1][:300]
+    assert "text" not in rs and "doc_id" in rs
