@@ -32,14 +32,18 @@ def list_files(spark: SparkSession, root: str) -> DataFrame:
 def distcp_plan(listing: DataFrame, src_root: str, dst_root: str,
                 tasks: int = 64) -> DataFrame:
     """Assign files to copy chunks balanced by cumulative size (the
-    DistCp 'uniform size' strategy): sort by size desc, round-robin by
-    row_number — greedy LPT-ish without a driver loop."""
-    from pyspark.sql.window import Window
-    w = Window.orderBy(F.col("size").desc(), F.col("src"))
-    return (listing
+    DistCp 'uniform size' strategy): global size-desc rank (two-phase,
+    no single-partition window — listings reach 10^8 files at 100 TB),
+    then round-robin by rank — greedy LPT-ish without a driver loop."""
+    from hops_spark.ops.sort import total_order_rank
+    ranked = total_order_rank(
+        listing.withColumn("_neg_size", -F.col("size")),
+        "_neg_size", "src", rank_col="_rank")
+    return (ranked
             .withColumn("dst", F.concat(F.lit(dst_root),
                                         F.expr(f"substring(src, {len(src_root) + 1})")))
-            .withColumn("chunk", F.pmod(F.row_number().over(w), F.lit(tasks))))
+            .withColumn("chunk", F.pmod(F.col("_rank"), F.lit(tasks)))
+            .drop("_neg_size", "_rank"))
 
 
 def distcp_run(plan: DataFrame) -> int:

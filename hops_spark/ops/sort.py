@@ -32,6 +32,31 @@ def total_order_sort(df: DataFrame, *keys: str | Column) -> DataFrame:
     return df.orderBy(*keys)
 
 
+def total_order_rank(df: DataFrame, *keys: str,
+                     rank_col: str = "global_rank") -> DataFrame:
+    """Global 1-based rank WITHOUT a single-partition window (the
+    local-passes/cluster-dies pattern): TeraSort-style two-phase —
+    range-partition + sort within partitions, then rank = (sum of
+    earlier partitions' row counts) + row_number within the partition.
+    The offsets are a ≤ #partitions-row driver-side collect (same
+    contract as zipWithIndex). Requires unique keys for a
+    deterministic rank; costs one extra pass for the counts."""
+    s = (df.repartitionByRange(*[F.col(k) for k in keys])
+           .sortWithinPartitions(*keys)
+           .withColumn("_pid", F.spark_partition_id()))
+    counts = s.groupBy("_pid").count().orderBy("_pid").collect()
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    omap = F.create_map(*[F.lit(x) for pid_off in sorted(offsets.items())
+                          for x in pid_off])
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    return (s.withColumn(rank_col,
+                         (omap[F.col("_pid")] + F.row_number().over(w)).cast("long"))
+             .drop("_pid"))
+
+
 _KEYSPEC = re.compile(r"^-k(\d+)(?:,(\d+))?([nr]*)$")
 
 

@@ -28,10 +28,10 @@ from hops_spark.registry import register
 )
 def total_order_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
-    w = Window.orderBy("l_orderkey", "l_linenumber")
-    return (S.total_order_sort(li.select("l_orderkey", "l_linenumber"),
+    # two-phase TeraSort-style rank — never a single-partition window
+    return (S.total_order_rank(li.select("l_orderkey", "l_linenumber"),
                                "l_orderkey", "l_linenumber")
-             .withColumn("global_rank", F.row_number().over(w)))
+             .orderBy("global_rank"))
 
 
 @register(
