@@ -76,9 +76,26 @@ def aggregate_job(df: DataFrame, key_cols: list[str],
     """ValueAggregatorJob parity: run a list of (aggType, value_col, alias)
     descriptors as ONE groupBy — a single shuffle regardless of how many
     aggregators the spec lists (the reference ran them all in one MR job
-    too; mapreduce/lib/aggregate/ValueAggregatorJob.java)."""
-    exprs = [AGGREGATORS[t](c).alias(a) for t, c, a in spec]
-    return df.groupBy(*key_cols).agg(*exprs)
+    too; mapreduce/lib/aggregate/ValueAggregatorJob.java).
+
+    Pandas (GROUPED_AGG) descriptors can't share an agg() with JVM
+    aggregates (Spark limitation), so a mixed spec runs as two
+    aggregations over the same shuffle key, joined on the keys — both
+    sides partition identically, so the join itself is co-located."""
+    jvm = [(t, c, a) for t, c, a in spec
+           if not getattr(AGGREGATORS[t], "_is_pandas", False)]
+    pnd = [(t, c, a) for t, c, a in spec
+           if getattr(AGGREGATORS[t], "_is_pandas", False)]
+    parts = []
+    for group in (jvm, pnd):
+        if group:
+            exprs = [AGGREGATORS[t](c).alias(a) for t, c, a in group]
+            parts.append(df.groupBy(*key_cols).agg(*exprs))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.join(p, key_cols)
+    # restore the spec's column order
+    return out.select(*key_cols, *[a for _, _, a in spec])
 
 
 def value_histogram(df: DataFrame, key_cols: list[str], item_col: str) -> DataFrame:
@@ -120,3 +137,21 @@ def salted_agg(df: DataFrame, key_cols: list[str], aggs: list[Column],
         else:
             finals.append(F.sum(c).alias(c))
     return partial.groupBy(*key_cols).agg(*finals)
+
+
+def pandas_udaf(fn: Callable, return_type: str = "double") -> Callable[[Column | str], Column]:
+    """Wrap a Python reduction (pandas Series -> scalar) as a registrable
+    aggregator: the escape hatch for descriptors that aren't expressible
+    as Column expressions (the full UserDefinedValueAggregatorDescriptor
+    generality). Arrow-batched GROUPED_AGG pandas_udf — not row-at-a-time;
+    still the slow path vs. the JVM-side expressions above, so reserve it
+    for genuinely custom math."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    udaf = pandas_udf(fn, return_type, PandasUDFType.GROUPED_AGG)
+
+    def apply(c: Column | str) -> Column:
+        return udaf(F.col(c) if isinstance(c, str) else c)
+
+    apply._is_pandas = True  # aggregate_job splits mixed specs on this
+    return apply

@@ -382,11 +382,16 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
     # Order-level facts: how many distinct suppliers touched the order,
-    # and how many of them had a returned ('R') line.
-    per_order = (l.groupBy(F.col("l_orderkey").alias("agg_orderkey"))
-                  .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-                       F.countDistinct(F.when(F.col("l_returnflag") == "R",
-                                              F.col("l_suppkey"))).alias("n_ret_supp")))
+    # and how many of them had a returned ('R') line. Pre-distinct on
+    # (order, supplier) then plain count/sum — avoids the Expand node a
+    # double countDistinct plans (2x the shuffle rows, ~30% slower
+    # measured at sf0.1).
+    pairs = (l.groupBy(F.col("l_orderkey").alias("agg_orderkey"), "l_suppkey")
+              .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+                    .alias("has_r")))
+    per_order = (pairs.groupBy("agg_orderkey")
+                      .agg(F.count("*").alias("n_supp"),
+                           F.sum("has_r").alias("n_ret_supp")))
     # EXISTS other-supplier        ≡ n_supp >= 2
     # NOT EXISTS other-ret-supplier≡ the only returning supplier is l1's
     #                                (l1 itself has R, so n_ret_supp == 1)

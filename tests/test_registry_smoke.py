@@ -23,3 +23,21 @@ def test_entry(spark):
     df = E.entry(spark)
     assert df.count() > 0
     assert set(E.oracle_sql()) <= set(E.queries())
+
+
+def test_pandas_udaf_descriptor(spark):
+    """UserDefinedValueAggregatorDescriptor via Arrow GROUPED_AGG: a
+    geometric mean no built-in expresses, registered and run through the
+    same spec-driven aggregate_job as the built-in descriptors."""
+    import numpy as np
+
+    from hops_spark.ops.agg import aggregate_job, pandas_udaf, register_aggregator
+
+    register_aggregator(
+        "GeoMean", pandas_udaf(lambda s: float(np.exp(np.log(s).mean())), "double"))
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 8.0), ("b", 3.0), ("b", 27.0)], "k string, v double")
+    out = aggregate_job(df, ["k"], [("GeoMean", "v", "geo"),
+                                    ("DoubleValueSum", "v", "total")])
+    got = {r.k: (round(r.geo, 6), r.total) for r in out.collect()}
+    assert got == {"a": (4.0, 10.0), "b": (9.0, 30.0)}
