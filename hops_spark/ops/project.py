@@ -71,8 +71,10 @@ def _spec_cols(fields: Column, spec: str) -> Column:
         if hi is None:
             # slice to end: slice(arr, lo+1, size-lo)
             parts.append(F.slice(fields, lo + 1, F.greatest(F.size(fields) - lo, F.lit(0))))
-        else:
+        elif hi >= lo:
             parts.append(F.slice(fields, lo + 1, hi - lo + 1))
+        # inverted range ("4-2") selects nothing — python-slice semantics;
+        # a negative slice length would throw at runtime
     if not parts:
         return F.array()
     return F.concat(*parts)

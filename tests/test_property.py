@@ -1,0 +1,106 @@
+"""Property-based semantics tests (hypothesis): the operators with the
+subtlest contracts, each checked against a pure-Python reference model
+on arbitrary small inputs. The reference repo has no property testing
+(SURVEY §5) — this is the extra hardening layer SURVEY §7.4 calls for
+on exactly these operators (as-of lookup, override dup-keys, spec
+parsers)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hops_spark.ops.join import asof_join, override_rows
+from hops_spark.ops.project import field_select
+from hops_spark.ops.sort import key_field_sort
+
+SET = settings(max_examples=12, deadline=None,
+               suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                      HealthCheck.too_slow])
+
+keys = st.integers(min_value=0, max_value=3)
+ts = st.integers(min_value=0, max_value=50)
+
+
+@SET
+@given(left=st.lists(st.tuples(keys, ts), min_size=1, max_size=12),
+       right=st.lists(st.tuples(keys, ts, st.integers(0, 99)),
+                      min_size=0, max_size=12))
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """asof(backward): each left row picks the latest right row with
+    right_ts <= left_ts for the same key (ties: that max right_ts row).
+    Python model = brute-force scan."""
+    # unique (key, ts) on the right so the expected value is unambiguous
+    right = list({(k, t): (k, t, v) for k, t, v in right}.values())
+    ldf = spark.createDataFrame([(k, t) for k, t in left], "k int, lts int")
+    rdf = spark.createDataFrame(right or [(99, 99, 0)], "k int, rts int, rv int")
+    if not right:
+        rdf = rdf.filter("k < 0")  # empty right side
+    got = asof_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts")
+    got_rows = sorted((r.k, r.lts, r.rv) for r in got.collect())
+
+    def model(k, lt):
+        cand = [(t, v) for (rk, t, v) in right if rk == k and t <= lt]
+        return max(cand)[1] if cand else None
+
+    want = sorted((k, lt, model(k, lt)) for k, lt in left)
+    assert got_rows == want
+
+
+@SET
+@given(data=st.lists(st.tuples(keys, st.integers(0, 9)), min_size=0, max_size=10),
+       n_sources=st.integers(min_value=2, max_value=3))
+def test_override_rows_rightmost_wins(spark, data, n_sources):
+    """override(a,b,...): ALL rows of the rightmost source holding each
+    key; earlier sources contribute only keys no later source has."""
+    import random
+    rng = random.Random(42)
+    sources = [[] for _ in range(n_sources)]
+    for row in data:
+        sources[rng.randrange(n_sources)].append(row)
+    dfs = [spark.createDataFrame(s or [(99, 0)], "k int, v int")
+           for s in sources]
+    dfs = [d if s else d.filter("k < 0") for d, s in zip(dfs, sources)]
+    got = sorted((r.k, r.v) for r in override_rows("k", *dfs).collect())
+
+    want = []
+    all_keys = {k for s in sources for k, _ in s}
+    for k in all_keys:
+        winner = max(i for i, s in enumerate(sources) if any(rk == k for rk, _ in s))
+        want.extend((k, v) for rk, v in sources[winner] if rk == k)
+    assert got == sorted(want)
+
+
+@SET
+@given(rows=st.lists(st.tuples(st.integers(-9, 9), st.text("abc", max_size=2)),
+                     min_size=0, max_size=10),
+       reverse=st.booleans())
+def test_key_field_sort_matches_python(spark, rows, reverse):
+    """-k1[,1][nr] over (num, str) fields ≡ python sorted()."""
+    df = spark.createDataFrame(rows or [(0, "")], "f1 int, f2 string")
+    if not rows:
+        df = df.filter("f1 > 99")
+    spec = "-k1,1n" + ("r" in "r" and "r" if reverse else "")
+    got = [(r.f1, r.f2) for r in key_field_sort(df, [spec, "-k2,2"]).collect()]
+    want = sorted(rows, key=lambda r: ((-r[0] if reverse else r[0]), r[1]))
+    # python can't mix per-key directions in one tuple; emulate:
+    want = sorted(rows, key=lambda r: r[1])
+    want = sorted(want, key=lambda r: r[0], reverse=reverse)
+    assert got == want
+
+
+@SET
+@given(fields=st.lists(st.text("xyz", min_size=0, max_size=3),
+                       min_size=1, max_size=8),
+       lo=st.integers(0, 4), hi=st.integers(0, 7))
+def test_field_select_matches_python_slices(spark, fields, lo, hi):
+    """FieldSelection '<lo>-<hi>,0' key spec + '<lo>-' value spec ≡
+    python list slicing (0-based, closed ranges, open tail)."""
+    line = "\t".join(fields)
+    df = spark.createDataFrame([(line,)], "line string")
+    key_spec = f"{lo}-{hi},0"
+    val_spec = f"{lo}-"
+    out = field_select(df, "line", key_spec, val_spec).collect()[0]
+    want_key = "\t".join(fields[lo:hi + 1] + [fields[0]])
+    want_val = "\t".join(fields[lo:])
+    assert (out.key, out.value) == (want_key, want_val)
