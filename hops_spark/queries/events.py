@@ -161,3 +161,50 @@ def late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(F.when(F.col("ts") < F.col("max_ts") - F.expr("INTERVAL 7 DAYS"),
                                1).otherwise(0)).alias("n_late"))
              .orderBy("event_type"))
+
+
+@register(
+    "join_range_events",
+    sql="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+           CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS lag_s
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts
+     AND b.ts <  a.ts + INTERVAL '10 minutes'
+    ORDER BY id_a, id_b
+    """,
+    doc="Range/interval join (declared superset — SURVEY §2.3 notes the "
+        "reference has no theta/range joins): purchases within 10 min "
+        "after a click, same user. Bucketed band join: both sides keyed "
+        "by (user, 10-min time bucket), the narrow side exploded to its "
+        "two candidate buckets — the join is a plain equi-join Catalyst "
+        "hash-partitions; the range predicate is a post-filter. Never a "
+        "per-user cross product: cost is O(pairs in adjacent buckets), "
+        "the standard band-join decomposition.",
+    tags=("join", "range", "events", "superset"),
+)
+def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket_s = 600  # = the interval width → 2 candidate buckets suffice
+    clicks = (e.filter(F.col("event_type") == "click")
+               .select(F.col("event_id").alias("id_a"), "user_id",
+                       F.col("ts").alias("ts_a"))
+               .withColumn("_b0", (F.col("ts_a").cast("long") / bucket_s).cast("long"))
+               .withColumn("_bucket", F.explode(F.array("_b0", F.col("_b0") + 1)))
+               .drop("_b0"))
+    buys = (e.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("id_b"),
+                     F.col("user_id").alias("user_b"),
+                     F.col("ts").alias("ts_b"))
+             .withColumn("_bucket", (F.col("ts_b").cast("long") / bucket_s).cast("long")))
+    return (clicks.join(buys, (F.col("user_id") == F.col("user_b"))
+                              & (clicks["_bucket"] == buys["_bucket"]))
+                  .filter((F.col("ts_b") >= F.col("ts_a"))
+                          & (F.col("ts_b") < F.col("ts_a") + F.expr("INTERVAL 10 minutes")))
+                  .select("id_a", "id_b", "user_id",
+                          (F.col("ts_b").cast("long") - F.col("ts_a").cast("long"))
+                          .alias("lag_s"))
+                  .orderBy("id_a", "id_b"))

@@ -41,3 +41,27 @@ def test_pandas_udaf_descriptor(spark):
                                     ("DoubleValueSum", "v", "total")])
     got = {r.k: (round(r.geo, 6), r.total) for r in out.collect()}
     assert got == {"a": (4.0, 10.0), "b": (9.0, 30.0)}
+
+
+def test_observe_counters_parity(spark, sf_dir):
+    """MR Counters (counters/AbstractCounters.java:58) → df.observe:
+    side-channel metrics collected during a single pass, without a
+    second job or a collect of the data itself."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+
+    obs = Observation("job_counters")
+    li = load_table(spark, sf_dir, "lineitem")
+    counted = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("records_read"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("returned"),
+    )
+    # the "job": an unrelated aggregation; counters ride along
+    counted.groupBy("l_linestatus").count().write.format("noop").mode("overwrite").save()
+    got = obs.get
+    want = li.count()
+    assert got["records_read"] == want
+    assert 0 < got["returned"] < want
