@@ -127,3 +127,34 @@ def test_meta_point_lookup_prunes_text(spark, sf_dir):
     plan = _plan(df)
     rs = plan.split("ReadSchema")[1][:300]
     assert "text" not in rs and "doc_id" in rs
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """CompositeInputFormat's physical contract — identically
+    sorted+partitioned inputs join map-side with NO shuffle — holds for
+    bucketed tables: the join plan contains zero Exchange operators."""
+    import uuid
+
+    from hops_spark.io.writers import write_sorted_bucketed
+
+    a, b = f"ba_{uuid.uuid4().hex[:8]}", f"bb_{uuid.uuid4().hex[:8]}"
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_sorted_bucketed(li, a, "l_orderkey", buckets=4)
+    write_sorted_bucketed(od.withColumnRenamed("o_orderkey", "l_orderkey"),
+                          b, "l_orderkey", buckets=4)
+    # force the sort-merge path (the tiny test tables would otherwise
+    # auto-broadcast, which also needs no shuffle but proves less)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ta, tb = spark.table(a), spark.table(b)
+        joined = ta.join(tb, "l_orderkey")
+        joined.collect()
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE {a}")
+        spark.sql(f"DROP TABLE {b}")
