@@ -84,7 +84,8 @@ def read_xml_chunks(spark: SparkSession, path: str, begin_tag: str, end_tag: str
     as a whole-file read + regex extraction — adequate for record-per-line
     or small-file XML; large single-doc XML would need a custom datasource."""
     import re
-    pat = re.escape(begin_tag) + r"(.*?)" + re.escape(end_tag)
+    # (?s): records span lines (Java regex '.' stops at \n otherwise)
+    pat = "(?s)" + re.escape(begin_tag) + r"(.*?)" + re.escape(end_tag)
     text = spark.read.text(path, wholetext=True)
     return (text.select(F.regexp_extract_all("value", F.lit(pat), 1).alias("recs"))
                 .select(F.explode("recs").alias("record")))

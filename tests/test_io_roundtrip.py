@@ -129,3 +129,18 @@ def test_bloom_parquet_lookup(spark, tmp_path):
     assert back.filter(F.col("id") == 1234).count() == 1
     assert back.filter(F.col("id") == 999_999).count() == 0
     assert back.count() == 10_000
+
+
+def test_xml_chunk_reader(spark, tmp_path):
+    from hops_spark.io.readers import read_xml_chunks
+
+    p = str(tmp_path / "recs.xml")
+    with open(p, "w") as f:
+        f.write("<log>\n<rec>\n  <id>1</id>\n</rec>\njunk between records\n"
+                "<rec><id>2</id></rec>\n<rec></rec>\n</log>\n")
+    out = read_xml_chunks(spark, p, "<rec>", "</rec>")
+    recs = sorted(r.record for r in out.collect())
+    assert len(recs) == 3
+    assert "" in recs                       # empty record
+    assert any("<id>1</id>" in r for r in recs)   # multi-line record
+    assert any("<id>2</id>" in r for r in recs)
