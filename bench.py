@@ -42,6 +42,7 @@ HEADLINE = [
     "tumbling_window_agg",
     "value_histogram",
     "minhash_dedup_pairs",
+    "pipeline_clean_corpus",
     "ngram_jaccard_pairs",
     "simhash_signatures",
     "knn_bruteforce",

@@ -20,4 +20,5 @@ from hops_spark.queries import (  # noqa: F401
     metadata,
     scans,
     multimodal,
+    pipeline,
 )

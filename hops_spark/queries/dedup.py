@@ -92,9 +92,9 @@ def _duck_band_structs() -> str:
     return "[" + ", ".join(bands) + "]"
 
 
-@register(
-    "minhash_dedup_pairs",
-    sql=_DUCK_SIGS_CTE + f"""
+# CTE chain (appended to _DUCK_SIGS_CTE) yielding `verified(id_a, id_b,
+# jaccard)` — the full LSH pipeline; reused by the clean-corpus pipeline.
+DUCK_MINHASH_VERIFIED_CTE = f"""
     , bands AS (
         SELECT doc_id, b.band AS band, b.bhash AS bhash
         FROM (SELECT doc_id, unnest({_duck_band_structs()}) AS b FROM sigs)
@@ -108,17 +108,24 @@ def _duck_band_structs() -> str:
         JOIN srows ra ON ra.doc_id = c.id_a
         JOIN srows rb ON rb.doc_id = c.id_b AND rb.shingle = ra.shingle
         GROUP BY c.id_a, c.id_b
+    ), verified AS (
+        SELECT c.id_a, c.id_b,
+               round(coalesce(i.inter, 0)
+                     / (za.set_size + zb.set_size - coalesce(i.inter, 0)), 6) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i USING (id_a, id_b)
+        JOIN sigs za ON za.doc_id = c.id_a
+        JOIN sigs zb ON zb.doc_id = c.id_b
+        WHERE coalesce(i.inter, 0)
+              / (za.set_size + zb.set_size - coalesce(i.inter, 0)) >= {THRESHOLD}
     )
-    SELECT c.id_a, c.id_b,
-           round(coalesce(i.inter, 0)
-                 / (za.set_size + zb.set_size - coalesce(i.inter, 0)), 6) AS jaccard
-    FROM cand c
-    LEFT JOIN inter i USING (id_a, id_b)
-    JOIN sigs za ON za.doc_id = c.id_a
-    JOIN sigs zb ON zb.doc_id = c.id_b
-    WHERE coalesce(i.inter, 0)
-          / (za.set_size + zb.set_size - coalesce(i.inter, 0)) >= {THRESHOLD}
-    ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "minhash_dedup_pairs",
+    sql=_DUCK_SIGS_CTE + DUCK_MINHASH_VERIFIED_CTE + """
+    SELECT id_a, id_b, jaccard FROM verified ORDER BY id_a, id_b
     """,
     doc="MinHash+LSH near-dup pipeline: integer signatures → banded "
         "buckets → candidate pairs → exact-Jaccard verify ≥ 0.8, fully "
