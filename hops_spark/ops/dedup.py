@@ -186,13 +186,18 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
                         threshold: float = 0.8) -> DataFrame:
     """End-to-end near-dup pipeline: shingle rows → signatures → LSH
     candidates → exact-Jaccard verify. Returns (id_a, id_b, jaccard)."""
-    rows = shingle_rows(df, id_col, text_col, shingle_n).cache()
-    # signature agg over the cached rows (same shape as minhash_signatures)
+    # No explicit cache: the whole pipeline runs as one action, and all
+    # reuses of `rows`/`sigs` share lineage, so Spark's ReusedExchange
+    # dedupes the work — measured faster than .cache() (which forces
+    # separate materialization jobs and accumulates executor memory
+    # across invocations).
+    rows = shingle_rows(df, id_col, text_col, shingle_n)
+    # signature agg over the shingle rows (same shape as minhash_signatures)
     aggs = [F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE31)))
              .alias(f"s{i}")
             for i, (a, b) in enumerate(minhash_coeffs(n_hashes))]
     aggs.append(F.count("*").alias("set_size"))
-    sigs = rows.groupBy(id_col).agg(*aggs).cache()
+    sigs = rows.groupBy(id_col).agg(*aggs)
     cands = minhash_candidate_pairs(sigs, id_col, n_hashes, bands)
     return jaccard_verify(cands, rows, sigs, id_col, threshold)
 
@@ -211,7 +216,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     high-threshold pair below/above it meaningfully and would O(k²)
     the join (the classic positional-filter trick from set-similarity
     join papers)."""
-    rows = shingle_rows(df, id_col, text_col, shingle_n).cache()
+    rows = shingle_rows(df, id_col, text_col, shingle_n)
     freq = rows.groupBy("shingle").count()
     hot = freq.filter(F.col("count") > max_shingle_freq).select("shingle")
     pruned = rows.join(F.broadcast(hot), "shingle", "left_anti")
@@ -271,7 +276,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     """SimHash near-dup: block on bit-chunks (a pair within hamming d
     must agree on at least one of n_tables chunks when d < n_tables),
     then verify hamming distance exactly via bit_count(xor)."""
-    st = simhash_table(df, id_col, text_col, bits).cache()
+    st = simhash_table(df, id_col, text_col, bits)
     chunk = bits // n_tables
     mask = (1 << chunk) - 1
     blocks = []
