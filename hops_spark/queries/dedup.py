@@ -175,10 +175,25 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_near_pairs",
-    sql=None,  # bit_count + chunk blocking is checked rows-only; the exact
-               # signature math is already oracle-verified above
+    sql=f"""
+    WITH sims AS ({_duck_simhash_sql(32)}),
+    ch AS (
+        SELECT doc_id, simhash, t, (simhash >> (t * 8)) & 255 AS chunk
+        FROM sims, (VALUES (0), (1), (2), (3)) AS tt(t)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM ch a JOIN ch b USING (t, chunk)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY id_a, id_b
+    """,
     doc="SimHash near-dup pairs: chunk-blocked candidates, exact hamming "
-        "verify ≤ 3 (pigeonhole: d<4 pairs share one of 4 chunks).",
+        "verify ≤ 3 (pigeonhole: d<4 pairs share one of 4 chunks). Full "
+        "value-hash oracle (DuckDB bit_count/xor mirror).",
     tags=("dedup", "north-star"),
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
