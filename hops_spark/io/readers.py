@@ -131,3 +131,33 @@ def read_sequence_file(spark: SparkSession, path: str,
     input format underneath."""
     rdd = spark.sparkContext.sequenceFile(path)
     return spark.createDataFrame(rdd, schema)
+
+
+def read_auto(spark: SparkSession, path: str) -> DataFrame:
+    """AutoInputFormat parity (hadoop-streaming/.../AutoInputFormat.java):
+    sniff the on-disk format and dispatch the right reader. Detection:
+    SequenceFile magic bytes ('SEQ') in any data file → sequence file;
+    parquet footer magic ('PAR1') → parquet; otherwise line text."""
+    import os
+
+    def first_data_file(p: str) -> str | None:
+        if os.path.isfile(p):
+            return p
+        for name in sorted(os.listdir(p)):
+            if name.startswith(("_", ".")):
+                continue
+            f = os.path.join(p, name)
+            if os.path.isfile(f):
+                return f
+        return None
+
+    probe = first_data_file(path)
+    magic = b""
+    if probe:
+        with open(probe, "rb") as fh:
+            magic = fh.read(4)
+    if magic[:3] == b"SEQ":
+        return read_sequence_file(spark, path)
+    if magic == b"PAR1":
+        return spark.read.parquet(path)
+    return read_lines(spark, path)

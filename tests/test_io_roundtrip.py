@@ -144,3 +144,22 @@ def test_xml_chunk_reader(spark, tmp_path):
     assert "" in recs                       # empty record
     assert any("<id>1</id>" in r for r in recs)   # multi-line record
     assert any("<id>2</id>" in r for r in recs)
+
+
+def test_read_auto_dispatch(spark, tmp_path):
+    from hops_spark.io.readers import read_auto
+    from hops_spark.io.writers import write_sequence_file
+
+    seq = str(tmp_path / "auto_seq")
+    write_sequence_file(
+        spark.createDataFrame([("k", "v")], "key string, value string"), seq)
+    assert [(r.key, r.value) for r in read_auto(spark, seq).collect()] == [("k", "v")]
+
+    pq = str(tmp_path / "auto_pq")
+    spark.createDataFrame([(7,)], "x int").write.parquet(pq)
+    assert read_auto(spark, pq).collect()[0].x == 7
+
+    txt = str(tmp_path / "auto.txt")
+    with open(txt, "w") as f:
+        f.write("hello\n")
+    assert read_auto(spark, txt).collect()[0].line == "hello"

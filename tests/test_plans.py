@@ -158,3 +158,23 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE {a}")
         spark.sql(f"DROP TABLE {b}")
+
+
+def test_inodes_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    """HopsFS PPIS parity (BaseINodeLock.java:69-118): the inodes table
+    written partitioned by parent directory answers a listing by reading
+    ONE partition — the plan shows a PartitionFilters entry and only the
+    matching directory's files."""
+    from hops_spark.catalog.metastore import inodes_from_documents
+    from hops_spark.io.writers import write_partitioned
+
+    ino = inodes_from_documents(spark, sf_dir)
+    out = str(tmp_path / "inodes_by_parent")
+    write_partitioned(ino, out, "parent")
+    listing = (spark.read.parquet(out)
+               .filter(F.col("parent") == "src1")
+               .select("name", "inode_id", "size"))
+    listing.collect()
+    plan = _formatted(listing)
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "src1" in pf  # pruned at planning time, not post-scan
