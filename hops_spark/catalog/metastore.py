@@ -90,3 +90,42 @@ def content_summary(inodes: DataFrame) -> DataFrame:
     return (inodes.groupBy(F.col("parent").alias("dir"))
                   .agg(F.count("*").alias("n_files"),
                        F.sum("size").alias("total_bytes")))
+
+
+BLOCK_SIZE = 16_384     # fixture-scale block size (reference: 64-128 MB)
+N_DATANODES = 16
+REPLICATION = 3
+
+
+def blocks_from_inodes(inodes: DataFrame) -> DataFrame:
+    """blocks table (reference BlockInfoContext / BlockInfoDALAdaptor):
+    one row per block of each file — block_id, inode_id, block_index,
+    num_bytes (last block partial). Derived deterministically so the
+    DuckDB oracle rebuilds it bit-for-bit."""
+    n_blocks = F.greatest(F.ceil(F.col("size") / BLOCK_SIZE), F.lit(1)).cast("int")
+    ex = inodes.select(
+        "inode_id", "size",
+        F.explode(F.sequence(F.lit(0), n_blocks - 1)).alias("block_index"))
+    return ex.select(
+        (F.col("inode_id") * 1024 + F.col("block_index")).alias("block_id"),
+        "inode_id", "block_index",
+        F.least(F.lit(BLOCK_SIZE),
+                F.col("size") - F.col("block_index") * BLOCK_SIZE)
+         .cast("long").alias("num_bytes"))
+
+
+def replicas_from_blocks(blocks: DataFrame) -> DataFrame:
+    """replicas table (reference ReplicaContext): REPLICATION rows per
+    block, datanode placement + ~2% deterministic loss (md5-derived) so
+    under-replication analytics have subject matter."""
+    ex = blocks.select(
+        "block_id",
+        F.explode(F.sequence(F.lit(0), F.lit(REPLICATION - 1))).alias("replica_idx"))
+    mix = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.col("block_id").cast("string"),
+        F.col("replica_idx").cast("string"))), 1, 7), 16, 10).cast("long")
+    return (ex.withColumn("datanode_id",
+                          F.pmod(mix, F.lit(N_DATANODES)).cast("int"))
+              .withColumn("is_lost", F.pmod(mix, F.lit(50)) == 0)
+              .filter(~F.col("is_lost"))
+              .drop("is_lost"))

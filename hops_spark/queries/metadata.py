@@ -212,3 +212,77 @@ def meta_path_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
                             & (F.col("name") == F.col("file_name")))
                  .select("path", "inode_id", "size")
                  .orderBy("path"))
+
+
+_DUCK_BLOCKS = _DUCK_INODES + """
+    , blocks AS (
+        SELECT inode_id * 1024 + bi AS block_id, inode_id, bi AS block_index,
+               least(16384, size - bi * 16384)::BIGINT AS num_bytes
+        FROM (SELECT inode_id, size,
+                     unnest(generate_series(0,
+                         greatest(CAST(ceil(size / 16384.0) AS INT), 1) - 1)) AS bi
+              FROM inodes)
+    ), replicas AS (
+        SELECT block_id, ri AS replica_idx,
+               CAST(mix % 16 AS INT) AS datanode_id
+        FROM (SELECT block_id, ri,
+                     ('0x' || substring(md5(CAST(block_id AS VARCHAR) || '|'
+                                            || CAST(ri AS VARCHAR)), 1, 7))::BIGINT AS mix
+              FROM blocks, (VALUES (0), (1), (2)) AS t(ri))
+        WHERE mix % 50 <> 0
+    )
+"""
+
+
+@register(
+    "meta_block_report",
+    sql=_DUCK_BLOCKS + """
+    SELECT r.datanode_id, count(*) AS n_replicas,
+           sum(b.num_bytes) AS stored_bytes
+    FROM replicas r JOIN blocks b USING (block_id)
+    GROUP BY datanode_id
+    ORDER BY datanode_id
+    """,
+    doc="blockReport analytics (reference BlockInfoContext/ReplicaContext "
+        "tables; NNThroughputBenchmark -op blockReport): per-datanode "
+        "replica count and stored bytes over the blocks⋈replicas tables.",
+    tags=("metadata", "agg"),
+)
+def meta_block_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.catalog.metastore import blocks_from_inodes, replicas_from_blocks
+    ino = inodes_from_documents(spark, sf_dir)
+    blocks = blocks_from_inodes(ino)
+    reps = replicas_from_blocks(blocks)
+    return (reps.join(blocks, "block_id")
+                .groupBy("datanode_id")
+                .agg(F.count("*").alias("n_replicas"),
+                     F.sum("num_bytes").alias("stored_bytes"))
+                .orderBy("datanode_id"))
+
+
+@register(
+    "meta_under_replicated",
+    sql=_DUCK_BLOCKS + """
+    SELECT b.block_id, b.inode_id, count(r.replica_idx) AS live_replicas
+    FROM blocks b LEFT JOIN replicas r USING (block_id)
+    GROUP BY b.block_id, b.inode_id
+    HAVING count(r.replica_idx) < 3
+    ORDER BY block_id
+    """,
+    doc="Under-replicated block scan — the query the reference's "
+        "MapReduceBlockRepairManager plans repairs from "
+        "(hops-erasure-coding-project; ReplicaContext). Left join keeps "
+        "fully-lost blocks (0 live replicas) visible.",
+    tags=("metadata", "agg", "join"),
+)
+def meta_under_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.catalog.metastore import (REPLICATION, blocks_from_inodes,
+                                              replicas_from_blocks)
+    ino = inodes_from_documents(spark, sf_dir)
+    blocks = blocks_from_inodes(ino)
+    reps = replicas_from_blocks(blocks)
+    return (blocks.join(reps, "block_id", "left")
+                  .groupBy("block_id", "inode_id")
+                  .agg(F.count("replica_idx").alias("live_replicas"))
+                  .filter(F.col("live_replicas") < REPLICATION)
+                  .orderBy("block_id"))
