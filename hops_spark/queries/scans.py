@@ -207,3 +207,28 @@ def teragen_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (g.select("key", "row_id")
              .orderBy("key")
              .limit(100))
+
+
+@register(
+    "dictionary_encode",
+    sql="""
+    SELECT p_brand,
+           row_number() OVER (ORDER BY p_brand) AS surrogate_id,
+           n_parts
+    FROM (SELECT p_brand, count(*) AS n_parts FROM part GROUP BY p_brand)
+    ORDER BY surrogate_id
+    """,
+    doc="SetFile/ArrayFile parity (io/SetFile.java, io/ArrayFile.java): "
+        "distinct-key table with a dense long-indexed surrogate — "
+        "dictionary encoding. The surrogate comes from the two-phase "
+        "total_order_rank (no single-partition window), the standard "
+        "zipWithIndex replacement at scale.",
+    tags=("scan", "setop", "sort"),
+)
+def dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sort import total_order_rank
+    p = load_table(spark, sf_dir, "part")
+    distinct = p.groupBy("p_brand").agg(F.count("*").alias("n_parts"))
+    return (total_order_rank(distinct, "p_brand", rank_col="surrogate_id")
+            .select("p_brand", "surrogate_id", "n_parts")
+            .orderBy("surrogate_id"))
