@@ -286,3 +286,42 @@ def meta_under_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg(F.count("replica_idx").alias("live_replicas"))
                   .filter(F.col("live_replicas") < REPLICATION)
                   .orderBy("block_id"))
+
+
+@register(
+    "meta_expired_leases",
+    sql=_DUCK_INODES + """
+    , leases AS (
+        SELECT 'writer_' || CAST((inode_id // 20) % 5 AS VARCHAR) AS holder,
+               inode_id,
+               inode_id % 100 AS renewed_s_ago
+        FROM inodes
+        WHERE inode_id % 20 = 0
+    )
+    SELECT holder, count(*) AS n_leases,
+           sum(CASE WHEN renewed_s_ago > 60 THEN 1 ELSE 0 END) AS n_expired,
+           max(renewed_s_ago) AS oldest_s
+    FROM leases
+    GROUP BY holder
+    ORDER BY holder
+    """,
+    doc="Lease monitoring (reference LeaseContext/LeasePathContext "
+        "tables; lease recovery scans these for expired holders): "
+        "per-holder open-lease count and expiry census over the "
+        "deterministic lease table (every 20th inode open, 5 writers).",
+    tags=("metadata", "agg"),
+)
+def meta_expired_leases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ino = inodes_from_documents(spark, sf_dir)
+    leases = (ino.filter(F.col("inode_id") % 20 == 0)
+                 .select(F.concat(F.lit("writer_"),
+                                  ((F.col("inode_id") / 20).cast("long") % 5)
+                                  .cast("string")).alias("holder"),
+                         "inode_id",
+                         (F.col("inode_id") % 100).alias("renewed_s_ago")))
+    return (leases.groupBy("holder")
+                  .agg(F.count("*").alias("n_leases"),
+                       F.sum(F.when(F.col("renewed_s_ago") > 60, 1).otherwise(0))
+                        .alias("n_expired"),
+                       F.max("renewed_s_ago").alias("oldest_s"))
+                  .orderBy("holder"))
