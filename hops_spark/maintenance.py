@@ -160,3 +160,46 @@ def rs_encode(blocks: DataFrame, n_parity: int = 2, group_col: str = "stripe",
                   .groupBy(group_col)
                   .applyInPandas(encode,
                                  schema=f"{group_col} long, parity_idx int, parity binary"))
+
+
+def rs_reconstruct(blocks: DataFrame, parities: DataFrame, lost_idx: int,
+                   group_col: str = "stripe", idx_col: str = "block_idx",
+                   data_col: str = "data") -> DataFrame:
+    """Reconstruct ONE lost data block per stripe from the surviving
+    blocks + the first parity (BlockReconstructor role,
+    hops-erasure-coding-project/.../BlockReconstructor.java — same math,
+    not a port): parity_0 = Σ_i data_i·g^i in GF(2^8), so
+    data_k = (parity_0 ⊕ Σ_{i≠k} data_i·g^i) · g^{-k}, with
+    g^{-k} = g^{255-k} (g^255 = 1). Two simultaneous losses would use
+    both parity rows (2×2 GF solve) — the repair *driver* (which blocks
+    are lost, per stripe) comes from the meta_under_replicated scan.
+
+    Output: (stripe, block_idx=lost_idx, data)."""
+    import numpy as np
+    import pandas as pd
+    exp, _ = _gf_tables()
+
+    surv = blocks.filter(F.col(idx_col) != lost_idx) \
+                 .select(group_col, idx_col, data_col)
+    p0 = (parities.filter(F.col("parity_idx") == 0)
+                  .select(group_col, F.lit(-1).alias(idx_col),
+                          F.col("parity").alias(data_col)))
+    both = surv.unionByName(p0)
+    inv_coef = exp[(255 - (lost_idx % 255)) % 255]
+
+    def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for _, row in pdf.iterrows():
+            arr = np.frombuffer(bytes(row[data_col]), dtype=np.uint8)
+            term = arr if row[idx_col] == -1 else \
+                _gf_mul_bytes(arr, exp[(int(row[idx_col]) * 1) % 255])
+            acc = term.copy() if acc is None else np.bitwise_xor(acc, term)
+        data_k = _gf_mul_bytes(acc, inv_coef)
+        return pd.DataFrame({group_col: [int(pdf[group_col].iloc[0])],
+                             idx_col: [lost_idx],
+                             data_col: [data_k.tobytes()]})
+
+    return (both.repartition(group_col)
+                .groupBy(group_col)
+                .applyInPandas(rebuild,
+                               schema=f"{group_col} long, {idx_col} int, {data_col} binary"))

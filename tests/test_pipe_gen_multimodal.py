@@ -85,3 +85,24 @@ def test_xor_and_rs_parity(spark):
     # parity blocks differ from data and from each other (non-degenerate)
     got = {(r.stripe, r.parity_idx): bytes(r.parity) for r in rs.collect()}
     assert got[(0, 0)] != got[(0, 1)]
+
+
+def test_rs_lose_and_reconstruct(spark):
+    """Full repair round-trip: encode stripes, delete a data block,
+    rebuild it from survivors + parity, byte-compare to the original."""
+    import numpy as np
+
+    from hops_spark.maintenance import rs_encode, rs_reconstruct
+
+    rng = np.random.RandomState(7)
+    blocks = [(s, i, rng.randint(0, 256, 64, dtype=np.uint8).tobytes())
+              for s in range(3) for i in range(4)]
+    df = spark.createDataFrame(blocks, "stripe long, block_idx int, data binary")
+    parities = rs_encode(df, n_parity=2)
+
+    LOST = 2
+    survivors = df.filter("block_idx != 2")
+    rebuilt = {r.stripe: bytes(r.data)
+               for r in rs_reconstruct(survivors, parities, LOST).collect()}
+    want = {s: d for (s, i, d) in blocks if i == LOST}
+    assert rebuilt == want
