@@ -63,31 +63,56 @@ def fan_out(df: DataFrame, key: str) -> DataFrame:
     return df
 
 
-def shingle_rows(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                 shingle_n: int = 3) -> DataFrame:
-    """(id, shingle, h) rows: one row per DISTINCT shingle per doc, with
-    its 28-bit md5-derived hash. The relational (no giant arrays) dedup
-    substrate — partial aggregation and joins stay map-side combinable
-    at any scale.
+def shingle_arrays(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                   shingle_n: int = 3) -> DataFrame:
+    """(id, shingle_arr) with the per-doc DISTINCT word-n-gram set as one
+    array column — the dedup substrate, built with ZERO shuffles.
 
-    Explode-first shape: materialize the words array once per doc
-    (Generate barrier), then build each shingle from a bound array
-    reference — a lambda-transform over slices re-evaluates the split
-    per element (~4.5× slower measured at sf0.1). Per-doc distinct is a
-    dropDuplicates whose partial aggregation dedups map-side."""
-    w = words(text_col)
-    wdf = fan_out(df, id_col).select(F.col(id_col), w.alias("_w"))
+    The words array is materialized through a Generate barrier
+    (``explode(array(words))``): CollapseProject cannot inline the
+    split across a generator, so the lambda that builds each shingle
+    references the bound `_w` attribute instead of re-evaluating
+    ``split(lower(text))`` per element (~4.5× slower, measured at
+    sf0.1). Per-doc distinct is ``array_distinct`` in the same
+    projection — replacing a dropDuplicates shuffle of every shingle
+    row, which at 100 TB is the difference between a map-only stage
+    and shuffling the whole exploded corpus."""
+    wdf = (fan_out(df, id_col)
+           .select(F.col(id_col), F.explode(F.array(words(text_col))).alias("_w")))
     # sequence(1, 0) counts DOWN, so short docs need the explicit branch
     idx = F.when(F.size("_w") >= shingle_n,
                  F.sequence(F.lit(1), F.size("_w") - (shingle_n - 1))
                  ).otherwise(F.array().cast("array<int>"))
-    ex = wdf.select(F.col(id_col), F.col("_w"), F.explode(idx).alias("_i"))
-    return (ex.select(F.col(id_col),
-                      F.concat_ws(" ", F.slice("_w", F.col("_i"), shingle_n))
-                       .alias("shingle"))
-              .dropDuplicates([id_col, "shingle"])
+    arr = F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice("_w", i, shingle_n))))
+    return wdf.select(F.col(id_col), arr.alias("shingle_arr"))
+
+
+def shingle_rows(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 shingle_n: int = 3) -> DataFrame:
+    """(id, shingle, h) rows: one row per DISTINCT shingle per doc, with
+    its 28-bit md5-derived hash. Map-only (explode of the per-doc
+    distinct array — no dedup shuffle)."""
+    sa = shingle_arrays(df, id_col, text_col, shingle_n)
+    return (sa.select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
               .withColumn("h", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10)
                                .cast("long")))
+
+
+def _sig_cols(n_hashes: int) -> list:
+    """Signature columns from a `_h` array<long> of shingle hashes:
+    s_i = min over the array of the i-th affine permutation — computed
+    array-side, so signatures need NO aggregation/shuffle at all."""
+    return [F.array_min(F.transform(
+                "_h", lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE31))))
+             .alias(f"s{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(n_hashes))]
+
+
+def _with_hash_arr(sa: DataFrame) -> DataFrame:
+    return sa.withColumn("_h", F.transform(
+        "shingle_arr",
+        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")))
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -95,15 +120,14 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     """Per-doc MinHash signature as columns s0..s{n-1} plus set_size.
 
     One md5 per shingle (not per shingle×hash), n integer affine
-    permutations, ONE groupBy with map-side partial min — the 100 TB
-    shape: cost O(shingles), single shuffle keyed by doc id. Docs with
-    no shingles (< n words) are absent (can't be near-duplicates)."""
-    rows = shingle_rows(df, id_col, text_col, shingle_n)
-    aggs = [F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE31)))
-             .alias(f"s{i}")
-            for i, (a, b) in enumerate(minhash_coeffs(n_hashes))]
-    aggs.append(F.count("*").alias("set_size"))
-    return rows.groupBy(id_col).agg(*aggs)
+    permutations folded with array_min — a MAP-ONLY plan: cost
+    O(shingles), zero shuffles (3.5× faster than the groupBy shape at
+    sf0.1). Docs with no shingles (< n words) are excluded (can't be
+    near-duplicates)."""
+    sa = _with_hash_arr(shingle_arrays(df, id_col, text_col, shingle_n))
+    return (sa.filter(F.size("shingle_arr") > 0)
+              .select(F.col(id_col), *_sig_cols(n_hashes),
+                      F.size("shingle_arr").cast("long").alias("set_size")))
 
 
 def signature_array(sigs: DataFrame, id_col: str = "doc_id",
@@ -186,18 +210,16 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
                         threshold: float = 0.8) -> DataFrame:
     """End-to-end near-dup pipeline: shingle rows → signatures → LSH
     candidates → exact-Jaccard verify. Returns (id_a, id_b, jaccard)."""
-    # No explicit cache: the whole pipeline runs as one action, and all
-    # reuses of `rows`/`sigs` share lineage, so Spark's ReusedExchange
-    # dedupes the work — measured faster than .cache() (which forces
-    # separate materialization jobs and accumulates executor memory
-    # across invocations).
-    rows = shingle_rows(df, id_col, text_col, shingle_n)
-    # signature agg over the shingle rows (same shape as minhash_signatures)
-    aggs = [F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE31)))
-             .alias(f"s{i}")
-            for i, (a, b) in enumerate(minhash_coeffs(n_hashes))]
-    aggs.append(F.count("*").alias("set_size"))
-    sigs = rows.groupBy(id_col).agg(*aggs)
+    # No explicit cache: the whole pipeline runs as one action; rows and
+    # sigs both derive from the same shingle_arrays lineage (shared
+    # fan_out Exchange → ReusedExchange dedupes the shingling work) —
+    # measured faster than .cache() (which forces separate
+    # materialization jobs and accumulates executor memory).
+    sa = _with_hash_arr(shingle_arrays(df, id_col, text_col, shingle_n))
+    sigs = (sa.filter(F.size("shingle_arr") > 0)
+              .select(F.col(id_col), *_sig_cols(n_hashes),
+                      F.size("shingle_arr").cast("long").alias("set_size")))
+    rows = (sa.select(F.col(id_col), F.explode("shingle_arr").alias("shingle")))
     cands = minhash_candidate_pairs(sigs, id_col, n_hashes, bands)
     return jaccard_verify(cands, rows, sigs, id_col, threshold)
 
