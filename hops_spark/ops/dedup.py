@@ -238,7 +238,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     high-threshold pair below/above it meaningfully and would O(k²)
     the join (the classic positional-filter trick from set-similarity
     join papers)."""
-    rows = shingle_rows(df, id_col, text_col, shingle_n)
+    sa = shingle_arrays(df, id_col, text_col, shingle_n)
+    rows = sa.select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
     freq = rows.groupBy("shingle").count()
     hot = freq.filter(F.col("count") > max_shingle_freq).select("shingle")
     pruned = rows.join(F.broadcast(hot), "shingle", "left_anti")
@@ -247,7 +248,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     inter = (a.join(b, "shingle")
               .filter(F.col("id_a") < F.col("id_b"))
               .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
-    sizes = rows.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    # set sizes map-side from the per-doc distinct arrays (no groupBy shuffle)
+    sizes = (sa.filter(F.size("shingle_arr") > 0)
+               .select(F.col(id_col),
+                       F.size("shingle_arr").cast("long").alias("set_size")))
     za = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     zb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
     return (inter.join(za, "id_a").join(zb, "id_b")

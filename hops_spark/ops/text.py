@@ -71,12 +71,19 @@ PPM = 1_000_000  # ratios are exact integer parts-per-million: floating-point
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features (C4/Gopher-style, all public rules).
-    Ratios are integer ppm (see PPM note)."""
+    Ratios are integer ppm (see PPM note).
+
+    The words array goes through a Generate barrier
+    (``explode(array(words))``) so the split is evaluated once per doc
+    and the word-level signals (count, stopword filter, distinct) read
+    the bound `_w` attribute — higher-order lambdas are interpreted, so
+    letting CollapseProject inline the split into them re-tokenizes the
+    document per signal."""
     t = F.col(text_col)
-    w = words(t)
-    n_words = F.size(w)
+    d = df.select("*", F.explode(F.array(words(t))).alias("_w"))
+    n_words = F.size("_w")
     n_chars = F.length(t)
-    d = df.withColumns({
+    d = d.withColumns({
         "n_chars_m": n_chars,
         "n_words": n_words,
         "_nw1": F.greatest(n_words, F.lit(1)).cast("long"),
@@ -84,9 +91,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         "_nonspace": F.length(F.regexp_replace(F.lower(t), r"\s+", "")).cast("long"),
         "_punct": F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", "")).cast("long"),
         "_digit": F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("long"),
-        "_sw": F.size(F.filter(w, lambda x: F.array_contains(
+        "_sw": F.size(F.filter("_w", lambda x: F.array_contains(
             F.array(*[F.lit(s) for s in STOPWORDS["en"]]), x))).cast("long"),
-        "_uniq": F.size(F.array_distinct(w)).cast("long"),
+        "_uniq": F.size(F.array_distinct("_w")).cast("long"),
     })
     return d.withColumns({
         "mean_word_len_ppm": F.expr(f"(_nonspace * {PPM}) div _nw1"),
@@ -94,7 +101,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         "digit_ppm": F.expr(f"(_digit * {PPM}) div _nc1"),
         "stopword_ppm": F.expr(f"(_sw * {PPM}) div _nw1"),
         "uniq_ppm": F.expr(f"(_uniq * {PPM}) div _nw1"),
-    }).drop("_nw1", "_nc1", "_nonspace", "_punct", "_digit", "_sw", "_uniq")
+    }).drop("_nw1", "_nc1", "_nonspace", "_punct", "_digit", "_sw", "_uniq", "_w")
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
