@@ -55,11 +55,13 @@ def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFra
 
 def _fake_decode(payload: bytes, kind: str) -> list[float]:
     """Deterministic stand-in for a real decoder: 8 pseudo-features from
-    the payload digest. Replace via set_decoder() when PIL/librosa/etc.
-    are available."""
+    the digest of the payload's hex representation (hex, not raw bytes,
+    so a SQL oracle can recompute it: md5(lower(hex(payload))) —
+    DuckDB's md5 only accepts VARCHAR). Replace via set_decoder() when
+    PIL/librosa/etc. are available."""
     if payload is None:
         return [0.0] * 8
-    h = hashlib.md5(payload).digest()
+    h = hashlib.md5(payload.hex().encode()).digest()
     return [b / 255.0 for b in h[:8]]
 
 

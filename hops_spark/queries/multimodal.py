@@ -20,12 +20,38 @@ from hops_spark.registry import register
 
 @register(
     "media_features",
-    sql=None,  # mapInPandas + python-side md5 of binary payload: the
-               # Arrow plumbing is the subject; rows-only check.
+    # Full value-hash oracle: the stub decoder hashes the payload's HEX
+    # form, so DuckDB recomputes features exactly — payload =
+    # unhex(repeat(md5('42|'||id), 8)), hence lower(hex(payload)) is the
+    # repeated md5 hex itself; byte j of the digest decodes via strpos
+    # on the hex alphabet.
+    sql="""
+    WITH media AS (
+        SELECT id AS media_id,
+               ['image', 'audio', 'video'][(id % 3) + 1] AS kind,
+               id * 100 AS duration_ms,
+               md5(repeat(md5('42|' || id), 8)) AS digest
+        FROM generate_series(0, 255) AS t(id)
+    ), bytes AS (
+        SELECT media_id, kind, duration_ms,
+               (strpos('0123456789abcdef', digest[1:1]) - 1) * 16
+               + (strpos('0123456789abcdef', digest[2:2]) - 1) AS b0,
+               (strpos('0123456789abcdef', digest[15:15]) - 1) * 16
+               + (strpos('0123456789abcdef', digest[16:16]) - 1) AS b7
+        FROM media
+    )
+    SELECT media_id, kind, duration_ms,
+           round(b0 / 255.0, 6) AS f0,
+           round(b7 / 255.0, 6) AS f7
+    FROM bytes
+    ORDER BY media_id
+    """,
     doc="Multimodal feature extraction: binary payload column → "
         "mapInPandas (Arrow batches) → features array<double>. The "
         "decoder is the deterministic stub (set_decoder() installs a "
-        "real one); schema/batching/partitioning are production-shaped.",
+        "real one); schema/batching/partitioning are production-shaped, "
+        "and the stub's features are value-hash verified by a DuckDB "
+        "oracle that recomputes the digest relationally.",
     tags=("multimodal", "north-star", "pandas-udf"),
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
