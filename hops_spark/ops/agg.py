@@ -98,14 +98,24 @@ def aggregate_job(df: DataFrame, key_cols: list[str],
     return out.select(*key_cols, *[a for _, _, a in spec])
 
 
-def value_histogram(df: DataFrame, key_cols: list[str], item_col: str) -> DataFrame:
+def value_histogram(df: DataFrame, key_cols: list[str], item_col: str,
+                    max_items: int = 10) -> DataFrame:
     """ValueHistogram parity (mapreduce/lib/aggregate/ValueHistogram.java:38).
 
     Per key: number of distinct items, min/median/max/avg/stddev of the
-    per-item occurrence counts. Two-level aggregation — both levels are
-    shuffle-partial-combined; level 2 groups on a prefix of level 1's
-    keys so AQE can often reuse the exchange."""
+    per-item occurrence counts, plus the retained item list itself
+    (ValueHistogram's getReportDetails) — deterministic: items sorted
+    ascending, capped at ``max_items``, rendered "item:count|…" (scalar
+    string so the driver canonicalizer can hash it). Two-level
+    aggregation — both levels are shuffle-partial-combined; level 2
+    groups on a prefix of level 1's keys so AQE can often reuse the
+    exchange. The item list collects only the *capped* per-key slice via
+    sort+slice on the grouped structs, so driver memory per key is
+    bounded by the distinct-item count post-aggregation (one struct per
+    distinct item, not per row)."""
     per_item = df.groupBy(*key_cols, item_col).agg(F.count("*").alias("_n"))
+    items = F.slice(F.sort_array(F.collect_list(F.struct(item_col, "_n"))),
+                    1, max_items)
     return per_item.groupBy(*key_cols).agg(
         F.count("*").alias("n_distinct_items"),
         F.min("_n").alias("min_count"),
@@ -113,6 +123,10 @@ def value_histogram(df: DataFrame, key_cols: list[str], item_col: str) -> DataFr
         F.max("_n").alias("max_count"),
         F.avg("_n").alias("avg_count"),
         F.stddev_pop("_n").alias("stddev_count"),
+        F.array_join(
+            F.transform(items, lambda s: F.concat_ws(
+                ":", s[item_col].cast("string"), s["_n"].cast("string"))),
+            "|").alias("items_capped"),
     )
 
 

@@ -138,6 +138,17 @@ def signature_array(sigs: DataFrame, id_col: str = "doc_id",
                         .alias("signature"))
 
 
+def signature_string(sigs: DataFrame, id_col: str = "doc_id",
+                     n_hashes: int = 16) -> DataFrame:
+    """Signature packed as a '|'-joined string — the registered
+    presentation form (array cells are unhashable in the driver's pandas
+    canonicalizer, so registered outputs must be scalar)."""
+    return sigs.select(F.col(id_col),
+                       F.concat_ws("|", *[F.col(f"s{i}").cast("string")
+                                          for i in range(n_hashes)])
+                        .alias("signature"))
+
+
 def minhash_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                             n_hashes: int = 16, bands: int = 4,
                             max_bucket: int = 1000) -> DataFrame:
@@ -298,10 +309,18 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                       bits: int = 32, max_hamming: int = 3, n_tables: int = 4) -> DataFrame:
+                       bits: int = 32, max_hamming: int = 3, n_tables: int = 4,
+                       max_bucket: int = 1000) -> DataFrame:
     """SimHash near-dup: block on bit-chunks (a pair within hamming d
     must agree on at least one of n_tables chunks when d < n_tables),
-    then verify hamming distance exactly via bit_count(xor)."""
+    then verify hamming distance exactly via bit_count(xor).
+
+    Same collect-sort-cap-emit shape as ``minhash_candidate_pairs`` (no
+    self-join): ONE shuffle gathers each (table, chunk) bucket, buckets
+    larger than ``max_bucket`` — a popular chunk value on a
+    boilerplate-heavy corpus, the O(k²) cliff — are dropped, and pairs
+    are emitted from the sorted in-bucket array. Per-bucket state is
+    bounded by max_bucket (id, simhash) structs."""
     st = simhash_table(df, id_col, text_col, bits)
     chunk = bits // n_tables
     mask = (1 << chunk) - 1
@@ -312,12 +331,23 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
                                 .bitwiseAND(F.lit(mask)).alias("chunk")))
     ex = (st.select(id_col, "simhash", F.explode(F.array(*blocks)).alias("b"))
             .select(id_col, "simhash", "b.tbl", "b.chunk"))
-    a, b = ex.alias("a"), ex.alias("b")
-    return (a.join(b, ["tbl", "chunk"])
-             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"),
-                     F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-                      .alias("hamming"))
-             .distinct()
-             .filter(F.col("hamming") <= max_hamming))
+    # sort_array orders the structs by id (first field) → emitted pairs
+    # already satisfy id_a < id_b.
+    buckets = (ex.groupBy("tbl", "chunk")
+                 .agg(F.sort_array(F.collect_list(
+                     F.struct(F.col(id_col).alias("id"),
+                              F.col("simhash").alias("sh")))).alias("members"))
+                 .filter((F.size("members") >= 2)
+                         & (F.size("members") <= max_bucket)))
+    pair_arr = F.flatten(F.transform(
+        "members",
+        lambda x, i: F.transform(
+            F.slice("members", i + F.lit(2), F.size("members")),
+            lambda y: F.struct(x["id"].alias("id_a"), y["id"].alias("id_b"),
+                               x["sh"].alias("sh_a"), y["sh"].alias("sh_b")))))
+    return (buckets.select(F.explode(pair_arr).alias("p"))
+                   .select("p.id_a", "p.id_b",
+                           F.bit_count(F.col("p.sh_a").bitwiseXOR(F.col("p.sh_b")))
+                            .alias("hamming"))
+                   .filter(F.col("hamming") <= max_hamming)
+                   .distinct())

@@ -109,19 +109,32 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
 
 def embedding_near_dup(corpus: DataFrame, dim: int, threshold: float = 0.95,
                        n_planes: int = 8, id_col: str = "vec_id",
-                       vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+                       vec_col: str = "embedding", seed: int = 42,
+                       max_bucket: int = 10000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH blocking: pairs
-    sharing a bucket with cosine ≥ threshold. (id_a < id_b.)"""
+    sharing a bucket with cosine ≥ threshold. (id_a < id_b.)
+
+    Skew guard: with only 2^n_planes buckets an average bucket holds
+    N/2^n_planes vectors and the within-bucket product is O(N²/2^n_planes)
+    — a scale cliff. Bucket sizes are counted first (tiny aggregate: at
+    most 2^n_planes rows, broadcast), buckets beyond ``max_bucket`` are
+    dropped before the join, so the join output is bounded by
+    max_bucket² per bucket. Raise n_planes (finer buckets) rather than
+    max_bucket to recover recall on dense corpora."""
     cb = (corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
                  .select(id_col, vec_col, "_bucket"))
+    ok = (cb.groupBy("_bucket").agg(F.count("*").alias("_bn"))
+            .filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket))
+            .select("_bucket"))
+    cb = cb.join(F.broadcast(ok), "_bucket", "left_semi")
     a = cb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "_bucket")
     b = cb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "_bucket")
     return (a.join(b, "_bucket")
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b",
                      F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
-             .distinct()
-             .filter(F.col("cos_sim") >= threshold))
+             .filter(F.col("cos_sim") >= threshold)
+             .distinct())
 
 
 def ivf_centroids(corpus: DataFrame, n_cells: int, id_col: str = "vec_id",

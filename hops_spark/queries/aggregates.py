@@ -21,7 +21,7 @@ from hops_spark.registry import register
     "value_aggregator_job",
     sql="""
     SELECT l_returnflag,
-           sum(CAST(l_quantity AS BIGINT))      AS sum_qty,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            round(sum(l_extendedprice), 2)        AS sum_price,
            max(CAST(l_orderkey AS BIGINT))       AS max_orderkey,
            min(CAST(l_orderkey AS BIGINT))       AS min_orderkey,
@@ -63,7 +63,8 @@ def value_aggregator_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT o_orderpriority,
            count(DISTINCT o_orderstatus) AS n_uniq,
-           list_sort(list(DISTINCT o_orderstatus))[1:2] AS uniq_values_capped
+           array_to_string(list_sort(list(DISTINCT o_orderstatus))[1:2], '|')
+               AS uniq_values_capped
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -76,7 +77,8 @@ def uniq_value_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (o.groupBy("o_orderpriority")
              .agg(A.uniq_count("o_orderstatus").alias("n_uniq"),
-                  A.uniq_values("o_orderstatus", max_unique=2).alias("uniq_values_capped"))
+                  F.concat_ws("|", A.uniq_values("o_orderstatus", max_unique=2))
+                   .alias("uniq_values_capped"))
              .orderBy("o_orderpriority"))
 
 
@@ -93,13 +95,17 @@ def uniq_value_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            median(_n)                  AS median_count,
            max(_n)                     AS max_count,
            round(avg(_n), 6)           AS avg_count,
-           round(stddev_pop(_n), 6)    AS stddev_count
+           round(stddev_pop(_n), 6)    AS stddev_count,
+           array_to_string(
+               list(CAST(l_suppkey AS VARCHAR) || ':' || CAST(_n AS VARCHAR)
+                    ORDER BY l_suppkey)[1:10], '|') AS items_capped
     FROM per_item
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
     doc="ValueHistogram: count/min/median/max/avg/stddev of per-item counts "
-        "(reference ValueHistogram.java:38).",
+        "plus the retained item list (sorted, capped at 10, 'item:count|…') "
+        "(reference ValueHistogram.java:38 getReport + getReportDetails).",
     tags=("agg",),
 )
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,9 +172,21 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_parts",
-    sql=None,  # approximate — no exact oracle; rows-only check
+    # Self-verifying oracle: the HLL estimate itself is engine-specific,
+    # so the registered output is the exact count plus a boolean asserting
+    # the estimate landed within 5 % — which DuckDB CAN check exactly.
+    sql="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           true AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
     doc="approx_count_distinct (HLL) — the scale default for UniqValueCount-type "
-        "questions; exact opt-in per SURVEY §7.4.6.",
+        "questions; exact opt-in per SURVEY §7.4.6. Output is self-verifying: "
+        "exact count + bounds-check boolean (|approx-exact|/exact <= 0.05), "
+        "giving the approximate op a full value-hash oracle.",
     tags=("agg", "approx"),
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,4 +194,7 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.groupBy("l_returnflag")
               .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
                    F.countDistinct("l_partkey").alias("exact_parts"))
+              .select("l_returnflag", "exact_parts",
+                      (F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                       / F.col("exact_parts") <= 0.05).alias("approx_within_5pct"))
               .orderBy("l_returnflag"))

@@ -63,23 +63,25 @@ def _duck_sigs_cte(where: str = "") -> str:
 
 
 _DUCK_SIGS_CTE = _duck_sigs_cte()
-_SIG_ARRAY = "[" + ", ".join(f"s{i}" for i in range(N_HASHES)) + "]"
+_SIG_STRING = " || '|' || ".join(f"CAST(s{i} AS VARCHAR)"
+                                 for i in range(N_HASHES))
 
 
 @register(
     "minhash_signatures",
     sql=_DUCK_SIGS_CTE + f"""
-    SELECT doc_id, {_SIG_ARRAY} AS signature FROM sigs ORDER BY doc_id
+    SELECT doc_id, {_SIG_STRING} AS signature FROM sigs ORDER BY doc_id
     """,
     doc="MinHash signatures: one md5 per shingle → 28-bit int → 16 affine "
         "permutations mod 2^31-1 → per-doc min (single shuffle, map-side "
-        "partial min). Identical integer arithmetic in DuckDB.",
+        "partial min). Identical integer arithmetic in DuckDB; presented "
+        "as a '|'-joined string (driver canonicalizer needs scalars).",
     tags=("dedup", "north-star"),
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(d, "doc_id", "text", N_HASHES, SHINGLE_N)
-    return D.signature_array(sigs, "doc_id", N_HASHES).orderBy("doc_id")
+    return D.signature_string(sigs, "doc_id", N_HASHES).orderBy("doc_id")
 
 
 def _duck_band_structs() -> str:

@@ -143,7 +143,8 @@ def event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH mx AS (SELECT max(ts) AS max_ts FROM events)
     SELECT event_type,
            count(*) AS n_total,
-           sum(CASE WHEN ts < max_ts - INTERVAL '7 days' THEN 1 ELSE 0 END) AS n_late
+           CAST(sum(CASE WHEN ts < max_ts - INTERVAL '7 days' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late
     FROM events, mx
     GROUP BY event_type
     ORDER BY event_type

@@ -52,7 +52,8 @@ def meta_get_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "meta_content_summary",
     sql=_DUCK_INODES + """
-    SELECT parent AS dir, count(*) AS n_files, sum(size) AS total_bytes,
+    SELECT parent AS dir, count(*) AS n_files,
+           CAST(sum(size) AS BIGINT) AS total_bytes,
            max(size) AS max_file, min(size) AS min_file
     FROM inodes
     GROUP BY parent
@@ -145,10 +146,12 @@ def meta_batched_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "meta_quota_rollup",
     sql=_DUCK_INODES + """
     , per_dir AS (
-        SELECT parent AS dir, count(*) AS ns_delta, sum(size) AS ds_delta
+        SELECT parent AS dir, count(*) AS ns_delta,
+               CAST(sum(size) AS BIGINT) AS ds_delta
         FROM inodes GROUP BY parent
     )
-    SELECT 'root' AS dir, sum(ns_delta) AS namespace, sum(ds_delta) AS diskspace
+    SELECT 'root' AS dir, CAST(sum(ns_delta) AS BIGINT) AS namespace,
+           CAST(sum(ds_delta) AS BIGINT) AS diskspace
     FROM per_dir
     UNION ALL
     SELECT dir, ns_delta AS namespace, ds_delta AS diskspace FROM per_dir
@@ -238,7 +241,7 @@ _DUCK_BLOCKS = _DUCK_INODES + """
     "meta_block_report",
     sql=_DUCK_BLOCKS + """
     SELECT r.datanode_id, count(*) AS n_replicas,
-           sum(b.num_bytes) AS stored_bytes
+           CAST(sum(b.num_bytes) AS BIGINT) AS stored_bytes
     FROM replicas r JOIN blocks b USING (block_id)
     GROUP BY datanode_id
     ORDER BY datanode_id
@@ -299,7 +302,8 @@ def meta_under_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE inode_id % 20 = 0
     )
     SELECT holder, count(*) AS n_leases,
-           sum(CASE WHEN renewed_s_ago > 60 THEN 1 ELSE 0 END) AS n_expired,
+           CAST(sum(CASE WHEN renewed_s_ago > 60 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_expired,
            max(renewed_s_ago) AS oldest_s
     FROM leases
     GROUP BY holder

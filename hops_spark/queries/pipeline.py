@@ -59,8 +59,8 @@ QMIN = 2_300_000  # quality_score_ppm floor (range 0..4M; keeps ~top 3/4)
           AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
     )
     SELECT source, count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
-           sum(n_words) AS total_tokens
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_words) AS BIGINT) AS total_tokens
     FROM keep
     GROUP BY source
     ORDER BY source

@@ -140,7 +140,7 @@ def scan_percent_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_events",
     sql="""
     SELECT event_type,
-           sum(TRY_CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           CAST(sum(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events
     GROUP BY event_type

@@ -111,8 +111,8 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_counts",
     sql=f"""
     SELECT source,
-           sum(len({_DUCK_WORDS})) AS ws_tokens,
-           sum(len(regexp_extract_all(text, '{BPE_TOKEN_RE.replace(chr(39), chr(39) * 2)}'))) AS bpe_tokens,
+           CAST(sum(len({_DUCK_WORDS})) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '{BPE_TOKEN_RE.replace(chr(39), chr(39) * 2)}'))) AS BIGINT) AS bpe_tokens,
            count(*) AS n_docs
     FROM documents
     GROUP BY source

@@ -41,7 +41,50 @@ def register(name: str, sql: str | None = None, doc: str = "",
     return deco
 
 
+# Explicit registry order. The driver's correctness gate hash-checks the
+# FIRST 50 ``load_all()`` entries per round, so ordering is a coverage
+# decision: the north-star surface (dedup, similarity, multimodal, text,
+# pipeline, metadata, streaming-window) plus any query lacking a green
+# driver row goes first; the TPC-H/join/sort families that already earned
+# green rows in round 1 rotate behind. Names not listed keep their
+# registration order after the listed ones; listed-but-unregistered names
+# are ignored (lets the list name queries added later in the round).
+DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    "q1_pricing_summary",                                   # flagship
+    # dedup family (north-star)
+    "dedup_exact", "minhash_signatures", "minhash_dedup_pairs",
+    "ngram_jaccard_pairs", "simhash_signatures", "simhash_near_pairs",
+    # similarity / ANN family (north-star)
+    "knn_bruteforce", "knn_lsh", "knn_ivf", "embedding_near_dup",
+    # text analysis (north-star)
+    "doc_quality", "lang_id", "token_counts", "doc_fingerprint",
+    # multimodal plumbing (north-star)
+    "media_features", "media_frame_sample",
+    # composed pipeline (north-star)
+    "pipeline_clean_corpus",
+    # metadata engine (§2.11)
+    "meta_get_listing", "meta_content_summary", "meta_glob_status",
+    "meta_point_lookup", "meta_batched_lookup", "meta_quota_rollup",
+    "meta_path_resolve", "meta_block_report", "meta_under_replicated",
+    "meta_expired_leases", "meta_subtree_delete",
+    # streaming-window batch twins (§2.8)
+    "tumbling_window_agg", "sliding_window_agg", "session_window_agg",
+    "event_dedup", "late_data_policy", "join_range_events",
+    # aggregator family (r1 driver rows: 2 FAIL, 1 crash, 1 no-oracle)
+    "value_aggregator_job", "uniq_value_count", "value_histogram",
+    "word_stats", "rollup_revenue", "approx_distinct_parts",
+    # projection / scan representatives (incl. r1 hash-FAIL json extract)
+    "wordcount", "grep", "field_selection", "inverse_map",
+    "scan_percent_filter", "json_extract_events",
+    # r1 hash-FAIL TPC-H row + untested setops
+    "q12_priority_by_status", "set_intersect", "set_except",
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module so registrations run, then return the registry."""
+    """Import every query module so registrations run; return the registry
+    with ``DRIVER_WINDOW_PRIORITY`` names first (driver checks first 50)."""
     import hops_spark.queries  # noqa: F401  (package __init__ imports submodules)
-    return QUERIES
+    ordered = {n: QUERIES[n] for n in DRIVER_WINDOW_PRIORITY if n in QUERIES}
+    ordered.update({n: s for n, s in QUERIES.items() if n not in ordered})
+    return ordered

@@ -178,3 +178,20 @@ def test_inodes_partitioned_layout_prunes(spark, sf_dir, tmp_path):
     plan = _formatted(listing)
     pf = plan.split("PartitionFilters")[1][:200]
     assert "src1" in pf  # pruned at planning time, not post-scan
+
+
+def test_simhash_pairs_no_self_join(spark, sf_dir):
+    """simhash_near_pairs uses collect-sort-cap-emit (one shuffle), not a
+    bucket self-join — the O(k²)-cliff guard (VERDICT r1 #5)."""
+    plan = _plan(SPECS["simhash_near_pairs"].fn(spark, sf_dir))
+    assert "Join" not in plan  # no SortMergeJoin/BroadcastHashJoin at all
+    # bit-vote agg + bucket agg + distinct + the query's presentation sort
+    assert plan.count("Exchange") <= 4
+
+
+def test_embedding_near_dup_caps_buckets(spark, sf_dir):
+    """embedding_near_dup drops oversized LSH buckets before the pair
+    join (bucket-size semi-filter broadcasts; VERDICT r1 #6)."""
+    plan = _plan(SPECS["embedding_near_dup"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan  # size-cap filter is present
+    assert "BroadcastHashJoin" in plan  # ...and broadcast, not shuffled

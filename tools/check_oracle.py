@@ -8,6 +8,12 @@ Usage:
 Comparison: columns sorted by name; rows sorted; floats rounded to 9
 significant-ish decimals before hashing (the queries themselves round
 their outputs, so this only absorbs 1-ulp engine noise).
+
+Type-strict: the driver's value hasher distinguishes column types, so a
+DuckDB integer ``sum()`` (HUGEINT/int128) hash-mismatches a Spark bigint
+even when the values are equal. We therefore compare the DuckDB result
+column types against the Spark schema and fail on any numeric drift —
+the oracle SQL must ``CAST(sum(...) AS BIGINT)`` explicitly.
 """
 
 from __future__ import annotations
@@ -24,6 +30,51 @@ import duckdb
 from hops_spark.io.readers import TABLES
 from hops_spark.registry import load_all
 from hops_spark.session import get_spark
+
+
+# Spark simpleString dtype -> acceptable DuckDB type strings, mirroring
+# the driver's pandas canonicalization: all <=64-bit integers coerce to
+# equal-printing values, so they form one class — but DuckDB HUGEINT
+# (integer sum()) leaves the class (pandas object/float) and hash-fails
+# even when values match (r1: q12, value_aggregator_job, json_extract).
+# Cross-class (int vs float) also fails: "1" != "1.0".
+_INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+         "UTINYINT", "USMALLINT", "UINTEGER"}
+_TYPE_MAP = {
+    "bigint": _INTS,
+    "int": _INTS,
+    "smallint": _INTS,
+    "tinyint": _INTS,
+    "double": {"DOUBLE"},
+    "float": {"FLOAT", "DOUBLE"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP_NS", "TIMESTAMP WITH TIME ZONE"},
+    "timestamp_ntz": {"TIMESTAMP", "TIMESTAMP_NS"},
+    "binary": {"BLOB"},
+}
+
+
+def type_problems(sdf, d_cols, d_types):
+    """Compare Spark schema with DuckDB result types; return mismatch strings."""
+    spark_types = dict(sdf.dtypes)
+    probs = []
+    for col, dt in zip(d_cols, d_types):
+        st = spark_types.get(col)
+        if st is None:
+            continue  # column-set mismatch reported separately
+        duck = str(dt).upper()
+        allowed = _TYPE_MAP.get(st)
+        if allowed is None:
+            # decimal(p,s) must match exactly; nested types are lenient
+            if st.startswith("decimal"):
+                if duck != st.upper():
+                    probs.append(f"{col}: spark {st} vs duck {duck}")
+            continue
+        if duck not in allowed:
+            probs.append(f"{col}: spark {st} vs duck {duck}")
+    return probs
 
 
 def norm_cell(v):
@@ -68,6 +119,15 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        nested = [c for c, t in sdf.dtypes
+                  if t.startswith(("array<", "map<", "struct<"))]
+        if nested:
+            # The driver's pandas canonicalizer crashes on unhashable
+            # list/dict cells — registered outputs must be scalar.
+            print(f"FAIL {name}: nested output columns {nested} "
+                  f"(driver canonicalizer crashes on these)")
+            n_fail += 1
+            continue
         if spec.sql is None:
             print(f"SKIP {name}: rows-only ({len(s_rows)} rows, "
                   f"{time.time() - t0:.1f}s)")
@@ -76,6 +136,7 @@ def main() -> int:
         try:
             d = con.sql(spec.sql)
             d_cols = [c[0] for c in d.description]
+            d_types = list(d.types)
             d_rows = d.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
@@ -84,6 +145,7 @@ def main() -> int:
         problems = []
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        problems += ["type " + p for p in type_problems(sdf, d_cols, d_types)]
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if not problems:
