@@ -129,3 +129,82 @@ def replicas_from_blocks(blocks: DataFrame) -> DataFrame:
               .withColumn("is_lost", F.pmod(mix, F.lit(50)) == 0)
               .filter(~F.col("is_lost"))
               .drop("is_lost"))
+
+
+# --- Subtree operations (SURVEY §2.11 "subtree ops") --------------------
+#
+# Reference: FSNamesystem.java:7398 lockSubtree + delete/renameTo — a big
+# directory mutation takes a subtree lock, then executes as MANY bounded
+# DB transactions (batched PK ranges over the inodes table), leaf levels
+# first, each batch also appending MetadataLogEntry rows for the CDC /
+# quota pipeline. The Spark realization keeps exactly that shape:
+# membership is a path-prefix filter, the transaction chunking is a
+# map-only PK-range bucket (floor(inode_id / batch)) per depth level, and
+# deeper levels get strictly smaller... larger-priority tx ids so a
+# replayer commits leaves before their parents. No global row_number —
+# a total order over the subtree would serialize on one partition at
+# 100 TB; PK-range chunks are what the reference itself uses for its
+# batched transactions.
+
+_TX_LEVEL_STRIDE = 1 << 40  # tx_id = level_rank * stride + pk_chunk
+
+
+def subtree_members(inodes: DataFrame, root: str) -> DataFrame:
+    """All inodes inside the subtree rooted at directory ``root``:
+    direct children (parent == root) plus every descendant
+    (parent starts with 'root/')."""
+    return inodes.filter((F.col("parent") == root)
+                         | F.col("parent").startswith(root + "/"))
+
+
+def _leaf_first_tx(mem: DataFrame, batch: int) -> DataFrame:
+    """Assign leaf-first batched tx ids. Depth ranks are collected to the
+    driver — contractually tiny (bounded by max path depth, the
+    reference caps at PATH_MAX components), like the IVF codebook."""
+    mem = mem.withColumn("_depth", F.size(F.split(F.col("parent"), "/")))
+    depths = sorted((r[0] for r in mem.select("_depth").distinct().collect()),
+                    reverse=True)
+    rank = F.lit(None).cast("long")
+    for i, d in enumerate(depths):
+        rank = F.when(F.col("_depth") == d, F.lit(i).cast("long")).otherwise(rank)
+    return mem.withColumn(
+        "tx_id",
+        rank * F.lit(_TX_LEVEL_STRIDE)
+        + F.floor(F.col("inode_id") / F.lit(batch)).cast("long"))
+
+
+def subtree_delete(inodes: DataFrame, root: str,
+                   batch: int = 1000) -> tuple[DataFrame, DataFrame]:
+    """Batched subtree delete. Returns ``(post_state, log)``:
+    ``post_state`` = inodes minus the subtree; ``log`` = one DELETE
+    MetadataLogEntry per removed inode with its leaf-first batch tx_id.
+    Log convention matches cdc.quota_deltas: size_delta carries the
+    positive magnitude and the op supplies the sign (DELETE → −)."""
+    mem = _leaf_first_tx(subtree_members(inodes, root), batch)
+    log = mem.select("tx_id", "inode_id", "parent",
+                     F.lit("DELETE").alias("op"),
+                     F.col("size").alias("size_delta"),
+                     F.current_timestamp().alias("ts"))
+    post = inodes.join(mem.select("inode_id"), "inode_id", "left_anti")
+    return post, log
+
+
+def subtree_rename(inodes: DataFrame, src: str, dst: str,
+                   batch: int = 1000) -> tuple[DataFrame, DataFrame]:
+    """Batched subtree rename src → dst. parent paths are prefix-
+    rewritten and partition ids recomputed (children move to the
+    destination directory's partition); every moved inode logs a RENAME
+    entry (size_delta 0 — quota-neutral within the subtree; the
+    reference adjusts only the two ancestor chains)."""
+    mem = _leaf_first_tx(subtree_members(inodes, src), batch)
+    moved = mem.withColumn(
+        "parent",
+        F.concat(F.lit(dst), F.expr(f"substring(parent, {len(src) + 1})")))
+    moved = with_partition_id(moved)
+    log = moved.select("tx_id", "inode_id", "parent",
+                       F.lit("RENAME").alias("op"),
+                       F.lit(0).cast("long").alias("size_delta"),
+                       F.current_timestamp().alias("ts"))
+    keep = inodes.join(mem.select("inode_id"), "inode_id", "left_anti")
+    post = keep.unionByName(moved.select(*keep.columns))
+    return post, log

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hops_spark.catalog.metastore import inodes_from_documents
+from hops_spark.catalog.metastore import inodes_from_documents, subtree_delete
 from hops_spark.registry import register
 
 _DUCK_INODES = """
@@ -329,3 +329,44 @@ def meta_expired_leases(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("n_expired"),
                        F.max("renewed_s_ago").alias("oldest_s"))
                   .orderBy("holder"))
+
+
+@register(
+    "meta_subtree_delete",
+    sql=_DUCK_INODES + """
+    , sub AS (
+        SELECT * FROM inodes WHERE parent = 'src1' OR parent LIKE 'src1/%'
+    ), post AS (
+        SELECT * FROM inodes
+        WHERE inode_id NOT IN (SELECT inode_id FROM sub)
+    )
+    SELECT parent AS dir, count(*) AS n_files,
+           CAST(sum(size) AS BIGINT) AS total_bytes,
+           CAST(0 AS BIGINT) AS n_batches
+    FROM post GROUP BY parent
+    UNION ALL
+    SELECT 'deleted:src1', count(*), CAST(sum(size) AS BIGINT),
+           count(DISTINCT inode_id // 100)
+    FROM sub
+    ORDER BY dir
+    """,
+    doc="Subtree delete (reference FSNamesystem.java:7398 lockSubtree + "
+        "batched leaf-first delete transactions): remove the 'src1' "
+        "subtree in PK-range batches of 100, emit post-state per-dir "
+        "content summary plus the deletion accounting row (files, bytes "
+        "freed, transaction batch count).",
+    tags=("metadata", "mutation"),
+)
+def meta_subtree_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ino = inodes_from_documents(spark, sf_dir)
+    post, log = subtree_delete(ino, "src1", batch=100)
+    post_sum = (post.groupBy(F.col("parent").alias("dir"))
+                    .agg(F.count("*").alias("n_files"),
+                         F.sum("size").alias("total_bytes"),
+                         F.lit(0).cast("long").alias("n_batches")))
+    del_sum = (log.agg(F.count("*").alias("n_files"),
+                       F.sum("size_delta").alias("total_bytes"),
+                       F.countDistinct("tx_id").alias("n_batches"))
+                  .select(F.lit("deleted:src1").alias("dir"),
+                          "n_files", "total_bytes", "n_batches"))
+    return post_sum.unionByName(del_sum).orderBy("dir")
