@@ -62,6 +62,48 @@ def compact(df: DataFrame, path: str, target_files: int = 1, mode: str = "overwr
     df.coalesce(target_files).write.mode(mode).parquet(path)
 
 
+def har_create(df: DataFrame, path: str, path_col: str = "path",
+               target_files: int = 1, mode: str = "overwrite") -> None:
+    """Hadoop Archive parity with a point-read index (reference
+    hadoop-tools/hadoop-archives/.../HadoopArchives.java:83 writes
+    ``_index`` per-file entries + ``_masterindex`` range blocks).
+
+    Layout: rows (one per archived file) are range-partitioned and
+    sorted by ``path_col`` into ``<path>/store`` parquet parts — so each
+    part holds one contiguous path range and parquet row-group min/max
+    stats make a per-path point read prune to a single row group. The
+    manifest ``<path>/_index`` records one row per physical part:
+    (part_file, lo_path, hi_path, n_files) — exactly the masterindex
+    contract: small (one row per part file, not per archived file),
+    driver-loadable, maps a path to the one part that can hold it."""
+    (df.repartitionByRange(target_files, F.col(path_col))
+       .sortWithinPartitions(path_col)
+       .write.mode(mode).parquet(f"{path}/store"))
+    spark = df.sparkSession
+    store = spark.read.parquet(f"{path}/store")
+    idx = (store.groupBy(F.input_file_name().alias("part_file"))
+                .agg(F.min(path_col).alias("lo_path"),
+                     F.max(path_col).alias("hi_path"),
+                     F.count("*").alias("n_files")))
+    idx.coalesce(1).write.mode(mode).parquet(f"{path}/_index")
+
+
+def har_lookup(spark, path: str, file_path: str, path_col: str = "path") -> DataFrame:
+    """Point read from a ``har_create`` archive: consult the manifest
+    for the one part whose [lo, hi] range covers the path (driver-side —
+    the masterindex is contractually tiny, one row per part file), then
+    scan only that part with a pushed-down equality filter (sorted
+    layout → row-group stats prune to one group)."""
+    parts = (spark.read.parquet(f"{path}/_index")
+                  .filter((F.col("lo_path") <= file_path)
+                          & (F.col("hi_path") >= file_path))
+                  .select("part_file").collect())
+    if not parts:
+        return spark.read.parquet(f"{path}/store").limit(0)
+    return (spark.read.parquet(*[r[0] for r in parts])
+                 .filter(F.col(path_col) == file_path))
+
+
 _SEQ_CODECS = {
     "gzip": "org.apache.hadoop.io.compress.GzipCodec",
     "bzip2": "org.apache.hadoop.io.compress.BZip2Codec",

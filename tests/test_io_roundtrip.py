@@ -163,3 +163,30 @@ def test_read_auto_dispatch(spark, tmp_path):
     with open(txt, "w") as f:
         f.write("hello\n")
     assert read_auto(spark, txt).collect()[0].line == "hello"
+
+
+def test_har_pack_and_point_read(spark, sf_dir, tmp_path):
+    """HAR round-trip: pack per-file rows, look one up via the manifest,
+    bytes equal (reference HadoopArchives _index/_masterindex contract)."""
+    from hops_spark.io.writers import har_create, har_lookup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    files = d.select(
+        F.concat(F.lit("docs/"), F.col("doc_id").cast("string")).alias("path"),
+        F.encode("text", "UTF-8").alias("data"))
+    har = str(tmp_path / "har")
+    har_create(files, har, target_files=4)
+
+    # manifest is per-part, not per-file
+    idx = spark.read.parquet(f"{har}/_index")
+    assert idx.count() == 4
+    assert idx.agg(F.sum("n_files")).collect()[0][0] == files.count()
+
+    probe = d.select("doc_id", "text").orderBy("doc_id").limit(3).collect()
+    for row in probe:
+        got = har_lookup(spark, har, f"docs/{row['doc_id']}").collect()
+        assert len(got) == 1
+        assert bytes(got[0]["data"]).decode("utf-8") == row["text"]
+
+    # miss → empty result, not an error
+    assert har_lookup(spark, har, "docs/not-there").count() == 0
