@@ -66,6 +66,12 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     spark.range(32).mapInPandas(lambda it: it, "id long") \
          .write.format("noop").mode("overwrite").save()
+    # ...and the full shuffle/codegen path of the heaviest query shape:
+    # one untimed flagship run so the first timed heavy query measures
+    # plan cost, not first-query JVM/Arrow spin-up (BENCH_r01 recorded
+    # 8.56 s for minhash_dedup_pairs vs ~3.5 s steady-state).
+    specs["minhash_dedup_pairs"].fn(spark, sf_dir) \
+        .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
