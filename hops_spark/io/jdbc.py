@@ -33,7 +33,8 @@ __all__ = [
     "Split", "predicates", "integer_split_points", "integer_splits",
     "decimal_split_points", "decimal_splits", "float_splits",
     "boolean_splits", "date_splits", "text_split_points", "text_splits",
-    "string_to_decimal", "decimal_to_string", "read_jdbc_partitioned",
+    "string_to_decimal", "decimal_to_string", "construct_insert_query",
+    "read_jdbc_partitioned",
 ]
 
 # BigDecimalSplitter.MIN_INCREMENT = 10000 * Double.MIN_VALUE
@@ -281,6 +282,29 @@ def text_splits(col: str, min_str: str | None, max_str: str | None,
     if min_is_null:
         out.append(_null_split(col))
     return out
+
+
+# --- output (DBOutputFormat) --------------------------------------------
+
+def construct_insert_query(table: str, field_names: list[str | None],
+                           db_product: str = "MYSQL") -> str:
+    """DBOutputFormat.constructQuery parity (DBOutputFormat.java:139,
+    tested by jobclient TestDBOutputFormat.java): parameterized INSERT;
+    the column list is omitted when field names are unknown (all-None),
+    and DB2/Oracle drop the trailing semicolon.
+
+    Spark mapping note: ``df.write.jdbc(url, table, mode="append")`` is
+    the engine-native sink (batched parameterized INSERTs per
+    partition); this builder exists for parity and for callers driving
+    their own connection pool."""
+    if field_names is None:
+        raise ValueError("field names may not be None")
+    cols = ""
+    if field_names and field_names[0] is not None:
+        cols = " (" + ",".join(field_names) + ")"
+    marks = ",".join("?" for _ in field_names)
+    tail = ")" if db_product.upper().startswith(("DB2", "ORACLE")) else ");"
+    return f"INSERT INTO {table}{cols} VALUES ({marks}{tail}"
 
 
 # --- Spark wiring -------------------------------------------------------

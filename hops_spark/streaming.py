@@ -126,3 +126,45 @@ def stateful_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFr
                 stateStructType="n long, s double",
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# --- Kafka sink (SURVEY §2.1 KafkaSink) ---------------------------------
+
+def to_kafka_records(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Serialize rows to Kafka's (key, value) binary contract — one JSON
+    document per row, keyed by the concatenated key columns (reference
+    hadoop-tools/hadoop-kafka/.../KafkaSink.java:123 putMetrics posts
+    one JSON line per metrics record). Kept as a separate pure transform
+    so the serialization is testable without a broker."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    value = F.to_json(F.struct(*df.columns))
+    return df.select(key.cast("binary").alias("key"),
+                     value.cast("binary").alias("value"))
+
+
+def kafka_writer(df: DataFrame, brokers: str, topic: str,
+                 checkpoint: str, key_cols: list[str]):
+    """writeStream wiring for a real broker: records → format('kafka').
+    Returned unstarted (no broker ships in this container; call
+    ``.start()`` in a deployment). Exactly-once: Kafka sink is
+    idempotent-producer at-least-once; pair with downstream dedup
+    (dedup_within_watermark) for effective exactly-once."""
+    rec = to_kafka_records(df, key_cols)
+    return (rec.writeStream.format("kafka")
+               .option("kafka.bootstrap.servers", brokers)
+               .option("topic", topic)
+               .option("checkpointLocation", checkpoint))
+
+
+def kafka_sink_fallback(df: DataFrame, path: str, checkpoint: str,
+                        key_cols: list[str]):
+    """Broker-less twin: the same (key, value) records appended to a
+    parquet directory via foreachBatch — swap for kafka_writer in
+    production; plan shape and record contract are identical."""
+    rec = to_kafka_records(df, key_cols)
+
+    def write_batch(batch: DataFrame, _epoch: int) -> None:
+        batch.write.mode("append").parquet(path)
+
+    return (rec.writeStream.foreachBatch(write_batch)
+               .option("checkpointLocation", checkpoint))

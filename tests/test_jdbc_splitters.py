@@ -193,3 +193,27 @@ def test_predicates_cover_range_without_overlap_integers():
         return ok(sp.lower) and ok(sp.upper)
     for v in range(0, 96):
         assert sum(1 for sp in s if matches(v, sp)) == 1
+
+
+# --- DBOutputFormat.constructQuery (TestDBOutputFormat.java) ------------
+
+def test_construct_query():
+    assert J.construct_insert_query("hadoop_output", ["id", "name", "value"]) \
+        == "INSERT INTO hadoop_output (id,name,value) VALUES (?,?,?);"
+
+
+def test_construct_query_null_fields():
+    assert J.construct_insert_query("hadoop_output", [None, None, None]) \
+        == "INSERT INTO hadoop_output VALUES (?,?,?);"
+
+
+def test_construct_query_db2_oracle_no_semicolon():
+    for prod in ("DB2", "ORACLE", "Oracle XE"):
+        q = J.construct_insert_query("t", ["a", "b"], db_product=prod)
+        assert q == "INSERT INTO t (a,b) VALUES (?,?)"
+
+
+def test_construct_query_none_raises():
+    import pytest
+    with pytest.raises(ValueError):
+        J.construct_insert_query("t", None)

@@ -91,3 +91,51 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir):
               .agg(F.count("*").alias("n_events"),
                    F.round(F.sum("value"), 2).alias("sum_value")))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_kafka_record_contract(spark, sf_dir):
+    """to_kafka_records: binary key/value, value is the row's JSON doc."""
+    import json
+
+    from hops_spark.streaming import to_kafka_records
+
+    d = spark.read.parquet(f"{sf_dir}/region.parquet")
+    rec = to_kafka_records(d, ["r_regionkey"])
+    assert [f.dataType.simpleString() for f in rec.schema.fields] == \
+        ["binary", "binary"]
+    rows = {bytes(r["key"]).decode(): json.loads(bytes(r["value"]).decode())
+            for r in rec.collect()}
+    src = {str(r["r_regionkey"]): r.asDict() for r in d.collect()}
+    assert rows.keys() == src.keys()
+    for k, v in rows.items():
+        assert v["r_name"] == src[k]["r_name"]
+
+
+def test_kafka_writer_options_without_broker(spark, sf_dir, tmp_path):
+    """kafka_writer builds the kafka-format writer unstarted."""
+    from hops_spark.streaming import kafka_writer, read_events_stream
+
+    st = read_events_stream(spark, sf_dir)
+    w = kafka_writer(st, "broker1:9092", "events", str(tmp_path / "ck"),
+                     ["event_id"])
+    assert w._df.schema.fieldNames() == ["key", "value"]
+
+
+def test_kafka_fallback_sink_roundtrip(spark, sf_dir, tmp_path):
+    """foreachBatch fallback writes the same records to parquet."""
+    import json
+
+    from hops_spark.streaming import kafka_sink_fallback, read_events_stream
+
+    st = read_events_stream(spark, sf_dir)
+    out = str(tmp_path / "topic")
+    q = kafka_sink_fallback(st, out, str(tmp_path / "ck2"),
+                            ["event_id"]).start()
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got.count() == n_events
+    one = got.limit(1).collect()[0]
+    doc = json.loads(bytes(one["value"]).decode())
+    assert str(doc["event_id"]) == bytes(one["key"]).decode()
