@@ -248,7 +248,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     shingles (df > max_shingle_freq) are dropped — they cannot push a
     high-threshold pair below/above it meaningfully and would O(k²)
     the join (the classic positional-filter trick from set-similarity
-    join papers)."""
+    join papers).
+
+    The ``max_shingle_freq=10000`` default is tuned for the sf0.1
+    fixtures: a surviving hot shingle still admits up to 10⁸ pairs. On
+    a 100 TB corpus set it to ~1000 (or lower) and treat this operator
+    as the exact ground-truth/audit path — the production-scale near-dup
+    sweep is ``minhash_dedup_pairs``."""
     sa = shingle_arrays(df, id_col, text_col, shingle_n)
     rows = sa.select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
     freq = rows.groupBy("shingle").count()
@@ -351,3 +357,29 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
                             .alias("hamming"))
                    .filter(F.col("hamming") <= max_hamming)
                    .distinct())
+
+
+def contamination_flags(corpus: DataFrame, benchmark: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        shingle_n: int = 3, min_overlap: int = 3) -> DataFrame:
+    """Benchmark decontamination (training-data hygiene): per corpus doc,
+    the number of distinct n-gram shingles it shares with ANY benchmark
+    document, flagged at ``min_overlap``.
+
+    Scale shape: benchmark suites are contractually tiny next to the
+    corpus (thousands of eval rows vs billions of docs), so the distinct
+    benchmark shingle set BROADCASTS; the corpus shingle rows stream
+    through the broadcast join map-only, and the only shuffle is the
+    per-doc overlap count — whose input is already reduced to the
+    matching rows. No pair materialization anywhere (contrast
+    ngram_jaccard_pairs: this reduces per doc, not per doc-pair), so
+    there is no O(k²) bucket to cap."""
+    crows = (shingle_arrays(corpus, id_col, text_col, shingle_n)
+             .select(F.col(id_col), F.explode("shingle_arr").alias("shingle")))
+    bsh = (shingle_arrays(benchmark, id_col, text_col, shingle_n)
+           .select(F.explode("shingle_arr").alias("shingle"))
+           .distinct())
+    return (crows.join(F.broadcast(bsh), "shingle")
+                 .groupBy(id_col)
+                 .agg(F.count("*").alias("n_overlap"))
+                 .withColumn("contaminated", F.col("n_overlap") >= min_overlap))

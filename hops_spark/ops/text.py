@@ -139,3 +139,37 @@ def fingerprint(text_col: str = "text", n: int = 3) -> Column:
     a cheap exact-ish dedup key robust to duplicated paragraphs."""
     sh = F.array_sort(F.array_distinct(shingles(text_col, n)))
     return F.md5(F.concat_ws("\x1f", sh))
+
+
+# --- PII scrubbing (training-data hygiene; superset of reference §2.7
+# regex surface — map-only, pure regexp_replace chain) -------------------
+
+# (name, pattern, token) — patterns restricted to syntax with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB oracle): literal
+# classes, \d, \b, bounded repetition. Order matters and is fixed:
+# email first (contains dots that the ip pattern could nibble), then
+# ssn / phone (disjoint shapes), then ip.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact PII spans with typed placeholder tokens. A chained
+    regexp_replace — whole-stage-codegen JVM expressions, zero shuffles,
+    zero Python; the 100 TB cost is one map pass."""
+    col = F.col(text) if isinstance(text, str) else text
+    for _, pat, token in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, token)
+    return col
+
+
+def pii_counts(text: Column | str) -> list[Column]:
+    """Per-pattern match counts (pre-scrub), aliased n_<name>."""
+    col = F.col(text) if isinstance(text, str) else text
+    return [F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+             .alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS]

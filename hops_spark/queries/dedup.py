@@ -233,3 +233,36 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (D.ngram_jaccard_pairs(d, "doc_id", "text", SHINGLE_N, THRESHOLD)
              .orderBy("id_a", "id_b"))
+
+
+@register(
+    "decontaminate",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, source, {_DUCK_WORDS} AS w FROM documents
+    ), sht AS (
+        SELECT doc_id, source, list_distinct({DUCK_SHINGLES_OF_W}) AS sh FROM wt
+    ), crows AS (
+        SELECT doc_id, unnest(sh) AS shingle FROM sht WHERE source <> 'src0'
+    ), bsh AS (
+        SELECT DISTINCT unnest(sh) AS shingle FROM sht WHERE source = 'src0'
+    )
+    SELECT c.doc_id, count(*) AS n_overlap, count(*) >= 3 AS contaminated
+    FROM crows c JOIN bsh USING (shingle)
+    GROUP BY c.doc_id
+    ORDER BY doc_id
+    """,
+    doc="Benchmark decontamination (training-data hygiene): corpus docs "
+        "sharing n-gram shingles with the benchmark set (src0 stands in "
+        "for the eval suite), flagged at >= 3 distinct shared shingles. "
+        "Benchmark shingle set broadcasts; corpus side streams map-only; "
+        "no pair materialization (reduces per doc, not per doc-pair).",
+    tags=("dedup", "north-star"),
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+    return (D.contamination_flags(corpus, bench, "doc_id", "text",
+                                  shingle_n=3, min_overlap=3)
+             .orderBy("doc_id"))

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hops_spark.io.readers import load_table
-from hops_spark.ops.text import (BPE_TOKEN_RE, STOPWORDS, fingerprint,
+from hops_spark.ops.text import (BPE_TOKEN_RE, PII_PATTERNS, STOPWORDS, fingerprint,
                                  lang_id_expr, quality_score, tokens_bpeish,
                                  words)
 from hops_spark.registry import register
@@ -166,3 +166,39 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("fp")
              .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
              .orderBy("fp"))
+
+
+def _duck_pii_replace() -> str:
+    expr = "text"
+    for _, pat, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return expr
+
+
+def _duck_pii_counts() -> str:
+    return ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS)
+
+
+@register(
+    "pii_scrub",
+    sql=f"""
+    SELECT doc_id, {_duck_pii_counts()},
+           md5({_duck_pii_replace()}) AS scrub_hash
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="PII scrubbing (training-data hygiene, §2.7 regex superset): "
+        "typed placeholder redaction for email/SSN/phone/IPv4 as a "
+        "chained regexp_replace — map-only JVM expressions. Oracle "
+        "recomputes the identical redaction and hashes the scrubbed "
+        "text (patterns restricted to Java-regex/RE2-common syntax).",
+    tags=("text", "north-star"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.text import pii_counts, scrub_pii
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select("doc_id", *pii_counts("text"),
+                     F.md5(scrub_pii("text")).alias("scrub_hash"))
+             .orderBy("doc_id"))

@@ -104,3 +104,41 @@ def test_field_select_matches_python_slices(spark, fields, lo, hi):
     want_key = "\t".join(fields[lo:hi + 1] + [fields[0]])
     want_val = "\t".join(fields[lo:])
     assert (out.key, out.value) == (want_key, want_val)
+
+
+def test_scrub_pii_redacts_crafted_rows(spark):
+    from hops_spark.ops.text import pii_counts, scrub_pii
+
+    rows = [
+        (1, "mail me at a.b+c@example.co.uk today"),
+        (2, "ssn 123-45-6789 phone 555-123-4567 ip 10.0.0.255"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in
+           df.select("id", scrub_pii("text").alias("s"),
+                     *pii_counts("text")).collect()}
+    assert out[1]["s"] == "mail me at <EMAIL> today"
+    assert out[1]["n_email"] == 1
+    assert out[2]["s"] == "ssn <SSN> phone <PHONE> ip <IP>"
+    assert (out[2]["n_ssn"], out[2]["n_phone"], out[2]["n_ipv4"]) == (1, 1, 1)
+    assert out[3]["s"] == "nothing sensitive here"
+    assert out[3]["n_email"] == 0
+
+
+def test_contamination_flags_basic(spark):
+    from hops_spark.ops.dedup import contamination_flags
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated text with different words entirely"),
+         (3, "the quick brown cat jumps over the lazy dog")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_overlap"], r["contaminated"])
+           for r in contamination_flags(corpus, bench, min_overlap=3).collect()}
+    assert got[1] == (7, True)      # identical: all 7 3-gram shingles
+    assert 2 not in got             # zero overlap -> not emitted
+    assert got[3][0] > 0            # partial overlap counted
