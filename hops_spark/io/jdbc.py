@@ -32,7 +32,8 @@ from decimal import ROUND_HALF_UP, Decimal, localcontext
 __all__ = [
     "Split", "predicates", "integer_split_points", "integer_splits",
     "decimal_split_points", "decimal_splits", "float_splits",
-    "boolean_splits", "date_splits", "text_split_points", "text_splits",
+    "boolean_splits", "date_splits", "oracle_date_splits",
+    "text_split_points", "text_splits",
     "string_to_decimal", "decimal_to_string", "construct_insert_query",
     "read_jdbc_partitioned",
 ]
@@ -207,6 +208,23 @@ def date_splits(col: str, min_val: _dt.date | _dt.datetime | None,
     pts = integer_split_points(num_splits, _to_epoch_ms(min_val),
                                _to_epoch_ms(max_val))
     return _intervals(col, [_from_epoch_ms(p, as_date) for p in pts])
+
+
+def oracle_date_splits(col: str, min_val: _dt.date | _dt.datetime | None,
+                       max_val: _dt.date | _dt.datetime | None,
+                       num_splits: int) -> list[Split]:
+    """Oracle dialect (OracleDateSplitter.java:38): same boundary walk,
+    literals rendered as TO_TIMESTAMP('…', 'YYYY-MM-DD HH24:MI:SS.FF')."""
+    base = date_splits(col, min_val, max_val, num_splits)
+
+    def wrap(clause: str) -> str:
+        if "'" not in clause:
+            return clause                      # IS NULL split
+        head, lit = clause.split("'", 1)
+        return (head + "TO_TIMESTAMP('" + lit.rstrip("'")
+                + "', 'YYYY-MM-DD HH24:MI:SS.FF')")
+
+    return [Split(wrap(s.lower), wrap(s.upper)) for s in base]
 
 
 # --- text ---------------------------------------------------------------

@@ -60,8 +60,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_quality", "lang_id", "token_counts", "doc_fingerprint",
     # multimodal plumbing (north-star)
     "media_features", "media_frame_sample",
-    # composed pipeline (north-star)
-    "pipeline_clean_corpus",
+    # composed pipeline + hygiene ops (north-star)
+    "pipeline_clean_corpus", "pii_scrub", "decontaminate",
     # metadata engine (§2.11)
     "meta_get_listing", "meta_content_summary", "meta_glob_status",
     "meta_point_lookup", "meta_batched_lookup", "meta_quota_rollup",
@@ -76,9 +76,12 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # projection / scan representatives (incl. r1 hash-FAIL json extract)
     "wordcount", "grep", "field_selection", "inverse_map",
     "scan_percent_filter", "json_extract_events",
-    # r1 hash-FAIL TPC-H row + untested setops
-    "q12_priority_by_status", "set_intersect", "set_except",
+    # r1 hash-FAIL TPC-H row
+    "q12_priority_by_status",
 )
+# Round-3 rotation candidates (displaced from the 50-window this round):
+# set_intersect, set_except, distinct_rows, scan_* tail, chain_map_reduce,
+# teragen_sorted, dictionary_encode, hash_surface — all locally green.
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -168,3 +168,16 @@ def kafka_sink_fallback(df: DataFrame, path: str, checkpoint: str,
 
     return (rec.writeStream.foreachBatch(write_batch)
                .option("checkpointLocation", checkpoint))
+
+
+def continuous_ingest(stream_df: DataFrame, out_path: str, checkpoint: str):
+    """Continuous file-sink ingest: append-mode parquet with a
+    checkpoint — Spark's transactional file sink gives exactly-once
+    (the _spark_metadata commit log plays the reference's
+    FileOutputCommitter role per micro-batch). Restarting with the same
+    checkpoint resumes WITHOUT re-writing processed input; returned
+    unstarted so callers control the trigger."""
+    return (stream_df.writeStream.format("parquet")
+                     .option("path", out_path)
+                     .option("checkpointLocation", checkpoint)
+                     .outputMode("append"))

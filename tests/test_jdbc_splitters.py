@@ -217,3 +217,18 @@ def test_construct_query_none_raises():
     import pytest
     with pytest.raises(ValueError):
         J.construct_insert_query("t", None)
+
+
+def test_oracle_date_splits_render_to_timestamp():
+    lo = dt.datetime(2020, 1, 1, 0, 0, 0)
+    hi = dt.datetime(2020, 1, 2, 0, 0, 0)
+    s = J.oracle_date_splits("d", lo, hi, 2)
+    assert s[0].lower == \
+        "d >= TO_TIMESTAMP('2020-01-01 00:00:00', 'YYYY-MM-DD HH24:MI:SS.FF')"
+    assert s[-1].upper == \
+        "d <= TO_TIMESTAMP('2020-01-02 00:00:00', 'YYYY-MM-DD HH24:MI:SS.FF')"
+
+
+def test_oracle_date_null_split_untouched():
+    assert J.oracle_date_splits("d", None, None, 2) == \
+        [J.Split("d IS NULL", "d IS NULL")]

@@ -133,9 +133,30 @@ def test_kafka_fallback_sink_roundtrip(spark, sf_dir, tmp_path):
                             ["event_id"]).start()
     q.processAllAvailable()
     q.stop()
+    from hops_spark.io.readers import load_table
     got = spark.read.parquet(out)
-    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n_events = load_table(spark, sf_dir, "events").count()
     assert got.count() == n_events
     one = got.limit(1).collect()[0]
     doc = json.loads(bytes(one["value"]).decode())
     assert str(doc["event_id"]) == bytes(one["key"]).decode()
+
+
+def test_continuous_ingest_exactly_once_resume(spark, sf_dir, tmp_path):
+    """File-sink ingest writes each input exactly once; a restart from
+    the same checkpoint is a no-op, not a duplication."""
+    from hops_spark.io.readers import load_table
+    from hops_spark.streaming import continuous_ingest, read_events_stream
+
+    out, ck = str(tmp_path / "ingest"), str(tmp_path / "ck")
+    n_src = load_table(spark, sf_dir, "events").count()
+
+    q = continuous_ingest(read_events_stream(spark, sf_dir), out, ck).start()
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out).count() == n_src
+
+    q2 = continuous_ingest(read_events_stream(spark, sf_dir), out, ck).start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(out).count() == n_src  # no re-processing
