@@ -232,3 +232,39 @@ def test_oracle_date_splits_render_to_timestamp():
 def test_oracle_date_null_split_untouched():
     assert J.oracle_date_splits("d", None, None, 2) == \
         [J.Split("d IS NULL", "d IS NULL")]
+
+
+# --- property tests (hypothesis) ----------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(1, 50),
+       st.integers(-10**9, 10**9), st.integers(0, 10**6))
+def test_integer_points_invariants(n, lo, span):
+    hi = lo + span
+    pts = J.integer_split_points(n, lo, hi)
+    assert pts[0] == lo and pts[-1] == hi
+    assert all(a <= b for a, b in zip(pts, pts[1:]))
+    assert len(pts) >= 2
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=0xFFFF),
+               max_size=8))
+def test_text_roundtrip_within_8_chars(s):
+    # NUL can't survive (position value 0 terminates decoding) and a
+    # trailing NUL-like zero place is unrepresentable; restrict to >=1.
+    assert J.decimal_to_string(J.string_to_decimal(s)) == s
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(1, 20), st.integers(0, 1000), st.integers(1, 1000))
+def test_integer_splits_partition_range(n, lo, span):
+    hi = lo + span
+    pts = J.integer_split_points(n, lo, hi)
+    # consecutive boundary pairs tile [lo, hi] without gaps
+    assert all(pts[i] <= pts[i + 1] for i in range(len(pts) - 1))
+    assert pts[-2] <= hi
