@@ -1,0 +1,87 @@
+"""Deterministic sampling / data-mixing operators (training-data
+pipeline; superset of the reference's sampling surface — InputSampler's
+RandomSampler and SequenceFileInputFilter.PercentFilter are the §2.5 /
+§2.1 ancestors, io/readers.filter_percent is the direct parity op).
+
+Everything here samples by HASH, not by rand(): md5(id + salt) folded to
+an integer in [0, 1e6) and compared against a ppm threshold. That makes
+sampling (a) reproducible run-to-run and engine-to-engine (the DuckDB
+oracle recomputes the identical decision), (b) stable under retries and
+partition reshuffles — a rand() sample re-rolls per task attempt, which
+at 100 TB means a re-executed task yields a DIFFERENT corpus slice, and
+(c) map-only: no shuffle, no driver coordination, cost is one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def hash_bucket_ppm(id_col: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform bucket in [0, 1e6): first 7 md5 nibbles of
+    'salt|id' mod 1e6 — identical arithmetic in DuckDB."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit(salt),
+                                             col.cast("string"))), 1, 7),
+               16, 10).cast("long"),
+        F.lit(PPM))
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction_ppm: int,
+                salt: str = "") -> DataFrame:
+    """Keep rows whose hash bucket < fraction_ppm (≈ fraction_ppm/1e6 of
+    the data, exactly reproducible)."""
+    return df.filter(hash_bucket_ppm(id_col, salt) < fraction_ppm)
+
+
+def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
+                      fractions_ppm: dict[str, int],
+                      default_ppm: int = 0, salt: str = "") -> DataFrame:
+    """Per-stratum hash sampling — the data-mixing primitive: strata not
+    named in ``fractions_ppm`` keep ``default_ppm``. One scan, map-only;
+    the when-chain is a broadcast-free JVM expression (strata counts are
+    small by contract — sources/domains, not keys)."""
+    thr = F.lit(default_ppm)
+    for stratum, ppm in sorted(fractions_ppm.items()):
+        thr = F.when(F.col(strata_col) == stratum, F.lit(ppm)).otherwise(thr)
+    return df.filter(hash_bucket_ppm(id_col, salt) < thr)
+
+
+def mixture_plan(df: DataFrame, strata_col: str, weight_col: str,
+                 target_ppm: dict[str, int],
+                 default_ppm: int = 0) -> DataFrame:
+    """Data-mixing plan: given target mixture proportions (ppm of the
+    OUTPUT weight, e.g. token budget shares), compute each stratum's
+    keep-fraction so the sampled corpus hits the target ratios without
+    upsampling (the largest-surplus stratum caps at 1e6 and the others
+    scale to it). Returns per-stratum accounting:
+    (stratum, weight, weight_share_ppm, target_ppm, keep_ppm).
+
+    Pure INTEGER-division ppm arithmetic end-to-end (Spark `div` ≡
+    DuckDB `//`), so the oracle matches bit-for-bit. The global windows
+    run over the per-stratum AGGREGATE (one row per source/domain —
+    tiny), never over the corpus, so the single-partition window is
+    contractually fine."""
+    per = (df.groupBy(F.col(strata_col).alias("stratum"))
+             .agg(F.sum(F.col(weight_col).cast("long")).alias("weight")))
+    tgt = F.lit(default_ppm)
+    for stratum, ppm in sorted(target_ppm.items()):
+        tgt = F.when(F.col("stratum") == stratum, F.lit(ppm)).otherwise(tgt)
+    from pyspark.sql.window import Window
+    w = Window.partitionBy()
+    # keep_i ∝ target_i / share_i, scaled so max_i keep_i == 1e6
+    per = (per.withColumn("_total", F.sum("weight").over(w))
+              .withColumn("weight_share_ppm",
+                          F.expr(f"weight * {PPM} div _total"))
+              .withColumn("target_ppm", tgt.cast("long"))
+              .withColumn("_ratio",
+                          F.expr(f"target_ppm * {PPM} div "
+                                 f"greatest(weight_share_ppm, 1)"))
+              .withColumn("_maxr", F.max("_ratio").over(w))
+              .withColumn("keep_ppm",
+                          F.expr(f"_ratio * {PPM} div greatest(_maxr, 1)")))
+    return per.drop("_total", "_ratio", "_maxr")

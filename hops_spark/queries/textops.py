@@ -202,3 +202,76 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select("doc_id", *pii_counts("text"),
                      F.md5(scrub_pii("text")).alias("scrub_hash"))
              .orderBy("doc_id"))
+
+
+_DUCK_HASH_PPM = ("(('0x' || substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT"
+                  " % 1000000)")
+
+
+@register(
+    "stratified_sample",
+    sql=f"""
+    SELECT source, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars
+    FROM documents
+    WHERE {_DUCK_HASH_PPM} <
+          CASE source WHEN 'src1' THEN 500000
+                      WHEN 'src2' THEN 250000
+                      ELSE 100000 END
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Deterministic stratified sampling (data mixing): per-source "
+        "md5-hash keep thresholds — reproducible across runs, retries, "
+        "and engines (rand() re-rolls per task attempt at scale; a hash "
+        "sample does not). Map-only. Ancestors: InputSampler.Random"
+        "Sampler, SequenceFileInputFilter.PercentFilter (§2.1/§2.5).",
+    tags=("text", "north-star", "sampling"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sampling import stratified_sample as strat
+    d = load_table(spark, sf_dir, "documents")
+    kept = strat(d, "source", "doc_id",
+                 {"src1": 500_000, "src2": 250_000},
+                 default_ppm=100_000, salt="mix")
+    return (kept.groupBy("source")
+                .agg(F.count("*").alias("n_kept"),
+                     F.sum("n_chars").alias("kept_chars"))
+                .orderBy("source"))
+
+
+@register(
+    "mixture_plan",
+    sql="""
+    WITH per AS (
+        SELECT source AS stratum, CAST(sum(n_chars) AS BIGINT) AS weight
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT stratum, weight,
+               weight * 1000000
+                 // (SELECT CAST(sum(weight) AS BIGINT) FROM per) AS weight_share_ppm,
+               CAST(CASE stratum WHEN 'src0' THEN 400000
+                                 WHEN 'src1' THEN 400000
+                                 ELSE 10000 END AS BIGINT) AS target_ppm
+        FROM per
+    ), r AS (
+        SELECT *, target_ppm * 1000000 // greatest(weight_share_ppm, 1) AS ratio
+        FROM tot
+    )
+    SELECT stratum, weight, weight_share_ppm, target_ppm,
+           ratio * 1000000 // greatest((SELECT max(ratio) FROM r), 1) AS keep_ppm
+    FROM r
+    ORDER BY stratum
+    """,
+    doc="Data-mixing plan: per-source keep fractions hitting target "
+        "mixture proportions (token-budget shares) without upsampling — "
+        "integer-ppm arithmetic end-to-end, windows only over the "
+        "per-stratum aggregate.",
+    tags=("text", "north-star", "sampling"),
+)
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sampling import mixture_plan as plan
+    d = load_table(spark, sf_dir, "documents")
+    return (plan(d, "source", "n_chars",
+                 {"src0": 400_000, "src1": 400_000}, default_ppm=10_000)
+            .orderBy("stratum"))

@@ -142,3 +142,35 @@ def test_contamination_flags_basic(spark):
     assert got[1] == (7, True)      # identical: all 7 3-gram shingles
     assert 2 not in got             # zero overlap -> not emitted
     assert got[3][0] > 0            # partial overlap counted
+
+
+def test_hash_sample_deterministic_and_proportional(spark):
+    from hops_spark.ops.sampling import hash_sample
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    a = hash_sample(df, "k", 250_000, salt="s").count()
+    b = hash_sample(df, "k", 250_000, salt="s").count()
+    assert a == b                      # reproducible, not rand()
+    assert abs(a / 20000 - 0.25) < 0.02
+    # disjoint thresholds nest: sample(10%) is a subset of sample(25%)
+    small = hash_sample(df, "k", 100_000, salt="s")
+    assert small.join(hash_sample(df, "k", 250_000, salt="s"),
+                      "k", "left_anti").count() == 0
+
+
+def test_mixture_plan_hits_targets(spark):
+    from hops_spark.ops.sampling import PPM, mixture_plan
+
+    rows = [("a", 100), ("a", 100), ("b", 100), ("c", 600)]
+    df = spark.createDataFrame(rows, "src string, w long")
+    got = {r["stratum"]: r for r in
+           mixture_plan(df, "src", "w", {"a": 500_000, "b": 500_000}).collect()}
+    # a and b both target 50%; b is scarcer (10% of weight vs a's 20%),
+    # so b saturates at 1e6 and a keeps half as much; c keeps nothing.
+    assert got["b"]["keep_ppm"] == PPM
+    assert abs(got["a"]["keep_ppm"] - PPM // 2) <= 1
+    assert got["c"]["keep_ppm"] == 0
+    # post-sample weights hit the 1:1 target ratio
+    wa = got["a"]["weight"] * got["a"]["keep_ppm"]
+    wb = got["b"]["weight"] * got["b"]["keep_ppm"]
+    assert abs(wa - wb) <= max(wa, wb) * 0.01
