@@ -288,30 +288,38 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     are decoded with conv(hex,16,10) (Spark) / strpos on the hex alphabet
     (DuckDB oracle) — identical values.
 
-    Shape: explode distinct tokens → 32 bit-vote partial aggregates in
-    ONE groupBy (single shuffle; md5 computed once per token row).
+    Shape: MAP-ONLY — the per-doc distinct token hashes are one
+    array<long> column (materialized once behind a Generate barrier, so
+    the md5/conv runs once per token, not once per token×bit), and bit
+    j's vote is array-side: sum over tokens of (2·bit−1) > 0 ⇔
+    2·|{h: bit_j(h)=1}| > n, i.e. a size(filter(...)) comparison. Zero
+    shuffles (the previous shape exploded tokens and paid one groupBy of
+    every token row — at 100 TB that shuffle is the whole cost).
     Docs with zero tokens are excluded."""
-    toks = (fan_out(df, id_col)
-              .select(F.col(id_col),
-                      F.explode(F.array_distinct(words(F.col(text_col)))).alias("_tok"))
-              # one conv of the leading bits/4 hex chars → integer; each
-              # bit is then a shift (vs. a conv per nibble per bit)
-              .withColumn("_hv", F.conv(F.substring(F.md5("_tok"), 1, bits // 4), 16, 10)
-                                  .cast("long")))
-    votes = []
+    wdf = (fan_out(df, id_col)
+             .select(F.col(id_col),
+                     F.explode(F.array(F.array_distinct(words(F.col(text_col)))))
+                      .alias("_w")))
+    # second barrier: the hash array, computed exactly once per doc
+    hdf = (wdf.select(F.col(id_col),
+                      F.explode(F.array(F.transform(
+                          "_w",
+                          lambda t: F.conv(F.substring(F.md5(t), 1, bits // 4),
+                                           16, 10).cast("long"))))
+                       .alias("_h"))
+              .filter(F.size("_h") > 0))
+    n = F.size("_h")
+    total = None
     for j in range(bits):
         # bit j = bit (3 - j%4) of hex nibble j//4; nibble k sits at
         # integer bit offset 4*(bits/4 - 1 - k)
         pos = 4 * (bits // 4 - 1 - j // 4) + (3 - j % 4)
-        bit = F.shiftright("_hv", pos).bitwiseAND(F.lit(1))
-        votes.append(F.sum(bit * 2 - 1).alias(f"_v{j}"))
-    agg = toks.groupBy(id_col).agg(*votes)
-    total = None
-    for j in range(bits):
-        term = F.when(F.col(f"_v{j}") > 0, F.lit(2 ** j).cast("long")) \
+        ones = F.size(F.filter(
+            "_h", lambda h: F.shiftright(h, pos).bitwiseAND(F.lit(1)) == 1))
+        term = F.when(ones * 2 > n, F.lit(2 ** j).cast("long")) \
                 .otherwise(F.lit(0).cast("long"))
         total = term if total is None else total + term
-    return agg.select(F.col(id_col), total.alias("simhash"))
+    return hdf.select(F.col(id_col), total.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
