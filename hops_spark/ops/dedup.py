@@ -271,14 +271,24 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     sweep is ``minhash_dedup_pairs``."""
     sa = shingle_arrays(df, id_col, text_col, shingle_n)
     rows = sa.select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
-    freq = rows.groupBy("shingle").count()
-    hot = freq.filter(F.col("count") > max_shingle_freq).select("shingle")
-    pruned = rows.join(F.broadcast(hot), "shingle", "left_anti")
-    a = pruned.select(F.col(id_col).alias("id_a"), "shingle")
-    b = pruned.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (a.join(b, "shingle")
-              .filter(F.col("id_a") < F.col("id_b"))
-              .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    # ONE groupBy fuses the doc-frequency count, the hot-shingle prune
+    # (bucket size IS the shingle's doc frequency), and the pair
+    # production — the collect-sort-cap-emit shape. The former shape
+    # (freq pass + broadcast anti-join + a×b self-join) shuffled the
+    # shingle rows three times; this shuffles them once. Per-bucket
+    # memory is bounded by max_shingle_freq ids.
+    buckets = (rows.groupBy("shingle")
+                   .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+                   .filter((F.size("ids") >= 2)
+                           & (F.size("ids") <= max_shingle_freq)))
+    pair_arr = F.flatten(F.transform(
+        "ids",
+        lambda x, i: F.transform(
+            F.slice("ids", i + F.lit(2), F.size("ids")),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    inter = (buckets.select(F.explode(pair_arr).alias("p"))
+                    .groupBy("p.id_a", "p.id_b")
+                    .agg(F.count("*").alias("inter")))
     # set sizes map-side from the per-doc distinct arrays (no groupBy shuffle)
     sizes = (sa.filter(F.size("shingle_arr") > 0)
                .select(F.col(id_col),
