@@ -370,3 +370,35 @@ def meta_subtree_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select(F.lit("deleted:src1").alias("dir"),
                           "n_files", "total_bytes", "n_batches"))
     return post_sum.unionByName(del_sum).orderBy("dir")
+
+
+@register(
+    "meta_subtree_rename",
+    sql=_DUCK_INODES + """
+    , post AS (
+        SELECT inode_id,
+               CASE WHEN parent = 'src2' OR parent LIKE 'src2/%'
+                    THEN 'archive/src2' || substring(parent, 5)
+                    ELSE parent END AS parent,
+               name, size
+        FROM inodes
+    )
+    SELECT parent AS dir, count(*) AS n_files,
+           CAST(sum(size) AS BIGINT) AS total_bytes
+    FROM post
+    GROUP BY parent
+    ORDER BY dir
+    """,
+    doc="Subtree rename (FSNamesystem.java:7398 lockSubtree + renameTo): "
+        "move 'src2' under 'archive/', prefix-rewriting every descendant "
+        "parent path in PK-range batches; post-state per-dir summary.",
+    tags=("metadata", "mutation"),
+)
+def meta_subtree_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.catalog.metastore import subtree_rename
+    ino = inodes_from_documents(spark, sf_dir)
+    post, _log = subtree_rename(ino, "src2", "archive/src2", batch=100)
+    return (post.groupBy(F.col("parent").alias("dir"))
+                .agg(F.count("*").alias("n_files"),
+                     F.sum("size").alias("total_bytes"))
+                .orderBy("dir"))

@@ -174,3 +174,20 @@ def test_mixture_plan_hits_targets(spark):
     wa = got["a"]["weight"] * got["a"]["keep_ppm"]
     wb = got["b"]["weight"] * got["b"]["keep_ppm"]
     assert abs(wa - wb) <= max(wa, wb) * 0.01
+
+
+def test_minhash_pairs_subset_of_exact_ngram(spark, sf_dir):
+    """Both paths exact-verify Jaccard >= t, and LSH only REDUCES the
+    candidate set — so minhash pairs must be a subset of the exact
+    ground-truth join, with identical jaccard values on the overlap."""
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops.dedup import minhash_dedup_pairs, ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    mh = {(r["id_a"], r["id_b"]): r["jaccard"]
+          for r in minhash_dedup_pairs(d).collect()}
+    ex = {(r["id_a"], r["id_b"]): r["jaccard"]
+          for r in ngram_jaccard_pairs(d).collect()}
+    assert set(mh) <= set(ex)
+    assert all(mh[k] == ex[k] for k in mh)
+    assert mh, "fixture should contain near-duplicates"
