@@ -191,3 +191,60 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         N_CELLS, NPROBE)
                .select("q_id", "neighbor_id", "cos_sim", "rnk")
                .orderBy("q_id", "rnk"))
+
+
+@register(
+    "knn_recall",
+    sql=f"""
+    WITH d AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               {_duck_bucket_expr('embedding::DOUBLE[]')} AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS q_id, v AS qv, bucket FROM d WHERE vec_id < {N_QUERIES}
+    ), exact AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.q_id, d.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY round(list_cosine_similarity(d.v, q.qv), 6) DESC,
+                                d.vec_id) AS rnk
+            FROM d CROSS JOIN q WHERE d.vec_id <> q.q_id
+        ) WHERE rnk <= {K}
+    ), approx AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.q_id, d.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY round(list_cosine_similarity(d.v, q.qv), 6) DESC,
+                                d.vec_id) AS rnk
+            FROM d JOIN q USING (bucket) WHERE d.vec_id <> q.q_id
+        ) WHERE rnk <= {K}
+    )
+    SELECT e.q_id,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // {K} AS BIGINT) AS recall_ppm
+    FROM exact e LEFT JOIN approx a USING (q_id, neighbor_id)
+    GROUP BY e.q_id
+    ORDER BY e.q_id
+    """,
+    doc="ANN quality evaluation: recall@k of the LSH path against the "
+        "exact brute-force top-k, per query (integer ppm). Both paths "
+        "are deterministic (md5-seeded planes), so this is a full "
+        "value-hash oracle — the eval harness an ANN deployment runs "
+        "after every index build.",
+    tags=("similarity", "north-star", "eval"),
+)
+def knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = (e.filter(F.col("vec_id") < N_QUERIES)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec")))
+    corpus = e.select("vec_id", "embedding")
+    exact = (SIM.knn_bruteforce(corpus, queries, K)
+             .select("q_id", "neighbor_id"))
+    approx = (SIM.knn_lsh(corpus, queries, DIM, K, N_PLANES)
+              .select("q_id", "neighbor_id").withColumn("_hit", F.lit(1)))
+    return (exact.join(approx, ["q_id", "neighbor_id"], "left")
+                 .groupBy("q_id")
+                 .agg(F.expr(f"CAST(sum(coalesce(_hit, 0)) * 1000000 div {K} "
+                             f"AS BIGINT)").alias("recall_ppm"))
+                 .orderBy("q_id"))
