@@ -182,10 +182,17 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch AS (
         SELECT doc_id, simhash, t, (simhash >> (t * 8)) & 255 AS chunk
         FROM sims, (VALUES (0), (1), (2), (3)) AS tt(t)
+    ), ok AS (
+        -- mirror the Spark-side skew cap: buckets beyond max_bucket=1000
+        -- are dropped (they DO trigger at sf0.1 on this near-identical
+        -- synthetic corpus, so the cap is part of the op's semantics,
+        -- not an invisible guard)
+        SELECT t, chunk FROM ch GROUP BY t, chunk
+        HAVING count(*) BETWEEN 2 AND 1000
     ), cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                a.simhash AS sa, b.simhash AS sb
-        FROM ch a JOIN ch b USING (t, chunk)
+        FROM ch a JOIN ch b USING (t, chunk) JOIN ok USING (t, chunk)
         WHERE a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
@@ -193,9 +200,10 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE bit_count(xor(sa, sb)) <= 3
     ORDER BY id_a, id_b
     """,
-    doc="SimHash near-dup pairs: chunk-blocked candidates, exact hamming "
-        "verify ≤ 3 (pigeonhole: d<4 pairs share one of 4 chunks). Full "
-        "value-hash oracle (DuckDB bit_count/xor mirror).",
+    doc="SimHash near-dup pairs: chunk-blocked candidates (bucket cap "
+        "1000 mirrored in the oracle), exact hamming verify ≤ 3 "
+        "(pigeonhole: d<4 pairs share one of 4 chunks). Full value-hash "
+        "oracle (DuckDB bit_count/xor mirror).",
     tags=("dedup", "north-star"),
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -118,15 +118,21 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, embedding::DOUBLE[] AS v,
                {_duck_bucket_expr('embedding::DOUBLE[]')} AS bucket
         FROM embeddings
+    ), ok AS (
+        -- mirror the Spark-side skew cap (max_bucket=10000): cap is part
+        -- of the op's declared semantics, visible in the oracle
+        SELECT bucket FROM d GROUP BY bucket
+        HAVING count(*) BETWEEN 2 AND 10000
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-    FROM d a JOIN d b USING (bucket)
+    FROM d a JOIN d b USING (bucket) JOIN ok USING (bucket)
     WHERE a.vec_id < b.vec_id
       AND round(list_cosine_similarity(a.v, b.v), 6) >= {NEAR_DUP_THRESHOLD}
     ORDER BY id_a, id_b
     """,
-    doc="Embedding-cosine near-duplicate pairs via LSH blocking "
+    doc="Embedding-cosine near-duplicate pairs via LSH blocking with the "
+        "bucket-size cap mirrored in the oracle "
         "(threshold 0.3 — fixture vectors are random, no true near-dups).",
     tags=("similarity", "dedup", "north-star"),
 )
