@@ -100,9 +100,13 @@ DUCK_MINHASH_VERIFIED_CTE = f"""
     , bands AS (
         SELECT doc_id, b.band AS band, b.bhash AS bhash
         FROM (SELECT doc_id, unnest({_duck_band_structs()}) AS b FROM sigs)
+    ), bok AS (
+        -- mirror minhash_candidate_pairs' skew cap (max_bucket=1000)
+        SELECT band, bhash FROM bands GROUP BY band, bhash
+        HAVING count(*) BETWEEN 2 AND 1000
     ), cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b USING (band, bhash)
+        FROM bands a JOIN bands b USING (band, bhash) JOIN bok USING (band, bhash)
         WHERE a.doc_id < b.doc_id
     ), inter AS (
         SELECT c.id_a, c.id_b, count(*) AS inter
@@ -216,10 +220,15 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_pairs",
     sql=_DUCK_SIGS_CTE + f"""
-    , inter AS (
+    , sok AS (
+        -- mirror the hot-shingle prune (max_shingle_freq=10000)
+        SELECT shingle FROM srows GROUP BY shingle
+        HAVING count(*) BETWEEN 2 AND 10000
+    ), inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         FROM srows a JOIN srows b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN sok ON sok.shingle = a.shingle
         GROUP BY 1, 2
     )
     SELECT i.id_a, i.id_b,
