@@ -50,6 +50,13 @@ def main() -> None:
         "glob": lambda i: ms.glob_status(inodes, "doc_1*").count(),
         "contentSummary": lambda i: ms.content_summary(inodes).count(),
         "blockReport": lambda i: blocks.groupBy("inode_id").count().count(),
+        # mutation ops (reference `delete` / `rename` rows): plan + count
+        # the post-state, matching the read-op methodology
+        "subtreeDelete": lambda i: ms.subtree_delete(
+            inodes, parents[i % len(parents)], batch=100)[0].count(),
+        "subtreeRename": lambda i: ms.subtree_rename(
+            inodes, parents[i % len(parents)],
+            f"archive/p{i}", batch=100)[0].count(),
     }
     result = {}
     for name, fn in ops.items():
