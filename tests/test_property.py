@@ -191,3 +191,28 @@ def test_minhash_pairs_subset_of_exact_ngram(spark, sf_dir):
     assert set(mh) <= set(ex)
     assert all(mh[k] == ex[k] for k in mh)
     assert mh, "fixture should contain near-duplicates"
+
+
+def test_dedup_ops_tolerate_empty_and_tiny_input(spark):
+    """Edge-of-domain robustness: empty corpus and single-word docs must
+    produce empty (not crashing) results across the dedup family."""
+    from hops_spark.ops.dedup import (minhash_dedup_pairs, ngram_jaccard_pairs,
+                                      simhash_near_pairs, simhash_table)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    tiny = spark.createDataFrame([(1, "word"), (2, "")],
+                                 "doc_id long, text string")
+    for df in (empty, tiny):
+        assert minhash_dedup_pairs(df).count() == 0
+        assert ngram_jaccard_pairs(df).count() == 0
+        assert simhash_near_pairs(df).count() == 0
+    # single-word docs still get a simhash (unigram votes exist)
+    assert simhash_table(tiny).count() == 1
+
+
+def test_sampling_edge_fractions(spark):
+    from hops_spark.ops.sampling import PPM, hash_sample
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    assert hash_sample(df, "k", 0).count() == 0
+    assert hash_sample(df, "k", PPM).count() == 1000
