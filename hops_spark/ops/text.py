@@ -173,3 +173,55 @@ def pii_counts(text: Column | str) -> list[Column]:
     return [F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
              .alias(f"n_{name}")
             for name, pat, _ in PII_PATTERNS]
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Deterministic text normalization (C4/CCNet-style cleaning,
+    restricted to transforms with identical semantics in Spark and
+    DuckDB regex engines): CRLF/CR → LF, control chars stripped,
+    horizontal whitespace collapsed, ≥3 blank lines → one blank line,
+    per-line trim, outer trim. Map-only JVM expressions; the unicode-
+    canonicalization step (NFC) is intentionally out of scope — Spark
+    has no built-in and a Python UDF would put a per-row interpreter in
+    a 100 TB scan path."""
+    col = F.col(text) if isinstance(text, str) else text
+    col = F.regexp_replace(col, r"\r\n?", "\n")
+    col = F.regexp_replace(col, "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    col = F.regexp_replace(col, r"[ \t]+", " ")
+    col = F.regexp_replace(col, r" ?\n ?", "\n")
+    col = F.regexp_replace(col, r"\n{3,}", "\n\n")
+    return F.trim(col)
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals (the Gopher repetition filters):
+    duplicate-line fraction and duplicate word-bigram fraction, as exact
+    integer ppm. All array-side per doc — map-only, no shuffle; a 100 TB
+    run costs one scan."""
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda x: F.trim(x) != "")
+    wrds = words(F.col(text_col))
+    # word bigrams via index-transform over the words array (the words
+    # array is a bound attribute below, so no re-evaluation per element)
+    bg = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_w") - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at("_w", i),
+                              F.element_at("_w", i + F.lit(1))))
+    base = (df.select(F.col(id_col),
+                      F.explode(F.array(wrds)).alias("_w"),
+                      lines.alias("_lines"))
+              .select(id_col, "_lines", bg.alias("_bg")))
+    return (base.withColumn("n_lines", F.size("_lines").cast("long"))
+                .withColumn("_dl", (F.size("_lines")
+                                    - F.size(F.array_distinct("_lines")))
+                                   .cast("long"))
+                .withColumn("_db", (F.size("_bg")
+                                    - F.size(F.array_distinct("_bg")))
+                                   .cast("long"))
+                .withColumn("_nb", F.size("_bg").cast("long"))
+                .select(id_col, "n_lines",
+                        F.expr(f"_dl * {PPM} div greatest(n_lines, 1)")
+                         .alias("dup_line_ppm"),
+                        F.expr(f"_db * {PPM} div greatest(_nb, 1)")
+                         .alias("dup_bigram_ppm")))

@@ -275,3 +275,76 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (plan(d, "source", "n_chars",
                  {"src0": 400_000, "src1": 400_000}, default_ppm=10_000)
             .orderBy("stratum"))
+
+
+_DUCK_NORM = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(text, '\\r\\n?', chr(10), 'g'), "
+    "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), "
+    "'[ \\t]+', ' ', 'g'), "
+    "' ?\\n ?', chr(10), 'g'), "
+    "'\\n{3,}', chr(10) || chr(10), 'g'))"
+)
+
+
+@register(
+    "normalize_text",
+    sql=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_before,
+           CAST(length({_DUCK_NORM}) AS BIGINT) AS n_after,
+           md5({_DUCK_NORM}) AS norm_hash
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Deterministic text normalization (C4/CCNet-style cleaning): "
+        "newline canonicalization, control-char strip, whitespace "
+        "collapse, blank-line squeeze — map-only regexp chain, oracle "
+        "hashes the identical normalized text.",
+    tags=("text", "north-star"),
+)
+def normalize_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.text import normalize_text
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select("doc_id",
+                     F.length("text").cast("long").alias("n_before"),
+                     F.length(normalize_text("text")).cast("long").alias("n_after"),
+                     F.md5(normalize_text("text")).alias("norm_hash"))
+             .orderBy("doc_id"))
+
+
+_DUCK_LINES = ("list_filter(string_split(text, chr(10)), x -> trim(x) <> '')")
+_DUCK_BIGRAMS = (
+    "CASE WHEN len(w) >= 2 THEN "
+    "list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) "
+    "ELSE [] END"
+)
+
+
+@register(
+    "repetition_stats",
+    sql=f"""
+    WITH base AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w, {_DUCK_LINES} AS lines
+        FROM documents
+    ), b AS (
+        SELECT doc_id, lines, {_DUCK_BIGRAMS} AS bg FROM base
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           (len(lines) - len(list_distinct(lines)))::BIGINT * 1000000
+               // greatest(len(lines), 1) AS dup_line_ppm,
+           (len(bg) - len(list_distinct(bg)))::BIGINT * 1000000
+               // greatest(len(bg), 1) AS dup_bigram_ppm
+    FROM b
+    ORDER BY doc_id
+    """,
+    doc="Per-document repetition signals (Gopher repetition filters): "
+        "duplicate-line and duplicate word-bigram fractions as integer "
+        "ppm — array-side per doc, map-only.",
+    tags=("text", "north-star"),
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.text import repetition_stats
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_stats(d, "doc_id", "text").orderBy("doc_id")

@@ -216,3 +216,30 @@ def test_sampling_edge_fractions(spark):
     df = spark.range(0, 1000).withColumnRenamed("id", "k")
     assert hash_sample(df, "k", 0).count() == 0
     assert hash_sample(df, "k", PPM).count() == 1000
+
+
+def test_normalize_text_crafted(spark):
+    from hops_spark.ops.text import normalize_text
+
+    rows = [(1, "a\r\nb\rc"), (2, "x\t \ty"), (3, "p\n\n\n\n\nq"),
+            (4, "  lead \n trail  "), (5, "ctl\x07char")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["n"] for r in
+           df.select("id", normalize_text("text").alias("n")).collect()}
+    assert got[1] == "a\nb\nc"
+    assert got[2] == "x y"
+    assert got[3] == "p\n\nq"
+    assert got[4] == "lead\ntrail"
+    assert got[5] == "ctlchar"
+
+
+def test_repetition_stats_crafted(spark):
+    from hops_spark.ops.text import repetition_stats
+
+    rows = [(1, "same line\nsame line\nother"),
+            (2, "a b a b a b")]  # bigrams: ab,ba,ab,ba,ab -> 5 total 2 distinct
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_lines"] == 3
+    assert got[1]["dup_line_ppm"] == 333333          # 1 dup of 3
+    assert got[2]["dup_bigram_ppm"] == 600000        # 3 dups of 5
