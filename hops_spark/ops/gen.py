@@ -71,3 +71,67 @@ def random_text_writer(spark: SparkSession, n_rows: int, words_per_row: int = 10
             word_arr,
             (F.pmod(_mix(seed, F.col("id"), i), F.lit(len(WORDS))) + 1).cast("int"))))
     return rng.select(F.col("id").alias("row_id"), text.alias("text"))
+
+
+def teravalidate(df: DataFrame, key_col: str = "key",
+                 n_partitions: int | None = None,
+                 presort: bool = True) -> DataFrame:
+    """TeraValidate parity (terasort/TeraValidate.java): validate global
+    sort order the way the reference does — each task scans ITS
+    partition for order violations (map-only; cross-batch state inside
+    mapInPandas) and emits (min, max, count, checksum); cross-partition
+    boundaries are then checked over the per-partition stats, which are
+    contractually tiny (one row per partition), so the final window is
+    fine on a single partition. Returns ONE row:
+    (n_rows, n_misordered, first_key, last_key, checksum).
+
+    ``presort=True`` composes terasort+validate (sort here, then prove
+    it). ``presort=False`` validates the data AS LAID OUT — the true
+    TeraValidate contract over a stored terasort output, where the
+    partition order is the file order and misorder is detectable."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    if presort:
+        df = (df.repartitionByRange(n_parts, F.col(key_col))
+                .sortWithinPartitions(key_col))
+    sorted_df = (df.select(F.col(key_col).alias("key"),
+                           F.pmod(F.conv(F.substring(F.md5(key_col), 1, 15),
+                                         16, 10).cast("long"),
+                                  F.lit(1_000_000_000)).alias("_h"),
+                           F.spark_partition_id().alias("_pid")))
+
+    def check(batches):
+        last = None
+        pid, n, bad, lo, hi, ck = None, 0, 0, None, None, 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            keys = pdf["key"].tolist()
+            for k in keys:
+                if last is not None and k < last:
+                    bad += 1
+                last = k
+            n += len(keys)
+            lo = keys[0] if lo is None else lo
+            hi = keys[-1]
+            ck += int(pdf["_h"].sum())
+        if pid is not None:
+            yield pd.DataFrame({"pid": [pid], "n": [n], "bad": [bad],
+                                "lo": [lo], "hi": [hi], "ck": [ck]})
+
+    stats = sorted_df.mapInPandas(
+        check, "pid int, n long, bad long, lo string, hi string, ck long")
+    from pyspark.sql.window import Window
+    w = Window.orderBy("pid")
+    stats = stats.withColumn("_prev_hi", F.lag("hi").over(w))
+    return (stats.agg(
+        F.sum("n").alias("n_rows"),
+        (F.sum("bad")
+         + F.sum(F.when(F.col("_prev_hi") > F.col("lo"), 1).otherwise(0)))
+        .alias("n_misordered"),
+        F.min("lo").alias("first_key"),
+        F.max("hi").alias("last_key"),
+        F.sum("ck").alias("checksum")))

@@ -232,3 +232,31 @@ def dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (total_order_rank(distinct, "p_brand", rank_col="surrogate_id")
             .select("p_brand", "surrogate_id", "n_parts")
             .orderBy("surrogate_id"))
+
+
+@register(
+    "teravalidate",
+    sql="""
+    WITH g AS (
+        SELECT substring(md5('42|' || CAST(id AS VARCHAR)), 1, 10) AS key
+        FROM generate_series(0, 9999) AS t(id)
+    )
+    SELECT count(*) AS n_rows,
+           CAST(0 AS BIGINT) AS n_misordered,
+           min(key) AS first_key,
+           max(key) AS last_key,
+           CAST(sum(('0x' || substring(md5(key), 1, 15))::BIGINT
+                    % 1000000000) AS BIGINT) AS checksum
+    FROM g
+    """,
+    doc="TeraValidate (terasort/TeraValidate.java): per-partition order "
+        "scan + cross-partition boundary check + order-invariant global "
+        "checksum over the sorted TeraGen output. The oracle pins "
+        "n_misordered = 0 — Spark must actually produce a correctly "
+        "sorted dataset — plus the exact checksum/extrema.",
+    tags=("generator", "sort", "validate"),
+)
+def teravalidate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.gen import teragen, teravalidate
+    g = teragen(spark, 10_000, seed=42)
+    return teravalidate(g.select("key"), "key")

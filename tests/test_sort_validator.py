@@ -62,3 +62,35 @@ def test_top_k_matches_full_sort(spark):
     topk = [r.key for r in top_k(data, 25, "key").collect()]
     full = [r.key for r in data.orderBy("key").limit(25).collect()]
     assert topk == full and len(topk) == 25
+
+
+def test_teravalidate_catches_misorder(spark):
+    """Corrupt one key after sorting: the validator must count it."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.ops.gen import teragen, teravalidate
+
+    g = teragen(spark, 2000, seed=7).select("key")
+    ok = teravalidate(g, "key").collect()[0]
+    assert ok["n_misordered"] == 0 and ok["n_rows"] == 2000
+
+    # corrupt a stored "sorted" layout: prepend 'zzz' to the smallest
+    # key and validate AS LAID OUT (presort=False) — must be detected
+    srt = g.repartitionByRange(4, F.col("key")).sortWithinPartitions("key")
+    first = g.agg(F.min("key")).collect()[0][0]
+    corrupted = srt.withColumn(
+        "key", F.when(F.col("key") == first, F.concat(F.lit("zzz"), "key"))
+                .otherwise(F.col("key")))
+    bad = teravalidate(corrupted, "key", presort=False).collect()[0]
+    assert bad["n_rows"] == 2000
+    assert bad["n_misordered"] > 0
+
+
+def test_teravalidate_checksum_partition_invariant(spark):
+    from hops_spark.ops.gen import teragen, teravalidate
+
+    g = teragen(spark, 3000, seed=9).select("key")
+    a = teravalidate(g, "key", n_partitions=4).collect()[0]
+    b = teravalidate(g.repartition(13), "key", n_partitions=7).collect()[0]
+    assert a["checksum"] == b["checksum"]
+    assert a["n_rows"] == b["n_rows"] == 3000
