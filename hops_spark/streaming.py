@@ -181,3 +181,35 @@ def continuous_ingest(stream_df: DataFrame, out_path: str, checkpoint: str):
                      .option("path", out_path)
                      .option("checkpointLocation", checkpoint)
                      .outputMode("append"))
+
+
+def stream_stream_join(left: DataFrame, right: DataFrame,
+                       key: str = "user_id", within: str = "30 minutes",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream inner join (declared §2.8 superset —
+    the reference has no streaming joins at all): match events of the
+    same key whose timestamps are within ``within`` of each other.
+
+    Both sides are watermarked and the join condition carries the time
+    bound, so Spark can expire state: per-key buffered rows are dropped
+    once the watermark passes their join window — state is bounded by
+    (event rate × within), not by stream length. Without the time bound
+    this would be an unbounded-state join, which Spark rejects in
+    append mode — the planner enforces the 100 TB constraint for us."""
+    a = (left.withWatermark("ts", watermark)
+             .select(F.col(key).alias("a_key"),
+                     F.col("ts").alias("ts_a"),
+                     F.col("event_id").alias("event_a"),
+                     F.col("event_type").alias("type_a")))
+    b = (right.withWatermark("ts", watermark)
+              .select(F.col(key).alias("b_key"),
+                      F.col("ts").alias("ts_b"),
+                      F.col("event_id").alias("event_b"),
+                      F.col("event_type").alias("type_b")))
+    cond = ((F.col("a_key") == F.col("b_key"))
+            & (F.col("event_a") < F.col("event_b"))
+            & (F.col("ts_b") >= F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {within}")))
+    return (a.join(b, cond)
+             .select(F.col("a_key").alias(key), "event_a", "event_b",
+                     "type_a", "type_b", "ts_a", "ts_b"))

@@ -160,3 +160,31 @@ def test_continuous_ingest_exactly_once_resume(spark, sf_dir, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(out).count() == n_src  # no re-processing
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Streaming self-join (same key, ts within 30 min, id_a < id_b)
+    must equal the batch join on the same rows."""
+    from hops_spark.io.readers import load_table
+    from hops_spark.streaming import read_events_stream, stream_stream_join
+
+    st = stream_stream_join(read_events_stream(spark, sf_dir),
+                            read_events_stream(spark, sf_dir))
+    q = st.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT event_a, event_b FROM ssj").collect()
+
+    e = load_table(spark, sf_dir, "events")
+    a = e.select(F.col("user_id").alias("k"), F.col("ts").alias("ta"),
+                 F.col("event_id").alias("ea"))
+    b = e.select(F.col("user_id").alias("k"), F.col("ts").alias("tb"),
+                 F.col("event_id").alias("eb"))
+    expect = (a.join(b, "k")
+               .filter((F.col("ea") < F.col("eb"))
+                       & (F.col("tb") >= F.col("ta"))
+                       & (F.col("tb") <= F.col("ta") + F.expr("INTERVAL 30 MINUTES")))
+               .select("ea", "eb").collect())
+    assert {(r["event_a"], r["event_b"]) for r in got} == \
+           {(r["ea"], r["eb"]) for r in expect}
+    assert len(expect) > 0
