@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# 100 common words — stands in for RandomTextWriter's word table.
+# 113 common words — stands in for RandomTextWriter's word table.
 WORDS = ("the of and a to in is you that it he was for on are as with his they I "
          "at be this have from or one had by word but not what all were we when "
          "your can said there use an each which she do how their if will up other "

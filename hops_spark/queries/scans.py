@@ -260,3 +260,76 @@ def teravalidate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hops_spark.ops.gen import teragen, teravalidate
     g = teragen(spark, 10_000, seed=42)
     return teravalidate(g.select("key"), "key")
+
+
+def _duck_words_literal() -> str:
+    from hops_spark.ops.gen import WORDS
+    return "[" + ", ".join(f"'{w}'" for w in WORDS) + "]"
+
+
+def _n_words() -> int:
+    from hops_spark.ops.gen import WORDS
+    return len(WORDS)
+
+
+@register(
+    "random_text_topwords",
+    sql=f"""
+    WITH rows_g AS (
+        SELECT id FROM generate_series(0, 1999) AS t(id)
+    ), toks AS (
+        SELECT {_duck_words_literal()}[
+            CAST(('0x' || substring(md5('42|' || CAST(id AS VARCHAR)
+                                        || '|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                 % {_n_words()} AS INT) + 1] AS word
+        FROM rows_g, (SELECT unnest(range(0, 10)) AS i)
+    )
+    SELECT word, count(*) AS n
+    FROM toks
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+    doc="RandomTextWriter (examples/RandomTextWriter.java) + wordcount: "
+        "deterministic md5-mixed draws from the 100-word table — "
+        "identical corpus at any parallelism, verified by recomputing "
+        "the generator relationally and counting the same words.",
+    tags=("generator", "text"),
+)
+def random_text_topwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.gen import random_text_writer
+    g = random_text_writer(spark, 2000, words_per_row=10, seed=42)
+    return (g.select(F.explode(F.split("text", " ")).alias("word"))
+             .groupBy("word").agg(F.count("*").alias("n"))
+             .orderBy(F.col("n").desc(), "word")
+             .limit(20))
+
+
+@register(
+    "random_writer_stats",
+    sql="""
+    WITH g AS (
+        SELECT md5('42|' || CAST(id AS VARCHAR)) AS key,
+               CAST(('0x' || substring(md5('42|' || CAST(id AS VARCHAR)), 1, 15))::BIGINT
+                    % 91 AS INT) + 10 AS vlen
+        FROM generate_series(0, 1999) AS t(id)
+    )
+    SELECT count(*) AS n_rows,
+           count(DISTINCT key) AS n_distinct_keys,
+           CAST(sum(vlen) AS BIGINT) AS total_value_bytes,
+           min(key) AS first_key
+    FROM g
+    """,
+    doc="RandomWriter (examples/RandomWriter.java): deterministic "
+        "(key, variable-length value) generator — accounting query "
+        "verifies the generated keys and value-length distribution "
+        "against a relational recomputation.",
+    tags=("generator",),
+)
+def random_writer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.gen import random_writer
+    g = random_writer(spark, 2000, seed=42, min_value_len=10, max_value_len=100)
+    return g.agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("key").alias("n_distinct_keys"),
+                 F.sum(F.length("value")).cast("long").alias("total_value_bytes"),
+                 F.min("key").alias("first_key"))
