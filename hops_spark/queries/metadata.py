@@ -402,3 +402,43 @@ def meta_subtree_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").alias("n_files"),
                      F.sum("size").alias("total_bytes"))
                 .orderBy("dir"))
+
+
+@register(
+    "distcp_plan_chunks",
+    sql=_DUCK_INODES + """
+    , listing AS (
+        SELECT 'src/' || parent || '/' || name AS src, size FROM inodes
+    ), ranked AS (
+        SELECT src, size,
+               row_number() OVER (ORDER BY size DESC, src) AS rnk
+        FROM listing
+    )
+    SELECT CAST(rnk % 16 AS BIGINT) AS chunk,
+           count(*) AS n_files,
+           CAST(sum(size) AS BIGINT) AS chunk_bytes
+    FROM ranked
+    GROUP BY 1
+    ORDER BY chunk
+    """,
+    doc="DistCp uniform-size copy planning (hadoop-tools/hadoop-distcp "
+        "UniformSizeInputFormat): global size-desc rank (two-phase, no "
+        "single-partition window) round-robined into copy chunks; the "
+        "oracle verifies chunk assignment and the LPT-ish balance "
+        "digest (per-chunk file count + bytes).",
+    tags=("metadata", "maintenance"),
+)
+def distcp_plan_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.maintenance import distcp_plan
+    ino = inodes_from_documents(spark, sf_dir)
+    listing = ino.select(
+        F.concat(F.lit("src/"), F.col("parent"), F.lit("/"), F.col("name"))
+         .alias("src"),
+        F.col("size"))
+    plan = distcp_plan(listing, "src/", "dst/", tasks=16)
+    return (plan.groupBy("chunk")
+                .agg(F.count("*").alias("n_files"),
+                     F.sum("size").alias("chunk_bytes"))
+                .withColumn("chunk", F.col("chunk").cast("long"))
+                .select("chunk", "n_files", "chunk_bytes")
+                .orderBy("chunk"))
