@@ -190,3 +190,20 @@ def test_har_pack_and_point_read(spark, sf_dir, tmp_path):
 
     # miss → empty result, not an error
     assert har_lookup(spark, har, "docs/not-there").count() == 0
+
+
+def test_compression_codecs_roundtrip(spark, sf_dir, tmp_path):
+    """§1.3 codec surface: every codec the engine maps from the
+    reference's io/compress family round-trips losslessly."""
+    d = spark.read.parquet(f"{sf_dir}/region.parquet")
+    expect = sorted(map(tuple, d.collect()))
+    for codec in ("snappy", "gzip", "zstd", "lz4", "none"):
+        p = str(tmp_path / f"pq_{codec}")
+        d.write.option("compression", codec).mode("overwrite").parquet(p)
+        assert sorted(map(tuple, spark.read.parquet(p).collect())) == expect
+    for codec in ("gzip", "bzip2", "deflate", "none"):
+        p = str(tmp_path / f"txt_{codec}")
+        (d.select(F.col("r_name")).write
+          .option("compression", codec).mode("overwrite").text(p))
+        got = sorted(r[0] for r in spark.read.text(p).collect())
+        assert got == sorted(r["r_name"] for r in d.collect())
