@@ -98,9 +98,14 @@ def canon(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--window"]
+    window_only = "--window" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     specs = load_all()
+    if window_only:
+        # replicate the driver's scope: first 50 registry entries only
+        specs = dict(list(specs.items())[:50])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
