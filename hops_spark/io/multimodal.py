@@ -110,3 +110,55 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def _spark_sql_type(df: DataFrame, col: str) -> str:
     return dict(df.dtypes)[col]
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real image resize (PIL not in this
+    container): output bytes = md5-stream keyed on (payload hex, w, h),
+    length scaled to the target pixel count — so the Spark-side plumbing
+    (binary in/out, Arrow batching, schema) is real and the SQL oracle
+    can recompute the result. Replace via set_resizer()."""
+    if payload is None:
+        return b""
+    n_bytes = max((width * height) // 512, 16)
+    seed = f"{payload.hex()}|{width}|{height}"
+    out = bytearray()
+    block = seed
+    while len(out) < n_bytes:
+        block = hashlib.md5(block.encode()).hexdigest()
+        out.extend(bytes.fromhex(block))
+    return bytes(out[:n_bytes])
+
+
+_RESIZER: Callable[[bytes, int, int], bytes] = _fake_resize
+
+
+def set_resizer(fn: Callable[[bytes, int, int], bytes]) -> None:
+    """Install a real resizer (e.g. PIL Image.resize + re-encode)."""
+    global _RESIZER
+    _RESIZER = fn
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image/video-frame resize plumbing via mapInPandas: binary payload
+    in, resized binary payload out, dims recorded. Arrow-batched,
+    map-only — the 100 TB cost is one scan through the decode workers;
+    partitioning and batch shape identical to extract_features."""
+    keep = [c for c in df.columns if c != "payload"]
+    out_schema = ", ".join(f"{c} {_spark_sql_type(df, c)}" for c in keep) \
+        + ", out_w int, out_h int, resized binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                _RESIZER(p if p is None or isinstance(p, bytes) else bytes(p),
+                         width, height)
+                for p in pdf["payload"]
+            ]
+            out = pdf[keep].copy()
+            out["out_w"] = width
+            out["out_h"] = height
+            out["resized"] = resized
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -14,7 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hops_spark.io.multimodal import extract_features, frame_sample, synthetic_media
+from hops_spark.io.multimodal import (extract_features, frame_sample,
+                                      resize_media, synthetic_media)
 from hops_spark.registry import register
 
 
@@ -87,3 +88,37 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (frame_sample(media, every_ms=1000)
             .select("media_id", "duration_ms", "frame_ms")
             .orderBy("media_id", "frame_ms"))
+
+
+@register(
+    "media_resize",
+    # Stub resize at 32x32 emits exactly one md5 block (16 bytes) keyed
+    # on (payload hex, w, h), so the oracle is md5(md5(seed)) — the hex
+    # of the resized bytes IS the inner digest string.
+    sql="""
+    WITH media AS (
+        SELECT id AS media_id,
+               ['image', 'audio', 'video'][(id % 3) + 1] AS kind,
+               repeat(md5('42|' || id), 8) AS payload_hex
+        FROM generate_series(0, 255) AS t(id)
+    )
+    SELECT media_id, kind,
+           32 AS out_w, 32 AS out_h,
+           CAST(16 AS BIGINT) AS n_bytes,
+           md5(md5(payload_hex || '|32|32')) AS resize_hash
+    FROM media
+    ORDER BY media_id
+    """,
+    doc="Multimodal resize plumbing: binary payload → mapInPandas "
+        "(Arrow) → resized binary + dims. Deterministic stub resizer "
+        "(set_resizer() installs PIL); the oracle recomputes the stub's "
+        "md5-stream output byte-for-byte via its hex form.",
+    tags=("multimodal", "north-star"),
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthetic_media(spark, n=256, seed=42)
+    rs = resize_media(media, 32, 32)
+    return (rs.select("media_id", "kind", "out_w", "out_h",
+                      F.length("resized").cast("long").alias("n_bytes"),
+                      F.md5(F.lower(F.hex("resized"))).alias("resize_hash"))
+              .orderBy("media_id"))
