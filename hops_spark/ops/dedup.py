@@ -235,18 +235,27 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     subtree; measured 1.5× faster end-to-end at sf0.1. Pass
     ``cache_candidates=False`` if the caller manages persistence.
 
-    The big shingle lineage itself is deliberately NOT cached —
-    measured slower (forces materialization of the widest intermediate;
-    recompute-per-consumer wins there)."""
+    The per-doc set-size table (id, set_size — two columns, one row per
+    doc) is cached for the same reason: jaccard_verify reads it twice
+    and each read otherwise re-runs the whole shingling pass just to
+    take array sizes. Memory is ~16 B/doc cluster-wide. The big shingle
+    lineage itself is deliberately NOT cached — measured slower (forces
+    materialization of the widest intermediate; recompute-per-consumer
+    wins there)."""
     sa = _with_hash_arr(shingle_arrays(df, id_col, text_col, shingle_n))
     sigs = (sa.filter(F.size("shingle_arr") > 0)
               .select(F.col(id_col), *_sig_cols(n_hashes),
                       F.size("shingle_arr").cast("long").alias("set_size")))
     rows = (sa.select(F.col(id_col), F.explode("shingle_arr").alias("shingle")))
     cands = minhash_candidate_pairs(sigs, id_col, n_hashes, bands)
+    sizes: DataFrame = sigs
     if cache_candidates:
         cands = cands.cache()
-    return jaccard_verify(cands, rows, sigs, id_col, threshold)
+        sizes = (sa.filter(F.size("shingle_arr") > 0)
+                   .select(F.col(id_col),
+                           F.size("shingle_arr").cast("long").alias("set_size"))
+                   .cache())
+    return jaccard_verify(cands, rows, sizes, id_col, threshold)
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
