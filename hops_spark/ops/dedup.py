@@ -56,7 +56,11 @@ def fan_out(df: DataFrame, key: str) -> DataFrame:
     partitions than cores (one small parquet file → one partition → an
     explode-heavy stage runs on a single core). The shuffle moves only
     the compact pre-explode rows; at scale it also evens out skewed
-    file sizes before CPU-bound per-row work."""
+    file sizes before CPU-bound per-row work. Streaming inputs pass
+    through untouched (.rdd is illegal there; micro-batch parallelism
+    comes from the source partitioning)."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, key)

@@ -213,3 +213,39 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
     return (a.join(b, cond)
              .select(F.col("a_key").alias(key), "event_a", "event_b",
                      "type_a", "type_b", "ts_a", "ts_b"))
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str,
+                          max_files_per_trigger: int = 1) -> DataFrame:
+    """documents fixture as a file stream (schema pinned; one file per
+    micro-batch by default)."""
+    schema = ("doc_id long, source string, lang string, n_chars long, "
+              "text string")
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir))
+
+
+def signature_dedup_stream(docs: DataFrame, n_hashes: int = 16,
+                           shingle_n: int = 3) -> DataFrame:
+    """Streaming near-duplicate suppression: drop any document whose
+    MinHash signature was already seen (north-star streaming twin of
+    exact dedup on the near-dup equivalence key).
+
+    Feasible ONLY because the signature computation is map-only
+    (ops/dedup: Generate-barrier shingling + array_min permutations —
+    zero shuffles, so it slots into a streaming plan unchanged); state
+    is one row per distinct signature via dropDuplicates, sharded by the
+    state store like any keyed stream. An ingest pipeline runs this in
+    front of the corpus sink so near-identical re-crawls never land."""
+    from hops_spark.ops import dedup as D
+
+    sa = D._with_hash_arr(D.shingle_arrays(docs, "doc_id", "text", shingle_n))
+    sigs = (sa.filter(F.size("shingle_arr") > 0)
+              .select(F.col("doc_id"), *D._sig_cols(n_hashes)))
+    sig_str = F.concat_ws("|", *[F.col(f"s{i}").cast("string")
+                                 for i in range(n_hashes)])
+    return (sigs.withColumn("signature", sig_str)
+                .select("doc_id", "signature")
+                .dropDuplicates(["signature"]))

@@ -188,3 +188,25 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     assert {(r["event_a"], r["event_b"]) for r in got} == \
            {(r["ea"], r["eb"]) for r in expect}
     assert len(expect) > 0
+
+
+def test_signature_dedup_stream_matches_batch(spark, sf_dir):
+    """Streaming signature dedup keeps exactly one doc per distinct
+    MinHash signature — same signature set as the batch computation."""
+    from hops_spark.ops import dedup as D
+    from hops_spark.streaming import (read_documents_stream,
+                                      signature_dedup_stream)
+
+    st = signature_dedup_stream(read_documents_stream(spark, sf_dir))
+    q = (st.writeStream.format("memory").queryName("sigdedup")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT signature FROM sigdedup").collect()
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = D.minhash_signatures(d, "doc_id", "text", 16, 3)
+    expect = (D.signature_string(sigs, "doc_id", 16)
+              .select("signature").distinct().collect())
+    assert {r["signature"] for r in got} == {r["signature"] for r in expect}
+    assert len(got) == len(expect)  # one survivor per signature
