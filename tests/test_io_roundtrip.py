@@ -207,3 +207,24 @@ def test_compression_codecs_roundtrip(spark, sf_dir, tmp_path):
           .option("compression", codec).mode("overwrite").text(p))
         got = sorted(r[0] for r in spark.read.text(p).collect())
         assert got == sorted(r["r_name"] for r in d.collect())
+
+
+def test_columnar_and_text_format_roundtrips(spark, sf_dir, tmp_path):
+    """Format surface beyond parquet: ORC (columnar sibling), CSV and
+    JSON-lines (text-format family) all round-trip the same rows."""
+    d = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    expect = sorted(map(tuple, d.collect()))
+
+    orc = str(tmp_path / "orc")
+    d.write.mode("overwrite").orc(orc)
+    assert sorted(map(tuple, spark.read.orc(orc).collect())) == expect
+
+    csv = str(tmp_path / "csv")
+    d.write.mode("overwrite").option("header", True).csv(csv)
+    got = spark.read.option("header", True).schema(d.schema).csv(csv)
+    assert sorted(map(tuple, got.collect())) == expect
+
+    js = str(tmp_path / "json")
+    d.write.mode("overwrite").json(js)
+    got = spark.read.schema(d.schema).json(js)
+    assert sorted(map(tuple, got.collect())) == expect
