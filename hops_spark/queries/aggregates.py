@@ -198,3 +198,35 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.abs(F.col("approx_parts") - F.col("exact_parts"))
                        / F.col("exact_parts") <= 0.05).alias("approx_within_5pct"))
               .orderBy("l_returnflag"))
+
+
+@register(
+    "salted_agg_revenue",
+    sql="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(*) AS n_rows,
+           max(CAST(l_orderkey AS BIGINT)) AS max_orderkey,
+           min(CAST(l_orderkey AS BIGINT)) AS min_orderkey
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Skew-mitigated two-phase aggregation (RehashPartitioner parity, "
+        "SURVEY §2.5): partial agg on (key, salt) then final merge on "
+        "key — result must equal the direct single-phase aggregate, "
+        "which is exactly what the oracle computes.",
+    tags=("agg", "skew"),
+)
+def salted_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = A.salted_agg(
+        li, ["l_returnflag"],
+        [F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+         F.count("*").alias("n_rows"),
+         F.max(F.col("l_orderkey")).alias("max_orderkey"),
+         F.min(F.col("l_orderkey")).alias("min_orderkey")],
+        salt_buckets=8)
+    return (out.select("l_returnflag", "sum_qty", "n_rows",
+                       "max_orderkey", "min_orderkey")
+               .orderBy("l_returnflag"))
