@@ -208,3 +208,26 @@ def subtree_rename(inodes: DataFrame, src: str, dst: str,
     keep = inodes.join(mem.select("inode_id"), "inode_id", "left_anti")
     post = keep.unionByName(moved.select(*keep.columns))
     return post, log
+
+
+def ancestor_rollup(inodes: DataFrame) -> DataFrame:
+    """Recursive getContentSummary for EVERY directory at once (du over
+    the whole namespace; reference FSDirStatAndListingOp recursion /
+    QuotaUpdateManager ancestor propagation): each file contributes its
+    (count, size) to every ancestor of its parent path.
+
+    NOT an iterative parent-join (tree-depth rounds of shuffles): path
+    prefixes are expanded array-side — 'a/b/c' → ['a','a/b','a/b/c'] —
+    in ONE narrow pass, then a single groupBy(ancestor) aggregates.
+    Output rows = number of directories; shuffle volume = files ×
+    path depth, the same order as the input listing itself."""
+    parts = F.split(F.col("parent"), "/")
+    ancestors = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, 1, i), "/"))
+    return (inodes.select(F.explode(ancestors).alias("dir"),
+                          F.col("size"))
+                  .groupBy("dir")
+                  .agg(F.count("*").alias("n_files"),
+                       F.sum("size").alias("total_bytes"))
+                  )

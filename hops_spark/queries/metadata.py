@@ -442,3 +442,31 @@ def distcp_plan_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumn("chunk", F.col("chunk").cast("long"))
                 .select("chunk", "n_files", "chunk_bytes")
                 .orderBy("chunk"))
+
+
+@register(
+    "meta_du_recursive",
+    sql=_DUCK_INODES + """
+    , anc AS (
+        SELECT unnest(list_transform(
+                   range(1, len(string_split(parent, '/')) + 1),
+                   i -> array_to_string(string_split(parent, '/')[1:i], '/')))
+               AS dir,
+               size
+        FROM inodes
+    )
+    SELECT dir, count(*) AS n_files, CAST(sum(size) AS BIGINT) AS total_bytes
+    FROM anc
+    GROUP BY dir
+    ORDER BY dir
+    """,
+    doc="Recursive du / getContentSummary for every directory in one "
+        "pass (FSDirStatAndListingOp recursion): ancestor path prefixes "
+        "expanded array-side per file, single groupBy — no per-level "
+        "join iteration, shuffle volume ~ files × depth.",
+    tags=("metadata", "agg"),
+)
+def meta_du_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.catalog.metastore import ancestor_rollup
+    ino = inodes_from_documents(spark, sf_dir)
+    return ancestor_rollup(ino).orderBy("dir")

@@ -24,7 +24,7 @@ def test_north_star_inside_driver_window():
 
 # Registered after the window filled; rotate into round 3's window
 # (subtree ops are already represented in-window by meta_subtree_delete).
-DEFERRED_TO_NEXT_ROUND = {"meta_subtree_rename"}  # +knn_recall, sampling,
+DEFERRED_TO_NEXT_ROUND = {"meta_subtree_rename", "meta_du_recursive"}  # +knn_recall, sampling,
 # normalize_text, repetition_stats — registered post-window; rotate round 3
 
 

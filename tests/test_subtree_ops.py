@@ -78,3 +78,16 @@ def test_subtree_delete_feeds_quota_cdc(spark):
     row = deltas.filter(F.col("parent") == "src1").collect()[0]
     assert row["ns_delta"] == -stats[0]
     assert row["ds_delta"] == -stats[1]
+
+
+def test_ancestor_rollup_deep_tree(spark):
+    """du over a nested tree: every ancestor accumulates its subtree."""
+    from hops_spark.catalog.metastore import ancestor_rollup, with_partition_id
+
+    rows = [(1, "a", "f1", False, 10), (2, "a/b", "f2", False, 20),
+            (3, "a/b/c", "f3", False, 40), (4, "d", "f4", False, 5)]
+    ino = with_partition_id(spark.createDataFrame(
+        rows, "inode_id long, parent string, name string, is_dir boolean, size long"))
+    got = {r["dir"]: (r["n_files"], r["total_bytes"])
+           for r in ancestor_rollup(ino).collect()}
+    assert got == {"a": (3, 70), "a/b": (2, 60), "a/b/c": (1, 40), "d": (1, 5)}
