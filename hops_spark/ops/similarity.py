@@ -187,3 +187,38 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
                                             F.col("neighbor_id").asc())
     return (scored.withColumn("rnk", F.row_number().over(w))
                   .filter(F.col("rnk") <= k))
+
+
+def ivf_kmeans_refine(corpus: DataFrame,
+                      centroids: list[tuple[int, list[float]]],
+                      iters: int = 1, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Lloyd (k-means) refinement of the IVF codebook, expressed as
+    DataFrame ops: assignment is the same broadcast-argmax narrow pass
+    knn_ivf uses; the new centroid is the per-cell per-dimension mean
+    via posexplode + one (cell, dim) aggregate — 2 shuffles per
+    iteration, aggregate output bounded by n_cells × dim rows. The
+    refined codebook returns to the driver, which is the IVF contract
+    (a small codebook, broadcast everywhere); cells that lose every
+    member keep their previous centroid (standard empty-cell rule).
+
+    Deterministic: assignments tie-break toward the larger cell id
+    (array_max struct order) and means round to 6 decimals, so an
+    independent engine reproduces the codebook bit-for-bit."""
+    for _ in range(iters):
+        cell_of = F.array_max(_cell_sims(F.col(vec_col), centroids)) \
+                   .getField("cell")
+        assigned = corpus.select(F.col(vec_col).alias("v"),
+                                 cell_of.alias("cell"))
+        means = (assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+                         .groupBy("cell", "pos")
+                         .agg(F.round(F.avg("val"), 6).alias("m"))
+                         .groupBy("cell")
+                         .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                               .alias("pm"))
+                         .select("cell",
+                                 F.transform("pm", lambda s: s["m"]).alias("mv"))
+                         .collect())
+        new = {int(r["cell"]): [float(x) for x in r["mv"]] for r in means}
+        centroids = [(cid, new.get(cid, vec)) for cid, vec in centroids]
+    return centroids

@@ -254,3 +254,73 @@ def knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.expr(f"CAST(sum(coalesce(_hit, 0)) * 1000000 div {K} "
                              f"AS BIGINT)").alias("recall_ppm"))
                  .orderBy("q_id"))
+
+
+@register(
+    "ivf_refined_cells",
+    sql=f"""
+    WITH d AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cid, v AS cv FROM d
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {N_CELLS}
+    ), a1 AS (
+        SELECT d.vec_id, d.v, c.cid,
+               row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY round(list_cosine_similarity(d.v, c.cv), 6) DESC,
+                            c.cid DESC) AS rn
+        FROM d CROSS JOIN cent c
+    ), cells1 AS (
+        SELECT vec_id, v, cid AS cell FROM a1 WHERE rn = 1
+    ), dims AS (
+        SELECT cell, p.pos, v[p.pos] AS val
+        FROM cells1, (SELECT unnest(range(1, {DIM} + 1)) AS pos) p
+    ), means AS (
+        SELECT cell, pos, round(avg(val), 6) AS m
+        FROM dims GROUP BY cell, pos
+    ), mv AS (
+        SELECT cell, list(m ORDER BY pos) AS mv FROM means GROUP BY cell
+    ), refined AS (
+        SELECT c.cid AS cell, COALESCE(mv.mv, c.cv) AS cv
+        FROM cent c LEFT JOIN mv ON mv.cell = c.cid
+    ), a2 AS (
+        SELECT d.vec_id, r.cell,
+               row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY round(list_cosine_similarity(d.v, r.cv), 6) DESC,
+                            r.cell DESC) AS rn
+        FROM d CROSS JOIN refined r
+    ), final AS (
+        SELECT vec_id, cell FROM a2 WHERE rn = 1
+    )
+    SELECT f.cell, count(*) AS n_members,
+           round(sqrt(list_sum(list_transform(r.cv, x -> x * x))), 6)
+               AS centroid_norm
+    FROM final f JOIN refined r USING (cell)
+    GROUP BY f.cell, r.cv
+    ORDER BY cell
+    """,
+    doc="IVF codebook k-means refinement (one Lloyd iteration as "
+        "DataFrame ops: broadcast-argmax assignment + per-(cell,dim) "
+        "mean aggregate), then re-assignment census with the refined "
+        "codebook. The oracle replays the identical iteration "
+        "relationally — 6-decimal means keep both engines bit-equal.",
+    tags=("similarity", "north-star", "iterative"),
+)
+def ivf_refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", "embedding")
+    base = SIM.ivf_centroids(corpus, N_CELLS)
+    refined = SIM.ivf_kmeans_refine(corpus, base, iters=1)
+    cell_of = (F.array_max(SIM._cell_sims(F.col("embedding"), refined))
+                .getField("cell"))
+    counts = (corpus.select(cell_of.cast("long").alias("cell"))
+                    .groupBy("cell").agg(F.count("*").alias("n_members")))
+    norms = spark.createDataFrame(
+        [(int(cid), round(math.sqrt(sum(x * x for x in vec)), 6))
+         for cid, vec in refined],
+        "cell long, centroid_norm double")
+    return (counts.join(F.broadcast(norms), "cell")
+                  .select("cell", "n_members", "centroid_norm")
+                  .orderBy("cell"))

@@ -243,3 +243,24 @@ def test_repetition_stats_crafted(spark):
     assert got[1]["n_lines"] == 3
     assert got[1]["dup_line_ppm"] == 333333          # 1 dup of 3
     assert got[2]["dup_bigram_ppm"] == 600000        # 3 dups of 5
+
+
+def test_ivf_refine_deterministic_and_improves_fit(spark, sf_dir):
+    from hops_spark.ops.similarity import (_cell_sims, ivf_centroids,
+                                           ivf_kmeans_refine)
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+             .select("vec_id", "embedding")
+    base = ivf_centroids(e, 8)
+    r1 = ivf_kmeans_refine(e, base, iters=1)
+    r2 = ivf_kmeans_refine(e, base, iters=1)
+    assert r1 == r2  # deterministic
+
+    def mean_best_sim(cents):
+        best = F.array_max(_cell_sims(F.col("embedding"), cents)) \
+                .getField("sim")
+        return e.agg(F.avg(best)).collect()[0][0]
+
+    # Lloyd step must not worsen the mean best-centroid similarity
+    assert mean_best_sim(r1) >= mean_best_sim(base) - 1e-9
