@@ -225,3 +225,36 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                          .alias("dup_line_ppm"),
                         F.expr(f"_db * {PPM} div greatest(_nb, 1)")
                          .alias("dup_bigram_ppm")))
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_tokens: int = 128,
+                    overlap: int = 16) -> DataFrame:
+    """Context-window chunking for training pipelines: split each
+    document's whitespace tokens into chunks of ``chunk_tokens`` with
+    ``overlap`` tokens carried between consecutive chunks (stride =
+    chunk_tokens − overlap; the last partial chunk is kept).
+
+    All array-side behind a Generate barrier (split once per doc), then
+    one explode — map-only, no shuffle; at 100 TB this is a scan, and
+    chunk rows inherit the input partitioning for the downstream
+    tokenizer. Output: (id, chunk_id, n_tokens, chunk_text)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    wdf = (df.select(F.col(id_col),
+                     F.explode(F.array(words(F.col(text_col)))).alias("_w"))
+             .filter(F.size("_w") > 0))
+    n_chunks = F.greatest(
+        F.ceil((F.size("_w") - F.lit(overlap)) / F.lit(stride)), F.lit(1)) \
+        .cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            c.alias("chunk_id"),
+            F.slice("_w", c * stride + 1, chunk_tokens).alias("toks")))
+    return (wdf.select(F.col(id_col), F.explode(chunks).alias("ch"))
+               .select(F.col(id_col),
+                       F.col("ch.chunk_id").cast("long").alias("chunk_id"),
+                       F.size("ch.toks").cast("long").alias("n_tokens"),
+                       F.array_join("ch.toks", " ").alias("chunk_text")))

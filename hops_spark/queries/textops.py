@@ -348,3 +348,38 @@ def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hops_spark.ops.text import repetition_stats
     d = load_table(spark, sf_dir, "documents")
     return repetition_stats(d, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "chunk_documents",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ), nz AS (
+        SELECT doc_id, w,
+               CAST(greatest(ceil((len(w) - 8) / 24.0), 1) AS INT) AS n_chunks
+        FROM wt WHERE len(w) > 0
+    ), ch AS (
+        SELECT doc_id, c.c AS chunk_id,
+               w[c.c * 24 + 1 : c.c * 24 + 32] AS toks
+        FROM nz, LATERAL (SELECT unnest(range(0, n_chunks)) AS c) c
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           md5(array_to_string(toks, ' ')) AS chunk_hash
+    FROM ch
+    ORDER BY doc_id, chunk_id
+    """,
+    doc="Context-window chunking (training-data pipeline): 32-token "
+        "chunks with 8-token overlap (stride 24), array-side behind a "
+        "Generate barrier then one explode — map-only. Oracle rebuilds "
+        "every chunk and hashes its text.",
+    tags=("text", "north-star"),
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.text import chunk_documents
+    d = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(d, "doc_id", "text", chunk_tokens=32, overlap=8)
+    return (ch.select("doc_id", "chunk_id", "n_tokens",
+                      F.md5("chunk_text").alias("chunk_hash"))
+              .orderBy("doc_id", "chunk_id"))

@@ -264,3 +264,29 @@ def test_ivf_refine_deterministic_and_improves_fit(spark, sf_dir):
 
     # Lloyd step must not worsen the mean best-centroid similarity
     assert mean_best_sim(r1) >= mean_best_sim(base) - 1e-9
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from hops_spark.ops.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "only three words"),
+                                (3, "")], "doc_id long, text string")
+    got = chunk_documents(df, chunk_tokens=32, overlap=8)
+    rows = {(r["doc_id"], r["chunk_id"]): r["chunk_text"].split(" ")
+            for r in got.collect()}
+    # doc 1: 100 words, stride 24 -> ceil((100-8)/24)=4 chunks
+    d1 = sorted(k[1] for k in rows if k[0] == 1)
+    assert d1 == [0, 1, 2, 3]
+    # consecutive chunks overlap by exactly 8 tokens
+    assert rows[(1, 0)][-8:] == rows[(1, 1)][:8]
+    assert rows[(1, 0)] == [f"w{i}" for i in range(32)]
+    # every token is covered
+    covered = set()
+    for k, toks in rows.items():
+        if k[0] == 1:
+            covered.update(toks)
+    assert covered == {f"w{i}" for i in range(100)}
+    # short doc -> one partial chunk; empty doc -> no chunks
+    assert rows[(2, 0)] == ["only", "three", "words"]
+    assert not any(k[0] == 3 for k in rows)
