@@ -131,3 +131,29 @@ def top_k_per_group(df: DataFrame, group_cols: list[str], k: int,
     w = Window.partitionBy(*group_cols).orderBy(*order)
     out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
     return out if keep_rank else out.drop(rank_col)
+
+
+def total_order_prefix_sum(df: DataFrame, value_col: str, *keys: str,
+                           out_col: str = "running_total") -> DataFrame:
+    """Global inclusive prefix sum in total (*keys) order WITHOUT a
+    single-partition window: TeraSort-style two-phase — range-partition
+    + sort within partitions, per-partition running sum, then add the
+    collected per-partition totals' offsets (≤ #partitions rows to the
+    driver, the zipWithIndex contract). The distributed scan primitive
+    behind sequence packing / byte-offset assignment."""
+    s = (df.repartitionByRange(*[F.col(k) for k in keys])
+           .sortWithinPartitions(*keys)
+           .withColumn("_pid", F.spark_partition_id()))
+    totals = (s.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
+               .orderBy("_pid").collect())
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["_pid"]] = acc
+        acc += r["_t"] or 0
+    omap = F.create_map(*[F.lit(x) for pid_off in sorted(offsets.items())
+                          for x in pid_off])
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    return (s.withColumn(out_col,
+                         (omap[F.col("_pid")] + F.sum(value_col).over(w))
+                         .cast("long"))
+             .drop("_pid"))

@@ -258,3 +258,24 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
                        F.col("ch.chunk_id").cast("long").alias("chunk_id"),
                        F.size("ch.toks").cast("long").alias("n_tokens"),
                        F.array_join("ch.toks", " ").alias("chunk_text")))
+
+
+def pack_sequences(chunks: DataFrame, budget: int, id_cols: list[str] | None = None,
+                   tokens_col: str = "n_tokens") -> DataFrame:
+    """Sequence packing for training batches: assign chunks (in the
+    deterministic ``id_cols`` total order) to consecutive bins of
+    ~``budget`` tokens. A chunk belongs to the bin where its running
+    total starts, so a bin may overflow by at most one sequence — the
+    streaming-packing contract, chosen because it needs only a prefix
+    sum, not a driver-side bin state. The prefix sum is the two-phase
+    distributed scan (ops/sort.total_order_prefix_sum) — no
+    single-partition window anywhere."""
+    from hops_spark.ops.sort import total_order_prefix_sum
+
+    id_cols = id_cols or ["doc_id", "chunk_id"]
+    ps = total_order_prefix_sum(chunks, tokens_col, *id_cols,
+                                out_col="_cum")
+    return (ps.withColumn(
+                "bin_id",
+                F.expr(f"(_cum - {tokens_col}) div {budget}").cast("long"))
+              .drop("_cum"))

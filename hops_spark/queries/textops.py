@@ -383,3 +383,51 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ch.select("doc_id", "chunk_id", "n_tokens",
                       F.md5("chunk_text").alias("chunk_hash"))
               .orderBy("doc_id", "chunk_id"))
+
+
+@register(
+    "pack_sequences",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ), nz AS (
+        SELECT doc_id, w,
+               CAST(greatest(ceil((len(w) - 8) / 24.0), 1) AS INT) AS n_chunks
+        FROM wt WHERE len(w) > 0
+    ), ch AS (
+        SELECT doc_id, c.c AS chunk_id,
+               len(w[c.c * 24 + 1 : c.c * 24 + 32]) AS n_tokens
+        FROM nz, LATERAL (SELECT unnest(range(0, n_chunks)) AS c) c
+    ), ps AS (
+        SELECT doc_id, chunk_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM ch
+    ), binned AS (
+        SELECT (CAST(cum AS BIGINT) - n_tokens) // 512 AS bin_id, n_tokens
+        FROM ps
+    )
+    SELECT CAST(bin_id AS BIGINT) AS bin_id,
+           count(*) AS n_sequences,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM binned
+    GROUP BY bin_id
+    ORDER BY bin_id
+    """,
+    doc="Sequence packing (training-batch assembly): chunks assigned to "
+        "~512-token bins via a TWO-PHASE distributed prefix sum (no "
+        "single-partition window); a bin overflows by at most one "
+        "sequence. Oracle replays the scan with a window prefix sum and "
+        "checks the per-bin census.",
+    tags=("text", "north-star", "sort"),
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.text import chunk_documents, pack_sequences
+    d = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(d, "doc_id", "text", chunk_tokens=32, overlap=8)
+    packed = pack_sequences(ch.select("doc_id", "chunk_id", "n_tokens"),
+                            budget=512)
+    return (packed.groupBy("bin_id")
+                  .agg(F.count("*").alias("n_sequences"),
+                       F.sum("n_tokens").alias("bin_tokens"))
+                  .orderBy("bin_id"))

@@ -94,3 +94,37 @@ def test_teravalidate_checksum_partition_invariant(spark):
     b = teravalidate(g.repartition(13), "key", n_partitions=7).collect()[0]
     assert a["checksum"] == b["checksum"]
     assert a["n_rows"] == b["n_rows"] == 3000
+
+
+def test_prefix_sum_matches_single_partition_window(spark):
+    """Two-phase distributed scan ≡ the naive global-window prefix sum."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hops_spark.ops.sort import total_order_prefix_sum
+
+    df = (spark.range(0, 5000).withColumnRenamed("id", "k")
+               .withColumn("v", F.pmod(F.col("k") * 7 + 3, F.lit(29)) + 1)
+               .repartition(16))
+    got = {r["k"]: r["running_total"]
+           for r in total_order_prefix_sum(df, "v", "k").collect()}
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r["k"]: r["w"] for r in
+            df.withColumn("w", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_pack_sequences_bins_bounded(spark):
+    from hops_spark.ops.text import pack_sequences
+
+    rows = [(d, c, 100) for d in range(10) for c in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_id long, n_tokens long")
+    packed = pack_sequences(df, budget=512)
+    from pyspark.sql import functions as F
+    bins = (packed.groupBy("bin_id").agg(F.sum("n_tokens").alias("t"))
+                  .collect())
+    # every bin except possibly the last holds >= budget-minus-one-seq
+    # and overflows by at most one sequence
+    for r in bins:
+        assert r["t"] <= 512 + 100
+    assert sum(r["t"] for r in bins) == 4000
