@@ -230,3 +230,39 @@ def salted_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("l_returnflag", "sum_qty", "n_rows",
                        "max_orderkey", "min_orderkey")
                .orderBy("l_returnflag"))
+
+
+@register(
+    "approx_quantiles_check",
+    # Self-verifying like approx_distinct_parts: the sketch estimate is
+    # engine-specific, so the registered output is the exact quantile
+    # plus a bounds-check boolean the oracle can pin to true.
+    sql="""
+    SELECT l_returnflag,
+           round(median(l_extendedprice), 2) AS exact_median,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS exact_p90,
+           true AS approx_within_1pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="SampleQuantiles / CKMS parity (util/SampleQuantiles.java): "
+        "percentile_approx (GK sketch) checked against the exact "
+        "interpolated quantiles — output is the exact values plus a "
+        "within-1% boolean, giving the approximate op a full oracle.",
+    tags=("agg", "approx"),
+)
+def approx_quantiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_em"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("_e90"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_am"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("_a90"))
+    ok = ((F.abs(F.col("_am") - F.col("_em")) / F.col("_em") <= 0.01)
+          & (F.abs(F.col("_a90") - F.col("_e90")) / F.col("_e90") <= 0.01))
+    return (g.select("l_returnflag",
+                     F.round("_em", 2).alias("exact_median"),
+                     F.round("_e90", 2).alias("exact_p90"),
+                     ok.alias("approx_within_1pct"))
+             .orderBy("l_returnflag"))
