@@ -82,3 +82,62 @@ def aggregate_reducer(df: DataFrame, sep: str = "\t") -> DataFrame:
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def pipe_binary(df: DataFrame, argv: list[str],
+                key_col: str = "key", value_col: str = "value") -> DataFrame:
+    """Hadoop Pipes parity (hadoop-tools/hadoop-pipes; Submitter.java,
+    C++ API Pipes::Mapper): run a NATIVE worker per partition speaking a
+    FRAMED BINARY protocol — uint32-BE length-prefixed (key, value) byte
+    pairs on stdin, same framing back on stdout — instead of Streaming's
+    line-text framing (which corrupts binary payloads). This is the
+    semantic core of Pipes: arbitrary-bytes kv records to a compiled
+    worker; the socket transport and C++ SDK glue are deployment detail.
+
+    One child per PARTITION, a writer thread feeds stdin while the task
+    thread drains stdout (no pipe-buffer deadlock); cost model identical
+    to the reference (fork once, stream through). Input/output columns
+    are binary; cast strings upstream/downstream as needed."""
+    import struct
+    import subprocess
+    import threading
+
+    out_schema = T.StructType([
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+    ])
+
+    def run_partition(rows):
+        proc = subprocess.Popen(argv, stdin=subprocess.PIPE,
+                                stdout=subprocess.PIPE)
+
+        def feed():
+            try:
+                for r in rows:
+                    k = bytes(r[0]) if r[0] is not None else b""
+                    v = bytes(r[1]) if r[1] is not None else b""
+                    proc.stdin.write(struct.pack(">I", len(k)) + k)
+                    proc.stdin.write(struct.pack(">I", len(v)) + v)
+            finally:
+                proc.stdin.close()
+
+        t = threading.Thread(target=feed, daemon=True)
+        t.start()
+        while True:
+            hdr = proc.stdout.read(4)
+            if len(hdr) < 4:
+                break
+            klen = struct.unpack(">I", hdr)[0]
+            k = proc.stdout.read(klen)
+            vlen = struct.unpack(">I", proc.stdout.read(4))[0]
+            v = proc.stdout.read(vlen)
+            yield (bytearray(k), bytearray(v))
+        t.join()
+        proc.wait()
+        if proc.returncode != 0:
+            raise RuntimeError(f"pipes worker exited {proc.returncode}")
+
+    src = df.select(F.col(key_col).cast("binary"),
+                    F.col(value_col).cast("binary"))
+    return df.sparkSession.createDataFrame(
+        src.rdd.mapPartitions(run_partition), out_schema)

@@ -106,3 +106,57 @@ def test_rs_lose_and_reconstruct(spark):
                for r in rs_reconstruct(survivors, parities, LOST).collect()}
     want = {s: d for (s, i, d) in blocks if i == LOST}
     assert rebuilt == want
+
+
+def test_pipe_binary_cpp_worker(spark, tmp_path):
+    """Hadoop Pipes parity: a compiled C++ worker speaking the framed
+    binary kv protocol — uppercases values, passes keys through
+    (binary-safe: embedded NUL and 0xFF bytes survive)."""
+    import shutil
+    import subprocess
+
+    import pytest
+
+    gxx = shutil.which("g++")
+    if gxx is None:
+        pytest.skip("no C++ toolchain")
+
+    src = tmp_path / "worker.cpp"
+    src.write_text(r'''
+#include <cstdio>
+#include <cstdint>
+#include <vector>
+static bool rd(std::vector<unsigned char>& b) {
+    unsigned char h[4];
+    if (fread(h, 1, 4, stdin) != 4) return false;
+    uint32_t n = (h[0]<<24)|(h[1]<<16)|(h[2]<<8)|h[3];
+    b.resize(n);
+    if (n && fread(b.data(), 1, n, stdin) != n) return false;
+    return true;
+}
+static void wr(const std::vector<unsigned char>& b) {
+    uint32_t n = b.size();
+    unsigned char h[4] = {(unsigned char)(n>>24),(unsigned char)(n>>16),
+                          (unsigned char)(n>>8),(unsigned char)n};
+    fwrite(h, 1, 4, stdout);
+    if (n) fwrite(b.data(), 1, n, stdout);
+}
+int main() {
+    std::vector<unsigned char> k, v;
+    while (rd(k) && rd(v)) {
+        for (auto& c : v) if (c >= 'a' && c <= 'z') c -= 32;
+        wr(k); wr(v);
+    }
+    return 0;
+}
+''')
+    binpath = str(tmp_path / "worker")
+    subprocess.run([gxx, "-O2", "-o", binpath, str(src)], check=True)
+
+    from hops_spark.ops.pipe import pipe_binary
+
+    rows = [(b"k1", b"hello\x00world"), (b"k2", b"\xffabc\xff"), (b"", b"")]
+    df = spark.createDataFrame(rows, "key binary, value binary")
+    got = {bytes(r["key"]): bytes(r["value"])
+           for r in pipe_binary(df, [binpath]).collect()}
+    assert got == {b"k1": b"HELLO\x00WORLD", b"k2": b"\xffABC\xff", b"": b""}
