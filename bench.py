@@ -61,6 +61,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("hops-spark-bench")
     specs = load_all()
+    # --all: time EVERY registered query (diagnostic mode; the recorded
+    # driver metric stays the stable HEADLINE suite for round-over-round
+    # comparability).
+    names = list(specs) if "--all" in sys.argv else HEADLINE
 
     # warm the JVM + parquet footers + the Python (Arrow UDF) worker pool
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
@@ -74,7 +78,7 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         spec = specs[name]
         best = float("inf")
         for _ in range(2):
