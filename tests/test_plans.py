@@ -195,3 +195,28 @@ def test_embedding_near_dup_caps_buckets(spark, sf_dir):
     plan = _plan(SPECS["embedding_near_dup"].fn(spark, sf_dir))
     assert "LeftSemi" in plan  # size-cap filter is present
     assert "BroadcastHashJoin" in plan  # ...and broadcast, not shuffled
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """Benchmark shingle set must broadcast; corpus side streams."""
+    plan = _plan(SPECS["decontaminate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_prefix_sum_window_is_partitioned(spark, sf_dir):
+    """The distributed scan's window must be keyed by partition id —
+    never an empty partitionBy over the data (the global-window cliff)."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.ops.sort import total_order_prefix_sum
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k") \
+              .withColumn("v", F.lit(1))
+    plan = _plan(total_order_prefix_sum(df, "v", "k"))
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_pid" in line
+            break
+    else:
+        raise AssertionError("no window found in plan")
