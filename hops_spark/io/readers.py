@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -27,14 +28,18 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Canonical parquet scan of a driver testdata table.
 
-    The `events` fixture stores TIMESTAMP(NANOS) which Spark's vectorized
-    parquet reader rejects; we read nanos as long (legacy conf) and
-    truncate to microseconds — the same truncation DuckDB applies, so the
-    oracle sees identical values."""
+    Some fixture generations store `events.ts` as TIMESTAMP(NANOS), which
+    Spark's vectorized parquet reader rejects; for those we read nanos as
+    long (legacy conf) and truncate to microseconds — the same truncation
+    DuckDB applies, so the oracle sees identical values. Generations that
+    store µs timestamps read natively with no conversion; we branch on the
+    actual column type so both work."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
