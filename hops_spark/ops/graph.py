@@ -1,0 +1,127 @@
+"""Distributed connected components — alternating large-star/small-star.
+
+Completes the near-dup story: MinHash/SimHash emit duplicate PAIRS, but a
+training-data pipeline needs CLUSTERS (keep one doc per component of the
+similarity graph). Transitive closure can't be expressed in one Catalyst
+plan, so this is a driver-coordinated iterative DataFrame job — the same
+class of computation as ops/similarity.ivf_kmeans_refine.
+
+Algorithm (public: Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC 2014): alternate
+
+  large-star(u): for every node u with neighborhood G(u), connect every
+                 neighbor v > u to m = min(G(u) + {u})
+  small-star(u): connect every neighbor v < u, and u itself, to
+                 m = min of those
+
+until the edge set is stable; the result is a forest of stars whose root
+is each component's minimum node id. Converges in O(log n) rounds (vs
+O(diameter) for naive label propagation — the difference between 20 and
+20,000 rounds on a chain-shaped component), and every round is a single
+groupBy shuffle over the current edge set.
+
+Scale notes (100 TB):
+- State per round is the edge set only (2 bigints/edge), never an
+  adjacency matrix; per-group memory is one neighborhood (collect_set),
+  which for dedup graphs is bounded by the pair-emitters' bucket caps
+  upstream (ops/dedup.py max_bucket).
+- Each round ends with localCheckpoint(eager): lineage would otherwise
+  double per round and the DAG submit itself becomes the bottleneck
+  (the standard iterative-algorithm idiom; checkpoint files stay in
+  executor storage, no driver collect).
+- The convergence probe is a 2-long aggregate (count + hash-sum), not a
+  DataFrame comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    """Both directions of the undirected edge set, self-loops dropped."""
+    fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    rev = edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    return fwd.union(rev).filter(F.col("u") != F.col("v"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(G(u) + {u})."""
+    adj = (_symmetric(edges).groupBy("u")
+                            .agg(F.collect_set("v").alias("vs")))
+    m = F.least(F.col("u"), F.array_min("vs"))
+    bigger = F.filter("vs", lambda v: v > F.col("u"))
+    return (adj.select(F.explode(bigger).alias("src"), m.alias("dst"))
+               .filter(F.col("src") != F.col("dst"))
+               .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-smaller neighbor of u, and u, to their min."""
+    adj = (_symmetric(edges).groupBy("u")
+                            .agg(F.collect_set("v").alias("vs")))
+    smaller = F.filter("vs", lambda v: v < F.col("u"))
+    m = F.least(F.col("u"), F.array_min(smaller))
+    nodes = F.array_union(smaller, F.array(F.col("u")))
+    return (adj.select(F.explode(nodes).alias("src"), m.alias("dst"))
+               .filter(F.col("src") != F.col("dst"))
+               .distinct())
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    """Cheap order-insensitive edge-set fingerprint for the convergence
+    probe (count + XOR of per-edge hashes; XOR, not sum — a sum of
+    64-bit hashes overflows long under ANSI mode — and collision-safe
+    enough for a fixpoint check that only compares consecutive rounds)."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iter: int = 30) -> DataFrame:
+    """Labels every node of the undirected graph ``edges`` with its
+    component's minimum node id. Returns (node, component) — one row per
+    non-isolated node; callers left-join and coalesce to label
+    singletons. Raises if the fixpoint is not reached in ``max_iter``
+    alternating rounds (O(log n) expected — 30 covers any realistic n).
+    """
+    cur = (edges.select(F.col(src).cast("long").alias("src"),
+                        F.col(dst).cast("long").alias("dst"))
+                .filter(F.col("src") != F.col("dst"))
+                .distinct()
+                .localCheckpoint(eager=True))
+    prev_sig = None
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        sig = _signature(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # Converged edge set is a star forest (child -> root). Roots label
+    # themselves; min-agg guards the (impossible at fixpoint) case of a
+    # node retaining two parents.
+    labels = (cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+                 .union(cur.select(F.col("dst").alias("node"),
+                                   F.col("dst").alias("component"))))
+    return labels.groupBy("node").agg(F.min("component").alias("component"))
+
+
+def dedup_cluster_labels(all_ids: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         pair_a: str = "id_a", pair_b: str = "id_b") -> DataFrame:
+    """Cluster assignment + keep decision for every document: component
+    min over the near-dup pair graph (singletons are their own cluster),
+    ``is_kept`` = doc is its cluster's representative. The canonical
+    keep-one-per-cluster policy (deterministic: min id wins)."""
+    comp = connected_components(pairs, pair_a, pair_b)
+    return (all_ids.join(comp.withColumnRenamed("node", id_col), id_col, "left")
+                   .withColumn("cluster_id",
+                               F.coalesce("component", F.col(id_col)))
+                   .withColumn("is_kept", F.col(id_col) == F.col("cluster_id"))
+                   .drop("component"))

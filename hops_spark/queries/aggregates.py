@@ -239,8 +239,8 @@ def salted_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plus a bounds-check boolean the oracle can pin to true.
     sql="""
     SELECT l_returnflag,
-           round(median(l_extendedprice), 2) AS exact_median,
-           round(quantile_cont(l_extendedprice, 0.9), 2) AS exact_p90,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_median,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS exact_p90,
            true AS approx_within_1pct
     FROM lineitem
     GROUP BY l_returnflag
@@ -261,8 +261,12 @@ def approx_quantiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.9, 10000).alias("_a90"))
     ok = ((F.abs(F.col("_am") - F.col("_em")) / F.col("_em") <= 0.01)
           & (F.abs(F.col("_a90") - F.col("_e90")) / F.col("_e90") <= 0.01))
+    # round(…, 6), not 2: the interpolated median of 2-decimal money
+    # values lands exactly on .xx5 half the time (average of two 2dp
+    # values), so a 2dp round is a coin-flip between engines; at 6dp the
+    # midpoint (3dp) is exact. Mirrors exact_quantiles.
     return (g.select("l_returnflag",
-                     F.round("_em", 2).alias("exact_median"),
-                     F.round("_e90", 2).alias("exact_p90"),
+                     F.round("_em", 6).alias("exact_median"),
+                     F.round("_e90", 6).alias("exact_p90"),
                      ok.alias("approx_within_1pct"))
              .orderBy("l_returnflag"))

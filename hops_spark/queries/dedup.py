@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from hops_spark.io.readers import load_table
 from hops_spark.ops import dedup as D
+from hops_spark.ops.graph import dedup_cluster_labels
 from hops_spark.queries.textops import _DUCK_WORDS, DUCK_SHINGLES_OF_W
 from hops_spark.registry import register
 
@@ -250,6 +251,46 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (D.ngram_jaccard_pairs(d, "doc_id", "text", SHINGLE_N, THRESHOLD)
              .orderBy("id_a", "id_b"))
+
+
+@register(
+    "dedup_clusters",
+    sql=(_DUCK_SIGS_CTE + DUCK_MINHASH_VERIFIED_CTE).replace(
+        "WITH wt", "WITH RECURSIVE wt", 1) + """
+    , und AS (
+        SELECT id_a AS a, id_b AS b FROM verified
+        UNION SELECT id_b, id_a FROM verified
+    ), reach AS (
+        -- transitive closure: fine at oracle scale (pairs are few);
+        -- the Spark side uses O(log n) large-star/small-star instead
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        WHERE r.a <> u.b
+    ), lab AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+           (coalesce(l.cluster_id, d.doc_id) = d.doc_id) AS is_kept
+    FROM documents d LEFT JOIN lab l USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Near-dup CLUSTERS (not just pairs): connected components of the "
+        "minhash similarity graph via alternating large-star/small-star "
+        "(Kiveris et al. SoCC'14 — O(log n) rounds, one groupBy shuffle "
+        "per round, edge-set-only state), then keep-min-per-component. "
+        "Oracle recomputes components by recursive-CTE closure.",
+    tags=("dedup", "north-star", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(d, "doc_id", "text", N_HASHES, BANDS,
+                                  SHINGLE_N, THRESHOLD)
+    return (dedup_cluster_labels(d.select("doc_id"), pairs)
+            .select("doc_id", "cluster_id", "is_kept")
+            .orderBy("doc_id"))
 
 
 @register(

@@ -103,11 +103,15 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ws = Window.partitionBy("user_id").orderBy("ts", "event_id") \
                .rowsBetween(Window.unboundedPreceding, 0)
-    gap = F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+    # Interval comparison (not epoch casts): TIMESTAMP_NTZ has no cast to
+    # BIGINT under ANSI mode, and ts - prev_ts > INTERVAL matches the
+    # oracle's arithmetic exactly (millisecond precision preserved).
+    gap_exceeded = F.col("ts") > F.col("prev_ts") + F.expr(
+        f"INTERVAL {SESSION_GAP_MIN} MINUTES")
     return (e.withColumn("prev_ts", F.lag("ts").over(w))
              .withColumn("new_session",
                          F.when(F.col("prev_ts").isNull()
-                                | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0))
+                                | gap_exceeded, 1).otherwise(0))
              .withColumn("session_id", F.sum("new_session").over(ws))
              .groupBy("user_id", "session_id")
              .agg(F.min("ts").alias("session_start"),
@@ -193,19 +197,19 @@ def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = (e.filter(F.col("event_type") == "click")
                .select(F.col("event_id").alias("id_a"), "user_id",
                        F.col("ts").alias("ts_a"))
-               .withColumn("_b0", (F.col("ts_a").cast("long") / bucket_s).cast("long"))
+               .withColumn("_b0", F.floor(F.unix_timestamp("ts_a") / bucket_s))
                .withColumn("_bucket", F.explode(F.array("_b0", F.col("_b0") + 1)))
                .drop("_b0"))
     buys = (e.filter(F.col("event_type") == "purchase")
              .select(F.col("event_id").alias("id_b"),
                      F.col("user_id").alias("user_b"),
                      F.col("ts").alias("ts_b"))
-             .withColumn("_bucket", (F.col("ts_b").cast("long") / bucket_s).cast("long")))
+             .withColumn("_bucket", F.floor(F.unix_timestamp("ts_b") / bucket_s)))
     return (clicks.join(buys, (F.col("user_id") == F.col("user_b"))
                               & (clicks["_bucket"] == buys["_bucket"]))
                   .filter((F.col("ts_b") >= F.col("ts_a"))
                           & (F.col("ts_b") < F.col("ts_a") + F.expr("INTERVAL 10 minutes")))
                   .select("id_a", "id_b", "user_id",
-                          (F.col("ts_b").cast("long") - F.col("ts_a").cast("long"))
+                          (F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a"))
                           .alias("lag_s"))
                   .orderBy("id_a", "id_b"))

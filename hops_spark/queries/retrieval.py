@@ -1,0 +1,88 @@
+"""Retrieval inventory queries: inverted-index/BM25 ranking over the
+``documents`` table (the classic MapReduce indexing demo family,
+re-expressed as DataFrame aggregates — see ops/retrieval.py).
+
+Oracle-determinism notes: every float literal is interpolated from the
+SAME Python value Spark embeds (repr round-trips the double; ``::DOUBLE``
+stops DuckDB parsing it as DECIMAL), the arithmetic mirrors Spark's
+left-to-right association, and per-term contributions are added in fixed
+query order on both sides — no partition-order float folding anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hops_spark.io.readers import load_table
+from hops_spark.ops import retrieval as R
+from hops_spark.queries.textops import _DUCK_WORDS
+from hops_spark.registry import register
+
+QUERY_TERMS = ["spark", "merge", "vector"]
+TOP_K = 15
+
+
+def _duck_bm25_sql(terms: list[str], k: int) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    k1p1 = f"{R.K1 + 1!r}::DOUBLE"
+    k1 = f"{R.K1!r}::DOUBLE"
+    one_minus_b = f"{1 - R.B!r}::DOUBLE"
+    b = f"{R.B!r}::DOUBLE"
+    piv = ",\n           ".join(
+        f"max(CASE WHEN term = '{t}' THEN c END) AS c{i}"
+        for i, t in enumerate(terms))
+    n_matched = " + ".join(
+        f"(CASE WHEN c{i} IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(len(terms)))
+    score = " + ".join(f"coalesce(c{i}, 0.0)" for i in range(len(terms)))
+    return f"""
+    WITH w AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ), dl AS (
+        SELECT doc_id, len(w)::BIGINT AS dl FROM w
+    ), stats AS (
+        SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+    ), tf AS (
+        SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest(w) AS term FROM w)
+        WHERE term IN ({in_list})
+        GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+    ), contrib AS (
+        SELECT t.doc_id, t.term,
+               ((ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * t.tf)
+                * {k1p1})
+               / (t.tf + {k1} * ({one_minus_b} + {b} * l.dl / s.avgdl)) AS c
+        FROM tf t
+        JOIN dfreq d USING (term)
+        JOIN dl l USING (doc_id), stats s
+    ), piv AS (
+        SELECT doc_id,
+           {piv}
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ({n_matched})::BIGINT AS n_terms_matched,
+           round({score}, 6) AS bm25
+    FROM piv
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {k}
+    """
+
+
+@register(
+    "bm25_topk",
+    sql=_duck_bm25_sql(QUERY_TERMS, TOP_K),
+    doc="BM25 ranked retrieval (inverted-index family): doc lengths + "
+        "query-term postings as two map-side-combined aggregates, df/idf "
+        "broadcast, fixed-order per-term score sum (float-deterministic "
+        "across engines). Query-term filter runs BEFORE the postings "
+        "shuffle — only matching tokens move.",
+    tags=("retrieval", "text", "north-star"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (R.bm25_topk(d, QUERY_TERMS, TOP_K)
+             .orderBy(F.col("bm25").desc(), F.col("doc_id")))

