@@ -189,6 +189,51 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
                   .filter(F.col("rnk") <= k))
 
 
+def semantic_dedup(corpus: DataFrame, dim: int, n_clusters: int = 16,
+                   threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding", max_cell: int = 10000,
+                   centroids: list[tuple[int, list[float]]] | None = None
+                   ) -> DataFrame:
+    """Embedding-space dedup, SemDeDup-shaped (public: Abbas et al. 2023,
+    arXiv:2303.09540): partition the corpus into centroid cells (so
+    near-identical vectors land together), compare pairs only WITHIN a
+    cell, and drop every vector that has a higher-similarity twin with a
+    smaller id. Returns (id, cell, is_kept) for every corpus vector.
+
+    This is the deterministic variant: keep-min-id per duplicate pair
+    (the paper keeps max-distance-to-centroid; min-id gives the same
+    cluster census and is engine-reproducible, which the oracle needs).
+
+    Scale: assignment is the same broadcast-argmax narrow pass knn_ivf
+    uses — no shuffle; the pair join shuffles once on cell and is
+    bounded by max_cell² per cell (cells beyond max_cell are skipped —
+    their members are all KEPT, the conservative direction for dedup).
+    n_clusters scales as corpus_size/expected_cell_size, keeping
+    within-cell work constant as the corpus grows."""
+    cents = centroids or ivf_centroids(corpus, n_clusters, id_col, vec_col)
+    cell_of = F.array_max(_cell_sims(F.col(vec_col), cents)).getField("cell")
+    cb = (corpus.select(id_col, vec_col)
+                .withColumn("cell", cell_of.cast("long")))
+    ok = (cb.groupBy("cell").agg(F.count("*").alias("_n"))
+            .filter((F.col("_n") >= 2) & (F.col("_n") <= max_cell))
+            .select("cell"))
+    capped = cb.join(F.broadcast(ok), "cell", "left_semi")
+    a = capped.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                      "cell")
+    b = capped.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                      "cell")
+    dropped = (a.join(b, "cell")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .filter(F.round(cosine(F.col("va"), F.col("vb")), 6)
+                        >= threshold)
+                .select(F.col("id_b").alias(id_col))
+                .distinct()
+                .withColumn("_dup", F.lit(True)))
+    return (cb.join(dropped, id_col, "left")
+              .select(id_col, "cell",
+                      F.col("_dup").isNull().alias("is_kept")))
+
+
 def ivf_kmeans_refine(corpus: DataFrame,
                       centroids: list[tuple[int, list[float]]],
                       iters: int = 1, id_col: str = "vec_id",

@@ -21,4 +21,5 @@ from hops_spark.queries import (  # noqa: F401
     scans,
     multimodal,
     pipeline,
+    retrieval,
 )

@@ -324,3 +324,51 @@ def ivf_refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (counts.join(F.broadcast(norms), "cell")
                   .select("cell", "n_members", "centroid_norm")
                   .orderBy("cell"))
+
+
+SD_THRESHOLD = 0.3  # fixture vectors are random; 0.3 yields duplicates
+
+
+@register(
+    "semantic_dedup",
+    sql=f"""
+    WITH d AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cid, v AS cv FROM d
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {N_CELLS}
+    ), assign AS (
+        SELECT d.vec_id, d.v, c.cid,
+               row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY round(list_cosine_similarity(d.v, c.cv), 6) DESC,
+                            c.cid DESC) AS rn
+        FROM d CROSS JOIN cent c
+    ), cells AS (
+        SELECT vec_id, v, cid::BIGINT AS cell FROM assign WHERE rn = 1
+    ), ok AS (
+        -- mirror the Spark-side cell cap (max_cell=10000; members of
+        -- over-cap cells are all kept — conservative for dedup)
+        SELECT cell FROM cells GROUP BY cell
+        HAVING count(*) BETWEEN 2 AND 10000
+    ), dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM cells a JOIN cells b USING (cell) JOIN ok USING (cell)
+        WHERE a.vec_id < b.vec_id
+          AND round(list_cosine_similarity(a.v, b.v), 6) >= {SD_THRESHOLD}
+    )
+    SELECT c.vec_id, c.cell, (dr.vec_id IS NULL) AS is_kept
+    FROM cells c LEFT JOIN dropped dr ON dr.vec_id = c.vec_id
+    ORDER BY c.vec_id
+    """,
+    doc="SemDeDup-shaped embedding dedup (Abbas et al. 2023): centroid-"
+        "cell partitioning (broadcast-argmax narrow pass), within-cell "
+        "pairwise cosine >= threshold, keep-min-id. One shuffle (the "
+        "cell join), bounded by max_cell^2 per cell; over-cap cells "
+        "conservatively keep all members.",
+    tags=("similarity", "dedup", "north-star"),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (SIM.semantic_dedup(e.select("vec_id", "embedding"), DIM,
+                               N_CELLS, SD_THRESHOLD)
+               .orderBy("vec_id"))

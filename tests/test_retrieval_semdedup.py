@@ -1,0 +1,72 @@
+"""Unit tests: BM25 ranking (ops/retrieval.py) and SemDeDup-shaped
+embedding dedup (ops/similarity.semantic_dedup)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from hops_spark.ops import retrieval as R
+from hops_spark.ops import similarity as SIM
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_term_frequency_and_idf_ordering(spark):
+    docs = _docs(spark, [
+        (0, "spark spark spark filler filler"),
+        (1, "spark filler filler filler filler"),
+        (2, "filler filler filler filler filler"),
+        (3, "rare filler filler filler filler"),
+    ])
+    got = {r["doc_id"]: (r["n_terms_matched"], r["bm25"])
+           for r in R.bm25_scores(docs, ["spark", "rare"]).collect()}
+    assert set(got) == {0, 1, 3}            # doc 2 matches nothing
+    assert got[0][1] > got[1][1]            # higher tf, same dl -> higher
+    assert got[3][1] > got[1][1]            # rarer term -> higher idf
+    assert got[3][0] == 1 and got[0][0] == 1
+
+
+def test_bm25_manual_value(spark):
+    # One doc, one term, hand-computed BM25.
+    docs = _docs(spark, [(0, "a b c d"), (1, "x y z w")])
+    [row] = R.bm25_scores(docs, ["a"]).collect()
+    n, df, tf, dl, avgdl = 2.0, 1.0, 1.0, 4, 4.0
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    expect = idf * tf * (R.K1 + 1) / (tf + R.K1 * (1 - R.B + R.B * dl / avgdl))
+    assert abs(row["bm25"] - round(expect, 6)) < 1e-9
+
+
+def test_bm25_topk_limit_and_tiebreak(spark):
+    docs = _docs(spark, [(i, "spark common") for i in range(6)])
+    got = [r["doc_id"] for r in R.bm25_topk(docs, ["spark"], k=4).collect()]
+    assert got == [0, 1, 2, 3]              # equal scores -> id order
+
+
+def _vec(*xs):
+    return [float(x) for x in xs]
+
+
+def test_semantic_dedup_drops_higher_id_twin(spark):
+    # Two near-identical vectors (0, 1), one orthogonal (2).
+    rows = [(0, _vec(1, 0, 0, 0)), (1, _vec(0.999, 0.01, 0, 0)),
+            (2, _vec(0, 1, 0, 0))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: bool(r["is_kept"])
+           for r in SIM.semantic_dedup(df, 4, n_clusters=2,
+                                       threshold=0.95).collect()}
+    assert got[0] is True
+    assert got[1] is False
+    assert got[2] is True
+    # every corpus vector gets a row
+    assert set(got) == {0, 1, 2}
+
+
+def test_semantic_dedup_over_cap_cell_keeps_all(spark):
+    rows = [(i, _vec(1, 0.001 * i, 0, 0)) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = SIM.semantic_dedup(df, 4, n_clusters=1, threshold=0.9, max_cell=3)
+    assert all(bool(r["is_kept"]) for r in got.collect())
