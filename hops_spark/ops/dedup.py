@@ -428,3 +428,58 @@ def contamination_flags(corpus: DataFrame, benchmark: DataFrame,
                  .groupBy(id_col)
                  .agg(F.count("*").alias("n_overlap"))
                  .withColumn("contaminated", F.col("n_overlap") >= min_overlap))
+
+
+def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 8,
+                    min_count: int = 2) -> DataFrame:
+    """Cross-document duplicate SPANS: maximal token runs whose every
+    k-gram occurs >= min_count times corpus-wide — the distributed
+    approximation of exact-substring dedup (public: Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which
+    removes substrings of >= 50 tokens occurring twice; a suffix array
+    does not distribute, k-gram fingerprints do).
+
+    Plan: one map-only pass emits (doc, pos, md5(k-gram)) through a
+    Generate barrier; one aggregate counts gram occurrences (map-side
+    partial); a LEFT SEMI join keeps duplicated positions (semi joins
+    never blow up on hot grams — a boilerplate gram selects positions,
+    it cannot multiply them); a per-doc window merges stride-1 runs into
+    maximal spans (gaps-and-islands). Shuffles: gram count + semi join +
+    per-doc window = bounded, all key-partitioned; no pair
+    materialization anywhere, so corpus-frequency skew is structurally
+    harmless.
+
+    Returns (id, span_start, span_end, span_tokens): token-index ranges
+    [span_start, span_end] (0-based, inclusive; span_tokens = length)
+    that a cleaning pass would cut.
+    """
+    w = words(text_col)
+    starts = F.when(F.size(w) >= k,
+                    F.sequence(F.lit(1), F.size(w) - (k - 1))
+                    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(starts,
+                       lambda i: F.struct(
+                           (i - 1).cast("long").alias("pos"),
+                           F.md5(F.concat_ws(" ", F.slice(w, i, k))).alias("h")))
+    # Generate barrier: bind the words array once, then explode the
+    # gram structs (same idiom as shingle_arrays — avoids re-splitting
+    # the text per gram).
+    g = (df.select(F.col(id_col), F.explode(gram).alias("g"))
+           .select(id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h")))
+    hot = (g.groupBy("h").agg(F.count("*").alias("_cnt"))
+            .filter(F.col("_cnt") >= min_count)
+            .select("h"))
+    dup = g.join(hot, "h", "left_semi")
+    ws = Window.partitionBy(id_col).orderBy("pos")
+    run = Window.partitionBy(id_col).orderBy("pos") \
+                .rowsBetween(Window.unboundedPreceding, 0)
+    return (dup.withColumn("_new", F.when(
+                    F.col("pos") - F.lag("pos").over(ws) == 1, 0).otherwise(1))
+               .withColumn("_span", F.sum("_new").over(run))
+               .groupBy(id_col, "_span")
+               .agg(F.min("pos").alias("span_start"),
+                    (F.max("pos") + (k - 1)).alias("span_end"))
+               .withColumn("span_tokens",
+                           F.col("span_end") - F.col("span_start") + 1)
+               .select(id_col, "span_start", "span_end", "span_tokens"))

@@ -324,3 +324,50 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (D.contamination_flags(corpus, bench, "doc_id", "text",
                                   shingle_n=3, min_overlap=3)
              .orderBy("doc_id"))
+
+
+DUP_SPAN_K = 8
+
+
+@register(
+    "dup_spans",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, {{DW}} AS w FROM documents
+    ), grams AS (
+        SELECT doc_id, (i.i - 1)::BIGINT AS pos,
+               md5(array_to_string(w[i.i : i.i + {DUP_SPAN_K - 1}], ' ')) AS h
+        FROM wt, LATERAL (SELECT unnest(range(1,
+                 greatest(len(w) - {DUP_SPAN_K - 1}, 0) + 1)) AS i) i
+    ), hot AS (
+        SELECT h FROM grams GROUP BY h HAVING count(*) >= 2
+    ), dup AS (
+        SELECT g.doc_id, g.pos FROM grams g JOIN hot USING (h)
+    ), flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+                    THEN 0 ELSE 1 END AS newf
+        FROM dup
+    ), sp AS (
+        SELECT doc_id, pos,
+               sum(newf) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS span
+        FROM flagged
+    )
+    SELECT doc_id, min(pos) AS span_start,
+           (max(pos) + {DUP_SPAN_K - 1})::BIGINT AS span_end,
+           (max(pos) + {DUP_SPAN_K - 1} - min(pos) + 1)::BIGINT AS span_tokens
+    FROM sp GROUP BY doc_id, span
+    ORDER BY doc_id, span_start
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="Exact-substring dedup spans (Lee et al. 2022 as k-gram "
+        "fingerprints): maximal token runs whose every 8-gram repeats "
+        "corpus-wide. Map-only gram emit, one count aggregate, LEFT SEMI "
+        "join (hot boilerplate grams select, never multiply), per-doc "
+        "gaps-and-islands window. Oracle replays the identical pipeline.",
+    tags=("dedup", "north-star"),
+)
+def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (D.duplicate_spans(d, "doc_id", "text", DUP_SPAN_K, 2)
+             .orderBy("doc_id", "span_start"))

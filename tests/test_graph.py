@@ -73,3 +73,20 @@ def test_max_iter_guard(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(6)], "src long, dst long")
     with pytest.raises(RuntimeError):
         connected_components(df, max_iter=0)
+
+
+def test_duplicate_spans_merges_runs(spark):
+    from hops_spark.ops.dedup import duplicate_spans
+    # docs 0 and 1 share a 10-token run -> one maximal span each (k=8
+    # gives 3 consecutive duplicated gram starts); doc 2 is unrelated.
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(0, shared + " tailzero onlyzero"),
+            (1, "headone " + shared),
+            (2, "totally different words with no overlap at all here ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(int(r["doc_id"])): (int(r["span_start"]), int(r["span_end"]),
+                                int(r["span_tokens"]))
+           for r in duplicate_spans(df, k=8).collect()}
+    assert got[0] == (0, 9, 10)
+    assert got[1] == (1, 10, 10)
+    assert 2 not in got
