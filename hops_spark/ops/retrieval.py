@@ -40,51 +40,52 @@ def doc_lengths(docs: DataFrame, id_col: str = "doc_id",
                        F.size(words(text_col)).cast("long").alias("dl"))
 
 
-def term_freqs(docs: DataFrame, terms: list[str], id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
-    """(doc, term, tf) restricted to ``terms`` — the filter runs before
-    the aggregate, so only query-term tokens shuffle."""
+def doc_term_stats(docs: DataFrame, terms: list[str], id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc, dl, tf_0..tf_k): document length AND per-query-term counts
+    in ONE aggregate over the exploded token stream. Map-side partial
+    aggregation collapses each partition to one row per doc before the
+    shuffle, so shuffle volume is #docs rows (k+1 longs wide) — not the
+    token stream. This one pass replaces a doc-length aggregate, a
+    postings aggregate, their join, and a pivot (5 shuffles -> 1)."""
     toks = docs.select(F.col(id_col),
                        F.explode(words(text_col)).alias("term"))
-    return (toks.filter(F.col("term").isin(list(terms)))
-                .groupBy(id_col, "term")
-                .agg(F.count("*").cast("long").alias("tf")))
+    tf_cols = [F.sum((F.col("term") == t).cast("long")).alias(f"tf_{i}")
+               for i, t in enumerate(terms)]
+    return (toks.groupBy(id_col)
+                .agg(F.count("*").alias("dl"), *tf_cols))
 
 
 def bm25_scores(docs: DataFrame, query_terms: list[str],
                 k1: float = K1, b: float = B,
                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """BM25 (Robertson/Okapi, the (k1+1) variant) of every matching doc
-    against the fixed query. Returns (doc, n_terms_matched, score)."""
-    dl = doc_lengths(docs, id_col, text_col)
-    stats = dl.agg(F.count("*").cast("double").alias("n_docs"),
-                   F.avg("dl").alias("avgdl"))
-    tf = term_freqs(docs, query_terms, id_col, text_col)
-    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    per_term = (tf.join(F.broadcast(df_), "term")
-                  .join(dl, id_col)
-                  .crossJoin(F.broadcast(stats))
-                  .withColumn("idf", F.log(
-                      (F.col("n_docs") - F.col("df") + 0.5)
-                      / (F.col("df") + 0.5) + 1.0))
-                  .withColumn("contrib",
-                              F.col("idf") * F.col("tf") * (k1 + 1)
-                              / (F.col("tf")
-                                 + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))))
-    # Fixed-order sum: pivot each term's contribution to its own column,
-    # then add left-to-right (query-term list order). A float sum()
-    # aggregate would fold in partition order and drift in the last ulp.
-    pivoted = (per_term.groupBy(id_col)
-                       .pivot("term", list(query_terms))
-                       .agg(F.first("contrib")))
+    against the fixed query. Returns (doc, n_terms_matched, score).
+
+    Plan: one doc-stats shuffle + one 1-row corpus aggregate (n_docs,
+    avgdl, every df_t) broadcast back — nothing else moves."""
+    per_doc = doc_term_stats(docs, query_terms, id_col, text_col)
+    df_cols = [F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+               for i in range(len(query_terms))]
+    stats = per_doc.agg(F.count("*").cast("double").alias("n_docs"),
+                        F.avg("dl").alias("avgdl"), *df_cols)
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    # Fixed-order sum over the query-term list: a left-to-right column
+    # add, not a float SUM aggregate whose partition fold order varies —
+    # an independent engine reproduces the double bit-for-bit.
     score = F.lit(0.0)
     n_matched = F.lit(0)
-    for t in query_terms:
-        score = score + F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
-        n_matched = n_matched + F.when(F.col(f"`{t}`").isNotNull(), 1).otherwise(0)
-    return pivoted.select(F.col(id_col),
+    for i in range(len(query_terms)):
+        tf, dfc = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log((F.col("n_docs") - dfc + 0.5) / (dfc + 0.5) + 1.0)
+        contrib = (idf * tf * (k1 + 1)
+                   / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
+        score = score + F.when(tf > 0, contrib).otherwise(F.lit(0.0))
+        n_matched = n_matched + F.when(tf > 0, 1).otherwise(0)
+    return (scored.filter(n_matched > 0)
+                  .select(F.col(id_col),
                           n_matched.cast("long").alias("n_terms_matched"),
-                          F.round(score, 6).alias("bm25"))
+                          F.round(score, 6).alias("bm25")))
 
 
 def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,

@@ -40,7 +40,10 @@ def _duck_bm25_sql(terms: list[str], k: int) -> str:
     WITH w AS (
         SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
     ), dl AS (
-        SELECT doc_id, len(w)::BIGINT AS dl FROM w
+        -- non-empty docs only: the engine's one-pass aggregate sees a
+        -- doc iff it has >= 1 token (empty docs can't match a query;
+        -- they are excluded from n_docs/avgdl by definition here)
+        SELECT doc_id, len(w)::BIGINT AS dl FROM w WHERE len(w) > 0
     ), stats AS (
         SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
     ), tf AS (

@@ -90,3 +90,41 @@ def test_duplicate_spans_merges_runs(spark):
     assert got[0] == (0, 9, 10)
     assert got[1] == (1, 10, 10)
     assert 2 not in got
+
+
+def test_duplicate_spans_property_vs_bruteforce(spark):
+    """Randomized cross-check: spans == maximal runs of duplicated
+    k-grams computed by a driver-side brute force."""
+    from collections import Counter
+
+    from hops_spark.ops.dedup import duplicate_spans
+
+    rng = random.Random(11)
+    k = 3
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+            for i in range(12)]
+
+    counts = Counter()
+    grams = {}
+    for did, text in docs:
+        ws = text.split()
+        gs = [tuple(ws[p:p + k]) for p in range(len(ws) - k + 1)]
+        grams[did] = gs
+        counts.update(gs)
+    expect = set()
+    for did, gs in grams.items():
+        dup_pos = [p for p, g in enumerate(gs) if counts[g] >= 2]
+        run = []
+        for p in dup_pos + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                expect.add((did, run[0], run[-1] + k - 1,
+                            run[-1] + k - 1 - run[0] + 1))
+                run = []
+            if p is not None:
+                run.append(p)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(int(r["doc_id"]), int(r["span_start"]), int(r["span_end"]),
+            int(r["span_tokens"]))
+           for r in duplicate_spans(df, k=k).collect()}
+    assert got == expect
