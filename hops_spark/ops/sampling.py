@@ -85,3 +85,25 @@ def mixture_plan(df: DataFrame, strata_col: str, weight_col: str,
               .withColumn("keep_ppm",
                           F.expr(f"_ratio * {PPM} div greatest(_maxr, 1)")))
     return per.drop("_total", "_ratio", "_maxr")
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    id_col: str, salt: str = "") -> DataFrame:
+    """k-item weighted-without-replacement sample by sequential-Poisson
+    priorities (public: Ohlsson 1998; Duffield et al.'s priority
+    sampling is the same family): priority = uniform-int-hash div
+    weight; the k SMALLEST priorities form an (approximately)
+    probability-proportional-to-size sample, ties broken by id.
+
+    Pure BIGINT arithmetic (`div`), so any engine reproduces the exact
+    sample — no float pow/ln anywhere (the classic u^(1/w) key is not
+    bit-stable across math libraries). Spark executes orderBy().limit(k)
+    as TakeOrdered — per-partition top-k heaps, no global sort shuffle;
+    cost is one scan + a k-row driver merge."""
+    return (df.withColumn("_h", hash_bucket_ppm(id_col, salt))
+              .withColumn("priority",
+                          F.expr(f"(_h * {PPM}) div "
+                                 f"greatest(CAST({weight_col} AS BIGINT), 1)"))
+              .drop("_h")
+              .orderBy("priority", id_col)
+              .limit(k))

@@ -431,3 +431,82 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg(F.count("*").alias("n_sequences"),
                        F.sum("n_tokens").alias("bin_tokens"))
                   .orderBy("bin_id"))
+
+
+@register(
+    "weighted_sample_docs",
+    sql="""
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               ((('0x' || substring(md5('wsamp|' || CAST(doc_id AS VARCHAR)),
+                                    1, 7))::BIGINT % 1000000) * 1000000)
+                 // greatest(CAST(n_chars AS BIGINT), 1) AS priority
+        FROM documents
+    )
+    SELECT doc_id, n_chars, priority
+    FROM h ORDER BY priority, doc_id LIMIT 100
+    """,
+    doc="Weighted (length-proportional) document sampling via sequential-"
+        "Poisson priorities (Ohlsson 1998): priority = md5-uniform div "
+        "weight, take k smallest. Pure BIGINT arithmetic -> the oracle "
+        "reproduces the exact sample; TakeOrdered top-k, no global sort.",
+    tags=("text", "north-star", "sampling"),
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sampling import weighted_sample
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (weighted_sample(d, "n_chars", 100, "doc_id", salt="wsamp")
+            .orderBy("priority", "doc_id"))
+
+
+@register(
+    "quality_filter_by_source",
+    sql=f"""
+    WITH feats AS (
+        SELECT doc_id, source,
+               {_DUCK_WORDS} AS w,
+               length(text) AS n_chars_m,
+               CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{{{-~]', '', 'g')) AS BIGINT) AS n_punct
+        FROM documents
+    ), q AS (
+        SELECT doc_id, source,
+               len(w) AS n_words,
+               greatest(len(w), 1)::BIGINT AS nw1,
+               greatest(n_chars_m, 1)::BIGINT AS nc1,
+               n_punct,
+               CAST(len(list_filter(w, x -> list_contains({{SW}}, x))) AS BIGINT) AS n_sw,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq
+        FROM feats
+    ), s AS (
+        SELECT doc_id, source,
+               (least(n_words::BIGINT * 20000, 1000000)
+                + (1000000 - least(((n_punct * 1000000) // nc1) * 5, 1000000))
+                + least(((n_sw * 1000000) // nw1) * 4, 1000000)
+                + ((n_uniq * 1000000) // nw1)) AS quality_score_ppm
+        FROM q
+    ), thr AS (
+        SELECT source, round(quantile_cont(quality_score_ppm, 0.75), 6) AS p75
+        FROM s GROUP BY source
+    )
+    SELECT s.doc_id, s.source, s.quality_score_ppm, thr.p75
+    FROM s JOIN thr USING (source)
+    WHERE s.quality_score_ppm >= thr.p75
+    ORDER BY s.doc_id
+    """.replace("{SW}", _duck_sw_list("en")),
+    doc="Per-source quality-percentile gate (keep top quartile per "
+        "domain): exact p75 per source (interpolation of integer scores "
+        "at dyadic fractions is float-exact), broadcast thresholds, "
+        "map-only filter. The scale path swaps percentile() for "
+        "percentile_approx — same plan shape.",
+    tags=("text", "north-star", "sampling"),
+)
+def quality_filter_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    s = quality_score(d).select("doc_id", "source", "quality_score_ppm")
+    thr = (s.groupBy("source")
+            .agg(F.round(F.expr("percentile(quality_score_ppm, 0.75)"), 6)
+                  .alias("p75")))
+    return (s.join(F.broadcast(thr), "source")
+             .filter(F.col("quality_score_ppm") >= F.col("p75"))
+             .select("doc_id", "source", "quality_score_ppm", "p75")
+             .orderBy("doc_id"))
