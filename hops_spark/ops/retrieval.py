@@ -95,3 +95,43 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     scored = bm25_scores(docs, query_terms, k1, b, id_col, text_col)
     return (scored.orderBy(F.col("bm25").desc(), F.col(id_col))
                   .limit(k))
+
+
+def cooccurrence_topk(docs: DataFrame, window: int = 2, k: int = 20,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Word co-occurrence, the canonical MapReduce 'pairs' design
+    pattern (public: Lin & Dyer, "Data-Intensive Text Processing with
+    MapReduce", ch.3) — re-expressed map-only: the per-doc pair list
+    (unordered word pairs within ``window`` tokens) is built ARRAY-SIDE
+    behind a Generate barrier, so the only shuffles are the pair-count
+    aggregate and the tiny unigram aggregate (both map-side combined).
+    The reference idiom shuffles one record per pair occurrence; this
+    shuffles one record per distinct pair per partition.
+
+    Returns the k most frequent pairs with an overlap-coefficient
+    affinity (cooc/min(unigram counts)) in exact integer ppm."""
+    w = words(text_col)
+    pair_structs = F.when(F.size(w) >= 2, F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(window), F.size(w) - i)),
+            lambda d: F.struct(
+                F.least(F.element_at(w, i), F.element_at(w, i + d)).alias("a"),
+                F.greatest(F.element_at(w, i), F.element_at(w, i + d)).alias("b"))))
+    )).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pairs = (docs.select(F.explode(pair_structs).alias("p"))
+                 .select(F.col("p.a").alias("word_a"), F.col("p.b").alias("word_b")))
+    cnt = (pairs.groupBy("word_a", "word_b")
+                .agg(F.count("*").alias("n_cooc")))
+    uni = (docs.select(F.explode(w).alias("word"))
+               .groupBy("word").agg(F.count("*").alias("c")))
+    ua = uni.select(F.col("word").alias("word_a"), F.col("c").alias("_ca"))
+    ub = uni.select(F.col("word").alias("word_b"), F.col("c").alias("_cb"))
+    return (cnt.join(F.broadcast(ua), "word_a")
+               .join(F.broadcast(ub), "word_b")
+               .withColumn("affinity_ppm",
+                           F.expr("(n_cooc * 1000000) div least(_ca, _cb)"))
+               .select("word_a", "word_b", "n_cooc", "affinity_ppm")
+               .orderBy(F.col("n_cooc").desc(), "word_a", "word_b")
+               .limit(k))

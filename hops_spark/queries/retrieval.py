@@ -89,3 +89,40 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return (R.bm25_topk(d, QUERY_TERMS, TOP_K)
              .orderBy(F.col("bm25").desc(), F.col("doc_id")))
+
+
+@register(
+    "word_cooccurrence",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, {{DW}} AS w FROM documents
+    ), prs AS (
+        SELECT least(w[i.i], w[i.i + d.d]) AS word_a,
+               greatest(w[i.i], w[i.i + d.d]) AS word_b
+        FROM wt,
+             LATERAL (SELECT unnest(range(1, len(w))) AS i) i,
+             LATERAL (SELECT unnest(range(1, least(2, len(w) - i.i) + 1)) AS d) d
+        WHERE len(w) >= 2
+    ), cnt AS (
+        SELECT word_a, word_b, count(*) AS n_cooc FROM prs GROUP BY word_a, word_b
+    ), uni AS (
+        SELECT word, count(*) AS c
+        FROM (SELECT unnest(w) AS word FROM wt) GROUP BY word
+    )
+    SELECT c.word_a, c.word_b, c.n_cooc,
+           (c.n_cooc * 1000000) // least(ua.c, ub.c) AS affinity_ppm
+    FROM cnt c
+    JOIN uni ua ON ua.word = c.word_a
+    JOIN uni ub ON ub.word = c.word_b
+    ORDER BY n_cooc DESC, word_a, word_b
+    LIMIT 20
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="Word co-occurrence top-k (the canonical MapReduce 'pairs' "
+        "design pattern, Lin & Dyer ch.3): array-side pair generation "
+        "(map-only), one pair-count aggregate + broadcast unigram "
+        "counts; overlap-coefficient affinity in exact integer ppm.",
+    tags=("retrieval", "text"),
+)
+def word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return R.cooccurrence_topk(d, window=2, k=20)

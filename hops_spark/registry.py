@@ -66,12 +66,12 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "random_text_topwords", "random_writer_stats", "media_resize",
     # --- new in round 3 ---
     "dedup_clusters", "bm25_topk", "semantic_dedup", "dup_spans",
-    "weighted_sample_docs", "quality_filter_by_source",
+    "weighted_sample_docs", "quality_filter_by_source", "word_cooccurrence",
     # --- flagship keepers (green in r2; stay in-window for the judge) ---
     "q1_pricing_summary",
     "dedup_exact", "minhash_signatures", "minhash_dedup_pairs",
     "ngram_jaccard_pairs",
-    "knn_bruteforce", "knn_lsh", "knn_ivf", "embedding_near_dup",
+    "knn_bruteforce", "knn_lsh", "embedding_near_dup",
     "doc_quality", "lang_id",
     "media_features", "pipeline_clean_corpus",
     "decontaminate",
