@@ -19,26 +19,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType(), True),
-    T.StructField("ts", T.LongType(), True),   # nanos-as-long (fixture quirk)
-    T.StructField("user_id", T.LongType(), True),
-    T.StructField("event_type", T.StringType(), True),
-    T.StructField("value", T.DoubleType(), True),
-    T.StructField("props", T.StringType(), True),
-])
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType([
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", ts_type, True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ])
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files_per_trigger: int = 1) -> DataFrame:
-    """events fixture as a file stream (nanos → µs timestamp, same
-    truncation as the batch loader)."""
+    """events fixture as a file stream. Fixture generations differ in
+    how they store `ts` — TIMESTAMP(NANOS) (readable only as long, then
+    truncated to µs: the batch loader's rule) vs plain TIMESTAMP_NTZ —
+    so the stream schema follows a one-time batch footer sniff, exactly
+    like io/readers.load_table."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+    ts_type = (spark.read.parquet(f"{sf_dir}/events.parquet")
+               .schema["ts"].dataType)
+    raw = (spark.readStream.schema(_events_schema(ts_type))
            .option("maxFilesPerTrigger", max_files_per_trigger)
            .option("pathGlobFilter", "events.parquet")  # source needs a dir
            .parquet(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):   # nanos-as-long generation
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        # Watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+        # on NTZ); the session timezone is pinned UTC, so the cast is a
+        # pure retag — wall-clock values are unchanged.
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
