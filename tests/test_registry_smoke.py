@@ -16,6 +16,14 @@ def test_query_runs(spark, sf_dir, name):
     rows = df.limit(5).collect()
     assert df.columns, f"{name}: no columns"
     assert rows is not None
+    # Driver-canonicalizer contract: registered outputs must be scalar
+    # columns (array/map/struct cells are unhashable in the driver's
+    # pandas canonicalization — r1's uniq_value_count crash).
+    from pyspark.sql import types as T
+    complex_cols = [f.name for f in df.schema.fields
+                    if isinstance(f.dataType,
+                                  (T.ArrayType, T.MapType, T.StructType))]
+    assert not complex_cols, f"{name}: complex-typed output {complex_cols}"
 
 
 def test_entry(spark):
