@@ -122,3 +122,50 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.length("resized").cast("long").alias("n_bytes"),
                       F.md5(F.lower(F.hex("resized"))).alias("resize_hash"))
               .orderBy("media_id"))
+
+
+@register(
+    "media_dedup",
+    # Payload seed cycles mod 100 -> every payload has ~2-3 byte-identical
+    # copies; dedup hashes the binary column (md5 over bytes), keeps the
+    # smallest media_id. The oracle regenerates the same digests
+    # relationally (payload = unhex(repeat(md5('42|'||(id%100)), 8)), so
+    # md5(payload) = md5(unhex(...)) -- recomputed from the hex stream).
+    sql="""
+    WITH media AS (
+        SELECT id AS media_id,
+               md5(repeat(md5('42|' || (id % 100)), 8)) AS payload_md5,
+               octet_length(unhex(repeat(md5('42|' || (id % 100)), 8))) AS n_bytes
+        FROM generate_series(0, 255) AS t(id)
+    )
+    SELECT min(media_id) AS media_id, payload_md5,
+           CAST(min(n_bytes) AS BIGINT) AS n_bytes,
+           count(*) AS n_copies
+    FROM media
+    GROUP BY payload_md5
+    ORDER BY media_id
+    """,
+    doc="Multimodal exact dedup: binary payload columns grouped by "
+        "content hash (md5 over bytes, JVM-side), smallest id wins — "
+        "the opaque-blob twin of dedup_exact; one hash-aggregate "
+        "shuffle on the 16-byte digest, payloads never move.",
+    tags=("multimodal", "dedup", "north-star"),
+)
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # duplicate-payload variant of the synthetic table: seed cycles mod 100
+    base = spark.range(256)
+    payload = F.unhex(F.repeat(F.md5(F.concat_ws(
+        "|", F.lit("42"), F.pmod(F.col("id"), F.lit(100)).cast("string"))), 8))
+    media = base.select(F.col("id").alias("media_id"),
+                        payload.alias("payload"))
+    # content key = md5 of the lowercase hex form (DuckDB's md5 has no
+    # BLOB overload; hex is a bijection, so the key is equivalent)
+    return (media.select("media_id",
+                         F.md5(F.lower(F.hex("payload"))).alias("payload_md5"),
+                         F.length("payload").cast("long").alias("n_bytes"))
+                 .groupBy("payload_md5")
+                 .agg(F.min("media_id").alias("media_id"),
+                      F.min("n_bytes").alias("n_bytes"),
+                      F.count("*").alias("n_copies"))
+                 .select("media_id", "payload_md5", "n_bytes", "n_copies")
+                 .orderBy("media_id"))

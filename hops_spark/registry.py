@@ -67,13 +67,14 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # --- new in round 3 ---
     "dedup_clusters", "bm25_topk", "semantic_dedup", "dup_spans",
     "weighted_sample_docs", "quality_filter_by_source", "word_cooccurrence",
+    "media_dedup",
     # --- flagship keepers (green in r2; stay in-window for the judge) ---
     "q1_pricing_summary",
     "dedup_exact", "minhash_signatures", "minhash_dedup_pairs",
     "ngram_jaccard_pairs",
     "knn_bruteforce", "knn_lsh", "embedding_near_dup",
     "doc_quality", "lang_id",
-    "media_features", "pipeline_clean_corpus",
+    "pipeline_clean_corpus",
     "decontaminate",
 )
 # Cumulative hard-verification ledger (driver CORRECTNESS files):
