@@ -80,8 +80,15 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 # Cumulative hard-verification ledger (driver CORRECTNESS files):
 #  r1 green: TPC-H q2..q22, join/sort/setop/scan core (36 now rotated out)
 #  r2 green: dedup/similarity/text/multimodal/pipeline/metadata/streaming
-#  r3 window: the 28 never-checked + the 2 r2 errors + 20 keepers = 50.
-# After r3 every registered query has ≥1 driver-green row, assuming green.
+#  r3 window: 28 never-checked + 2 r2 errors (fixed) + 8 new round-3
+#  queries (dedup_clusters, bm25_topk, semantic_dedup, dup_spans,
+#  weighted_sample_docs, quality_filter_by_source, word_cooccurrence,
+#  media_dedup) + 12 flagship keepers = 50.
+# After r3 every registered query has >= 1 driver-green row (assuming
+# green); r2-green keepers displaced by new queries: simhash_signatures,
+# simhash_near_pairs, knn_ivf, token_counts, doc_fingerprint,
+# media_features, media_frame_sample, pii_scrub, meta_* single-rows,
+# tumbling/sliding windows — all retain their r2 rows.
 
 
 def load_all() -> dict[str, QuerySpec]:
