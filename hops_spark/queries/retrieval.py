@@ -126,3 +126,90 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return R.cooccurrence_topk(d, window=2, k=20)
+
+
+@register(
+    "ngram_lm_counts",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, {{DW}} AS w FROM documents
+    ), bg AS (
+        SELECT w[i.i] AS w1, w[i.i + 1] AS w2
+        FROM wt, LATERAL (SELECT unnest(range(1, len(w))) AS i) i
+        WHERE len(w) >= 2
+    ), cnt AS (
+        SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2
+    ), cont AS (
+        SELECT w2, count(*) AS n_cont FROM cnt GROUP BY w2
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS total FROM cnt
+    )
+    SELECT c.w1, c.w2, c.n, co.n_cont,
+           (4 * c.n - 3) * 1000000 // (4 * t.total) AS pkn_num_ppm
+    FROM cnt c JOIN cont co USING (w2), tot t
+    ORDER BY c.n DESC, c.w1, c.w2
+    LIMIT 50
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="Language-model count tables (the KenLM-style corpus job): "
+        "bigram counts via map-only adjacent-pair emit + one aggregate; "
+        "continuation counts (distinct left contexts, the Kneser-Ney "
+        "numerator base) from the count table itself; discounted "
+        "numerator (n - 0.75)/total as exact integer ppm ((4n-3)/4T).",
+    tags=("retrieval", "text", "north-star"),
+)
+def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.text import words
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = words("text")
+    bigram = F.when(F.size(w) >= 2, F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.struct(F.element_at(w, i).alias("w1"),
+                           F.element_at(w, i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    cnt = (d.select(F.explode(bigram).alias("b"))
+            .select("b.w1", "b.w2")
+            .groupBy("w1", "w2").agg(F.count("*").alias("n")))
+    cont = cnt.groupBy("w2").agg(F.count("*").alias("n_cont"))
+    tot = cnt.agg(F.sum("n").alias("total"))
+    return (cnt.join(F.broadcast(cont), "w2")
+               .crossJoin(F.broadcast(tot))
+               .withColumn("pkn_num_ppm",
+                           F.expr("(4 * n - 3) * 1000000 div (4 * total)"))
+               .select("w1", "w2", "n", "n_cont", "pkn_num_ppm")
+               .orderBy(F.col("n").desc(), "w1", "w2")
+               .limit(50))
+
+
+@register(
+    "feature_hashing",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, {{DW}} AS w FROM documents
+    ), toks AS (
+        SELECT doc_id, unnest(w) AS term FROM wt
+    ), hashed AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(term), 1, 7))::BIGINT % 64 AS bucket
+        FROM toks
+    )
+    SELECT doc_id, bucket, count(*) AS n
+    FROM hashed GROUP BY doc_id, bucket
+    ORDER BY doc_id, bucket
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="Feature hashing (the hashing-trick vectorizer, public: "
+        "Weinberger et al. 2009): tokens hashed into 64 buckets "
+        "(md5-based, engine-reproducible), per-doc sparse count vector "
+        "as (doc, bucket, n) rows — map-only emit + one aggregate; "
+        "vocabulary never materializes (the point of the trick at "
+        "100 TB: no dictionary build, no broadcast).",
+    tags=("retrieval", "text", "north-star"),
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.text import words
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(words("text")).alias("term"))
+    bucket = F.pmod(F.conv(F.substring(F.md5("term"), 1, 7), 16, 10)
+                     .cast("long"), F.lit(64))
+    return (toks.select("doc_id", bucket.alias("bucket"))
+                .groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
+                .orderBy("doc_id", "bucket"))
