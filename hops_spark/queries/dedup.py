@@ -371,3 +371,53 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (D.duplicate_spans(d, "doc_id", "text", DUP_SPAN_K, 2)
              .orderBy("doc_id", "span_start"))
+
+
+@register(
+    "dedup_recall",
+    sql=(_DUCK_SIGS_CTE + DUCK_MINHASH_VERIFIED_CTE + f"""
+    , sok AS (
+        SELECT shingle FROM srows GROUP BY shingle
+        HAVING count(*) BETWEEN 2 AND 10000
+    ), xinter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM srows a JOIN srows b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN sok ON sok.shingle = a.shingle
+        GROUP BY 1, 2
+    ), exact AS (
+        SELECT i.id_a, i.id_b
+        FROM xinter i
+        JOIN sigs za ON za.doc_id = i.id_a
+        JOIN sigs zb ON zb.doc_id = i.id_b
+        WHERE i.inter / (za.set_size + zb.set_size - i.inter) >= {THRESHOLD}
+    )
+    SELECT count(*) AS n_exact,
+           CAST(sum(CASE WHEN v.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_found,
+           CAST(sum(CASE WHEN v.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // greatest(count(*), 1) AS BIGINT) AS recall_ppm
+    FROM exact e
+    LEFT JOIN verified v ON v.id_a = e.id_a AND v.id_b = e.id_b
+    """),
+    doc="Dedup-pipeline eval harness: recall of the MinHash+LSH path "
+        "against the exact n-gram-Jaccard ground truth at the same "
+        "threshold (integer ppm). Both paths are deterministic, so the "
+        "eval itself is a full value-hash oracle — the check a pipeline "
+        "runs after retuning bands/hashes.",
+    tags=("dedup", "north-star", "eval"),
+)
+def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lsh = (D.minhash_dedup_pairs(d, "doc_id", "text", N_HASHES, BANDS,
+                                 SHINGLE_N, THRESHOLD)
+            .select("id_a", "id_b").withColumn("_hit", F.lit(1)))
+    exact = (D.ngram_jaccard_pairs(d, "doc_id", "text", SHINGLE_N, THRESHOLD)
+              .select("id_a", "id_b"))
+    return (exact.join(lsh, ["id_a", "id_b"], "left")
+                 .agg(F.count("*").alias("n_exact"),
+                      F.sum(F.coalesce("_hit", F.lit(0))).cast("long")
+                       .alias("n_found"),
+                      F.expr("CAST(sum(coalesce(_hit, 0)) * 1000000 "
+                             "div greatest(count(*), 1) AS BIGINT)")
+                       .alias("recall_ppm")))

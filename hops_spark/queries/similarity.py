@@ -372,3 +372,50 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (SIM.semantic_dedup(e.select("vec_id", "embedding"), DIM,
                                N_CELLS, SD_THRESHOLD)
                .orderBy("vec_id"))
+
+
+@register(
+    "knn_label_purity",
+    sql=f"""
+    WITH d AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS q_id, label AS q_label, v AS qv
+        FROM d WHERE vec_id < {N_QUERIES}
+    ), ranked AS (
+        SELECT q.q_id, q.q_label, d.label,
+               row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY round(list_cosine_similarity(d.v, q.qv), 6) DESC,
+                            d.vec_id) AS rnk
+        FROM d CROSS JOIN q WHERE d.vec_id <> q.q_id
+    )
+    SELECT q_id,
+           CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+                * 1000000 // {K} AS BIGINT) AS purity_ppm
+    FROM ranked WHERE rnk <= {K}
+    GROUP BY q_id
+    ORDER BY q_id
+    """,
+    doc="ANN eval: label purity of the exact top-k neighborhood per "
+        "query (fraction of neighbors sharing the query's label, "
+        "integer ppm) — the embedding-quality probe a similarity "
+        "deployment monitors; first use of the fixture's label column.",
+    tags=("similarity", "eval"),
+)
+def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = (e.filter(F.col("vec_id") < N_QUERIES)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("label").alias("q_label"),
+                        F.col("embedding").alias("q_vec")))
+    labels = e.select(F.col("vec_id").alias("neighbor_id"), "label")
+    knn = SIM.knn_bruteforce(e.select("vec_id", "embedding"),
+                             queries.select("q_id", "q_vec"), K)
+    ql = queries.select("q_id", "q_label")
+    return (knn.join(F.broadcast(labels), "neighbor_id")
+               .join(F.broadcast(ql), "q_id")
+               .groupBy("q_id")
+               .agg(F.expr(f"CAST(sum(CASE WHEN label = q_label THEN 1 "
+                           f"ELSE 0 END) * 1000000 div {K} AS BIGINT)")
+                     .alias("purity_ppm"))
+               .orderBy("q_id"))
