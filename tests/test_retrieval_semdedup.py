@@ -70,3 +70,37 @@ def test_semantic_dedup_over_cap_cell_keeps_all(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = SIM.semantic_dedup(df, 4, n_clusters=1, threshold=0.9, max_cell=3)
     assert all(bool(r["is_kept"]) for r in got.collect())
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    import hashlib
+
+    from hops_spark.ops.sampling import weighted_sample
+
+    rows = [(i, (i * 37) % 500 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+    def ppm(i):
+        h = hashlib.md5(f"s|{i}".encode()).hexdigest()
+        return int(h[:7], 16) % 1_000_000
+
+    pri = sorted(((ppm(i) * 1_000_000) // w, i) for i, w in rows)
+    expect = [(i, p) for p, i in pri[:25]]
+    got = [(int(r["doc_id"]), int(r["priority"]))
+           for r in weighted_sample(df, "n_chars", 25, "doc_id", salt="s")
+           .orderBy("priority", "doc_id").collect()]
+    assert got == expect
+
+
+def test_cooccurrence_counts_window(spark):
+    from hops_spark.ops.retrieval import cooccurrence_topk
+    docs = spark.createDataFrame([(0, "a b c"), (1, "b a")],
+                                 "doc_id long, text string")
+    got = {(r["word_a"], r["word_b"]): (r["n_cooc"], r["affinity_ppm"])
+           for r in cooccurrence_topk(docs, window=2, k=10).collect()}
+    # window 2 over "a b c": (a,b), (a,c), (b,c); "b a": (a,b)
+    assert got[("a", "b")][0] == 2
+    assert got[("a", "c")][0] == 1
+    assert got[("b", "c")][0] == 1
+    # a appears 2x, b 2x, c 1x -> affinity(a,c) = 1e6/min(2,1)
+    assert got[("a", "c")][1] == 1_000_000
