@@ -454,7 +454,14 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     [span_start, span_end] (0-based, inclusive; span_tokens = length)
     that a cleaning pass would cut.
     """
-    w = words(text_col)
+    # Generate barrier: bind the words array ONCE (explode of a
+    # 1-element array), then build grams against the bound attribute —
+    # otherwise CollapseProject inlines split(lower(text)) into every
+    # slice and the text re-splits per gram (same idiom as
+    # shingle_arrays; measured ~3x at sf0.1).
+    bound = df.select(F.col(id_col),
+                      F.explode(F.array(words(text_col))).alias("_w"))
+    w = F.col("_w")
     starts = F.when(F.size(w) >= k,
                     F.sequence(F.lit(1), F.size(w) - (k - 1))
                     ).otherwise(F.array().cast("array<int>"))
@@ -462,11 +469,8 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
                        lambda i: F.struct(
                            (i - 1).cast("long").alias("pos"),
                            F.md5(F.concat_ws(" ", F.slice(w, i, k))).alias("h")))
-    # Generate barrier: bind the words array once, then explode the
-    # gram structs (same idiom as shingle_arrays — avoids re-splitting
-    # the text per gram).
-    g = (df.select(F.col(id_col), F.explode(gram).alias("g"))
-           .select(id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h")))
+    g = (bound.select(F.col(id_col), F.explode(gram).alias("g"))
+              .select(id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h")))
     hot = (g.groupBy("h").agg(F.count("*").alias("_cnt"))
             .filter(F.col("_cnt") >= min_count)
             .select("h"))

@@ -111,7 +111,14 @@ def cooccurrence_topk(docs: DataFrame, window: int = 2, k: int = 20,
 
     Returns the k most frequent pairs with an overlap-coefficient
     affinity (cooc/min(unigram counts)) in exact integer ppm."""
-    w = words(text_col)
+    # Bind the words array behind a Generate barrier (explode of a
+    # 1-element array): CollapseProject would otherwise inline
+    # split(lower(text)) into EVERY element_at below — 4 re-splits per
+    # pair, measured 25 s -> ~2 s at sf0.1 (same trap shingle_arrays
+    # documents).
+    bound = docs.select(F.col(id_col),
+                        F.explode(F.array(words(text_col))).alias("_w"))
+    w = F.col("_w")
     pair_structs = F.when(F.size(w) >= 2, F.flatten(F.transform(
         F.sequence(F.lit(1), F.size(w) - 1),
         lambda i: F.transform(
@@ -120,12 +127,12 @@ def cooccurrence_topk(docs: DataFrame, window: int = 2, k: int = 20,
                 F.least(F.element_at(w, i), F.element_at(w, i + d)).alias("a"),
                 F.greatest(F.element_at(w, i), F.element_at(w, i + d)).alias("b"))))
     )).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    pairs = (docs.select(F.explode(pair_structs).alias("p"))
-                 .select(F.col("p.a").alias("word_a"), F.col("p.b").alias("word_b")))
+    pairs = (bound.select(F.explode(pair_structs).alias("p"))
+                  .select(F.col("p.a").alias("word_a"), F.col("p.b").alias("word_b")))
     cnt = (pairs.groupBy("word_a", "word_b")
                 .agg(F.count("*").alias("n_cooc")))
-    uni = (docs.select(F.explode(w).alias("word"))
-               .groupBy("word").agg(F.count("*").alias("c")))
+    uni = (bound.select(F.explode(w).alias("word"))
+                .groupBy("word").agg(F.count("*").alias("c")))
     ua = uni.select(F.col("word").alias("word_a"), F.col("c").alias("_ca"))
     ub = uni.select(F.col("word").alias("word_b"), F.col("c").alias("_cb"))
     return (cnt.join(F.broadcast(ua), "word_a")

@@ -160,15 +160,18 @@ def word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hops_spark.ops.text import words
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    w = words("text")
+    # Generate barrier: bind the words array once (explode of a
+    # 1-element array) so the split doesn't re-run per element_at.
+    bound = d.select(F.explode(F.array(words("text"))).alias("_w"))
+    w = F.col("_w")
     bigram = F.when(F.size(w) >= 2, F.transform(
         F.sequence(F.lit(1), F.size(w) - 1),
         lambda i: F.struct(F.element_at(w, i).alias("w1"),
                            F.element_at(w, i + 1).alias("w2")))
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    cnt = (d.select(F.explode(bigram).alias("b"))
-            .select("b.w1", "b.w2")
-            .groupBy("w1", "w2").agg(F.count("*").alias("n")))
+    cnt = (bound.select(F.explode(bigram).alias("b"))
+                .select("b.w1", "b.w2")
+                .groupBy("w1", "w2").agg(F.count("*").alias("n")))
     cont = cnt.groupBy("w2").agg(F.count("*").alias("n_cont"))
     tot = cnt.agg(F.sum("n").alias("total"))
     return (cnt.join(F.broadcast(cont), "w2")
