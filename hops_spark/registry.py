@@ -99,3 +99,9 @@ def load_all() -> dict[str, QuerySpec]:
     ordered = {n: QUERIES[n] for n in DRIVER_WINDOW_PRIORITY if n in QUERIES}
     ordered.update({n: s for n, s in QUERIES.items() if n not in ordered})
     return ordered
+# Round-4 rotation plan: swap the 28 round-3 "never-checked" names out
+# for the 36 r1-only-green TPC-H/join/sort/setop rows (q2..q22,
+# join_*, *_sort, top_k_per_group, ranking_windows, set_union_distinct,
+# exact_quantiles, pivot_status_by_flag, ...) so every family's green
+# row stays at most two rounds old; keep the 8-query keeper core and
+# any query added in round 4.

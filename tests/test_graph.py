@@ -128,3 +128,12 @@ def test_duplicate_spans_property_vs_bruteforce(spark):
             int(r["span_tokens"]))
            for r in duplicate_spans(df, k=k).collect()}
     assert got == expect
+
+
+def test_cc_large_random_graph(spark):
+    # bigger stress: 300 nodes, 260 edges -> many interleaved components
+    rng = random.Random(99)
+    n = 300
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(260)})
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _cc(spark, edges) == _union_find(n, edges)
