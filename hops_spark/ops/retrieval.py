@@ -64,7 +64,10 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
 
     Plan: one doc-stats shuffle + one 1-row corpus aggregate (n_docs,
     avgdl, every df_t) broadcast back — nothing else moves."""
-    per_doc = doc_term_stats(docs, query_terms, id_col, text_col)
+    # per_doc feeds both the 1-row corpus-stats aggregate and the
+    # scoring pass; cache it (#docs rows, k+2 longs wide) so the token
+    # explode + aggregate runs once, not per consumer.
+    per_doc = doc_term_stats(docs, query_terms, id_col, text_col).cache()
     df_cols = [F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
                for i in range(len(query_terms))]
     stats = per_doc.agg(F.count("*").cast("double").alias("n_docs"),

@@ -171,7 +171,13 @@ def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     cnt = (bound.select(F.explode(bigram).alias("b"))
                 .select("b.w1", "b.w2")
-                .groupBy("w1", "w2").agg(F.count("*").alias("n")))
+                .groupBy("w1", "w2").agg(F.count("*").alias("n"))
+                # consumed 3x (cont, tot, final join) and Catalyst does
+                # not unify the subtrees — cache the count table rather
+                # than re-aggregate the corpus per consumer (the table
+                # is bigram-vocab-bounded, orders smaller than the
+                # token stream; the standard LM count-table contract).
+                .cache())
     cont = cnt.groupBy("w2").agg(F.count("*").alias("n_cont"))
     tot = cnt.agg(F.sum("n").alias("total"))
     return (cnt.join(F.broadcast(cont), "w2")
