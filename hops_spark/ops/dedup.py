@@ -487,3 +487,89 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
                .withColumn("span_tokens",
                            F.col("span_end") - F.col("span_start") + 1)
                .select(id_col, "span_start", "span_end", "span_tokens"))
+
+
+def _band_rows(sigs: DataFrame, id_col: str, n_hashes: int,
+               bands: int) -> DataFrame:
+    """(id, band, bhash) — one row per LSH band per doc (the banding
+    step of minhash_candidate_pairs, factored for cross-corpus use)."""
+    r = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"s{i}").cast("string") for i in range(b * r, (b + 1) * r)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.md5(F.concat_ws("|", *cols)).alias("bhash")))
+    return (sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
+                .select(id_col, "bb.band", "bb.bhash"))
+
+
+def incremental_dedup_flags(new_df: DataFrame, existing_df: DataFrame,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            n_hashes: int = 16, bands: int = 4,
+                            shingle_n: int = 3, threshold: float = 0.8,
+                            max_bucket: int = 1000) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the production
+    shape (each crawl/ingest dedups against everything already kept;
+    re-clustering the whole corpus per batch would be quadratic over
+    time). Returns one row per new doc:
+    (id, exact_dup, near_dup, is_kept = neither).
+
+    - Exact: content-hash LEFT SEMI against the existing corpus (only
+      16-byte digests shuffle).
+    - Near: ASYMMETRIC LSH — band rows for both sides, candidate join
+      restricted to new x existing (never existing x existing, the
+      whole point), per-(band,bucket) cap applied to the EXISTING side
+      (boilerplate guard), exact-Jaccard verify on candidate pairs via
+      shingle-row joins (no array intersections).
+    Shuffle inventory: 1 digest semi-join + 1 banded bucket join +
+    the verify joins over candidate-restricted rows — all bounded; no
+    self-join of either corpus.
+    """
+    # exact content match
+    eh = existing_df.select(F.md5(F.col(text_col)).alias("_th")).distinct()
+    nh = new_df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_th"))
+    exact = (nh.join(eh.withColumn("_e", F.lit(True)), "_th", "left")
+               .select(id_col, F.coalesce("_e", F.lit(False)).alias("exact_dup")))
+
+    # asymmetric LSH candidates
+    sig_n = minhash_signatures(new_df, id_col, text_col, n_hashes, shingle_n)
+    sig_e = minhash_signatures(existing_df, id_col, text_col, n_hashes, shingle_n)
+    bn = (_band_rows(sig_n, id_col, n_hashes, bands)
+          .withColumnRenamed(id_col, "id_new"))
+    be = (_band_rows(sig_e, id_col, n_hashes, bands)
+          .withColumnRenamed(id_col, "id_old"))
+    ok = (be.groupBy("band", "bhash").agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket).select("band", "bhash"))
+    cand = (bn.join(be.join(ok, ["band", "bhash"], "left_semi"),
+                    ["band", "bhash"])
+              .select("id_new", "id_old").distinct())
+
+    # exact-Jaccard verify across the two corpora
+    rows_n = (shingle_rows(new_df, id_col, text_col, shingle_n)
+              .select(F.col(id_col).alias("id_new"), "shingle"))
+    rows_e = (shingle_rows(existing_df, id_col, text_col, shingle_n)
+              .select(F.col(id_col).alias("id_old"), "shingle"))
+    an = rows_n.join(F.broadcast(cand), "id_new")
+    inter = (rows_e.join(an, ["id_old", "shingle"])
+                   .groupBy("id_new", "id_old")
+                   .agg(F.count("*").alias("inter")))
+    zn = (sig_n.select(F.col(id_col).alias("id_new"),
+                       F.col("set_size").alias("size_n"))
+               .join(F.broadcast(cand.select("id_new").distinct()),
+                     "id_new", "left_semi"))
+    ze = (sig_e.select(F.col(id_col).alias("id_old"),
+                       F.col("set_size").alias("size_e"))
+               .join(F.broadcast(cand.select("id_old").distinct()),
+                     "id_old", "left_semi"))
+    near_ids = (cand.join(inter, ["id_new", "id_old"], "left")
+                    .withColumn("inter", F.coalesce("inter", F.lit(0)))
+                    .join(zn, "id_new").join(ze, "id_old")
+                    .withColumn("_j", F.col("inter")
+                                / (F.col("size_n") + F.col("size_e") - F.col("inter")))
+                    .filter(F.col("_j") >= threshold)
+                    .select(F.col("id_new").alias(id_col)).distinct()
+                    .withColumn("_nd", F.lit(True)))
+    return (exact.join(near_ids, id_col, "left")
+                 .withColumn("near_dup", F.coalesce("_nd", F.lit(False)))
+                 .withColumn("is_kept", ~F.col("exact_dup") & ~F.col("near_dup"))
+                 .select(id_col, "exact_dup", "near_dup", "is_kept"))

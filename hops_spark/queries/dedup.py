@@ -421,3 +421,85 @@ def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.expr("CAST(sum(coalesce(_hit, 0)) * 1000000 "
                              "div greatest(count(*), 1) AS BIGINT)")
                        .alias("recall_ppm")))
+
+
+def _duck_sigs_cte_sfx(sfx: str, where: str) -> str:
+    """Suffixed signature CTE chain (two corpora in one WITH clause)."""
+    mins = ", ".join(
+        f"min((({a} * h) + {b}) % {D.MERSENNE31}) AS s{i}"
+        for i, (a, b) in enumerate(D.minhash_coeffs(N_HASHES)))
+    return f"""
+    wt{sfx} AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents {where}
+    ), sht{sfx} AS (
+        SELECT doc_id, list_distinct({DUCK_SHINGLES_OF_W}) AS sh FROM wt{sfx}
+    ), srows{sfx} AS (
+        SELECT doc_id, shingle,
+               ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(sh) AS shingle FROM sht{sfx})
+    ), sigs{sfx} AS (
+        SELECT doc_id, {mins}, count(*) AS set_size
+        FROM srows{sfx} GROUP BY doc_id
+    )"""
+
+
+@register(
+    "incremental_dedup",
+    sql=f"""
+    WITH {_duck_sigs_cte_sfx('_n', "WHERE source <> 'src0'").lstrip()},
+    {_duck_sigs_cte_sfx('_e', "WHERE source = 'src0'").lstrip()},
+    bn AS (
+        SELECT doc_id AS id_new, b.band AS band, b.bhash AS bhash
+        FROM (SELECT doc_id, unnest({_duck_band_structs()}) AS b FROM sigs_n)
+    ), be AS (
+        SELECT doc_id AS id_old, b.band AS band, b.bhash AS bhash
+        FROM (SELECT doc_id, unnest({_duck_band_structs()}) AS b FROM sigs_e)
+    ), ok AS (
+        SELECT band, bhash FROM be GROUP BY band, bhash
+        HAVING count(*) <= 1000
+    ), cand AS (
+        SELECT DISTINCT id_new, id_old
+        FROM bn JOIN be USING (band, bhash) JOIN ok USING (band, bhash)
+    ), inter AS (
+        SELECT c.id_new, c.id_old, count(*) AS inter
+        FROM cand c
+        JOIN srows_n rn ON rn.doc_id = c.id_new
+        JOIN srows_e re ON re.doc_id = c.id_old AND re.shingle = rn.shingle
+        GROUP BY 1, 2
+    ), near AS (
+        SELECT DISTINCT c.id_new AS doc_id
+        FROM cand c
+        LEFT JOIN inter i USING (id_new, id_old)
+        JOIN sigs_n zn ON zn.doc_id = c.id_new
+        JOIN sigs_e ze ON ze.doc_id = c.id_old
+        WHERE coalesce(i.inter, 0)
+              / (zn.set_size + ze.set_size - coalesce(i.inter, 0)) >= {THRESHOLD}
+    ), ex AS (
+        SELECT DISTINCT md5(text) AS th FROM documents WHERE source = 'src0'
+    ), base AS (
+        SELECT doc_id, md5(text) AS th FROM documents WHERE source <> 'src0'
+    )
+    SELECT b.doc_id,
+           (ex.th IS NOT NULL) AS exact_dup,
+           (nr.doc_id IS NOT NULL) AS near_dup,
+           (ex.th IS NULL AND nr.doc_id IS NULL) AS is_kept
+    FROM base b
+    LEFT JOIN ex ON ex.th = b.th
+    LEFT JOIN near nr ON nr.doc_id = b.doc_id
+    ORDER BY b.doc_id
+    """,
+    doc="Incremental dedup: the NEW batch (sources != src0) against the "
+        "EXISTING corpus (src0) — exact content-hash semi-join plus "
+        "ASYMMETRIC LSH (candidates are new x existing only; an "
+        "existing-side bucket cap guards boilerplate). The production "
+        "shape: each ingest dedups against what is already kept, never "
+        "re-clustering the whole corpus.",
+    tags=("dedup", "north-star"),
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("source") != "src0")
+    existing = d.filter(F.col("source") == "src0")
+    return (D.incremental_dedup_flags(new, existing, "doc_id", "text",
+                                      N_HASHES, BANDS, SHINGLE_N, THRESHOLD)
+             .orderBy("doc_id"))

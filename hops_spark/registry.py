@@ -68,11 +68,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_clusters", "bm25_topk", "semantic_dedup", "dup_spans",
     "weighted_sample_docs", "quality_filter_by_source", "word_cooccurrence",
     "media_dedup", "ngram_lm_counts", "feature_hashing",
-    "dedup_recall", "knn_label_purity",
+    "dedup_recall", "knn_label_purity", "incremental_dedup",
     # --- flagship keepers (green in r2; stay in-window for the judge) ---
     "q1_pricing_summary",
     "dedup_exact", "minhash_dedup_pairs",
-    "ngram_jaccard_pairs",
     "knn_bruteforce",
     "doc_quality",
     "pipeline_clean_corpus",
@@ -81,11 +80,11 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 # Cumulative hard-verification ledger (driver CORRECTNESS files):
 #  r1 green: TPC-H q2..q22, join/sort/setop/scan core (36 now rotated out)
 #  r2 green: dedup/similarity/text/multimodal/pipeline/metadata/streaming
-#  r3 window: 28 never-checked + 2 r2 errors (fixed) + 12 new round-3
+#  r3 window: 28 never-checked + 2 r2 errors (fixed) + 13 new round-3
 #  queries (dedup_clusters, bm25_topk, semantic_dedup, dup_spans,
 #  weighted_sample_docs, quality_filter_by_source, word_cooccurrence,
 #  media_dedup, ngram_lm_counts, feature_hashing, dedup_recall,
-#  knn_label_purity) + 8 flagship keepers = 50.
+#  knn_label_purity, incremental_dedup) + 7 flagship keepers = 50.
 # After r3 every registered query has >= 1 driver-green row (assuming
 # green); r2-green keepers displaced by new queries (simhash_*, knn_ivf,
 # token_counts, doc_fingerprint, lang_id, embedding_near_dup, media_*,
