@@ -104,3 +104,24 @@ def test_cooccurrence_counts_window(spark):
     assert got[("b", "c")][0] == 1
     # a appears 2x, b 2x, c 1x -> affinity(a,c) = 1e6/min(2,1)
     assert got[("a", "c")][1] == 1_000_000
+
+
+def test_clean_corpus_job(spark, sf_dir, tmp_path):
+    """End-to-end cleaning CLI: monotone stage counts, deterministic
+    rerun, parquet output readable."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from clean_corpus import clean_corpus
+
+    c1 = clean_corpus(spark, sf_dir, str(tmp_path / "a"))
+    order = ["input", "after_quality", "after_lang", "after_exact_dedup",
+             "after_near_dedup", "after_decontaminate"]
+    vals = [c1[k] for k in order]
+    assert vals == sorted(vals, reverse=True)       # each stage only drops
+    assert c1["written"] == c1["after_decontaminate"] > 0
+    c2 = clean_corpus(spark, sf_dir, str(tmp_path / "b"))
+    assert c1 == c2                                  # deterministic
+    a = spark.read.parquet(str(tmp_path / "a" / "clean"))
+    b = spark.read.parquet(str(tmp_path / "b" / "clean"))
+    assert sorted(r["doc_id"] for r in a.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in b.select("doc_id").collect())

@@ -1,0 +1,94 @@
+"""End-to-end corpus-cleaning job: the composition a training-data user
+actually runs, wired from the registered operators.
+
+    python tools/clean_corpus.py SF_DIR OUT_DIR [--bench-source src0]
+
+Stages (each map-only or cap-bounded — see SCALE.md):
+  1. quality gate   — integer-ppm score threshold (ops/text.quality_score)
+  2. language gate  — stopword-hit lang-id == 'en' (ops/text.lang_id_expr)
+  3. exact dedup    — content-hash keep-min-id (ops/dedup.exact_dedup)
+  4. near dedup     — MinHash+LSH pair graph -> connected components ->
+                      keep cluster representative (ops/graph)
+  5. decontaminate  — drop docs sharing >= 3 shingles with the benchmark
+                      source (ops/dedup.contamination_flags)
+
+Writes the kept documents as parquet to OUT_DIR/clean and prints ONE
+JSON accounting line (counts per stage) — the job's contract with a
+scheduler. Deterministic end to end: re-running yields byte-identical
+keep decisions (hash sampling, md5 minhash, min-id winners).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from hops_spark.io.readers import load_table
+from hops_spark.ops.dedup import (contamination_flags, exact_dedup,
+                                  minhash_dedup_pairs)
+from hops_spark.ops.graph import dedup_cluster_labels
+from hops_spark.ops.text import lang_id_expr, quality_score
+from hops_spark.session import get_spark
+
+QUALITY_MIN_PPM = 1_200_000
+SHINGLE_N = 3
+THRESHOLD = 0.8
+
+
+def clean_corpus(spark, sf_dir: str, out_dir: str,
+                 bench_source: str = "src0") -> dict:
+    d = load_table(spark, sf_dir, "documents")
+    counts = {"input": d.count()}
+
+    q = (quality_score(d.select("doc_id", "text"))
+         .select("doc_id", "quality_score_ppm"))
+    d = (d.join(q, "doc_id")
+          .filter(F.col("quality_score_ppm") >= QUALITY_MIN_PPM))
+    counts["after_quality"] = d.count()
+
+    d = d.withColumn("_lang", lang_id_expr("text")) \
+         .filter(F.col("_lang") == "en").drop("_lang")
+    counts["after_lang"] = d.count()
+
+    d = exact_dedup(d, ["text"], "doc_id")
+    counts["after_exact_dedup"] = d.count()
+
+    pairs = minhash_dedup_pairs(d, "doc_id", "text",
+                                shingle_n=SHINGLE_N, threshold=THRESHOLD)
+    labels = dedup_cluster_labels(d.select("doc_id"), pairs)
+    d = d.join(labels.filter("is_kept").select("doc_id"), "doc_id", "left_semi")
+    counts["after_near_dedup"] = d.count()
+
+    bench = d.filter(F.col("source") == bench_source)
+    corpus = d.filter(F.col("source") != bench_source)
+    flags = contamination_flags(corpus, bench, "doc_id", "text",
+                                shingle_n=SHINGLE_N, min_overlap=3)
+    contaminated = flags.filter("contaminated").select("doc_id")
+    d = corpus.join(contaminated, "doc_id", "left_anti")
+    counts["after_decontaminate"] = d.count()
+
+    out = os.path.join(out_dir, "clean")
+    d.orderBy("doc_id").write.mode("overwrite").parquet(out)
+    counts["written"] = spark.read.parquet(out).count()
+    return counts
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/clean_corpus_out"
+    bench_source = "src0"
+    if "--bench-source" in sys.argv:
+        bench_source = sys.argv[sys.argv.index("--bench-source") + 1]
+    spark = get_spark("clean-corpus")
+    counts = clean_corpus(spark, sf_dir, out_dir, bench_source)
+    print(json.dumps({"job": "clean_corpus", "sf_dir": sf_dir,
+                      "out": os.path.join(out_dir, "clean"), **counts}))
+
+
+if __name__ == "__main__":
+    main()
