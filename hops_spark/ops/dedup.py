@@ -540,9 +540,14 @@ def incremental_dedup_flags(new_df: DataFrame, existing_df: DataFrame,
           .withColumnRenamed(id_col, "id_old"))
     ok = (be.groupBy("band", "bhash").agg(F.count("*").alias("_n"))
             .filter(F.col("_n") <= max_bucket).select("band", "bhash"))
+    # cand is consumed 4x below (verify join + two semi-join
+    # reductions + the final left join); it is contractually tiny (LSH
+    # candidates, same broadcast contract as minhash_dedup_pairs' cache)
+    # — cache it so the band pipelines run once, not per consumer.
     cand = (bn.join(be.join(ok, ["band", "bhash"], "left_semi"),
                     ["band", "bhash"])
-              .select("id_new", "id_old").distinct())
+              .select("id_new", "id_old").distinct()
+              .cache())
 
     # exact-Jaccard verify across the two corpora
     rows_n = (shingle_rows(new_df, id_col, text_col, shingle_n)
@@ -553,14 +558,19 @@ def incremental_dedup_flags(new_df: DataFrame, existing_df: DataFrame,
     inter = (rows_e.join(an, ["id_old", "shingle"])
                    .groupBy("id_new", "id_old")
                    .agg(F.count("*").alias("inter")))
+    # sizes reduced to candidate docs and cached (two narrow columns,
+    # one row per candidate doc): without this each consumer re-runs the
+    # full shingle pass just to take array sizes.
     zn = (sig_n.select(F.col(id_col).alias("id_new"),
                        F.col("set_size").alias("size_n"))
                .join(F.broadcast(cand.select("id_new").distinct()),
-                     "id_new", "left_semi"))
+                     "id_new", "left_semi")
+               .cache())
     ze = (sig_e.select(F.col(id_col).alias("id_old"),
                        F.col("set_size").alias("size_e"))
                .join(F.broadcast(cand.select("id_old").distinct()),
-                     "id_old", "left_semi"))
+                     "id_old", "left_semi")
+               .cache())
     near_ids = (cand.join(inter, ["id_new", "id_old"], "left")
                     .withColumn("inter", F.coalesce("inter", F.lit(0)))
                     .join(zn, "id_new").join(ze, "id_old")
