@@ -1,0 +1,95 @@
+"""Bigram language-model scoring for corpus quality filtering
+(CCNet-style: score each document by its negative log-likelihood under
+a corpus LM, then gate on the score — public: Wenzek et al. 2020
+"CCNet", which uses a KenLM perplexity filter; the count-table job
+itself is the classic KenLM corpus pass, cf. queries/retrieval.py
+``ngram_lm_counts``).
+
+Determinism contract (engine-reproducible doubles are a trap): every
+per-token negative log-probability is snapped to an exact integer
+*micro-nat* (``CAST(round(-ln(p) * 1e6, 0) AS BIGINT)``) BEFORE the
+per-document sum, so the aggregate is an order-free integer sum — the
+one place a float could diverge (ln at a rounding boundary) is a single
+scalar op both engines round identically in practice (same precedent as
+bm25's round-6 scores). A float SUM whose fold order varies across
+partitions can NOT hash-match an independent engine; an integer sum
+always does.
+
+Scale notes (100 TB):
+- The bigram count table is vocab-bounded — orders of magnitude smaller
+  than the token stream; both aggregates (corpus counts, per-doc score)
+  have map-side partial aggregation.
+- Scoring joins the doc-bigram stream to the count table on (w1, w2) —
+  one shuffle join; the count table is NOT broadcast because real
+  vocabularies at corpus scale exceed the broadcast threshold. Hot
+  bigrams ("of the") skew the probe side, but the join key includes the
+  full pair so AQE skew-split handles it without correctness impact.
+- Smoothing scalars (vocab size V, per-context totals) come from the
+  count table, never from a second corpus pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hops_spark.ops.text import words
+
+MICRO = 1_000_000
+
+
+def bigram_rows(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, w1, w2) — one row per adjacent token pair. The words array
+    is bound behind a Generate barrier (explode of a 1-element array) so
+    the split runs once per doc, not once per element_at (the
+    CollapseProject trap shingle_arrays documents)."""
+    bound = docs.select(F.col(id_col),
+                        F.explode(F.array(words(text_col))).alias("_w"))
+    w = F.col("_w")
+    pairs = F.when(F.size(w) >= 2, F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.struct(F.element_at(w, i).alias("w1"),
+                           F.element_at(w, i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (bound.select(F.col(id_col), F.explode(pairs).alias("b"))
+                 .select(id_col, "b.w1", "b.w2"))
+
+
+def bigram_count_table(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Corpus bigram counts (w1, w2, n) plus per-context totals
+    (n_ctx = Σ_w2 n) — the conditional-probability denominator base.
+    Two aggregates, the second over the already-tiny count table."""
+    cnt = (bigram_rows(docs, id_col, text_col)
+           .groupBy("w1", "w2").agg(F.count("*").alias("n")))
+    ctx = cnt.groupBy("w1").agg(F.sum("n").alias("n_ctx"))
+    return cnt.join(ctx, "w1")
+
+
+def doc_nll_scores(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document LM score: (id, n_bigrams, nll_micro, avg_nll_micro)
+    where nll_micro is the exact-integer sum of per-bigram
+    round(-ln(P(w2|w1)) * 1e6) under add-one smoothing
+    P = (n + 1) / (n_ctx + V), V = |vocab of contexts|.
+
+    avg_nll_micro (integer div) is the perplexity surrogate: the filter
+    gates on it directly — exp() would only re-order nothing."""
+    cnt = bigram_count_table(docs, id_col, text_col)
+    # V = number of distinct right-hand words in the count table; 1-row
+    # aggregate over the vocab-bounded table, broadcast back.
+    vocab = (cnt.agg(F.countDistinct("w2").cast("long").alias("v")))
+    scored_counts = (cnt.crossJoin(F.broadcast(vocab))
+                        .withColumn(
+                            "nlp_micro",
+                            F.expr(f"CAST(round(-ln((n + 1) / CAST(n_ctx + v AS DOUBLE))"
+                                   f" * {MICRO}, 0) AS BIGINT)"))
+                        .select("w1", "w2", "nlp_micro"))
+    per_doc = (bigram_rows(docs, id_col, text_col)
+               .join(scored_counts, ["w1", "w2"])
+               .groupBy(id_col)
+               .agg(F.count("*").alias("n_bigrams"),
+                    F.sum("nlp_micro").alias("nll_micro")))
+    return per_doc.withColumn(
+        "avg_nll_micro", F.expr("nll_micro div n_bigrams"))

@@ -145,3 +145,68 @@ def cooccurrence_topk(docs: DataFrame, window: int = 2, k: int = 20,
                .select("word_a", "word_b", "n_cooc", "affinity_ppm")
                .orderBy(F.col("n_cooc").desc(), "word_a", "word_b")
                .limit(k))
+
+
+def tfidf_postings(docs: DataFrame, min_df: int = 2, max_df: int = 10_000,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """TF-IDF postings (doc, term, w_milli): one tf aggregate over the
+    token stream, df from the tf table itself (vocab-bounded, cached),
+    idf = ln(N/df). Weights are snapped to exact integer MILLI units
+    (round(tf·idf·1e3)) so every downstream sum — norms, dot products —
+    is an order-free integer aggregate an independent engine reproduces
+    bit-for-bit (a float SUM's partition fold order varies; an integer
+    sum cannot).
+
+    df-bounds are the scale control: terms in fewer than ``min_df`` docs
+    cannot form a pair (dropping them shrinks the postings self-join's
+    probe side), and terms in more than ``max_df`` docs are the
+    similarity-join skew bomb — each contributes df² pair rows — so the
+    classic IR move (treat ubiquitous terms as stopwords; their idf ≈ 0
+    anyway) caps the join at Σ df² ≤ vocab · max_df²."""
+    toks = docs.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    tf = (toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+              .cache())
+    # N from the cached tf table (1-row aggregate, broadcast back) — no
+    # second corpus scan, no driver-side action on the data path.
+    n_docs = tf.agg(F.countDistinct(id_col).cast("double").alias("n_docs"))
+    dfs = (tf.groupBy("term").agg(F.count("*").alias("df"))
+             .filter((F.col("df") >= min_df) & (F.col("df") <= max_df)))
+    return (tf.join(dfs, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("w_milli",
+                          F.expr("CAST(round(tf * ln(n_docs / CAST(df AS DOUBLE))"
+                                 " * 1000, 0) AS BIGINT)"))
+              .select(id_col, "term", "w_milli"))
+
+
+def tfidf_cosine_topk(docs: DataFrame, k: int = 20, min_df: int = 2,
+                      max_df: int = 10_000, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Top-k most-similar document pairs by TF-IDF cosine over the
+    df-pruned term space. Plan: postings self-join on term (the one
+    corpus-wide shuffle; bounded by max_df — see tfidf_postings), an
+    integer dot-product aggregate per pair, norms from a per-doc
+    aggregate of the same postings (cached, consumed twice). Cosine in
+    ppm: dot·1e6 / (√n2a·√n2b) — IEEE sqrt/mul/div are correctly
+    rounded, so the double is engine-identical given identical integer
+    inputs. Ties break on the id pair."""
+    post = tfidf_postings(docs, min_df, max_df, id_col, text_col).cache()
+    norms = (post.groupBy(id_col)
+                 .agg(F.sum(F.col("w_milli") * F.col("w_milli")).alias("n2")))
+    a = post.select(F.col(id_col).alias("id_a"), "term",
+                    F.col("w_milli").alias("wa"))
+    b = post.select(F.col(id_col).alias("id_b"), "term",
+                    F.col("w_milli").alias("wb"))
+    dots = (a.join(b, "term")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("n2").alias("n2b"))
+    return (dots.join(na, "id_a").join(nb, "id_b")
+                .withColumn("cosine_ppm",
+                            F.expr("CAST(round(dot * 1e6 / (sqrt(n2a) * sqrt(n2b)), 0)"
+                                   " AS BIGINT)"))
+                .select("id_a", "id_b", "cosine_ppm")
+                .orderBy(F.col("cosine_ppm").desc(), "id_a", "id_b")
+                .limit(k))

@@ -107,3 +107,48 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
               .drop("_h")
               .orderBy("priority", id_col)
               .limit(k))
+
+
+def split_assign(df: DataFrame, id_col: str, salt: str = "split",
+                 train_ppm: int = 900_000, val_ppm: int = 50_000) -> DataFrame:
+    """Deterministic train/val/test assignment — the dataset-split
+    primitive every training pipeline needs. The hash bucket decides the
+    split, so membership is (a) stable across runs/engines/retries,
+    (b) disjoint and exhaustive by construction, (c) map-only (adding a
+    column to a scan; no shuffle, no global coordination). An id landing
+    in `test` can never migrate to `train` when the corpus grows — the
+    property rand()-splits lack and the reason leakage audits demand
+    hash splits."""
+    b = hash_bucket_ppm(id_col, salt)
+    return df.withColumn(
+        "split",
+        F.when(b < train_ppm, F.lit("train"))
+         .when(b < train_ppm + val_ppm, F.lit("val"))
+         .otherwise(F.lit("test")))
+
+
+def source_token_budget(df: DataFrame, strata_col: str, weight_col: str,
+                        budget: int, id_col: str, salt: str = "cap") -> DataFrame:
+    """Per-source token-budget capping: within each source/domain, keep
+    documents in deterministic hash-priority order until the cumulative
+    token count reaches ``budget`` (a doc that STARTS under budget is
+    kept whole — the C4/RefinedWeb-style per-domain downsampling rule
+    that stops a single giant domain from dominating the mixture).
+    Returns the kept rows plus their priority rank and running total.
+
+    Scale: the cumulative sum is a per-source window — a sort within
+    each source's partition. Sources are domains (many, so partitions
+    balance); for a pathological mega-source the two-phase
+    percentile-threshold shape (quality_filter_by_source) or
+    total_order_prefix_sum per source is the escape hatch — the
+    sequential budget scan is inherent to the "keep whole docs in
+    priority order" semantics, not to this implementation."""
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy(strata_col)
+               .orderBy("_pri", id_col)
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return (df.withColumn("_pri", hash_bucket_ppm(id_col, salt))
+              .withColumn("cum_weight",
+                          F.sum(F.col(weight_col).cast("long")).over(w))
+              .filter(F.col("cum_weight") - F.col(weight_col) < budget)
+              .drop("_pri"))

@@ -222,3 +222,151 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (toks.select("doc_id", bucket.alias("bucket"))
                 .groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
                 .orderBy("doc_id", "bucket"))
+
+
+@register(
+    "tfidf_doc_pairs",
+    sql=f"""
+    WITH d AS (
+        SELECT doc_id, text FROM documents
+        WHERE (('0x' || substring(md5('tfidf|' || CAST(doc_id AS VARCHAR)),
+                                  1, 7))::BIGINT % 1000000) < 100000
+    ), wt AS (
+        SELECT doc_id, {{DW}} AS w FROM d
+    ), toks AS (
+        SELECT doc_id, unnest(w) AS term FROM wt
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), nd AS (
+        SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf
+    ), dfs AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+        HAVING count(*) >= 2 AND count(*) <= 10000
+    ), post AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(round(tf.tf * ln(nd.n_docs / CAST(dfs.df AS DOUBLE))
+                          * 1000, 0) AS BIGINT) AS w_milli
+        FROM tf JOIN dfs USING (term) CROSS JOIN nd
+    ), norms AS (
+        SELECT doc_id, CAST(sum(w_milli * w_milli) AS BIGINT) AS n2
+        FROM post GROUP BY doc_id
+    ), dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(sum(a.w_milli * b.w_milli) AS BIGINT) AS dot
+        FROM post a JOIN post b
+          ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.id_a, d.id_b,
+           CAST(round(d.dot * 1000000 / (sqrt(na.n2) * sqrt(nb.n2)), 0)
+                AS BIGINT) AS cosine_ppm
+    FROM dots d
+    JOIN norms na ON d.id_a = na.doc_id
+    JOIN norms nb ON d.id_b = nb.doc_id
+    ORDER BY cosine_ppm DESC, id_a, id_b
+    LIMIT 20
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="TF-IDF cosine top-k document pairs (sparse lexical similarity; "
+        "the vector-space-model sibling of the minhash/embedding dedup "
+        "family). Integer-milli weights -> order-free integer dot/norm "
+        "sums; one postings self-join bounded by the df cap (Sum df^2); "
+        "the 10% hash-sample is the fixture's pair-volume control, not "
+        "part of the operator.",
+    tags=("retrieval", "text", "north-star"),
+)
+def tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sampling import hash_sample
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = hash_sample(d, "doc_id", 100_000, salt="tfidf")
+    return R.tfidf_cosine_topk(d, k=20, min_df=2, max_df=10_000)
+
+
+@register(
+    "doc_perplexity",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, {{DW}} AS w FROM documents
+    ), bg AS (
+        SELECT doc_id, w[i.i] AS w1, w[i.i + 1] AS w2
+        FROM wt, LATERAL (SELECT unnest(range(1, len(w))) AS i) i
+        WHERE len(w) >= 2
+    ), cnt AS (
+        SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2
+    ), ctx AS (
+        SELECT w1, CAST(sum(n) AS BIGINT) AS n_ctx FROM cnt GROUP BY w1
+    ), v AS (
+        SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM cnt
+    ), sc AS (
+        SELECT c.w1, c.w2,
+               CAST(round(-ln((c.n + 1) / CAST(x.n_ctx + v.v AS DOUBLE))
+                          * 1000000, 0) AS BIGINT) AS nlp_micro
+        FROM cnt c JOIN ctx x USING (w1) CROSS JOIN v
+    )
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           CAST(sum(s.nlp_micro) AS BIGINT) AS nll_micro,
+           CAST(sum(s.nlp_micro) AS BIGINT) // count(*) AS avg_nll_micro
+    FROM bg b JOIN sc s ON b.w1 = s.w1 AND b.w2 = s.w2
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="Per-document bigram-LM negative log-likelihood (the CCNet-style "
+        "perplexity quality gate, Wenzek et al. 2020): corpus add-one "
+        "bigram LM from one count-table job, per-bigram -ln P snapped to "
+        "integer micro-nats BEFORE the per-doc sum (order-free integer "
+        "aggregate -> engine-exact). ops/lm.py.",
+    tags=("retrieval", "text", "north-star"),
+)
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.lm import doc_nll_scores
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return doc_nll_scores(d).orderBy("doc_id")
+
+
+@register(
+    "cms_heavy_hitters",
+    sql=f"""
+    WITH toks AS (
+        SELECT unnest({{DW}}) AS term FROM documents
+    ), rows_ AS (
+        SELECT unnest([0, 1, 2, 3]) AS r
+    ), cells AS (
+        SELECT r,
+               ('0x' || substring(md5(CAST(r AS VARCHAR) || '|' || term),
+                                  1, 7))::BIGINT % 256 AS bucket,
+               CAST(count(*) AS BIGINT) AS c
+        FROM toks CROSS JOIN rows_
+        GROUP BY 1, 2
+    ), exact AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS n_exact FROM toks GROUP BY term
+    ), tot AS (
+        SELECT CAST(sum(n_exact) AS BIGINT) AS n_total FROM exact
+    ), top AS (
+        SELECT term, n_exact FROM exact ORDER BY n_exact DESC, term LIMIT 20
+    ), est AS (
+        SELECT t.term, t.n_exact, min(c.c) AS n_cms
+        FROM top t CROSS JOIN rows_ rr
+        JOIN cells c
+          ON c.r = rr.r
+         AND c.bucket = ('0x' || substring(md5(CAST(rr.r AS VARCHAR)
+                                               || '|' || t.term),
+                                           1, 7))::BIGINT % 256
+        GROUP BY t.term, t.n_exact
+    )
+    SELECT term, n_exact, n_cms,
+           n_cms >= n_exact AS never_underestimates,
+           n_cms - n_exact <= (3 * (SELECT n_total FROM tot)) // 256
+             AS within_eps
+    FROM est
+    ORDER BY n_exact DESC, term
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005): "
+        "4x256 md5-hashed grid, map-side combine collapses each "
+        "partition to <= 1024 rows pre-shuffle regardless of vocabulary; "
+        "the oracle rebuilds the IDENTICAL sketch (not just the exact "
+        "counts) and both CMS bounds are checked columns. ops/sketch.py.",
+    tags=("retrieval", "text", "north-star", "approx"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sketch import heavy_hitters
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return heavy_hitters(d, k=20)

@@ -510,3 +510,89 @@ def quality_filter_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("quality_score_ppm") >= F.col("p75"))
              .select("doc_id", "source", "quality_score_ppm", "p75")
              .orderBy("doc_id"))
+
+
+@register(
+    "dataset_split_stats",
+    sql=f"""
+    WITH b AS (
+        SELECT doc_id, n_chars,
+               CAST(len({{DW}}) AS BIGINT) AS n_tok,
+               (('0x' || substring(md5('split|' || CAST(doc_id AS VARCHAR)),
+                                   1, 7))::BIGINT % 1000000) AS h
+        FROM documents
+    )
+    SELECT CASE WHEN h < 900000 THEN 'train'
+                WHEN h < 950000 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+    FROM b
+    GROUP BY 1
+    ORDER BY split
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="Deterministic train/val/test split (90/5/5 by md5-hash bucket) "
+        "with per-split doc/token/char accounting. Hash membership is "
+        "stable across runs, engines, retries, and corpus growth — a "
+        "test doc can never migrate into train (the leakage-audit "
+        "property rand() splits lack). Map-only assignment + one "
+        "aggregate. ops/sampling.split_assign.",
+    tags=("text", "north-star", "sampling"),
+)
+def dataset_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sampling import split_assign
+    from hops_spark.ops.text import words
+    d = load_table(spark, sf_dir, "documents")
+    return (split_assign(d, "doc_id", salt="split")
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.size(words("text")).cast("long")).alias("n_tokens"),
+                 F.sum("n_chars").alias("n_chars_total"))
+            .orderBy("split"))
+
+
+@register(
+    "source_token_budget",
+    sql=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len({{DW}}) AS BIGINT) AS n_tok,
+               (('0x' || substring(md5('cap|' || CAST(doc_id AS VARCHAR)),
+                                   1, 7))::BIGINT % 1000000) AS pri
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, n_tok,
+               CAST(sum(n_tok) OVER (PARTITION BY source
+                                     ORDER BY pri, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum
+        FROM t
+    )
+    SELECT source, count(*) AS n_kept,
+           CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+           CAST(max(cum) AS BIGINT) AS last_cum
+    FROM c
+    WHERE cum - n_tok < 800
+    GROUP BY source
+    ORDER BY source
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="Per-source token-budget capping (C4/RefinedWeb-style domain "
+        "downsampling): keep whole docs in deterministic hash-priority "
+        "order until each source's cumulative token count reaches the "
+        "budget — one per-source window, no shuffle beyond it. "
+        "ops/sampling.source_token_budget.",
+    tags=("text", "north-star", "sampling"),
+)
+def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sampling import source_token_budget as cap
+    from hops_spark.ops.text import words
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "source",
+                 F.size(words("text")).cast("long").alias("n_tok")))
+    kept = cap(d, "source", "n_tok", budget=800, id_col="doc_id", salt="cap")
+    return (kept.groupBy("source")
+                .agg(F.count("*").alias("n_kept"),
+                     F.sum("n_tok").alias("kept_tokens"),
+                     F.max("cum_weight").alias("last_cum"))
+                .orderBy("source"))
