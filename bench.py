@@ -53,6 +53,11 @@ HEADLINE = [
     "scan_md5_filter",
     "teragen_sorted",
     "media_features",
+    # round-4 additions (new keys; pre-existing keys stay comparable
+    # round-over-round)
+    "tfidf_doc_pairs",
+    "doc_perplexity",
+    "cms_heavy_hitters",
 ]
 
 

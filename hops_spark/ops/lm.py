@@ -56,13 +56,30 @@ def bigram_rows(docs: DataFrame, id_col: str = "doc_id",
                  .select(id_col, "b.w1", "b.w2"))
 
 
+def doc_bigram_counts(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, w1, w2, n_local): per-document bigram counts — ONE corpus
+    explode + one aggregate. Everything downstream (corpus count table,
+    per-doc scoring) derives from this table, so the token stream is
+    scanned exactly once, and hot bigrams ("of the" × 50 in one doc)
+    collapse to a single row before any join."""
+    return (bigram_rows(docs, id_col, text_col)
+            .groupBy(id_col, "w1", "w2")
+            .agg(F.count("*").alias("n_local")))
+
+
 def bigram_count_table(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Corpus bigram counts (w1, w2, n) plus per-context totals
     (n_ctx = Σ_w2 n) — the conditional-probability denominator base.
-    Two aggregates, the second over the already-tiny count table."""
-    cnt = (bigram_rows(docs, id_col, text_col)
-           .groupBy("w1", "w2").agg(F.count("*").alias("n")))
+    Aggregates over the per-doc count table (already far smaller than
+    the token stream), then over the vocab-bounded count table."""
+    return _count_table(doc_bigram_counts(docs, id_col, text_col), id_col)
+
+
+def _count_table(per_doc_counts: DataFrame, id_col: str) -> DataFrame:
+    cnt = (per_doc_counts.groupBy("w1", "w2")
+                         .agg(F.sum("n_local").alias("n")))
     ctx = cnt.groupBy("w1").agg(F.sum("n").alias("n_ctx"))
     return cnt.join(ctx, "w1")
 
@@ -75,8 +92,17 @@ def doc_nll_scores(docs: DataFrame, id_col: str = "doc_id",
     P = (n + 1) / (n_ctx + V), V = |vocab of contexts|.
 
     avg_nll_micro (integer div) is the perplexity surrogate: the filter
-    gates on it directly — exp() would only re-order nothing."""
-    cnt = bigram_count_table(docs, id_col, text_col)
+    gates on it directly — exp() would only re-order nothing.
+
+    Plan: the per-doc bigram count table is cached (it feeds BOTH the
+    corpus count aggregate and the scoring join — Catalyst would
+    otherwise re-explode the corpus per consumer; the table is
+    bigram-distinct per doc, far smaller than the token stream, and at
+    cluster scale it would be a checkpoint/bucketed write instead).
+    Scoring weights each distinct (doc, bigram) row by its local count:
+    an order-free integer sum, one shuffle join on (w1, w2)."""
+    per = doc_bigram_counts(docs, id_col, text_col).cache()
+    cnt = _count_table(per, id_col)
     # V = number of distinct right-hand words in the count table; 1-row
     # aggregate over the vocab-bounded table, broadcast back.
     vocab = (cnt.agg(F.countDistinct("w2").cast("long").alias("v")))
@@ -86,10 +112,10 @@ def doc_nll_scores(docs: DataFrame, id_col: str = "doc_id",
                             F.expr(f"CAST(round(-ln((n + 1) / CAST(n_ctx + v AS DOUBLE))"
                                    f" * {MICRO}, 0) AS BIGINT)"))
                         .select("w1", "w2", "nlp_micro"))
-    per_doc = (bigram_rows(docs, id_col, text_col)
-               .join(scored_counts, ["w1", "w2"])
-               .groupBy(id_col)
-               .agg(F.count("*").alias("n_bigrams"),
-                    F.sum("nlp_micro").alias("nll_micro")))
+    per_doc = (per.join(scored_counts, ["w1", "w2"])
+                  .groupBy(id_col)
+                  .agg(F.sum("n_local").alias("n_bigrams"),
+                       F.sum(F.col("nlp_micro") * F.col("n_local"))
+                        .alias("nll_micro")))
     return per_doc.withColumn(
         "avg_nll_micro", F.expr("nll_micro div n_bigrams"))

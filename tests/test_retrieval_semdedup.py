@@ -115,13 +115,19 @@ def test_clean_corpus_job(spark, sf_dir, tmp_path):
 
     c1 = clean_corpus(spark, sf_dir, str(tmp_path / "a"))
     order = ["input", "after_quality", "after_lang", "after_exact_dedup",
-             "after_near_dedup", "after_decontaminate"]
+             "after_near_dedup", "after_decontaminate", "after_perplexity"]
     vals = [c1[k] for k in order]
     assert vals == sorted(vals, reverse=True)       # each stage only drops
-    assert c1["written"] == c1["after_decontaminate"] > 0
+    assert c1["written"] == c1["after_perplexity"] > 0
     c2 = clean_corpus(spark, sf_dir, str(tmp_path / "b"))
     assert c1 == c2                                  # deterministic
     a = spark.read.parquet(str(tmp_path / "a" / "clean"))
     b = spark.read.parquet(str(tmp_path / "b" / "clean"))
     assert sorted(r["doc_id"] for r in a.select("doc_id").collect()) == \
         sorted(r["doc_id"] for r in b.select("doc_id").collect())
+    # split partition column present, hash-stable across reruns
+    assert set(r["split"] for r in a.select("split").distinct().collect()) \
+        <= {"train", "val", "test"}
+    sa = {(r["doc_id"], r["split"]) for r in a.select("doc_id", "split").collect()}
+    sb = {(r["doc_id"], r["split"]) for r in b.select("doc_id", "split").collect()}
+    assert sa == sb

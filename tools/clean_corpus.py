@@ -11,11 +11,17 @@ Stages (each map-only or cap-bounded — see SCALE.md):
                       keep cluster representative (ops/graph)
   5. decontaminate  — drop docs sharing >= 3 shingles with the benchmark
                       source (ops/dedup.contamination_flags)
+  6. perplexity gate — drop the worst LM outliers: docs whose bigram-LM
+                      avg NLL exceeds the corpus p90 threshold computed
+                      from a 1-row aggregate (ops/lm.doc_nll_scores)
+  7. split          — hash-stable train/val/test assignment written as a
+                      partition column (ops/sampling.split_assign)
 
-Writes the kept documents as parquet to OUT_DIR/clean and prints ONE
-JSON accounting line (counts per stage) — the job's contract with a
-scheduler. Deterministic end to end: re-running yields byte-identical
-keep decisions (hash sampling, md5 minhash, min-id winners).
+Writes the kept documents as parquet to OUT_DIR/clean (partitioned by
+split) and prints ONE JSON accounting line (counts per stage) — the
+job's contract with a scheduler. Deterministic end to end: re-running
+yields byte-identical keep decisions (hash sampling, md5 minhash,
+min-id winners, integer-micro-nat LM scores).
 """
 
 from __future__ import annotations
@@ -32,6 +38,8 @@ from hops_spark.io.readers import load_table
 from hops_spark.ops.dedup import (contamination_flags, exact_dedup,
                                   minhash_dedup_pairs)
 from hops_spark.ops.graph import dedup_cluster_labels
+from hops_spark.ops.lm import doc_nll_scores
+from hops_spark.ops.sampling import split_assign
 from hops_spark.ops.text import lang_id_expr, quality_score
 from hops_spark.session import get_spark
 
@@ -72,8 +80,27 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
     d = corpus.join(contaminated, "doc_id", "left_anti")
     counts["after_decontaminate"] = d.count()
 
+    # LM-perplexity gate: threshold = p90 of avg_nll_micro over the
+    # SURVIVING corpus (1-row percentile aggregate, broadcast back) —
+    # CCNet keeps the low-perplexity head; the integer micro-nat scores
+    # make the cut deterministic.
+    scores = doc_nll_scores(d.select("doc_id", "text"))
+    thr = scores.agg(F.expr(
+        "CAST(percentile_approx(avg_nll_micro, 0.9, 10000) AS BIGINT)")
+        .alias("thr"))
+    keep = (scores.crossJoin(F.broadcast(thr))
+                  .filter(F.col("avg_nll_micro") <= F.col("thr"))
+                  .select("doc_id"))
+    # docs too short to have a bigram never scored — keep them (the
+    # length gates upstream own that decision).
+    d = d.join(keep, "doc_id", "left_semi").unionByName(
+        d.join(scores.select("doc_id"), "doc_id", "left_anti"))
+    counts["after_perplexity"] = d.count()
+
+    d = split_assign(d, "doc_id", salt="split")
     out = os.path.join(out_dir, "clean")
-    d.orderBy("doc_id").write.mode("overwrite").parquet(out)
+    d.orderBy("doc_id").write.mode("overwrite") \
+     .partitionBy("split").parquet(out)
     counts["written"] = spark.read.parquet(out).count()
     return counts
 
