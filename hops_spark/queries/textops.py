@@ -596,3 +596,59 @@ def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum("n_tok").alias("kept_tokens"),
                      F.max("cum_weight").alias("last_cum"))
                 .orderBy("source"))
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """Generate the k-stage BPE oracle: each stage = pair-count
+    aggregate + 1-row argmax + literal left-to-right merge replay,
+    mirroring ops/bpe.bpe_train exactly (DuckDB ``replace`` and Java
+    ``String.replace`` scan identically)."""
+    parts = [f"""
+    WITH wc AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_DUCK_WORDS}) AS term FROM documents)
+        GROUP BY term
+    ), v0 AS (
+        SELECT n, array_to_string(regexp_extract_all(term, '.'), ' ') AS sym
+        FROM wc
+    )"""]
+    for i in range(k):
+        parts.append(f""", p{i} AS (
+        SELECT s[j.j] AS w1, s[j.j + 1] AS w2,
+               CAST(sum(n) AS BIGINT) AS pair_count
+        FROM (SELECT n, string_split(sym, ' ') AS s FROM v{i}) t,
+             LATERAL (SELECT unnest(range(1, len(s))) AS j) j
+        GROUP BY 1, 2
+    ), b{i} AS (
+        SELECT w1, w2, pair_count FROM p{i}
+        ORDER BY pair_count DESC, w1, w2 LIMIT 1
+    ), v{i + 1} AS (
+        SELECT n, trim(replace(' ' || sym || ' ',
+                               ' ' || b.w1 || ' ' || b.w2 || ' ',
+                               ' ' || b.w1 || b.w2 || ' ')) AS sym
+        FROM v{i} CROSS JOIN b{i} b
+    )""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, w1 AS left_sym, w2 AS right_sym, "
+        f"pair_count FROM b{i}" for i in range(k))
+    parts.append(f"\n    {unions}\n    ORDER BY merge_rank")
+    return "".join(parts)
+
+
+@register(
+    "bpe_merges",
+    sql=_bpe_oracle_sql(8),
+    doc="BPE tokenizer training (Sennrich et al. 2016) as a "
+        "distributed job: ONE corpus aggregate (word frequencies), "
+        "then 8 merge iterations over the vocab-bounded symbol table — "
+        "per iteration one pair-count aggregate + a contractual 1-row "
+        "argmax collect (the same driver contract as the IVF "
+        "codebook). Merges replay as literal left-to-right replaces, "
+        "identical in Java and DuckDB, so the oracle reproduces the "
+        "full merge table bit-for-bit. ops/bpe.py.",
+    tags=("text", "north-star", "iterative"),
+)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.bpe import bpe_train
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_train(spark, d, k=8)

@@ -72,9 +72,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_recall", "knn_label_purity", "incremental_dedup",
     # --- new in round 4 ---
     "tfidf_doc_pairs", "doc_perplexity", "cms_heavy_hitters",
-    "dataset_split_stats", "source_token_budget",
-    # --- flagship keepers (green in r2; stay in-window for the judge) ---
-    "q1_pricing_summary", "minhash_dedup_pairs",
+    "dataset_split_stats", "source_token_budget", "bpe_merges",
+    # --- flagship keeper (green in r2; stays in-window for the judge) ---
+    "minhash_dedup_pairs",
 )
 # Cumulative hard-verification ledger (driver CORRECTNESS files):
 #  r1 green: TPC-H q2..q22, join/sort/setop/scan core (36 rotated out)
@@ -84,11 +84,12 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 #  earned no green rows — it stays in the round-4 window verbatim
 #  (the planned swap back to the 36 r1-only-green TPC-H/join/sort rows is
 #  deferred one round; those rows keep their r1 green rows meanwhile).
-#  r4 window: the 43 still-unverified r3 names + 5 new round-4 queries
+#  r4 window: the 43 still-unverified r3 names + 6 new round-4 queries
 #  (tfidf_doc_pairs, doc_perplexity, cms_heavy_hitters,
-#  dataset_split_stats, source_token_budget) + 2 keepers = 50.
-#  Keepers displaced this round (dedup_exact, knn_bruteforce, doc_quality,
-#  pipeline_clean_corpus, decontaminate) retain their r2-green rows.
+#  dataset_split_stats, source_token_budget, bpe_merges) + 1 keeper = 50.
+#  Keepers displaced this round (q1_pricing_summary, dedup_exact,
+#  knn_bruteforce, doc_quality, pipeline_clean_corpus, decontaminate)
+#  retain their r1/r2-green rows.
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -17,10 +17,10 @@ from hops_spark.registry import DRIVER_WINDOW_PRIORITY, load_all
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Flagship queries that stay in-window every round regardless of history.
-# Round 4 shrank this from 7 to 2: no CORRECTNESS_r03 was recorded, so
-# the 43-query round-3 window plus 5 round-4 additions needs 48 of the
-# 50 slots; the 5 displaced flagships keep their r2-green rows.
-KEEPER_CORE = {"q1_pricing_summary", "minhash_dedup_pairs"}
+# Round 4 shrank this from 7 to 1: no CORRECTNESS_r03 was recorded, so
+# the 43-query round-3 window plus 6 round-4 additions needs 49 of the
+# 50 slots; the displaced flagships keep their r1/r2-green rows.
+KEEPER_CORE = {"minhash_dedup_pairs"}
 
 
 def _ever_green() -> set[str]:

@@ -119,6 +119,34 @@ def test_lm_predictable_doc_scores_lower(spark):
     assert per[999]["n_bigrams"] == 1
 
 
+# --- BPE ----------------------------------------------------------------
+
+def test_bpe_train_hand_computed_merges(spark):
+    from hops_spark.ops import bpe
+    # corpus: "low" x3, "lowest" x1 -> pair counts over chars weighted
+    # by word freq: (l,o)=4, (o,w)=4, (w,e)=1, (e,s)=1, (s,t)=1.
+    # merge 0: (l,o) wins on tie-break (count 4, 'l' < 'o').
+    # merge 1: (lo,w)=4. merge 2: (low,e)... count 1, tie-break lex:
+    # candidates (e,s)=1,(low,e)=1,(s,t)=1 -> (e,s) lex-first.
+    docs = _docs(spark, [(0, "low low low lowest")])
+    got = [(r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+           for r in bpe.bpe_train(spark, docs, k=3).collect()]
+    assert got == [(0, "l", "o", 4), (1, "lo", "w", 4), (2, "e", "s", 1)]
+
+
+def test_bpe_apply_replays_merges(spark):
+    from hops_spark.ops import bpe
+    docs = _docs(spark, [(0, "low lowest")])
+    out = bpe.bpe_apply(docs, [("l", "o"), ("lo", "w")]).collect()[0]
+    assert out["bpe_tokens"] == ["low", "low e s t"]
+
+
+def test_bpe_single_char_words_no_merges(spark):
+    from hops_spark.ops import bpe
+    docs = _docs(spark, [(0, "a b a b c")])
+    assert bpe.bpe_train(spark, docs, k=4).count() == 0
+
+
 # --- split assignment ---------------------------------------------------
 
 def test_split_assign_partitions_and_is_deterministic(spark):
