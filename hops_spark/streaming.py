@@ -262,3 +262,27 @@ def signature_dedup_stream(docs: DataFrame, n_hashes: int = 16,
     return (sigs.withColumn("signature", sig_str)
                 .select("doc_id", "signature")
                 .dropDuplicates(["signature"]))
+
+
+def cms_token_stream(docs: DataFrame) -> DataFrame:
+    """Streaming count-min sketch over a document stream: the running
+    4×256 grid as a streaming aggregation (update mode). Works because
+    the cell emit is map-only (explode of a 4-struct array) and the
+    grid aggregate is an ordinary keyed count the state store shards —
+    the state is bounded at depth × width rows FOREVER, which is the
+    entire point of sketching a stream: heavy-hitter monitoring over an
+    unbounded corpus with O(1) state. Grid cells equal the batch grid
+    after processing the same files (ops/sketch.cms_cells) — asserted
+    in tests/test_streaming.py."""
+    from hops_spark.ops import sketch as SK
+
+    toks = docs.select(F.explode(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    ).alias("term"))
+    cells = F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 SK._bucket(F.col("term"), r, SK.WIDTH).alias("bucket"))
+        for r in range(SK.DEPTH)])
+    return (toks.select(F.explode(cells).alias("c"))
+                .select("c.r", "c.bucket")
+                .groupBy("r", "bucket").agg(F.count("*").alias("c")))

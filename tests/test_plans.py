@@ -220,3 +220,63 @@ def test_prefix_sum_window_is_partitioned(spark, sf_dir):
             break
     else:
         raise AssertionError("no window found in plan")
+
+
+def test_split_assign_is_map_only(spark, sf_dir):
+    """dataset_split_stats: the split assignment adds zero exchanges
+    beyond the final stats aggregate — assignment is a scan projection."""
+    plan = _plan(SPECS["dataset_split_stats"].fn(spark, sf_dir))
+    assert plan.count("Exchange") <= 2        # partial+final agg only
+    assert "Join" not in plan
+
+
+def test_tfidf_pairs_join_on_term_not_cartesian(spark, sf_dir):
+    """tfidf_doc_pairs: the postings self-join must key on term (hash
+    or sort-merge), never a cartesian product; norms/idf sides
+    broadcast."""
+    plan = _plan(SPECS["tfidf_doc_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the contractual 1-row broadcast
+    # crossJoins (n_docs scalar), never a data-data product
+    assert plan.count("BroadcastNestedLoopJoin BuildRight, Cross") \
+        == plan.count("BroadcastNestedLoopJoin")
+    assert "BroadcastExchange" in plan        # n_docs / norms broadcast
+    assert "[term" in plan.split("BroadcastHashJoin", 1)[-1] or \
+        "SortMergeJoin" in plan               # self-join keyed on term
+
+
+def test_doc_perplexity_single_corpus_scan(spark, sf_dir):
+    """doc_perplexity: exactly one parquet scan of documents — the
+    per-doc bigram count cache feeds both the corpus LM build and the
+    scoring join (r4 refactor; two scans would double the 100 TB
+    cost)."""
+    df = SPECS["doc_perplexity"].fn(spark, sf_dir)
+    plan = _formatted(df)
+    assert plan.count("Scan parquet") + plan.count("Scan ExistingRDD") \
+        <= plan.count("InMemoryTableScan") + 2
+
+
+def test_cms_grid_aggregate_is_partial_final(spark, sf_dir):
+    """cms_heavy_hitters: the grid build must map-side combine (partial
+    + final HashAggregate), and the grid/total sides broadcast into the
+    probe join."""
+    plan = _plan(SPECS["cms_heavy_hitters"].fn(spark, sf_dir))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_pair_counts_single_shuffle(spark, sf_dir):
+    """BPE per-iteration pair count: one aggregate over the cached
+    vocab table — the iteration cost must be vocab-bounded, with no
+    join anywhere."""
+    from hops_spark.ops.bpe import _pair_counts, vocab_symbols
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = vocab_symbols(d).select("n", "sym").cache()
+    try:
+        plan = _plan(_pair_counts(vocab))
+        assert "Join" not in plan
+        assert plan.count("Exchange") <= 2    # vocab agg + pair agg
+    finally:
+        vocab.unpersist()

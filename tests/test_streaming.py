@@ -210,3 +210,29 @@ def test_signature_dedup_stream_matches_batch(spark, sf_dir):
               .select("signature").distinct().collect())
     assert {r["signature"] for r in got} == {r["signature"] for r in expect}
     assert len(got) == len(expect)  # one survivor per signature
+
+
+def test_cms_stream_grid_matches_batch(spark, sf_dir):
+    """The streaming CMS grid (update-mode keyed count, O(depth*width)
+    state) converges to exactly the batch grid over the same files."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.ops import sketch as SK
+    from hops_spark.streaming import cms_token_stream, read_documents_stream
+
+    st = cms_token_stream(read_documents_stream(spark, sf_dir))
+    q = (st.writeStream.format("memory").queryName("cmsgrid")
+         .outputMode("complete").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["r"], r["bucket"]): r["c"]
+           for r in spark.sql("SELECT * FROM cmsgrid").collect()}
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(F.explode(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    ).alias("term"))
+    expect = {(r["r"], r["bucket"]): r["c"]
+              for r in SK.cms_cells(toks).collect()}
+    assert got == expect
+    assert len(got) <= SK.DEPTH * SK.WIDTH
