@@ -131,3 +131,34 @@ def test_clean_corpus_job(spark, sf_dir, tmp_path):
     sa = {(r["doc_id"], r["split"]) for r in a.select("doc_id", "split").collect()}
     sb = {(r["doc_id"], r["split"]) for r in b.select("doc_id", "split").collect()}
     assert sa == sb
+
+
+def test_make_training_shards_job(spark, sf_dir, tmp_path):
+    """Corpus -> shards CLI: deterministic, budget respected, no chunk
+    lost between chunking and packing."""
+    import sys
+
+    from pyspark.sql import functions as F
+    sys.path.insert(0, "/root/repo/tools")
+    from clean_corpus import clean_corpus
+    from make_training_shards import make_training_shards
+
+    clean_corpus(spark, sf_dir, str(tmp_path / "c"))
+    s1 = make_training_shards(spark, str(tmp_path / "c" / "clean"),
+                              str(tmp_path / "s1"), n_merges=4,
+                              chunk_tokens=32, overlap=4, budget=128)
+    s2 = make_training_shards(spark, str(tmp_path / "c" / "clean"),
+                              str(tmp_path / "s2"), n_merges=4,
+                              chunk_tokens=32, overlap=4, budget=128)
+    assert s1["shards"] == s2["shards"] and s1["tokens"] == s2["tokens"]
+    total_rows = sum(v["rows"] for v in s1["shards"].values())
+    assert total_rows == s1["chunks"] > 0
+    train = spark.read.parquet(str(tmp_path / "s1" / "train"))
+    # streaming-packing contract: a bin overflows by at most one
+    # sequence, so every bin's START stays under budget
+    starts = (train.groupBy("bin_id")
+                   .agg(F.sum("n_tokens").alias("toks"),
+                        F.count("*").alias("n"))
+                   .collect())
+    assert all(r["toks"] - 0 < 128 + 32 for r in starts)  # bounded overflow
+    assert {r["doc_id"] for r in train.select("doc_id").collect()} > set()
