@@ -22,4 +22,5 @@ from hops_spark.queries import (  # noqa: F401
     multimodal,
     pipeline,
     retrieval,
+    analytics,
 )

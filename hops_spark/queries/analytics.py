@@ -1,0 +1,230 @@
+"""Event-analytics inventory queries: funnel, cohort retention, SCD2
+history, time-series gap fill.
+
+These are the classic event-log analyses a user of the reference runs as
+MapReduce secondary-sort jobs (reference
+hadoop-mapreduce-examples/SecondarySort.java:45 is the canonical
+"per-key ordered scan" shape); here each is a single Catalyst plan whose
+only shuffle is the hash exchange on ``user_id`` — every window/agg in a
+query reuses that one Exchange, so at 100 TB the cost is one partitioned
+scan of the event log per query regardless of how many derived columns
+ride on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hops_spark.io.readers import load_table
+from hops_spark.registry import register
+
+
+@register(
+    "funnel_conversion",
+    sql="""
+    WITH peru AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY user_id
+    ), c AS (
+        SELECT p.user_id, p.t_view, min(e.ts) AS t_click
+        FROM peru p JOIN events e USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > p.t_view
+        GROUP BY p.user_id, p.t_view
+    ), pu AS (
+        SELECT c.user_id, c.t_click, min(e.ts) AS t_purchase
+        FROM c JOIN events e USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY c.user_id, c.t_click
+    )
+    SELECT CAST((SELECT count(*) FROM peru WHERE t_view IS NOT NULL) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT count(*) FROM pu) AS BIGINT) AS n_view_click_purchase
+    """,
+    doc="Three-stage ordered funnel (view -> click -> purchase): a user "
+        "converts a stage only with an event strictly after their first "
+        "event of the previous stage. One Exchange on user_id; the three "
+        "stage times are windows over the same partitioning, so Catalyst "
+        "plans a single shuffle + one final 1-row aggregate.",
+    tags=("events", "analytics"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel semantics: t_view = first 'view'; t_click = first 'click'
+    AFTER t_view; t_purchase = first 'purchase' AFTER t_click.  All three
+    are min-over-user windows on one hash partitioning — Spark reuses the
+    Exchange (plan-asserted in tests/test_plans.py), so the 100 TB cost
+    is one shuffle of (user_id, ts, event_type) triples, with the map
+    side projecting only those three columns out of the scan."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    e = e.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+               F.col("ts"))).over(w)
+    e = e.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+               F.col("ts"))).over(w)
+    e = e.withColumn("t_purchase", t_purchase)
+    per_user = e.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"))
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_view_click_purchase"))
+
+
+@register(
+    "cohort_retention",
+    sql="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                              date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset
+        FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    doc="Weekly cohort retention: users bucketed by the week of their "
+        "first event; a cohort cell counts users active in week "
+        "cohort+offset. Two shuffles (user agg, cohort-cell agg) — the "
+        "user agg's Exchange is reused by the distinct.",
+    tags=("events", "analytics"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort week = date_trunc('week', first event) — computed as a
+    min-window over the user_id Exchange, then (user, cohort, offset)
+    dedup + cell count ride the same partitioning until the final small
+    (cohort, offset) aggregate.  No join: the window form avoids
+    materializing a firsts table and re-joining it (the SQL oracle uses
+    the join form; results agree)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    e = (e.withColumn("cohort_week", F.date_trunc("week", F.min("ts").over(w)))
+          .withColumn("week_offset",
+                      (F.datediff(F.date_trunc("week", F.col("ts")),
+                                  F.col("cohort_week")) / 7).cast("bigint")))
+    return (e.select("user_id", "cohort_week", "week_offset").distinct()
+             .groupBy(F.col("cohort_week").cast("date").alias("cohort_week"),
+                      "week_offset")
+             .agg(F.count("*").alias("n_active_users"))
+             .orderBy("cohort_week", "week_offset"))
+
+
+@register(
+    "scd2_history",
+    sql="""
+    WITH changes AS (
+        SELECT user_id, ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), starts AS (
+        SELECT user_id, ts AS valid_from, event_type,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        FROM changes
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, valid_from, valid_to, event_type,
+           CAST(valid_to IS NULL AS BOOLEAN) AS is_current
+    FROM starts
+    ORDER BY user_id, valid_from
+    """,
+    doc="SCD type-2 dimension history from a change log: collapse runs "
+        "of the same attribute value, emit [valid_from, valid_to) "
+        "intervals with an is_current flag. One Exchange on user_id; "
+        "both windows reuse it.",
+    tags=("events", "analytics", "scd"),
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands SCD2 build (the warehouse-maintenance job a
+    reference user writes as a secondary-sort reducer): runs collapse
+    via lag(), interval close via lead().  Both windows share the
+    user_id hash partitioning — one shuffle total."""
+    e = load_table(spark, sf_dir, "events") \
+        .select("user_id", "ts", "event_id", "event_type")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ws = Window.partitionBy("user_id").orderBy("ts")
+    return (e.withColumn("prev_type", F.lag("event_type").over(wo))
+             .where(F.col("prev_type").isNull()
+                    | (F.col("prev_type") != F.col("event_type")))
+             .withColumn("valid_from", F.col("ts"))
+             .withColumn("valid_to", F.lead("ts").over(ws))
+             .select("user_id", "valid_from", "valid_to", "event_type",
+                     F.col("valid_to").isNull().alias("is_current"))
+             .orderBy("user_id", "valid_from"))
+
+
+@register(
+    "resample_gap_fill",
+    sql="""
+    WITH bounds AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS d0,
+               date_trunc('day', max(ts)) AS d1
+        FROM events GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL '1 day')) AS day
+        FROM bounds
+    ), daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               round(sum(value), 2) AS day_value
+        FROM events GROUP BY user_id, day
+    ), joined AS (
+        SELECT g.user_id, CAST(g.day AS DATE) AS day, d.day_value,
+               CAST(d.day_value IS NULL AS BOOLEAN) AS filled
+        FROM grid g LEFT JOIN daily d
+          ON g.user_id = d.user_id AND g.day = d.day
+    )
+    SELECT user_id, day,
+           coalesce(day_value,
+                    last_value(day_value IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY day)) AS day_value,
+           filled
+    FROM joined
+    ORDER BY user_id, day
+    """,
+    doc="Per-user daily resample with forward fill: build the dense day "
+        "grid per user (sequence()), left-join the sparse daily sums, "
+        "forward-fill gaps with last_value(ignorenulls). All on the "
+        "user_id Exchange; the grid explode is map-side.",
+    tags=("events", "analytics", "timeseries"),
+)
+def resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (gap fill + LOCF): the dense grid is
+    generated per user with sequence() — a map-side Generate off the
+    1-row-per-user bounds aggregate, never a driver loop — and the join
+    back to the sparse daily aggregate is on (user_id, day), the same
+    key the daily agg already hashed on."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    daily = (e.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+              .agg(F.round(F.sum("value"), 2).alias("day_value")))
+    bounds = (e.groupBy("user_id")
+               .agg(F.date_trunc("day", F.min("ts")).alias("d0"),
+                    F.date_trunc("day", F.max("ts")).alias("d1")))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1",
+                             F.expr("INTERVAL 1 DAY"))).alias("day"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    return (grid.join(daily, ["user_id", "day"], "left")
+                .select("user_id", F.col("day").cast("date").alias("day"),
+                        F.col("day_value"),
+                        F.col("day_value").isNull().alias("filled"))
+                .withColumn("day_value",
+                            F.coalesce(
+                                F.col("day_value"),
+                                F.last("day_value", ignorenulls=True).over(w)))
+                .select("user_id", "day", "day_value", "filled")
+                .orderBy("user_id", "day"))

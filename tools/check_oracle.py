@@ -87,7 +87,10 @@ def norm_cell(v):
     if isinstance(v, list):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if hasattr(v, "isoformat"):
-        return v.isoformat(sep=" ")
+        try:
+            return v.isoformat(sep=" ")   # datetime
+        except TypeError:
+            return v.isoformat()          # date
     return str(v)
 
 
