@@ -125,3 +125,50 @@ def dedup_cluster_labels(all_ids: DataFrame, pairs: DataFrame,
                                F.coalesce("component", F.col(id_col)))
                    .withColumn("is_kept", F.col(id_col) == F.col("cluster_id"))
                    .drop("component"))
+
+
+def pagerank_int(edges: DataFrame, iters: int = 3,
+                 damping_ppm: int = 850_000,
+                 src: str = "src", dst: str = "dst") -> DataFrame:
+    """Integer-exact PageRank over the directed graph ``edges``
+    (duplicate edges are collapsed): returns (node, rank_ppm).
+
+    The iterative-graph-job shape of the reference's chained MapReduce
+    drivers (each round = one shuffle-join + one aggregate); cf. the
+    connected-components loop above for the lineage discipline.
+
+    Determinism contract: ALL arithmetic is 64-bit integer, so any
+    engine reproduces the result bit-for-bit — no float fold-order
+    noise. Ranks are parts-per-million of 1.0: R0 = 1_000_000;
+    each round   R' = (1_000_000 - d) + d * (Σ_in R_src div outdeg) div 1_000_000
+    with d = ``damping_ppm``. Dangling mass is dropped (documented
+    simplification; ranks then need no global normalization pass).
+
+    Scale (100 TB graph): edges are checkpointed once and re-joined each
+    round on ``src`` — co-partitioned with the rank table, so each of
+    the fixed ``iters`` rounds is one hash join + one dst-aggregate
+    (map-side combined). Rank state is O(nodes), never O(edges);
+    localCheckpoint per round stops lineage growth exactly as in
+    connected_components.
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+              .filter(F.col("src") != F.col("dst"))
+              .distinct())
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ewd = e.join(outdeg, "src").localCheckpoint(eager=True)
+    nodes = (e.select(F.col("src").alias("node"))
+              .union(e.select(F.col("dst").alias("node")))
+              .distinct().localCheckpoint(eager=True))
+    base = 1_000_000 - damping_ppm
+    ranks = nodes.withColumn("r", F.lit(1_000_000).cast("long"))
+    for _ in range(iters):
+        inflow = (ewd.join(ranks, ewd.src == ranks.node)
+                     .select("dst", F.expr("r div deg").alias("c"))
+                     .groupBy("dst").agg(F.sum("c").alias("inflow")))
+        ranks = (nodes.join(inflow, nodes.node == inflow.dst, "left")
+                      .select("node",
+                              (F.lit(base) + F.expr(
+                                  f"({damping_ppm} * coalesce(inflow, 0L)) div 1000000"))
+                              .cast("long").alias("r"))
+                      .localCheckpoint(eager=True))
+    return ranks.select("node", F.col("r").alias("rank_ppm"))

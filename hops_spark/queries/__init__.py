@@ -23,4 +23,5 @@ from hops_spark.queries import (  # noqa: F401
     pipeline,
     retrieval,
     analytics,
+    layout,
 )

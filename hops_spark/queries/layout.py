@@ -1,0 +1,270 @@
+"""Storage-layout and table-maintenance inventory queries: MERGE
+upsert, Z-order clustering, deterministic shard shuffle, PageRank.
+
+The reference's users run these as chained MapReduce jobs (SURVEY §2.9
+JobControl): a keyed merge is a CompositeInputFormat outer join
+(reference MR/mapreduce/lib/join/OuterJoinRecordReader.java:34), layout
+rewrites are a TotalOrderPartitioner sort (Sort.java:129), and PageRank
+is the canonical iterated job-chain. Here each is one Catalyst plan (or
+a fixed-depth loop of them) with integer-exact arithmetic so the DuckDB
+oracle hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hops_spark.io.readers import load_table
+from hops_spark.ops.graph import pagerank_int
+from hops_spark.ops.lm import bigram_rows
+from hops_spark.queries.textops import _DUCK_WORDS
+from hops_spark.registry import register
+
+
+# --- MERGE upsert (SCD1) -----------------------------------------------------
+
+@register(
+    "merge_upsert",
+    sql="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), updates AS (
+        SELECT o_orderkey, 'X' AS o_orderstatus,
+               round(o_totalprice + 10.0, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+    ), inserts AS (
+        SELECT -o_orderkey AS o_orderkey, 'N' AS o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0
+    ), changes AS (
+        SELECT * FROM updates UNION ALL SELECT * FROM inserts
+    )
+    SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+           coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           coalesce(c.o_totalprice, b.o_totalprice) AS o_totalprice,
+           CASE WHEN b.o_orderkey IS NULL THEN 'insert' ELSE 'update' END AS action
+    FROM base b FULL OUTER JOIN changes c USING (o_orderkey)
+    WHERE c.o_orderkey IS NOT NULL
+    ORDER BY o_orderkey
+    """,
+    doc="MERGE INTO (SCD1 upsert): apply a deterministic changes batch "
+        "(updates: key%7, status X, price+10; inserts: negated key%97) "
+        "to the orders table via full-outer join + coalesce; emit the "
+        "affected slice with its action. One co-partitioned SMJ "
+        "(changes would broadcast when small; generically both sides "
+        "hash on the key).",
+    tags=("maintenance", "join", "upsert"),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics on DataFrames: WHEN MATCHED -> take change row,
+    WHEN NOT MATCHED -> insert. The merged table is base ⟗ changes with
+    per-column coalesce; the registered output keeps only the affected
+    slice (the full merged table is the same plan minus the final
+    filter). At 100 TB the join key is the table's primary key, so the
+    exchange is the irreducible cost; a real deployment bucket-writes
+    base on the key so only the changes side shuffles."""
+    o = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = (o.where(F.col("o_orderkey") % 7 == 0)
+                .select("o_orderkey",
+                        F.lit("X").alias("o_orderstatus"),
+                        F.round(F.col("o_totalprice") + 10.0, 2)
+                         .alias("o_totalprice")))
+    inserts = (o.where(F.col("o_orderkey") % 97 == 0)
+                .select((-F.col("o_orderkey")).alias("o_orderkey"),
+                        F.lit("N").alias("o_orderstatus"), "o_totalprice"))
+    c = updates.unionByName(inserts)
+    b = o
+    merged = (b.join(c.withColumnsRenamed(
+                         {"o_orderstatus": "c_status", "o_totalprice": "c_price"}),
+                     "o_orderkey", "full_outer", )
+               .select("o_orderkey",
+                       F.coalesce("c_status", "o_orderstatus").alias("o_orderstatus"),
+                       F.coalesce("c_price", "o_totalprice").alias("o_totalprice"),
+                       F.when(F.col("o_orderstatus").isNull(), "insert")
+                        .otherwise("update").alias("action"),
+                       F.col("c_status").isNotNull().alias("_affected")))
+    return merged.where("_affected").drop("_affected").orderBy("o_orderkey")
+
+
+# --- Z-order layout ----------------------------------------------------------
+
+_ZBITS = 12
+
+
+def _morton_sql() -> str:
+    """Shared Spark-SQL/DuckDB Morton-interleave expression over
+    pre-scaled 12-bit cells xi, yi (pure bit ops — identical text runs
+    on both engines)."""
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"(((xi >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((yi >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_ZCELL = ("CAST((x - xmin) * 4096 AS BIGINT) {IDIV} (xmax - xmin + 1)",
+          "CAST((y - ymin) * 4096 AS BIGINT) {IDIV} (ymax - ymin + 1)")
+
+
+@register(
+    "zorder_layout",
+    sql=f"""
+    WITH pts AS (
+        SELECT l_partkey AS x, l_suppkey AS y FROM lineitem
+    ), b AS (
+        SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax
+        FROM pts
+    ), cells AS (
+        SELECT x, y,
+               {_ZCELL[0].replace("{IDIV}", "//")} AS xi,
+               {_ZCELL[1].replace("{IDIV}", "//")} AS yi
+        FROM pts, b
+    ), coded AS (
+        SELECT x, y, ({_morton_sql()}) >> 16 AS file_id FROM cells
+    )
+    SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+           min(x) AS min_partkey, max(x) AS max_partkey,
+           min(y) AS min_suppkey, max(y) AS max_suppkey
+    FROM coded GROUP BY file_id ORDER BY file_id
+    """,
+    doc="Z-order (Morton) clustering of lineitem on (l_partkey, "
+        "l_suppkey): scale both dims to 12-bit cells, interleave bits, "
+        "take the top 8 bits of the z-value as the target file — "
+        "map-only assignment (no range-partitioner sampling, so it is "
+        "deterministic AND shuffle-free); per-file min/max stats show "
+        "the locality that powers data skipping.",
+    tags=("maintenance", "layout", "scale"),
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta/Iceberg OPTIMIZE ZORDER, Spark-first: the z-prefix file
+    assignment replaces the usual repartitionByRange(morton) because
+    range boundaries come from sampling (non-deterministic) while a
+    fixed-width prefix is a pure map — at 100 TB you'd follow this with
+    a write partitioned by file_id, and every file covers one z-range
+    rectangle so min/max pruning on EITHER dim skips ~sqrt-fraction of
+    files. Cost: one 1-row bounds aggregate broadcast into a map-only
+    coding pass + the final small per-file aggregate."""
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select(F.col("l_partkey").alias("x"), F.col("l_suppkey").alias("y"))
+    b = li.agg(F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+               F.min("y").alias("ymin"), F.max("y").alias("ymax"))
+    cells = (li.join(F.broadcast(b))
+               .withColumn("xi", F.expr(_ZCELL[0].replace("{IDIV}", "div")))
+               .withColumn("yi", F.expr(_ZCELL[1].replace("{IDIV}", "div"))))
+    coded = cells.withColumn(
+        "file_id", F.expr(f"({_morton_sql()}) >> 16"))
+    return (coded.groupBy("file_id")
+                 .agg(F.count("*").alias("n_rows"),
+                      F.min("x").alias("min_partkey"), F.max("x").alias("max_partkey"),
+                      F.min("y").alias("min_suppkey"), F.max("y").alias("max_suppkey"))
+                 .orderBy("file_id"))
+
+
+# --- deterministic shard shuffle --------------------------------------------
+
+_N_SHARDS = 8
+
+
+@register(
+    "shard_shuffle",
+    sql=f"""
+    WITH h AS (
+        SELECT doc_id, md5('doc_' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               ('0x' || substring(hx, 1, 7))::BIGINT % {_N_SHARDS} AS shard, hx
+        FROM h
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+                AS BIGINT) AS pos
+    FROM s
+    ORDER BY shard, pos
+    """,
+    doc="Deterministic global training shuffle: shard = md5-bucket of "
+        "the doc key, position = rank of the md5 within the shard — a "
+        "seeded permutation with no RNG state, reproducible on any "
+        "engine/cluster/partitioning. One exchange on shard; the "
+        "within-shard sort is per-partition.",
+    tags=("pipeline", "sampling", "scale"),
+)
+def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The examples-shuffle every training run needs, without RNG:
+    hashing gives the uniform shard assignment AND the within-shard
+    order (md5 is effectively a random permutation of the key space but
+    is pure), so re-running on different cluster shapes yields the
+    byte-identical shard layout — the property `df.sample`/rand() lose.
+    Each shard is one window partition: at 100 TB use n_shards ≈
+    corpus/target-shard-size and the per-shard sort stays in-memory."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    hx = F.md5(F.concat(F.lit("doc_"), F.col("doc_id").cast("string")))
+    s = (d.withColumn("hx", hx)
+          .withColumn("shard", F.pmod(
+              F.conv(F.substring("hx", 1, 7), 16, 10).cast("long"),
+              F.lit(_N_SHARDS))))
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    return (s.select("doc_id", "shard",
+                     F.row_number().over(w).cast("long").alias("pos"))
+             .orderBy("shard", "pos"))
+
+
+# --- PageRank over the word-adjacency graph ---------------------------------
+
+_PR_ITERS = 3
+_PR_SQL_ITER = """
+, i{k} AS (
+    SELECT e.dst AS node, CAST(sum(r.r // o.deg) AS BIGINT) AS inflow
+    FROM edges e JOIN outdeg o ON e.src = o.src
+                 JOIN r{p} r ON r.node = e.src
+    GROUP BY e.dst
+), r{k} AS (
+    SELECT n.node,
+           CAST(150000 + (850000 * coalesce(i.inflow, 0)) // 1000000
+                AS BIGINT) AS r
+    FROM nodes n LEFT JOIN i{k} i USING (node)
+)"""
+
+
+@register(
+    "pagerank_words",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ), bg AS (
+        SELECT w[i.i] AS w1, w[i.i + 1] AS w2
+        FROM wt, LATERAL (SELECT unnest(range(1, len(w))) AS i) i
+        WHERE len(w) >= 2
+    ), edges AS (
+        SELECT DISTINCT w1 AS src, w2 AS dst FROM bg WHERE w1 <> w2
+    ), nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), outdeg AS (
+        SELECT src, count(*) AS deg FROM edges GROUP BY src
+    ), r0 AS (
+        SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+    ){"".join(_PR_SQL_ITER.format(k=k, p=k - 1) for k in range(1, _PR_ITERS + 1))}
+    SELECT node AS word, r AS rank_ppm FROM r{_PR_ITERS}
+    ORDER BY rank_ppm DESC, word LIMIT 50
+    """,
+    doc="PageRank (3 integer-exact iterations, ppm fixed point) on the "
+        "word-adjacency graph: the canonical iterated MapReduce job "
+        "chain as a fixed-depth DataFrame loop — per round one "
+        "co-partitioned join + one dst-aggregate, rank state O(nodes), "
+        "localCheckpoint per round. Top-50 words by rank.",
+    tags=("graph", "iterative", "text"),
+)
+def pagerank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word graph = distinct adjacent-token pairs (the bigram stream the
+    LM jobs already emit); rank arithmetic is bit-for-bit reproducible
+    (see ops/graph.pagerank_int). The 3-iteration unroll is mirrored in
+    the oracle as chained CTEs."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = (bigram_rows(d).where(F.col("w1") != F.col("w2"))
+                           .select(F.col("w1").alias("src"),
+                                   F.col("w2").alias("dst")))
+    pr = pagerank_int(edges, iters=_PR_ITERS)
+    return (pr.select(F.col("node").alias("word"), "rank_ppm")
+              .orderBy(F.desc("rank_ppm"), "word").limit(50))
