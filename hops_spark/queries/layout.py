@@ -35,7 +35,7 @@ from hops_spark.registry import register
                round(o_totalprice + 10.0, 2) AS o_totalprice
         FROM orders WHERE o_orderkey % 7 = 0
     ), inserts AS (
-        SELECT -o_orderkey AS o_orderkey, 'N' AS o_orderstatus, o_totalprice
+        SELECT -o_orderkey - 1 AS o_orderkey, 'N' AS o_orderstatus, o_totalprice
         FROM orders WHERE o_orderkey % 97 = 0
     ), changes AS (
         SELECT * FROM updates UNION ALL SELECT * FROM inserts
@@ -49,7 +49,8 @@ from hops_spark.registry import register
     ORDER BY o_orderkey
     """,
     doc="MERGE INTO (SCD1 upsert): apply a deterministic changes batch "
-        "(updates: key%7, status X, price+10; inserts: negated key%97) "
+        "(updates: key%7, status X, price+10; inserts: key -> -key-1 for "
+        "key%97, collision-free with any non-negative base key) "
         "to the orders table via full-outer join + coalesce; emit the "
         "affected slice with its action. One co-partitioned SMJ "
         "(changes would broadcast when small; generically both sides "
@@ -72,7 +73,7 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.col("o_totalprice") + 10.0, 2)
                          .alias("o_totalprice")))
     inserts = (o.where(F.col("o_orderkey") % 97 == 0)
-                .select((-F.col("o_orderkey")).alias("o_orderkey"),
+                .select((-F.col("o_orderkey") - 1).alias("o_orderkey"),
                         F.lit("N").alias("o_orderstatus"), "o_totalprice"))
     c = updates.unionByName(inserts)
     b = o

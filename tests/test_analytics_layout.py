@@ -1,0 +1,162 @@
+"""Model tests for the analytics + layout/maintenance families:
+hand-computed PageRank, funnel ordering semantics, SCD2 interval
+algebra, merge-upsert key accounting, Morton-code locality, shard
+permutation invariants — plus plan-shape checks (one Exchange for the
+windowed event analyses, no shuffle before zorder's final aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hops_spark.ops.graph import pagerank_int
+from hops_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- pagerank ---------------------------------------------------------------
+
+def _pr_model(edges: list[tuple], iters: int = 3) -> dict:
+    """Pure-python mirror of pagerank_int's integer contract."""
+    e = sorted({(a, b) for a, b in edges if a != b})
+    nodes = sorted({x for ab in e for x in ab})
+    outdeg: dict = {}
+    for a, _ in e:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(iters):
+        inflow = {n: 0 for n in nodes}
+        for a, b in e:
+            inflow[b] += r[a] // outdeg[a]
+        r = {n: 150_000 + (850_000 * inflow[n]) // 1_000_000 for n in nodes}
+    return r
+
+
+def test_pagerank_matches_handmodel(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (2, 3)]  # dup collapses
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank_ppm"] for r in pagerank_int(df, iters=3).collect()}
+    assert got == _pr_model(edges)
+
+
+def test_pagerank_sink_vs_source(spark):
+    # A pure source (no in-edges) ends at base rank; a popular sink ranks
+    # higher than its feeders.
+    edges = [(10, 1), (11, 1), (12, 1), (1, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank_ppm"] for r in pagerank_int(df, iters=3).collect()}
+    assert got[10] == 150_000
+    assert got[1] > got[10]
+    assert got == _pr_model(edges)
+
+
+# --- funnel -----------------------------------------------------------------
+
+def test_funnel_ordering_is_strict(spark, tmp_path):
+    # user 1: view -> click -> purchase (full funnel)
+    # user 2: click BEFORE first view, purchase before click-after-view
+    #         -> counts for view only
+    # user 3: view only
+    import datetime as dt
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, t(0), 1, "view", 0.0, ""), (2, t(1), 1, "click", 0.0, ""),
+        (3, t(2), 1, "purchase", 0.0, ""),
+        (4, t(0), 2, "click", 0.0, ""), (5, t(1), 2, "purchase", 0.0, ""),
+        (6, t(2), 2, "view", 0.0, ""),
+        (7, t(0), 3, "view", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = SPECS["funnel_conversion"].fn(spark, str(tmp_path)).collect()[0]
+    assert (out["n_view"], out["n_view_click"], out["n_view_click_purchase"]) \
+        == (3, 1, 1)
+
+
+# --- scd2 -------------------------------------------------------------------
+
+def test_scd2_intervals_partition_timeline(spark, sf_dir):
+    rows = SPECS["scd2_history"].fn(spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for history in by_user.values():
+        assert sum(r["is_current"] for r in history) == 1
+        assert history[-1]["valid_to"] is None
+        for a, b in zip(history, history[1:]):
+            assert a["valid_to"] == b["valid_from"]      # no gaps, no overlap
+            assert a["event_type"] != b["event_type"]    # runs collapsed
+
+
+# --- merge upsert -----------------------------------------------------------
+
+def test_merge_upsert_key_accounting(spark, sf_dir):
+    out = SPECS["merge_upsert"].fn(spark, sf_dir)
+    agg = out.groupBy("action").agg(
+        F.count("*").alias("n"),
+        F.min("o_orderkey").alias("kmin")).collect()
+    acts = {r["action"]: r for r in agg}
+    assert set(acts) == {"update", "insert"}
+    assert acts["insert"]["kmin"] < 0          # inserts use negated keys
+    upd = out.where("action = 'update'")
+    assert upd.where("o_orderkey % 7 != 0").count() == 0
+    assert upd.where("o_orderstatus != 'X'").count() == 0
+
+
+# --- zorder -----------------------------------------------------------------
+
+def test_zorder_files_are_local_rectangles(spark, sf_dir):
+    rows = SPECS["zorder_layout"].fn(spark, sf_dir).collect()
+    assert len(rows) > 1
+    from hops_spark.io.readers import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    x_span = (li.agg(F.max("l_partkey") - F.min("l_partkey")).collect()[0][0]) + 1
+    # every z-file's partkey range must be a strict subset of the domain:
+    # top-8-bit prefixes fix the high 4 bits of each 12-bit dim, so a
+    # file covers at most 1/16th of either axis (+1 cell rounding).
+    for r in rows:
+        span = r["max_partkey"] - r["min_partkey"] + 1
+        assert span <= x_span // 16 + x_span // 4096 + 2
+    assert sum(r["n_rows"] for r in rows) == n
+
+
+def test_zorder_assignment_is_map_only(spark, sf_dir):
+    df = SPECS["zorder_layout"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # The fact table is hash-exchanged exactly once (the per-file_id
+    # aggregate); the bounds ride a BroadcastExchange and the only range
+    # partitioning is the final presentation sort of <=256 file rows.
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# --- shard shuffle ----------------------------------------------------------
+
+def test_shard_shuffle_is_permutation(spark, sf_dir):
+    out = SPECS["shard_shuffle"].fn(spark, sf_dir).collect()
+    n_docs = len({r["doc_id"] for r in out})
+    assert len(out) == n_docs                       # every doc exactly once
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == set(range(8))           # all shards populated
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense ranks
+
+
+def test_event_analytics_single_exchange(spark, sf_dir):
+    # funnel + scd2 are windows over one user_id hash partitioning: the
+    # event scan must be exchanged exactly once (plus the 1-row final
+    # agg exchange for the funnel).
+    plan = _plan(SPECS["scd2_history"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    fplan = _plan(SPECS["funnel_conversion"].fn(spark, sf_dir))
+    assert fplan.count("Exchange hashpartitioning(user_id") == 1
