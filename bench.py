@@ -58,6 +58,10 @@ HEADLINE = [
     "tfidf_doc_pairs",
     "doc_perplexity",
     "cms_heavy_hitters",
+    # round-5 additions
+    "pagerank_words",
+    "zorder_layout",
+    "funnel_conversion",
 ]
 
 
