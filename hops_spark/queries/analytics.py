@@ -228,3 +228,107 @@ def resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.last("day_value", ignorenulls=True).over(w)))
                 .select("user_id", "day", "day_value", "filled")
                 .orderBy("user_id", "day"))
+
+
+@register(
+    "grouped_trend_ols",
+    sql="""
+    WITH base AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) - floor(epoch(min(ts) OVER (PARTITION BY user_id)))
+                    AS BIGINT) // 3600 AS x,
+               CAST(round(value * 100, 0) AS BIGINT) AS y
+        FROM events
+    ), s AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM base GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+           END AS slope_ppm,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE (sy * 1000000
+                      - ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) * sx)
+                     // (n * 1000000)
+           END AS intercept_cents
+    FROM s ORDER BY user_id
+    """,
+    doc="Per-group OLS trend fit (value vs hours-since-first-event), "
+        "closed form from one aggregate of integer sums — slope in "
+        "ppm-cents/hour, intercept in cents, ALL arithmetic 64-bit "
+        "integer so the fit is bit-for-bit reproducible. The "
+        "distributed per-entity trend-fitting job (anomaly/drift "
+        "detection over millions of entities) with zero float "
+        "fold-order noise.",
+    tags=("events", "analytics", "ml"),
+)
+def grouped_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key closed-form linear regression: the five sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) come from ONE map-side-combined
+    aggregate over the user_id Exchange (the recentring min rides the
+    same Exchange as a window), then slope/intercept are pure scalar
+    integer expressions. Determinism: y is exact cents (values are 2dp
+    by fixture contract; round() guards representation noise), x is
+    whole hours — every sum is a bigint. 64-bit headroom contract:
+    n_per_key * x_max * y_max must stay < 2^63 (here 67 * 720 * 49k ~
+    2.4e9 per key); corpora beyond that switch the sums to
+    DECIMAL(38,0)/HUGEINT, same plan shape."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id")
+    base = (e.withColumn(
+                "x", ((F.unix_timestamp("ts") - F.unix_timestamp(F.min("ts").over(w)))
+                      .cast("bigint") / F.lit(3600)).cast("bigint"))
+             .withColumn("y", F.round(F.col("value") * 100, 0).cast("bigint")))
+    # NB: bigint/3600 then cast floors toward -inf for non-negative x —
+    # identical to the oracle's integer // since x >= 0.
+    s = base.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    den = F.expr("n * sxx - sx * sx")
+    slope = F.expr("((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)")
+    intercept = F.expr(
+        "(sy * 1000000 - ((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx) * sx)"
+        " div (n * 1000000)")
+    return (s.select("user_id", "n",
+                     F.when(den == 0, F.lit(None).cast("bigint"))
+                      .otherwise(slope).alias("slope_ppm"),
+                     F.when(den == 0, F.lit(None).cast("bigint"))
+                      .otherwise(intercept).alias("intercept_cents"))
+             .orderBy("user_id"))
+
+
+@register(
+    "numeric_histogram",
+    sql="""
+    WITH c AS (
+        SELECT CAST(round(value * 100, 0) AS BIGINT) AS y FROM events
+    )
+    SELECT y // 1000 AS bin_10,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(y) AS BIGINT) AS min_cents,
+           CAST(max(y) AS BIGINT) AS max_cents,
+           CAST(sum(y) AS BIGINT) AS sum_cents
+    FROM c GROUP BY bin_10 ORDER BY bin_10
+    """,
+    doc="Fixed-width numeric histogram (10.00-unit bins) of event "
+        "values in exact integer cents — the deterministic alternative "
+        "to histogram_numeric()'s nondeterministic adaptive bins. One "
+        "map-side-combined aggregate; bin count is value-range-bounded, "
+        "independent of row count.",
+    tags=("events", "aggregation", "histogram"),
+)
+def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    y = F.round(F.col("value") * 100, 0).cast("bigint")
+    return (e.select(y.alias("y"))
+             .groupBy(F.expr("y div 1000").alias("bin_10"))
+             .agg(F.count("*").alias("n"),
+                  F.min("y").alias("min_cents"),
+                  F.max("y").alias("max_cents"),
+                  F.sum("y").alias("sum_cents"))
+             .orderBy("bin_10"))
