@@ -152,12 +152,22 @@ def ivf_centroids(corpus: DataFrame, n_cells: int, id_col: str = "vec_id",
 
 
 def _cell_sims(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """array<struct<sim,cell>> of rounded cosine to each centroid."""
-    return F.array(*[
-        F.struct(F.round(cosine(vec, F.array(*[F.lit(x) for x in cvec])), 6)
-                  .alias("sim"),
-                 F.lit(cid).alias("cell"))
-        for cid, cvec in centroids])
+    """array<struct<sim,cell>> of rounded cosine to each centroid.
+
+    The codebook rides as TWO literal nodes (cell-id array + centroid
+    matrix) with a single transform/zip_with lambda, not n_cells inlined
+    cosine trees: Catalyst analysis of the inlined form is O(n_cells ×
+    dim) expression nodes and was the dominant cost of every IVF-family
+    job (~2 s per analysis at 16×64 — measured, see SCALE.md); the
+    lambda form is ~16× smaller and semantically identical (struct
+    field order (sim, cell) preserves the max/sort tie-break toward the
+    larger cell id)."""
+    cells = F.lit([cid for cid, _ in centroids])
+    mat = F.lit([cvec for _, cvec in centroids])
+    sims = F.transform(mat, lambda cv: F.round(cosine(vec, cv), 6))
+    return F.zip_with(sims, cells,
+                      lambda sim, c: F.struct(sim.alias("sim"),
+                                              c.alias("cell")))
 
 
 def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -212,12 +222,26 @@ def semantic_dedup(corpus: DataFrame, dim: int, n_clusters: int = 16,
     within-cell work constant as the corpus grows."""
     cents = centroids or ivf_centroids(corpus, n_clusters, id_col, vec_col)
     cell_of = F.array_max(_cell_sims(F.col(vec_col), cents)).getField("cell")
+    # Materialize the assignment once: cb feeds THREE consumers (cell
+    # census, capped pair join, final keep-flag join), and the argmax
+    # over n_clusters×dim literal cosines is both expensive to analyze
+    # (big Catalyst tree per job) and to recompute per pass. The eager
+    # localCheckpoint truncates lineage so downstream jobs replan/rescan
+    # the narrow (id, vec, cell) table instead — at 100 TB this is the
+    # "write assignments once, read thrice" pattern.
     cb = (corpus.select(id_col, vec_col)
-                .withColumn("cell", cell_of.cast("long")))
+                .withColumn("cell", cell_of.cast("long"))
+                .localCheckpoint(eager=True))
     ok = (cb.groupBy("cell").agg(F.count("*").alias("_n"))
             .filter((F.col("_n") >= 2) & (F.col("_n") <= max_cell))
             .select("cell"))
-    capped = cb.join(F.broadcast(ok), "cell", "left_semi")
+    # Second materialization: the capped slice feeds BOTH sides of the
+    # pair self-join — checkpointing computes it once and sidesteps a
+    # Spark 4.1 internal attribute-rebinding error (ATTRIBUTE_NOT_FOUND
+    # on the lambda-bound vector columns) when a broadcast-semi-joined
+    # LogicalRDD is self-joined under higher-order-function filters.
+    capped = (cb.join(F.broadcast(ok), "cell", "left_semi")
+                .localCheckpoint(eager=True))
     a = capped.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                       "cell")
     b = capped.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
