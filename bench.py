@@ -62,6 +62,8 @@ HEADLINE = [
     "pagerank_words",
     "zorder_layout",
     "funnel_conversion",
+    "knn_ivf",
+    "semantic_dedup",
 ]
 
 
