@@ -130,3 +130,32 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, left_ts: str, right_ts
     if tolerance_expr is not None:
         out = out.filter(tolerance_expr)
     return out
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: str,
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-proof shuffle join: replicate-and-salt (the manual
+    counterpart of AQE's skewJoin, for when the skew is known up front
+    or AQE is unavailable — e.g. inside a cached/checkpointed subplan).
+
+    The big side gets a deterministic salt (partition-id mod n_salts —
+    RNG-free, same discipline as ops/agg.salted_agg: a hot key's rows
+    arrive spread over many input partitions, so they fan out across
+    n_salts reduce partitions instead of melting one); the small side is
+    replicated n_salts× via a map-side explode. Join on (key, salt) is
+    then uniform by construction; the result set is EXACTLY the plain
+    join's for inner/left (result is salt-invariant), which is what the
+    registered oracle checks.
+
+    Scale math: replication costs n_salts × |small| rows — choose
+    n_salts ≈ (hot-key rows / target-partition rows); the small side
+    must be dimension-sized (if it broadcasts, just broadcast — salting
+    is for the mid-size dim that exceeds the broadcast threshold but
+    not memory × n_salts).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (salt-invariant sides)")
+    b = big.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(n_salts)))
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return b.join(s, [on, "_salt"], how).drop("_salt")

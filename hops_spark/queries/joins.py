@@ -193,3 +193,43 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("custkey", "probe_ts",
                          F.col("o_orderkey").alias("last_orderkey"))
                  .orderBy("custkey"))
+
+
+@register(
+    "salted_join_skew",
+    sql="""
+    WITH stats AS (
+        SELECT event_type, round(avg(value), 6) AS type_avg
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_above,
+           round(sum(e.value - s.type_avg), 2) AS excess_sum
+    FROM events e JOIN stats s USING (event_type)
+    WHERE e.value > s.type_avg
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    doc="Skew-proof replicate-and-salt join (manual twin of AQE "
+        "skewJoin): events (5 hot event_type keys — worst-case key "
+        "skew) joined to per-type stats on (key, salt); the salt fans "
+        "each hot key over 16 uniform partitions. Result is exactly "
+        "the plain join's (salt-invariant), which the oracle checks.",
+    tags=("join", "skew", "scale"),
+)
+def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deliberately-skewed join shape: the join key has 5 distinct
+    values, so an unsalted shuffle join melts 5 reducers no matter how
+    many executors exist. salted_join spreads each key over n_salts
+    partitions; the per-type stats dim (5 rows here, dimension-sized in
+    general) replicates map-side. Events above their type average,
+    with the aggregate riding the salted output."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    stats = (e.groupBy("event_type")
+              .agg(F.round(F.avg("value"), 6).alias("type_avg")))
+    joined = J.salted_join(e, stats, "event_type", n_salts=16)
+    return (joined.where(F.col("value") > F.col("type_avg"))
+                  .groupBy("event_type")
+                  .agg(F.count("*").alias("n_above"),
+                       F.round(F.sum(F.col("value") - F.col("type_avg")), 2)
+                        .alias("excess_sum"))
+                  .orderBy("event_type"))

@@ -160,3 +160,22 @@ def test_event_analytics_single_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     fplan = _plan(SPECS["funnel_conversion"].fn(spark, sf_dir))
     assert fplan.count("Exchange hashpartitioning(user_id") == 1
+
+
+# --- salted join ------------------------------------------------------------
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops.join import salted_join
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    stats = e.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("type_avg"))
+    plain = e.join(stats, "event_type").groupBy("event_type").count()
+    salted = salted_join(e, stats, "event_type", n_salts=7) \
+        .groupBy("event_type").count()
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_key_includes_salt(spark, sf_dir):
+    df = SPECS["salted_join_skew"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "_salt" in plan            # join key carries the salt
