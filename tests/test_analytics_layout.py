@@ -179,3 +179,36 @@ def test_salted_join_key_includes_salt(spark, sf_dir):
     df = SPECS["salted_join_skew"].fn(spark, sf_dir)
     plan = _plan(df)
     assert "_salt" in plan            # join key carries the salt
+
+
+# --- runtime bloom-filter join pruning --------------------------------------
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """SURVEY §7.3's 'bloom-filter semi-join pre-filter' is Spark's own
+    runtime-filter rule, no custom strategy needed: a selective dim
+    predicate injects might_contain(bloom_filter_agg(keys)) into the
+    fact side of a shuffle join. Size thresholds (10 GB application
+    side) gate it at test scale, so the test lowers them — at the
+    100 TB target the defaults fire on the real plan; the session
+    leaves them at stock values."""
+    from hops_spark.io.readers import load_table
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where("o_totalprice > 400000")
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .groupBy("o_orderpriority").count())
+        plan = _plan(j)
+        assert "might_contain" in plan        # probe on the fact scan side
+        assert "bloom_filter_agg" in plan     # built from the selective dim
+    finally:
+        for k, v in old.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
