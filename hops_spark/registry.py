@@ -99,9 +99,11 @@ def load_all() -> dict[str, QuerySpec]:
     ordered = {n: QUERIES[n] for n in DRIVER_WINDOW_PRIORITY if n in QUERIES}
     ordered.update({n: s for n, s in QUERIES.items() if n not in ordered})
     return ordered
-# Round-5 rotation plan: once CORRECTNESS_r04 lands green for this
-# window, swap the 28 round-3 "never-checked" names out for the 36
-# r1-only-green TPC-H/join/sort/setop rows (q2..q22, join_*, *_sort,
-# top_k_per_group, ranking_windows, set_union_distinct, exact_quantiles,
-# pivot_status_by_flag, ...) so every family's green row stays at most
-# two rounds old; keep the keeper core and any round-5 additions.
+# Round-6 rotation plan: once the next CORRECTNESS lands green for this
+# window, fill the freed slots FIRST with the 13 round-5 additions now
+# queued at positions 51+ (funnel_conversion, cohort_retention,
+# scd2_history, resample_gap_fill, grouped_trend_ols, numeric_histogram,
+# merge_upsert, zorder_layout, shard_shuffle, pagerank_words,
+# salted_join_skew — plus any round-6 queries), THEN rotate the 36
+# r1-only-green TPC-H/join/sort/setop rows back through so every
+# family's green row stays at most a few rounds old; keep the keeper.

