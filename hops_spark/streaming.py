@@ -141,6 +141,47 @@ def stateful_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFr
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def stateful_user_totals_tws(events: DataFrame,
+                             watermark: str = "1 hour") -> DataFrame:
+    """The transformWithStateInPandas twin of stateful_user_totals —
+    Spark 4.x's successor API for arbitrary stateful processing
+    (typed ValueState handles, timers, TTL; requires the RocksDB state
+    store provider, which is also the 100 TB production choice: state
+    spills to disk per executor instead of living on-heap).
+
+    Same semantics as the applyInPandasWithState version: per-user
+    running (n_events, sum_value), re-emitted on every update — the
+    batch-equivalence test pins both twins to the same groupBy."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, s double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prior = self._state.get()
+            n, s = prior if prior is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._state.update((n, s))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "sum_value": [round(s, 2)]})
+
+        def close(self) -> None:
+            pass
+
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=RunningTotals(),
+                outputStructType="user_id long, n_events long, sum_value double",
+                outputMode="Update",
+                timeMode="None"))
+
+
 # --- Kafka sink (SURVEY §2.1 KafkaSink) ---------------------------------
 
 def to_kafka_records(df: DataFrame, key_cols: list[str]) -> DataFrame:
