@@ -233,3 +233,68 @@ def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(F.sum(F.col("value") - F.col("type_avg")), 2)
                         .alias("excess_sum"))
                   .orderBy("event_type"))
+
+
+@register(
+    "feature_store_pit",
+    sql="""
+    WITH clicks AS (
+        SELECT user_id, ts, count(*) AS c
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), f_clicks AS (
+        SELECT user_id, ts,
+               CAST(sum(c) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+               AS n_clicks
+        FROM clicks
+    ), f_err AS (
+        SELECT user_id, ts, round(max(value), 2) AS last_error_value
+        FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    ), spine AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT s.event_id, s.user_id, s.ts,
+           coalesce(c.n_clicks, 0) AS n_clicks,
+           e.last_error_value
+    FROM spine s
+    ASOF LEFT JOIN f_clicks c ON s.user_id = c.user_id AND s.ts >= c.ts
+    ASOF LEFT JOIN f_err e ON s.user_id = e.user_id AND s.ts >= e.ts
+    ORDER BY s.event_id
+    """,
+    doc="Feature-store point-in-time-correct join: a purchase spine "
+        "enriched with two feature tables (cumulative click count, "
+        "last error value) AS OF each purchase's timestamp — no "
+        "feature leakage from the future. Composed as two as-of joins "
+        "(union-sort-window, one user_id shuffle each); the oracle is "
+        "DuckDB's native ASOF LEFT JOIN, independently validating the "
+        "window trick.",
+    tags=("join", "asof", "feature-store", "events"),
+)
+def feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-set assembly join every feature store runs (and the
+    reference's MapFile.getClosest generalized to many tables): each
+    feature table is made unique per (user_id, ts) first — required
+    for a deterministic as-of pick when timestamps collide — then the
+    spine folds features in one as-of join per table. All joins hash
+    on user_id, so Catalyst chains them on one partitioning; at 100 TB
+    each as-of is a union-sort within the same Exchange, never a range
+    cross-join."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = (e.where(F.col("event_type") == "click")
+               .groupBy("user_id", "ts").agg(F.count("*").alias("c")))
+    f_clicks = clicks.select(
+        "user_id", "ts",
+        F.sum("c").over(W.partitionBy("user_id").orderBy("ts"))
+         .cast("bigint").alias("n_clicks"))
+    f_err = (e.where(F.col("event_type") == "error")
+              .groupBy("user_id", "ts")
+              .agg(F.round(F.max("value"), 2).alias("last_error_value")))
+    spine = (e.where(F.col("event_type") == "purchase")
+              .select("event_id", "user_id", "ts"))
+    step1 = J.asof_join(spine, f_clicks, "user_id", "ts", "ts")
+    step2 = J.asof_join(step1, f_err, "user_id", "ts", "ts")
+    return (step2.select("event_id", "user_id", "ts",
+                         F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+                         "last_error_value")
+                 .orderBy("event_id"))
