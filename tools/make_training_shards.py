@@ -80,7 +80,18 @@ def make_training_shards(spark, clean_dir: str, out_dir: str,
         if part.isEmpty():
             shard_counts[split] = {"bins": 0, "rows": 0}
             continue
-        packed = pack_sequences(part, budget=budget)
+        # Deterministic pre-pack shuffle (the RNG-free global permutation
+        # of queries/layout.shard_shuffle): pack in md5(doc) order so
+        # bins/shards mix documents and sources instead of preserving
+        # corpus order — a doc's own chunks stay adjacent (the hash is
+        # per-doc), which keeps intra-doc curriculum intact. Re-running
+        # on any cluster shape yields byte-identical shards.
+        part = part.withColumn(
+            "_shuf", F.md5(F.concat(F.lit("shard|"),
+                                    F.col("doc_id").cast("string"))))
+        packed = pack_sequences(part, budget=budget,
+                                id_cols=["_shuf", "doc_id", "chunk_id"])
+        packed = packed.drop("_shuf")
         packed = packed.withColumn(
             "shard", F.expr(f"bin_id div {BINS_PER_SHARD}").cast("long"))
         out = os.path.join(out_dir, split)
