@@ -41,9 +41,16 @@ def total_order_rank(df: DataFrame, *keys: str,
     The offsets are a ≤ #partitions-row driver-side collect (same
     contract as zipWithIndex). Requires unique keys for a
     deterministic rank; costs one extra pass for the counts."""
+    # Pin the partitioning: repartitionByRange boundaries come from a
+    # SAMPLE, and the offsets job and the final job are separate
+    # executions — without materialization they can sample different
+    # boundaries, mis-aligning the offsets (observed at sf0.1: max rank
+    # 615k over 600k rows). The eager checkpoint is the same
+    # materialize-once contract zipWithIndex uses.
     s = (df.repartitionByRange(*[F.col(k) for k in keys])
            .sortWithinPartitions(*keys)
-           .withColumn("_pid", F.spark_partition_id()))
+           .withColumn("_pid", F.spark_partition_id())
+           .localCheckpoint(eager=True))
     counts = s.groupBy("_pid").count().orderBy("_pid").collect()
     offsets, acc = {}, 0
     for r in counts:
@@ -141,9 +148,13 @@ def total_order_prefix_sum(df: DataFrame, value_col: str, *keys: str,
     collected per-partition totals' offsets (≤ #partitions rows to the
     driver, the zipWithIndex contract). The distributed scan primitive
     behind sequence packing / byte-offset assignment."""
+    # Same materialize-once contract as total_order_rank above: the
+    # sampled range boundaries must be identical for the totals job and
+    # the final scan, which only the checkpoint guarantees.
     s = (df.repartitionByRange(*[F.col(k) for k in keys])
            .sortWithinPartitions(*keys)
-           .withColumn("_pid", F.spark_partition_id()))
+           .withColumn("_pid", F.spark_partition_id())
+           .localCheckpoint(eager=True))
     totals = (s.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
                .orderBy("_pid").collect())
     offsets, acc = {}, 0

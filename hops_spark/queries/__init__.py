@@ -24,4 +24,5 @@ from hops_spark.queries import (  # noqa: F401
     retrieval,
     analytics,
     layout,
+    profiling,
 )

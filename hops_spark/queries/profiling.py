@@ -1,0 +1,210 @@
+"""Engine-utility inventory queries: table profiling (ANALYZE-style
+statistics), equi-depth binning, and an integer-exact correlation
+matrix.
+
+These are the "statistics jobs" an engine runs over its own tables
+(the reference's counters/sampling surface — reference
+MR/mapreduce/lib/partition/InputSampler.java:59 samples for the
+TotalOrderPartitioner; a warehouse's ANALYZE TABLE does the same scan
+with more aggregates). Everything is a single map-side-combined
+aggregate or the existing two-phase global rank — no new shuffle
+shapes.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hops_spark.io.readers import load_table
+from hops_spark.ops.sort import total_order_rank
+from hops_spark.registry import register
+
+_N_BINS = 8
+
+
+@register(
+    "equi_depth_bins",
+    sql=f"""
+    WITH r AS (
+        SELECT l_extendedprice AS v,
+               row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                  l_linenumber) AS rk,
+               count(*) OVER () AS n
+        FROM lineitem
+    )
+    SELECT ((rk - 1) * {_N_BINS}) // n AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(v) AS min_price, max(v) AS max_price
+    FROM r GROUP BY bin ORDER BY bin
+    """,
+    doc="Equi-depth (quantile) binning of l_extendedprice into 8 "
+        "buckets via the two-phase distributed global rank (TeraSort "
+        "shape — range partition + per-partition offsets; NO "
+        "single-partition window). bucket = (rank-1)*k div n is exact "
+        "integer arithmetic, so bucket boundaries are deterministic "
+        "and the oracle reproduces them.",
+    tags=("sort", "profiling", "scale"),
+)
+def equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth feature binning (the quantile-bucketizer every
+    feature pipeline needs): rank comes from ops/sort.total_order_rank
+    — the scalable global-rank primitive — and the bucket id is pure
+    integer math on (rank, n). The oracle's single window is the
+    semantic spec; the Spark plan never materializes a 1-partition
+    sort."""
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select(F.col("l_extendedprice").alias("v"),
+                "l_orderkey", "l_linenumber")
+    n = li.count()
+    ranked = total_order_rank(li, "v", "l_orderkey", "l_linenumber",
+                              rank_col="rk")
+    return (ranked.withColumn(
+                "bin", F.expr(f"(rk - 1) * {_N_BINS} div {n}").cast("bigint"))
+            .groupBy("bin")
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("v").alias("min_price"),
+                 F.max("v").alias("max_price"))
+            .orderBy("bin"))
+
+
+# Values are exact cents (bigint per element: worst per-row product is
+# price² = (1.1e7)² ≈ 1.2e14 < 2^63), but the SUMS of squares overflow
+# int64 beyond ~sf0.01 — so every sum is accumulated in DECIMAL(38,0)
+# on the Spark side and HUGEINT (int128, DuckDB's native integer-sum
+# widening) on the oracle side; both are exact, and both cast to the
+# identical double right before the one sqrt+divide.
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_sql() -> str:
+    pairs = list(combinations(_CORR_COLS, 2))
+    ints = ",\n               ".join(
+        f"CAST(round({c} * 100, 0) AS BIGINT) AS i{k}"
+        for k, c in enumerate(_CORR_COLS))
+    sums = ",\n               ".join(
+        [f"count(*) AS n"]
+        + [f"sum(i{k}) AS s{k}" for k in range(len(_CORR_COLS))]
+        + [f"sum(i{k} * i{k}) AS q{k}" for k in range(len(_CORR_COLS))]
+        + [f"sum(i{_CORR_COLS.index(a)} * i{_CORR_COLS.index(b)})"
+           f" AS p{_CORR_COLS.index(a)}_{_CORR_COLS.index(b)}"
+           for a, b in pairs])
+
+    def _cell(a: str, b: str) -> str:
+        i, j = _CORR_COLS.index(a), _CORR_COLS.index(b)
+        return (f"    SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"round(CAST(n * p{i}_{j} - s{i} * s{j} AS DOUBLE) / "
+                f"(sqrt(CAST(n * q{i} - s{i} * s{i} AS DOUBLE)) * "
+                f"sqrt(CAST(n * q{j} - s{j} * s{j} AS DOUBLE))), 6)"
+                f" AS corr FROM s")
+
+    rows = "\n    UNION ALL\n".join(_cell(a, b) for a, b in pairs)
+    return f"""
+    WITH ints AS (
+        SELECT {ints}
+        FROM lineitem
+    ), s AS (
+        SELECT {sums}
+        FROM ints
+    )
+{rows}
+    ORDER BY col_a, col_b
+    """
+
+
+@register(
+    "numeric_corr_matrix",
+    sql=_corr_sql(),
+    doc="Pairwise Pearson correlation of the 4 lineitem numerics from "
+        "ONE aggregate of integer sufficient statistics (values are "
+        "exact cents, so n/Σx/Σx²/Σxy are bigint-exact and engine-"
+        "identical; the final corr is one sqrt+divide on identical "
+        "integers — bit-identical IEEE, rounded to 6dp). The ANALYZE-"
+        "style column-statistics job without corr()'s float fold-order "
+        "nondeterminism.",
+    tags=("agg", "profiling", "ml"),
+)
+def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    k = len(_CORR_COLS)
+    ints = li.select(*[
+        F.round(F.col(c) * 100, 0).cast("bigint").alias(f"i{i}")
+        for i, c in enumerate(_CORR_COLS)])
+
+    def dec(col):
+        return col.cast("decimal(38,0)")
+
+    aggs = ([F.count("*").cast("decimal(38,0)").alias("n")]
+            + [F.sum(dec(F.col(f"i{i}"))).alias(f"s{i}") for i in range(k)]
+            + [F.sum(dec(F.col(f"i{i}") * F.col(f"i{i}"))).alias(f"q{i}")
+               for i in range(k)]
+            + [F.sum(dec(F.col(f"i{i}") * F.col(f"i{j}"))).alias(f"p{i}_{j}")
+               for i, j in combinations(range(k), 2)])
+    s = ints.agg(*aggs)
+    # single 1-row aggregate job: all 6 pair correlations materialize
+    # from one explode over the sufficient-statistics row (NOT a union
+    # of per-pair selects, which would re-run the scan per pair).
+    cells = []
+    for i, j in combinations(range(k), 2):
+        num = (F.col("n") * F.col(f"p{i}_{j}")
+               - F.col(f"s{i}") * F.col(f"s{j}")).cast("double")
+        den_i = (F.col("n") * F.col(f"q{i}")
+                 - F.col(f"s{i}") * F.col(f"s{i}")).cast("double")
+        den_j = (F.col("n") * F.col(f"q{j}")
+                 - F.col(f"s{j}") * F.col(f"s{j}")).cast("double")
+        corr = F.round(num / (F.sqrt(den_i) * F.sqrt(den_j)), 6)
+        cells.append(F.struct(F.lit(_CORR_COLS[i]).alias("col_a"),
+                              F.lit(_CORR_COLS[j]).alias("col_b"),
+                              corr.alias("corr")))
+    return (s.select(F.explode(F.array(*cells)).alias("c"))
+             .select("c.col_a", "c.col_b", "c.corr")
+             .orderBy("col_a", "col_b"))
+
+
+@register(
+    "table_profile",
+    sql="""
+    SELECT 'l_quantity' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(l_quantity) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           round(min(l_quantity), 2) AS min_v, round(max(l_quantity), 2) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+           CAST(count(l_extendedprice) AS BIGINT),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           round(min(l_extendedprice), 2), round(max(l_extendedprice), 2)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(count(*) AS BIGINT),
+           CAST(count(l_discount) AS BIGINT),
+           CAST(count(DISTINCT l_discount) AS BIGINT),
+           round(min(l_discount), 2), round(max(l_discount), 2)
+    FROM lineitem
+    ORDER BY col
+    """,
+    doc="ANALYZE TABLE-style column profile (row/non-null/distinct "
+        "counts, min/max) for three lineitem numerics — one scan, one "
+        "multi-distinct aggregate (Spark expands it to an expand+agg, "
+        "still a single pass over the scan).",
+    tags=("agg", "profiling"),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def prof(c: str):
+        return li.agg(
+            F.lit(c).alias("col"),
+            F.count("*").alias("n_rows"),
+            F.count(c).alias("n_nonnull"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.round(F.min(c), 2).alias("min_v"),
+            F.round(F.max(c), 2).alias("max_v")).select(
+                "col", "n_rows", "n_nonnull", "n_distinct", "min_v", "max_v")
+
+    return (prof("l_quantity")
+            .unionByName(prof("l_extendedprice"))
+            .unionByName(prof("l_discount"))
+            .orderBy("col"))
