@@ -141,3 +141,41 @@ def pipe_binary(df: DataFrame, argv: list[str],
                     F.col(value_col).cast("binary"))
     return df.sparkSession.createDataFrame(
         src.rdd.mapPartitions(run_partition), out_schema)
+
+
+def sentences_udtf():
+    """Python UDTF (Spark 4 table-function API — the §2.9 UDTF
+    mechanism, modernized): text → (sentence_id, sentence) rows.
+
+    Row-at-a-time Python is the SLOW path by design; the production
+    twin is ``sentence_rows`` below (pure split+posexplode, codegen'd,
+    zero Python). The UDTF exists for API parity and is pinned to the
+    fast path by tests/test_pipe_gen_multimodal.py equivalence."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_id: long, sentence: string")
+    class Sentences:
+        def eval(self, text: str):
+            import re
+            if text is None:
+                return
+            parts = [p.strip() for p in re.split(r"[.!?]+", text)]
+            for i, p in enumerate(parts):
+                if p:
+                    yield (i, p)
+
+    return Sentences
+
+
+def sentence_rows(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Fast-path twin of sentences_udtf: JVM-side regexp split +
+    posexplode (whole-stage codegen, no Python workers). Sentence ids
+    count only non-empty trimmed parts, matching the UDTF's contract."""
+    parts = F.filter(
+        F.transform(F.split(F.col(text_col), r"[.!?]+"),
+                    lambda s: F.trim(s)),
+        lambda s: s != "")
+    return (df.select(F.col(id_col), F.posexplode(parts)
+                      .alias("sentence_id", "sentence"))
+              .withColumn("sentence_id", F.col("sentence_id").cast("long")))

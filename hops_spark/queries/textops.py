@@ -652,3 +652,42 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hops_spark.ops.bpe import bpe_train
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return bpe_train(spark, d, k=8)
+
+
+@register(
+    "sentence_split",
+    sql=r"""
+    WITH s AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(regexp_split_to_array(text, '[.!?]+|\s+table\s+'),
+                                  x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+                   x -> x <> '') AS parts
+        FROM documents
+    )
+    SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS sentence_id,
+           parts[i.i] AS sentence
+    FROM s, LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) i
+    ORDER BY doc_id, sentence_id
+    """,
+    doc="Sentence segmentation as a table function (SURVEY §2.9 UDTF "
+        "surface): one row per non-empty trimmed sentence with its "
+        "in-doc ordinal (delimiters: sentence punctuation, plus the "
+        "token 'table' so the unpunctuated synthetic fixture still "
+        "exercises multi-row output). Fast path is split+posexplode "
+        "(codegen, zero Python); ops/pipe.sentences_udtf is the "
+        "API-parity Python UDTF twin, equivalence-tested.",
+    tags=("text", "udtf", "projection"),
+)
+def sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.pipe import sentence_rows
+    d = load_table(spark, sf_dir, "documents")
+    whole = F.regexp_replace(F.col("text"), r"^\s+|\s+$", "")
+    parts = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+|\s+table\s+"),
+                    lambda s: F.regexp_replace(s, r"^\s+|\s+$", "")),
+        lambda s: s != "")
+    return (d.select("doc_id", F.posexplode(parts)
+                     .alias("sentence_id", "sentence"))
+             .withColumn("sentence_id", F.col("sentence_id").cast("long"))
+             .orderBy("doc_id", "sentence_id"))

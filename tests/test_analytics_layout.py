@@ -212,3 +212,29 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in old.items():
             (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+
+
+def test_pagerank_random_graphs_match_model(spark):
+    import random
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 40
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(80)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r["node"]: r["rank_ppm"]
+               for r in pagerank_int(df, iters=3).collect()}
+        assert got == _pr_model(edges), f"trial {trial}"
+
+
+def test_total_order_rank_is_permutation_under_duplicates(spark):
+    # Regression for the range-sampling instability: heavy duplicate
+    # keys + multiple partitions must still yield ranks 1..n exactly.
+    from hops_spark.ops.sort import total_order_rank
+    rows = [(i % 10, i) for i in range(5000)]          # 10 hot values
+    df = spark.createDataFrame(rows, ["v", "id"]).repartition(16)
+    r = total_order_rank(df, "v", "id", rank_col="rk")
+    got = sorted(x["rk"] for x in r.collect())
+    assert got == list(range(1, 5001))

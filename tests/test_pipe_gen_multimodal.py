@@ -160,3 +160,22 @@ int main() {
     got = {bytes(r["key"]): bytes(r["value"])
            for r in pipe_binary(df, [binpath]).collect()}
     assert got == {b"k1": b"HELLO\x00WORLD", b"k2": b"\xffABC\xff", b"": b""}
+
+
+def test_sentences_udtf_matches_fast_path(spark, sf_dir):
+    """Python UDTF (§2.9 table-function API) returns exactly the
+    codegen fast path's rows — the UDTF is API parity, not the hot
+    path."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops.pipe import sentence_rows, sentences_udtf
+
+    d = load_table(spark, sf_dir, "documents").limit(50) \
+        .select("doc_id", F.regexp_replace(
+            "text", r"\s+table\s+", ". ").alias("text"))
+    fast = sentence_rows(d).collect()
+    S = sentences_udtf()
+    slow = (d.lateralJoin(S(F.col("text").outer()))
+             .select("doc_id", "sentence_id", "sentence").collect())
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
