@@ -192,19 +192,25 @@ def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "profiling"),
 )
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE scan, one aggregate: Spark plans the three countDistincts as
+    a single Expand(×3)+aggregate; the per-column result rows come from
+    an explode over the 1-row stats (never a union of per-column
+    subqueries, which would re-scan the table per column)."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
     li = load_table(spark, sf_dir, "lineitem")
-
-    def prof(c: str):
-        return li.agg(
-            F.lit(c).alias("col"),
-            F.count("*").alias("n_rows"),
-            F.count(c).alias("n_nonnull"),
-            F.countDistinct(c).alias("n_distinct"),
-            F.round(F.min(c), 2).alias("min_v"),
-            F.round(F.max(c), 2).alias("max_v")).select(
-                "col", "n_rows", "n_nonnull", "n_distinct", "min_v", "max_v")
-
-    return (prof("l_quantity")
-            .unionByName(prof("l_extendedprice"))
-            .unionByName(prof("l_discount"))
-            .orderBy("col"))
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [F.count(c).alias(f"nn_{c}"),
+                 F.countDistinct(c).alias(f"nd_{c}"),
+                 F.round(F.min(c), 2).alias(f"mn_{c}"),
+                 F.round(F.max(c), 2).alias(f"mx_{c}")]
+    s = li.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("col"), F.col("n_rows"),
+                 F.col(f"nn_{c}").alias("n_nonnull"),
+                 F.col(f"nd_{c}").alias("n_distinct"),
+                 F.col(f"mn_{c}").alias("min_v"),
+                 F.col(f"mx_{c}").alias("max_v"))
+        for c in cols])
+    return (s.select(F.explode(rows).alias("r")).select("r.*")
+             .orderBy("col"))
