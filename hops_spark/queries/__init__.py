@@ -25,4 +25,5 @@ from hops_spark.queries import (  # noqa: F401
     analytics,
     layout,
     profiling,
+    examples,
 )

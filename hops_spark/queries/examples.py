@@ -1,0 +1,200 @@
+"""Reference-examples parity queries: the quasi-Monte-Carlo π
+estimator, market-basket pair mining, and triangle counting.
+
+The reference ships these as teaching MapReduce jobs
+(hadoop-mapreduce-examples/QuasiMonteCarlo.java:88 HaltonSequence;
+the join/aggregation examples around it); here each is one Catalyst
+plan whose arithmetic is arranged to be integer-exact so the DuckDB
+oracle hash-matches bit-for-bit — including π, whose in-circle test is
+usually float.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hops_spark.io.readers import load_table
+from hops_spark.registry import register
+
+# --- pi via quasi-Monte-Carlo ------------------------------------------------
+#
+# Halton-style low-discrepancy points, arranged to stay in exact
+# integer arithmetic end-to-end (the reference sums double radical
+# inverses; same estimator, exact arithmetic):
+#   x_i = bitrev20(i) / 2^20          (base-2 radical inverse)
+#   y_i = rev3_13(i) / 3^13           (base-3 radical inverse)
+# In-circle test (x-1/2)^2 + (y-1/2)^2 <= 1/4, cleared of denominators
+# with u = 2*bitrev20(i) - 2^20, v = 2*rev3_13(i) - 3^13:
+#   u^2 * 3^26 + v^2 * 2^40 <= 2^40 * 3^26
+# Magnitudes reach ~2.6e24, so the comparison runs in DECIMAL(38,0)
+# (Spark) / HUGEINT (DuckDB) — both exact.
+
+_PI_N = 200_000
+_P3_13 = 3 ** 13          # 1594323 > _PI_N, so 13 base-3 digits suffice
+_P2_20 = 1 << 20          # > _PI_N, so 20 bits suffice
+
+
+def _bitrev20_sql() -> str:
+    return " + ".join(f"(((i >> {j}) & 1) << {19 - j})" for j in range(20))
+
+
+def _rev3_13_sql(idiv: str) -> str:
+    return " + ".join(
+        f"(((i {idiv} {3 ** j}) % 3) * {3 ** (12 - j)})" for j in range(13))
+
+
+def _pi_sql(idiv: str, dec_cast: str) -> str:
+    """Shared CTE body (caller prefixes ``WITH [idx,]``); only the
+    integer-div spelling and the wide-decimal cast differ between
+    Spark SQL and DuckDB."""
+    return f"""
+    pts AS (
+        SELECT (2 * ({_bitrev20_sql()}) - {_P2_20}) AS u,
+               (2 * ({_rev3_13_sql(idiv)}) - {_P3_13}) AS v
+        FROM idx
+    ), t AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(CASE WHEN CAST(u AS {dec_cast}) * u * {3 ** 26}
+                              + CAST(v AS {dec_cast}) * v * {2 ** 40}
+                             <= CAST({2 ** 40} AS {dec_cast}) * {3 ** 26}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
+        FROM pts
+    )
+    SELECT n_points, n_inside,
+           (4000000 * n_inside) {idiv} n_points AS pi_micro
+    FROM t
+    """
+
+
+@register(
+    "pi_qmc",
+    sql=f"""
+    WITH idx AS (SELECT unnest(range({_PI_N})) AS i),
+    {_pi_sql("//", "HUGEINT")}
+    """,
+    doc="Quasi-Monte-Carlo pi (QuasiMonteCarlo.java:88 HaltonSequence "
+        "parity-in-estimator): base-2/base-3 radical-inverse points via "
+        "integer bit/digit reversal, in-circle test cleared of "
+        "denominators into DECIMAL(38)/HUGEINT — the whole estimate is "
+        "exact integer arithmetic, so pi_micro hash-matches across "
+        "engines. Map-only over a generated range; one 1-row aggregate.",
+    tags=("examples", "generator", "scale"),
+)
+def pi_qmc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = spark.range(_PI_N).select(F.col("id").alias("i"))
+    idx.createOrReplaceTempView("idx")
+    return spark.sql("WITH " + _pi_sql("div", "DECIMAL(38,0)"))
+
+
+# --- market-basket pair mining ----------------------------------------------
+
+_MIN_SUPPORT = 3
+
+
+@register(
+    "basket_pairs_lift",
+    sql=f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), n_orders AS (
+        SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM baskets
+    ), item AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS c FROM baskets GROUP BY p
+    ), pairs AS (
+        SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS co
+        FROM baskets a JOIN baskets b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+        HAVING count(*) >= {_MIN_SUPPORT}
+    )
+    SELECT p1, p2, co,
+           (n_orders.n * co * 1000000) // (i1.c * i2.c) AS lift_ppm
+    FROM pairs JOIN item i1 ON p1 = i1.p JOIN item i2 ON p2 = i2.p,
+         n_orders
+    ORDER BY co DESC, p1, p2 LIMIT 20
+    """,
+    doc="Market-basket pair mining (A-priori pair pass): parts "
+        "co-purchased in the same order, min-support pruned, lift = "
+        "N*co/(c1*c2) in exact integer ppm. One basket self-join on the "
+        "order key (baskets are small, so the per-order pair product is "
+        "bounded); item counts broadcast back.",
+    tags=("examples", "analytics", "retrieval"),
+)
+def basket_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (li.select(F.col("l_orderkey").alias("o"),
+                         F.col("l_partkey").alias("p")).distinct())
+    n_orders = baskets.agg(F.countDistinct("o").alias("n"))
+    item = baskets.groupBy("p").agg(F.count("*").alias("c"))
+    a = baskets.select(F.col("o"), F.col("p").alias("p1"))
+    b = baskets.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
+    pairs = (a.join(b, (a.o == b.o2) & (F.col("p1") < F.col("p2")))
+              .groupBy("p1", "p2").agg(F.count("*").alias("co"))
+              .where(F.col("co") >= _MIN_SUPPORT))
+    i1 = item.select(F.col("p").alias("p1"), F.col("c").alias("c1"))
+    i2 = item.select(F.col("p").alias("p2"), F.col("c").alias("c2"))
+    return (pairs.join(F.broadcast(i1), "p1").join(F.broadcast(i2), "p2")
+                 .join(F.broadcast(n_orders))
+                 .select("p1", "p2", "co",
+                         F.expr("(n * co * 1000000) div (c1 * c2)")
+                          .alias("lift_ppm"))
+                 .orderBy(F.desc("co"), "p1", "p2").limit(20))
+
+
+# --- triangle counting -------------------------------------------------------
+
+@register(
+    "triangle_count",
+    sql="""
+    WITH wt AS (
+        SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ), bg AS (
+        SELECT w[i.i] AS a, w[i.i + 1] AS b
+        FROM wt, LATERAL (SELECT unnest(range(1, len(w))) AS i) i
+        WHERE len(w) >= 2
+    ), edges AS (
+        SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        FROM bg WHERE a <> b
+    ), tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(count(DISTINCT a) AS BIGINT) FROM
+               (SELECT a FROM edges UNION ALL SELECT b FROM edges)) AS n_nodes,
+           n_triangles
+    FROM tri
+    """,
+    doc="Triangle counting on the word-adjacency graph — the canonical "
+        "two-round MapReduce graph example: canonicalize edges a<b, "
+        "join wedges (a,b)+(b,c), close with (a,c). At 100 TB the "
+        "standard degree-ordered orientation bounds each join side "
+        "(every edge points low-degree -> high-degree, so wedge counts "
+        "are sum of deg_out^2 with deg_out <= sqrt(2m)); the "
+        "lexicographic a<b orientation here is the same plan shape.",
+    tags=("examples", "graph"),
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.lm import bigram_rows
+    d = load_table(spark, sf_dir, "documents")
+    bg = bigram_rows(d).where(F.col("w1") != F.col("w2"))
+    edges = (bg.select(F.least("w1", "w2").alias("a"),
+                       F.greatest("w1", "w2").alias("b"))
+               .distinct().localCheckpoint(eager=True))
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (e1.join(e2, e1.b == e2.b2a)
+             .join(e3, (e1.a == e3.a3) & (F.col("c") == e3.c3))
+             .agg(F.count("*").alias("n_triangles")))
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    n_nodes = (edges.select(F.col("a").alias("x"))
+                    .unionAll(edges.select(F.col("b").alias("x")))
+                    .agg(F.countDistinct("x").alias("n_nodes")))
+    return (n_edges.join(F.broadcast(n_nodes))
+                   .join(F.broadcast(tri))
+                   .select("n_edges", "n_nodes", "n_triangles"))
