@@ -122,8 +122,12 @@ _MIN_SUPPORT = 3
 )
 def basket_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # baskets feed FOUR consumers (n_orders, item counts, both pair
+    # sides) — materialize the distinct once instead of re-shuffling
+    # lineitem per consumer.
     baskets = (li.select(F.col("l_orderkey").alias("o"),
-                         F.col("l_partkey").alias("p")).distinct())
+                         F.col("l_partkey").alias("p")).distinct()
+                 .localCheckpoint(eager=True))
     n_orders = baskets.agg(F.countDistinct("o").alias("n"))
     item = baskets.groupBy("p").agg(F.count("*").alias("c"))
     a = baskets.select(F.col("o"), F.col("p").alias("p1"))
