@@ -332,3 +332,54 @@ def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.max("y").alias("max_cents"),
                   F.sum("y").alias("sum_cents"))
              .orderBy("bin_10"))
+
+
+@register(
+    "grouped_outliers",
+    sql="""
+    WITH base AS (
+        SELECT user_id, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS y
+        FROM events
+    ), s AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               sum(y) AS sy, sum(y * y) AS qy
+        FROM base GROUP BY user_id
+    )
+    SELECT b.user_id, b.event_id, b.y AS value_cents,
+           CAST((CAST(b.y AS HUGEINT) * s.n - s.sy)
+                * (CAST(b.y AS HUGEINT) * s.n - s.sy)
+                > 9 * s.n * (s.n * s.qy - s.sy * s.sy) AS BOOLEAN)
+               AS is_outlier
+    FROM base b JOIN s USING (user_id)
+    ORDER BY b.user_id, b.event_id
+    """,
+    doc="Per-group z-score outlier flags (|z| > 3) with ZERO floating "
+        "point: |y - mean| > 3*sigma squared into (y*n - s)^2 > "
+        "9*n*(n*q - s^2) — exact DECIMAL(38)/HUGEINT integer "
+        "comparison, so the flag set is engine-identical (a float "
+        "z-score at the 3.0 boundary is not). Group stats ride one "
+        "user_id aggregate joined back on the same key.",
+    tags=("events", "analytics", "profiling"),
+)
+def grouped_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-entity anomaly gate (fraud/monitoring shape): sufficient
+    stats per user from one map-side-combined aggregate, flags from a
+    co-partitioned join back. The squared-inequality trick keeps the
+    3-sigma test in exact integers — same discipline as
+    grouped_trend_ols/numeric_corr_matrix."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("user_id", "event_id",
+                    F.round(F.col("value") * 100, 0).cast("bigint").alias("y"))
+    s = base.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("qy"))
+    dev = (F.col("y").cast("decimal(38,0)") * F.col("n") - F.col("sy"))
+    thresh = (F.lit(9).cast("decimal(38,0)") * F.col("n")
+              * (F.col("n") * F.col("qy") - F.col("sy") * F.col("sy")))
+    return (base.join(s, "user_id")
+                .select("user_id", "event_id",
+                        F.col("y").alias("value_cents"),
+                        (dev * dev > thresh).alias("is_outlier"))
+                .orderBy("user_id", "event_id"))
