@@ -470,3 +470,51 @@ def meta_du_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hops_spark.catalog.metastore import ancestor_rollup
     ino = inodes_from_documents(spark, sf_dir)
     return ancestor_rollup(ino).orderBy("dir")
+
+
+_INLINE_MAX = 1200  # bytes; reference default is 64 KB (DFSConfigKeys.java:178)
+
+
+@register(
+    "meta_inline_read",
+    sql=f"""
+    SELECT source AS parent,
+           'doc_' || CAST(doc_id AS VARCHAR) AS name,
+           CAST(n_chars AS BIGINT) AS size,
+           CAST(n_chars <= {_INLINE_MAX} AS BOOLEAN) AS served_from_db,
+           CASE WHEN n_chars <= {_INLINE_MAX} THEN md5(text) END AS payload_md5
+    FROM documents
+    WHERE source IN ('src1', 'src2')
+    ORDER BY parent, name
+    """,
+    doc="Inline small-file read path (HopsFS stores <=64 KB files IN "
+        "the metadata DB — reference INodeFile.java:204 "
+        "storeFileDataInDB; DFSConfigKeys.java:178): small files serve "
+        "their payload from the inodes table's binary column in the "
+        "same PK read, large files fall through to block resolution. "
+        "One partition-pruned scan; payload md5 proves the bytes "
+        "round-trip.",
+    tags=("metadata", "scan"),
+)
+def meta_inline_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Populates the schema's ``small_file_data`` column for files under
+    the inline threshold (the multimodal binary-column pattern), then
+    reads a two-directory batch: inline files emit md5(payload) straight
+    from the metadata row — zero extra I/O — while larger files report
+    served_from_db=false (their read would consult blocks/replicas,
+    cf. meta_block_report)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ino = (d.select(
+            F.col("source").alias("parent"),
+            F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("name"),
+            F.col("n_chars").cast("long").alias("size"),
+            F.when(F.col("n_chars") <= _INLINE_MAX,
+                   F.encode("text", "UTF-8")).alias("small_file_data")))
+    return (ino.where(F.col("parent").isin("src1", "src2"))
+               .select("parent", "name", "size",
+                       F.col("small_file_data").isNotNull()
+                        .alias("served_from_db"),
+                       F.when(F.col("small_file_data").isNotNull(),
+                              F.md5(F.col("small_file_data")))
+                        .alias("payload_md5"))
+               .orderBy("parent", "name"))
