@@ -518,3 +518,104 @@ def meta_inline_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.md5(F.col("small_file_data")))
                         .alias("payload_md5"))
                .orderBy("parent", "name"))
+
+
+@register(
+    "meta_rack_placement",
+    sql=_DUCK_BLOCKS + """
+    , rr AS (
+        SELECT block_id, count(*) AS n_replicas,
+               count(DISTINCT datanode_id // 4) AS n_racks
+        FROM replicas GROUP BY block_id
+    )
+    SELECT CAST(n_replicas AS BIGINT) AS n_replicas,
+           CAST(n_racks AS BIGINT) AS n_racks,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(n_replicas >= 2 AND n_racks < 2 AS BOOLEAN) AS violates_policy
+    FROM rr GROUP BY n_replicas, n_racks
+    ORDER BY n_replicas, n_racks
+    """,
+    doc="Rack-awareness placement audit (BlockPlacementPolicyDefault: "
+        "replicas of a block must span >= 2 racks): racks = datanode "
+        "div 4, census of (n_replicas, n_racks) cells with the "
+        "violation flag. One aggregate over the replicas table.",
+    tags=("metadata", "maintenance"),
+)
+def meta_rack_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.catalog.metastore import (blocks_from_inodes,
+                                              replicas_from_blocks)
+    ino = inodes_from_documents(spark, sf_dir)
+    rep = replicas_from_blocks(blocks_from_inodes(ino))
+    rr = (rep.groupBy("block_id")
+             .agg(F.count("*").alias("n_replicas"),
+                  F.countDistinct(F.expr("datanode_id div 4")).alias("n_racks")))
+    return (rr.groupBy("n_replicas", "n_racks")
+              .agg(F.count("*").alias("n_blocks"))
+              .select(F.col("n_replicas").cast("bigint").alias("n_replicas"),
+                      F.col("n_racks").cast("bigint").alias("n_racks"),
+                      "n_blocks",
+                      ((F.col("n_replicas") >= 2) & (F.col("n_racks") < 2))
+                      .alias("violates_policy"))
+              .orderBy("n_replicas", "n_racks"))
+
+
+@register(
+    "distcp_update_plan",
+    sql=_DUCK_INODES + """
+    , src AS (
+        SELECT parent || '/' || name AS path, CAST(size AS BIGINT) AS src_size
+        FROM inodes
+    ), tgt AS (
+        -- deterministic prior-copy state: every 11th file missing,
+        -- every 13th stale (size-1), every 17th id also has an orphan
+        SELECT parent || '/' || name AS path,
+               CAST(CASE WHEN inode_id % 13 = 0 THEN size - 1 ELSE size END
+                    AS BIGINT) AS tgt_size
+        FROM inodes WHERE inode_id % 11 <> 0
+        UNION ALL
+        SELECT 'orphans/extra_' || CAST(inode_id AS VARCHAR),
+               CAST(inode_id AS BIGINT)
+        FROM inodes WHERE inode_id % 17 = 0
+    )
+    SELECT coalesce(s.path, t.path) AS path,
+           CASE WHEN t.path IS NULL THEN 'copy'
+                WHEN s.path IS NULL THEN 'delete'
+                WHEN s.src_size <> t.tgt_size THEN 'overwrite'
+                ELSE 'skip' END AS action,
+           s.src_size, t.tgt_size
+    FROM src s FULL OUTER JOIN tgt t ON s.path = t.path
+    WHERE NOT (s.path IS NOT NULL AND t.path IS NOT NULL
+               AND s.src_size = t.tgt_size)
+    ORDER BY path
+    """,
+    doc="DistCp -update -delete incremental sync plan (hadoop-tools/"
+        "hadoop-distcp SimpleCopyListing + CopyMapper skip logic): "
+        "full-outer join of source and target listings -> copy "
+        "(missing), overwrite (size drift), delete (target orphan); "
+        "up-to-date files are skipped. One co-partitioned path join.",
+    tags=("metadata", "maintenance", "scan"),
+)
+def distcp_update_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ino = inodes_from_documents(spark, sf_dir)
+    src = ino.select(
+        F.concat_ws("/", "parent", "name").alias("path"),
+        F.col("size").cast("bigint").alias("src_size"))
+    tgt_files = (ino.where(F.col("inode_id") % 11 != 0)
+                    .select(F.concat_ws("/", "parent", "name").alias("path"),
+                            F.when(F.col("inode_id") % 13 == 0,
+                                   F.col("size") - 1)
+                             .otherwise(F.col("size"))
+                             .cast("bigint").alias("tgt_size")))
+    orphans = (ino.where(F.col("inode_id") % 17 == 0)
+                  .select(F.concat(F.lit("orphans/extra_"),
+                                   F.col("inode_id").cast("string")).alias("path"),
+                          F.col("inode_id").cast("bigint").alias("tgt_size")))
+    tgt = tgt_files.unionByName(orphans)
+    j = src.join(tgt, "path", "full_outer")
+    action = (F.when(F.col("tgt_size").isNull(), "copy")
+               .when(F.col("src_size").isNull(), "delete")
+               .when(F.col("src_size") != F.col("tgt_size"), "overwrite")
+               .otherwise("skip"))
+    return (j.select("path", action.alias("action"), "src_size", "tgt_size")
+             .where(F.col("action") != "skip")
+             .orderBy("path"))
