@@ -619,3 +619,63 @@ def distcp_update_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.select("path", action.alias("action"), "src_size", "tgt_size")
              .where(F.col("action") != "skip")
              .orderBy("path"))
+
+
+_TT_T1 = 1000  # as-of cut inside the add/delete interleave
+
+
+@register(
+    "meta_time_travel",
+    sql=_DUCK_INODES + f"""
+    , log AS (
+        SELECT inode_id * 2 AS tx_id, parent, 'ADD' AS op,
+               CAST(size AS BIGINT) AS size_delta
+        FROM inodes
+        UNION ALL
+        SELECT inode_id * 2 + 3, parent, 'DELETE',
+               CAST(-size AS BIGINT)
+        FROM inodes WHERE inode_id % 9 = 0
+    )
+    SELECT parent AS dir,
+           CAST(sum(CASE WHEN tx_id <= {_TT_T1}
+                         THEN CASE op WHEN 'ADD' THEN 1 ELSE -1 END
+                         ELSE 0 END) AS BIGINT) AS n_files_t1,
+           CAST(sum(CASE WHEN tx_id <= {_TT_T1} THEN size_delta ELSE 0 END)
+                AS BIGINT) AS bytes_t1,
+           CAST(sum(CASE op WHEN 'ADD' THEN 1 ELSE -1 END) AS BIGINT)
+               AS n_files_now,
+           CAST(sum(size_delta) AS BIGINT) AS bytes_now
+    FROM log GROUP BY parent ORDER BY dir
+    """,
+    doc="Metadata time travel: reconstruct per-directory namespace "
+        "state AS OF a transaction id by replaying the MetadataLogEntry "
+        "stream (reference MetadataLogEntry / the CDC log ops/cdc.py "
+        "tails) — event-sourcing fold, one conditional aggregate for "
+        "any number of as-of points. Deterministic log: ADD at tx=2*id, "
+        "DELETE of every 9th file at tx=2*id+3.",
+    tags=("metadata", "cdc", "streaming"),
+)
+def meta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-as-of over the metadata log: the same fold the
+    incremental quota maintainer applies forward (catalog/cdc.py
+    quota_deltas), evaluated at two cuts in ONE map-side-combined
+    aggregate — at 100 TB the log is partitioned by dir and each
+    as-of point is another conditional sum, never another scan."""
+    ino = inodes_from_documents(spark, sf_dir)
+    adds = ino.select((F.col("inode_id") * 2).alias("tx_id"), "parent",
+                      F.lit(1).alias("cnt"),
+                      F.col("size").cast("bigint").alias("size_delta"))
+    dels = (ino.where(F.col("inode_id") % 9 == 0)
+               .select((F.col("inode_id") * 2 + 3).alias("tx_id"), "parent",
+                       F.lit(-1).alias("cnt"),
+                       (-F.col("size")).cast("bigint").alias("size_delta")))
+    log = adds.unionByName(dels)
+    at_t1 = F.col("tx_id") <= _TT_T1
+    return (log.groupBy(F.col("parent").alias("dir"))
+               .agg(F.sum(F.when(at_t1, F.col("cnt")).otherwise(0))
+                     .cast("bigint").alias("n_files_t1"),
+                    F.sum(F.when(at_t1, F.col("size_delta")).otherwise(0))
+                     .cast("bigint").alias("bytes_t1"),
+                    F.sum("cnt").cast("bigint").alias("n_files_now"),
+                    F.sum("size_delta").cast("bigint").alias("bytes_now"))
+               .orderBy("dir"))
