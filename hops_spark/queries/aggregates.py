@@ -270,3 +270,36 @@ def approx_quantiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round("_e90", 6).alias("exact_p90"),
                      ok.alias("approx_within_1pct"))
              .orderBy("l_returnflag"))
+
+
+@register(
+    "cube_revenue",
+    sql="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS grouping_id,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY grouping_id, returnflag, linestatus
+    """,
+    doc="CUBE with GROUPING() provenance bits — completes the "
+        "grouping-sets superset next to rollup_revenue (SURVEY §2.4 "
+        "note: the reference has no grouping sets; Spark plans one "
+        "Expand + one aggregate, a single scan for all 2^k cells).",
+    tags=("agg", "superset"),
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    gid = (F.grouping("l_returnflag") * 2
+           + F.grouping("l_linestatus")).cast("bigint")
+    return (li.cube("l_returnflag", "l_linestatus")
+              .agg(gid.alias("grouping_id"),
+                   F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+                   F.count("*").alias("n"))
+              .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                      F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                      "grouping_id", "sum_price", "n")
+              .orderBy("grouping_id", "returnflag", "linestatus"))

@@ -100,14 +100,12 @@ def load_all() -> dict[str, QuerySpec]:
     ordered.update({n: s for n, s in QUERIES.items() if n not in ordered})
     return ordered
 # Round-6 rotation plan: once the next CORRECTNESS lands green for this
-# window, fill the freed slots FIRST with the 23 round-5 additions now
-# queued at positions 51+ (funnel_conversion, cohort_retention,
-# scd2_history, resample_gap_fill, grouped_trend_ols, numeric_histogram,
-# grouped_outliers, merge_upsert, zorder_layout, shard_shuffle,
-# pagerank_words, salted_join_skew, feature_store_pit, equi_depth_bins,
-# numeric_corr_matrix, table_profile, sentence_split, pi_qmc,
-# basket_pairs_lift, triangle_count, meta_inline_read,
-# meta_rack_placement, distcp_update_plan — plus any round-6 queries),
-# THEN rotate the 36 r1-only-green TPC-H/join/sort/setop rows back
-# through so every family's green row stays at most a few rounds old;
-# keep the keeper.
+# window, fill the freed slots FIRST with the round-5 additions queued
+# at positions 51+ (everything after pipeline_clean_corpus in
+# load_all() order: the analytics/layout/profiling/examples families,
+# feature_store_pit, salted_join_skew, sentence_split, grouped_outliers,
+# cube_revenue, fuzzy_match_parts, meta_inline_read,
+# meta_rack_placement, distcp_update_plan, meta_time_travel — plus any
+# round-6 queries), THEN rotate the 36 r1-only-green
+# TPC-H/join/sort/setop rows back through so every family's green row
+# stays at most a few rounds old; keep the keeper.
