@@ -133,3 +133,39 @@ def ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("delta_from_avg",
                          F.round(F.col("c_acctbal") - F.avg("c_acctbal").over(wp), 4))
              .orderBy("c_nationkey", "rnk", "c_custkey"))
+
+
+@register(
+    "distribution_windows",
+    sql="""
+    SELECT c_nationkey, c_custkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           lag(c_custkey)  OVER w AS prev_cust,
+           lead(c_custkey) OVER w AS next_cust
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_nationkey, pct_rank, c_custkey
+    """,
+    doc="Distribution/navigation window surface: ntile quartiles, "
+        "percent_rank, cume_dist, lag/lead — completes the §2.5 window "
+        "superset next to ranking_windows. percent_rank/cume_dist are "
+        "single divisions of identical integers (rank-1)/(n-1), so the "
+        "doubles are engine-identical before the 6dp round. One "
+        "Exchange on the partition key.",
+    tags=("sort", "window", "superset"),
+)
+def distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"),
+                                                  F.asc("c_custkey"))
+    return (c.select(
+                "c_nationkey", "c_custkey",
+                F.ntile(4).over(w).cast("bigint").alias("quartile"),
+                F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+                F.round(F.cume_dist().over(w), 6).alias("cume"),
+                F.lag("c_custkey").over(w).alias("prev_cust"),
+                F.lead("c_custkey").over(w).alias("next_cust"))
+             .orderBy("c_nationkey", "pct_rank", "c_custkey"))
