@@ -140,21 +140,24 @@ def ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT c_nationkey, c_custkey,
            CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume,
+           CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pct_rank_ppm,
+           CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_ppm,
            lag(c_custkey)  OVER w AS prev_cust,
            lead(c_custkey) OVER w AS next_cust
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey
                  ORDER BY c_acctbal DESC, c_custkey)
-    ORDER BY c_nationkey, pct_rank, c_custkey
+    ORDER BY c_nationkey, pct_rank_ppm, c_custkey
     """,
     doc="Distribution/navigation window surface: ntile quartiles, "
         "percent_rank, cume_dist, lag/lead — completes the §2.5 window "
         "superset next to ranking_windows. percent_rank/cume_dist are "
-        "single divisions of identical integers (rank-1)/(n-1), so the "
-        "doubles are engine-identical before the 6dp round. One "
-        "Exchange on the partition key.",
+        "single divisions of identical integers, so the doubles are "
+        "engine-identical — but decimal ROUNDING of them is not "
+        "(dyadic ratios land exactly on .5 at 6dp and Spark HALF_UP != "
+        "DuckDB half-even; observed at sf0.1), so both sides emit "
+        "tie-free floor-ppm integers. One Exchange on the partition "
+        "key.",
     tags=("sort", "window", "superset"),
 )
 def distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,8 +167,10 @@ def distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (c.select(
                 "c_nationkey", "c_custkey",
                 F.ntile(4).over(w).cast("bigint").alias("quartile"),
-                F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-                F.round(F.cume_dist().over(w), 6).alias("cume"),
+                F.floor(F.percent_rank().over(w) * 1000000)
+                 .cast("bigint").alias("pct_rank_ppm"),
+                F.floor(F.cume_dist().over(w) * 1000000)
+                 .cast("bigint").alias("cume_ppm"),
                 F.lag("c_custkey").over(w).alias("prev_cust"),
                 F.lead("c_custkey").over(w).alias("next_cust"))
-             .orderBy("c_nationkey", "pct_rank", "c_custkey"))
+             .orderBy("c_nationkey", "pct_rank_ppm", "c_custkey"))
