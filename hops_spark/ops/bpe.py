@@ -6,10 +6,14 @@ Where the scale actually is: the CORPUS pass — word frequencies — is
 the one token-stream aggregate; everything after runs on the
 vocab-with-counts table (bounded by vocabulary size, not corpus size),
 exactly like single-machine trainers operate on the word-frequency
-dict. This module distributes both: the corpus count is a Catalyst
-aggregate, and each merge iteration is one pair-count aggregate over
-the cached vocab table plus a 1-row argmax collect (contractual driver
-decision, k rows total — the same contract as the IVF codebook).
+dict. The corpus count is a Catalyst aggregate; the merge loop then
+runs DRIVER-SIDE over the collected vocab table with incrementally
+maintained pair counts (a lazy-deletion heap + per-word deltas — the
+classical fast-BPE algorithm): a 32k-merge vocab costs ONE Spark job
+total, not one job per merge. Driver memory is bounded by the vocab
+table, not the corpus; for open-vocabulary 100 TB corpora pass
+``max_vocab_rows`` to cap it by (count desc, term asc) — the same
+min-frequency pruning every production tokenizer trainer applies.
 
 Merge semantics (engine-exact by construction): symbols are kept as a
 space-joined string; merging pair (x, y) is a LITERAL left-to-right
@@ -52,26 +56,96 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
                  .agg(F.sum("n").alias("pair_count")))
 
 
+def _word_pair_occurrences(sym: str) -> list[tuple[str, str]]:
+    s = sym.split(" ")
+    return [(s[i], s[i + 1]) for i in range(len(s) - 1)]
+
+
+def _apply_merge(sym: str, w1: str, w2: str) -> str:
+    """The engine's merge contract: literal LEFT-TO-RIGHT non-overlapping
+    replace over the space-joined symbols — Python ``str.replace``, Java
+    ``String.replace`` and DuckDB ``replace`` all scan identically, so
+    the DuckDB oracle reproduces every merge bit-for-bit."""
+    return (" " + sym + " ").replace(f" {w1} {w2} ", f" {w1}{w2} ").strip()
+
+
 def bpe_train(spark: SparkSession, docs: DataFrame, k: int = 8,
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text",
+              max_vocab_rows: int | None = None) -> DataFrame:
     """Learn ``k`` BPE merges; returns (merge_rank, left_sym,
-    right_sym, pair_count) in merge order. The loop's per-iteration
-    cost is one aggregate over the vocab table; the corpus is scanned
-    exactly once."""
-    vocab = vocab_symbols(docs, text_col).select("n", "sym").cache()
+    right_sym, pair_count) in merge order (argmax by pair_count desc,
+    then w1, w2 — identical to the oracle's ORDER BY).
+
+    Cost model: ONE distributed aggregate (word frequencies) + a
+    driver-side merge loop over the bounded vocab table with
+    incrementally maintained pair counts — O(affected words) per merge
+    via a pair→words index and a lazy-deletion max-heap, so a real 32k
+    vocab trains in a single Spark job instead of 32k jobs. Cap driver
+    memory on open-vocabulary corpora with ``max_vocab_rows``
+    (deterministic top-count pruning)."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    vocab = vocab_symbols(docs, text_col)
+    if max_vocab_rows is not None:
+        vocab = vocab.orderBy(F.col("n").desc(), "term").limit(max_vocab_rows)
+    words: list[list] = [[r["n"], r["sym"]]
+                         for r in vocab.select("n", "sym").collect()]
+
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, (n, sym) in enumerate(words):
+        for p in _word_pair_occurrences(sym):
+            pair_counts[p] += n
+            pair_words[p].add(i)
+
+    # lazy-deletion heap: (-count, w1, w2); an entry is valid only if it
+    # still matches pair_counts when popped.
+    heap = [(-c, p[0], p[1]) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def push(p: tuple[str, str]) -> None:
+        c = pair_counts[p]
+        if c > 0:
+            heapq.heappush(heap, (-c, p[0], p[1]))
+
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(k):
-        best = (_pair_counts(vocab)
-                .orderBy(F.col("pair_count").desc(), "w1", "w2")
-                .limit(1).collect())
-        if not best:
+        best: tuple[str, str] | None = None
+        while heap:
+            negc, w1, w2 = heapq.heappop(heap)
+            if pair_counts.get((w1, w2), 0) == -negc:
+                best = (w1, w2)
+                break
+        if best is None:
             break
-        b = best[0]
-        merges.append((rank, b["w1"], b["w2"], b["pair_count"]))
-        vocab = vocab.withColumn(
-            "sym",
-            F.expr("trim(replace(' ' || sym || ' ', "
-                   f"' {b['w1']} {b['w2']} ', ' {b['w1']}{b['w2']} '))"))
+        w1, w2 = best
+        merges.append((rank, w1, w2, pair_counts[best]))
+        touched: set[tuple[str, str]] = set()
+        for i in sorted(pair_words[best]):
+            n, sym = words[i]
+            new_sym = _apply_merge(sym, w1, w2)
+            if new_sym == sym:
+                continue
+            old_occ = _word_pair_occurrences(sym)
+            new_occ = _word_pair_occurrences(new_sym)
+            for p in old_occ:
+                pair_counts[p] -= n
+                touched.add(p)
+            for p in set(old_occ):
+                pair_words[p].discard(i)
+            for p in new_occ:
+                pair_counts[p] += n
+                touched.add(p)
+            for p in set(new_occ):
+                pair_words[p].add(i)
+            words[i][1] = new_sym
+        for p in touched:
+            if pair_counts[p] <= 0:
+                del pair_counts[p]
+                pair_words.pop(p, None)
+            else:
+                push(p)
     return spark.createDataFrame(
         merges,
         "merge_rank int, left_sym string, right_sym string, pair_count bigint")

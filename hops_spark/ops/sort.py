@@ -32,15 +32,38 @@ def total_order_sort(df: DataFrame, *keys: str | Column) -> DataFrame:
     return df.orderBy(*keys)
 
 
+def _partition_offsets(s: DataFrame, value: Column) -> DataFrame:
+    """Exclusive prefix offsets per partition id as a TINY DataFrame
+    (one row per partition): offset(p) = Σ_{q<p} value(q). The running
+    sum runs over ≤ #partitions rows — a bounded input, so its
+    single-partition window is safe by construction. The result is
+    broadcast-joined back (never a `create_map` literal: at 100k+
+    partitions a map literal is a 200k-node Catalyst expression — the
+    analysis-cost cliff measured for IVF codebooks, SCALE.md note 22)."""
+    per = s.groupBy("_pid").agg(F.coalesce(value, F.lit(0)).alias("_c"))
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    return per.select(
+        "_pid",
+        F.coalesce(F.sum("_c").over(w), F.lit(0)).cast("long").alias("_offset"))
+
+
+#: lower 33 bits of monotonically_increasing_id = consecutive 0-based
+#: row index within the partition (documented layout: partition id in
+#: the upper bits, record number in the lower 33).
+_MID_ROW_MASK = (1 << 33) - 1
+
+
 def total_order_rank(df: DataFrame, *keys: str,
                      rank_col: str = "global_rank") -> DataFrame:
     """Global 1-based rank WITHOUT a single-partition window (the
     local-passes/cluster-dies pattern): TeraSort-style two-phase —
     range-partition + sort within partitions, then rank = (sum of
-    earlier partitions' row counts) + row_number within the partition.
-    The offsets are a ≤ #partitions-row driver-side collect (same
-    contract as zipWithIndex). Requires unique keys for a
-    deterministic rank; costs one extra pass for the counts."""
+    earlier partitions' row counts) + local row index + 1. The local
+    index is the lower 33 bits of ``monotonically_increasing_id`` over
+    the checkpointed sorted partitions (consecutive by contract), so
+    the big side needs NO window and NO extra exchange; the per-
+    partition counts ride back on a broadcast join. Requires unique
+    keys for a deterministic rank; costs one extra pass for counts."""
     # Pin the partitioning: repartitionByRange boundaries come from a
     # SAMPLE, and the offsets job and the final job are separate
     # executions — without materialization they can sample different
@@ -51,17 +74,13 @@ def total_order_rank(df: DataFrame, *keys: str,
            .sortWithinPartitions(*keys)
            .withColumn("_pid", F.spark_partition_id())
            .localCheckpoint(eager=True))
-    counts = s.groupBy("_pid").count().orderBy("_pid").collect()
-    offsets, acc = {}, 0
-    for r in counts:
-        offsets[r["_pid"]] = acc
-        acc += r["count"]
-    omap = F.create_map(*[F.lit(x) for pid_off in sorted(offsets.items())
-                          for x in pid_off])
-    w = Window.partitionBy("_pid").orderBy(*keys)
-    return (s.withColumn(rank_col,
-                         (omap[F.col("_pid")] + F.row_number().over(w)).cast("long"))
-             .drop("_pid"))
+    offsets = _partition_offsets(s, F.count(F.lit(1)))
+    local = F.monotonically_increasing_id().bitwiseAND(F.lit(_MID_ROW_MASK))
+    return (s.withColumn("_local", local)
+             .join(F.broadcast(offsets), "_pid")
+             .withColumn(rank_col,
+                         (F.col("_offset") + F.col("_local") + 1).cast("long"))
+             .drop("_pid", "_local", "_offset"))
 
 
 _KEYSPEC = re.compile(r"^-k(\d+)(?:,(\d+))?([nr]*)$")
@@ -155,16 +174,10 @@ def total_order_prefix_sum(df: DataFrame, value_col: str, *keys: str,
            .sortWithinPartitions(*keys)
            .withColumn("_pid", F.spark_partition_id())
            .localCheckpoint(eager=True))
-    totals = (s.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
-               .orderBy("_pid").collect())
-    offsets, acc = {}, 0
-    for r in totals:
-        offsets[r["_pid"]] = acc
-        acc += r["_t"] or 0
-    omap = F.create_map(*[F.lit(x) for pid_off in sorted(offsets.items())
-                          for x in pid_off])
+    offsets = _partition_offsets(s, F.sum(value_col))
     w = Window.partitionBy("_pid").orderBy(*keys)
-    return (s.withColumn(out_col,
-                         (omap[F.col("_pid")] + F.sum(value_col).over(w))
+    return (s.join(F.broadcast(offsets), "_pid")
+             .withColumn(out_col,
+                         (F.col("_offset") + F.sum(value_col).over(w))
                          .cast("long"))
-             .drop("_pid"))
+             .drop("_pid", "_offset"))

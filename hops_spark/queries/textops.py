@@ -647,12 +647,12 @@ def _bpe_oracle_sql(k: int) -> str:
     sql=_bpe_oracle_sql(8),
     doc="BPE tokenizer training (Sennrich et al. 2016) as a "
         "distributed job: ONE corpus aggregate (word frequencies), "
-        "then 8 merge iterations over the vocab-bounded symbol table — "
-        "per iteration one pair-count aggregate + a contractual 1-row "
-        "argmax collect (the same driver contract as the IVF "
-        "codebook). Merges replay as literal left-to-right replaces, "
-        "identical in Java and DuckDB, so the oracle reproduces the "
-        "full merge table bit-for-bit. ops/bpe.py.",
+        "then a driver-side merge loop with incrementally maintained "
+        "pair counts over the vocab-bounded symbol table (lazy-"
+        "deletion heap + per-word deltas) — a 32k-merge vocab costs "
+        "one Spark job, not 32k. Merges replay as literal left-to-"
+        "right replaces, identical in Java and DuckDB, so the oracle "
+        "reproduces the full merge table bit-for-bit. ops/bpe.py.",
     tags=("text", "north-star", "iterative"),
 )
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:

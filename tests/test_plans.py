@@ -222,6 +222,30 @@ def test_prefix_sum_window_is_partitioned(spark, sf_dir):
         raise AssertionError("no window found in plan")
 
 
+def test_total_order_offsets_broadcast_not_map_literal(spark, sf_dir):
+    """Partition offsets must ride a broadcast join, never a create_map
+    literal (a 100k-partition literal is a 200k-node Catalyst expression
+    — the analysis-cost cliff of SCALE.md note 22). The rank path also
+    needs no window at all (local index from monotonically_increasing_id)."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.ops.sort import total_order_prefix_sum, total_order_rank
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k") \
+              .withColumn("v", F.lit(1))
+    for out in (total_order_rank(df, "k"),
+                total_order_prefix_sum(df, "v", "k")):
+        plan = _plan(out)
+        assert "BroadcastHashJoin" in plan
+        assert "map(" not in plan          # no create_map offsets literal
+    # rank's DATA side is window-free (local index from
+    # monotonically_increasing_id); the only window left is the
+    # offsets-side running sum over ≤ #partitions rows.
+    rank_plan = _plan(total_order_rank(df, "k"))
+    assert "row_number" not in rank_plan
+    assert "monotonically_increasing_id" in rank_plan
+
+
 def test_split_assign_is_map_only(spark, sf_dir):
     """dataset_split_stats: the split assignment adds zero exchanges
     beyond the final stats aggregate — assignment is a scan projection."""

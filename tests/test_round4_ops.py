@@ -147,6 +147,79 @@ def test_bpe_single_char_words_no_merges(spark):
     assert bpe.bpe_train(spark, docs, k=4).count() == 0
 
 
+def _bpe_reference_recount(vocab: list[tuple[int, str]], k: int):
+    """Naive sequential BPE (full recount per merge) — the semantics the
+    delta-maintained trainer must reproduce exactly."""
+    from collections import Counter
+
+    from hops_spark.ops.bpe import _apply_merge, _word_pair_occurrences
+    words = [list(w) for w in vocab]
+    merges = []
+    for rank in range(k):
+        counts = Counter()
+        for n, sym in words:
+            for p in _word_pair_occurrences(sym):
+                counts[p] += n
+        if not counts:
+            break
+        (w1, w2), c = min(counts.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, w1, w2, c))
+        words = [[n, _apply_merge(sym, w1, w2)] for n, sym in words]
+    return merges
+
+
+def test_bpe_delta_trainer_matches_sequential_recount(spark):
+    """The incremental pair-count maintenance must be bit-identical to
+    recount-per-merge, including the adjacent-overlap leftover case
+    ('a a a a' merging (a,a) leaves one (a,a) pair behind) and ties."""
+    import hashlib
+
+    from hops_spark.ops import bpe
+    text = " ".join(
+        "".join("abcd"[int(ch, 16) % 4] for ch in
+                hashlib.md5(f"w{i}".encode()).hexdigest()[:6])
+        for i in range(80)) + " aaaa aaaa bbbb"
+    docs = _docs(spark, [(0, text)])
+    vocab = [(r["n"], r["sym"])
+             for r in bpe.vocab_symbols(docs).select("n", "sym").collect()]
+    expect = _bpe_reference_recount(vocab, 40)
+    got = [(r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+           for r in bpe.bpe_train(spark, docs, k=40).collect()]
+    assert got == expect
+    assert len(got) > 10
+
+
+def test_bpe_vocab_scale_job_count(spark):
+    """A k=256 training run must cost ≤ k/8 Spark jobs — the merge loop
+    is driver-side over the bounded vocab table, not one job per merge."""
+    import hashlib
+
+    from hops_spark.ops import bpe
+    k = 256
+    text = " ".join(hashlib.md5(f"word{i}".encode()).hexdigest()
+                    for i in range(400))
+    docs = _docs(spark, [(0, text)])
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe-scale", "bpe job-count test")
+    try:
+        merges = bpe.bpe_train(spark, docs, k=k).collect()
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("bpe-scale")
+    assert len(merges) == k
+    assert len(jobs) <= k // 8, f"{len(jobs)} jobs for {k} merges"
+
+
+def test_bpe_max_vocab_rows_caps_driver_side(spark):
+    from hops_spark.ops import bpe
+    docs = _docs(spark, [(0, "aa aa aa bb bb cc")])
+    # cap to 2 vocab rows -> only 'aa' (n=3) and 'bb' (n=2) survive
+    got = bpe.bpe_train(spark, docs, k=2, max_vocab_rows=2).collect()
+    assert [(r["left_sym"], r["right_sym"], r["pair_count"]) for r in got] \
+        == [("a", "a", 3), ("b", "b", 2)]
+
+
 # --- split assignment ---------------------------------------------------
 
 def test_split_assign_partitions_and_is_deterministic(spark):
