@@ -1,0 +1,177 @@
+"""Real (stdlib-only) media codecs for the multimodal column pipeline.
+
+The container has no PIL/librosa, but three formats are decodable with
+nothing beyond ``struct``/``wave``: binary PPM (P6), uncompressed
+24-bit BMP, and PCM WAV. These give the `set_decoder`/`set_resizer`
+plug points (io/multimodal.py) a REAL codec path — header parsing,
+offset arithmetic, pixel access and nearest-neighbor resampling on
+actual image bytes — so the Arrow plumbing is exercised end-to-end
+with a decoder that is not the deterministic stub. The reference's
+analog is inline small-file payload processing (HopsFS stores small
+file bytes in the inodes table — INodeFile.storeFileDataInDB,
+hadoop-hdfs-project/.../namenode/INodeFile.java:204); image semantics
+are public-format parsing, not reference code.
+
+All functions raise ``ValueError`` on malformed payloads — a decode
+stage should route failures to a quarantine output, never crash the
+job (see tests for the skip contract).
+"""
+
+from __future__ import annotations
+
+import struct
+
+# --- PPM (portable pixmap, binary P6) ----------------------------------
+
+
+def ppm_encode(width: int, height: int, pixels: bytes,
+               maxval: int = 255) -> bytes:
+    """Binary P6 PPM: header + 3*width*height RGB bytes."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError(f"pixel buffer {len(pixels)} != 3*{width}*{height}")
+    return f"P6\n{width} {height}\n{maxval}\n".encode() + pixels
+
+
+def ppm_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse binary P6: returns (width, height, maxval, rgb_bytes).
+    Header tokens may be separated by any whitespace run; a single
+    whitespace byte separates maxval from the raster (the spec)."""
+    if payload is None or not payload.startswith(b"P6"):
+        raise ValueError("not a P6 ppm")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":          # comment line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    pos += 1                                      # single ws before raster
+    width, height, maxval = (int(t) for t in tokens)
+    n = 3 * width * height
+    raster = payload[pos:pos + n]
+    if len(raster) != n:
+        raise ValueError(f"raster truncated: {len(raster)} < {n}")
+    return width, height, maxval, raster
+
+
+def ppm_resize_nn(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample of a P6 image → new P6 bytes.
+    Source pixel for output (x, y) is (x*w_src//out_w, y*h_src//out_h)
+    — the floor mapping, so the oracle can recompute any output pixel
+    from the source construction."""
+    w, h, maxval, px = ppm_decode(payload)
+    out = bytearray()
+    for y in range(out_h):
+        sy = y * h // out_h
+        for x in range(out_w):
+            sx = x * w // out_w
+            off = 3 * (sy * w + sx)
+            out += px[off:off + 3]
+    return ppm_encode(out_w, out_h, bytes(out), maxval)
+
+
+# --- BMP (uncompressed 24-bit, BITMAPINFOHEADER) -----------------------
+
+
+def bmp_decode(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse an uncompressed 24-bit BMP: returns (width, height,
+    rgb_bytes top-down). BMP stores rows bottom-up, BGR, padded to 4
+    bytes — this undoes all three."""
+    if payload is None or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    row_stride = (3 * width + 3) & ~3
+    out = bytearray()
+    flipped = height > 0
+    abs_h = abs(height)
+    for y in range(abs_h):
+        src_y = (abs_h - 1 - y) if flipped else y
+        row = payload[data_off + src_y * row_stride:
+                      data_off + src_y * row_stride + 3 * width]
+        for x in range(width):
+            b, g, r = row[3 * x:3 * x + 3]
+            out += bytes((r, g, b))
+    return width, abs_h, bytes(out)
+
+
+# --- WAV (PCM via stdlib wave) -----------------------------------------
+
+
+def wav_decode(payload: bytes) -> dict:
+    """Parse a PCM WAV: returns {n_channels, sample_width, framerate,
+    n_frames, pcm} using the stdlib ``wave`` reader."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        return {
+            "n_channels": w.getnchannels(),
+            "sample_width": w.getsampwidth(),
+            "framerate": w.getframerate(),
+            "n_frames": w.getnframes(),
+            "pcm": w.readframes(w.getnframes()),
+        }
+
+
+def wav_encode(pcm: bytes, n_channels: int = 1, sample_width: int = 2,
+               framerate: int = 16000) -> bytes:
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(sample_width)
+        w.setframerate(framerate)
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+# --- decoder/resizer plug-point adapters -------------------------------
+
+
+def image_features(payload: bytes, kind: str) -> list[float]:
+    """REAL decoder for io/multimodal.set_decoder / extract_features:
+    parses the payload (PPM or BMP by magic) and returns
+    [width, height, r0, g0, b0, byte_sum_of_pixels] — exact integers
+    as doubles, so a SQL oracle that knows the generating parameters
+    can recompute every feature."""
+    if payload is None:
+        raise ValueError("null payload")
+    if payload.startswith(b"P6"):
+        w, h, _maxval, px = ppm_decode(payload)
+    elif payload[:2] == b"BM":
+        w, h, px = bmp_decode(payload)
+    else:
+        raise ValueError("unknown image format")
+    return [float(w), float(h), float(px[0]), float(px[1]), float(px[2]),
+            float(sum(px))]
+
+
+def audio_features(payload: bytes, kind: str) -> list[float]:
+    """REAL audio decoder: [n_channels, framerate, n_frames,
+    first_sample, sum_abs_samples] over 16-bit PCM."""
+    meta = wav_decode(payload)
+    n = meta["n_frames"] * meta["n_channels"]
+    samples = struct.unpack(f"<{n}h", meta["pcm"]) if n else ()
+    return [float(meta["n_channels"]), float(meta["framerate"]),
+            float(meta["n_frames"]),
+            float(samples[0]) if samples else 0.0,
+            float(sum(abs(s) for s in samples))]
+
+
+def image_resize(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resizer for io/multimodal.set_resizer: nearest-neighbor
+    PPM resample (BMP inputs are converted to PPM first)."""
+    if payload[:2] == b"BM":
+        w, h, px = bmp_decode(payload)
+        payload = ppm_encode(w, h, px)
+    return ppm_resize_nn(payload, width, height)

@@ -5,9 +5,12 @@ INodeFile.storeFileDataInDB, INodeFile.java:204: payload bytes live IN
 the table): media are opaque `binary` columns + a typed metadata
 struct. Decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` — the Spark-side plumbing (schema, batching, partition
-sizing) is real; the codec itself is STUBBED (image/audio libraries are
-not in this container) behind ``set_decoder`` with a deterministic
-fake as the default, so pipelines are testable end-to-end.
+sizing) is real. Codecs: io/codecs.py ships REAL stdlib decoders
+(binary-P6 PPM, 24-bit BMP, PCM WAV + nearest-neighbor resize) used
+by the media_decode_ppm/media_resize_nn oracle queries; formats whose
+libraries aren't in this container (JPEG/MP3/...) stay behind the
+``set_decoder`` plug with a deterministic fake as the default, so
+those pipelines remain testable end-to-end.
 
 Scale notes: binary payloads inflate row size — keep
 `spark.sql.files.maxPartitionBytes` moderate and NEVER collect; the
@@ -51,6 +54,35 @@ def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFra
         (F.col("id") * 100).alias("duration_ms"))
 
 
+def synthetic_ppm_media(spark: SparkSession, n: int = 64,
+                        seed: int = 42) -> DataFrame:
+    """Deterministic table of REAL binary-P6 PPM images: width 4..8,
+    height 3..9, pixel raster = the row's md5 digest bytes repeated.
+    Both sides of the oracle can recompute every pixel byte from
+    (seed, media_id) relationally, while the payload itself is a
+    well-formed image a real parser must decode (header tokens,
+    raster offsets)."""
+    rows = spark.range(n)
+    return (rows
+            .withColumn("w", (F.lit(4) + F.pmod("id", F.lit(5))).cast("int"))
+            .withColumn("h", (F.lit(3) + F.pmod("id", F.lit(7))).cast("int"))
+            .withColumn("hx", F.md5(F.concat_ws(
+                "|", F.lit("ppm"), F.lit(str(seed)),
+                F.col("id").cast("string"))))
+            # 14 × 16-byte digests = 224 bytes ≥ max raster 3*8*9 = 216
+            .withColumn("pix_all", F.unhex(F.repeat("hx", 14)))
+            .select(
+                F.col("id").alias("media_id"),
+                F.lit("image").alias("kind"),
+                F.lit("image/x-portable-pixmap").alias("mime"),
+                F.concat(
+                    F.concat_ws("", F.lit("P6\n"), F.col("w").cast("string"),
+                                F.lit(" "), F.col("h").cast("string"),
+                                F.lit("\n255\n")).cast("binary"),
+                    F.expr("substring(pix_all, 1, 3 * w * h)"),
+                ).alias("payload")))
+
+
 # --- decoder plug point ------------------------------------------------------
 
 def _fake_decode(payload: bytes, kind: str) -> list[float]:
@@ -78,17 +110,22 @@ def set_decoder(fn: Callable[[bytes, str], list[float]]) -> None:
 FEATURES_FIELD = "features array<double>"
 
 
-def extract_features(df: DataFrame, batch_cols: list[str] | None = None) -> DataFrame:
+def extract_features(df: DataFrame, batch_cols: list[str] | None = None,
+                     decoder: Callable[[bytes, str], list[float]] | None = None,
+                     ) -> DataFrame:
     """Decode/featurize media rows via mapInPandas (Arrow batches).
-    Output: input columns (minus payload) + `features` array<double>."""
+    Output: input columns (minus payload) + `features` array<double>.
+    ``decoder`` overrides the installed global (io/codecs.py ships real
+    stdlib PPM/BMP/WAV decoders); default is the set_decoder() plug."""
     keep = [c for c in df.columns if c != "payload"]
     out_schema = ", ".join(f"{c} {_spark_sql_type(df, c)}" for c in keep) \
         + ", " + FEATURES_FIELD
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = decoder or _DECODER
         for pdf in batches:
             feats = [
-                _DECODER(p if p is None or isinstance(p, bytes) else bytes(p), k)
+                dec(p if p is None or isinstance(p, bytes) else bytes(p), k)
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             out = pdf[keep].copy()
@@ -139,20 +176,25 @@ def set_resizer(fn: Callable[[bytes, int, int], bytes]) -> None:
     _RESIZER = fn
 
 
-def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+def resize_media(df: DataFrame, width: int, height: int,
+                 resizer: Callable[[bytes, int, int], bytes] | None = None,
+                 ) -> DataFrame:
     """Image/video-frame resize plumbing via mapInPandas: binary payload
     in, resized binary payload out, dims recorded. Arrow-batched,
     map-only — the 100 TB cost is one scan through the decode workers;
-    partitioning and batch shape identical to extract_features."""
+    partitioning and batch shape identical to extract_features.
+    ``resizer`` overrides the installed global (io/codecs.image_resize
+    is the real nearest-neighbor PPM path)."""
     keep = [c for c in df.columns if c != "payload"]
     out_schema = ", ".join(f"{c} {_spark_sql_type(df, c)}" for c in keep) \
         + ", out_w int, out_h int, resized binary"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rsz = resizer or _RESIZER
         for pdf in batches:
             resized = [
-                _RESIZER(p if p is None or isinstance(p, bytes) else bytes(p),
-                         width, height)
+                rsz(p if p is None or isinstance(p, bytes) else bytes(p),
+                    width, height)
                 for p in pdf["payload"]
             ]
             out = pdf[keep].copy()

@@ -2,11 +2,14 @@
 inline small-file storage maps binary payloads into table columns —
 INodeFile.storeFileDataInDB, namenode/INodeFile.java:204).
 
-The media table is generated deterministically (io/multimodal.py);
-the decode step is the documented stub (container has no image/audio
-libs) but the Spark-side plumbing — binary columns, typed metadata,
-Arrow-batched mapInPandas, frame-sampling explode — is real and
-benchmarked.
+The media table is generated deterministically (io/multimodal.py).
+Two decode paths are exercised: the deterministic stub (media_features
+/ media_resize — plumbing-shaped, for formats whose libs aren't in the
+container) and the REAL stdlib codecs (media_decode_ppm /
+media_resize_nn — io/codecs.py parses actual binary-P6 images and
+nearest-neighbor-resamples them). Spark-side plumbing — binary
+columns, typed metadata, Arrow-batched mapInPandas, frame-sampling
+explode — is shared by both and benchmarked.
 """
 
 from __future__ import annotations
@@ -15,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hops_spark.io.multimodal import (extract_features, frame_sample,
-                                      resize_media, synthetic_media)
+                                      resize_media, synthetic_media,
+                                      synthetic_ppm_media)
 from hops_spark.registry import register
 
 
@@ -169,3 +173,102 @@ def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.count("*").alias("n_copies"))
                  .select("media_id", "payload_md5", "n_bytes", "n_copies")
                  .orderBy("media_id"))
+
+
+# Shared oracle CTE: regenerate the PPM table's digest byte list
+# relationally — bl[i] = i-th byte of md5('ppm|42|'||id); the raster is
+# that 16-byte digest repeated, so pixel byte at 0-based offset q is
+# bl[(q % 16) + 1].
+_PPM_BYTES_CTE = """
+    WITH m AS (
+        SELECT id AS media_id,
+               4 + id % 5 AS w, 3 + id % 7 AS h,
+               md5('ppm|42|' || id) AS hx
+        FROM generate_series(0, 63) AS t(id)
+    ), d AS (
+        SELECT media_id,
+               s.i AS i,
+               (strpos('0123456789abcdef', substr(hx, CAST(2 * s.i - 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(hx, CAST(2 * s.i AS INT), 1)) - 1) AS b
+        FROM m, LATERAL (SELECT unnest(range(1, 17)) AS i) s
+    ), agg AS (
+        SELECT media_id, list(b ORDER BY i) AS bl, sum(b) AS dsum
+        FROM d GROUP BY media_id
+    )
+"""
+
+
+@register(
+    "media_decode_ppm",
+    sql=_PPM_BYTES_CTE + """
+    SELECT m.media_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(bl[1] AS BIGINT) AS r0, CAST(bl[2] AS BIGINT) AS g0,
+           CAST(bl[3] AS BIGINT) AS b0,
+           CAST((3 * w * h // 16) * dsum
+                + COALESCE(list_sum(bl[1:(3 * w * h % 16)]), 0)
+                AS BIGINT) AS byte_sum
+    FROM m JOIN agg USING (media_id)
+    ORDER BY m.media_id
+    """,
+    doc="REAL image decode (not the stub): well-formed binary-P6 PPM "
+        "payloads parsed by io/codecs.ppm_decode inside the Arrow "
+        "mapInPandas stage — header tokenization, raster offset "
+        "arithmetic, full-pixel byte sum. The oracle recomputes "
+        "width/height/corner pixel/byte-sum relationally from the "
+        "generating digest. Closes the 'codec parity unproven' gap.",
+    tags=("multimodal", "north-star", "pandas-udf"),
+)
+def media_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.io.codecs import image_features
+    media = synthetic_ppm_media(spark, n=64, seed=42)
+    feats = extract_features(media, decoder=image_features)
+    f = F.col("features")
+    return (feats.select(
+                "media_id",
+                F.element_at(f, 1).cast("long").alias("width"),
+                F.element_at(f, 2).cast("long").alias("height"),
+                F.element_at(f, 3).cast("long").alias("r0"),
+                F.element_at(f, 4).cast("long").alias("g0"),
+                F.element_at(f, 5).cast("long").alias("b0"),
+                F.element_at(f, 6).cast("long").alias("byte_sum"))
+            .orderBy("media_id"))
+
+
+@register(
+    "media_resize_nn",
+    # Output raster is 3x2 nearest-neighbor: out pixel (x,y) <- src
+    # pixel (x*w//3, y*h//2); src pixel byte at 0-based offset q is
+    # bl[(q % 16) + 1]. Output payload = 11-byte "P6\n3 2\n255\n"
+    # header + 18 raster bytes = 29.
+    sql=_PPM_BYTES_CTE + """
+    SELECT m.media_id,
+           CAST(3 AS INT) AS out_w, CAST(2 AS INT) AS out_h,
+           CAST(29 AS BIGINT) AS n_bytes,
+           CAST(bl[1] AS BIGINT) AS first_r,
+           CAST(bl[(3 * ((h // 2) * w + (2 * w // 3)) % 16) + 1] AS BIGINT) AS last_r,
+           CAST(bl[((3 * ((h // 2) * w + (2 * w // 3)) + 2) % 16) + 1] AS BIGINT) AS last_b
+    FROM m JOIN agg USING (media_id)
+    ORDER BY m.media_id
+    """,
+    doc="REAL nearest-neighbor image resize (not the stub): P6 in, P6 "
+        "out via io/codecs.ppm_resize_nn in the Arrow resize stage; "
+        "the oracle recomputes the exact output corner pixels from the "
+        "floor source-pixel mapping over the generating digest.",
+    tags=("multimodal", "north-star", "pandas-udf"),
+)
+def media_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.io.codecs import image_resize
+    media = synthetic_ppm_media(spark, n=64, seed=42)
+    rs = resize_media(media, 3, 2, resizer=image_resize)
+
+    def byte_at(pos: int):          # 1-based position in resized payload
+        return F.expr(f"CAST(conv(hex(substring(resized, {pos}, 1)), 16, 10) AS BIGINT)")
+
+    return (rs.select(
+                "media_id", "out_w", "out_h",
+                F.length("resized").cast("long").alias("n_bytes"),
+                byte_at(12).alias("first_r"),      # after 11-byte header
+                byte_at(12 + 15).alias("last_r"),  # last pixel R (idx 5 of 6)
+                byte_at(12 + 17).alias("last_b"))
+            .orderBy("media_id"))

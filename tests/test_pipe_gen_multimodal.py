@@ -179,3 +179,82 @@ def test_sentences_udtf_matches_fast_path(spark, sf_dir):
     slow = (d.lateralJoin(S(F.col("text").outer()))
              .select("doc_id", "sentence_id", "sentence").collect())
     assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+
+# --- real codecs (io/codecs.py) ----------------------------------------
+
+def test_ppm_roundtrip_and_comment_header():
+    from hops_spark.io import codecs
+    px = bytes(range(36))                       # 4x3 RGB
+    p = codecs.ppm_encode(4, 3, px)
+    assert codecs.ppm_decode(p) == (4, 3, 255, px)
+    # comment lines in the header are legal PPM
+    commented = b"P6\n# made by a test\n4 3\n255\n" + px
+    assert codecs.ppm_decode(commented) == (4, 3, 255, px)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        codecs.ppm_decode(b"P6\n4 3\n255\n" + px[:-1])   # truncated raster
+    with _pytest.raises(ValueError):
+        codecs.ppm_decode(b"JFIF....")
+
+
+def test_ppm_resize_nn_exact_floor_mapping():
+    from hops_spark.io import codecs
+    # 4x2 image whose pixel (x,y) is (10x+y, 0, 0)
+    px = bytes(b for y in range(2) for x in range(4)
+               for b in (10 * x + y, 0, 0))
+    out = codecs.ppm_resize_nn(codecs.ppm_encode(4, 2, px), 2, 1)
+    w, h, _, rs = codecs.ppm_decode(out)
+    assert (w, h) == (2, 1)
+    # out (0,0) <- src (0,0); out (1,0) <- src (1*4//2, 0) = (2,0)
+    assert rs == bytes((0, 0, 0, 20, 0, 0))
+
+
+def test_bmp_decode_undoes_bottom_up_bgr_and_padding():
+    import struct
+
+    from hops_spark.io import codecs
+    # hand-build a 2x2 24-bit BMP: rows bottom-up, BGR, stride padded to 8
+    top = [(255, 0, 0), (0, 255, 0)]        # red, green
+    bot = [(0, 0, 255), (7, 8, 9)]          # blue, misc
+    rows = b""
+    for r in (bot, top):                    # bottom-up storage
+        line = b"".join(bytes((b, g, rr)) for (rr, g, b) in r)
+        rows += line + b"\x00\x00"          # pad 6 -> 8
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0,
+                            len(rows), 2835, 2835, 0, 0))
+    w, h, px = codecs.bmp_decode(header + rows)
+    assert (w, h) == (2, 2)
+    assert px == b"".join(bytes(p) for p in top + bot)
+    # the shared feature adapter handles BMP too
+    f = codecs.image_features(header + rows, "image")
+    assert f[:2] == [2.0, 2.0] and f[2:5] == [255.0, 0.0, 0.0]
+
+
+def test_wav_roundtrip_and_audio_features():
+    import struct
+
+    from hops_spark.io import codecs
+    samples = [0, 1000, -1000, 32767, -32768, 5]
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    payload = codecs.wav_encode(pcm, n_channels=1, sample_width=2,
+                                framerate=8000)
+    meta = codecs.wav_decode(payload)
+    assert meta["n_frames"] == len(samples)
+    assert meta["pcm"] == pcm
+    f = codecs.audio_features(payload, "audio")
+    assert f == [1.0, 8000.0, 6.0, 0.0,
+                 float(sum(abs(s) for s in samples))]
+
+
+def test_real_decoder_through_arrow_stage(spark):
+    """extract_features with the REAL decoder (not the stub) over the
+    synthetic PPM table: width/height parsed from the actual header."""
+    from hops_spark.io.codecs import image_features
+    from hops_spark.io.multimodal import extract_features, synthetic_ppm_media
+    media = synthetic_ppm_media(spark, n=10, seed=7)
+    rows = {r["media_id"]: r["features"]
+            for r in extract_features(media, decoder=image_features).collect()}
+    for mid, f in rows.items():
+        assert f[0] == 4 + mid % 5 and f[1] == 3 + mid % 7
