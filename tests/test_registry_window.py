@@ -1,10 +1,11 @@
 """Guards for the driver's 50-query correctness window.
 
-Round-3 policy: the window is a ROTATION. Cumulative driver green rows
-(CORRECTNESS_r01 + r02) already cover the families rotated out; the
-invariant that matters is that every query WITHOUT a driver-green row —
-new this round, or errored last round — sits inside the first 50, plus a
-flagship keeper core.
+Round-4 policy: the window is a ROTATION. CORRECTNESS_r01..r03 give
+cumulative driver-green rows; the invariants are (1) every query
+WITHOUT a driver-green row sits inside the first 50, and (2) every
+remaining slot is spent deliberately — on a flagship keeper, a
+re-proof of a query whose implementation changed this round, or an
+aging r1-only-green row being refreshed (oldest greens first).
 """
 
 from __future__ import annotations
@@ -17,40 +18,42 @@ from hops_spark.registry import DRIVER_WINDOW_PRIORITY, load_all
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Flagship queries that stay in-window every round regardless of history.
-# Round 4 shrank this from 7 to 1: no CORRECTNESS_r03 was recorded, so
-# the 43-query round-3 window plus 6 round-4 additions needs 49 of the
-# 50 slots; the displaced flagships keep their r1/r2-green rows.
 KEEPER_CORE = {"minhash_dedup_pairs"}
 
+# Queries whose implementation materially changed this round — their
+# old green rows no longer certify the current code (registry.py ledger).
+REPROVE = {"bpe_merges", "pack_sequences", "total_order_sort"}
 
-def _ever_green() -> set[str]:
-    green: set[str] = set()
-    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
-        path = os.path.join(_REPO, fname)
+
+def _green_rounds() -> dict[str, set[int]]:
+    out: dict[str, set[int]] = {}
+    for rnd in (1, 2, 3):
+        path = os.path.join(_REPO, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.exists(path):
-            rows = json.load(open(path))
-            green |= {k for k, v in rows.items() if v.get("hash_match")}
-    return green
+            for k, v in json.load(open(path)).items():
+                if v.get("hash_match"):
+                    out.setdefault(k, set()).add(rnd)
+    return out
 
 
-def test_no_window_slot_wasted_on_green_queries():
-    """Round-5 amendment: more never-green queries exist than window
-    slots (49 carried + 12 round-5 additions), so 'all unverified
-    in-window' is unsatisfiable. The enforceable invariant: no window
-    slot is WASTED — every slot holds either a never-driver-green query
-    or a documented flagship keeper; overflow unverified queries queue
-    for the next rotation (ledger in registry.py)."""
+def test_every_never_green_query_is_in_window():
     names = list(load_all())
-    window = names[:50]
-    green = _ever_green()
-    wasted = [n for n in window if n in green and n not in KEEPER_CORE]
-    assert not wasted, f"window slots wasted on already-green queries: {wasted}"
-    # and the overflow queue is exactly the newest additions, never a
-    # query that has waited since an earlier round:
-    overflow = [n for n in names[50:] if n not in green]
-    waiting_since_r3 = set(DRIVER_WINDOW_PRIORITY) - green
-    assert not (set(overflow) & waiting_since_r3), \
-        "a priority-listed query fell out of the window"
+    window = set(names[:50])
+    green = set(_green_rounds())
+    missing = [n for n in names if n not in green and n not in window]
+    assert not missing, f"never-driver-green queries outside window: {missing}"
+
+
+def test_no_window_slot_wasted():
+    """Every slot holds a never-green query, a keeper, a changed-code
+    re-proof, or an r1-only-green row being age-refreshed."""
+    green = _green_rounds()
+    wasted = [n for n in list(load_all())[:50]
+              if n in green
+              and n not in KEEPER_CORE
+              and n not in REPROVE
+              and green[n] != {1}]
+    assert not wasted, f"window slots wasted: {wasted}"
 
 
 def test_keeper_core_inside_window():
