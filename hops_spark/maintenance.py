@@ -2,9 +2,13 @@
 
 - ``distcp_plan`` / ``distcp_run``: parallel copy as a listing DataFrame
   partitioned into copy tasks executed with foreachPartition (the
-  reference's chunked map-only copy: DistCp.java, CopyMapper.java:48).
-  Work-stealing parity (DynamicInputFormat) comes from many small
-  partitions + Spark speculation.
+  reference's chunked map-only copy: DistCp.java, CopyMapper.java:48),
+  with optional per-task bandwidth throttling
+  (util/ThrottledInputStream.java:36 semantics).
+- ``distcp_run_dynamic``: runtime chunk claiming — DynamicInputFormat
+  parity (mapred/lib/DynamicInputFormat.java:51): more chunks than
+  workers, atomic create-once claims on a shared directory, so a
+  straggler strands one chunk instead of 1/n of the copy.
 - ``distch_plan``: parallel chmod/chown planning table (DistCh).
 - ``xor_parity`` / ``rs_encode``: erasure-coding kernels
   (hops-erasure-coding-project ReedSolomonCode.java:27-128 semantics)
@@ -39,17 +43,50 @@ def distcp_plan(listing: DataFrame, src_root: str, dst_root: str,
     ranked = total_order_rank(
         listing.withColumn("_neg_size", -F.col("size")),
         "_neg_size", "src", rank_col="_rank")
+    # binaryFile listings carry a URI scheme ("file:/...") the caller's
+    # src_root usually lacks — strip it before the prefix swap so dst
+    # mirrors the source tree regardless of how the root was spelled.
+    rel = F.expr(
+        f"substring(regexp_replace(src, '^file:', ''), {len(src_root) + 1})")
     return (ranked
-            .withColumn("dst", F.concat(F.lit(dst_root),
-                                        F.expr(f"substring(src, {len(src_root) + 1})")))
+            .withColumn("dst", F.concat(F.lit(dst_root), rel))
             .withColumn("chunk", F.pmod(F.col("_rank"), F.lit(tasks)))
             .drop("_neg_size", "_rank"))
 
 
-def distcp_run(plan: DataFrame) -> int:
-    """Execute the copy plan: repartition by chunk, copy per partition.
-    Returns files copied. (Local-FS copy here; on a cluster the same
-    foreachPartition body uses the hadoop FS client.)"""
+_COPY_BLOCK = 256 * 1024
+
+
+def _throttled_copy(src: str, dst: str,
+                    bandwidth_bps: int | None = None) -> int:
+    """Block-wise file copy capped at ``bandwidth_bps`` bytes/sec —
+    DistCp's ThrottledInputStream semantics (reference
+    hadoop-tools/hadoop-distcp/.../util/ThrottledInputStream.java:36:
+    sleep before the next read whenever observed rate exceeds the cap).
+    Returns bytes copied."""
+    import time
+    total, t0 = 0, time.monotonic()
+    with open(src, "rb") as fi, open(dst, "wb") as fo:
+        while True:
+            if bandwidth_bps:
+                # sleep until the cumulative rate is back under the cap
+                expected = total / bandwidth_bps
+                elapsed = time.monotonic() - t0
+                if elapsed < expected:
+                    time.sleep(expected - elapsed)
+            block = fi.read(_COPY_BLOCK)
+            if not block:
+                return total
+            fo.write(block)
+            total += len(block)
+
+
+def distcp_run(plan: DataFrame, bandwidth_bps: int | None = None) -> int:
+    """Execute the copy plan: repartition by chunk, copy per partition,
+    optionally throttled to ``bandwidth_bps`` bytes/sec PER TASK (the
+    DistCp -bandwidth knob). Returns files copied. (Local-FS copy here;
+    on a cluster the same foreachPartition body uses the hadoop FS
+    client.)"""
     n = plan.count()
 
     def copy_partition(rows) -> None:
@@ -57,9 +94,68 @@ def distcp_run(plan: DataFrame) -> int:
             src = r.src.removeprefix("file:")
             dst = r.dst.removeprefix("file:")
             os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.copyfile(src, dst)
+            _throttled_copy(src, dst, bandwidth_bps)
 
     plan.repartition("chunk").foreachPartition(copy_partition)
+    return n
+
+
+def distcp_run_dynamic(plan: DataFrame, claim_dir: str,
+                       n_workers: int = 8,
+                       bandwidth_bps: int | None = None,
+                       on_chunk_start=None) -> int:
+    """Work-stealing copy — DistCp DynamicInputFormat parity (reference
+    hadoop-tools/hadoop-distcp/.../mapred/lib/DynamicInputFormat.java:51:
+    the listing splits into MORE chunks than tasks; each task claims
+    the next unclaimed chunk at runtime, so a straggling task strands
+    one chunk, not 1/n of the copy).
+
+    Claims are atomic file creates (O_EXCL) in ``claim_dir`` — the
+    same rename/create-once primitive the reference uses on HDFS. The
+    chunked plan is materialized to ``claim_dir``/plan as parquet
+    partitioned by chunk; workers read only the chunks they claim.
+    ``on_chunk_start(worker_id, chunk)`` is a test hook for straggler
+    injection. Returns files copied."""
+    import glob as globmod
+
+    plan_dir = os.path.join(claim_dir, "plan")
+    os.makedirs(claim_dir, exist_ok=True)
+    plan.write.mode("overwrite").partitionBy("chunk").parquet(plan_dir)
+    chunks = sorted(
+        int(os.path.basename(p).split("=", 1)[1])
+        for p in globmod.glob(os.path.join(plan_dir, "chunk=*")))
+    spark = plan.sparkSession
+    n = plan.count()
+
+    def worker(rows) -> None:
+        import pyarrow.parquet as pq
+        for wid_row in rows:
+            wid = wid_row["id"]
+            for chunk in chunks:
+                claim = os.path.join(claim_dir, f"chunk-{chunk}.claim")
+                try:
+                    fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    continue                      # someone else owns it
+                with os.fdopen(fd, "w") as f:
+                    f.write(str(wid))
+                if on_chunk_start is not None:
+                    on_chunk_start(wid, chunk)
+                tbl = pq.read_table(os.path.join(plan_dir, f"chunk={chunk}"))
+                for src, dst in zip(tbl.column("src").to_pylist(),
+                                    tbl.column("dst").to_pylist()):
+                    src = src.removeprefix("file:")
+                    dst = dst.removeprefix("file:")
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    _throttled_copy(src, dst, bandwidth_bps)
+                with open(os.path.join(claim_dir, f"chunk-{chunk}.done"),
+                          "w") as f:
+                    f.write(str(wid))
+
+    spark.range(n_workers).repartition(n_workers).foreachPartition(worker)
+    done = len(globmod.glob(os.path.join(claim_dir, "chunk-*.done")))
+    if done != len(chunks):
+        raise RuntimeError(f"{len(chunks) - done} chunks not copied")
     return n
 
 

@@ -35,7 +35,7 @@ def pipe_df(df: DataFrame, command: str, sep: str = "\t",
 
     Output schema: out_cols string columns split on `sep` (default: one
     `line` column). Mirrors PipeMapper text framing: input framing is
-    key<TAB>value...; no typedbytes (Arrow supersedes it)."""
+    key<TAB>value...; for `-io typedbytes` jobs use pipe_typedbytes."""
     import shlex
     sc = df.sparkSession
     as_lines = df.select(
@@ -141,6 +141,61 @@ def pipe_binary(df: DataFrame, argv: list[str],
                     F.col(value_col).cast("binary"))
     return df.sparkSession.createDataFrame(
         src.rdd.mapPartitions(run_partition), out_schema)
+
+
+def pipe_typedbytes(df: DataFrame, argv: list[str],
+                    out_schema: str = "key string, value string") -> DataFrame:
+    """Hadoop Streaming `-io typedbytes` parity: run one child per
+    partition speaking the typedbytes wire protocol (io/typedbytes.py;
+    reference framing hadoop-tools/hadoop-streaming/.../typedbytes/
+    TypedBytesInput.java:34) — each input row's first two columns are
+    encoded as a (key, value) typedbytes pair on stdin; the child's
+    stdout is decoded as typedbytes pairs and returned under
+    ``out_schema``. An existing typedbytes streaming mapper/reducer
+    binary runs unmodified.
+
+    Same cost model as pipe_binary: fork once per partition, stream
+    through, writer thread feeds stdin while the task thread drains
+    stdout (no pipe-buffer deadlock)."""
+    import subprocess
+    import threading
+
+    from pyspark.sql import types as ST
+
+    from hops_spark.io import typedbytes as tb
+
+    def run_partition(rows):
+        proc = subprocess.Popen(argv, stdin=subprocess.PIPE,
+                                stdout=subprocess.PIPE)
+
+        def feed():
+            try:
+                for r in rows:
+                    buf = bytearray()
+                    tb.encode(_to_plain(r[0]), buf)
+                    tb.encode(_to_plain(r[1]), buf)
+                    proc.stdin.write(bytes(buf))
+            finally:
+                proc.stdin.close()
+
+        t = threading.Thread(target=feed, daemon=True)
+        t.start()
+        yield from tb.decode_pairs(proc.stdout)
+        t.join()
+        proc.wait()
+        if proc.returncode != 0:
+            raise RuntimeError(f"typedbytes worker exited {proc.returncode}")
+
+    def _to_plain(v):
+        if isinstance(v, bytearray):
+            return bytes(v)
+        if hasattr(v, "asDict"):                # Row → dict (MAP framing)
+            return {k: _to_plain(x) for k, x in v.asDict().items()}
+        return v
+
+    schema = ST._parse_datatype_string(out_schema)
+    return df.sparkSession.createDataFrame(
+        df.rdd.mapPartitions(run_partition), schema)
 
 
 def sentences_udtf():

@@ -258,3 +258,93 @@ def test_real_decoder_through_arrow_stage(spark):
             for r in extract_features(media, decoder=image_features).collect()}
     for mid, f in rows.items():
         assert f[0] == 4 + mid % 5 and f[1] == 3 + mid % 7
+
+
+# --- typedbytes framing (io/typedbytes.py) -----------------------------
+
+def test_typedbytes_roundtrip_all_ten_types():
+    import io
+
+    from hops_spark.io import typedbytes as tb
+    values = [
+        b"\x00\xffraw",                      # 0 BYTES
+        tb.TBByte(-7),                       # 1 BYTE
+        True, False,                         # 2 BOOL
+        123456,                              # 3 INT
+        -(1 << 40),                          # 4 LONG
+        tb.TBFloat(0.5),                     # 5 FLOAT (exact in f32)
+        3.14159,                             # 6 DOUBLE
+        "héllo wörld",                       # 7 STRING (multi-byte UTF-8)
+        ("vec", 1, 2.0),                     # 8 VECTOR
+        ["list", [True, (None if False else 9)], {"k": 1}],  # 9 nested LIST
+        {"a": [1, 2], "b": ("x", b"y")},     # 10 MAP w/ nested values
+    ]
+    buf = bytearray()
+    for v in values:
+        tb.encode(v, buf)
+    # spot-check wire bytes: type codes in order
+    assert buf[0] == tb.BYTES and buf[5 + 5] == tb.BYTE
+    f = io.BytesIO(bytes(buf))
+    got = []
+    while True:
+        try:
+            got.append(tb.decode(f))
+        except StopIteration:
+            break
+    expect = [b"\x00\xffraw", -7, True, False, 123456, -(1 << 40), 0.5,
+              3.14159, "héllo wörld", ("vec", 1, 2.0),
+              ["list", [True, 9], {"k": 1}],
+              {"a": [1, 2], "b": ("x", b"y")}]
+    assert got == expect
+
+
+def test_typedbytes_malformed_streams():
+    import io
+
+    import pytest as _pytest
+
+    from hops_spark.io import typedbytes as tb
+    with _pytest.raises(EOFError):
+        tb.decode(io.BytesIO(bytes([tb.INT, 0, 0])))        # truncated i32
+    with _pytest.raises(ValueError):
+        tb.decode(io.BytesIO(bytes([tb.MARKER])))           # stray marker
+    with _pytest.raises(ValueError):
+        tb.decode(io.BytesIO(bytes([42])))                  # unknown code
+
+
+def test_pipe_typedbytes_worker_runs_unmodified(spark, tmp_path):
+    """A typedbytes-speaking streaming job (reads tb pairs on stdin,
+    writes tb pairs on stdout) runs against the bridge as-is — the
+    TypedBytesInput.java contract."""
+    import sys
+    import textwrap
+
+    from hops_spark.ops.pipe import pipe_typedbytes
+
+    worker = tmp_path / "tb_worker.py"
+    worker.write_text(textwrap.dedent("""\
+        import sys
+        sys.path.insert(0, %r)
+        from hops_spark.io import typedbytes as tb
+        out = sys.stdout.buffer
+        for k, v in tb.decode_pairs(sys.stdin.buffer):
+            buf = bytearray()
+            tb.encode(k.upper(), buf)
+            tb.encode({"n": v + 1, "tag": [k, True]}, buf)
+            out.write(bytes(buf))
+        out.flush()
+        """) % (str(__import__("os").path.dirname(
+            __import__("os").path.dirname(
+                __import__("hops_spark").__file__)))))
+
+    df = spark.createDataFrame(
+        [("alpha", 1), ("beta", 41)], "key string, value int") \
+        .repartition(2)
+    got = {r["key"]: (r["n"], r["tag"])
+           for r in pipe_typedbytes(
+               df, [sys.executable, str(worker)],
+               out_schema="key string, "
+                          "value struct<n: int, tag: array<string>>")
+           .select("key", "value.n", "value.tag").collect()}
+    assert got == {"ALPHA": (2, ["alpha", "true"]),
+                   "BETA": (42, ["beta", "true"])}
