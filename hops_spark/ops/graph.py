@@ -165,10 +165,17 @@ def pagerank_int(edges: DataFrame, iters: int = 3,
         inflow = (ewd.join(ranks, ewd.src == ranks.node)
                      .select("dst", F.expr("r div deg").alias("c"))
                      .groupBy("dst").agg(F.sum("c").alias("inflow")))
+        # damping product in DECIMAL(38,0): inflow is bounded only by the
+        # total rank mass (~ n_nodes * 1e6), so damping_ppm * inflow
+        # exceeds int64 around n > 1e7 with a heavy sink and ANSI-off
+        # Spark would wrap silently; 38 digits give headroom to n ~ 1e25
+        # and floor(x/1e6) == x div 1e6 for the non-negative operands.
         ranks = (nodes.join(inflow, nodes.node == inflow.dst, "left")
                       .select("node",
                               (F.lit(base) + F.expr(
-                                  f"({damping_ppm} * coalesce(inflow, 0L)) div 1000000"))
+                                  f"CAST(floor(({damping_ppm} * "
+                                  "CAST(coalesce(inflow, 0L) AS DECIMAL(38,0)))"
+                                  " / 1000000) AS BIGINT)"))
                               .cast("long").alias("r"))
                       .localCheckpoint(eager=True))
     return ranks.select("node", F.col("r").alias("rank_ppm"))

@@ -127,13 +127,14 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_history",
     sql="""
     WITH changes AS (
-        SELECT user_id, ts, event_type,
+        SELECT user_id, ts, event_id, event_type,
                lag(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev_type
         FROM events
     ), starts AS (
         SELECT user_id, ts AS valid_from, event_type,
-               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
         FROM changes
         WHERE prev_type IS NULL OR prev_type <> event_type
     )
@@ -155,13 +156,15 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id hash partitioning — one shuffle total."""
     e = load_table(spark, sf_dir, "events") \
         .select("user_id", "ts", "event_id", "event_type")
+    # both windows order by (ts, event_id): with ts alone, two retained
+    # change rows at the same ts would make interval assignment
+    # nondeterministic between engines (ADVICE r3).
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ws = Window.partitionBy("user_id").orderBy("ts")
     return (e.withColumn("prev_type", F.lag("event_type").over(wo))
              .where(F.col("prev_type").isNull()
                     | (F.col("prev_type") != F.col("event_type")))
              .withColumn("valid_from", F.col("ts"))
-             .withColumn("valid_to", F.lead("ts").over(ws))
+             .withColumn("valid_to", F.lead("ts").over(wo))
              .select("user_id", "valid_from", "valid_to", "event_type",
                      F.col("valid_to").isNull().alias("is_current"))
              .orderBy("user_id", "valid_from"))
@@ -367,7 +370,14 @@ def grouped_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats per user from one map-side-combined aggregate, flags from a
     co-partitioned join back. The squared-inequality trick keeps the
     3-sigma test in exact integers — same discipline as
-    grouped_trend_ols/numeric_corr_matrix."""
+    grouped_trend_ols/numeric_corr_matrix.
+
+    Headroom bound: with allowPrecisionLoss, dev*dev and 9*n*(n*qy -
+    sy*sy) are capped at DECIMAL(38,0) — exactness holds while
+    9 * n^2 * qy < 10^38, i.e. |y| ≲ 10^9 cents at n ≲ 10^8 rows per
+    group. Beyond that Spark yields NULL where DuckDB's HUGEINT stays
+    exact; widen y's scaling or pre-aggregate before trusting flags at
+    that extreme."""
     e = load_table(spark, sf_dir, "events")
     base = e.select("user_id", "event_id",
                     F.round(F.col("value") * 100, 0).cast("bigint").alias("y"))

@@ -689,7 +689,6 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hops_spark.ops.pipe import sentence_rows
     d = load_table(spark, sf_dir, "documents")
-    whole = F.regexp_replace(F.col("text"), r"^\s+|\s+$", "")
     parts = F.filter(
         F.transform(F.split(F.col("text"), r"[.!?]+|\s+table\s+"),
                     lambda s: F.regexp_replace(s, r"^\s+|\s+$", "")),

@@ -200,10 +200,29 @@ def kafka_writer(df: DataFrame, brokers: str, topic: str,
                  checkpoint: str, key_cols: list[str]):
     """writeStream wiring for a real broker: records → format('kafka').
     Returned unstarted (no broker ships in this container; call
-    ``.start()`` in a deployment). Exactly-once: Kafka sink is
+    ``.start()`` in a deployment — if the kafka connector jar is also
+    absent, swap in kafka_sink_fallback below: identical record
+    contract, parquet transport). Exactly-once: Kafka sink is
     idempotent-producer at-least-once; pair with downstream dedup
-    (dedup_within_watermark) for effective exactly-once."""
+    (dedup_within_watermark) for effective exactly-once.
+
+    Validates the sink contract BEFORE Spark sees it (the checks
+    KafkaSink.java:init does against its metrics2 properties):
+    non-empty brokers/topic/checkpoint, key columns present, and the
+    record schema exactly (key binary, value binary)."""
+    if not brokers or not brokers.strip():
+        raise ValueError("kafka writer: bootstrap servers must be non-empty")
+    if not topic or not topic.strip():
+        raise ValueError("kafka writer: topic must be non-empty")
+    if not checkpoint:
+        raise ValueError("kafka writer: checkpointLocation is required "
+                         "(exactly-once offsets live there)")
+    missing = [c for c in key_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"kafka writer: key columns not in frame: {missing}")
     rec = to_kafka_records(df, key_cols)
+    assert [(f.name, f.dataType.simpleString()) for f in rec.schema.fields] \
+        == [("key", "binary"), ("value", "binary")], rec.schema
     return (rec.writeStream.format("kafka")
                .option("kafka.bootstrap.servers", brokers)
                .option("topic", topic)

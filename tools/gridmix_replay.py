@@ -3,13 +3,22 @@ of inventory queries against a scale-factor directory.
 
 The reference synthesizes and replays job mixes from traces
 (hadoop-tools/hadoop-gridmix/.../Gridmix.java:59, SLSRunner.java:99,
-rumen TraceBuilder.java:51). Here the trace is a JSON-lines file of
-{"query": <registry name>, "repeat": N} records; each entry is executed
-(noop write — full plan, no driver collect) and per-entry wall times
-are reported as one JSON line.
+rumen TraceBuilder.java:51). Two trace dialects are accepted:
+
+- native: JSON-lines of {"query": <registry name>, "repeat": N}
+- rumen: the reference's job-trace JSON (one job object per line, or
+  a JSON array) with jobID/jobName/submitTime/mapTasks/... fields —
+  jobs are replayed in submitTime order; a job maps to the registry
+  query named by its jobName, falling back to a deterministic
+  md5(jobID) draw over the bench headline mix (the gridmix synthesis
+  rule) when the name is not an inventory query.
+
+Each entry executes as a noop write (full plan, no driver collect);
+per-entry wall times are reported as one JSON line.
 
 Usage:
     python tools/gridmix_replay.py TRACE.jsonl [SF_DIR]
+    python tools/gridmix_replay.py --rumen RUMEN_TRACE.json [SF_DIR]
     python tools/gridmix_replay.py --synth 20 [SF_DIR]   # synthesize a
         deterministic 20-entry mix over the bench headline queries
 """
@@ -38,10 +47,82 @@ def synthesize(n: int) -> list[dict]:
     return out
 
 
+def _fallback_query(job_id: str) -> str:
+    from bench import HEADLINE
+    h = int(hashlib.md5(job_id.encode()).hexdigest()[:8], 16)
+    return HEADLINE[h % len(HEADLINE)]
+
+
+def parse_rumen(path: str, registered: set[str] | None = None) -> list[dict]:
+    """Parse a rumen-shaped job trace (TraceBuilder.java:51 output: one
+    JSON job object per line, or one JSON array) into replay entries.
+
+    Per job: query = jobName if it names a registry query, else a
+    deterministic md5(jobID) draw over the headline mix; repeat = 1;
+    ordering = ascending submitTime (the replay clock). Unparseable
+    lines and non-job objects are skipped with a count."""
+    if registered is None:
+        registered = set(load_all())
+    with open(path) as f:
+        head = f.read().lstrip()
+    jobs: list[dict] = []
+    if head.startswith("["):
+        jobs = [j for j in json.loads(head) if isinstance(j, dict)]
+    else:
+        for line in head.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(obj, dict):
+                jobs.append(obj)
+    entries = []
+    for j in jobs:
+        job_id = str(j.get("jobID") or j.get("jobid") or j.get("jobId") or "")
+        name = str(j.get("jobName") or j.get("jobname") or "")
+        if not job_id and not name:
+            continue                              # not a job object
+        entries.append({
+            "query": name if name in registered else _fallback_query(job_id or name),
+            "repeat": 1,
+            "submit_ms": int(j.get("submitTime") or 0),
+            "job_id": job_id,
+            "n_maps": len(j.get("mapTasks") or []) or int(j.get("totalMaps") or 0),
+            "n_reduces": len(j.get("reduceTasks") or []) or int(j.get("totalReduces") or 0),
+        })
+    entries.sort(key=lambda e: (e["submit_ms"], e["job_id"]))
+    return entries
+
+
+def replay(spark, trace: list[dict], sf_dir: str) -> list[dict]:
+    """Execute every trace entry as a noop write; returns per-entry
+    wall-clock results."""
+    specs = load_all()
+    results = []
+    for entry in trace:
+        spec = specs[entry["query"]]
+        t0 = time.time()
+        for _ in range(int(entry.get("repeat", 1))):
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        rec = {"query": entry["query"],
+               "repeat": int(entry.get("repeat", 1)),
+               "sec": round(time.time() - t0, 3)}
+        if "job_id" in entry:
+            rec["job_id"] = entry["job_id"]
+        results.append(rec)
+    return results
+
+
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--synth":
         trace = synthesize(int(args[1]))
+        rest = args[2:]
+    elif args and args[0] == "--rumen":
+        trace = parse_rumen(args[1])
         rest = args[2:]
     else:
         with open(args[0]) as f:
@@ -51,17 +132,8 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     spark = get_spark("gridmix-replay")
-    specs = load_all()
-    results = []
     t_all = time.time()
-    for entry in trace:
-        spec = specs[entry["query"]]
-        t0 = time.time()
-        for _ in range(int(entry.get("repeat", 1))):
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        results.append({"query": entry["query"],
-                        "repeat": int(entry.get("repeat", 1)),
-                        "sec": round(time.time() - t0, 3)})
+    results = replay(spark, trace, sf_dir)
     print(json.dumps({
         "metric": "gridmix_replay_seconds",
         "value": round(time.time() - t_all, 3),
