@@ -299,3 +299,67 @@ def rs_reconstruct(blocks: DataFrame, parities: DataFrame, lost_idx: int,
                 .groupBy(group_col)
                 .applyInPandas(rebuild,
                                schema=f"{group_col} long, {idx_col} int, {data_col} binary"))
+
+
+def rs_reconstruct2(blocks: DataFrame, parities: DataFrame,
+                    lost_a: int, lost_b: int,
+                    group_col: str = "stripe", idx_col: str = "block_idx",
+                    data_col: str = "data") -> DataFrame:
+    """Reconstruct TWO lost data blocks per stripe — the 2×2 GF(2^8)
+    solve over both parity rows (the reference's RS code recovers up to
+    n_parity erasures; ReedSolomonCode.decode's role, same math, not a
+    port). With the encode convention parity_j = Σ_i d_i·g^(i·(j+1)):
+
+        S0 = p0 ⊕ Σ_{i∉{a,b}} d_i·g^i      = d_a·g^a  ⊕ d_b·g^b
+        S1 = p1 ⊕ Σ_{i∉{a,b}} d_i·g^(2i)   = d_a·g^2a ⊕ d_b·g^2b
+        d_b = (S1 ⊕ S0·g^a) / (g^(a+b) ⊕ g^2b)     [nonzero iff a≠b]
+        d_a = (S0 ⊕ d_b·g^b)·g^(-a)
+
+    Output: (stripe, block_idx, data) — two rows per stripe."""
+    import numpy as np
+    import pandas as pd
+    if lost_a == lost_b:
+        raise ValueError("two distinct lost indices required")
+    exp, log = _gf_tables()
+
+    surv = blocks.filter(~F.col(idx_col).isin([lost_a, lost_b])) \
+                 .select(group_col, idx_col, data_col)
+    ps = (parities.filter(F.col("parity_idx").isin([0, 1]))
+                  .select(group_col,
+                          (-1 - F.col("parity_idx")).alias(idx_col),
+                          F.col("parity").alias(data_col)))
+    both = surv.unionByName(ps)
+    ga, gb = exp[lost_a % 255], exp[lost_b % 255]
+    denom = exp[(lost_a + lost_b) % 255] ^ exp[(2 * lost_b) % 255]
+    inv_denom = exp[(255 - log[denom]) % 255]
+    inv_ga = exp[(255 - (lost_a % 255)) % 255]
+
+    def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+        s0 = s1 = None
+        for _, row in pdf.iterrows():
+            arr = np.frombuffer(bytes(row[data_col]), dtype=np.uint8)
+            i = int(row[idx_col])
+            if i == -1:                      # parity_0
+                t0, t1 = arr, None
+            elif i == -2:                    # parity_1
+                t0, t1 = None, arr
+            else:
+                t0 = _gf_mul_bytes(arr, exp[i % 255])
+                t1 = _gf_mul_bytes(arr, exp[(2 * i) % 255])
+            if t0 is not None:
+                s0 = t0.copy() if s0 is None else np.bitwise_xor(s0, t0)
+            if t1 is not None:
+                s1 = t1.copy() if s1 is None else np.bitwise_xor(s1, t1)
+        d_b = _gf_mul_bytes(
+            np.bitwise_xor(s1, _gf_mul_bytes(s0, ga)), inv_denom)
+        d_a = _gf_mul_bytes(
+            np.bitwise_xor(s0, _gf_mul_bytes(d_b, gb)), inv_ga)
+        g = int(pdf[group_col].iloc[0])
+        return pd.DataFrame(
+            [(g, lost_a, d_a.tobytes()), (g, lost_b, d_b.tobytes())],
+            columns=[group_col, idx_col, data_col])
+
+    return (both.repartition(group_col)
+                .groupBy(group_col)
+                .applyInPandas(rebuild,
+                               schema=f"{group_col} long, {idx_col} int, {data_col} binary"))

@@ -83,26 +83,41 @@ def total_order_rank(df: DataFrame, *keys: str,
              .drop("_pid", "_local", "_offset"))
 
 
-_KEYSPEC = re.compile(r"^-k(\d+)(?:,(\d+))?([nr]*)$")
+_KEYSPEC = re.compile(r"^-k(\d+)(?:\.(\d+))?(?:,(\d+)(?:\.(\d+))?)?([nr]*)$")
 
 
 def parse_key_specs(specs: Iterable[str], field_cols: list[str]) -> list[Column]:
-    """Parse unix-sort `-kPOS[,POS][nr]` specs (KeyFieldBasedComparator
-    parity) into order-by Columns over the given field columns.
-    `n` → numeric (cast double), `r` → reverse. 1-based positions."""
+    """Parse unix-sort `-kF[.C][,F[.C]][nr]` specs — the FULL
+    KeyFieldBasedComparator grammar including char offsets within a
+    field (reference KeyFieldHelper.java parseOption: `-k2.3,2.5nr`
+    sorts on chars 3..5 of field 2, numeric, reversed) — into order-by
+    Columns over the given field columns. Fields and chars are 1-based;
+    a missing end char means "through end of that field". `n` → numeric
+    (cast double), `r` → reverse."""
     cols: list[Column] = []
     for s in specs:
         m = _KEYSPEC.match(s)
         if not m:
             raise ValueError(f"bad key spec: {s}")
-        start = int(m.group(1))
-        end = int(m.group(2) or m.group(1))
-        flags = m.group(3)
-        for pos in range(start, end + 1):
+        f1 = int(m.group(1))
+        c1 = int(m.group(2) or 1)
+        f2 = int(m.group(3) or m.group(1))
+        c2 = int(m.group(4)) if m.group(4) else None
+        flags = m.group(5)
+
+        def order(c: Column) -> Column:
+            return c.desc() if "r" in flags else c.asc()
+
+        for pos in range(f1, f2 + 1):
             c: Column = F.col(field_cols[pos - 1])
+            lo = c1 if pos == f1 else 1
+            hi = c2 if (pos == f2 and c2 is not None) else None
+            if lo > 1 or hi is not None:
+                length = (hi - lo + 1) if hi is not None else (1 << 30)
+                c = F.substring(c.cast("string"), lo, length)
             if "n" in flags:
                 c = c.cast("double")
-            cols.append(c.desc() if "r" in flags else c.asc())
+            cols.append(order(c))
     return cols
 
 

@@ -679,3 +679,52 @@ def meta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("cnt").cast("bigint").alias("n_files_now"),
                     F.sum("size_delta").cast("bigint").alias("bytes_now"))
                .orderBy("dir"))
+
+
+@register(
+    "meta_xattr_search",
+    sql=_DUCK_INODES + """
+    , xattrs AS (
+        SELECT inode_id, name, 'user.source' AS xkey, parent AS xval
+        FROM inodes
+        UNION ALL
+        SELECT inode_id, name, 'user.bucket',
+               substr(md5('x|' || inode_id), 1, 2)
+        FROM inodes
+        UNION ALL
+        SELECT inode_id, name, 'user.parity',
+               CAST(inode_id % 2 AS VARCHAR)
+        FROM inodes
+    )
+    SELECT inode_id, name, xval AS bucket
+    FROM xattrs
+    WHERE xkey = 'user.bucket' AND xval LIKE 'a%'
+    ORDER BY inode_id
+    """,
+    doc="Extended-attribute search over the metadata tables — the "
+        "XAttrContext entity as a relational (inode_id, key, value) "
+        "table you can predicate on (reference "
+        "io/hops/transaction/context/XAttrContext.java; ops "
+        "GET/SET_XATTR in HDFSOperationType). Realized as an explode "
+        "of per-inode attrs + a pushable key/value filter — at scale "
+        "the xattr table is its own parquet, partition-pruned by key.",
+    tags=("metadata",),
+)
+def meta_xattr_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ino = inodes_from_documents(spark, sf_dir)
+    xattrs = ino.select(
+        "inode_id", "name",
+        F.explode(F.array(
+            F.struct(F.lit("user.source").alias("xkey"),
+                     F.col("parent").alias("xval")),
+            F.struct(F.lit("user.bucket").alias("xkey"),
+                     F.substring(F.md5(F.concat_ws(
+                         "|", F.lit("x"), F.col("inode_id").cast("string"))),
+                         1, 2).alias("xval")),
+            F.struct(F.lit("user.parity").alias("xkey"),
+                     F.pmod("inode_id", F.lit(2)).cast("string").alias("xval")),
+        )).alias("x"))
+    return (xattrs.filter((F.col("x.xkey") == "user.bucket")
+                          & F.col("x.xval").startswith("a"))
+                  .select("inode_id", "name", F.col("x.xval").alias("bucket"))
+                  .orderBy("inode_id"))

@@ -697,3 +697,53 @@ def sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("sentence_id", "sentence"))
              .withColumn("sentence_id", F.col("sentence_id").cast("long"))
              .orderBy("doc_id", "sentence_id"))
+
+
+_TOKENIZE_MERGES = [("t", "h"), ("th", "e"), ("a", "n"), ("i", "n")]
+
+
+def _bpe_apply_oracle_sql() -> str:
+    """Chained-replace replay of the fixed merge list in DuckDB —
+    identical left-to-right scan as ops/bpe.bpe_apply."""
+    sym = "array_to_string(regexp_extract_all(w, '.'), ' ')"
+    for left, right in _TOKENIZE_MERGES:
+        sym = (f"trim(replace(' ' || {sym} || ' ', "
+               f"' {left} {right} ', ' {left}{right} '))")
+    return f"""
+    WITH w AS (
+        SELECT doc_id, unnest({_DUCK_WORDS}) AS w FROM documents
+    ), t AS (
+        SELECT doc_id, len(string_split({sym}, ' ')) AS n_sym
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM t GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register(
+    "bpe_tokenize_docs",
+    sql=_bpe_apply_oracle_sql(),
+    doc="BPE merge-list APPLICATION at corpus scale (the serving twin "
+        "of bpe_merges training): map-only — every word becomes "
+        "space-joined chars and the fixed merge list replays as k "
+        "chained whole-stage-codegen replaces, zero shuffle before the "
+        "per-doc count. The oracle replays the identical replace chain "
+        "in DuckDB. ops/bpe.bpe_apply.",
+    tags=("text", "north-star"),
+)
+def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.bpe import bpe_apply
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = bpe_apply(d, _TOKENIZE_MERGES)
+    return (toks.select(
+                "doc_id",
+                F.size("bpe_tokens").cast("long").alias("n_words"),
+                F.aggregate(
+                    F.transform(F.col("bpe_tokens"),
+                                lambda s: F.size(F.split(s, " "))),
+                    F.lit(0), lambda acc, x: acc + x)
+                 .cast("long").alias("n_bpe_tokens"))
+            .orderBy("doc_id"))

@@ -108,6 +108,32 @@ def test_rs_lose_and_reconstruct(spark):
     assert rebuilt == want
 
 
+def test_rs_lose_two_and_reconstruct(spark):
+    """Double-erasure repair: encode with 2 parity rows, delete TWO data
+    blocks, solve the 2x2 GF system, byte-compare both to the original
+    — the full strength of the RS(n, 2) code."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hops_spark.maintenance import rs_encode, rs_reconstruct2
+
+    rng = np.random.RandomState(11)
+    blocks = [(s, i, rng.randint(0, 256, 64, dtype=np.uint8).tobytes())
+              for s in range(3) for i in range(5)]
+    df = spark.createDataFrame(blocks, "stripe long, block_idx int, data binary")
+    parities = rs_encode(df, n_parity=2)
+
+    A, B = 1, 3
+    survivors = df.filter(f"block_idx NOT IN ({A}, {B})")
+    got = {(r.stripe, r.block_idx): bytes(r.data)
+           for r in rs_reconstruct2(survivors, parities, A, B).collect()}
+    want = {(s, i): d for (s, i, d) in blocks if i in (A, B)}
+    assert got == want
+
+    with _pytest.raises(ValueError):
+        rs_reconstruct2(survivors, parities, A, A)
+
+
 def test_pipe_binary_cpp_worker(spark, tmp_path):
     """Hadoop Pipes parity: a compiled C++ worker speaking the framed
     binary kv protocol — uppercases values, passes keys through

@@ -128,3 +128,28 @@ def test_pack_sequences_bins_bounded(spark):
     for r in bins:
         assert r["t"] <= 512 + 100
     assert sum(r["t"] for r in bins) == 4000
+
+
+def test_key_field_char_offset_specs(spark):
+    """Full KeyFieldHelper grammar: -kF.C,F.C[nr] char offsets within a
+    field (reference KeyFieldBasedComparator -k2.3,2.5 semantics)."""
+    from hops_spark.ops.sort import key_field_sort, parse_key_specs
+
+    rows = [("a", "xx905zz"), ("b", "yy120aa"), ("c", "zz017bb")]
+    df = spark.createDataFrame(rows, "tag string, code string")
+    # chars 3..5 of field 2, numeric: 905, 120, 017 -> c, b, a ascending 17,120,905
+    got = [r.tag for r in key_field_sort(df, ["-k2.3,2.5n"]).collect()]
+    assert got == ["c", "b", "a"]
+    # reversed
+    got = [r.tag for r in key_field_sort(df, ["-k2.3,2.5nr"]).collect()]
+    assert got == ["a", "b", "c"]
+    # open-ended char start: chars 6.. of field 2 lexicographic: aa, bb, zz
+    got = [r.tag for r in key_field_sort(df, ["-k2.6"]).collect()]
+    assert got == ["b", "c", "a"]
+    # spec spanning fields with offsets: field1 whole + field2 from char 6
+    got = [r.tag for r in key_field_sort(df, ["-k1,2.6"]).collect()]
+    assert got == ["a", "b", "c"]
+    # malformed still rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_key_specs(["-k2.3.4"], ["a", "b"])
