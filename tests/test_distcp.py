@@ -75,9 +75,18 @@ def test_distcp_dynamic_steals_from_straggler(spark, tmp_path):
                        str(tmp_path / "dst"), tasks=6)
     claim_dir = tmp_path / "claims"
 
+    # baseline run (no straggler) to measure fixed job overhead on this
+    # box — the overlap bound below must not depend on machine load
+    t0 = time.monotonic()
+    assert distcp_run_dynamic(plan, str(tmp_path / "claims0"),
+                              n_workers=3) == 8
+    baseline = time.monotonic() - t0
+
+    SLEEP = 3.0
+
     def straggle(wid: int, chunk: int) -> None:
         if chunk == 0:
-            time.sleep(3)
+            time.sleep(SLEEP)
 
     t0 = time.monotonic()
     assert distcp_run_dynamic(plan, str(claim_dir), n_workers=3,
@@ -88,8 +97,14 @@ def test_distcp_dynamic_steals_from_straggler(spark, tmp_path):
         chunk = int(os.path.basename(path).split("-")[1].split(".")[0])
         owners[chunk] = open(path).read()
     slow_worker = owners[0]
-    stolen = [c for c, w in owners.items() if c != 0 and w != slow_worker]
-    assert stolen, f"no chunks stolen from straggler (owners={owners})"
-    # the straggler held exactly chunk 0 for its 3 s; everything else
-    # finished concurrently, so the whole job is ~one sleep, not two.
-    assert elapsed < 6, f"work stealing didn't overlap: {elapsed:.1f}s"
+    # the strongest stealing proof: while the straggler slept inside
+    # chunk 0, the other workers claimed EVERY remaining chunk — the
+    # slow worker ends the job owning only its one stuck chunk.
+    assert {c for c, w in owners.items() if w == slow_worker} == {0}, \
+        f"straggler kept extra chunks (owners={owners})"
+    # the straggler held exactly chunk 0 for its one sleep; everything
+    # else finished concurrently — so the whole job costs ~baseline +
+    # ONE sleep. Without stealing, the slow worker's remaining claims
+    # would serialize after the sleep (>= baseline + 2 sleeps).
+    assert elapsed < baseline + 2 * SLEEP, \
+        f"work stealing didn't overlap: {elapsed:.1f}s (baseline {baseline:.1f}s)"
