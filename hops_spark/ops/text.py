@@ -279,3 +279,44 @@ def pack_sequences(chunks: DataFrame, budget: int, id_cols: list[str] | None = N
                 "bin_id",
                 F.expr(f"(_cum - {tokens_col}) div {budget}").cast("long"))
               .drop("_cum"))
+
+
+def cdc_chunk_lengths(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", window: int = 8,
+                      divisor: int = 64) -> DataFrame:
+    """Content-defined chunking (Manber 1994 rolling-window scheme, the
+    boundary rule behind rsync/LBFS/FastCDC and dedup-friendly dataset
+    chunking): a chunk boundary falls AFTER position i whenever the
+    hash of the ``window`` chars ending at i satisfies
+    ``hash % divisor == 0`` — so an edit shifts boundaries only
+    locally, and identical content regions chunk identically no matter
+    where they sit in the document (what fixed-size chunking cannot
+    do). Average chunk length ≈ ``divisor``.
+
+    Engine-portable hash: the first byte of md5 over the window
+    substring (DuckDB recomputes it identically, so chunk boundaries
+    are oracle-checkable bit-for-bit). Entirely map-only Column
+    expressions — per-doc O(n·window) md5 work, ZERO shuffle; at
+    100 TB this is one scan, and a production variant would swap the
+    md5 for a cheap polynomial rolling hash inside the same plan.
+
+    Output: (id, n, boundaries array<int>, chunk_lengths array<int>)
+    where boundaries are 1-based end positions (doc end always
+    included) and lengths sum to n."""
+    n = F.length(text_col)
+    window_hash = (f"conv(substr(md5(substring({text_col}, "
+                   f"i - {window - 1}, {window})), 1, 2), 16, 10)")
+    cand = F.when(
+        n >= window,
+        F.expr(f"filter(sequence({window}, length({text_col})), "
+               f"i -> {window_hash} % {divisor} = 0)")
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    bounds = F.array_sort(F.array_distinct(
+        F.concat(cand.cast("array<int>"), F.array(n.cast("int")))))
+    lengths = F.expr(
+        "transform(sequence(1, size(_b)), "
+        "i -> element_at(_b, i) - IF(i = 1, 0, element_at(_b, i - 1)))")
+    return (df.select(F.col(id_col), n.alias("n"), bounds.alias("_b"))
+              .filter(F.col("n") > 0)
+              .select(id_col, "n", F.col("_b").alias("boundaries"),
+                      lengths.alias("chunk_lengths")))

@@ -747,3 +747,52 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(0), lambda acc, x: acc + x)
                  .cast("long").alias("n_bpe_tokens"))
             .orderBy("doc_id"))
+
+
+@register(
+    "cdc_chunks",
+    sql="""
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS n
+        FROM documents WHERE length(text) > 0
+    ), c AS (
+        SELECT doc_id, n,
+               CASE WHEN n >= 8 THEN
+                 list_filter(range(8, n + 1), i ->
+                   ((strpos('0123456789abcdef',
+                            substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef',
+                              substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 2, 1)) - 1))
+                   % 64 = 0)
+               ELSE [] END AS cand
+        FROM d
+    ), b AS (
+        SELECT doc_id, n,
+               list_sort(list_distinct(list_append(cand, n))) AS bs
+        FROM c
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n,
+           CAST(len(bs) AS BIGINT) AS n_chunks,
+           md5(array_to_string(list_transform(range(1, len(bs) + 1),
+               i -> bs[i] - COALESCE(bs[i - 1], 0)), ',')) AS len_digest
+    FROM b ORDER BY doc_id
+    """,
+    doc="Content-defined chunking (Manber rolling-window boundaries; "
+        "the rsync/FastCDC rule): boundary after position i when the "
+        "window hash % 64 == 0, so identical regions chunk identically "
+        "regardless of offset — the dedup-friendly alternative to "
+        "fixed chunks. Map-only Column expressions, zero shuffle; the "
+        "oracle recomputes every boundary and hashes the chunk-length "
+        "list. ops/text.cdc_chunk_lengths.",
+    tags=("text", "dedup", "north-star"),
+)
+def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.text import cdc_chunk_lengths
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = cdc_chunk_lengths(d, window=8, divisor=64)
+    return (ch.select(
+                "doc_id", F.col("n").cast("long").alias("n"),
+                F.size("chunk_lengths").cast("long").alias("n_chunks"),
+                F.expr("md5(array_join(transform(chunk_lengths, "
+                       "x -> cast(x as string)), ','))").alias("len_digest"))
+            .orderBy("doc_id"))

@@ -256,3 +256,40 @@ def test_source_token_budget_respects_budget_and_keeps_whole_docs(spark):
                                 id_col="doc_id").collect()
     assert sorted(r["doc_id"] for r in again) == \
         sorted(r["doc_id"] for r in kept)
+
+
+# --- content-defined chunking -------------------------------------------
+
+def test_cdc_boundaries_shift_invariant_under_prefix_edit(spark):
+    """The property fixed-size chunking lacks: after an edit, boundaries
+    realign within ~window chars — the shared suffix produces identical
+    relative boundary positions in both versions."""
+    import hashlib
+
+    from hops_spark.ops.text import cdc_chunk_lengths
+    body = " ".join(hashlib.md5(f"s{i}".encode()).hexdigest()
+                    for i in range(40))          # ~1300 chars shared
+    a = "short head. " + body
+    b = "a completely different and longer head section!! " + body
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rows = {r["doc_id"]: list(r["boundaries"])
+            for r in cdc_chunk_lengths(df).collect()}
+    rel = {did: {p - (len(t) - len(body))
+                 for p, t in ((p, {1: a, 2: b}[did]) for p in bs)
+                 if p - (len(t) - len(body)) > 8}
+           for did, bs in rows.items()}
+    shared = rel[1] & rel[2]
+    # all tail boundaries coincide (doc-end sentinel equals len(body) in
+    # relative terms for both docs)
+    assert len(body) in shared
+    assert len(shared) >= max(len(rel[1]), len(rel[2])) - 2
+    # and chunk lengths sum to n for every doc
+    for r in cdc_chunk_lengths(df).collect():
+        assert sum(r["chunk_lengths"]) == r["n"]
+
+
+def test_cdc_short_doc_single_chunk(spark):
+    from hops_spark.ops.text import cdc_chunk_lengths
+    df = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
+    r = cdc_chunk_lengths(df).collect()[0]
+    assert list(r["boundaries"]) == [4] and list(r["chunk_lengths"]) == [4]
