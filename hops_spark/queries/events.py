@@ -213,3 +213,88 @@ def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                           (F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a"))
                           .alias("lag_s"))
                   .orderBy("id_a", "id_b"))
+
+
+@register(
+    "rolling_window_agg",
+    sql="""
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT user_id, event_id, epoch_s,
+           CAST(sum(cents) OVER w AS BIGINT) AS win_sum_cents,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_window
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                 RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc="RANGE-frame rolling aggregate: per-user trailing 3-day sum and "
+        "count, frame bounded by VALUE (epoch seconds), not row count — "
+        "the moving-average window capability the ROWS-frame queries "
+        "don't cover; ties at the same timestamp share one frame in "
+        "both engines. Integer cents keep the varying-frame sum exact. "
+        "One user_id Exchange.",
+    tags=("events", "window", "analytics"),
+)
+def rolling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    w = (Window.partitionBy("user_id").orderBy("epoch_s")
+               .rangeBetween(-259200, Window.currentRow))
+    return (e.select("user_id", "event_id", "epoch_s",
+                     F.sum("cents").over(w).alias("win_sum_cents"),
+                     F.count("*").over(w).alias("n_in_window"))
+             .orderBy("user_id", "event_id"))
+
+
+@register(
+    "skew_profile",
+    sql="""
+    WITH per_key AS (
+        SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM per_key
+    ), ranked AS (
+        SELECT user_id, n_rows,
+               row_number() OVER (ORDER BY n_rows DESC, user_id) AS rnk
+        FROM per_key
+    )
+    SELECT rnk, user_id, n_rows,
+           CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm,
+           CAST(n_rows * n_keys * 1000000 // total AS BIGINT)
+               AS skew_x_mean_ppm
+    FROM ranked, tot
+    WHERE rnk <= 10
+    ORDER BY rnk
+    """,
+    doc="Join/agg key skew profiler — the pre-flight diagnostic before "
+        "choosing salting or AQE skew-join at 100 TB: per-key row "
+        "counts, top-10 heaviest keys, each key's corpus share and its "
+        "multiple of the mean key size (integer ppm). One "
+        "map-side-combined aggregate + a TakeOrdered top-k + a 1-row "
+        "broadcast total — the profile never shuffles the data twice.",
+    tags=("events", "profiling", "maintenance"),
+)
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    tot = per_key.agg(F.sum("n_rows").cast("long").alias("total"),
+                      F.count("*").cast("long").alias("n_keys"))
+    top = (per_key.orderBy(F.col("n_rows").desc(), "user_id").limit(10)
+                  .withColumn("rnk", F.row_number().over(
+                      Window.orderBy(F.col("n_rows").desc(), "user_id"))))
+    return (top.crossJoin(F.broadcast(tot))
+               .select("rnk", "user_id", "n_rows",
+                       F.expr("n_rows * 1000000 div total").cast("long")
+                        .alias("share_ppm"),
+                       F.expr("n_rows * n_keys * 1000000 div total")
+                        .cast("long").alias("skew_x_mean_ppm"))
+               .orderBy("rnk"))
