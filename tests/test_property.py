@@ -290,3 +290,45 @@ def test_chunk_documents_overlap_and_coverage(spark):
     # short doc -> one partial chunk; empty doc -> no chunks
     assert rows[(2, 0)] == ["only", "three", "words"]
     assert not any(k[0] == 3 for k in rows)
+
+
+# --- typedbytes wire protocol -------------------------------------------
+
+_tb_scalar = st.one_of(
+    st.booleans(),
+    st.integers(min_value=-(1 << 62), max_value=(1 << 62)),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=6),
+    st.binary(max_size=6),
+)
+_tb_value = st.recursive(
+    _tb_scalar,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.lists(children, max_size=4).map(tuple),
+        st.dictionaries(st.text(max_size=4), children, max_size=3),
+    ),
+    max_leaves=12)
+
+
+@SET
+@given(values=st.lists(_tb_value, max_size=6))
+def test_typedbytes_roundtrip_arbitrary_nested(values):
+    """encode→decode is the identity over the whole value lattice
+    (ints pick INT/LONG by range; tuples↔VECTOR, lists↔LIST,
+    dicts↔MAP; no Spark needed — pure wire-protocol property)."""
+    import io
+
+    from hops_spark.io import typedbytes as tb
+    buf = bytearray()
+    for v in values:
+        tb.encode(v, buf)
+    f = io.BytesIO(bytes(buf))
+    got = []
+    while True:
+        try:
+            got.append(tb.decode(f))
+        except StopIteration:
+            break
+    assert got == list(values)
+    assert f.read() == b""          # no trailing bytes
