@@ -728,3 +728,56 @@ def meta_xattr_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                           & F.col("x.xval").startswith("a"))
                   .select("inode_id", "name", F.col("x.xval").alias("bucket"))
                   .orderBy("inode_id"))
+
+
+# Snapshot-diff log convention: file id created at tx 2*id; every 3rd
+# file deleted 500 tx after creation. Cuts at 600/1200 straddle both
+# kinds of change at every fixture SF (ids start at 0), so the diff is
+# never vacuously empty.
+_SD_T1, _SD_T2 = 600, 1200
+
+
+@register(
+    "meta_snapshot_diff",
+    sql=_DUCK_INODES + f"""
+    , states AS (
+        SELECT inode_id, parent, name,
+               inode_id * 2 AS add_tx,
+               CASE WHEN inode_id % 3 = 0 THEN inode_id * 2 + 500 END AS del_tx
+        FROM inodes
+    ), flags AS (
+        SELECT inode_id, parent, name,
+               (add_tx <= {_SD_T1} AND COALESCE(del_tx > {_SD_T1}, TRUE))
+                   AS live_t1,
+               (add_tx <= {_SD_T2} AND COALESCE(del_tx > {_SD_T2}, TRUE))
+                   AS live_t2
+        FROM states
+    )
+    SELECT inode_id, parent AS dir, name,
+           CASE WHEN live_t2 THEN 'CREATED' ELSE 'DELETED' END AS change
+    FROM flags
+    WHERE live_t1 <> live_t2
+    ORDER BY inode_id
+    """,
+    doc="Snapshot diff between two as-of points of the metadata CDC "
+        "log (the HDFS snapshotDiff report, computed relationally from "
+        "MetadataLogEntry replay instead of snapshot data structures): "
+        "a file appears iff its liveness differs between the cuts — "
+        "CREATED if live only at t2, DELETED if live only at t1. "
+        "Map-only over the log-derived state; any pair of cuts is one "
+        "more pair of conditional flags, never another scan.",
+    tags=("metadata", "cdc"),
+)
+def meta_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ino = inodes_from_documents(spark, sf_dir)
+    add_tx = F.col("inode_id") * 2
+    del_tx = F.when(F.col("inode_id") % 3 == 0, F.col("inode_id") * 2 + 500)
+    live_t1 = (add_tx <= _SD_T1) & F.coalesce(del_tx > _SD_T1, F.lit(True))
+    live_t2 = (add_tx <= _SD_T2) & F.coalesce(del_tx > _SD_T2, F.lit(True))
+    return (ino.select("inode_id", F.col("parent").alias("dir"), "name",
+                       live_t1.alias("live_t1"), live_t2.alias("live_t2"))
+               .where(F.col("live_t1") != F.col("live_t2"))
+               .select("inode_id", "dir", "name",
+                       F.when(F.col("live_t2"), "CREATED")
+                        .otherwise("DELETED").alias("change"))
+               .orderBy("inode_id"))
