@@ -103,8 +103,17 @@ def load_all() -> dict[str, QuerySpec]:
     ordered = {n: QUERIES[n] for n in DRIVER_WINDOW_PRIORITY if n in QUERIES}
     ordered.update({n: s for n, s in QUERIES.items() if n not in ordered})
     return ordered
+# Queries registered AFTER this round's rotation was fixed — they pass
+# the local oracle replica and take window slots FIRST next rotation
+# (the window guard test enforces that overflow never-green queries are
+# exactly this queue).
+NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    "bpe_tokenize_docs", "meta_xattr_search", "cdc_chunks",
+    "rolling_window_agg", "skew_profile", "meta_snapshot_diff",
+    "media_decode_ppm", "media_resize_nn",   # in-window already (new r4)
+)
 # Round-5 rotation plan: once CORRECTNESS_r04 lands green for this
-# window, fill the freed slots FIRST with any round-5 additions, THEN
+# window, fill the freed slots FIRST with NEXT_WINDOW_QUEUE, THEN
 # the 18 remaining r1-only-green rows (q4..q22 minus q12 — the TPC-H
 # tail: q4_order_priority, q5_local_supplier_volume,
 # q6_forecast_revenue, q7_volume_shipping, q8_market_share,

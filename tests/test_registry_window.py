@@ -13,7 +13,8 @@ from __future__ import annotations
 import json
 import os
 
-from hops_spark.registry import DRIVER_WINDOW_PRIORITY, load_all
+from hops_spark.registry import (DRIVER_WINDOW_PRIORITY, NEXT_WINDOW_QUEUE,
+                                 load_all)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -36,12 +37,19 @@ def _green_rounds() -> dict[str, set[int]]:
     return out
 
 
-def test_every_never_green_query_is_in_window():
+def test_every_never_green_query_is_in_window_or_queued():
+    """A never-driver-green query is either in the current window or
+    explicitly queued (NEXT_WINDOW_QUEUE) for the next rotation —
+    nothing unverified may fall through the cracks silently."""
     names = list(load_all())
     window = set(names[:50])
     green = set(_green_rounds())
-    missing = [n for n in names if n not in green and n not in window]
-    assert not missing, f"never-driver-green queries outside window: {missing}"
+    missing = [n for n in names
+               if n not in green and n not in window
+               and n not in NEXT_WINDOW_QUEUE]
+    assert not missing, f"never-green queries neither in window nor queued: {missing}"
+    unknown = [n for n in NEXT_WINDOW_QUEUE if n not in names]
+    assert not unknown, f"queue names unregistered queries: {unknown}"
 
 
 def test_no_window_slot_wasted():
