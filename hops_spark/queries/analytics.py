@@ -393,3 +393,98 @@ def grouped_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("y").alias("value_cents"),
                         (dev * dev > thresh).alias("is_outlier"))
                 .orderBy("user_id", "event_id"))
+
+
+@register(
+    "winsorized_stats",
+    sql="""
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ), ranked AS (
+        SELECT user_id, cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY cents, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM e
+    ), bounds AS (
+        SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+               CAST(max(CASE WHEN rn = greatest(1, (n + 9) // 10)
+                             THEN cents END) AS BIGINT) AS p10_cents,
+               CAST(max(CASE WHEN rn = greatest(1, (9 * n + 9) // 10)
+                             THEN cents END) AS BIGINT) AS p90_cents
+        FROM ranked GROUP BY user_id
+    )
+    SELECT r.user_id, b.n, b.p10_cents, b.p90_cents,
+           CAST(sum(least(greatest(r.cents, b.p10_cents), b.p90_cents))
+                AS BIGINT) AS winsorized_sum_cents
+    FROM ranked r JOIN bounds b USING (user_id)
+    GROUP BY r.user_id, b.n, b.p10_cents, b.p90_cents
+    ORDER BY r.user_id
+    """,
+    doc="Per-group winsorization with ZERO floating point: nearest-rank "
+        "p10/p90 (rank = ceil(q*n), engine-identical — no interpolation "
+        "ambiguity) clip each value before the sum, the robust-stats "
+        "gate a feature pipeline applies before training. One user_id "
+        "Exchange; the rank window, bounds aggregate and clip join all "
+        "reuse it.",
+    tags=("events", "analytics", "profiling"),
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    w = Window.partitionBy("user_id").orderBy("cents", "event_id")
+    wn = Window.partitionBy("user_id")
+    ranked = (e.withColumn("rn", F.row_number().over(w))
+               .withColumn("n", F.count("*").over(wn)))
+    p10_rn = F.greatest(F.lit(1), F.expr("(n + 9) div 10"))
+    p90_rn = F.greatest(F.lit(1), F.expr("(9 * n + 9) div 10"))
+    bounds = (ranked.groupBy("user_id")
+                    .agg(F.max("n").cast("long").alias("n"),
+                         F.max(F.when(F.col("rn") == p10_rn, F.col("cents")))
+                          .cast("long").alias("p10_cents"),
+                         F.max(F.when(F.col("rn") == p90_rn, F.col("cents")))
+                          .cast("long").alias("p90_cents")))
+    clipped = F.least(F.greatest(F.col("cents"), F.col("p10_cents")),
+                      F.col("p90_cents"))
+    return (ranked.select("user_id", "cents").join(bounds, "user_id")
+                  .groupBy("user_id", "n", "p10_cents", "p90_cents")
+                  .agg(F.sum(clipped).cast("long")
+                        .alias("winsorized_sum_cents"))
+                  .orderBy("user_id"))
+
+
+@register(
+    "grouped_mode",
+    sql="""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ), r AS (
+        SELECT user_id, event_type, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rnk
+        FROM c
+    )
+    SELECT user_id, event_type AS mode_type, n AS mode_n
+    FROM r WHERE rnk = 1
+    ORDER BY user_id
+    """,
+    doc="Deterministic per-group mode (most frequent value, ties broken "
+        "lexicographically — DuckDB/Spark built-in mode() breaks ties "
+        "arbitrarily, so the rank form is the engine-portable contract). "
+        "Two shuffles: the (user, type) count and the per-user ranking "
+        "window over the already-small count table.",
+    tags=("events", "analytics"),
+)
+def grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (c.withColumn("rnk", F.row_number().over(w))
+             .where(F.col("rnk") == 1)
+             .select("user_id", F.col("event_type").alias("mode_type"),
+                     F.col("n").alias("mode_n"))
+             .orderBy("user_id"))
