@@ -153,3 +153,20 @@ def test_key_field_char_offset_specs(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         parse_key_specs(["-k2.3.4"], ["a", "b"])
+
+
+def test_total_order_rank_many_partitions(spark):
+    """Stress the window-free rank at a partition count far above the
+    row-per-partition density: offsets must broadcast-join correctly and
+    the monotonically_increasing_id local index must stay aligned with
+    spark_partition_id across a 97-partition checkpointed layout."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.ops.sort import total_order_rank
+
+    df = (spark.range(0, 5000).withColumnRenamed("id", "k")
+               .withColumn("salt", F.pmod("k", F.lit(97)))
+               .repartition(97, "salt"))
+    got = total_order_rank(df, "k", rank_col="r")
+    rows = got.select("k", "r").collect()
+    assert {(r.k, r.r) for r in rows} == {(i, i + 1) for i in range(5000)}
