@@ -160,7 +160,7 @@ def pipe_typedbytes(df: DataFrame, argv: list[str],
     import subprocess
     import threading
 
-    from pyspark.sql import types as ST
+    from pyspark.sql.types import StructType
 
     from hops_spark.io import typedbytes as tb
 
@@ -193,7 +193,7 @@ def pipe_typedbytes(df: DataFrame, argv: list[str],
             return {k: _to_plain(x) for k, x in v.asDict().items()}
         return v
 
-    schema = ST._parse_datatype_string(out_schema)
+    schema = StructType.fromDDL(out_schema)
     return df.sparkSession.createDataFrame(
         df.rdd.mapPartitions(run_partition), schema)
 
