@@ -45,11 +45,32 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+#: knn_bruteforce is the EVAL baseline, never the serving path: its
+#: cost is |corpus| × |queries| cosine evaluations. The guard makes
+#: that contract enforced rather than advisory — a caller who really
+#: wants a bigger exact sweep opts in explicitly.
+BRUTEFORCE_MAX_QUERIES = 1024
+
+
 def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   qid_col: str = "q_id", qvec_col: str = "q_vec") -> DataFrame:
+                   qid_col: str = "q_id", qvec_col: str = "q_vec",
+                   allow_large: bool = False) -> DataFrame:
     """Exact k-NN by cosine: broadcast queries × corpus scan → per-query
-    top-k. Ties broken by neighbor id (deterministic)."""
+    top-k. Ties broken by neighbor id (deterministic).
+
+    GUARDED eval path: raises if the query side exceeds
+    ``BRUTEFORCE_MAX_QUERIES`` (unless ``allow_large``) — at scale the
+    serving paths are knn_lsh / knn_ivf; this exists to measure their
+    recall (knn_recall) on bounded query panels."""
+    if not allow_large:
+        n_q = queries.limit(BRUTEFORCE_MAX_QUERIES + 1).count()
+        if n_q > BRUTEFORCE_MAX_QUERIES:
+            raise ValueError(
+                f"knn_bruteforce: {n_q}+ queries exceeds the eval guard "
+                f"({BRUTEFORCE_MAX_QUERIES}); use knn_lsh/knn_ivf for "
+                "serving, or pass allow_large=True for a deliberate "
+                "exact sweep")
     scored = (corpus.crossJoin(F.broadcast(queries))
                     .filter(F.col(id_col) != F.col(qid_col))
                     .select(F.col(qid_col),

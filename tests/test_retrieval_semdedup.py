@@ -162,3 +162,23 @@ def test_make_training_shards_job(spark, sf_dir, tmp_path):
                    .collect())
     assert all(r["toks"] - 0 < 128 + 32 for r in starts)  # bounded overflow
     assert {r["doc_id"] for r in train.select("doc_id").collect()} > set()
+
+
+def test_knn_bruteforce_eval_guard(spark):
+    """The brute-force path is eval-only by CONTRACT: a query panel over
+    the guard raises unless explicitly opted in."""
+    import pytest as _pytest
+
+    from hops_spark.ops import similarity as S
+
+    corpus = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.col("id").cast("double")).alias("embedding"))
+    big_panel = spark.range(S.BRUTEFORCE_MAX_QUERIES + 5).select(
+        F.col("id").alias("q_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("q_vec"))
+    with _pytest.raises(ValueError, match="eval guard"):
+        S.knn_bruteforce(corpus, big_panel, k=2)
+    # explicit opt-in still works
+    out = S.knn_bruteforce(corpus, big_panel.limit(3), k=2)
+    assert out.count() == 6
