@@ -347,11 +347,18 @@ def test_pipe_typedbytes_worker_runs_unmodified(spark, tmp_path):
 
     from hops_spark.ops.pipe import pipe_typedbytes
 
+    import hops_spark.io.typedbytes as _tbmod
+
+    # load the codec module FILE directly — the worker is a plain
+    # executable that must not drag pyspark (package __init__) into
+    # every forked child
     worker = tmp_path / "tb_worker.py"
     worker.write_text(textwrap.dedent("""\
+        import importlib.util
         import sys
-        sys.path.insert(0, %r)
-        from hops_spark.io import typedbytes as tb
+        spec = importlib.util.spec_from_file_location("tb", %r)
+        tb = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(tb)
         out = sys.stdout.buffer
         for k, v in tb.decode_pairs(sys.stdin.buffer):
             buf = bytearray()
@@ -359,9 +366,7 @@ def test_pipe_typedbytes_worker_runs_unmodified(spark, tmp_path):
             tb.encode({"n": v + 1, "tag": [k, True]}, buf)
             out.write(bytes(buf))
         out.flush()
-        """) % (str(__import__("os").path.dirname(
-            __import__("os").path.dirname(
-                __import__("hops_spark").__file__)))))
+        """) % _tbmod.__file__)
 
     df = spark.createDataFrame(
         [("alpha", 1), ("beta", 41)], "key string, value int") \
