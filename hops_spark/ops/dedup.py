@@ -583,3 +583,45 @@ def incremental_dedup_flags(new_df: DataFrame, existing_df: DataFrame,
                  .withColumn("near_dup", F.coalesce("_nd", F.lit(False)))
                  .withColumn("is_kept", ~F.col("exact_dup") & ~F.col("near_dup"))
                  .select(id_col, "exact_dup", "near_dup", "is_kept"))
+
+
+def sentence_dedup(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   split_re: str = r"[.!?]+",
+                   joiner: str = " . ") -> DataFrame:
+    """Cross-corpus sentence-level exact dedup with document
+    reassembly — the C4-style span-dedup pass (Raffel et al. 2020
+    removed repeated three-sentence spans corpus-wide; this is the
+    sentence-granularity form): every sentence keeps only its FIRST
+    occurrence in (doc, position) order, then each document is rebuilt
+    from its surviving sentences in original order.
+
+    Two shuffles at any scale: the sentence-hash Exchange (first-
+    occurrence window) and the doc reassembly aggregate — both keyed,
+    no data-dependent fan-out. Output: (id, n_sents, n_kept,
+    clean_text). ``split_re`` sets the sentence-boundary regex
+    (same contract as ops/pipe.sentence_rows).
+    """
+    parts = F.filter(
+        F.transform(F.split(F.col(text_col), split_re),
+                    lambda s: F.trim(s)),
+        lambda s: s != "")
+    sents = (df.select(F.col(id_col), F.posexplode(parts)
+                       .alias("sentence_id", "sentence"))
+               .withColumn("sentence_id", F.col("sentence_id").cast("long")))
+    w = Window.partitionBy(F.md5("sentence")) \
+              .orderBy(id_col, "sentence_id")
+    kept = (sents.withColumn("_occ", F.row_number().over(w))
+                 .withColumn("_keep", F.col("_occ") == 1))
+    rebuilt = F.concat_ws(
+        joiner,
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("_keep"),
+                       F.struct("sentence_id", "sentence")))),
+            lambda s: s["sentence"]))
+    return (kept.groupBy(id_col)
+                .agg(F.count("*").cast("long").alias("n_sents"),
+                     F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+                     rebuilt.alias("clean_text"))
+                .orderBy(id_col))

@@ -503,3 +503,47 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (D.incremental_dedup_flags(new, existing, "doc_id", "text",
                                       N_HASHES, BANDS, SHINGLE_N, THRESHOLD)
              .orderBy("doc_id"))
+
+
+@register(
+    "sentence_dedup",
+    sql="""
+    WITH s AS (
+        SELECT doc_id,
+               unnest(list_filter(list_transform(
+                   string_split_regex(text, '[.!?]+|\s+table\s+'),
+                   x -> trim(x)), x -> x <> '')) AS sentence,
+               unnest(range(len(list_filter(list_transform(
+                   string_split_regex(text, '[.!?]+|\s+table\s+'),
+                   x -> trim(x)), x -> x <> '')))) AS sentence_id
+        FROM documents
+    ), occ AS (
+        SELECT doc_id, sentence_id, sentence,
+               row_number() OVER (PARTITION BY md5(sentence)
+                                  ORDER BY doc_id, sentence_id) AS o
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_sents,
+           CAST(count(*) FILTER (WHERE o = 1) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(sentence, ' . ' ORDER BY sentence_id)
+                        FILTER (WHERE o = 1), '')) AS clean_hash
+    FROM occ GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="C4-style cross-corpus span dedup at sentence granularity "
+        "(Raffel et al. 2020): every sentence keeps only its first "
+        "occurrence in (doc, position) order, documents rebuilt from "
+        "survivors in original order. Two keyed shuffles total "
+        "(sentence-hash window + doc reassembly); the oracle rebuilds "
+        "every cleaned document and hashes it. ops/dedup.sentence_dedup.",
+    tags=("text", "dedup", "north-star"),
+)
+def sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # extra 'table' delimiter: the synthetic fixture has no sentence
+    # punctuation, so [.!?] alone yields one unique sentence per doc and
+    # a vacuous dedup (same device as the sentence_split query)
+    out = D.sentence_dedup(d, split_re=r"[.!?]+|\s+table\s+")
+    return (out.select("doc_id", "n_sents", "n_kept",
+                       F.md5("clean_text").alias("clean_hash"))
+               .orderBy("doc_id"))

@@ -293,3 +293,19 @@ def test_cdc_short_doc_single_chunk(spark):
     df = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
     r = cdc_chunk_lengths(df).collect()[0]
     assert list(r["boundaries"]) == [4] and list(r["chunk_lengths"]) == [4]
+
+
+# --- sentence-level corpus dedup ----------------------------------------
+
+def test_sentence_dedup_first_occurrence_and_reassembly(spark):
+    from hops_spark.ops.dedup import sentence_dedup
+    docs = _docs(spark, [
+        (1, "alpha beta. shared line. gamma"),
+        (2, "shared line. delta epsilon"),   # loses its copy of 'shared line'
+        (3, "alpha beta"),                   # dup of doc 1's first sentence
+    ])
+    got = {r["doc_id"]: (r["n_sents"], r["n_kept"], r["clean_text"])
+           for r in sentence_dedup(docs).collect()}
+    assert got[1] == (3, 3, "alpha beta . shared line . gamma")
+    assert got[2] == (2, 1, "delta epsilon")
+    assert got[3] == (1, 0, "")
