@@ -507,7 +507,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sentence_dedup",
-    sql="""
+    sql=r"""
     WITH s AS (
         SELECT doc_id,
                unnest(list_filter(list_transform(
