@@ -31,7 +31,9 @@ def _green_rounds() -> dict[str, set[int]]:
     for rnd in (1, 2, 3):
         path = os.path.join(_REPO, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.exists(path):
-            for k, v in json.load(open(path)).items():
+            with open(path) as f:
+                rows = json.load(f)
+            for k, v in rows.items():
                 if v.get("hash_match"):
                     out.setdefault(k, set()).add(rnd)
     return out
