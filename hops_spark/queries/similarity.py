@@ -419,3 +419,57 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
                            f"ELSE 0 END) * 1000000 div {K} AS BIGINT)")
                      .alias("purity_ppm"))
                .orderBy("q_id"))
+
+
+@register(
+    "embedding_quantize",
+    sql="""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM e
+    ), q AS (
+        SELECT vec_id, scale,
+               CASE WHEN scale = 0
+                    THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(floor(x * 127 / scale)
+                                                     AS BIGINT))
+               END AS lq
+        FROM s
+    )
+    SELECT vec_id,
+           CAST(floor(scale * 1000000) AS BIGINT) AS scale_ppm,
+           CAST(list_sum(lq) AS BIGINT) AS q_sum,
+           CAST(list_min(lq) AS BIGINT) AS q_min,
+           CAST(list_max(lq) AS BIGINT) AS q_max,
+           md5(array_to_string(lq, ',')) AS q_digest
+    FROM q ORDER BY vec_id
+    """,
+    doc="Symmetric per-vector int8 scalar quantization (the faiss-SQ8 "
+        "storage scheme that makes billion-vector ANN affordable: 4x "
+        "smaller, SIMD dot products): q_i = floor(x_i * 127 / max|x|). "
+        "Map-only, zero shuffle; floor on the shared double grid is "
+        "tie-free, so the oracle reproduces every quantized element — "
+        "the digest hashes the full q vector. ops/similarity.quantize_int8.",
+    tags=("similarity", "north-star"),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.similarity import quantize_int8
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb)
+    qsum = F.aggregate("q", F.lit(0).cast("long"),
+                       lambda acc, x: acc + x)
+    return (q.select(
+                "vec_id",
+                F.floor(F.col("scale") * 1000000).cast("long")
+                 .alias("scale_ppm"),
+                qsum.alias("q_sum"),
+                F.array_min("q").cast("long").alias("q_min"),
+                F.array_max("q").cast("long").alias("q_max"),
+                F.expr("md5(array_join(transform(q, x -> cast(x as string)), ','))")
+                 .alias("q_digest"))
+            .orderBy("vec_id"))

@@ -796,3 +796,52 @@ def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("md5(array_join(transform(chunk_lengths, "
                        "x -> cast(x as string)), ','))").alias("len_digest"))
             .orderBy("doc_id"))
+
+
+@register(
+    "vocab_coverage",
+    sql=f"""
+    WITH wc AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_DUCK_WORDS}) AS term FROM documents)
+        GROUP BY term
+    ), ranked AS (
+        SELECT n,
+               row_number() OVER (ORDER BY n DESC, term) AS rnk,
+               sum(n) OVER (ORDER BY n DESC, term
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(n) OVER () AS total
+        FROM wc
+    )
+    SELECT CAST(rnk AS BIGINT) AS vocab_size,
+           CAST(cum AS BIGINT) AS covered_tokens,
+           CAST(cum * 1000000 // total AS BIGINT) AS coverage_ppm
+    FROM ranked WHERE rnk IN (5, 10, 20, 100, 1000)
+    ORDER BY vocab_size
+    """,
+    doc="Vocabulary coverage curve: what share of corpus tokens the "
+        "top-k most frequent terms cover — the tokenizer-design "
+        "diagnostic behind vocab-size choices. Composed from the "
+        "two-phase distributed primitives (total_order_rank + "
+        "total_order_prefix_sum over (count desc, term)); no "
+        "single-partition window anywhere, so the curve computes on a "
+        "billion-term vocab. Integer-ppm share.",
+    tags=("text", "north-star", "profiling"),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sort import total_order_prefix_sum, total_order_rank
+    d = load_table(spark, sf_dir, "documents")
+    wc = (d.select(F.explode(words("text")).alias("term"))
+           .groupBy("term").agg(F.count("*").alias("n"))
+           .withColumn("_negn", -F.col("n")))
+    ranked = total_order_rank(wc, "_negn", "term", rank_col="vocab_size")
+    cum = total_order_prefix_sum(wc, "n", "_negn", "term",
+                                 out_col="covered_tokens")
+    total = wc.agg(F.sum("n").cast("long").alias("_total"))
+    return (ranked.join(cum.select("term", "covered_tokens"), "term")
+                  .where(F.col("vocab_size").isin(5, 10, 20, 100, 1000))
+                  .crossJoin(F.broadcast(total))
+                  .select("vocab_size", "covered_tokens",
+                          F.expr("covered_tokens * 1000000 div _total")
+                           .cast("long").alias("coverage_ppm"))
+                  .orderBy("vocab_size"))
