@@ -17,6 +17,7 @@ from itertools import combinations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hops_spark.io.readers import load_table
 from hops_spark.ops.sort import total_order_rank
@@ -214,3 +215,117 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in cols])
     return (s.select(F.explode(rows).alias("r")).select("r.*")
              .orderBy("col"))
+
+
+@register(
+    "robust_scale_stats",
+    sql="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ), med AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM e
+    ), m AS (
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+               CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+                    AS BIGINT) AS med_cents
+        FROM med GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type, abs(e.cents - m.med_cents) AS d
+        FROM e JOIN m USING (event_type)
+    ), devr AS (
+        SELECT event_type, d,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    )
+    SELECT m.event_type, m.n, m.med_cents,
+           CAST(max(CASE WHEN devr.rn = (devr.n + 1) // 2 THEN devr.d END)
+                AS BIGINT) AS mad_cents
+    FROM devr JOIN m USING (event_type)
+    GROUP BY m.event_type, m.n, m.med_cents
+    ORDER BY m.event_type
+    """,
+    doc="Robust scaling statistics per group: nearest-rank median and "
+        "MAD (median absolute deviation) in exact integer cents — the "
+        "outlier-proof alternative to mean/std for feature "
+        "normalization (one extreme value moves a mean arbitrarily, "
+        "the median not at all). Two keyed window passes on the same "
+        "event_type Exchange; lower-median convention at even n on "
+        "both engines.",
+    tags=("events", "profiling", "analytics"),
+)
+def robust_scale_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    med = (e.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(wn))
+            .groupBy("event_type")
+            .agg(F.max("n").cast("long").alias("n"),
+                 F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                              F.col("cents")))
+                  .cast("long").alias("med_cents")))
+    dev = (e.join(med, "event_type")
+            .select("event_type",
+                    F.abs(F.col("cents") - F.col("med_cents")).alias("d")))
+    wd = Window.partitionBy("event_type").orderBy("d")
+    mad = (dev.withColumn("rn", F.row_number().over(wd))
+              .withColumn("dn", F.count("*").over(wn))
+              .groupBy("event_type")
+              .agg(F.max(F.when(F.col("rn") == F.expr("(dn + 1) div 2"),
+                                F.col("d")))
+                    .cast("long").alias("mad_cents")))
+    return (med.join(mad, "event_type")
+               .select("event_type", "n", "med_cents", "mad_cents")
+               .orderBy("event_type"))
+
+
+@register(
+    "grouped_deciles",
+    sql="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ), r AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM e
+    )
+    SELECT event_type, CAST(k.k AS BIGINT) AS decile,
+           CAST(cents AS BIGINT) AS cut_cents
+    FROM r, LATERAL (SELECT unnest(range(1, 10)) AS k) k
+    WHERE rn = (k.k * n + 9) // 10
+    ORDER BY event_type, decile
+    """,
+    doc="Per-group decile cut values by nearest-rank (rank = "
+        "ceil(k*n/10)) — exact and engine-identical, no interpolation; "
+        "the per-group generalization of equi_depth_bins. One "
+        "event_type Exchange; the 9 cuts ride a sequence-explode over "
+        "the ranked rows (a row matches at most a few cuts).",
+    tags=("events", "profiling"),
+)
+def grouped_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    r = (e.withColumn("rn", F.row_number().over(w))
+          .withColumn("n", F.count("*").over(wn)))
+    return (r.select("event_type", "cents", "rn", "n",
+                     F.explode(F.sequence(F.lit(1), F.lit(9))).alias("decile"))
+             .where(F.col("rn") == F.expr("(decile * n + 9) div 10"))
+             .select("event_type", F.col("decile").cast("long"),
+                     F.col("cents").alias("cut_cents"))
+             .orderBy("event_type", "decile"))

@@ -111,7 +111,8 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "bpe_tokenize_docs", "meta_xattr_search", "cdc_chunks",
     "rolling_window_agg", "skew_profile", "meta_snapshot_diff",
     "winsorized_stats", "grouped_mode", "sentence_dedup",
-    "embedding_quantize", "vocab_coverage",
+    "embedding_quantize", "vocab_coverage", "robust_scale_stats",
+    "grouped_deciles",
     "media_decode_ppm", "media_resize_nn",   # in-window already (new r4)
 )
 # Round-5 rotation plan: once CORRECTNESS_r04 lands green for this
