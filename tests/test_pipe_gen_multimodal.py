@@ -379,3 +379,42 @@ def test_pipe_typedbytes_worker_runs_unmodified(spark, tmp_path):
            .select("key", "value.n", "value.tag").collect()}
     assert got == {"ALPHA": (2, ["alpha", "true"]),
                    "BETA": (42, ["beta", "true"])}
+
+
+def test_bmp_decode_top_down_negative_height():
+    import struct
+
+    from hops_spark.io import codecs
+    # height = -2 means rows are stored TOP-DOWN (no flip)
+    top = [(1, 2, 3), (4, 5, 6)]
+    bot = [(7, 8, 9), (10, 11, 12)]
+    rows = b""
+    for r in (top, bot):                    # stored in display order
+        line = b"".join(bytes((b, g, rr)) for (rr, g, b) in r)
+        rows += line + b"\x00\x00"
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 24, 0,
+                            len(rows), 2835, 2835, 0, 0))
+    w, h, px = codecs.bmp_decode(header + rows)
+    assert (w, h) == (2, 2)
+    assert px == b"".join(bytes(p) for p in top + bot)
+
+
+def test_quantize_int8_zero_vector_and_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from hops_spark.ops.similarity import quantize_int8
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, -1.0]), (2, [0.5, -0.25])],
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: (r["scale"], list(r["q"]))
+           for r in quantize_int8(df).collect()}
+    assert got[0] == (0.0, [0, 0])
+    assert got[1] == (1.0, [127, -127])
+    # 0.5*127/0.5 = 127; -0.25*127/0.5 = -63.5 -> floor -64
+    assert got[2] == (0.5, [127, -64])
+    # q always within int8 range
+    q = quantize_int8(df)
+    bad = q.select(F.explode("q").alias("x")) \
+           .where((F.col("x") > 127) | (F.col("x") < -128)).count()
+    assert bad == 0
