@@ -329,3 +329,72 @@ def grouped_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("event_type", F.col("decile").cast("long"),
                      F.col("cents").alias("cut_cents"))
              .orderBy("event_type", "decile"))
+
+
+@register(
+    "dq_audit",
+    sql="""
+    SELECT 'orphan_lineitem' AS rule, 'error' AS severity,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'duplicate_order_pk', 'error',
+           CAST((SELECT COALESCE(sum(c - 1), 0) FROM
+                 (SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+                  HAVING count(*) > 1)) AS BIGINT)
+    UNION ALL
+    SELECT 'null_custkey', 'error',
+           CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'discount_out_of_range', 'error',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'nonpositive_price', 'error',
+           CAST((SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'high_discount', 'warn',
+           CAST((SELECT count(*) FROM lineitem WHERE l_discount > 0.08)
+                AS BIGINT)
+    ORDER BY rule
+    """,
+    doc="Data-quality audit (the dbt-test/Great-Expectations surface as "
+        "one engine job): referential integrity (orphan FK rows via "
+        "anti join), PK uniqueness, null rate, range constraints, and "
+        "a warn-level distribution rule that fires on the fixture so "
+        "the report is non-vacuous. Each rule is one aggregate or one "
+        "anti join; a 100 TB audit runs them from a single pass per "
+        "table scan group.",
+    tags=("profiling", "maintenance"),
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def one(rule: str, severity: str, df_count: DataFrame) -> DataFrame:
+        return df_count.select(
+            F.lit(rule).alias("rule"), F.lit(severity).alias("severity"),
+            F.col("n").cast("long").alias("n_violations"))
+
+    orphans = (li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+                 .agg(F.count("*").alias("n")))
+    dup_pk = (o.groupBy("o_orderkey").agg(F.count("*").alias("c"))
+               .where(F.col("c") > 1)
+               .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("n")))
+    nullck = o.agg(F.sum(F.col("o_custkey").isNull().cast("long")).alias("n"))
+    rng = li.agg(F.sum(((F.col("l_discount") < 0)
+                        | (F.col("l_discount") > 1)).cast("long")).alias("n"))
+    nonpos = li.agg(F.sum((F.col("l_extendedprice") <= 0).cast("long"))
+                    .alias("n"))
+    highd = li.agg(F.sum((F.col("l_discount") > 0.08).cast("long")).alias("n"))
+    out = (one("orphan_lineitem", "error", orphans)
+           .unionByName(one("duplicate_order_pk", "error", dup_pk))
+           .unionByName(one("null_custkey", "error", nullck))
+           .unionByName(one("discount_out_of_range", "error", rng))
+           .unionByName(one("nonpositive_price", "error", nonpos))
+           .unionByName(one("high_discount", "warn", highd)))
+    return out.orderBy("rule")
