@@ -1,0 +1,76 @@
+"""Scale-mechanics stress check for the distributed order primitives.
+
+The oracle fixtures top out at sf0.1 (~600k rows); this CLI exercises
+the two-phase rank / prefix-sum machinery (ops/sort.py) at a row count
+and partition count two orders of magnitude beyond that, where the
+failure modes the design defends against would actually fire:
+sample-based range-boundary instability (SCALE.md note 26), offsets
+misalignment across partitions, and 33-bit local-index overflow
+assumptions. Self-validating (SortValidator style): no oracle needed —
+the rank of n distinct keys must be exactly the permutation 1..n and
+the prefix sum must hit the closed-form total.
+
+Usage:
+    python tools/stress_check.py [n_rows] [n_partitions]   # default 50M, 256
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from hops_spark.ops.sort import total_order_prefix_sum, total_order_rank
+from hops_spark.session import get_spark
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
+    parts = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    spark = get_spark("stress-check")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+
+    # rows arrive range-partitioned by id but get re-range-partitioned
+    # by the primitive's own sampler; k = 0..n-1 distinct keys give a
+    # closed-form expectation for every check below
+    base = spark.range(0, n, 1, parts).select(F.col("id").alias("k"))
+
+    t0 = time.time()
+    ranked = total_order_rank(base.select("k"), "k", rank_col="r")
+    stats = ranked.agg(
+        F.count("*").alias("cnt"),
+        F.min("r").alias("rmin"), F.max("r").alias("rmax"),
+        F.sum("r").alias("rsum"),
+        F.sum((F.col("r") - F.col("k") - 1 != 0).cast("long"))
+         .alias("mismatches")).collect()[0]
+    rank_ok = (stats["cnt"] == n and stats["rmin"] == 1
+               and stats["rmax"] == n
+               and stats["rsum"] == n * (n + 1) // 2
+               and stats["mismatches"] == 0)
+    t_rank = time.time() - t0
+
+    t0 = time.time()
+    ps = total_order_prefix_sum(
+        base.select("k").withColumn("v", F.lit(1)), "v", "k",
+        out_col="cum")
+    pstats = ps.agg(
+        F.max("cum").alias("cmax"),
+        F.sum((F.col("cum") - F.col("k") - 1 != 0).cast("long"))
+         .alias("mismatches")).collect()[0]
+    ps_ok = pstats["cmax"] == n and pstats["mismatches"] == 0
+    t_ps = time.time() - t0
+
+    out = {"job": "stress_check", "n_rows": n, "n_partitions": parts,
+           "rank_ok": bool(rank_ok), "rank_sec": round(t_rank, 1),
+           "prefix_sum_ok": bool(ps_ok), "prefix_sum_sec": round(t_ps, 1)}
+    print(json.dumps(out))
+    return 0 if (rank_ok and ps_ok) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
