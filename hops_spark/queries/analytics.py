@@ -488,3 +488,59 @@ def grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("user_id", F.col("event_type").alias("mode_type"),
                      F.col("n").alias("mode_n"))
              .orderBy("user_id"))
+
+
+@register(
+    "rfm_segments",
+    sql="""
+    WITH c AS (
+        SELECT o_custkey AS custkey,
+               max(o_orderdate) AS last_d,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), r AS (
+        SELECT custkey, freq, cents,
+               row_number() OVER (ORDER BY last_d, custkey) AS r_rk,
+               row_number() OVER (ORDER BY freq, custkey) AS f_rk,
+               row_number() OVER (ORDER BY cents, custkey) AS m_rk,
+               count(*) OVER () AS n
+        FROM c
+    )
+    SELECT CAST(((r_rk - 1) * 5 // n) * 100
+                + ((f_rk - 1) * 5 // n) * 10
+                + ((m_rk - 1) * 5 // n) AS BIGINT) AS rfm_code,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS segment_cents
+    FROM r GROUP BY rfm_code ORDER BY rfm_code
+    """,
+    doc="RFM customer segmentation (recency/frequency/monetary "
+        "quintiles): each metric buckets by the scalable equi-depth "
+        "rule bucket = (rank-1)*5 div n over the two-phase distributed "
+        "rank — NO single-partition window even at a billion customers "
+        "(ntile would need one). Deterministic tie-break by custkey; "
+        "segment census + revenue per RFM code.",
+    tags=("analytics", "profiling"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sort import total_order_rank
+    o = load_table(spark, sf_dir, "orders")
+    c = (o.groupBy(F.col("o_custkey").alias("custkey"))
+          .agg(F.max("o_orderdate").alias("last_d"),
+               F.count("*").alias("freq"),
+               F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                .alias("cents")))
+    n = c.count()
+    ranked = c
+    for metric, rk in (("last_d", "r_rk"), ("freq", "f_rk"),
+                       ("cents", "m_rk")):
+        ranked = total_order_rank(ranked, metric, "custkey", rank_col=rk)
+    code = (F.expr(f"((r_rk - 1) * 5 div {n}) * 100 "
+                   f"+ ((f_rk - 1) * 5 div {n}) * 10 "
+                   f"+ ((m_rk - 1) * 5 div {n})").cast("long"))
+    return (ranked.select(code.alias("rfm_code"), "cents")
+                  .groupBy("rfm_code")
+                  .agg(F.count("*").alias("n_customers"),
+                       F.sum("cents").cast("long").alias("segment_cents"))
+                  .orderBy("rfm_code"))

@@ -112,7 +112,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "rolling_window_agg", "skew_profile", "meta_snapshot_diff",
     "winsorized_stats", "grouped_mode", "sentence_dedup",
     "embedding_quantize", "vocab_coverage", "robust_scale_stats",
-    "grouped_deciles", "dq_audit",
+    "grouped_deciles", "dq_audit", "rfm_segments",
     "media_decode_ppm", "media_resize_nn",   # in-window already (new r4)
 )
 # Round-5 rotation plan: once CORRECTNESS_r04 lands green for this
