@@ -65,11 +65,33 @@ def main() -> int:
     ps_ok = pstats["cmax"] == n and pstats["mismatches"] == 0
     t_ps = time.time() - t0
 
+    # skewed aggregation: 90% of rows land on key 0 (the celebrity-key
+    # regime AQE/salting defends against); the salted two-phase result
+    # must equal the closed-form direct answer. n must be a multiple of
+    # 1000 so the closed forms below are exact: key 0 holds 9n/10 rows,
+    # the other 100 keys (id%1000 for id≡9 mod 10) hold n/1000 each.
+    assert n % 1000 == 0, "n_rows must be a multiple of 1000"
+    t0 = time.time()
+    from hops_spark.ops.agg import salted_agg
+    skewed = spark.range(0, n, 1, parts).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0).cast("long"))
+         .otherwise(F.col("id") % 1000).alias("k"),
+        F.lit(1).alias("v"))
+    salted = {r["k"]: r["total"] for r in
+              salted_agg(skewed, ["k"], [F.sum("v").alias("total")],
+                         salt_buckets=64).collect()}
+    skew_ok = (salted[0] == 9 * n // 10
+               and sum(salted.values()) == n
+               and len(salted) == 101
+               and salted[999] == n // 1000)
+    t_skew = time.time() - t0
+
     out = {"job": "stress_check", "n_rows": n, "n_partitions": parts,
            "rank_ok": bool(rank_ok), "rank_sec": round(t_rank, 1),
-           "prefix_sum_ok": bool(ps_ok), "prefix_sum_sec": round(t_ps, 1)}
+           "prefix_sum_ok": bool(ps_ok), "prefix_sum_sec": round(t_ps, 1),
+           "skew_agg_ok": bool(skew_ok), "skew_agg_sec": round(t_skew, 1)}
     print(json.dumps(out))
-    return 0 if (rank_ok and ps_ok) else 1
+    return 0 if (rank_ok and ps_ok and skew_ok) else 1
 
 
 if __name__ == "__main__":
