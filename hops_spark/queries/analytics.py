@@ -544,3 +544,46 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg(F.count("*").alias("n_customers"),
                        F.sum("cents").cast("long").alias("segment_cents"))
                   .orderBy("rfm_code"))
+
+
+@register(
+    "order_lead_times",
+    sql="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(date_diff('day', o.o_orderdate, l.l_shipdate))
+                * 1000000 // count(*) AS BIGINT) AS avg_ship_days_ppm,
+           CAST(max(date_diff('day', o.o_orderdate, l.l_shipdate))
+                AS BIGINT) AS max_ship_days,
+           CAST(sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                          <= 30 THEN 1 ELSE 0 END) * 1000000 // count(*)
+                AS BIGINT) AS fast_ship_ppm
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY priority
+    ORDER BY priority
+    """,
+    doc="Order-to-ship lead-time profile per order priority: average "
+        "ship delay (integer-ppm days), worst case, and the share "
+        "shipped within 30 days — the "
+        "operational-SLA twin of TPC-H q4/q12. One FK join (broadcast "
+        "orders side at fixture scale, co-partitioned SMJ at 100 TB) + "
+        "one small aggregate.",
+    tags=("tpch", "analytics"),
+)
+def order_lead_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return (j.groupBy(F.col("o_orderpriority").alias("priority"))
+             .agg(F.count("*").alias("n_lines"),
+                  F.expr("sum(datediff(l_shipdate, o_orderdate)) "
+                         "* 1000000 div count(*)").cast("long")
+                   .alias("avg_ship_days_ppm"),
+                  F.max(F.datediff("l_shipdate", "o_orderdate"))
+                   .cast("long").alias("max_ship_days"),
+                  F.expr("sum(CASE WHEN datediff(l_shipdate, o_orderdate) "
+                         "<= 30 THEN 1 ELSE 0 END) * 1000000 div count(*)")
+                   .cast("long").alias("fast_ship_ppm"))
+             .orderBy("priority"))

@@ -298,3 +298,52 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.expr("n_rows * n_keys * 1000000 div total")
                         .cast("long").alias("skew_x_mean_ppm"))
                .orderBy("rnk"))
+
+
+@register(
+    "weekly_anomaly",
+    sql="""
+    WITH wk AS (
+        SELECT date_trunc('week', ts) AS week, event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY week, event_type
+    ), d AS (
+        SELECT CAST(week AS DATE) AS week, event_type, n_events,
+               lag(n_events) OVER (PARTITION BY event_type
+                                   ORDER BY week) AS prev_n
+        FROM wk
+    )
+    SELECT week, event_type, n_events, prev_n,
+           CAST(CASE WHEN prev_n IS NULL THEN NULL
+                ELSE (n_events - prev_n) * 1000000 // prev_n END
+                AS BIGINT) AS delta_ppm,
+           CAST(prev_n IS NOT NULL
+                AND abs(n_events - prev_n) * 2 > prev_n AS BOOLEAN)
+               AS is_anomaly
+    FROM d
+    ORDER BY event_type, week
+    """,
+    doc="Week-over-week volume change detection per event type — the "
+        "monitoring query a pipeline owner alerts on: floor-division "
+        "integer ppm delta (tie-free across engines), anomaly flag at "
+        "|change| > 50% expressed as the integer inequality "
+        "2*|n - prev| > prev (no float threshold). Tiny weekly "
+        "aggregate + a lag window over it.",
+    tags=("events", "analytics", "profiling"),
+)
+def weekly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wk = (e.groupBy(F.date_trunc("week", "ts").cast("date").alias("week"),
+                    "event_type")
+           .agg(F.count("*").alias("n_events")))
+    w = Window.partitionBy("event_type").orderBy("week")
+    d = wk.withColumn("prev_n", F.lag("n_events").over(w))
+    return (d.select(
+                "week", "event_type", "n_events", "prev_n",
+                F.expr("CASE WHEN prev_n IS NULL THEN NULL "
+                       "ELSE (n_events - prev_n) * 1000000 div prev_n END")
+                 .cast("long").alias("delta_ppm"),
+                (F.col("prev_n").isNotNull()
+                 & (F.abs(F.col("n_events") - F.col("prev_n")) * 2
+                    > F.col("prev_n"))).alias("is_anomaly"))
+            .orderBy("event_type", "week"))
