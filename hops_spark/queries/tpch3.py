@@ -439,3 +439,58 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count("*").alias("numcust"),
                   F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
              .orderBy("c_nationkey"))
+
+
+@register(
+    "supplier_hhi",
+    sql="""
+    WITH rev AS (
+        SELECT n.n_name AS nation, l.l_suppkey AS suppkey,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY nation, suppkey
+    ), tot AS (
+        SELECT nation, CAST(sum(cents) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_suppliers
+        FROM rev GROUP BY nation
+    )
+    SELECT r.nation, t.n_suppliers,
+           CAST(sum((r.cents * 1000000 // t.total)
+                    * (r.cents * 1000000 // t.total)) // 1000000
+                AS BIGINT) AS hhi_ppm
+    FROM rev r JOIN tot t USING (nation)
+    GROUP BY r.nation, t.n_suppliers
+    ORDER BY r.nation
+    """,
+    doc="Herfindahl-Hirschman market-concentration index per nation: "
+        "each supplier's revenue share in integer ppm, HHI = "
+        "sum(share_ppm^2) div 1e6 (0..1e6 scale; a monopoly scores "
+        "1e6) — all integer arithmetic, engine-identical. Two keyed "
+        "aggregates + two broadcast dimension joins; the share "
+        "normalization reuses the per-nation Exchange.",
+    tags=("tpch", "analytics", "profiling"),
+)
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+         .cast("long").alias("cents"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .groupBy(F.col("n_name").alias("nation"),
+                      F.col("l_suppkey").alias("suppkey"))
+             .agg(F.sum("cents").alias("cents")))
+    tot = rev.groupBy("nation").agg(
+        F.sum("cents").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_suppliers"))
+    return (rev.join(tot, "nation")
+               .groupBy("nation", "n_suppliers")
+               .agg(F.expr("sum((cents * 1000000 div total) * "
+                           "(cents * 1000000 div total)) div 1000000")
+                     .cast("long").alias("hhi_ppm"))
+               .orderBy("nation"))
