@@ -152,3 +152,50 @@ def source_token_budget(df: DataFrame, strata_col: str, weight_col: str,
                           F.sum(F.col(weight_col).cast("long")).over(w))
               .filter(F.col("cum_weight") - F.col(weight_col) < budget)
               .drop("_pri"))
+
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_weights(docs: DataFrame, target_pred: Column,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """DSIR-style importance weights for data selection (public: Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how target-like its hashed
+    n-gram feature distribution is — weight(d) = Σ_tokens
+    [ln p_target(bucket) - ln p_raw(bucket)] — then resample by
+    weight. Here features are md5-hashed unigrams into ``buckets``
+    bins, p's are add-one-smoothed bucket frequencies from the
+    target/raw corpus splits, and each per-bucket log-ratio is snapped
+    to integer micro-nats BEFORE the per-doc sum (the ops/lm.py
+    determinism contract: order-free integer aggregation).
+
+    Shuffles: one token aggregate per side for the bucket tables
+    (bounded by ``buckets`` rows — broadcast back), one per-doc sum.
+    Output: (id, is_target, n_tokens, weight_micro). The raw sum is
+    length-dominated (longer docs accumulate more log-ratio mass) —
+    selection in practice ranks on weight_micro/n_tokens, which this
+    fixture confirms directionally (target docs score higher per
+    token)."""
+    from hops_spark.ops.text import words
+    toks = (docs.select(F.col(id_col), target_pred.alias("is_target"),
+                        F.explode(words(text_col)).alias("term"))
+                .withColumn("b", F.pmod(
+                    F.conv(F.substring(F.md5("term"), 1, 8), 16, 10)
+                     .cast("long"), F.lit(buckets))))
+    counts = (toks.groupBy("b")
+                  .agg(F.sum(F.col("is_target").cast("long")).alias("ct"),
+                       F.sum((~F.col("is_target")).cast("long")).alias("cr")))
+    totals = counts.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr")) \
+                   .collect()[0]
+    nt, nr = totals["nt"], totals["nr"]
+    lr = counts.select(
+        "b",
+        F.expr(f"CAST(round((ln((ct + 1) / CAST({nt} + {buckets} AS DOUBLE))"
+               f" - ln((cr + 1) / CAST({nr} + {buckets} AS DOUBLE)))"
+               f" * 1000000, 0) AS BIGINT)").alias("lr_micro"))
+    return (toks.join(F.broadcast(lr), "b")
+                .groupBy(id_col, "is_target")
+                .agg(F.count("*").cast("long").alias("n_tokens"),
+                     F.sum("lr_micro").cast("long").alias("weight_micro")))

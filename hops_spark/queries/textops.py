@@ -845,3 +845,52 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.expr("covered_tokens * 1000000 div _total")
                            .cast("long").alias("coverage_ppm"))
                   .orderBy("vocab_size"))
+
+
+@register(
+    "dsir_doc_weights",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, source = 'src1' AS is_target,
+               unnest({_DUCK_WORDS}) AS term
+        FROM documents
+    ), tb AS (
+        SELECT doc_id, is_target,
+               CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 1024 AS b
+        FROM toks
+    ), counts AS (
+        SELECT b,
+               CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        FROM tb GROUP BY b
+    ), tot AS (
+        SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+        FROM counts
+    ), lr AS (
+        SELECT b,
+               CAST(round((ln((ct + 1) / CAST(nt + 1024 AS DOUBLE))
+                           - ln((cr + 1) / CAST(nr + 1024 AS DOUBLE)))
+                          * 1000000, 0) AS BIGINT) AS lr_micro
+        FROM counts, tot
+    )
+    SELECT tb.doc_id, tb.is_target,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(lr.lr_micro) AS BIGINT) AS weight_micro
+    FROM tb JOIN lr USING (b)
+    GROUP BY tb.doc_id, tb.is_target
+    ORDER BY tb.doc_id
+    """,
+    doc="DSIR importance weighting for data selection (Xie et al. 2023): "
+        "per-doc weight = sum over tokens of the target-vs-raw hashed-"
+        "feature log-ratio, each per-bucket ratio snapped to integer "
+        "micro-nats before the order-free sum (the ops/lm.py "
+        "determinism contract). Bucket tables are bounded (1024 rows, "
+        "broadcast); one per-doc aggregate. ops/sampling.dsir_weights.",
+    tags=("text", "sampling", "north-star"),
+)
+def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sampling import dsir_weights
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = dsir_weights(d, F.col("source") == "src1")
+    return out.select("doc_id", "is_target", "n_tokens",
+                      "weight_micro").orderBy("doc_id")
