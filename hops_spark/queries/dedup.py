@@ -547,3 +547,49 @@ def sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("doc_id", "n_sents", "n_kept",
                        F.md5("clean_text").alias("clean_hash"))
                .orderBy("doc_id"))
+
+
+@register(
+    "ngram_novelty",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct({DUCK_SHINGLES_OF_W})) AS g
+        FROM wt
+    ), df AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY g
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS novelty_ppm
+    FROM sh JOIN df USING (g)
+    GROUP BY sh.doc_id
+    ORDER BY sh.doc_id
+    """,
+    doc="Per-document n-gram novelty: the share of a doc's distinct "
+        "3-shingles that appear NOWHERE else in the corpus (document "
+        "frequency 1) — the memorization/duplication audit metric "
+        "(a doc with near-zero novelty is boilerplate; near-1e6 is "
+        "unique content). Shingle df table + one join back, integer "
+        "ppm; df is corpus-bounded and the join keys on the shingle "
+        "hash at scale.",
+    tags=("text", "dedup", "profiling", "north-star"),
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = (D.shingle_arrays(d, "doc_id", "text", 3)
+            .select("doc_id", F.explode(F.array_distinct("shingle_arr"))
+                    .alias("g")))
+    df_tab = sh.groupBy("g").agg(F.count("*").alias("df"))
+    return (sh.join(df_tab, "g")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_shingles"),
+                   F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+                   F.expr("sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) "
+                          "* 1000000 div count(*)").cast("long")
+                    .alias("novelty_ppm"))
+              .orderBy("doc_id"))
