@@ -321,3 +321,55 @@ def test_stateful_user_totals_tws_matches_batch(spark, sf_dir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_merge_maintains_scd1_state(spark, tmp_path):
+    """Streaming materialized-view maintenance: a change feed streamed
+    through foreachBatch MERGE (full-outer + coalesce, the merge_upsert
+    pattern) must leave the target in exactly the state of applying the
+    batches sequentially — including an insert in one batch updated by
+    a later batch. (A table format with atomic MERGE plays this role in
+    production; the read-modify-write here is checkpoint-materialized
+    per micro-batch.)"""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k int, s string, v int").write.parquet(target)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # batch 1: update k=1, insert k=10; batch 2: update k=10 (the row
+    # batch 1 inserted), insert k=11
+    b1 = spark.createDataFrame([(1, "A", 11), (10, "N", 100)],
+                               "k int, s string, v int")
+    b2 = spark.createDataFrame([(10, "M", 101), (11, "N", 110)],
+                               "k int, s string, v int")
+    b1.coalesce(1).write.parquet(str(feed / "b1"))
+
+    def merge_batch(batch, _epoch):
+        cur = batch.sparkSession.read.parquet(target).localCheckpoint()
+        ch = batch.withColumnsRenamed({"s": "c_s", "v": "c_v"}) \
+                  .localCheckpoint()
+        merged = (cur.join(ch, "k", "full_outer")
+                     .select("k",
+                             F.coalesce("c_s", "s").alias("s"),
+                             F.coalesce("c_v", "v").alias("v")))
+        merged.write.mode("overwrite").parquet(target)
+
+    stream = (spark.readStream.schema("k int, s string, v int")
+                   .option("maxFilesPerTrigger", "1")
+                   .parquet(str(feed / "*")))
+    q = (stream.writeStream.foreachBatch(merge_batch)
+               .option("checkpointLocation", str(tmp_path / "ck"))
+               .start())
+    q.processAllAvailable()
+    b2.coalesce(1).write.parquet(str(feed / "b2"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["k"]: (r["s"], r["v"])
+           for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("A", 11), 2: ("b", 20), 3: ("c", 30),
+                   10: ("M", 101), 11: ("N", 110)}
