@@ -86,12 +86,56 @@ def main() -> int:
                and salted[999] == n // 1000)
     t_skew = time.time() - t0
 
+    # flagship dedup path at 1M docs with PLANTED duplicates: docs i and
+    # i + n_docs/2 for i < n_pairs are byte-identical (distinct word
+    # sets otherwise, md5-derived), so LSH + exact-Jaccard verify must
+    # return EXACTLY the planted pairs at threshold 1.0 — identical
+    # docs agree on every band, and no two distinct docs share a full
+    # shingle set. Self-validating at any scale.
+    from hops_spark.ops.dedup import minhash_dedup_pairs
+    n_docs, n_pairs = 1_000_000, 1_000
+    half = n_docs // 2
+    t0 = time.time()
+    seed = F.when(F.col("id") < half + n_pairs,
+                  F.when(F.col("id") >= half, F.col("id") - half)
+                   .otherwise(F.col("id"))).otherwise(F.col("id"))
+    docs = spark.range(0, n_docs, 1, parts).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.md5(F.concat_ws("|", F.lit(str(w)), seed.cast("string")))
+            for w in range(8)]).alias("text"))
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_dedup_pairs(docs, threshold=1.0).collect()}
+    dedup_ok = pairs == {(i, i + half) for i in range(n_pairs)}
+    t_dedup = time.time() - t0
+
+    # metadata engine at 10M inodes: parent = id div 1000 -> every dir
+    # holds exactly 1000 files of size (id % 97); closed-form du per
+    # sampled dirs and exact listing counts
+    t0 = time.time()
+    n_ino = 10_000_000
+    ino = spark.range(0, n_ino, 1, parts).select(
+        F.col("id").alias("inode_id"),
+        (F.col("id") / 1000).cast("long").alias("parent"),
+        F.pmod("id", F.lit(97)).alias("size"))
+    du = {r["parent"]: (r["n"], r["b"]) for r in
+          ino.groupBy("parent")
+             .agg(F.count("*").alias("n"), F.sum("size").alias("b"))
+             .where(F.col("parent").isin(0, 4321, 9999)).collect()}
+
+    def _du(p):
+        return (1000, sum((p * 1000 + j) % 97 for j in range(1000)))
+    meta_ok = du == {p: _du(p) for p in (0, 4321, 9999)}
+    t_meta = time.time() - t0
+
     out = {"job": "stress_check", "n_rows": n, "n_partitions": parts,
            "rank_ok": bool(rank_ok), "rank_sec": round(t_rank, 1),
            "prefix_sum_ok": bool(ps_ok), "prefix_sum_sec": round(t_ps, 1),
-           "skew_agg_ok": bool(skew_ok), "skew_agg_sec": round(t_skew, 1)}
+           "skew_agg_ok": bool(skew_ok), "skew_agg_sec": round(t_skew, 1),
+           "dedup_1m_ok": bool(dedup_ok), "dedup_1m_sec": round(t_dedup, 1),
+           "meta_10m_ok": bool(meta_ok), "meta_10m_sec": round(t_meta, 1)}
     print(json.dumps(out))
-    return 0 if (rank_ok and ps_ok and skew_ok) else 1
+    return 0 if all((rank_ok, ps_ok, skew_ok, dedup_ok, meta_ok)) else 1
 
 
 if __name__ == "__main__":
