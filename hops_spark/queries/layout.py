@@ -269,3 +269,96 @@ def pagerank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank_int(edges, iters=_PR_ITERS)
     return (pr.select(F.col("node").alias("word"), "rank_ppm")
               .orderBy(F.desc("rank_ppm"), "word").limit(50))
+
+
+_ZX_DUCK = _ZCELL[0].replace("{IDIV}", "//")
+_ZY_DUCK = _ZCELL[1].replace("{IDIV}", "//")
+
+
+@register(
+    "zorder_skipping",
+    sql=f"""
+    WITH pts AS (
+        SELECT l_orderkey AS ok, l_partkey AS x, l_suppkey AS y FROM lineitem
+    ), b AS (
+        SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax,
+               max(ok) AS okmax
+        FROM pts
+    ), coded AS (
+        SELECT ok, x, y,
+               {_ZX_DUCK} AS xi,
+               {_ZY_DUCK} AS yi,
+               (ok * 256) // (okmax + 1) AS naive_file,
+               xmin + (xmax - xmin) // 4 AS x_lo,
+               xmin + (xmax - xmin) // 2 AS x_hi,
+               ymin + (ymax - ymin) // 4 AS y_lo,
+               ymin + (ymax - ymin) // 2 AS y_hi
+        FROM pts, b
+    ), files AS (
+        SELECT CASE lay WHEN 'zorder' THEN ({_morton_sql()}) >> 16
+                        ELSE naive_file END AS file_id,
+               lay, x, y, x_lo, x_hi, y_lo, y_hi
+        FROM coded, (VALUES ('zorder'), ('naive')) AS l(lay)
+    ), stats AS (
+        SELECT lay, file_id,
+               min(x) AS fx0, max(x) AS fx1, min(y) AS fy0, max(y) AS fy1,
+               max(x_lo) AS x_lo, max(x_hi) AS x_hi,
+               max(y_lo) AS y_lo, max(y_hi) AS y_hi
+        FROM files GROUP BY lay, file_id
+    )
+    SELECT lay AS layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN fx1 >= x_lo AND fx0 <= x_hi
+                          AND fy1 >= y_lo AND fy0 <= y_hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_files_scanned,
+           CAST(sum(CASE WHEN fx1 >= x_lo AND fx0 <= x_hi
+                          AND fy1 >= y_lo AND fy0 <= y_hi
+                         THEN 1 ELSE 0 END) * 1000000 // count(*)
+                AS BIGINT) AS scan_ppm
+    FROM stats GROUP BY lay ORDER BY layout
+    """,
+    doc="Data-skipping effectiveness of Z-order vs insert-order layout "
+        "for the same box predicate (a quartile rectangle on partkey x "
+        "suppkey): a file must be scanned iff its min/max stats overlap "
+        "the box. Z-order files cover z-range rectangles, so the scan "
+        "fraction collapses; the naive layout's files span the full "
+        "secondary dimension and nearly all must be read. All integer "
+        "arithmetic; the oracle recomputes both layouts' file stats.",
+    tags=("maintenance", "layout", "scale", "profiling"),
+)
+def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("x"), F.col("l_suppkey").alias("y"))
+    b = li.agg(F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+               F.min("y").alias("ymin"), F.max("y").alias("ymax"),
+               F.max("ok").alias("okmax"))
+    coded = (li.join(F.broadcast(b))
+               .withColumn("xi", F.expr(_ZCELL[0].replace("{IDIV}", "div")))
+               .withColumn("yi", F.expr(_ZCELL[1].replace("{IDIV}", "div")))
+               .withColumn("naive_file", F.expr("(ok * 256) div (okmax + 1)"))
+               .withColumn("x_lo", F.expr("xmin + (xmax - xmin) div 4"))
+               .withColumn("x_hi", F.expr("xmin + (xmax - xmin) div 2"))
+               .withColumn("y_lo", F.expr("ymin + (ymax - ymin) div 4"))
+               .withColumn("y_hi", F.expr("ymin + (ymax - ymin) div 2")))
+    z = coded.withColumn("file_id",
+                         F.expr(f"({_morton_sql()}) >> 16")) \
+             .withColumn("lay", F.lit("zorder"))
+    nv = coded.withColumn("file_id", F.col("naive_file")) \
+              .withColumn("lay", F.lit("naive"))
+    files = z.unionByName(nv)
+    stats = (files.groupBy("lay", "file_id")
+                  .agg(F.min("x").alias("fx0"), F.max("x").alias("fx1"),
+                       F.min("y").alias("fy0"), F.max("y").alias("fy1"),
+                       F.max("x_lo").alias("x_lo"), F.max("x_hi").alias("x_hi"),
+                       F.max("y_lo").alias("y_lo"), F.max("y_hi").alias("y_hi")))
+    hit = ((F.col("fx1") >= F.col("x_lo")) & (F.col("fx0") <= F.col("x_hi"))
+           & (F.col("fy1") >= F.col("y_lo")) & (F.col("fy0") <= F.col("y_hi")))
+    return (stats.groupBy(F.col("lay").alias("layout"))
+                 .agg(F.count("*").alias("n_files"),
+                      F.sum(hit.cast("long")).alias("n_files_scanned"),
+                      F.expr("sum(CASE WHEN fx1 >= x_lo AND fx0 <= x_hi "
+                             "AND fy1 >= y_lo AND fy0 <= y_hi THEN 1 ELSE 0 "
+                             "END) * 1000000 div count(*)").cast("long")
+                       .alias("scan_ppm"))
+                 .orderBy("layout"))

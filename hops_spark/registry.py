@@ -114,7 +114,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "embedding_quantize", "vocab_coverage", "robust_scale_stats",
     "grouped_deciles", "dq_audit", "rfm_segments",
     "weekly_anomaly", "order_lead_times", "supplier_hhi",
-    "dsir_doc_weights", "ngram_novelty",
+    "dsir_doc_weights", "ngram_novelty", "zorder_skipping",
     "media_decode_ppm", "media_resize_nn",   # in-window already (new r4)
 )
 # Round-5 rotation plan: once CORRECTNESS_r04 lands green for this
