@@ -101,14 +101,19 @@ def canon(rows, cols):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--window"]
+    args = [a for a in sys.argv[1:] if a not in ("--window", "--queue")]
     window_only = "--window" in sys.argv
+    queue_only = "--queue" in sys.argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     specs = load_all()
     if window_only:
         # replicate the driver's scope: first 50 registry entries only
         specs = dict(list(specs.items())[:50])
+    elif queue_only:
+        # the post-rotation additions queued for the NEXT driver window
+        from hops_spark.registry import NEXT_WINDOW_QUEUE
+        specs = {n: specs[n] for n in NEXT_WINDOW_QUEUE if n in specs}
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
