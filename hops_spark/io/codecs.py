@@ -84,6 +84,8 @@ def bmp_decode(payload: bytes) -> tuple[int, int, bytes]:
     bytes — this undoes all three."""
     if payload is None or payload[:2] != b"BM":
         raise ValueError("not a BMP")
+    if len(payload) < 54:   # file header (14) + BITMAPINFOHEADER (40)
+        raise ValueError(f"BMP header truncated ({len(payload)} bytes)")
     data_off = struct.unpack_from("<I", payload, 10)[0]
     hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
@@ -112,14 +114,18 @@ def wav_decode(payload: bytes) -> dict:
     n_frames, pcm} using the stdlib ``wave`` reader."""
     import io
     import wave
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        return {
-            "n_channels": w.getnchannels(),
-            "sample_width": w.getsampwidth(),
-            "framerate": w.getframerate(),
-            "n_frames": w.getnframes(),
-            "pcm": w.readframes(w.getnframes()),
-        }
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            return {
+                "n_channels": w.getnchannels(),
+                "sample_width": w.getsampwidth(),
+                "framerate": w.getframerate(),
+                "n_frames": w.getnframes(),
+                "pcm": w.readframes(w.getnframes()),
+            }
+    except (wave.Error, EOFError, struct.error) as e:
+        # Module contract: malformed payload → ValueError (quarantine key).
+        raise ValueError(f"malformed WAV: {e}") from None
 
 
 def wav_encode(pcm: bytes, n_channels: int = 1, sample_width: int = 2,

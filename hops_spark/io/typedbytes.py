@@ -130,7 +130,7 @@ def _decode_body(code: int, f: BinaryIO):
         return _read_exact(f, n).decode("utf-8")
     if code == VECTOR:
         n = struct.unpack(">I", _read_exact(f, 4))[0]
-        return tuple(decode(f) for _ in range(n))
+        return tuple(_decode_nested(f) for _ in range(n))
     if code == LIST:
         out = []
         while True:
@@ -140,8 +140,19 @@ def _decode_body(code: int, f: BinaryIO):
             out.append(_decode_body(c, f))
     if code == MAP:
         n = struct.unpack(">I", _read_exact(f, 4))[0]
-        return {decode(f): decode(f) for _ in range(n)}
+        return {_decode_nested(f): _decode_nested(f) for _ in range(n)}
     raise ValueError(f"unknown typedbytes type code {code}")
+
+
+def _decode_nested(f: BinaryIO):
+    """Decode one element INSIDE a container. EOF here is a truncated
+    body, not a clean end-of-stream — surface it as ``EOFError`` per the
+    decode() contract (a bare ``decode`` would leak ``StopIteration``,
+    which comprehensions pass through as bogus clean EOF)."""
+    try:
+        return decode(f)
+    except StopIteration:
+        raise EOFError("typedbytes stream truncated inside a container") from None
 
 
 def decode_pairs(f: BinaryIO):
@@ -152,4 +163,10 @@ def decode_pairs(f: BinaryIO):
             k = decode(f)
         except StopIteration:
             return
-        yield k, decode(f)
+        try:
+            v = decode(f)
+        except StopIteration:
+            # A key with no value is a truncated record, not clean EOF
+            # (and PEP 479 would otherwise turn this into RuntimeError).
+            raise EOFError("typedbytes stream ended after a key with no value") from None
+        yield k, v

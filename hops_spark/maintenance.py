@@ -44,10 +44,11 @@ def distcp_plan(listing: DataFrame, src_root: str, dst_root: str,
         listing.withColumn("_neg_size", -F.col("size")),
         "_neg_size", "src", rank_col="_rank")
     # binaryFile listings carry a URI scheme ("file:/...") the caller's
-    # src_root usually lacks — strip it before the prefix swap so dst
-    # mirrors the source tree regardless of how the root was spelled.
+    # src_root may or may not include — strip it from BOTH sides so the
+    # prefix-swap offset is right regardless of how either was spelled.
+    root = src_root.removeprefix("file:")
     rel = F.expr(
-        f"substring(regexp_replace(src, '^file:', ''), {len(src_root) + 1})")
+        f"substring(regexp_replace(src, '^file:', ''), {len(root) + 1})")
     return (ranked
             .withColumn("dst", F.concat(F.lit(dst_root), rel))
             .withColumn("chunk", F.pmod(F.col("_rank"), F.lit(tasks)))

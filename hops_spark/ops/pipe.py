@@ -110,14 +110,20 @@ def pipe_binary(df: DataFrame, argv: list[str],
     def run_partition(rows):
         proc = subprocess.Popen(argv, stdin=subprocess.PIPE,
                                 stdout=subprocess.PIPE)
+        feed_err: list[BaseException] = []
 
         def feed():
+            # A feeder failure must fail the TASK, not silently close
+            # stdin (the child would see clean EOF and exit 0 with
+            # truncated output) — capture and re-raise after join().
             try:
                 for r in rows:
                     k = bytes(r[0]) if r[0] is not None else b""
                     v = bytes(r[1]) if r[1] is not None else b""
                     proc.stdin.write(struct.pack(">I", len(k)) + k)
                     proc.stdin.write(struct.pack(">I", len(v)) + v)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                feed_err.append(e)
             finally:
                 proc.stdin.close()
 
@@ -133,6 +139,8 @@ def pipe_binary(df: DataFrame, argv: list[str],
             v = proc.stdout.read(vlen)
             yield (bytearray(k), bytearray(v))
         t.join()
+        if feed_err:
+            raise feed_err[0]
         proc.wait()
         if proc.returncode != 0:
             raise RuntimeError(f"pipes worker exited {proc.returncode}")
@@ -167,14 +175,20 @@ def pipe_typedbytes(df: DataFrame, argv: list[str],
     def run_partition(rows):
         proc = subprocess.Popen(argv, stdin=subprocess.PIPE,
                                 stdout=subprocess.PIPE)
+        feed_err: list[BaseException] = []
 
         def feed():
+            # Same contract as pipe_binary: an encode failure (e.g. a
+            # None value — typedbytes has no null code) must fail the
+            # task, not close stdin as if the input ended cleanly.
             try:
                 for r in rows:
                     buf = bytearray()
                     tb.encode(_to_plain(r[0]), buf)
                     tb.encode(_to_plain(r[1]), buf)
                     proc.stdin.write(bytes(buf))
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                feed_err.append(e)
             finally:
                 proc.stdin.close()
 
@@ -182,11 +196,17 @@ def pipe_typedbytes(df: DataFrame, argv: list[str],
         t.start()
         yield from tb.decode_pairs(proc.stdout)
         t.join()
+        if feed_err:
+            raise feed_err[0]
         proc.wait()
         if proc.returncode != 0:
             raise RuntimeError(f"typedbytes worker exited {proc.returncode}")
 
     def _to_plain(v):
+        if v is None:
+            raise ValueError(
+                "typedbytes has no null type code; coalesce/filter None "
+                "values before pipe_typedbytes (e.g. F.coalesce(col, lit('')))")
         if isinstance(v, bytearray):
             return bytes(v)
         if hasattr(v, "asDict"):                # Row → dict (MAP framing)

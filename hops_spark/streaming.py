@@ -221,8 +221,11 @@ def kafka_writer(df: DataFrame, brokers: str, topic: str,
     if missing:
         raise ValueError(f"kafka writer: key columns not in frame: {missing}")
     rec = to_kafka_records(df, key_cols)
-    assert [(f.name, f.dataType.simpleString()) for f in rec.schema.fields] \
-        == [("key", "binary"), ("value", "binary")], rec.schema
+    # ValueError, not assert: the sink contract check must survive -O.
+    got = [(f.name, f.dataType.simpleString()) for f in rec.schema.fields]
+    if got != [("key", "binary"), ("value", "binary")]:
+        raise ValueError(f"kafka writer: record schema must be "
+                         f"(key binary, value binary), got {got}")
     return (rec.writeStream.format("kafka")
                .option("kafka.bootstrap.servers", brokers)
                .option("topic", topic)

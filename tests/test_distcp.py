@@ -108,3 +108,19 @@ def test_distcp_dynamic_steals_from_straggler(spark, tmp_path):
     # would serialize after the sleep (>= baseline + 2 sleeps).
     assert elapsed < baseline + 2 * SLEEP, \
         f"work stealing didn't overlap: {elapsed:.1f}s (baseline {baseline:.1f}s)"
+
+
+def test_distcp_plan_src_root_with_file_scheme(spark, tmp_path):
+    """ADVICE r4: src_root spelled with the 'file:' scheme (as
+    binaryFile listings print it) must yield the same dst paths as the
+    bare-path spelling — the prefix offset normalizes both sides."""
+    srcroot = tmp_path / "src"
+    _make_tree(str(srcroot), 3)
+    listing = list_files(spark, str(srcroot))
+    bare = {r.src: r.dst for r in
+            distcp_plan(listing, str(srcroot), "/dst", tasks=2).collect()}
+    schemed = {r.src: r.dst for r in
+               distcp_plan(listing, "file:" + str(srcroot), "/dst",
+                           tasks=2).collect()}
+    assert bare == schemed
+    assert all(d.startswith("/dst/") for d in bare.values())

@@ -418,3 +418,39 @@ def test_quantize_int8_zero_vector_and_bounds(spark):
     bad = q.select(F.explode("q").alias("x")) \
            .where((F.col("x") > 127) | (F.col("x") < -128)).count()
     assert bad == 0
+
+
+def test_pipe_typedbytes_none_value_fails_loudly(spark):
+    """ADVICE r4: a feeder-thread encode failure (None has no typedbytes
+    code) must fail the JOB — not close stdin as clean EOF and return
+    silently truncated output."""
+    import sys
+
+    import pytest
+
+    from hops_spark.ops.pipe import pipe_typedbytes
+
+    df = spark.createDataFrame([("a", 1), (None, 2)], "key string, value int") \
+              .coalesce(1)
+    cat = [sys.executable, "-c",
+           "import sys, shutil; shutil.copyfileobj(sys.stdin.buffer, sys.stdout.buffer)"]
+    with pytest.raises(Exception, match="null type code|ValueError"):
+        pipe_typedbytes(df, cat, out_schema="key string, value int").collect()
+
+
+def test_codecs_malformed_payloads_raise_valueerror_only():
+    """Module contract (ADVICE r4): malformed payloads raise ValueError
+    — never struct.error / wave.Error / EOFError — so quarantine routing
+    keyed on ValueError holds for every codec."""
+    import pytest
+
+    from hops_spark.io import codecs
+
+    for fn, payloads in [
+        (codecs.bmp_decode, [b"BM", b"BM" + b"\x00" * 20, b"nope"]),
+        (codecs.ppm_decode, [b"P6 junk", b"P6\n2 2\n255\nxx", b"BM"]),
+        (codecs.wav_decode, [b"RIFF", b"RIFF\x00\x00\x00\x00WAVE", b"x"]),
+    ]:
+        for p in payloads:
+            with pytest.raises(ValueError):
+                fn(p)

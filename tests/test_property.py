@@ -332,3 +332,36 @@ def test_typedbytes_roundtrip_arbitrary_nested(values):
             break
     assert got == list(values)
     assert f.read() == b""          # no trailing bytes
+
+
+@SET
+@given(value=_tb_value)
+def test_typedbytes_truncation_never_reports_clean_eof(value):
+    """Every strict prefix of an encoded value must raise EOFError or
+    ValueError from decode() — never StopIteration (clean EOF) and never
+    a leaked RuntimeError from a nested generator. Containers truncated
+    at an ELEMENT boundary are the regression case (a bare nested
+    decode() leaks StopIteration through dict/genexp comprehensions)."""
+    import io
+
+    import pytest
+
+    from hops_spark.io import typedbytes as tb
+    full = tb.encode_bytes(value)
+    for cut in range(1, len(full)):
+        f = io.BytesIO(full[:cut])
+        with pytest.raises((EOFError, ValueError)):
+            tb.decode(f)
+
+
+def test_typedbytes_pair_stream_dangling_key_is_eoferror():
+    """decode_pairs: a stream ending after a key (no value) is a
+    truncated record — EOFError, not clean EOF, not PEP-479 RuntimeError."""
+    import io
+
+    import pytest
+
+    from hops_spark.io import typedbytes as tb
+    buf = tb.encode_bytes("k1") + tb.encode_bytes(1) + tb.encode_bytes("dangling")
+    with pytest.raises(EOFError):
+        list(tb.decode_pairs(io.BytesIO(buf)))

@@ -373,3 +373,22 @@ def test_streaming_merge_maintains_scd1_state(spark, tmp_path):
            for r in spark.read.parquet(target).collect()}
     assert got == {1: ("A", 11), 2: ("b", 20), 3: ("c", 30),
                    10: ("M", 101), 11: ("N", 110)}
+
+
+def test_kafka_writer_schema_check_is_not_an_assert(spark, sf_dir, monkeypatch):
+    """ADVICE r4: the (key binary, value binary) record-schema check
+    must raise ValueError (assert is stripped under -O)."""
+    import pytest as _pytest
+
+    from hops_spark import streaming as _S
+    from hops_spark.streaming import kafka_writer, read_events_stream
+
+    # Sabotage the record builder so the contract check has to fire.
+    monkeypatch.setattr(_S, "to_kafka_records",
+                        lambda df, key_cols: df.selectExpr(
+                            "CAST(event_id AS STRING) AS key",
+                            "CAST(user_id AS STRING) AS value"))
+    st = read_events_stream(spark, sf_dir)
+    with _pytest.raises(ValueError, match="record schema"):
+        kafka_writer(st, brokers="b:9092", topic="t",
+                     checkpoint="/tmp/ck", key_cols=["event_id"])
