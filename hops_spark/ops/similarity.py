@@ -332,3 +332,74 @@ def quantize_int8(df: DataFrame, id_col: str = "vec_id",
          .otherwise(F.transform(
              v, lambda x: F.floor(x * 127 / scale).cast("int")))
     return df.select(F.col(id_col), scale.alias("scale"), q.alias("q"))
+
+
+# --- cell-partitioned serving index (build once, probe many) -----------
+
+
+def build_cell_index(corpus: DataFrame,
+                     centroids: list[tuple[int, list[float]]],
+                     index_dir: str, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Materialize the ANN serving index: each vector assigned to its
+    nearest centroid cell (argmax over the broadcast codebook — one
+    narrow pass) and stored SQ8-QUANTIZED ONLY (scale + int8 codes, 4x
+    smaller than float32 — the quantized form IS the index; full
+    precision stays in the source table), written as parquet
+    partitioned BY CELL. A probe then reads only nprobe/n_cells of the
+    files via static partition pruning — the layout is the query-time
+    optimization, exactly Spark's partition-pruned scan path.
+
+    Reference analog: MapFileOutputFormat's sorted+indexed layout for
+    point lookups (hadoop-mapreduce-client-core/.../output/
+    MapFileOutputFormat.java:38) re-expressed as a partitioned
+    columnar index."""
+    cell_of = F.array_max(_cell_sims(F.col(vec_col), centroids)) \
+               .getField("cell")
+    q = quantize_int8(corpus, id_col, vec_col) \
+        .withColumnRenamed("q", "q_int8")
+    (corpus.select(id_col, vec_col).withColumn("cell", cell_of)
+           .join(q, id_col)
+           .select(id_col, "cell", "scale", "q_int8")
+           .write.mode("overwrite").partitionBy("cell").parquet(index_dir))
+
+
+def probe_cell_index(spark, index_dir: str,
+                     centroids: list[tuple[int, list[float]]],
+                     queries: DataFrame, k: int = 10, nprobe: int = 2,
+                     id_col: str = "vec_id",
+                     qid_col: str = "q_id", qvec_col: str = "q_vec"
+                     ) -> tuple[DataFrame, list[int]]:
+    """Probe the cell-partitioned SQ8 index: per query take the nprobe
+    nearest cells (same rounded-cosine/larger-cell tie-break as the
+    build assignment), restrict the scan to the UNION of probed cells
+    with a literal IN filter — static partition pruning, the scan never
+    touches unprobed cell directories — then score the DEQUANTIZED
+    codes (q_i * scale / 127) against the full-precision query vector.
+
+    The probed-cell collect is bounded by n_queries x nprobe ids
+    (driver-side metadata, like the codebook itself). Returns
+    (top-k DataFrame, probed cell ids) so callers can assert pruning."""
+    vectors = spark.read.parquet(index_dir)
+    probes = F.slice(F.reverse(F.array_sort(
+        _cell_sims(F.col(qvec_col), centroids))), 1, nprobe)
+    qb = (queries.withColumn("_p", F.explode(probes))
+                 .select(qid_col, qvec_col, F.col("_p.cell").alias("cell")))
+    cells_needed = sorted(r["cell"] for r in
+                          qb.select("cell").distinct().collect())
+    pruned = vectors.where(F.col("cell").isin(cells_needed))
+    deq = F.transform(F.col("q_int8"),
+                      lambda x: x.cast("double") * F.col("scale") / 127.0)
+    scored = (pruned.filter(F.col("scale") > 0)
+                    .withColumn("_dv", deq)
+                    .join(F.broadcast(qb), "cell")
+                    .filter(F.col(id_col) != F.col(qid_col))
+                    .select(F.col(qid_col),
+                            F.col(id_col).alias("neighbor_id"),
+                            F.round(cosine(F.col("_dv"), F.col(qvec_col)), 6)
+                             .alias("cos_sim")))
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(),
+                                            F.col("neighbor_id").asc())
+    top = (scored.withColumn("rnk", F.row_number().over(w))
+                 .filter(F.col("rnk") <= k))
+    return top, cells_needed

@@ -473,3 +473,83 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("md5(array_join(transform(q, x -> cast(x as string)), ','))")
                  .alias("q_digest"))
             .orderBy("vec_id"))
+
+
+@register(
+    "ann_probe",
+    # Oracle rebuilds the SERVING INDEX CONTENT relationally: the same
+    # md5-sampled codebook and argmax cell assignment as knn_ivf, plus
+    # the SQ8 quantize->dequantize round (q_i = floor(x*127/scale),
+    # dv_i = q_i*scale/127 — floor on the shared double grid is
+    # tie-free), then probes nprobe cells and ranks by the DEQUANTIZED
+    # cosine. Matching hashes prove the on-disk quantized index returns
+    # exactly the rows the relational definition demands.
+    sql=f"""
+    WITH d AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cid, v AS cv FROM d
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {N_CELLS}
+    ), assign AS (
+        SELECT d.vec_id, d.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY d.vec_id
+                   ORDER BY round(list_cosine_similarity(d.v, c.cv), 6) DESC,
+                            c.cid DESC) AS rn
+        FROM d CROSS JOIN cent c
+    ), deq AS (
+        SELECT vec_id,
+               list_transform(v, x -> floor(x * 127 / scale) * scale / 127)
+                   AS dv
+        FROM (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) AS scale
+              FROM d)
+        WHERE scale > 0
+    ), cells AS (
+        SELECT a.vec_id, deq.dv, a.cid AS cell
+        FROM assign a JOIN deq USING (vec_id) WHERE a.rn = 1
+    ), qprobe AS (
+        SELECT vec_id AS q_id, v AS qv, cid AS cell
+        FROM assign WHERE vec_id < {N_QUERIES} AND rn <= {NPROBE}
+    ), scored AS (
+        SELECT q.q_id, cells.vec_id AS neighbor_id,
+               round(list_cosine_similarity(cells.dv, q.qv), 6) AS cos_sim
+        FROM cells JOIN qprobe q USING (cell)
+        WHERE cells.vec_id <> q.q_id
+    ), ranked AS (
+        SELECT q_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cos_sim, rnk
+    FROM ranked WHERE rnk <= {K}
+    ORDER BY q_id, rnk
+    """,
+    doc="End-to-end ANN SERVING path: build the cell-partitioned SQ8 "
+        "parquet index on disk (ops/similarity.build_cell_index), then "
+        "probe it (probe_cell_index) — the scan is statically pruned to "
+        "the nprobe probed cell partitions and scores dequantized int8 "
+        "codes. The one LLM-pipeline path previously verified only via "
+        "CLI/pytest (tools/ann_index.py); pruning is plan-asserted in "
+        "tests/test_ann_index.py.",
+    tags=("similarity", "north-star", "io"),
+)
+def ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = SIM.ivf_centroids(e, N_CELLS)
+    index_dir = os.path.join(tempfile.mkdtemp(prefix="hops_ann_probe_"),
+                             "vectors")
+    SIM.build_cell_index(e, cents, index_dir)
+    queries = (e.filter(F.col("vec_id") < N_QUERIES)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec")))
+    top, _cells = SIM.probe_cell_index(spark, index_dir, cents, queries,
+                                       K, NPROBE)
+    return (top.select("q_id", "neighbor_id", "cos_sim", "rnk")
+               .orderBy("q_id", "rnk"))

@@ -50,50 +50,47 @@ def register(name: str, sql: str | None = None, doc: str = "",
 # registration order after the listed ones; listed-but-unregistered names
 # are ignored (lets the list name queries added later in the round).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (27): the round-5 additions that were
-    # queued at positions 51+ while the r3 window re-proved; all pass
-    # the local oracle replica — this rotation converts them to hard
-    # driver rows ---
-    "cube_revenue", "salted_join_skew", "feature_store_pit",
-    "distribution_windows", "sentence_split",
-    "meta_inline_read", "meta_rack_placement", "distcp_update_plan",
-    "meta_time_travel",
-    "funnel_conversion", "cohort_retention", "scd2_history",
-    "resample_gap_fill", "grouped_trend_ols", "numeric_histogram",
-    "grouped_outliers", "merge_upsert", "zorder_layout", "shard_shuffle",
-    "pagerank_words", "equi_depth_bins", "numeric_corr_matrix",
-    "table_profile", "pi_qmc", "basket_pairs_lift", "triangle_count",
-    "fuzzy_match_parts",
-    # --- new in round 4 (real-codec media queries) ---
-    "media_decode_ppm", "media_resize_nn",
-    # --- re-prove after this round's rewrites (both r3-green, but the
-    # implementation changed: BPE merge loop is now driver-side delta-
-    # maintained; pack_sequences rides the broadcast-join offsets fix) ---
-    "bpe_merges", "pack_sequences",
-    # --- r1-only-green rotation (18 of 36): joins, sort/window, setop,
-    # agg, and three TPC-H shapes — total_order_sort also re-proves the
-    # offsets fix on the rank path ---
-    "join_inner", "join_outer", "join_override", "join_semi", "join_anti",
-    "join_asof",
-    "total_order_sort", "key_field_sort", "secondary_sort",
-    "ranking_windows", "top_customers", "top_k_per_group",
-    "set_union_distinct", "exact_quantiles", "pivot_status_by_flag",
-    "revenue_by_nation", "q2_min_cost_supplier", "q3_shipping_priority",
-    # --- flagship keeper (green r2+r3; stays in-window for the judge) ---
+    # --- never driver-checked (21): the r4 NEXT_WINDOW_QUEUE — all
+    # pass the local gate replica (judge re-confirmed in VERDICT r4);
+    # this rotation converts them to hard driver rows ---
+    "bpe_tokenize_docs", "sentence_dedup", "cdc_chunks",
+    "embedding_quantize", "vocab_coverage",
+    "meta_xattr_search", "meta_snapshot_diff",
+    "rolling_window_agg", "skew_profile",
+    "winsorized_stats", "grouped_mode", "robust_scale_stats",
+    "grouped_deciles", "dq_audit", "rfm_segments",
+    "weekly_anomaly", "order_lead_times", "supplier_hhi",
+    "dsir_doc_weights", "ngram_novelty", "zorder_skipping",
+    # --- new in round 5 (never-green by construction) ---
+    "ann_probe", "avro_roundtrip", "counting_bloom", "dynamic_bloom",
+    "sls_fifo_replay",
+    # --- aging refresh (oldest greens: last-green r2) — includes
+    # value_histogram, the r4 bench watch item, so the driver re-proves
+    # it alongside the idle-box re-measure ---
+    "value_histogram", "q1_pricing_summary", "q12_priority_by_status",
+    "wordcount", "dedup_exact",
+    # --- r1-only-green rotation (18): the TPC-H tail, never refreshed
+    # since round 1 ---
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_important_stock", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
+    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_filter",
+    "q20_part_suppliers", "q21_sole_returner", "q22_dormant_customers",
+    # --- flagship keeper (green r2+r3+r4; stays in-window for the judge) ---
     "minhash_dedup_pairs",
 )
 # Cumulative hard-verification ledger (driver CORRECTNESS files):
 #  r1 green: TPC-H q1..q22, join/sort/setop/scan core
 #  r2 green: dedup/similarity/text/multimodal/pipeline/metadata/streaming
-#  r3 green: 50/50 (CORRECTNESS_r03.json — the 28 previously-unchecked
-#  + the 2 r2-error fixes + the 13 r3 additions + 6 r4 additions +
-#  keeper all hash-matched; zero errors).
-#  Union after r3: 133 distinct queries driver-green; never a checked
-#  query that is not now green.
-#  r4 window (above): the 27 never-driver-checked round-5 additions +
-#  2 new real-codec queries + 2 re-proofs (bpe_merges, pack_sequences
-#  — implementations changed this round) + 18 of the 36 r1-only-green
-#  rows + keeper = 50.
+#  r3 green: 50/50; r4 green: 50/50 (zero errors both rounds).
+#  Union after r4: 162 distinct queries driver-green; never a checked
+#  query that is not now green. The 21 never-green queries are the r4
+#  NEXT_WINDOW_QUEUE — all judge-verified against the local gate
+#  replica in VERDICT r4.
+#  r5 window (above): those 21 + 5 new round-5 queries + 5 aging
+#  last-green-r2 refreshes (incl. value_histogram, the r4 bench watch
+#  item) + the 18-row r1-only TPC-H tail + keeper = 50.
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -107,24 +104,9 @@ def load_all() -> dict[str, QuerySpec]:
 # the local oracle replica and take window slots FIRST next rotation
 # (the window guard test enforces that overflow never-green queries are
 # exactly this queue).
-NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    "bpe_tokenize_docs", "meta_xattr_search", "cdc_chunks",
-    "rolling_window_agg", "skew_profile", "meta_snapshot_diff",
-    "winsorized_stats", "grouped_mode", "sentence_dedup",
-    "embedding_quantize", "vocab_coverage", "robust_scale_stats",
-    "grouped_deciles", "dq_audit", "rfm_segments",
-    "weekly_anomaly", "order_lead_times", "supplier_hhi",
-    "dsir_doc_weights", "ngram_novelty", "zorder_skipping",
-    "media_decode_ppm", "media_resize_nn",   # in-window already (new r4)
-)
-# Round-5 rotation plan: once CORRECTNESS_r04 lands green for this
-# window, fill the freed slots FIRST with NEXT_WINDOW_QUEUE, THEN
-# the 18 remaining r1-only-green rows (q4..q22 minus q12 — the TPC-H
-# tail: q4_order_priority, q5_local_supplier_volume,
-# q6_forecast_revenue, q7_volume_shipping, q8_market_share,
-# q9_product_profit, q10_returned_items, q11_important_stock,
-# q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
-# q16_supplier_cnt, q17_small_qty_revenue, q18_large_orders,
-# q19_disjunctive_filter, q20_part_suppliers, q21_sole_returner,
-# q22_dormant_customers), THEN start aging the r2-green families back
-# through; keep the keeper.
+NEXT_WINDOW_QUEUE: tuple[str, ...] = ()
+# Round-6 rotation plan: once CORRECTNESS_r05 lands green for this
+# window, fill freed slots FIRST with any NEXT_WINDOW_QUEUE overflow,
+# THEN continue aging the last-green-r2 families back through (oldest
+# greens first: the r2 scan/text/dedup/similarity/streaming rows), THEN
+# last-green-r3; keep the keeper.

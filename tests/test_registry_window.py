@@ -23,12 +23,14 @@ KEEPER_CORE = {"minhash_dedup_pairs"}
 
 # Queries whose implementation materially changed this round — their
 # old green rows no longer certify the current code (registry.py ledger).
-REPROVE = {"bpe_merges", "pack_sequences", "total_order_sort"}
+# Round 5: no in-window query's semantics changed (the ADVICE fixes
+# touched error paths only).
+REPROVE: set[str] = set()
 
 
 def _green_rounds() -> dict[str, set[int]]:
     out: dict[str, set[int]] = {}
-    for rnd in (1, 2, 3):
+    for rnd in (1, 2, 3, 4):
         path = os.path.join(_REPO, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.exists(path):
             with open(path) as f:
@@ -56,13 +58,14 @@ def test_every_never_green_query_is_in_window_or_queued():
 
 def test_no_window_slot_wasted():
     """Every slot holds a never-green query, a keeper, a changed-code
-    re-proof, or an r1-only-green row being age-refreshed."""
+    re-proof, or an aging green row being refreshed (oldest greens
+    first: last-green round <= 2 as of the r5 rotation)."""
     green = _green_rounds()
     wasted = [n for n in list(load_all())[:50]
               if n in green
               and n not in KEEPER_CORE
               and n not in REPROVE
-              and green[n] != {1}]
+              and max(green[n]) > 2]
     assert not wasted, f"window slots wasted: {wasted}"
 
 
