@@ -1,0 +1,495 @@
+"""Avro read/write path — the reference's one schema'd serialization
+regime (AvroSerialization: hadoop-common-project/hadoop-common/src/main/
+java/org/apache/hadoop/io/serializer/avro/AvroSerialization.java:44),
+re-expressed for Spark.
+
+The sandbox ships Avro's JVM jars but NOT the spark-avro datasource, so
+this module implements the PUBLIC Avro 1.x specification directly
+(binary encoding + Object Container File), the same way io/typedbytes.py
+implements the Streaming wire protocol:
+
+- ``spark_to_avro`` / ``avro_to_spark``: the schema mapping contract
+  (the spark-avro public mapping: nullable -> union with "null",
+  struct<->record, array/map, date / timestamp-micros logical types).
+- ``encode_datum`` / ``Decoder``: the binary encoding (zigzag varint
+  longs, little-endian IEEE floats, length-prefixed bytes/strings,
+  block-framed arrays/maps, index-prefixed unions).
+- ``write_container`` / ``read_container``: the container file layout
+  (magic ``Obj\\x01``, metadata map with avro.schema/avro.codec, 16-byte
+  sync marker, sync-framed blocks; ``null`` and ``deflate`` codecs —
+  deflate is raw DEFLATE per the spec, no zlib header).
+- ``write_avro`` / ``read_avro``: the distributed path — one container
+  file per partition on write (embarrassingly parallel, no shuffle);
+  binaryFile listing + Arrow ``mapInPandas`` decode on read (file-level
+  parallelism: the scale contract is many-files datasets, the same
+  granularity spark-avro falls back to for non-splittable codecs).
+
+Interop is proven against the REAL Apache Avro Java library via the
+Spark JVM gateway (tests/test_avro.py): Python-written files read back
+with GenericDatumReader, and Java-written files read with this reader.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from datetime import date, datetime, timedelta, timezone
+
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+_EPOCH_DATE = date(1970, 1, 1)
+_EPOCH_TS = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+# --- schema mapping (the spark-avro public contract) --------------------
+
+_P2AVRO = {T.BooleanType: "boolean", T.IntegerType: "int",
+           T.ShortType: "int", T.ByteType: "int",
+           T.LongType: "long", T.FloatType: "float",
+           T.DoubleType: "double", T.StringType: "string",
+           T.BinaryType: "bytes"}
+_AVRO2P = {"boolean": T.BooleanType(), "int": T.IntegerType(),
+           "long": T.LongType(), "float": T.FloatType(),
+           "double": T.DoubleType(), "string": T.StringType(),
+           "bytes": T.BinaryType()}
+
+
+def spark_to_avro(dt: T.DataType, name: str = "topLevelRecord",
+                  nullable: bool = False):
+    """Spark DataType -> Avro schema (JSON-able). Nullable fields become
+    ``["null", T]`` unions; DateType -> int/date, TimestampType ->
+    long/timestamp-micros (the logical types AvroSerialization's
+    reflect/specific writers use for the same Java types)."""
+    if isinstance(dt, T.StructType):
+        sch = {"type": "record", "name": name,
+               "fields": [{"name": f.name,
+                           "type": spark_to_avro(f.dataType, f"{name}_{f.name}",
+                                                 f.nullable)}
+                          for f in dt.fields]}
+    elif isinstance(dt, T.ArrayType):
+        sch = {"type": "array",
+               "items": spark_to_avro(dt.elementType, f"{name}_item",
+                                      dt.containsNull)}
+    elif isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise ValueError("avro map keys must be string")
+        sch = {"type": "map",
+               "values": spark_to_avro(dt.valueType, f"{name}_value",
+                                       dt.valueContainsNull)}
+    elif isinstance(dt, T.DateType):
+        sch = {"type": "int", "logicalType": "date"}
+    elif isinstance(dt, T.TimestampType):
+        sch = {"type": "long", "logicalType": "timestamp-micros"}
+    elif isinstance(dt, T.TimestampNTZType):
+        sch = {"type": "long", "logicalType": "local-timestamp-micros"}
+    elif type(dt) in _P2AVRO:
+        sch = _P2AVRO[type(dt)]
+    else:
+        raise ValueError(f"no avro mapping for spark type {dt}")
+    return ["null", sch] if nullable else sch
+
+
+def avro_to_spark(sch) -> T.DataType:
+    """Avro schema (parsed JSON) -> Spark DataType. Unions of
+    ``null`` + one branch map to the branch (nullability lives on the
+    enclosing StructField/ArrayType); enum -> string, fixed -> binary."""
+    sch = _strip_null(sch)
+    if isinstance(sch, str):
+        if sch in _AVRO2P:
+            return _AVRO2P[sch]
+        raise ValueError(f"unsupported avro type {sch!r}")
+    t = sch["type"]
+    lt = sch.get("logicalType")
+    if lt == "date" and t == "int":
+        return T.DateType()
+    if lt in ("timestamp-micros", "timestamp-millis") and t == "long":
+        return T.TimestampType()
+    if lt == "local-timestamp-micros" and t == "long":
+        return T.TimestampNTZType()
+    if t == "record":
+        return T.StructType([
+            T.StructField(f["name"], avro_to_spark(f["type"]),
+                          _is_nullable(f["type"]))
+            for f in sch["fields"]])
+    if t == "array":
+        return T.ArrayType(avro_to_spark(sch["items"]),
+                           _is_nullable(sch["items"]))
+    if t == "map":
+        return T.MapType(T.StringType(), avro_to_spark(sch["values"]),
+                         _is_nullable(sch["values"]))
+    if t == "enum":
+        return T.StringType()
+    if t == "fixed":
+        return T.BinaryType()
+    if t in _AVRO2P:
+        return _AVRO2P[t]
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+def _is_nullable(sch) -> bool:
+    return isinstance(sch, list) and "null" in sch
+
+
+def _strip_null(sch):
+    if isinstance(sch, list):
+        branches = [b for b in sch if b != "null"]
+        if len(branches) != 1:
+            raise ValueError(f"only null+1-branch unions supported: {sch}")
+        return branches[0]
+    return sch
+
+
+# --- binary encoding -----------------------------------------------------
+
+
+def _write_long(out: bytearray, v: int) -> None:
+    """Zigzag + little-endian base-128 varint (spec 'Binary Encoding')."""
+    u = (v << 1) ^ (v >> 63)
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _write_bytes(out: bytearray, b: bytes) -> None:
+    _write_long(out, len(b))
+    out += b
+
+
+def encode_datum(out: bytearray, sch, v) -> None:
+    """Encode one value against an Avro schema node."""
+    if isinstance(sch, list):                       # union
+        branches = sch
+        if v is None:
+            if "null" not in branches:
+                raise ValueError("None for non-nullable union")
+            _write_long(out, branches.index("null"))
+            return
+        idx = next(i for i, b in enumerate(branches) if b != "null")
+        _write_long(out, idx)
+        encode_datum(out, branches[idx], v)
+        return
+    t = sch if isinstance(sch, str) else sch["type"]
+    lt = {} if isinstance(sch, str) else sch
+    if t == "null":
+        if v is not None:
+            raise ValueError("non-None for null schema")
+        return
+    if t == "boolean":
+        out.append(1 if v else 0)
+    elif t == "int" and lt.get("logicalType") == "date":
+        _write_long(out, (v - _EPOCH_DATE).days)
+    elif t == "long" and lt.get("logicalType") in ("timestamp-micros",
+                                                   "local-timestamp-micros"):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=timezone.utc)      # session tz is UTC
+        delta = v - _EPOCH_TS
+        _write_long(out, (delta.days * 86400 + delta.seconds) * 1_000_000
+                    + delta.microseconds)
+    elif t in ("int", "long"):
+        _write_long(out, int(v))
+    elif t == "float":
+        out += struct.pack("<f", v)
+    elif t == "double":
+        out += struct.pack("<d", v)
+    elif t == "string":
+        _write_bytes(out, v.encode("utf-8"))
+    elif t == "bytes":
+        _write_bytes(out, bytes(v))
+    elif t == "fixed":
+        if len(v) != sch["size"]:
+            raise ValueError(f"fixed size {sch['size']} != {len(v)}")
+        out += bytes(v)
+    elif t == "enum":
+        _write_long(out, sch["symbols"].index(v))
+    elif t == "record":
+        get = v.get if isinstance(v, dict) else (lambda n: v[n])
+        for f in sch["fields"]:
+            encode_datum(out, f["type"], get(f["name"]))
+    elif t == "array":
+        if v:
+            _write_long(out, len(v))
+            for item in v:
+                encode_datum(out, sch["items"], item)
+        _write_long(out, 0)
+    elif t == "map":
+        if v:
+            _write_long(out, len(v))
+            for k, mv in v.items():
+                _write_bytes(out, k.encode("utf-8"))
+                encode_datum(out, sch["values"], mv)
+        _write_long(out, 0)
+    else:
+        raise ValueError(f"unsupported avro type {t!r}")
+
+
+class Decoder:
+    """Positional decoder over an in-memory buffer."""
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def _take(self, n: int) -> bytes:
+        b = self.buf[self.pos:self.pos + n]
+        if len(b) != n:
+            raise EOFError(f"avro stream truncated ({len(b)}/{n})")
+        self.pos += n
+        return b
+
+    def read_long(self) -> int:
+        u = shift = 0
+        while True:
+            b = self._take(1)[0]
+            u |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+            if shift > 70:
+                raise ValueError("varint too long")
+        return (u >> 1) ^ -(u & 1)
+
+    def read_bytes(self) -> bytes:
+        n = self.read_long()
+        if n < 0:
+            raise ValueError(f"negative byte length {n}")
+        return self._take(n)
+
+    def read_datum(self, sch):
+        if isinstance(sch, list):                   # union
+            idx = self.read_long()
+            if not 0 <= idx < len(sch):
+                raise ValueError(f"union index {idx} out of range")
+            branch = sch[idx]
+            return None if branch == "null" else self.read_datum(branch)
+        t = sch if isinstance(sch, str) else sch["type"]
+        lt = {} if isinstance(sch, str) else sch
+        if t == "null":
+            return None
+        if t == "boolean":
+            return self._take(1)[0] != 0
+        if t == "int" and lt.get("logicalType") == "date":
+            return _EPOCH_DATE + timedelta(days=self.read_long())
+        if t == "long" and lt.get("logicalType") == "timestamp-micros":
+            return _EPOCH_TS + timedelta(microseconds=self.read_long())
+        if t == "long" and lt.get("logicalType") == "timestamp-millis":
+            return _EPOCH_TS + timedelta(milliseconds=self.read_long())
+        if t == "long" and lt.get("logicalType") == "local-timestamp-micros":
+            return (_EPOCH_TS + timedelta(microseconds=self.read_long())) \
+                .replace(tzinfo=None)
+        if t in ("int", "long"):
+            return self.read_long()
+        if t == "float":
+            return struct.unpack("<f", self._take(4))[0]
+        if t == "double":
+            return struct.unpack("<d", self._take(8))[0]
+        if t == "string":
+            return self.read_bytes().decode("utf-8")
+        if t == "bytes":
+            return self.read_bytes()
+        if t == "fixed":
+            return self._take(sch["size"])
+        if t == "enum":
+            return sch["symbols"][self.read_long()]
+        if t == "record":
+            return {f["name"]: self.read_datum(f["type"])
+                    for f in sch["fields"]}
+        if t == "array":
+            out = []
+            while True:
+                n = self.read_long()
+                if n == 0:
+                    return out
+                if n < 0:                           # block with byte size
+                    n = -n
+                    self.read_long()
+                out.extend(self.read_datum(sch["items"]) for _ in range(n))
+        if t == "map":
+            out = {}
+            while True:
+                n = self.read_long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    self.read_long()
+                for _ in range(n):
+                    k = self.read_bytes().decode("utf-8")
+                    out[k] = self.read_datum(sch["values"])
+        raise ValueError(f"unsupported avro type {t!r}")
+
+
+# --- object container file ------------------------------------------------
+
+
+def write_container(path: str, schema, rows, codec: str = "deflate",
+                    sync: bytes | None = None,
+                    block_rows: int = 4096) -> int:
+    """Write one Avro Object Container File. ``sync`` defaults to a
+    DETERMINISTIC marker derived from the path (RNG-free, like every
+    generator in this repo). Returns rows written."""
+    import hashlib
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    sync = sync or hashlib.md5(f"hops-avro|{path}".encode()).digest()
+    assert len(sync) == 16
+    header = bytearray(MAGIC)
+    meta = {"avro.schema": json.dumps(schema).encode(),
+            "avro.codec": codec.encode()}
+    _write_long(header, len(meta))
+    for k, v in sorted(meta.items()):
+        _write_bytes(header, k.encode())
+        _write_bytes(header, v)
+    _write_long(header, 0)
+    header += sync
+    n = 0
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        block, in_block = bytearray(), 0
+
+        def flush():
+            nonlocal block, in_block
+            if not in_block:
+                return
+            data = bytes(block)
+            if codec == "deflate":
+                c = zlib.compressobj(9, zlib.DEFLATED, -15)
+                data = c.compress(data) + c.flush()
+            frame = bytearray()
+            _write_long(frame, in_block)
+            _write_long(frame, len(data))
+            f.write(bytes(frame) + data + sync)
+            block, in_block = bytearray(), 0
+
+        for row in rows:
+            encode_datum(block, schema, row)
+            in_block += 1
+            n += 1
+            if in_block >= block_rows:
+                flush()
+        flush()
+    return n
+
+
+def read_header(buf: bytes) -> tuple[dict, str, bytes, int]:
+    """Parse a container header: (schema, codec, sync, body_offset)."""
+    if buf[:4] != MAGIC:
+        raise ValueError("not an avro object container file")
+    d = Decoder(buf, 4)
+    meta = {}
+    while True:
+        n = d.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            d.read_long()
+        for _ in range(n):
+            k = d.read_bytes().decode("utf-8")
+            meta[k] = d.read_bytes()
+    sync = d._take(16)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    return schema, codec, sync, d.pos
+
+
+def read_container(buf: bytes):
+    """Yield decoded rows (dicts for records) from container bytes."""
+    schema, codec, sync, pos = read_header(buf)
+    d = Decoder(buf, pos)
+    while d.pos < len(buf):
+        count = d.read_long()
+        size = d.read_long()
+        data = d._take(size)
+        if codec == "deflate":
+            data = zlib.decompress(data, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported codec {codec!r}")
+        if d._take(16) != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+        bd = Decoder(data)
+        for _ in range(count):
+            yield bd.read_datum(schema)
+
+
+# --- distributed Spark path ----------------------------------------------
+
+
+def write_avro(df, path: str, codec: str = "deflate") -> int:
+    """Write a DataFrame as one container file per partition under
+    ``path`` — embarrassingly parallel, zero shuffle (the same layout
+    contract as Spark's own file sinks: part files + independent tasks).
+    Returns total rows written."""
+    import os
+    os.makedirs(path, exist_ok=True)
+    schema = spark_to_avro(df.schema)
+    names = [f.name for f in df.schema.fields]
+
+    def write_part(idx: int, rows):
+        out = os.path.join(path, f"part-{idx:05d}.avro")
+        n = write_container(out, schema,
+                            ({k: r[k] for k in names} for r in rows),
+                            codec=codec)
+        if n == 0 and os.path.exists(out):
+            os.remove(out)                # no empty part files
+        yield n
+
+    counts = df.rdd.mapPartitionsWithIndex(write_part).collect()
+    return sum(counts)
+
+
+def read_avro(spark, path: str):
+    """Read a directory of (or a single) .avro container file(s) into a
+    DataFrame: schema from one header read driver-side, then a
+    distributed binaryFile scan + Arrow mapInPandas decode — file-level
+    parallelism (at scale, datasets are many files; this is the same
+    granularity spark-avro uses for non-splittable codecs)."""
+    import glob as _glob
+    import os
+
+    import pandas as pd
+
+    first = path
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.avro")))
+        if not files:
+            raise ValueError(f"no .avro files under {path}")
+        first = files[0]
+    with open(first, "rb") as f:
+        head = f.read(1 << 20)
+    avro_schema, _codec, _sync, _ = read_header(head)
+    spark_schema = avro_to_spark(avro_schema)
+    if not isinstance(spark_schema, T.StructType):
+        raise ValueError("top-level avro schema must be a record")
+    names = [f.name for f in spark_schema.fields]
+    tz_cols = {f.name for f in spark_schema.fields
+               if isinstance(f.dataType, T.TimestampType)}
+    ntz_cols = {f.name for f in spark_schema.fields
+                if isinstance(f.dataType, T.TimestampNTZType)}
+
+    def decode_files(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows = list(read_container(bytes(content)))
+                cols = {}
+                for n in names:
+                    vals = [r[n] for r in rows]
+                    if n in tz_cols:
+                        cols[n] = pd.to_datetime(vals, utc=True)
+                    elif n in ntz_cols:
+                        cols[n] = pd.to_datetime(vals)
+                    else:
+                        cols[n] = pd.Series(vals, dtype="object")
+                yield pd.DataFrame(cols)
+
+    bf = (spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*.avro").load(path)
+          .select("content"))
+    return bf.mapInPandas(decode_files, schema=spark_schema)

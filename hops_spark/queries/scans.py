@@ -333,3 +333,53 @@ def random_writer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("key").alias("n_distinct_keys"),
                  F.sum(F.length("value")).cast("long").alias("total_value_bytes"),
                  F.min("key").alias("first_key"))
+
+
+@register(
+    "avro_roundtrip",
+    # Oracle aggregates the SOURCE parquet directly; the Spark side
+    # aggregates the avro-written-then-reread copy — hashes match iff
+    # the container roundtrip (schema mapping, zigzag varints, deflate
+    # blocks, timestamp-micros) is lossless.
+    sql="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           CAST(max(floor(epoch(o_orderdate))) AS BIGINT) AS max_epoch_s
+    FROM orders WHERE o_orderkey % 7 = 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Avro object-container read/write path (the reference's schema'd "
+        "serialization regime, AvroSerialization.java:44): a deterministic "
+        "orders slice is written as deflate-coded avro part files (one per "
+        "partition, zero shuffle) and re-read via binaryFile + Arrow "
+        "mapInPandas (io/avro.py — the PUBLIC Avro spec implemented "
+        "directly; Java-library interop proven in tests/test_avro.py). "
+        "The aggregate over the roundtripped copy must hash-match the "
+        "oracle's aggregate over the source parquet.",
+    tags=("io", "scan", "serialization"),
+)
+def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from hops_spark.io import avro as A
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderkey") % 7 == 0)
+              .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                      "o_orderdate"))
+    path = os.path.join(tempfile.mkdtemp(prefix="hops_avro_rt_"), "orders")
+    A.write_avro(orders.repartition(4), path, codec="deflate")
+    back = A.read_avro(spark, path)
+    return (back.groupBy("o_orderstatus")
+                .agg(F.count("*").alias("n_orders"),
+                     F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                            .cast("long")).alias("total_cents"),
+                     F.min("o_orderkey").alias("min_key"),
+                     F.max("o_orderkey").alias("max_key"),
+                     F.max(F.unix_timestamp("o_orderdate"))
+                      .alias("max_epoch_s"))
+                .orderBy("o_orderstatus"))

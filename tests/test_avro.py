@@ -1,0 +1,218 @@
+"""Avro path: schema mapping, binary encoding, container roundtrip,
+distributed Spark read/write, and INTEROP against the real Apache Avro
+Java library (on the Spark classpath) via the JVM gateway — files
+written by the pure-Python writer are read by GenericDatumReader and
+vice versa, so the wire format is proven, not assumed."""
+
+from __future__ import annotations
+
+import json
+from datetime import date, datetime, timezone
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hops_spark.io import avro as A
+
+SET = settings(max_examples=25, deadline=None,
+               suppress_health_check=[HealthCheck.too_slow])
+
+_ALL_TYPES_SCHEMA = {
+    "type": "record", "name": "r", "fields": [
+        {"name": "b", "type": "boolean"},
+        {"name": "i", "type": "int"},
+        {"name": "l", "type": "long"},
+        {"name": "f", "type": "float"},
+        {"name": "d", "type": "double"},
+        {"name": "s", "type": "string"},
+        {"name": "by", "type": "bytes"},
+        {"name": "opt", "type": ["null", "long"]},
+        {"name": "arr", "type": {"type": "array", "items": "int"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+        {"name": "e", "type": {"type": "enum", "name": "col",
+                               "symbols": ["RED", "GREEN", "BLUE"]}},
+        {"name": "fx", "type": {"type": "fixed", "name": "f4", "size": 4}},
+        {"name": "dt", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+        {"name": "nested", "type": {"type": "record", "name": "inner",
+                                    "fields": [{"name": "x", "type": "long"}]}},
+    ]}
+
+_ALL_TYPES_ROW = {
+    "b": True, "i": -42, "l": 1 << 40, "f": 1.5, "d": -2.25,
+    "s": "héllo ✓", "by": b"\x00\xff\x01", "opt": None,
+    "arr": [1, -2, 3], "m": {"k1": "v1", "k2": "v2"},
+    "e": "GREEN", "fx": b"ABCD",
+    "dt": date(2024, 2, 29),
+    "ts": datetime(2024, 2, 29, 12, 34, 56, 789012, tzinfo=timezone.utc),
+    "nested": {"x": 7},
+}
+
+
+def test_encode_decode_all_types():
+    buf = bytearray()
+    A.encode_datum(buf, _ALL_TYPES_SCHEMA, _ALL_TYPES_ROW)
+    got = A.Decoder(bytes(buf)).read_datum(_ALL_TYPES_SCHEMA)
+    assert got == _ALL_TYPES_ROW
+
+
+@SET
+@given(vals=st.lists(
+    st.tuples(st.integers(-(1 << 62), 1 << 62),
+              st.text(max_size=8),
+              st.one_of(st.none(), st.floats(allow_nan=False,
+                                             allow_infinity=False)),
+              st.lists(st.integers(-1000, 1000), max_size=5),
+              st.dictionaries(st.text(max_size=3),
+                              st.binary(max_size=4), max_size=3)),
+    max_size=10))
+def test_container_roundtrip_property(vals, tmp_path_factory):
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": "string"},
+        {"name": "c", "type": ["null", "double"]},
+        {"name": "d", "type": {"type": "array", "items": "int"}},
+        {"name": "e", "type": {"type": "map", "values": "bytes"}}]}
+    rows = [dict(zip("abcde", v)) for v in vals]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path_factory.mktemp("avro") / f"t_{codec}.avro")
+        assert A.write_container(p, sch, rows, codec=codec,
+                                 block_rows=3) == len(rows)
+        assert list(A.read_container(open(p, "rb").read())) == rows
+
+
+def test_varint_zigzag_against_spec_vectors():
+    """Spec examples: 0->00, -1->01, 1->02, -2->03, 2->04, -64->7f,
+    64->80 01."""
+    for v, hexed in [(0, "00"), (-1, "01"), (1, "02"), (-2, "03"),
+                     (2, "04"), (-64, "7f"), (64, "8001")]:
+        out = bytearray()
+        A._write_long(out, v)
+        assert bytes(out).hex() == hexed, v
+        assert A.Decoder(bytes(out)).read_long() == v
+
+
+def test_schema_mapping_roundtrip():
+    from pyspark.sql import types as T
+    spark_schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("price", T.DoubleType(), True),
+        T.StructField("tags", T.ArrayType(T.StringType(), True), True),
+        T.StructField("attrs", T.MapType(T.StringType(), T.LongType()), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("d", T.DateType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("inner", T.StructType([
+            T.StructField("x", T.IntegerType(), True)]), True),
+    ])
+    avro = A.spark_to_avro(spark_schema)
+    back = A.avro_to_spark(avro)
+    assert back == spark_schema
+
+
+def test_truncated_container_raises_eof_or_value_error():
+    sch = {"type": "record", "name": "r",
+           "fields": [{"name": "a", "type": "long"}]}
+    import io as _io
+    buf = _io.BytesIO()
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".avro", delete=False) as f:
+        pass
+    A.write_container(f.name, sch, [{"a": i} for i in range(10)])
+    full = open(f.name, "rb").read()
+    for cut in (5, len(full) // 2, len(full) - 3):
+        with pytest.raises((EOFError, ValueError, KeyError)):
+            list(A.read_container(full[:cut]))
+
+
+def test_spark_write_read_roundtrip(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate") \
+        .limit(500)
+    path = str(tmp_path / "orders_avro")
+    n = A.write_avro(orders.repartition(4), path, codec="deflate")
+    assert n == orders.count()
+    back = A.read_avro(spark, path)
+    assert back.schema == orders.schema or \
+        [f.name for f in back.schema.fields] == \
+        [f.name for f in orders.schema.fields]
+    a = {tuple(r) for r in orders.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def _jvm_read_rows(spark, path: str):
+    """Read an avro container with the REAL Java library."""
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.generic.GenericDatumReader()
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), reader)
+    rows = []
+    while dfr.hasNext():
+        rows.append(dfr.next())
+    schema_json = dfr.getSchema().toString()
+    dfr.close()
+    return rows, json.loads(schema_json)
+
+
+def test_java_library_reads_python_written_file(spark, tmp_path):
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "d", "type": "double"},
+        {"name": "opt", "type": ["null", "long"]}]}
+    rows = [{"k": i, "s": f"row-{i}", "d": i / 4.0,
+             "opt": None if i % 3 == 0 else i * 10}
+            for i in range(100)]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"py_{codec}.avro")
+        A.write_container(p, sch, rows, codec=codec, block_rows=7)
+        jrows, jschema = _jvm_read_rows(spark, p)
+        assert jschema["fields"][0]["name"] == "k"
+        assert len(jrows) == 100
+        for i in (0, 3, 99):
+            r = jrows[i]
+            assert r.get("k") == rows[i]["k"]
+            assert str(r.get("s")) == rows[i]["s"]
+            assert r.get("d") == rows[i]["d"]
+            assert r.get("opt") == rows[i]["opt"]
+
+
+def test_python_reads_java_written_file(spark, tmp_path):
+    jvm = spark._jvm
+    sch_json = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": "string"}]})
+    schema = jvm.org.apache.avro.Schema.Parser().parse(sch_json)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    p = str(tmp_path / "java.avro")
+    dfw.create(schema, jvm.java.io.File(p))
+    for i in range(50):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("k", jvm.java.lang.Long(i))
+        rec.put("s", f"java-{i}")
+        dfw.append(rec)
+    dfw.close()
+    got = list(A.read_container(open(p, "rb").read()))
+    assert got == [{"k": i, "s": f"java-{i}"} for i in range(50)]
+
+
+def test_read_avro_is_distributed_not_collected(spark, tmp_path):
+    """The read path is a binaryFile scan + mapInPandas — the plan must
+    contain the Arrow eval operator, no driver-side row materialization."""
+    from pyspark.sql import Row
+    df = spark.createDataFrame([Row(a=i, b=f"x{i}") for i in range(100)])
+    path = str(tmp_path / "d")
+    A.write_avro(df.repartition(3), path)
+    back = A.read_avro(spark, path)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan or "ArrowEval" in plan
+    assert back.count() == 100
