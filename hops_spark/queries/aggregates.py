@@ -303,3 +303,145 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
                       "grouping_id", "sum_price", "n")
               .orderBy("grouping_id", "returnflag", "linestatus"))
+
+
+_CBF_M, _CBF_K = 512, 3
+# Shared oracle fragments: pos_i = ('0x'||md5(seed|key|i)[1:15])::BIGINT % m
+# — the same 60-digest-bit cell hash ops/bloom.bloom_positions computes.
+
+
+@register(
+    "counting_bloom",
+    sql=f"""
+    WITH upd AS (
+        SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS key, 1 AS w
+        FROM documents
+        UNION ALL
+        SELECT 'doc_' || CAST(doc_id AS VARCHAR), -1
+        FROM documents WHERE doc_id % 3 = 0
+    ), cells AS (
+        SELECT ('0x' || substring(md5('bloom|' || key || '|'
+                                      || CAST(t.i AS VARCHAR)), 1, 15))::BIGINT
+                   % {_CBF_M} AS pos,
+               w
+        FROM upd, LATERAL (SELECT unnest(range(0, {_CBF_K})) AS i) t
+    ), grid AS (
+        SELECT pos, CAST(sum(w) AS BIGINT) AS cnt
+        FROM cells GROUP BY pos HAVING sum(w) <> 0
+    ), probes AS (
+        SELECT 'doc_' || CAST(x AS VARCHAR) AS probe_key
+        FROM generate_series(0, 63) s(x)
+        UNION ALL
+        SELECT 'ghost_' || CAST(x AS VARCHAR) FROM generate_series(0, 15) s(x)
+    ), pc AS (
+        SELECT probe_key,
+               ('0x' || substring(md5('bloom|' || probe_key || '|'
+                                      || CAST(t.i AS VARCHAR)), 1, 15))::BIGINT
+                   % {_CBF_M} AS pos
+        FROM probes, LATERAL (SELECT unnest(range(0, {_CBF_K})) AS i) t
+    ), j AS (
+        SELECT probe_key, COALESCE(cnt, 0) AS c
+        FROM pc LEFT JOIN grid USING (pos)
+    )
+    SELECT probe_key,
+           CAST(min(c) >= 1 AS BIGINT) AS member,
+           CAST(min(c) AS BIGINT) AS approx_cnt
+    FROM j GROUP BY probe_key ORDER BY probe_key
+    """,
+    doc="CountingBloomFilter semantics (util/bloom/CountingBloomFilter"
+        ".java): every doc key added, every 3rd deleted, then an 80-key "
+        "panel membership-probed — member = all k counters nonzero, "
+        "approx_cnt = min counter (approximateCount). The filter is a "
+        "mergeable <=m-row integer grid (ops/bloom.py, the CMS pattern): "
+        "one bounded aggregate builds it, probes broadcast-join it; "
+        "deletes are exact counter decrements, the capability plain "
+        "blooms lack.",
+    tags=("agg", "sketch", "bloom"),
+)
+def counting_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops import bloom as B
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
+    adds = docs.select(key.alias("key"), F.lit(1).alias("w"))
+    dels = (docs.filter(F.col("doc_id") % 3 == 0)
+                .select(key.alias("key"), F.lit(-1).alias("w")))
+    grid = B.counting_grid(adds.unionByName(dels), "key",
+                           _CBF_M, _CBF_K, weight_col="w")
+    probes = (spark.range(0, 64)
+              .select(F.concat(F.lit("doc_"), F.col("id").cast("string"))
+                       .alias("probe_key"))
+              .unionByName(spark.range(0, 16).select(
+                  F.concat(F.lit("ghost_"), F.col("id").cast("string"))
+                   .alias("probe_key"))))
+    return (B.counting_membership(grid, probes, "probe_key",
+                                  _CBF_M, _CBF_K)
+             .orderBy("probe_key"))
+
+
+_DBF_NR, _DBF_M, _DBF_K = 2000, 1024, 3
+
+
+@register(
+    "dynamic_bloom",
+    sql=f"""
+    WITH ins AS (
+        SELECT 'o_' || CAST(o_orderkey AS VARCHAR) AS key,
+               CAST((row_number() OVER (ORDER BY o_orderkey) - 1)
+                    // {_DBF_NR} AS BIGINT) AS epoch
+        FROM orders
+    ), bits AS (
+        SELECT DISTINCT epoch,
+               ('0x' || substring(md5('dyn|' || key || '|'
+                                      || CAST(t.i AS VARCHAR)), 1, 15))::BIGINT
+                   % {_DBF_M} AS pos
+        FROM ins, LATERAL (SELECT unnest(range(0, {_DBF_K})) AS i) t
+    ), probes AS (
+        SELECT 'o_' || CAST(o_orderkey AS VARCHAR) AS probe_key
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT 'ghost_' || CAST(x AS VARCHAR) FROM generate_series(0, 15) s(x)
+    ), pc AS (
+        SELECT probe_key, t.i,
+               ('0x' || substring(md5('dyn|' || probe_key || '|'
+                                      || CAST(t.i AS VARCHAR)), 1, 15))::BIGINT
+                   % {_DBF_M} AS pos
+        FROM probes, LATERAL (SELECT unnest(range(0, {_DBF_K})) AS i) t
+    ), hits AS (
+        SELECT probe_key, epoch
+        FROM pc JOIN bits USING (pos)
+        GROUP BY probe_key, epoch
+        HAVING count(DISTINCT i) = {_DBF_K}
+    ), mm AS (
+        SELECT probe_key, CAST(count(*) AS BIGINT) AS epochs_hit
+        FROM hits GROUP BY probe_key
+    )
+    SELECT probe_key,
+           CAST(CASE WHEN epochs_hit IS NULL THEN 0 ELSE 1 END
+                AS BIGINT) AS member,
+           CAST(COALESCE(epochs_hit, 0) AS BIGINT) AS epochs_hit
+    FROM probes LEFT JOIN mm USING (probe_key)
+    ORDER BY probe_key
+    """,
+    doc="DynamicBloomFilter semantics (util/bloom/DynamicBloomFilter"
+        ".java): the order-key stream fills a NEW bloom filter every nr="
+        f"{_DBF_NR} keys (epochs via the two-phase total-order rank — no "
+        "single-partition window), membership ORs across the filter "
+        "list. Bits are <= n_epochs*m rows, broadcast at probe time; "
+        "epochs_hit exposes the growth behavior the static filter lacks.",
+    tags=("agg", "sketch", "bloom"),
+)
+def dynamic_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops import bloom as B
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.concat(F.lit("o_"), F.col("o_orderkey").cast("string"))
+    ins = orders.select(key.alias("key"), "o_orderkey")
+    bits = B.dynamic_bloom_bits(ins, "key", "o_orderkey",
+                                _DBF_NR, _DBF_M, _DBF_K)
+    probes = (orders.filter(F.col("o_orderkey") % 97 == 0)
+                    .select(key.alias("probe_key"))
+              .unionByName(spark.range(0, 16).select(
+                  F.concat(F.lit("ghost_"), F.col("id").cast("string"))
+                   .alias("probe_key"))))
+    return (B.dynamic_membership(bits, probes, "probe_key",
+                                 _DBF_M, _DBF_K)
+             .orderBy("probe_key"))
