@@ -262,3 +262,55 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.levenshtein("n1", "n2").cast("bigint").alias("dist"))
              .where(F.col("dist") <= _FUZZ_MAX_DIST)
              .orderBy("dist", "p1", "p2").limit(50))
+
+
+# --- SLS scheduler replay (SURVEY §2.10) -------------------------------------
+
+
+@register(
+    "sls_fifo_replay",
+    sql="""
+    WITH trace AS (
+        SELECT o_orderkey AS job_id, o_orderpriority AS queue,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT) AS submit_s,
+               CAST(1 + o_orderkey % 300 AS BIGINT) AS dur_s
+        FROM orders
+    ), c AS (
+        SELECT *, sum(dur_s) OVER w AS cumdur
+        FROM trace
+        WINDOW w AS (PARTITION BY queue ORDER BY submit_s, job_id
+                     ROWS UNBOUNDED PRECEDING)
+    ), f AS (
+        SELECT *, cumdur + max(submit_s - (cumdur - dur_s)) OVER w AS finish_s
+        FROM c
+        WINDOW w AS (PARTITION BY queue ORDER BY submit_s, job_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT queue,
+           CAST(count(*) AS BIGINT) AS n_jobs,
+           CAST(max(finish_s) - min(submit_s) AS BIGINT) AS makespan_s,
+           CAST(sum(dur_s) AS BIGINT) AS busy_s,
+           CAST(sum(finish_s - dur_s - submit_s) AS BIGINT) AS tot_wait_s,
+           CAST(max(finish_s - dur_s - submit_s) AS BIGINT) AS max_wait_s
+    FROM f GROUP BY queue ORDER BY queue
+    """,
+    doc="SLS scheduler-policy replay (hadoop-tools/hadoop-sls/"
+        "SLSRunner.java): a deterministic job trace (queue = order "
+        "priority, duration = keyed synthetic seconds) replayed under "
+        "per-queue serial FIFO. The sequential finish-time recurrence is "
+        "computed in closed max-plus form — two queue-partitioned window "
+        "scans, no driver loop (ops/sched.py; the capacity/fair variant "
+        "is heap-simulated per queue and equivalence-tested in "
+        "tests/test_sched.py). Output: the SLS per-queue wait/makespan "
+        "report.",
+    tags=("maintenance", "windows", "examples"),
+)
+def sls_fifo_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sched import fifo_schedule, queue_stats
+    o = load_table(spark, sf_dir, "orders")
+    trace = o.select(
+        F.col("o_orderkey").alias("job_id"),
+        F.col("o_orderpriority").alias("queue"),
+        F.unix_timestamp("o_orderdate").cast("long").alias("submit_s"),
+        (F.lit(1) + F.col("o_orderkey") % 300).cast("long").alias("dur_s"))
+    return queue_stats(fifo_schedule(trace))
