@@ -59,3 +59,28 @@ def test_replay_smoke_over_rumen_trace(spark, sf_dir, tmp_path):
     assert len(results) == 1
     assert results[0]["query"] == "wordcount"
     assert results[0]["sec"] >= 0 and results[0]["job_id"] == "job_1"
+
+
+def test_sls_policy_report_over_rumen_trace(spark, tmp_path):
+    """--policy: the SLS scheduler replay consumes the parsed rumen
+    trace (queue/submitTime/duration) and reports per-queue FIFO
+    stats; capacity:2 never finishes later than fifo."""
+    import json as _json
+
+    from gridmix_replay import policy_report
+    jobs = [{"jobID": f"job_{i}", "jobName": "wordcount",
+             "submitTime": 1000 * i, "launchTime": 1000 * i,
+             "finishTime": 1000 * i + 5000,
+             "queue": ["default", "prod"][i % 2]} for i in range(8)]
+    p = tmp_path / "trace.json"
+    p.write_text("\n".join(_json.dumps(j) for j in jobs))
+    entries = parse_rumen(str(p))
+    assert all(e["queue"] in ("default", "prod") and e["dur_s"] == 5
+               for e in entries)
+    fifo = {q["queue"]: q for q in policy_report(spark, entries, "fifo")}
+    cap = {q["queue"]: q for q in policy_report(spark, entries, "capacity:2")}
+    assert set(fifo) == {"default", "prod"}
+    for q in fifo:
+        assert fifo[q]["n_jobs"] == 4
+        assert cap[q]["tot_wait_s"] <= fifo[q]["tot_wait_s"]
+        assert cap[q]["makespan_s"] <= fifo[q]["makespan_s"]

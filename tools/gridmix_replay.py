@@ -85,11 +85,19 @@ def parse_rumen(path: str, registered: set[str] | None = None) -> list[dict]:
         name = str(j.get("jobName") or j.get("jobname") or "")
         if not job_id and not name:
             continue                              # not a job object
+        submit_ms = int(j.get("submitTime") or 0)
+        finish_ms = int(j.get("finishTime") or 0)
+        launch_ms = int(j.get("launchTime") or submit_ms)
+        dur_s = max(1, (finish_ms - launch_ms) // 1000) if finish_ms \
+            else 1 + int(hashlib.md5((job_id or name).encode())
+                         .hexdigest()[:8], 16) % 300
         entries.append({
             "query": name if name in registered else _fallback_query(job_id or name),
             "repeat": 1,
-            "submit_ms": int(j.get("submitTime") or 0),
+            "submit_ms": submit_ms,
             "job_id": job_id,
+            "queue": str(j.get("queue") or j.get("queueName") or "default"),
+            "dur_s": dur_s,
             "n_maps": len(j.get("mapTasks") or []) or int(j.get("totalMaps") or 0),
             "n_reduces": len(j.get("reduceTasks") or []) or int(j.get("totalReduces") or 0),
         })
@@ -116,8 +124,33 @@ def replay(spark, trace: list[dict], sf_dir: str) -> list[dict]:
     return results
 
 
+def policy_report(spark, entries: list[dict], policy: str) -> list[dict]:
+    """SLS scheduler-policy replay over a parsed rumen trace
+    (SLSRunner.java's report surface): per-queue wait/makespan stats
+    under 'fifo' (serial per queue) or 'capacity:N' (N slots per
+    queue). See hops_spark/ops/sched.py."""
+    from hops_spark.ops.sched import (capacity_schedule, fifo_schedule,
+                                      queue_stats)
+    rows = [(e["job_id"] or str(i), e["queue"], e["submit_ms"] // 1000,
+             e["dur_s"]) for i, e in enumerate(entries)]
+    trace = spark.createDataFrame(
+        rows, "job_id string, queue string, submit_s long, dur_s long")
+    if policy == "fifo":
+        sched = fifo_schedule(trace)
+    elif policy.startswith("capacity:"):
+        sched = capacity_schedule(trace, int(policy.split(":", 1)[1]))
+    else:
+        raise SystemExit(f"unknown policy {policy!r} (fifo | capacity:N)")
+    return [r.asDict() for r in queue_stats(sched).collect()]
+
+
 def main() -> None:
     args = sys.argv[1:]
+    policy = None
+    if "--policy" in args:
+        i = args.index("--policy")
+        policy = args[i + 1]
+        args = args[:i] + args[i + 2:]
     if args and args[0] == "--synth":
         trace = synthesize(int(args[1]))
         rest = args[2:]
@@ -132,6 +165,11 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     spark = get_spark("gridmix-replay")
+    if policy is not None:
+        print(json.dumps({
+            "metric": "sls_policy_report", "policy": policy,
+            "queues": policy_report(spark, trace, policy)}))
+        return
     t_all = time.time()
     results = replay(spark, trace, sf_dir)
     print(json.dumps({
