@@ -109,6 +109,50 @@ def main() -> int:
     dedup_ok = pairs == {(i, i + half) for i in range(n_pairs)}
     t_dedup = time.time() - t0
 
+    # incremental dedup (the production ingest shape): a 10k-doc new
+    # batch against the 1M-doc existing corpus. Planted tiers — 1000
+    # byte-identical copies (exact), 1000 one-word mutations of 16-word
+    # docs (J = 13/15 ≈ 0.867 ≥ 0.8, near-only), 8000 fresh. Exact
+    # flags and false-positive-freedom are deterministic contracts
+    # (content hash; exact-Jaccard verify); LSH banding recall is
+    # probabilistic BY DESIGN (bands=8, rows=2: per-pair miss ≈ 1.5e-5
+    # at 0.867), so the near tier asserts recall ≥ 99% rather than
+    # exact set equality.
+    from hops_spark.ops.dedup import incremental_dedup_flags
+    t0 = time.time()
+    n_new = 10_000
+
+    def _words(seed_col, n_words=16):
+        return [F.md5(F.concat_ws("|", F.lit(str(w)), seed_col.cast("string")))
+                for w in range(n_words)]
+
+    exist = spark.range(0, n_docs, 1, parts).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *_words(F.col("id"))).alias("text"))
+    base_id = F.when(F.col("id") < 2000, F.col("id")) \
+               .otherwise(-F.col("id") - 1)          # fresh: disjoint seeds
+    w16 = _words(base_id)
+    w_near = w16[:15] + [F.md5(F.concat_ws("|", F.lit("mut"),
+                                           F.col("id").cast("string")))]
+    text_new = (F.when(F.col("id") < 1000, F.concat_ws(" ", *w16))
+                 .when(F.col("id") < 2000, F.concat_ws(" ", *w_near))
+                 .otherwise(F.concat_ws(" ", *w16)))
+    new = spark.range(0, n_new, 1, 32).select(
+        (F.col("id") + 10_000_000).alias("doc_id"), text_new.alias("text"))
+    flags = {r["doc_id"]: (r["exact_dup"], r["near_dup"], r["is_kept"])
+             for r in incremental_dedup_flags(
+                 new, exist, n_hashes=16, bands=8, threshold=0.8).collect()}
+    exact_ids = {d for d, f in flags.items() if f[0]}
+    near_only = {d for d, f in flags.items() if f[1] and not f[0]}
+    kept = {d for d, f in flags.items() if f[2]}
+    inc_ok = (len(flags) == n_new
+              and exact_ids == {10_000_000 + i for i in range(1000)}
+              and near_only <= {10_001_000 + i for i in range(1000)}
+              and len(near_only) >= 990
+              and {10_002_000 + i for i in range(8000)} <= kept
+              and kept.isdisjoint(exact_ids | near_only))
+    t_inc = time.time() - t0
+
     # metadata engine at 10M inodes: parent = id div 1000 -> every dir
     # holds exactly 1000 files of size (id % 97); closed-form du per
     # sampled dirs and exact listing counts
@@ -133,9 +177,12 @@ def main() -> int:
            "prefix_sum_ok": bool(ps_ok), "prefix_sum_sec": round(t_ps, 1),
            "skew_agg_ok": bool(skew_ok), "skew_agg_sec": round(t_skew, 1),
            "dedup_1m_ok": bool(dedup_ok), "dedup_1m_sec": round(t_dedup, 1),
+           "incremental_dedup_ok": bool(inc_ok),
+           "incremental_dedup_sec": round(t_inc, 1),
            "meta_10m_ok": bool(meta_ok), "meta_10m_sec": round(t_meta, 1)}
     print(json.dumps(out))
-    return 0 if all((rank_ok, ps_ok, skew_ok, dedup_ok, meta_ok)) else 1
+    return 0 if all((rank_ok, ps_ok, skew_ok, dedup_ok, inc_ok,
+                     meta_ok)) else 1
 
 
 if __name__ == "__main__":
