@@ -264,7 +264,7 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                         shingle_n: int = 3, threshold: float = 0.8,
-                        max_shingle_freq: int = 10000) -> DataFrame:
+                        max_shingle_freq: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity join — the ground truth the
     minhash/LSH path approximates (equal output = perfect recall).
 
@@ -277,11 +277,18 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     the join (the classic positional-filter trick from set-similarity
     join papers).
 
-    The ``max_shingle_freq=10000`` default is tuned for the sf0.1
-    fixtures: a surviving hot shingle still admits up to 10⁸ pairs. On
-    a 100 TB corpus set it to ~1000 (or lower) and treat this operator
-    as the exact ground-truth/audit path — the production-scale near-dup
+    ``max_shingle_freq=None`` resolves from the ACTIVE SESSION PROFILE
+    (``spark.hops.dedup.maxShingleFreq``): 10000 under the local
+    profile, 1000 under the ``scale`` profile — so the 100-TB-safe cap
+    is the ambient default on a cluster, not a footnote (a surviving
+    hot shingle admits up to cap² pairs). Treat this operator as the
+    exact ground-truth/audit path — the production-scale near-dup
     sweep is ``minhash_dedup_pairs``."""
+    if max_shingle_freq is None:
+        from pyspark.sql import SparkSession
+        max_shingle_freq = int(
+            SparkSession.getActiveSession().conf.get(
+                "spark.hops.dedup.maxShingleFreq", "10000"))
     sa = shingle_arrays(df, id_col, text_col, shingle_n)
     rows = sa.select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
     # ONE groupBy fuses the doc-frequency count, the hot-shingle prune

@@ -34,6 +34,11 @@ _PROFILES: dict[str, dict[str, str]] = {
         "spark.sql.files.maxPartitionBytes": "256m",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
         "spark.sql.autoBroadcastJoinThreshold": "64m",
+        # Operator guardrails that tighten at cluster scale: the exact
+        # n-gram Jaccard audit path drops shingles above this doc
+        # frequency (pair surface is cap² per surviving shingle) —
+        # ops/dedup.ngram_jaccard_pairs resolves its default from here.
+        "spark.hops.dedup.maxShingleFreq": "1000",
     },
 }
 

