@@ -364,3 +364,71 @@ def rs_reconstruct2(blocks: DataFrame, parities: DataFrame,
                 .groupBy(group_col)
                 .applyInPandas(rebuild,
                                schema=f"{group_col} long, {idx_col} int, {data_col} binary"))
+
+
+def src_encode(blocks: DataFrame, group_size: int = 5,
+               n_global_parity: int = 2, group_col: str = "stripe",
+               idx_col: str = "block_idx", data_col: str = "data"
+               ) -> tuple[DataFrame, DataFrame]:
+    """SimpleRegeneratingCode-shaped LOCALLY REPAIRABLE code
+    (hops-erasure-coding-project/.../SimpleRegeneratingCode.java — same
+    contract, not a port): the stripe's data blocks split into local
+    groups of ``group_size``, each group gets a LOCAL XOR parity, and
+    RS global parities cover the whole stripe. The point is repair
+    bandwidth: a single lost block is rebuilt from its ``group_size``
+    local peers instead of the whole stripe (k/group_size less read
+    I/O — the regenerating-code property); multi-loss falls back to
+    the RS globals (``rs_reconstruct``/``rs_reconstruct2``).
+
+    Returns (local_parities: (stripe, local_group, parity),
+             global_parities: rs_encode output)."""
+    grouped = blocks.withColumn(
+        "_lg", (F.col(idx_col) / group_size).cast("long"))
+    local = (xor_parity(
+        grouped.withColumn(
+            group_col,
+            F.col(group_col) * 1_000_000 + F.col("_lg")),
+        group_col, data_col)
+        .select((F.col(group_col) / 1_000_000).cast("long").alias(group_col),
+                F.pmod(F.col(group_col), F.lit(1_000_000)).cast("long")
+                 .alias("local_group"),
+                "parity"))
+    return local, rs_encode(blocks, n_global_parity, group_col,
+                            idx_col, data_col)
+
+
+def src_repair_local(blocks: DataFrame, local_parities: DataFrame,
+                     lost_idx: int, group_size: int = 5,
+                     group_col: str = "stripe", idx_col: str = "block_idx",
+                     data_col: str = "data") -> DataFrame:
+    """Single-loss LOCAL repair: lost block = XOR of its local group's
+    survivors and the group's parity. The input is FILTERED to the lost
+    block's group before any compute — the scan touches group_size
+    rows per stripe, never the stripe (the locality contract;
+    tests prove repair succeeds with every other group absent)."""
+    import numpy as np
+    import pandas as pd
+
+    lg = lost_idx // group_size
+    peers = (blocks
+             .filter((F.col(idx_col) / group_size).cast("long") == lg)
+             .filter(F.col(idx_col) != lost_idx)
+             .select(group_col, F.col(data_col).alias("_d")))
+    par = (local_parities.filter(F.col("local_group") == lg)
+                         .select(group_col, F.col("parity").alias("_d")))
+    both = peers.unionByName(par)
+
+    def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in pdf["_d"]:
+            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            acc = arr.copy() if acc is None else np.bitwise_xor(acc, arr)
+        return pd.DataFrame({group_col: [int(pdf[group_col].iloc[0])],
+                             idx_col: [lost_idx],
+                             data_col: [acc.tobytes()]})
+
+    return (both.repartition(group_col)
+                .groupBy(group_col)
+                .applyInPandas(
+                    rebuild,
+                    schema=f"{group_col} long, {idx_col} int, {data_col} binary"))

@@ -135,3 +135,30 @@ def dynamic_membership(bits: DataFrame, probes: DataFrame,
                            .otherwise(F.lit(1)).cast("long").alias("member"),
                           F.coalesce("epochs_hit", F.lit(0)).cast("long")
                            .alias("epochs_hit")))
+
+
+def retouch_grid(grid: DataFrame, inserts: DataFrame, fp_keys: DataFrame,
+                 key_col: str, m: int, k: int,
+                 seed: str = "bloom") -> DataFrame:
+    """RetouchedBloomFilter semantics (util/bloom/RetouchedBloomFilter
+    .java: selectively CLEAR bits to remove known false positives,
+    trading bounded false negatives for them — the 'minimum ratio'
+    selection clears, per FP key, the bit that damages the fewest
+    inserted keys). Grid model: per FP key pick its cell with the
+    LOWEST insert count (ties: lowest pos) and zero it.
+
+    Cost shape: cell usage counts come from one bounded aggregate over
+    the insert log (<= m rows, broadcast); the FP argmin is a
+    per-FP-key min over k cells. Output: the retouched grid."""
+    usage = counting_grid(inserts, key_col, m, k, seed=seed)
+    fp = (fp_keys.select(F.col(key_col).alias("_fk"))
+                 .withColumn("pos", F.explode(bloom_positions(
+                     F.col("_fk"), m, k, seed))))
+    ranked = (fp.join(F.broadcast(usage), "pos", "left")
+                .select("_fk", "pos",
+                        F.coalesce("cnt", F.lit(0)).alias("_use")))
+    w_min = (ranked.groupBy("_fk")
+                   .agg(F.min(F.struct("_use", "pos")).alias("_pick"))
+                   .select(F.col("_pick.pos").alias("pos"))
+                   .distinct())
+    return (grid.join(F.broadcast(w_min), "pos", "left_anti"))

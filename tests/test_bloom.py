@@ -98,3 +98,33 @@ def test_dynamic_bloom_epochs_and_membership(spark):
     # 'nope' may false-positive only if all K cells collide in one
     # epoch; with m=2048 and 10 keys/epoch that would be a bug.
     assert got["nope"] == (0, 0)
+
+
+def test_retouched_bloom_clears_fp_with_minimum_damage(spark):
+    """RetouchedBloomFilter: after retouching, the named false positive
+    is gone; collateral false negatives are exactly the inserted keys
+    sharing the cleared (minimum-usage) cell."""
+    inserts = spark.createDataFrame(
+        [(k_, 1) for k_ in ("alpha", "bravo", "delta")], "key string, w int")
+    grid = B.counting_grid(inserts, "key", 512, K)
+    fp = spark.createDataFrame([("ghostfp",)], "key string")
+    retouched = B.retouch_grid(grid, inserts.select("key"), fp,
+                               "key", 512, K)
+    # exactly one cell cleared
+    before = {r["pos"] for r in grid.collect()}
+    after = {r["pos"] for r in retouched.collect()}
+    cleared = before - after
+    assert len(cleared) <= 1
+    # the FP key now fails membership on the retouched grid
+    probes = spark.createDataFrame(
+        [("ghostfp",), ("alpha",), ("bravo",), ("delta",)],
+        "probe_key string")
+    got = {r["probe_key"]: r["member"] for r in
+           B.counting_membership(retouched, probes, "probe_key",
+                                 512, K).collect()}
+    assert got["ghostfp"] == 0
+    # collateral: only keys whose cells include the cleared cell flip
+    damaged = {k_ for k_ in ("alpha", "bravo", "delta")
+               if cleared & set(_model_positions(k_, 512))}
+    for k_ in ("alpha", "bravo", "delta"):
+        assert got[k_] == (0 if k_ in damaged else 1)

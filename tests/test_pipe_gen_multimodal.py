@@ -454,3 +454,38 @@ def test_codecs_malformed_payloads_raise_valueerror_only():
         for p in payloads:
             with pytest.raises(ValueError):
                 fn(p)
+
+
+def test_src_local_repair_reads_only_the_local_group(spark):
+    """SimpleRegeneratingCode contract: a single lost block rebuilds
+    byte-exactly from its LOCAL group alone — proven by deleting every
+    other group's blocks before the repair; and the RS globals still
+    cover multi-loss on the same encode."""
+    import hashlib
+
+    from hops_spark.maintenance import (rs_reconstruct, src_encode,
+                                        src_repair_local)
+
+    blk = 256
+    # deterministic payloads (RNG-free like the rest of the repo)
+    rows = [(s, i, hashlib.md5(f"{s}|{i}".encode()).digest() * (blk // 16))
+            for s in range(2) for i in range(10)]
+    blocks = spark.createDataFrame(
+        rows, "stripe long, block_idx int, data binary")
+    local, gl = src_encode(blocks, group_size=5, n_global_parity=2)
+    assert local.count() == 4            # 2 stripes x 2 local groups
+
+    lost = 7                             # group 1 (blocks 5..9)
+    want = {s: d for s, i, d in rows if i == lost}
+
+    # locality: drop group 0 entirely — repair must still succeed
+    only_g1 = blocks.filter("block_idx >= 5")
+    got = {r["stripe"]: bytes(r["data"])
+           for r in src_repair_local(only_g1, local, lost,
+                                     group_size=5).collect()}
+    assert got == want
+
+    # the same encode still supports global RS repair (fallback path)
+    got_rs = {r["stripe"]: bytes(r["data"])
+              for r in rs_reconstruct(blocks, gl, lost).collect()}
+    assert got_rs == want
