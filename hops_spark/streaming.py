@@ -349,3 +349,22 @@ def cms_token_stream(docs: DataFrame) -> DataFrame:
     return (toks.select(F.explode(cells).alias("c"))
                 .select("c.r", "c.bucket")
                 .groupBy("r", "bucket").agg(F.count("*").alias("c")))
+
+
+def bloom_grid_stream(keys: DataFrame, key_col: str,
+                      m: int = 512, k: int = 3,
+                      seed: str = "bloom") -> DataFrame:
+    """Streaming counting-bloom maintenance: the running (pos, cnt)
+    grid as a streaming aggregation (update mode) over an insert
+    stream. Same contract as cms_token_stream: cell emit is map-only
+    (explode of the k md5 positions, ops/bloom.bloom_positions), the
+    grid aggregate is one keyed count the state store shards, and the
+    state is bounded at m rows FOREVER regardless of insert volume —
+    a membership filter over an unbounded ingest with O(m) state.
+    Grid cells equal the batch ops/bloom.counting_grid after the same
+    files (asserted in tests/test_bloom.py)."""
+    from hops_spark.ops.bloom import bloom_positions
+
+    cells = keys.select(F.explode(
+        bloom_positions(F.col(key_col), m, k, seed)).alias("pos"))
+    return cells.groupBy("pos").agg(F.count("*").cast("long").alias("cnt"))

@@ -128,3 +128,30 @@ def test_retouched_bloom_clears_fp_with_minimum_damage(spark):
                if cleared & set(_model_positions(k_, 512))}
     for k_ in ("alpha", "bravo", "delta"):
         assert got[k_] == (0 if k_ in damaged else 1)
+
+
+def test_streaming_bloom_grid_equals_batch(spark, sf_dir):
+    """The streaming counting-bloom grid (bounded m-row state) must
+    equal the batch grid over the same documents after the stream
+    drains — the mergeability property live in Structured Streaming."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.streaming import (bloom_grid_stream,
+                                      read_documents_stream,
+                                      run_to_completion)
+
+    key = "doc_key"
+    docs_stream = read_documents_stream(spark, sf_dir).select(
+        F.concat_ws("_", F.lit("doc"), F.col("doc_id").cast("string"))
+         .alias(key))
+    got = {r["pos"]: r["cnt"] for r in run_to_completion(
+        bloom_grid_stream(docs_stream, key, 256, K),
+        "bloom_grid_stream_test").collect()}
+
+    batch = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws("_", F.lit("doc"), F.col("doc_id").cast("string"))
+         .alias(key))
+    want = {r["pos"]: r["cnt"] for r in
+            B.counting_grid(batch, key, 256, K).collect()}
+    assert got == want and len(got) <= 256

@@ -35,6 +35,10 @@ _BOUNDED_SINGLE_PARTITION_OK = {
     "total_order_sort", "teragen_sorted", "dictionary_encode",
     "pack_sequences", "equi_depth_bins", "distcp_plan_chunks",
     "vocab_coverage", "rfm_segments",
+    # same offsets window via total_order_rank inside
+    # ops/bloom.dynamic_bloom_bits (epoch assignment — the data side is
+    # window-free; only the ≤ #partitions offset rows hit the window):
+    "dynamic_bloom",
     # rank over ≤ top-k rows after a limit:
     "skew_profile",
     # windows over a per-stratum aggregate (one row per source — tiny,
