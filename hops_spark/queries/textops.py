@@ -894,3 +894,66 @@ def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dsir_weights(d, F.col("source") == "src1")
     return out.select("doc_id", "is_target", "n_tokens",
                       "weight_micro").orderBy("doc_id")
+
+
+@register(
+    "nb_lang_classifier",
+    sql=f"""
+    WITH d AS (
+        SELECT doc_id, lang, text FROM documents WHERE length(text) > 0
+    ), tok AS (
+        SELECT doc_id, lang AS actual, unnest({_DUCK_WORDS}) AS w FROM d
+    ), cls AS (
+        SELECT lang AS c, count(*) AS n_docs FROM d GROUP BY lang
+    ), tot AS (
+        SELECT count(*) AS n_total FROM d
+    ), cnt AS (
+        SELECT actual AS c, w, count(*) AS n FROM tok GROUP BY actual, w
+    ), ctok AS (
+        SELECT actual AS c, count(*) AS n_tok FROM tok GROUP BY actual
+    ), voc AS (
+        SELECT count(DISTINCT w) AS v FROM tok
+    ), scored AS (
+        SELECT t.doc_id, t.actual, cl.c,
+               sum(CAST(round(-ln((COALESCE(cnt.n, 0) + 1)
+                              / CAST(ct.n_tok + voc.v AS DOUBLE))
+                              * 1000000, 0) AS BIGINT)) AS tok_nll
+        FROM tok t
+        CROSS JOIN cls cl
+        JOIN ctok ct ON ct.c = cl.c
+        CROSS JOIN voc
+        LEFT JOIN cnt ON cnt.c = cl.c AND cnt.w = t.w
+        GROUP BY t.doc_id, t.actual, cl.c
+    ), with_prior AS (
+        SELECT s.doc_id, s.actual, s.c,
+               s.tok_nll + CAST(round(-ln(cl.n_docs
+                                          / CAST(tot.n_total AS DOUBLE))
+                                      * 1000000, 0) AS BIGINT) AS nll
+        FROM scored s JOIN cls cl ON cl.c = s.c CROSS JOIN tot
+    ), pred AS (
+        SELECT doc_id, actual, c AS predicted,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY nll, c) AS rn
+        FROM with_prior
+    )
+    SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM pred WHERE rn = 1
+    GROUP BY actual, predicted ORDER BY actual, predicted
+    """,
+    doc="Multinomial Naive Bayes language classifier trained and "
+        "evaluated on the corpus (the fastText-recipe quality/lang "
+        "gate shape; ops/classify.py): token-count training is three "
+        "aggregates, scoring is token-rows x n_classes with a broadcast "
+        "count table, per-token integer micro-nat log-likelihoods "
+        "(ops/lm.py idiom — fold-order-proof), add-one smoothing, "
+        "argmin with a lexicographic tie-break. Output: the confusion "
+        "matrix against the fixture's actual lang label.",
+    tags=("text", "north-star", "ml"),
+)
+def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.classify import nb_predict
+    d = load_table(spark, sf_dir, "documents")
+    return (nb_predict(d)
+            .groupBy("actual", "predicted")
+            .agg(F.count("*").alias("n"))
+            .orderBy("actual", "predicted"))

@@ -104,7 +104,9 @@ def load_all() -> dict[str, QuerySpec]:
 # the local oracle replica and take window slots FIRST next rotation
 # (the window guard test enforces that overflow never-green queries are
 # exactly this queue).
-NEXT_WINDOW_QUEUE: tuple[str, ...] = ()
+NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    "nb_lang_classifier",        # registered after the r5 rotation froze
+)
 # Round-6 rotation plan: once CORRECTNESS_r05 lands green for this
 # window, fill freed slots FIRST with any NEXT_WINDOW_QUEUE overflow,
 # THEN continue aging the last-green-r2 families back through (oldest
