@@ -204,3 +204,34 @@ def resize_media(df: DataFrame, width: int, height: int,
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def synthetic_wav_media(spark: SparkSession, n: int = 64,
+                        seed: int = 42) -> DataFrame:
+    """Deterministic table of REAL PCM WAV payloads: mono 16 kHz,
+    8..16 int16 frames whose little-endian byte pairs come from the
+    row's md5 digest repeated — both oracle sides recompute every
+    sample from (seed, media_id) relationally, while the payload is a
+    well-formed RIFF/WAVE file a real parser (stdlib ``wave``) must
+    decode. Built in an Arrow mapInPandas stage with the real encoder
+    (io/codecs.wav_encode); payload bytes never touch the driver."""
+    import hashlib
+
+    import pandas as pd
+
+    from hops_spark.io.codecs import wav_encode
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for mid in pdf["id"]:
+                n_frames = 8 + int(mid) % 9
+                dg = hashlib.md5(f"wav|{seed}|{mid}".encode()).digest() * 2
+                pcm = dg[:2 * n_frames]
+                out.append((int(mid), "audio", "audio/wav",
+                            wav_encode(pcm, 1, 2, 16000)))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "mime",
+                                             "payload"])
+
+    return spark.range(n).mapInPandas(
+        gen, schema="media_id long, kind string, mime string, payload binary")

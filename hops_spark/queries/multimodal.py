@@ -272,3 +272,67 @@ def media_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 byte_at(12 + 15).alias("last_r"),  # last pixel R (idx 5 of 6)
                 byte_at(12 + 17).alias("last_b"))
             .orderBy("media_id"))
+
+
+# Shared oracle CTE for the WAV table: bl[i] = i-th byte of
+# md5('wav|42|'||id); the PCM is that digest repeated, frame j's
+# little-endian int16 uses bytes at 0-based offsets 2j and 2j+1.
+_WAV_BYTES_CTE = """
+    WITH m AS (
+        SELECT id AS media_id, 8 + id % 9 AS n_frames,
+               md5('wav|42|' || id) AS hx
+        FROM generate_series(0, 63) AS t(id)
+    ), d AS (
+        SELECT media_id,
+               s.i AS i,
+               (strpos('0123456789abcdef', substr(hx, CAST(2 * s.i - 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(hx, CAST(2 * s.i AS INT), 1)) - 1) AS b
+        FROM m, LATERAL (SELECT unnest(range(1, 17)) AS i) s
+    ), bl AS (
+        SELECT media_id, list(b ORDER BY i) AS bl FROM d GROUP BY media_id
+    ), samp AS (
+        SELECT m.media_id, m.n_frames, j.j,
+               bl[(2 * j.j) % 16 + 1] + 256 * bl[(2 * j.j + 1) % 16 + 1] AS u
+        FROM m JOIN bl USING (media_id),
+             LATERAL (SELECT unnest(range(0, m.n_frames)) AS j) j
+    ), sgn AS (
+        SELECT media_id, n_frames, j,
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+        FROM samp
+    )
+"""
+
+
+@register(
+    "media_decode_wav",
+    sql=_WAV_BYTES_CTE + """
+    SELECT media_id,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(16000 AS BIGINT) AS framerate,
+           CAST(max(n_frames) AS BIGINT) AS n_frames,
+           CAST(max(CASE WHEN j = 0 THEN s END) AS BIGINT) AS first_sample,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs
+    FROM sgn GROUP BY media_id ORDER BY media_id
+    """,
+    doc="REAL audio decode (the WAV twin of media_decode_ppm): "
+        "well-formed PCM RIFF/WAVE payloads parsed by io/codecs."
+        "audio_features inside the Arrow mapInPandas stage — RIFF "
+        "header, frame count, int16 LE sample access, full |sample| "
+        "sum. The oracle recomputes every sample relationally from "
+        "the generating digest.",
+    tags=("multimodal", "north-star", "pandas-udf"),
+)
+def media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.io.codecs import audio_features
+    from hops_spark.io.multimodal import synthetic_wav_media
+    media = synthetic_wav_media(spark, n=64, seed=42)
+    feats = extract_features(media, decoder=audio_features)
+    f = F.col("features")
+    return (feats.select(
+                "media_id",
+                F.element_at(f, 1).cast("long").alias("n_channels"),
+                F.element_at(f, 2).cast("long").alias("framerate"),
+                F.element_at(f, 3).cast("long").alias("n_frames"),
+                F.element_at(f, 4).cast("long").alias("first_sample"),
+                F.element_at(f, 5).cast("long").alias("sum_abs"))
+            .orderBy("media_id"))
