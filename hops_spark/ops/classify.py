@@ -27,15 +27,26 @@ from hops_spark.ops.text import words
 
 
 def nb_predict(docs: DataFrame, id_col: str = "doc_id",
-               class_col: str = "lang", text_col: str = "text"
-               ) -> DataFrame:
+               class_col: str = "lang", text_col: str = "text",
+               hash_features: int | None = None) -> DataFrame:
     """Train-and-self-classify (the fixture evaluation shape): returns
     (id, actual, predicted, nll_micro). Driver state is bounded by the
-    class list + two scalars (vocab size, doc total) — the count table
-    itself stays distributed and broadcasts into the scoring join."""
+    class list + two scalars (vocab size, doc total).
+
+    Scale contract: the (class, token) count table is vocab x C rows —
+    at fixture scale AQE broadcasts it into the scoring join on its
+    own; at web-corpus scale (vocab 10^7+) it shuffle-joins on (c, w)
+    instead, which is still one bounded keyed join. To FORCE a bounded
+    table regardless of corpus (the fastText recipe), pass
+    ``hash_features=N``: tokens fold into N md5 buckets before
+    counting, so the model is <= N x C rows by construction."""
     d = docs.filter(F.length(text_col) > 0)
-    tok = d.select(F.col(id_col), F.col(class_col).alias("actual"),
-                   F.explode(words(text_col)).alias("w"))
+    term = F.explode(words(text_col)).alias("w")
+    tok = d.select(F.col(id_col), F.col(class_col).alias("actual"), term)
+    if hash_features is not None:
+        tok = tok.withColumn("w", F.pmod(
+            F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long"),
+            F.lit(hash_features)).cast("string"))
     cls_rows = (d.groupBy(F.col(class_col).alias("c"))
                  .agg(F.count("*").alias("n_docs")).collect())
     classes = sorted(r["c"] for r in cls_rows)
@@ -55,9 +66,12 @@ def nb_predict(docs: DataFrame, id_col: str = "doc_id",
                                for x in (F.lit(c),
                                          F.lit(prior_micro[c]))])
 
+    # cnt is vocab x C rows: let AQE pick broadcast-vs-shuffle (tiny at
+    # fixture scale, a keyed shuffle join on a web-scale vocab); ctok
+    # is C rows — always broadcast.
     per_class = (tok.withColumn("c", F.explode(F.array(
                      *[F.lit(c) for c in classes])))
-                    .join(F.broadcast(cnt), ["c", "w"], "left")
+                    .join(cnt, ["c", "w"], "left")
                     .join(F.broadcast(ctok), "c")
                     .withColumn("nlp_micro", F.expr(
                         f"CAST(round(-ln((coalesce(n, 0) + 1) / "

@@ -309,3 +309,25 @@ def test_sentence_dedup_first_occurrence_and_reassembly(spark):
     assert got[1] == (3, 3, "alpha beta . shared line . gamma")
     assert got[2] == (2, 1, "delta epsilon")
     assert got[3] == (1, 0, "")
+
+
+def test_nb_hash_features_bounds_model_and_stays_accurate(spark, sf_dir):
+    """fastText hashing trick: with hash_features=N the model is <= N*C
+    rows by construction; predictions remain deterministic and the
+    classifier still beats the majority-class baseline on the fixture."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops.classify import nb_predict
+
+    d = load_table(spark, sf_dir, "documents")
+    pred = nb_predict(d, hash_features=256)
+    rows = pred.collect()
+    acc = sum(r["actual"] == r["predicted"] for r in rows) / len(rows)
+    major = (d.groupBy("lang").count().orderBy(F.desc("count"))
+              .first()["count"]) / d.count()
+    assert acc >= major, (acc, major)
+    # determinism: same inputs -> same predictions
+    again = {r["doc_id"]: r["predicted"] for r in
+             nb_predict(d, hash_features=256).collect()}
+    assert again == {r["doc_id"]: r["predicted"] for r in rows}

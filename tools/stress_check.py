@@ -153,6 +153,41 @@ def main() -> int:
               and kept.isdisjoint(exact_ids | near_only))
     t_inc = time.time() - t0
 
+    # ANN serving path at 1M vectors (dim 32): 10 query vectors each
+    # have one PLANTED EXACT-DUPLICATE vector in the corpus; after the
+    # cell-partitioned SQ8 index build + nprobe=1 probe, the duplicate
+    # MUST rank 1 for its query (dequantized cosine ~0.9999 vs a random
+    # max around 0.7 at dim 32 — a wide deterministic margin), proving
+    # assign + quantize + pruned probe end-to-end at index scale.
+    import tempfile
+
+    from hops_spark.ops.similarity import (build_cell_index, ivf_centroids,
+                                           probe_cell_index)
+    t0 = time.time()
+    n_vec, dim, half_v = 1_000_000, 32, 500_000
+    vseed = F.when((F.col("id") >= half_v) & (F.col("id") < half_v + 10),
+                   F.col("id") - half_v).otherwise(F.col("id"))
+    comp = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: ((F.conv(F.substring(F.md5(F.concat_ws(
+            "|", vseed.cast("string"), j.cast("string"))), 1, 4), 16, 10)
+            .cast("long") % 2001 - 1000) / 1000.0).cast("float"))
+    vecs = spark.range(0, n_vec, 1, parts).select(
+        F.col("id").alias("vec_id"), comp.alias("embedding"))
+    cents = ivf_centroids(vecs, 64)
+    idx_dir = os.path.join(tempfile.mkdtemp(prefix="hops_stress_ann_"),
+                           "vectors")
+    build_cell_index(vecs, cents, idx_dir)
+    queries = (vecs.filter(F.col("vec_id") < 10)
+                   .select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec")))
+    top, probed = probe_cell_index(spark, idx_dir, cents, queries,
+                                   k=1, nprobe=1)
+    top1 = {r["q_id"]: r["neighbor_id"] for r in top.collect()}
+    ann_ok = (top1 == {i: half_v + i for i in range(10)}
+              and 1 <= len(probed) <= 10)
+    t_ann = time.time() - t0
+
     # metadata engine at 10M inodes: parent = id div 1000 -> every dir
     # holds exactly 1000 files of size (id % 97); closed-form du per
     # sampled dirs and exact listing counts
@@ -179,10 +214,11 @@ def main() -> int:
            "dedup_1m_ok": bool(dedup_ok), "dedup_1m_sec": round(t_dedup, 1),
            "incremental_dedup_ok": bool(inc_ok),
            "incremental_dedup_sec": round(t_inc, 1),
+           "ann_1m_ok": bool(ann_ok), "ann_1m_sec": round(t_ann, 1),
            "meta_10m_ok": bool(meta_ok), "meta_10m_sec": round(t_meta, 1)}
     print(json.dumps(out))
     return 0 if all((rank_ok, ps_ok, skew_ok, dedup_ok, inc_ok,
-                     meta_ok)) else 1
+                     ann_ok, meta_ok)) else 1
 
 
 if __name__ == "__main__":
