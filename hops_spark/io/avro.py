@@ -426,7 +426,15 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
     """Write a DataFrame as one container file per partition under
     ``path`` — embarrassingly parallel, zero shuffle (the same layout
     contract as Spark's own file sinks: part files + independent tasks).
-    Returns total rows written."""
+    Returns total rows written.
+
+    Deployment contract: ``path`` must be a filesystem every executor
+    can write (local[*] / NFS / fuse mount). There is no task-commit
+    protocol here — disable speculative execution for this job, or
+    route through a committer-backed sink when one exists (this module
+    exists precisely because the sandbox lacks the spark-avro
+    datasource; with it, ``df.write.format('avro')`` is the
+    committer-safe production path)."""
     import os
     os.makedirs(path, exist_ok=True)
     schema = spark_to_avro(df.schema)

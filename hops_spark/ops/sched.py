@@ -65,8 +65,11 @@ def capacity_schedule(trace: DataFrame, slots: int,
     compares against FIFO). Exact event-driven simulation: per queue a
     heap of ``slots`` finish times; each job (in submit, id order)
     starts at max(submit, earliest-free-slot). applyInPandas per queue:
-    queue simulations are independent and run in parallel; state is
-    O(slots), never the trace."""
+    queue simulations are independent and run in parallel; the SIM
+    state is O(slots), but applyInPandas materializes each queue's
+    trace rows in executor memory — fine for scheduler traces (10^5-6
+    jobs/queue), and the closed-form fifo_schedule is the path that
+    needs no per-group materialization at all."""
     import heapq
 
     import pandas as pd
