@@ -400,6 +400,70 @@ def read_header(buf: bytes) -> tuple[dict, str, bytes, int]:
     return schema, codec, sync, d.pos
 
 
+def _scan_sync(f, sync: bytes, from_pos: int, chunk: int = 1 << 22) -> int:
+    """Return the offset just PAST the first sync marker whose bytes
+    begin at or after ``from_pos`` (i.e. the next block start), or -1
+    at EOF. Chunked scan with a 15-byte overlap so markers spanning
+    chunk boundaries are found."""
+    f.seek(from_pos)
+    base = from_pos
+    tail = b""
+    while True:
+        data = f.read(chunk)
+        if not data:
+            return -1
+        hay = tail + data
+        i = hay.find(sync)
+        if i != -1:
+            return base - len(tail) + i + 16
+        tail = hay[-15:]
+        base += len(data)
+
+
+def read_container_split(path: str, start: int, end: int,
+                         schema, codec: str, sync: bytes,
+                         body_offset: int):
+    """Yield rows from the blocks of ONE byte range of a container file
+    — the Avro split contract (DataFileReader.sync/pastSync): a split
+    [start, end) owns every block whose begin offset p satisfies
+    start <= p < end; the first block at or after ``start`` is found
+    by scanning for the sync marker from start-16 (so a block starting
+    exactly at ``start`` is owned by this split, not the previous one).
+    Adjacent splits therefore partition the blocks exactly."""
+    with open(path, "rb") as f:
+        if start <= body_offset:
+            pos = body_offset
+        else:
+            pos = _scan_sync(f, sync, max(start - 16, body_offset))
+            if pos == -1:
+                return
+        while pos < end:
+            f.seek(pos)
+            head = f.read(20)           # two varints (<= 10 bytes each)
+            if not head:
+                return
+            d = Decoder(head)
+            try:
+                count = d.read_long()
+                size = d.read_long()
+            except EOFError:
+                return
+            f.seek(pos + d.pos)
+            data = f.read(size)
+            if len(data) != size:
+                raise EOFError("avro block truncated")
+            if f.read(16) != sync:
+                raise ValueError("sync marker mismatch (corrupt block)")
+            if codec == "deflate":
+                data = zlib.decompress(data, -15)
+            elif codec != "null":
+                raise ValueError(f"unsupported codec {codec!r}")
+            bd = Decoder(data)
+            for _ in range(count):
+                yield bd.read_datum(schema)
+            pos = pos + d.pos + size + 16
+
+
 def read_container(buf: bytes):
     """Yield decoded rows (dicts for records) from container bytes."""
     schema, codec, sync, pos = read_header(buf)
@@ -453,24 +517,31 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
     return sum(counts)
 
 
-def read_avro(spark, path: str):
+def read_avro(spark, path: str, split_bytes: int | None = None):
     """Read a directory of (or a single) .avro container file(s) into a
     DataFrame: schema from one header read driver-side, then a
-    distributed binaryFile scan + Arrow mapInPandas decode — file-level
-    parallelism (at scale, datasets are many files; this is the same
-    granularity spark-avro uses for non-splittable codecs)."""
+    distributed decode.
+
+    Two parallelism granularities, matching spark-avro's behavior:
+    - default (``split_bytes=None``): one task per FILE via a
+      binaryFile scan + Arrow mapInPandas decode — the many-files
+      dataset shape (and the only choice for non-seekable storage).
+    - ``split_bytes=N``: SYNC-SPLIT reads — each file is planned into
+      byte ranges of ~N and every task syncs to the next block marker
+      inside its range (read_container_split), so ONE huge file still
+      fans out across the cluster. Requires the same shared-filesystem
+      contract as write_avro (executors open ``path`` directly)."""
     import glob as _glob
     import os
 
     import pandas as pd
 
-    first = path
+    files = [path]
     if os.path.isdir(path):
         files = sorted(_glob.glob(os.path.join(path, "*.avro")))
         if not files:
             raise ValueError(f"no .avro files under {path}")
-        first = files[0]
-    with open(first, "rb") as f:
+    with open(files[0], "rb") as f:
         head = f.read(1 << 20)
     avro_schema, _codec, _sync, _ = read_header(head)
     spark_schema = avro_to_spark(avro_schema)
@@ -482,20 +553,43 @@ def read_avro(spark, path: str):
     ntz_cols = {f.name for f in spark_schema.fields
                 if isinstance(f.dataType, T.TimestampNTZType)}
 
+    def _to_pdf(rows):
+        cols = {}
+        for n in names:
+            vals = [r[n] for r in rows]
+            if n in tz_cols:
+                cols[n] = pd.to_datetime(vals, utc=True)
+            elif n in ntz_cols:
+                cols[n] = pd.to_datetime(vals)
+            else:
+                cols[n] = pd.Series(vals, dtype="object")
+        return pd.DataFrame(cols)
+
+    if split_bytes is not None:
+        splits = []
+        for fp in files:
+            size = os.path.getsize(fp)
+            for s in range(0, size, split_bytes):
+                splits.append((fp, s, min(s + split_bytes, size)))
+
+        def decode_splits(batches):
+            for pdf in batches:
+                for fp, s, e in zip(pdf["fp"], pdf["s"], pdf["e"]):
+                    with open(fp, "rb") as f:
+                        sch, codec, sync, off = read_header(f.read(1 << 20))
+                    rows = list(read_container_split(
+                        fp, int(s), int(e), sch, codec, sync, off))
+                    if rows:
+                        yield _to_pdf(rows)
+
+        sdf = spark.createDataFrame(splits, "fp string, s long, e long") \
+                   .repartition(min(len(splits), 64))
+        return sdf.mapInPandas(decode_splits, schema=spark_schema)
+
     def decode_files(batches):
         for pdf in batches:
             for content in pdf["content"]:
-                rows = list(read_container(bytes(content)))
-                cols = {}
-                for n in names:
-                    vals = [r[n] for r in rows]
-                    if n in tz_cols:
-                        cols[n] = pd.to_datetime(vals, utc=True)
-                    elif n in ntz_cols:
-                        cols[n] = pd.to_datetime(vals)
-                    else:
-                        cols[n] = pd.Series(vals, dtype="object")
-                yield pd.DataFrame(cols)
+                yield _to_pdf(list(read_container(bytes(content))))
 
     bf = (spark.read.format("binaryFile")
           .option("pathGlobFilter", "*.avro").load(path)

@@ -216,3 +216,40 @@ def test_read_avro_is_distributed_not_collected(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan or "ArrowEval" in plan
     assert back.count() == 100
+
+
+@SET
+@given(n_rows=st.integers(1, 120), block_rows=st.integers(1, 7),
+       split_bytes=st.integers(8, 200))
+def test_sync_split_partitions_blocks_exactly(tmp_path_factory, n_rows,
+                                              block_rows, split_bytes):
+    """For ANY split granularity, concatenating the split reads in
+    offset order must reproduce the full-file row sequence exactly —
+    the dovetail rule (a block starting at offset s belongs to the
+    split beginning at s) leaves no block dropped or doubled."""
+    import os
+    sch = {"type": "record", "name": "r",
+           "fields": [{"name": "a", "type": "long"}]}
+    p = str(tmp_path_factory.mktemp("avsplit") / "t.avro")
+    rows = [{"a": i} for i in range(n_rows)]
+    A.write_container(p, sch, rows, codec="deflate", block_rows=block_rows)
+    schema, codec, sync, off = A.read_header(open(p, "rb").read())
+    size = os.path.getsize(p)
+    got = []
+    for s in range(0, size, split_bytes):
+        got.extend(A.read_container_split(
+            p, s, min(s + split_bytes, size), schema, codec, sync, off))
+    assert got == rows
+
+
+def test_read_avro_sync_split_equals_file_read(spark, tmp_path):
+    """One big container file read with split_bytes must equal the
+    whole-file read and actually fan out over multiple tasks."""
+    from pyspark.sql import Row
+    df = spark.createDataFrame([Row(k=i, s=f"v{i}") for i in range(5000)])
+    path = str(tmp_path / "one")
+    A.write_avro(df.coalesce(1), path, codec="deflate")
+    whole = {tuple(r) for r in A.read_avro(spark, path).collect()}
+    split = A.read_avro(spark, path, split_bytes=4096)
+    assert {tuple(r) for r in split.collect()} == whole
+    assert split.rdd.getNumPartitions() > 1
