@@ -445,3 +445,90 @@ def dynamic_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (B.dynamic_membership(bits, probes, "probe_key",
                                  _DBF_M, _DBF_K)
              .orderBy("probe_key"))
+
+
+@register(
+    "retouched_bloom",
+    sql=f"""
+    WITH ins AS (
+        SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS key FROM documents
+    ), cells AS (
+        SELECT key,
+               ('0x' || substring(md5('bloom|' || key || '|'
+                                      || CAST(t.i AS VARCHAR)), 1, 15))::BIGINT
+                   % {_CBF_M} AS pos
+        FROM ins, LATERAL (SELECT unnest(range(0, {_CBF_K})) AS i) t
+    ), grid AS (
+        SELECT pos, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY pos
+    ), fps AS (
+        SELECT 'ghost_' || CAST(x AS VARCHAR) AS fk
+        FROM generate_series(0, 15) s(x)
+    ), fpc AS (
+        SELECT fk,
+               ('0x' || substring(md5('bloom|' || fk || '|'
+                                      || CAST(t.i AS VARCHAR)), 1, 15))::BIGINT
+                   % {_CBF_M} AS pos
+        FROM fps, LATERAL (SELECT unnest(range(0, {_CBF_K})) AS i) t
+    ), pick AS (
+        SELECT fk, pos,
+               row_number() OVER (PARTITION BY fk
+                                  ORDER BY COALESCE(cnt, 0), pos) AS rn
+        FROM fpc LEFT JOIN grid USING (pos)
+    ), cleared AS (
+        SELECT DISTINCT pos FROM pick WHERE rn = 1
+    ), ret AS (
+        SELECT pos, cnt FROM grid
+        WHERE pos NOT IN (SELECT pos FROM cleared)
+    ), probes AS (
+        SELECT 'doc_' || CAST(x AS VARCHAR) AS probe_key
+        FROM generate_series(0, 63) s(x)
+        UNION ALL SELECT fk FROM fps
+    ), pc AS (
+        SELECT probe_key,
+               ('0x' || substring(md5('bloom|' || probe_key || '|'
+                                      || CAST(t.i AS VARCHAR)), 1, 15))::BIGINT
+                   % {_CBF_M} AS pos
+        FROM probes, LATERAL (SELECT unnest(range(0, {_CBF_K})) AS i) t
+    ), mm AS (
+        SELECT probe_key,
+               min(COALESCE(g.cnt, 0)) AS c0,
+               min(COALESCE(r.cnt, 0)) AS c1
+        FROM pc
+        LEFT JOIN grid g USING (pos)
+        LEFT JOIN ret r ON r.pos = pc.pos
+        GROUP BY probe_key
+    )
+    SELECT probe_key,
+           CAST(c0 >= 1 AS BIGINT) AS member_before,
+           CAST(c1 >= 1 AS BIGINT) AS member_after
+    FROM mm ORDER BY probe_key
+    """,
+    doc="RetouchedBloomFilter semantics (util/bloom/RetouchedBloomFilter"
+        ".java): for each of 16 known-false-positive ghost keys, clear "
+        "its minimum-usage cell (ties: lowest pos — the minimum-ratio "
+        "selection), trading bounded false negatives for the FPs. "
+        "Output: per probe key, membership before vs after the retouch; "
+        "the oracle replicates the argmin clearing cell-for-cell. "
+        "ops/bloom.retouch_grid.",
+    tags=("agg", "sketch", "bloom"),
+)
+def retouched_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops import bloom as B
+    docs = load_table(spark, sf_dir, "documents")
+    adds = docs.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("key"))
+    grid = B.counting_grid(adds, "key", _CBF_M, _CBF_K)
+    fps = spark.range(0, 16).select(
+        F.concat(F.lit("ghost_"), F.col("id").cast("string")).alias("key"))
+    ret = B.retouch_grid(grid, adds, fps, "key", _CBF_M, _CBF_K)
+    probes = (spark.range(0, 64)
+              .select(F.concat(F.lit("doc_"), F.col("id").cast("string"))
+                       .alias("probe_key"))
+              .unionByName(fps.withColumnRenamed("key", "probe_key")))
+    before = (B.counting_membership(grid, probes, "probe_key",
+                                    _CBF_M, _CBF_K)
+               .select("probe_key", F.col("member").alias("member_before")))
+    after = (B.counting_membership(ret, probes, "probe_key",
+                                   _CBF_M, _CBF_K)
+              .select("probe_key", F.col("member").alias("member_after")))
+    return before.join(after, "probe_key").orderBy("probe_key")

@@ -383,3 +383,44 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.max(F.unix_timestamp("o_orderdate"))
                       .alias("max_epoch_s"))
                 .orderBy("o_orderstatus"))
+
+
+@register(
+    "avro_split_scan",
+    sql="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_orderkey % 5 = 1
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Avro SYNC-SPLIT scan: the same orders slice written as ONE "
+        "container file, then read with split_bytes=8192 — every task "
+        "syncs to the next block marker inside its byte range "
+        "(io/avro.read_container_split; the Avro split contract that "
+        "lets a single 10 GB file fan out across a cluster). Hash-"
+        "matching the source-parquet oracle proves the byte-range "
+        "dovetail drops and doubles nothing.",
+    tags=("io", "scan", "serialization"),
+)
+def avro_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from hops_spark.io import avro as A
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderkey") % 5 == 1)
+              .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    path = os.path.join(tempfile.mkdtemp(prefix="hops_avro_split_"), "one")
+    A.write_avro(orders.coalesce(1), path, codec="deflate")
+    back = A.read_avro(spark, path, split_bytes=8192)
+    return (back.groupBy("o_orderstatus")
+                .agg(F.count("*").alias("n_orders"),
+                     F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                            .cast("long")).alias("total_cents"),
+                     F.min("o_orderkey").alias("min_key"),
+                     F.max("o_orderkey").alias("max_key"))
+                .orderBy("o_orderstatus"))
