@@ -297,7 +297,10 @@ class Decoder:
         if t == "fixed":
             return self._take(sch["size"])
         if t == "enum":
-            return sch["symbols"][self.read_long()]
+            i = self.read_long()
+            if not 0 <= i < len(sch["symbols"]):
+                raise ValueError(f"enum index {i} out of range")
+            return sch["symbols"][i]
         if t == "record":
             return {f["name"]: self.read_datum(f["type"])
                     for f in sch["fields"]}

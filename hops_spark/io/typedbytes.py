@@ -140,7 +140,13 @@ def _decode_body(code: int, f: BinaryIO):
             out.append(_decode_body(c, f))
     if code == MAP:
         n = struct.unpack(">I", _read_exact(f, 4))[0]
-        return {_decode_nested(f): _decode_nested(f) for _ in range(n)}
+        out = {}
+        for _ in range(n):
+            k = _decode_nested(f)
+            if isinstance(k, list):      # LIST keys are legal on the wire;
+                k = tuple(k)             # Python dicts need them hashable
+            out[k] = _decode_nested(f)
+        return out
     raise ValueError(f"unknown typedbytes type code {code}")
 
 

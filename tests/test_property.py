@@ -365,3 +365,19 @@ def test_typedbytes_pair_stream_dangling_key_is_eoferror():
     buf = tb.encode_bytes("k1") + tb.encode_bytes(1) + tb.encode_bytes("dangling")
     with pytest.raises(EOFError):
         list(tb.decode_pairs(io.BytesIO(buf)))
+
+
+def test_typedbytes_map_with_list_key_decodes_as_tuple():
+    """LIST keys are legal typedbytes map keys on the wire; the decoder
+    must surface them as (hashable) tuples instead of crashing."""
+    import io
+
+    from hops_spark.io import typedbytes as tb
+    buf = bytearray()
+    buf.append(tb.MAP)
+    import struct as _s
+    buf += _s.pack(">I", 1)
+    tb.encode([1, 2], buf)          # list key -> LIST framing
+    tb.encode("v", buf)
+    got = tb.decode(io.BytesIO(bytes(buf)))
+    assert got == {(1, 2): "v"}
