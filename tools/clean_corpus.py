@@ -49,7 +49,8 @@ THRESHOLD = 0.8
 
 
 def clean_corpus(spark, sf_dir: str, out_dir: str,
-                 bench_source: str = "src0") -> dict:
+                 bench_source: str = "src0", nb_lang: bool = False,
+                 out_format: str = "parquet") -> dict:
     d = load_table(spark, sf_dir, "documents")
     counts = {"input": d.count()}
 
@@ -62,6 +63,17 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
     d = d.withColumn("_lang", lang_id_expr("text")) \
          .filter(F.col("_lang") == "en").drop("_lang")
     counts["after_lang"] = d.count()
+
+    if nb_lang:
+        # Second-opinion language gate: the trained NB classifier must
+        # AGREE with the doc's declared lang label (the fastText-recipe
+        # cross-check; disagreement marks mislabeled/ambiguous docs).
+        from hops_spark.ops.classify import nb_predict
+        agree = (nb_predict(d, class_col="lang")
+                 .filter(F.col("predicted") == F.col("actual"))
+                 .select("doc_id"))
+        d = d.join(agree, "doc_id", "left_semi")
+        counts["after_nb_lang"] = d.count()
 
     d = exact_dedup(d, ["text"], "doc_id")
     counts["after_exact_dedup"] = d.count()
@@ -99,20 +111,30 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
 
     d = split_assign(d, "doc_id", salt="split")
     out = os.path.join(out_dir, "clean")
-    d.orderBy("doc_id").write.mode("overwrite") \
-     .partitionBy("split").parquet(out)
-    counts["written"] = spark.read.parquet(out).count()
+    if out_format == "avro":
+        from hops_spark.io.avro import read_avro, write_avro
+        write_avro(d.orderBy("doc_id"), out, codec="deflate")
+        counts["written"] = read_avro(spark, out).count()
+    else:
+        d.orderBy("doc_id").write.mode("overwrite") \
+         .partitionBy("split").parquet(out)
+        counts["written"] = spark.read.parquet(out).count()
     return counts
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/clean_corpus_out"
+    args = sys.argv[1:]
+    nb_lang = "--nb-lang" in args
+    out_format = "avro" if "--avro" in args else "parquet"
+    args = [a for a in args if a not in ("--nb-lang", "--avro")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    out_dir = args[1] if len(args) > 1 else "/tmp/clean_corpus_out"
     bench_source = "src0"
-    if "--bench-source" in sys.argv:
-        bench_source = sys.argv[sys.argv.index("--bench-source") + 1]
+    if "--bench-source" in args:
+        bench_source = args[args.index("--bench-source") + 1]
     spark = get_spark("clean-corpus")
-    counts = clean_corpus(spark, sf_dir, out_dir, bench_source)
+    counts = clean_corpus(spark, sf_dir, out_dir, bench_source,
+                          nb_lang=nb_lang, out_format=out_format)
     print(json.dumps({"job": "clean_corpus", "sf_dir": sf_dir,
                       "out": os.path.join(out_dir, "clean"), **counts}))
 
