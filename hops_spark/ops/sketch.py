@@ -101,3 +101,81 @@ def heavy_hitters(docs: DataFrame, k: int = 20, id_col: str = "doc_id",
                .select("term", "n_exact", "n_cms",
                        "never_underestimates", "within_eps")
                .orderBy(F.col("n_exact").desc(), "term"))
+
+
+# --- KMV (k-minimum-values / theta) distinct sketch ----------------------
+
+
+def kmv_sketch(df: DataFrame, group_col: str, key_col: str,
+               k: int = 256) -> DataFrame:
+    """KMV distinct-count sketch per group (public: Beyer et al. 2007;
+    the DataSketches theta family): keep the k SMALLEST md5 values of
+    the group's distinct keys. Mergeable exactly (union sketch = k
+    smallest of the concatenation), deterministic (md5 — an oracle
+    recomputes every retained hash), and O(k) state per group forever.
+
+    Build: one distinct on (group, h), then a rank<=k filter over a
+    GROUP-PARTITIONED window — bounded memory per partition; never a
+    per-group collect. Output: (group, hv) rows, <= k per group; hv is
+    the 60-bit integer hash (hash domain 16^15)."""
+    from pyspark.sql.window import Window
+    hv = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+                16, 10).cast("long")
+    d = df.select(F.col(group_col).alias("grp"), hv.alias("hv")).distinct()
+    w = Window.partitionBy("grp").orderBy("hv")
+    return (d.withColumn("_rk", F.row_number().over(w))
+             .filter(F.col("_rk") <= k)
+             .select("grp", "hv", "_rk"))
+
+
+KMV_DOMAIN = 16 ** 15   # 60-bit hash domain
+
+
+def kmv_estimate_ppm(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Per-group distinct estimate from a KMV sketch, integer-exact for
+    the oracle: if the group has < k hashes the sketch IS the distinct
+    set (estimate = count, exact); else est = (k-1) * DOMAIN / kth_min
+    (floor). Output: (grp, n_kept, est_distinct)."""
+    agg = sketch.groupBy("grp").agg(
+        F.count("*").alias("n_kept"),
+        F.max(F.when(F.col("_rk") == k, F.col("hv"))).alias("kth"))
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("long")) \
+           .otherwise(F.expr(f"CAST(({k} - 1) * {KMV_DOMAIN} div kth AS BIGINT)"))
+    return agg.select("grp", F.col("n_kept").cast("long").alias("n_kept"),
+                      est.alias("est_distinct"))
+
+
+def kmv_overlap_ppm(sketch_a: DataFrame, sketch_b: DataFrame,
+                    k: int = 256) -> DataFrame:
+    """Set-operation estimates from two KMV sketches (the theta-sketch
+    intersection trick): merge = k smallest of A ∪ B hashes; with
+    theta = the merged kth min, |U| ~ (k-1)*DOMAIN/theta and
+    |A ∩ B| ~ |U| * (merged hashes present in BOTH) / k. All floor
+    arithmetic over the deterministic hash sets, so an oracle
+    reproduces the estimates bit-for-bit. One row out."""
+    from pyspark.sql.window import Window
+    a = sketch_a.select("hv").withColumn("_in_a", F.lit(1))
+    b = sketch_b.select("hv").withColumn("_in_b", F.lit(1))
+    u = (a.join(b, "hv", "full")
+          .select("hv",
+                  F.coalesce("_in_a", F.lit(0)).alias("ina"),
+                  F.coalesce("_in_b", F.lit(0)).alias("inb")))
+    w = Window.orderBy("hv")   # <= 2k rows by construction (two sketches)
+    m = (u.withColumn("_rk", F.row_number().over(w))
+          .filter(F.col("_rk") <= k))
+    return (m.agg(F.count("*").alias("n_kept"),
+                  F.max(F.when(F.col("_rk") == k, F.col("hv"))).alias("kth"),
+                  F.sum(F.expr("CASE WHEN ina = 1 AND inb = 1 "
+                               "THEN 1 ELSE 0 END")).alias("n_both"))
+             .select(
+                 F.col("n_kept").cast("long").alias("n_kept"),
+                 F.col("n_both").cast("long").alias("n_both"),
+                 F.when(F.col("n_kept") < k, F.col("n_kept"))
+                  .otherwise(F.expr(
+                      f"CAST(({k} - 1) * {KMV_DOMAIN} div kth AS BIGINT)"))
+                  .cast("long").alias("est_union"),
+                 F.when(F.col("n_kept") < k, F.col("n_both"))
+                  .otherwise(F.expr(
+                      f"CAST(n_both * (({k} - 1) * {KMV_DOMAIN} div kth) "
+                      f"div {k} AS BIGINT)"))
+                  .cast("long").alias("est_intersection")))

@@ -370,3 +370,91 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hops_spark.ops.sketch import heavy_hitters
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return heavy_hitters(d, k=20)
+
+
+_KMV_K = 256
+
+
+@register(
+    "kmv_audience_overlap",
+    # Oracle rebuilds BOTH sketches hash-for-hash (k smallest 60-bit
+    # md5 values of each audience), merges, and applies the same floor
+    # estimators — plus the exact union/intersection for the
+    # self-verifying error columns.
+    sql=f"""
+    WITH a AS (
+        SELECT DISTINCT ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                           1, 15))::BIGINT AS hv
+        FROM events WHERE event_type = 'click'
+    ), b AS (
+        SELECT DISTINCT ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                           1, 15))::BIGINT AS hv
+        FROM events WHERE event_type = 'view'
+    ), sa AS (
+        SELECT hv FROM a ORDER BY hv LIMIT {_KMV_K}
+    ), sb AS (
+        SELECT hv FROM b ORDER BY hv LIMIT {_KMV_K}
+    ), u AS (
+        SELECT COALESCE(sa.hv, sb.hv) AS hv,
+               CASE WHEN sa.hv IS NOT NULL THEN 1 ELSE 0 END AS ina,
+               CASE WHEN sb.hv IS NOT NULL THEN 1 ELSE 0 END AS inb
+        FROM sa FULL JOIN sb ON sa.hv = sb.hv
+    ), m AS (
+        SELECT hv, ina, inb,
+               row_number() OVER (ORDER BY hv) AS rk
+        FROM u
+    ), agg AS (
+        SELECT count(*) AS n_kept,
+               max(CASE WHEN rk = {_KMV_K} THEN hv END) AS kth,
+               sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS n_both
+        FROM m WHERE rk <= {_KMV_K}
+    ), ex AS (
+        SELECT
+            (SELECT count(DISTINCT user_id) FROM events
+             WHERE event_type IN ('click', 'view')) AS exact_union,
+            (SELECT count(*) FROM
+                (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+                 INTERSECT
+                 SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+            ) AS exact_intersection
+    )
+    SELECT CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(CASE WHEN n_kept < {_KMV_K} THEN n_kept
+                     ELSE ({_KMV_K} - 1) * {16 ** 15} // kth END
+                AS BIGINT) AS est_union,
+           CAST(CASE WHEN n_kept < {_KMV_K} THEN n_both
+                     ELSE n_both * (({_KMV_K} - 1) * {16 ** 15} // kth)
+                          // {_KMV_K} END
+                AS BIGINT) AS est_intersection,
+           CAST(exact_union AS BIGINT) AS exact_union,
+           CAST(exact_intersection AS BIGINT) AS exact_intersection
+    FROM agg, ex
+    """,
+    doc="KMV/theta distinct sketch with SET OPERATIONS (Beyer et al. "
+        "2007; the DataSketches theta family): per-audience k-minimum-"
+        "value sketches over md5 hashes, merged for union and "
+        "intersection estimates — mergeable O(k) state per group "
+        "forever, the audience-overlap primitive exact distinct "
+        "counting cannot give at 100 TB. Self-verifying: the exact "
+        "union/intersection ride along. ops/sketch.kmv_sketch/"
+        "kmv_overlap_ppm; the <= 2k-row merge window is bounded by "
+        "construction (lint-whitelisted with proof).",
+    tags=("sketch", "agg", "north-star"),
+)
+def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sketch import kmv_overlap_ppm, kmv_sketch
+    e = load_table(spark, sf_dir, "events")
+    aud = lambda t: e.filter(F.col("event_type") == t) \
+                     .select(F.lit(t).alias("g"), "user_id")  # noqa: E731
+    sa = kmv_sketch(aud("click"), "g", "user_id", _KMV_K)
+    sb = kmv_sketch(aud("view"), "g", "user_id", _KMV_K)
+    est = kmv_overlap_ppm(sa, sb, _KMV_K)
+    both = e.filter(F.col("event_type").isin("click", "view"))
+    exact_u = both.select("user_id").distinct().count()
+    exact_i = (e.filter(F.col("event_type") == "click").select("user_id")
+                .intersect(e.filter(F.col("event_type") == "view")
+                            .select("user_id")).count())
+    return est.select("n_kept", "n_both", "est_union", "est_intersection",
+                      F.lit(exact_u).cast("long").alias("exact_union"),
+                      F.lit(exact_i).cast("long").alias("exact_intersection"))
