@@ -117,9 +117,11 @@ def kmv_sketch(df: DataFrame, group_col: str, key_col: str,
     Build: one distinct on (group, h), then a rank<=k filter over a
     GROUP-PARTITIONED window — bounded memory per partition; never a
     per-group collect. Output: (group, hv) rows, <= k per group; hv is
-    the 60-bit integer hash (hash domain 16^15)."""
+    a 52-BIT integer hash (13 md5 nibbles): the domain is sized so the
+    estimator's (k-1)*DOMAIN product stays inside int64 for k <= 2048
+    — no overflow, no float fallback, oracle-exact."""
     from pyspark.sql.window import Window
-    hv = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+    hv = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 13),
                 16, 10).cast("long")
     d = df.select(F.col(group_col).alias("grp"), hv.alias("hv")).distinct()
     w = Window.partitionBy("grp").orderBy("hv")
@@ -128,7 +130,7 @@ def kmv_sketch(df: DataFrame, group_col: str, key_col: str,
              .select("grp", "hv", "_rk"))
 
 
-KMV_DOMAIN = 16 ** 15   # 60-bit hash domain
+KMV_DOMAIN = 16 ** 13   # 52-bit hash domain: (k-1)*DOMAIN fits int64
 
 
 def kmv_estimate_ppm(sketch: DataFrame, k: int = 256) -> DataFrame:
@@ -142,7 +144,7 @@ def kmv_estimate_ppm(sketch: DataFrame, k: int = 256) -> DataFrame:
     est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("long")) \
            .otherwise(F.expr(f"CAST(({k} - 1) * {KMV_DOMAIN} div kth AS BIGINT)"))
     return agg.select("grp", F.col("n_kept").cast("long").alias("n_kept"),
-                      est.alias("est_distinct"))
+                      est.cast("long").alias("est_distinct"))
 
 
 def kmv_overlap_ppm(sketch_a: DataFrame, sketch_b: DataFrame,
@@ -176,6 +178,9 @@ def kmv_overlap_ppm(sketch_a: DataFrame, sketch_b: DataFrame,
                   .cast("long").alias("est_union"),
                  F.when(F.col("n_kept") < k, F.col("n_both"))
                   .otherwise(F.expr(
-                      f"CAST(n_both * (({k} - 1) * {KMV_DOMAIN} div kth) "
-                      f"div {k} AS BIGINT)"))
+                      # overflow-safe: split est_union into div/mod
+                      # parts before multiplying by n_both (<= k)
+                      f"CAST(((({k} - 1) * {KMV_DOMAIN} div kth) div {k})"
+                      f" * n_both + ((({k} - 1) * {KMV_DOMAIN} div kth)"
+                      f" % {k}) * n_both div {k} AS BIGINT)"))
                   .cast("long").alias("est_intersection")))

@@ -240,28 +240,59 @@ _FUZZ_MAX_BLOCK = 5000
     tags=("examples", "similarity", "text"),
 )
 def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The record-linkage shape (blocking + pairwise distance +
-    threshold): first-token blocking keeps it linear-ish in block
-    count; at 100 TB you widen to multi-key blocking (token +
-    soundex + length band) with the same per-block cap, exactly like
-    the LSH band cap in ops/dedup."""
+    """The record-linkage shape, DEDUPE-FIRST: the fixture (like real
+    entity data) is duplicate-heavy — 64 distinct names over 20k rows
+    at sf0.1 — so enumerating row pairs is quadratic in duplicate
+    counts even with perfect blocking (the old 43 s was real matching
+    pairs, not candidates). Exact rewrite: (1) pair DISTINCT NAMES
+    within blocks (the true entity space; at web scale this step is
+    ops/editjoin.edit_distance_pairs, the pigeonhole segment join),
+    (2) truncate each name's id pool to its 51 smallest — provably
+    lossless for ORDER BY (dist, p1, p2) LIMIT 50, since the k-th
+    smallest partner id already has k-1 earlier pairs — and (3)
+    explode only the truncated pools back to id pairs. Same result as
+    the oracle's row-pair definition, measured 43 s -> ~2 s at sf0.1,
+    and no duplicate-count cliff at any scale."""
+    from pyspark.sql.window import Window
+    _POOL = 51                       # limit 50 ⇒ ids beyond rank 51 can't appear
     p = load_table(spark, sf_dir, "part") \
         .select("p_partkey", "p_name",
                 F.split("p_name", " ").getItem(0).alias("blk"))
     ok = (p.groupBy("blk").agg(F.count("*").alias("_n"))
            .where(F.col("_n") <= _FUZZ_MAX_BLOCK).select("blk"))
-    capped = p.join(F.broadcast(ok), "blk", "left_semi") \
-              .localCheckpoint(eager=True)
-    a = capped.select("blk", F.col("p_partkey").alias("p1"),
-                      F.col("p_name").alias("n1"))
-    b = capped.select(F.col("blk").alias("blk2"),
-                      F.col("p_partkey").alias("p2"),
-                      F.col("p_name").alias("n2"))
-    return (a.join(b, (a.blk == b.blk2) & (F.col("p1") < F.col("p2")))
-             .select("p1", "p2",
-                     F.levenshtein("n1", "n2").cast("bigint").alias("dist"))
-             .where(F.col("dist") <= _FUZZ_MAX_DIST)
-             .orderBy("dist", "p1", "p2").limit(50))
+    capped = p.join(F.broadcast(ok), "blk", "left_semi")
+    w = Window.partitionBy("p_name").orderBy("p_partkey")
+    pools = (capped.withColumn("_rk", F.row_number().over(w))
+                   .filter(F.col("_rk") <= _POOL)
+                   .groupBy("blk", "p_name")
+                   .agg(F.sort_array(F.collect_list("p_partkey"))
+                         .alias("ids")))
+    # same-name pairs (dist 0): combinations within one pool
+    pair_arr = F.flatten(F.transform(
+        "ids",
+        lambda x, i: F.transform(
+            F.slice("ids", i + F.lit(2), F.size("ids")),
+            lambda y: F.struct(x.alias("p1"), y.alias("p2")))))
+    same = (pools.select(F.explode(pair_arr).alias("pr"))
+                 .select(F.col("pr.p1").alias("p1"),
+                         F.col("pr.p2").alias("p2"),
+                         F.lit(0).cast("bigint").alias("dist")))
+    # cross-name pairs within a block: distinct-name join (entity space,
+    # tiny post-dedupe), levenshtein once per NAME pair, then pool x pool
+    a = pools.select("blk", F.col("p_name").alias("n1"),
+                     F.col("ids").alias("ia"))
+    b = pools.select(F.col("blk").alias("blk2"),
+                     F.col("p_name").alias("n2"), F.col("ids").alias("ib"))
+    cross = (a.join(b, (a.blk == b.blk2) & (F.col("n1") < F.col("n2")))
+              .withColumn("dist",
+                          F.levenshtein("n1", "n2").cast("bigint"))
+              .filter(F.col("dist") <= _FUZZ_MAX_DIST)
+              .select("dist", F.explode("ia").alias("x"), "ib")
+              .select("dist", "x", F.explode("ib").alias("y"))
+              .select(F.least("x", "y").alias("p1"),
+                      F.greatest("x", "y").alias("p2"), "dist"))
+    return (same.unionByName(cross)
+                .orderBy("dist", "p1", "p2").limit(50))
 
 
 # --- SLS scheduler replay (SURVEY §2.10) -------------------------------------

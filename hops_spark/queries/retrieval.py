@@ -384,11 +384,11 @@ _KMV_K = 256
     sql=f"""
     WITH a AS (
         SELECT DISTINCT ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
-                                           1, 15))::BIGINT AS hv
+                                           1, 13))::BIGINT AS hv
         FROM events WHERE event_type = 'click'
     ), b AS (
         SELECT DISTINCT ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
-                                           1, 15))::BIGINT AS hv
+                                           1, 13))::BIGINT AS hv
         FROM events WHERE event_type = 'view'
     ), sa AS (
         SELECT hv FROM a ORDER BY hv LIMIT {_KMV_K}

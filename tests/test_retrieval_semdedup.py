@@ -182,3 +182,38 @@ def test_knn_bruteforce_eval_guard(spark):
     # explicit opt-in still works
     out = S.knn_bruteforce(corpus, big_panel.limit(3), k=2)
     assert out.count() == 6
+
+
+def test_kmv_sketch_merge_and_estimate_properties(spark):
+    """KMV: (1) the union sketch equals the k smallest of the two
+    sketches' hash union (exact mergeability); (2) below k the
+    estimate IS the exact distinct count; (3) above k the estimate is
+    within the theta-sketch error envelope for k=64 (~1/sqrt(k))."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.ops.sketch import kmv_estimate_ppm, kmv_sketch
+
+    k = 64
+    small = spark.range(0, 40).select(F.lit("s").alias("g"),
+                                      F.col("id").alias("uid"))
+    sk_small = kmv_sketch(small, "g", "uid", k)
+    est = kmv_estimate_ppm(sk_small, k).collect()[0]
+    assert (est["n_kept"], est["est_distinct"]) == (40, 40)
+
+    big = spark.range(0, 20000).select(F.lit("b").alias("g"),
+                                       F.col("id").alias("uid"))
+    estb = kmv_estimate_ppm(kmv_sketch(big, "g", "uid", k), k).collect()[0]
+    assert estb["n_kept"] == k
+    assert abs(estb["est_distinct"] - 20000) / 20000 < 3 / (k ** 0.5)
+
+    # mergeability: sketch(A ∪ B) == k-smallest(sketch(A) ∪ sketch(B))
+    a = spark.range(0, 5000).select(F.lit("g").alias("g"),
+                                    F.col("id").alias("uid"))
+    b = spark.range(2500, 9000).select(F.lit("g").alias("g"),
+                                       F.col("id").alias("uid"))
+    direct = {r["hv"] for r in
+              kmv_sketch(a.unionByName(b), "g", "uid", k).collect()}
+    ha = [r["hv"] for r in kmv_sketch(a, "g", "uid", k).collect()]
+    hb = [r["hv"] for r in kmv_sketch(b, "g", "uid", k).collect()]
+    merged = set(sorted(set(ha) | set(hb))[:k])
+    assert direct == merged
