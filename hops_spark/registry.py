@@ -68,7 +68,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # value_histogram, the r4 bench watch item, so the driver re-proves
     # it alongside the idle-box re-measure ---
     "value_histogram", "q1_pricing_summary", "q12_priority_by_status",
-    "wordcount", "dedup_exact",
+    "wordcount",
+    # --- re-proof: implementation rewritten this round (dedupe-first;
+    # old r4 green row no longer certifies the code) ---
+    "fuzzy_match_parts",
     # --- r1-only-green rotation (18): the TPC-H tail, never refreshed
     # since round 1 ---
     "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
@@ -88,9 +91,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 #  query that is not now green. The 21 never-green queries are the r4
 #  NEXT_WINDOW_QUEUE — all judge-verified against the local gate
 #  replica in VERDICT r4.
-#  r5 window (above): those 21 + 5 new round-5 queries + 5 aging
+#  r5 window (above): those 21 + 5 new round-5 queries + 4 aging
 #  last-green-r2 refreshes (incl. value_histogram, the r4 bench watch
-#  item) + the 18-row r1-only TPC-H tail + keeper = 50.
+#  item) + 1 re-proof (fuzzy_match_parts — rewritten dedupe-first this
+#  round) + the 18-row r1-only TPC-H tail + keeper = 50.
 
 
 def load_all() -> dict[str, QuerySpec]:

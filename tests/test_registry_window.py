@@ -23,9 +23,9 @@ KEEPER_CORE = {"minhash_dedup_pairs"}
 
 # Queries whose implementation materially changed this round — their
 # old green rows no longer certify the current code (registry.py ledger).
-# Round 5: no in-window query's semantics changed (the ADVICE fixes
-# touched error paths only).
-REPROVE: set[str] = set()
+# Round 5: fuzzy_match_parts was rewritten dedupe-first (same declared
+# semantics, new plan) — its r4 green row no longer certifies the code.
+REPROVE: set[str] = {"fuzzy_match_parts"}
 
 
 def _green_rounds() -> dict[str, set[int]]:
