@@ -210,3 +210,43 @@ def tfidf_cosine_topk(docs: DataFrame, k: int = 20, min_df: int = 2,
                 .select("id_a", "id_b", "cosine_ppm")
                 .orderBy(F.col("cosine_ppm").desc(), "id_a", "id_b")
                 .limit(k))
+
+
+# --- hashed bag-of-words embedding (the feature-hashing vectorizer) -----
+
+
+def hashed_bow_embedding(docs: DataFrame, dim: int = 64,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         seed: str = "hbow") -> DataFrame:
+    """REAL text vectorization with no model weights: the classic
+    feature-hashing (signed hashing-trick) vectorizer (public: Weinberger
+    et al. 2009; sklearn HashingVectorizer) — each token hashes to one
+    of ``dim`` buckets with a ±1 sign from a second hash bit, bucket
+    sums are L2-normalized. Deterministic (md5), engine-portable, and a
+    legitimate cosine-similarity embedding for near-dup/topic work —
+    the plumbing an external model embedding drops into unchanged.
+
+    Cost: one token explode + ONE (doc, bucket) aggregate (<= dim rows
+    per doc), dense vector assembled map-side. Output: (id, embedding
+    array<double> of unit L2 norm; all-zero docs -> zero vector)."""
+    from hops_spark.ops.text import words
+    tok = docs.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col("w")))
+    bucket = F.pmod(F.conv(F.substring(h, 1, 7), 16, 10).cast("long"),
+                    F.lit(dim))
+    sign = F.when(F.conv(F.substring(h, 8, 1), 16, 10).cast("long") % 2 == 0,
+                  F.lit(1)).otherwise(F.lit(-1))
+    cells = (tok.select(id_col, bucket.alias("b"), sign.alias("s"))
+                .groupBy(id_col, "b")
+                .agg(F.sum("s").cast("double").alias("v")))
+    m = (cells.groupBy(id_col)
+              .agg(F.map_from_entries(F.collect_list(F.struct("b", "v")))
+                    .alias("m")))
+    dense = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda j: F.coalesce(F.element_at(
+                            F.col("m"), j.cast("long")), F.lit(0.0)))
+    norm = F.sqrt(F.aggregate(dense, F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+    unit = F.when(norm == 0.0, dense).otherwise(
+        F.transform(dense, lambda x: x / norm))
+    return m.select(F.col(id_col), unit.alias("embedding"))

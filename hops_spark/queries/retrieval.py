@@ -458,3 +458,61 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select("n_kept", "n_both", "est_union", "est_intersection",
                       F.lit(exact_u).cast("long").alias("exact_union"),
                       F.lit(exact_i).cast("long").alias("exact_intersection"))
+
+
+_HBOW_DIM = 64
+
+
+@register(
+    "doc_hash_embed",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_DUCK_WORDS}) AS w FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               ('0x' || substring(md5('hbow|' || w), 1, 7))::BIGINT
+                   % {_HBOW_DIM} AS b,
+               CASE WHEN ('0x' || substring(md5('hbow|' || w), 8, 1))::BIGINT
+                         % 2 = 0 THEN 1 ELSE -1 END AS s
+        FROM tok
+    ), cells AS (
+        SELECT doc_id, b, CAST(sum(s) AS DOUBLE) AS v
+        FROM hashed GROUP BY doc_id, b
+    ), dense AS (
+        SELECT c.doc_id, j.j, COALESCE(cells.v, 0.0) AS x
+        FROM (SELECT DISTINCT doc_id FROM cells) c
+        CROSS JOIN (SELECT unnest(range(0, {_HBOW_DIM})) AS j) j
+        LEFT JOIN cells ON cells.doc_id = c.doc_id AND cells.b = j.j
+    ), normed AS (
+        SELECT doc_id, j,
+               x / sqrt(sum(x * x) OVER (PARTITION BY doc_id)) AS u,
+               x
+        FROM dense
+    )
+    SELECT doc_id,
+           CAST(count(CASE WHEN x <> 0 THEN 1 END) AS BIGINT) AS nnz,
+           md5(string_agg(CAST(CAST(floor(u * 1000000) AS BIGINT)
+                               AS VARCHAR), ',' ORDER BY j)) AS vec_digest
+    FROM normed GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Feature-hashing document vectorizer (Weinberger et al. 2009; "
+        "the sklearn HashingVectorizer contract): signed md5 token "
+        "hashing into 64 buckets, L2-normalized — REAL text embeddings "
+        "with no model weights, the drop-in plumbing for an external "
+        "embedding model. The digest hashes every ppm-quantized "
+        "component, so the oracle certifies the full vector per doc. "
+        "ops/retrieval.hashed_bow_embedding; composes with the ANN "
+        "serving index in tools/doc_index.py.",
+    tags=("retrieval", "similarity", "north-star"),
+)
+def doc_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.retrieval import hashed_bow_embedding
+    d = load_table(spark, sf_dir, "documents")
+    emb = hashed_bow_embedding(d, _HBOW_DIM)
+    nnz = F.size(F.filter("embedding", lambda x: x != 0.0)).cast("long")
+    digest = F.md5(F.array_join(
+        F.transform("embedding",
+                    lambda x: F.floor(x * 1000000).cast("string")), ","))
+    return (emb.select("doc_id", nnz.alias("nnz"),
+                       digest.alias("vec_digest"))
+               .orderBy("doc_id"))

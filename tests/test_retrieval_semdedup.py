@@ -217,3 +217,53 @@ def test_kmv_sketch_merge_and_estimate_properties(spark):
     hb = [r["hv"] for r in kmv_sketch(b, "g", "uid", k).collect()]
     merged = set(sorted(set(ha) | set(hb))[:k])
     assert direct == merged
+
+
+def test_hashed_bow_embedding_contract(spark):
+    """Unit norm, determinism, sign sensitivity, and the similarity
+    contract: identical texts -> cosine 1; disjoint-token texts ->
+    |cosine| bounded well below 1 (hash collisions only)."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.ops.retrieval import hashed_bow_embedding
+    from hops_spark.ops.similarity import cosine
+
+    rows = [(1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "epsilon zeta eta theta iota kappa"),
+            (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hashed_bow_embedding(df)
+    got = {r["doc_id"]: list(r["embedding"]) for r in emb.collect()}
+    assert set(got) == {1, 2, 3}          # empty text -> no tokens -> no row
+    for d, v in got.items():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9, d
+    a = emb.alias("a").select(F.col("doc_id").alias("ia"),
+                              F.col("embedding").alias("va"))
+    b = emb.alias("b").select(F.col("doc_id").alias("ib"),
+                              F.col("embedding").alias("vb"))
+    cos = {(r["ia"], r["ib"]): r["c"] for r in
+           a.join(b, F.col("ia") < F.col("ib"))
+            .select("ia", "ib", F.round(cosine(F.col("va"), F.col("vb")), 6)
+                    .alias("c")).collect()}
+    assert cos[(1, 2)] == 1.0
+    assert abs(cos[(1, 3)]) < 0.75 and abs(cos[(2, 3)]) < 0.75
+
+
+def test_doc_index_cli_end_to_end(spark, sf_dir, tmp_path):
+    """documents -> hashed-BoW embed -> SQ8 cell index -> pruned probe:
+    the top-1 neighbor of every probe doc scores a real high cosine
+    through the quantized index (chain smoke, not a recall benchmark)."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    out = subprocess.run(
+        [_sys.executable, "tools/doc_index.py", sf_dir,
+         str(tmp_path / "idx")],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-500:]
+    rep = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["n_docs_indexed"] > 0
+    assert rep["cells_probed"]
+    assert all(c > 0.5 for c in rep["top1_cos"].values()), rep["top1_cos"]
