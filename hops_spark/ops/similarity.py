@@ -403,3 +403,24 @@ def probe_cell_index(spark, index_dir: str,
     top = (scored.withColumn("rnk", F.row_number().over(w))
                  .filter(F.col("rnk") <= k))
     return top, cells_needed
+
+
+def append_cell_index(new_vectors: DataFrame,
+                      centroids: list[tuple[int, list[float]]],
+                      index_dir: str, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """Incrementally ADD vectors to an existing cell index without a
+    rebuild — the production serving update (each ingest batch assigns
+    against the FROZEN codebook and appends its SQ8 rows into the same
+    cell partitions; dynamic-partition append touches only the cells
+    the batch lands in). Probes see old + new immediately; re-running
+    build_cell_index (full rebuild + k-means refresh) is the periodic
+    compaction, not the ingest path."""
+    cell_of = F.array_max(_cell_sims(F.col(vec_col), centroids)) \
+               .getField("cell")
+    q = quantize_int8(new_vectors, id_col, vec_col) \
+        .withColumnRenamed("q", "q_int8")
+    (new_vectors.select(id_col, vec_col).withColumn("cell", cell_of)
+                .join(q, id_col)
+                .select(id_col, "cell", "scale", "q_int8")
+                .write.mode("append").partitionBy("cell").parquet(index_dir))

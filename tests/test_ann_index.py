@@ -88,3 +88,36 @@ def test_probe_cell_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     scanned = pruned.select(F.input_file_name()).distinct().count()
     total = vectors.select(F.input_file_name()).distinct().count()
     assert scanned < total or n_cells_on_disk == len(probed)
+
+
+def test_append_cell_index_equals_full_build(spark, sf_dir, tmp_path):
+    """Build on half the corpus, append the other half against the
+    SAME frozen codebook: every probe must return exactly the rows a
+    one-shot full build returns (incremental ingest is lossless)."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops.similarity import (append_cell_index,
+                                           build_cell_index, ivf_centroids,
+                                           probe_cell_index)
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = ivf_centroids(e, 8)
+    mid = e.agg(F.expr("percentile_approx(vec_id, 0.5)")).collect()[0][0]
+
+    full_dir = str(tmp_path / "full")
+    build_cell_index(e, cents, full_dir)
+    inc_dir = str(tmp_path / "inc")
+    build_cell_index(e.filter(F.col("vec_id") <= mid), cents, inc_dir)
+    append_cell_index(e.filter(F.col("vec_id") > mid), cents, inc_dir)
+
+    queries = (e.filter(F.col("vec_id") < 4)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec")))
+    t_full, _ = probe_cell_index(spark, full_dir, cents, queries, 5, 2)
+    t_inc, _ = probe_cell_index(spark, inc_dir, cents, queries, 5, 2)
+    want = {(r["q_id"], r["rnk"]): (r["neighbor_id"], r["cos_sim"])
+            for r in t_full.collect()}
+    got = {(r["q_id"], r["rnk"]): (r["neighbor_id"], r["cos_sim"])
+           for r in t_inc.collect()}
+    assert got == want and len(want) > 0
