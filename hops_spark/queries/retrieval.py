@@ -516,3 +516,71 @@ def doc_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (emb.select("doc_id", nnz.alias("nnz"),
                        digest.alias("vec_digest"))
                .orderBy("doc_id"))
+
+
+@register(
+    "hbow_knn",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_DUCK_WORDS}) AS w FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               ('0x' || substring(md5('hbow|' || w), 1, 7))::BIGINT
+                   % {_HBOW_DIM} AS b,
+               CASE WHEN ('0x' || substring(md5('hbow|' || w), 8, 1))::BIGINT
+                         % 2 = 0 THEN 1 ELSE -1 END AS s
+        FROM tok
+    ), cells AS (
+        SELECT doc_id, b, CAST(sum(s) AS DOUBLE) AS v
+        FROM hashed GROUP BY doc_id, b
+    ), dense AS (
+        SELECT c.doc_id, j.j, COALESCE(cells.v, 0.0) AS x
+        FROM (SELECT DISTINCT doc_id FROM cells) c
+        CROSS JOIN (SELECT unnest(range(0, {_HBOW_DIM})) AS j) j
+        LEFT JOIN cells ON cells.doc_id = c.doc_id AND cells.b = j.j
+    ), vv AS (
+        SELECT doc_id, list(x ORDER BY j) AS raw
+        FROM dense GROUP BY doc_id
+    ), unitv AS (
+        SELECT doc_id,
+               list_transform(raw, x -> x / sqrt(list_sum(
+                   list_transform(raw, y -> y * y)))) AS v
+        FROM vv
+    ), q AS (
+        SELECT doc_id AS q_id, v AS qv FROM unitv WHERE doc_id < 5
+    ), scored AS (
+        SELECT q.q_id, u.doc_id AS neighbor_id,
+               round(list_cosine_similarity(u.v, q.qv), 6) AS cos_sim
+        FROM unitv u CROSS JOIN q
+        WHERE u.doc_id <> q.q_id
+    ), ranked AS (
+        SELECT q_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cos_sim, rnk
+    FROM ranked WHERE rnk <= 5
+    ORDER BY q_id, rnk
+    """,
+    doc="Document semantic search over REAL derived vectors: top-5 "
+        "cosine neighbors in hashed-BoW embedding space for a 5-doc "
+        "query panel — text in, ranked neighbors out, certified "
+        "end-to-end (the oracle recomputes tokenization, signed "
+        "hashing, normalization, and every cosine). The serving twin "
+        "is tools/doc_index.py (same vectors through the SQ8 cell "
+        "index).",
+    tags=("retrieval", "similarity", "north-star"),
+)
+def hbow_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.retrieval import hashed_bow_embedding
+    from hops_spark.ops.similarity import knn_bruteforce
+    d = load_table(spark, sf_dir, "documents")
+    emb = hashed_bow_embedding(d, _HBOW_DIM) \
+        .withColumnRenamed("doc_id", "vec_id")
+    queries = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    return (knn_bruteforce(emb, queries, k=5)
+            .select("q_id", "neighbor_id", "cos_sim", "rnk")
+            .orderBy("q_id", "rnk"))

@@ -111,7 +111,7 @@ def load_all() -> dict[str, QuerySpec]:
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "nb_lang_classifier",        # registered after the r5 rotation froze
     "media_decode_wav", "retouched_bloom", "avro_split_scan",
-    "hilbert_layout", "kmv_audience_overlap", "doc_hash_embed",
+    "hilbert_layout", "kmv_audience_overlap", "doc_hash_embed", "hbow_knn",
 )
 # Round-6 rotation plan: once CORRECTNESS_r05 lands green for this
 # window, fill freed slots FIRST with any NEXT_WINDOW_QUEUE overflow,
