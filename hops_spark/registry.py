@@ -114,7 +114,9 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "hilbert_layout", "kmv_audience_overlap", "doc_hash_embed", "hbow_knn",
 )
 # Round-6 rotation plan: once CORRECTNESS_r05 lands green for this
-# window, fill freed slots FIRST with any NEXT_WINDOW_QUEUE overflow,
-# THEN continue aging the last-green-r2 families back through (oldest
-# greens first: the r2 scan/text/dedup/similarity/streaming rows), THEN
-# last-green-r3; keep the keeper.
+# window, fill freed slots FIRST with the 8 queued round-5 additions
+# above (all pre-verified: oracle-green at sf0.001 AND sf0.01 plus
+# partition-count determinism), THEN continue aging the last-green-r2
+# families back through (oldest greens first: the r2 scan/text/dedup/
+# similarity/streaming rows, ~42 remaining), THEN last-green-r3; keep
+# the keeper; re-prove anything whose implementation changes.
