@@ -446,16 +446,11 @@ def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("x"), F.col("l_suppkey").alias("y"))
     b = li.agg(F.min("x").alias("xmin"), F.max("x").alias("xmax"),
                F.min("y").alias("ymin"), F.max("y").alias("ymax"))
-    df = (li.join(F.broadcast(b))
-            .select("x", "y", F.lit(0).cast("long").alias("acc"),
-                    F.expr(_HCELL[0].replace("{IDIV}", "div")).alias("xi"),
-                    F.expr(_HCELL[1].replace("{IDIV}", "div")).alias("yi")))
-    for delta, nx, ny in _hilbert_levels():
-        df = (df.select("x", "y",
-                        F.expr(f"acc + {delta}").alias("_acc"),
-                        F.expr(nx).alias("_xi"), F.expr(ny).alias("_yi"))
-                .selectExpr("x", "y", "_acc AS acc", "_xi AS xi",
-                            "_yi AS yi"))
+    df = _hilbert_walk(
+        li.join(F.broadcast(b))
+          .select("x", "y", F.lit(0).cast("long").alias("acc"),
+                  F.expr(_HCELL[0].replace("{IDIV}", "div")).alias("xi"),
+                  F.expr(_HCELL[1].replace("{IDIV}", "div")).alias("yi")))
     return (df.selectExpr("acc div 256 AS file_id", "x", "y")
               .groupBy("file_id")
               .agg(F.count("*").alias("n_rows"),
@@ -464,3 +459,124 @@ def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.min("y").alias("min_suppkey"),
                    F.max("y").alias("max_suppkey"))
               .orderBy("file_id"))
+
+
+def _hilbert_walk(df):
+    """Apply the unrolled Hilbert levels to a frame carrying (x, y, acc,
+    xi, yi); returns the frame with final acc (xi/yi consumed). Shared
+    by hilbert_layout and hilbert_skipping."""
+    for delta, nx, ny in _hilbert_levels():
+        df = (df.select("x", "y",
+                        F.expr(f"acc + {delta}").alias("_acc"),
+                        F.expr(nx).alias("_xi"), F.expr(ny).alias("_yi"))
+                .selectExpr("x", "y", "_acc AS acc", "_xi AS xi",
+                            "_yi AS yi"))
+    return df.select("x", "y", "acc")
+
+
+@register(
+    "hilbert_skipping",
+    sql=f"""
+    WITH pts AS (
+        SELECT l_orderkey AS ok, l_partkey AS x, l_suppkey AS y FROM lineitem
+    ), b AS (
+        SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax,
+               max(ok) AS okmax
+        FROM pts
+    ), cells AS (
+        SELECT DISTINCT x, y, CAST(0 AS BIGINT) AS acc,
+               {_HCELL[0].replace("{IDIV}", "//")} AS xi,
+               {_HCELL[1].replace("{IDIV}", "//")} AS yi
+        FROM pts, b
+    ){_H_CTES}, hcode AS (
+        SELECT x, y, acc // 256 AS h_file FROM {_H_LAST}
+    ), coded AS (
+        SELECT p.ok, p.x, p.y, h.h_file,
+               {_ZX_DUCK} AS xi, {_ZY_DUCK} AS yi,
+               (p.ok * 256) // (okmax + 1) AS naive_file,
+               xmin + (xmax - xmin) // 4 AS x_lo,
+               xmin + (xmax - xmin) // 2 AS x_hi,
+               ymin + (ymax - ymin) // 4 AS y_lo,
+               ymin + (ymax - ymin) // 2 AS y_hi
+        FROM pts p JOIN hcode h USING (x, y), b
+    ), files AS (
+        SELECT CASE lay WHEN 'zorder' THEN ({_morton_sql()}) >> 16
+                        WHEN 'hilbert' THEN h_file
+                        ELSE naive_file END AS file_id,
+               lay, x, y, x_lo, x_hi, y_lo, y_hi
+        FROM coded, (VALUES ('zorder'), ('hilbert'), ('naive')) AS l(lay)
+    ), stats AS (
+        SELECT lay, file_id,
+               min(x) AS fx0, max(x) AS fx1, min(y) AS fy0, max(y) AS fy1,
+               max(x_lo) AS x_lo, max(x_hi) AS x_hi,
+               max(y_lo) AS y_lo, max(y_hi) AS y_hi
+        FROM files GROUP BY lay, file_id
+    )
+    SELECT lay AS layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN fx1 >= x_lo AND fx0 <= x_hi
+                          AND fy1 >= y_lo AND fy0 <= y_hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_files_scanned,
+           CAST(sum(CASE WHEN fx1 >= x_lo AND fx0 <= x_hi
+                          AND fy1 >= y_lo AND fy0 <= y_hi
+                         THEN 1 ELSE 0 END) * 1000000 // count(*)
+                AS BIGINT) AS scan_ppm
+    FROM stats GROUP BY lay ORDER BY layout
+    """,
+    doc="Three-way data-skipping comparison on the SAME box predicate: "
+        "insert-order vs Z-order vs Hilbert file layouts, each file "
+        "scanned iff its min/max stats overlap the quartile box. "
+        "Extends zorder_skipping with the Hilbert walk (computed once "
+        "per DISTINCT cell, joined back — the walk cost is cell-bounded "
+        "regardless of row count); the curve ordering "
+        "hilbert <= zorder << naive in scan_ppm is the measured "
+        "locality claim behind hilbert_layout.",
+    tags=("maintenance", "layout", "scale", "profiling"),
+)
+def hilbert_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("x"), F.col("l_suppkey").alias("y"))
+    b = li.agg(F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+               F.min("y").alias("ymin"), F.max("y").alias("ymax"),
+               F.max("ok").alias("okmax"))
+    cells = (li.select("x", "y").distinct()
+               .join(F.broadcast(b))
+               .select("x", "y", F.lit(0).cast("long").alias("acc"),
+                       F.expr(_HCELL[0].replace("{IDIV}", "div")).alias("xi"),
+                       F.expr(_HCELL[1].replace("{IDIV}", "div")).alias("yi")))
+    hcode = (_hilbert_walk(cells)
+             .selectExpr("x", "y", "acc div 256 AS h_file"))
+    coded = (li.join(hcode, ["x", "y"])
+               .join(F.broadcast(b))
+               .withColumn("xi", F.expr(_ZCELL[0].replace("{IDIV}", "div")))
+               .withColumn("yi", F.expr(_ZCELL[1].replace("{IDIV}", "div")))
+               .withColumn("naive_file",
+                           F.expr("ok * 256 div (okmax + 1)"))
+               .withColumn("x_lo", F.expr("xmin + (xmax - xmin) div 4"))
+               .withColumn("x_hi", F.expr("xmin + (xmax - xmin) div 2"))
+               .withColumn("y_lo", F.expr("ymin + (ymax - ymin) div 4"))
+               .withColumn("y_hi", F.expr("ymin + (ymax - ymin) div 2")))
+    lays = F.explode(F.array(F.lit("zorder"), F.lit("hilbert"),
+                             F.lit("naive"))).alias("lay")
+    files = (coded.select("*", lays)
+                  .withColumn("file_id",
+                              F.when(F.col("lay") == "zorder",
+                                     F.expr(f"({_morton_sql()}) >> 16"))
+                               .when(F.col("lay") == "hilbert",
+                                     F.col("h_file"))
+                               .otherwise(F.col("naive_file"))))
+    stats = (files.groupBy("lay", "file_id")
+                  .agg(F.min("x").alias("fx0"), F.max("x").alias("fx1"),
+                       F.min("y").alias("fy0"), F.max("y").alias("fy1"),
+                       F.max("x_lo").alias("x_lo"), F.max("x_hi").alias("x_hi"),
+                       F.max("y_lo").alias("y_lo"), F.max("y_hi").alias("y_hi")))
+    hit = ((F.col("fx1") >= F.col("x_lo")) & (F.col("fx0") <= F.col("x_hi"))
+           & (F.col("fy1") >= F.col("y_lo")) & (F.col("fy0") <= F.col("y_hi")))
+    return (stats.groupBy(F.col("lay").alias("layout"))
+                 .agg(F.count("*").alias("n_files"),
+                      F.sum(hit.cast("long")).alias("n_files_scanned"),
+                      F.expr("sum(CASE WHEN fx1 >= x_lo AND fx0 <= x_hi "
+                             "AND fy1 >= y_lo AND fy0 <= y_hi THEN 1 ELSE 0 "
+                             "END) * 1000000 div count(*)").alias("scan_ppm"))
+                 .orderBy("layout"))

@@ -111,10 +111,10 @@ def load_all() -> dict[str, QuerySpec]:
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "nb_lang_classifier",        # registered after the r5 rotation froze
     "media_decode_wav", "retouched_bloom", "avro_split_scan",
-    "hilbert_layout", "kmv_audience_overlap", "doc_hash_embed", "hbow_knn",
+    "hilbert_layout", "kmv_audience_overlap", "doc_hash_embed", "hbow_knn", "hilbert_skipping",
 )
 # Round-6 rotation plan: once CORRECTNESS_r05 lands green for this
-# window, fill freed slots FIRST with the 8 queued round-5 additions
+# window, fill freed slots FIRST with the 9 queued round-5 additions
 # above (all pre-verified: oracle-green at sf0.001 AND sf0.01 plus
 # partition-count determinism), THEN continue aging the last-green-r2
 # families back through (oldest greens first: the r2 scan/text/dedup/
