@@ -286,9 +286,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     sweep is ``minhash_dedup_pairs``."""
     if max_shingle_freq is None:
         from pyspark.sql import SparkSession
+        sess = SparkSession.getActiveSession()
+        # getActiveSession() is None off the driver thread / pre-builder:
+        # fall back to the local-profile default rather than AttributeError.
         max_shingle_freq = int(
-            SparkSession.getActiveSession().conf.get(
-                "spark.hops.dedup.maxShingleFreq", "10000"))
+            sess.conf.get("spark.hops.dedup.maxShingleFreq", "10000")
+            if sess is not None else 10000)
     sa = shingle_arrays(df, id_col, text_col, shingle_n)
     rows = sa.select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
     # ONE groupBy fuses the doc-frequency count, the hot-shingle prune

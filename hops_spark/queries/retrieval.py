@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from hops_spark.io.readers import load_table
 from hops_spark.ops import retrieval as R
+from hops_spark.ops.sketch import KMV_DOMAIN
 from hops_spark.queries.textops import _DUCK_WORDS
 from hops_spark.registry import register
 
@@ -377,10 +378,15 @@ _KMV_K = 256
 
 @register(
     "kmv_audience_overlap",
-    # Oracle rebuilds BOTH sketches hash-for-hash (k smallest 60-bit
-    # md5 values of each audience), merges, and applies the same floor
+    # Oracle rebuilds BOTH sketches hash-for-hash (k smallest 52-bit
+    # md5 values of each audience — 13 nibbles, domain 16**13 =
+    # sketch.KMV_DOMAIN), merges, and applies the same floor
     # estimators — plus the exact union/intersection for the
-    # self-verifying error columns.
+    # self-verifying error columns. The estimator branch (n_kept == k)
+    # only fires once >= k distinct union hashes exist (true at sf0.1+;
+    # the sf0.001/0.01 fixtures take the exact n_kept < k path), so the
+    # domain constant here MUST be interpolated from sketch.KMV_DOMAIN
+    # — a mismatched literal is invisible at small sf (round-5 ADVICE).
     sql=f"""
     WITH a AS (
         SELECT DISTINCT ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
@@ -421,10 +427,10 @@ _KMV_K = 256
     SELECT CAST(n_kept AS BIGINT) AS n_kept,
            CAST(n_both AS BIGINT) AS n_both,
            CAST(CASE WHEN n_kept < {_KMV_K} THEN n_kept
-                     ELSE ({_KMV_K} - 1) * {16 ** 15} // kth END
+                     ELSE ({_KMV_K} - 1) * {KMV_DOMAIN} // kth END
                 AS BIGINT) AS est_union,
            CAST(CASE WHEN n_kept < {_KMV_K} THEN n_both
-                     ELSE n_both * (({_KMV_K} - 1) * {16 ** 15} // kth)
+                     ELSE n_both * (({_KMV_K} - 1) * {KMV_DOMAIN} // kth)
                           // {_KMV_K} END
                 AS BIGINT) AS est_intersection,
            CAST(exact_union AS BIGINT) AS exact_union,

@@ -364,14 +364,14 @@ def random_writer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from hops_spark.io import avro as A
+    from hops_spark.session import scratch_dir
     orders = (load_table(spark, sf_dir, "orders")
               .filter(F.col("o_orderkey") % 7 == 0)
               .select("o_orderkey", "o_orderstatus", "o_totalprice",
                       "o_orderdate"))
-    path = os.path.join(tempfile.mkdtemp(prefix="hops_avro_rt_"), "orders")
+    path = os.path.join(scratch_dir("avro_rt", sf_dir), "orders")
     A.write_avro(orders.repartition(4), path, codec="deflate")
     back = A.read_avro(spark, path)
     return (back.groupBy("o_orderstatus")
@@ -408,13 +408,13 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def avro_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from hops_spark.io import avro as A
+    from hops_spark.session import scratch_dir
     orders = (load_table(spark, sf_dir, "orders")
               .filter(F.col("o_orderkey") % 5 == 1)
               .select("o_orderkey", "o_orderstatus", "o_totalprice"))
-    path = os.path.join(tempfile.mkdtemp(prefix="hops_avro_split_"), "one")
+    path = os.path.join(scratch_dir("avro_split", sf_dir), "one")
     A.write_avro(orders.coalesce(1), path, codec="deflate")
     back = A.read_avro(spark, path, split_bytes=8192)
     return (back.groupBy("o_orderstatus")

@@ -539,12 +539,12 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
+
+    from hops_spark.session import scratch_dir
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = SIM.ivf_centroids(e, N_CELLS)
-    index_dir = os.path.join(tempfile.mkdtemp(prefix="hops_ann_probe_"),
-                             "vectors")
+    index_dir = os.path.join(scratch_dir("ann_probe", sf_dir), "vectors")
     SIM.build_cell_index(e, cents, index_dir)
     queries = (e.filter(F.col("vec_id") < N_QUERIES)
                 .select(F.col("vec_id").alias("q_id"),

@@ -78,3 +78,22 @@ def stop_spark() -> None:
     s = SparkSession.getActiveSession()
     if s is not None:
         s.stop()
+
+
+def scratch_dir(name: str, key: str = "") -> str:
+    """Fixed per-(name, key) scratch directory under the system tempdir,
+    WIPED and recreated on every call. Queries that materialize an
+    on-disk artifact (avro containers, ANN index shards) write here so
+    repeated bench/oracle/battery runs REUSE one path instead of
+    leaking a fresh mkdtemp per invocation (round-5 ADVICE). The
+    returned dir is empty and owned by the caller until its next call
+    with the same (name, key)."""
+    import hashlib
+    import shutil
+    import tempfile
+    suffix = hashlib.md5(key.encode()).hexdigest()[:8] if key else "0"
+    d = os.path.join(tempfile.gettempdir(), "hops_scratch",
+                     f"{name}-{suffix}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d

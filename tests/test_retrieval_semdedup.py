@@ -267,3 +267,46 @@ def test_doc_index_cli_end_to_end(spark, sf_dir, tmp_path):
     assert rep["n_docs_indexed"] > 0
     assert rep["cells_probed"]
     assert all(c > 0.5 for c in rep["top1_cos"].values()), rep["top1_cos"]
+
+
+def test_kmv_overlap_saturated_branch_matches_oracle(spark, tmp_path):
+    """Round-5 ADVICE regression: the registered ``kmv_audience_overlap``
+    oracle SQL interpolated a 16**15 domain while the Spark estimator
+    uses sketch.KMV_DOMAIN = 16**13 — invisible at sf0.001/0.01 where
+    n_kept < k takes the exact path. This probe writes a synthetic
+    events fixture with 2000 distinct users per audience (>= k = 256
+    distinct union hashes), FORCING the n_kept == k estimator branch,
+    and compares the registered Spark query against the registered
+    DuckDB oracle value-for-value."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from hops_spark.registry import load_all
+
+    spec = load_all()["kmv_audience_overlap"]
+    # events fixture: clicks from users 0..1999, views from 1000..2999
+    # (overlap 1000) — both audiences saturate a k=256 sketch.
+    ev = (spark.range(0, 6000)
+          .select(F.col("id").alias("event_id"),
+                  F.timestamp_micros(F.col("id") * 1000000).alias("ts"),
+                  F.when(F.col("id") < 3000, F.col("id") % 2000)
+                   .otherwise(1000 + F.col("id") % 2000).alias("user_id"),
+                  F.when(F.col("id") < 3000, F.lit("click"))
+                   .otherwise(F.lit("view")).alias("event_type"),
+                  F.lit(1.0).alias("value"),
+                  F.lit("{}").alias("props")))
+    ev.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    sdf = spec.fn(spark, str(tmp_path))
+    srow = sdf.collect()[0].asDict()
+    assert srow["n_kept"] == 256, "probe failed to saturate the sketch"
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{tmp_path}/events.parquet/*.parquet'")
+    drow = dict(zip([c[0] for c in con.sql(spec.sql).description],
+                    con.sql(spec.sql).fetchall()[0]))
+    assert srow == drow, f"spark {srow} vs oracle {drow}"
+    # sanity: the estimator is in the theta error envelope for k=256
+    assert abs(srow["est_union"] - srow["exact_union"]) \
+        / srow["exact_union"] < 3 / (256 ** 0.5)

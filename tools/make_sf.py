@@ -90,7 +90,10 @@ def main() -> int:
     def mut_emb(df, i):
         if i == 0:
             return df
-        rot = F.concat(F.slice("embedding", i + 1, 64 - i),
+        # derive the rotation length from the actual vector size —
+        # a hardcoded 64 silently truncates if the fixture dim changes
+        dim = F.size("embedding")
+        rot = F.concat(F.slice("embedding", i + 1, dim - F.lit(i)),
                        F.slice("embedding", 1, i))
         return df.withColumn("embedding", rot)
 
