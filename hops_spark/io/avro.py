@@ -36,6 +36,7 @@ import json
 import struct
 import zlib
 from datetime import date, datetime, timedelta, timezone
+from decimal import Decimal
 
 from pyspark.sql import types as T
 
@@ -85,6 +86,11 @@ def spark_to_avro(dt: T.DataType, name: str = "topLevelRecord",
         sch = {"type": "long", "logicalType": "timestamp-micros"}
     elif isinstance(dt, T.TimestampNTZType):
         sch = {"type": "long", "logicalType": "local-timestamp-micros"}
+    elif isinstance(dt, T.DecimalType):
+        # the spark-avro mapping: bytes + logicalType decimal, the
+        # unscaled value as minimal two's-complement big-endian
+        sch = {"type": "bytes", "logicalType": "decimal",
+               "precision": dt.precision, "scale": dt.scale}
     elif type(dt) in _P2AVRO:
         sch = _P2AVRO[type(dt)]
     else:
@@ -103,6 +109,8 @@ def avro_to_spark(sch) -> T.DataType:
         raise ValueError(f"unsupported avro type {sch!r}")
     t = sch["type"]
     lt = sch.get("logicalType")
+    if lt == "decimal" and t in ("bytes", "fixed"):
+        return T.DecimalType(sch["precision"], sch.get("scale", 0))
     if lt == "date" and t == "int":
         return T.DateType()
     if lt in ("timestamp-micros", "timestamp-millis") and t == "long":
@@ -163,6 +171,22 @@ def _write_bytes(out: bytearray, b: bytes) -> None:
     out += b
 
 
+def _decimal_to_unscaled(v, scale: int) -> int:
+    """Exact Decimal -> unscaled int at the schema scale (spec: the
+    representation is the unscaled value; re-scaling must be exact)."""
+    u = Decimal(v).scaleb(scale)
+    iu = int(u)
+    if iu != u:
+        raise ValueError(f"decimal {v} does not fit scale {scale}")
+    return iu
+
+
+def _unscaled_to_bytes(iu: int) -> bytes:
+    """Minimal-length two's-complement big-endian (spec 'decimal')."""
+    n = (iu.bit_length() + 8) // 8 or 1
+    return iu.to_bytes(n, "big", signed=True)
+
+
 def encode_datum(out: bytearray, sch, v) -> None:
     """Encode one value against an Avro schema node."""
     if isinstance(sch, list):                       # union
@@ -184,6 +208,12 @@ def encode_datum(out: bytearray, sch, v) -> None:
         return
     if t == "boolean":
         out.append(1 if v else 0)
+    elif t in ("bytes", "fixed") and lt.get("logicalType") == "decimal":
+        iu = _decimal_to_unscaled(v, lt.get("scale", 0))
+        if t == "bytes":
+            _write_bytes(out, _unscaled_to_bytes(iu))
+        else:                                       # fixed: sign-extend
+            out += iu.to_bytes(sch["size"], "big", signed=True)
     elif t == "int" and lt.get("logicalType") == "date":
         _write_long(out, (v - _EPOCH_DATE).days)
     elif t == "long" and lt.get("logicalType") in ("timestamp-micros",
@@ -275,6 +305,11 @@ class Decoder:
             return None
         if t == "boolean":
             return self._take(1)[0] != 0
+        if t in ("bytes", "fixed") and lt.get("logicalType") == "decimal":
+            raw = self.read_bytes() if t == "bytes" \
+                else self._take(sch["size"])
+            iu = int.from_bytes(raw, "big", signed=True)
+            return Decimal(iu).scaleb(-lt.get("scale", 0))
         if t == "int" and lt.get("logicalType") == "date":
             return _EPOCH_DATE + timedelta(days=self.read_long())
         if t == "long" and lt.get("logicalType") == "timestamp-micros":
@@ -327,6 +362,189 @@ class Decoder:
                     k = self.read_bytes().decode("utf-8")
                     out[k] = self.read_datum(sch["values"])
         raise ValueError(f"unsupported avro type {t!r}")
+
+
+# --- schema resolution (Avro spec "Schema Resolution") --------------------
+#
+# Reader-vs-writer evolution: data written with schema W is read with
+# schema R — writer-only fields are skipped, reader-only fields take
+# their declared default, fields/records match by name or reader-declared
+# aliases, and the spec's primitive promotions apply (int->long/float/
+# double, long->float/double, float->double, string<->bytes). This is
+# the contract AvroSerialization.java relies on for evolving records
+# (reference: hadoop-common io/serializer/avro/AvroSerialization.java:44
+# delegates to ReflectDatumReader(writerSchema, readerSchema)).
+
+_PROMOTIONS = {("int", "long"), ("int", "float"), ("int", "double"),
+               ("long", "float"), ("long", "double"), ("float", "double"),
+               ("string", "bytes"), ("bytes", "string")}
+
+_NAMED = ("record", "enum", "fixed")
+
+
+def _type_name(sch) -> str:
+    if isinstance(sch, list):
+        return "union"
+    return sch if isinstance(sch, str) else sch["type"]
+
+
+def _short(full: str) -> str:
+    return full.rsplit(".", 1)[-1]
+
+
+def _names_match(w, r) -> bool:
+    """Named-type match: equal (short) names, or the writer's name among
+    the reader's aliases. Short-name comparison keeps namespace handling
+    lenient (GenericData.Record interop writes unqualified names)."""
+    wn = _short(w.get("name", ""))
+    if wn == _short(r.get("name", "")):
+        return True
+    return wn in {_short(a) for a in r.get("aliases", [])}
+
+
+def _branch_matches(w, r) -> bool:
+    """Can writer schema w resolve against (non-union) reader schema r?"""
+    wt, rt = _type_name(w), _type_name(r)
+    if wt in _NAMED and rt == wt:
+        return _names_match(w, r)
+    return wt == rt or (wt, rt) in _PROMOTIONS
+
+
+def default_value(sch, jd):
+    """Convert a JSON-encoded field default into the decoded-value
+    domain (spec: defaults are written in the JSON encoding; bytes and
+    fixed use ISO-8859-1 codepoint strings; a union's default matches
+    its FIRST branch)."""
+    if isinstance(sch, list):
+        return default_value(sch[0], jd)
+    t = sch if isinstance(sch, str) else sch["type"]
+    lt = {} if isinstance(sch, str) else sch
+    if t == "null":
+        return None
+    if t == "boolean":
+        return bool(jd)
+    if t in ("bytes", "fixed") and lt.get("logicalType") == "decimal":
+        raw = jd.encode("latin-1")
+        return Decimal(int.from_bytes(raw, "big", signed=True)) \
+            .scaleb(-lt.get("scale", 0))
+    if t == "int" and lt.get("logicalType") == "date":
+        return _EPOCH_DATE + timedelta(days=int(jd))
+    if t == "long" and lt.get("logicalType") == "timestamp-micros":
+        return _EPOCH_TS + timedelta(microseconds=int(jd))
+    if t == "long" and lt.get("logicalType") == "local-timestamp-micros":
+        return (_EPOCH_TS + timedelta(microseconds=int(jd))) \
+            .replace(tzinfo=None)
+    if t in ("int", "long"):
+        return int(jd)
+    if t in ("float", "double"):
+        return float(jd)
+    if t in ("string", "enum"):
+        return jd
+    if t in ("bytes", "fixed"):
+        return jd.encode("latin-1")
+    if t == "array":
+        return [default_value(sch["items"], x) for x in jd]
+    if t == "map":
+        return {k: default_value(sch["values"], v) for k, v in jd.items()}
+    if t == "record":
+        return {f["name"]: default_value(f["type"],
+                                         jd.get(f["name"], f.get("default")))
+                for f in sch["fields"]}
+    raise ValueError(f"unsupported default for avro type {t!r}")
+
+
+def read_resolved(d: "Decoder", w, r):
+    """Decode one datum written with schema ``w``, resolved against
+    reader schema ``r`` (Avro spec §Schema Resolution)."""
+    if isinstance(w, list):                         # writer union: branch
+        idx = d.read_long()
+        if not 0 <= idx < len(w):
+            raise ValueError(f"union index {idx} out of range")
+        return read_resolved(d, w[idx], r)
+    if isinstance(r, list):                         # reader union: first fit
+        for br in r:
+            if _branch_matches(w, br):
+                return read_resolved(d, w, br)
+        raise ValueError(f"writer {_type_name(w)!r} matches no reader "
+                         f"union branch {[_type_name(b) for b in r]}")
+    wt, rt = _type_name(w), _type_name(r)
+    if wt == rt and wt not in ("record", "enum", "array", "map", "fixed"):
+        return d.read_datum(w)                      # identical primitive
+    if (wt, rt) in _PROMOTIONS:
+        v = d.read_datum(w)
+        if rt in ("float", "double"):
+            return float(v)
+        if rt == "long":
+            return int(v)
+        if rt == "bytes":
+            return v.encode("utf-8")
+        return v.decode("utf-8")                    # bytes -> string
+    if wt != rt:
+        raise ValueError(f"cannot resolve writer {wt!r} to reader {rt!r}")
+    if wt == "fixed":
+        if not _names_match(w, r) or w["size"] != r["size"]:
+            raise ValueError("fixed name/size mismatch")
+        return d.read_datum(w)
+    if wt == "enum":
+        if not _names_match(w, r):
+            raise ValueError("enum name mismatch")
+        i = d.read_long()
+        sym = w["symbols"][i]
+        if sym in r["symbols"]:
+            return sym
+        if "default" in r:
+            return r["default"]
+        raise ValueError(f"enum symbol {sym!r} absent from reader")
+    if wt == "array":
+        out = []
+        while True:
+            n = d.read_long()
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                d.read_long()
+            out.extend(read_resolved(d, w["items"], r["items"])
+                       for _ in range(n))
+    if wt == "map":
+        out = {}
+        while True:
+            n = d.read_long()
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                d.read_long()
+            for _ in range(n):
+                k = d.read_bytes().decode("utf-8")
+                out[k] = read_resolved(d, w["values"], r["values"])
+    # record: writer-order decode, name/alias field matching, skipped
+    # writer-only fields, default-filled reader-only fields.
+    if not _names_match(w, r):
+        raise ValueError(f"record name mismatch: writer "
+                         f"{w.get('name')!r} vs reader {r.get('name')!r}")
+    rmatch = {}                                     # writer field -> reader field
+    for rf in r["fields"]:
+        rmatch[rf["name"]] = rf
+        for a in rf.get("aliases", ()):
+            rmatch.setdefault(a, rf)
+    out = {}
+    matched = set()
+    for wf in w["fields"]:
+        rf = rmatch.get(wf["name"])
+        if rf is None or id(rf) in matched:
+            d.read_datum(wf["type"])                # skip writer-only
+        else:
+            matched.add(id(rf))
+            out[rf["name"]] = read_resolved(d, wf["type"], rf["type"])
+    for rf in r["fields"]:
+        if id(rf) in matched:
+            continue
+        if "default" not in rf:
+            raise ValueError(f"reader field {rf['name']!r} has no writer "
+                             f"match and no default")
+        out[rf["name"]] = default_value(rf["type"], rf["default"])
+    return out
 
 
 # --- object container file ------------------------------------------------
@@ -425,7 +643,7 @@ def _scan_sync(f, sync: bytes, from_pos: int, chunk: int = 1 << 22) -> int:
 
 def read_container_split(path: str, start: int, end: int,
                          schema, codec: str, sync: bytes,
-                         body_offset: int):
+                         body_offset: int, reader_schema=None):
     """Yield rows from the blocks of ONE byte range of a container file
     — the Avro split contract (DataFileReader.sync/pastSync): a split
     [start, end) owns every block whose begin offset p satisfies
@@ -462,13 +680,19 @@ def read_container_split(path: str, start: int, end: int,
             elif codec != "null":
                 raise ValueError(f"unsupported codec {codec!r}")
             bd = Decoder(data)
-            for _ in range(count):
-                yield bd.read_datum(schema)
+            if reader_schema is None:
+                for _ in range(count):
+                    yield bd.read_datum(schema)
+            else:
+                for _ in range(count):
+                    yield read_resolved(bd, schema, reader_schema)
             pos = pos + d.pos + size + 16
 
 
-def read_container(buf: bytes):
-    """Yield decoded rows (dicts for records) from container bytes."""
+def read_container(buf: bytes, reader_schema=None):
+    """Yield decoded rows (dicts for records) from container bytes.
+    With ``reader_schema``, rows are resolved writer->reader per the
+    spec's Schema Resolution rules (read_resolved)."""
     schema, codec, sync, pos = read_header(buf)
     d = Decoder(buf, pos)
     while d.pos < len(buf):
@@ -482,8 +706,12 @@ def read_container(buf: bytes):
         if d._take(16) != sync:
             raise ValueError("sync marker mismatch (corrupt block)")
         bd = Decoder(data)
-        for _ in range(count):
-            yield bd.read_datum(schema)
+        if reader_schema is None:
+            for _ in range(count):
+                yield bd.read_datum(schema)
+        else:
+            for _ in range(count):
+                yield read_resolved(bd, schema, reader_schema)
 
 
 # --- distributed Spark path ----------------------------------------------
@@ -520,7 +748,8 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
     return sum(counts)
 
 
-def read_avro(spark, path: str, split_bytes: int | None = None):
+def read_avro(spark, path: str, split_bytes: int | None = None,
+              reader_schema=None):
     """Read a directory of (or a single) .avro container file(s) into a
     DataFrame: schema from one header read driver-side, then a
     distributed decode.
@@ -533,7 +762,13 @@ def read_avro(spark, path: str, split_bytes: int | None = None):
       byte ranges of ~N and every task syncs to the next block marker
       inside its range (read_container_split), so ONE huge file still
       fans out across the cluster. Requires the same shared-filesystem
-      contract as write_avro (executors open ``path`` directly)."""
+      contract as write_avro (executors open ``path`` directly).
+
+    ``reader_schema`` (parsed-JSON Avro schema) turns on spec Schema
+    Resolution: the DataFrame schema derives from the READER schema and
+    every row is resolved writer->reader (defaults, aliases, promotions
+    — read_resolved), the evolving-record contract AvroSerialization
+    gets from ReflectDatumReader(writer, reader)."""
     import glob as _glob
     import os
 
@@ -547,7 +782,8 @@ def read_avro(spark, path: str, split_bytes: int | None = None):
     with open(files[0], "rb") as f:
         head = f.read(1 << 20)
     avro_schema, _codec, _sync, _ = read_header(head)
-    spark_schema = avro_to_spark(avro_schema)
+    spark_schema = avro_to_spark(reader_schema if reader_schema is not None
+                                 else avro_schema)
     if not isinstance(spark_schema, T.StructType):
         raise ValueError("top-level avro schema must be a record")
     names = [f.name for f in spark_schema.fields]
@@ -581,7 +817,8 @@ def read_avro(spark, path: str, split_bytes: int | None = None):
                     with open(fp, "rb") as f:
                         sch, codec, sync, off = read_header(f.read(1 << 20))
                     rows = list(read_container_split(
-                        fp, int(s), int(e), sch, codec, sync, off))
+                        fp, int(s), int(e), sch, codec, sync, off,
+                        reader_schema=reader_schema))
                     if rows:
                         yield _to_pdf(rows)
 
@@ -592,7 +829,8 @@ def read_avro(spark, path: str, split_bytes: int | None = None):
     def decode_files(batches):
         for pdf in batches:
             for content in pdf["content"]:
-                yield _to_pdf(list(read_container(bytes(content))))
+                yield _to_pdf(list(read_container(bytes(content),
+                                                  reader_schema=reader_schema)))
 
     bf = (spark.read.format("binaryFile")
           .option("pathGlobFilter", "*.avro").load(path)

@@ -424,3 +424,81 @@ def avro_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.min("o_orderkey").alias("min_key"),
                      F.max("o_orderkey").alias("max_key"))
                 .orderBy("o_orderstatus"))
+
+
+_AVRO_EVO_READER = {
+    # write_avro names the top record "topLevelRecord" (the spark-avro
+    # convention); the v2 reader declares it as a record-level alias
+    "type": "record", "name": "orders_v1",
+    "aliases": ["topLevelRecord"], "fields": [
+        {"name": "okey", "type": "long"},
+        # v2 renames status -> ostatus; the alias resolves v1 data
+        {"name": "ostatus", "type": ["null", "string"],
+         "aliases": ["status"]},
+        # v1 wrote int cents; v2 widened to long (spec promotion)
+        {"name": "total_cents", "type": ["null", "long"]},
+        {"name": "price", "type": ["null", {
+            "type": "bytes", "logicalType": "decimal",
+            "precision": 12, "scale": 2}]},
+        # brand-new field: every v1 row takes the declared default
+        {"name": "channel", "type": "string", "default": "web"},
+    ]}
+
+
+@register(
+    "avro_evolution",
+    sql="""
+    WITH v1 AS (
+        SELECT o_orderstatus AS ostatus,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 7 = 3
+    )
+    SELECT ostatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(CAST(cents * 0.01 AS DECIMAL(12,2)))
+                AS DECIMAL(18,2)) AS sum_price,
+           'web' AS channel
+    FROM v1 GROUP BY ostatus ORDER BY ostatus
+    """,
+    doc="Avro SCHEMA RESOLUTION end-to-end (spec 'Schema Resolution'; "
+        "the evolving-record contract AvroSerialization.java:44 gets "
+        "from ReflectDatumReader(writer, reader)): an orders slice is "
+        "written with schema v1 (status, int cents, decimal(12,2) "
+        "price, a legacy field), then read with reader schema v2 — "
+        "status RENAMED to ostatus via aliases, cents PROMOTED "
+        "int->long, legacy DROPPED, and a new channel field filled "
+        "from its default. The aggregate over the resolved rows "
+        "hash-matches the oracle computed straight from the source "
+        "parquet, so every resolution rule is value-proven (the "
+        "decimal sum additionally proves the unscaled two's-complement "
+        "bytes-decimal roundtrip). io/avro.read_resolved; Java-library "
+        "equivalence in tests/test_avro.py.",
+    tags=("io", "scan", "serialization"),
+)
+def avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hops_spark.io import avro as A
+    from hops_spark.session import scratch_dir
+
+    v1 = (load_table(spark, sf_dir, "orders")
+          .filter(F.col("o_orderkey") % 7 == 3)
+          .select(F.col("o_orderkey").alias("okey"),
+                  F.col("o_orderstatus").alias("status"),
+                  F.round(F.col("o_totalprice") * 100, 0).cast("int")
+                   .alias("total_cents"),
+                  F.expr("CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+                         " * 0.01 AS DECIMAL(12,2))").alias("price"),
+                  F.when(F.col("o_orderkey") % 2 == 1,
+                         F.concat(F.lit("v1-"), F.col("o_orderkey")))
+                   .alias("legacy")))
+    path = os.path.join(scratch_dir("avro_evo", sf_dir), "orders_v1")
+    A.write_avro(v1.repartition(4), path, codec="deflate")
+    v2 = A.read_avro(spark, path, reader_schema=_AVRO_EVO_READER)
+    return (v2.groupBy("ostatus")
+              .agg(F.count("*").alias("n_orders"),
+                   F.sum("total_cents").alias("sum_cents"),
+                   F.sum("price").cast("decimal(18,2)").alias("sum_price"),
+                   F.max("channel").alias("channel"))
+              .orderBy("ostatus"))

@@ -50,51 +50,49 @@ def register(name: str, sql: str | None = None, doc: str = "",
 # registration order after the listed ones; listed-but-unregistered names
 # are ignored (lets the list name queries added later in the round).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (21): the r4 NEXT_WINDOW_QUEUE — all
-    # pass the local gate replica (judge re-confirmed in VERDICT r4);
-    # this rotation converts them to hard driver rows ---
-    "bpe_tokenize_docs", "sentence_dedup", "cdc_chunks",
-    "embedding_quantize", "vocab_coverage",
-    "meta_xattr_search", "meta_snapshot_diff",
-    "rolling_window_agg", "skew_profile",
-    "winsorized_stats", "grouped_mode", "robust_scale_stats",
-    "grouped_deciles", "dq_audit", "rfm_segments",
-    "weekly_anomaly", "order_lead_times", "supplier_hhi",
-    "dsir_doc_weights", "ngram_novelty", "zorder_skipping",
-    # --- new in round 5 (never-green by construction) ---
-    "ann_probe", "avro_roundtrip", "counting_bloom", "dynamic_bloom",
-    "sls_fifo_replay",
-    # --- aging refresh (oldest greens: last-green r2) — includes
-    # value_histogram, the r4 bench watch item, so the driver re-proves
-    # it alongside the idle-box re-measure ---
-    "value_histogram", "q1_pricing_summary", "q12_priority_by_status",
-    "wordcount",
-    # --- re-proof: implementation rewritten this round (dedupe-first;
-    # old r4 green row no longer certifies the code) ---
-    "fuzzy_match_parts",
-    # --- r1-only-green rotation (18): the TPC-H tail, never refreshed
-    # since round 1 ---
-    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q11_important_stock", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
-    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_filter",
-    "q20_part_suppliers", "q21_sole_returner", "q22_dormant_customers",
-    # --- flagship keeper (green r2+r3+r4; stays in-window for the judge) ---
+    # --- never driver-checked (9): the r5 NEXT_WINDOW_QUEUE — all
+    # pre-verified oracle-green (judge re-confirmed in VERDICT r5);
+    # this rotation converts them to hard driver rows.
+    # kmv_audience_overlap's oracle-domain bug (round-5 ADVICE high)
+    # was fixed THIS round with a saturated-branch regression test
+    # before rotating it in ---
+    "nb_lang_classifier", "media_decode_wav", "retouched_bloom",
+    "avro_split_scan", "hilbert_layout", "kmv_audience_overlap",
+    "doc_hash_embed", "hbow_knn", "hilbert_skipping",
+    # --- re-proof: implementation touched this round (scratch-dir
+    # materialization path replaced mkdtemp — same semantics, new IO
+    # path; the r5 green rows no longer certify the exact code) ---
+    "avro_roundtrip", "ann_probe",
+    # --- aging refresh (38 of the 43 last-green-r2 rows, oldest greens
+    # first; the remaining 5 — rollup_revenue, scan_percent_filter,
+    # uniq_value_count, value_aggregator_job, word_stats — defer to the
+    # r7 rotation). ngram_jaccard_pairs doubles as a re-proof (its cap
+    # resolution gained a None-session guard this round) ---
+    "approx_distinct_parts", "decontaminate", "dedup_exact",
+    "doc_fingerprint", "doc_quality", "embedding_near_dup",
+    "event_dedup", "field_selection", "grep", "inverse_map",
+    "json_extract_events", "knn_bruteforce", "knn_ivf", "knn_lsh",
+    "lang_id", "late_data_policy", "media_features",
+    "media_frame_sample", "meta_batched_lookup", "meta_block_report",
+    "meta_content_summary", "meta_expired_leases", "meta_get_listing",
+    "meta_glob_status", "meta_path_resolve", "meta_point_lookup",
+    "meta_quota_rollup", "meta_subtree_delete", "meta_under_replicated",
+    "minhash_signatures", "ngram_jaccard_pairs", "pii_scrub",
+    "pipeline_clean_corpus", "simhash_near_pairs", "simhash_signatures",
+    "sliding_window_agg", "token_counts", "tumbling_window_agg",
+    # --- flagship keeper (green r2+r3+r4+r5; stays in-window) ---
     "minhash_dedup_pairs",
 )
 # Cumulative hard-verification ledger (driver CORRECTNESS files):
 #  r1 green: TPC-H q1..q22, join/sort/setop/scan core
 #  r2 green: dedup/similarity/text/multimodal/pipeline/metadata/streaming
-#  r3 green: 50/50; r4 green: 50/50 (zero errors both rounds).
-#  Union after r4: 162 distinct queries driver-green; never a checked
-#  query that is not now green. The 21 never-green queries are the r4
-#  NEXT_WINDOW_QUEUE — all judge-verified against the local gate
-#  replica in VERDICT r4.
-#  r5 window (above): those 21 + 5 new round-5 queries + 4 aging
-#  last-green-r2 refreshes (incl. value_histogram, the r4 bench watch
-#  item) + 1 re-proof (fuzzy_match_parts — rewritten dedupe-first this
-#  round) + the 18-row r1-only TPC-H tail + keeper = 50.
+#  r3 green: 50/50; r4 green: 50/50; r5 green: 50/50 (zero errors).
+#  Union after r5: 188 distinct queries driver-green; never a checked
+#  query that is not now green. The 9 never-green queries are the r5
+#  NEXT_WINDOW_QUEUE — judge-verified against the local gate replica
+#  in VERDICT r5 and re-verified locally this round after the kmv fix.
+#  r6 window (above): those 9 + 2 re-proofs (scratch-dir IO change) +
+#  38 aging last-green-r2 refreshes + keeper = 50.
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -109,14 +107,15 @@ def load_all() -> dict[str, QuerySpec]:
 # (the window guard test enforces that overflow never-green queries are
 # exactly this queue).
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    "nb_lang_classifier",        # registered after the r5 rotation froze
-    "media_decode_wav", "retouched_bloom", "avro_split_scan",
-    "hilbert_layout", "kmv_audience_overlap", "doc_hash_embed", "hbow_knn", "hilbert_skipping",
+    # round-6 registrations land here as they are verified
+    "avro_evolution",     # schema resolution + decimal (judge task 2)
 )
-# Round-6 rotation plan: once CORRECTNESS_r05 lands green for this
-# window, fill freed slots FIRST with the 9 queued round-5 additions
-# above (all pre-verified: oracle-green at sf0.001 AND sf0.01 plus
-# partition-count determinism), THEN continue aging the last-green-r2
-# families back through (oldest greens first: the r2 scan/text/dedup/
-# similarity/streaming rows, ~42 remaining), THEN last-green-r3; keep
-# the keeper; re-prove anything whose implementation changes.
+# Round-7 rotation plan: once CORRECTNESS_r06 lands green, fill freed
+# slots FIRST with this queue (pre-verified: oracle-green at sf0.001
+# AND sf0.01 plus partition-count determinism), THEN the 5 deferred
+# last-green-r2 rows (rollup_revenue, scan_percent_filter,
+# uniq_value_count, value_aggregator_job, word_stats), THEN continue
+# aging the last-green-r3 families (47 rows: bm25_topk, cms_heavy_
+# hitters, distcp_plan_chunks, semantic_dedup, ... per the ledger in
+# tests/test_registry_window.py); keep the keeper; re-prove anything
+# whose implementation changes.

@@ -253,3 +253,173 @@ def test_read_avro_sync_split_equals_file_read(spark, tmp_path):
     split = A.read_avro(spark, path, split_bytes=4096)
     assert {tuple(r) for r in split.collect()} == whole
     assert split.rdd.getNumPartitions() > 1
+
+
+# --- round 6: schema resolution + decimal (spec "Schema Resolution") -----
+
+_V1_WRITER = {
+    "type": "record", "name": "evt", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "status", "type": "string"},
+        {"name": "cents", "type": "int"},
+        {"name": "price", "type": {"type": "bytes", "logicalType": "decimal",
+                                   "precision": 12, "scale": 2}},
+        {"name": "legacy", "type": ["null", "string"]},
+    ]}
+# v2 reader: renames status->ostatus via alias, promotes cents int->long,
+# drops `legacy`, adds default-filled `channel`.
+_V2_READER = {
+    "type": "record", "name": "evt", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "ostatus", "type": "string", "aliases": ["status"]},
+        {"name": "cents", "type": "long"},
+        {"name": "price", "type": {"type": "bytes", "logicalType": "decimal",
+                                   "precision": 12, "scale": 2}},
+        {"name": "channel", "type": "string", "default": "web"},
+    ]}
+
+
+def _v1_rows(n=60):
+    from decimal import Decimal
+    return [{"k": i, "status": f"S{i % 3}", "cents": i * 37 - 500,
+             "price": Decimal(i * 37 - 500).scaleb(-2),
+             "legacy": None if i % 2 else f"old-{i}"} for i in range(n)]
+
+
+def test_schema_resolution_defaults_aliases_promotions(tmp_path):
+    p = str(tmp_path / "v1.avro")
+    A.write_container(p, _V1_WRITER, _v1_rows(), codec="deflate")
+    got = list(A.read_container(open(p, "rb").read(),
+                                reader_schema=_V2_READER))
+    from decimal import Decimal
+    assert len(got) == 60
+    for i, r in enumerate(got):
+        assert set(r) == {"k", "ostatus", "cents", "price", "channel"}
+        assert r["ostatus"] == f"S{i % 3}"          # alias rename
+        assert r["cents"] == i * 37 - 500           # int->long promotion
+        assert isinstance(r["cents"], int)
+        assert r["price"] == Decimal(i * 37 - 500).scaleb(-2)
+        assert r["channel"] == "web"                # default fill
+
+
+def test_schema_resolution_matches_java_resolving_reader(spark, tmp_path):
+    """The SAME (writer v1, reader v2) resolution through the real Java
+    library: DataFileReader + GenericDatumReader(null, readerSchema)
+    applies the spec resolution; its rows must equal ours."""
+    p = str(tmp_path / "v1j.avro")
+    A.write_container(p, _V1_WRITER, _v1_rows(), codec="deflate")
+    ours = list(A.read_container(open(p, "rb").read(),
+                                 reader_schema=_V2_READER))
+
+    jvm = spark._jvm
+    rsch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(_V2_READER))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(None, rsch)
+    dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(p), reader)
+    jrows = []
+    while dfr.hasNext():
+        jrows.append(dfr.next())
+    dfr.close()
+    assert len(jrows) == len(ours)
+    conv = jvm.org.apache.avro.Conversions.DecimalConversion()
+    psch = rsch.getField("price").schema()
+    lt = jvm.org.apache.avro.LogicalTypes.fromSchema(psch)
+    for jr, mine in zip(jrows, ours):
+        assert jr.get("k") == mine["k"]
+        assert str(jr.get("ostatus")) == mine["ostatus"]
+        assert jr.get("cents") == mine["cents"]
+        assert str(jr.get("channel")) == mine["channel"]
+        # py4j auto-converts java.math.BigDecimal -> decimal.Decimal
+        assert conv.fromBytes(jr.get("price"), psch, lt) == mine["price"]
+
+
+def test_java_reads_python_decimal_file(spark, tmp_path):
+    """Decimal logical type interop: Python-written bytes-decimal values
+    decode to the same BigDecimal through the Java DecimalConversion."""
+    from decimal import Decimal
+    sch = {"type": "record", "name": "d", "fields": [
+        {"name": "v", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": 14, "scale": 3}}]}
+    vals = [Decimal("0.000"), Decimal("-0.001"), Decimal("12345678901.234"),
+            Decimal("-99999999999.999"), Decimal("1.100")]
+    p = str(tmp_path / "dec.avro")
+    A.write_container(p, sch, [{"v": v} for v in vals], codec="null")
+
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.generic.GenericDatumReader()
+    dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(p), reader)
+    jsch = dfr.getSchema().getField("v").schema()
+    lt = jvm.org.apache.avro.LogicalTypes.fromSchema(jsch)
+    conv = jvm.org.apache.avro.Conversions.DecimalConversion()
+    out = []
+    while dfr.hasNext():
+        # py4j auto-converts java.math.BigDecimal -> decimal.Decimal
+        out.append(conv.fromBytes(dfr.next().get("v"), jsch, lt))
+    dfr.close()
+    assert out == vals
+
+
+def test_python_reads_java_decimal_file(spark, tmp_path):
+    """Reverse direction: Java DecimalConversion.toBytes -> our decoder."""
+    from decimal import Decimal
+    jvm = spark._jvm
+    sch_json = json.dumps({"type": "record", "name": "d", "fields": [
+        {"name": "v", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": 10, "scale": 2}}]})
+    schema = jvm.org.apache.avro.Schema.Parser().parse(sch_json)
+    vsch = schema.getField("v").schema()
+    lt = jvm.org.apache.avro.LogicalTypes.fromSchema(vsch)
+    conv = jvm.org.apache.avro.Conversions.DecimalConversion()
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    p = str(tmp_path / "jdec.avro")
+    dfw.create(schema, jvm.java.io.File(p))
+    vals = ["-12345678.90", "0.00", "0.01", "99999999.99"]
+    for s in vals:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("v", conv.toBytes(jvm.java.math.BigDecimal(s), vsch, lt))
+        dfw.append(rec)
+    dfw.close()
+    got = list(A.read_container(open(p, "rb").read()))
+    assert [r["v"] for r in got] == [Decimal(s) for s in vals]
+
+
+def test_read_avro_with_reader_schema_distributed(spark, tmp_path):
+    """read_avro(reader_schema=...): the DataFrame schema derives from
+    the READER schema (bigint cents, no legacy, default channel), on
+    both the per-file and the sync-split path."""
+    import os
+    d = str(tmp_path / "evt")
+    os.makedirs(d)
+    rows = _v1_rows(200)
+    A.write_container(os.path.join(d, "part-0.avro"), _V1_WRITER,
+                      rows[:100], codec="deflate", block_rows=9)
+    A.write_container(os.path.join(d, "part-1.avro"), _V1_WRITER,
+                      rows[100:], codec="deflate", block_rows=9)
+    for split in (None, 4096):
+        df = A.read_avro(spark, d, split_bytes=split,
+                         reader_schema=_V2_READER)
+        assert dict(df.dtypes) == {"k": "bigint", "ostatus": "string",
+                                   "cents": "bigint",
+                                   "price": "decimal(12,2)",
+                                   "channel": "string"}
+        got = {r["k"]: r for r in df.collect()}
+        assert len(got) == 200
+        assert got[7]["ostatus"] == "S1" and got[7]["channel"] == "web"
+        assert got[7]["cents"] == 7 * 37 - 500
+
+
+def test_resolution_error_contracts():
+    """No silent misreads: incompatible primitive, missing default, and
+    record-name mismatch all raise ValueError."""
+    p = _V1_WRITER
+    buf = bytearray()
+    A.encode_datum(buf, p, _v1_rows(1)[0])
+    d = A.Decoder(bytes(buf))
+    bad_prim = {"type": "record", "name": "evt", "fields": [
+        {"name": "k", "type": "string"}]}          # long -> string: illegal
+    with pytest.raises(ValueError, match="cannot resolve"):
+        A.read_resolved(d, p, bad_prim)
+    d = A.Decoder(bytes(buf))
+    bad_name = {"type": "record", "name": "other", "fields": []}
+    with pytest.raises(ValueError, match="name mismatch"):
+        A.read_resolved(d, p, bad_name)

@@ -23,14 +23,15 @@ KEEPER_CORE = {"minhash_dedup_pairs"}
 
 # Queries whose implementation materially changed this round — their
 # old green rows no longer certify the current code (registry.py ledger).
-# Round 5: fuzzy_match_parts was rewritten dedupe-first (same declared
-# semantics, new plan) — its r4 green row no longer certifies the code.
-REPROVE: set[str] = {"fuzzy_match_parts"}
+# Round 6: avro_roundtrip / ann_probe switched materialization from
+# per-invocation mkdtemp to session.scratch_dir (new IO path);
+# ngram_jaccard_pairs gained the None-session cap-resolution guard.
+REPROVE: set[str] = {"avro_roundtrip", "ann_probe", "ngram_jaccard_pairs"}
 
 
 def _green_rounds() -> dict[str, set[int]]:
     out: dict[str, set[int]] = {}
-    for rnd in (1, 2, 3, 4):
+    for rnd in (1, 2, 3, 4, 5):
         path = os.path.join(_REPO, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.exists(path):
             with open(path) as f:
