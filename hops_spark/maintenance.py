@@ -9,6 +9,10 @@
   parity (mapred/lib/DynamicInputFormat.java:51): more chunks than
   workers, atomic create-once claims on a shared directory, so a
   straggler strands one chunk instead of 1/n of the copy.
+- ``distcp_atomic_plan`` / ``distcp_run_atomic``: the -atomic commit
+  protocol (mapred/CopyCommitter.java:67): stage under a work root,
+  promote the whole tree with one rename on success, delete the
+  staging tree on failure — all-or-nothing dst visibility.
 - ``distch_plan``: parallel chmod/chown planning table (DistCh).
 - ``xor_parity`` / ``rs_encode``: erasure-coding kernels
   (hops-erasure-coding-project ReedSolomonCode.java:27-128 semantics)
@@ -99,6 +103,49 @@ def distcp_run(plan: DataFrame, bandwidth_bps: int | None = None) -> int:
 
     plan.repartition("chunk").foreachPartition(copy_partition)
     return n
+
+
+def distcp_atomic_plan(plan: DataFrame, dst_root: str,
+                       work_root: str | None = None) -> DataFrame:
+    """Rewrite a copy plan for the -atomic commit protocol (reference
+    hadoop-tools/hadoop-distcp/.../mapred/CopyCommitter.java:67 +
+    DistCpOptions -atomic/-tmp): every dst is re-rooted under a
+    staging ``work_root`` (default ``<dst_root>.distcp.tmp`` — same
+    filesystem/parent, so the final rename is a metadata-only atomic
+    op), and the intended final path rides along as ``final_dst``.
+    Pure column rewrite — no extra shuffle over the input plan."""
+    dst_root = dst_root.rstrip("/")
+    work_root = (work_root or dst_root + ".distcp.tmp").rstrip("/")
+    rel = F.expr(f"substring(dst, {len(dst_root) + 1})")
+    return (plan.withColumn("final_dst", F.col("dst"))
+                .withColumn("dst", F.concat(F.lit(work_root), rel)))
+
+
+def distcp_run_atomic(plan: DataFrame, dst_root: str,
+                      work_root: str | None = None,
+                      bandwidth_bps: int | None = None) -> int:
+    """-atomic copy: stage every file under the work root, then promote
+    the WHOLE tree with ONE rename on success; delete the staging tree
+    on any failure — dst either appears complete or never appears
+    (CopyCommitter.java:67 commitJob -> promotePath, abortJob ->
+    delete workDir). The final dst must not pre-exist (the reference
+    refuses -atomic onto an existing target: atomicity of rename only
+    holds for a fresh path). Returns files copied."""
+    dst_root = dst_root.rstrip("/").removeprefix("file:")
+    work_root = (work_root or dst_root + ".distcp.tmp").rstrip("/")
+    if os.path.exists(dst_root):
+        raise ValueError(f"-atomic target {dst_root!r} already exists "
+                         "(atomic promote requires a fresh path)")
+    staged = distcp_atomic_plan(plan, dst_root, work_root)
+    shutil.rmtree(work_root, ignore_errors=True)
+    try:
+        n = distcp_run(staged.drop("final_dst"), bandwidth_bps)
+        os.makedirs(work_root, exist_ok=True)   # empty plan still commits
+        os.rename(work_root, dst_root)          # the atomic promote
+        return n
+    except BaseException:
+        shutil.rmtree(work_root, ignore_errors=True)  # all-or-nothing
+        raise
 
 
 def distcp_run_dynamic(plan: DataFrame, claim_dir: str,

@@ -781,3 +781,52 @@ def meta_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.when(F.col("live_t2"), "CREATED")
                         .otherwise("DELETED").alias("change"))
                .orderBy("inode_id"))
+
+
+@register(
+    "distcp_atomic_plan",
+    sql=_DUCK_INODES + """
+    , listing AS (
+        SELECT 'src/' || parent || '/' || name AS src, size FROM inodes
+    ), ranked AS (
+        SELECT src, size,
+               row_number() OVER (ORDER BY size DESC, src) AS rnk
+        FROM listing
+    ), staged AS (
+        SELECT CAST(rnk % 8 AS BIGINT) AS chunk, size,
+               'dst.distcp.tmp' || substring(src, 4) AS dst,
+               'dst' || substring(src, 4) AS final_dst
+        FROM ranked
+    )
+    SELECT chunk, count(*) AS n_files, CAST(sum(size) AS BIGINT) AS chunk_bytes,
+           min(dst) AS min_staged, max(final_dst) AS max_final
+    FROM staged
+    GROUP BY chunk
+    ORDER BY chunk
+    """,
+    doc="DistCp -atomic staging plan (hadoop-tools/hadoop-distcp "
+        "mapred/CopyCommitter.java:67 commitJob/promotePath): every "
+        "dst re-rooted under the <dst>.distcp.tmp work dir with the "
+        "final path riding along — the column rewrite whose single "
+        "terminal rename gives all-or-nothing visibility. The oracle "
+        "reproduces the staged AND final path for every file "
+        "(min/max digest per chunk); the runtime protocol (promote on "
+        "success, delete on failure, refuse pre-existing target) is "
+        "pytest-proven in tests/test_distcp.py.",
+    tags=("metadata", "maintenance"),
+)
+def distcp_atomic_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.maintenance import distcp_atomic_plan, distcp_plan
+    ino = inodes_from_documents(spark, sf_dir)
+    listing = ino.select(
+        F.concat(F.lit("src/"), F.col("parent"), F.lit("/"), F.col("name"))
+         .alias("src"),
+        F.col("size"))
+    plan = distcp_plan(listing, "src/", "dst/", tasks=8)
+    staged = distcp_atomic_plan(plan, "dst")
+    return (staged.groupBy(F.col("chunk").cast("long").alias("chunk"))
+                  .agg(F.count("*").alias("n_files"),
+                       F.sum("size").alias("chunk_bytes"),
+                       F.min("dst").alias("min_staged"),
+                       F.max("final_dst").alias("max_final"))
+                  .orderBy("chunk"))

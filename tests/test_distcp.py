@@ -124,3 +124,67 @@ def test_distcp_plan_src_root_with_file_scheme(spark, tmp_path):
                            tasks=2).collect()}
     assert bare == schemed
     assert all(d.startswith("/dst/") for d in bare.values())
+
+
+def test_distcp_atomic_success_is_all_or_nothing(spark, tmp_path):
+    """-atomic commit (CopyCommitter.java:67): files stage under the
+    work root; the final dst appears via ONE rename with every file
+    complete, and the staging dir is gone afterwards."""
+    import pytest
+    from hops_spark.maintenance import distcp_run_atomic
+
+    srcroot = tmp_path / "src"
+    _make_tree(str(srcroot), 6, size=1024)
+    dst = str(tmp_path / "dst")
+    plan = distcp_plan(list_files(spark, str(srcroot)), str(srcroot),
+                       dst, tasks=3)
+    n = distcp_run_atomic(plan, dst)
+    assert n == 6
+    assert not os.path.exists(dst + ".distcp.tmp")   # staging promoted away
+    for r in plan.collect():
+        assert open(r.dst.removeprefix("file:"), "rb").read() \
+            == open(r.src.removeprefix("file:"), "rb").read()
+    # the reference refuses -atomic onto an existing target
+    with pytest.raises(ValueError, match="already exists"):
+        distcp_run_atomic(plan, dst)
+
+
+def test_distcp_atomic_failure_leaves_dst_untouched(spark, tmp_path):
+    """Injected mid-copy failure (one source path missing): the copy
+    job fails, the staging tree is deleted, and the final dst never
+    comes into existence — no partial tree visible to readers."""
+    import pytest
+    from pyspark.sql import functions as SF
+    from hops_spark.maintenance import distcp_run_atomic
+
+    srcroot = tmp_path / "src"
+    _make_tree(str(srcroot), 6, size=1024)
+    dst = str(tmp_path / "dst")
+    plan = distcp_plan(list_files(spark, str(srcroot)), str(srcroot),
+                       dst, tasks=3)
+    poisoned = plan.unionByName(
+        plan.limit(1).select(
+            SF.lit(f"file:{srcroot}/d9/does-not-exist.bin").alias("src"),
+            SF.lit(1024).alias("size"),
+            SF.concat(SF.lit(dst), SF.lit("/d9/does-not-exist.bin")).alias("dst"),
+            SF.lit(0).alias("chunk")))
+    with pytest.raises(Exception):
+        distcp_run_atomic(poisoned, dst)
+    assert not os.path.exists(dst), "partial dst visible after failed -atomic"
+    assert not os.path.exists(dst + ".distcp.tmp"), "staging dir leaked"
+
+
+def test_distcp_atomic_plan_stages_under_work_root(spark, tmp_path):
+    from hops_spark.maintenance import distcp_atomic_plan
+
+    srcroot = tmp_path / "src"
+    _make_tree(str(srcroot), 4, size=256)
+    dst = str(tmp_path / "dst")
+    plan = distcp_plan(list_files(spark, str(srcroot)), str(srcroot),
+                       dst, tasks=2)
+    staged = distcp_atomic_plan(plan, dst)
+    for r in staged.collect():
+        assert r.dst.startswith(dst + ".distcp.tmp/"), r.dst
+        assert r.final_dst.startswith(dst + "/"), r.final_dst
+        assert r.dst.removeprefix(dst + ".distcp.tmp") \
+            == r.final_dst.removeprefix(dst)
