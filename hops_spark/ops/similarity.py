@@ -191,6 +191,69 @@ def _cell_sims(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
                                               c.alias("cell")))
 
 
+def coarse_codebook(centroids: list[tuple[int, list[float]]],
+                    n_coarse: int
+                    ) -> tuple[list[tuple[int, list[float]]],
+                               list[list[int]], list[list[list[float]]]]:
+    """Two-level quantizer metadata (driver-side, O(n_cells × n_coarse ×
+    dim) floats — trivial even at 10^6 cells): the first ``n_coarse``
+    fine centroids (already md5-ordered by ivf_centroids — deterministic)
+    become the COARSE codebook; every fine centroid is assigned to its
+    nearest coarse centroid with the SAME rounded-cosine /
+    larger-wins tie-break the Column path uses. Returns
+    (coarse list [(coarse_idx, vec)], per-coarse fine cell-id groups,
+    per-coarse fine centroid-vector groups) — the latter two are
+    literal-array payloads for two_level_cell."""
+    import math
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(y * y for y in b))
+        return round(num / den, 6) if den else 0.0
+
+    coarse = [(i, vec) for i, (_cid, vec) in enumerate(centroids[:n_coarse])]
+    groups_cells: list[list[int]] = [[] for _ in range(n_coarse)]
+    groups_vecs: list[list[list[float]]] = [[] for _ in range(n_coarse)]
+    for cid, vec in centroids:
+        best = max(((_cos(vec, cv), i) for i, cv in coarse))[1]
+        groups_cells[best].append(cid)
+        groups_vecs[best].append(vec)
+    return coarse, groups_cells, groups_vecs
+
+
+def two_level_cell(vec: Column, centroids: list[tuple[int, list[float]]],
+                   n_coarse: int | None = None,
+                   coarse_probes: int = 4) -> Column:
+    """Coarse-then-fine cell assignment — the broadcast-argmax operator
+    COMPOSED WITH ITSELF (the IVF-on-the-codebook trick; SCALE.md note
+    39 made executable): argmax over ~sqrt(n_cells) coarse centroids,
+    then argmax over only the fine centroids of the ``coarse_probes``
+    nearest coarse groups. Per-vector cost drops from n_cells cosines
+    to ~(sqrt(n_cells) + coarse_probes * n_cells / sqrt(n_cells)) —
+    the difference between 4096 and ~320 codebook distances per vector
+    at n_cells=4096. Same (sim, cell) struct tie-break as the flat
+    path, so wherever the true argmax cell's coarse group is probed the
+    result is IDENTICAL to flat assignment (the ivf_two_level oracle
+    query asserts zero mismatches on the fixture)."""
+    if n_coarse is None:
+        n_coarse = max(1, int(round(len(centroids) ** 0.5)))
+    coarse, gcells, gvecs = coarse_codebook(centroids, n_coarse)
+    probes = F.slice(F.reverse(F.array_sort(_cell_sims(vec, coarse))),
+                     1, min(coarse_probes, n_coarse))
+    gc = F.lit(gcells)
+    gv = F.lit(gvecs)
+    cand_cells = F.flatten(F.transform(
+        probes, lambda p: F.element_at(gc, p.getField("cell") + 1)))
+    cand_vecs = F.flatten(F.transform(
+        probes, lambda p: F.element_at(gv, p.getField("cell") + 1)))
+    sims = F.transform(cand_vecs, lambda cv: F.round(cosine(vec, cv), 6))
+    return F.array_max(F.zip_with(
+        sims, cand_cells,
+        lambda s, c: F.struct(s.alias("sim"), c.alias("cell")))) \
+        .getField("cell")
+
+
 def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
             n_cells: int = 16, nprobe: int = 2,
             id_col: str = "vec_id", vec_col: str = "embedding",
@@ -340,7 +403,9 @@ def quantize_int8(df: DataFrame, id_col: str = "vec_id",
 def build_cell_index(corpus: DataFrame,
                      centroids: list[tuple[int, list[float]]],
                      index_dir: str, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> None:
+                     vec_col: str = "embedding",
+                     two_level: bool | None = None,
+                     coarse_probes: int = 4) -> None:
     """Materialize the ANN serving index: each vector assigned to its
     nearest centroid cell (argmax over the broadcast codebook — one
     narrow pass) and stored SQ8-QUANTIZED ONLY (scale + int8 codes, 4x
@@ -353,9 +418,20 @@ def build_cell_index(corpus: DataFrame,
     Reference analog: MapFileOutputFormat's sorted+indexed layout for
     point lookups (hadoop-mapreduce-client-core/.../output/
     MapFileOutputFormat.java:38) re-expressed as a partitioned
-    columnar index."""
-    cell_of = F.array_max(_cell_sims(F.col(vec_col), centroids)) \
-               .getField("cell")
+    columnar index.
+
+    ``two_level`` switches assignment to the coarse-then-fine composed
+    argmax (two_level_cell) — default auto: on beyond 1024 cells, where
+    the flat per-vector n_cells-cosine scan dominates build cost
+    (SCALE.md note 39's deployment rule made executable)."""
+    if two_level is None:
+        two_level = len(centroids) > 1024
+    if two_level:
+        cell_of = two_level_cell(F.col(vec_col), centroids,
+                                 coarse_probes=coarse_probes)
+    else:
+        cell_of = F.array_max(_cell_sims(F.col(vec_col), centroids)) \
+                   .getField("cell")
     q = quantize_int8(corpus, id_col, vec_col) \
         .withColumnRenamed("q", "q_int8")
     (corpus.select(id_col, vec_col).withColumn("cell", cell_of)

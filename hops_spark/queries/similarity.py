@@ -553,3 +553,95 @@ def ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        K, NPROBE)
     return (top.select("q_id", "neighbor_id", "cos_sim", "rnk")
                .orderBy("q_id", "rnk"))
+
+
+_TL_CELLS, _TL_COARSE, _TL_PROBES = 32, 6, 3
+
+
+@register(
+    "ivf_two_level",
+    sql=f"""
+    WITH d AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+                   - 1 AS ord,
+               vec_id AS cid, v AS cv
+        FROM d ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_TL_CELLS}
+    ), coarse AS (
+        SELECT ord AS gidx, cv AS gv FROM cent WHERE ord < {_TL_COARSE}
+    ), gassign AS (
+        SELECT c.cid, c.cv, co.gidx,
+               row_number() OVER (PARTITION BY c.cid
+                   ORDER BY round(list_cosine_similarity(c.cv, co.gv), 6)
+                            DESC, co.gidx DESC) AS rn
+        FROM cent c CROSS JOIN coarse co
+    ), grp AS (
+        SELECT cid, cv, gidx FROM gassign WHERE rn = 1
+    ), probes AS (
+        SELECT d.vec_id, co.gidx,
+               row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY round(list_cosine_similarity(d.v, co.gv), 6)
+                            DESC, co.gidx DESC) AS rn
+        FROM d CROSS JOIN coarse co
+    ), cand AS (
+        SELECT p.vec_id, g.cid, g.cv
+        FROM (SELECT vec_id, gidx FROM probes WHERE rn <= {_TL_PROBES}) p
+        JOIN grp g ON g.gidx = p.gidx
+    ), two AS (
+        SELECT c.vec_id, c.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY round(list_cosine_similarity(d.v, c.cv), 6)
+                            DESC, c.cid DESC) AS rn
+        FROM cand c JOIN d ON d.vec_id = c.vec_id
+    ), twocell AS (
+        SELECT vec_id, cid AS cell2 FROM two WHERE rn = 1
+    ), flata AS (
+        SELECT d.vec_id, c.cid,
+               row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY round(list_cosine_similarity(d.v, c.cv), 6)
+                            DESC, c.cid DESC) AS rn
+        FROM d CROSS JOIN cent c
+    ), flat AS (
+        SELECT vec_id, cid AS cell FROM flata WHERE rn = 1
+    )
+    SELECT f.cell,
+           count(*) AS n_flat,
+           CAST(sum(CASE WHEN t.cell2 <> f.cell THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_divergent,
+           CAST(sum(t.cell2) AS BIGINT) AS sum_two_cell
+    FROM flat f JOIN twocell t USING (vec_id)
+    GROUP BY f.cell ORDER BY f.cell
+    """,
+    doc="TWO-LEVEL IVF assignment (the broadcast-argmax operator "
+        "composed with itself — coarse codebook over the fine codebook; "
+        "SCALE.md note 39 made executable in build_cell_index): per "
+        "vector, argmax over ~sqrt(n_cells) coarse centroids, then "
+        "argmax over only the fine centroids of the 3 nearest coarse "
+        "groups. The oracle replays the ENTIRE two-level pipeline "
+        "relationally (coarse pick, fine-centroid grouping, probe set, "
+        "candidate argmax, identical 6-decimal/larger-id tie-breaks), "
+        "so every per-vector two-level cell is cross-engine "
+        "hash-proven; the flat census + per-cell divergence count ride "
+        "along as MEASURED quality columns (fixture vectors are "
+        "random — the worst case for coarse locality; exact "
+        "flat-equality at coarse_probes = n_coarse is the pytest "
+        "reduction proof in tests/test_round4_ops.py). "
+        "ops/similarity.two_level_cell / coarse_codebook.",
+    tags=("similarity", "north-star", "sketch"),
+)
+def ivf_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = SIM.ivf_centroids(e, _TL_CELLS)
+    flat = (F.array_max(SIM._cell_sims(F.col("embedding"), cents))
+             .getField("cell"))
+    two = SIM.two_level_cell(F.col("embedding"), cents,
+                             n_coarse=_TL_COARSE,
+                             coarse_probes=_TL_PROBES)
+    return (e.select(flat.alias("cell"), two.alias("cell2"))
+             .groupBy("cell")
+             .agg(F.count("*").alias("n_flat"),
+                  F.sum(F.when(F.col("cell2") != F.col("cell"), 1)
+                         .otherwise(0)).cast("long").alias("n_divergent"),
+                  F.sum("cell2").cast("long").alias("sum_two_cell"))
+             .orderBy("cell"))

