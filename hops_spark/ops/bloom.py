@@ -62,12 +62,11 @@ def counting_grid(updates: DataFrame, key_col: str, m: int, k: int,
 
 
 def merge_grids(*grids: DataFrame) -> DataFrame:
-    """Exact cell-wise merge (filter union): sum counters per pos."""
-    u = grids[0]
-    for g in grids[1:]:
-        u = u.unionByName(g)
-    return (u.groupBy("pos").agg(F.sum("cnt").cast("long").alias("cnt"))
-             .filter(F.col("cnt") != 0))
+    """Exact cell-wise merge (filter union): sum counters per pos.
+    Delegates to the shared mergeable-grid contract (ops/sketch)."""
+    from hops_spark.ops.sketch import grid_merge
+    return grid_merge(list(grids), ["pos"], "cnt", how="sum",
+                      drop_zero=True)
 
 
 def counting_membership(grid: DataFrame, probes: DataFrame,

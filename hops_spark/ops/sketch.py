@@ -55,11 +55,8 @@ def merge_cells(*grids: DataFrame) -> DataFrame:
     re-scans history. union + one aggregate over ≤ depth × width rows
     per grid; ``cells(A) ⊕ cells(B) ≡ cells(A ∪ B)`` exactly (counts
     are additive and the hash is deterministic) — asserted in
-    tests/test_round4_ops.py."""
-    out = grids[0]
-    for g in grids[1:]:
-        out = out.unionByName(g)
-    return out.groupBy("r", "bucket").agg(F.sum("c").alias("c"))
+    tests/test_round4_ops.py. Delegates to the shared grid contract."""
+    return grid_merge(list(grids), ["r", "bucket"], "c", how="sum")
 
 
 def cms_estimates(terms: DataFrame, cells: DataFrame,
@@ -184,3 +181,114 @@ def kmv_overlap_ppm(sketch_a: DataFrame, sketch_b: DataFrame,
                       f" * n_both + ((({k} - 1) * {KMV_DOMAIN} div kth)"
                       f" % {k}) * n_both div {k} AS BIGINT)"))
                   .cast("long").alias("est_intersection")))
+
+
+# --- the shared mergeable-grid contract ----------------------------------
+#
+# Every bounded-state sketch in this repo is a KEYED GRID — a DataFrame
+# of (coords..., value) with at most `state_bound` rows — whose merge is
+# union + ONE aggregate applying an associative+commutative combiner:
+#
+#   CMS cells            (r, bucket) -> count      combine = sum
+#   counting bloom       (pos)       -> counter    combine = sum (drop 0)
+#   dynamic bloom bits   (epoch,pos) -> bit        combine = max (OR)
+#   MinHash signatures   (id, i)     -> min-hash   combine = min
+#   HLL registers        (grp, reg)  -> max-rho    combine = max
+#   KMV hash set         (grp)       -> hv rows    combine = k-min truncate
+#
+# grid_merge is that one aggregate; the per-family wrappers delegate to
+# it (KMV adds the rank<=k truncation after). The shared property —
+# build(A union B) == merge(build(A), build(B)) — is asserted over ALL
+# families by tests/test_sketch_contract.py, which is what makes the
+# next sketch a ~50-line addition.
+
+
+def grid_merge(grids: list[DataFrame], coords: list[str],
+               value_col: str, how: str = "sum",
+               drop_zero: bool = False) -> DataFrame:
+    """Merge sketch grids cell-wise: union + groupBy(coords) + the
+    family's associative combiner. Shuffle is bounded by the grid size
+    (sum of state bounds), never the data size."""
+    agg = {"sum": F.sum, "min": F.min, "max": F.max}[how]
+    u = grids[0]
+    for g in grids[1:]:
+        u = u.unionByName(g)
+    out = (u.groupBy(*coords)
+            .agg(agg(value_col).cast("long").alias(value_col)))
+    if drop_zero:
+        out = out.filter(F.col(value_col) != 0)
+    return out
+
+
+def kmv_merge(sketch_a: DataFrame, sketch_b: DataFrame,
+              k: int = 256) -> DataFrame:
+    """Exact KMV merge: per group, the k smallest of the two sketches'
+    hash union (Beyer et al. 2007 mergeability) — the grid union plus
+    the family's k-min truncation. <= 2k rows per group pre-truncate."""
+    from pyspark.sql.window import Window
+    u = (sketch_a.select("grp", "hv")
+                 .unionByName(sketch_b.select("grp", "hv"))
+                 .distinct())
+    w = Window.partitionBy("grp").orderBy("hv")
+    return (u.withColumn("_rk", F.row_number().over(w))
+             .filter(F.col("_rk") <= k)
+             .select("grp", "hv", "_rk"))
+
+
+# --- HyperLogLog-style register grid (the merge contract's 50-line test) --
+
+HLL_HASH_BITS = 52   # 13 md5 nibbles — the same domain as KMV
+
+
+def hll_registers(df: DataFrame, group_col: str, key_col: str,
+                  p: int = 8) -> DataFrame:
+    """HLL-style register grid per group (public: Flajolet et al. 2007):
+    m = 2^p registers; each distinct key hashes to register h mod m and
+    contributes rho = (trailing zeros of the remaining 52-p bits) + 1;
+    the register stores the MAX rho seen. O(m) state per group forever,
+    merge = cell-wise max (grid_merge how='max').
+
+    Engine-portable integer arithmetic only: the trailing-zero rank is
+    bit_count((w & -w) - 1) + 1 — DuckDB evaluates the identical
+    expression, so the driver oracle hash-proves the GRID itself (the
+    float alpha*m^2/S estimate is a driver-side final step; its
+    accuracy envelope is asserted in pytest, the integer harmonic
+    denominator S is exposed by hll_census for oracles)."""
+    m = 1 << p
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 13),
+               16, 10).cast("long")
+    w = F.shiftright(h, p)      # remaining 52-p bits (integer-pure)
+    rho = (F.when(w == 0, F.lit(HLL_HASH_BITS - p + 1))
+            .otherwise(F.bit_count((w.bitwiseAND(-w)) - 1) + 1))
+    return (df.select(F.col(group_col).alias("grp"),
+                      F.pmod(h, F.lit(m)).alias("reg"),
+                      rho.alias("rho"))
+              .groupBy("grp", "reg")
+              .agg(F.max("rho").cast("long").alias("rho")))
+
+
+def hll_census(grid: DataFrame, p: int = 8) -> DataFrame:
+    """Integer digest of an HLL grid per group: registers used, sum of
+    ranks, and the harmonic denominator S = sum over PRESENT registers
+    of 2^(52-p-rho) — exact int64 (each term <= 2^(52-p), <= 2^p terms).
+    An estimate is alpha_m * m^2 / (S + n_absent * 2^(52-p)) scaled by
+    2^-(52-p) — driver-side floats, deliberately outside the grid."""
+    # 2^shift via pow: exact in double for shift <= 52, then BIGINT
+    # (shiftleft needs a literal bit count; the exponent is a column)
+    term = F.expr(f"CAST(pow(2.0, greatest({HLL_HASH_BITS - p} - rho, 0)) "
+                  f"AS BIGINT)")
+    return (grid.groupBy("grp")
+                .agg(F.count("*").alias("n_regs"),
+                     F.sum("rho").cast("long").alias("sum_rho"),
+                     F.sum(term).cast("long").alias("harmonic_s"))
+                .orderBy("grp"))
+
+
+def hll_estimate(census_row, p: int = 8) -> float:
+    """Driver-side HLL estimate from a census row (floats allowed here
+    — this never enters an oracle-hashed column)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    n_absent = m - census_row["n_regs"]
+    s = census_row["harmonic_s"] + n_absent * (1 << (HLL_HASH_BITS - p))
+    return alpha * m * m * (1 << (HLL_HASH_BITS - p)) / s

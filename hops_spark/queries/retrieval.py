@@ -590,3 +590,66 @@ def hbow_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (knn_bruteforce(emb, queries, k=5)
             .select("q_id", "neighbor_id", "cos_sim", "rnk")
             .orderBy("q_id", "rnk"))
+
+
+_HLL_P = 8   # 256 registers; hash domain 52 bits (13 md5 nibbles)
+
+
+@register(
+    "hll_event_distinct",
+    sql=f"""
+    WITH h AS (
+        SELECT event_type AS grp,
+               ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                  1, 13))::BIGINT AS hv
+        FROM events
+    ), r AS (
+        SELECT grp, hv % {1 << _HLL_P} AS reg,
+               CASE WHEN (hv >> {_HLL_P}) = 0 THEN {52 - _HLL_P + 1}
+                    ELSE bit_count(((hv >> {_HLL_P}) & -(hv >> {_HLL_P}))
+                                   - 1) + 1 END AS rho
+        FROM h
+    ), g AS (
+        SELECT grp, reg, CAST(max(rho) AS BIGINT) AS rho
+        FROM r GROUP BY grp, reg
+    ), c AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n_regs,
+               CAST(sum(rho) AS BIGINT) AS sum_rho,
+               CAST(sum(CAST(pow(2.0, greatest({52 - _HLL_P} - rho, 0))
+                             AS BIGINT)) AS BIGINT) AS harmonic_s
+        FROM g GROUP BY grp
+    ), e AS (
+        SELECT event_type AS grp,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY event_type
+    )
+    SELECT c.grp, c.n_regs, c.sum_rho, c.harmonic_s, e.exact_distinct
+    FROM c JOIN e USING (grp) ORDER BY grp
+    """,
+    doc="HyperLogLog-style register grid per event_type (Flajolet et "
+        "al. 2007), the mergeable-grid contract's newest member "
+        "(ops/sketch.hll_registers — a ~50-line addition on "
+        "grid_merge): 2^p registers per group holding the max "
+        "trailing-zero rank of the 52-bit md5 hash, O(m) state "
+        "forever, merge = cell-wise max. The oracle replays the GRID "
+        "arithmetic relationally (identical bit_count/shift integer "
+        "expressions) and the census columns (registers used, rank "
+        "sum, integer harmonic denominator) are hash-proven; the "
+        "float alpha*m^2/S estimate is a driver-side step whose "
+        "accuracy envelope is pytest-asserted "
+        "(tests/test_sketch_contract.py). Exact distincts ride along "
+        "as the self-verifying ground truth.",
+    tags=("sketch", "agg", "north-star"),
+)
+def hll_event_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sketch import hll_census, hll_registers
+    ev = load_table(spark, sf_dir, "events")
+    grid = hll_registers(ev, "event_type", "user_id", _HLL_P)
+    cen = hll_census(grid, _HLL_P)
+    exact = (ev.groupBy(F.col("event_type").alias("grp"))
+               .agg(F.countDistinct("user_id").cast("long")
+                     .alias("exact_distinct")))
+    return (cen.join(exact, "grp")
+               .select("grp", F.col("n_regs").cast("long").alias("n_regs"),
+                       "sum_rho", "harmonic_s", "exact_distinct")
+               .orderBy("grp"))

@@ -110,6 +110,8 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # round-6 registrations land here as they are verified
     "avro_evolution",     # schema resolution + decimal (judge task 2)
     "distcp_atomic_plan",  # -atomic staging surface (judge task 3)
+    "ivf_two_level",       # coarse-then-fine assignment (judge task 5)
+    "hll_event_distinct",  # HLL register grid on the merge contract (task 6)
 )
 # Round-7 rotation plan: once CORRECTNESS_r06 lands green, fill freed
 # slots FIRST with this queue (pre-verified: oracle-green at sf0.001

@@ -368,3 +368,55 @@ def bloom_grid_stream(keys: DataFrame, key_col: str,
     cells = keys.select(F.explode(
         bloom_positions(F.col(key_col), m, k, seed)).alias("pos"))
     return cells.groupBy("pos").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def kmv_sketch_stream(events: DataFrame, group_col: str = "event_type",
+                      key_col: str = "user_id", k: int = 64,
+                      watermark: str = "1 hour") -> DataFrame:
+    """Streaming KMV/theta sketch maintenance (the audience-overlap
+    primitive run continuously): per group, the k smallest md5 hashes
+    of the distinct keys seen so far, held in explicit GroupState via
+    applyInPandasWithState — O(k) state per group FOREVER, the
+    mergeable-grid contract's streaming face (ops/sketch.kmv_sketch /
+    kmv_merge are the batch twins).
+
+    Exactness: a hash discarded by the k-truncation was >= the kth-min
+    at discard time, and the kth-min only decreases — so it can never
+    belong to the final k smallest; per-batch merge-and-truncate equals
+    the batch sketch over the union of all batches (asserted in
+    tests/test_streaming.py). Each update emits the full current
+    sketch (<= k rows) stamped with a monotone per-group
+    version, so downstream consumers — and the equality test —
+    pick the latest emission per group."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            kept, version = list(state.get[0]), int(state.get[1])
+        else:
+            kept, version = [], 0
+        s = set(kept)
+        for pdf in pdfs:
+            for v in pdf[key_col]:
+                # the repo-wide 52-bit md5 domain (13 nibbles) —
+                # identical to ops/sketch.kmv_sketch's Column path
+                h = int(hashlib.md5(str(int(v)).encode())
+                        .hexdigest()[:13], 16)
+                s.add(h)
+        new = sorted(s)[:k]
+        version += 1                       # monotone per-group update stamp
+        state.update((new, version))
+        yield pd.DataFrame({"grp": key[0], "version": version,
+                            "hv": new, "rk": range(1, len(new) + 1)})
+
+    return (events.withWatermark("ts", watermark)
+            .groupBy(group_col)
+            .applyInPandasWithState(
+                update,
+                outputStructType="grp string, version long, hv long, rk long",
+                stateStructType="hv array<long>, version long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -392,3 +392,55 @@ def test_kafka_writer_schema_check_is_not_an_assert(spark, sf_dir, monkeypatch):
     with _pytest.raises(ValueError, match="record schema"):
         kafka_writer(st, brokers="b:9092", topic="t",
                      checkpoint="/tmp/ck", key_cols=["event_id"])
+
+
+def test_kmv_sketch_stream_equals_batch_across_batches(spark, sf_dir, tmp_path):
+    """Streaming KMV maintenance (O(k) state forever): after draining a
+    MULTI-FILE stream (4 files -> 4 micro-batches, so the per-batch
+    merge-and-truncate actually exercises cross-batch merging), the
+    latest emitted sketch per group equals the batch kmv_sketch over
+    all rows — the k-truncation discards nothing that could belong to
+    the final k smallest."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops.sketch import kmv_sketch
+    from hops_spark.streaming import kmv_sketch_stream
+
+    k = 64
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_stream")
+    (ev.repartition(4).write.mode("overwrite").parquet(src))
+
+    schema = ev.schema
+    stream_in = (spark.readStream.schema(schema)
+                 .option("maxFilesPerTrigger", 1).parquet(src)
+                 # session tz is UTC: NTZ -> TIMESTAMP is a pure retag
+                 .withColumn("ts", F.col("ts").cast("timestamp")))
+    q = (kmv_sketch_stream(stream_in, k=k).writeStream
+         .format("memory").queryName("kmv_stream_test")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM kmv_stream_test").collect()
+    versions = {r["version"] for r in rows}
+    assert len(versions) > 1, \
+        "stream collapsed to one batch — multi-batch merge not exercised"
+    latest = {}
+    for r in rows:
+        latest.setdefault(r["grp"], {})
+        latest[r["grp"]][r["version"]] = None
+    final = set()
+    counts: dict = {}
+    for r in rows:
+        if r["version"] == max(latest[r["grp"]]):
+            final.add((r["grp"], r["hv"]))
+        counts[(r["grp"], r["version"])] = \
+            counts.get((r["grp"], r["version"]), 0) + 1
+
+    want = {(r["grp"], r["hv"]) for r in kmv_sketch(
+        ev.select(F.col("event_type").alias("g"), "user_id"),
+        "g", "user_id", k).select("grp", "hv").collect()}
+    assert final == want
+    # O(k) bound: no emission ever exceeds k rows per (grp, version)
+    assert max(counts.values()) <= k
