@@ -161,3 +161,48 @@ def retouch_grid(grid: DataFrame, inserts: DataFrame, fp_keys: DataFrame,
                    .select(F.col("_pick.pos").alias("pos"))
                    .distinct())
     return (grid.join(F.broadcast(w_min), "pos", "left_anti"))
+
+
+def bloom_bitmask(dim_keys: DataFrame, key_col: str, m: int, k: int,
+                  seed: str = "bjoin") -> list[int]:
+    """Driver-side bloom bitmask from the DIM side's keys: m bits
+    packed into m/32 int words (codebook-sized metadata, like an IVF
+    centroid table — the build aggregate emits <= m distinct positions
+    before the collect)."""
+    poss = (dim_keys.select(F.explode(bloom_positions(
+                F.col(key_col), m, k, seed)).alias("pos"))
+                    .distinct().collect())
+    words = [0] * ((m + 31) // 32)
+    for r in poss:
+        p = int(r["pos"])
+        words[p // 32] |= 1 << (p % 32)
+    return words
+
+
+def bloom_join_filter(fact_key, mask_words: list[int], m: int, k: int,
+                      seed: str = "bjoin"):
+    """Boolean Column: does ``fact_key`` pass the bloom bitmask? The
+    BLOOM-JOIN pre-filter (the runtime-filter pattern Spark's AQE
+    InjectRuntimeFilter applies automatically, here explicit and
+    engine-portable): the mask rides as ONE literal int-array, the
+    probe is k md5 cell tests evaluated MAP-SIDE in the fact scan —
+    non-matching fact rows die before any shuffle. At 100 TB this is
+    the difference between shuffling the full fact table and shuffling
+    ~selectivity of it; false positives (the bloom FP rate) are
+    eliminated by the real join afterwards, so the compose is exact.
+
+    Bit test in portable integer arithmetic: word div 2^(pos%32) % 2
+    (pow(2, <=31) is exact in double; shiftright needs a literal bit
+    count, the position is a column)."""
+    mask = F.lit(mask_words)
+    pos = bloom_positions(fact_key, m, k, seed)
+
+    def bit_set(p):
+        word = F.element_at(mask, (p / 32).cast("int") + 1).cast("long")
+        # word / 2^j is EXACT in double (pure exponent shift), so the
+        # floor is the true shifted word; % 2 extracts the bit.
+        power = F.pow(F.lit(2.0), F.pmod(p, F.lit(32)).cast("double")) \
+                 .cast("long")
+        return F.pmod(F.floor(word / power).cast("long"), F.lit(2)) == 1
+
+    return F.forall(pos, bit_set)

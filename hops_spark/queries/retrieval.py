@@ -443,9 +443,13 @@ _KMV_K = 256
         "intersection estimates — mergeable O(k) state per group "
         "forever, the audience-overlap primitive exact distinct "
         "counting cannot give at 100 TB. Self-verifying: the exact "
-        "union/intersection ride along. ops/sketch.kmv_sketch/"
-        "kmv_overlap_ppm; the <= 2k-row merge window is bounded by "
-        "construction (lint-whitelisted with proof).",
+        "union/intersection ride along — NOTE these two columns are "
+        "FIXTURE-SCALE VERIFICATION RIDERS (two driver-side exact "
+        "count() actions over the full key sets, affordable only at "
+        "test scale); the production path is the O(k) sketch columns "
+        "alone. ops/sketch.kmv_sketch/kmv_overlap_ppm; the <= 2k-row "
+        "merge window is bounded by construction (lint-whitelisted "
+        "with proof).",
     tags=("sketch", "agg", "north-star"),
 )
 def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
