@@ -298,3 +298,79 @@ def feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
                          "last_error_value")
                  .orderBy("event_id"))
+
+
+_BJ_M, _BJ_K = 2048, 3
+
+
+@register(
+    "bloom_semi_join",
+    sql=f"""
+    WITH dim AS (
+        SELECT DISTINCT s_suppkey FROM supplier WHERE s_nationkey < 5
+    ), gpos AS (
+        SELECT DISTINCT
+            ('0x' || substring(md5('bjoin|' || CAST(s_suppkey AS VARCHAR)
+                                   || '|' || CAST(t.i AS VARCHAR)),
+                               1, 15))::BIGINT % {_BJ_M} AS pos
+        FROM dim, LATERAL (SELECT unnest(range(0, {_BJ_K})) AS i) t
+    ), rowpass AS (
+        -- per-row scalar probe: k IN-tests against the dim position
+        -- set ((l_orderkey, l_linenumber) is NOT unique in the
+        -- synthetic fixture, so no per-row grouping is possible)
+        SELECT l_returnflag AS rf, l_suppkey AS sk,
+               CASE WHEN {" AND ".join(
+                   f"(('0x' || substring(md5('bjoin|' || "
+                   f"CAST(l_suppkey AS VARCHAR) || '|{i}'), 1, 15))::BIGINT "
+                   f"% {_BJ_M}) IN (SELECT pos FROM gpos)"
+                   for i in range(_BJ_K))}
+                    THEN 1 ELSE 0 END AS pass
+        FROM lineitem
+    )
+    SELECT rf AS l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(pass) AS BIGINT) AS n_bloom_pass,
+           CAST(sum(CASE WHEN sk IN (SELECT s_suppkey FROM dim)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+           CAST(sum(CASE WHEN pass = 1 AND sk NOT IN
+                              (SELECT s_suppkey FROM dim)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM rowpass GROUP BY rf ORDER BY rf
+    """,
+    doc="BLOOM-JOIN pre-filter census (the runtime-filter pattern "
+        "Spark's AQE InjectRuntimeFilter automates, made explicit and "
+        "engine-portable): the dim side (suppliers of 5 nations) "
+        "builds an m-bit bloom bitmask riding as ONE literal int "
+        "array; every lineitem row is probed MAP-SIDE in the scan "
+        "(k md5 cell tests, zero joins for the filter itself), so "
+        "non-matching fact rows die before any shuffle — at 100 TB "
+        "the difference between shuffling the fact table and shuffling "
+        "~selectivity of it. Per returnflag: rows, bloom passes, exact "
+        "semi-join matches, and the false-positive count — the census "
+        "proves no false NEGATIVES (pass >= true) and a bounded FP "
+        "rate, the two properties that make the compose exact. "
+        "ops/bloom.bloom_bitmask / bloom_join_filter.",
+    tags=("join", "bloom", "sketch"),
+)
+def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops import bloom as B
+    dim = (load_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_nationkey") < 5)
+           .select("s_suppkey").distinct())
+    mask = B.bloom_bitmask(dim, "s_suppkey", _BJ_M, _BJ_K)
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_returnflag", "l_suppkey")
+    passed = B.bloom_join_filter(F.col("l_suppkey"), mask, _BJ_M, _BJ_K)
+    truth = dim.select(F.col("s_suppkey").alias("l_suppkey"),
+                       F.lit(1).alias("_true"))
+    flagged = (li.withColumn("_pass", passed.cast("int"))
+                 .join(F.broadcast(truth), "l_suppkey", "left")
+                 .withColumn("_true", F.coalesce("_true", F.lit(0))))
+    return (flagged.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("_pass").cast("long").alias("n_bloom_pass"),
+                 F.sum("_true").cast("long").alias("n_true_match"),
+                 F.sum(F.when((F.col("_pass") == 1) & (F.col("_true") == 0),
+                              1).otherwise(0)).cast("long")
+                  .alias("n_false_pos"))
+            .orderBy("l_returnflag"))

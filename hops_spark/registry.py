@@ -112,6 +112,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "distcp_atomic_plan",  # -atomic staging surface (judge task 3)
     "ivf_two_level",       # coarse-then-fine assignment (judge task 5)
     "hll_event_distinct",  # HLL register grid on the merge contract (task 6)
+    "bloom_semi_join",     # explicit runtime-filter bloom join census
 )
 # Round-7 rotation plan: once CORRECTNESS_r06 lands green, fill freed
 # slots FIRST with this queue (pre-verified: oracle-green at sf0.001

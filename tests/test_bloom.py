@@ -155,3 +155,32 @@ def test_streaming_bloom_grid_equals_batch(spark, sf_dir):
     want = {r["pos"]: r["cnt"] for r in
             B.counting_grid(batch, key, 256, K).collect()}
     assert got == want and len(got) <= 256
+
+
+def test_bloom_join_filter_no_false_negatives(spark):
+    """The bloom-join pre-filter NEVER drops a true match (pass is a
+    superset of membership), and the literal-bitmask bit test agrees
+    exactly with grid-based membership for every probe."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.ops.bloom import (bloom_bitmask, bloom_join_filter,
+                                      bloom_positions, counting_grid)
+
+    m, k = 512, 3
+    dim = spark.range(0, 40).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("key"))
+    probes = spark.range(0, 400).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("key"))
+    mask = bloom_bitmask(dim, "key", m, k, seed="bjoin")
+    passed = bloom_join_filter(F.col("key"), mask, m, k, seed="bjoin")
+    got = {r["key"]: r["p"] for r in
+           probes.select("key", passed.alias("p")).collect()}
+    # every dim key passes (no false negatives)
+    assert all(got[f"s{i}"] for i in range(40))
+    # bitmask test == grid-membership test for every probe
+    grid = counting_grid(dim, "key", m, k, seed="bjoin")
+    grid_pos = {r["pos"] for r in grid.collect()}
+    exp = {r["key"]: all(p in grid_pos for p in r["ps"]) for r in
+           probes.select("key", bloom_positions(
+               F.col("key"), m, k, "bjoin").alias("ps")).collect()}
+    assert got == exp
