@@ -250,3 +250,47 @@ def hashed_bow_embedding(docs: DataFrame, dim: int = 64,
     unit = F.when(norm == 0.0, dense).otherwise(
         F.transform(dense, lambda x: x / norm))
     return m.select(F.col(id_col), unit.alias("embedding"))
+
+
+def phrase_occurrences(docs: DataFrame, phrase: list[str],
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Exact PHRASE SEARCH via positional matching — the positional-
+    postings extension of the inverted-index family (the classic
+    n-way postings join t0@p ⋈ t1@p+1 ⋈ ...), expressed Spark-first
+    as an ARRAY-SIDE scan: per document, test every start offset for
+    the full n-term run with one filter over a position sequence.
+    MAP-ONLY — no postings materialization, no joins, no shuffle
+    before the final ordering; at 100 TB the phrase test rides the
+    document scan like any other projection, and a pre-filter on
+    contains(text, phrase[0]) would push into the parquet scan.
+
+    Returns (id, n_occ, first_pos) for documents containing the phrase
+    (positions 1-based). Tokenization = ops/text.words (the repo-wide
+    contract the DuckDB oracle mirrors)."""
+    from functools import reduce
+
+    from hops_spark.ops.text import words
+
+    n = len(phrase)
+    # Generate barrier: bind the words array once so element_at doesn't
+    # re-split the text per probe (the ngram_lm_counts pattern).
+    bound = docs.select(F.col(id_col),
+                        F.explode(F.array(words(text_col))).alias("_w"))
+    w = F.col("_w")
+    starts = F.when(
+        F.size(w) >= n,
+        F.sequence(F.lit(1), F.size(w) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+
+    def hit(i):
+        return reduce(lambda a, b: a & b,
+                      [F.element_at(w, i + j) == phrase[j]
+                       for j in range(n)])
+
+    hits = F.filter(starts, hit)
+    return (bound.select(F.col(id_col),
+                         F.size(hits).cast("long").alias("n_occ"),
+                         F.element_at(hits, 1).cast("long")
+                          .alias("first_pos"))
+                 .filter(F.col("n_occ") >= 1))

@@ -657,3 +657,39 @@ def hll_event_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("grp", F.col("n_regs").cast("long").alias("n_regs"),
                        "sum_rho", "harmonic_s", "exact_distinct")
                .orderBy("grp"))
+
+
+_PHRASE = ["order", "fast"]   # present at every fixture SF
+
+
+@register(
+    "phrase_search",
+    sql=f"""
+    WITH b AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ), hits AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= {len(_PHRASE)} THEN
+                   list_filter(range(1, len(w) - {len(_PHRASE)} + 2),
+                               i -> {" AND ".join(
+                                   f"w[i + {j}] = '{t}'"
+                                   for j, t in enumerate(_PHRASE))})
+               ELSE [] END AS hs
+        FROM b
+    )
+    SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_occ,
+           CAST(hs[1] AS BIGINT) AS first_pos
+    FROM hits WHERE len(hs) >= 1
+    ORDER BY doc_id
+    """,
+    doc="Exact phrase search ('order fast') via positional "
+        "matching — the positional-postings inverted-index extension, "
+        "Spark-first as a MAP-ONLY array-side offset scan (no postings "
+        "join, no shuffle; ops/retrieval.phrase_occurrences). Both "
+        "engines test every 1-based start offset with the identical "
+        "lambda, so occurrence counts and first positions hash-match.",
+    tags=("retrieval", "text"),
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return R.phrase_occurrences(d, _PHRASE).orderBy("doc_id")

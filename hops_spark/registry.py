@@ -113,6 +113,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "ivf_two_level",       # coarse-then-fine assignment (judge task 5)
     "hll_event_distinct",  # HLL register grid on the merge contract (task 6)
     "bloom_semi_join",     # explicit runtime-filter bloom join census
+    "phrase_search",       # positional phrase match, map-only array scan
 )
 # Round-7 rotation plan: once CORRECTNESS_r06 lands green, fill freed
 # slots FIRST with this queue (pre-verified: oracle-green at sf0.001
