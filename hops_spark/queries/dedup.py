@@ -12,7 +12,8 @@ from pyspark.sql import functions as F
 from hops_spark.io.readers import load_table
 from hops_spark.ops import dedup as D
 from hops_spark.ops.graph import dedup_cluster_labels
-from hops_spark.queries.textops import _DUCK_WORDS, DUCK_SHINGLES_OF_W
+from hops_spark.queries.textops import (_DUCK_WORDS, DUCK_SHINGLES_OF_W,
+                                        _duck_sw_list)
 from hops_spark.registry import register
 
 N_HASHES = 16
@@ -593,3 +594,107 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "* 1000000 div count(*)").cast("long")
                     .alias("novelty_ppm"))
               .orderBy("doc_id"))
+
+
+@register(
+    "cluster_representatives",
+    sql=(_DUCK_SIGS_CTE + DUCK_MINHASH_VERIFIED_CTE).replace(
+        "WITH wt", "WITH RECURSIVE wt", 1) + """
+    , und AS (
+        SELECT id_a AS a, id_b AS b FROM verified
+        UNION SELECT id_b, id_a FROM verified
+    ), reach AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        WHERE r.a <> u.b
+    ), lab AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a
+    ), qual AS (
+        SELECT doc_id,
+               (least(CAST(len(w) AS BIGINT) * 20000, 1000000)
+                + (1000000 - least((n_punct * 1000000)
+                                   // greatest(n_chars_m, 1) * 5, 1000000))
+                + least((n_sw * 1000000) // greatest(len(w), 1) * 4,
+                        1000000)
+                + (n_uniq * 1000000) // greatest(len(w), 1))
+                   AS quality_score_ppm
+        FROM (
+            SELECT d.doc_id, wt.w,
+                   CAST(length(d.text) AS BIGINT) AS n_chars_m,
+                   CAST(length(regexp_replace(d.text,
+                        '[^!-/:-@\\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct,
+                   CAST(len(list_filter(wt.w, x -> list_contains(
+                        __SW_LIST__, x))) AS BIGINT) AS n_sw,
+                   CAST(len(list_distinct(wt.w)) AS BIGINT) AS n_uniq
+            FROM documents d JOIN wt USING (doc_id)
+        )
+    ), members AS (
+        SELECT l.cluster_id, l.doc_id, q.quality_score_ppm
+        FROM lab l JOIN qual q USING (doc_id)
+    ), reps AS (
+        SELECT cluster_id, doc_id, quality_score_ppm,
+               row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY quality_score_ppm DESC, doc_id) AS rn
+        FROM members
+    )
+    SELECT m.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(CASE WHEN r.rn = 1 THEN r.doc_id END) AS BIGINT)
+               AS rep_doc_id,
+           CAST(max(CASE WHEN r.rn = 1 THEN r.quality_score_ppm END)
+               AS BIGINT) AS rep_quality_ppm,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM members m JOIN reps r
+      ON r.cluster_id = m.cluster_id AND r.doc_id = m.doc_id
+    GROUP BY m.cluster_id
+    ORDER BY m.cluster_id
+    """.replace("__SW_LIST__", _duck_sw_list("en")),
+    doc="CLUSTER REPRESENTATIVE selection — the 'which copy survives "
+        "dedup' step of a training-data pipeline: connected components "
+        "of the verified minhash near-dup graph (large-star/small-star "
+        "labels), then per cluster keep the HIGHEST-QUALITY member "
+        "(C4-style integer-ppm score, ties to the smaller doc_id) "
+        "instead of the arbitrary min-id — quality-aware dedup as one "
+        "join + one per-cluster argmax window over cluster members "
+        "only (cluster sizes are near-dup-bounded, never corpus-"
+        "bounded). Oracle recomputes components by recursive closure "
+        "and the score relationally.",
+    tags=("dedup", "north-star", "graph", "text"),
+)
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from hops_spark.ops.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(d, "doc_id", "text", N_HASHES, BANDS,
+                                  SHINGLE_N, THRESHOLD)
+    labels = dedup_cluster_labels(d.select("doc_id"), pairs) \
+        .filter(F.col("cluster_id") != F.col("doc_id")) \
+        .select("doc_id", "cluster_id") \
+        .unionByName(  # re-add each cluster root as its own member
+            dedup_cluster_labels(d.select("doc_id"), pairs)
+            .filter(F.col("cluster_id") == F.col("doc_id"))
+            .select("doc_id", "cluster_id"))
+    q = quality_score(d.select("doc_id", "text")) \
+        .select("doc_id", "quality_score_ppm")
+    members = labels.join(q, "doc_id")
+    # only true clusters (>= 2 members): mirror the oracle's reach set
+    sizes = (members.groupBy("cluster_id")
+             .agg(F.count("*").alias("n_members"))
+             .filter(F.col("n_members") >= 2))
+    m2 = members.join(sizes, "cluster_id")
+    w = Window.partitionBy("cluster_id") \
+              .orderBy(F.col("quality_score_ppm").desc(), F.col("doc_id"))
+    reps = (m2.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1))
+    return (reps.select("cluster_id",
+                        F.col("n_members").cast("long").alias("n_members"),
+                        F.col("doc_id").alias("rep_doc_id"),
+                        F.col("quality_score_ppm").cast("long")
+                         .alias("rep_quality_ppm"),
+                        (F.col("n_members") - 1).cast("long")
+                         .alias("n_dropped"))
+                .orderBy("cluster_id"))

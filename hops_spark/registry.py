@@ -114,6 +114,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "hll_event_distinct",  # HLL register grid on the merge contract (task 6)
     "bloom_semi_join",     # explicit runtime-filter bloom join census
     "phrase_search",       # positional phrase match, map-only array scan
+    "cluster_representatives",  # quality-argmax survivor per dedup cluster
 )
 # Round-7 rotation plan: once CORRECTNESS_r06 lands green, fill freed
 # slots FIRST with this queue (pre-verified: oracle-green at sf0.001
