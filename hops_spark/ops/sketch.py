@@ -292,3 +292,59 @@ def hll_estimate(census_row, p: int = 8) -> float:
     n_absent = m - census_row["n_regs"]
     s = census_row["harmonic_s"] + n_absent * (1 << (HLL_HASH_BITS - p))
     return alpha * m * m * (1 << (HLL_HASH_BITS - p)) / s
+
+
+def cms_inner_product(cells_a: DataFrame, cells_b: DataFrame,
+                      depth: int = DEPTH) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from two CMS grids (the AMS/CMS inner-
+    product estimator, Cormode & Muthukrishnan 2005 §4.2): for each
+    hash row r, S_r = sum over buckets of a_cell * b_cell; the
+    estimate is min over rows. Always an UPPER BOUND on the true join
+    cardinality sum_v f_A(v) * f_B(v) (all counts are non-negative, so
+    collisions only add) — the query-optimizer primitive that sizes
+    |A join B| from two O(depth*width) summaries without touching
+    either table again. Integer-exact: both engines reproduce the
+    estimate bit-for-bit. One row out: (est_join_size)."""
+    a = cells_a.select("r", "bucket", F.col("c").alias("a"))
+    b = cells_b.select("r", "bucket", F.col("c").alias("b"))
+    per_row = (a.join(b, ["r", "bucket"])            # missing cells = 0 term
+                .groupBy("r")
+                .agg(F.sum(F.col("a") * F.col("b")).alias("s")))
+    return per_row.agg(F.min("s").cast("long").alias("est_join_size"))
+
+
+def kmv_difference_ppm(sketch_a: DataFrame, sketch_b: DataFrame,
+                       k: int = 256) -> DataFrame:
+    """Set-DIFFERENCE estimate |A \\ B| from two KMV sketches — the
+    third theta-sketch set operation (union and intersection live in
+    kmv_overlap_ppm): over the merged k smallest hashes,
+    |A \\ B| ~ |U| * (hashes present in A only) / k. Same overflow-safe
+    split-div arithmetic, same exact path below k. One row out:
+    (n_kept, n_a_only, est_union, est_difference)."""
+    from pyspark.sql.window import Window
+    a = sketch_a.select("hv").withColumn("_in_a", F.lit(1))
+    b = sketch_b.select("hv").withColumn("_in_b", F.lit(1))
+    u = (a.join(b, "hv", "full")
+          .select("hv",
+                  F.coalesce("_in_a", F.lit(0)).alias("ina"),
+                  F.coalesce("_in_b", F.lit(0)).alias("inb")))
+    w = Window.orderBy("hv")   # <= 2k rows by construction (two sketches)
+    m = (u.withColumn("_rk", F.row_number().over(w))
+          .filter(F.col("_rk") <= k))
+    return (m.agg(F.count("*").alias("n_kept"),
+                  F.max(F.when(F.col("_rk") == k, F.col("hv"))).alias("kth"),
+                  F.sum(F.expr("CASE WHEN ina = 1 AND inb = 0 "
+                               "THEN 1 ELSE 0 END")).alias("n_a_only"))
+             .select(
+                 F.col("n_kept").cast("long").alias("n_kept"),
+                 F.col("n_a_only").cast("long").alias("n_a_only"),
+                 F.when(F.col("n_kept") < k, F.col("n_kept"))
+                  .otherwise(F.expr(
+                      f"CAST(({k} - 1) * {KMV_DOMAIN} div kth AS BIGINT)"))
+                  .cast("long").alias("est_union"),
+                 F.when(F.col("n_kept") < k, F.col("n_a_only"))
+                  .otherwise(F.expr(
+                      f"CAST(((({k} - 1) * {KMV_DOMAIN} div kth) div {k})"
+                      f" * n_a_only + ((({k} - 1) * {KMV_DOMAIN} div kth)"
+                      f" % {k}) * n_a_only div {k} AS BIGINT)"))
+                  .cast("long").alias("est_difference")))

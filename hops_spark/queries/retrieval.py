@@ -693,3 +693,163 @@ _PHRASE = ["order", "fast"]   # present at every fixture SF
 def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return R.phrase_occurrences(d, _PHRASE).orderBy("doc_id")
+
+
+@register(
+    "cms_join_size",
+    sql=f"""
+    WITH a AS (
+        SELECT CAST(user_id AS VARCHAR) AS term FROM events
+        WHERE event_type = 'click'
+    ), b AS (
+        SELECT CAST(user_id AS VARCHAR) AS term FROM events
+        WHERE event_type = 'view'
+    ), ga AS (
+        SELECT t.r, ('0x' || substring(md5(CAST(t.r AS VARCHAR) || '|'
+                                           || term), 1, 7))::BIGINT % 256
+                   AS bucket,
+               count(*) AS c
+        FROM a, LATERAL (SELECT unnest(range(0, 4)) AS r) t
+        GROUP BY 1, 2
+    ), gb AS (
+        SELECT t.r, ('0x' || substring(md5(CAST(t.r AS VARCHAR) || '|'
+                                           || term), 1, 7))::BIGINT % 256
+                   AS bucket,
+               count(*) AS c
+        FROM b, LATERAL (SELECT unnest(range(0, 4)) AS r) t
+        GROUP BY 1, 2
+    ), per_row AS (
+        SELECT ga.r, sum(ga.c * gb.c) AS s
+        FROM ga JOIN gb USING (r, bucket)
+        GROUP BY ga.r
+    ), est AS (
+        SELECT CAST(min(s) AS BIGINT) AS est_join_size FROM per_row
+    ), ex AS (
+        SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS exact_join_size,
+               CAST(coalesce(sum(na), 0) * coalesce(sum(nb), 0) AS BIGINT)
+                   AS n_a_times_n_b
+        FROM (SELECT term, count(*) AS na FROM a GROUP BY term) x
+        JOIN (SELECT term, count(*) AS nb FROM b GROUP BY term) y
+          USING (term),
+        (SELECT 1)
+    ), tot AS (
+        SELECT (SELECT count(*) FROM a) * (SELECT count(*) FROM b) AS nn
+    )
+    SELECT est.est_join_size, ex.exact_join_size,
+           CAST(est.est_join_size >= ex.exact_join_size AS BIGINT)
+               AS never_underestimates,
+           CAST((est.est_join_size - ex.exact_join_size)
+                <= (3 * tot.nn) // 256 AS BIGINT) AS within_eps
+    FROM est, ex, tot
+    """,
+    doc="JOIN-SIZE ESTIMATION from two count-min sketches (the AMS/CMS "
+        "inner-product estimator, Cormode & Muthukrishnan 2005 §4.2): "
+        "|clicks JOIN views ON user_id| estimated as min over hash "
+        "rows of the grids' bucket-wise product sum — the query-"
+        "optimizer primitive that sizes a join from two O(depth*width) "
+        "summaries without touching either table. Self-verifying: the "
+        "exact join cardinality rides along with the always-over "
+        "and within-eps*N_a*N_b bound checks as hashed booleans "
+        "(integer arithmetic throughout). ops/sketch.cms_inner_product.",
+    tags=("sketch", "agg", "join", "north-star"),
+)
+def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sketch import cms_cells, cms_inner_product
+    e = load_table(spark, sf_dir, "events")
+    term = F.col("user_id").cast("string").alias("term")
+    a = e.filter(F.col("event_type") == "click").select(term)
+    b = e.filter(F.col("event_type") == "view").select(term)
+    est = cms_inner_product(cms_cells(a), cms_cells(b))
+    exact = (a.groupBy("term").agg(F.count("*").alias("na"))
+              .join(b.groupBy("term").agg(F.count("*").alias("nb")), "term")
+              .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+                    .cast("long").alias("exact_join_size")))
+    # the eps bound constant is stream-size metadata (two count
+    # actions, same class of rider as the kmv exact columns)
+    bound = 3 * a.count() * b.count() // 256
+    return (est.crossJoin(F.broadcast(exact))
+               .select("est_join_size", "exact_join_size",
+                       (F.col("est_join_size") >= F.col("exact_join_size"))
+                       .cast("long").alias("never_underestimates"),
+                       ((F.col("est_join_size") - F.col("exact_join_size"))
+                        <= F.lit(bound))
+                       .cast("long").alias("within_eps")))
+
+
+@register(
+    "kmv_audience_difference",
+    sql=f"""
+    WITH a AS (
+        SELECT DISTINCT ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                           1, 13))::BIGINT AS hv
+        FROM events WHERE event_type = 'click'
+    ), b AS (
+        SELECT DISTINCT ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                           1, 13))::BIGINT AS hv
+        FROM events WHERE event_type = 'view'
+    ), sa AS (
+        SELECT hv FROM a ORDER BY hv LIMIT {_KMV_K}
+    ), sb AS (
+        SELECT hv FROM b ORDER BY hv LIMIT {_KMV_K}
+    ), u AS (
+        SELECT COALESCE(sa.hv, sb.hv) AS hv,
+               CASE WHEN sa.hv IS NOT NULL THEN 1 ELSE 0 END AS ina,
+               CASE WHEN sb.hv IS NOT NULL THEN 1 ELSE 0 END AS inb
+        FROM sa FULL JOIN sb ON sa.hv = sb.hv
+    ), m AS (
+        SELECT hv, ina, inb,
+               row_number() OVER (ORDER BY hv) AS rk
+        FROM u
+    ), agg AS (
+        SELECT count(*) AS n_kept,
+               max(CASE WHEN rk = {_KMV_K} THEN hv END) AS kth,
+               sum(CASE WHEN ina = 1 AND inb = 0 THEN 1 ELSE 0 END)
+                   AS n_a_only
+        FROM m WHERE rk <= {_KMV_K}
+    ), ex AS (
+        SELECT (SELECT count(*) FROM
+                   (SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'click'
+                    EXCEPT
+                    SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'view')
+               ) AS exact_difference
+    )
+    SELECT CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(n_a_only AS BIGINT) AS n_a_only,
+           CAST(CASE WHEN n_kept < {_KMV_K} THEN n_kept
+                     ELSE ({_KMV_K} - 1) * {KMV_DOMAIN} // kth END
+                AS BIGINT) AS est_union,
+           CAST(CASE WHEN n_kept < {_KMV_K} THEN n_a_only
+                     ELSE n_a_only * (({_KMV_K} - 1) * {KMV_DOMAIN} // kth)
+                          // {_KMV_K} END
+                AS BIGINT) AS est_difference,
+           CAST(exact_difference AS BIGINT) AS exact_difference
+    FROM agg, ex
+    """,
+    doc="KMV/theta set-DIFFERENCE estimate (clicks-not-views — the "
+        "churn/exclusive-audience primitive; completes the theta set "
+        "algebra alongside kmv_audience_overlap's union/intersection): "
+        "|A \\\\ B| ~ est_union * (merged hashes in A only) / k over the "
+        "52-bit md5 domain, overflow-safe floor arithmetic identical "
+        "in both engines. The exact difference rides along as a "
+        "FIXTURE-SCALE VERIFICATION RIDER (one driver-side count, "
+        "outside the O(k) production path). "
+        "ops/sketch.kmv_difference_ppm.",
+    tags=("sketch", "agg", "north-star"),
+)
+def kmv_audience_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sketch import kmv_difference_ppm, kmv_sketch
+    e = load_table(spark, sf_dir, "events")
+    aud = lambda t: e.filter(F.col("event_type") == t) \
+                     .select(F.lit(t).alias("g"), "user_id")  # noqa: E731
+    sa = kmv_sketch(aud("click"), "g", "user_id", _KMV_K)
+    sb = kmv_sketch(aud("view"), "g", "user_id", _KMV_K)
+    est = kmv_difference_ppm(sa, sb, _KMV_K)
+    exact = (e.filter(F.col("event_type") == "click").select("user_id")
+              .distinct()
+              .subtract(e.filter(F.col("event_type") == "view")
+                         .select("user_id").distinct())
+              .count())
+    return est.select("n_kept", "n_a_only", "est_union", "est_difference",
+                      F.lit(exact).cast("long").alias("exact_difference"))

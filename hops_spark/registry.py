@@ -115,6 +115,8 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "bloom_semi_join",     # explicit runtime-filter bloom join census
     "phrase_search",       # positional phrase match, map-only array scan
     "cluster_representatives",  # quality-argmax survivor per dedup cluster
+    "cms_join_size",            # AMS/CMS inner-product join-size estimate
+    "kmv_audience_difference",  # theta set-difference estimate
 )
 # Round-7 rotation plan: once CORRECTNESS_r06 lands green, fill freed
 # slots FIRST with this queue (pre-verified: oracle-green at sf0.001

@@ -42,8 +42,9 @@ _BOUNDED_SINGLE_PARTITION_OK = {
     # rank over ≤ top-k rows after a limit:
     "skew_profile",
     # KMV merge window over <= 2k sketch rows (two k=256 sketches —
-    # bounded by construction, ops/sketch.kmv_overlap_ppm):
-    "kmv_audience_overlap",
+    # bounded by construction, ops/sketch.kmv_overlap_ppm /
+    # kmv_difference_ppm):
+    "kmv_audience_overlap", "kmv_audience_difference",
     # windows over a per-stratum aggregate (one row per source — tiny,
     # documented in ops/sampling.mixture_plan):
     "mixture_plan",
