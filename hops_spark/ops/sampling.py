@@ -199,3 +199,26 @@ def dsir_weights(docs: DataFrame, target_pred: Column,
                 .groupBy(id_col, "is_target")
                 .agg(F.count("*").cast("long").alias("n_tokens"),
                      F.sum("lr_micro").cast("long").alias("weight_micro")))
+
+
+def bottomk_sample(df: DataFrame, group_col: str, key_col: str,
+                   k: int = 128) -> DataFrame:
+    """Deterministic bottom-k row sample per group (public min-wise /
+    bottom-k sampling, Cohen & Kaplan 2007): keep the k rows with the
+    SMALLEST md5(key) — a uniform-without-replacement sample that is
+    MERGEABLE exactly like a KMV sketch (bottom-k of a union = k-min
+    truncation of per-shard bottom-k samples: the ops/sketch grid
+    contract with row payloads), deterministic (any engine recomputes
+    the same sample), and O(k) rows per group forever. The quantile
+    application: exact quantiles OF THE SAMPLE estimate the group's
+    quantiles with ~1/sqrt(k) rank error — a mergeable quantile
+    summary with none of the float/fold-order hazards of digest
+    sketches. One group-partitioned window over the hash rank."""
+    from pyspark.sql.window import Window
+    pr = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 13),
+                16, 10).cast("long")
+    w = Window.partitionBy(group_col).orderBy("_pr", key_col)
+    return (df.withColumn("_pr", pr)
+              .withColumn("_prk", F.row_number().over(w))
+              .filter(F.col("_prk") <= k)
+              .drop("_pr", "_prk"))

@@ -398,3 +398,92 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            .unionByName(one("nonpositive_price", "error", nonpos))
            .unionByName(one("high_discount", "warn", highd)))
     return out.orderBy("rule")
+
+
+_BKQ_K = 128
+
+
+@register(
+    "bottomk_quantiles",
+    sql=f"""
+    WITH e AS (
+        SELECT event_type AS grp, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ), pri AS (
+        SELECT grp, event_id, cents,
+               row_number() OVER (PARTITION BY grp ORDER BY
+                   ('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                                      1, 13))::BIGINT, event_id) AS prk
+        FROM e
+    ), samp AS (
+        SELECT grp, cents FROM pri WHERE prk <= {_BKQ_K}
+    ), sr AS (
+        SELECT grp, cents,
+               row_number() OVER (PARTITION BY grp ORDER BY cents,
+                                  grp) AS rn,
+               count(*) OVER (PARTITION BY grp) AS n
+        FROM samp
+    ), est AS (
+        SELECT grp, d.d AS decile, max(cents) AS est_cents
+        FROM sr, LATERAL (SELECT unnest(range(1, 10)) AS d) d
+        WHERE (d.d * n + 9) // 10 = rn
+        GROUP BY grp, d.d
+    ), fr AS (
+        SELECT grp, cents,
+               row_number() OVER (PARTITION BY grp ORDER BY cents,
+                                  grp) AS rn,
+               count(*) OVER (PARTITION BY grp) AS n
+        FROM e
+    ), ex AS (
+        SELECT grp, d.d AS decile, max(cents) AS exact_cents
+        FROM fr, LATERAL (SELECT unnest(range(1, 10)) AS d) d
+        WHERE (d.d * n + 9) // 10 = rn
+        GROUP BY grp, d.d
+    )
+    SELECT est.grp, CAST(est.decile AS BIGINT) AS decile,
+           CAST(est.est_cents AS BIGINT) AS est_cents,
+           CAST(ex.exact_cents AS BIGINT) AS exact_cents
+    FROM est JOIN ex USING (grp, decile)
+    ORDER BY grp, decile
+    """,
+    doc="Quantile estimation from a DETERMINISTIC BOTTOM-K sample "
+        "(min-wise sampling, Cohen & Kaplan 2007 — the mergeable "
+        "quantile summary with none of the float/fold-order hazards of "
+        "digest sketches): per event_type, the 128 rows with smallest "
+        "md5(event_id) form a uniform mergeable sample (KMV with row "
+        "payloads — the ops/sketch grid contract); sample deciles at "
+        "ceiling rank (d*n+9) div 10 estimate the group deciles with "
+        "~1/sqrt(k) rank error. Exact deciles ride along; every value "
+        "is integer cents, every rank integer arithmetic, so the "
+        "oracle reproduces both sides bit-for-bit. "
+        "ops/sampling.bottomk_sample.",
+    tags=("sampling", "sketch", "agg", "north-star"),
+)
+def bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sampling import bottomk_sample
+
+    e = (load_table(spark, sf_dir, "events")
+         .select(F.col("event_type").alias("grp"), "event_id",
+                 F.round(F.col("value") * 100, 0).cast("long")
+                  .alias("cents")))
+
+    def deciles(df, out_col):
+        w = Window.partitionBy("grp").orderBy("cents", "grp")
+        ranked = (df.withColumn("rn", F.row_number().over(w))
+                    .withColumn("n", F.count("*").over(
+                        Window.partitionBy("grp"))))
+        hit = F.filter(F.sequence(F.lit(1), F.lit(9)),
+                       lambda d: ((d * F.col("n") + 9) / 10).cast("long")
+                       == F.col("rn"))
+        return (ranked.select("grp", "cents",
+                              F.explode(hit).alias("decile"))
+                      .groupBy("grp", "decile")
+                      .agg(F.max("cents").alias(out_col)))
+
+    est = deciles(bottomk_sample(e, "grp", "event_id", _BKQ_K), "est_cents")
+    ex = deciles(e, "exact_cents")
+    return (est.join(ex, ["grp", "decile"])
+               .select("grp", F.col("decile").cast("long").alias("decile"),
+                       "est_cents", "exact_cents")
+               .orderBy("grp", "decile"))

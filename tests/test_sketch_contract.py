@@ -115,3 +115,23 @@ def test_hll_grid_merge_equals_union_build_and_estimates(spark):
     # land in distinct-or-shared registers, n_regs <= n_keys
     small = hll_registers(_keys(spark, 0, 50), "g", "k", p)
     assert small.count() <= 50
+
+
+def test_bottomk_sample_merge_equals_union_build(spark):
+    """Bottom-k row sampling obeys the same merge law as KMV: the
+    bottom-k of A ∪ B equals the k-smallest-priority truncation of the
+    two per-shard bottom-k samples — per-shard sampling then merge
+    loses nothing."""
+    from hops_spark.ops.sampling import bottomk_sample
+
+    k = 32
+    a = _keys(spark, 0, 2000).select("g", F.col("k").alias("event_id"),
+                                     (F.col("k") % 997).alias("v"))
+    b = _keys(spark, 2000, 5000).select("g", F.col("k").alias("event_id"),
+                                        (F.col("k") % 997).alias("v"))
+    direct = bottomk_sample(a.unionAll(b), "g", "event_id", k)
+    sa = bottomk_sample(a, "g", "event_id", k)
+    sb = bottomk_sample(b, "g", "event_id", k)
+    merged = bottomk_sample(sa.unionAll(sb), "g", "event_id", k)
+    assert _rows(direct) == _rows(merged)
+    assert direct.count() == k
