@@ -420,3 +420,29 @@ def kmv_sketch_stream(events: DataFrame, group_col: str = "event_type",
                 stateStructType="hv array<long>, version long",
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def hll_register_stream(events: DataFrame, group_col: str = "event_type",
+                        key_col: str = "user_id", p: int = 8) -> DataFrame:
+    """Streaming HLL register-grid maintenance: the running per-group
+    (reg, max rho) grid as a streaming aggregation (update mode) —
+    same contract as cms_token_stream/bloom_grid_stream: the register
+    emit is map-only integer hashing (ops/sketch.hll_registers
+    arithmetic) and the grid aggregate is one keyed MAX the state
+    store shards; state is bounded at 2^p rows per group FOREVER —
+    continuous distinct-count monitoring of an unbounded stream with
+    O(m) state. Grid equals the batch hll_registers over the same rows
+    (asserted in tests/test_streaming.py)."""
+    from hops_spark.ops.sketch import HLL_HASH_BITS
+
+    m = 1 << p
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 13),
+               16, 10).cast("long")
+    w = F.shiftright(h, p)
+    rho = (F.when(w == 0, F.lit(HLL_HASH_BITS - p + 1))
+            .otherwise(F.bit_count((w.bitwiseAND(-w)) - 1) + 1))
+    return (events.select(F.col(group_col).alias("grp"),
+                          F.pmod(h, F.lit(m)).alias("reg"),
+                          rho.alias("rho"))
+                  .groupBy("grp", "reg")
+                  .agg(F.max("rho").cast("long").alias("rho")))

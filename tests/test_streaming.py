@@ -444,3 +444,26 @@ def test_kmv_sketch_stream_equals_batch_across_batches(spark, sf_dir, tmp_path):
     assert final == want
     # O(k) bound: no emission ever exceeds k rows per (grp, version)
     assert max(counts.values()) <= k
+
+
+def test_hll_register_stream_equals_batch(spark, sf_dir):
+    """The streaming HLL register grid (bounded 2^p-row state per
+    group) equals the batch grid after the stream drains — the
+    max-merge law live in Structured Streaming."""
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops.sketch import hll_registers
+    from hops_spark.streaming import (hll_register_stream,
+                                      read_events_stream,
+                                      run_to_completion)
+
+    got = {(r["grp"], r["reg"]): r["rho"] for r in run_to_completion(
+        hll_register_stream(read_events_stream(spark, sf_dir)),
+        "hll_stream_test").collect()}
+    ev = load_table(spark, sf_dir, "events")
+    want = {(r["grp"], r["reg"]): r["rho"] for r in
+            hll_registers(ev, "event_type", "user_id", 8).collect()}
+    assert got == want
+    # state bound: <= 2^8 registers per group
+    from collections import Counter
+    per_grp = Counter(g for g, _ in got)
+    assert max(per_grp.values()) <= 256
