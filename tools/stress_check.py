@@ -159,10 +159,9 @@ def main() -> int:
     # MUST rank 1 for its query (dequantized cosine ~0.9999 vs a random
     # max around 0.7 at dim 32 — a wide deterministic margin), proving
     # assign + quantize + pruned probe end-to-end at index scale.
-    import tempfile
-
     from hops_spark.ops.similarity import (build_cell_index, ivf_centroids,
                                            probe_cell_index)
+    from hops_spark.session import scratch_dir
     t0 = time.time()
     n_vec, dim, half_v = 1_000_000, 32, 500_000
     vseed = F.when((F.col("id") >= half_v) & (F.col("id") < half_v + 10),
@@ -175,8 +174,7 @@ def main() -> int:
     vecs = spark.range(0, n_vec, 1, parts).select(
         F.col("id").alias("vec_id"), comp.alias("embedding"))
     cents = ivf_centroids(vecs, 64)
-    idx_dir = os.path.join(tempfile.mkdtemp(prefix="hops_stress_ann_"),
-                           "vectors")
+    idx_dir = os.path.join(scratch_dir("stress_ann"), "vectors")
     build_cell_index(vecs, cents, idx_dir)
     queries = (vecs.filter(F.col("vec_id") < 10)
                    .select(F.col("vec_id").alias("q_id"),
@@ -207,6 +205,45 @@ def main() -> int:
     meta_ok = du == {p: _du(p) for p in (0, 4321, 9999)}
     t_meta = time.time() - t0
 
+    # Two-level IVF assignment at high cell count (SCALE.md note 45 as
+    # a repeatable tier): (a) correctness — full-probe two-level must
+    # equal flat argmax EXACTLY (the reduction law) at 256 cells on 5k
+    # vectors; (b) the cost drop — partial-probe two-level vs flat at
+    # 2048 cells on 50k vectors, self-reported speedup.
+    from hops_spark.ops.similarity import _cell_sims, two_level_cell
+    t0 = time.time()
+    dim2 = 16
+    comp2 = F.transform(
+        F.sequence(F.lit(0), F.lit(dim2 - 1)),
+        lambda j: ((F.conv(F.substring(F.md5(F.concat_ws(
+            "|", F.col("id").cast("string"), j.cast("string"))), 1, 4),
+            16, 10).cast("long") % 2001 - 1000) / 1000.0))
+    small = spark.range(0, 5_000).select(
+        F.col("id").alias("vec_id"), comp2.alias("embedding")) \
+        .localCheckpoint(eager=True)
+    c256 = ivf_centroids(small, 256)
+    flat_cell = F.array_max(_cell_sims(F.col("embedding"), c256)) \
+        .getField("cell")
+    full_two = two_level_cell(F.col("embedding"), c256,
+                              n_coarse=16, coarse_probes=16)
+    tl_exact_ok = (small.select(flat_cell.alias("f"),
+                                full_two.alias("t"))
+                   .filter(F.col("f") != F.col("t")).count() == 0)
+    big = spark.range(0, 50_000, 1, parts).select(
+        F.col("id").alias("vec_id"), comp2.alias("embedding")) \
+        .localCheckpoint(eager=True)
+    c2048 = ivf_centroids(big, 2048)
+    t1 = time.time()
+    big.select(F.array_max(_cell_sims(F.col("embedding"), c2048))
+               .getField("cell").alias("c")).groupBy("c").count().count()
+    t_flat_assign = time.time() - t1
+    t1 = time.time()
+    big.select(two_level_cell(F.col("embedding"), c2048, coarse_probes=4)
+               .alias("c")).groupBy("c").count().count()
+    t_two_assign = time.time() - t1
+    tl_ok = tl_exact_ok and t_two_assign < t_flat_assign
+    t_tl = time.time() - t0
+
     out = {"job": "stress_check", "n_rows": n, "n_partitions": parts,
            "rank_ok": bool(rank_ok), "rank_sec": round(t_rank, 1),
            "prefix_sum_ok": bool(ps_ok), "prefix_sum_sec": round(t_ps, 1),
@@ -215,10 +252,13 @@ def main() -> int:
            "incremental_dedup_ok": bool(inc_ok),
            "incremental_dedup_sec": round(t_inc, 1),
            "ann_1m_ok": bool(ann_ok), "ann_1m_sec": round(t_ann, 1),
-           "meta_10m_ok": bool(meta_ok), "meta_10m_sec": round(t_meta, 1)}
+           "meta_10m_ok": bool(meta_ok), "meta_10m_sec": round(t_meta, 1),
+           "two_level_ok": bool(tl_ok), "two_level_sec": round(t_tl, 1),
+           "two_level_flat_assign_sec": round(t_flat_assign, 1),
+           "two_level_two_assign_sec": round(t_two_assign, 1)}
     print(json.dumps(out))
     return 0 if all((rank_ok, ps_ok, skew_ok, dedup_ok, inc_ok,
-                     ann_ok, meta_ok)) else 1
+                     ann_ok, meta_ok, tl_ok)) else 1
 
 
 if __name__ == "__main__":
