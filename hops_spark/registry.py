@@ -118,6 +118,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "cms_join_size",            # AMS/CMS inner-product join-size estimate
     "kmv_audience_difference",  # theta set-difference estimate
     "bottomk_quantiles",        # min-wise sample deciles vs exact
+    "knn_gemm",                 # GEMM-batched exact kNN (rerank-exact)
 )
 # Round-7 rotation plan: once CORRECTNESS_r06 lands green, fill freed
 # slots FIRST with this queue (pre-verified: oracle-green at sf0.001

@@ -310,3 +310,24 @@ def test_kmv_overlap_saturated_branch_matches_oracle(spark, tmp_path):
     # sanity: the estimator is in the theta error envelope for k=256
     assert abs(srow["est_union"] - srow["exact_union"]) \
         / srow["exact_union"] < 3 / (256 ** 0.5)
+
+
+def test_knn_gemm_equals_scalar_bruteforce(spark, sf_dir):
+    """knn_bruteforce_gemm must return EXACTLY knn_bruteforce's rows
+    (same ids, same rounded cosines, same ranks) — the candidates +
+    exact-rerank construction makes BLAS float noise unobservable."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops.similarity import knn_bruteforce, knn_bruteforce_gemm
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = (e.filter(F.col("vec_id") % 37 == 0)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    cols = ["q_id", "neighbor_id", "cos_sim", "rnk"]
+    got = sorted(map(tuple, knn_bruteforce_gemm(e, q, 7)
+                     .select(*cols).collect()))
+    want = sorted(map(tuple, knn_bruteforce(e, q, 7)
+                      .select(*cols).collect()))
+    assert got == want and len(got) > 0
