@@ -181,3 +181,26 @@ def image_resize(payload: bytes, width: int, height: int) -> bytes:
         w, h, px = bmp_decode(payload)
         payload = ppm_encode(w, h, px)
     return ppm_resize_nn(payload, width, height)
+
+
+def audio_samples(payload: bytes, kind: str) -> list[float]:
+    """REAL audio decoder, sample-level: every int16 PCM sample in
+    order (the windowed-feature substrate — RMS energy / zero-crossing
+    extraction needs the waveform, not just the summary that
+    audio_features returns)."""
+    meta = wav_decode(payload)
+    n = meta["n_frames"] * meta["n_channels"]
+    samples = struct.unpack(f"<{n}h", meta["pcm"]) if n else ()
+    return [float(s) for s in samples]
+
+
+def image_pixels(payload: bytes, kind: str) -> list[float]:
+    """REAL image decoder, pixel-level: the full RGB raster bytes in
+    row-major r,g,b order (PPM or BMP input) — the substrate for
+    histogram/statistics extraction that needs every pixel, not the
+    summary image_features returns."""
+    if payload is not None and payload[:2] == b"BM":
+        _w, _h, px = bmp_decode(payload)
+    else:
+        _w, _h, _mx, px = ppm_decode(payload)
+    return [float(b) for b in px]

@@ -336,3 +336,109 @@ def media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.element_at(f, 4).cast("long").alias("first_sample"),
                 F.element_at(f, 5).cast("long").alias("sum_abs"))
             .orderBy("media_id"))
+
+
+_WAV_WIN = 4
+
+
+@register(
+    "wav_window_energy",
+    sql=_WAV_BYTES_CTE + f"""
+    , led AS (
+        SELECT media_id, j, s,
+               j // {_WAV_WIN} AS win_id,
+               lead(s) OVER (PARTITION BY media_id ORDER BY j) AS s_next,
+               (j + 1) // {_WAV_WIN} AS win_next
+        FROM sgn
+    )
+    SELECT media_id, CAST(win_id AS BIGINT) AS win_id,
+           CAST(count(*) AS BIGINT) AS n_in_win,
+           CAST(sum(s * s) AS BIGINT) AS energy,
+           CAST(sum(CASE WHEN s_next IS NOT NULL AND win_next = win_id
+                          AND s * s_next < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS zero_crossings
+    FROM led
+    GROUP BY media_id, win_id
+    ORDER BY media_id, win_id
+    """,
+    doc="WINDOWED audio feature extraction over REAL PCM WAV decode "
+        "(io/codecs.audio_samples inside the Arrow mapInPandas stage): "
+        "per 4-frame window, integer energy (sum of squared int16 "
+        "samples) and zero-crossing count — the waveform-level "
+        "features a speech/music filter runs before transcription, "
+        "computed ARRAY-SIDE after decode (map-only until the final "
+        "ordering). The oracle reconstructs every sample relationally "
+        "from the generating digest and replays the windowing with a "
+        "lead() scan — all integers, bit-exact.",
+    tags=("multimodal", "north-star", "pandas-udf"),
+)
+def wav_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.io.codecs import audio_samples
+    from hops_spark.io.multimodal import synthetic_wav_media
+    media = synthetic_wav_media(spark, n=64, seed=42)
+    feats = extract_features(media, decoder=audio_samples)
+    s = F.transform(F.col("features"), lambda x: x.cast("long"))
+    n = F.size(s)
+    win_stats = F.transform(
+        F.sequence(F.lit(0), ((n - 1) / _WAV_WIN).cast("int")),
+        lambda w: F.struct(
+            w.cast("long").alias("win_id"),
+            F.size(F.slice(s, w * _WAV_WIN + 1, _WAV_WIN))
+             .cast("long").alias("n_in_win"),
+            F.aggregate(F.slice(s, w * _WAV_WIN + 1, _WAV_WIN),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x * x).alias("energy"),
+            F.aggregate(
+                # fixed ascending candidate ranks, then clamp j+1 <= n
+                # (F.sequence(a, b) DESCENDS when a > b — never let the
+                # bound arithmetic produce that)
+                F.filter(F.sequence(w * _WAV_WIN + 1,
+                                    w * _WAV_WIN + F.lit(_WAV_WIN - 1)),
+                         lambda j: j < n),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc + F.when(
+                    F.element_at(s, j.cast("int"))
+                    * F.element_at(s, (j + 1).cast("int")) < 0,
+                    F.lit(1)).otherwise(F.lit(0))).alias("zero_crossings")))
+    return (feats.select("media_id", F.explode(win_stats).alias("w"))
+                 .select("media_id", "w.win_id", "w.n_in_win",
+                         "w.energy", "w.zero_crossings")
+                 .orderBy("media_id", "win_id"))
+
+
+@register(
+    "ppm_channel_histogram",
+    sql=_PPM_BYTES_CTE + """
+    , px AS (
+        SELECT m.media_id,
+               q.q % 3 AS channel,
+               bl[(q.q % 16) + 1] // 16 AS bin
+        FROM m JOIN agg USING (media_id),
+             LATERAL (SELECT unnest(range(0, 3 * w * h)) AS q) q
+    )
+    SELECT CAST(channel AS BIGINT) AS channel,
+           CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_pixels
+    FROM px GROUP BY channel, bin
+    ORDER BY channel, bin
+    """,
+    doc="Corpus-wide per-CHANNEL pixel-value histogram (16 bins) over "
+        "REAL P6 PPM decode (io/codecs.image_pixels inside the Arrow "
+        "mapInPandas stage) — the brightness/color-distribution audit "
+        "an image-corpus pipeline runs before training: decode is "
+        "map-only, the histogram is ONE bounded aggregate (<= 48 "
+        "rows). The oracle reconstructs every raster byte relationally "
+        "from the generating digest.",
+    tags=("multimodal", "north-star", "pandas-udf"),
+)
+def ppm_channel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.io.codecs import image_pixels
+    media = synthetic_ppm_media(spark, n=64, seed=42)
+    feats = extract_features(media, decoder=image_pixels)
+    return (feats.select(F.posexplode("features").alias("q", "v"))
+                 .select(F.pmod("q", F.lit(3)).cast("long").alias("channel"),
+                         (F.col("v").cast("long") / 16).cast("long")
+                          .alias("bin"))
+                 .groupBy("channel", "bin")
+                 .agg(F.count("*").alias("n_pixels"))
+                 .orderBy("channel", "bin"))

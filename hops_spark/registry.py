@@ -119,6 +119,8 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "kmv_audience_difference",  # theta set-difference estimate
     "bottomk_quantiles",        # min-wise sample deciles vs exact
     "knn_gemm",                 # GEMM-batched exact kNN (rerank-exact)
+    "wav_window_energy",        # windowed PCM energy/zero-crossings
+    "ppm_channel_histogram",    # per-channel pixel histogram, real decode
 )
 # Round-7 rotation plan: once CORRECTNESS_r06 lands green, fill freed
 # slots FIRST with this queue (pre-verified: oracle-green at sf0.001
