@@ -502,3 +502,64 @@ def avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.sum("price").cast("decimal(18,2)").alias("sum_price"),
                    F.max("channel").alias("channel"))
               .orderBy("ostatus"))
+
+
+@register(
+    "parquet_schema_evolution",
+    sql="""
+    WITH v1 AS (
+        SELECT o_orderkey AS okey, o_orderstatus AS ostatus,
+               CAST(NULL AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 11 = 0
+    ), v2 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        FROM orders WHERE o_orderkey % 11 = 5
+    ), unioned AS (
+        SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT ostatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(cents) AS BIGINT) AS n_with_cents,
+           CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents
+    FROM unioned GROUP BY ostatus ORDER BY ostatus
+    """,
+    doc="PARQUET schema evolution — the Spark-native twin of "
+        "avro_evolution: batch v1 (2 columns) and batch v2 (adds a "
+        "cents column) land in one dataset directory; a "
+        "mergeSchema=true read unions the footers and NULL-fills the "
+        "missing column for v1 rows (spark.sql.parquet.mergeSchema — "
+        "the additive-column contract every long-lived 100 TB dataset "
+        "relies on as its schema grows). The aggregate proves the "
+        "fill: per status, total rows vs rows carrying cents vs their "
+        "sum, hash-matched against the oracle computing the same "
+        "two-generation union straight from the source table.",
+    tags=("io", "scan", "serialization"),
+)
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hops_spark.session import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = scratch_dir("pq_evo", sf_dir)
+    (orders.filter(F.col("o_orderkey") % 11 == 0)
+           .select(F.col("o_orderkey").alias("okey"),
+                   F.col("o_orderstatus").alias("ostatus"))
+           .write.mode("overwrite")
+           .parquet(os.path.join(root, "batch=v1")))
+    (orders.filter(F.col("o_orderkey") % 11 == 5)
+           .select(F.col("o_orderkey").alias("okey"),
+                   F.col("o_orderstatus").alias("ostatus"),
+                   F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                    .alias("cents"))
+           .write.mode("overwrite")
+           .parquet(os.path.join(root, "batch=v2")))
+    evolved = (spark.read.option("mergeSchema", "true")
+               .option("recursiveFileLookup", "true").parquet(root))
+    return (evolved.groupBy("ostatus")
+            .agg(F.count("*").alias("n_rows"),
+                 F.count("cents").alias("n_with_cents"),
+                 F.coalesce(F.sum("cents"), F.lit(0)).cast("long")
+                  .alias("sum_cents"))
+            .orderBy("ostatus"))

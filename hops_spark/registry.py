@@ -121,6 +121,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "knn_gemm",                 # GEMM-batched exact kNN (rerank-exact)
     "wav_window_energy",        # windowed PCM energy/zero-crossings
     "ppm_channel_histogram",    # per-channel pixel histogram, real decode
+    "parquet_schema_evolution",  # mergeSchema additive-column contract
 )
 # Round-7 rotation plan: once CORRECTNESS_r06 lands green, fill freed
 # slots FIRST with this queue (pre-verified: oracle-green at sf0.001
