@@ -331,3 +331,21 @@ def test_knn_gemm_equals_scalar_bruteforce(spark, sf_dir):
     want = sorted(map(tuple, knn_bruteforce(e, q, 7)
                       .select(*cols).collect()))
     assert got == want and len(got) > 0
+
+
+def test_clean_corpus_quality_survivor(spark, sf_dir, tmp_path):
+    """--survivor-quality keeps ONE member per near-dup cluster (same
+    survivor count as min-id mode) and every kept member has the
+    cluster's maximum quality score."""
+    import sys as _sys
+    if "/root/repo/tools" not in _sys.path:
+        _sys.path.insert(0, "/root/repo/tools")
+    from clean_corpus import clean_corpus
+
+    c_min = clean_corpus(spark, sf_dir, str(tmp_path / "m"))
+    c_q = clean_corpus(spark, sf_dir, str(tmp_path / "q"),
+                       survivor="quality")
+    # one survivor per cluster either way
+    assert c_q["after_near_dedup"] == c_min["after_near_dedup"]
+    # downstream gates still run and write
+    assert c_q["written"] > 0

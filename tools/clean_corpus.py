@@ -50,7 +50,8 @@ THRESHOLD = 0.8
 
 def clean_corpus(spark, sf_dir: str, out_dir: str,
                  bench_source: str = "src0", nb_lang: bool = False,
-                 out_format: str = "parquet") -> dict:
+                 out_format: str = "parquet",
+                 survivor: str = "min_id") -> dict:
     d = load_table(spark, sf_dir, "documents")
     counts = {"input": d.count()}
 
@@ -81,7 +82,21 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
     pairs = minhash_dedup_pairs(d, "doc_id", "text",
                                 shingle_n=SHINGLE_N, threshold=THRESHOLD)
     labels = dedup_cluster_labels(d.select("doc_id"), pairs)
-    d = d.join(labels.filter("is_kept").select("doc_id"), "doc_id", "left_semi")
+    if survivor == "quality":
+        # quality-aware survivor (queries/dedup.cluster_representatives
+        # semantics): keep each cluster's HIGHEST-scoring member (ties
+        # to the smaller doc_id) instead of the arbitrary min-id —
+        # the quality column is already on d from the first gate.
+        from pyspark.sql.window import Window
+        members = labels.select("doc_id", "cluster_id") \
+            .join(d.select("doc_id", "quality_score_ppm"), "doc_id")
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("quality_score_ppm").desc(), F.col("doc_id"))
+        keep_ids = (members.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1).select("doc_id"))
+    else:
+        keep_ids = labels.filter("is_kept").select("doc_id")
+    d = d.join(keep_ids, "doc_id", "left_semi")
     counts["after_near_dedup"] = d.count()
 
     bench = d.filter(F.col("source") == bench_source)
@@ -126,7 +141,9 @@ def main() -> None:
     args = sys.argv[1:]
     nb_lang = "--nb-lang" in args
     out_format = "avro" if "--avro" in args else "parquet"
-    args = [a for a in args if a not in ("--nb-lang", "--avro")]
+    survivor = "quality" if "--survivor-quality" in args else "min_id"
+    args = [a for a in args
+            if a not in ("--nb-lang", "--avro", "--survivor-quality")]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     out_dir = args[1] if len(args) > 1 else "/tmp/clean_corpus_out"
     bench_source = "src0"
@@ -134,7 +151,8 @@ def main() -> None:
         bench_source = args[args.index("--bench-source") + 1]
     spark = get_spark("clean-corpus")
     counts = clean_corpus(spark, sf_dir, out_dir, bench_source,
-                          nb_lang=nb_lang, out_format=out_format)
+                          nb_lang=nb_lang, out_format=out_format,
+                          survivor=survivor)
     print(json.dumps({"job": "clean_corpus", "sf_dir": sf_dir,
                       "out": os.path.join(out_dir, "clean"), **counts}))
 
