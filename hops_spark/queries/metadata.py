@@ -830,3 +830,55 @@ def distcp_atomic_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.min("dst").alias("min_staged"),
                        F.max("final_dst").alias("max_final"))
                   .orderBy("chunk"))
+
+
+_COMPACT_TARGET = 4000   # bytes per output group (fixture-scaled; the
+                         # production knob is ~128 MB)
+
+
+@register(
+    "compaction_plan",
+    sql=_DUCK_INODES + f"""
+    , f AS (
+        SELECT parent, name, CAST(size AS BIGINT) AS size,
+               sum(size) OVER (PARTITION BY parent ORDER BY name
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - size AS cum_before
+        FROM inodes
+    ), g AS (
+        SELECT parent, cum_before // {_COMPACT_TARGET} AS grp, size
+        FROM f
+    )
+    SELECT parent, CAST(grp AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(size) AS BIGINT) AS group_bytes
+    FROM g GROUP BY parent, grp
+    ORDER BY parent, grp
+    """,
+    doc="SMALL-FILE COMPACTION PLAN (the lakehouse OPTIMIZE/rewrite "
+        "planner; the HAR/compact maintenance family's sizing half): "
+        "per directory, files in deterministic name order are grouped "
+        "by prefix-sum bucketing — group = floor(bytes_before / "
+        "target) — so every output group lands within one file of the "
+        "target size with ONE window per directory partition and zero "
+        "driver loops (first-fit bin packing is sequential; "
+        "prefix-sum bucketing is its relational, scale-safe stand-in "
+        "and what io/writers.compact executes). Output: per (dir, "
+        "group) file count and byte total.",
+    tags=("metadata", "maintenance", "layout"),
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    ino = inodes_from_documents(spark, sf_dir)
+    w = (Window.partitionBy("parent").orderBy("name")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    f = ino.select("parent", "name", F.col("size").cast("long").alias("size")) \
+           .withColumn("cum_before",
+                       F.sum("size").over(w) - F.col("size"))
+    g = f.withColumn("grp", F.expr(f"cum_before div {_COMPACT_TARGET}"))
+    return (g.groupBy("parent", "grp")
+             .agg(F.count("*").alias("n_files"),
+                  F.sum("size").alias("group_bytes"))
+             .select("parent", F.col("grp").cast("long").alias("grp"),
+                     "n_files", "group_bytes")
+             .orderBy("parent", "grp"))

@@ -853,3 +853,100 @@ def kmv_audience_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
               .count())
     return est.select("n_kept", "n_a_only", "est_union", "est_difference",
                       F.lit(exact).cast("long").alias("exact_difference"))
+
+
+_SSP_TOP = 10
+
+
+@register(
+    "skew_salt_plan",
+    sql=f"""
+    WITH s AS (
+        SELECT CAST(user_id AS VARCHAR) AS term FROM events
+        WHERE event_type = 'click'
+    ), grid AS (
+        SELECT t.r, ('0x' || substring(md5(CAST(t.r AS VARCHAR) || '|'
+                                            || term), 1, 7))::BIGINT % 256
+                   AS bucket,
+               count(*) AS c
+        FROM s, LATERAL (SELECT unnest(range(0, 4)) AS r) t
+        GROUP BY 1, 2
+    ), exact AS (
+        SELECT term, count(*) AS n_exact FROM s GROUP BY term
+    ), top AS (
+        SELECT term, n_exact FROM exact
+        ORDER BY n_exact DESC, term LIMIT {_SSP_TOP}
+    ), probed AS (
+        SELECT top.term, top.n_exact, min(grid.c) AS n_cms
+        FROM top, LATERAL (SELECT unnest(range(0, 4)) AS r) t
+        JOIN grid ON grid.r = t.r
+                 AND grid.bucket = ('0x' || substring(md5(
+                         CAST(t.r AS VARCHAR) || '|' || top.term),
+                         1, 7))::BIGINT % 256
+        GROUP BY top.term, top.n_exact
+    ), kh AS (
+        SELECT DISTINCT ('0x' || substring(md5(term), 1, 13))::BIGINT AS hv
+        FROM s
+    ), sk AS (
+        SELECT hv, row_number() OVER (ORDER BY hv) AS rk FROM kh
+    ), kagg AS (
+        SELECT count(*) AS n_kept,
+               max(CASE WHEN rk = 256 THEN hv END) AS kth
+        FROM sk WHERE rk <= 256
+    ), nd AS (
+        SELECT CAST(CASE WHEN n_kept < 256 THEN n_kept
+                         ELSE 255 * {KMV_DOMAIN} // kth END AS BIGINT)
+                   AS nd_est
+        FROM kagg
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS total FROM s
+    )
+    SELECT p.term,
+           CAST(p.n_cms AS BIGINT) AS n_cms,
+           CAST(p.n_exact AS BIGINT) AS n_exact,
+           CAST(p.n_cms * 1000000 // t.total AS BIGINT) AS est_share_ppm,
+           CAST(greatest(1, least(32,
+                p.n_cms * n.nd_est // t.total)) AS BIGINT) AS salt_factor
+    FROM probed p, nd n, tot t
+    ORDER BY p.n_exact DESC, p.term
+    """,
+    doc="SKEW-SALTING PLAN FROM SKETCHES (the planning half of the "
+        "salted-aggregation/skew-join defenses, ops/agg.salted_agg and "
+        "ops/join's replicate-and-salt): candidate heavy keys are "
+        "CMS-estimated (never-underestimating min-over-rows probe of "
+        "the bounded grid), the key-space size is KMV-estimated, and "
+        "each heavy key's salt factor = its estimated count over the "
+        "average key's (clamped to [1, 32]) — the integer recipe a "
+        "pre-shuffle planner derives from two O(grid) summaries "
+        "WITHOUT a full exact count of anything (the exact counts "
+        "here are fixture-scale verification riders). Both sketches "
+        "replayed relationally by the oracle; candidate top-10 by "
+        "exact count is the fixture's stand-in for per-partition "
+        "candidate emission (heavy_hitters' documented contract).",
+    tags=("sketch", "agg", "join", "north-star"),
+)
+def skew_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sketch import (cms_cells, cms_estimates,
+                                       kmv_estimate_ppm, kmv_sketch)
+    e = load_table(spark, sf_dir, "events")
+    s = (e.filter(F.col("event_type") == "click")
+          .select(F.col("user_id").cast("string").alias("term")))
+    grid = cms_cells(s)
+    exact = s.groupBy("term").agg(F.count("*").alias("n_exact"))
+    top = exact.orderBy(F.col("n_exact").desc(), "term").limit(_SSP_TOP)
+    probed = cms_estimates(top, grid)
+    nd = (kmv_estimate_ppm(
+            kmv_sketch(s.select(F.lit("g").alias("g"), "term"),
+                       "g", "term", 256), 256)
+          .select(F.col("est_distinct").alias("nd_est")))
+    total = s.count()
+    return (probed.crossJoin(F.broadcast(nd))
+            .select("term",
+                    F.col("n_cms").cast("long").alias("n_cms"),
+                    F.col("n_exact").cast("long").alias("n_exact"),
+                    F.expr(f"CAST(n_cms * 1000000 div {total} AS BIGINT)")
+                     .alias("est_share_ppm"),
+                    F.expr(f"CAST(greatest(1, least(32, "
+                           f"n_cms * nd_est div {total})) AS BIGINT)")
+                     .alias("salt_factor"))
+            .orderBy(F.col("n_exact").desc(), "term"))

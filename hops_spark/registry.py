@@ -122,6 +122,8 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "wav_window_energy",        # windowed PCM energy/zero-crossings
     "ppm_channel_histogram",    # per-channel pixel histogram, real decode
     "parquet_schema_evolution",  # mergeSchema additive-column contract
+    "compaction_plan",          # prefix-sum small-file bin packing
+    "skew_salt_plan",           # CMS+KMV-derived salting factors
 )
 # Round-7 rotation plan: once CORRECTNESS_r06 lands green, fill freed
 # slots FIRST with this queue (pre-verified: oracle-green at sf0.001
