@@ -950,3 +950,145 @@ def skew_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                            f"n_cms * nd_est div {total})) AS BIGINT)")
                      .alias("salt_factor"))
             .orderBy(F.col("n_exact").desc(), "term"))
+
+
+@register(
+    "audience_jaccard_matrix",
+    sql=f"""
+    WITH k AS (
+        SELECT DISTINCT event_type AS grp,
+               ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                  1, 13))::BIGINT AS hv
+        FROM events
+    ), sk AS (
+        SELECT grp, hv FROM (
+            SELECT grp, hv,
+                   row_number() OVER (PARTITION BY grp ORDER BY hv) AS rk
+            FROM k
+        ) WHERE rk <= {_KMV_K}
+    ), prs AS (
+        SELECT a.grp AS ga, b.grp AS gb
+        FROM (SELECT DISTINCT grp FROM sk) a
+        JOIN (SELECT DISTINCT grp FROM sk) b ON a.grp < b.grp
+    ), mem AS (
+        SELECT p.ga, p.gb, s.hv,
+               max(CASE WHEN s.grp = p.ga THEN 1 ELSE 0 END) AS ina,
+               max(CASE WHEN s.grp = p.gb THEN 1 ELSE 0 END) AS inb
+        FROM prs p JOIN sk s ON s.grp IN (p.ga, p.gb)
+        GROUP BY p.ga, p.gb, s.hv
+    ), rk AS (
+        SELECT ga, gb, hv, ina, inb,
+               row_number() OVER (PARTITION BY ga, gb ORDER BY hv) AS rk
+        FROM mem
+    ), agg AS (
+        SELECT ga, gb, count(*) AS n_kept,
+               max(CASE WHEN rk = {_KMV_K} THEN hv END) AS kth,
+               sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+                   AS n_both
+        FROM rk WHERE rk <= {_KMV_K}
+        GROUP BY ga, gb
+    ), est AS (
+        SELECT ga, gb,
+               CAST(CASE WHEN n_kept < {_KMV_K} THEN n_kept
+                    ELSE ({_KMV_K} - 1) * {KMV_DOMAIN} // kth END
+                    AS BIGINT) AS est_union,
+               CAST(CASE WHEN n_kept < {_KMV_K} THEN n_both
+                    ELSE n_both * (({_KMV_K} - 1) * {KMV_DOMAIN} // kth)
+                         // {_KMV_K} END
+                    AS BIGINT) AS est_intersection
+        FROM agg
+    ), du AS (
+        SELECT DISTINCT event_type AS grp, user_id FROM events
+    ), exact AS (
+        SELECT a.grp AS ga, b.grp AS gb, count(*) AS exact_intersection
+        FROM du a JOIN du b
+          ON a.user_id = b.user_id AND a.grp < b.grp
+        GROUP BY a.grp, b.grp
+    ), sizes AS (
+        SELECT grp, count(*) AS nd FROM du GROUP BY grp
+    )
+    SELECT e.ga, e.gb, e.est_union, e.est_intersection,
+           CAST(e.est_intersection * 1000000 //
+                greatest(e.est_union, 1) AS BIGINT) AS est_jaccard_ppm,
+           CAST(coalesce(x.exact_intersection, 0) * 1000000 //
+                (sa.nd + sb.nd - coalesce(x.exact_intersection, 0))
+                AS BIGINT) AS exact_jaccard_ppm
+    FROM est e
+    LEFT JOIN exact x ON x.ga = e.ga AND x.gb = e.gb
+    JOIN sizes sa ON sa.grp = e.ga
+    JOIN sizes sb ON sb.grp = e.gb
+    ORDER BY e.ga, e.gb
+    """,
+    doc="ALL-PAIRS audience Jaccard matrix from ONE KMV sketch build "
+        "(the DataSketches-style OLAP shape): the 5 per-event-type "
+        "sketches are built once (O(k) rows each), then every pair's "
+        "union/intersection estimate comes from merging two TINY "
+        "sketches — a (ga, gb)-PARTITIONED rank window over <= 2k rows "
+        "per pair, never a re-scan of events. est_jaccard_ppm = "
+        "floor(est_inter * 1e6 / est_union); exact pairwise Jaccard "
+        "rides along as the fixture-scale verification "
+        "(inclusion-exclusion over distinct counts). Sketch arithmetic "
+        "identical to kmv_audience_overlap; the oracle replays the "
+        "whole matrix relationally.",
+    tags=("sketch", "agg", "north-star"),
+)
+def audience_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from hops_spark.ops.sketch import kmv_sketch
+    e = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(e.select("event_type", "user_id"),
+                    "event_type", "user_id", _KMV_K).select("grp", "hv")
+    grps = sk.select("grp").distinct()
+    prs = (grps.select(F.col("grp").alias("ga"))
+               .join(grps.select(F.col("grp").alias("gb")),
+                     F.col("ga") < F.col("gb")))
+    mem = (prs.join(sk, (sk.grp == F.col("ga"))
+                    | (sk.grp == F.col("gb")))
+              .groupBy("ga", "gb", "hv")
+              .agg(F.max(F.when(F.col("grp") == F.col("ga"), 1)
+                          .otherwise(0)).alias("ina"),
+                   F.max(F.when(F.col("grp") == F.col("gb"), 1)
+                          .otherwise(0)).alias("inb")))
+    w = Window.partitionBy("ga", "gb").orderBy("hv")
+    m = mem.withColumn("_rk", F.row_number().over(w)) \
+           .filter(F.col("_rk") <= _KMV_K)
+    agg = (m.groupBy("ga", "gb")
+            .agg(F.count("*").alias("n_kept"),
+                 F.max(F.when(F.col("_rk") == _KMV_K, F.col("hv")))
+                  .alias("kth"),
+                 F.sum(F.when((F.col("ina") == 1) & (F.col("inb") == 1), 1)
+                        .otherwise(0)).alias("n_both")))
+    est_u = (F.when(F.col("n_kept") < _KMV_K, F.col("n_kept"))
+              .otherwise(F.expr(f"CAST(({_KMV_K} - 1) * {KMV_DOMAIN} "
+                                f"div kth AS BIGINT)")).cast("long"))
+    est_i = (F.when(F.col("n_kept") < _KMV_K, F.col("n_both"))
+              .otherwise(F.expr(
+                  f"CAST(((({_KMV_K} - 1) * {KMV_DOMAIN} div kth) "
+                  f"div {_KMV_K}) * n_both + ((({_KMV_K} - 1) * "
+                  f"{KMV_DOMAIN} div kth) % {_KMV_K}) * n_both "
+                  f"div {_KMV_K} AS BIGINT)")).cast("long"))
+    est = agg.select("ga", "gb", est_u.alias("est_union"),
+                     est_i.alias("est_intersection"))
+    du = e.select(F.col("event_type").alias("grp"), "user_id").distinct()
+    exact = (du.alias("a").join(
+                du.alias("b"),
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("a.grp") < F.col("b.grp")))
+             .groupBy(F.col("a.grp").alias("ga"),
+                      F.col("b.grp").alias("gb"))
+             .agg(F.count("*").alias("exact_intersection")))
+    sizes = du.groupBy("grp").agg(F.count("*").alias("nd"))
+    return (est.join(exact, ["ga", "gb"], "left")
+            .join(F.broadcast(sizes.select(F.col("grp").alias("ga"),
+                                           F.col("nd").alias("nda"))), "ga")
+            .join(F.broadcast(sizes.select(F.col("grp").alias("gb"),
+                                           F.col("nd").alias("ndb"))), "gb")
+            .select("ga", "gb", "est_union", "est_intersection",
+                    F.expr("CAST(est_intersection * 1000000 div "
+                           "greatest(est_union, 1) AS BIGINT)")
+                     .alias("est_jaccard_ppm"),
+                    F.expr("CAST(coalesce(exact_intersection, 0) * 1000000"
+                           " div (nda + ndb - coalesce(exact_intersection,"
+                           " 0)) AS BIGINT)").alias("exact_jaccard_ppm"))
+            .orderBy("ga", "gb"))

@@ -124,6 +124,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "parquet_schema_evolution",  # mergeSchema additive-column contract
     "compaction_plan",          # prefix-sum small-file bin packing
     "skew_salt_plan",           # CMS+KMV-derived salting factors
+    "audience_jaccard_matrix",  # all-pairs overlap from one KMV build
 )
 # Round-7 rotation plan: once CORRECTNESS_r06 lands green, fill freed
 # slots FIRST with this queue (pre-verified: oracle-green at sf0.001
