@@ -101,7 +101,16 @@ def spark_to_avro(dt: T.DataType, name: str = "topLevelRecord",
 def avro_to_spark(sch) -> T.DataType:
     """Avro schema (parsed JSON) -> Spark DataType. Unions of
     ``null`` + one branch map to the branch (nullability lives on the
-    enclosing StructField/ArrayType); enum -> string, fixed -> binary."""
+    enclosing StructField/ArrayType); COMPLEX unions (> 1 non-null
+    branch) map to the spark-avro member struct —
+    struct<member0: B0, member1: B1, ...> with exactly one non-null
+    member per value; enum -> string, fixed -> binary."""
+    if isinstance(sch, list):
+        branches = [b for b in sch if b != "null"]
+        if len(branches) > 1:
+            return T.StructType([
+                T.StructField(f"member{i}", avro_to_spark(b), True)
+                for i, b in enumerate(branches)])
     sch = _strip_null(sch)
     if isinstance(sch, str):
         if sch in _AVRO2P:
@@ -145,7 +154,9 @@ def _strip_null(sch):
     if isinstance(sch, list):
         branches = [b for b in sch if b != "null"]
         if len(branches) != 1:
-            raise ValueError(f"only null+1-branch unions supported: {sch}")
+            raise ValueError(
+                f"complex union reached _strip_null (callers map these "
+                f"to member structs first): {sch}")
         return branches[0]
     return sch
 
@@ -196,7 +207,22 @@ def encode_datum(out: bytearray, sch, v) -> None:
                 raise ValueError("None for non-nullable union")
             _write_long(out, branches.index("null"))
             return
-        idx = next(i for i, b in enumerate(branches) if b != "null")
+        non_null = [(i, b) for i, b in enumerate(branches) if b != "null"]
+        if len(non_null) > 1:
+            # complex union: v is the member struct — exactly one
+            # non-None member selects the branch
+            get = v.get if isinstance(v, dict) else (lambda n: v[n])
+            set_members = [j for j in range(len(non_null))
+                           if get(f"member{j}") is not None]
+            if len(set_members) != 1:
+                raise ValueError(
+                    f"complex-union value must set exactly one member, "
+                    f"got {len(set_members)}")
+            j = set_members[0]
+            _write_long(out, non_null[j][0])
+            encode_datum(out, non_null[j][1], get(f"member{j}"))
+            return
+        idx = non_null[0][0]
         _write_long(out, idx)
         encode_datum(out, branches[idx], v)
         return
@@ -298,7 +324,16 @@ class Decoder:
             if not 0 <= idx < len(sch):
                 raise ValueError(f"union index {idx} out of range")
             branch = sch[idx]
-            return None if branch == "null" else self.read_datum(branch)
+            if branch == "null":
+                return None
+            non_null = [b for b in sch if b != "null"]
+            if len(non_null) > 1:
+                # complex union -> spark-avro member struct
+                j = non_null.index(branch)
+                out = {f"member{i}": None for i in range(len(non_null))}
+                out[f"member{j}"] = self.read_datum(branch)
+                return out
+            return self.read_datum(branch)
         t = sch if isinstance(sch, str) else sch["type"]
         lt = {} if isinstance(sch, str) else sch
         if t == "null":

@@ -423,3 +423,75 @@ def test_resolution_error_contracts():
     bad_name = {"type": "record", "name": "other", "fields": []}
     with pytest.raises(ValueError, match="name mismatch"):
         A.read_resolved(d, p, bad_name)
+
+
+def test_complex_union_roundtrip_and_spark_read(spark, tmp_path):
+    """Complex (multi-branch) unions map to the spark-avro member
+    struct: struct<member0, member1> with exactly one non-null member;
+    encode picks the branch from the set member, decode wraps it."""
+    import os
+    sch = {"type": "record", "name": "cu", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "v", "type": ["null", "long", "string"]}]}
+    rows = [{"k": i,
+             "v": (None if i % 3 == 0 else
+                   {"member0": i * 10, "member1": None} if i % 3 == 1 else
+                   {"member0": None, "member1": f"s{i}"})}
+            for i in range(30)]
+    d = str(tmp_path / "cu")
+    os.makedirs(d)
+    p = os.path.join(d, "part-0.avro")
+    A.write_container(p, sch, rows, codec="deflate")
+    got = list(A.read_container(open(p, "rb").read()))
+    assert got == rows
+    # Spark read: member-struct schema, values round-trip
+    df = A.read_avro(spark, d)
+    assert dict(df.dtypes)["v"] == "struct<member0:bigint,member1:string>"
+    by_k = {r["k"]: r["v"] for r in df.collect()}
+    assert by_k[0] is None
+    assert by_k[1]["member0"] == 10 and by_k[1]["member1"] is None
+    assert by_k[2]["member1"] == "s2" and by_k[2]["member0"] is None
+
+
+def test_complex_union_java_interop(spark, tmp_path):
+    """Java writes an ['int','string'] union; our decoder yields the
+    member struct with the right branch set — and a Python-written
+    complex-union file reads back through the Java library."""
+    jvm = spark._jvm
+    sch_json = json.dumps({"type": "record", "name": "cu", "fields": [
+        {"name": "v", "type": ["int", "string"]}]})
+    schema = jvm.org.apache.avro.Schema.Parser().parse(sch_json)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    p = str(tmp_path / "ju.avro")
+    dfw.create(schema, jvm.java.io.File(p))
+    for i in range(10):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        if i % 2 == 0:
+            rec.put("v", jvm.java.lang.Integer(i))
+        else:
+            rec.put("v", f"str{i}")
+        dfw.append(rec)
+    dfw.close()
+    got = list(A.read_container(open(p, "rb").read()))
+    for i, r in enumerate(got):
+        if i % 2 == 0:
+            assert r["v"] == {"member0": i, "member1": None}
+        else:
+            assert r["v"] == {"member0": None, "member1": f"str{i}"}
+    # reverse: Python writes, Java reads
+    sch = {"type": "record", "name": "cu", "fields": [
+        {"name": "v", "type": ["int", "string"]}]}
+    rows = [{"v": {"member0": 7, "member1": None}},
+            {"v": {"member0": None, "member1": "hey"}}]
+    p2 = str(tmp_path / "pu.avro")
+    A.write_container(p2, sch, rows, codec="null")
+    reader = jvm.org.apache.avro.generic.GenericDatumReader()
+    dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(p2),
+                                                  reader)
+    jrows = []
+    while dfr.hasNext():
+        jrows.append(dfr.next())
+    dfr.close()
+    assert jrows[0].get("v") == 7
+    assert str(jrows[1].get("v")) == "hey"
