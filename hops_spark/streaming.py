@@ -446,3 +446,29 @@ def hll_register_stream(events: DataFrame, group_col: str = "event_type",
                           rho.alias("rho"))
                   .groupBy("grp", "reg")
                   .agg(F.max("rho").cast("long").alias("rho")))
+
+
+def ann_ingest_stream(stream_vectors: DataFrame,
+                      centroids: list,
+                      index_dir: str, checkpoint: str,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding"):
+    """CONTINUOUS vector ingest into the cell-partitioned ANN serving
+    index: each micro-batch assigns against the FROZEN codebook and
+    appends its SQ8 rows into the same cell partitions
+    (ops/similarity.append_cell_index — the batch ingest path, lifted
+    into foreachBatch with a checkpoint for exactly-once per batch).
+    Probes see every drained batch immediately; the periodic
+    build_cell_index rebuild stays the compaction/codebook-refresh
+    path, exactly as in batch serving. Returns the unstarted writer."""
+    from hops_spark.ops.similarity import append_cell_index
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_cell_index(batch_df.select(id_col, vec_col), centroids,
+                          index_dir, id_col, vec_col)
+
+    return (stream_vectors.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append"))

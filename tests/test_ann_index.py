@@ -121,3 +121,45 @@ def test_append_cell_index_equals_full_build(spark, sf_dir, tmp_path):
     got = {(r["q_id"], r["rnk"]): (r["neighbor_id"], r["cos_sim"])
            for r in t_inc.collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_ann_ingest_equals_batch_build(spark, sf_dir, tmp_path):
+    """Streaming ANN ingest (foreachBatch + frozen-codebook append):
+    after draining a multi-file vector stream into the index, probing
+    it returns EXACTLY what probing a batch-built index over the same
+    vectors returns — the serving index can be fed continuously."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops.similarity import (build_cell_index, ivf_centroids,
+                                           probe_cell_index)
+    from hops_spark.streaming import ann_ingest_stream
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = ivf_centroids(e, 8)
+    src = str(tmp_path / "vec_stream")
+    e.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    idx_stream = str(tmp_path / "idx_stream")
+    q = ann_ingest_stream(stream, cents, idx_stream,
+                          str(tmp_path / "ck")).start()
+    q.processAllAvailable()
+    q.stop()
+
+    idx_batch = str(tmp_path / "idx_batch")
+    build_cell_index(e, cents, idx_batch)
+
+    queries = (e.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    top_s, cells_s = probe_cell_index(spark, idx_stream, cents, queries,
+                                      k=5, nprobe=2)
+    top_b, cells_b = probe_cell_index(spark, idx_batch, cents, queries,
+                                      k=5, nprobe=2)
+    cols = ["q_id", "neighbor_id", "cos_sim", "rnk"]
+    assert sorted(map(tuple, top_s.select(*cols).collect())) \
+        == sorted(map(tuple, top_b.select(*cols).collect()))
+    assert cells_s == cells_b
