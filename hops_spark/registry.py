@@ -127,11 +127,15 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "audience_jaccard_matrix",  # all-pairs overlap from one KMV build
 )
 # Round-7 rotation plan: once CORRECTNESS_r06 lands green, fill freed
-# slots FIRST with this queue (pre-verified: oracle-green at sf0.001
-# AND sf0.01 plus partition-count determinism), THEN the 5 deferred
-# last-green-r2 rows (rollup_revenue, scan_percent_filter,
-# uniq_value_count, value_aggregator_job, word_stats), THEN continue
-# aging the last-green-r3 families (47 rows: bm25_topk, cms_heavy_
-# hitters, distcp_plan_chunks, semantic_dedup, ... per the ledger in
+# slots FIRST with this queue (all 17 pre-verified: oracle-green at
+# sf0.001 AND sf0.01 — most also at sf0.1 — plus partition-count
+# determinism), THEN the 5 deferred last-green-r2 rows
+# (rollup_revenue, scan_percent_filter, uniq_value_count,
+# value_aggregator_job, word_stats), THEN continue aging the
+# last-green-r3 families (47 rows: bm25_topk, cms_heavy_hitters,
+# distcp_plan_chunks, semantic_dedup, ... per the ledger in
 # tests/test_registry_window.py); keep the keeper; re-prove anything
-# whose implementation changes.
+# whose implementation changes (round 6 touched io/avro.py after the
+# rotation froze — avro_roundtrip sits in the r6 window as a re-proof
+# and avro_split_scan/avro_evolution are queue rows, so the complex-
+# union addition is driver-covered either way).
