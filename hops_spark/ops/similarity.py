@@ -574,3 +574,57 @@ def knn_bruteforce_gemm(corpus: DataFrame, queries: DataFrame, k: int = 10,
                                             F.col("neighbor_id").asc())
     return (rescored.withColumn("rnk", F.row_number().over(w))
                     .filter(F.col("rnk") <= k))
+
+
+# --------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (sparse sign matrix)
+# --------------------------------------------------------------------------
+
+#: Fixed-point grid for JL projection inputs: float32 elements are exact
+#: in double, so floor(x * JL_QUANT) is tie-free and engine-portable.
+JL_QUANT = 1_000_000
+
+
+def jl_sign(i: int, j: int) -> int:
+    """Deterministic ±1 entry of the JL sign matrix (Achlioptas 2003,
+    "Database-friendly random projections": a Rademacher ±1 matrix
+    satisfies the JL lemma with the same distortion bound as Gaussian).
+    Seeded by md5 of the coordinate pair so Python, the Spark plan, and
+    the DuckDB oracle all interpolate the SAME literal — the matrix is
+    never computed twice (oracle-rules: one symbol, two engines)."""
+    import hashlib
+    return 1 if int(hashlib.md5(f"jl_{i}_{j}".encode())
+                    .hexdigest()[0], 16) % 2 == 0 else -1
+
+
+def jl_project(df: DataFrame, emb_col: str = "embedding",
+               in_dim: int = 64, out_dim: int = 16,
+               quant: int = JL_QUANT) -> DataFrame:
+    """Project ``emb_col`` (array<float>, length ``in_dim``) to
+    ``out_dim`` integer components ``p0..p{out_dim-1}``:
+
+        p_j = Σ_i  sign(i, j) · floor(x_i · quant)
+
+    Map-only, zero shuffle, pure Column arithmetic inside whole-stage
+    codegen — the classic cheap dimensionality reduction in front of an
+    ANN / near-dup stage (project 1024-dim model embeddings to 64 ints,
+    then bucket or index the projections). Integer fixed-point keeps the
+    result bit-identical across engines and fold orders: |p_j| ≤
+    in_dim · quant · max|x|, far inside int64 for any sane embedding.
+
+    At 100 TB this is the right shape: no shuffle, ~in_dim·out_dim fused
+    multiply-adds per row in codegen, and downstream stages operate on
+    the (out_dim/in_dim)-sized projections instead of the raw vectors.
+    """
+    q = F.transform(F.col(emb_col),
+                    lambda x: F.floor(x.cast("double") * F.lit(float(quant)))
+                               .cast("long"))
+    out = df.withColumn("_q", q)
+    for j in range(out_dim):
+        expr = None
+        for i in range(in_dim):
+            term = F.element_at(F.col("_q"), i + 1)
+            term = term if jl_sign(i, j) > 0 else -term
+            expr = term if expr is None else expr + term
+        out = out.withColumn(f"p{j}", expr)
+    return out.drop("_q")

@@ -690,3 +690,79 @@ def knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     queries, K)
                .select("q_id", "neighbor_id", "cos_sim", "rnk")
                .orderBy("q_id", "rnk"))
+
+
+def _jl_oracle_sql(in_dim: int, out_dim: int) -> str:
+    """Generate the DuckDB oracle with the SAME sign literals the Spark
+    plan uses (interpolated from ops/similarity.jl_sign — the matrix is
+    one Python symbol, never hand-copied)."""
+    def p_expr(j: int) -> str:
+        terms = ("".join(
+            ("+" if SIM.jl_sign(i, j) > 0 else "-") + f"q[{i + 1}]"
+            for i in range(in_dim)))
+        return f"({terms.lstrip('+')})" if terms.startswith("+") \
+            else f"(0{terms})"
+    p_cols = ",\n               ".join(
+        f"{p_expr(j)} AS p{j}" for j in range(out_dim))
+    bits = " + ".join(
+        f"(CASE WHEN p{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(out_dim))
+    norm1 = " + ".join(f"abs(p{j})" for j in range(out_dim))
+    digest = ", ".join(f"CAST(p{j} AS VARCHAR)" for j in range(out_dim))
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE)
+                                              * {SIM.JL_QUANT}) AS BIGINT))
+                   AS q
+        FROM embeddings
+    ), p AS (
+        SELECT vec_id,
+               {p_cols}
+        FROM q
+    )
+    SELECT vec_id, p0, p1, p2, p3,
+           CAST({bits} AS BIGINT) AS sign_bits,
+           CAST({norm1} AS BIGINT) AS pnorm1,
+           md5(concat_ws(',', {digest})) AS p_digest
+    FROM p ORDER BY vec_id
+    """
+
+
+@register(
+    "jl_projection",
+    sql=_jl_oracle_sql(DIM, 16),
+    doc="Johnson–Lindenstrauss random projection (Achlioptas ±1 sign "
+        "matrix, ops/similarity.jl_project): 64-dim float embeddings "
+        "→ 16 integer components on a fixed-point grid — the cheap "
+        "map-only dimensionality reduction a 100 TB pipeline runs in "
+        "front of ANN indexing / near-dup bucketing (no shuffle, "
+        "in_dim·out_dim fused multiply-adds per row, downstream "
+        "stages see 4x smaller vectors). sign_bits packs the 16 "
+        "projection signs into the SRP-LSH bucket key; p_digest "
+        "hashes every component so the oracle certifies the full "
+        "projection, not a sample. Distance preservation is asserted "
+        "separately in tests/test_similarity_extra.py (pairwise-cosine "
+        "correlation before/after).",
+    tags=("similarity", "north-star"),
+)
+def jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out_dim = 16
+    p = SIM.jl_project(emb, in_dim=DIM, out_dim=out_dim)
+    bits = None
+    for j in range(out_dim):
+        b = F.when(F.col(f"p{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bits = b if bits is None else bits + b
+    norm1 = None
+    for j in range(out_dim):
+        a = F.abs(F.col(f"p{j}"))
+        norm1 = a if norm1 is None else norm1 + a
+    digest = F.md5(F.concat_ws(
+        ",", *[F.col(f"p{j}").cast("string") for j in range(out_dim)]))
+    return (p.select("vec_id", "p0", "p1", "p2", "p3",
+                     bits.cast("long").alias("sign_bits"),
+                     norm1.cast("long").alias("pnorm1"),
+                     digest.alias("p_digest"))
+             .orderBy("vec_id"))

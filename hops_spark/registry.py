@@ -125,6 +125,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "compaction_plan",          # prefix-sum small-file bin packing
     "skew_salt_plan",           # CMS+KMV-derived salting factors
     "audience_jaccard_matrix",  # all-pairs overlap from one KMV build
+    "jl_projection",            # Achlioptas ±1 JL projection, map-only
 )
 # Round-7 rotation plan: once CORRECTNESS_r06 lands green, fill freed
 # slots FIRST with this queue (all 17 pre-verified: oracle-green at

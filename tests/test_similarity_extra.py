@@ -1,0 +1,94 @@
+"""JL random-projection properties (ops/similarity.jl_project).
+
+Two claims the oracle query can't certify:
+
+1. Exactness of the Spark plan vs a straight numpy evaluation of the
+   same ±1 sign matrix on the same fixed-point grid (the oracle proves
+   Spark ≡ DuckDB; this proves both ≡ the mathematical definition).
+2. The JL lemma payoff: pairwise Euclidean distances among the
+   projected vectors correlate strongly with distances among the raw
+   embeddings (Achlioptas 2003 — a ±1 Rademacher matrix preserves
+   distances in expectation with Gaussian-equivalent distortion).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import hops_spark.ops.similarity as SIM
+from hops_spark.io.readers import load_table
+
+IN_DIM = 64
+OUT_DIM = 16
+
+
+@pytest.fixture(scope="module")
+def raw_and_projected(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(80)
+    rows = (SIM.jl_project(emb, in_dim=IN_DIM, out_dim=OUT_DIM)
+            .select("vec_id", "embedding",
+                    *[f"p{j}" for j in range(OUT_DIM)])
+            .orderBy("vec_id").collect())
+    raw = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    proj = np.array([[r[f"p{j}"] for j in range(OUT_DIM)] for r in rows],
+                    dtype=np.float64)
+    return raw, proj
+
+
+def test_jl_project_matches_numpy_definition(raw_and_projected):
+    raw, proj = raw_and_projected
+    signs = np.array([[SIM.jl_sign(i, j) for j in range(OUT_DIM)]
+                      for i in range(IN_DIM)], dtype=np.int64)
+    quant = np.floor(raw * SIM.JL_QUANT).astype(np.int64)
+    expect = quant @ signs
+    assert np.array_equal(proj.astype(np.int64), expect)
+
+
+def test_jl_sign_matrix_is_balanced():
+    """±1 entries should be near-balanced (md5-seeded Rademacher): a
+    badly skewed matrix would bias every projection the same way."""
+    flat = [SIM.jl_sign(i, j) for i in range(IN_DIM) for j in range(OUT_DIM)]
+    pos = sum(1 for s in flat if s > 0)
+    n = len(flat)
+    # binomial(1024, 1/2): 4σ ≈ 64
+    assert abs(pos - n / 2) < 4 * (n ** 0.5) / 2
+
+
+def _pdist(m: np.ndarray) -> np.ndarray:
+    d = m[:, None, :] - m[None, :, :]
+    dist = np.sqrt((d * d).sum(axis=2))
+    iu = np.triu_indices(len(m), k=1)
+    return dist[iu]
+
+
+def test_jl_distortion_bounded_on_fixture(raw_and_projected):
+    """The JL guarantee on the fixture embeddings: with the standard
+    1/√k scaling, every pairwise distance ratio proj/raw lands in a
+    bounded band around 1 and the mean ratio is ≈1. (The fixture
+    vectors are unit-norm and near-isotropic, so distances CONCENTRATE
+    — a correlation statistic is meaningless there; bounded relative
+    distortion is the claim JL actually makes. Observed on the fixture:
+    mean 0.993, min 0.44, max 1.57 at k=16.)"""
+    raw, proj = raw_and_projected
+    projf = proj / SIM.JL_QUANT / OUT_DIM ** 0.5
+    ratio = _pdist(projf) / _pdist(raw)
+    assert 0.9 < ratio.mean() < 1.1
+    assert ratio.min() > 0.3 and ratio.max() < 1.8
+
+
+def test_jl_preserves_structure_on_clustered_data():
+    """Where distances DO vary (clustered data — the near-dup /
+    dedup regime the projection feeds), projected distances must track
+    raw distances strongly. Numpy evaluation of the same sign matrix is
+    sound here because test_jl_project_matches_numpy_definition pins
+    the Spark plan to this exact computation. Observed r≈0.93."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, IN_DIM))
+    pts = np.repeat(centers, 10, axis=0) + 0.05 * rng.normal(size=(80, IN_DIM))
+    signs = np.array([[SIM.jl_sign(i, j) for j in range(OUT_DIM)]
+                      for i in range(IN_DIM)], dtype=np.int64)
+    quant = np.floor(pts * SIM.JL_QUANT).astype(np.int64)
+    proj = (quant @ signs) / SIM.JL_QUANT / OUT_DIM ** 0.5
+    r = np.corrcoef(_pdist(pts), _pdist(proj))[0, 1]
+    assert r > 0.8, f"JL clustered-distance correlation too low: {r:.3f}"
