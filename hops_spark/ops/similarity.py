@@ -628,3 +628,78 @@ def jl_project(df: DataFrame, emb_col: str = "embedding",
             expr = term if expr is None else expr + term
         out = out.withColumn(f"p{j}", expr)
     return out.drop("_q")
+
+
+# --------------------------------------------------------------------------
+# Multi-probe SRP-LSH (Lv et al. 2007, "Multi-Probe LSH: Efficient
+# Indexing for High-Dimensional Similarity Search")
+# --------------------------------------------------------------------------
+
+def srp_bucket(out_dim: int) -> Column:
+    """Pack the signs of JL projections ``p0..p{out_dim-1}`` (already in
+    scope from :func:`jl_project`) into one integer SRP bucket key."""
+    bits = None
+    for j in range(out_dim):
+        b = F.when(F.col(f"p{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bits = b if bits is None else bits + b
+    return bits.cast("long")
+
+
+def multiprobe_keys(out_dim: int, nprobe: int) -> Column:
+    """Array of ``nprobe`` probe bucket keys for a query row: its own
+    SRP bucket first, then Hamming-1 neighbors in ascending ``|p_j|``
+    order (ties by j). Flipping the LEAST-confident sign first is the
+    multi-probe insight: when a projection is near zero, the true
+    neighbors are as likely to sit just across that hyperplane, so a
+    handful of adjacent buckets recovers most of the recall extra hash
+    tables would buy — without replicating the corpus. Pure Column
+    arithmetic; each corpus vector still lives in exactly ONE bucket,
+    so probe keys being distinct means no candidate dedup is needed.
+    """
+    bucket = srp_bucket(out_dim)
+    flips = F.array_sort(F.array(*[
+        F.struct(F.abs(F.col(f"p{j}")).alias("a"),
+                 F.lit(j).alias("j")) for j in range(out_dim)]))
+    # shiftleft needs a LITERAL count (oracle-rules) → pow(2.0, j) is an
+    # exact double for j ≤ 52, then cast back to long for the XOR.
+    masked = F.transform(
+        F.slice(flips, 1, nprobe - 1),
+        lambda s: bucket.bitwiseXOR(
+            F.pow(F.lit(2.0), s["j"]).cast("long")))
+    return F.concat(F.array(bucket), masked)
+
+
+def knn_multiprobe(corpus: DataFrame, queries: DataFrame, in_dim: int,
+                   k: int = 10, bucket_bits: int = 8, nprobe: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   qid_col: str = "q_id", qvec_col: str = "q_vec") -> DataFrame:
+    """ANN k-NN with multi-probe SRP-LSH: the corpus is bucketed ONCE on
+    ``bucket_bits`` JL sign bits; each query scans its own bucket plus
+    ``nprobe - 1`` Hamming-1 buckets chosen by sign confidence, then
+    exact-cosine rescoring picks top-k. ``n_cand`` (candidates scanned
+    per query) rides along — the certified work bound: expected
+    nprobe · N / 2^bucket_bits rows per query instead of N.
+
+    At 100 TB the corpus-side projection+bucket is one map-only pass,
+    the probe join is nprobe broadcast-hash lookups per query against a
+    bucket-partitioned corpus, and recall is tuned by nprobe (runtime)
+    instead of table count (storage) — the reason multi-probe replaced
+    multi-table LSH in production systems.
+    """
+    cb = (jl_project(corpus, vec_col, in_dim, bucket_bits)
+          .withColumn("_bucket", srp_bucket(bucket_bits))
+          .select(id_col, vec_col, "_bucket"))
+    qb = (jl_project(queries, qvec_col, in_dim, bucket_bits)
+          .withColumn("_probe", F.explode(multiprobe_keys(bucket_bits, nprobe)))
+          .select(qid_col, qvec_col, "_probe"))
+    cand = (cb.join(F.broadcast(qb), cb["_bucket"] == qb["_probe"])
+              .filter(F.col(id_col) != F.col(qid_col)))
+    scored = cand.select(
+        F.col(qid_col), F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("cos_sim"))
+    wq = Window.partitionBy(qid_col)
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(),
+                                            F.col("neighbor_id").asc())
+    return (scored.withColumn("n_cand", F.count("*").over(wq))
+                  .withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= k))

@@ -692,18 +692,22 @@ def knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("q_id", "rnk"))
 
 
+def _jl_p_expr(in_dim: int, j: int) -> str:
+    """DuckDB expression for JL projection component j over a quantized
+    array column ``q``, with the SAME sign literals the Spark plan uses
+    (interpolated from ops/similarity.jl_sign — the matrix is one
+    Python symbol, never hand-copied)."""
+    terms = ("".join(
+        ("+" if SIM.jl_sign(i, j) > 0 else "-") + f"q[{i + 1}]"
+        for i in range(in_dim)))
+    return f"({terms.lstrip('+')})" if terms.startswith("+") \
+        else f"(0{terms})"
+
+
 def _jl_oracle_sql(in_dim: int, out_dim: int) -> str:
-    """Generate the DuckDB oracle with the SAME sign literals the Spark
-    plan uses (interpolated from ops/similarity.jl_sign — the matrix is
-    one Python symbol, never hand-copied)."""
-    def p_expr(j: int) -> str:
-        terms = ("".join(
-            ("+" if SIM.jl_sign(i, j) > 0 else "-") + f"q[{i + 1}]"
-            for i in range(in_dim)))
-        return f"({terms.lstrip('+')})" if terms.startswith("+") \
-            else f"(0{terms})"
+    """DuckDB oracle for the jl_projection query."""
     p_cols = ",\n               ".join(
-        f"{p_expr(j)} AS p{j}" for j in range(out_dim))
+        f"{_jl_p_expr(in_dim, j)} AS p{j}" for j in range(out_dim))
     bits = " + ".join(
         f"(CASE WHEN p{j} > 0 THEN {1 << j} ELSE 0 END)"
         for j in range(out_dim))
@@ -766,3 +770,97 @@ def jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                      norm1.cast("long").alias("pnorm1"),
                      digest.alias("p_digest"))
              .orderBy("vec_id"))
+
+
+MP_BITS = 8      # SRP bucket width (2^8 = 256 buckets)
+MP_NPROBE = 5    # own bucket + 4 Hamming-1 flips
+
+
+def _multiprobe_oracle_sql() -> str:
+    """DuckDB oracle for knn_multiprobe: replays the full multi-probe
+    pipeline relationally — JL signs (same interpolated matrix), bucket
+    packing, least-confident-bit probe ranking, Hamming-1 XOR probes,
+    exact-cosine rescore, top-k."""
+    p_cols = ",\n               ".join(
+        f"{_jl_p_expr(DIM, j)} AS p{j}" for j in range(MP_BITS))
+    bits = " + ".join(
+        f"(CASE WHEN p{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(MP_BITS))
+    abs_case = " ".join(
+        f"WHEN {j} THEN abs(p{j})" for j in range(MP_BITS))
+    p_list = ", ".join(f"p{j}" for j in range(MP_BITS))
+    return f"""
+    WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE)
+                                              * {SIM.JL_QUANT}) AS BIGINT))
+                   AS q
+        FROM embeddings
+    ), p AS (
+        SELECT vec_id,
+               {p_cols}
+        FROM qv
+    ), d AS (
+        SELECT p.vec_id, e.embedding::DOUBLE[] AS v,
+               CAST({bits} AS BIGINT) AS bucket, {p_list}
+        FROM p JOIN embeddings e USING (vec_id)
+    ), q AS (
+        SELECT vec_id AS q_id, v AS qv, bucket, {p_list}
+        FROM d WHERE vec_id < {N_QUERIES}
+    ), flips AS (
+        SELECT q_id, j,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY CASE j {abs_case} END, j) AS r
+        FROM q CROSS JOIN (SELECT unnest(range({MP_BITS})) AS j) js
+    ), probes AS (
+        SELECT q_id, bucket AS probe FROM q
+        UNION ALL
+        SELECT f.q_id, xor(q.bucket, 1 << f.j) AS probe
+        FROM flips f JOIN q USING (q_id) WHERE f.r <= {MP_NPROBE - 1}
+    ), cand AS (
+        SELECT q.q_id, q.qv, d.vec_id AS neighbor_id, d.v
+        FROM probes pr JOIN q USING (q_id)
+        JOIN d ON d.bucket = pr.probe
+        WHERE d.vec_id <> q.q_id
+    ), scored AS (
+        SELECT q_id, neighbor_id,
+               round(list_cosine_similarity(v, qv), 6) AS cos_sim,
+               CAST(count(*) OVER (PARTITION BY q_id) AS BIGINT) AS n_cand
+        FROM cand
+    ), ranked AS (
+        SELECT q_id, neighbor_id, cos_sim, n_cand,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cos_sim, rnk, n_cand
+    FROM ranked WHERE rnk <= {K}
+    ORDER BY q_id, rnk
+    """
+
+
+@register(
+    "knn_multiprobe",
+    sql=_multiprobe_oracle_sql(),
+    doc="Multi-probe SRP-LSH k-NN (Lv et al. 2007, "
+        "ops/similarity.knn_multiprobe): corpus bucketed ONCE on 8 JL "
+        "sign bits; each query probes its own bucket plus 4 Hamming-1 "
+        "buckets chosen by ascending |p_j| (flip the least-confident "
+        "hyperplane first), then exact-cosine rescores candidates. "
+        "n_cand certifies the bounded work: ~nprobe*N/256 candidates "
+        "per query instead of N. Recall is a runtime knob (nprobe), "
+        "not a storage knob (hash tables) — why multi-probe replaced "
+        "multi-table LSH at scale. The oracle replays probe ranking, "
+        "XOR probing, and rescoring relationally.",
+    tags=("similarity", "north-star"),
+)
+def knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = (e.filter(F.col("vec_id") < N_QUERIES)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec")))
+    return (SIM.knn_multiprobe(e.select("vec_id", "embedding"), queries,
+                               DIM, K, MP_BITS, MP_NPROBE)
+               .select("q_id", "neighbor_id", "cos_sim", "rnk", "n_cand")
+               .orderBy("q_id", "rnk"))

@@ -126,6 +126,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "skew_salt_plan",           # CMS+KMV-derived salting factors
     "audience_jaccard_matrix",  # all-pairs overlap from one KMV build
     "jl_projection",            # Achlioptas ±1 JL projection, map-only
+    "knn_multiprobe",           # multi-probe SRP-LSH (Lv et al. 2007)
 )
 # Round-7 rotation plan: once CORRECTNESS_r06 lands green, fill freed
 # slots FIRST with this queue (all 17 pre-verified: oracle-green at
