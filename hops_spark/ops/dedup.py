@@ -635,3 +635,107 @@ def sentence_dedup(df: DataFrame, id_col: str = "doc_id",
                      F.sum(F.col("_keep").cast("long")).alias("n_kept"),
                      rebuilt.alias("clean_text"))
                 .orderBy(id_col))
+
+
+# ---------------------------------------------------------------------------
+# Weighted (tf-aware) Jaccard near-duplicates
+# ---------------------------------------------------------------------------
+
+#: Replica cap for expansion MinHash: a token with tf=t contributes
+#: min(t, W_CAP) replicas to the signature multiset. Caps boilerplate
+#: amplification (a doc repeating one token 10k times would otherwise
+#: dominate its own signature) and bounds the expansion at W_CAP x
+#: distinct tokens. The exact rescore uses UNCAPPED tf.
+W_CAP = 4
+
+
+def weighted_token_rows(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(id, token, tf) — per-doc term frequencies. One linear keyed
+    shuffle with map-side partial counts (vs computing tf array-side,
+    which is O(doc_len^2) per doc — a cliff for long documents)."""
+    return (fan_out(df, id_col)
+            .select(F.col(id_col), F.explode(words(text_col)).alias("token"))
+            .groupBy(id_col, "token")
+            .agg(F.count("*").cast("long").alias("tf")))
+
+
+def weighted_minhash_signatures(tfrows: DataFrame, id_col: str = "doc_id",
+                                n_hashes: int = 16,
+                                w_cap: int = W_CAP) -> DataFrame:
+    """MinHash over the CAPPED expansion multiset {token#r : r <
+    min(tf, w_cap)} — the standard reduction of weighted Jaccard with
+    small-integer weights to set Jaccard (each replica is an
+    independent set element, so signature collision probability tracks
+    the capped weighted Jaccard). Same affine permutations and 28-bit
+    md5 hash as the unweighted path, so minhash_candidate_pairs /
+    banding reuse verbatim. One keyed shuffle; min() partials combine
+    map-side."""
+    reps = tfrows.withColumn(
+        "_r", F.explode(F.sequence(F.lit(0),
+                                   F.least(F.col("tf"), F.lit(w_cap)) - 1)))
+    h = (F.conv(F.substring(F.md5(F.concat_ws("#", F.col("token"),
+                                              F.col("_r").cast("string"))),
+                            1, 7), 16, 10).cast("long"))
+    reps = reps.withColumn("_h", h)
+    aggs = [F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b),
+                         F.lit(MERSENNE31))).alias(f"s{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(n_hashes))]
+    return reps.groupBy(id_col).agg(*aggs)
+
+
+def weighted_jaccard_verify(pairs: DataFrame, tfrows: DataFrame,
+                            id_col: str = "doc_id",
+                            threshold_ppm: int = 700_000) -> DataFrame:
+    """Exact weighted Jaccard on candidate pairs, integer-exact:
+
+        J_w(a, b) = sum_t min(tf_a, tf_b) / sum_t max(tf_a, tf_b)
+
+    with sum max = size_a + size_b - sum min (sizes = total token
+    counts), reported as ppm via floor division (tie-free, engine-
+    portable). Same broadcast-the-pairs join shape as jaccard_verify:
+    the big tf-rows table streams, nothing shuffles it twice."""
+    sizes = tfrows.groupBy(id_col).agg(F.sum("tf").cast("long").alias("wsize"))
+    ra = tfrows.select(F.col(id_col).alias("id_a"), "token",
+                       F.col("tf").alias("tf_a"))
+    rb = tfrows.select(F.col(id_col).alias("id_b"), "token",
+                       F.col("tf").alias("tf_b"))
+    a_rows = F.broadcast(ra.join(F.broadcast(pairs), "id_a"))
+    inter = (rb.join(a_rows, ["id_b", "token"])
+               .groupBy("id_a", "id_b")
+               .agg(F.sum(F.least("tf_a", "tf_b")).cast("long").alias("inter")))
+    za = (sizes.select(F.col(id_col).alias("id_a"), F.col("wsize").alias("size_a"))
+               .join(F.broadcast(pairs.select("id_a").distinct()), "id_a", "left_semi"))
+    zb = (sizes.select(F.col(id_col).alias("id_b"), F.col("wsize").alias("size_b"))
+               .join(F.broadcast(pairs.select("id_b").distinct()), "id_b", "left_semi"))
+    return (pairs.join(inter, ["id_a", "id_b"], "left")
+                 .withColumn("inter", F.coalesce("inter", F.lit(0)))
+                 .join(F.broadcast(za), "id_a").join(F.broadcast(zb), "id_b")
+                 .withColumn("wjac_ppm",
+                             F.expr("(inter * 1000000) div "
+                                    "(size_a + size_b - inter)"))
+                 .filter(F.col("wjac_ppm") >= threshold_ppm)
+                 .select("id_a", "id_b", "wjac_ppm"))
+
+
+def weighted_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n_hashes: int = 16,
+                           bands: int = 4, threshold_ppm: int = 700_000,
+                           w_cap: int = W_CAP,
+                           cache_candidates: bool = True) -> DataFrame:
+    """End-to-end tf-weighted near-dup pipeline: tf rows -> capped-
+    expansion MinHash -> LSH banding (reused verbatim) -> exact
+    weighted-Jaccard rescore. Returns (id_a, id_b, wjac_ppm).
+
+    Why weighted: set Jaccard treats 'spam spam spam buy now' and a
+    long document mentioning 'spam' once as similar as their VOCAB
+    overlap; weighted Jaccard scores by term-frequency mass, the
+    dedup semantics used when repetitive boilerplate dominates a
+    corpus. Two linear keyed shuffles + the banded bucket shuffle —
+    the same scale shape as the unweighted flagship."""
+    tfrows = weighted_token_rows(df, id_col, text_col)
+    sigs = weighted_minhash_signatures(tfrows, id_col, n_hashes, w_cap)
+    cand = minhash_candidate_pairs(sigs, id_col, n_hashes, bands)
+    if cache_candidates:
+        cand = cand.localCheckpoint(eager=False)
+    return weighted_jaccard_verify(cand, tfrows, id_col, threshold_ppm)

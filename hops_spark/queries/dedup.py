@@ -698,3 +698,88 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.col("n_members") - 1).cast("long")
                          .alias("n_dropped"))
                 .orderBy("cluster_id"))
+
+
+WJ_THRESHOLD_PPM = 700_000
+
+
+def _duck_weighted_pairs_sql() -> str:
+    """DuckDB oracle for weighted_jaccard_pairs: replays tf rows, the
+    capped-expansion MinHash (same interpolated affine coefficients),
+    the banded buckets with skew cap, and the exact integer-ppm
+    weighted-Jaccard rescore."""
+    mins = ", ".join(
+        f"min((({a} * h) + {b}) % {D.MERSENNE31}) AS s{i}"
+        for i, (a, b) in enumerate(D.minhash_coeffs(N_HASHES)))
+    return f"""
+    WITH wt AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ), trows AS (
+        SELECT doc_id, t AS token, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(w) AS t FROM wt)
+        GROUP BY doc_id, t
+    ), sizes AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS wsize
+        FROM trows GROUP BY doc_id
+    ), reps AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(token || '#' || CAST(r AS VARCHAR)),
+                                  1, 7))::BIGINT AS h
+        FROM (SELECT doc_id, token,
+                     unnest(range(least(tf, {D.W_CAP}))) AS r
+              FROM trows)
+    ), sigs AS (
+        SELECT doc_id, {mins} FROM reps GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, b.band AS band, b.bhash AS bhash
+        FROM (SELECT doc_id, unnest({_duck_band_structs()}) AS b FROM sigs)
+    ), bok AS (
+        SELECT band, bhash FROM bands GROUP BY band, bhash
+        HAVING count(*) BETWEEN 2 AND 1000
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band, bhash) JOIN bok USING (band, bhash)
+        WHERE a.doc_id < b.doc_id
+    ), inter AS (
+        SELECT c.id_a, c.id_b,
+               CAST(sum(least(ra.tf, rb.tf)) AS BIGINT) AS inter
+        FROM cand c
+        JOIN trows ra ON ra.doc_id = c.id_a
+        JOIN trows rb ON rb.doc_id = c.id_b AND rb.token = ra.token
+        GROUP BY c.id_a, c.id_b
+    ), verified AS (
+        SELECT c.id_a, c.id_b,
+               CAST((coalesce(i.inter, 0) * 1000000)
+                    // (za.wsize + zb.wsize - coalesce(i.inter, 0))
+                    AS BIGINT) AS wjac_ppm
+        FROM cand c
+        LEFT JOIN inter i USING (id_a, id_b)
+        JOIN sizes za ON za.doc_id = c.id_a
+        JOIN sizes zb ON zb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, wjac_ppm FROM verified
+    WHERE wjac_ppm >= {WJ_THRESHOLD_PPM}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "weighted_jaccard_pairs",
+    sql=_duck_weighted_pairs_sql(),
+    doc="tf-WEIGHTED Jaccard near-dup pairs (ops/dedup."
+        "weighted_jaccard_pairs): per-doc term frequencies -> MinHash "
+        "over the capped expansion multiset {token#r : r < min(tf,4)} "
+        "(the standard weighted->set Jaccard reduction; same affine "
+        "permutations, banding reused verbatim) -> exact integer-ppm "
+        "rescore sum(min(tf))/sum(max(tf)) on candidates. Weighted "
+        "semantics score by term-frequency MASS, catching repetitive-"
+        "boilerplate near-dups that distinct-set Jaccard misses. Two "
+        "linear keyed shuffles + one banded bucket shuffle — the "
+        "unweighted flagship's scale shape.",
+    tags=("dedup", "north-star"),
+)
+def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (D.weighted_jaccard_pairs(d, "doc_id", "text", N_HASHES, BANDS,
+                                     WJ_THRESHOLD_PPM)
+             .orderBy("id_a", "id_b"))

@@ -127,6 +127,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "audience_jaccard_matrix",  # all-pairs overlap from one KMV build
     "jl_projection",            # Achlioptas ±1 JL projection, map-only
     "knn_multiprobe",           # multi-probe SRP-LSH (Lv et al. 2007)
+    "weighted_jaccard_pairs",   # tf-weighted near-dup (capped expansion)
 )
 # Round-7 rotation plan: once CORRECTNESS_r06 lands green, fill freed
 # slots FIRST with this queue (all 19 pre-verified: oracle-green at
