@@ -693,14 +693,19 @@ def weighted_jaccard_verify(pairs: DataFrame, tfrows: DataFrame,
 
     with sum max = size_a + size_b - sum min (sizes = total token
     counts), reported as ppm via floor division (tie-free, engine-
-    portable). Same broadcast-the-pairs join shape as jaccard_verify:
-    the big tf-rows table streams, nothing shuffles it twice."""
+    portable). Only the COMPACT tables broadcast (pairs = two ints per
+    row, sizes semi-joined to pair ids); the pairs-joined tf rows are
+    NOT broadcast — weighted banding fires on tf mass, so its
+    candidate×token fan-out can reach GBs where the unweighted path's
+    stays tiny (measured: >1 GiB at sf1 — a driver OOM as a broadcast).
+    The intersection join shuffles on (id_b, token): linear, keyed,
+    AQE still converts it back to broadcast when it IS small."""
     sizes = tfrows.groupBy(id_col).agg(F.sum("tf").cast("long").alias("wsize"))
     ra = tfrows.select(F.col(id_col).alias("id_a"), "token",
                        F.col("tf").alias("tf_a"))
     rb = tfrows.select(F.col(id_col).alias("id_b"), "token",
                        F.col("tf").alias("tf_b"))
-    a_rows = F.broadcast(ra.join(F.broadcast(pairs), "id_a"))
+    a_rows = ra.join(F.broadcast(pairs), "id_a")
     inter = (rb.join(a_rows, ["id_b", "token"])
                .groupBy("id_a", "id_b")
                .agg(F.sum(F.least("tf_a", "tf_b")).cast("long").alias("inter")))
