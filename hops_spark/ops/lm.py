@@ -119,3 +119,59 @@ def doc_nll_scores(docs: DataFrame, id_col: str = "doc_id",
                         .alias("nll_micro")))
     return per_doc.withColumn(
         "avg_nll_micro", F.expr("nll_micro div n_bigrams"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift monitor: KL divergence between two snapshots
+# ---------------------------------------------------------------------------
+
+def corpus_kl_drift(ref: DataFrame, cur: DataFrame, text_col: str = "text",
+                    top_k: int = 100) -> DataFrame:
+    """Token-distribution drift of ``cur`` against ``ref`` as
+    KL(cur || ref) with add-one smoothing, integer-exact:
+
+        lr_micro(t) = round(ln( ((c_cur+1)·(n_ref+V)) /
+                                ((c_ref+1)·(n_cur+V)) ) · 1e6)
+        contrib(t)  = (c_cur + 1) · lr_micro(t)
+        kl_total_micro = (Σ_t contrib) div (n_cur + V)
+
+    — the mixture/contamination monitor a training pipeline runs
+    between corpus snapshots (did the crawl's language mix shift? did a
+    domain flood in?). Emits the ``top_k`` tokens by drift contribution
+    (the "what changed" diagnosis) with the FULL-vocab total riding on
+    every row (kl_total_micro certifies the whole sum, not the top-k).
+
+    Determinism: the log-ratio is ONE division of two exact int64
+    products (each ≤ (N+1)·(N+V) — fits int64 up to ~3·10^9 tokens per
+    side; shard the monitor beyond that), so both engines see the same
+    IEEE double; per-token snap-to-integer before the sum makes the
+    aggregate order-free (module contract above).
+
+    Scale: two linear token-count aggregates (map-side combine), one
+    vocab-bounded full-outer join on token, two 1-row aggregates
+    broadcast back, TakeOrdered top-k. No all-pairs, no global window.
+    """
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        return (df.select(F.explode(words(text_col)).alias("token"))
+                  .groupBy("token").agg(F.count("*").cast("long").alias(alias)))
+
+    full = (counts(ref, "c_ref")
+            .join(counts(cur, "c_cur"), "token", "full_outer")
+            .select("token",
+                    F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+                    F.coalesce("c_cur", F.lit(0)).alias("c_cur")))
+    tot = full.agg(F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur"),
+                   F.count("*").alias("v"))
+    j = full.crossJoin(F.broadcast(tot))
+    lr = F.expr("CAST(round(ln(CAST((c_cur + 1) * (n_ref + v) AS DOUBLE) "
+                "/ CAST((c_ref + 1) * (n_cur + v) AS DOUBLE)) * 1000000, 0) "
+                "AS BIGINT)")
+    scored = (j.withColumn("lr_micro", lr)
+               .withColumn("contrib", (F.col("c_cur") + 1) * F.col("lr_micro")))
+    total = scored.agg(
+        F.expr("CAST(sum(contrib) div (max(n_cur) + max(v)) AS BIGINT)")
+         .alias("kl_total_micro"))
+    return (scored.select("token", "c_ref", "c_cur", "lr_micro", "contrib")
+                  .crossJoin(F.broadcast(total))
+                  .orderBy(F.col("contrib").desc(), F.col("token").asc())
+                  .limit(top_k))

@@ -957,3 +957,69 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("actual", "predicted")
             .agg(F.count("*").alias("n"))
             .orderBy("actual", "predicted"))
+
+
+KL_TOP_K = 100
+
+
+@register(
+    "corpus_kl_drift",
+    sql=f"""
+    WITH wref AS (
+        SELECT {_DUCK_WORDS} AS w FROM documents WHERE doc_id % 2 = 0
+    ), wcur AS (
+        SELECT {_DUCK_WORDS} AS w FROM documents WHERE doc_id % 2 = 1
+    ), cr AS (
+        SELECT t AS token, CAST(count(*) AS BIGINT) AS c_ref
+        FROM (SELECT unnest(w) AS t FROM wref) GROUP BY t
+    ), cc AS (
+        SELECT t AS token, CAST(count(*) AS BIGINT) AS c_cur
+        FROM (SELECT unnest(w) AS t FROM wcur) GROUP BY t
+    ), fj AS (
+        SELECT token, coalesce(c_ref, 0) AS c_ref, coalesce(c_cur, 0) AS c_cur
+        FROM cr FULL OUTER JOIN cc USING (token)
+    ), tot AS (
+        SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+               CAST(sum(c_cur) AS BIGINT) AS n_cur,
+               CAST(count(*) AS BIGINT) AS v
+        FROM fj
+    ), scored AS (
+        SELECT token, c_ref, c_cur,
+               CAST(round(ln(CAST((c_cur + 1) * (n_ref + v) AS DOUBLE)
+                             / CAST((c_ref + 1) * (n_cur + v) AS DOUBLE))
+                          * 1000000, 0) AS BIGINT) AS lr_micro
+        FROM fj CROSS JOIN tot
+    ), scored2 AS (
+        SELECT token, c_ref, c_cur, lr_micro,
+               (c_cur + 1) * lr_micro AS contrib
+        FROM scored
+    ), total AS (
+        SELECT CAST(sum(contrib) // ((SELECT n_cur FROM tot)
+                                     + (SELECT v FROM tot)) AS BIGINT)
+                   AS kl_total_micro
+        FROM scored2
+    )
+    SELECT token, c_ref, c_cur, lr_micro, contrib, kl_total_micro
+    FROM scored2 CROSS JOIN total
+    ORDER BY contrib DESC, token
+    LIMIT {KL_TOP_K}
+    """,
+    doc="Corpus snapshot drift monitor (ops/lm.corpus_kl_drift): "
+        "KL(cur || ref) over token distributions with add-one "
+        "smoothing — the mixture/contamination check a training "
+        "pipeline runs between crawl snapshots. Fixture splits "
+        "documents by doc_id parity. Integer-exact: the log-ratio is "
+        "ONE division of two exact int64 products snapped to "
+        "micro-nats per token BEFORE summing (the lm.py determinism "
+        "contract); top-100 drifted tokens emitted with the FULL-vocab "
+        "total riding on every row. Two linear count aggregates, one "
+        "vocab-bounded full-outer join, two 1-row broadcast "
+        "aggregates, TakeOrdered — no global window.",
+    tags=("text", "north-star"),
+)
+def corpus_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.lm import corpus_kl_drift as _drift
+    d = load_table(spark, sf_dir, "documents")
+    return _drift(d.filter(F.col("doc_id") % 2 == 0),
+                  d.filter(F.col("doc_id") % 2 == 1),
+                  top_k=KL_TOP_K)

@@ -1,0 +1,46 @@
+"""Corpus KL-drift monitor semantics (ops/lm.corpus_kl_drift)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hops_spark.ops.lm import corpus_kl_drift
+
+
+@pytest.fixture(scope="module")
+def base_docs(spark):
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_identical_corpora_drift_is_zero(spark, base_docs):
+    out = corpus_kl_drift(base_docs, base_docs).collect()
+    assert out, "vocab should be non-empty"
+    # p == q for every token → every log-ratio is exactly ln(1) = 0
+    assert all(r["lr_micro"] == 0 for r in out)
+    assert out[0]["kl_total_micro"] == 0
+
+
+def test_flood_token_ranks_first(spark, base_docs):
+    flood = spark.createDataFrame(
+        [(100 + i, "casino casino casino casino bonus") for i in range(20)],
+        ["doc_id", "text"])
+    cur = base_docs.union(flood)
+    out = corpus_kl_drift(base_docs, cur).collect()
+    # the flooded token dominates the drift contribution and the total
+    # KL is strictly positive
+    assert out[0]["token"] == "casino"
+    assert out[0]["c_ref"] == 0 and out[0]["c_cur"] == 80
+    assert out[0]["kl_total_micro"] > 0
+
+
+def test_drift_is_directional(spark, base_docs):
+    """KL(cur || ref) weighs by CURRENT mass: a token that vanished
+    contributes far less than one that flooded in at the same count."""
+    flood = spark.createDataFrame(
+        [(100 + i, "casino casino casino casino bonus") for i in range(20)],
+        ["doc_id", "text"])
+    cur = base_docs.union(flood)
+    kl_in = corpus_kl_drift(base_docs, cur).collect()[0]["kl_total_micro"]
+    kl_out = corpus_kl_drift(cur, base_docs).collect()[0]["kl_total_micro"]
+    assert kl_in > kl_out
