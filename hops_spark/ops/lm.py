@@ -155,8 +155,19 @@ def corpus_kl_drift(ref: DataFrame, cur: DataFrame, text_col: str = "text",
         return (df.select(F.explode(words(text_col)).alias("token"))
                   .groupBy("token").agg(F.count("*").cast("long").alias(alias)))
 
-    full = (counts(ref, "c_ref")
-            .join(counts(cur, "c_cur"), "token", "full_outer")
+    return kl_from_counts(counts(ref, "c_ref"), counts(cur, "c_cur"), top_k)
+
+
+def kl_from_counts(ref_counts: DataFrame, cur_counts: DataFrame,
+                   top_k: int = 100) -> DataFrame:
+    """KL(cur || ref) from token COUNT TABLES (token, c_ref) /
+    (token, c_cur) — the merge point the streaming face shares with
+    the batch monitor: a continuously-maintained running count
+    aggregation (streaming.token_count_stream) drops in as
+    ``cur_counts`` unchanged. Same integer-exact contract as
+    corpus_kl_drift."""
+    full = (ref_counts
+            .join(cur_counts, "token", "full_outer")
             .select("token",
                     F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
                     F.coalesce("c_cur", F.lit(0)).alias("c_cur")))

@@ -472,3 +472,19 @@ def ann_ingest_stream(stream_vectors: DataFrame,
     return (stream_vectors.writeStream.foreachBatch(ingest)
             .option("checkpointLocation", checkpoint)
             .outputMode("append"))
+
+
+def token_count_stream(docs: DataFrame) -> DataFrame:
+    """Running per-token counts of a document stream (update/complete
+    streaming aggregation) — the continuously-maintained 'current
+    snapshot' side of the corpus drift monitor: feed the result to
+    ops/lm.kl_from_counts against a frozen reference count table to get
+    live KL(cur || ref) after any batch. Same contract as
+    cms_token_stream/bloom_grid_stream: the token emit is map-only, the
+    count is one keyed aggregate the state store shards, and state is
+    VOCAB-bounded forever (sublinear in stream volume, Heaps' law) —
+    the entire point of monitoring drift on an unbounded crawl."""
+    from hops_spark.ops.text import words
+
+    toks = docs.select(F.explode(words("text")).alias("token"))
+    return toks.groupBy("token").agg(F.count("*").cast("long").alias("c_cur"))
