@@ -587,3 +587,101 @@ def order_lead_times(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "<= 30 THEN 1 ELSE 0 END) * 1000000 div count(*)")
                    .cast("long").alias("fast_ship_ppm"))
              .orderBy("priority"))
+
+
+STATS_COLS = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+              "l_returnflag", "l_linestatus", "l_shipdate")
+STATS_K = 256
+
+
+def _table_stats_oracle_sql() -> str:
+    """Per-column ANALYZE stats with the KMV estimate replayed
+    relationally — both estimator branches (exact n_kept < k, kth-min
+    formula at n_kept == k) exercised by the column mix."""
+    from hops_spark.ops.sketch import KMV_DOMAIN
+    basic = "\n        UNION ALL\n".join(
+        f"""        SELECT '{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS ndv_exact,
+               CAST(min({c}) AS VARCHAR) AS min_val,
+               CAST(max({c}) AS VARCHAR) AS max_val
+        FROM lineitem""" for c in STATS_COLS)
+    longf = "\n        UNION ALL\n".join(
+        f"        SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS s "
+        f"FROM lineitem WHERE {c} IS NOT NULL" for c in STATS_COLS)
+    return f"""
+    WITH basic AS (
+{basic}
+    ), longf AS (
+{longf}
+    ), hashes AS (
+        SELECT DISTINCT col_name,
+               ('0x' || substring(md5(s), 1, 13))::BIGINT AS hv
+        FROM longf
+    ), ranked AS (
+        SELECT col_name, hv,
+               row_number() OVER (PARTITION BY col_name ORDER BY hv) AS rk
+        FROM hashes
+    ), kmv AS (
+        SELECT col_name, CAST(count(*) AS BIGINT) AS n_kept,
+               max(CASE WHEN rk = {STATS_K} THEN hv END) AS kth
+        FROM ranked WHERE rk <= {STATS_K} GROUP BY col_name
+    ), est AS (
+        SELECT col_name,
+               CASE WHEN n_kept < {STATS_K} THEN n_kept
+                    ELSE CAST(({STATS_K} - 1) * {KMV_DOMAIN} // kth AS BIGINT)
+               END AS ndv_est
+        FROM kmv
+    )
+    SELECT b.col_name, b.n_rows, b.n_nulls, b.ndv_exact, e.ndv_est,
+           b.min_val, b.max_val
+    FROM basic b JOIN est e USING (col_name)
+    ORDER BY col_name
+    """
+
+
+@register(
+    "table_stats",
+    sql=_table_stats_oracle_sql(),
+    doc="ANALYZE-style per-column statistics over lineitem (the CBO "
+        "stats surface): row count, null count, EXACT distinct, KMV "
+        "k=256 distinct ESTIMATE (self-verifying: exact rides "
+        "alongside; the column mix exercises both the n_kept<k exact "
+        "branch and the kth-min estimator branch), typed min/max "
+        "rendered as strings. Each per-column aggregate scans ONLY its "
+        "column (parquet pruning), so 7 column stats cost ~one "
+        "full-width scan; the KMV build is one distinct + one "
+        "group-partitioned rank window — bounded, shared with the "
+        "audience-overlap machinery (ops/sketch.kmv_sketch).",
+    tags=("metadata", "aggregation"),
+)
+def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sketch import kmv_estimate_ppm, kmv_sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for c in STATS_COLS:
+        parts.append(li.agg(
+            F.lit(c).alias("col_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_nulls"),
+            F.countDistinct(c).cast("long").alias("ndv_exact"),
+            F.min(c).cast("string").alias("min_val"),
+            F.max(c).cast("string").alias("max_val")))
+    basic = parts[0]
+    for p in parts[1:]:
+        basic = basic.unionByName(p)
+    longf = None
+    for c in STATS_COLS:
+        part = (li.filter(F.col(c).isNotNull())
+                  .select(F.lit(c).alias("grp"),
+                          F.col(c).cast("string").alias("v")))
+        longf = part if longf is None else longf.unionByName(part)
+    est = (kmv_estimate_ppm(kmv_sketch(longf, "grp", "v", STATS_K), STATS_K)
+           .select(F.col("grp").alias("col_name"),
+                   F.col("est_distinct").alias("ndv_est")))
+    return (basic.join(est, "col_name")
+                 .select("col_name", "n_rows", "n_nulls", "ndv_exact",
+                         "ndv_est", "min_val", "max_val")
+                 .orderBy("col_name"))
