@@ -532,3 +532,61 @@ def retouched_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    _CBF_M, _CBF_K)
               .select("probe_key", F.col("member").alias("member_after")))
     return before.join(after, "probe_key").orderBy("probe_key")
+
+
+EQD_BUCKETS = 10
+
+
+@register(
+    "equidepth_histogram",
+    sql=f"""
+    WITH c AS (
+        SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        FROM lineitem
+    ), b AS (
+        SELECT [{", ".join(
+            f"CAST(floor(quantile_cont(cents, {i / 10})) AS BIGINT)"
+            for i in range(1, 10))}] AS bs
+        FROM c
+    ), assigned AS (
+        SELECT cents,
+               1 + {" + ".join(
+                   f"(CASE WHEN cents > bs[{i}] THEN 1 ELSE 0 END)"
+                   for i in range(1, 10))} AS bucket
+        FROM c CROSS JOIN b
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           min(cents) AS lo_cents, max(cents) AS hi_cents
+    FROM assigned GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Equi-DEPTH histogram over l_extendedprice (the CBO range-"
+        "selectivity statistic; equi-width twin is value_histogram): "
+        "decile boundaries from ONE exact percentile aggregate "
+        "(floored to integer cents — the proven percentile ≡ "
+        "quantile_cont idiom), then a map-only 9-comparison bucket "
+        "assign and a 10-group count. NO global ntile window (the "
+        "naive equi-depth plan is a single-partition sort — the "
+        "boundary-broadcast form is the scale path: one aggregate, "
+        "one broadcast, one keyed count). Boundary-tied rows go to "
+        "the lower bucket, so counts deviate from n/10 only by tie "
+        "mass — visible and verifiable in the output.",
+    tags=("agg", "quantile"),
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+                   .alias("cents"))
+    bounds = c.agg(F.array(*[
+        F.expr(f"CAST(floor(percentile(cents, {i / 10})) AS BIGINT)")
+        for i in range(1, 10)]).alias("bs"))
+    bucket = F.lit(1)
+    for i in range(1, 10):
+        bucket = bucket + F.when(
+            F.col("cents") > F.element_at("bs", i), 1).otherwise(0)
+    return (c.crossJoin(F.broadcast(bounds))
+             .select("cents", bucket.alias("bucket"))
+             .groupBy("bucket")
+             .agg(F.count("*").cast("long").alias("n_rows"),
+                  F.min("cents").alias("lo_cents"),
+                  F.max("cents").alias("hi_cents"))
+             .orderBy("bucket"))

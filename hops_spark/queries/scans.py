@@ -563,3 +563,59 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.coalesce(F.sum("cents"), F.lit(0)).cast("long")
                   .alias("sum_cents"))
             .orderBy("ostatus"))
+
+
+@register(
+    "orc_roundtrip",
+    # Oracle aggregates the SOURCE parquet; the Spark side aggregates
+    # an ORC-written-then-reread PARTITIONED copy — hashes match iff
+    # the columnar roundtrip (types, zlib stripes, partition-column
+    # reconstruction from directory keys) is lossless.
+    sql="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           CAST(max(floor(epoch(o_orderdate))) AS BIGINT) AS max_epoch_s
+    FROM orders WHERE o_orderkey % 5 = 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="ORC read/write path (Spark built-in columnar alternative — "
+        "the TFile/BCFile-era format slot in SURVEY §2.1 maps to "
+        "modern columnar containers): a deterministic orders slice is "
+        "written as zlib ORC PARTITIONED BY o_orderstatus "
+        "(directory-keyed layout, so the partition column is "
+        "reconstructed from paths on read — the layout avro_roundtrip "
+        "does not exercise) and re-read; the aggregate over the "
+        "roundtripped copy must hash-match the oracle's aggregate "
+        "over the source parquet. Partition pruning over the "
+        "status-keyed layout is what a WHERE o_orderstatus = ... scan "
+        "gets for free at scale.",
+    tags=("io", "scan", "serialization"),
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hops_spark.session import scratch_dir
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderkey") % 5 == 0)
+              .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                      "o_orderdate"))
+    path = os.path.join(scratch_dir("orc_rt", sf_dir), "orders")
+    (orders.repartition(4)
+           .write.mode("overwrite")
+           .partitionBy("o_orderstatus")
+           .option("compression", "zlib")
+           .orc(path))
+    back = spark.read.orc(path)
+    return (back.groupBy("o_orderstatus")
+                .agg(F.count("*").alias("n_orders"),
+                     F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                            .cast("long")).alias("total_cents"),
+                     F.min("o_orderkey").alias("min_key"),
+                     F.max("o_orderkey").alias("max_key"),
+                     F.max(F.unix_timestamp("o_orderdate"))
+                      .alias("max_epoch_s"))
+                .orderBy("o_orderstatus"))
