@@ -1023,3 +1023,64 @@ def corpus_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drift(d.filter(F.col("doc_id") % 2 == 0),
                   d.filter(F.col("doc_id") % 2 == 1),
                   top_k=KL_TOP_K)
+
+
+CHUNK_W = 32   # tokens per chunk (context-window size)
+CHUNK_S = 24   # stride (CHUNK_W - CHUNK_S = 8 tokens of overlap)
+
+
+@register(
+    "doc_chunk_windows",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ), nz AS (
+        SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n
+        FROM wt WHERE len(w) > 0
+    ), ch AS (
+        SELECT doc_id, n, w,
+               unnest(range(CASE WHEN n <= {CHUNK_W} THEN 1
+                            ELSE ((n - {CHUNK_W}) + {CHUNK_S} - 1)
+                                 // {CHUNK_S} + 1 END)) AS k
+        FROM nz
+    ), sl AS (
+        SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+               w[k * {CHUNK_S} + 1 : k * {CHUNK_S} + {CHUNK_W}] AS tok
+        FROM ch
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(tok) AS BIGINT) AS n_tokens,
+           md5(array_to_string(tok, ' ')) AS chunk_digest
+    FROM sl
+    ORDER BY doc_id, chunk_id
+    """,
+    doc="Overlapping token-window chunking (the RAG / context-window "
+        "prep op): each document becomes ceil((n-W)/S)+1 chunks of "
+        "W=32 tokens at stride S=24 (8-token overlap so no boundary "
+        "context is lost), with a deterministic md5 digest certifying "
+        "every chunk's exact token content. Map-only: the chunk index "
+        "range and slices are array-side Column arithmetic inside "
+        "codegen — zero shuffles before the output sort, so at 100 TB "
+        "this is a pure scan whose output feeds embedding/indexing "
+        "stages directly. The final (possibly short) chunk is kept — "
+        "slice clamps at the document end identically in both engines.",
+    tags=("text", "north-star"),
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wdf = (d.select("doc_id", F.explode(F.array(words("text"))).alias("_w"))
+            .filter(F.size("_w") > 0)
+            .withColumn("_n", F.size("_w").cast("long")))
+    # integer chunk count (div, not /: Spark / is float division)
+    n_chunks = (F.when(F.col("_n") <= CHUNK_W, F.lit(1).cast("long"))
+                 .otherwise(F.expr(f"((_n - {CHUNK_W}) + {CHUNK_S} - 1) "
+                                   f"div {CHUNK_S} + 1")))
+    return (wdf.withColumn("k", F.explode(F.sequence(F.lit(0),
+                                                     n_chunks - 1)))
+               .select("doc_id", F.col("k").cast("long").alias("chunk_id"),
+                       F.slice("_w", F.col("k").cast("int") * CHUNK_S + 1,
+                               CHUNK_W).alias("tok"))
+               .select("doc_id", "chunk_id",
+                       F.size("tok").cast("long").alias("n_tokens"),
+                       F.md5(F.concat_ws(" ", "tok")).alias("chunk_digest"))
+               .orderBy("doc_id", "chunk_id"))
