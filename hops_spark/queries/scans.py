@@ -619,3 +619,50 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.max(F.unix_timestamp("o_orderdate"))
                       .alias("max_epoch_s"))
                 .orderBy("o_orderstatus"))
+
+
+@register(
+    "csv_roundtrip",
+    # Oracle derives the SAME tricky quoted value from the source
+    # parquet; the Spark side writes it through the CSV writer and
+    # reads it back — digests match iff RFC-4180 quoting (embedded
+    # commas, embedded double-quotes doubled) roundtrips losslessly.
+    sql="""
+    SELECT doc_id,
+           md5('a,"b' || substring(text, 1, 20) || '",c') AS tricky_digest
+    FROM documents WHERE doc_id % 20 = 0
+    ORDER BY doc_id
+    """,
+    doc="CSV write/read identity under RFC-4180 quoting (the "
+        "TextOutputFormat-era delimited regime, SURVEY §2.1): a "
+        "documents slice gains a value embedding commas AND double-"
+        "quotes, goes through Spark's CSV writer (quote-all, "
+        "double-quote escaping) and reader (explicit schema, same "
+        "quote/escape options), and the per-row md5 of the "
+        "roundtripped value must hash-match the oracle's digest "
+        "computed directly from parquet. Embedded newlines are NOT "
+        "exercised (they require multiLine=true single-threaded "
+        "parsing — the documented trade: keep records newline-free "
+        "upstream so CSV splits stay parallel).",
+    tags=("io", "scan", "serialization"),
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hops_spark.session import scratch_dir
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 20 == 0)
+         .select("doc_id",
+                 F.concat(F.lit('a,"b'), F.substring("text", 1, 20),
+                          F.lit('",c')).alias("tricky")))
+    path = os.path.join(scratch_dir("csv_rt", sf_dir), "docs")
+    (d.repartition(4).write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true")
+      .option("quote", '"').option("escape", '"')
+      .csv(path))
+    back = (spark.read.schema("doc_id long, tricky string")
+                 .option("header", "true")
+                 .option("quote", '"').option("escape", '"')
+                 .csv(path))
+    return (back.select("doc_id", F.md5("tricky").alias("tricky_digest"))
+                .orderBy("doc_id"))
