@@ -244,6 +244,38 @@ def main() -> int:
     tl_ok = tl_exact_ok and t_two_assign < t_flat_assign
     t_tl = time.time() - t0
 
+    # tf-WEIGHTED near-dup at 200k docs: 500 planted tf-twin pairs
+    # (doc B = doc A's 16-word multiset with one word's tf raised 1->3:
+    # weighted J = sum min / sum max = 16/18 = 888888 ppm exactly, and
+    # the capped-expansion signature similarity is 16/18 too), all
+    # other docs on DISJOINT md5 vocabularies (weighted J = 0 — zero
+    # false positives is a deterministic contract). bands=8 (rows=2)
+    # puts per-pair banding miss at ~4e-6, so the planted set must be
+    # recovered >= 99% with EXACT 888888 ppm values on every hit.
+    from hops_spark.ops.dedup import weighted_jaccard_pairs
+    t0 = time.time()
+    n_wdocs = 200_000
+    whalf = n_wdocs // 2
+    n_wpairs = 500
+    wbase = F.when((F.col("id") >= whalf)
+                   & (F.col("id") < whalf + n_wpairs),
+                   F.col("id") - whalf).otherwise(F.col("id"))
+    wwords = [F.md5(F.concat_ws("|", F.lit(f"w{w}"), wbase.cast("string")))
+              for w in range(16)]
+    twin_tail = [wwords[15], wwords[15]]          # tf 1 -> 3 on word 15
+    wtext = F.when((F.col("id") >= whalf) & (F.col("id") < whalf + n_wpairs),
+                   F.concat_ws(" ", *(wwords + twin_tail)))              .otherwise(F.concat_ws(" ", *wwords))
+    wdocs = spark.range(0, n_wdocs, 1, parts).select(
+        F.col("id").alias("doc_id"), wtext.alias("text"))
+    wgot = {(r["id_a"], r["id_b"]): r["wjac_ppm"]
+            for r in weighted_jaccard_pairs(
+                wdocs, bands=8, threshold_ppm=700_000).collect()}
+    wwant = {(i, i + whalf) for i in range(n_wpairs)}
+    wj_ok = (set(wgot) <= wwant
+             and len(wgot) >= int(n_wpairs * 0.99)
+             and all(v == 888_888 for v in wgot.values()))
+    t_wj = time.time() - t0
+
     out = {"job": "stress_check", "n_rows": n, "n_partitions": parts,
            "rank_ok": bool(rank_ok), "rank_sec": round(t_rank, 1),
            "prefix_sum_ok": bool(ps_ok), "prefix_sum_sec": round(t_ps, 1),
@@ -255,10 +287,12 @@ def main() -> int:
            "meta_10m_ok": bool(meta_ok), "meta_10m_sec": round(t_meta, 1),
            "two_level_ok": bool(tl_ok), "two_level_sec": round(t_tl, 1),
            "two_level_flat_assign_sec": round(t_flat_assign, 1),
-           "two_level_two_assign_sec": round(t_two_assign, 1)}
+           "two_level_two_assign_sec": round(t_two_assign, 1),
+           "weighted_dedup_ok": bool(wj_ok),
+           "weighted_dedup_sec": round(t_wj, 1)}
     print(json.dumps(out))
     return 0 if all((rank_ok, ps_ok, skew_ok, dedup_ok, inc_ok,
-                     ann_ok, meta_ok, tl_ok)) else 1
+                     ann_ok, meta_ok, tl_ok, wj_ok)) else 1
 
 
 if __name__ == "__main__":
