@@ -1084,3 +1084,77 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.size("tok").cast("long").alias("n_tokens"),
                        F.md5(F.concat_ws(" ", "tok")).alias("chunk_digest"))
                .orderBy("doc_id", "chunk_id"))
+
+
+@register(
+    "domain_mixture_report",
+    sql=f"""
+    WITH base AS (
+        SELECT source, lang, n_chars,
+               CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tok
+        FROM documents
+    ), per_src AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM base GROUP BY source
+    ), sl AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY source, lang
+    ), ent AS (
+        SELECT sl.source,
+               CAST(sum(sl.c * CAST(round(ln(CAST(p.n_docs AS DOUBLE)
+                                             / CAST(sl.c AS DOUBLE))
+                                          * 1000000, 0) AS BIGINT))
+                    // max(p.n_docs) AS BIGINT) AS lang_entropy_micro
+        FROM sl JOIN per_src p USING (source) GROUP BY sl.source
+    ), tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM per_src
+    )
+    SELECT p.source, p.n_docs, p.n_tokens, p.mean_chars, p.n_langs,
+           e.lang_entropy_micro,
+           CAST((p.n_docs * 1000000) // t.total_docs AS BIGINT) AS share_ppm
+    FROM per_src p JOIN ent e USING (source) CROSS JOIN tot t
+    ORDER BY p.source
+    """,
+    doc="Training-mixture composition report per crawl source (the "
+        "Pile/Dolma-style domain table that sets data-mixing weights): "
+        "docs, tokens, mean chars, language spread, per-source LANGUAGE "
+        "ENTROPY H = sum c_l/n * ln(n/c_l) in integer micro-nats "
+        "(per-element snap-then-integer-sum — the lm.py determinism "
+        "contract; a domain whose entropy collapses got flooded by one "
+        "language), and corpus share in ppm. All linear keyed "
+        "aggregates with map-side combine + two tiny broadcast joins "
+        "— the report costs one scan at any corpus size.",
+    tags=("text", "north-star"),
+)
+def domain_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("source", "lang", "n_chars",
+                    F.size(words("text")).cast("long").alias("n_tok"))
+    per_src = (base.groupBy("source")
+               .agg(F.count("*").cast("long").alias("n_docs"),
+                    F.sum("n_tok").cast("long").alias("n_tokens"),
+                    F.expr("CAST(sum(n_chars) div count(*) AS BIGINT)")
+                     .alias("mean_chars"),
+                    F.countDistinct("lang").cast("long").alias("n_langs")))
+    sl = (base.groupBy("source", "lang")
+              .agg(F.count("*").cast("long").alias("c")))
+    ent = (sl.join(per_src.select("source", "n_docs"), "source")
+             .withColumn("term",
+                         F.col("c") * F.expr(
+                             "CAST(round(ln(CAST(n_docs AS DOUBLE) "
+                             "/ CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT)"))
+             .groupBy("source")
+             .agg(F.expr("CAST(sum(term) div max(n_docs) AS BIGINT)")
+                   .alias("lang_entropy_micro")))
+    tot = per_src.agg(F.sum("n_docs").cast("long").alias("total_docs"))
+    return (per_src.join(ent, "source")
+                   .crossJoin(F.broadcast(tot))
+                   .select("source", "n_docs", "n_tokens", "mean_chars",
+                           "n_langs", "lang_entropy_micro",
+                           F.expr("CAST((n_docs * 1000000) div total_docs "
+                                  "AS BIGINT)").alias("share_ppm"))
+                   .orderBy("source"))
