@@ -619,7 +619,16 @@ def jl_project(df: DataFrame, emb_col: str = "embedding",
     q = F.transform(F.col(emb_col),
                     lambda x: F.floor(x.cast("double") * F.lit(float(quant)))
                                .cast("long"))
-    out = df.withColumn("_q", q)
+    # element_at past the array end is NULL, which would silently null
+    # every projection component — fail loud on a dimension mismatch.
+    # The assert is folded INTO the live _q expression (a dropped guard
+    # column would be pruned away by Catalyst, silently disabling it):
+    # assert_true returns NULL on success, so the when() always takes
+    # the q branch and the check cannot be optimized out.
+    guard = F.assert_true(
+        F.size(emb_col) >= in_dim,
+        F.lit(f"jl_project: {emb_col} shorter than in_dim={in_dim}"))
+    out = df.withColumn("_q", F.when(guard.isNull(), q))
     for j in range(out_dim):
         expr = None
         for i in range(in_dim):

@@ -681,7 +681,11 @@ def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = (kmv_estimate_ppm(kmv_sketch(longf, "grp", "v", STATS_K), STATS_K)
            .select(F.col("grp").alias("col_name"),
                    F.col("est_distinct").alias("ndv_est")))
-    return (basic.join(est, "col_name")
+    # LEFT join: an all-null column yields no tf rows and hence no KMV
+    # sketch row — it must still appear in the report (ndv_est 0), not
+    # silently vanish from the stats table
+    return (basic.join(est, "col_name", "left")
                  .select("col_name", "n_rows", "n_nulls", "ndv_exact",
-                         "ndv_est", "min_val", "max_val")
+                         F.coalesce("ndv_est", F.lit(0)).cast("long")
+                          .alias("ndv_est"), "min_val", "max_val")
                  .orderBy("col_name"))

@@ -92,3 +92,16 @@ def test_jl_preserves_structure_on_clustered_data():
     proj = (quant @ signs) / SIM.JL_QUANT / OUT_DIM ** 0.5
     r = np.corrcoef(_pdist(pts), _pdist(proj))[0, 1]
     assert r > 0.8, f"JL clustered-distance correlation too low: {r:.3f}"
+
+
+def test_jl_project_rejects_short_embeddings(spark):
+    """Dimension-mismatch contract: element_at past the array end is
+    NULL in Spark — without the folded-in assert the projection would
+    silently emit null components. Must raise instead."""
+    import pyspark.sql.functions as F
+    short = spark.createDataFrame(
+        [(0, [0.1, 0.2, 0.3])], ["vec_id", "embedding"]) \
+        .select("vec_id", F.col("embedding").cast("array<float>")
+                           .alias("embedding"))
+    with pytest.raises(Exception, match="jl_project|ASSERT"):
+        SIM.jl_project(short, in_dim=IN_DIM, out_dim=4).collect()
