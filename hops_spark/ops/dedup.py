@@ -671,6 +671,10 @@ def weighted_minhash_signatures(tfrows: DataFrame, id_col: str = "doc_id",
     md5 hash as the unweighted path, so minhash_candidate_pairs /
     banding reuse verbatim. One keyed shuffle; min() partials combine
     map-side."""
+    if w_cap < 1:
+        # F.sequence(0, -1) COUNTS DOWN (generates [0, -1]) — a zero
+        # cap would silently emit garbage replicas instead of none
+        raise ValueError(f"w_cap must be >= 1, got {w_cap}")
     reps = tfrows.withColumn(
         "_r", F.explode(F.sequence(F.lit(0),
                                    F.least(F.col("tf"), F.lit(w_cap)) - 1)))

@@ -665,6 +665,12 @@ def multiprobe_keys(out_dim: int, nprobe: int) -> Column:
     arithmetic; each corpus vector still lives in exactly ONE bucket,
     so probe keys being distinct means no candidate dedup is needed.
     """
+    if not 1 <= nprobe <= out_dim + 1:
+        # slice() would CLAMP an oversized probe count (silently fewer
+        # probes than asked) and error opaquely on nprobe < 1
+        raise ValueError(
+            f"nprobe must be in [1, out_dim + 1 = {out_dim + 1}], "
+            f"got {nprobe}")
     bucket = srp_bucket(out_dim)
     flips = F.array_sort(F.array(*[
         F.struct(F.abs(F.col(f"p{j}")).alias("a"),

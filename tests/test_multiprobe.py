@@ -73,3 +73,9 @@ def test_candidates_bounded(spark, emb):
     max_cand = out.agg(F.max("n_cand")).collect()[0][0]
     # expected nprobe * N / 2^bits per query; allow generous skew slack
     assert max_cand < n_total * NPROBE * 8 / (1 << BITS)
+
+
+def test_nprobe_bounds_rejected(spark, emb):
+    for bad in (0, BITS + 2):
+        with pytest.raises(ValueError, match="nprobe"):
+            SIM.knn_multiprobe(emb, _queries(emb, 2), DIM, K, BITS, bad)

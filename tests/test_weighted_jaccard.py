@@ -80,3 +80,11 @@ def test_capped_expansion_bounds_signature_rows(spark):
         "_r", F.explode(F.sequence(F.lit(0),
                                    F.least(F.col("tf"), F.lit(D.W_CAP)) - 1)))
     assert reps.count() == D.W_CAP
+
+
+def test_zero_cap_rejected(spark, docs):
+    """w_cap=0 would hit F.sequence's count-DOWN behavior and emit
+    garbage replicas — must raise instead."""
+    tfrows = D.weighted_token_rows(docs)
+    with pytest.raises(ValueError, match="w_cap"):
+        D.weighted_minhash_signatures(tfrows, w_cap=0)
