@@ -320,3 +320,29 @@ def cdc_chunk_lengths(df: DataFrame, id_col: str = "doc_id",
               .filter(F.col("n") > 0)
               .select(id_col, "n", F.col("_b").alias("boundaries"),
                       lengths.alias("chunk_lengths")))
+
+
+def chunk_token_windows(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        window: int = 32, stride: int = 24) -> DataFrame:
+    """(id, chunk_id, tok) — overlapping token windows of ``window``
+    tokens at ``stride`` (RAG/context-window chunking). Map-only: the
+    chunk-index range and slices are array-side Column arithmetic in
+    one codegen stage; the final short chunk is kept (slice clamps at
+    the document end). Empty docs produce no chunks."""
+    if stride < 1 or window < 1:
+        raise ValueError(f"window/stride must be >= 1, got {window}/{stride}")
+    wdf = (docs.select(F.col(id_col),
+                       F.explode(F.array(words(text_col))).alias("_w"))
+               .filter(F.size("_w") > 0)
+               .withColumn("_n", F.size("_w").cast("long")))
+    n_chunks = (F.when(F.col("_n") <= window, F.lit(1).cast("long"))
+                 .otherwise(F.expr(f"((_n - {window}) + {stride} - 1) "
+                                   f"div {stride} + 1")))
+    return (wdf.withColumn("chunk_id",
+                           F.explode(F.sequence(F.lit(0).cast("long"),
+                                                n_chunks - 1)))
+               .select(F.col(id_col), "chunk_id",
+                       F.slice("_w",
+                               F.col("chunk_id").cast("int") * stride + 1,
+                               window).alias("tok")))

@@ -1067,23 +1067,13 @@ CHUNK_S = 24   # stride (CHUNK_W - CHUNK_S = 8 tokens of overlap)
     tags=("text", "north-star"),
 )
 def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.text import chunk_token_windows
     d = load_table(spark, sf_dir, "documents")
-    wdf = (d.select("doc_id", F.explode(F.array(words("text"))).alias("_w"))
-            .filter(F.size("_w") > 0)
-            .withColumn("_n", F.size("_w").cast("long")))
-    # integer chunk count (div, not /: Spark / is float division)
-    n_chunks = (F.when(F.col("_n") <= CHUNK_W, F.lit(1).cast("long"))
-                 .otherwise(F.expr(f"((_n - {CHUNK_W}) + {CHUNK_S} - 1) "
-                                   f"div {CHUNK_S} + 1")))
-    return (wdf.withColumn("k", F.explode(F.sequence(F.lit(0),
-                                                     n_chunks - 1)))
-               .select("doc_id", F.col("k").cast("long").alias("chunk_id"),
-                       F.slice("_w", F.col("k").cast("int") * CHUNK_S + 1,
-                               CHUNK_W).alias("tok"))
-               .select("doc_id", "chunk_id",
-                       F.size("tok").cast("long").alias("n_tokens"),
-                       F.md5(F.concat_ws(" ", "tok")).alias("chunk_digest"))
-               .orderBy("doc_id", "chunk_id"))
+    return (chunk_token_windows(d, "doc_id", "text", CHUNK_W, CHUNK_S)
+            .select("doc_id", "chunk_id",
+                    F.size("tok").cast("long").alias("n_tokens"),
+                    F.md5(F.concat_ws(" ", "tok")).alias("chunk_digest"))
+            .orderBy("doc_id", "chunk_id"))
 
 
 @register(
@@ -1158,3 +1148,119 @@ def domain_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.expr("CAST((n_docs * 1000000) div total_docs "
                                   "AS BIGINT)").alias("share_ppm"))
                    .orderBy("source"))
+
+
+CR_DIM = 64   # hashed-BOW dimension for chunk vectors
+CR_K = 5
+CR_NQ = 3     # query panel: chunk 0 of docs 0..2
+
+
+@register(
+    "chunk_retrieval_topk",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ), nz AS (
+        SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n
+        FROM wt WHERE len(w) > 0
+    ), ch AS (
+        SELECT doc_id, n, w,
+               unnest(range(CASE WHEN n <= {CHUNK_W} THEN 1
+                            ELSE ((n - {CHUNK_W}) + {CHUNK_S} - 1)
+                                 // {CHUNK_S} + 1 END)) AS k
+        FROM nz
+    ), chunks AS (
+        SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+               w[k * {CHUNK_S} + 1 : k * {CHUNK_S} + {CHUNK_W}] AS tok
+        FROM ch
+    ), tokr AS (
+        SELECT doc_id, chunk_id, unnest(tok) AS tw FROM chunks
+    ), hashed AS (
+        SELECT doc_id, chunk_id,
+               ('0x' || substring(md5('hbow|' || tw), 1, 7))::BIGINT
+                   % {CR_DIM} AS b,
+               CASE WHEN ('0x' || substring(md5('hbow|' || tw), 8, 1))::BIGINT
+                         % 2 = 0 THEN 1 ELSE -1 END AS s
+        FROM tokr
+    ), cells AS (
+        SELECT doc_id, chunk_id, b, CAST(sum(s) AS DOUBLE) AS v
+        FROM hashed GROUP BY doc_id, chunk_id, b
+    ), dense AS (
+        SELECT c.doc_id, c.chunk_id, j.j, COALESCE(cells.v, 0.0) AS x
+        FROM (SELECT DISTINCT doc_id, chunk_id FROM cells) c
+        CROSS JOIN (SELECT unnest(range(0, {CR_DIM})) AS j) j
+        LEFT JOIN cells ON cells.doc_id = c.doc_id
+                       AND cells.chunk_id = c.chunk_id AND cells.b = j.j
+    ), vv AS (
+        SELECT doc_id, chunk_id, list(x ORDER BY j) AS raw
+        FROM dense GROUP BY doc_id, chunk_id
+    ), unitv AS (
+        SELECT doc_id, chunk_id,
+               list_transform(raw, x -> x / sqrt(list_sum(
+                   list_transform(raw, y -> y * y)))) AS v
+        FROM vv
+    ), q AS (
+        SELECT doc_id AS q_doc, v AS qv FROM unitv
+        WHERE doc_id < {CR_NQ} AND chunk_id = 0
+    ), scored AS (
+        SELECT q.q_doc, u.doc_id AS neighbor_doc,
+               u.chunk_id AS neighbor_chunk,
+               round(list_cosine_similarity(u.v, q.qv), 6) AS cos_sim
+        FROM unitv u CROSS JOIN q
+        WHERE u.doc_id <> q.q_doc
+    ), ranked AS (
+        SELECT q_doc, neighbor_doc, neighbor_chunk, cos_sim,
+               row_number() OVER (PARTITION BY q_doc
+                                  ORDER BY cos_sim DESC, neighbor_doc,
+                                           neighbor_chunk) AS rnk
+        FROM scored
+    )
+    SELECT q_doc, neighbor_doc, neighbor_chunk, cos_sim, rnk
+    FROM ranked WHERE rnk <= {CR_K}
+    ORDER BY q_doc, rnk
+    """,
+    doc="Chunk-level retrieval (the RAG serving shape end-to-end): "
+        "documents -> overlapping token-window chunks "
+        "(ops/text.chunk_token_windows) -> signed feature-hash vectors "
+        "per CHUNK (ops/retrieval.hashed_bow_embedding — the plumbing "
+        "an external embedding model drops into) -> top-5 cosine "
+        "chunks for each query chunk, own-document chunks excluded. "
+        "The oracle replays chunking, hashing, normalization, and "
+        "every cosine relationally. Query panel is broadcast; at "
+        "scale the corpus side swaps brute-force scoring for the "
+        "cell-index probe (ann serving path) with the same vectors.",
+    tags=("retrieval", "text", "north-star"),
+)
+def chunk_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.retrieval import hashed_bow_embedding
+    from hops_spark.ops.text import chunk_token_windows
+    d = load_table(spark, sf_dir, "documents")
+    ch = chunk_token_windows(d, "doc_id", "text", CHUNK_W, CHUNK_S)
+    chunks = ch.select(
+        "doc_id", "chunk_id",
+        F.concat_ws("|", F.col("doc_id"), F.col("chunk_id")).alias("cid"),
+        F.concat_ws(" ", "tok").alias("ctext"))
+    emb = (hashed_bow_embedding(chunks, CR_DIM, id_col="cid",
+                                text_col="ctext")
+           .join(chunks.select("cid", "doc_id", "chunk_id"), "cid"))
+    queries = (emb.filter((F.col("doc_id") < CR_NQ)
+                          & (F.col("chunk_id") == 0))
+                  .select(F.col("doc_id").alias("q_doc"),
+                          F.col("embedding").alias("qv")))
+    from hops_spark.ops.similarity import cosine
+    scored = (emb.crossJoin(F.broadcast(queries))
+                 .filter(F.col("doc_id") != F.col("q_doc"))
+                 .select("q_doc",
+                         F.col("doc_id").alias("neighbor_doc"),
+                         F.col("chunk_id").alias("neighbor_chunk"),
+                         F.round(cosine(F.col("embedding"), F.col("qv")), 6)
+                          .alias("cos_sim")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("q_doc").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_doc").asc(),
+        F.col("neighbor_chunk").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= CR_K)
+                  .select("q_doc", "neighbor_doc", "neighbor_chunk",
+                          "cos_sim", "rnk")
+                  .orderBy("q_doc", "rnk"))
