@@ -1240,9 +1240,25 @@ def chunk_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "chunk_id",
         F.concat_ws("|", F.col("doc_id"), F.col("chunk_id")).alias("cid"),
         F.concat_ws(" ", "tok").alias("ctext"))
+    # the (doc, chunk) identity rides INSIDE the vector id and is
+    # parsed back out — no meta join (a self-join of the expensive
+    # chunk+hash lineage) and no checkpoint (localCheckpoint of the
+    # 12k-row embed RDD measured 14.8 s — slower than just evaluating
+    # the 2 s lineage twice). The query panel re-evaluates the
+    # pipeline once more; both evaluations are map-only scans.
     emb = (hashed_bow_embedding(chunks, CR_DIM, id_col="cid",
                                 text_col="ctext")
-           .join(chunks.select("cid", "doc_id", "chunk_id"), "cid"))
+           .withColumn("doc_id",
+                       F.split("cid", "\\|")[0].cast("long"))
+           .withColumn("chunk_id",
+                       F.split("cid", "\\|")[1].cast("long"))
+           .persist())
+    # materialize once: corpus side + broadcast query panel both read
+    # the cached 12k-row vectors instead of re-running the chunk+hash
+    # lineage; the residual cold-run cost is codegen COMPILE of the
+    # dense-assembly/cosine expression trees (12.6 s cold vs 3.4 s
+    # warm, data-size-independent — same regime as SCALE.md note 52)
+    emb.count()
     queries = (emb.filter((F.col("doc_id") < CR_NQ)
                           & (F.col("chunk_id") == 0))
                   .select(F.col("doc_id").alias("q_doc"),
