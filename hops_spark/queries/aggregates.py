@@ -567,8 +567,12 @@ EQD_BUCKETS = 10
     FROM hb GROUP BY bucket ORDER BY bucket
     """,
     doc="Equi-DEPTH histogram over l_extendedprice (the CBO range-"
-        "selectivity statistic; equi-width twin is value_histogram), "
-        "rank-based and fully distributed: decile boundaries are the "
+        "selectivity statistic; equi-width twin is value_histogram, "
+        "rank-per-ROW sibling is equi_depth_bins — which pays a "
+        "global rank of every row for exactly-n/k buckets, where "
+        "this variant costs only O(distinct values) and puts tie "
+        "mass in the lower bucket), histogram-based and fully "
+        "distributed: decile boundaries are the "
         "smallest values whose CUMULATIVE COUNT crosses ceil(i*n/10), "
         "computed from a per-value count histogram + the TeraSort-"
         "style two-phase prefix sum (ops/sort.total_order_prefix_sum "

@@ -644,15 +644,18 @@ def _table_stats_oracle_sql() -> str:
 @register(
     "table_stats",
     sql=_table_stats_oracle_sql(),
-    doc="ANALYZE-style per-column statistics over lineitem (the CBO "
-        "stats surface): row count, null count, EXACT distinct, KMV "
-        "k=256 distinct ESTIMATE (self-verifying: exact rides "
+    doc="SKETCH-estimate per-column statistics over lineitem — the "
+        "scale companion to table_profile (which is the exact "
+        "single-scan Expand+agg profile of 3 numerics): 7 columns "
+        "incl. strings/dates, row count, null count, EXACT distinct, "
+        "and the KMV k=256 distinct ESTIMATE for when exact NDV becomes "
+        "too expensive at web scale (self-verifying: exact rides "
         "alongside; the column mix exercises both the n_kept<k exact "
-        "branch and the kth-min estimator branch), typed min/max "
-        "rendered as strings. Each per-column aggregate scans ONLY its "
-        "column (parquet pruning), so 7 column stats cost ~one "
-        "full-width scan; the KMV build is one distinct + one "
-        "group-partitioned rank window — bounded, shared with the "
+        "branch and the kth-min estimator branch), typed min/max as "
+        "strings. Per-column aggregates each scan ONLY their column "
+        "(parquet pruning: 7 single-column scans = about one "
+        "full-width scan in bytes); the KMV build is one distinct + "
+        "one group-partitioned rank window, shared with the "
         "audience-overlap machinery (ops/sketch.kmv_sketch).",
     tags=("metadata", "aggregation"),
 )
