@@ -179,3 +179,46 @@ def pagerank_int(edges: DataFrame, iters: int = 3,
                               .cast("long").alias("r"))
                       .localCheckpoint(eager=True))
     return ranks.select("node", F.col("r").alias("rank_ppm"))
+
+
+def triangle_rows(edges: DataFrame, src: str = "src",
+                  dst: str = "dst") -> DataFrame:
+    """All triangles (u, v, w) of an undirected simple graph, each
+    emitted EXACTLY once, via degree-oriented wedge closure (the
+    'forward' algorithm, Schank & Wagner 2005): orient every edge from
+    its lower-(degree, id) endpoint to the higher, enumerate wedges
+    u->v, u->w with (deg_v, v) < (deg_w, w), and close them against
+    the oriented edge v->w.
+
+    Why this shape at 100 TB: naive three-way edge self-join touches
+    every wedge of every hub (sum deg^2 — quadratic in hub degree);
+    orientation caps every out-degree at O(sqrt(m)), so wedge count is
+    O(m^1.5) worst case — the optimal bound — and all three steps are
+    ordinary keyed equi-joins Catalyst plans with AQE skew handling.
+    Input edges must be distinct undirected pairs (src < dst)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = (e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n").agg(F.count("*").alias("d")))
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    fwd = F.col("du") < F.col("dv")
+    tie = (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    o = ed.select(
+        F.when(fwd | tie, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd | tie, F.col("du")).otherwise(F.col("dv")).alias("ds"),
+        F.when(fwd | tie, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(fwd | tie, F.col("dv")).otherwise(F.col("du")).alias("dt"))
+    o1 = o.select(F.col("s"), F.col("t").alias("x"),
+                  F.col("dt").alias("dx"))
+    o2 = o.select(F.col("s"), F.col("t").alias("y"),
+                  F.col("dt").alias("dy"))
+    wedges = (o1.join(o2, "s")
+                .filter((F.col("dx") < F.col("dy"))
+                        | ((F.col("dx") == F.col("dy"))
+                           & (F.col("x") < F.col("y")))))
+    closer = o.select(F.col("s").alias("x"), F.col("t").alias("y"))
+    return (wedges.join(closer, ["x", "y"])
+                  .select(F.col("s").alias("u"), F.col("x").alias("v"),
+                          F.col("y").alias("w")))

@@ -100,6 +100,37 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
                   .limit(k))
 
 
+def _bound_words(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, _w): the words array bound behind a Generate barrier
+    (explode of a 1-element array) — CollapseProject would otherwise
+    inline split(lower(text)) into EVERY element_at downstream: 4
+    re-splits per pair, measured 25 s -> ~2 s at sf0.1 (same trap
+    shingle_arrays documents)."""
+    return docs.select(F.col(id_col),
+                       F.explode(F.array(words(text_col))).alias("_w"))
+
+
+def cooccurrence_edges(bound: DataFrame, window: int = 2) -> DataFrame:
+    """(word_a, word_b, n_cooc) pair counts over a ``_bound_words``
+    frame: per-doc unordered within-``window`` pairs built ARRAY-SIDE,
+    one map-side-combined count aggregate — the shared edge source for
+    cooccurrence_topk and the co-occurrence graph ops."""
+    w = F.col("_w")
+    pair_structs = F.when(F.size(w) >= 2, F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(window), F.size(w) - i)),
+            lambda d: F.struct(
+                F.least(F.element_at(w, i), F.element_at(w, i + d)).alias("a"),
+                F.greatest(F.element_at(w, i), F.element_at(w, i + d)).alias("b"))))
+    )).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pairs = (bound.select(F.explode(pair_structs).alias("p"))
+                  .select(F.col("p.a").alias("word_a"),
+                          F.col("p.b").alias("word_b")))
+    return pairs.groupBy("word_a", "word_b").agg(F.count("*").alias("n_cooc"))
+
+
 def cooccurrence_topk(docs: DataFrame, window: int = 2, k: int = 20,
                       id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
@@ -114,27 +145,9 @@ def cooccurrence_topk(docs: DataFrame, window: int = 2, k: int = 20,
 
     Returns the k most frequent pairs with an overlap-coefficient
     affinity (cooc/min(unigram counts)) in exact integer ppm."""
-    # Bind the words array behind a Generate barrier (explode of a
-    # 1-element array): CollapseProject would otherwise inline
-    # split(lower(text)) into EVERY element_at below — 4 re-splits per
-    # pair, measured 25 s -> ~2 s at sf0.1 (same trap shingle_arrays
-    # documents).
-    bound = docs.select(F.col(id_col),
-                        F.explode(F.array(words(text_col))).alias("_w"))
-    w = F.col("_w")
-    pair_structs = F.when(F.size(w) >= 2, F.flatten(F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.transform(
-            F.sequence(F.lit(1), F.least(F.lit(window), F.size(w) - i)),
-            lambda d: F.struct(
-                F.least(F.element_at(w, i), F.element_at(w, i + d)).alias("a"),
-                F.greatest(F.element_at(w, i), F.element_at(w, i + d)).alias("b"))))
-    )).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    pairs = (bound.select(F.explode(pair_structs).alias("p"))
-                  .select(F.col("p.a").alias("word_a"), F.col("p.b").alias("word_b")))
-    cnt = (pairs.groupBy("word_a", "word_b")
-                .agg(F.count("*").alias("n_cooc")))
-    uni = (bound.select(F.explode(w).alias("word"))
+    bound = _bound_words(docs, id_col, text_col)
+    cnt = cooccurrence_edges(bound, window)
+    uni = (bound.select(F.explode(F.col("_w")).alias("word"))
                 .groupBy("word").agg(F.count("*").alias("c")))
     ua = uni.select(F.col("word").alias("word_a"), F.col("c").alias("_ca"))
     ub = uni.select(F.col("word").alias("word_b"), F.col("c").alias("_cb"))

@@ -137,3 +137,29 @@ def test_cc_large_random_graph(spark):
     edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(260)})
     edges = [(a, b) for a, b in edges if a != b]
     assert _cc(spark, edges) == _union_find(n, edges)
+
+
+def test_triangle_rows_matches_bruteforce(spark):
+    """Degree-oriented closure must count each triangle exactly once —
+    checked against itertools brute force on a random-ish graph with
+    hubs (the orientation's interesting regime)."""
+    from itertools import combinations
+
+    from hops_spark.ops.graph import triangle_rows
+
+    # deterministic pseudo-random graph: 30 nodes, hub 0 connected to
+    # everyone, plus md5-derived sparse edges
+    import hashlib
+    nodes = list(range(30))
+    edges = {(0, i) for i in range(1, 30)}
+    for a, b in combinations(range(1, 30), 2):
+        if int(hashlib.md5(f"{a}-{b}".encode()).hexdigest()[:4], 16) % 5 == 0:
+            edges.add((a, b))
+    want = {tuple(sorted(t)) for t in combinations(nodes, 3)
+            if all(tuple(sorted(p)) in edges for p in combinations(t, 2))}
+    edf = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    got = {tuple(sorted((r["u"], r["v"], r["w"])))
+           for r in triangle_rows(edf).collect()}
+    rows = triangle_rows(edf).collect()
+    assert len(rows) == len(got), "a triangle was emitted twice"
+    assert got == want
