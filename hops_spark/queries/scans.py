@@ -666,3 +666,68 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .csv(path))
     return (back.select("doc_id", F.md5("tricky").alias("tricky_digest"))
                 .orderBy("doc_id"))
+
+
+@register(
+    "jsonl_roundtrip",
+    # Oracle aggregates the SOURCE parquet; the Spark side aggregates a
+    # JSON-lines-written-then-reread copy — hashes match iff the JSON
+    # writer/reader pair preserves types (bigint, double, string with
+    # quotes/unicode, timestamp) losslessly.
+    sql="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           CAST(max(floor(epoch(o_orderdate))) AS BIGINT) AS max_epoch_s,
+           md5(string_agg(md5('q"' || o_orderpriority || '€'),
+                          '' ORDER BY o_orderkey)) AS strings_digest
+    FROM orders WHERE o_orderkey % 11 = 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="JSON-lines write/read identity (the newline-delimited "
+        "interchange format every ingest pipeline meets): a "
+        "deterministic orders slice gains a string with an embedded "
+        "double-quote and a non-ASCII character, goes through Spark's "
+        "JSON writer and schema'd reader, and the per-status "
+        "aggregates — including an order-fixed rolling digest of "
+        "every roundtripped string — must hash-match the oracle's "
+        "aggregates computed directly from parquet (escape handling "
+        "\\\" and unicode passthrough are what the digest certifies). "
+        "Timestamps roundtrip via the default ISO format.",
+    tags=("io", "scan", "serialization"),
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hops_spark.session import scratch_dir
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderkey") % 11 == 0)
+              .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                      "o_orderdate",
+                      F.concat(F.lit('q"'), F.col("o_orderpriority"),
+                               F.lit("€")).alias("tricky")))
+    path = os.path.join(scratch_dir("jsonl_rt", sf_dir), "orders")
+    orders.repartition(4).write.mode("overwrite").json(path)
+    back = (spark.read
+                 .schema("o_orderkey long, o_orderstatus string, "
+                         "o_totalprice double, o_orderdate timestamp_ntz, "
+                         "tricky string")
+                 .json(path))
+    return (back.groupBy("o_orderstatus")
+                .agg(F.count("*").alias("n_orders"),
+                     F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                            .cast("long")).alias("total_cents"),
+                     F.min("o_orderkey").alias("min_key"),
+                     F.max("o_orderkey").alias("max_key"),
+                     F.max(F.unix_timestamp("o_orderdate"))
+                      .alias("max_epoch_s"),
+                     F.md5(F.concat_ws(
+                         "", F.array_sort(F.collect_list(F.struct(
+                             F.col("o_orderkey").alias("k"),
+                             F.md5("tricky").alias("h"))))
+                          .getField("h")).cast("binary"))
+                      .alias("strings_digest"))
+                .orderBy("o_orderstatus"))
