@@ -175,11 +175,14 @@ def basket_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Triangle counting on the word-adjacency graph — the canonical "
         "two-round MapReduce graph example: canonicalize edges a<b, "
-        "join wedges (a,b)+(b,c), close with (a,c). At 100 TB the "
-        "standard degree-ordered orientation bounds each join side "
-        "(every edge points low-degree -> high-degree, so wedge counts "
-        "are sum of deg_out^2 with deg_out <= sqrt(2m)); the "
-        "lexicographic a<b orientation here is the same plan shape.",
+        "join wedges (a,b)+(b,c), close with (a,c). NOTE the "
+        "lexicographic a<b orientation does NOT bound hub out-degree "
+        "(a low-sorting hub word keeps all its edges outgoing), so "
+        "this exact-count example is the pedagogical shape; the "
+        "true O(m^1.5) degree-ORIENTED algorithm — every edge points "
+        "low-(degree,id) -> high, out-degree <= O(sqrt(m)) — is "
+        "ops/graph.triangle_rows, exercised with a per-node census "
+        "by the triangle_census query.",
     tags=("examples", "graph"),
 )
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1157,7 +1157,9 @@ TRI_TOP = 20
         "self-join pays sum(deg^2) on hub words instead. Emits the "
         "top-20 words by triangle participation (clustering-hub "
         "census) with the exact global triangle count riding on every "
-        "row; the oracle replays orientation and closure relationally.",
+        "row; the oracle replays orientation and closure relationally. "
+        "Upgrades the pedagogical lexicographic-orientation "
+        "triangle_count example to the scale algorithm.",
     tags=("retrieval", "graph", "north-star"),
 )
 def triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
