@@ -148,7 +148,11 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
 # last-green-r3 families (47 rows: bm25_topk, cms_heavy_hitters,
 # distcp_plan_chunks, semantic_dedup, ... per the ledger in
 # tests/test_registry_window.py); keep the keeper; re-prove anything
-# whose implementation changes (round 6 touched io/avro.py after the
+# whose implementation changes. Late round-6 refactors needing an r7
+# re-proof slot: word_cooccurrence (pair-count core extracted into
+# ops/retrieval.cooccurrence_edges for the triangle_census edge
+# source — re-proven locally at 2 SFs, r7 window row converts it to a
+# fresh hard signal). Round 6 also touched io/avro.py after the
 # rotation froze — avro_roundtrip sits in the r6 window as a re-proof
 # and avro_split_scan/avro_evolution are queue rows, so the complex-
 # union addition is driver-covered either way).
