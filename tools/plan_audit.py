@@ -34,6 +34,10 @@ _BOUNDED_SINGLE_PARTITION_OK = {
     # _partition_offsets running sum (≤ #partitions rows):
     "total_order_sort", "teragen_sorted", "dictionary_encode",
     "pack_sequences", "equi_depth_bins", "distcp_plan_chunks",
+    # same offsets window via total_order_prefix_sum over the
+    # distinct-cents histogram (data side is the keyed prefix sum;
+    # only the ≤ #partitions offset rows hit the single partition):
+    "equidepth_histogram",
     "distcp_atomic_plan",   # same distcp_plan total_order_rank offsets
     "vocab_coverage", "rfm_segments",
     # same offsets window via total_order_rank inside
