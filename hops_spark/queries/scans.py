@@ -731,3 +731,60 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .getField("h")).cast("binary"))
                       .alias("strings_digest"))
                 .orderBy("o_orderstatus"))
+
+
+@register(
+    "dynamic_partition_overwrite",
+    # Oracle computes the EXPECTED post-overwrite state from parquet:
+    # partition F rewritten with +10.00 on every price, all other
+    # partitions untouched — exactly what dynamic partitionOverwriteMode
+    # must produce (static mode would have DELETED the other partitions).
+    sql="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                    + CASE WHEN o_orderstatus = 'F' THEN 1000 ELSE 0 END)
+                AS BIGINT) AS total_cents
+    FROM orders WHERE o_orderkey % 13 = 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Dynamic partition overwrite (the lakehouse partial-rewrite "
+        "contract, INSERT OVERWRITE ... PARTITION semantics): a "
+        "status-partitioned table is written, then ONLY partition "
+        "o_orderstatus='F' is rewritten (every price +10.00) with "
+        "spark.sql.sources.partitionOverwriteMode=dynamic — the mode "
+        "under which an overwrite touches exactly the partitions "
+        "present in the incoming data. The post-overwrite aggregate "
+        "must show modified F and UNTOUCHED other partitions; under "
+        "the default static mode the other partitions would have been "
+        "deleted and the hash would mismatch (the contract this query "
+        "certifies). Conf is set and restored around the write.",
+    tags=("io", "scan", "serialization"),
+)
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hops_spark.session import scratch_dir
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderkey") % 13 == 0)
+              .select("o_orderkey", "o_orderstatus",
+                      F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                       .alias("cents")))
+    path = os.path.join(scratch_dir("dpo", sf_dir), "orders")
+    (orders.repartition(4).write.mode("overwrite")
+           .partitionBy("o_orderstatus").parquet(path))
+    patch = (orders.filter(F.col("o_orderstatus") == "F")
+                   .withColumn("cents", F.col("cents") + 1000))
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "STATIC")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (patch.repartition(4).write.mode("overwrite")
+              .partitionBy("o_orderstatus").parquet(path))
+    finally:
+        spark.conf.set(conf_key, prev)
+    back = spark.read.parquet(path)
+    return (back.groupBy("o_orderstatus")
+                .agg(F.count("*").alias("n_orders"),
+                     F.sum("cents").cast("long").alias("total_cents"))
+                .orderBy("o_orderstatus"))
