@@ -276,6 +276,31 @@ def main() -> int:
              and all(v == 888_888 for v in wgot.values()))
     t_wj = time.time() - t0
 
+    # degree-oriented triangle counting on the adversarial hub shape:
+    # one hub ("aaa" — sorts FIRST, so the lexicographic orientation
+    # used by naive wedge joins would give it out-degree 100k and
+    # enumerate C(100k, 2) ~ 5e9 wedges) connected to 100k leaves,
+    # plus a (leaf_i, leaf_{i+1}) chain edge for the first 2000 leaves
+    # -> EXACTLY 2000 triangles {hub, i, i+1}. Degree orientation
+    # points every leaf edge INTO the hub (out-degree 0 there), so
+    # wedge volume collapses to the chain neighborhoods and the exact
+    # count must come back in seconds, not core-hours.
+    from hops_spark.ops.graph import triangle_rows
+    t0 = time.time()
+    n_leaves, n_tri = 100_000, 2_000
+    leaves = spark.range(0, n_leaves, 1, 32).select(
+        F.concat(F.lit("leaf"), F.lpad(F.col("id").cast("string"), 7, "0"))
+         .alias("dst")).withColumn("src", F.lit("aaa"))
+    chain = spark.range(0, n_tri, 1, 32).select(
+        F.concat(F.lit("leaf"), F.lpad(F.col("id").cast("string"), 7, "0"))
+         .alias("src"),
+        F.concat(F.lit("leaf"), F.lpad((F.col("id") + 1).cast("string"),
+                                       7, "0")).alias("dst"))
+    hub_edges = leaves.select("src", "dst").unionByName(chain)
+    got_tri = triangle_rows(hub_edges).count()
+    tri_ok = got_tri == n_tri
+    t_tri = time.time() - t0
+
     out = {"job": "stress_check", "n_rows": n, "n_partitions": parts,
            "rank_ok": bool(rank_ok), "rank_sec": round(t_rank, 1),
            "prefix_sum_ok": bool(ps_ok), "prefix_sum_sec": round(t_ps, 1),
@@ -289,10 +314,12 @@ def main() -> int:
            "two_level_flat_assign_sec": round(t_flat_assign, 1),
            "two_level_two_assign_sec": round(t_two_assign, 1),
            "weighted_dedup_ok": bool(wj_ok),
-           "weighted_dedup_sec": round(t_wj, 1)}
+           "weighted_dedup_sec": round(t_wj, 1),
+           "triangle_hub_ok": bool(tri_ok),
+           "triangle_hub_sec": round(t_tri, 1)}
     print(json.dumps(out))
     return 0 if all((rank_ok, ps_ok, skew_ok, dedup_ok, inc_ok,
-                     ann_ok, meta_ok, tl_ok, wj_ok)) else 1
+                     ann_ok, meta_ok, tl_ok, wj_ok, tri_ok)) else 1
 
 
 if __name__ == "__main__":
