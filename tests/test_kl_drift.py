@@ -74,3 +74,48 @@ def test_streaming_counts_give_batch_identical_kl(spark, sf_dir):
     from hops_spark.ops.lm import corpus_kl_drift as batch_drift
     want = batch_drift(ref, d).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_chunk_windows_cover_and_overlap(spark):
+    """Chunking invariants on varied doc lengths: every token position
+    is covered, consecutive chunks overlap by exactly window - stride
+    (except a clamped final chunk), and chunk 0 starts at token 0."""
+    import pyspark.sql.functions as F
+
+    from hops_spark.ops.text import chunk_token_windows
+
+    W, S = 8, 6
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(n)))
+         for i, n in enumerate([1, 7, 8, 9, 14, 15, 20, 100])],
+        ["doc_id", "text"])
+    rows = (chunk_token_windows(docs, "doc_id", "text", W, S)
+            .orderBy("doc_id", "chunk_id").collect())
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["tok"]))
+    lengths = [1, 7, 8, 9, 14, 15, 20, 100]
+    for doc_id, n in enumerate(lengths):
+        chunks = by_doc[doc_id]
+        assert [c[0] for c in chunks] == list(range(len(chunks)))
+        toks = [f"t{j}" for j in range(n)]
+        covered = set()
+        for k, tok in chunks:
+            assert tok == toks[k * S: k * S + W]
+            covered.update(range(k * S, min(k * S + W, n)))
+        assert covered == set(range(n)), f"doc {doc_id} not fully covered"
+        # one chunk iff n <= W; otherwise ceil((n-W)/S)+1
+        want = 1 if n <= W else -(-(n - W) // S) + 1
+        assert len(chunks) == want
+
+
+def test_chunk_windows_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from hops_spark.ops.text import chunk_token_windows
+
+    docs = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        chunk_token_windows(docs, window=0)
+    with _pytest.raises(ValueError):
+        chunk_token_windows(docs, stride=0)
