@@ -8,6 +8,8 @@ Usage:
 
 Steps (each FAILED step marks dependents DEPENDENT_FAILED):
     oracle       — tools/check_oracle.py --window scope (the driver gate)
+    queue_oracle — tools/check_oracle.py --queue scope (NEXT_WINDOW_QUEUE
+                   rows — pre-verifies the next rotation's additions)
     determinism  — tools/determinism_check.py over the same window
     bench_smoke  — bench.py at the given sf_dir (full plan execution)
 """
@@ -42,6 +44,8 @@ def main() -> int:
     jc = JobControl()
     jc.add_step("oracle", lambda d: _run(
         [py, os.path.join(_TOOLS, "check_oracle.py"), sf_dir, "--window"]))
+    jc.add_step("queue_oracle", lambda d: _run(
+        [py, os.path.join(_TOOLS, "check_oracle.py"), sf_dir, "--queue"]))
     jc.add_step("determinism", lambda d: _run(
         [py, os.path.join(_TOOLS, "determinism_check.py"), sf_dir]),
         ["oracle"])
