@@ -349,3 +349,21 @@ def test_clean_corpus_quality_survivor(spark, sf_dir, tmp_path):
     assert c_q["after_near_dedup"] == c_min["after_near_dedup"]
     # downstream gates still run and write
     assert c_q["written"] > 0
+
+
+def test_clean_corpus_weighted_dedup_only_tightens(spark, sf_dir, tmp_path):
+    """--weighted-dedup widens the near-dup pair graph (union with the
+    tf-weighted twins), so it can only DROP more docs at the near-dedup
+    stage — never keep more — and stays deterministic."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from clean_corpus import clean_corpus
+
+    base = clean_corpus(spark, sf_dir, str(tmp_path / "base"))
+    wj = clean_corpus(spark, sf_dir, str(tmp_path / "wj"),
+                      weighted_dedup=True)
+    assert wj["after_near_dedup"] <= base["after_near_dedup"]
+    assert wj["after_near_dedup"] > 0
+    wj2 = clean_corpus(spark, sf_dir, str(tmp_path / "wj2"),
+                       weighted_dedup=True)
+    assert wj == wj2

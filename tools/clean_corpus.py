@@ -51,7 +51,8 @@ THRESHOLD = 0.8
 def clean_corpus(spark, sf_dir: str, out_dir: str,
                  bench_source: str = "src0", nb_lang: bool = False,
                  out_format: str = "parquet",
-                 survivor: str = "min_id") -> dict:
+                 survivor: str = "min_id",
+                 weighted_dedup: bool = False) -> dict:
     d = load_table(spark, sf_dir, "documents")
     counts = {"input": d.count()}
 
@@ -81,6 +82,16 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
 
     pairs = minhash_dedup_pairs(d, "doc_id", "text",
                                 shingle_n=SHINGLE_N, threshold=THRESHOLD)
+    if weighted_dedup:
+        # widen the pair graph with tf-WEIGHTED Jaccard twins
+        # (ops/dedup.weighted_jaccard_pairs): catches repetitive-
+        # boilerplate near-dups whose term-frequency MASS matches even
+        # where the distinct-shingle sets diverge; union of the two
+        # graphs only ever merges clusters (strictly more dedup).
+        from hops_spark.ops.dedup import weighted_jaccard_pairs
+        wpairs = (weighted_jaccard_pairs(d, "doc_id", "text")
+                  .select("id_a", "id_b"))
+        pairs = pairs.select("id_a", "id_b").unionByName(wpairs).distinct()
     labels = dedup_cluster_labels(d.select("doc_id"), pairs)
     if survivor == "quality":
         # quality-aware survivor (queries/dedup.cluster_representatives
@@ -140,10 +151,12 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
 def main() -> None:
     args = sys.argv[1:]
     nb_lang = "--nb-lang" in args
+    weighted_dedup = "--weighted-dedup" in args
     out_format = "avro" if "--avro" in args else "parquet"
     survivor = "quality" if "--survivor-quality" in args else "min_id"
     args = [a for a in args
-            if a not in ("--nb-lang", "--avro", "--survivor-quality")]
+            if a not in ("--nb-lang", "--avro", "--survivor-quality",
+                         "--weighted-dedup")]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     out_dir = args[1] if len(args) > 1 else "/tmp/clean_corpus_out"
     bench_source = "src0"
@@ -152,7 +165,7 @@ def main() -> None:
     spark = get_spark("clean-corpus")
     counts = clean_corpus(spark, sf_dir, out_dir, bench_source,
                           nb_lang=nb_lang, out_format=out_format,
-                          survivor=survivor)
+                          survivor=survivor, weighted_dedup=weighted_dedup)
     print(json.dumps({"job": "clean_corpus", "sf_dir": sf_dir,
                       "out": os.path.join(out_dir, "clean"), **counts}))
 
