@@ -539,7 +539,7 @@ EQD_BUCKETS = 10
 
 @register(
     "equidepth_histogram",
-    sql="""
+    sql=f"""
     WITH c AS (
         SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
         FROM lineitem
@@ -551,8 +551,9 @@ EQD_BUCKETS = 10
         SELECT cents, CAST(sum(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum
         FROM h
     ), thr AS (
-        SELECT i, ((i * n) + 9) // 10 AS t
-        FROM (SELECT unnest(range(1, 10)) AS i) js CROSS JOIN nrows
+        SELECT i, ((i * n) + {EQD_BUCKETS - 1}) // {EQD_BUCKETS} AS t
+        FROM (SELECT unnest(range(1, {EQD_BUCKETS})) AS i) js
+        CROSS JOIN nrows
     ), bnd AS (
         SELECT i, min(cents) AS b FROM ps JOIN thr ON ps.cum >= thr.t
         GROUP BY i

@@ -634,9 +634,10 @@ def _table_stats_oracle_sql() -> str:
                END AS ndv_est
         FROM kmv
     )
-    SELECT b.col_name, b.n_rows, b.n_nulls, b.ndv_exact, e.ndv_est,
+    SELECT b.col_name, b.n_rows, b.n_nulls, b.ndv_exact,
+           CAST(coalesce(e.ndv_est, 0) AS BIGINT) AS ndv_est,
            b.min_val, b.max_val
-    FROM basic b JOIN est e USING (col_name)
+    FROM basic b LEFT JOIN est e USING (col_name)
     ORDER BY col_name
     """
 

@@ -1170,10 +1170,13 @@ def triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter((F.col("n_cooc") >= TRI_MIN_COOC)
                      & (F.col("word_a") != F.col("word_b")))
              .select("word_a", "word_b"))
-    tri = triangle_rows(edges, "word_a", "word_b")
-    nodes = (tri.select(F.col("u").alias("node"))
-                .unionAll(tri.select(F.col("v").alias("node")))
-                .unionAll(tri.select(F.col("w").alias("node"))))
+    # materialize the wedge-closure output ONCE: it feeds both the
+    # per-node census and the total, and ReuseExchange only dedupes
+    # shuffle inputs — without this the O(m^1.5) join would run per
+    # consumer (the recompute class notes 53/57 guard against)
+    tri = triangle_rows(edges, "word_a", "word_b").localCheckpoint(
+        eager=False)
+    nodes = (tri.select(F.explode(F.array("u", "v", "w")).alias("node")))
     total = tri.agg(F.count("*").cast("long").alias("total_triangles"))
     return (nodes.groupBy("node")
                  .agg(F.count("*").cast("long").alias("n_triangles"))

@@ -755,10 +755,7 @@ def jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out_dim = 16
     p = SIM.jl_project(emb, in_dim=DIM, out_dim=out_dim)
-    bits = None
-    for j in range(out_dim):
-        b = F.when(F.col(f"p{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bits = b if bits is None else bits + b
+    bits = SIM.srp_bucket(out_dim)   # the ONE sign-bit-packing definition
     norm1 = None
     for j in range(out_dim):
         a = F.abs(F.col(f"p{j}"))
@@ -766,7 +763,7 @@ def jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest = F.md5(F.concat_ws(
         ",", *[F.col(f"p{j}").cast("string") for j in range(out_dim)]))
     return (p.select("vec_id", "p0", "p1", "p2", "p3",
-                     bits.cast("long").alias("sign_bits"),
+                     bits.alias("sign_bits"),
                      norm1.cast("long").alias("pnorm1"),
                      digest.alias("p_digest"))
              .orderBy("vec_id"))

@@ -1242,10 +1242,11 @@ def chunk_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", "tok").alias("ctext"))
     # the (doc, chunk) identity rides INSIDE the vector id and is
     # parsed back out — no meta join (a self-join of the expensive
-    # chunk+hash lineage) and no checkpoint (localCheckpoint of the
-    # 12k-row embed RDD measured 14.8 s — slower than just evaluating
-    # the 2 s lineage twice). The query panel re-evaluates the
-    # pipeline once more; both evaluations are map-only scans.
+    # chunk+hash lineage). Materialization is persist()+count below:
+    # localCheckpoint was measured WORSE here (14.8 s through the RDD
+    # serialization path vs 3.4 s warm columnar cache — SCALE.md note
+    # 57). The cached 12k-row table intentionally stays persisted for
+    # the driver's later collect; it is small and LRU-evictable.
     emb = (hashed_bow_embedding(chunks, CR_DIM, id_col="cid",
                                 text_col="ctext")
            .withColumn("doc_id",
