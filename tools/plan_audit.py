@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Physical-plan audit over the driver-window queries: one row per
+"""Physical-plan audit (window by default, --all for every query): one row per
 query with the plan features the 100 TB design rules care about —
 exchange count, broadcast vs sort-merge joins, whole-stage-codegen
 spans, parquet pushdown. Writes a markdown table (default PLANS.md).
@@ -120,8 +120,10 @@ def main() -> None:
                      or "ArrowEval" in plan else "-",
         ))
 
+    scope = (f"all {len(names)} registered queries"
+             if "--all" in sys.argv else "driver-window queries")
     with open(out_md, "w") as f:
-        f.write("# Physical-plan audit (driver-window queries, "
+        f.write(f"# Physical-plan audit ({scope}, "
                 f"{sf_dir})\n\n")
         f.write("Generated by `tools/plan_audit.py`. Shuffle exchanges "
                 "EXCLUDE broadcasts; codegen = distinct whole-stage "
