@@ -119,3 +119,32 @@ def test_chunk_windows_rejects_bad_params(spark):
         chunk_token_windows(docs, window=0)
     with _pytest.raises(ValueError):
         chunk_token_windows(docs, stride=0)
+
+
+def test_chunk_windows_works_on_streams(spark, sf_dir):
+    """chunk_token_windows is stateless array arithmetic — it must run
+    UNCHANGED on a document stream and emit exactly the batch chunks
+    (the RAG ingest shape: chunk arriving docs continuously, feed the
+    embedding/indexing stages)."""
+    import pyspark.sql.functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops.text import chunk_token_windows
+    from hops_spark.streaming import read_documents_stream
+
+    st = (chunk_token_windows(read_documents_stream(spark, sf_dir))
+          .select("doc_id", "chunk_id",
+                  F.md5(F.concat_ws(" ", "tok")).alias("digest")))
+    q = (st.writeStream.format("memory").queryName("chunkstream")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["doc_id"], r["chunk_id"]): r["digest"]
+           for r in spark.sql("SELECT * FROM chunkstream").collect()}
+    d = load_table(spark, sf_dir, "documents")
+    want = {(r["doc_id"], r["chunk_id"]): r["digest"]
+            for r in chunk_token_windows(d)
+            .select("doc_id", "chunk_id",
+                    F.md5(F.concat_ws(" ", "tok")).alias("digest"))
+            .collect()}
+    assert got == want
