@@ -88,3 +88,37 @@ def test_zero_cap_rejected(spark, docs):
     tfrows = D.weighted_token_rows(docs)
     with pytest.raises(ValueError, match="w_cap"):
         D.weighted_minhash_signatures(tfrows, w_cap=0)
+
+
+def test_weighted_jaccard_property_random_docs(spark):
+    """Hypothesis-style randomized check (fixed md5-derived corpus so
+    the test is deterministic): the relational rescore equals the
+    Counter reference on 40 random multiset docs, including empty-
+    intersection and identical pairs."""
+    import hashlib
+
+    docs = []
+    for i in range(40):
+        h = hashlib.md5(f"doc{i}".encode()).hexdigest()
+        words = []
+        for j, ch in enumerate(h[:12]):
+            words += [f"w{int(ch, 16) % 8}"] * (1 + (int(ch, 16) + j) % 3)
+        docs.append((i, " ".join(words)))
+    docs.append((40, docs[0][1]))             # identical twin of doc 0
+    docs.append((41, "zz yy xx"))             # disjoint vocab
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    tfrows = D.weighted_token_rows(df)
+    import itertools
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(range(42), 2)
+         if (a * 7 + b) % 11 == 0] + [(0, 40), (0, 41)],
+        ["id_a", "id_b"])
+    got = {(r["id_a"], r["id_b"]): r["wjac_ppm"]
+           for r in D.weighted_jaccard_verify(pairs, tfrows,
+                                              threshold_ppm=0).collect()}
+    texts = dict(docs)
+    for (a, b), ppm in got.items():
+        want = int(_py_weighted_jaccard(texts[a], texts[b]) * 1_000_000)
+        assert abs(ppm - want) <= 1, (a, b, ppm, want)
+    assert got[(0, 40)] == 1_000_000           # identical docs
+    assert got[(0, 41)] == 0                   # disjoint vocab
