@@ -31,7 +31,8 @@ REPROVE: set[str] = {"avro_roundtrip", "ann_probe", "ngram_jaccard_pairs"}
 
 def _green_rounds() -> dict[str, set[int]]:
     out: dict[str, set[int]] = {}
-    for rnd in (1, 2, 3, 4, 5):
+    for rnd in (1, 2, 3, 4, 5):  # r7 rotation: extend to 6 with the new
+        # window (memory/workflow: update range + REPROVE each round)
         path = os.path.join(_REPO, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.exists(path):
             with open(path) as f:
