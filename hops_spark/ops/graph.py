@@ -222,3 +222,47 @@ def triangle_rows(edges: DataFrame, src: str = "src",
     return (wedges.join(closer, ["x", "y"])
                   .select(F.col("s").alias("u"), F.col("x").alias("v"),
                           F.col("y").alias("w")))
+
+
+def kcore(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+          max_iter: int = 50) -> DataFrame:
+    """The k-core of the undirected simple graph ``edges`` (Seidman
+    1983; the Batagelj–Zaveršnik peeling made distributed): iteratively
+    delete every node of degree < k until none remains. Returns
+    (node, core_deg) — each surviving node with its degree INSIDE the
+    core (>= k by definition; empty frame if the graph has no k-core).
+
+    Community-pruning primitive for co-occurrence / similarity graphs:
+    the k-core keeps exactly the subgraph where every member retains k
+    neighbors after all weakly-attached nodes are gone. Each round is
+    one degree aggregate + one semi-join (both keyed, map-side
+    combined) and the edge set only SHRINKS; rounds are bounded by the
+    degeneracy ordering depth (log-ish in practice, ``max_iter`` is a
+    fixpoint guard not a budget). Same driver-loop-with-localCheckpoint
+    shape as connected_components — the accepted pattern for iterative
+    fixpoint algorithms (SURVEY §2 iterative class).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cur = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+                .filter(F.col("src") != F.col("dst"))
+                .distinct()
+                .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        deg = (cur.select(F.col("src").alias("n"))
+                  .unionAll(cur.select(F.col("dst").alias("n")))
+                  .groupBy("n").agg(F.count("*").alias("d")))
+        keep = deg.filter(F.col("d") >= k).select("n")
+        n_edges = cur.count()
+        nxt = (cur.join(keep.withColumnRenamed("n", "src"), "src", "left_semi")
+                  .join(keep.withColumnRenamed("n", "dst"), "dst", "left_semi")
+                  .localCheckpoint(eager=True))
+        if nxt.count() == n_edges:
+            cur = nxt
+            break
+        cur = nxt
+    else:
+        raise RuntimeError(f"kcore: no fixpoint in {max_iter} rounds")
+    return (cur.select(F.col("src").alias("node"))
+               .unionAll(cur.select(F.col("dst").alias("node")))
+               .groupBy("node").agg(F.count("*").alias("core_deg")))

@@ -163,3 +163,26 @@ def test_triangle_rows_matches_bruteforce(spark):
     rows = triangle_rows(edf).collect()
     assert len(rows) == len(got), "a triangle was emitted twice"
     assert got == want
+
+
+def test_kcore_chain_peels_clique_survives(spark):
+    """3-core of (K5 clique + a 20-node chain hanging off it): the
+    chain peels away over MULTIPLE rounds (each round only exposes the
+    next chain node — the iterative regime the fixture graph can't
+    exercise), the clique survives exactly, each member at degree 4."""
+    from hops_spark.ops.graph import kcore
+    from itertools import combinations
+    clique = list(combinations(range(5), 2))
+    chain = [(4, 100)] + [(100 + i, 101 + i) for i in range(19)]
+    edf = spark.createDataFrame(clique + chain, ["src", "dst"])
+    got = {r["node"]: r["core_deg"] for r in kcore(edf, 3).collect()}
+    assert got == {i: 4 for i in range(5)}
+
+
+def test_kcore_empty_and_bad_k(spark):
+    from hops_spark.ops.graph import kcore
+    edf = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    assert kcore(edf, 3).count() == 0        # a path has no 3-core
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kcore(edf, 0)
