@@ -1183,3 +1183,69 @@ def triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .crossJoin(F.broadcast(total))
                  .orderBy(F.col("n_triangles").desc(), "node")
                  .limit(TRI_TOP))
+
+
+@register(
+    "term_stats_incremental",
+    # The oracle computes term stats over the FULL corpus in one pass;
+    # the Spark side builds per-partition stats for the existing half
+    # and the new batch SEPARATELY and merges them (sum/min/max) — the
+    # hash match IS the proof that incremental index maintenance
+    # equals a full rebuild.
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, t AS term
+        FROM (SELECT doc_id, unnest({{DW}}) AS t FROM documents)
+    ), per_doc AS (
+        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY term, doc_id
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM per_doc
+    GROUP BY term
+    HAVING count(*) >= 3
+    ORDER BY term
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="Incremental inverted-index statistics maintenance: the corpus "
+        "is split into an 'existing' half (doc_id % 3 != 0) and a "
+        "'new batch' (doc_id % 3 = 0), per-term stats (df, total tf, "
+        "doc-id range) are built for each side INDEPENDENTLY and "
+        "merged with the mergeable-aggregate laws (df/tf sum, range "
+        "min/max — doc sets are disjoint so df adds exactly); the "
+        "oracle rebuilds from the full corpus in one pass, so the "
+        "hash match certifies merge ≡ rebuild. This is the index-"
+        "refresh contract at 100 TB: nightly batches update a "
+        "term-stats table by merging, never by rescanning the corpus "
+        "(the incremental-dedup ingest shape applied to retrieval "
+        "metadata). df >= 3 keeps the output vocab-bounded.",
+    tags=("retrieval", "north-star"),
+)
+def term_stats_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(part: DataFrame) -> DataFrame:
+        from hops_spark.ops.text import words as _words
+        tok = part.select("doc_id",
+                          F.explode(_words("text")).alias("term"))
+        per_doc = (tok.groupBy("term", "doc_id")
+                      .agg(F.count("*").cast("long").alias("tf")))
+        return (per_doc.groupBy("term")
+                .agg(F.count("*").cast("long").alias("df"),
+                     F.sum("tf").cast("long").alias("total_tf"),
+                     F.min("doc_id").alias("first_doc"),
+                     F.max("doc_id").alias("last_doc")))
+
+    existing = stats(d.filter(F.col("doc_id") % 3 != 0))
+    new_batch = stats(d.filter(F.col("doc_id") % 3 == 0))
+    merged = (existing.unionByName(new_batch)
+              .groupBy("term")
+              .agg(F.sum("df").cast("long").alias("df"),
+                   F.sum("total_tf").cast("long").alias("total_tf"),
+                   F.min("first_doc").alias("first_doc"),
+                   F.max("last_doc").alias("last_doc")))
+    return (merged.filter(F.col("df") >= 3)
+                  .orderBy("term"))
