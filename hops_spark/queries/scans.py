@@ -788,3 +788,58 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").alias("n_orders"),
                      F.sum("cents").cast("long").alias("total_cents"))
                 .orderBy("o_orderstatus"))
+
+
+@register(
+    "fixed_width_roundtrip",
+    # Oracle aggregates the source parquet; the Spark side renders each
+    # order as a FIXED-WIDTH line (12-char zero-padded key, 1-char
+    # status, 12-char zero-padded cents), writes it as plain text, and
+    # carves the fields back out with the FixedLengthInputFormat-parity
+    # reader — hashes match iff the pad/carve roundtrip is lossless.
+    sql="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_orderkey % 17 = 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Fixed-width text write/read identity (FixedLengthInputFormat "
+        "parity, io/readers.read_fixed_width — the mainframe-era "
+        "record layout SURVEY §2.1 carries): a deterministic orders "
+        "slice is rendered as 25-char fixed-width lines (zero-padded "
+        "key / status / zero-padded cents), written as plain text "
+        "part files, carved back by column offsets, and the "
+        "per-status aggregates must hash-match the oracle's parquet "
+        "aggregates. Integer zero-padding makes the roundtrip exact "
+        "by construction — the property the reader's substring "
+        "arithmetic must preserve.",
+    tags=("io", "scan", "serialization"),
+)
+def fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hops_spark.io.readers import read_fixed_width
+    from hops_spark.session import scratch_dir
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderkey") % 17 == 0)
+              .select(F.concat(
+                  F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+                  F.col("o_orderstatus"),
+                  F.lpad(F.round(F.col("o_totalprice") * 100, 0)
+                          .cast("long").cast("string"), 12, "0"))
+                  .alias("value"))
+              .repartition(4))
+    path = os.path.join(scratch_dir("fw_rt", sf_dir), "orders")
+    orders.write.mode("overwrite").text(path)
+    back = read_fixed_width(spark, path, [12, 1, 12],
+                            ["key", "status", "cents"])
+    return (back.groupBy(F.col("status").alias("o_orderstatus"))
+                .agg(F.count("*").alias("n_orders"),
+                     F.sum(F.col("cents").cast("long")).alias("total_cents"),
+                     F.min(F.col("key").cast("long")).alias("min_key"),
+                     F.max(F.col("key").cast("long")).alias("max_key"))
+                .orderBy("o_orderstatus"))
