@@ -1281,3 +1281,63 @@ def chunk_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("q_doc", "neighbor_doc", "neighbor_chunk",
                           "cos_sim", "rnk")
                   .orderBy("q_doc", "rnk"))
+
+
+K_ANON = 5
+
+
+@register(
+    "k_anonymity_audit",
+    sql=f"""
+    WITH cells AS (
+        SELECT lang, source, n_chars // 50 AS len_bucket,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang, source, n_chars // 50
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(n_docs) AS BIGINT) AS n_docs_total,
+               CAST(sum(CASE WHEN n_docs < {K_ANON} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS risky_cells,
+               CAST(sum(CASE WHEN n_docs < {K_ANON} THEN n_docs ELSE 0 END)
+                    AS BIGINT) AS risky_docs
+        FROM cells
+    )
+    SELECT c.lang, c.source, CAST(c.len_bucket AS BIGINT) AS len_bucket,
+           c.n_docs, t.n_cells, t.risky_cells, t.risky_docs,
+           CAST((t.risky_docs * 1000000) // t.n_docs_total AS BIGINT)
+               AS risky_share_ppm
+    FROM cells c CROSS JOIN tot t
+    WHERE c.n_docs < {K_ANON}
+    ORDER BY c.lang, c.source, len_bucket
+    """,
+    doc="k-anonymity audit over the quasi-identifier tuple (lang, "
+        "source, length bucket) — the re-identification risk census a "
+        "training-data governance pass runs before release: any cell "
+        "with fewer than k=5 members singles documents out by their "
+        "metadata alone. Emits each risky cell plus corpus-wide "
+        "counters (total cells, risky cells/docs, risky share in ppm) "
+        "riding on every row. One keyed aggregate + a 1-row broadcast "
+        "— a metadata-only scan at any corpus size; integer bucketing "
+        "(n_chars div 50) keeps the cell grid deterministic.",
+    tags=("text", "metadata"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cells = (d.groupBy("lang", "source",
+                       F.expr("n_chars div 50").alias("len_bucket"))
+              .agg(F.count("*").cast("long").alias("n_docs")))
+    tot = cells.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("n_docs").cast("long").alias("n_docs_total"),
+        F.sum(F.when(F.col("n_docs") < K_ANON, 1).otherwise(0))
+         .cast("long").alias("risky_cells"),
+        F.sum(F.when(F.col("n_docs") < K_ANON, F.col("n_docs")).otherwise(0))
+         .cast("long").alias("risky_docs"))
+    return (cells.filter(F.col("n_docs") < K_ANON)
+                 .crossJoin(F.broadcast(tot))
+                 .select("lang", "source", "len_bucket", "n_docs",
+                         "n_cells", "risky_cells", "risky_docs",
+                         F.expr("CAST((risky_docs * 1000000) div "
+                                "n_docs_total AS BIGINT)")
+                          .alias("risky_share_ppm"))
+                 .orderBy("lang", "source", "len_bucket"))

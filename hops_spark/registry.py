@@ -141,9 +141,10 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "dynamic_partition_overwrite",  # partial-rewrite lakehouse contract
     "term_stats_incremental",   # index merge ≡ rebuild contract
     "fixed_width_roundtrip",    # FixedLengthInputFormat write/read
+    "k_anonymity_audit",        # quasi-identifier risk census
 )
 # Round-7 rotation plan: once CORRECTNESS_r06 lands green, fill freed
-# slots FIRST with this queue (all 33 pre-verified: oracle-green at
+# slots FIRST with this queue (all 34 pre-verified: oracle-green at
 # sf0.001 AND sf0.01 — most also at sf0.1 — plus partition-count
 # determinism), THEN the 5 deferred last-green-r2 rows
 # (rollup_revenue, scan_percent_filter, uniq_value_count,
