@@ -499,7 +499,21 @@ def read_resolved(d: "Decoder", w, r):
     if isinstance(r, list):                         # reader union: first fit
         for br in r:
             if _branch_matches(w, br):
-                return read_resolved(d, w, br)
+                v = read_resolved(d, w, br)
+                non_null = [b for b in r if b != "null"]
+                if len(non_null) > 1:
+                    # complex reader union -> spark-avro member struct,
+                    # mirroring Decoder.read_datum's complex-union path
+                    # (avro_to_spark maps this union to
+                    # struct<member0,...>; returning the bare branch
+                    # value here misshaped the Arrow conversion).
+                    if br == "null":
+                        return None
+                    j = non_null.index(br)
+                    out = {f"member{i}": None for i in range(len(non_null))}
+                    out[f"member{j}"] = v
+                    return out
+                return v
         raise ValueError(f"writer {_type_name(w)!r} matches no reader "
                          f"union branch {[_type_name(b) for b in r]}")
     wt, rt = _type_name(w), _type_name(r)

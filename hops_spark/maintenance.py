@@ -113,10 +113,14 @@ def distcp_atomic_plan(plan: DataFrame, dst_root: str,
     staging ``work_root`` (default ``<dst_root>.distcp.tmp`` — same
     filesystem/parent, so the final rename is a metadata-only atomic
     op), and the intended final path rides along as ``final_dst``.
-    Pure column rewrite — no extra shuffle over the input plan."""
-    dst_root = dst_root.rstrip("/")
+    Pure column rewrite — no extra shuffle over the input plan. Both
+    the dst column and dst_root are normalized of a ``file:`` URI
+    scheme (matching distcp_plan's src handling) so a binaryFile-style
+    ``file:/...`` dst never mis-slices the staged path."""
+    dst_root = dst_root.rstrip("/").removeprefix("file:")
     work_root = (work_root or dst_root + ".distcp.tmp").rstrip("/")
-    rel = F.expr(f"substring(dst, {len(dst_root) + 1})")
+    bare = F.regexp_replace("dst", "^file:", "")
+    rel = F.substring(bare, len(dst_root) + 1, 2_147_483_647)
     return (plan.withColumn("final_dst", F.col("dst"))
                 .withColumn("dst", F.concat(F.lit(work_root), rel)))
 

@@ -515,16 +515,21 @@ def knn_bruteforce_gemm(corpus: DataFrame, queries: DataFrame, k: int = 10,
        matmul scores every (vector, query) pair — BLAS replaces
        n_q x dim Column-expression fold evaluations per row, the
        10-100x batch-kernel win the scalar path leaves on the table.
-    2. Each batch emits only its top (k + margin) candidate ids per
-       query (np.argpartition), so the GEMM stage's output is
-       n_batches * n_q * (k + margin) rows — never the full score
-       matrix.
+    2. Each batch emits only candidate ids per query: the top
+       (k + margin) by ROUNDED score (np.argpartition seed), widened to
+       every row whose rounded score lands within one 1e-6 grid step of
+       the t-th rounded score. Pruning therefore uses the same 6-decimal
+       ordering as the final rank, and a rounded TIE at the boundary —
+       however wide — can never evict a true top-k member (the former
+       unrounded-score pruning could, when > margin rows tied at 6
+       decimals; round-6 ADVICE). The one-step slack additionally covers
+       BLAS-vs-fold 1-ulp noise crossing a rounding boundary. Output
+       stays ~n_batches * n_q * (k + margin + tie_width) rows — never
+       the full score matrix.
     3. The candidates are EXACTLY RE-SCORED with the same rounded
-       Column-expression cosine and tie-break as knn_bruteforce, so
-       float summation-order differences between BLAS (pairwise/SIMD)
-       and the fold CANNOT leak into the result — they could only
-       matter if a true top-k member fell > margin ranks inside its
-       own batch on 1-ulp noise.
+       Column-expression cosine and (cos desc, id asc) tie-break as
+       knn_bruteforce, so float summation-order differences between
+       BLAS (pairwise/SIMD) and the fold CANNOT leak into the result.
 
     The rerank-after-candidates shape is the production serving
     pattern; here it doubles as the exactness proof."""
@@ -549,11 +554,20 @@ def knn_bruteforce_gemm(corpus: DataFrame, queries: DataFrame, k: int = 10,
             cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True),
                              1e-300)
             s = cm @ qm.T                       # (batch, n_q) — one GEMM
+            sr = np.round(s, 6)                 # prune on the RANK grid
             t = min(take, len(ids))
-            top = np.argpartition(-s, t - 1, axis=0)[:t]   # (t, n_q)
-            out_q = np.repeat(q_ids, t)
-            out_n = ids[top.T.reshape(-1)]
-            yield pd.DataFrame({"q_id_c": out_q, "neighbor_id_c": out_n})
+            seed = np.argpartition(-sr, t - 1, axis=0)[:t]  # (t, n_q)
+            # t-th rounded score per query, minus one grid step of slack:
+            # keep every row at-or-above it so rounded boundary ties all
+            # survive into the exact rerank.
+            cut = sr[seed, np.arange(len(q_ids))].min(axis=0) - 1e-6
+            out_q, out_n = [], []
+            for j in range(len(q_ids)):
+                keep = np.nonzero(sr[:, j] >= cut[j])[0]
+                out_q.append(np.full(len(keep), q_ids[j], dtype=np.int64))
+                out_n.append(ids[keep])
+            yield pd.DataFrame({"q_id_c": np.concatenate(out_q),
+                                "neighbor_id_c": np.concatenate(out_n)})
 
     cand = (corpus.select(id_col, vec_col)
                   .mapInPandas(score_batches,

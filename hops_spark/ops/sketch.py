@@ -270,12 +270,18 @@ def hll_registers(df: DataFrame, group_col: str, key_col: str,
 def hll_census(grid: DataFrame, p: int = 8) -> DataFrame:
     """Integer digest of an HLL grid per group: registers used, sum of
     ranks, and the harmonic denominator S = sum over PRESENT registers
-    of 2^(52-p-rho) — exact int64 (each term <= 2^(52-p), <= 2^p terms).
-    An estimate is alpha_m * m^2 / (S + n_absent * 2^(52-p)) scaled by
-    2^-(52-p) — driver-side floats, deliberately outside the grid."""
+    of 2^(53-p-rho) — the true 2^-rho harmonic terms scaled by a COMMON
+    2^(53-p), so even the saturated register (rho = 53-p, from w == 0)
+    lands exactly on 2^0 and every term is integer-representable: no
+    clamp, no bias (a round-6 draft clamped the saturated exponent at 0,
+    overstating S; scaling the grid by 2 made the clamp unnecessary).
+    Exact int64: each term <= 2^(52-p), <= 2^p terms. An estimate is
+    alpha_m * m^2 / (S + n_absent * 2^(53-p)) scaled by 2^(53-p) —
+    driver-side floats, deliberately outside the grid."""
     # 2^shift via pow: exact in double for shift <= 52, then BIGINT
-    # (shiftleft needs a literal bit count; the exponent is a column)
-    term = F.expr(f"CAST(pow(2.0, greatest({HLL_HASH_BITS - p} - rho, 0)) "
+    # (shiftleft needs a literal bit count; the exponent is a column).
+    # rho ranges 1 .. 53-p so the exponent is always >= 0.
+    term = F.expr(f"CAST(pow(2.0, {HLL_HASH_BITS + 1 - p} - rho) "
                   f"AS BIGINT)")
     return (grid.groupBy("grp")
                 .agg(F.count("*").alias("n_regs"),
@@ -290,8 +296,9 @@ def hll_estimate(census_row, p: int = 8) -> float:
     m = 1 << p
     alpha = 0.7213 / (1 + 1.079 / m)
     n_absent = m - census_row["n_regs"]
-    s = census_row["harmonic_s"] + n_absent * (1 << (HLL_HASH_BITS - p))
-    return alpha * m * m * (1 << (HLL_HASH_BITS - p)) / s
+    scale = 1 << (HLL_HASH_BITS + 1 - p)    # grid terms are 2^(53-p-rho)
+    s = census_row["harmonic_s"] + n_absent * scale
+    return alpha * m * m * scale / s
 
 
 def cms_inner_product(cells_a: DataFrame, cells_b: DataFrame,

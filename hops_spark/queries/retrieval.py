@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from hops_spark.io.readers import load_table
 from hops_spark.ops import retrieval as R
-from hops_spark.ops.sketch import KMV_DOMAIN
+from hops_spark.ops.sketch import HLL_HASH_BITS, KMV_DOMAIN
 from hops_spark.queries.textops import _DUCK_WORDS
 from hops_spark.registry import register
 
@@ -609,7 +609,7 @@ _HLL_P = 8   # 256 registers; hash domain 52 bits (13 md5 nibbles)
         FROM events
     ), r AS (
         SELECT grp, hv % {1 << _HLL_P} AS reg,
-               CASE WHEN (hv >> {_HLL_P}) = 0 THEN {52 - _HLL_P + 1}
+               CASE WHEN (hv >> {_HLL_P}) = 0 THEN {HLL_HASH_BITS - _HLL_P + 1}
                     ELSE bit_count(((hv >> {_HLL_P}) & -(hv >> {_HLL_P}))
                                    - 1) + 1 END AS rho
         FROM h
@@ -619,7 +619,7 @@ _HLL_P = 8   # 256 registers; hash domain 52 bits (13 md5 nibbles)
     ), c AS (
         SELECT grp, CAST(count(*) AS BIGINT) AS n_regs,
                CAST(sum(rho) AS BIGINT) AS sum_rho,
-               CAST(sum(CAST(pow(2.0, greatest({52 - _HLL_P} - rho, 0))
+               CAST(sum(CAST(pow(2.0, {HLL_HASH_BITS + 1 - _HLL_P} - rho)
                              AS BIGINT)) AS BIGINT) AS harmonic_s
         FROM g GROUP BY grp
     ), e AS (

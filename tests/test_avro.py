@@ -453,6 +453,62 @@ def test_complex_union_roundtrip_and_spark_read(spark, tmp_path):
     assert by_k[2]["member1"] == "s2" and by_k[2]["member0"] is None
 
 
+def test_schema_resolution_with_complex_union(spark, tmp_path):
+    """Composition regression (round-6 ADVICE medium): read_resolved over
+    a complex (multi-branch non-null) reader union must wrap the branch
+    value into the spark-avro memberN struct exactly like read_datum —
+    both when the writer union is already complex and when a simple
+    writer union is WIDENED to a complex reader union. The distributed
+    read_avro(reader_schema=...) path must produce a well-shaped
+    DataFrame, not an Arrow misconversion."""
+    import os
+    w_sch = {"type": "record", "name": "cu", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "v", "type": ["null", "long", "string"]},
+        {"name": "w", "type": ["null", "long"]}]}
+    # reader: same complex union for v; w widened null|long -> null|long|string;
+    # plus a default-filled new field to force the resolution path.
+    r_sch = {"type": "record", "name": "cu", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "v", "type": ["null", "long", "string"]},
+        {"name": "w", "type": ["null", "long", "string"]},
+        {"name": "tag", "type": "string", "default": "t"}]}
+    rows = [{"k": i,
+             "v": (None if i % 3 == 0 else
+                   {"member0": i * 10, "member1": None} if i % 3 == 1 else
+                   {"member0": None, "member1": f"s{i}"}),
+             "w": None if i % 2 == 0 else i * 7}
+            for i in range(30)]
+    d = str(tmp_path / "cures")
+    os.makedirs(d)
+    p = os.path.join(d, "part-0.avro")
+    A.write_container(p, w_sch, rows, codec="deflate")
+    got = list(A.read_container(open(p, "rb").read(), reader_schema=r_sch))
+    assert len(got) == 30
+    for i, r in enumerate(got):
+        assert r["tag"] == "t"
+        if i % 3 == 0:
+            assert r["v"] is None
+        elif i % 3 == 1:
+            assert r["v"] == {"member0": i * 10, "member1": None}
+        else:
+            assert r["v"] == {"member0": None, "member1": f"s{i}"}
+        # widened simple->complex union: bare long wraps into member0
+        if i % 2 == 0:
+            assert r["w"] is None
+        else:
+            assert r["w"] == {"member0": i * 7, "member1": None}
+    # distributed path: DataFrame schema from the READER schema
+    df = A.read_avro(spark, d, reader_schema=r_sch)
+    dt = dict(df.dtypes)
+    assert dt["v"] == "struct<member0:bigint,member1:string>"
+    assert dt["w"] == "struct<member0:bigint,member1:string>"
+    by_k = {r["k"]: r for r in df.collect()}
+    assert by_k[1]["v"]["member0"] == 10 and by_k[1]["w"]["member0"] == 7
+    assert by_k[2]["v"]["member1"] == "s2" and by_k[2]["tag"] == "t"
+    assert by_k[0]["v"] is None and by_k[0]["w"] is None
+
+
 def test_complex_union_java_interop(spark, tmp_path):
     """Java writes an ['int','string'] union; our decoder yields the
     member struct with the right branch set — and a Python-written

@@ -188,3 +188,25 @@ def test_distcp_atomic_plan_stages_under_work_root(spark, tmp_path):
         assert r.final_dst.startswith(dst + "/"), r.final_dst
         assert r.dst.removeprefix(dst + ".distcp.tmp") \
             == r.final_dst.removeprefix(dst)
+
+
+def test_distcp_atomic_plan_normalizes_file_scheme(spark, tmp_path):
+    """Round-6 ADVICE regression: a 'file:'-prefixed dst column (the
+    binaryFile listing style) and/or a 'file:'-prefixed dst_root must
+    slice the relative path correctly — every combination yields the
+    same staged tree as the bare-path plan."""
+    from pyspark.sql import functions as SF
+    from hops_spark.maintenance import distcp_atomic_plan
+
+    srcroot = tmp_path / "src"
+    _make_tree(str(srcroot), 4, size=256)
+    dst = str(tmp_path / "dst")
+    plan = distcp_plan(list_files(spark, str(srcroot)), str(srcroot),
+                       dst, tasks=2)
+    schemed = plan.withColumn("dst", SF.concat(SF.lit("file:"), "dst"))
+    want = sorted(r.dst for r in distcp_atomic_plan(plan, dst).collect())
+    for p, root in ((schemed, dst), (plan, "file:" + dst),
+                    (schemed, "file:" + dst)):
+        got = sorted(r.dst for r in distcp_atomic_plan(p, root).collect())
+        assert got == want, (root, got[:2], want[:2])
+    assert all(d.startswith(dst + ".distcp.tmp/") for d in want)

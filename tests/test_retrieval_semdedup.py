@@ -333,6 +333,33 @@ def test_knn_gemm_equals_scalar_bruteforce(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_knn_gemm_wide_rounded_tie_at_boundary(spark):
+    """Round-6 ADVICE regression: > k + margin corpus rows that all TIE
+    at 6 decimals straddle the k-th boundary. Batch pruning must keep
+    the whole rounded tie so the low-id true top-k members survive into
+    the exact rerank — unrounded-score argpartition alone could evict
+    them on BLAS ulp noise. margin=0 makes any pruning leak fatal."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.ops.similarity import knn_bruteforce, knn_bruteforce_gemm
+
+    base = [1.0, 0.5, 0.25, 0.125]
+    # 40 vectors with identical direction (cosine 1.0 vs the query after
+    # normalization — a 40-wide rounded tie), plus 20 distinct-score rows.
+    rows = [(i, [x * float(1 + (i % 7)) for x in base]) for i in range(40)]
+    rows += [(100 + j, [1.0, 0.5 + j * 0.01, -0.3, 0.125]) for j in range(20)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(999, base)], "q_id long, q_vec array<double>")
+    cols = ["q_id", "neighbor_id", "cos_sim", "rnk"]
+    got = sorted(map(tuple, knn_bruteforce_gemm(e, q, 5, margin=0)
+                     .select(*cols).collect()))
+    want = sorted(map(tuple, knn_bruteforce(e, q, 5)
+                      .select(*cols).collect()))
+    assert got == want and len(got) == 5
+    # tie-break is id-asc: the winners are exactly vec_id 0..4
+    assert [r[1] for r in sorted(got, key=lambda r: r[3])] == [0, 1, 2, 3, 4]
+
+
 def test_clean_corpus_quality_survivor(spark, sf_dir, tmp_path):
     """--survivor-quality keeps ONE member per near-dup cluster (same
     survivor count as min-id mode) and every kept member has the
