@@ -23,15 +23,15 @@ KEEPER_CORE = {"minhash_dedup_pairs"}
 
 # Queries whose implementation materially changed this round — their
 # old green rows no longer certify the current code (registry.py ledger).
-# Round 6: avro_roundtrip / ann_probe switched materialization from
-# per-invocation mkdtemp to session.scratch_dir (new IO path);
-# ngram_jaccard_pairs gained the None-session cap-resolution guard.
-REPROVE: set[str] = {"avro_roundtrip", "ann_probe", "ngram_jaccard_pairs"}
+# Round 7: word_cooccurrence's pair-count core was extracted into
+# ops/retrieval.cooccurrence_edges late in round 6 (the edge source for
+# triangle_census); its r3 green row no longer certifies the code.
+REPROVE: set[str] = {"word_cooccurrence"}
 
 
 def _green_rounds() -> dict[str, set[int]]:
     out: dict[str, set[int]] = {}
-    for rnd in (1, 2, 3, 4, 5):  # r7 rotation: extend to 6 with the new
+    for rnd in (1, 2, 3, 4, 5, 6):  # r8 rotation: extend to 7 with the new
         # window (memory/workflow: update range + REPROVE each round)
         path = os.path.join(_REPO, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.exists(path):
@@ -61,13 +61,14 @@ def test_every_never_green_query_is_in_window_or_queued():
 def test_no_window_slot_wasted():
     """Every slot holds a never-green query, a keeper, a changed-code
     re-proof, or an aging green row being refreshed (oldest greens
-    first: last-green round <= 2 as of the r5 rotation)."""
+    first: last-green round <= 3 as of the r7 rotation — the r2 tier
+    is exhausted after this window's 5 deferred rows)."""
     green = _green_rounds()
     wasted = [n for n in list(load_all())[:50]
               if n in green
               and n not in KEEPER_CORE
               and n not in REPROVE
-              and max(green[n]) > 2]
+              and max(green[n]) > 3]
     assert not wasted, f"window slots wasted: {wasted}"
 
 
