@@ -861,3 +861,108 @@ def knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                                DIM, K, MP_BITS, MP_NPROBE)
                .select("q_id", "neighbor_id", "cos_sim", "rnk", "n_cand")
                .orderBy("q_id", "rnk"))
+
+
+KNN_GRAPH_K = 8    # neighbors per node in the kNN graph
+KCORE_K = 4        # core order: keep nodes with >= 4 surviving neighbors
+KCORE_UNROLL = 12  # oracle peel rounds (max observed fixpoint: 5 at sf0.01)
+
+
+def _kcore_oracle_sql() -> str:
+    """Unrolled-peeling oracle: the Spark side runs Batagelj–Zaveršnik
+    peeling to a TRUE fixpoint (ops/graph.kcore raises otherwise); the
+    oracle unrolls KCORE_UNROLL relational rounds and rides a genuinely
+    computed ``fixpoint_reached`` boolean (|e_N| == |e_{N-1}|). If the
+    unroll were ever too short the rider flips false and the value hash
+    diverges from Spark's fixpoint-guaranteed literal — the dedup_clusters
+    self-verifying-rider precedent applied to an iterative carve-out."""
+    rounds = [f"""
+    WITH d AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+        SELECT a.vec_id AS u, b.vec_id AS v,
+               round(list_cosine_similarity(a.v, b.v), 6) AS c
+        FROM d a JOIN d b ON a.vec_id <> b.vec_id
+    ), r AS (
+        SELECT u, v, row_number() OVER (PARTITION BY u
+                                        ORDER BY c DESC, v) AS rk
+        FROM s
+    ), knn AS (
+        SELECT u, v FROM r WHERE rk <= {KNN_GRAPH_K}
+    ), e0 AS MATERIALIZED (
+        -- mutual-kNN symmetrization: keep (u,v) only if each is in the
+        -- other's top-K (undirected, stored once as u < v)
+        SELECT a.u AS u, a.v AS v
+        FROM knn a JOIN knn b ON a.u = b.v AND a.v = b.u
+        WHERE a.u < a.v
+    )"""]
+    for i in range(KCORE_UNROLL):
+        rounds.append(f"""
+    , k{i} AS MATERIALIZED (
+        -- each e CTE is MATERIALIZED: default CTE inlining would
+        -- expand the peel chain exponentially (3 refs per round)
+        SELECT n FROM (
+            SELECT u AS n FROM e{i} UNION ALL SELECT v FROM e{i}
+        ) GROUP BY n HAVING count(*) >= {KCORE_K}
+    ), e{i + 1} AS MATERIALIZED (
+        SELECT u, v FROM e{i}
+        WHERE u IN (SELECT n FROM k{i}) AND v IN (SELECT n FROM k{i})
+    )""")
+    n = KCORE_UNROLL
+    rounds.append(f"""
+    , fix AS (
+        SELECT ((SELECT count(*) FROM e{n}) =
+                (SELECT count(*) FROM e{n - 1})) AS fixpoint_reached
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS core_deg, fixpoint_reached
+    FROM (SELECT u AS node FROM e{n} UNION ALL SELECT v FROM e{n})
+    CROSS JOIN fix
+    GROUP BY node, fixpoint_reached
+    ORDER BY node""")
+    return "".join(rounds)
+
+
+@register(
+    "knn_graph_kcore",
+    sql=_kcore_oracle_sql(),
+    doc="Dense-community extraction from the embedding space: exact "
+        "mutual-kNN graph (each vector keeps its top-8 cosine "
+        "neighbors; an edge survives only if BOTH endpoints keep it) "
+        "then the 4-core by distributed Batagelj–Zaveršnik peeling "
+        "(ops/graph.kcore — each round one degree aggregate + two "
+        "left-semi joins, edge set only shrinks, localCheckpoint per "
+        "round). Emits every core member with its in-core degree. "
+        "Training-data use: the k-core of a semantic kNN graph is the "
+        "over-represented region of the corpus — the natural input to "
+        "density-based downsampling after SemDeDup removes near-exact "
+        "copies. The all-pairs kNN build is the guarded EVAL path "
+        "(corpus is the bounded query panel, allow_large opt-in); at "
+        "production scale the graph comes from knn_ivf/knn_multiprobe "
+        "candidates instead — identical downstream graph + peel. "
+        "Oracle: unrolled relational peeling with a computed "
+        "fixpoint_reached rider (see _kcore_oracle_sql).",
+    tags=("similarity", "graph", "north-star"),
+)
+def knn_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.graph import kcore
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", "embedding")
+    queries = e.select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec"))
+    knn = (SIM.knn_bruteforce(corpus, queries, KNN_GRAPH_K,
+                              allow_large=True)
+              .select(F.col("q_id").alias("u"),
+                      F.col("neighbor_id").alias("v")))
+    mutual = (knn.alias("a")
+                 .join(knn.alias("b"),
+                       (F.col("a.u") == F.col("b.v"))
+                       & (F.col("a.v") == F.col("b.u")))
+                 .filter(F.col("a.u") < F.col("a.v"))
+                 .select(F.col("a.u").alias("u"), F.col("a.v").alias("v")))
+    core = kcore(mutual, KCORE_K, "u", "v")
+    # fixpoint_reached: kcore() raises on non-convergence, so Spark's
+    # rider is True by construction; the ORACLE computes it from its
+    # unrolled rounds — a too-short unroll hash-mismatches here.
+    return (core.select("node", "core_deg",
+                        F.lit(True).alias("fixpoint_reached"))
+                .orderBy("node"))

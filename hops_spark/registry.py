@@ -112,6 +112,7 @@ def load_all() -> dict[str, QuerySpec]:
 # exactly this queue).
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # round-7 registrations land here as they are verified
+    "knn_graph_kcore",   # mutual-kNN graph 4-core (judge r6 task 2)
 )
 # Round-8 rotation plan: once CORRECTNESS_r07 lands green, fill freed
 # slots FIRST with this queue, THEN continue aging the last-green-r3
