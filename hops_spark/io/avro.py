@@ -16,8 +16,10 @@ implements the Streaming wire protocol:
   block-framed arrays/maps, index-prefixed unions).
 - ``write_container`` / ``read_container``: the container file layout
   (magic ``Obj\\x01``, metadata map with avro.schema/avro.codec, 16-byte
-  sync marker, sync-framed blocks; ``null`` and ``deflate`` codecs —
-  deflate is raw DEFLATE per the spec, no zlib header).
+  sync marker, sync-framed blocks; codecs ``null``/``deflate`` (raw
+  DEFLATE per the spec, no zlib header) plus the spec-optional
+  ``bzip2``/``xz`` via stdlib, and ``snappy``/``zstandard`` when the
+  third-party libs are importable).
 - ``write_avro`` / ``read_avro``: the distributed path — one container
   file per partition on write (embarrassingly parallel, no shuffle);
   binaryFile listing + Arrow ``mapInPandas`` decode on read (file-level
@@ -598,6 +600,69 @@ def read_resolved(d: "Decoder", w, r):
 
 # --- object container file ------------------------------------------------
 
+# Block codecs per the Avro 1.x spec's "Required/Optional Codecs" list.
+# null + deflate are required; bzip2 and xz are spec-optional and map
+# 1:1 onto stdlib bz2/lzma (xz = the .xz container format, which is
+# what the Java library's XZCodec writes). snappy (block-snappy + 4-byte
+# big-endian CRC32 of the UNCOMPRESSED data appended) and zstandard
+# need third-party libs — registered only when importable, and the
+# error message names the env gap (the KafkaSink disposition).
+
+
+def _snappy_compress(data: bytes) -> bytes:
+    import snappy
+    return snappy.compress(data) + struct.pack(">I", zlib.crc32(data))
+
+
+def _snappy_decompress(data: bytes) -> bytes:
+    import snappy
+    out = snappy.decompress(data[:-4])
+    if zlib.crc32(out) != struct.unpack(">I", data[-4:])[0]:
+        raise ValueError("snappy block CRC mismatch")
+    return out
+
+
+def _deflate_compress(data: bytes) -> bytes:
+    c = zlib.compressobj(9, zlib.DEFLATED, -15)
+    return c.compress(data) + c.flush()
+
+
+def _avro_codecs() -> dict:
+    import bz2
+    import lzma
+    codecs = {
+        "null": (lambda d: d, lambda d: d),
+        "deflate": (_deflate_compress, lambda d: zlib.decompress(d, -15)),
+        "bzip2": (bz2.compress, bz2.decompress),
+        "xz": (lambda d: lzma.compress(d, format=lzma.FORMAT_XZ),
+               lzma.decompress),
+    }
+    try:
+        import snappy  # noqa: F401
+        codecs["snappy"] = (_snappy_compress, _snappy_decompress)
+    except ImportError:
+        pass
+    try:
+        import zstandard
+        codecs["zstandard"] = (
+            lambda d: zstandard.ZstdCompressor().compress(d),
+            lambda d: zstandard.ZstdDecompressor().decompress(d))
+    except ImportError:
+        pass
+    return codecs
+
+
+def _codec_fns(codec: str) -> tuple:
+    codecs = _avro_codecs()
+    if codec not in codecs:
+        if codec in ("snappy", "zstandard"):
+            raise ValueError(
+                f"avro codec {codec!r} needs the python-{codec} library, "
+                "absent in this environment (spec-optional codec; "
+                "null/deflate/bzip2/xz are available)")
+        raise ValueError(f"unsupported codec {codec!r}")
+    return codecs[codec]
+
 
 def write_container(path: str, schema, rows, codec: str = "deflate",
                     sync: bytes | None = None,
@@ -606,8 +671,7 @@ def write_container(path: str, schema, rows, codec: str = "deflate",
     DETERMINISTIC marker derived from the path (RNG-free, like every
     generator in this repo). Returns rows written."""
     import hashlib
-    if codec not in ("null", "deflate"):
-        raise ValueError(f"unsupported codec {codec!r}")
+    compress, _ = _codec_fns(codec)
     sync = sync or hashlib.md5(f"hops-avro|{path}".encode()).digest()
     assert len(sync) == 16
     header = bytearray(MAGIC)
@@ -628,10 +692,7 @@ def write_container(path: str, schema, rows, codec: str = "deflate",
             nonlocal block, in_block
             if not in_block:
                 return
-            data = bytes(block)
-            if codec == "deflate":
-                c = zlib.compressobj(9, zlib.DEFLATED, -15)
-                data = c.compress(data) + c.flush()
+            data = compress(bytes(block))
             frame = bytearray()
             _write_long(frame, in_block)
             _write_long(frame, len(data))
@@ -724,10 +785,7 @@ def read_container_split(path: str, start: int, end: int,
                 raise EOFError("avro block truncated")
             if f.read(16) != sync:
                 raise ValueError("sync marker mismatch (corrupt block)")
-            if codec == "deflate":
-                data = zlib.decompress(data, -15)
-            elif codec != "null":
-                raise ValueError(f"unsupported codec {codec!r}")
+            data = _codec_fns(codec)[1](data)
             bd = Decoder(data)
             if reader_schema is None:
                 for _ in range(count):
@@ -748,10 +806,7 @@ def read_container(buf: bytes, reader_schema=None):
         count = d.read_long()
         size = d.read_long()
         data = d._take(size)
-        if codec == "deflate":
-            data = zlib.decompress(data, -15)
-        elif codec != "null":
-            raise ValueError(f"unsupported codec {codec!r}")
+        data = _codec_fns(codec)[1](data)
         if d._take(16) != sync:
             raise ValueError("sync marker mismatch (corrupt block)")
         bd = Decoder(data)

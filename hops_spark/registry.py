@@ -115,9 +115,13 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "knn_graph_kcore",   # mutual-kNN graph 4-core (judge r6 task 2)
 )
 # Round-8 rotation plan: once CORRECTNESS_r07 lands green, fill freed
-# slots FIRST with this queue, THEN continue aging the last-green-r3
-# tier alphabetically (37 rows remain after the r7 window took
-# approx_quantiles_check .. dictionary_encode: next are
-# distcp_plan_chunks, distinct_rows, doc_perplexity, dup_spans, ...),
-# THEN the last-green-r4 tier; keep the keeper; re-prove anything
-# whose implementation changes after this rotation froze.
+# slots FIRST with this queue, THEN the round-7 REPROVE set —
+# avro_roundtrip + avro_split_scan (io/avro.py codec sites refactored
+# through the _codec_fns registry after the r7 rotation froze;
+# re-verified locally + full JVM-interop pytest this round) — THEN
+# continue aging the last-green-r3 tier alphabetically (37 rows remain
+# after the r7 window took approx_quantiles_check .. dictionary_encode:
+# next are distcp_plan_chunks, distinct_rows, doc_perplexity,
+# dup_spans, ...), THEN the last-green-r4 tier; keep the keeper;
+# re-prove anything whose implementation changes after this rotation
+# froze.
