@@ -27,6 +27,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def list_files(spark: SparkSession, root: str) -> DataFrame:
@@ -59,6 +60,76 @@ def distcp_plan(listing: DataFrame, src_root: str, dst_root: str,
             .drop("_neg_size", "_rank"))
 
 
+# DistCp -p preservation (DistCpOptions.FileAttribute / reference
+# hadoop-tools/hadoop-distcp/.../mapred/CopyCommitter.java:67 +
+# DistCpUtils.preserve): the flag letters we can honor on a local FS.
+# r/b/c/a/x (replication, blocksize, checksum-type, ACLs, xattrs) are
+# HDFS-only concepts — requesting them raises rather than silently
+# no-oping.
+PRESERVE_FLAGS = {"p": "permission", "u": "user", "g": "group",
+                  "t": "times"}
+
+
+def _check_preserve(flags: str) -> str:
+    bad = set(flags) - set(PRESERVE_FLAGS)
+    if bad:
+        raise ValueError(
+            f"unsupported -p flags {sorted(bad)}: local-FS preservation "
+            f"supports {sorted(PRESERVE_FLAGS)} (r/b/c/a/x are "
+            "HDFS-only attributes)")
+    return flags
+
+
+def stat_listing(listing: DataFrame) -> DataFrame:
+    """Augment a copy listing with source attributes for -p
+    preservation: one os.stat per file inside an Arrow mapInPandas
+    batch (metadata-only pass — no payload read, embarrassingly
+    parallel over the listing partitions). Adds mode (the 07777
+    permission bits), uid, gid, mtime_ns, atime_ns."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(listing.schema.fields + [
+        StructField("mode", T.IntegerType()),
+        StructField("uid", T.IntegerType()),
+        StructField("gid", T.IntegerType()),
+        StructField("mtime_ns", T.LongType()),
+        StructField("atime_ns", T.LongType())])
+
+    def add_stats(batches):
+        import stat as statmod
+        for pdf in batches:
+            modes, uids, gids, mts, ats = [], [], [], [], []
+            for p in pdf["src"]:
+                st = os.stat(p.removeprefix("file:"))
+                modes.append(statmod.S_IMODE(st.st_mode))
+                uids.append(st.st_uid)
+                gids.append(st.st_gid)
+                mts.append(st.st_mtime_ns)
+                ats.append(st.st_atime_ns)
+            pdf = pdf.assign(mode=modes, uid=uids, gid=gids,
+                             mtime_ns=mts, atime_ns=ats)
+            yield pdf
+
+    return listing.mapInPandas(add_stats, schema)
+
+
+def _apply_preserve(dst: str, row, flags: str) -> None:
+    """Apply the requested attribute set to one copied file — the
+    CopyCommitter/DistCpUtils.preserve order (times LAST: a chmod or
+    chown would bump ctime but must not clobber the preserved
+    mtime/atime). Failures raise: the reference fails the task when a
+    requested preservation cannot be honored, it never silently
+    downgrades."""
+    if "p" in flags:
+        os.chmod(dst, row.mode)
+    if "u" in flags or "g" in flags:
+        os.chown(dst,
+                 row.uid if "u" in flags else -1,
+                 row.gid if "g" in flags else -1)
+    if "t" in flags:
+        os.utime(dst, ns=(row.atime_ns, row.mtime_ns))
+
+
 _COPY_BLOCK = 256 * 1024
 
 
@@ -86,12 +157,23 @@ def _throttled_copy(src: str, dst: str,
             total += len(block)
 
 
-def distcp_run(plan: DataFrame, bandwidth_bps: int | None = None) -> int:
+def distcp_run(plan: DataFrame, bandwidth_bps: int | None = None,
+               preserve: str = "") -> int:
     """Execute the copy plan: repartition by chunk, copy per partition,
     optionally throttled to ``bandwidth_bps`` bytes/sec PER TASK (the
-    DistCp -bandwidth knob). Returns files copied. (Local-FS copy here;
-    on a cluster the same foreachPartition body uses the hadoop FS
-    client.)"""
+    DistCp -bandwidth knob). With ``preserve`` (-p flag letters, see
+    PRESERVE_FLAGS) the plan must carry the stat_listing attribute
+    columns; each copied file gets the requested source attributes
+    applied (times last, so chmod/chown can't clobber them). Returns
+    files copied. (Local-FS copy here; on a cluster the same
+    foreachPartition body uses the hadoop FS client.)"""
+    _check_preserve(preserve)
+    if preserve:
+        missing = {"mode", "uid", "gid", "mtime_ns",
+                   "atime_ns"} - set(plan.columns)
+        if missing:
+            raise ValueError(f"-p{preserve} needs a stat_listing plan; "
+                             f"missing columns {sorted(missing)}")
     n = plan.count()
 
     def copy_partition(rows) -> None:
@@ -100,6 +182,8 @@ def distcp_run(plan: DataFrame, bandwidth_bps: int | None = None) -> int:
             dst = r.dst.removeprefix("file:")
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             _throttled_copy(src, dst, bandwidth_bps)
+            if preserve:
+                _apply_preserve(dst, r, preserve)
 
     plan.repartition("chunk").foreachPartition(copy_partition)
     return n
@@ -127,14 +211,18 @@ def distcp_atomic_plan(plan: DataFrame, dst_root: str,
 
 def distcp_run_atomic(plan: DataFrame, dst_root: str,
                       work_root: str | None = None,
-                      bandwidth_bps: int | None = None) -> int:
+                      bandwidth_bps: int | None = None,
+                      preserve: str = "") -> int:
     """-atomic copy: stage every file under the work root, then promote
     the WHOLE tree with ONE rename on success; delete the staging tree
     on any failure — dst either appears complete or never appears
     (CopyCommitter.java:67 commitJob -> promotePath, abortJob ->
     delete workDir). The final dst must not pre-exist (the reference
     refuses -atomic onto an existing target: atomicity of rename only
-    holds for a fresh path). Returns files copied."""
+    holds for a fresh path). ``preserve`` composes with staging:
+    attributes are applied to the STAGED files and ride through the
+    promote rename untouched (rename moves the inode, never its
+    metadata). Returns files copied."""
     dst_root = dst_root.rstrip("/").removeprefix("file:")
     work_root = (work_root or dst_root + ".distcp.tmp").rstrip("/")
     if os.path.exists(dst_root):
@@ -143,7 +231,8 @@ def distcp_run_atomic(plan: DataFrame, dst_root: str,
     staged = distcp_atomic_plan(plan, dst_root, work_root)
     shutil.rmtree(work_root, ignore_errors=True)
     try:
-        n = distcp_run(staged.drop("final_dst"), bandwidth_bps)
+        n = distcp_run(staged.drop("final_dst"), bandwidth_bps,
+                       preserve=preserve)
         os.makedirs(work_root, exist_ok=True)   # empty plan still commits
         os.rename(work_root, dst_root)          # the atomic promote
         return n
@@ -208,6 +297,70 @@ def distcp_run_dynamic(plan: DataFrame, claim_dir: str,
     done = len(globmod.glob(os.path.join(claim_dir, "chunk-*.done")))
     if done != len(chunks):
         raise RuntimeError(f"{len(chunks) - done} chunks not copied")
+    return n
+
+
+def attr_repair_plan(src_stats: DataFrame, dst_stats: DataFrame,
+                     src_root: str, dst_root: str,
+                     flags: str = "pugt") -> DataFrame:
+    """DistCp -update -p metadata repair: join the source and target
+    stat listings (stat_listing output) on relative path and emit one
+    row per file present on BOTH sides whose requested attributes
+    drifted — the reference applies preservation to up-to-date skipped
+    files too (DistCpUtils.preserve runs regardless of whether the
+    payload was copied). Missing/stale files are the ordinary -update
+    copy plan's business, not this one's. One co-partitioned path
+    equi-join; output carries the SOURCE attribute values to re-apply
+    plus per-attribute drift booleans."""
+    _check_preserve(flags)
+    sroot = src_root.rstrip("/").removeprefix("file:")
+    droot = dst_root.rstrip("/").removeprefix("file:")
+
+    def rel(col: str, root: str):
+        return F.substring(F.regexp_replace(col, "^file:", ""),
+                           len(root) + 1, 2_147_483_647)
+
+    s = src_stats.select(
+        rel("src", sroot).alias("rel"), F.col("src"),
+        F.col("mode"), F.col("uid"), F.col("gid"),
+        F.col("mtime_ns"), F.col("atime_ns"))
+    d = dst_stats.select(
+        rel("src", droot).alias("rel"), F.col("src").alias("dst"),
+        F.col("mode").alias("dst_mode"), F.col("uid").alias("dst_uid"),
+        F.col("gid").alias("dst_gid"),
+        F.col("mtime_ns").alias("dst_mtime_ns"))
+    j = s.join(d, "rel")
+    fix_mode = F.lit("p" in flags) & (F.col("mode") != F.col("dst_mode"))
+    fix_owner = ((F.lit("u" in flags) & (F.col("uid") != F.col("dst_uid")))
+                 | (F.lit("g" in flags) & (F.col("gid") != F.col("dst_gid"))))
+    fix_times = F.lit("t" in flags) & (F.col("mtime_ns")
+                                       != F.col("dst_mtime_ns"))
+    return (j.withColumn("fix_mode", fix_mode)
+             .withColumn("fix_owner", fix_owner)
+             .withColumn("fix_times", fix_times)
+             .filter(F.col("fix_mode") | F.col("fix_owner")
+                     | F.col("fix_times")))
+
+
+def attr_repair_run(plan: DataFrame, flags: str = "pugt") -> int:
+    """Execute an attr_repair_plan: metadata-only pass (chmod/chown/
+    utime per drift flag), the DistCh execution shape. Returns files
+    repaired."""
+    _check_preserve(flags)
+    n = plan.count()
+
+    def fix_partition(rows) -> None:
+        for r in rows:
+            dst = r.dst.removeprefix("file:")
+            if r.fix_mode:
+                os.chmod(dst, r.mode)
+            if r.fix_owner:
+                os.chown(dst, r.uid if "u" in flags else -1,
+                         r.gid if "g" in flags else -1)
+            if r.fix_times:
+                os.utime(dst, ns=(r.atime_ns, r.mtime_ns))
+
+    plan.foreachPartition(fix_partition)
     return n
 
 

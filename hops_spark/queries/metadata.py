@@ -882,3 +882,81 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("parent", F.col("grp").cast("long").alias("grp"),
                      "n_files", "group_bytes")
              .orderBy("parent", "grp"))
+
+
+@register(
+    "distcp_preserve_plan",
+    sql=_DUCK_INODES + """
+    , src AS (
+        SELECT inode_id, '/' || parent || '/' || name AS rel,
+               CAST(CASE WHEN inode_id % 5 = 0 THEN 493 ELSE 420 END
+                    AS INTEGER) AS mode,
+               CAST(1000 + inode_id % 3 AS INTEGER) AS uid,
+               CAST(100 AS INTEGER) AS gid,
+               CAST(inode_id * 1000000000 AS BIGINT) AS mtime_ns
+        FROM inodes
+    ), tgt AS (
+        -- deterministic prior-copy attribute state: every 7th file's
+        -- mode drifted, every 11th chowned away, every 13th touched
+        SELECT rel,
+               CAST(CASE WHEN inode_id % 7 = 0 THEN 384 ELSE mode END
+                    AS INTEGER) AS dst_mode,
+               CAST(CASE WHEN inode_id % 11 = 0 THEN 0 ELSE uid END
+                    AS INTEGER) AS dst_uid,
+               gid AS dst_gid,
+               CAST(CASE WHEN inode_id % 13 = 0
+                         THEN mtime_ns + 1000000000 ELSE mtime_ns END
+                    AS BIGINT) AS dst_mtime_ns
+        FROM src
+    ), j AS (
+        SELECT s.rel, s.mode, s.uid, s.gid, s.mtime_ns,
+               (s.mode <> t.dst_mode) AS fix_mode,
+               (s.uid <> t.dst_uid OR s.gid <> t.dst_gid) AS fix_owner,
+               (s.mtime_ns <> t.dst_mtime_ns) AS fix_times
+        FROM src s JOIN tgt t ON s.rel = t.rel
+    )
+    SELECT rel, mode, uid, gid, mtime_ns, fix_mode, fix_owner, fix_times
+    FROM j WHERE fix_mode OR fix_owner OR fix_times
+    ORDER BY rel
+    """,
+    doc="DistCp -update -p attribute-repair plan (CopyCommitter + "
+        "DistCpUtils.preserve: preservation applies to up-to-date "
+        "skipped files too) — drives the REAL maintenance."
+        "attr_repair_plan join on stat-listing-shaped frames derived "
+        "deterministically from the inode fixture (mode/owner/times "
+        "drift on the 7/11/13 residue classes). One co-partitioned "
+        "path equi-join, per-attribute drift booleans; execution twin "
+        "(chmod/chown/utime, ns-exact, atomic-rename survival) is "
+        "pytest-verified in tests/test_distcp.py.",
+    tags=("metadata", "maintenance"),
+)
+def distcp_preserve_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.maintenance import attr_repair_plan
+    ino = inodes_from_documents(spark, sf_dir)
+    rel = F.concat(F.lit("/"), F.col("parent"), F.lit("/"), F.col("name"))
+    src = ino.select(
+        F.col("inode_id"), rel.alias("rel"),
+        F.when(F.col("inode_id") % 5 == 0, 0o755).otherwise(0o644)
+         .cast("int").alias("mode"),
+        (F.lit(1000) + F.col("inode_id") % 3).cast("int").alias("uid"),
+        F.lit(100).cast("int").alias("gid"),
+        (F.col("inode_id") * 1_000_000_000).cast("bigint").alias("mtime_ns"))
+    src_stats = src.select(
+        F.concat(F.lit("src"), "rel").alias("src"), "mode", "uid", "gid",
+        "mtime_ns", F.col("mtime_ns").alias("atime_ns"))
+    dst_stats = src.select(
+        F.concat(F.lit("dst"), "rel").alias("src"),
+        F.when(F.col("inode_id") % 7 == 0, 0o600).otherwise(F.col("mode"))
+         .cast("int").alias("mode"),
+        F.when(F.col("inode_id") % 11 == 0, 0).otherwise(F.col("uid"))
+         .cast("int").alias("uid"),
+        "gid",
+        F.when(F.col("inode_id") % 13 == 0,
+               F.col("mtime_ns") + 1_000_000_000)
+         .otherwise(F.col("mtime_ns")).cast("bigint").alias("mtime_ns"),
+        F.col("mtime_ns").alias("atime_ns"))
+    plan = attr_repair_plan(src_stats, dst_stats, "src", "dst",
+                            flags="pugt")
+    return (plan.select("rel", "mode", "uid", "gid", "mtime_ns",
+                        "fix_mode", "fix_owner", "fix_times")
+                .orderBy("rel"))

@@ -210,3 +210,101 @@ def test_distcp_atomic_plan_normalizes_file_scheme(spark, tmp_path):
         got = sorted(r.dst for r in distcp_atomic_plan(p, root).collect())
         assert got == want, (root, got[:2], want[:2])
     assert all(d.startswith(dst + ".distcp.tmp/") for d in want)
+
+
+# --- -p attribute preservation (CopyCommitter / DistCpUtils.preserve) ----
+
+
+def _set_attrs(path: str, mode: int, mtime_s: int) -> None:
+    os.chmod(path, mode)
+    os.utime(path, ns=(mtime_s * 10**9 + 123, mtime_s * 10**9 + 456))
+
+
+def test_preserve_attrs_survive_atomic_promote(spark, tmp_path):
+    """-p pt composed with -atomic: mode and exact ns-precision times
+    are applied to the STAGED files and ride through the promote
+    rename untouched."""
+    from hops_spark.maintenance import distcp_run_atomic, stat_listing
+    srcroot = tmp_path / "src"
+    _make_tree(str(srcroot), 6, size=256)
+    files = sorted(glob.glob(str(srcroot / "**" / "*.bin"), recursive=True))
+    for i, p in enumerate(files):
+        _set_attrs(p, 0o640 if i % 2 else 0o755, 1_500_000_000 + i)
+    dst = str(tmp_path / "dst")
+    plan = distcp_plan(stat_listing(list_files(spark, str(srcroot))),
+                       str(srcroot), dst, tasks=2)
+    assert distcp_run_atomic(plan, dst, preserve="pt") == 6
+    for i, p in enumerate(files):
+        q = dst + p[len(str(srcroot)):]
+        s, d = os.stat(p), os.stat(q)
+        assert (d.st_mode & 0o7777) == (s.st_mode & 0o7777)
+        assert d.st_mtime_ns == s.st_mtime_ns
+        # the source's own atime was bumped by the copy READ after the
+        # listing captured it — the preserved value is the listing-time
+        # one we set, exactly (ns precision)
+        assert d.st_atime_ns == (1_500_000_000 + i) * 10**9 + 123
+
+
+def test_preserve_owner_when_root(spark, tmp_path):
+    """-p ug: uid/gid applied when the process may chown (root in this
+    container); verifies the chown path executes, not just the flags."""
+    import pytest
+    from hops_spark.maintenance import distcp_run, stat_listing
+    if os.geteuid() != 0:
+        pytest.skip("chown needs root")
+    srcroot = tmp_path / "src"
+    _make_tree(str(srcroot), 2, size=64)
+    files = sorted(glob.glob(str(srcroot / "**" / "*.bin"), recursive=True))
+    os.chown(files[0], 12345, 54321)
+    plan = distcp_plan(stat_listing(list_files(spark, str(srcroot))),
+                       str(srcroot), str(tmp_path / "dst"), tasks=1)
+    assert distcp_run(plan, preserve="ug") == 2
+    d = os.stat(str(tmp_path / "dst") + files[0][len(str(srcroot)):])
+    assert (d.st_uid, d.st_gid) == (12345, 54321)
+
+
+def test_preserve_rejects_hdfs_only_flags_and_bare_plans(spark, tmp_path):
+    import pytest
+    from hops_spark.maintenance import distcp_run
+    srcroot = tmp_path / "src"
+    _make_tree(str(srcroot), 1)
+    plan = distcp_plan(list_files(spark, str(srcroot)), str(srcroot),
+                       str(tmp_path / "dst"), tasks=1)
+    with pytest.raises(ValueError, match="HDFS-only"):
+        distcp_run(plan, preserve="rb")
+    with pytest.raises(ValueError, match="stat_listing"):
+        distcp_run(plan, preserve="pt")   # plan lacks attr columns
+
+
+def test_update_repairs_drifted_attributes_only(spark, tmp_path):
+    """-update -p metadata repair: after a copy, drift mode on one dst
+    file and mtime on another; attr_repair_plan emits EXACTLY those
+    two rows (up-to-date files produce none) and attr_repair_run
+    restores the source attributes."""
+    from hops_spark.maintenance import (attr_repair_plan, attr_repair_run,
+                                        distcp_run, stat_listing)
+    srcroot, dstroot = str(tmp_path / "src"), str(tmp_path / "dst")
+    _make_tree(srcroot, 6, size=128)
+    files = sorted(glob.glob(srcroot + "/**/*.bin", recursive=True))
+    for i, p in enumerate(files):
+        _set_attrs(p, 0o644, 1_600_000_000 + i)
+    plan = distcp_plan(stat_listing(list_files(spark, srcroot)),
+                       srcroot, dstroot, tasks=2)
+    distcp_run(plan, preserve="pt")
+    drift_mode = dstroot + files[1][len(srcroot):]
+    drift_time = dstroot + files[4][len(srcroot):]
+    os.chmod(drift_mode, 0o600)
+    os.utime(drift_time, ns=(0, 0))
+    rep = attr_repair_plan(stat_listing(list_files(spark, srcroot)),
+                           stat_listing(list_files(spark, dstroot)),
+                           srcroot, dstroot, flags="pt")
+    rows = {r.dst.removeprefix("file:"): r for r in rep.collect()}
+    assert set(rows) == {drift_mode, drift_time}
+    assert rows[drift_mode].fix_mode and not rows[drift_mode].fix_times
+    assert rows[drift_time].fix_times and not rows[drift_time].fix_mode
+    assert attr_repair_run(rep, flags="pt") == 2
+    for i, p in enumerate(files):
+        q = dstroot + p[len(srcroot):]
+        s, d = os.stat(p), os.stat(q)
+        assert (d.st_mode & 0o7777) == (s.st_mode & 0o7777)
+        assert d.st_mtime_ns == s.st_mtime_ns
