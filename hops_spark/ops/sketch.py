@@ -355,3 +355,91 @@ def kmv_difference_ppm(sketch_a: DataFrame, sketch_b: DataFrame,
                       f" * n_a_only + ((({k} - 1) * {KMV_DOMAIN} div kth)"
                       f" % {k}) * n_a_only div {k} AS BIGINT)"))
                   .cast("long").alias("est_difference")))
+
+
+# --- dyadic-CMS quantile sketch (range-query CMS, C&M 2005 §4.3) ---------
+#
+# The missing quantile family on the grid contract: one CMS per dyadic
+# LEVEL of an integer value domain [0, 2^bits). Cell coords are
+# (level, r, bucket) with combine = SUM, so — unlike GK/KLL whose
+# compaction is order-dependent — the merge law
+# build(A ∪ B) == grid_merge(build(A), build(B)) holds EXACTLY
+# (tests/test_sketch_contract.py). rank(t) = Σ over the ≤(bits-min_level)
+# dyadic intervals of [0, t) of the CMS point estimate; a quantile is a
+# rank crossing over a boundary panel (the equidepth_histogram shape).
+# Estimates never underestimate (sums of CMS overestimates) and exceed
+# the true rank by at most levels · εN with ε = e/width — both emitted
+# as checked booleans by the cms_quantiles query, not asserted.
+
+
+def dyadic_cms_cells(df: DataFrame, value_col: str, bits: int,
+                     min_level: int = 0, depth: int = DEPTH,
+                     width: int = WIDTH) -> DataFrame:
+    """(level, r, bucket, c): a CMS grid per dyadic level l in
+    [min_level, bits) over integer values in [0, 2^bits). The level-l
+    key of value v is v >> l, hashed as 'l:key' through the shared md5
+    bucket fold. One map-only explode of (levels × depth) cells per row
+    + one aggregate; state ≤ (bits-min_level) × depth × width rows
+    regardless of data size. min_level > 0 trades rank resolution
+    (queries must align to 2^min_level) for proportionally less state —
+    the quantile-boundary panel only needs coarse levels."""
+    cells = F.array(*[
+        F.struct(F.lit(lv).alias("level"), F.lit(r).alias("r"),
+                 _bucket(F.concat_ws(":", F.lit(str(lv)),
+                                     F.expr(f"{value_col} div CAST("
+                                            f"pow(2.0, {lv}) AS BIGINT)")),
+                         r, width).alias("bucket"))
+        for lv in range(min_level, bits) for r in range(depth)])
+    return (df.select(F.explode(cells).alias("c"))
+              .select("c.level", "c.r", "c.bucket")
+              .groupBy("level", "r", "bucket")
+              .agg(F.count("*").alias("c")))
+
+
+def dyadic_cms_merge(*grids: DataFrame) -> DataFrame:
+    """Merge dyadic-CMS quantile sketches — plain cell-wise sum on the
+    shared grid contract (counts are additive per level exactly as for
+    the flat CMS)."""
+    return grid_merge(list(grids), ["level", "r", "bucket"], "c",
+                      how="sum")
+
+
+def dyadic_rank_estimates(cells: DataFrame, thresholds: DataFrame,
+                          bits: int, min_level: int = 0,
+                          depth: int = DEPTH,
+                          width: int = WIDTH) -> DataFrame:
+    """Estimated rank (# values < t) for every threshold row
+    (column ``t``, a multiple of 2^min_level in (0, 2^bits)): decompose
+    [0, t) into its dyadic intervals — one per SET BIT of t at level
+    l ≥ min_level, interval id (t >> l) - 1 — probe each through the
+    level's CMS (min over depth rows, absent cell = 0), sum the
+    estimates. Relational end-to-end: the grid is broadcast, the panel
+    never shuffles. Output: (t, est_rank)."""
+    probes = F.array(*[
+        F.struct(F.lit(lv).alias("level"), F.lit(r).alias("r"),
+                 F.expr(f"t div CAST(pow(2.0, {lv}) AS BIGINT)")
+                  .alias("shifted"))
+        for lv in range(min_level, bits) for r in range(depth)])
+    p = (thresholds.select("t", F.explode(probes).alias("p"))
+                   .select("t", "p.level", "p.r", "p.shifted")
+                   .filter(F.col("shifted") % 2 == 1)
+                   .withColumn("key", F.concat_ws(
+                       ":", F.col("level").cast("string"),
+                       (F.col("shifted") - 1).cast("string"))))
+    p = p.withColumn("bucket", _probe_bucket(F.col("key"), F.col("r"),
+                                             width))
+    est = (p.join(F.broadcast(cells), ["level", "r", "bucket"], "left")
+            .withColumn("cc", F.coalesce("c", F.lit(0)))
+            .groupBy("t", "level").agg(F.min("cc").alias("e"))
+            .groupBy("t").agg(F.sum("e").cast("long").alias("est_rank")))
+    return est
+
+
+def _probe_bucket(term, r_col, width: int):
+    """_bucket with a COLUMN row index (the probe side carries r as
+    data): identical md5 fold, r rendered through the same string."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.concat_ws("|", r_col.cast("string"),
+                                             term)), 1, 7),
+               16, 10).cast("long"),
+        F.lit(width))

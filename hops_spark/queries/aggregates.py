@@ -613,3 +613,136 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.min("cents").alias("lo_cents"),
                    F.max("cents").alias("hi_cents"))
               .orderBy("bucket"))
+
+
+CMSQ_MIN_LEVEL = 16            # boundary resolution 2^16 cents
+CMSQ_BITS = 24                 # value domain [0, 2^24) cents
+CMSQ_RES = 1 << CMSQ_MIN_LEVEL
+CMSQ_LEVELS = CMSQ_BITS - CMSQ_MIN_LEVEL
+CMSQ_TARGETS = (250000, 500000, 750000, 900000)
+
+
+@register(
+    "cms_quantiles",
+    sql=f"""
+    WITH c AS (
+        SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
+        FROM lineitem
+    ), lvls AS (
+        SELECT unnest(range({CMSQ_MIN_LEVEL}, {CMSQ_BITS})) AS l
+    ), rows_ AS (
+        SELECT unnest([0, 1, 2, 3]) AS r
+    ), cells AS (
+        SELECT l AS level, r,
+               ('0x' || substring(md5(CAST(r AS VARCHAR) || '|'
+                   || CAST(l AS VARCHAR) || ':'
+                   || CAST(v // CAST(pow(2.0, l) AS BIGINT) AS VARCHAR)),
+                 1, 7))::BIGINT % 256 AS bucket,
+               CAST(count(*) AS BIGINT) AS c
+        FROM c CROSS JOIN lvls CROSS JOIN rows_
+        GROUP BY 1, 2, 3
+    ), panel AS (
+        SELECT CAST(j * {CMSQ_RES} AS BIGINT) AS t
+        FROM (SELECT unnest(range(1, 256)) AS j)
+    ), probe AS (
+        SELECT t, l, r, t // CAST(pow(2.0, l) AS BIGINT) AS shifted
+        FROM panel CROSS JOIN lvls CROSS JOIN rows_
+        WHERE t // CAST(pow(2.0, l) AS BIGINT) % 2 = 1
+    ), pb AS (
+        SELECT t, l, r,
+               ('0x' || substring(md5(CAST(r AS VARCHAR) || '|'
+                   || CAST(l AS VARCHAR) || ':'
+                   || CAST(shifted - 1 AS VARCHAR)), 1, 7))::BIGINT % 256
+                 AS bucket
+        FROM probe
+    ), perlvl AS (
+        SELECT pb.t, pb.l, min(coalesce(cells.c, 0)) AS e
+        FROM pb LEFT JOIN cells
+          ON cells.level = pb.l AND cells.r = pb.r
+         AND cells.bucket = pb.bucket
+        GROUP BY pb.t, pb.l
+    ), ranks AS (
+        SELECT t, CAST(sum(e) AS BIGINT) AS est_rank FROM perlvl GROUP BY t
+    ), vhist AS (
+        SELECT v // {CMSQ_RES} AS j, count(*) AS cnt FROM c GROUP BY 1
+    ), exact AS (
+        SELECT p.t, CAST(coalesce(sum(vhist.cnt), 0) AS BIGINT) AS exact_rank
+        FROM panel p LEFT JOIN vhist ON vhist.j < p.t // {CMSQ_RES}
+        GROUP BY p.t
+    ), nn AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM c
+    ), tgt AS (
+        SELECT CAST(q_ppm AS BIGINT) AS q_ppm,
+               greatest(1, (q_ppm * n) // 1000000) AS target_rank, n
+        FROM (SELECT unnest([{", ".join(map(str, CMSQ_TARGETS))}]) AS q_ppm)
+        CROSS JOIN nn
+    ), crossing AS (
+        SELECT q_ppm, target_rank, n, min(t) AS boundary_cents
+        FROM ranks JOIN tgt ON ranks.est_rank >= tgt.target_rank
+        GROUP BY 1, 2, 3
+    )
+    SELECT q_ppm, boundary_cents, r.est_rank, e.exact_rank,
+           r.est_rank >= e.exact_rank AS never_underestimates,
+           r.est_rank - e.exact_rank
+             <= ({CMSQ_LEVELS} * 3 * n) // 256 AS within_eps
+    FROM crossing
+    JOIN ranks r ON r.t = boundary_cents
+    JOIN exact e ON e.t = boundary_cents
+    ORDER BY q_ppm
+    """,
+    doc="Quantiles from the dyadic-CMS sketch (Cormode & Muthukrishnan "
+        "2005 §4.3 range queries — ops/sketch.dyadic_cms_cells): one "
+        "4x256 CMS per dyadic level 16..23 of the cents domain "
+        "(8 levels = 8192-cell bounded state, merge law = cell-wise "
+        "sum, property-tested with the other six sketch families), "
+        "rank(t) = sum of point estimates over the <= 8 dyadic "
+        "intervals of [0, t), quantile = first 2^16-cent boundary "
+        "whose estimated rank crosses ceil-free (q*n) div 1e6. Unlike "
+        "equidepth_histogram (exact, O(distinct values) shuffle) this "
+        "answers from a summary that never re-scans history — the "
+        "streaming/incremental quantile path. Both C&M bounds ride as "
+        "checked booleans: never_underestimates (sums of "
+        "overestimates) and within_eps (levels * eN). The oracle "
+        "rebuilds the identical grid hash-for-hash.",
+    tags=("agg", "quantile", "approx", "north-star"),
+)
+def cms_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sketch import (dyadic_cms_cells,
+                                       dyadic_rank_estimates)
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+                   .alias("v"))
+    cells = dyadic_cms_cells(c, "v", CMSQ_BITS, CMSQ_MIN_LEVEL)
+    panel = (spark.range(1, 256)
+                  .select((F.col("id") * CMSQ_RES).alias("t")))
+    ranks = dyadic_rank_estimates(cells, panel, CMSQ_BITS, CMSQ_MIN_LEVEL)
+    vhist = (c.groupBy(F.expr(f"v div {CMSQ_RES}").alias("j"))
+              .agg(F.count("*").alias("cnt")))
+    exact = (panel.join(F.broadcast(vhist),
+                        F.col("j") < F.expr(f"t div {CMSQ_RES}"), "left")
+                  .groupBy("t")
+                  .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long")
+                        .alias("exact_rank")))
+    nn = c.agg(F.count("*").cast("long").alias("n"))
+    tgt = (spark.createDataFrame([(q,) for q in CMSQ_TARGETS],
+                                 "q_ppm bigint")
+                .crossJoin(F.broadcast(nn))
+                .select("q_ppm",
+                        F.expr("greatest(1, (q_ppm * n) div 1000000)")
+                         .alias("target_rank"), "n"))
+    crossing = (ranks.join(F.broadcast(tgt),
+                           F.col("est_rank") >= F.col("target_rank"))
+                     .groupBy("q_ppm", "target_rank", "n")
+                     .agg(F.min("t").alias("boundary_cents")))
+    return (crossing
+            .join(ranks.withColumnRenamed("t", "boundary_cents"),
+                  "boundary_cents")
+            .join(exact.withColumnRenamed("t", "boundary_cents"),
+                  "boundary_cents")
+            .select("q_ppm", "boundary_cents", "est_rank", "exact_rank",
+                    (F.col("est_rank") >= F.col("exact_rank"))
+                    .alias("never_underestimates"),
+                    (F.col("est_rank") - F.col("exact_rank")
+                     <= F.expr(f"({CMSQ_LEVELS} * 3 * n) div 256"))
+                    .alias("within_eps"))
+            .orderBy("q_ppm"))

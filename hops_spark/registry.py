@@ -114,6 +114,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # round-7 registrations land here as they are verified
     "knn_graph_kcore",       # mutual-kNN graph 4-core (judge r6 task 2)
     "distcp_preserve_plan",  # -update -p attr repair (judge r6 task 4)
+    "cms_quantiles",         # dyadic-CMS quantile sketch (task 8)
 )
 # Round-8 rotation plan: once CORRECTNESS_r07 lands green, fill freed
 # slots FIRST with this queue, THEN the round-7 REPROVE set —

@@ -488,3 +488,27 @@ def token_count_stream(docs: DataFrame) -> DataFrame:
 
     toks = docs.select(F.explode(words("text")).alias("token"))
     return toks.groupBy("token").agg(F.count("*").cast("long").alias("c_cur"))
+
+
+def dyadic_quantile_stream(events: DataFrame, bits: int = 20,
+                           min_level: int = 8) -> DataFrame:
+    """Streaming QUANTILE-sketch maintenance: the running dyadic-CMS
+    grid (ops/sketch.dyadic_cms_cells — one CMS per dyadic level of
+    the integer cents domain) as a streaming aggregation, the same
+    contract as cms_token_stream/hll_register_stream: the cell emit is
+    a map-only explode of (levels × depth) structs, the grid is one
+    keyed count the state store shards, and state is bounded at
+    (bits - min_level) × depth × width rows FOREVER — continuous
+    median/percentile monitoring of an unbounded event stream with
+    O(1) state. Because the combine is a plain sum, the drained grid
+    equals the batch sketch over the same rows exactly (asserted in
+    tests/test_streaming.py), and dyadic_rank_estimates answers
+    rank/quantile queries against any snapshot of it. Values are
+    cents folded into [0, 2^bits) by pmod — the same transform the
+    batch twin must apply."""
+    from hops_spark.ops.sketch import dyadic_cms_cells
+
+    vals = events.select(
+        F.pmod(F.expr("CAST(round(value * 100, 0) AS BIGINT)"),
+               F.lit(1 << bits)).alias("v"))
+    return dyadic_cms_cells(vals, "v", bits, min_level)

@@ -135,3 +135,36 @@ def test_bottomk_sample_merge_equals_union_build(spark):
     merged = bottomk_sample(sa.unionAll(sb), "g", "event_id", k)
     assert _rows(direct) == _rows(merged)
     assert direct.count() == k
+
+
+def test_dyadic_cms_merge_equals_union_build_and_rank_bounds(spark):
+    """The quantile family on the grid contract: per-level cells merge
+    by SUM exactly (unlike GK/KLL whose compaction is order-dependent),
+    and rank estimates (a) never underestimate, (b) stay within
+    levels · eN of truth — the C&M range-query guarantee."""
+    from hops_spark.ops.sketch import (dyadic_cms_cells, dyadic_cms_merge,
+                                       dyadic_rank_estimates)
+    bits, min_level, width = 12, 4, 256
+    a = spark.range(0, 3000).select((F.col("id") * 7 % 4096).alias("v"))
+    b = spark.range(0, 2000).select((F.col("id") * 13 % 4096).alias("v"))
+    direct = dyadic_cms_cells(a.unionAll(b), "v", bits, min_level)
+    merged = dyadic_cms_merge(dyadic_cms_cells(a, "v", bits, min_level),
+                              dyadic_cms_cells(b, "v", bits, min_level))
+    assert _rows(merged) == _rows(direct)
+
+    panel = spark.range(1, 256).select((F.col("id") * 16).alias("t"))
+    ranks = dyadic_rank_estimates(direct, panel, bits, min_level)
+    union_vals = a.unionAll(b)
+    exact = (union_vals.crossJoin(panel)
+             .groupBy("t")
+             .agg(F.sum(F.when(F.col("v") < F.col("t"), 1).otherwise(0))
+                   .alias("exact_rank")))
+    j = ranks.join(exact, "t").collect()
+    n = union_vals.count()
+    levels = bits - min_level
+    bound = levels * 3 * n // width
+    assert len(j) == 255
+    for r in j:
+        assert r.est_rank >= r.exact_rank, (r.t, r.est_rank, r.exact_rank)
+        assert r.est_rank - r.exact_rank <= bound, (r.t, r.est_rank,
+                                                    r.exact_rank, bound)

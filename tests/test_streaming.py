@@ -467,3 +467,43 @@ def test_hll_register_stream_equals_batch(spark, sf_dir):
     from collections import Counter
     per_grp = Counter(g for g, _ in got)
     assert max(per_grp.values()) <= 256
+
+
+def test_dyadic_quantile_stream_equals_batch_and_answers_ranks(spark, sf_dir):
+    """The streaming dyadic-CMS quantile grid (bounded
+    levels*depth*width state) equals the batch sketch after the stream
+    drains, and a rank query on the DRAINED grid obeys both C&M bounds
+    against the exact batch ranks — live quantile monitoring, same
+    state-store contract as the CMS/HLL streams."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops.sketch import dyadic_cms_cells, dyadic_rank_estimates
+    from hops_spark.streaming import (dyadic_quantile_stream,
+                                      read_events_stream, run_to_completion)
+
+    bits, min_level = 20, 8
+    got = {(r["level"], r["r"], r["bucket"]): r["c"] for r in
+           run_to_completion(
+               dyadic_quantile_stream(read_events_stream(spark, sf_dir),
+                                      bits, min_level),
+               "dyadic_q_stream").collect()}
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(
+        F.pmod(F.expr("CAST(round(value * 100, 0) AS BIGINT)"),
+               F.lit(1 << bits)).alias("v"))
+    cells = dyadic_cms_cells(vals, "v", bits, min_level)
+    want = {(r["level"], r["r"], r["bucket"]): r["c"]
+            for r in cells.collect()}
+    assert got == want
+    assert len(got) <= (bits - min_level) * 4 * 256
+    # rank queries on the drained grid: both bounds vs exact
+    panel = spark.range(1, 32).select((F.col("id") * (1 << 15)).alias("t"))
+    ranks = {r["t"]: r["est_rank"] for r in
+             dyadic_rank_estimates(cells, panel, bits, min_level).collect()}
+    n = vals.count()
+    bound = (bits - min_level) * 3 * n // 256
+    for t, est in ranks.items():
+        exact = vals.filter(F.col("v") < t).count()
+        assert est >= exact
+        assert est - exact <= bound
