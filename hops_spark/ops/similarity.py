@@ -215,10 +215,34 @@ def coarse_codebook(centroids: list[tuple[int, list[float]]],
     coarse = [(i, vec) for i, (_cid, vec) in enumerate(centroids[:n_coarse])]
     groups_cells: list[list[int]] = [[] for _ in range(n_coarse)]
     groups_vecs: list[list[list[float]]] = [[] for _ in range(n_coarse)]
-    for cid, vec in centroids:
-        best = max(((_cos(vec, cv), i) for i, cv in coarse))[1]
-        groups_cells[best].append(cid)
-        groups_vecs[best].append(vec)
+    if len(centroids) * n_coarse > 2_000_000:
+        # numpy fast path for big codebooks (10^5 cells × ~316 coarse is
+        # 5·10^8 scalar ops — minutes in the Python fold, <1 s as one
+        # GEMM). BLAS accumulation order can differ from the scalar fold
+        # in the last ulp pre-rounding, so this path is gated to sizes
+        # the relational oracle replicas never replay; the two-level
+        # CONTRACT is unaffected either way (grouping only decides which
+        # candidates are probed — the fine argmax itself stays the
+        # Column path, and full-probe == flat holds for ANY grouping).
+        import numpy as np
+        cm = np.asarray([vec for _cid, vec in centroids], dtype=np.float64)
+        qm = np.asarray([cv for _i, cv in coarse], dtype=np.float64)
+        norms_c = np.linalg.norm(cm, axis=1)
+        norms_q = np.linalg.norm(qm, axis=1)
+        den = np.outer(norms_c, norms_q)
+        den[den == 0] = np.inf
+        sims = np.round(cm @ qm.T / den, 6)
+        # ties pick the LARGER coarse index (the Python max((cos, i))
+        # tie-break): argmax over the reversed axis, then re-reflect
+        best = (n_coarse - 1) - np.argmax(sims[:, ::-1], axis=1)
+        for (cid, vec), b in zip(centroids, best):
+            groups_cells[int(b)].append(cid)
+            groups_vecs[int(b)].append(vec)
+    else:
+        for cid, vec in centroids:
+            best = max(((_cos(vec, cv), i) for i, cv in coarse))[1]
+            groups_cells[best].append(cid)
+            groups_vecs[best].append(vec)
     return coarse, groups_cells, groups_vecs
 
 

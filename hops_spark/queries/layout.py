@@ -580,3 +580,125 @@ def hilbert_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "AND fy1 >= y_lo AND fy0 <= y_hi THEN 1 ELSE 0 "
                              "END) * 1000000 div count(*)").alias("scan_ppm"))
                  .orderBy("layout"))
+
+
+@register(
+    "shard_manifest",
+    sql=f"""
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               md5('doc_' || CAST(doc_id AS VARCHAR)) AS hx,
+               ('0x' || substring(md5(text), 1, 13))::BIGINT AS content_h
+        FROM documents
+    ), s AS (
+        SELECT doc_id, n_chars, content_h,
+               ('0x' || substring(hx, 1, 7))::BIGINT % {_N_SHARDS} AS shard
+        FROM h
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs_total FROM s
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(bit_xor(content_h) AS BIGINT) AS content_fp,
+           n_docs_total
+    FROM s CROSS JOIN tot
+    GROUP BY shard, n_docs_total
+    ORDER BY shard
+    """,
+    doc="Training-shard MANIFEST — the data-versioning record every "
+        "reproducible run ships beside its shards: per shard (same md5 "
+        "bucket rule as shard_shuffle) the doc count, char volume, and "
+        "an ORDER-INSENSITIVE content fingerprint (bit_xor of each "
+        "doc's 52-bit md5(text) slice) that any engine recomputes to "
+        "certify a shard byte-equal without comparing rows; the global "
+        "doc count rides on every row so a dropped shard is visible "
+        "from any surviving one. One keyed aggregate; the fingerprint "
+        "is a commutative fold, so map-side combine applies and "
+        "shard-level manifests of splits XOR-merge into the corpus "
+        "manifest (the sketch-grid mergeability idea applied to "
+        "lineage).",
+    tags=("pipeline", "scale", "metadata"),
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars",
+                                                      "text")
+    hx = F.md5(F.concat(F.lit("doc_"), F.col("doc_id").cast("string")))
+    ch = F.conv(F.substring(F.md5("text"), 1, 13), 16, 10).cast("long")
+    s = d.select(
+        F.pmod(F.conv(F.substring(hx, 1, 7), 16, 10).cast("long"),
+               F.lit(_N_SHARDS)).alias("shard"),
+        F.col("n_chars"), ch.alias("content_h"))
+    tot = s.agg(F.count("*").cast("long").alias("n_docs_total"))
+    return (s.groupBy("shard")
+             .agg(F.count("*").cast("long").alias("n_docs"),
+                  F.sum("n_chars").cast("long").alias("n_chars"),
+                  F.expr("bit_xor(content_h)").cast("long")
+                   .alias("content_fp"))
+             .crossJoin(F.broadcast(tot))
+             .select("shard", "n_docs", "n_chars", "content_fp",
+                     "n_docs_total")
+             .orderBy("shard"))
+
+
+@register(
+    "mixture_schedule",
+    sql="""
+    WITH src AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE))) AS BIGINT)
+                 AS w_scaled
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(sum(n_chars) AS BIGINT) AS c_total,
+               CAST(sum(w_scaled) AS BIGINT) AS w_total
+        FROM src
+    )
+    SELECT source, n_docs, n_chars,
+           CAST(n_chars * 1000000 // c_total AS BIGINT) AS raw_share_ppm,
+           CAST(w_scaled * 1000000 // w_total AS BIGINT)
+             AS scaled_share_ppm,
+           CAST((w_scaled * 1000000 // w_total) * 1000000
+                // greatest(n_chars * 1000000 // c_total, 1) AS BIGINT)
+             AS upsample_ppm
+    FROM src CROSS JOIN tot
+    ORDER BY source
+    """,
+    doc="Temperature-scaled data-mixing schedule (the T5/mT5 mixing "
+        "rule, Raffel et al. 2020 / Xue et al. 2021: sample source i "
+        "with p_i proportional to n_i^alpha, here alpha = 1/2 i.e. "
+        "temperature tau = 2): per source the raw char share, the "
+        "sqrt-scaled share, and the implied up/down-sampling factor "
+        "(ppm). tau = 2 is chosen deliberately for the oracle contract "
+        "— IEEE sqrt is correctly rounded, so floor(sqrt(n)) is "
+        "bit-identical on every engine where a general pow(n, 1/tau) "
+        "is not; all shares are tie-free floor-division ppm. One "
+        "source-keyed aggregate + a 1-row broadcast: the schedule for "
+        "a 100 TB corpus costs one pass regardless of source count. "
+        "Feeds pps_sample / token-budget sampling as the per-source "
+        "rate table.",
+    tags=("pipeline", "sampling", "text"),
+)
+def mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    src = (d.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("n_chars"))
+            .withColumn("w_scaled",
+                        F.expr("CAST(floor(sqrt(CAST(n_chars AS DOUBLE)))"
+                               " AS BIGINT)")))
+    tot = src.agg(F.sum("n_chars").cast("long").alias("c_total"),
+                  F.sum("w_scaled").cast("long").alias("w_total"))
+    return (src.crossJoin(F.broadcast(tot))
+               .select("source", "n_docs", "n_chars",
+                       F.expr("CAST(n_chars * 1000000 div c_total "
+                              "AS BIGINT)").alias("raw_share_ppm"),
+                       F.expr("CAST(w_scaled * 1000000 div w_total "
+                              "AS BIGINT)").alias("scaled_share_ppm"),
+                       F.expr("CAST((w_scaled * 1000000 div w_total) "
+                              "* 1000000 div greatest(n_chars * 1000000 "
+                              "div c_total, 1) AS BIGINT)")
+                        .alias("upsample_ppm"))
+               .orderBy("source"))

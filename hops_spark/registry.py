@@ -115,6 +115,8 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "knn_graph_kcore",       # mutual-kNN graph 4-core (judge r6 task 2)
     "distcp_preserve_plan",  # -update -p attr repair (judge r6 task 4)
     "cms_quantiles",         # dyadic-CMS quantile sketch (task 8)
+    "shard_manifest",        # order-insensitive shard fingerprints
+    "mixture_schedule",      # temperature-scaled source mixing (tau=2)
 )
 # Round-8 rotation plan: once CORRECTNESS_r07 lands green, fill freed
 # slots FIRST with this queue, THEN the round-7 REPROVE set —
