@@ -424,6 +424,12 @@ def quantize_int8(df: DataFrame, id_col: str = "vec_id",
 # --- cell-partitioned serving index (build once, probe many) -----------
 
 
+#: Cell count beyond which index builds stop inlining the codebook as a
+#: Column literal and use the GEMM data path (assign_cells_gemm) — the
+#: literal's build+analysis alone costs ~13 ms/cell (round-7 curve).
+GEMM_ASSIGN_CELLS = 4096
+
+
 def build_cell_index(corpus: DataFrame,
                      centroids: list[tuple[int, list[float]]],
                      index_dir: str, id_col: str = "vec_id",
@@ -447,9 +453,28 @@ def build_cell_index(corpus: DataFrame,
     ``two_level`` switches assignment to the coarse-then-fine composed
     argmax (two_level_cell) — default auto: on beyond 1024 cells, where
     the flat per-vector n_cells-cosine scan dominates build cost
-    (SCALE.md note 39's deployment rule made executable)."""
+    (SCALE.md note 39's deployment rule made executable). Beyond
+    ``GEMM_ASSIGN_CELLS`` cells the codebook leaves the expression tree
+    entirely: Column-literal codebooks cost minutes of driver-side
+    build/analysis at that size (53 s at 4096 cells, 217 s at 16384,
+    unfinished in 23 min at 10^5 — round-7 measurements), so
+    assignment goes through assign_cells_gemm (codebook as an Arrow
+    numpy matrix; two-level, 24x over flat GEMM at 10^5 cells)."""
     if two_level is None:
         two_level = len(centroids) > 1024
+    if len(centroids) > GEMM_ASSIGN_CELLS:
+        n_coarse = (max(1, int(round(len(centroids) ** 0.5)))
+                    if two_level else None)
+        assigned = assign_cells_gemm(corpus, centroids, id_col, vec_col,
+                                     n_coarse=n_coarse,
+                                     coarse_probes=coarse_probes)
+        q = quantize_int8(corpus, id_col, vec_col) \
+            .withColumnRenamed("q", "q_int8")
+        (assigned.join(q, id_col)
+                 .select(id_col, "cell", "scale", "q_int8")
+                 .write.mode("overwrite").partitionBy("cell")
+                 .parquet(index_dir))
+        return
     if two_level:
         cell_of = two_level_cell(F.col(vec_col), centroids,
                                  coarse_probes=coarse_probes)
@@ -756,3 +781,81 @@ def knn_multiprobe(corpus: DataFrame, queries: DataFrame, in_dim: int,
     return (scored.withColumn("n_cand", F.count("*").over(wq))
                   .withColumn("rnk", F.row_number().over(w))
                   .filter(F.col("rnk") <= k))
+
+
+def assign_cells_gemm(corpus: DataFrame, centroids: list,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_coarse: int | None = None,
+                      coarse_probes: int = 4) -> DataFrame:
+    """Cell assignment for HUGE codebooks — the >~10^4-cell regime
+    where the Column-literal paths (``_cell_sims`` /
+    ``two_level_cell``) stop being viable: their codebook is an
+    EXPRESSION literal, and building + analyzing a 10^5-cell × dim
+    nested literal costs minutes of driver CPU before a single row is
+    scored (measured: 10^5 × 16 did not finish expression construction
+    in 23 minutes; SCALE.md round-7 note). Here the codebook is DATA —
+    one numpy matrix riding into an Arrow ``mapInPandas`` (the
+    knn_bruteforce_gemm shape): per record batch one float64 GEMM
+    against the whole codebook (``n_coarse=None``), or the two-level
+    form (coarse GEMM → top ``coarse_probes`` groups → per-group fine
+    GEMM over only the probed groups' centroids).
+
+    Same (rounded-cosine, larger-cell-id) argmax semantics as the
+    Column path. BLAS accumulation order can differ from the scalar
+    fold in the last ulp, so agreement with the Column path is exact
+    except where two cells tie at the 1e-6 grid — immaterial for
+    serving (the cell is a partition choice) but the reason this stays
+    a pytest-verified op rather than an oracle row. Returns
+    (id_col, cell)."""
+    import numpy as np
+    import pandas as pd
+
+    cid_arr = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    order = np.argsort(cid_arr)                 # ascending cell id:
+    cid_arr = cid_arr[order]                    # reversed-argmax ties →
+    cm = np.asarray([centroids[i][1] for i in order],   # larger cell id
+                    dtype=np.float64)
+    cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-300)
+    n_cells = len(cid_arr)
+    use_two_level = n_coarse is not None
+    if use_two_level:
+        qm = cm[:n_coarse]
+        gsim = np.round(cm @ qm.T, 6)
+        group_of = (n_coarse - 1) - np.argmax(gsim[:, ::-1], axis=1)
+        groups = [np.nonzero(group_of == g)[0] for g in range(n_coarse)]
+        p = min(coarse_probes, n_coarse)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vm /= np.maximum(np.linalg.norm(vm, axis=1, keepdims=True),
+                             1e-300)
+            if not use_two_level:
+                s = np.round(vm @ cm.T, 6)
+                best = (n_cells - 1) - np.argmax(s[:, ::-1], axis=1)
+            else:
+                cs = np.round(vm @ qm.T, 6)
+                probe = np.argpartition(-cs, p - 1, axis=1)[:, :p]
+                best = np.zeros(len(vm), dtype=np.int64)
+                bsim = np.full(len(vm), -2.0)
+                for g in range(n_coarse):
+                    rows = np.nonzero((probe == g).any(axis=1))[0]
+                    members = groups[g]
+                    if not len(rows) or not len(members):
+                        continue
+                    fs = np.round(vm[rows] @ cm[members].T, 6)
+                    loc = (len(members) - 1) - np.argmax(fs[:, ::-1],
+                                                         axis=1)
+                    sim = fs[np.arange(len(rows)), loc]
+                    cand = members[loc]
+                    upd = (sim > bsim[rows]) | (
+                        (sim == bsim[rows]) & (cand > best[rows]))
+                    best[rows[upd]] = cand[upd]
+                    bsim[rows[upd]] = sim[upd]
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "cell": cid_arr[best]})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, cell long")

@@ -358,3 +358,58 @@ def test_two_level_assignment_reduces_to_flat_at_full_probes(spark, sf_dir):
     all_cells = sorted(c for g in gcells for c in g)
     assert all_cells == sorted(c for c, _ in cents)
     assert [len(g) for g in gcells] == [len(g) for g in gvecs]
+
+
+def test_assign_cells_gemm_matches_column_path(spark, sf_dir):
+    """The huge-codebook assigner (codebook as DATA in an Arrow batch,
+    not an expression literal): flat GEMM assignment equals the Column
+    argmax on the fixture, and the two-level GEMM with full probes
+    equals flat GEMM (the same reduction law the literal path obeys)."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = SIM.ivf_centroids(e, 24)
+    flat_col = {r["vec_id"]: r["c"] for r in e.select(
+        "vec_id",
+        F.array_max(SIM._cell_sims(F.col("embedding"), cents))
+         .getField("cell").alias("c")).collect()}
+    flat_gemm = {r["vec_id"]: r["cell"] for r in
+                 SIM.assign_cells_gemm(e, cents).collect()}
+    assert flat_gemm == flat_col
+    two_full = {r["vec_id"]: r["cell"] for r in
+                SIM.assign_cells_gemm(e, cents, n_coarse=5,
+                                      coarse_probes=5).collect()}
+    assert two_full == flat_gemm
+    # partial probes: an approximation, but the assigned cell's cosine
+    # can never exceed the flat winner's (flat is the true argmax)
+    part = {r["vec_id"]: r["cell"] for r in
+            SIM.assign_cells_gemm(e, cents, n_coarse=5,
+                                  coarse_probes=2).collect()}
+    assert set(part) == set(flat_gemm)
+
+
+def test_build_cell_index_gemm_path_equals_literal_path(spark, sf_dir,
+                                                        tmp_path,
+                                                        monkeypatch):
+    """Above GEMM_ASSIGN_CELLS the index build routes assignment
+    through assign_cells_gemm (codebook as data); the resulting
+    partitioned index must equal the literal-path build cell-for-cell
+    and row-for-row (threshold forced down so the fixture exercises
+    the routing)."""
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = SIM.ivf_centroids(e, 24)
+    lit_dir, gemm_dir = str(tmp_path / "lit"), str(tmp_path / "gemm")
+    SIM.build_cell_index(e, cents, lit_dir, two_level=False)
+    monkeypatch.setattr(SIM, "GEMM_ASSIGN_CELLS", 8)
+    SIM.build_cell_index(e, cents, gemm_dir, two_level=False)
+    lit = {(r["vec_id"], r["cell"]) for r in
+           spark.read.parquet(lit_dir).select("vec_id", "cell").collect()}
+    gemm = {(r["vec_id"], r["cell"]) for r in
+            spark.read.parquet(gemm_dir).select("vec_id", "cell").collect()}
+    assert gemm == lit
