@@ -372,28 +372,51 @@ def kmv_difference_ppm(sketch_a: DataFrame, sketch_b: DataFrame,
 # as checked booleans by the cms_quantiles query, not asserted.
 
 
+def _dyadic_row_buckets(level_col, key_col, depth: int, width: int):
+    """Array of (r, bucket) for one dyadic key: the depth row-hashes
+    are the DISJOINT 7-nibble slices of ONE md5 of 'level:key' — one
+    hash per key instead of depth (md5 output bits are independent,
+    the same justification as the repo's 52-bit KMV slice; needs
+    7·depth ≤ 32 nibbles, i.e. depth ≤ 4)."""
+    assert depth * 7 <= 32
+    hx = F.md5(F.concat_ws(":", level_col.cast("string"),
+                           key_col.cast("string")))
+    return F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 F.pmod(F.conv(F.substring(hx, 7 * r + 1, 7), 16, 10)
+                         .cast("long"), F.lit(width)).alias("bucket"))
+        for r in range(depth)])
+
+
 def dyadic_cms_cells(df: DataFrame, value_col: str, bits: int,
                      min_level: int = 0, depth: int = DEPTH,
                      width: int = WIDTH) -> DataFrame:
     """(level, r, bucket, c): a CMS grid per dyadic level l in
     [min_level, bits) over integer values in [0, 2^bits). The level-l
-    key of value v is v >> l, hashed as 'l:key' through the shared md5
-    bucket fold. One map-only explode of (levels × depth) cells per row
-    + one aggregate; state ≤ (bits-min_level) × depth × width rows
-    regardless of data size. min_level > 0 trades rank resolution
-    (queries must align to 2^min_level) for proportionally less state —
-    the quantile-boundary panel only needs coarse levels."""
-    cells = F.array(*[
-        F.struct(F.lit(lv).alias("level"), F.lit(r).alias("r"),
-                 _bucket(F.concat_ws(":", F.lit(str(lv)),
-                                     F.expr(f"{value_col} div CAST("
-                                            f"pow(2.0, {lv}) AS BIGINT)")),
-                         r, width).alias("bucket"))
-        for lv in range(min_level, bits) for r in range(depth)])
-    return (df.select(F.explode(cells).alias("c"))
-              .select("c.level", "c.r", "c.bucket")
+    key of value v is v >> l. Build order matters at scale: rows first
+    collapse to the per-level KEY histogram (one integer-only keyed
+    count — level l has at most 2^(bits-l) ≤ distinct(v) keys, so this
+    shuffle is bounded by the value histogram, the equidepth_histogram
+    discipline), and only the ≤ Σ 2^(bits-l) distinct keys are md5'd
+    (via _dyadic_row_buckets — one md5 per key, nibble-split into the
+    depth row-buckets). The first draft hashed every (row, level, r)
+    triple: 192M md5 calls at sf1 vs ~2k here, 45 s → ~2 s. Final
+    state ≤ (bits-min_level) × depth × width rows regardless of data.
+    min_level > 0 trades rank resolution (queries must align to
+    2^min_level) for proportionally less pre-aggregate state."""
+    keys = F.array(*[
+        F.struct(F.lit(lv).alias("level"),
+                 F.expr(f"{value_col} div CAST(pow(2.0, {lv}) AS BIGINT)")
+                  .alias("key"))
+        for lv in range(min_level, bits)])
+    kh = (df.select(F.explode(keys).alias("k"))
+            .select("k.level", "k.key")
+            .groupBy("level", "key").agg(F.count("*").alias("cnt")))
+    rb = _dyadic_row_buckets(F.col("level"), F.col("key"), depth, width)
+    return (kh.select("level", "cnt", F.explode(rb).alias("b"))
+              .select("level", "b.r", "b.bucket", "cnt")
               .groupBy("level", "r", "bucket")
-              .agg(F.count("*").alias("c")))
+              .agg(F.sum("cnt").cast("long").alias("c")))
 
 
 def dyadic_cms_merge(*grids: DataFrame) -> DataFrame:
@@ -416,30 +439,19 @@ def dyadic_rank_estimates(cells: DataFrame, thresholds: DataFrame,
     estimates. Relational end-to-end: the grid is broadcast, the panel
     never shuffles. Output: (t, est_rank)."""
     probes = F.array(*[
-        F.struct(F.lit(lv).alias("level"), F.lit(r).alias("r"),
+        F.struct(F.lit(lv).alias("level"),
                  F.expr(f"t div CAST(pow(2.0, {lv}) AS BIGINT)")
                   .alias("shifted"))
-        for lv in range(min_level, bits) for r in range(depth)])
+        for lv in range(min_level, bits)])
     p = (thresholds.select("t", F.explode(probes).alias("p"))
-                   .select("t", "p.level", "p.r", "p.shifted")
+                   .select("t", "p.level", "p.shifted")
                    .filter(F.col("shifted") % 2 == 1)
-                   .withColumn("key", F.concat_ws(
-                       ":", F.col("level").cast("string"),
-                       (F.col("shifted") - 1).cast("string"))))
-    p = p.withColumn("bucket", _probe_bucket(F.col("key"), F.col("r"),
-                                             width))
+                   .withColumn("key", F.col("shifted") - 1))
+    rb = _dyadic_row_buckets(F.col("level"), F.col("key"), depth, width)
+    p = (p.select("t", "level", F.explode(rb).alias("b"))
+          .select("t", "level", "b.r", "b.bucket"))
     est = (p.join(F.broadcast(cells), ["level", "r", "bucket"], "left")
             .withColumn("cc", F.coalesce("c", F.lit(0)))
             .groupBy("t", "level").agg(F.min("cc").alias("e"))
             .groupBy("t").agg(F.sum("e").cast("long").alias("est_rank")))
     return est
-
-
-def _probe_bucket(term, r_col, width: int):
-    """_bucket with a COLUMN row index (the probe side carries r as
-    data): identical md5 fold, r rendered through the same string."""
-    return F.pmod(
-        F.conv(F.substring(F.md5(F.concat_ws("|", r_col.cast("string"),
-                                             term)), 1, 7),
-               16, 10).cast("long"),
-        F.lit(width))

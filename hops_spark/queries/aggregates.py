@@ -632,29 +632,35 @@ CMSQ_TARGETS = (250000, 500000, 750000, 900000)
         SELECT unnest(range({CMSQ_MIN_LEVEL}, {CMSQ_BITS})) AS l
     ), rows_ AS (
         SELECT unnest([0, 1, 2, 3]) AS r
+    ), kh AS (
+        -- per-level key histogram FIRST (integer-only), then one md5
+        -- per distinct key, nibble-split into the 4 row buckets —
+        -- mirrors ops/sketch.dyadic_cms_cells' build order
+        SELECT l, v // CAST(pow(2.0, l) AS BIGINT) AS key,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM c CROSS JOIN lvls
+        GROUP BY 1, 2
     ), cells AS (
         SELECT l AS level, r,
-               ('0x' || substring(md5(CAST(r AS VARCHAR) || '|'
-                   || CAST(l AS VARCHAR) || ':'
-                   || CAST(v // CAST(pow(2.0, l) AS BIGINT) AS VARCHAR)),
-                 1, 7))::BIGINT % 256 AS bucket,
-               CAST(count(*) AS BIGINT) AS c
-        FROM c CROSS JOIN lvls CROSS JOIN rows_
+               ('0x' || substring(md5(CAST(l AS VARCHAR) || ':'
+                   || CAST(key AS VARCHAR)), 7 * r + 1, 7))::BIGINT
+                 % 256 AS bucket,
+               CAST(sum(cnt) AS BIGINT) AS c
+        FROM kh CROSS JOIN rows_
         GROUP BY 1, 2, 3
     ), panel AS (
         SELECT CAST(j * {CMSQ_RES} AS BIGINT) AS t
         FROM (SELECT unnest(range(1, 256)) AS j)
     ), probe AS (
-        SELECT t, l, r, t // CAST(pow(2.0, l) AS BIGINT) AS shifted
-        FROM panel CROSS JOIN lvls CROSS JOIN rows_
+        SELECT t, l, t // CAST(pow(2.0, l) AS BIGINT) - 1 AS key
+        FROM panel CROSS JOIN lvls
         WHERE t // CAST(pow(2.0, l) AS BIGINT) % 2 = 1
     ), pb AS (
         SELECT t, l, r,
-               ('0x' || substring(md5(CAST(r AS VARCHAR) || '|'
-                   || CAST(l AS VARCHAR) || ':'
-                   || CAST(shifted - 1 AS VARCHAR)), 1, 7))::BIGINT % 256
-                 AS bucket
-        FROM probe
+               ('0x' || substring(md5(CAST(l AS VARCHAR) || ':'
+                   || CAST(key AS VARCHAR)), 7 * r + 1, 7))::BIGINT
+                 % 256 AS bucket
+        FROM probe CROSS JOIN rows_
     ), perlvl AS (
         SELECT pb.t, pb.l, min(coalesce(cells.c, 0)) AS e
         FROM pb LEFT JOIN cells

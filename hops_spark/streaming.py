@@ -505,10 +505,25 @@ def dyadic_quantile_stream(events: DataFrame, bits: int = 20,
     tests/test_streaming.py), and dyadic_rank_estimates answers
     rank/quantile queries against any snapshot of it. Values are
     cents folded into [0, 2^bits) by pmod — the same transform the
-    batch twin must apply."""
-    from hops_spark.ops.sketch import dyadic_cms_cells
+    batch twin must apply. The batch builder pre-aggregates the
+    per-level key histogram first (two chained aggregates — not a
+    streaming-supported shape), so the stream emits per-ROW cells
+    straight into the single stateful count; the bucket derivation
+    (_dyadic_row_buckets) is shared, so the drained grid is identical
+    anyway."""
+    from hops_spark.ops.sketch import DEPTH, WIDTH, _dyadic_row_buckets
 
     vals = events.select(
         F.pmod(F.expr("CAST(round(value * 100, 0) AS BIGINT)"),
                F.lit(1 << bits)).alias("v"))
-    return dyadic_cms_cells(vals, "v", bits, min_level)
+    keys = F.array(*[
+        F.struct(F.lit(lv).alias("level"),
+                 F.expr(f"v div CAST(pow(2.0, {lv}) AS BIGINT)")
+                  .alias("key"))
+        for lv in range(min_level, bits)])
+    k = vals.select(F.explode(keys).alias("k")).select("k.level", "k.key")
+    rb = _dyadic_row_buckets(F.col("level"), F.col("key"), DEPTH, WIDTH)
+    return (k.select("level", F.explode(rb).alias("b"))
+             .select("level", "b.r", "b.bucket")
+             .groupBy("level", "r", "bucket")
+             .agg(F.count("*").cast("long").alias("c")))
