@@ -28,11 +28,13 @@ PARTITION_SETTINGS = (7, 32)
 
 def main() -> int:
     args = sys.argv[1:]
+    full = "--all" in args
+    args = [a for a in args if a != "--all"]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     specs = load_all()
     names = [n for n in specs if not only or n in only]
-    if not only:
+    if not only and not full:
         names = names[:50]                    # driver-window scope
     spark = get_spark("determinism-check")
 
