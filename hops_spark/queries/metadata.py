@@ -960,3 +960,193 @@ def distcp_preserve_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (plan.select("rel", "mode", "uid", "gid", "mtime_ns",
                         "fix_mode", "fix_owner", "fix_times")
                 .orderBy("rel"))
+
+
+@register(
+    "xor_parity_audit",
+    sql="""
+    WITH blocks AS (
+        SELECT doc_id, doc_id // 4 AS stripe, md5(text) AS hx
+        FROM documents
+    ), sl AS (
+        SELECT stripe, doc_id,
+               ('0x' || substring(hx,  1, 8))::BIGINT AS b0,
+               ('0x' || substring(hx,  9, 8))::BIGINT AS b1,
+               ('0x' || substring(hx, 17, 8))::BIGINT AS b2,
+               ('0x' || substring(hx, 25, 8))::BIGINT AS b3
+        FROM blocks
+    ), par AS (
+        SELECT stripe,
+               CAST(bit_xor(b0) AS BIGINT) AS p0,
+               CAST(bit_xor(b1) AS BIGINT) AS p1,
+               CAST(bit_xor(b2) AS BIGINT) AS p2,
+               CAST(bit_xor(b3) AS BIGINT) AS p3,
+               min(doc_id) AS victim,
+               CAST(count(*) AS BIGINT) AS n_blocks
+        FROM sl GROUP BY stripe
+    ), oth AS (
+        SELECT s.stripe,
+               coalesce(bit_xor(s.b0) FILTER (s.doc_id <> p.victim), 0) AS o0,
+               coalesce(bit_xor(s.b1) FILTER (s.doc_id <> p.victim), 0) AS o1,
+               coalesce(bit_xor(s.b2) FILTER (s.doc_id <> p.victim), 0) AS o2,
+               coalesce(bit_xor(s.b3) FILTER (s.doc_id <> p.victim), 0) AS o3
+        FROM sl s JOIN par p USING (stripe) GROUP BY s.stripe
+    ), vic AS (
+        SELECT s.stripe, s.b0 AS v0, s.b1 AS v1, s.b2 AS v2, s.b3 AS v3
+        FROM sl s JOIN par p ON s.stripe = p.stripe AND s.doc_id = p.victim
+    )
+    SELECT p.stripe, p.n_blocks, p.p0, p.p1, p.p2, p.p3,
+           (xor(p.p0, o.o0) = v.v0 AND xor(p.p1, o.o1) = v.v1
+            AND xor(p.p2, o.o2) = v.v2 AND xor(p.p3, o.o3) = v.v3)
+             AS recovery_ok
+    FROM par p JOIN oth o ON o.stripe = p.stripe
+    JOIN vic v ON v.stripe = p.stripe
+    ORDER BY p.stripe
+    """,
+    doc="Erasure-coding XOR parity audit — the first ORACLE row for the "
+        "§2.10 coding family (previously byte-equal pytest only): "
+        "16-byte blocks (md5 digests of each doc) striped 4-wide, "
+        "parity computed by the REAL maintenance.xor_parity "
+        "applyInPandas kernel (numpy bitwise_xor fold over the binary "
+        "blocks), then sliced into four 32-bit words for the hash "
+        "contract. The recovery law rides as a computed boolean: "
+        "erase each stripe's min-doc block and check "
+        "parity XOR (XOR of survivors) == erased block — the actual "
+        "single-erasure repair identity, evaluated from the KERNEL's "
+        "parity bytes on the Spark side and re-derived by bit_xor "
+        "algebra in DuckDB. Scale: parity is a per-stripe commutative "
+        "fold (map-side combinable in principle; the kernel form "
+        "matches the reference's block-level encoder shape).",
+    tags=("maintenance", "coding"),
+)
+def xor_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.io.readers import load_table
+    from hops_spark.maintenance import xor_parity
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    blocks = d.select(
+        F.col("doc_id"), F.expr("doc_id div 4").alias("stripe"),
+        F.unhex(F.md5("text")).alias("data"),
+        F.md5("text").alias("hx"))
+    par = xor_parity(blocks.select("stripe", "data"), "stripe", "data")
+    phex = F.lower(F.hex("parity"))
+    pint = par.select(
+        "stripe",
+        *[F.conv(F.substring(phex, 1 + 8 * i, 8), 16, 10).cast("long")
+           .alias(f"p{i}") for i in range(4)])
+    sl = blocks.select(
+        "stripe", "doc_id",
+        *[F.conv(F.substring("hx", 1 + 8 * i, 8), 16, 10).cast("long")
+           .alias(f"b{i}") for i in range(4)])
+    agg = sl.groupBy("stripe").agg(
+        F.min("doc_id").alias("victim"),
+        F.count("*").cast("long").alias("n_blocks"))
+    oth = (sl.join(F.broadcast(agg), "stripe")
+             .groupBy("stripe")
+             .agg(*[F.coalesce(
+                 F.expr(f"bit_xor(CASE WHEN doc_id <> victim "
+                        f"THEN b{i} END)"), F.lit(0)).alias(f"o{i}")
+                 for i in range(4)]))
+    vic = (sl.join(F.broadcast(agg), "stripe")
+             .filter(F.col("doc_id") == F.col("victim"))
+             .select("stripe", *[F.col(f"b{i}").alias(f"v{i}")
+                                 for i in range(4)]))
+    ok = None
+    for i in range(4):
+        c = (F.expr(f"p{i} ^ o{i}") == F.col(f"v{i}"))
+        ok = c if ok is None else (ok & c)
+    return (pint.join(agg.select("stripe", "n_blocks"), "stripe")
+                .join(oth, "stripe").join(vic, "stripe")
+                .select("stripe", "n_blocks", "p0", "p1", "p2", "p3",
+                        ok.alias("recovery_ok"))
+                .orderBy("stripe"))
+
+
+def _rs_oracle_sql() -> str:
+    """Relational GF(2^8) replay for rs_parity_audit: the log/antilog
+    tables (generator 0x11d) are inlined as 256-entry list literals;
+    gf_mul(b, g^c) = exp[(log[b] + c) % 255] with the zero guard.
+    Block position i is the rank within the stripe (the kernel
+    enumerates sorted blocks), parity_j byte = XOR over i of
+    gf_mul(byte_i, g^(i*(j+1)))."""
+    from hops_spark.maintenance import _gf_tables
+    exp, log = _gf_tables()
+    exp_l = "[" + ", ".join(map(str, exp[:256])) + "]"
+    log_l = "[" + ", ".join(map(str, log)) + "]"
+    return f"""
+    WITH gf AS (
+        SELECT {exp_l} AS e, {log_l} AS lg
+    ), blocks AS (
+        SELECT doc_id, doc_id // 4 AS stripe, md5(text) AS hx,
+               CAST(row_number() OVER (PARTITION BY doc_id // 4
+                                       ORDER BY doc_id) - 1 AS BIGINT) AS i
+        FROM documents
+    ), by AS (
+        SELECT stripe, i, p.pos,
+               ('0x' || substring(hx, 2 * p.pos + 1, 2))::BIGINT AS b
+        FROM blocks, LATERAL (SELECT unnest([0, 1, 2, 3]) AS pos) p
+    ), mul AS (
+        SELECT stripe, pos, j.j,
+               CASE WHEN b = 0 THEN 0
+                    ELSE e[((lg[b + 1] + i * (j.j + 1)) % 255) + 1]
+               END AS m
+        FROM by CROSS JOIN gf, LATERAL (SELECT unnest([0, 1]) AS j) j
+    ), par AS (
+        SELECT stripe, j, pos, CAST(bit_xor(m) AS BIGINT) AS pb
+        FROM mul GROUP BY stripe, j, pos
+    ), wide AS (
+        SELECT stripe, j,
+               max(CASE WHEN pos = 0 THEN pb END) AS q0,
+               max(CASE WHEN pos = 1 THEN pb END) AS q1,
+               max(CASE WHEN pos = 2 THEN pb END) AS q2,
+               max(CASE WHEN pos = 3 THEN pb END) AS q3
+        FROM par GROUP BY stripe, j
+    ), nb AS (
+        SELECT stripe, CAST(count(*) AS BIGINT) AS n_blocks
+        FROM blocks GROUP BY stripe
+    )
+    SELECT w.stripe, CAST(w.j AS INTEGER) AS parity_idx, n.n_blocks,
+           w.q0, w.q1, w.q2, w.q3
+    FROM wide w JOIN nb n ON n.stripe = w.stripe
+    ORDER BY w.stripe, parity_idx
+    """
+
+
+@register(
+    "rs_parity_audit",
+    sql=_rs_oracle_sql(),
+    doc="Reed-Solomon parity audit — the GF(2^8) Vandermonde encoder "
+        "(maintenance.rs_encode, the hops erasure-coding role) hash-"
+        "proven against an INDEPENDENT relational replay: Spark runs "
+        "the real applyInPandas kernel (numpy byte arrays, log/antilog "
+        "multiply) on 4-byte md5-derived blocks striped 4-wide with 2 "
+        "parities, then exposes each parity's bytes as integer "
+        "columns; DuckDB recomputes every byte from inlined 256-entry "
+        "log/exp table literals — gf_mul as pure list indexing, XOR "
+        "fold as bit_xor. Any deviation in table construction, "
+        "coefficient order (g^(i*(j+1)), i = rank within stripe), or "
+        "the multiply itself hash-mismatches. Completes the coding "
+        "family's oracle coverage next to xor_parity_audit; "
+        "reconstruction (the 2x2 GF solve) stays byte-equal pytest.",
+    tags=("maintenance", "coding"),
+)
+def rs_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.io.readers import load_table
+    from hops_spark.maintenance import rs_encode
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hx = F.md5("text")
+    blocks = d.select(
+        F.expr("doc_id div 4").alias("stripe"),
+        F.col("doc_id").alias("block_idx"),
+        F.unhex(F.substring(hx, 1, 8)).alias("data"))
+    par = rs_encode(blocks, n_parity=2)
+    phex = F.lower(F.hex("parity"))
+    nb = blocks.groupBy("stripe").agg(
+        F.count("*").cast("long").alias("n_blocks"))
+    return (par.select(
+                "stripe", F.col("parity_idx"),
+                *[F.conv(F.substring(phex, 2 * i + 1, 2), 16, 10)
+                   .cast("long").alias(f"q{i}") for i in range(4)])
+               .join(F.broadcast(nb), "stripe")
+               .select("stripe", "parity_idx", "n_blocks",
+                       "q0", "q1", "q2", "q3")
+               .orderBy("stripe", "parity_idx"))

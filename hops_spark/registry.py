@@ -117,6 +117,8 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "cms_quantiles",         # dyadic-CMS quantile sketch (task 8)
     "shard_manifest",        # order-insensitive shard fingerprints
     "mixture_schedule",      # temperature-scaled source mixing (tau=2)
+    "xor_parity_audit",      # first oracle row for the coding family
+    "rs_parity_audit",       # GF(2^8) RS encoder vs relational replay
 )
 # Round-8 rotation plan: once CORRECTNESS_r07 lands green, fill freed
 # slots FIRST with this queue, THEN the round-7 REPROVE set —
