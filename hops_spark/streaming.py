@@ -527,3 +527,26 @@ def dyadic_quantile_stream(events: DataFrame, bits: int = 20,
              .select("level", "b.r", "b.bucket")
              .groupBy("level", "r", "bucket")
              .agg(F.count("*").cast("long").alias("c")))
+
+
+def shard_manifest_stream(docs: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Streaming training-shard MANIFEST maintenance: the running
+    per-shard (doc count, char volume, XOR content fingerprint) as a
+    single streaming aggregation — lineage/versioning for a corpus
+    that is still being ingested. Works because every manifest column
+    is a commutative monoid (count, sum, bit_xor), exactly the
+    property shard_manifest's batch docstring records for split-merge;
+    state is n_shards rows FOREVER. The drained manifest equals the
+    batch query's per-shard columns over the same files (asserted in
+    tests/test_streaming.py)."""
+    hx = F.md5(F.concat(F.lit("doc_"), F.col("doc_id").cast("string")))
+    ch = F.conv(F.substring(F.md5("text"), 1, 13), 16, 10).cast("long")
+    s = docs.select(
+        F.pmod(F.conv(F.substring(hx, 1, 7), 16, 10).cast("long"),
+               F.lit(n_shards)).alias("shard"),
+        F.col("n_chars"), ch.alias("content_h"))
+    return (s.groupBy("shard")
+             .agg(F.count("*").cast("long").alias("n_docs"),
+                  F.sum("n_chars").cast("long").alias("n_chars"),
+                  F.expr("bit_xor(content_h)").cast("long")
+                   .alias("content_fp")))

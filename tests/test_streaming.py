@@ -507,3 +507,23 @@ def test_dyadic_quantile_stream_equals_batch_and_answers_ranks(spark, sf_dir):
         exact = vals.filter(F.col("v") < t).count()
         assert est >= exact
         assert est - exact <= bound
+
+
+def test_shard_manifest_stream_equals_batch(spark, sf_dir):
+    """The streaming shard manifest (n_shards-row state: count / sum /
+    bit_xor are all commutative monoids) converges to the batch
+    shard_manifest query's per-shard columns over the same files."""
+    from hops_spark.registry import load_all
+    from hops_spark.streaming import (read_documents_stream,
+                                      run_to_completion,
+                                      shard_manifest_stream)
+
+    got = {r["shard"]: (r["n_docs"], r["n_chars"], r["content_fp"])
+           for r in run_to_completion(
+               shard_manifest_stream(read_documents_stream(spark, sf_dir)),
+               "manifest_stream").collect()}
+    want = {r["shard"]: (r["n_docs"], r["n_chars"], r["content_fp"])
+            for r in load_all()["shard_manifest"].fn(spark, sf_dir)
+            .select("shard", "n_docs", "n_chars", "content_fp").collect()}
+    assert got == want
+    assert len(got) <= 8
