@@ -394,3 +394,26 @@ def test_clean_corpus_weighted_dedup_only_tightens(spark, sf_dir, tmp_path):
     wj2 = clean_corpus(spark, sf_dir, str(tmp_path / "wj2"),
                        weighted_dedup=True)
     assert wj == wj2
+
+
+def test_clean_corpus_mixture_mode(spark, sf_dir, tmp_path):
+    """--mixture (temperature-scaled source downsampling, tau=2): only
+    removes docs (monotone vs the base run), is deterministic across
+    reruns, and leaves small sources intact (sqrt scaling lifts
+    below-average sources to keep_ppm = 1e6, the downsample-only cap)."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from clean_corpus import clean_corpus
+
+    base = clean_corpus(spark, sf_dir, str(tmp_path / "base"))
+    m1 = clean_corpus(spark, sf_dir, str(tmp_path / "m1"), mixture=True)
+    m2 = clean_corpus(spark, sf_dir, str(tmp_path / "m2"), mixture=True)
+    assert m1 == m2                              # rerun-stable
+    assert m1["after_mixture"] <= m1["after_perplexity"]
+    assert m1["written"] <= base["written"]
+    # every source still represented (tau=2 never zeroes a source)
+    out = spark.read.parquet(str(tmp_path / "m1" / "clean"))
+    n_src_out = out.select("source").distinct().count()
+    n_src_base = (spark.read.parquet(str(tmp_path / "base" / "clean"))
+                  .select("source").distinct().count())
+    assert n_src_out == n_src_base

@@ -52,7 +52,8 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
                  bench_source: str = "src0", nb_lang: bool = False,
                  out_format: str = "parquet",
                  survivor: str = "min_id",
-                 weighted_dedup: bool = False) -> dict:
+                 weighted_dedup: bool = False,
+                 mixture: bool = False) -> dict:
     d = load_table(spark, sf_dir, "documents")
     counts = {"input": d.count()}
 
@@ -135,6 +136,30 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
         d.join(scores.select("doc_id"), "doc_id", "left_anti"))
     counts["after_perplexity"] = d.count()
 
+    if mixture:
+        # temperature-scaled mixing (the queries/layout.mixture_schedule
+        # rule, tau=2): per-source keep-rate = the sqrt-scaled share
+        # over the raw share, capped at 1 (downsample-only in a
+        # single-epoch job; upsampling is the trainer's repeat knob).
+        # Rate applied as deterministic md5-hash sampling per doc —
+        # rerun-stable like every gate here.
+        src = (d.groupBy("source")
+                .agg(F.sum("n_chars").cast("long").alias("nc"))
+                .withColumn("w", F.expr(
+                    "CAST(floor(sqrt(CAST(nc AS DOUBLE))) AS BIGINT)")))
+        tot = src.agg(F.sum("nc").alias("ct"), F.sum("w").alias("wt"))
+        rates = (src.crossJoin(F.broadcast(tot))
+                    .select("source", F.expr(
+                        "least(1000000, (w * 1000000 div wt) * 1000000 "
+                        "div greatest(nc * 1000000 div ct, 1))")
+                        .alias("keep_ppm")))
+        hv = F.pmod(F.conv(F.substring(F.md5(F.concat(
+            F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 7),
+            16, 10).cast("long"), F.lit(1_000_000))
+        d = (d.join(F.broadcast(rates), "source")
+              .filter(hv < F.col("keep_ppm")).drop("keep_ppm"))
+        counts["after_mixture"] = d.count()
+
     d = split_assign(d, "doc_id", salt="split")
     out = os.path.join(out_dir, "clean")
     if out_format == "avro":
@@ -152,11 +177,12 @@ def main() -> None:
     args = sys.argv[1:]
     nb_lang = "--nb-lang" in args
     weighted_dedup = "--weighted-dedup" in args
+    mixture = "--mixture" in args
     out_format = "avro" if "--avro" in args else "parquet"
     survivor = "quality" if "--survivor-quality" in args else "min_id"
     args = [a for a in args
             if a not in ("--nb-lang", "--avro", "--survivor-quality",
-                         "--weighted-dedup")]
+                         "--weighted-dedup", "--mixture")]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     out_dir = args[1] if len(args) > 1 else "/tmp/clean_corpus_out"
     bench_source = "src0"
@@ -165,7 +191,8 @@ def main() -> None:
     spark = get_spark("clean-corpus")
     counts = clean_corpus(spark, sf_dir, out_dir, bench_source,
                           nb_lang=nb_lang, out_format=out_format,
-                          survivor=survivor, weighted_dedup=weighted_dedup)
+                          survivor=survivor, weighted_dedup=weighted_dedup,
+                          mixture=mixture)
     print(json.dumps({"job": "clean_corpus", "sf_dir": sf_dir,
                       "out": os.path.join(out_dir, "clean"), **counts}))
 
