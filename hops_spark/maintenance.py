@@ -415,12 +415,49 @@ def _gf_mul_bytes(a, coef: int):
     return out
 
 
+def _group_starts(g):
+    """Start offsets of each run in a sorted group array."""
+    import numpy as np
+    return np.nonzero(np.r_[True, g[1:] != g[:-1]])[0]
+
+
 def xor_parity(blocks: DataFrame, group_col: str = "stripe",
-               data_col: str = "data") -> DataFrame:
-    """XOR code (XORCode parity): parity block = XOR of the stripe's data
-    blocks, computed per group with applyInPandas."""
+               data_col: str = "data", batched: bool = False) -> DataFrame:
+    """XOR code (XORCode parity): parity block = XOR of the stripe's
+    data blocks. Two kernel shapes for two stripe regimes:
+
+    - default (applyInPandas per group): one Arrow round-trip PER
+      STRIPE — right when stripes are few and blocks are big (the
+      production erasure shape, 64-256 MB blocks).
+    - ``batched`` (repartition on the stripe key + mapInPandas, whole
+      partition folded with one np.bitwise_xor.reduceat): right when
+      stripes are MANY and tiny — per-group pandas overhead dominated
+      the audit queries at sf1 (14 s for 12.5k four-block stripes);
+      the batched fold is one round-trip per partition. Byte-equal to
+      the grouped kernel (pytest)."""
     import numpy as np
     import pandas as pd
+
+    if batched:
+        def fold_batches(pdf_iter):
+            pdfs = [p for p in pdf_iter if len(p)]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            g = pdf[group_col].to_numpy()
+            order = np.argsort(g, kind="stable")
+            g = g[order]
+            mat = np.stack([np.frombuffer(bytes(b), dtype=np.uint8)
+                            for b in pdf[data_col].to_numpy()[order]])
+            starts = _group_starts(g)
+            par = np.bitwise_xor.reduceat(mat, starts, axis=0)
+            yield pd.DataFrame({group_col: g[starts],
+                                "parity": [r.tobytes() for r in par]})
+
+        return (blocks.select(group_col, data_col)
+                      .repartition(group_col)
+                      .mapInPandas(fold_batches,
+                                   schema=f"{group_col} long, parity binary"))
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         acc = None
@@ -436,14 +473,57 @@ def xor_parity(blocks: DataFrame, group_col: str = "stripe",
 
 
 def rs_encode(blocks: DataFrame, n_parity: int = 2, group_col: str = "stripe",
-              idx_col: str = "block_idx", data_col: str = "data") -> DataFrame:
+              idx_col: str = "block_idx", data_col: str = "data",
+              batched: bool = False) -> DataFrame:
     """Reed-Solomon encode per stripe: parity_j = Σ_i gf_mul(data_i,
     g^(i·j)) (Vandermonde rows over GF(2^8)). Output: (stripe,
     parity_idx, parity). Matches ReedSolomonCode.encode's role
-    (MapReduceEncoder pipeline) without porting its code."""
+    (MapReduceEncoder pipeline) without porting its code. ``batched``
+    is the many-tiny-stripes shape (see xor_parity): whole partition
+    per Arrow round-trip, the GF multiply fully vectorized over the
+    byte matrix via the log/exp tables, XOR folds with reduceat —
+    byte-equal to the grouped kernel (pytest)."""
     import numpy as np
     import pandas as pd
-    exp, _ = _gf_tables()
+    exp, log = _gf_tables()
+
+    if batched:
+        exp_np = np.asarray(exp, dtype=np.int64)
+        log_np = np.asarray(log, dtype=np.int64)
+
+        def encode_batches(pdf_iter):
+            pdfs = [p for p in pdf_iter if len(p)]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            g = pdf[group_col].to_numpy()
+            ix = pdf[idx_col].to_numpy()
+            order = np.lexsort((ix, g))
+            g, _ = g[order], ix[order]
+            mat = np.stack([np.frombuffer(bytes(b), dtype=np.uint8)
+                            for b in pdf[data_col].to_numpy()[order]])
+            starts = _group_starts(g)
+            counts = np.diff(np.r_[starts, len(g)])
+            i = np.arange(len(g)) - np.repeat(starts, counts)
+            logs = log_np[mat]                       # (rows, blocklen)
+            out = []
+            for j in range(n_parity):
+                lc = (i * (j + 1)) % 255             # log of coefficient
+                m = exp_np[(logs + lc[:, None]) % 255]
+                m[mat == 0] = 0
+                par = np.bitwise_xor.reduceat(m, starts, axis=0)
+                out.append(pd.DataFrame(
+                    {group_col: g[starts], "parity_idx": j,
+                     "parity": [r.astype(np.uint8).tobytes()
+                                for r in par]}))
+            yield pd.concat(out, ignore_index=True)
+
+        return (blocks.select(group_col, idx_col, data_col)
+                      .repartition(group_col)
+                      .mapInPandas(
+                          encode_batches,
+                          schema=f"{group_col} long, parity_idx int, "
+                                 "parity binary"))
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(idx_col)

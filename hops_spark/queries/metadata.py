@@ -1027,7 +1027,8 @@ def xor_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"), F.expr("doc_id div 4").alias("stripe"),
         F.unhex(F.md5("text")).alias("data"),
         F.md5("text").alias("hx"))
-    par = xor_parity(blocks.select("stripe", "data"), "stripe", "data")
+    par = xor_parity(blocks.select("stripe", "data"), "stripe",
+                     "data", batched=True)
     phex = F.lower(F.hex("parity"))
     pint = par.select(
         "stripe",
@@ -1138,7 +1139,7 @@ def rs_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("doc_id div 4").alias("stripe"),
         F.col("doc_id").alias("block_idx"),
         F.unhex(F.substring(hx, 1, 8)).alias("data"))
-    par = rs_encode(blocks, n_parity=2)
+    par = rs_encode(blocks, n_parity=2, batched=True)
     phex = F.lower(F.hex("parity"))
     nb = blocks.groupBy("stripe").agg(
         F.count("*").cast("long").alias("n_blocks"))

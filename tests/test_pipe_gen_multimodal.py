@@ -489,3 +489,29 @@ def test_src_local_repair_reads_only_the_local_group(spark):
     got_rs = {r["stripe"]: bytes(r["data"])
               for r in rs_reconstruct(blocks, gl, lost).collect()}
     assert got_rs == want
+
+
+def test_batched_coding_kernels_byte_equal_grouped(spark):
+    """The many-tiny-stripes kernels (mapInPandas whole-partition fold)
+    are byte-equal to the per-group applyInPandas kernels for both XOR
+    and RS — including ragged stripes (last stripe short) and multiple
+    partitions."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.maintenance import rs_encode, xor_parity
+
+    blocks = (spark.range(0, 1003, 1, 7)
+              .select(F.expr("id div 4").alias("stripe"),
+                      F.pmod("id", F.lit(4)).cast("int").alias("block_idx"),
+                      F.unhex(F.substring(F.md5(F.col("id").cast("string")),
+                                          1, 16)).alias("data")))
+    xa = {r["stripe"]: bytes(r["parity"])
+          for r in xor_parity(blocks).collect()}
+    xb = {r["stripe"]: bytes(r["parity"])
+          for r in xor_parity(blocks, batched=True).collect()}
+    assert xa == xb
+    ra = {(r["stripe"], r["parity_idx"]): bytes(r["parity"])
+          for r in rs_encode(blocks, n_parity=3).collect()}
+    rb = {(r["stripe"], r["parity_idx"]): bytes(r["parity"])
+          for r in rs_encode(blocks, n_parity=3, batched=True).collect()}
+    assert ra == rb
