@@ -1151,3 +1151,103 @@ def rs_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("stripe", "parity_idx", "n_blocks",
                        "q0", "q1", "q2", "q3")
                .orderBy("stripe", "parity_idx"))
+
+
+def _rs_repair_oracle_sql() -> str:
+    """Relational replay of single-erasure RS repair: parity_0 and the
+    survivor sum are both GF(2^8) folds over the same tables; with the
+    erased block at index 0 (always present; g^0 = 1 so no inverse
+    multiply), recovered = parity_0 XOR sum_{i>0} gf_mul(d_i, g^i)."""
+    from hops_spark.maintenance import _gf_tables
+    exp, log = _gf_tables()
+    exp_l = "[" + ", ".join(map(str, exp[:256])) + "]"
+    log_l = "[" + ", ".join(map(str, log)) + "]"
+    return f"""
+    WITH gf AS (
+        SELECT {exp_l} AS e, {log_l} AS lg
+    ), blocks AS (
+        SELECT doc_id // 4 AS stripe, doc_id % 4 AS i, md5(text) AS hx
+        FROM documents
+    ), by AS (
+        SELECT stripe, i, p.pos,
+               ('0x' || substring(hx, 2 * p.pos + 1, 2))::BIGINT AS b
+        FROM blocks, LATERAL (SELECT unnest([0, 1, 2, 3]) AS pos) p
+    ), mul AS (
+        SELECT stripe, pos, i,
+               CASE WHEN b = 0 THEN 0
+                    ELSE e[((lg[b + 1] + i) % 255) + 1]
+               END AS m, b
+        FROM by CROSS JOIN gf
+    ), par0 AS (
+        SELECT stripe, pos, CAST(bit_xor(m) AS BIGINT) AS p
+        FROM mul GROUP BY stripe, pos
+    ), surv AS (
+        SELECT stripe, pos, CAST(bit_xor(m) AS BIGINT) AS s
+        FROM mul WHERE i <> 0 GROUP BY stripe, pos
+    ), orig AS (
+        SELECT stripe, pos, b AS o FROM mul WHERE i = 0
+    ), rec AS (
+        SELECT p0.stripe, p0.pos,
+               xor(p0.p, coalesce(sv.s, 0)) AS r, o.o
+        FROM par0 p0
+        LEFT JOIN surv sv ON sv.stripe = p0.stripe AND sv.pos = p0.pos
+        JOIN orig o ON o.stripe = p0.stripe AND o.pos = p0.pos
+    )
+    SELECT stripe,
+           max(CASE WHEN pos = 0 THEN r END) AS r0,
+           max(CASE WHEN pos = 1 THEN r END) AS r1,
+           max(CASE WHEN pos = 2 THEN r END) AS r2,
+           max(CASE WHEN pos = 3 THEN r END) AS r3,
+           bool_and(r = o) AS repaired_ok
+    FROM rec GROUP BY stripe
+    ORDER BY stripe
+    """
+
+
+@register(
+    "rs_repair_audit",
+    sql=_rs_repair_oracle_sql(),
+    doc="Reed-Solomon single-erasure REPAIR audit, closing the coding "
+        "family's oracle coverage (encode = rs_parity_audit): erase "
+        "each stripe's block 0, reconstruct it with the REAL "
+        "maintenance.rs_reconstruct kernel (survivors + parity_0, "
+        "times g^{-0}=1) from parities the batched encoder produced, "
+        "and ride repaired_ok = (recovered bytes == the erased "
+        "original) as a computed boolean — on the Spark side that "
+        "compares KERNEL output to source data, so any encode/repair "
+        "asymmetry flips it; DuckDB re-derives recovery from the same "
+        "GF algebra it uses for parity. Block index 0 is chosen "
+        "because it exists in every (possibly ragged) stripe and "
+        "needs no inverse multiply.",
+    tags=("maintenance", "coding"),
+)
+def rs_repair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.io.readers import load_table
+    from hops_spark.maintenance import rs_encode, rs_reconstruct
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hx = F.md5("text")
+    blocks = d.select(
+        F.expr("doc_id div 4").alias("stripe"),
+        F.pmod("doc_id", F.lit(4)).cast("int").alias("block_idx"),
+        F.unhex(F.substring(hx, 1, 8)).alias("data"))
+    par = rs_encode(blocks, n_parity=2, batched=True)
+    rec = rs_reconstruct(blocks, par, lost_idx=0)
+    rhex = F.lower(F.hex("data"))
+    rint = rec.select(
+        "stripe",
+        *[F.conv(F.substring(rhex, 2 * i + 1, 2), 16, 10).cast("long")
+           .alias(f"r{i}") for i in range(4)])
+    ohex = F.lower(F.hex("data"))
+    orig = (blocks.filter(F.col("block_idx") == 0)
+                  .select("stripe",
+                          *[F.conv(F.substring(ohex, 2 * i + 1, 2), 16, 10)
+                             .cast("long").alias(f"o{i}")
+                            for i in range(4)]))
+    ok = None
+    for i in range(4):
+        c = (F.col(f"r{i}") == F.col(f"o{i}"))
+        ok = c if ok is None else (ok & c)
+    return (rint.join(orig, "stripe")
+                .select("stripe", "r0", "r1", "r2", "r3",
+                        ok.alias("repaired_ok"))
+                .orderBy("stripe"))
