@@ -1251,3 +1251,98 @@ def rs_repair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("stripe", "r0", "r1", "r2", "r3",
                         ok.alias("repaired_ok"))
                 .orderBy("stripe"))
+
+
+@register(
+    "src_local_repair_audit",
+    sql="""
+    WITH blocks AS (
+        SELECT doc_id // 8 AS stripe, doc_id % 8 AS i,
+               (doc_id % 8) // 4 AS lg, md5(text) AS hx
+        FROM documents
+    ), by AS (
+        SELECT stripe, i, lg, p.pos,
+               ('0x' || substring(hx, 2 * p.pos + 1, 2))::BIGINT AS b
+        FROM blocks, LATERAL (SELECT unnest([0, 1, 2, 3]) AS pos) p
+    ), lp AS (
+        SELECT stripe, lg AS local_group, pos,
+               CAST(bit_xor(b) AS BIGINT) AS p
+        FROM by GROUP BY stripe, lg, pos
+    ), surv AS (
+        -- lost block = idx 1 (local group 0): group survivors only
+        SELECT stripe, pos, CAST(bit_xor(b) AS BIGINT) AS s
+        FROM by WHERE lg = 0 AND i <> 1 GROUP BY stripe, pos
+    ), orig AS (
+        SELECT stripe, pos, b AS o FROM by WHERE i = 1
+    ), rec AS (
+        SELECT l.stripe, l.pos, xor(l.p, s.s) AS r, o.o
+        FROM lp l
+        JOIN surv s ON s.stripe = l.stripe AND s.pos = l.pos
+        JOIN orig o ON o.stripe = l.stripe AND o.pos = l.pos
+        WHERE l.local_group = 0
+    ), ok AS (
+        SELECT stripe, bool_and(r = o) AS repaired_ok FROM rec
+        GROUP BY stripe
+    )
+    SELECT l.stripe, CAST(l.local_group AS BIGINT) AS local_group,
+           max(CASE WHEN pos = 0 THEN p END) AS lp0,
+           max(CASE WHEN pos = 1 THEN p END) AS lp1,
+           max(CASE WHEN pos = 2 THEN p END) AS lp2,
+           max(CASE WHEN pos = 3 THEN p END) AS lp3,
+           coalesce(bool_and(ok.repaired_ok), FALSE) AS repaired_ok
+    FROM lp l LEFT JOIN ok ON ok.stripe = l.stripe
+    GROUP BY l.stripe, l.local_group
+    ORDER BY l.stripe, local_group
+    """,
+    doc="Locally-repairable (SimpleRegeneratingCode-shaped) code audit "
+        "— the LOCAL half of maintenance.src_encode hash-certified: "
+        "stripes of 8 blocks in local groups of 4, each group's XOR "
+        "parity computed by the real kernel and sliced into 32-bit "
+        "words; the LOCALITY repair rides as a computed boolean — "
+        "block 1 is erased and rebuilt by src_repair_local, which by "
+        "contract reads ONLY its 4-block local group plus that "
+        "group's parity (never the stripe), and the recovered bytes "
+        "must equal the erased original. Stripes whose ragged tail "
+        "lacks block 1 report repaired_ok = FALSE on both engines "
+        "(nothing to repair). The RS global parities this code falls "
+        "back to for multi-loss are certified by rs_parity_audit/"
+        "rs_repair_audit.",
+    tags=("maintenance", "coding"),
+)
+def src_local_repair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.io.readers import load_table
+    from hops_spark.maintenance import src_encode, src_repair_local
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hx = F.md5("text")
+    blocks = d.select(
+        F.expr("doc_id div 8").alias("stripe"),
+        F.pmod("doc_id", F.lit(8)).cast("int").alias("block_idx"),
+        F.unhex(F.substring(hx, 1, 8)).alias("data"))
+    local, _global = src_encode(blocks, group_size=4, n_global_parity=1)
+    lhex = F.lower(F.hex("parity"))
+    lp = local.select(
+        "stripe", F.col("local_group").cast("long").alias("local_group"),
+        *[F.conv(F.substring(lhex, 2 * i + 1, 2), 16, 10).cast("long")
+           .alias(f"lp{i}") for i in range(4)])
+    rec = src_repair_local(blocks, local, lost_idx=1, group_size=4)
+    rhex = F.lower(F.hex("data"))
+    rint = rec.select(
+        "stripe", *[F.conv(F.substring(rhex, 2 * i + 1, 2), 16, 10)
+                     .cast("long").alias(f"r{i}") for i in range(4)])
+    ohex = F.lower(F.hex("data"))
+    orig = (blocks.filter(F.col("block_idx") == 1)
+                  .select("stripe",
+                          *[F.conv(F.substring(ohex, 2 * i + 1, 2), 16, 10)
+                             .cast("long").alias(f"o{i}")
+                            for i in range(4)]))
+    okc = None
+    for i in range(4):
+        c = (F.col(f"r{i}") == F.col(f"o{i}"))
+        okc = c if okc is None else (okc & c)
+    ok = (rint.join(orig, "stripe")
+              .select("stripe", okc.alias("repaired_ok")))
+    return (lp.join(ok, "stripe", "left")
+              .select("stripe", "local_group", "lp0", "lp1", "lp2", "lp3",
+                      F.coalesce("repaired_ok", F.lit(False))
+                       .alias("repaired_ok"))
+              .orderBy("stripe", "local_group"))

@@ -120,6 +120,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "xor_parity_audit",      # first oracle row for the coding family
     "rs_parity_audit",       # GF(2^8) RS encoder vs relational replay
     "rs_repair_audit",       # single-erasure repair, kernel vs algebra
+    "src_local_repair_audit",  # locally-repairable group parity+repair
 )
 # Round-8 rotation plan: once CORRECTNESS_r07 lands green, fill freed
 # slots FIRST with this queue, THEN the round-7 REPROVE set —
