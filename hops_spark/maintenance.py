@@ -652,8 +652,8 @@ def rs_reconstruct2(blocks: DataFrame, parities: DataFrame,
 
 def src_encode(blocks: DataFrame, group_size: int = 5,
                n_global_parity: int = 2, group_col: str = "stripe",
-               idx_col: str = "block_idx", data_col: str = "data"
-               ) -> tuple[DataFrame, DataFrame]:
+               idx_col: str = "block_idx", data_col: str = "data",
+               batched: bool = False) -> tuple[DataFrame, DataFrame]:
     """SimpleRegeneratingCode-shaped LOCALLY REPAIRABLE code
     (hops-erasure-coding-project/.../SimpleRegeneratingCode.java — same
     contract, not a port): the stripe's data blocks split into local
@@ -672,19 +672,20 @@ def src_encode(blocks: DataFrame, group_size: int = 5,
         grouped.withColumn(
             group_col,
             F.col(group_col) * 1_000_000 + F.col("_lg")),
-        group_col, data_col)
+        group_col, data_col, batched=batched)
         .select((F.col(group_col) / 1_000_000).cast("long").alias(group_col),
                 F.pmod(F.col(group_col), F.lit(1_000_000)).cast("long")
                  .alias("local_group"),
                 "parity"))
     return local, rs_encode(blocks, n_global_parity, group_col,
-                            idx_col, data_col)
+                            idx_col, data_col, batched=batched)
 
 
 def src_repair_local(blocks: DataFrame, local_parities: DataFrame,
                      lost_idx: int, group_size: int = 5,
                      group_col: str = "stripe", idx_col: str = "block_idx",
-                     data_col: str = "data") -> DataFrame:
+                     data_col: str = "data",
+                     batched: bool = False) -> DataFrame:
     """Single-loss LOCAL repair: lost block = XOR of its local group's
     survivors and the group's parity. The input is FILTERED to the lost
     block's group before any compute — the scan touches group_size
@@ -701,6 +702,13 @@ def src_repair_local(blocks: DataFrame, local_parities: DataFrame,
     par = (local_parities.filter(F.col("local_group") == lg)
                          .select(group_col, F.col("parity").alias("_d")))
     both = peers.unionByName(par)
+    if batched:
+        # the rebuild IS an XOR fold over (survivors + parity) —
+        # delegate to the batched kernel (byte-equal, see xor_parity)
+        return (xor_parity(both, group_col, "_d", batched=True)
+                .select(group_col, F.lit(lost_idx).cast("int")
+                         .alias(idx_col),
+                        F.col("parity").alias(data_col)))
 
     def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
         acc = None

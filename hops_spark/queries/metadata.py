@@ -1318,13 +1318,15 @@ def src_local_repair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("doc_id div 8").alias("stripe"),
         F.pmod("doc_id", F.lit(8)).cast("int").alias("block_idx"),
         F.unhex(F.substring(hx, 1, 8)).alias("data"))
-    local, _global = src_encode(blocks, group_size=4, n_global_parity=1)
+    local, _global = src_encode(blocks, group_size=4,
+                                n_global_parity=1, batched=True)
     lhex = F.lower(F.hex("parity"))
     lp = local.select(
         "stripe", F.col("local_group").cast("long").alias("local_group"),
         *[F.conv(F.substring(lhex, 2 * i + 1, 2), 16, 10).cast("long")
            .alias(f"lp{i}") for i in range(4)])
-    rec = src_repair_local(blocks, local, lost_idx=1, group_size=4)
+    rec = src_repair_local(blocks, local, lost_idx=1, group_size=4,
+                           batched=True)
     rhex = F.lower(F.hex("data"))
     rint = rec.select(
         "stripe", *[F.conv(F.substring(rhex, 2 * i + 1, 2), 16, 10)

@@ -515,3 +515,31 @@ def test_batched_coding_kernels_byte_equal_grouped(spark):
     rb = {(r["stripe"], r["parity_idx"]): bytes(r["parity"])
           for r in rs_encode(blocks, n_parity=3, batched=True).collect()}
     assert ra == rb
+
+
+def test_batched_src_repair_byte_equal_grouped(spark):
+    """The batched SRC paths (src_encode/src_repair_local delegating to
+    the batched XOR kernel) are byte-equal to the grouped originals."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.maintenance import src_encode, src_repair_local
+
+    blocks = (spark.range(0, 403, 1, 5)
+              .select(F.expr("id div 8").alias("stripe"),
+                      F.pmod("id", F.lit(8)).cast("int").alias("block_idx"),
+                      F.unhex(F.substring(F.md5(F.col("id").cast("string")),
+                                          1, 16)).alias("data")))
+    la, _ = src_encode(blocks, group_size=4, n_global_parity=1)
+    lb, _ = src_encode(blocks, group_size=4, n_global_parity=1,
+                       batched=True)
+    ka = {(r["stripe"], r["local_group"]): bytes(r["parity"])
+          for r in la.collect()}
+    kb = {(r["stripe"], r["local_group"]): bytes(r["parity"])
+          for r in lb.collect()}
+    assert ka == kb
+    ra = {r["stripe"]: bytes(r["data"])
+          for r in src_repair_local(blocks, la, 2, group_size=4).collect()}
+    rb = {r["stripe"]: bytes(r["data"])
+          for r in src_repair_local(blocks, lb, 2, group_size=4,
+                                    batched=True).collect()}
+    assert ra == rb
