@@ -453,7 +453,19 @@ def default_value(sch, jd):
     fixed use ISO-8859-1 codepoint strings; a union's default matches
     its FIRST branch)."""
     if isinstance(sch, list):
-        return default_value(sch[0], jd)
+        v = default_value(sch[0], jd)
+        non_null = [b for b in sch if b != "null"]
+        if len(non_null) > 1:
+            # complex union -> spark-avro member struct, mirroring
+            # read_resolved/read_datum: a default-filled reader-only
+            # field of complex-union type must be struct-shaped too
+            # (the default matches the FIRST branch per the spec)
+            if sch[0] == "null":
+                return None
+            out = {f"member{i}": None for i in range(len(non_null))}
+            out["member0"] = v      # first branch is non-null here
+            return out
+        return v
     t = sch if isinstance(sch, str) else sch["type"]
     lt = {} if isinstance(sch, str) else sch
     if t == "null":
@@ -761,7 +773,8 @@ def read_container_split(path: str, start: int, end: int,
     by scanning for the sync marker from start-16 (so a block starting
     exactly at ``start`` is owned by this split, not the previous one).
     Adjacent splits therefore partition the blocks exactly."""
-    with open(path, "rb") as f:
+    decompress = _codec_fns(codec)[1]   # hoisted: one registry lookup
+    with open(path, "rb") as f:         # (and import probe), not per block
         if start <= body_offset:
             pos = body_offset
         else:
@@ -785,7 +798,7 @@ def read_container_split(path: str, start: int, end: int,
                 raise EOFError("avro block truncated")
             if f.read(16) != sync:
                 raise ValueError("sync marker mismatch (corrupt block)")
-            data = _codec_fns(codec)[1](data)
+            data = decompress(data)
             bd = Decoder(data)
             if reader_schema is None:
                 for _ in range(count):
@@ -801,12 +814,13 @@ def read_container(buf: bytes, reader_schema=None):
     With ``reader_schema``, rows are resolved writer->reader per the
     spec's Schema Resolution rules (read_resolved)."""
     schema, codec, sync, pos = read_header(buf)
+    decompress = _codec_fns(codec)[1]
     d = Decoder(buf, pos)
     while d.pos < len(buf):
         count = d.read_long()
         size = d.read_long()
         data = d._take(size)
-        data = _codec_fns(codec)[1](data)
+        data = decompress(data)
         if d._take(16) != sync:
             raise ValueError("sync marker mismatch (corrupt block)")
         bd = Decoder(data)

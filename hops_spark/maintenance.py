@@ -115,17 +115,19 @@ def stat_listing(listing: DataFrame) -> DataFrame:
 
 def _apply_preserve(dst: str, row, flags: str) -> None:
     """Apply the requested attribute set to one copied file — the
-    CopyCommitter/DistCpUtils.preserve order (times LAST: a chmod or
-    chown would bump ctime but must not clobber the preserved
-    mtime/atime). Failures raise: the reference fails the task when a
-    requested preservation cannot be honored, it never silently
-    downgrades."""
-    if "p" in flags:
-        os.chmod(dst, row.mode)
+    CopyCommitter/DistCpUtils.preserve order: OWNER before PERMISSION
+    (chown on Linux clears setuid/setgid from executables, so a
+    chmod-first order would silently strip preserved 04xxx/02xxx
+    bits), times LAST (a chmod or chown bumps ctime but must not
+    clobber the preserved mtime/atime). Failures raise: the reference
+    fails the task when a requested preservation cannot be honored, it
+    never silently downgrades."""
     if "u" in flags or "g" in flags:
         os.chown(dst,
                  row.uid if "u" in flags else -1,
                  row.gid if "g" in flags else -1)
+    if "p" in flags:
+        os.chmod(dst, row.mode)
     if "t" in flags:
         os.utime(dst, ns=(row.atime_ns, row.mtime_ns))
 
@@ -352,11 +354,15 @@ def attr_repair_run(plan: DataFrame, flags: str = "pugt") -> int:
     def fix_partition(rows) -> None:
         for r in rows:
             dst = r.dst.removeprefix("file:")
-            if r.fix_mode:
-                os.chmod(dst, r.mode)
+            # owner BEFORE mode (chown clears setuid/setgid bits —
+            # same ordering contract as _apply_preserve), times last
             if r.fix_owner:
                 os.chown(dst, r.uid if "u" in flags else -1,
                          r.gid if "g" in flags else -1)
+            # re-assert mode after ANY chown, not only on mode drift:
+            # the chown itself may have just stripped setuid/setgid
+            if r.fix_mode or (r.fix_owner and "p" in flags):
+                os.chmod(dst, r.mode)
             if r.fix_times:
                 os.utime(dst, ns=(r.atime_ns, r.mtime_ns))
 

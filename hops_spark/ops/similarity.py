@@ -504,12 +504,45 @@ def probe_cell_index(spark, index_dir: str,
 
     The probed-cell collect is bounded by n_queries x nprobe ids
     (driver-side metadata, like the codebook itself). Returns
-    (top-k DataFrame, probed cell ids) so callers can assert pruning."""
+    (top-k DataFrame, probed cell ids) so callers can assert pruning.
+
+    Beyond GEMM_ASSIGN_CELLS cells the probe-cell choice moves off the
+    Column-literal codebook too (the build side's note-67 analysis
+    wall applies identically here): the query panel is already a
+    bounded driver-side collect, so the top-nprobe cells per query
+    come from one numpy GEMM with the same (rounded sim desc, larger
+    cell id) ordering, and the probe table ships back as data."""
     vectors = spark.read.parquet(index_dir)
-    probes = F.slice(F.reverse(F.array_sort(
-        _cell_sims(F.col(qvec_col), centroids))), 1, nprobe)
-    qb = (queries.withColumn("_p", F.explode(probes))
-                 .select(qid_col, qvec_col, F.col("_p.cell").alias("cell")))
+    if len(centroids) > GEMM_ASSIGN_CELLS:
+        import numpy as np
+        from pyspark.sql import types as T
+        q_rows = queries.select(qid_col, qvec_col).collect()
+        cid = np.array([c for c, _ in centroids], dtype=np.int64)
+        order = np.argsort(cid)
+        cid = cid[order]
+        cm = np.asarray([centroids[i][1] for i in order],
+                        dtype=np.float64)
+        cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True),
+                         1e-300)
+        out = []
+        for r in q_rows:
+            v = np.asarray(r[1], dtype=np.float64)
+            v /= max(float(np.linalg.norm(v)), 1e-300)
+            s = np.round(cm @ v, 6)
+            # (sim desc, cell id desc) — lexsort's LAST key is primary
+            idx = np.lexsort((cid, s))[::-1][:nprobe]
+            out.extend((r[0], r[1], int(cid[i])) for i in idx)
+        qvec_type = queries.schema[qvec_col].dataType
+        qb = spark.createDataFrame(out, schema=T.StructType([
+            T.StructField(qid_col, T.LongType()),
+            T.StructField(qvec_col, qvec_type),
+            T.StructField("cell", T.LongType())]))
+    else:
+        probes = F.slice(F.reverse(F.array_sort(
+            _cell_sims(F.col(qvec_col), centroids))), 1, nprobe)
+        qb = (queries.withColumn("_p", F.explode(probes))
+                     .select(qid_col, qvec_col,
+                             F.col("_p.cell").alias("cell")))
     cells_needed = sorted(r["cell"] for r in
                           qb.select("cell").distinct().collect())
     pruned = vectors.where(F.col("cell").isin(cells_needed))
@@ -540,15 +573,21 @@ def append_cell_index(new_vectors: DataFrame,
     cell partitions; dynamic-partition append touches only the cells
     the batch lands in). Probes see old + new immediately; re-running
     build_cell_index (full rebuild + k-means refresh) is the periodic
-    compaction, not the ingest path."""
-    cell_of = F.array_max(_cell_sims(F.col(vec_col), centroids)) \
-               .getField("cell")
+    compaction, not the ingest path. Above GEMM_ASSIGN_CELLS cells the
+    assignment rides the GEMM data path like build/probe (note 67)."""
     q = quantize_int8(new_vectors, id_col, vec_col) \
         .withColumnRenamed("q", "q_int8")
-    (new_vectors.select(id_col, vec_col).withColumn("cell", cell_of)
-                .join(q, id_col)
-                .select(id_col, "cell", "scale", "q_int8")
-                .write.mode("append").partitionBy("cell").parquet(index_dir))
+    if len(centroids) > GEMM_ASSIGN_CELLS:
+        assigned = assign_cells_gemm(new_vectors, centroids, id_col,
+                                     vec_col)
+    else:
+        cell_of = F.array_max(_cell_sims(F.col(vec_col), centroids)) \
+                   .getField("cell")
+        assigned = (new_vectors.select(id_col, vec_col)
+                               .withColumn("cell", cell_of))
+    (assigned.join(q, id_col)
+             .select(id_col, "cell", "scale", "q_int8")
+             .write.mode("append").partitionBy("cell").parquet(index_dir))
 
 
 def knn_bruteforce_gemm(corpus: DataFrame, queries: DataFrame, k: int = 10,

@@ -388,6 +388,17 @@ def _dyadic_row_buckets(level_col, key_col, depth: int, width: int):
         for r in range(depth)])
 
 
+def _dyadic_level_keys(value_col: str, bits: int, min_level: int):
+    """Array of (level, key = value >> level) structs for one row — the
+    SHARED level-key derivation (batch build and the streaming twin
+    must stay in lockstep for the stream ≡ batch grid equality)."""
+    return F.array(*[
+        F.struct(F.lit(lv).alias("level"),
+                 F.expr(f"{value_col} div CAST(pow(2.0, {lv}) AS BIGINT)")
+                  .alias("key"))
+        for lv in range(min_level, bits)])
+
+
 def dyadic_cms_cells(df: DataFrame, value_col: str, bits: int,
                      min_level: int = 0, depth: int = DEPTH,
                      width: int = WIDTH) -> DataFrame:
@@ -404,11 +415,7 @@ def dyadic_cms_cells(df: DataFrame, value_col: str, bits: int,
     state ≤ (bits-min_level) × depth × width rows regardless of data.
     min_level > 0 trades rank resolution (queries must align to
     2^min_level) for proportionally less pre-aggregate state."""
-    keys = F.array(*[
-        F.struct(F.lit(lv).alias("level"),
-                 F.expr(f"{value_col} div CAST(pow(2.0, {lv}) AS BIGINT)")
-                  .alias("key"))
-        for lv in range(min_level, bits)])
+    keys = _dyadic_level_keys(value_col, bits, min_level)
     kh = (df.select(F.explode(keys).alias("k"))
             .select("k.level", "k.key")
             .groupBy("level", "key").agg(F.count("*").alias("cnt")))

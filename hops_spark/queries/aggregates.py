@@ -615,6 +615,9 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("bucket"))
 
 
+from hops_spark.ops.sketch import DEPTH as CMSQ_DEPTH  # noqa: E402
+from hops_spark.ops.sketch import WIDTH as CMSQ_WIDTH  # noqa: E402
+
 CMSQ_MIN_LEVEL = 16            # boundary resolution 2^16 cents
 CMSQ_BITS = 24                 # value domain [0, 2^24) cents
 CMSQ_RES = 1 << CMSQ_MIN_LEVEL
@@ -631,7 +634,7 @@ CMSQ_TARGETS = (250000, 500000, 750000, 900000)
     ), lvls AS (
         SELECT unnest(range({CMSQ_MIN_LEVEL}, {CMSQ_BITS})) AS l
     ), rows_ AS (
-        SELECT unnest([0, 1, 2, 3]) AS r
+        SELECT unnest([{", ".join(str(r) for r in range(CMSQ_DEPTH))}]) AS r
     ), kh AS (
         -- per-level key histogram FIRST (integer-only), then one md5
         -- per distinct key, nibble-split into the 4 row buckets —
@@ -644,7 +647,7 @@ CMSQ_TARGETS = (250000, 500000, 750000, 900000)
         SELECT l AS level, r,
                ('0x' || substring(md5(CAST(l AS VARCHAR) || ':'
                    || CAST(key AS VARCHAR)), 7 * r + 1, 7))::BIGINT
-                 % 256 AS bucket,
+                 % {CMSQ_WIDTH} AS bucket,
                CAST(sum(cnt) AS BIGINT) AS c
         FROM kh CROSS JOIN rows_
         GROUP BY 1, 2, 3
@@ -659,7 +662,7 @@ CMSQ_TARGETS = (250000, 500000, 750000, 900000)
         SELECT t, l, r,
                ('0x' || substring(md5(CAST(l AS VARCHAR) || ':'
                    || CAST(key AS VARCHAR)), 7 * r + 1, 7))::BIGINT
-                 % 256 AS bucket
+                 % {CMSQ_WIDTH} AS bucket
         FROM probe CROSS JOIN rows_
     ), perlvl AS (
         SELECT pb.t, pb.l, min(coalesce(cells.c, 0)) AS e
@@ -690,7 +693,7 @@ CMSQ_TARGETS = (250000, 500000, 750000, 900000)
     SELECT q_ppm, boundary_cents, r.est_rank, e.exact_rank,
            r.est_rank >= e.exact_rank AS never_underestimates,
            r.est_rank - e.exact_rank
-             <= ({CMSQ_LEVELS} * 3 * n) // 256 AS within_eps
+             <= ({CMSQ_LEVELS} * 3 * n) // {CMSQ_WIDTH} AS within_eps
     FROM crossing
     JOIN ranks r ON r.t = boundary_cents
     JOIN exact e ON e.t = boundary_cents
@@ -749,6 +752,6 @@ def cms_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("est_rank") >= F.col("exact_rank"))
                     .alias("never_underestimates"),
                     (F.col("est_rank") - F.col("exact_rank")
-                     <= F.expr(f"({CMSQ_LEVELS} * 3 * n) div 256"))
+                     <= F.expr(f"({CMSQ_LEVELS} * 3 * n) div {CMSQ_WIDTH}"))
                     .alias("within_eps"))
             .orderBy("q_ppm"))

@@ -511,16 +511,13 @@ def dyadic_quantile_stream(events: DataFrame, bits: int = 20,
     straight into the single stateful count; the bucket derivation
     (_dyadic_row_buckets) is shared, so the drained grid is identical
     anyway."""
-    from hops_spark.ops.sketch import DEPTH, WIDTH, _dyadic_row_buckets
+    from hops_spark.ops.sketch import (DEPTH, WIDTH, _dyadic_level_keys,
+                                       _dyadic_row_buckets)
 
     vals = events.select(
         F.pmod(F.expr("CAST(round(value * 100, 0) AS BIGINT)"),
                F.lit(1 << bits)).alias("v"))
-    keys = F.array(*[
-        F.struct(F.lit(lv).alias("level"),
-                 F.expr(f"v div CAST(pow(2.0, {lv}) AS BIGINT)")
-                  .alias("key"))
-        for lv in range(min_level, bits)])
+    keys = _dyadic_level_keys("v", bits, min_level)
     k = vals.select(F.explode(keys).alias("k")).select("k.level", "k.key")
     rb = _dyadic_row_buckets(F.col("level"), F.col("key"), DEPTH, WIDTH)
     return (k.select("level", F.explode(rb).alias("b"))

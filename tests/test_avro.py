@@ -567,10 +567,19 @@ def test_optional_codec_roundtrip_pure_python(tmp_path):
         p = str(tmp_path / f"c_{codec}.avro")
         A.write_container(p, sch, rows, codec=codec, block_rows=17)
         assert list(A.read_container(open(p, "rb").read())) == rows
-    for absent in ("snappy", "zstandard"):
-        with pytest.raises(ValueError, match="needs the python-"):
-            A.write_container(str(tmp_path / "x.avro"), sch, rows,
-                              codec=absent)
+    for maybe in ("snappy", "zstandard"):
+        try:
+            __import__(maybe)
+        except ImportError:
+            # absent here: requesting it must raise the env-gap error
+            with pytest.raises(ValueError, match="needs the python-"):
+                A.write_container(str(tmp_path / "x.avro"), sch, rows,
+                                  codec=maybe)
+        else:
+            # present (e.g. pulled in later): it must just round-trip
+            p = str(tmp_path / f"c_{maybe}.avro")
+            A.write_container(p, sch, rows, codec=maybe, block_rows=17)
+            assert list(A.read_container(open(p, "rb").read())) == rows
 
 
 def test_java_library_reads_python_bzip2_xz(spark, tmp_path):
@@ -628,3 +637,23 @@ def test_split_reads_work_on_optional_codecs(spark, tmp_path):
         back = A.read_avro(spark, path)
         assert sorted((r.a, r.b) for r in back.collect()) == \
             [(i, f"x{i}") for i in range(300)]
+
+
+def test_reader_default_complex_union_is_member_struct(tmp_path):
+    """A reader-only field of COMPLEX-union type filled from its default
+    must be memberN-struct-shaped, exactly like present values (the
+    round-7 review finding: default_value returned the bare branch
+    while avro_to_spark maps the union to struct<member0,member1>)."""
+    w = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "long"}]}
+    r = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "u", "type": ["long", "string"], "default": 7},
+        {"name": "nu", "type": ["null", "long", "string"],
+         "default": None}]}
+    p = str(tmp_path / "w.avro")
+    A.write_container(p, w, [{"k": 1}, {"k": 2}])
+    got = list(A.read_container(open(p, "rb").read(), reader_schema=r))
+    assert got == [
+        {"k": 1, "u": {"member0": 7, "member1": None}, "nu": None},
+        {"k": 2, "u": {"member0": 7, "member1": None}, "nu": None}]

@@ -308,3 +308,38 @@ def test_update_repairs_drifted_attributes_only(spark, tmp_path):
         s, d = os.stat(p), os.stat(q)
         assert (d.st_mode & 0o7777) == (s.st_mode & 0o7777)
         assert d.st_mtime_ns == s.st_mtime_ns
+
+
+def test_preserve_owner_then_mode_keeps_setuid(spark, tmp_path):
+    """chown clears setuid/setgid on Linux, so preservation must apply
+    owner BEFORE mode (the DistCpUtils.preserve order) — a 04755
+    source file keeps its setuid bit through -p pug copy AND through
+    an owner-drift repair."""
+    import pytest
+    from hops_spark.maintenance import (attr_repair_plan, attr_repair_run,
+                                        distcp_run, stat_listing)
+    if os.geteuid() != 0:
+        pytest.skip("chown needs root")
+    srcroot, dstroot = str(tmp_path / "src"), str(tmp_path / "dst")
+    _make_tree(srcroot, 1, size=64)
+    f = glob.glob(srcroot + "/**/*.bin", recursive=True)[0]
+    os.chown(f, 1234, 1234)
+    os.chmod(f, 0o4755)           # chmod AFTER chown (chown clears suid)
+    plan = distcp_plan(stat_listing(list_files(spark, srcroot)),
+                       srcroot, dstroot, tasks=1)
+    assert distcp_run(plan, preserve="pug") == 1
+    q = dstroot + f[len(srcroot):]
+    assert os.stat(q).st_mode & 0o7777 == 0o4755
+    assert (os.stat(q).st_uid, os.stat(q).st_gid) == (1234, 1234)
+    # repair path: drift ONLY the owner; the fix must re-assert mode
+    # after its chown, or the repair itself would strip setuid
+    os.chown(q, 0, 0)
+    os.chmod(q, 0o4755)
+    rep = attr_repair_plan(stat_listing(list_files(spark, srcroot)),
+                           stat_listing(list_files(spark, dstroot)),
+                           srcroot, dstroot, flags="pug")
+    rows = rep.collect()
+    assert len(rows) == 1 and rows[0].fix_owner and not rows[0].fix_mode
+    attr_repair_run(rep, flags="pug")
+    assert os.stat(q).st_mode & 0o7777 == 0o4755
+    assert (os.stat(q).st_uid, os.stat(q).st_gid) == (1234, 1234)
