@@ -88,6 +88,13 @@ def stat_listing(listing: DataFrame) -> DataFrame:
     permission bits), uid, gid, mtime_ns, atime_ns."""
     from pyspark.sql.types import StructField, StructType
 
+    # Re-statting an already-statted listing (e.g. refreshing attrs for
+    # attr_repair_plan) must replace the attribute columns, not append
+    # duplicates — a duplicate-column schema fails at analysis
+    # (round-7 ADVICE).
+    attr_cols = ("mode", "uid", "gid", "mtime_ns", "atime_ns")
+    listing = listing.drop(*[c for c in attr_cols
+                             if c in listing.columns])
     schema = StructType(listing.schema.fields + [
         StructField("mode", T.IntegerType()),
         StructField("uid", T.IntegerType()),

@@ -532,10 +532,12 @@ def probe_cell_index(spark, index_dir: str,
             # (sim desc, cell id desc) — lexsort's LAST key is primary
             idx = np.lexsort((cid, s))[::-1][:nprobe]
             out.extend((r[0], r[1], int(cid[i])) for i in idx)
-        qvec_type = queries.schema[qvec_col].dataType
         qb = spark.createDataFrame(out, schema=T.StructType([
-            T.StructField(qid_col, T.LongType()),
-            T.StructField(qvec_col, qvec_type),
+            # preserve the caller's qid type like the Column branch
+            # does — a hard-coded LongType broke/coerced non-long ids
+            # only above GEMM_ASSIGN_CELLS (round-7 ADVICE)
+            T.StructField(qid_col, queries.schema[qid_col].dataType),
+            T.StructField(qvec_col, queries.schema[qvec_col].dataType),
             T.StructField("cell", T.LongType())]))
     else:
         probes = F.slice(F.reverse(F.array_sort(
@@ -643,6 +645,14 @@ def knn_bruteforce_gemm(corpus: DataFrame, queries: DataFrame, k: int = 10,
                              1e-300)
             s = cm @ qm.T                       # (batch, n_q) — one GEMM
             sr = np.round(s, 6)                 # prune on the RANK grid
+            # Self-row mask: when the query panel is a subset of the
+            # corpus (knn_gemm's shape), the query's own corpus row
+            # scores cosine 1.0 and would consume a seed slot that the
+            # rerank's self-exclusion filter then discards — with
+            # margin=0 the true k-th neighbor could be evicted. Drop it
+            # from the pruning grid so every seed slot holds a real
+            # candidate (round-7 ADVICE).
+            sr[ids[:, None] == q_ids[None, :]] = -np.inf
             t = min(take, len(ids))
             seed = np.argpartition(-sr, t - 1, axis=0)[:t]  # (t, n_q)
             # t-th rounded score per query, minus one grid step of slack:
@@ -858,7 +868,16 @@ def assign_cells_gemm(corpus: DataFrame, centroids: list,
     n_cells = len(cid_arr)
     use_two_level = n_coarse is not None
     if use_two_level:
-        qm = cm[:n_coarse]
+        # The coarse codebook is the first n_coarse centroids in
+        # ORIGINAL (md5-ordered) list order — the same rows
+        # coarse_codebook/two_level_cell promote — NOT the first rows
+        # of the id-sorted matrix, which is a different set whenever
+        # the md5 order differs from id order; both two-level paths
+        # must probe one shared coarse grouping (round-7 ADVICE).
+        qm = np.asarray([vec for _cid, vec in centroids[:n_coarse]],
+                        dtype=np.float64)
+        qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True),
+                         1e-300)
         gsim = np.round(cm @ qm.T, 6)
         group_of = (n_coarse - 1) - np.argmax(gsim[:, ::-1], axis=1)
         groups = [np.nonzero(group_of == g)[0] for g in range(n_coarse)]

@@ -90,6 +90,38 @@ def test_probe_cell_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     assert scanned < total or n_cells_on_disk == len(probed)
 
 
+def test_probe_cell_index_gemm_preserves_qid_type(spark, sf_dir, tmp_path,
+                                                  monkeypatch):
+    """Round-7 ADVICE regression: the GEMM probe branch must preserve
+    the caller's qid column type (the Column branch always did) — a
+    non-long q_id used to break or silently coerce only above
+    GEMM_ASSIGN_CELLS. Forced down, INT q_ids must survive with their
+    type and the results must equal the Column branch's."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = SIM.ivf_centroids(e, 16)
+    idx = str(tmp_path / "vectors")
+    SIM.build_cell_index(e, cents, idx)
+    queries = (e.filter(F.col("vec_id") < 3)
+                .select(F.col("vec_id").cast("int").alias("q_id"),
+                        F.col("embedding").alias("q_vec")))
+    top_col, _ = SIM.probe_cell_index(spark, idx, cents, queries,
+                                      k=5, nprobe=2)
+    want = sorted(map(tuple, top_col.select(
+        "q_id", "neighbor_id", "rnk").collect()))
+    monkeypatch.setattr(SIM, "GEMM_ASSIGN_CELLS", 8)
+    top_gemm, _ = SIM.probe_cell_index(spark, idx, cents, queries,
+                                       k=5, nprobe=2)
+    assert top_gemm.schema["q_id"].dataType.simpleString() == "int"
+    got = sorted(map(tuple, top_gemm.select(
+        "q_id", "neighbor_id", "rnk").collect()))
+    assert got == want and len(got) > 0
+
+
 def test_append_cell_index_equals_full_build(spark, sf_dir, tmp_path):
     """Build on half the corpus, append the other half against the
     SAME frozen codebook: every probe must return exactly the rows a

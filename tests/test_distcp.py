@@ -263,6 +263,24 @@ def test_preserve_owner_when_root(spark, tmp_path):
     assert (d.st_uid, d.st_gid) == (12345, 54321)
 
 
+def test_stat_listing_restat_replaces_attr_columns(spark, tmp_path):
+    """Round-7 ADVICE regression: re-statting an already-statted
+    listing (the attr-refresh shape) must REPLACE the five attribute
+    columns, not append duplicates that fail at analysis — and the
+    refreshed values must reflect the filesystem now."""
+    from hops_spark.maintenance import stat_listing
+    srcroot = tmp_path / "src"
+    _make_tree(str(srcroot), 2, size=64)
+    files = sorted(glob.glob(str(srcroot / "**" / "*.bin"), recursive=True))
+    once = stat_listing(list_files(spark, str(srcroot)))
+    base_cols = once.columns
+    os.chmod(files[0], 0o600)                # drift between the stats
+    twice = stat_listing(once)
+    assert twice.columns == base_cols        # no duplicate columns
+    rows = {r.src.removeprefix("file:"): r for r in twice.collect()}
+    assert rows[files[0]].mode == 0o600      # values are re-read
+
+
 def test_preserve_rejects_hdfs_only_flags_and_bare_plans(spark, tmp_path):
     import pytest
     from hops_spark.maintenance import distcp_run

@@ -360,6 +360,29 @@ def test_knn_gemm_wide_rounded_tie_at_boundary(spark):
     assert [r[1] for r in sorted(got, key=lambda r: r[3])] == [0, 1, 2, 3, 4]
 
 
+def test_knn_gemm_self_row_margin_zero(spark):
+    """Round-7 ADVICE regression: when the query panel is a subset of
+    the corpus, the query's own corpus row (cosine 1.0) must not
+    consume a pruning seed slot — with margin=0 it would evict the true
+    k-th neighbor before the rerank's self-exclusion filter runs."""
+    from hops_spark.ops.similarity import knn_bruteforce, knn_bruteforce_gemm
+
+    base = [1.0, 0.5, 0.25, 0.125]
+    # corpus: the query row itself (vec_id 5) + 20 distinct-score rows
+    rows = [(5, base)]
+    rows += [(100 + j, [1.0, 0.5 + j * 0.01, -0.3, 0.125])
+             for j in range(20)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(5, base)], "q_id long, q_vec array<double>")
+    cols = ["q_id", "neighbor_id", "cos_sim", "rnk"]
+    got = sorted(map(tuple, knn_bruteforce_gemm(e, q, 5, margin=0)
+                     .select(*cols).collect()))
+    want = sorted(map(tuple, knn_bruteforce(e, q, 5)
+                      .select(*cols).collect()))
+    assert got == want and len(got) == 5
+    assert all(r[1] != 5 for r in got)    # self-row never returned
+
+
 def test_clean_corpus_quality_survivor(spark, sf_dir, tmp_path):
     """--survivor-quality keeps ONE member per near-dup cluster (same
     survivor count as min-id mode) and every kept member has the

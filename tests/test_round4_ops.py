@@ -391,6 +391,34 @@ def test_assign_cells_gemm_matches_column_path(spark, sf_dir):
     assert set(part) == set(flat_gemm)
 
 
+def test_assign_cells_gemm_partial_probe_matches_column_two_level(
+        spark, sf_dir):
+    """Round-7 ADVICE regression: the GEMM and Column two-level paths
+    must share ONE coarse codebook (the first n_coarse centroids in
+    original md5-list order — cell ids are vec_ids, so id-sorted order
+    differs). With PARTIAL probes a divergent coarse grouping probes
+    different groups and assigns different cells; after the fix the two
+    paths agree wherever no 1e-6 rounding tie is involved (none on this
+    fixture)."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = SIM.ivf_centroids(e, 24)
+    # the bug's precondition: md5 list order != id-sorted order
+    assert [c for c, _ in cents] != sorted(c for c, _ in cents)
+    col_part = {r["vec_id"]: r["c"] for r in e.select(
+        "vec_id",
+        SIM.two_level_cell(F.col("embedding"), cents, n_coarse=5,
+                           coarse_probes=2).alias("c")).collect()}
+    gemm_part = {r["vec_id"]: r["cell"] for r in
+                 SIM.assign_cells_gemm(e, cents, n_coarse=5,
+                                       coarse_probes=2).collect()}
+    assert gemm_part == col_part
+
+
 def test_build_cell_index_gemm_path_equals_literal_path(spark, sf_dir,
                                                         tmp_path,
                                                         monkeypatch):
