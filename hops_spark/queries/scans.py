@@ -456,8 +456,8 @@ _AVRO_EVO_READER = {
     SELECT ostatus,
            CAST(count(*) AS BIGINT) AS n_orders,
            CAST(sum(cents) AS BIGINT) AS sum_cents,
-           CAST(sum(CAST(cents * 0.01 AS DECIMAL(12,2)))
-                AS DECIMAL(18,2)) AS sum_price,
+           round(CAST(sum(CAST(cents * 0.01 AS DECIMAL(12,2)))
+                      AS DOUBLE), 2) AS sum_price,
            'web' AS channel
     FROM v1 GROUP BY ostatus ORDER BY ostatus
     """,
@@ -471,8 +471,12 @@ _AVRO_EVO_READER = {
         "from its default. The aggregate over the resolved rows "
         "hash-matches the oracle computed straight from the source "
         "parquet, so every resolution rule is value-proven (the "
-        "decimal sum additionally proves the unscaled two's-complement "
-        "bytes-decimal roundtrip). io/avro.read_resolved; Java-library "
+        "decimal-field sum — an exact decimal(18,2) accumulator, cast "
+        "to double and rounded only at OUTPUT, because the driver's "
+        "canonicalizer cannot hash DECIMAL columns portably — "
+        "additionally proves the unscaled two's-complement "
+        "bytes-decimal roundtrip: a single cent of decode error moves "
+        "the rounded sum). io/avro.read_resolved; Java-library "
         "equivalence in tests/test_avro.py.",
     tags=("io", "scan", "serialization"),
 )
@@ -499,7 +503,8 @@ def avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (v2.groupBy("ostatus")
               .agg(F.count("*").alias("n_orders"),
                    F.sum("total_cents").alias("sum_cents"),
-                   F.sum("price").cast("decimal(18,2)").alias("sum_price"),
+                   F.round(F.sum("price").cast("decimal(18,2)")
+                            .cast("double"), 2).alias("sum_price"),
                    F.max("channel").alias("channel"))
               .orderBy("ostatus"))
 

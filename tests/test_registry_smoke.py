@@ -19,11 +19,19 @@ def test_query_runs(spark, sf_dir, name):
     # Driver-canonicalizer contract: registered outputs must be scalar
     # columns (array/map/struct cells are unhashable in the driver's
     # pandas canonicalization — r1's uniq_value_count crash).
+    # DecimalType joins the ban (r7's only red row): the driver's pandas
+    # canonicalizer coerces DuckDB DECIMAL to float64 ('172030226.4')
+    # while Spark keeps decimal.Decimal('172030226.40') — the string
+    # hash splits on every scale-trailing-zero value even though rows,
+    # schema and values match. Outputs must be BIGINT cents/ppm or
+    # round(x, 2) doubles; decimals may appear only as internal
+    # accumulators.
     from pyspark.sql import types as T
     complex_cols = [f.name for f in df.schema.fields
                     if isinstance(f.dataType,
-                                  (T.ArrayType, T.MapType, T.StructType))]
-    assert not complex_cols, f"{name}: complex-typed output {complex_cols}"
+                                  (T.ArrayType, T.MapType, T.StructType,
+                                   T.DecimalType))]
+    assert not complex_cols, f"{name}: banned output type {complex_cols}"
 
 
 def test_entry(spark):

@@ -133,12 +133,16 @@ def main() -> int:
             n_fail += 1
             continue
         nested = [c for c, t in sdf.dtypes
-                  if t.startswith(("array<", "map<", "struct<"))]
+                  if t.startswith(("array<", "map<", "struct<", "decimal"))]
         if nested:
             # The driver's pandas canonicalizer crashes on unhashable
-            # list/dict cells — registered outputs must be scalar.
-            print(f"FAIL {name}: nested output columns {nested} "
-                  f"(driver canonicalizer crashes on these)")
+            # list/dict cells — registered outputs must be scalar — and
+            # coerces DuckDB DECIMAL to float64 while Spark keeps
+            # decimal.Decimal, splitting the hash on every
+            # scale-trailing-zero value (r7 avro_evolution). Emit
+            # BIGINT cents/ppm or round(x, 2) doubles instead.
+            print(f"FAIL {name}: banned output column types {nested} "
+                  f"(driver canonicalizer breaks on these)")
             n_fail += 1
             continue
         if spec.sql is None:
