@@ -50,53 +50,51 @@ def register(name: str, sql: str | None = None, doc: str = "",
 # registration order after the listed ones; listed-but-unregistered names
 # are ignored (lets the list name queries added later in the round).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (34): the full r6 NEXT_WINDOW_QUEUE —
-    # every row oracle-green at sf0.001 AND sf0.01 locally AND in the
-    # judge's round-6 gate replica (VERDICT r6); this rotation converts
-    # them to hard driver rows. Four of them double as re-proofs of the
-    # round-6 ADVICE fixes landed this round: avro_evolution (complex-
-    # union x schema-resolution wrap), knn_gemm (rounded-tie batch
-    # pruning), distcp_atomic_plan (file: scheme normalization),
-    # hll_event_distinct (unclamped x2-scaled harmonic grid) ---
-    "avro_evolution", "distcp_atomic_plan", "ivf_two_level",
-    "hll_event_distinct", "bloom_semi_join", "phrase_search",
-    "cluster_representatives", "cms_join_size", "kmv_audience_difference",
-    "bottomk_quantiles", "knn_gemm", "wav_window_energy",
-    "ppm_channel_histogram", "parquet_schema_evolution", "compaction_plan",
-    "skew_salt_plan", "audience_jaccard_matrix", "jl_projection",
-    "knn_multiprobe", "weighted_jaccard_pairs", "corpus_kl_drift",
-    "table_stats", "equidepth_histogram", "orc_roundtrip",
-    "doc_chunk_windows", "csv_roundtrip", "domain_mixture_report",
-    "chunk_retrieval_topk", "triangle_census", "jsonl_roundtrip",
-    "dynamic_partition_overwrite", "term_stats_incremental",
-    "fixed_width_roundtrip", "k_anonymity_audit",
-    # --- re-proof: pair-count core extracted into
-    # ops/retrieval.cooccurrence_edges late in round 6 (edge source for
-    # triangle_census) — its r3 green row no longer certifies the code ---
-    "word_cooccurrence",
-    # --- aging refresh, last-green-r2 (the 5 rows deferred from the
-    # r6 rotation — oldest greens anywhere in the ledger) ---
-    "rollup_revenue", "scan_percent_filter", "uniq_value_count",
-    "value_aggregator_job", "word_stats",
-    # --- aging refresh, last-green-r3 (9 of the 46 remaining r3 rows;
-    # mechanical pick: alphabetically first, so successive rotations
-    # walk the r3 tier deterministically) ---
-    "approx_quantiles_check", "bm25_topk", "chain_map_reduce",
-    "chunk_documents", "cms_heavy_hitters", "dataset_split_stats",
-    "dedup_clusters", "dedup_recall", "dictionary_encode",
-    # --- flagship keeper (green r2..r6; stays in-window) ---
+    # --- never driver-checked (10): avro_evolution (the r7 window's one
+    # hash-red row — a DECIMAL output-column representation bug, value-
+    # verified by the r7 judge; the sum_price column is now a rounded
+    # double and the decimal ban is structural) + the full r7
+    # NEXT_WINDOW_QUEUE, every row oracle-green at sf0.001 AND sf0.01
+    # locally AND in the judge's round-7 gate replica (VERDICT r7).
+    # Driving these closes the registry: 240/240 ever driver-green ---
+    "avro_evolution", "knn_graph_kcore", "distcp_preserve_plan",
+    "cms_quantiles", "shard_manifest", "mixture_schedule",
+    "xor_parity_audit", "rs_parity_audit", "rs_repair_audit",
+    "src_local_repair_audit",
+    # --- re-proofs: avro_roundtrip + avro_split_scan (io/avro.py codec
+    # sites refactored through the _codec_fns registry AFTER the r7
+    # rotation froze — their r6 green rows no longer certify the code);
+    # knn_gemm (r8 self-row pruning-mask fix in knn_bruteforce_gemm,
+    # round-7 ADVICE — its r7 green row predates the change) ---
+    "avro_roundtrip", "avro_split_scan", "knn_gemm",
+    # --- aging refresh, last-green-r3 (36 of the 37 remaining r3 rows,
+    # alphabetically first — the deterministic tier walk; only
+    # weighted_sample_docs defers to r9) ---
+    "distcp_plan_chunks", "distinct_rows", "doc_perplexity", "dup_spans",
+    "feature_hashing", "hash_surface", "incremental_dedup",
+    "ivf_refined_cells", "join_range_events", "knn_label_purity",
+    "knn_recall", "media_dedup", "media_resize", "meta_du_recursive",
+    "meta_subtree_rename", "mixture_plan", "multi_input_union",
+    "ngram_lm_counts", "normalize_text", "quality_filter_by_source",
+    "random_text_topwords", "random_writer_stats", "repetition_stats",
+    "salted_agg_revenue", "scan_md5_filter", "scan_nline_splits",
+    "scan_regex_filter", "semantic_dedup", "session_window_agg",
+    "set_except", "set_intersect", "source_token_budget",
+    "stratified_sample", "teragen_sorted", "teravalidate",
+    "tfidf_doc_pairs",
+    # --- flagship keeper (green r2..r7; stays in-window) ---
     "minhash_dedup_pairs",
 )
 # Cumulative hard-verification ledger (driver CORRECTNESS files):
 #  r1 green: TPC-H q1..q22, join/sort/setop/scan core
 #  r2 green: dedup/similarity/text/multimodal/pipeline/metadata/streaming
-#  r3..r6 green: 50/50 each round (zero errors).
-#  Union after r6: 197 distinct queries driver-green; never a checked
-#  query that is not now green. The 34 never-green queries are the r6
-#  NEXT_WINDOW_QUEUE — all judge-verified against the gate replica in
-#  VERDICT r6 and re-verified locally this round after the ADVICE
-#  fixes. r7 window (above): those 34 + 1 re-proof + 5 last-green-r2 +
-#  9 last-green-r3 refreshes + keeper = 50.
+#  r3..r7 green: 50/50 each round except r7's avro_evolution hash-red
+#  (decimal representation, value-correct — fixed this round).
+#  Union after r7: 230 distinct queries driver-green; avro_evolution is
+#  the only ever-checked query not green. r8 window (above): 10 never-
+#  green + 3 re-proofs + 36 last-green-r3 refreshes + keeper = 50 —
+#  full closure (every registered query ever driver-green) when it
+#  lands.
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -111,25 +109,12 @@ def load_all() -> dict[str, QuerySpec]:
 # (the window guard test enforces that overflow never-green queries are
 # exactly this queue).
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    # round-7 registrations land here as they are verified
-    "knn_graph_kcore",       # mutual-kNN graph 4-core (judge r6 task 2)
-    "distcp_preserve_plan",  # -update -p attr repair (judge r6 task 4)
-    "cms_quantiles",         # dyadic-CMS quantile sketch (task 8)
-    "shard_manifest",        # order-insensitive shard fingerprints
-    "mixture_schedule",      # temperature-scaled source mixing (tau=2)
-    "xor_parity_audit",      # first oracle row for the coding family
-    "rs_parity_audit",       # GF(2^8) RS encoder vs relational replay
-    "rs_repair_audit",       # single-erasure repair, kernel vs algebra
-    "src_local_repair_audit",  # locally-repairable group parity+repair
+    # round-8 registrations land here as they are verified
 )
-# Round-8 rotation plan: once CORRECTNESS_r07 lands green, fill freed
-# slots FIRST with this queue, THEN the round-7 REPROVE set —
-# avro_roundtrip + avro_split_scan (io/avro.py codec sites refactored
-# through the _codec_fns registry after the r7 rotation froze;
-# re-verified locally + full JVM-interop pytest this round) — THEN
-# continue aging the last-green-r3 tier alphabetically (37 rows remain
-# after the r7 window took approx_quantiles_check .. dictionary_encode:
-# next are distcp_plan_chunks, distinct_rows, doc_perplexity,
-# dup_spans, ...), THEN the last-green-r4 tier; keep the keeper;
-# re-prove anything whose implementation changes after this rotation
-# froze.
+# Round-9 rotation plan: once CORRECTNESS_r08 lands green, fill freed
+# slots FIRST with this queue, THEN any round-8 REPROVE set, THEN
+# weighted_sample_docs (the one last-green-r3 row deferred from the r8
+# window), THEN the last-green-r4 tier alphabetically (48 rows:
+# basket_pairs_lift, bpe_merges, cohort_retention, cube_revenue, ...);
+# keep the keeper; re-prove anything whose implementation changes after
+# this rotation froze.

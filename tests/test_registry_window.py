@@ -23,16 +23,17 @@ KEEPER_CORE = {"minhash_dedup_pairs"}
 
 # Queries whose implementation materially changed this round — their
 # old green rows no longer certify the current code (registry.py ledger).
-# Round 7: word_cooccurrence's pair-count core was extracted into
-# ops/retrieval.cooccurrence_edges late in round 6 (the edge source for
-# triangle_census); its r3 green row no longer certifies the code.
-REPROVE: set[str] = {"word_cooccurrence"}
+# Round 8: avro_roundtrip + avro_split_scan (io/avro.py codec sites
+# refactored through the _codec_fns registry after the r7 rotation
+# froze); knn_gemm (self-row pruning mask in knn_bruteforce_gemm,
+# round-7 ADVICE fix).
+REPROVE: set[str] = {"avro_roundtrip", "avro_split_scan", "knn_gemm"}
 
 
 def _green_rounds() -> dict[str, set[int]]:
     out: dict[str, set[int]] = {}
-    for rnd in (1, 2, 3, 4, 5, 6):  # r8 rotation: extend to 7 with the new
-        # window (memory/workflow: update range + REPROVE each round)
+    for rnd in (1, 2, 3, 4, 5, 6, 7):  # r9 rotation: extend to 8 with the
+        # new window (memory/workflow: update range + REPROVE each round)
         path = os.path.join(_REPO, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.exists(path):
             with open(path) as f:
@@ -61,8 +62,9 @@ def test_every_never_green_query_is_in_window_or_queued():
 def test_no_window_slot_wasted():
     """Every slot holds a never-green query, a keeper, a changed-code
     re-proof, or an aging green row being refreshed (oldest greens
-    first: last-green round <= 3 as of the r7 rotation — the r2 tier
-    is exhausted after this window's 5 deferred rows)."""
+    first: last-green round <= 3 as of the r8 rotation — this window
+    takes 36 of the 37 remaining r3-tier rows; the tier is exhausted
+    next round after weighted_sample_docs)."""
     green = _green_rounds()
     wasted = [n for n in list(load_all())[:50]
               if n in green
