@@ -499,6 +499,120 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
                .select(id_col, "span_start", "span_end", "span_tokens"))
 
 
+def suffix_dup_spans(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", min_tokens: int = 50,
+                     prefix_cap: int | None = None) -> DataFrame:
+    """EXACT-substring duplicate spans, suffix-array grade — the
+    distributed form of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") §4.2's ExactSubstr: find every
+    maximal token range that also occurs elsewhere in the corpus with
+    length >= ``min_tokens``, with NO hashing anywhere (contrast
+    ``duplicate_spans``' md5 k-gram fingerprints: collision-free by
+    construction, and spans merge by INTERVAL UNION, not stride-1
+    runs — two duplicated window starts 2 apart merge here because
+    their windows overlap, where the fingerprint path splits them).
+
+    The suffix-array step distributes as the TotalOrderPartitioner
+    discipline applied to suffixes (SURVEY §2.5's two-phase sort —
+    terasort.TeraInputFormat sampling + total-order ranges):
+
+    1. One map-only pass emits a suffix row per eligible token
+       position: (doc, pos, skey) where skey = the next
+       ``prefix_cap`` tokens as array<string>. Positions with fewer
+       than ``min_tokens`` tokens remaining cannot start a duplicate
+       and are never emitted.
+    2. ``total_order_rank`` range-partitions on skey (sampled
+       boundaries — the InputSampler/TotalOrderPartitioner shape),
+       sorts within partitions, and assigns the global suffix-array
+       rank with the two-phase offset join (no single-partition
+       window over the data).
+    3. Adjacent ranks join (rank -> rank+1, one hash shuffle) and the
+       token-LCP of each adjacent suffix pair is computed array-side.
+       By the suffix-array property, a suffix's longest common prefix
+       with ANY other suffix is attained at a sort neighbor, so
+       dup_len(pos) = max(LCP with prev, LCP with next) — one keyed
+       max aggregate. Ties in the sort order cannot change the result:
+       equal keys are contiguous under range partitioning and give
+       full-length LCP regardless of their internal order, so the
+       output is engine- and partitioning-deterministic.
+    4. Every position with dup_len >= min_tokens contributes the
+       interval [pos, pos + dup_len - 1]; a per-doc gaps-and-islands
+       window merges overlapping/touching intervals into maximal
+       spans (the union-of-windows semantics of the paper).
+
+    Scale: suffix rows are a prefix_cap-token payload per corpus token
+    — the known cost of exact-substring dedup (the paper materializes
+    the same order); every stage is key-partitioned (range on skey,
+    hash on rank, keyed max, per-doc window) with no pair
+    materialization, so a boilerplate passage selects suffix rows but
+    cannot multiply them. For production corpora, dictionary-encoding
+    tokens to order-preserving int ranks before step 2 shrinks the
+    shuffle ~3-5x; kept as strings here so the relational oracle
+    replays comparisons verbatim.
+
+    Returns (id, span_start, span_end, span_tokens): 0-based inclusive
+    token ranges a cleaning pass would cut."""
+    from hops_spark.ops.sort import total_order_rank
+
+    if prefix_cap is None:
+        prefix_cap = min_tokens
+    if prefix_cap < min_tokens:
+        raise ValueError("prefix_cap must be >= min_tokens")
+    L, C = min_tokens, prefix_cap
+    bound = (fan_out(df, id_col)
+             .select(F.col(id_col),
+                     F.explode(F.array(words(text_col))).alias("_w")))
+    w = F.col("_w")
+    starts = F.when(F.size(w) >= L,
+                    F.sequence(F.lit(1), F.size(w) - (L - 1))
+                    ).otherwise(F.array().cast("array<int>"))
+    suf = (bound.select(
+               F.col(id_col),
+               F.explode(F.transform(
+                   starts,
+                   lambda i: F.struct((i - 1).cast("long").alias("pos"),
+                                      F.slice(w, i, C).alias("skey"))))
+                .alias("s"))
+           .select(id_col, F.col("s.pos").alias("pos"),
+                   F.col("s.skey").alias("skey")))
+    ranked = total_order_rank(suf, "skey", id_col, "pos", rank_col="_rk")
+    left = ranked.select(F.col("_rk"),
+                         F.col(id_col).alias("_da"), F.col("pos").alias("_pa"),
+                         F.col("skey").alias("_ka"))
+    right = ranked.select((F.col("_rk") - 1).alias("_rk"),
+                          F.col(id_col).alias("_db"), F.col("pos").alias("_pb"),
+                          F.col("skey").alias("_kb"))
+    ka, kb = F.col("_ka"), F.col("_kb")
+    mism = F.filter(F.sequence(F.lit(1), F.least(F.size(ka), F.size(kb))),
+                    lambda i: F.element_at(ka, i) != F.element_at(kb, i))
+    lcp = F.when(F.size(mism) > 0, F.element_at(mism, 1) - 1) \
+           .otherwise(F.least(F.size(ka), F.size(kb))).cast("long")
+    adj = left.join(right, "_rk").withColumn("_lcp", lcp)
+    hits = adj.select(F.explode(F.array(
+               F.struct(F.col("_da").alias(id_col), F.col("_pa").alias("pos")),
+               F.struct(F.col("_db").alias(id_col), F.col("_pb").alias("pos"))
+           )).alias("h"), F.col("_lcp")) \
+           .select(F.col(f"h.{id_col}").alias(id_col),
+                   F.col("h.pos").alias("pos"), "_lcp")
+    dup = (hits.groupBy(id_col, "pos")
+               .agg(F.max("_lcp").alias("dup_len"))
+               .filter(F.col("dup_len") >= L)
+               .withColumn("_end", F.col("pos") + F.col("dup_len") - 1))
+    ws = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("_end").over(ws.rowsBetween(Window.unboundedPreceding, -1))
+    return (dup.withColumn("_new", F.when(
+                   prev_end.isNull() | (F.col("pos") > prev_end + 1), 1)
+                   .otherwise(0))
+               .withColumn("_island", F.sum("_new").over(
+                   ws.rowsBetween(Window.unboundedPreceding, 0)))
+               .groupBy(id_col, "_island")
+               .agg(F.min("pos").alias("span_start"),
+                    F.max("_end").alias("span_end"))
+               .withColumn("span_tokens",
+                           F.col("span_end") - F.col("span_start") + 1)
+               .select(id_col, "span_start", "span_end", "span_tokens"))
+
+
 def _band_rows(sigs: DataFrame, id_col: str, n_hashes: int,
                bands: int) -> DataFrame:
     """(id, band, bhash) — one row per LSH band per doc (the banding

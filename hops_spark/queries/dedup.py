@@ -374,6 +374,81 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy("doc_id", "span_start"))
 
 
+SUFFIX_SPAN_L = 8      # min duplicate length (tokens); 50 in production
+SUFFIX_SPAN_C = 12     # suffix-key truncation cap (tokens), >= L
+
+
+@register(
+    "exact_substring_spans",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, {{DW}} AS w FROM documents
+    ), suf AS (
+        SELECT doc_id, (i.i - 1)::BIGINT AS pos,
+               w[i.i : i.i + {SUFFIX_SPAN_C - 1}] AS skey
+        FROM wt, LATERAL (SELECT unnest(range(1,
+                 greatest(len(w) - {SUFFIX_SPAN_L - 1}, 0) + 1)) AS i) i
+    ), rk AS (
+        SELECT doc_id, pos, skey,
+               row_number() OVER (ORDER BY skey, doc_id, pos) AS r
+        FROM suf
+    ), adj AS (
+        SELECT a.doc_id AS da, a.pos AS pa, b.doc_id AS db, b.pos AS pb,
+               coalesce(
+                   list_filter(range(1, least(len(a.skey), len(b.skey)) + 1),
+                               i -> a.skey[i] <> b.skey[i])[1] - 1,
+                   least(len(a.skey), len(b.skey)))::BIGINT AS lcp
+        FROM rk a JOIN rk b ON b.r = a.r + 1
+    ), hits AS (
+        SELECT da AS doc_id, pa AS pos, lcp FROM adj
+        UNION ALL
+        SELECT db AS doc_id, pb AS pos, lcp FROM adj
+    ), dup AS (
+        SELECT doc_id, pos, max(lcp) AS dup_len
+        FROM hits GROUP BY doc_id, pos
+        HAVING max(lcp) >= {SUFFIX_SPAN_L}
+    ), iv AS (
+        SELECT doc_id, pos, pos + dup_len - 1 AS e FROM dup
+    ), fl AS (
+        SELECT doc_id, pos, e,
+               CASE WHEN pos > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -2) + 1
+                    THEN 1 ELSE 0 END AS newf
+        FROM iv
+    ), sp AS (
+        SELECT doc_id, pos, e,
+               sum(newf) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+        FROM fl
+    )
+    SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+           (max(e) - min(pos) + 1) AS span_tokens
+    FROM sp GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="EXACT-substring duplicate spans, suffix-array grade (Lee et "
+        "al. 2022 §4.2 ExactSubstr): maximal token ranges occurring "
+        ">= 2 times corpus-wide at >= 8 tokens, collision-free (no "
+        "hashing) and with interval-union merge semantics — the "
+        "suffix order distributes as TotalOrderPartitioner-over-"
+        "suffixes (sampled range partitioning + two-phase rank), "
+        "adjacent-rank token-LCP bounds each position's duplicated "
+        "prefix, and a per-doc gaps-and-islands window unions the "
+        "[pos, pos+dup_len) windows. The oracle replays the identical "
+        "suffix sort + neighbor-LCP relationally; the result is "
+        "sort-tie independent, so both engines agree bit-for-bit. "
+        "ops/dedup.suffix_dup_spans.",
+    tags=("dedup", "north-star"),
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (D.suffix_dup_spans(d, "doc_id", "text",
+                               SUFFIX_SPAN_L, SUFFIX_SPAN_C)
+             .orderBy("doc_id", "span_start"))
+
+
 @register(
     "dedup_recall",
     sql=(_DUCK_SIGS_CTE + DUCK_MINHASH_VERIFIED_CTE + f"""

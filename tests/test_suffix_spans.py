@@ -1,0 +1,123 @@
+"""Exact-substring duplicate spans (ops/dedup.suffix_dup_spans):
+suffix-array-grade ExactSubstr dedup (Lee et al. 2022 §4.2), verified
+against a brute-force quadratic reference and on planted duplicates."""
+
+from __future__ import annotations
+
+from hops_spark.ops.dedup import duplicate_spans, suffix_dup_spans
+
+
+def _brute_spans(docs: dict[int, str], L: int, C: int):
+    """Quadratic reference: dup_len(pos) = max token-LCP of the
+    C-truncated suffix at pos against every OTHER eligible position's
+    suffix; spans = per-doc union of [pos, pos+dup_len-1] where
+    dup_len >= L."""
+    toks = {d: [w for w in t.lower().split() if w] for d, t in docs.items()}
+    sufs = [(d, p, tuple(toks[d][p:p + C]))
+            for d in toks for p in range(max(len(toks[d]) - L + 1, 0))]
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    spans: dict[int, list[tuple[int, int]]] = {}
+    for i, (d, p, k) in enumerate(sufs):
+        best = max((lcp(k, k2) for j, (_, _, k2) in enumerate(sufs)
+                    if j != i), default=0)
+        if best >= L:
+            spans.setdefault(d, []).append((p, p + best - 1))
+    out = []
+    for d, ivs in spans.items():
+        ivs.sort()
+        cur_s, cur_e = ivs[0]
+        for s, e in ivs[1:]:
+            if s <= cur_e + 1:
+                cur_e = max(cur_e, e)
+            else:
+                out.append((d, cur_s, cur_e, cur_e - cur_s + 1))
+                cur_s, cur_e = s, e
+        out.append((d, cur_s, cur_e, cur_e - cur_s + 1))
+    return sorted(out)
+
+
+def _run(spark, docs, L, C):
+    df = spark.createDataFrame(list(docs.items()),
+                               "doc_id long, text string")
+    return sorted(tuple(r) for r in
+                  suffix_dup_spans(df, "doc_id", "text", L, C).collect())
+
+
+def test_suffix_spans_match_bruteforce_planted(spark):
+    """Mixed corpus: unique docs, an exact pair, a shared passage, and
+    an overlapping-windows case — operator == quadratic reference."""
+    passage = "the quick brown fox jumps over the lazy dog again"
+    docs = {
+        0: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        1: f"intro words here {passage} closing remark",
+        2: f"{passage} and a different tail entirely follows here",
+        3: "totally unique tokens qqq www eee rrr ttt yyy uuu",
+        4: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    }
+    got = _run(spark, docs, 5, 8)
+    want = _brute_spans(docs, 5, 8)
+    assert got == want and len(got) >= 3
+
+
+def test_suffix_spans_match_bruteforce_random(spark):
+    """Deterministic pseudo-random small-vocab corpus (heavy natural
+    duplication, many boundary ties) — operator == reference."""
+    import random
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(6)]
+    docs = {d: " ".join(rng.choice(vocab) for _ in range(30))
+            for d in range(20)}
+    L, C = 4, 6
+    assert _run(spark, docs, L, C) == _brute_spans(docs, L, C)
+
+
+def test_interval_union_merges_what_stride_runs_split(spark):
+    """The semantic difference vs duplicate_spans' k-gram stride-1
+    runs: window starts at pos 0 and pos 2 are duplicated but pos 1 is
+    not — the windows OVERLAP, so ExactSubstr union emits ONE span
+    while the fingerprint-run path emits two."""
+    L = 3
+    docs = {
+        0: "a b c d e x1 x2 x3 x4",
+        1: "a b c y1 y2 y3 y4 y5",      # duplicates window [0..2] of doc 0
+        2: "c d e z1 z2 z3 z4 z5",      # duplicates window [2..4] of doc 0
+    }
+    got = _run(spark, docs, L, L)
+    doc0 = [g for g in got if g[0] == 0]
+    assert doc0 == [(0, 0, 4, 5)]        # one merged span
+    assert got == _brute_spans(docs, L, L)
+    df = spark.createDataFrame(list(docs.items()),
+                               "doc_id long, text string")
+    runs = sorted(tuple(r) for r in
+                  duplicate_spans(df, "doc_id", "text", L, 2).collect()
+                  if r[0] == 0)
+    assert runs == [(0, 0, 2, 3), (0, 2, 4, 3)]   # split by the run path
+
+
+def test_prefix_cap_extends_to_maximal_match(spark):
+    """With prefix_cap > min_tokens the span reflects the true match
+    length up to the cap, not just the L-window union: a 7-token
+    shared passage at L=3, C=7 yields the full 7-token span from a
+    single position's LCP."""
+    docs = {
+        0: "p1 p2 p3 p4 p5 p6 p7 u1 u2",
+        1: "v1 v2 p1 p2 p3 p4 p5 p6 p7",
+    }
+    got = _run(spark, docs, 3, 7)
+    assert (0, 0, 6, 7) in got
+    assert got == _brute_spans(docs, 3, 7)
+
+
+def test_short_docs_and_no_duplicates(spark):
+    """Docs shorter than min_tokens emit nothing; a corpus with no
+    duplicated window emits no spans at all."""
+    docs = {0: "a b", 1: "c d e f g h", 2: "i j k l m n o"}
+    assert _run(spark, docs, 6, 6) == []

@@ -39,6 +39,10 @@ _BOUNDED_SINGLE_PARTITION_OK = {
     # only the ≤ #partitions offset rows hit the single partition):
     "equidepth_histogram",
     "distcp_atomic_plan",   # same distcp_plan total_order_rank offsets
+    # total_order_rank offsets over the suffix-sort partitions
+    # (<= #partitions rows; the data side is range-partitioned +
+    # rank-joined, window-free — ops/dedup.suffix_dup_spans):
+    "exact_substring_spans",
     "vocab_coverage", "rfm_segments",
     # same offsets window via total_order_rank inside
     # ops/bloom.dynamic_bloom_bits (epoch assignment — the data side is
