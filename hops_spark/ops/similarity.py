@@ -548,6 +548,13 @@ def probe_cell_index(spark, index_dir: str,
     cells_needed = sorted(r["cell"] for r in
                           qb.select("cell").distinct().collect())
     pruned = vectors.where(F.col("cell").isin(cells_needed))
+    # Lifecycle: rows deleted since the last compaction are masked by
+    # the tombstone side-set (broadcast — small between compactions by
+    # contract). Applied AFTER partition pruning so the scan stays
+    # pruned to the probed cells.
+    tomb = read_tombstones(spark, index_dir)
+    if tomb is not None:
+        pruned = pruned.join(F.broadcast(tomb), id_col, "left_anti")
     deq = F.transform(F.col("q_int8"),
                       lambda x: x.cast("double") * F.col("scale") / 127.0)
     scored = (pruned.filter(F.col("scale") > 0)
@@ -590,6 +597,99 @@ def append_cell_index(new_vectors: DataFrame,
     (assigned.join(q, id_col)
              .select(id_col, "cell", "scale", "q_int8")
              .write.mode("append").partitionBy("cell").parquet(index_dir))
+
+
+# --- index lifecycle: delete (tombstones) + compact ------------------
+
+#: Hidden side-directory inside the index root holding deleted ids.
+#: Leading underscore => invisible to Spark/Hadoop input listing, so
+#: ``spark.read.parquet(index_dir)`` still sees only vector rows.
+TOMBSTONE_SUBDIR = "_tombstones"
+
+
+def delete_from_cell_index(deletes: DataFrame, index_dir: str,
+                           id_col: str = "vec_id") -> None:
+    """DELETE vectors from a serving index without rewriting it: append
+    the ids as a TOMBSTONE parquet under ``index_dir/_tombstones`` (the
+    log-structured delete every immutable-file index uses — parquet
+    cell files never mutate). Probes anti-join the tombstone set
+    (broadcast: deletions between compactions are small relative to
+    the index by the compaction contract below); ``compact_cell_index``
+    physically reclaims the rows once the tombstone fraction crosses
+    its threshold.
+
+    Re-inserting a previously deleted id is undefined until a
+    compaction has reclaimed its tombstone (the tombstone would mask
+    the re-appended row); production systems add a sequence number —
+    out of scope here and asserted nowhere."""
+    import os
+
+    (deletes.select(F.col(id_col)).distinct()
+            .write.mode("append")
+            .parquet(os.path.join(index_dir, TOMBSTONE_SUBDIR)))
+
+
+def read_tombstones(spark, index_dir: str) -> DataFrame | None:
+    """The current tombstone id set, or None if nothing was deleted."""
+    import os
+
+    path = os.path.join(index_dir, TOMBSTONE_SUBDIR)
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path).distinct()
+
+
+def tombstone_fraction(spark, index_dir: str) -> float:
+    """Fraction of index rows masked by tombstones (compaction gauge)."""
+    tomb = read_tombstones(spark, index_dir)
+    if tomb is None:
+        return 0.0
+    total = spark.read.parquet(index_dir).count()
+    return (tomb.count() / total) if total else 0.0
+
+
+def compact_cell_index(spark, index_dir: str, id_col: str = "vec_id",
+                       threshold: float = 0.2) -> dict:
+    """Physically reclaim tombstoned rows once they cross ``threshold``
+    of the index — the re-pack step of the lifecycle (the
+    compaction_plan discipline applied to the index layout): survivors
+    are re-partitioned BY CELL so each cell re-packs into one file
+    (probes read whole cells — many tiny appended files per cell is
+    the read amplification this removes), written to a staging sibling
+    and atomically promoted with a directory swap (the distcp -atomic
+    staged-commit shape), tombstones cleared. Below the threshold it
+    is a no-op: compaction cost is a full index rewrite, so it must be
+    paid only when the masked fraction justifies it.
+
+    The codebook is FROZEN across compaction — cell ids and therefore
+    probe routing are unchanged; re-balancing the codebook itself is a
+    rebuild (``build_cell_index`` + k-means refine on the surviving
+    full-precision corpus), not a compaction.
+
+    Returns {n_before, n_tombstoned, n_after, compacted}."""
+    import os
+    import shutil
+
+    vectors = spark.read.parquet(index_dir)
+    n_before = vectors.count()
+    tomb = read_tombstones(spark, index_dir)
+    n_tomb = tomb.count() if tomb is not None else 0
+    frac = (n_tomb / n_before) if n_before else 0.0
+    if tomb is None or frac < threshold:
+        return {"n_before": n_before, "n_tombstoned": n_tomb,
+                "n_after": n_before, "compacted": False}
+    survivors = vectors.join(F.broadcast(tomb), id_col, "left_anti")
+    staging = index_dir.rstrip("/") + "_compact_staging"
+    (survivors.repartition("cell")
+              .write.mode("overwrite").partitionBy("cell")
+              .parquet(staging))
+    n_after = spark.read.parquet(staging).count()
+    old = index_dir.rstrip("/") + "_compact_old"
+    os.rename(index_dir, old)
+    os.rename(staging, index_dir)
+    shutil.rmtree(old)
+    return {"n_before": n_before, "n_tombstoned": n_tomb,
+            "n_after": n_after, "compacted": True}
 
 
 def knn_bruteforce_gemm(corpus: DataFrame, queries: DataFrame, k: int = 10,

@@ -555,6 +555,110 @@ def ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("q_id", "rnk"))
 
 
+#: ann_probe_delete removes vec_id % DEL_MOD == DEL_RES from the index
+#: (20% of rows — exactly the compaction threshold, so the query also
+#: exercises the physical re-pack).
+DEL_MOD, DEL_RES = 5, 2
+
+
+@register(
+    "ann_probe_delete",
+    # The ann_probe oracle with the deleted ids excluded from the INDEX
+    # CONTENT (queries still probe — deletion affects stored rows, not
+    # the query panel; the frozen codebook keeps deleted centroids, as
+    # the serving index does). Both lifecycle phases must equal it.
+    sql=f"""
+    WITH d AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cid, v AS cv FROM d
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {N_CELLS}
+    ), assign AS (
+        SELECT d.vec_id, d.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY d.vec_id
+                   ORDER BY round(list_cosine_similarity(d.v, c.cv), 6) DESC,
+                            c.cid DESC) AS rn
+        FROM d CROSS JOIN cent c
+    ), deq AS (
+        SELECT vec_id,
+               list_transform(v, x -> floor(x * 127 / scale) * scale / 127)
+                   AS dv
+        FROM (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) AS scale
+              FROM d)
+        WHERE scale > 0
+    ), cells AS (
+        SELECT a.vec_id, deq.dv, a.cid AS cell
+        FROM assign a JOIN deq USING (vec_id)
+        WHERE a.rn = 1 AND a.vec_id % {DEL_MOD} <> {DEL_RES}
+    ), qprobe AS (
+        SELECT vec_id AS q_id, v AS qv, cid AS cell
+        FROM assign WHERE vec_id < {N_QUERIES} AND rn <= {NPROBE}
+    ), scored AS (
+        SELECT q.q_id, cells.vec_id AS neighbor_id,
+               round(list_cosine_similarity(cells.dv, q.qv), 6) AS cos_sim
+        FROM cells JOIN qprobe q USING (cell)
+        WHERE cells.vec_id <> q.q_id
+    ), ranked AS (
+        SELECT q_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT ph.phase, q_id, neighbor_id, cos_sim, rnk, TRUE AS compacted
+    FROM ranked
+    CROSS JOIN (SELECT 'compacted' AS phase
+                UNION ALL SELECT 'tombstoned') ph
+    WHERE rnk <= {K}
+    ORDER BY phase, q_id, rnk
+    """,
+    doc="ANN index LIFECYCLE: build the cell-partitioned SQ8 index, "
+        "DELETE 20% of vectors (tombstone side-set, no file rewrite — "
+        "ops/similarity.delete_from_cell_index), probe (phase "
+        "'tombstoned': the anti-join masks deletions after partition "
+        "pruning), then COMPACT (the fraction equals the threshold: "
+        "survivors re-pack one file per cell, staged + atomically "
+        "swapped, tombstones reclaimed) and probe again (phase "
+        "'compacted'). Both phases must hash-equal the relational "
+        "probe over the surviving rows — deleted vectors are never "
+        "returned either logically or physically, and the 'compacted' "
+        "flag rides as a checked boolean.",
+    tags=("similarity", "north-star", "io"),
+)
+def ann_probe_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hops_spark.session import scratch_dir
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = SIM.ivf_centroids(e, N_CELLS)
+    index_dir = os.path.join(scratch_dir("ann_probe_delete", sf_dir),
+                             "vectors")
+    SIM.build_cell_index(e, cents, index_dir)
+    SIM.delete_from_cell_index(
+        e.filter(F.col("vec_id") % DEL_MOD == DEL_RES), index_dir)
+    queries = (e.filter(F.col("vec_id") < N_QUERIES)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec")))
+    t1, _ = SIM.probe_cell_index(spark, index_dir, cents, queries, K, NPROBE)
+    # materialize BEFORE the compaction swaps the files out from under
+    # the lazy plan (the result is <= n_queries * k rows)
+    t1 = t1.select("q_id", "neighbor_id", "cos_sim", "rnk") \
+           .localCheckpoint(eager=True)
+    stats = SIM.compact_cell_index(spark, index_dir, threshold=0.2)
+    t2, _ = SIM.probe_cell_index(spark, index_dir, cents, queries, K, NPROBE)
+    out = (t1.withColumn("phase", F.lit("tombstoned"))
+             .unionByName(t2.select("q_id", "neighbor_id", "cos_sim", "rnk")
+                            .withColumn("phase", F.lit("compacted"))))
+    return (out.withColumn("compacted", F.lit(bool(stats["compacted"])))
+               .select("phase", "q_id", "neighbor_id", "cos_sim", "rnk",
+                       "compacted")
+               .orderBy("phase", "q_id", "rnk"))
+
+
 _TL_CELLS, _TL_COARSE, _TL_PROBES = 32, 6, 3
 
 

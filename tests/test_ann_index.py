@@ -90,6 +90,82 @@ def test_probe_cell_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     assert scanned < total or n_cells_on_disk == len(probed)
 
 
+def _probe_rows(spark, idx, cents, queries, k=5, nprobe=2):
+    from hops_spark.ops.similarity import probe_cell_index
+    top, _ = probe_cell_index(spark, idx, cents, queries, k, nprobe)
+    return sorted(map(tuple, top.select("q_id", "neighbor_id",
+                                        "cos_sim", "rnk").collect()))
+
+
+def test_index_lifecycle_delete_compact_equals_rebuild(spark, sf_dir,
+                                                       tmp_path):
+    """The lifecycle property: after append + delete (+ optional
+    compact), a probe must return EXACTLY what a from-scratch build
+    over the surviving vectors returns — tombstoned ids are never
+    served, logically (masked) or physically (reclaimed)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = SIM.ivf_centroids(e, 8)
+    queries = (e.filter(F.col("vec_id") < 4)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec")))
+    # live index: build on half, append the rest, delete every 4th id
+    live = str(tmp_path / "live")
+    SIM.build_cell_index(e.filter(F.col("vec_id") % 2 == 0), cents, live)
+    SIM.append_cell_index(e.filter(F.col("vec_id") % 2 == 1), cents, live)
+    deletes = e.filter(F.col("vec_id") % 4 == 3)
+    SIM.delete_from_cell_index(deletes, live)
+    # reference: one-shot build over the survivors
+    ref = str(tmp_path / "ref")
+    SIM.build_cell_index(e.filter(F.col("vec_id") % 4 != 3), cents, ref)
+    want = _probe_rows(spark, ref, cents, queries)
+    assert _probe_rows(spark, live, cents, queries) == want
+    deleted_ids = {r[0] for r in deletes.select("vec_id").collect()}
+    assert not deleted_ids & {r[1] for r in
+                              _probe_rows(spark, live, cents, queries)}
+    # compact (25% tombstoned >= threshold): physical reclaim, same probe
+    stats = SIM.compact_cell_index(spark, live, threshold=0.2)
+    assert stats["compacted"] is True
+    assert stats["n_after"] == stats["n_before"] - stats["n_tombstoned"]
+    assert not os.path.isdir(os.path.join(live, SIM.TOMBSTONE_SUBDIR))
+    assert SIM.tombstone_fraction(spark, live) == 0.0
+    assert _probe_rows(spark, live, cents, queries) == want
+
+
+def test_compact_below_threshold_is_noop(spark, sf_dir, tmp_path):
+    """Below the tombstone-fraction threshold compaction must not
+    rewrite anything: same files on disk, tombstones retained, probes
+    still masked."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = SIM.ivf_centroids(e, 8)
+    idx = str(tmp_path / "idx")
+    SIM.build_cell_index(e, cents, idx)
+    SIM.delete_from_cell_index(e.filter(F.col("vec_id") == 7), idx)
+    files_before = sorted(_glob.glob(idx + "/cell=*/**", recursive=True))
+    stats = SIM.compact_cell_index(spark, idx, threshold=0.2)
+    assert stats["compacted"] is False
+    assert stats["n_tombstoned"] == 1
+    assert sorted(_glob.glob(idx + "/cell=*/**", recursive=True)) \
+        == files_before
+    queries = (e.filter(F.col("vec_id") < 4)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec")))
+    assert 7 not in {r[1] for r in _probe_rows(spark, idx, cents, queries)}
+
+
 def test_probe_cell_index_gemm_preserves_qid_type(spark, sf_dir, tmp_path,
                                                   monkeypatch):
     """Round-7 ADVICE regression: the GEMM probe branch must preserve
