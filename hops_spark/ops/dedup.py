@@ -627,6 +627,22 @@ def _band_rows(sigs: DataFrame, id_col: str, n_hashes: int,
                 .select(id_col, "bb.band", "bb.bhash"))
 
 
+def dedup_state_parts(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n_hashes: int = 16,
+                      shingle_n: int = 3
+                      ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The SIGNATURE-STORE representation of a corpus for incremental
+    dedup: (digests, minhash signatures, shingle rows) — everything
+    the asymmetric flags computation needs, and nothing else (raw text
+    never re-derives; batch and stream share THIS one derivation, the
+    r7 discipline). digests: (id, _th md5); sigs: (id, s0..s{n-1},
+    set_size); shingles: (id, shingle)."""
+    digests = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_th"))
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    return digests, sigs, sh
+
+
 def incremental_dedup_flags(new_df: DataFrame, existing_df: DataFrame,
                             id_col: str = "doc_id", text_col: str = "text",
                             n_hashes: int = 16, bands: int = 4,
@@ -648,16 +664,38 @@ def incremental_dedup_flags(new_df: DataFrame, existing_df: DataFrame,
     Shuffle inventory: 1 digest semi-join + 1 banded bucket join +
     the verify joins over candidate-restricted rows — all bounded; no
     self-join of either corpus.
-    """
+
+    The derivation is shared with the streaming twin
+    (``streaming.incremental_dedup_stream``) through
+    ``dedup_state_parts`` + ``incremental_flags_from_parts``: the
+    stream persists the parts as its signature store and this wrapper
+    computes them inline."""
+    return incremental_flags_from_parts(
+        dedup_state_parts(new_df, id_col, text_col, n_hashes, shingle_n),
+        dedup_state_parts(existing_df, id_col, text_col, n_hashes,
+                          shingle_n),
+        id_col=id_col, n_hashes=n_hashes, bands=bands,
+        threshold=threshold, max_bucket=max_bucket)
+
+
+def incremental_flags_from_parts(
+        new_parts: tuple[DataFrame, DataFrame, DataFrame],
+        existing_parts: tuple[DataFrame, DataFrame, DataFrame],
+        id_col: str = "doc_id", n_hashes: int = 16, bands: int = 4,
+        threshold: float = 0.8, max_bucket: int = 1000) -> DataFrame:
+    """Core of the asymmetric incremental dedup over signature-store
+    parts (see ``dedup_state_parts``) — the single expression source
+    for the batch wrapper and the streaming foreachBatch twin."""
+    nh_d, sig_n, rows_n_src = new_parts
+    eh_d, sig_e, rows_e_src = existing_parts
+
     # exact content match
-    eh = existing_df.select(F.md5(F.col(text_col)).alias("_th")).distinct()
-    nh = new_df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_th"))
-    exact = (nh.join(eh.withColumn("_e", F.lit(True)), "_th", "left")
-               .select(id_col, F.coalesce("_e", F.lit(False)).alias("exact_dup")))
+    eh = eh_d.select("_th").distinct()
+    exact = (nh_d.join(eh.withColumn("_e", F.lit(True)), "_th", "left")
+                 .select(id_col,
+                         F.coalesce("_e", F.lit(False)).alias("exact_dup")))
 
     # asymmetric LSH candidates
-    sig_n = minhash_signatures(new_df, id_col, text_col, n_hashes, shingle_n)
-    sig_e = minhash_signatures(existing_df, id_col, text_col, n_hashes, shingle_n)
     bn = (_band_rows(sig_n, id_col, n_hashes, bands)
           .withColumnRenamed(id_col, "id_new"))
     be = (_band_rows(sig_e, id_col, n_hashes, bands)
@@ -674,10 +712,8 @@ def incremental_dedup_flags(new_df: DataFrame, existing_df: DataFrame,
               .cache())
 
     # exact-Jaccard verify across the two corpora
-    rows_n = (shingle_rows(new_df, id_col, text_col, shingle_n)
-              .select(F.col(id_col).alias("id_new"), "shingle"))
-    rows_e = (shingle_rows(existing_df, id_col, text_col, shingle_n)
-              .select(F.col(id_col).alias("id_old"), "shingle"))
+    rows_n = rows_n_src.select(F.col(id_col).alias("id_new"), "shingle")
+    rows_e = rows_e_src.select(F.col(id_col).alias("id_old"), "shingle")
     an = rows_n.join(F.broadcast(cand), "id_new")
     inter = (rows_e.join(an, ["id_old", "shingle"])
                    .groupBy("id_new", "id_old")

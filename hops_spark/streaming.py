@@ -474,6 +474,87 @@ def ann_ingest_stream(stream_vectors: DataFrame,
             .outputMode("append"))
 
 
+def seed_dedup_state(df: DataFrame, state_dir: str,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n_hashes: int = 16, shingle_n: int = 3) -> None:
+    """Materialize the incremental-dedup SIGNATURE STORE for an
+    existing corpus: three parquet tables (digests / minhash sigs /
+    shingle rows — ops/dedup.dedup_state_parts, the same derivation
+    the batch flags use) under ``state_dir``. Run once to bootstrap;
+    ``incremental_dedup_stream`` then appends every kept doc's parts."""
+    import os
+
+    from hops_spark.ops.dedup import dedup_state_parts
+
+    for name, part in zip(("digests", "sigs", "shingles"),
+                          dedup_state_parts(df, id_col, text_col,
+                                            n_hashes, shingle_n)):
+        part.write.mode("overwrite").parquet(os.path.join(state_dir, name))
+
+
+def incremental_dedup_stream(stream_docs: DataFrame, state_dir: str,
+                             flags_dir: str, checkpoint: str,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             n_hashes: int = 16, bands: int = 4,
+                             shingle_n: int = 3, threshold: float = 0.8,
+                             max_bucket: int = 1000):
+    """CONTINUOUS incremental dedup of a document stream against the
+    kept-corpus signature store — the asymmetric batch operator
+    (ops/dedup.incremental_dedup_flags) lifted into foreachBatch with
+    the store as state, exactly the ann_ingest_stream shape (an
+    on-disk store the driver appends to per micro-batch, checkpointed
+    for exactly-once per batch):
+
+    per batch — (1) derive the batch's signature parts ONCE
+    (dedup_state_parts — the shared derivation, so batch and stream
+    cannot diverge), (2) flag against the current store with the same
+    asymmetric core (never store x store — each doc is verified against
+    the corpus exactly once, over its whole lifetime), (3) append the
+    flags to ``flags_dir``, (4) append the KEPT docs' parts to the
+    store. Flags materialize (localCheckpoint) before any append so
+    step 4 never races the files step 2 read.
+
+    Bounded state: the store holds parts for KEPT docs only — it grows
+    with the deduplicated corpus, never with stream volume (every
+    duplicate is flagged and dropped), and per-batch cost is
+    batch-size x matched-candidates, independent of history size
+    beyond the banded bucket join. The drained flags equal folding
+    incremental_dedup_flags batch-by-batch over the same ingest order
+    (asserted in tests/test_streaming.py). Returns the unstarted
+    writer."""
+    import os
+
+    from hops_spark.ops.dedup import (dedup_state_parts,
+                                      incremental_flags_from_parts)
+
+    part_names = ("digests", "sigs", "shingles")
+
+    def dedup_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        new_parts = dedup_state_parts(batch_df, id_col, text_col,
+                                      n_hashes, shingle_n)
+        existing = tuple(
+            spark.read.parquet(os.path.join(state_dir, n))
+            for n in part_names)
+        flags = incremental_flags_from_parts(
+            new_parts, existing, id_col=id_col, n_hashes=n_hashes,
+            bands=bands, threshold=threshold,
+            max_bucket=max_bucket).localCheckpoint(eager=True)
+        flags.write.mode("append").parquet(flags_dir)
+        kept = flags.filter(F.col("is_kept")).select(id_col)
+        for name, part in zip(part_names, new_parts):
+            (part.join(F.broadcast(kept), id_col, "left_semi")
+                 .write.mode("append")
+                 .parquet(os.path.join(state_dir, name)))
+
+    return (stream_docs.writeStream.foreachBatch(dedup_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append"))
+
+
 def token_count_stream(docs: DataFrame) -> DataFrame:
     """Running per-token counts of a document stream (update/complete
     streaming aggregation) — the continuously-maintained 'current

@@ -527,3 +527,64 @@ def test_shard_manifest_stream_equals_batch(spark, sf_dir):
             .select("shard", "n_docs", "n_chars", "content_fp").collect()}
     assert got == want
     assert len(got) <= 8
+
+
+def test_incremental_dedup_stream_folds_like_batch(spark, sf_dir, tmp_path):
+    """Streaming incremental dedup (foreachBatch + signature store as
+    state): drained flags must equal folding the BATCH operator
+    sequentially over the same micro-batches — including a doc in
+    batch 2 duplicating a doc KEPT from batch 1 (the store-append
+    path), and duplicates of the seeded corpus flagged in batch 1."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops.dedup import incremental_dedup_flags
+    from hops_spark.streaming import incremental_dedup_stream, seed_dedup_state
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text")
+    existing = docs.filter(F.col("doc_id") % 3 == 0)
+    # batch 1: fresh docs + one exact copy of an EXISTING doc
+    copy_of_existing = existing.orderBy("doc_id").limit(1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    b1 = docs.filter(F.col("doc_id") % 3 == 1).unionByName(copy_of_existing)
+    # batch 2: fresh docs + one exact copy of a doc KEPT in batch 1
+    kept_b1_doc = docs.filter(F.col("doc_id") % 3 == 1).orderBy("doc_id").limit(1).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text")
+    b2 = docs.filter(F.col("doc_id") % 3 == 2).unionByName(kept_b1_doc)
+
+    state = str(tmp_path / "state")
+    flags_dir = str(tmp_path / "flags")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    seed_dedup_state(existing, state)
+    b1.coalesce(1).write.parquet(str(feed / "b1"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+                   .option("maxFilesPerTrigger", "1")
+                   .parquet(str(feed / "*")))
+    q = (incremental_dedup_stream(stream, state, flags_dir,
+                                  str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    b2.coalesce(1).write.parquet(str(feed / "b2"))
+    q.processAllAvailable()
+    q.stop()
+
+    cols = ("doc_id", "exact_dup", "near_dup", "is_kept")
+    got = sorted(tuple(r) for r in
+                 spark.read.parquet(flags_dir).select(*cols).collect())
+    # reference: the batch operator folded sequentially with the same
+    # store updates (existing grows by each batch's kept docs)
+    f1 = incremental_dedup_flags(b1, existing)
+    kept1 = b1.join(f1.filter(F.col("is_kept")).select("doc_id"),
+                    "doc_id", "left_semi")
+    f2 = incremental_dedup_flags(b2, existing.unionByName(kept1))
+    want = sorted(tuple(r) for r in
+                  f1.unionByName(f2).select(*cols).collect())
+    assert got == want and len(got) == b1.count() + b2.count()
+    # the planted duplicates were flagged through the right path
+    by_id = {r[0]: r for r in got}
+    planted_exist = existing.orderBy("doc_id").limit(1).collect()[0]["doc_id"] + 100000
+    planted_kept = docs.filter(F.col("doc_id") % 3 == 1) \
+                       .orderBy("doc_id").limit(1).collect()[0]["doc_id"] + 200000
+    assert by_id[planted_exist][1] is True      # dup of seeded corpus
+    assert by_id[planted_kept][1] is True       # dup of batch-1 keeper
