@@ -613,6 +613,45 @@ def suffix_dup_spans(df: DataFrame, id_col: str = "doc_id",
                .select(id_col, "span_start", "span_end", "span_tokens"))
 
 
+def excise_spans(df: DataFrame, spans: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text"
+                 ) -> DataFrame:
+    """CUT duplicate spans out of the corpus — the cleaning step that
+    consumes ``suffix_dup_spans``/``duplicate_spans`` output (Lee et
+    al. 2022 remove one occurrence of each duplicated substring; the
+    conservative corpus-hygiene variant here removes every flagged
+    range, e.g. boilerplate present hundreds of times).
+
+    Array-side, no per-token shuffle: the spans aggregate to ONE
+    bounded array<struct> per doc (spans per doc are merged maximal
+    intervals — dozens at most, by construction), broadcast-joined to
+    the docs; token retention is a filter over the positions array
+    against that array (exists-in-interval), and the clean text is one
+    concat_ws — the whole excision is a single narrow projection per
+    doc. Docs with no spans pass through untouched via the left join.
+
+    Returns (id, n_tokens, n_cut, clean_text)."""
+    sp = (spans.groupBy(id_col)
+               .agg(F.sort_array(F.collect_list(F.struct(
+                   F.col("span_start").alias("s"),
+                   F.col("span_end").alias("e")))).alias("_sp")))
+    bound = (df.join(sp, id_col, "left")
+               .select(F.col(id_col), F.col("_sp"),
+                       F.explode(F.array(words(text_col))).alias("_w")))
+    w, spn = F.col("_w"), F.coalesce(
+        F.col("_sp"), F.array().cast("array<struct<s:long,e:long>>"))
+    idx = F.when(F.size(w) > 0, F.sequence(F.lit(0), F.size(w) - 1)
+                 ).otherwise(F.array().cast("array<int>"))
+    keep = F.filter(idx, lambda i: ~F.exists(
+        spn, lambda s: (i >= s["s"]) & (i <= s["e"])))
+    return (bound.select(
+        F.col(id_col),
+        F.size(w).cast("long").alias("n_tokens"),
+        (F.size(w) - F.size(keep)).cast("long").alias("n_cut"),
+        F.concat_ws(" ", F.transform(keep, lambda i: F.element_at(w, i + 1)))
+         .alias("clean_text")))
+
+
 def _band_rows(sigs: DataFrame, id_col: str, n_hashes: int,
                bands: int) -> DataFrame:
     """(id, band, bhash) — one row per LSH band per doc (the banding

@@ -377,10 +377,11 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUFFIX_SPAN_L = 8      # min duplicate length (tokens); 50 in production
 SUFFIX_SPAN_C = 12     # suffix-key truncation cap (tokens), >= L
 
-
-@register(
-    "exact_substring_spans",
-    sql=f"""
+# Shared CTE chain: the full suffix-sort -> neighbor-LCP -> interval
+# union replay, ending in spans(doc_id, span_start, span_end). One
+# string, two consumers (exact_substring_spans, span_excised_corpus) —
+# the never-write-a-constant-twice rule applied to a whole pipeline.
+_SUFFIX_SPANS_CTES = f"""
     WITH wt AS (
         SELECT doc_id, {{DW}} AS w FROM documents
     ), suf AS (
@@ -422,12 +423,21 @@ SUFFIX_SPAN_C = 12     # suffix-key truncation cap (tokens), >= L
                sum(newf) OVER (PARTITION BY doc_id ORDER BY pos
                                ROWS UNBOUNDED PRECEDING) AS island
         FROM fl
+    ), spans AS (
+        SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+        FROM sp GROUP BY doc_id, island
     )
-    SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
-           (max(e) - min(pos) + 1) AS span_tokens
-    FROM sp GROUP BY doc_id, island
+""".replace("{DW}", _DUCK_WORDS)
+
+
+@register(
+    "exact_substring_spans",
+    sql=_SUFFIX_SPANS_CTES + """
+    SELECT doc_id, span_start, span_end,
+           (span_end - span_start + 1) AS span_tokens
+    FROM spans
     ORDER BY doc_id, span_start
-    """.replace("{DW}", _DUCK_WORDS),
+    """,
     doc="EXACT-substring duplicate spans, suffix-array grade (Lee et "
         "al. 2022 §4.2 ExactSubstr): maximal token ranges occurring "
         ">= 2 times corpus-wide at >= 8 tokens, collision-free (no "
@@ -447,6 +457,56 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (D.suffix_dup_spans(d, "doc_id", "text",
                                SUFFIX_SPAN_L, SUFFIX_SPAN_C)
              .orderBy("doc_id", "span_start"))
+
+
+@register(
+    "span_excised_corpus",
+    sql=_SUFFIX_SPANS_CTES + """
+    , sp_agg AS (
+        SELECT doc_id,
+               list(struct_pack(s := span_start, e := span_end)) AS spl
+        FROM spans GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           (n_tokens - len(keep))::BIGINT AS n_cut,
+           -- array_to_string of an EMPTY list is NULL in DuckDB where
+           -- Spark's concat_ws gives '' — coalesce so fully-excised
+           -- docs hash md5('') in both engines
+           md5(coalesce(
+               array_to_string(list_transform(keep, i -> w[i + 1]), ' '),
+               '')) AS clean_md5
+    FROM (
+        SELECT wt.doc_id, wt.w, len(wt.w)::BIGINT AS n_tokens,
+               list_filter(range(0, len(wt.w)),
+                   i -> NOT coalesce(
+                       len(list_filter(sp_agg.spl,
+                           s -> i >= s.s AND i <= s.e)) > 0, FALSE))
+                   AS keep
+        FROM wt LEFT JOIN sp_agg USING (doc_id)
+    )
+    ORDER BY doc_id
+    """,
+    doc="Duplicate-span EXCISION — the cleaning step completing the "
+        "ExactSubstr pipeline (Lee et al. 2022): every maximal "
+        "duplicate range found by the suffix-sort pass is cut from "
+        "its document and the text reassembled from the surviving "
+        "tokens. Spans aggregate to one bounded array per doc "
+        "(merged maximal intervals), so the excision is a single "
+        "narrow array-side projection — no per-token shuffle. Output "
+        "proves the cut arithmetic (n_tokens/n_cut) AND the exact "
+        "rebuilt text via its md5, hash-matched against the oracle's "
+        "full relational replay of spans + excision. "
+        "ops/dedup.excise_spans over ops/dedup.suffix_dup_spans.",
+    tags=("dedup", "north-star", "pipeline"),
+)
+def span_excised_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    spans = D.suffix_dup_spans(d, "doc_id", "text",
+                               SUFFIX_SPAN_L, SUFFIX_SPAN_C)
+    return (D.excise_spans(d, spans, "doc_id", "text")
+             .withColumn("clean_md5", F.md5("clean_text"))
+             .select("doc_id", "n_tokens", "n_cut", "clean_md5")
+             .orderBy("doc_id"))
 
 
 @register(

@@ -112,6 +112,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # round-8 registrations land here as they are verified
     "exact_substring_spans",   # suffix-array-grade ExactSubstr dedup
     "ann_probe_delete",        # index lifecycle: tombstone + compact
+    "span_excised_corpus",     # duplicate-span excision (cleaning step)
 )
 # Round-9 rotation plan: once CORRECTNESS_r08 lands green, fill freed
 # slots FIRST with this queue, THEN any round-8 REPROVE set, THEN

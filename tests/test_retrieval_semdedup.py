@@ -133,6 +133,44 @@ def test_clean_corpus_job(spark, sf_dir, tmp_path):
     assert sa == sb
 
 
+def test_clean_corpus_cut_spans_mode(spark, sf_dir, tmp_path):
+    """--cut-spans: the span-excision stage runs first, reports a
+    positive tokens_cut on this fixture (planted near-dup passages),
+    shrinks or preserves every doc's n_chars, and the job stays
+    deterministic end to end."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from clean_corpus import clean_corpus
+
+    c1 = clean_corpus(spark, sf_dir, str(tmp_path / "a"), cut_spans=True)
+    assert c1["tokens_cut"] > 0
+    assert c1["written"] == c1["after_perplexity"] > 0
+    c2 = clean_corpus(spark, sf_dir, str(tmp_path / "b"), cut_spans=True)
+    assert c1 == c2
+    # excised text actually landed: no surviving doc still contains a
+    # duplicated >= 8-token window (the spans were cut corpus-wide)
+    from pyspark.sql import functions as F
+
+    from hops_spark.ops.dedup import suffix_dup_spans
+    out = spark.read.parquet(str(tmp_path / "a" / "clean"))
+    kept = out.select("doc_id", "text")
+    respans = suffix_dup_spans(kept, "doc_id", "text", 8, 12)
+    # residual spans can only come from NEW adjacencies created by
+    # cutting (rare but possible); the planted full-doc duplicates
+    # must be gone, so residual coverage is far below the original
+    orig = suffix_dup_spans(
+        load_clean_base(spark, sf_dir), "doc_id", "text", 8, 12) \
+        .agg(F.sum("span_tokens")).collect()[0][0]
+    resid = respans.agg(F.coalesce(F.sum("span_tokens"), F.lit(0))) \
+        .collect()[0][0]
+    assert resid < orig / 2
+
+
+def load_clean_base(spark, sf_dir):
+    from hops_spark.io.readers import load_table
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
 def test_make_training_shards_job(spark, sf_dir, tmp_path):
     """Corpus -> shards CLI: deterministic, budget respected, no chunk
     lost between chunking and packing."""

@@ -116,6 +116,33 @@ def test_prefix_cap_extends_to_maximal_match(spark):
     assert got == _brute_spans(docs, 3, 7)
 
 
+def test_excise_spans_cuts_exactly_the_flagged_ranges(spark):
+    """excise_spans removes precisely the span token ranges: planted
+    shared passage -> both docs lose it; untouched docs pass through
+    verbatim; a fully-duplicated doc excises to empty text."""
+    from hops_spark.ops.dedup import excise_spans
+
+    passage = "p1 p2 p3 p4 p5"
+    docs = {
+        0: f"head0 {passage} tail0a tail0b",
+        1: f"{passage} t1 t2 t3 t4",
+        2: "solo tokens only here never repeated",
+        3: passage,                      # fully duplicated doc
+        4: passage,
+    }
+    df = spark.createDataFrame(list(docs.items()),
+                               "doc_id long, text string")
+    spans = suffix_dup_spans(df, "doc_id", "text", 5, 5)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_cut"], r["clean_text"])
+           for r in excise_spans(df, spans).collect()}
+    assert got[0] == (8, 5, "head0 tail0a tail0b")
+    assert got[1] == (9, 5, "t1 t2 t3 t4")
+    assert got[2] == (6, 0, docs[2])
+    assert got[3] == (5, 5, "")
+    assert got[4] == (5, 5, "")
+    assert len(got) == 5
+
+
 def test_short_docs_and_no_duplicates(spark):
     """Docs shorter than min_tokens emit nothing; a corpus with no
     duplicated window emits no spans at all."""

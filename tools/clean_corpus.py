@@ -4,6 +4,9 @@ actually runs, wired from the registered operators.
     python tools/clean_corpus.py SF_DIR OUT_DIR [--bench-source src0]
 
 Stages (each map-only or cap-bounded — see SCALE.md):
+  0. span excision  — optional (--cut-spans): cut every >= 8-token range
+                      duplicated corpus-wide and rebuild the text
+                      (ops/dedup.suffix_dup_spans + excise_spans)
   1. quality gate   — integer-ppm score threshold (ops/text.quality_score)
   2. language gate  — stopword-hit lang-id == 'en' (ops/text.lang_id_expr)
   3. exact dedup    — content-hash keep-min-id (ops/dedup.exact_dedup)
@@ -53,9 +56,29 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
                  out_format: str = "parquet",
                  survivor: str = "min_id",
                  weighted_dedup: bool = False,
-                 mixture: bool = False) -> dict:
+                 mixture: bool = False,
+                 cut_spans: bool = False) -> dict:
     d = load_table(spark, sf_dir, "documents")
     counts = {"input": d.count()}
+
+    if cut_spans:
+        # sub-document excision FIRST (Lee et al. 2022 ExactSubstr):
+        # cut every maximal >= 8-token range duplicated corpus-wide
+        # (ops/dedup.suffix_dup_spans — suffix-sort exact method, no
+        # hashing) and rebuild the text from surviving tokens BEFORE
+        # the doc-level gates, so boilerplate mass can neither carry a
+        # doc through the quality gate nor glue near-dup clusters.
+        from hops_spark.ops.dedup import excise_spans, suffix_dup_spans
+        spans = suffix_dup_spans(d, "doc_id", "text",
+                                 min_tokens=8, prefix_cap=12)
+        ex = excise_spans(d, spans, "doc_id", "text")
+        d = (d.join(ex.select("doc_id", "n_cut", "clean_text"), "doc_id")
+              .withColumn("text", F.col("clean_text"))
+              .withColumn("n_chars", F.length("text").cast("long"))
+              .drop("clean_text"))
+        counts["tokens_cut"] = ex.agg(
+            F.sum("n_cut").cast("long")).collect()[0][0] or 0
+        d = d.drop("n_cut")
 
     q = (quality_score(d.select("doc_id", "text"))
          .select("doc_id", "quality_score_ppm"))
@@ -178,11 +201,12 @@ def main() -> None:
     nb_lang = "--nb-lang" in args
     weighted_dedup = "--weighted-dedup" in args
     mixture = "--mixture" in args
+    cut_spans = "--cut-spans" in args
     out_format = "avro" if "--avro" in args else "parquet"
     survivor = "quality" if "--survivor-quality" in args else "min_id"
     args = [a for a in args
             if a not in ("--nb-lang", "--avro", "--survivor-quality",
-                         "--weighted-dedup", "--mixture")]
+                         "--weighted-dedup", "--mixture", "--cut-spans")]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     out_dir = args[1] if len(args) > 1 else "/tmp/clean_corpus_out"
     bench_source = "src0"
@@ -192,7 +216,7 @@ def main() -> None:
     counts = clean_corpus(spark, sf_dir, out_dir, bench_source,
                           nb_lang=nb_lang, out_format=out_format,
                           survivor=survivor, weighted_dedup=weighted_dedup,
-                          mixture=mixture)
+                          mixture=mixture, cut_spans=cut_spans)
     print(json.dumps({"job": "clean_corpus", "sf_dir": sf_dir,
                       "out": os.path.join(out_dir, "clean"), **counts}))
 

@@ -42,7 +42,7 @@ _BOUNDED_SINGLE_PARTITION_OK = {
     # total_order_rank offsets over the suffix-sort partitions
     # (<= #partitions rows; the data side is range-partitioned +
     # rank-joined, window-free — ops/dedup.suffix_dup_spans):
-    "exact_substring_spans",
+    "exact_substring_spans", "span_excised_corpus",
     "vocab_coverage", "rfm_segments",
     # same offsets window via total_order_rank inside
     # ops/bloom.dynamic_bloom_bits (epoch assignment — the data side is

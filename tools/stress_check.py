@@ -311,6 +311,39 @@ def main() -> int:
     tri_ok = got_tri == n_tri
     t_tri = time.time() - t0
 
+    # EXACT-substring spans (suffix-sort path) at 100k docs / 4M suffix
+    # rows: all docs on disjoint md5 vocabularies (zero duplicated
+    # windows — false positives are a deterministic contract, the
+    # method hashes nothing), except 500 planted pairs where doc
+    # (half+i) embeds a verbatim 20-token passage of doc i at a
+    # different offset. With min_tokens=12, cap=16 the expected output
+    # is CLOSED-FORM: exactly (i, 10, 29, 20) and (half+i, 5, 24, 20)
+    # per pair — maximal spans, exact boundaries, nothing else.
+    from hops_spark.ops.dedup import suffix_dup_spans
+    t0 = time.time()
+    n_sdocs, n_span_pairs = 100_000, 500
+    shalf = n_sdocs // 2
+    s_planted = (F.col("id") >= shalf) & (F.col("id") < shalf + n_span_pairs)
+
+    def _sword(w):
+        own = F.md5(F.concat_ws("|", F.lit(f"sw{w}"),
+                                F.col("id").cast("string")))
+        if 5 <= w <= 24:   # copy holds source positions 10..29
+            src = F.md5(F.concat_ws("|", F.lit(f"sw{w + 5}"),
+                                    (F.col("id") - shalf).cast("string")))
+            return F.when(s_planted, src).otherwise(own)
+        return own
+
+    sdocs = spark.range(0, n_sdocs, 1, parts).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[_sword(w) for w in range(40)]).alias("text"))
+    got_spans = {tuple(r) for r in suffix_dup_spans(
+        sdocs, min_tokens=12, prefix_cap=16).collect()}
+    want_spans = ({(i, 10, 29, 20) for i in range(n_span_pairs)}
+                  | {(shalf + i, 5, 24, 20) for i in range(n_span_pairs)})
+    spans_ok = got_spans == want_spans
+    t_spans = time.time() - t0
+
     out = {"job": "stress_check", "n_rows": n, "n_partitions": parts,
            "rank_ok": bool(rank_ok), "rank_sec": round(t_rank, 1),
            "prefix_sum_ok": bool(ps_ok), "prefix_sum_sec": round(t_ps, 1),
@@ -326,10 +359,13 @@ def main() -> int:
            "weighted_dedup_ok": bool(wj_ok),
            "weighted_dedup_sec": round(t_wj, 1),
            "triangle_hub_ok": bool(tri_ok),
-           "triangle_hub_sec": round(t_tri, 1)}
+           "triangle_hub_sec": round(t_tri, 1),
+           "substring_spans_ok": bool(spans_ok),
+           "substring_spans_sec": round(t_spans, 1)}
     print(json.dumps(out))
     return 0 if all((rank_ok, ps_ok, skew_ok, dedup_ok, inc_ok,
-                     ann_ok, meta_ok, tl_ok, wj_ok, tri_ok)) else 1
+                     ann_ok, meta_ok, tl_ok, wj_ok, tri_ok,
+                     spans_ok)) else 1
 
 
 if __name__ == "__main__":
