@@ -587,7 +587,15 @@ def suffix_dup_spans(df: DataFrame, id_col: str = "doc_id",
                     lambda i: F.element_at(ka, i) != F.element_at(kb, i))
     lcp = F.when(F.size(mism) > 0, F.element_at(mism, 1) - 1) \
            .otherwise(F.least(F.size(ka), F.size(kb))).cast("long")
-    adj = left.join(right, "_rk").withColumn("_lcp", lcp)
+    # The adjacency join's sides are both the FULL suffix payload — by
+    # design never broadcastable (the checkpoint-backed plan defeats
+    # size estimation: at the 4M-suffix stress scale the planner chose
+    # a broadcast and collected ~1 GB to the driver before aborting on
+    # maxResultSize). Pin a shuffle hash join: millions of uniform
+    # unique rank keys, the exact shape SHJ is built for.
+    adj = (left.hint("shuffle_hash")
+               .join(right.hint("shuffle_hash"), "_rk")
+               .withColumn("_lcp", lcp))
     hits = adj.select(F.explode(F.array(
                F.struct(F.col("_da").alias(id_col), F.col("_pa").alias("pos")),
                F.struct(F.col("_db").alias(id_col), F.col("_pb").alias("pos"))
