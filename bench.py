@@ -64,6 +64,9 @@ HEADLINE = [
     "funnel_conversion",
     "knn_ivf",
     "semantic_dedup",
+    # round-8 additions (suffix-sort exact-substring dedup + excision)
+    "exact_substring_spans",
+    "span_excised_corpus",
 ]
 
 
