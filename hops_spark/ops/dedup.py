@@ -632,11 +632,14 @@ def excise_spans(df: DataFrame, spans: DataFrame,
 
     Array-side, no per-token shuffle: the spans aggregate to ONE
     bounded array<struct> per doc (spans per doc are merged maximal
-    intervals — dozens at most, by construction), broadcast-joined to
-    the docs; token retention is a filter over the positions array
-    against that array (exists-in-interval), and the clean text is one
-    concat_ws — the whole excision is a single narrow projection per
-    doc. Docs with no spans pass through untouched via the left join.
+    intervals — dozens at most, by construction) and equi-join the
+    docs on the doc key (AQE picks broadcast only when the flagged-doc
+    set is genuinely small — at corpus scale it is a keyed hash join,
+    never a driver collect); token retention is a filter over the
+    positions array against that array (exists-in-interval), and the
+    clean text is one concat_ws — the whole excision is a single
+    narrow projection per doc. Docs with no spans pass through
+    untouched via the left join.
 
     Returns (id, n_tokens, n_cut, clean_text)."""
     sp = (spans.groupBy(id_col)

@@ -684,7 +684,10 @@ def compact_cell_index(spark, index_dir: str, id_col: str = "vec_id",
               .write.mode("overwrite").partitionBy("cell")
               .parquet(staging))
     n_after = spark.read.parquet(staging).count()
+    # a previous compaction that died between its two renames may have
+    # left the old dir behind — clear it so this swap cannot fail
     old = index_dir.rstrip("/") + "_compact_old"
+    shutil.rmtree(old, ignore_errors=True)
     os.rename(index_dir, old)
     os.rename(staging, index_dir)
     shutil.rmtree(old)

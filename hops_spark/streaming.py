@@ -534,6 +534,12 @@ def incremental_dedup_stream(stream_docs: DataFrame, state_dir: str,
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        missing = [n for n in part_names
+                   if not os.path.isdir(os.path.join(state_dir, n))]
+        if missing:
+            raise ValueError(
+                f"signature store at {state_dir} lacks {missing}: run "
+                "seed_dedup_state first (an empty corpus is fine)")
         new_parts = dedup_state_parts(batch_df, id_col, text_col,
                                       n_hashes, shingle_n)
         existing = tuple(
