@@ -440,6 +440,43 @@ def contamination_flags(corpus: DataFrame, benchmark: DataFrame,
                  .withColumn("contaminated", F.col("n_overlap") >= min_overlap))
 
 
+def contamination_flags_bloom(corpus: DataFrame, benchmark: DataFrame,
+                              id_col: str = "doc_id", text_col: str = "text",
+                              shingle_n: int = 3, min_overlap: int = 3,
+                              m: int = 1 << 18, k: int = 4,
+                              seed: str = "decon") -> DataFrame:
+    """contamination_flags for the regime where the benchmark shingle
+    SET is too large to broadcast-hash-join (a full eval-suite union is
+    easily 10^8 shingles = multi-GB as a join hash table): the set is
+    compressed to an ``m``-bit bloom bitmask (``m/8`` bytes regardless
+    of shingle count — 2^18 bits = 32 KB here, 2^27 = 16 MB in
+    production) that rides as ONE literal int-array evaluated MAP-SIDE
+    in the corpus scan, so non-candidate corpus shingle rows die before
+    any shuffle. Survivors (true overlaps + the bloom FP fraction) go
+    through the exact verification join, which kills every false
+    positive — the composition is EXACT, value-equal to
+    contamination_flags (no false negatives by bloom construction;
+    pytest states the law). The verification join carries no broadcast
+    hint: in this regime the benchmark side shuffles, but only against
+    the ~selectivity-sized surviving corpus stream — at 100 TB that is
+    the difference between shuffling every corpus shingle and shuffling
+    the contaminated sliver. Reuses the §2.4 bloom family kernels
+    (ops/bloom.bloom_bitmask / bloom_join_filter, the BloomMapFile /
+    bloom-join discipline applied to hygiene)."""
+    from hops_spark.ops.bloom import bloom_bitmask, bloom_join_filter
+    bsh = (shingle_arrays(benchmark, id_col, text_col, shingle_n)
+           .select(F.explode("shingle_arr").alias("shingle"))
+           .distinct())
+    mask = bloom_bitmask(bsh, "shingle", m, k, seed)
+    crows = (shingle_arrays(corpus, id_col, text_col, shingle_n)
+             .select(F.col(id_col), F.explode("shingle_arr").alias("shingle"))
+             .filter(bloom_join_filter(F.col("shingle"), mask, m, k, seed)))
+    return (crows.join(bsh, "shingle")
+                 .groupBy(id_col)
+                 .agg(F.count("*").alias("n_overlap"))
+                 .withColumn("contaminated", F.col("n_overlap") >= min_overlap))
+
+
 def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 8,
                     min_count: int = 2) -> DataFrame:

@@ -327,6 +327,47 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy("doc_id"))
 
 
+DECON_BLOOM_M = 1 << 16    # bloom bits (32 KB mask); 2^27 in production
+DECON_BLOOM_K = 4
+
+
+@register(
+    "decontaminate_bloom",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, source, {_DUCK_WORDS} AS w FROM documents
+    ), sht AS (
+        SELECT doc_id, source, list_distinct({DUCK_SHINGLES_OF_W}) AS sh FROM wt
+    ), crows AS (
+        SELECT doc_id, unnest(sh) AS shingle FROM sht WHERE source <> 'src0'
+    ), bsh AS (
+        SELECT DISTINCT unnest(sh) AS shingle FROM sht WHERE source = 'src0'
+    )
+    SELECT c.doc_id, count(*) AS n_overlap, count(*) >= 2 AS contaminated
+    FROM crows c JOIN bsh USING (shingle)
+    GROUP BY c.doc_id
+    ORDER BY doc_id
+    """,
+    doc="Bloom-prefiltered decontamination (the 100 TB regime where the "
+        "benchmark shingle set exceeds the broadcast cap): benchmark "
+        "shingles compress to a fixed m-bit bloom bitmask evaluated "
+        "map-side in the corpus scan; only bloom survivors reach the "
+        "exact verification join, which removes every false positive — "
+        "so the ORACLE IS THE EXACT SEMANTICS (the bloom is invisible "
+        "in the result, only in the plan). Flags at >= 2 shared "
+        "shingles (the stricter hygiene threshold).",
+    tags=("dedup", "north-star"),
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+    return (D.contamination_flags_bloom(corpus, bench, "doc_id", "text",
+                                        shingle_n=3, min_overlap=2,
+                                        m=DECON_BLOOM_M, k=DECON_BLOOM_K)
+             .orderBy("doc_id"))
+
+
 DUP_SPAN_K = 8
 
 

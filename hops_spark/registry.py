@@ -113,6 +113,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "exact_substring_spans",   # suffix-array-grade ExactSubstr dedup
     "ann_probe_delete",        # index lifecycle: tombstone + compact
     "span_excised_corpus",     # duplicate-span excision (cleaning step)
+    "decontaminate_bloom",     # bloom-prefiltered exact decontamination
 )
 # Round-9 rotation plan: once CORRECTNESS_r08 lands green, fill freed
 # slots FIRST with this queue, THEN any round-8 REPROVE set, THEN

@@ -144,6 +144,38 @@ def test_contamination_flags_basic(spark):
     assert got[3][0] > 0            # partial overlap counted
 
 
+def test_contamination_bloom_equals_exact(spark):
+    """The bloom-prefiltered variant is EXACT: bloom has no false
+    negatives and the verification join removes every false positive,
+    so its output equals contamination_flags for any mask size — even
+    a pathologically tiny mask (m=64: near-every probe passes, the
+    prefilter degrades to a no-op and the exact join does all the
+    work)."""
+    from hops_spark.ops.dedup import (contamination_flags,
+                                      contamination_flags_bloom)
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated text with different words entirely"),
+         (3, "the quick brown cat jumps over the lazy dog"),
+         (4, "over the lazy dog and then some more filler words here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "some more filler words for the second benchmark row")],
+        "doc_id long, text string")
+
+    def as_map(df):
+        return {r["doc_id"]: (r["n_overlap"], r["contaminated"])
+                for r in df.collect()}
+
+    exact = as_map(contamination_flags(corpus, bench, min_overlap=2))
+    for m in (64, 1 << 16):
+        got = as_map(contamination_flags_bloom(corpus, bench,
+                                               min_overlap=2, m=m, k=4))
+        assert got == exact, f"bloom variant diverged at m={m}"
+
+
 def test_hash_sample_deterministic_and_proportional(spark):
     from hops_spark.ops.sampling import hash_sample
 
