@@ -87,3 +87,151 @@ def nb_predict(docs: DataFrame, id_col: str = "doc_id",
                   .filter(F.col("_rn") == 1)
                   .select(id_col, "actual", F.col("c").alias("predicted"),
                           "nll_micro"))
+
+
+# ---------------------------------------------------------------------------
+# Discriminative linear probe: hashed bag-of-words + batch gradient
+# descent in FIXED-POINT integer arithmetic. The public recipe role is
+# the fastText/DCLM-style learned quality gate (a linear classifier
+# over hashed token features deciding keep/drop for a 100 TB corpus);
+# the training rule is the classic delta rule (Widrow-Hoff / ADALINE)
+# with a HARD sigmoid p = clamp(1/2 + s/4, 0, 1) — chosen over exp()
+# deliberately: every quantity is integer micro-units combined with
+# +,*,floor and exact dyadic divisions only, so fold order cannot
+# perturb a sum and a SQL oracle reproduces training bit-for-bit
+# (libm exp/ln differ across engines in the last ulp; IEEE +,*,/ do
+# not). Weights live in micro-units (1e-6) as BIGINTs.
+# ---------------------------------------------------------------------------
+
+LP_MICRO = 1_000_000            # fixed-point scale: 1.0 == 1e6 micro
+LP_HALF = LP_MICRO // 2         # hard-sigmoid intercept (p = 0.5 at s=0)
+LP_SAT = 2 * LP_MICRO           # |margin| >= 2.0 saturates the hard sigmoid
+
+
+def hashed_features(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", y_col: str = "y",
+                    dim: int = 64, seed: str = "lp") -> DataFrame:
+    """(id, _y, feat, x): LENGTH-NORMALIZED token frequencies in
+    micro-units — x = floor(count * 1e6 / doc_tokens) — folded into
+    ``dim`` md5 buckets (feature hashing: the model is <= dim+1
+    weights regardless of vocabulary), plus one bias row (feat = dim,
+    x = 1e6) per doc so empty docs still carry a row. Normalization
+    makes margins length-invariant and bounded (sum of x per doc <=
+    2e6 incl. bias), which is what keeps the hard sigmoid out of
+    saturation lockup — with raw counts a 300-token doc's margin
+    blows past the +-2.0 saturation band after one update and every
+    gradient dies (measured on the fixture: training freezes at the
+    majority class).
+
+    The floor-of-double division is engine-exact: a/b for BIGINTs of
+    this size is correctly rounded, and a non-integer quotient is at
+    least 1/b > half-ulp away from an integer, so FLOOR cannot be
+    perturbed by the rounding. One keyed aggregate + one per-doc
+    window; everything else map-only."""
+    d = docs.select(F.col(id_col), F.col(text_col), F.col(y_col))
+    tok = d.select(F.col(id_col), F.col(y_col).alias("_y"),
+                   F.explode(words(text_col)).alias("_w"))
+    feat = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit(seed), F.col("_w"))),
+                           1, 15), 16, 10).cast("long"),
+        F.lit(dim))
+    fcnt = (tok.groupBy(F.col(id_col), F.col("_y"), feat.alias("feat"))
+               .agg(F.count("*").alias("cnt")))
+    tot = F.sum("cnt").over(
+        Window.partitionBy(F.col(id_col), F.col("_y")))
+    norm = (fcnt.withColumn("x", F.floor(F.col("cnt") * LP_MICRO / tot)
+                                  .cast("long"))
+                .drop("cnt"))
+    bias = d.select(F.col(id_col), F.col(y_col).alias("_y"),
+                    F.lit(dim).cast("long").alias("feat"),
+                    F.lit(LP_MICRO).cast("long").alias("x"))
+    return norm.unionByName(bias)
+
+
+def _probe_margin(feats: DataFrame, w: list[int], id_col: str):
+    """(id, _y, margin): fixed-point dot product against the weight
+    vector — floor(sum(w_micro * x_micro) / 1e6), so margin stays in
+    micro-units. The weights ride as ONE literal long-array (dim+1
+    entries — codebook-sized, far under the ~4k-literal Catalyst
+    analysis wall)."""
+    arr = F.lit(w).cast("array<long>")
+    contrib = F.element_at(arr, (F.col("feat") + 1).cast("int")) * F.col("x")
+    return (feats.groupBy(F.col(id_col), F.col("_y"))
+                 .agg(F.floor(F.sum(contrib) / F.lit(float(LP_MICRO)))
+                       .alias("margin")))
+
+
+def _probe_errs(margins: DataFrame, id_col: str) -> DataFrame:
+    """(id, _y, err, inside): hard-sigmoid probability in micro-units,
+    its signed error vs the label, and the slope-active flag. All
+    integer except one exact dyadic /4.0."""
+    p = F.least(F.greatest(F.lit(LP_HALF)
+                           + F.floor(F.col("margin") / F.lit(4.0)),
+                           F.lit(0)),
+                F.lit(LP_MICRO))
+    return margins.select(
+        F.col(id_col), F.col("_y"),
+        (p - F.col("_y").cast("long") * LP_MICRO).alias("err"),
+        ((F.col("margin") > -LP_SAT) & (F.col("margin") < LP_SAT))
+        .alias("inside"))
+
+
+def train_linear_probe(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", y_col: str = "y",
+                       dim: int = 64, iters: int = 3,
+                       lr_num: int = 1, lr_den: int = 1,
+                       seed: str = "lp") -> list[int]:
+    """Full-batch delta-rule training, returning the final weight list
+    (dim+1 BIGINT micro-unit entries; index dim is the bias).
+
+    Per iteration: one keyed aggregate (per-doc margin), one keyed
+    join + one keyed aggregate (per-feature gradient, dim+1 cells,
+    map-side partials), one dim+1-row collect — the model is driver
+    metadata like an IVF codebook; the DATA is only ever streamed,
+    twice per iteration. At 100 TB that is the standard full-batch GD
+    cost (2*iters scans); the drop-in mitigation is hash-sampled
+    mini-batches (ops/sampling.hash_sample), which change the
+    estimator, not this plumbing. Portability: every per-element
+    contribution is snapped to integer micro-units BEFORE summing
+    (the house fold-order rule), the gradient sum stays BIGINT-exact
+    (|g| <= 1e6 * n_docs — int64 holds past 10^12 docs), and the
+    update floor(g*lr_num / (4.0*lr_den*n)) uses IEEE ops only, so
+    the DuckDB oracle replays training to the last bit."""
+    feats = hashed_features(docs, id_col, text_col, y_col, dim, seed)
+    feats = feats.persist()
+    n_docs = docs.count()
+    import math
+    w = [0] * (dim + 1)
+    denom = 4.0 * lr_den * n_docs
+    for _ in range(iters):
+        errs = _probe_errs(_probe_margin(feats, w, id_col), id_col)
+        g = (feats.join(errs.select(id_col, "err", "inside"), id_col)
+                  .groupBy("feat")
+                  .agg(F.sum(F.when(F.col("inside"),
+                                    F.floor(F.col("err") * F.col("x")
+                                            / F.lit(float(LP_MICRO))))
+                              .otherwise(F.lit(0)).cast("long"))
+                        .alias("g"))
+                  .collect())
+        gmap = {int(r["feat"]): int(r["g"]) for r in g}
+        w = [wi - math.floor(gmap.get(i, 0) * lr_num / denom)
+             for i, wi in enumerate(w)]
+    feats.unpersist()
+    return w
+
+
+def linear_probe_scores(docs: DataFrame, w: list[int],
+                        id_col: str = "doc_id", text_col: str = "text",
+                        y_col: str = "y", dim: int = 64,
+                        seed: str = "lp") -> DataFrame:
+    """(id, _y, margin, p_micro, pred): score docs against a trained
+    weight list. One keyed aggregate; the model rides as a literal."""
+    feats = hashed_features(docs, id_col, text_col, y_col, dim, seed)
+    m = _probe_margin(feats, w, id_col)
+    p = F.least(F.greatest(F.lit(LP_HALF)
+                           + F.floor(F.col("margin") / F.lit(4.0)),
+                           F.lit(0)),
+                F.lit(LP_MICRO))
+    return m.select(F.col(id_col), F.col("_y"), F.col("margin"),
+                    p.alias("p_micro"),
+                    (p >= LP_HALF).cast("int").alias("pred"))

@@ -959,6 +959,153 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("actual", "predicted"))
 
 
+# ---------------------------------------------------------------------------
+# Hashed linear probe (delta-rule GD in fixed point) — ops/classify.py.
+# The oracle replays TRAINING ITSELF: each gradient-descent iteration
+# unrolls to a MATERIALIZED CTE block (the knn_graph_kcore discipline),
+# exact because every update is integer/micro-unit arithmetic with IEEE
+# +,*,/ and floor only — no libm anywhere in the loop.
+# ---------------------------------------------------------------------------
+
+from hops_spark.ops.classify import LP_HALF, LP_MICRO, LP_SAT  # noqa: E402
+
+LP_DIM = 64       # hashed feature buckets (+1 bias row at feat=LP_DIM)
+LP_ITERS = 3      # unrolled GD iterations (oracle CTE blocks)
+LP_LRN = 1        # learning rate numerator /
+LP_LRD = 1        #   denominator (rate = LRN/LRD)
+LP_SEED = "lp"
+
+_LP_BASE_CTES = f"""
+    WITH wt AS MATERIALIZED (
+        SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+               {_DUCK_WORDS} AS w
+        FROM documents
+    ), n AS (
+        SELECT count(*) AS nd FROM wt
+    ), feats AS MATERIALIZED (
+        SELECT doc_id, y, feat,
+               CAST(FLOOR(cnt * {LP_MICRO}.0 / tot) AS BIGINT) AS x
+        FROM (
+            SELECT doc_id, y, feat, count(*) AS cnt,
+                   sum(count(*)) OVER (PARTITION BY doc_id, y) AS tot
+            FROM (SELECT doc_id, y,
+                         CAST(('0x' || substring(md5('{LP_SEED}' || tk),
+                                                 1, 15))
+                              AS BIGINT) % {LP_DIM} AS feat
+                  FROM (SELECT doc_id, y, unnest(w) AS tk FROM wt) t) b
+            GROUP BY doc_id, y, feat
+        ) c
+        UNION ALL
+        SELECT doc_id, y, {LP_DIM} AS feat,
+               CAST({LP_MICRO} AS BIGINT) AS x FROM wt
+    ), w0 AS (
+        SELECT CAST(unnest(range(0, {LP_DIM + 1})) AS BIGINT) AS feat,
+               CAST(0 AS BIGINT) AS w_micro
+    )"""
+
+
+def _lp_margin_cte(name: str, w_cte: str) -> str:
+    return f"""{name} AS MATERIALIZED (
+        SELECT f.doc_id, f.y,
+               CAST(FLOOR(sum(w.w_micro * f.x) / {LP_MICRO}.0) AS BIGINT)
+                   AS margin
+        FROM feats f JOIN {w_cte} w USING (feat)
+        GROUP BY f.doc_id, f.y
+    )"""
+
+
+def _lp_iter_ctes(iters: int) -> str:
+    """One gradient-descent round = margin -> error -> gradient ->
+    weight-update CTEs; `iters` rounds chained w0 -> w{iters}."""
+    blocks = []
+    for t in range(iters):
+        blocks.append(f"""{_lp_margin_cte(f"m{t}", f"w{t}")}, e{t} AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(least(greatest({LP_HALF} + FLOOR(margin / 4.0), 0),
+                          {LP_MICRO}) AS BIGINT) - y * {LP_MICRO} AS err,
+               (margin > -{LP_SAT} AND margin < {LP_SAT}) AS inside
+        FROM m{t}
+    ), g{t} AS MATERIALIZED (
+        SELECT f.feat,
+               CAST(sum(CASE WHEN e.inside
+                             THEN CAST(FLOOR(e.err * f.x / {LP_MICRO}.0)
+                                       AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS g
+        FROM feats f JOIN e{t} e USING (doc_id)
+        GROUP BY f.feat
+    ), w{t + 1} AS MATERIALIZED (
+        SELECT w.feat,
+               w.w_micro - CAST(FLOOR(COALESCE(g.g, 0) * {LP_LRN}
+                                      / (4.0 * {LP_LRD} * n.nd))
+                                AS BIGINT) AS w_micro
+        FROM w{t} w LEFT JOIN g{t} g USING (feat) CROSS JOIN n
+    )""")
+    return ", ".join(blocks)
+
+
+def _lp_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("source") == "src0").cast("int"))
+
+
+@register(
+    "linear_probe_train",
+    sql=f"""{_LP_BASE_CTES}, {_lp_iter_ctes(LP_ITERS)}
+    SELECT feat, w_micro FROM w{LP_ITERS} ORDER BY feat
+    """,
+    doc="Hashed linear-probe quality classifier, TRAINED DISTRIBUTED "
+        "(the fastText/DCLM learned-gate role; delta rule / ADALINE, "
+        "public): bag-of-words folded into LP_DIM md5 buckets + bias, "
+        "full-batch gradient descent with a hard sigmoid in fixed-point "
+        "micro-units — integer sums (fold-order-proof), exact dyadic "
+        "divisions, floor updates, so the DuckDB oracle replays the "
+        "whole training loop bit-for-bit as unrolled MATERIALIZED "
+        "CTEs. Output: the final weight vector (LP_DIM+1 BIGINT rows). "
+        "Per iteration: one keyed agg + one keyed join + one dim-cell "
+        "agg; the model is driver metadata (codebook idiom).",
+    tags=("text", "ml", "north-star"),
+)
+def linear_probe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.classify import train_linear_probe
+    w = train_linear_probe(_lp_docs(spark, sf_dir), dim=LP_DIM,
+                           iters=LP_ITERS, lr_num=LP_LRN, lr_den=LP_LRD,
+                           seed=LP_SEED)
+    rows = [(i, int(wi)) for i, wi in enumerate(w)]
+    return (spark.createDataFrame(rows, "feat bigint, w_micro bigint")
+                 .orderBy("feat"))
+
+
+@register(
+    "linear_probe_eval",
+    sql=f"""{_LP_BASE_CTES}, {_lp_iter_ctes(LP_ITERS)},
+    {_lp_margin_cte("mf", f"w{LP_ITERS}")}, scored AS (
+        SELECT y,
+               CASE WHEN CAST(least(greatest({LP_HALF} + FLOOR(margin / 4.0),
+                                             0), {LP_MICRO}) AS BIGINT)
+                         >= {LP_HALF}
+                    THEN 1 ELSE 0 END AS pred
+        FROM mf
+    )
+    SELECT y, pred, CAST(count(*) AS BIGINT) AS n
+    FROM scored GROUP BY y, pred ORDER BY y, pred
+    """,
+    doc="Confusion matrix of the trained linear probe scored back over "
+        "the corpus (train + one scoring pass, all inside the same "
+        "deterministic fixed-point arithmetic as linear_probe_train).",
+    tags=("text", "ml"),
+)
+def linear_probe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.classify import (linear_probe_scores,
+                                         train_linear_probe)
+    d = _lp_docs(spark, sf_dir)
+    w = train_linear_probe(d, dim=LP_DIM, iters=LP_ITERS,
+                           lr_num=LP_LRN, lr_den=LP_LRD, seed=LP_SEED)
+    return (linear_probe_scores(d, w, dim=LP_DIM, seed=LP_SEED)
+            .groupBy(F.col("_y").alias("y"), "pred")
+            .agg(F.count("*").alias("n"))
+            .orderBy("y", "pred"))
+
+
 KL_TOP_K = 100
 
 

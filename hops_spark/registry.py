@@ -114,6 +114,8 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "ann_probe_delete",        # index lifecycle: tombstone + compact
     "span_excised_corpus",     # duplicate-span excision (cleaning step)
     "decontaminate_bloom",     # bloom-prefiltered exact decontamination
+    "linear_probe_train",      # fixed-point GD classifier: training replay
+    "linear_probe_eval",       # ... and its confusion matrix
 )
 # Round-9 rotation plan: once CORRECTNESS_r08 lands green, fill freed
 # slots FIRST with this queue, THEN any round-8 REPROVE set, THEN
