@@ -1,0 +1,185 @@
+"""Product quantization (public: Jégou, Douze, Schmid 2011, "Product
+Quantization for Nearest Neighbor Search") — the classic billion-scale
+ANN compression: split each d-dim vector into ``m`` subspaces, learn a
+tiny k-means codebook per subspace, store each vector as ``m`` small
+codes (here packed into ONE BIGINT), and answer queries with
+asymmetric distance computation (ADC): per query, one m×k lookup
+table; per candidate, ``m`` table lookups and adds — no float vector
+ever touched at probe time.
+
+Everything here runs in FIXED-POINT integer micro-units
+(x_micro = floor(x * 1e6) per element, the linear-probe discipline):
+distances are integer sums of squared integer differences, codebook
+means are floor(sum/count) with the sum BIGINT-exact, and every argmin
+tie-breaks toward the smaller code id — so training, encoding, and ADC
+ranking are all bit-reproducible by a SQL engine, fold-order-proof,
+and oracle-checkable (contrast the GEMM kNN paths, which are
+pytest-only by the BLAS last-ulp rule).
+
+Scale shape: training per iteration is one map-only assign (codebook
+rides as Column literals — m*k = 128 cells, far under the ~4k-literal
+analysis wall) plus one (sub, code, dim) aggregate bounded by m*k*d_sub
+cells; the codebook is driver metadata (the IVF contract). Encoding is
+map-only. ADC probing broadcasts the per-query lookup table (n_q*m*k
+rows) against the code table and never touches the original vectors.
+Reference parity: hadoop has no ANN surface; this extends SURVEY §2's
+similarity family (same role as ops/similarity.knn_ivf)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+PQ_MICRO = 1_000_000
+
+Codebook = dict[tuple[int, int], list[int]]   # (sub, code) -> centroid micros
+
+
+def pq_subvectors(df: DataFrame, m: int, d: int, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(id, sub, sv): each vector floor-snapped to integer micros and
+    split into ``m`` contiguous subspaces of d/m dims. Map-only."""
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    ds = d // m
+    xm = F.transform(F.col(vec_col),
+                     lambda v: F.floor(v.cast("double") * PQ_MICRO)
+                                .cast("long"))
+    return (df.select(F.col(id_col), xm.alias("_xm"),
+                      F.explode(F.array(*[F.lit(s) for s in range(m)]))
+                       .alias("sub"))
+              .select(F.col(id_col), "sub",
+                      F.slice("_xm", F.col("sub") * ds + 1, ds).alias("sv")))
+
+
+def _sq_dist(sv, cvec: list[int]):
+    """Integer squared L2 distance between a subvector column and one
+    literal centroid."""
+    return F.aggregate(
+        F.zip_with(sv, F.lit(cvec).cast("array<long>"),
+                   lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _assign_code(codebook: Codebook, m: int, k: int):
+    """Column: nearest-centroid code for a (sub, sv) row; ties go to the
+    smaller code id via struct-ordered array_min."""
+    expr = None
+    for s in range(m):
+        cands = F.array(*[
+            F.struct(_sq_dist(F.col("sv"), codebook[(s, c)]).alias("d"),
+                     F.lit(c).alias("c"))
+            for c in range(k)])
+        pick = F.array_min(cands)["c"]
+        # sub 0 is the unconditional fallback; each later sub wraps it
+        expr = pick if expr is None else \
+            F.when(F.col("sub") == s, pick).otherwise(expr)
+    return expr.cast("int")
+
+
+def pq_init_codebook(subs: DataFrame, m: int, k: int,
+                     id_col: str = "vec_id") -> Codebook:
+    """Deterministic seeding: per subspace, the k subvectors ranked
+    first by (md5(id || '|' || sub), id) — the ivf_centroids discipline
+    (hash-ordered, engine-reproducible). One windowed rank bounded to
+    k rows per sub; collect is m*k rows of driver metadata."""
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|"),
+                         F.col("sub").cast("string")))
+    w = Window.partitionBy("sub").orderBy(key, F.col(id_col))
+    rows = (subs.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k)
+                .select("sub", (F.col("_rn") - 1).alias("code"), "sv")
+                .collect())
+    return {(int(r["sub"]), int(r["code"])): [int(x) for x in r["sv"]]
+            for r in rows}
+
+
+def pq_train(df: DataFrame, m: int = 8, k: int = 16, d: int = 64,
+             iters: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> Codebook:
+    """Lloyd refinement per subspace, all subspaces in one pass per
+    iteration: map-only assignment against the literal codebook, then
+    one (sub, code, dim) mean aggregate (m*k*d/m cells), floor(sum /
+    count) with the sum BIGINT-exact. Codes that lose every member keep
+    their previous centroid (the ivf_kmeans_refine empty-cell rule)."""
+    subs = pq_subvectors(df, m, d, id_col, vec_col).persist()
+    cb = pq_init_codebook(subs, m, k, id_col)
+    ds = d // m
+    for _ in range(iters):
+        assigned = subs.withColumn("code", _assign_code(cb, m, k))
+        means = (assigned.select("sub", "code",
+                                 F.posexplode("sv").alias("pos", "val"))
+                         .groupBy("sub", "code", "pos")
+                         .agg(F.floor(F.sum("val") / F.count("*"))
+                               .cast("long").alias("c"))
+                         .groupBy("sub", "code")
+                         .agg(F.array_sort(F.collect_list(
+                                  F.struct("pos", "c"))).alias("pc"))
+                         .select("sub", "code",
+                                 F.transform("pc", lambda s: s["c"])
+                                  .alias("cv"))
+                         .collect())
+        new = {(int(r["sub"]), int(r["code"])): [int(x) for x in r["cv"]]
+               for r in means}
+        cb = {key: new.get(key, cv) for key, cv in cb.items()}
+        assert all(len(v) == ds for v in cb.values())
+    subs.unpersist()
+    return cb
+
+
+def pq_encode(df: DataFrame, codebook: Codebook, m: int = 8, k: int = 16,
+              d: int = 64, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, pq_code): each vector's m nearest-centroid codes packed into
+    one BIGINT as sum(code_s * 2^(bits*s)) with bits = ceil(log2 k) —
+    the stored representation is 64/… bits per vector instead of d
+    floats. Map-only + one per-id sum of m rows."""
+    bits = max(1, (k - 1).bit_length())
+    assert m * bits <= 62, "packed code must fit a BIGINT"
+    subs = pq_subvectors(df, m, d, id_col, vec_col)
+    coded = subs.withColumn("code", _assign_code(codebook, m, k))
+    packed = (F.col("code").cast("long")
+              * F.pow(F.lit(2.0), (F.col("sub") * bits).cast("double"))
+                 .cast("long"))
+    return (coded.groupBy(id_col)
+                 .agg(F.sum(packed).alias("pq_code")))
+
+
+def pq_adc_topk(df: DataFrame, queries: DataFrame, codebook: Codebook,
+                m: int = 8, k: int = 16, d: int = 64, topk: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "q_id") -> DataFrame:
+    """Asymmetric distance computation: per query, an m×k integer
+    lookup table (squared L2 of the query subvector vs every centroid);
+    per candidate, its approximate distance is the sum of m table
+    lookups joined through the candidate's (sub, code) assignment.
+    Output: (q_id, rank, vec_id, adc_dist) — top-k per query by
+    (distance, vec_id), the deterministic tie-break.
+
+    Plan: candidate codes are the stored map-only encoding; the lookup
+    table (n_q*m*k rows — query panels are bounded) broadcasts into the
+    join, the per-(q, vec) sum is one keyed aggregate, and the top-k is
+    a per-query window. The original corpus vectors are never read at
+    probe time — the PQ promise."""
+    spark = df.sparkSession
+    coded = (pq_subvectors(df, m, d, id_col, vec_col)
+             .withColumn("code", _assign_code(codebook, m, k))
+             .select(F.col(id_col), "sub", "code"))
+    cb_rows = [(s, c, list(v)) for (s, c), v in sorted(codebook.items())]
+    cb_df = spark.createDataFrame(
+        cb_rows, "sub int, code int, cv array<bigint>")
+    qsubs = pq_subvectors(queries, m, d, qid_col, vec_col)
+    dtab = (qsubs.join(F.broadcast(cb_df), "sub")
+                 .select(F.col(qid_col), "sub", "code",
+                         F.aggregate(
+                             F.zip_with("sv", "cv",
+                                        lambda x, c: (x - c) * (x - c)),
+                             F.lit(0).cast("long"),
+                             lambda acc, x: acc + x).alias("dpart")))
+    scored = (coded.join(F.broadcast(dtab), ["sub", "code"])
+                   .groupBy(qid_col, id_col)
+                   .agg(F.sum("dpart").alias("adc_dist")))
+    w = Window.partitionBy(qid_col).orderBy("adc_dist", id_col)
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= topk)
+                  .select(qid_col, "rank", id_col, "adc_dist"))

@@ -1070,3 +1070,146 @@ def knn_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (core.select("node", "core_deg",
                         F.lit(True).alias("fixpoint_reached"))
                 .orderBy("node"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (ops/pq.py; Jégou et al. 2011). The oracle
+# replays TRAINING + ENCODING + ADC PROBING end-to-end: md5-seeded
+# init, each Lloyd iteration unrolled to MATERIALIZED CTEs, all in
+# integer micro-units (floor(v*1e6)) so squared distances, floor-mean
+# centroid updates, and packed codes are engine-exact.
+# ---------------------------------------------------------------------------
+
+from hops_spark.ops.pq import PQ_MICRO  # noqa: E402
+
+PQ_M = 8          # subspaces
+PQ_K = 16         # codes per subspace
+PQ_DS = DIM // PQ_M
+PQ_ITERS = 2      # Lloyd iterations (unrolled in the oracle)
+PQ_BITS = 4       # bits per code in the packed BIGINT
+PQ_NQ = 4         # ADC query panel: vec_id < PQ_NQ
+PQ_TOPK = 10
+
+
+def _pq_assign_cte(name: str, cb: str) -> str:
+    return f"""{name} AS MATERIALIZED (
+        SELECT v.vec_id, v.sub, v.sv,
+               CAST((min([
+                   CAST(list_sum(list_transform(range(1, {PQ_DS + 1}),
+                        i -> (v.sv[i] - c.sv[i]) * (v.sv[i] - c.sv[i])))
+                        AS BIGINT),
+                   CAST(c.code AS BIGINT)]))[2] AS INTEGER) AS code
+        FROM subs v JOIN {cb} c USING (sub)
+        GROUP BY v.vec_id, v.sub, v.sv
+    )"""
+
+
+def _pq_train_ctes() -> str:
+    """cb0 -> (assign, mean-update) x PQ_ITERS -> cb{ITERS} -> afin."""
+    blocks = [f"""WITH emb AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   v -> CAST(FLOOR(CAST(v AS DOUBLE) * {PQ_MICRO})
+                        AS BIGINT)) AS xm
+        FROM embeddings
+    ), subs AS MATERIALIZED (
+        SELECT vec_id, s.s AS sub,
+               xm[s.s * {PQ_DS} + 1 : s.s * {PQ_DS} + {PQ_DS}] AS sv
+        FROM emb, (SELECT unnest(range(0, {PQ_M})) AS s) s
+    ), cb0 AS MATERIALIZED (
+        SELECT sub, CAST(rn - 1 AS INTEGER) AS code, sv FROM (
+            SELECT sub, sv,
+                   row_number() OVER (PARTITION BY sub
+                       ORDER BY md5(CAST(vec_id AS VARCHAR) || '|' ||
+                                    CAST(sub AS VARCHAR)), vec_id) AS rn
+            FROM subs) t
+        WHERE rn <= {PQ_K}
+    )"""]
+    for t in range(PQ_ITERS):
+        blocks.append(_pq_assign_cte(f"a{t}", f"cb{t}"))
+        blocks.append(f"""u{t} AS (
+        SELECT sub, code, p.i AS pos,
+               CAST(FLOOR(CAST(sum(sv[p.i]) AS DOUBLE) / count(*))
+                    AS BIGINT) AS c
+        FROM a{t}, (SELECT unnest(range(1, {PQ_DS + 1})) AS i) p
+        GROUP BY sub, code, p.i
+    )""")
+        blocks.append(f"""cb{t + 1} AS MATERIALIZED (
+        SELECT p.sub, p.code, COALESCE(n.sv, p.sv) AS sv
+        FROM cb{t} p LEFT JOIN (
+            SELECT sub, code, list(c ORDER BY pos) AS sv
+            FROM u{t} GROUP BY sub, code) n
+        ON n.sub = p.sub AND n.code = p.code
+    )""")
+    blocks.append(_pq_assign_cte("afin", f"cb{PQ_ITERS}"))
+    return ", ".join(blocks)
+
+
+@register(
+    "pq_encode",
+    sql=f"""{_pq_train_ctes()}
+    SELECT vec_id,
+           CAST(sum(code * CAST(pow(2, {PQ_BITS} * sub) AS BIGINT))
+                AS BIGINT) AS pq_code
+    FROM afin GROUP BY vec_id ORDER BY vec_id
+    """,
+    doc="Product quantization (Jégou et al. 2011) trained and applied "
+        "distributed: md5-seeded per-subspace codebooks, two Lloyd "
+        "iterations (map-only assignment vs the literal codebook + one "
+        "(sub, code, dim) mean aggregate per iteration — the codebook "
+        "is driver metadata like IVF), every vector stored as m codes "
+        "packed into ONE BIGINT (4 bits x 8 subspaces = 32 bits vs 64 "
+        "floats, a 64x compression). Fixed-point micro-units keep "
+        "training and encoding bit-reproducible — the oracle replays "
+        "the full pipeline as unrolled MATERIALIZED CTEs.",
+    tags=("similarity", "north-star", "ml"),
+)
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops import pq as PQ
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = PQ.pq_train(e, m=PQ_M, k=PQ_K, d=DIM, iters=PQ_ITERS)
+    return (PQ.pq_encode(e, cb, m=PQ_M, k=PQ_K, d=DIM)
+              .orderBy("vec_id"))
+
+
+@register(
+    "pq_adc_topk",
+    sql=f"""{_pq_train_ctes()}, qsubs AS (
+        SELECT vec_id AS q_id, sub, sv FROM subs WHERE vec_id < {PQ_NQ}
+    ), dtab AS MATERIALIZED (
+        SELECT q.q_id, c.sub, c.code,
+               CAST(list_sum(list_transform(range(1, {PQ_DS + 1}),
+                    i -> (q.sv[i] - c.sv[i]) * (q.sv[i] - c.sv[i])))
+                    AS BIGINT) AS dpart
+        FROM qsubs q JOIN cb{PQ_ITERS} c USING (sub)
+    ), scored AS (
+        SELECT d.q_id, a.vec_id, CAST(sum(d.dpart) AS BIGINT) AS adc_dist
+        FROM afin a JOIN dtab d ON d.sub = a.sub AND d.code = a.code
+        GROUP BY d.q_id, a.vec_id
+    ), ranked AS (
+        SELECT q_id, vec_id, adc_dist,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT q_id, rank, vec_id, adc_dist FROM ranked
+    WHERE rank <= {PQ_TOPK} ORDER BY q_id, rank
+    """,
+    doc="Asymmetric distance computation over the PQ codes: per query "
+        "one m x k integer lookup table (broadcast), per candidate m "
+        "table lookups summed through its stored (sub, code) rows — "
+        "the original vectors are never read at probe time, which is "
+        "the PQ serving promise. Top-k per query with the (distance, "
+        "vec_id) tie-break; integer arithmetic end-to-end makes the "
+        "ADC ranking itself oracle-exact.",
+    tags=("similarity", "north-star"),
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops import pq as PQ
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = PQ.pq_train(e, m=PQ_M, k=PQ_K, d=DIM, iters=PQ_ITERS)
+    q = (e.filter(F.col("vec_id") < PQ_NQ)
+          .select(F.col("vec_id").alias("q_id"), "embedding"))
+    return (PQ.pq_adc_topk(e, q, cb, m=PQ_M, k=PQ_K, d=DIM,
+                           topk=PQ_TOPK)
+              .orderBy("q_id", "rank"))

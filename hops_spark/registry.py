@@ -116,6 +116,8 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "decontaminate_bloom",     # bloom-prefiltered exact decontamination
     "linear_probe_train",      # fixed-point GD classifier: training replay
     "linear_probe_eval",       # ... and its confusion matrix
+    "pq_encode",               # product quantization: train + packed codes
+    "pq_adc_topk",             # ... and the ADC probe ranking
 )
 # Round-9 rotation plan: once CORRECTNESS_r08 lands green, fill freed
 # slots FIRST with this queue, THEN any round-8 REPROVE set, THEN

@@ -1,0 +1,105 @@
+"""Product quantization (ops/pq.py): training determinism, the packed
+encoding, the ADC identity (adc_dist == squared L2 between the query
+and the candidate's RECONSTRUCTION from codebook centroids), and a
+recall sanity floor vs exact integer kNN."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from hops_spark.ops.pq import (PQ_MICRO, pq_adc_topk, pq_encode,
+                               pq_subvectors, pq_train)
+
+M, K, D, DS = 4, 8, 16, 4
+
+
+def _vecs(spark, n=120, seed=7):
+    # deterministic pseudo-random embeddings, clustered so PQ has
+    # structure to learn: 4 anchor directions + small per-vector noise
+    rows = []
+    for i in range(n):
+        anchor = i % 4
+        v = [math.sin(0.7 * anchor * (j + 1))
+             + 0.05 * math.sin(seed + i * 13.7 + j * 2.3)
+             for j in range(D)]
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_train_deterministic(spark):
+    d = _vecs(spark, n=60)
+    assert pq_train(d, m=M, k=K, d=D, iters=2) == \
+        pq_train(d, m=M, k=K, d=D, iters=2)
+
+
+def test_pq_encode_packs_codes(spark):
+    d = _vecs(spark, n=40)
+    cb = pq_train(d, m=M, k=K, d=D, iters=1)
+    bits = max(1, (K - 1).bit_length())
+    enc = {r["vec_id"]: r["pq_code"]
+           for r in pq_encode(d, cb, m=M, k=K, d=D).collect()}
+    # unpack and re-derive codes independently from the subvectors
+    subs = pq_subvectors(d, M, D).collect()
+    sv_of = {(r["vec_id"], r["sub"]): list(r["sv"]) for r in subs}
+    for (vid, sub), sv in sv_of.items():
+        best = min((sum((x - c) ** 2 for x, c in zip(sv, cb[(sub, code)])),
+                    code) for code in range(K))[1]
+        got = (enc[vid] >> (bits * sub)) & ((1 << bits) - 1)
+        assert got == best, (vid, sub)
+
+
+def test_adc_identity_and_self_rank(spark):
+    """adc_dist(q, x) must equal the exact squared L2 between q's
+    micro-snapped vector and x's reconstruction sum over subspace
+    centroids — the defining PQ identity."""
+    d = _vecs(spark, n=50)
+    cb = pq_train(d, m=M, k=K, d=D, iters=2)
+    q = (d.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("q_id"), "embedding"))
+    top = pq_adc_topk(d, q, cb, m=M, k=K, d=D, topk=50)
+    rows = {(r["q_id"], r["vec_id"]): r["adc_dist"] for r in top.collect()}
+
+    subs = {(r["vec_id"], r["sub"]): list(r["sv"])
+            for r in pq_subvectors(d, M, D).collect()}
+    code_of = {}
+    for (vid, sub), sv in subs.items():
+        code_of[(vid, sub)] = min(
+            (sum((x - c) ** 2 for x, c in zip(sv, cb[(sub, code)])), code)
+            for code in range(K))[1]
+    for (qid, vid), got in rows.items():
+        want = sum(
+            sum((x - c) ** 2 for x, c in zip(
+                subs[(qid, s)], cb[(s, code_of[(vid, s)])]))
+            for s in range(M))
+        assert got == want, (qid, vid)
+
+
+def test_pq_recall_floor(spark):
+    """On clustered data PQ@10 must recover most of the exact integer
+    top-10 (self included — its quantization distance is minimal)."""
+    d = _vecs(spark, n=120)
+    cb = pq_train(d, m=M, k=K, d=D, iters=2)
+    q = (d.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("q_id"), "embedding"))
+    approx = pq_adc_topk(d, q, cb, m=M, k=K, d=D, topk=10).collect()
+    got = {}
+    for r in approx:
+        got.setdefault(r["q_id"], set()).add(r["vec_id"])
+
+    # exact integer-micro squared-L2 top-10 per query, same tie-break
+    vecs = {r["vec_id"]: [math.floor(float(x) * PQ_MICRO)
+                          for x in r["embedding"]]
+            for r in d.collect()}
+    hits = total = 0
+    for qid in range(5):
+        exact = sorted(
+            (sum((a - b) ** 2 for a, b in zip(vecs[qid], v)), vid)
+            for vid, v in vecs.items())[:10]
+        want = {vid for _, vid in exact}
+        hits += len(want & got[qid])
+        total += 10
+    assert hits / total >= 0.5, f"recall {hits}/{total}"
+    # self must rank first (distance to own reconstruction is minimal)
+    for r in approx:
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["q_id"]
