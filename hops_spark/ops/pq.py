@@ -183,3 +183,92 @@ def pq_adc_topk(df: DataFrame, queries: DataFrame, codebook: Codebook,
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= topk)
                   .select(qid_col, "rank", id_col, "adc_dist"))
+
+
+# --- IVF-PQ: the FAISS serving composition (coarse cells + PQ codes) ---
+
+
+def build_pq_cell_index(corpus: DataFrame,
+                        centroids: list[tuple[int, list[float]]],
+                        codebook: Codebook, index_dir: str,
+                        m: int = 8, k: int = 16, d: int = 64,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> None:
+    """IVF-PQ index build: each vector assigned to its nearest coarse
+    cell (the build_cell_index argmax, same rounded-cosine/larger-cell
+    tie-break) and stored as ONE PACKED BIGINT of PQ codes, parquet
+    partitioned BY CELL. Storage per vector is 8 bytes + id vs 256
+    bytes of float32 — the FAISS IVFPQ layout: partition pruning gives
+    the candidate set, ADC gives the ranking, and the original vectors
+    are needed by neither."""
+    from hops_spark.ops.similarity import _cell_sims
+    cell_of = F.array_max(_cell_sims(F.col(vec_col), centroids)) \
+               .getField("cell")
+    codes = pq_encode(corpus, codebook, m, k, d, id_col, vec_col)
+    (corpus.select(F.col(id_col), cell_of.alias("cell"))
+           .join(codes, id_col)
+           .write.mode("overwrite").partitionBy("cell").parquet(index_dir))
+
+
+def probe_pq_cell_index(spark, index_dir: str,
+                        centroids: list[tuple[int, list[float]]],
+                        codebook: Codebook, queries: DataFrame,
+                        m: int = 8, k: int = 16, d: int = 64,
+                        topk: int = 10, nprobe: int = 2,
+                        id_col: str = "vec_id", qid_col: str = "q_id",
+                        qvec_col: str = "q_vec"
+                        ) -> tuple[DataFrame, list[int]]:
+    """Probe the IVF-PQ index: per query the nprobe nearest coarse
+    cells (probe_cell_index's literal-codebook path), scan statically
+    pruned to the probed cell partitions, codes UNPACKED with exact
+    dyadic shifts (floor(code / 2^(bits*s)) % k — pow-of-two division
+    is an exponent shift, rule-of-house portable), then ADC: the
+    per-query m x k integer lookup table broadcasts against the
+    unpacked (sub, code) rows and one keyed sum ranks candidates.
+    Self-matches are excluded (the ann_probe convention). Returns
+    (top-k DataFrame, probed cell ids) so callers can assert pruning."""
+    from hops_spark.ops.similarity import _cell_sims
+    vectors = spark.read.parquet(index_dir)
+    probes = F.slice(F.reverse(F.array_sort(
+        _cell_sims(F.col(qvec_col), centroids))), 1, nprobe)
+    qb = (queries.withColumn("_p", F.explode(probes))
+                 .select(qid_col, qvec_col,
+                         F.col("_p.cell").alias("cell")))
+    cells_needed = sorted(r["cell"] for r in
+                          qb.select("cell").distinct().collect())
+    pruned = vectors.where(F.col("cell").isin(cells_needed))
+    bits = max(1, (k - 1).bit_length())
+    unpacked = (pruned.select(
+        F.col(id_col), "cell",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("sub"),
+                     F.pmod(F.floor(F.col("pq_code")
+                                    / F.lit(float(1 << (bits * s))))
+                             .cast("long"),
+                            F.lit(k)).cast("int").alias("code"))
+            for s in range(m)])).alias("_sc"))
+        .select(F.col(id_col), "cell", F.col("_sc.sub").alias("sub"),
+                F.col("_sc.code").alias("code")))
+    cb_rows = [(s, c, list(v)) for (s, c), v in sorted(codebook.items())]
+    cb_df = spark.createDataFrame(
+        cb_rows, "sub int, code int, cv array<bigint>")
+    qsubs = pq_subvectors(queries, m, d, qid_col, qvec_col)
+    dtab = (qsubs.join(F.broadcast(cb_df), "sub")
+                 .select(F.col(qid_col), "sub", "code",
+                         F.aggregate(
+                             F.zip_with("sv", "cv",
+                                        lambda x, c: (x - c) * (x - c)),
+                             F.lit(0).cast("long"),
+                             lambda acc, x: acc + x).alias("dpart")))
+    qcells = qb.select(qid_col, "cell").distinct()
+    scored = (unpacked.join(F.broadcast(qcells), "cell")
+                      .filter(F.col(id_col) != F.col(qid_col))
+                      .join(F.broadcast(dtab), [qid_col, "sub", "code"])
+                      .groupBy(qid_col, id_col)
+                      .agg(F.sum("dpart").alias("adc_dist")))
+    w = Window.partitionBy(qid_col).orderBy("adc_dist", id_col)
+    top = (scored.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= topk)
+                 .select(qid_col, "rank",
+                         F.col(id_col).alias("neighbor_id"), "adc_dist"))
+    return top, cells_needed

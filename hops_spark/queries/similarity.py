@@ -1213,3 +1213,89 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (PQ.pq_adc_topk(e, q, cb, m=PQ_M, k=PQ_K, d=DIM,
                            topk=PQ_TOPK)
               .orderBy("q_id", "rank"))
+
+
+IVFPQ_NPROBE = 2
+
+
+@register(
+    "ivfpq_probe",
+    # Oracle composes the two proven chains: the ann_probe coarse-cell
+    # replay (md5-sampled codebook, rounded-cosine argmax, nprobe
+    # probing) and the PQ training/ADC replay (_pq_train_ctes) — the
+    # FAISS IVFPQ architecture end-to-end in SQL.
+    sql=f"""{_pq_train_ctes()}, d AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cid, v AS cv FROM d
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {N_CELLS}
+    ), assign AS (
+        SELECT d.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY d.vec_id
+                   ORDER BY round(list_cosine_similarity(d.v, c.cv), 6) DESC,
+                            c.cid DESC) AS rn
+        FROM d CROSS JOIN cent c
+    ), cells AS (
+        SELECT vec_id, cid AS cell FROM assign WHERE rn = 1
+    ), qprobe AS (
+        SELECT vec_id AS q_id, cid AS cell
+        FROM assign WHERE vec_id < {PQ_NQ} AND rn <= {IVFPQ_NPROBE}
+    ), dtab AS MATERIALIZED (
+        SELECT q.vec_id AS q_id, c.sub, c.code,
+               CAST(list_sum(list_transform(range(1, {PQ_DS + 1}),
+                    i -> (q.sv[i] - c.sv[i]) * (q.sv[i] - c.sv[i])))
+                    AS BIGINT) AS dpart
+        FROM (SELECT * FROM subs WHERE vec_id < {PQ_NQ}) q
+        JOIN cb{PQ_ITERS} c USING (sub)
+    ), scored AS (
+        SELECT p.q_id, c.vec_id AS neighbor_id,
+               CAST(sum(t.dpart) AS BIGINT) AS adc_dist
+        FROM cells c
+        JOIN qprobe p USING (cell)
+        JOIN afin a ON a.vec_id = c.vec_id
+        JOIN dtab t ON t.q_id = p.q_id AND t.sub = a.sub
+                   AND t.code = a.code
+        WHERE c.vec_id <> p.q_id
+        GROUP BY p.q_id, c.vec_id
+    ), ranked AS (
+        SELECT q_id, neighbor_id, adc_dist,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY adc_dist, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT q_id, rank, neighbor_id, adc_dist FROM ranked
+    WHERE rank <= {PQ_TOPK} ORDER BY q_id, rank
+    """,
+    doc="IVF-PQ serving index end-to-end (the FAISS IVFPQ layout): "
+        "vectors assigned to md5-sampled coarse cells and stored as "
+        "ONE packed BIGINT of PQ codes in cell-partitioned parquet "
+        "(8 bytes + id per vector vs 256 bytes of float32); the probe "
+        "prunes the scan to nprobe cell partitions, unpacks codes "
+        "with exact dyadic shifts, and ranks by integer ADC — the "
+        "original vectors are read by NEITHER the candidate scan NOR "
+        "the ranking. Matching hashes prove the on-disk compressed "
+        "index returns exactly what the relational IVFPQ definition "
+        "demands.",
+    tags=("similarity", "north-star", "io"),
+)
+def ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hops_spark.ops import pq as PQ
+    from hops_spark.session import scratch_dir
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = SIM.ivf_centroids(e, N_CELLS)
+    cb = PQ.pq_train(e, m=PQ_M, k=PQ_K, d=DIM, iters=PQ_ITERS)
+    index_dir = os.path.join(scratch_dir("ivfpq_probe", sf_dir), "vectors")
+    PQ.build_pq_cell_index(e, cents, cb, index_dir, m=PQ_M, k=PQ_K, d=DIM)
+    queries = (e.filter(F.col("vec_id") < PQ_NQ)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec")))
+    top, _cells = PQ.probe_pq_cell_index(
+        spark, index_dir, cents, cb, queries, m=PQ_M, k=PQ_K, d=DIM,
+        topk=PQ_TOPK, nprobe=IVFPQ_NPROBE)
+    return top.orderBy("q_id", "rank")

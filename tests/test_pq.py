@@ -103,3 +103,55 @@ def test_pq_recall_floor(spark):
     for r in approx:
         if r["rank"] == 1:
             assert r["vec_id"] == r["q_id"]
+
+
+def test_ivfpq_probe_matches_restricted_adc(spark, tmp_path):
+    """IVF-PQ probe == brute-force ADC ranking restricted to the
+    vectors whose coarse cell was probed for that query (self
+    excluded) — and the probed cells are a strict subset of all
+    cells (the scan really prunes)."""
+    from hops_spark.ops.pq import (build_pq_cell_index, pq_adc_topk,
+                                   probe_pq_cell_index)
+    from hops_spark.ops.similarity import ivf_centroids
+
+    d = _vecs(spark, n=120)
+    cents = ivf_centroids(d, 8)
+    cb = pq_train(d, m=M, k=K, d=D, iters=2)
+    idx = str(tmp_path / "ivfpq")
+    build_pq_cell_index(d, cents, cb, idx, m=M, k=K, d=D)
+
+    q = (d.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    top, cells = probe_pq_cell_index(spark, idx, cents, cb, q,
+                                     m=M, k=K, d=D, topk=5, nprobe=2)
+    got = {(r["q_id"], r["rank"]): (r["neighbor_id"], r["adc_dist"])
+           for r in top.collect()}
+    assert 0 < len(cells) < 8          # pruned, not a full scan
+
+    # reference: full ADC on the members of the probed cells only
+    members = {r["vec_id"]: r["cell"]
+               for r in spark.read.parquet(idx).collect()}
+    qcells = {}
+    # per-query probed cells come from the probe's own assignment rule:
+    # recompute via a 1-query probe at nprobe=2 returning cells
+    for qid in range(3):
+        one = (d.filter(F.col("vec_id") == qid)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec")))
+        _, c1 = probe_pq_cell_index(spark, idx, cents, cb, one,
+                                    m=M, k=K, d=D, topk=5, nprobe=2)
+        qcells[qid] = set(c1)
+
+    full = pq_adc_topk(d, q.withColumnRenamed("q_vec", "embedding"),
+                       cb, m=M, k=K, d=D, topk=120)
+    ref = {}
+    for r in full.collect():
+        qid, vid = r["q_id"], r["vec_id"]
+        if vid == qid or members[vid] not in qcells[qid]:
+            continue
+        ref.setdefault(qid, []).append((r["adc_dist"], vid))
+    for qid in range(3):
+        want = sorted(ref[qid])[:5]
+        for rank, (dist, vid) in enumerate(want, 1):
+            assert got[(qid, rank)] == (vid, dist), (qid, rank)
