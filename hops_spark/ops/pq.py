@@ -272,3 +272,23 @@ def probe_pq_cell_index(spark, index_dir: str,
                  .select(qid_col, "rank",
                          F.col(id_col).alias("neighbor_id"), "adc_dist"))
     return top, cells_needed
+
+
+def append_pq_cell_index(new_vectors: DataFrame,
+                         centroids: list[tuple[int, list[float]]],
+                         codebook: Codebook, index_dir: str,
+                         m: int = 8, k: int = 16, d: int = 64,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> None:
+    """Append-path twin of build_pq_cell_index: assign + encode the
+    new vectors against the FROZEN coarse codebook and PQ codebook and
+    append into the same cell partitions. Freezing both books is what
+    keeps append probe-consistent (the append_cell_index contract);
+    re-balancing either book is a rebuild, not an append."""
+    from hops_spark.ops.similarity import _cell_sims
+    cell_of = F.array_max(_cell_sims(F.col(vec_col), centroids)) \
+               .getField("cell")
+    codes = pq_encode(new_vectors, codebook, m, k, d, id_col, vec_col)
+    (new_vectors.select(F.col(id_col), cell_of.alias("cell"))
+                .join(codes, id_col)
+                .write.mode("append").partitionBy("cell").parquet(index_dir))

@@ -634,3 +634,33 @@ def shard_manifest_stream(docs: DataFrame, n_shards: int = 8) -> DataFrame:
                   F.sum("n_chars").cast("long").alias("n_chars"),
                   F.expr("bit_xor(content_h)").cast("long")
                    .alias("content_fp")))
+
+
+def pq_ingest_stream(stream_vectors: DataFrame,
+                     centroids: list, codebook: dict,
+                     index_dir: str, checkpoint: str,
+                     m: int = 8, k: int = 16, d: int = 64,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding"):
+    """CONTINUOUS ingest into the IVF-PQ serving index (the
+    ann_ingest_stream shape for the compressed index): each
+    micro-batch assigns against the FROZEN coarse codebook, encodes
+    against the FROZEN PQ codebook, and appends its packed-code rows
+    into the same cell partitions (ops/pq.append_pq_cell_index) —
+    probes see every drained batch immediately, and the periodic
+    rebuild stays the codebook-refresh/compaction path. State is the
+    index itself (grows with the corpus, not stream volume); the two
+    frozen books are driver metadata. Returns the unstarted writer."""
+    from hops_spark.ops.pq import append_pq_cell_index
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_pq_cell_index(batch_df.select(id_col, vec_col),
+                             centroids, codebook, index_dir,
+                             m=m, k=k, d=d,
+                             id_col=id_col, vec_col=vec_col)
+
+    return (stream_vectors.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append"))

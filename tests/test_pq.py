@@ -155,3 +155,45 @@ def test_ivfpq_probe_matches_restricted_adc(spark, tmp_path):
         want = sorted(ref[qid])[:5]
         for rank, (dist, vid) in enumerate(want, 1):
             assert got[(qid, rank)] == (vid, dist), (qid, rank)
+
+
+def test_streaming_pq_ingest_equals_batch_build(spark, tmp_path):
+    """Draining a multi-file vector stream through pq_ingest_stream
+    (frozen coarse + PQ codebooks, per-batch append) yields an IVF-PQ
+    index whose probe results equal a batch-built index over the same
+    vectors — the compressed serving index can be fed continuously."""
+    from hops_spark.ops.pq import build_pq_cell_index, probe_pq_cell_index
+    from hops_spark.ops.similarity import ivf_centroids
+    from hops_spark.streaming import pq_ingest_stream
+
+    d = _vecs(spark, n=120)
+    cents = ivf_centroids(d, 8)
+    cb = pq_train(d, m=M, k=K, d=D, iters=2)
+
+    src = str(tmp_path / "vec_stream")
+    d.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    idx_stream = str(tmp_path / "idx_stream")
+    q = pq_ingest_stream(stream, cents, cb, idx_stream,
+                         str(tmp_path / "ck"), m=M, k=K, d=D).start()
+    q.processAllAvailable()
+    q.stop()
+
+    idx_batch = str(tmp_path / "idx_batch")
+    build_pq_cell_index(d, cents, cb, idx_batch, m=M, k=K, d=D)
+
+    queries = (d.filter(F.col("vec_id") < 4)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec")))
+    top_s, cells_s = probe_pq_cell_index(spark, idx_stream, cents, cb,
+                                         queries, m=M, k=K, d=D,
+                                         topk=5, nprobe=2)
+    top_b, cells_b = probe_pq_cell_index(spark, idx_batch, cents, cb,
+                                         queries, m=M, k=K, d=D,
+                                         topk=5, nprobe=2)
+    cols = ["q_id", "rank", "neighbor_id", "adc_dist"]
+    assert sorted(map(tuple, top_s.select(*cols).collect())) \
+        == sorted(map(tuple, top_b.select(*cols).collect()))
+    assert cells_s == cells_b and len(cells_b) > 0
