@@ -401,6 +401,35 @@ def ivf_kmeans_refine(corpus: DataFrame,
     return centroids
 
 
+def rerank_exact(corpus: DataFrame, queries: DataFrame,
+                 shortlist: DataFrame, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 qid_col: str = "q_id", qvec_col: str = "q_vec"
+                 ) -> DataFrame:
+    """Exact-cosine rerank of an ANN shortlist — the standard two-stage
+    serving answer (coarse index produces candidates, full precision
+    decides the final order; FAISS's refine step). The shortlist is
+    bounded by construction (n_queries x R rows), so it BROADCASTS into
+    the full-precision source table: the scan stays a keyed semi-style
+    lookup of R ids per query, never a rescan of the corpus. Output
+    (q_id, neighbor_id, cos_sim, rnk) with the (rounded cosine desc,
+    neighbor id) tie-break — the knn_bruteforce ordering, so a rerank
+    over an all-inclusive shortlist degenerates to exact kNN."""
+    cand = shortlist.select(F.col(qid_col), F.col("neighbor_id"))
+    scored = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("_cv"))
+                    .join(F.broadcast(cand), "neighbor_id")
+                    .join(F.broadcast(queries.select(qid_col, qvec_col)),
+                          qid_col)
+                    .select(F.col(qid_col), "neighbor_id",
+                            F.round(cosine(F.col("_cv"), F.col(qvec_col)), 6)
+                             .alias("cos_sim")))
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(),
+                                            F.col("neighbor_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= k))
+
+
 def quantize_int8(df: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
     """Symmetric per-vector int8 scalar quantization — the storage step

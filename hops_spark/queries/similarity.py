@@ -1216,15 +1216,14 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVFPQ_NPROBE = 2
+IVFPQ_R = 32      # ADC shortlist size fed to the exact rerank
 
 
-@register(
-    "ivfpq_probe",
-    # Oracle composes the two proven chains: the ann_probe coarse-cell
-    # replay (md5-sampled codebook, rounded-cosine argmax, nprobe
-    # probing) and the PQ training/ADC replay (_pq_train_ctes) — the
-    # FAISS IVFPQ architecture end-to-end in SQL.
-    sql=f"""{_pq_train_ctes()}, d AS (
+def _ivfpq_ctes() -> str:
+    """The full IVF-PQ replay up through `ranked` (ADC ranking over
+    the probed cells) — shared by ivfpq_probe and ivfpq_rerank (one
+    expression source, the never-write-twice rule)."""
+    return f"""{_pq_train_ctes()}, d AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
@@ -1265,7 +1264,16 @@ IVFPQ_NPROBE = 2
                CAST(row_number() OVER (PARTITION BY q_id
                     ORDER BY adc_dist, neighbor_id) AS INTEGER) AS rank
         FROM scored
-    )
+    )"""
+
+
+@register(
+    "ivfpq_probe",
+    # Oracle composes the two proven chains: the ann_probe coarse-cell
+    # replay (md5-sampled codebook, rounded-cosine argmax, nprobe
+    # probing) and the PQ training/ADC replay (_pq_train_ctes) — the
+    # FAISS IVFPQ architecture end-to-end in SQL.
+    sql=f"""{_ivfpq_ctes()}
     SELECT q_id, rank, neighbor_id, adc_dist FROM ranked
     WHERE rank <= {PQ_TOPK} ORDER BY q_id, rank
     """,
@@ -1299,3 +1307,58 @@ def ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, index_dir, cents, cb, queries, m=PQ_M, k=PQ_K, d=DIM,
         topk=PQ_TOPK, nprobe=IVFPQ_NPROBE)
     return top.orderBy("q_id", "rank")
+
+
+@register(
+    "ivfpq_rerank",
+    # The production two-stage answer: ADC shortlist of R candidates
+    # from the compressed index, then exact rounded-cosine rerank
+    # against the full-precision source vectors — the FAISS refine
+    # step. Shares the whole IVF-PQ chain with ivfpq_probe.
+    sql=f"""{_ivfpq_ctes()}, short AS (
+        SELECT q_id, neighbor_id FROM ranked WHERE rank <= {IVFPQ_R}
+    ), rer AS (
+        SELECT s.q_id, s.neighbor_id,
+               round(list_cosine_similarity(cv.v, qv.v), 6) AS cos_sim
+        FROM short s
+        JOIN d cv ON cv.vec_id = s.neighbor_id
+        JOIN d qv ON qv.vec_id = s.q_id
+    ), rranked AS (
+        SELECT q_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM rer
+    )
+    SELECT q_id, neighbor_id, cos_sim, rnk FROM rranked
+    WHERE rnk <= {PQ_TOPK} ORDER BY q_id, rnk
+    """,
+    doc="Two-stage IVF-PQ serving (probe + refine): the compressed "
+        "index produces an R-candidate ADC shortlist (pruned scan, no "
+        "float vectors), then ONLY those R ids per query are looked up "
+        "at full precision and reranked by exact rounded cosine "
+        "(ops/similarity.rerank_exact — the shortlist broadcasts, the "
+        "corpus is never rescanned). This is how a 100 TB vector "
+        "corpus actually serves: 99% of the work on 8-byte codes, "
+        "full precision only for the final handful.",
+    tags=("similarity", "north-star", "io"),
+)
+def ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hops_spark.ops import pq as PQ
+    from hops_spark.session import scratch_dir
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = SIM.ivf_centroids(e, N_CELLS)
+    cb = PQ.pq_train(e, m=PQ_M, k=PQ_K, d=DIM, iters=PQ_ITERS)
+    index_dir = os.path.join(scratch_dir("ivfpq_rerank", sf_dir), "vectors")
+    PQ.build_pq_cell_index(e, cents, cb, index_dir, m=PQ_M, k=PQ_K, d=DIM)
+    queries = (e.filter(F.col("vec_id") < PQ_NQ)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec")))
+    short, _cells = PQ.probe_pq_cell_index(
+        spark, index_dir, cents, cb, queries, m=PQ_M, k=PQ_K, d=DIM,
+        topk=IVFPQ_R, nprobe=IVFPQ_NPROBE)
+    top = SIM.rerank_exact(e, queries, short, k=PQ_TOPK)
+    return top.select("q_id", "neighbor_id", "cos_sim", "rnk") \
+              .orderBy("q_id", "rnk")

@@ -119,6 +119,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "pq_encode",               # product quantization: train + packed codes
     "pq_adc_topk",             # ... and the ADC probe ranking
     "ivfpq_probe",             # IVF-PQ serving index: pruned cells + ADC
+    "ivfpq_rerank",            # two-stage serving: ADC shortlist + exact rerank
 )
 # Round-9 rotation plan: once CORRECTNESS_r08 lands green, fill freed
 # slots FIRST with this queue, THEN any round-8 REPROVE set, THEN
