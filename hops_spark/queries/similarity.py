@@ -1362,3 +1362,60 @@ def ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = SIM.rerank_exact(e, queries, short, k=PQ_TOPK)
     return top.select("q_id", "neighbor_id", "cos_sim", "rnk") \
               .orderBy("q_id", "rnk")
+
+
+@register(
+    "embedding_covariance",
+    # Fixed-point covariance (ops/pca.covariance_pairs): integer-micro
+    # snap, integer floor means, per-element integer products, one
+    # bounded (i, j) aggregate — every step engine-exact. The
+    # eigendecomposition/whitening that CONSUMES this matrix is
+    # BLAS-backed and pytest-only (note-37 rule); the matrix itself is
+    # the oracle-provable part.
+    sql=f"""
+    WITH emb AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000)
+                        AS BIGINT)) AS xm
+        FROM embeddings
+    ), n AS (
+        SELECT count(*) AS nv FROM emb
+    ), mu AS MATERIALIZED (
+        SELECT p.i AS i,
+               CAST(FLOOR(CAST(sum(xm[p.i]) AS DOUBLE) / count(*))
+                    AS BIGINT) AS mu
+        FROM emb, (SELECT unnest(range(1, {DIM + 1})) AS i) p
+        GROUP BY p.i
+    ), mul AS (
+        SELECT list(mu ORDER BY i) AS m FROM mu
+    ), cx AS MATERIALIZED (
+        SELECT e.vec_id,
+               list_transform(range(1, {DIM + 1}),
+                              i -> e.xm[i] - mul.m[i]) AS c
+        FROM emb e, mul
+    )
+    SELECT CAST(p.i - 1 AS INTEGER) AS i, CAST(q.j - 1 AS INTEGER) AS j,
+           CAST(FLOOR(CAST(sum(c.c[p.i] * c.c[q.j]) AS DOUBLE)
+                      / (CAST(n.nv AS DOUBLE) * 1000000)) AS BIGINT)
+               AS cov_micro
+    FROM cx c, (SELECT unnest(range(1, {DIM + 1})) AS i) p,
+         (SELECT unnest(range(1, {DIM + 1})) AS j) q, n
+    WHERE p.i <= q.j
+    GROUP BY p.i, q.j, n.nv
+    ORDER BY i, j
+    """,
+    doc="Mean-centered embedding covariance (upper triangle, micro-"
+        "units) — the PCA/whitening input for embedding curation "
+        "(SemDeDup-style preprocessing clusters in a whitened space). "
+        "Fixed-point end-to-end: integer means, integer products, one "
+        "keyed aggregate bounded by d(d+1)/2 cells with map-side "
+        "partials — per executor the shuffle payload is d(d+1)/2 "
+        "partial sums, nothing row-proportional. The d x d result is "
+        "driver metadata (the codebook idiom).",
+    tags=("similarity", "ml", "north-star"),
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.pca import covariance_pairs
+    e = load_table(spark, sf_dir, "embeddings")
+    return covariance_pairs(e, DIM).orderBy("i", "j")
