@@ -49,19 +49,13 @@ def micro_means(df: DataFrame, d: int, id_col: str = "vec_id",
     return [mu[i] for i in range(d)]
 
 
-def covariance_pairs(df: DataFrame, d: int, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
-    """(i, j, cov_micro) for the upper triangle i <= j: the mean-
-    centered covariance in micro-units, floor(sum(c_i*c_j)/(n*1e6)).
-
-    Plan: means collect (d values — driver metadata), then ONE map
-    pass emits the d(d+1)/2 per-row products as an exploded struct
-    array and ONE keyed aggregate reduces them — no join, no per-pair
-    shuffle beyond the bounded (i, j) cells. At 100 TB the map-side
-    partials mean each executor ships d(d+1)/2 partial sums, nothing
-    row-proportional."""
-    n = df.count()
-    mu = micro_means(df, d, id_col, vec_col)
+def _centered_pair_rows(df: DataFrame, mu: list[int], d: int,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """(i, j, p) rows: per input row, the d(d+1)/2 upper-triangle
+    products of the mean-centered micro vector — the SHARED derivation
+    both the batch covariance and its streaming twin reduce (one
+    expression source, the batch==stream discipline)."""
     mu_arr = F.lit(mu).cast("array<long>")
     mv = micro_vectors(df, id_col, vec_col)
     cx = F.zip_with(F.col("xm"), mu_arr, lambda x, m: x - m)
@@ -73,12 +67,34 @@ def covariance_pairs(df: DataFrame, d: int, id_col: str = "vec_id",
                 i.cast("int").alias("i"), j.cast("int").alias("j"),
                 (F.element_at("_cx", (i + 1).cast("int"))
                  * F.element_at("_cx", (j + 1).cast("int"))).alias("p")))))
-    denom = float(n) * PCA_MICRO
     return (mv.select(cx.alias("_cx"))
               .select(F.explode(pairs).alias("s"))
-              .groupBy(F.col("s.i").alias("i"), F.col("s.j").alias("j"))
-              .agg(F.floor(F.sum("s.p") / F.lit(denom)).cast("long")
-                    .alias("cov_micro")))
+              .select(F.col("s.i").alias("i"), F.col("s.j").alias("j"),
+                      F.col("s.p").alias("p")))
+
+
+def covariance_pairs(df: DataFrame, d: int, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     mu: list[int] | None = None) -> DataFrame:
+    """(i, j, cov_micro) for the upper triangle i <= j: the mean-
+    centered covariance in micro-units, floor(sum(c_i*c_j)/(n*1e6)).
+    Pass ``mu`` to center against FROZEN means (the streaming-twin
+    contract); default computes them from ``df``.
+
+    Plan: means collect (d values — driver metadata), then ONE map
+    pass emits the d(d+1)/2 per-row products as an exploded struct
+    array and ONE keyed aggregate reduces them — no join, no per-pair
+    shuffle beyond the bounded (i, j) cells. At 100 TB the map-side
+    partials mean each executor ships d(d+1)/2 partial sums, nothing
+    row-proportional."""
+    n = df.count()
+    if mu is None:
+        mu = micro_means(df, d, id_col, vec_col)
+    denom = float(n) * PCA_MICRO
+    return (_centered_pair_rows(df, mu, d, id_col, vec_col)
+            .groupBy("i", "j")
+            .agg(F.floor(F.sum("p") / F.lit(denom)).cast("long")
+                  .alias("cov_micro")))
 
 
 def whiten_embeddings(df: DataFrame, d: int, eps: float = 1e-6,

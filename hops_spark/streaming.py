@@ -664,3 +664,35 @@ def pq_ingest_stream(stream_vectors: DataFrame,
     return (stream_vectors.writeStream.foreachBatch(ingest)
             .option("checkpointLocation", checkpoint)
             .outputMode("append"))
+
+
+def covariance_stream(stream_vectors: DataFrame, mu: list, d: int,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Streaming twin of ops/pca.covariance_pairs: per micro-batch the
+    SAME shared derivation (_centered_pair_rows — one expression
+    source for batch and stream) emits the d(d+1)/2 centered products,
+    and ONE stateful aggregate keeps running (psum, n_rows) per (i, j)
+    cell. Means are FROZEN driver metadata (the frozen-codebook
+    contract: a drifting mean is a re-baseline, not an increment);
+    state is d(d+1)/2 rows regardless of stream volume. The final
+    floor(psum / (n*1e6)) is a read-time projection, so the running
+    state stays pure integer sums (mergeable by construction)."""
+    from hops_spark.ops.pca import _centered_pair_rows
+    rows = _centered_pair_rows(stream_vectors, mu, d, id_col, vec_col)
+    # n_rows counts pair rows per cell == vector count (one pair row
+    # per vector per cell), so the read-time divisor rides along
+    return (rows.groupBy("i", "j")
+                .agg(F.sum("p").alias("psum"),
+                     F.count("*").alias("n_rows")))
+
+
+def covariance_from_state(state: DataFrame) -> DataFrame:
+    """Project the drained covariance_stream state to the batch
+    contract: floor(psum / (n*1e6)) per (i, j)."""
+    from hops_spark.ops.pca import PCA_MICRO
+    return state.select(
+        "i", "j",
+        F.floor(F.col("psum")
+                / (F.col("n_rows").cast("double") * PCA_MICRO))
+         .cast("long").alias("cov_micro"))

@@ -77,3 +77,28 @@ def test_whitening_deterministic_and_means_exact(spark):
                             dtype=np.float64) * PCA_MICRO)
     want = np.floor(X.sum(axis=0) / len(X)).astype(int)
     assert mu == list(want)
+
+
+def test_streaming_covariance_equals_batch(spark, tmp_path):
+    """Draining the vector stream through covariance_stream (frozen
+    means, running integer sums) and projecting the state reproduces
+    the batch covariance_pairs against the same frozen means — the
+    shared-derivation batch==stream law."""
+    from hops_spark.streaming import (covariance_from_state,
+                                      covariance_stream,
+                                      run_to_completion)
+
+    d = _vecs(spark, n=200)
+    mu = micro_means(d, D)
+    src = str(tmp_path / "vecs")
+    d.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    state = run_to_completion(covariance_stream(stream, mu, D),
+                              "cov_state")
+    got = {(r["i"], r["j"]): r["cov_micro"]
+           for r in covariance_from_state(state).collect()}
+    want = {(r["i"], r["j"]): r["cov_micro"]
+            for r in covariance_pairs(d, D, mu=mu).collect()}
+    assert got == want and len(want) == D * (D + 1) // 2
