@@ -102,9 +102,17 @@ def pq_train(df: DataFrame, m: int = 8, k: int = 16, d: int = 64,
     one (sub, code, dim) mean aggregate (m*k*d/m cells), floor(sum /
     count) with the sum BIGINT-exact. Codes that lose every member keep
     their previous centroid (the ivf_kmeans_refine empty-cell rule)."""
-    subs = pq_subvectors(df, m, d, id_col, vec_col).persist()
+    return pq_train_subs(pq_subvectors(df, m, d, id_col, vec_col),
+                         m, k, d // m, iters, id_col)
+
+
+def pq_train_subs(subs_df: DataFrame, m: int, k: int, ds: int,
+                  iters: int = 2, id_col: str = "vec_id") -> Codebook:
+    """Training core over a prepared (id, sub, sv) frame — shared by
+    plain PQ (subvectors of the vector) and residual PQ (subvectors of
+    vector minus coarse centroid, the IVFADC form)."""
+    subs = subs_df.select(F.col(id_col), "sub", "sv").persist()
     cb = pq_init_codebook(subs, m, k, id_col)
-    ds = d // m
     for _ in range(iters):
         assigned = subs.withColumn("code", _assign_code(cb, m, k))
         means = (assigned.select("sub", "code",
@@ -292,3 +300,157 @@ def append_pq_cell_index(new_vectors: DataFrame,
     (new_vectors.select(F.col(id_col), cell_of.alias("cell"))
                 .join(codes, id_col)
                 .write.mode("append").partitionBy("cell").parquet(index_dir))
+
+
+# --- Residual PQ (IVFADC proper): encode x - coarse_centroid ----------
+
+
+def centroid_micro_map(centroids: list[tuple[int, list[float]]]):
+    """Column: map cell id -> centroid snapped to the SAME micro grid
+    as the vectors (floor(c*1e6) per dim) — residuals must subtract in
+    one integer space or nothing downstream is exact."""
+    import math
+    entries = []
+    for cid, v in centroids:
+        entries.append(F.lit(cid).cast("long"))
+        entries.append(F.lit([math.floor(float(y) * PQ_MICRO) for y in v])
+                        .cast("array<long>"))
+    return F.create_map(*entries)
+
+
+def residual_subvectors(df: DataFrame,
+                        centroids: list[tuple[int, list[float]]],
+                        m: int, d: int, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """(id, cell, sub, sv): subvectors of the integer-micro RESIDUAL
+    x - c_cell, with the cell from the build_cell_index argmax — the
+    IVFADC encoding input (Jégou et al. 2011 §IV: quantizing residuals
+    concentrates the distribution each sub-codebook sees, so the same
+    code budget buys less distortion than quantizing raw vectors).
+    Map-only: the centroid table rides as one literal map."""
+    from hops_spark.ops.similarity import _cell_sims
+    assert d % m == 0
+    ds = d // m
+    cell_of = F.array_max(_cell_sims(F.col(vec_col), centroids)) \
+               .getField("cell").cast("long")
+    xm = F.transform(F.col(vec_col),
+                     lambda v: F.floor(v.cast("double") * PQ_MICRO)
+                                .cast("long"))
+    cmap = centroid_micro_map(centroids)
+    # materialize `cell` BEFORE the map lookup: a complex expression as
+    # the map-lookup key breaks getField resolution inside the lambda
+    # (Catalyst resolves the field against the raw zip_with struct)
+    staged = df.select(F.col(id_col), xm.alias("_xm"),
+                       cell_of.alias("cell"))
+    rm = F.zip_with(F.col("_xm"), cmap[F.col("cell")], lambda x, c: x - c)
+    return (staged.select(F.col(id_col), "cell", rm.alias("_rm"),
+                          F.explode(F.array(*[F.lit(s) for s in range(m)]))
+                           .alias("sub"))
+                  .select(F.col(id_col), "cell", "sub",
+                          F.slice("_rm", F.col("sub") * ds + 1, ds)
+                           .alias("sv")))
+
+
+def train_residual_pq(df: DataFrame,
+                      centroids: list[tuple[int, list[float]]],
+                      m: int = 8, k: int = 16, d: int = 64,
+                      iters: int = 2, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> Codebook:
+    """Residual codebook shared across cells (the FAISS IVFPQ default):
+    same Lloyd core as plain PQ, fed residual subvectors."""
+    return pq_train_subs(
+        residual_subvectors(df, centroids, m, d, id_col, vec_col),
+        m, k, d // m, iters, id_col)
+
+
+def build_residual_pq_index(corpus: DataFrame,
+                            centroids: list[tuple[int, list[float]]],
+                            codebook: Codebook, index_dir: str,
+                            m: int = 8, k: int = 16, d: int = 64,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> None:
+    """IVFADC index: (id, cell, packed residual codes), parquet
+    partitioned by cell — same layout as build_pq_cell_index, but the
+    codes now describe x - c_cell."""
+    bits = max(1, (k - 1).bit_length())
+    assert m * bits <= 62
+    subs = residual_subvectors(corpus, centroids, m, d, id_col, vec_col)
+    coded = subs.withColumn("code", _assign_code(codebook, m, k))
+    packed = (F.col("code").cast("long")
+              * F.pow(F.lit(2.0), (F.col("sub") * bits).cast("double"))
+                 .cast("long"))
+    (coded.groupBy(F.col(id_col), "cell")
+          .agg(F.sum(packed).alias("pq_code"))
+          .write.mode("overwrite").partitionBy("cell").parquet(index_dir))
+
+
+def probe_residual_pq(spark, index_dir: str,
+                      centroids: list[tuple[int, list[float]]],
+                      codebook: Codebook, queries: DataFrame,
+                      m: int = 8, k: int = 16, d: int = 64,
+                      topk: int = 10, nprobe: int = 2,
+                      id_col: str = "vec_id", qid_col: str = "q_id",
+                      qvec_col: str = "q_vec"
+                      ) -> tuple[DataFrame, list[int]]:
+    """IVFADC probe: per (query, probed cell) the lookup table is built
+    from the QUERY'S RESIDUAL against that cell (q - c_cell), so the
+    ADC sum approximates ||q - (c_cell + recon(residual))||^2 — the
+    correct IVFADC distance. Table size n_q * nprobe * m * k rows
+    (bounded), broadcast; scan pruned to probed cells; candidates never
+    read a float vector."""
+    from hops_spark.ops.similarity import _cell_sims
+    vectors = spark.read.parquet(index_dir)
+    probes = F.slice(F.reverse(F.array_sort(
+        _cell_sims(F.col(qvec_col), centroids))), 1, nprobe)
+    qb = (queries.withColumn("_p", F.explode(probes))
+                 .select(qid_col, qvec_col,
+                         F.col("_p.cell").cast("long").alias("cell")))
+    cells_needed = sorted(r["cell"] for r in
+                          qb.select("cell").distinct().collect())
+    pruned = vectors.where(F.col("cell").isin(cells_needed))
+    bits = max(1, (k - 1).bit_length())
+    ds = d // m
+    unpacked = (pruned.select(
+        F.col(id_col), "cell",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("sub"),
+                     F.pmod(F.floor(F.col("pq_code")
+                                    / F.lit(float(1 << (bits * s))))
+                             .cast("long"),
+                            F.lit(k)).cast("int").alias("code"))
+            for s in range(m)])).alias("_sc"))
+        .select(F.col(id_col), "cell", F.col("_sc.sub").alias("sub"),
+                F.col("_sc.code").alias("code")))
+    # per-(query, cell) residual subvectors
+    cmap = centroid_micro_map(centroids)
+    qm = F.transform(F.col(qvec_col),
+                     lambda v: F.floor(v.cast("double") * PQ_MICRO)
+                                .cast("long"))
+    qres = (qb.select(F.col(qid_col), "cell",
+                      F.zip_with(qm, cmap[F.col("cell")],
+                                 lambda x, c: x - c).alias("_qr"),
+                      F.explode(F.array(*[F.lit(s) for s in range(m)]))
+                       .alias("sub"))
+              .select(F.col(qid_col), "cell", "sub",
+                      F.slice("_qr", F.col("sub") * ds + 1, ds)
+                       .alias("sv")))
+    cb_rows = [(s, c, list(v)) for (s, c), v in sorted(codebook.items())]
+    cb_df = spark.createDataFrame(
+        cb_rows, "sub int, code int, cv array<bigint>")
+    dtab = (qres.join(F.broadcast(cb_df), "sub")
+                .select(F.col(qid_col), "cell", "sub", "code",
+                        F.aggregate(
+                            F.zip_with("sv", "cv",
+                                       lambda x, c: (x - c) * (x - c)),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x).alias("dpart")))
+    scored = (unpacked.join(F.broadcast(dtab), ["cell", "sub", "code"])
+                      .filter(F.col(id_col) != F.col(qid_col))
+                      .groupBy(qid_col, id_col)
+                      .agg(F.sum("dpart").alias("adc_dist")))
+    w = Window.partitionBy(qid_col).orderBy("adc_dist", id_col)
+    top = (scored.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= topk)
+                 .select(qid_col, "rank",
+                         F.col(id_col).alias("neighbor_id"), "adc_dist"))
+    return top, cells_needed
