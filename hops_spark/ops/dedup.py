@@ -501,11 +501,21 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     [span_start, span_end] (0-based, inclusive; span_tokens = length)
     that a cleaning pass would cut.
     """
-    # Generate barrier: bind the words array ONCE (explode of a
-    # 1-element array), then build grams against the bound attribute —
-    # otherwise CollapseProject inlines split(lower(text)) into every
-    # slice and the text re-splits per gram (same idiom as
-    # shingle_arrays; measured ~3x at sf0.1).
+    g = _gram_rows(df, id_col, text_col, k)
+    hot = (g.groupBy("h").agg(F.count("*").alias("_cnt"))
+            .filter(F.col("_cnt") >= min_count)
+            .select("h"))
+    return _gram_islands(g.join(hot, "h", "left_semi"), id_col, k)
+
+
+def _gram_rows(df: DataFrame, id_col: str, text_col: str,
+               k: int) -> DataFrame:
+    """(id, pos, h) — one md5 k-gram fingerprint per token position.
+    Generate barrier: bind the words array ONCE (explode of a
+    1-element array), then build grams against the bound attribute —
+    otherwise CollapseProject inlines split(lower(text)) into every
+    slice and the text re-splits per gram (same idiom as
+    shingle_arrays; measured ~3x at sf0.1)."""
     bound = df.select(F.col(id_col),
                       F.explode(F.array(words(text_col))).alias("_w"))
     w = F.col("_w")
@@ -516,12 +526,14 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
                        lambda i: F.struct(
                            (i - 1).cast("long").alias("pos"),
                            F.md5(F.concat_ws(" ", F.slice(w, i, k))).alias("h")))
-    g = (bound.select(F.col(id_col), F.explode(gram).alias("g"))
-              .select(id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h")))
-    hot = (g.groupBy("h").agg(F.count("*").alias("_cnt"))
-            .filter(F.col("_cnt") >= min_count)
-            .select("h"))
-    dup = g.join(hot, "h", "left_semi")
+    return (bound.select(F.col(id_col), F.explode(gram).alias("g"))
+                 .select(id_col, F.col("g.pos").alias("pos"),
+                         F.col("g.h").alias("h")))
+
+
+def _gram_islands(dup: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Merge stride-1 runs of flagged gram positions into maximal
+    spans (gaps-and-islands; per-doc window, key-partitioned)."""
     ws = Window.partitionBy(id_col).orderBy("pos")
     run = Window.partitionBy(id_col).orderBy("pos") \
                 .rowsBetween(Window.unboundedPreceding, 0)
@@ -534,6 +546,33 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
                .withColumn("span_tokens",
                            F.col("span_end") - F.col("span_start") + 1)
                .select(id_col, "span_start", "span_end", "span_tokens"))
+
+
+def contamination_spans(corpus: DataFrame, benchmark: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 8, min_tokens: int = 12) -> DataFrame:
+    """SUBSTRING-level decontamination (the strict form: Lee et al.
+    2022 apply ExactSubstr across train/eval the same way): maximal
+    token spans of a corpus doc whose every k-gram also occurs in the
+    benchmark set, kept only at >= ``min_tokens`` — i.e. long verbatim
+    benchmark passages inside training docs, with their exact
+    boundaries (so a cleaning pass can EXCISE the leak instead of
+    dropping the doc — excise_spans composes directly).
+
+    Complements contamination_flags: the shingle-overlap flag is
+    recall-oriented (any 3 shared shingles anywhere), this is
+    precision-oriented (one contiguous >= min_tokens verbatim run).
+    Plan: map-only gram emit on both sides, benchmark grams reduced
+    DISTINCT (bounded by the eval suite), LEFT SEMI join selects
+    corpus positions (hot benchmark boilerplate selects, never
+    multiplies), per-doc islands window — the duplicate_spans shuffle
+    shape exactly; at the 10^8-shingle benchmark scale the
+    decontaminate_bloom bitmask composes in front of the semi join."""
+    g = _gram_rows(corpus, id_col, text_col, k)
+    bg = _gram_rows(benchmark, id_col, text_col, k).select("h").distinct()
+    flagged = g.join(bg, "h", "left_semi")
+    return (_gram_islands(flagged, id_col, k)
+            .filter(F.col("span_tokens") >= min_tokens))
 
 
 def suffix_dup_spans(df: DataFrame, id_col: str = "doc_id",

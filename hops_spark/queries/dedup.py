@@ -959,3 +959,66 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (D.weighted_jaccard_pairs(d, "doc_id", "text", N_HASHES, BANDS,
                                      WJ_THRESHOLD_PPM)
              .orderBy("id_a", "id_b"))
+
+
+DECON_SPAN_K = 8       # gram width for substring decontamination
+DECON_SPAN_MIN = 12    # min verbatim tokens to flag (50 in production)
+
+
+@register(
+    "decontaminate_spans",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, source, {{DW}} AS w FROM documents
+    ), grams AS (
+        SELECT doc_id, (i.i - 1)::BIGINT AS pos,
+               md5(array_to_string(w[i.i : i.i + {DECON_SPAN_K - 1}], ' ')) AS h
+        FROM wt, LATERAL (SELECT unnest(range(1,
+                 greatest(len(w) - {DECON_SPAN_K - 1}, 0) + 1)) AS i) i
+        WHERE source <> 'src0'
+    ), bgrams AS (
+        SELECT DISTINCT md5(array_to_string(w[i.i : i.i + {DECON_SPAN_K - 1}], ' ')) AS h
+        FROM wt, LATERAL (SELECT unnest(range(1,
+                 greatest(len(w) - {DECON_SPAN_K - 1}, 0) + 1)) AS i) i
+        WHERE source = 'src0'
+    ), dup AS (
+        SELECT g.doc_id, g.pos FROM grams g JOIN bgrams USING (h)
+    ), flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+                    THEN 0 ELSE 1 END AS newf
+        FROM dup
+    ), sp AS (
+        SELECT doc_id, pos,
+               sum(newf) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS span
+        FROM flagged
+    ), spans AS (
+        SELECT doc_id, min(pos) AS span_start,
+               (max(pos) + {DECON_SPAN_K - 1})::BIGINT AS span_end,
+               (max(pos) + {DECON_SPAN_K - 1} - min(pos) + 1)::BIGINT
+                   AS span_tokens
+        FROM sp GROUP BY doc_id, span
+    )
+    SELECT doc_id, span_start, span_end, span_tokens FROM spans
+    WHERE span_tokens >= {DECON_SPAN_MIN}
+    ORDER BY doc_id, span_start
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="Substring-level decontamination (the strict Lee et al. 2022 "
+        "form): maximal verbatim benchmark passages >= 12 tokens "
+        "inside training docs, with exact boundaries so excise_spans "
+        "can cut the leak instead of dropping the doc. Complements "
+        "decontaminate's recall-oriented shingle overlap with a "
+        "precision-oriented contiguous-run test; same map-only gram "
+        "emit + semi join + per-doc islands shuffle shape as "
+        "dup_spans.",
+    tags=("dedup", "north-star"),
+)
+def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+    return (D.contamination_spans(corpus, bench, "doc_id", "text",
+                                  k=DECON_SPAN_K,
+                                  min_tokens=DECON_SPAN_MIN)
+             .orderBy("doc_id", "span_start"))

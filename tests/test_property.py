@@ -176,6 +176,34 @@ def test_contamination_bloom_equals_exact(spark):
         assert got == exact, f"bloom variant diverged at m={m}"
 
 
+def test_contamination_spans_planted_passage(spark):
+    """A verbatim benchmark passage planted inside a training doc must
+    come back with EXACT token boundaries, and excise_spans must cut
+    precisely it; clean docs and sub-threshold overlaps stay silent."""
+    from hops_spark.ops.dedup import contamination_spans, excise_spans
+
+    bench_passage = " ".join(f"b{i}" for i in range(20))   # 20 tokens
+    corpus = spark.createDataFrame(
+        [(1, "x0 x1 x2 " + bench_passage + " y0 y1"),      # planted at 3..22
+         (2, "clean words only nothing shared at all here"),
+         (3, "b0 b1 b2 z9 z8 z7 z6 z5 z4 z3 z2 z1")],      # 3-token overlap
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, bench_passage + " tail0 tail1")],
+        "doc_id long, text string")
+
+    spans = contamination_spans(corpus, bench, k=4, min_tokens=10)
+    got = [(r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+           for r in spans.collect()]
+    assert got == [(1, 3, 22, 20)]
+
+    cut = {r["doc_id"]: r for r in
+           excise_spans(corpus, spans, "doc_id", "text").collect()}
+    assert cut[1]["clean_text"] == "x0 x1 x2 y0 y1"
+    assert cut[1]["n_cut"] == 20
+    assert cut[2]["n_cut"] == 0 and cut[3]["n_cut"] == 0
+
+
 def test_hash_sample_deterministic_and_proportional(spark):
     from hops_spark.ops.sampling import hash_sample
 
