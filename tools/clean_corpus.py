@@ -12,8 +12,13 @@ Stages (each map-only or cap-bounded — see SCALE.md):
   3. exact dedup    — content-hash keep-min-id (ops/dedup.exact_dedup)
   4. near dedup     — MinHash+LSH pair graph -> connected components ->
                       keep cluster representative (ops/graph)
-  5. decontaminate  — drop docs sharing >= 3 shingles with the benchmark
-                      source (ops/dedup.contamination_flags)
+  5. decontaminate  — optional (--excise-bench): first CUT every
+                      verbatim >= 12-token benchmark passage out of the
+                      training text (ops/dedup.contamination_spans +
+                      excise_spans — a doc leaking one quote loses the
+                      quote, not its corpus slot); then drop docs still
+                      sharing >= 3 shingles with the benchmark source
+                      (ops/dedup.contamination_flags)
   6. perplexity gate — drop the worst LM outliers: docs whose bigram-LM
                       avg NLL exceeds the corpus p90 threshold computed
                       from a 1-row aggregate (ops/lm.doc_nll_scores)
@@ -57,7 +62,8 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
                  survivor: str = "min_id",
                  weighted_dedup: bool = False,
                  mixture: bool = False,
-                 cut_spans: bool = False) -> dict:
+                 cut_spans: bool = False,
+                 excise_bench: bool = False) -> dict:
     d = load_table(spark, sf_dir, "documents")
     counts = {"input": d.count()}
 
@@ -136,6 +142,23 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
 
     bench = d.filter(F.col("source") == bench_source)
     corpus = d.filter(F.col("source") != bench_source)
+    if excise_bench:
+        # strict substring decontamination BEFORE the doc-level drop:
+        # cut every verbatim >= 12-token benchmark passage out of the
+        # training docs (ops/dedup.contamination_spans + excise_spans)
+        # so a doc leaking one quote loses the quote, not its place in
+        # the corpus; docs still heavy in shingle overlap AFTER the
+        # cut fall to the flag gate below.
+        from hops_spark.ops.dedup import contamination_spans, excise_spans
+        bspans = contamination_spans(corpus, bench, "doc_id", "text",
+                                     k=8, min_tokens=12)
+        bex = excise_spans(corpus, bspans, "doc_id", "text")
+        counts["bench_tokens_cut"] = bex.agg(
+            F.sum("n_cut").cast("long")).collect()[0][0] or 0
+        corpus = (corpus.join(bex.select("doc_id", "clean_text"), "doc_id")
+                        .withColumn("text", F.col("clean_text"))
+                        .withColumn("n_chars", F.length("text").cast("long"))
+                        .drop("clean_text"))
     flags = contamination_flags(corpus, bench, "doc_id", "text",
                                 shingle_n=SHINGLE_N, min_overlap=3)
     contaminated = flags.filter("contaminated").select("doc_id")
@@ -202,11 +225,13 @@ def main() -> None:
     weighted_dedup = "--weighted-dedup" in args
     mixture = "--mixture" in args
     cut_spans = "--cut-spans" in args
+    excise_bench = "--excise-bench" in args
     out_format = "avro" if "--avro" in args else "parquet"
     survivor = "quality" if "--survivor-quality" in args else "min_id"
     args = [a for a in args
             if a not in ("--nb-lang", "--avro", "--survivor-quality",
-                         "--weighted-dedup", "--mixture", "--cut-spans")]
+                         "--weighted-dedup", "--mixture", "--cut-spans",
+                         "--excise-bench")]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     out_dir = args[1] if len(args) > 1 else "/tmp/clean_corpus_out"
     bench_source = "src0"
@@ -216,7 +241,8 @@ def main() -> None:
     counts = clean_corpus(spark, sf_dir, out_dir, bench_source,
                           nb_lang=nb_lang, out_format=out_format,
                           survivor=survivor, weighted_dedup=weighted_dedup,
-                          mixture=mixture, cut_spans=cut_spans)
+                          mixture=mixture, cut_spans=cut_spans,
+                          excise_bench=excise_bench)
     print(json.dumps({"job": "clean_corpus", "sf_dir": sf_dir,
                       "out": os.path.join(out_dir, "clean"), **counts}))
 
