@@ -1535,3 +1535,55 @@ def ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, index_dir, cents, rcb, queries, m=PQ_M, k=PQ_K, d=DIM,
         topk=PQ_TOPK, nprobe=IVFPQ_NPROBE)
     return top.orderBy("q_id", "rank")
+
+
+@register(
+    "ann_index_stats",
+    sql=f"""
+    WITH d AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cid, v AS cv FROM d
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {N_CELLS}
+    ), assign AS (
+        SELECT d.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY d.vec_id
+                   ORDER BY round(list_cosine_similarity(d.v, c.cv), 6) DESC,
+                            c.cid DESC) AS rn
+        FROM d CROSS JOIN cent c
+    ), cells AS (
+        SELECT vec_id, cid AS cell FROM assign WHERE rn = 1
+    ), tot AS (
+        SELECT count(*) AS n FROM cells
+    )
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(*) * 1000000 // tot.n AS BIGINT) AS share_ppm
+    FROM cells, tot
+    GROUP BY cell, tot.n
+    ORDER BY cell
+    """,
+    doc="Serving-index observability: per-cell member counts and "
+        "corpus share (integer ppm) for the IVF cell assignment — the "
+        "balance report an operator reads before picking nprobe or "
+        "deciding a codebook rebuild (a hot cell means every probe "
+        "touching it scans its whole partition; the skew diagnosis "
+        "feeds the same salting/rebuild decisions as skew_salt_plan). "
+        "One argmax pass + one keyed count, bounded by n_cells rows.",
+    tags=("similarity", "io"),
+)
+def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = SIM.ivf_centroids(e, N_CELLS)
+    cell_of = F.array_max(SIM._cell_sims(F.col("embedding"), cents)) \
+               .getField("cell")
+    cells = e.select(cell_of.alias("cell"))
+    n = cells.count()
+    return (cells.groupBy("cell")
+                 .agg(F.count("*").alias("n_vectors"))
+                 .withColumn("share_ppm",
+                             F.floor(F.col("n_vectors") * 1000000
+                                     / F.lit(n)).cast("long"))
+                 .orderBy("cell"))

@@ -123,6 +123,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "embedding_covariance",    # fixed-point PCA input (whitening rides pytest)
     "ivfpq_residual",          # IVFADC proper: residual codebooks + per-cell ADC
     "decontaminate_spans",     # substring-level decontamination (strict form)
+    "ann_index_stats",         # serving-index cell-balance observability
 )
 # Round-9 rotation plan: once CORRECTNESS_r08 lands green, fill freed
 # slots FIRST with this queue, THEN any round-8 REPROVE set, THEN
