@@ -344,6 +344,61 @@ def main() -> int:
     spans_ok = got_spans == want_spans
     t_spans = time.time() - t0
 
+    # --- PQ encode + ADC at 1M vectors (map-only machinery): vectors
+    # are EXACTLY representable — subvector s of vector i is planted
+    # pattern (i >> 3s) % 8, so with the planted codebook the encode
+    # must produce exactly 4096 distinct packed codes with a uniform
+    # 256 members each (n = 2^20) and ZERO total quantization error
+    # (every subvector reconstructs bit-exactly). Self-validating
+    # closed form; exercises the literal-codebook assign expression,
+    # the packed-code path, and the unpack joins at corpus scale.
+    from hops_spark.ops.pq import PQ_MICRO, pq_encode, pq_subvectors
+    from hops_spark.ops.pq import _assign_code
+
+    t0 = time.time()
+    pq_n, pq_m, pq_k, pq_d = 1 << 20, 4, 8, 16
+    pq_ds = pq_d // pq_m
+    dims = []
+    for s in range(pq_m):
+        p = (F.shiftright(F.col("id"), 3 * s) % pq_k).cast("double")
+        for j in range(pq_ds):
+            dims.append((p + s * 10 + j) / 8.0)
+    vecs = spark.range(0, pq_n, 1, parts).select(
+        F.col("id").alias("vec_id"),
+        F.array(*dims).cast("array<float>").alias("embedding"))
+    import math
+    pq_cb = {}
+    for s in range(pq_m):
+        for c in range(pq_k):
+            pq_cb[(s, c)] = [
+                math.floor(float(
+                    __import__("numpy").float32((c + s * 10 + j) / 8.0))
+                    * PQ_MICRO)
+                for j in range(pq_ds)]
+    enc = pq_encode(vecs, pq_cb, m=pq_m, k=pq_k, d=pq_d)
+    code_stats = (enc.groupBy("pq_code").agg(F.count("*").alias("nn"))
+                     .agg(F.count("*").alias("n_codes"),
+                          F.min("nn").alias("cmin"),
+                          F.max("nn").alias("cmax"),
+                          F.sum("nn").alias("ctot")).collect()[0])
+    cb_rows = [(s, c, v) for (s, c), v in sorted(pq_cb.items())]
+    cb_df = spark.createDataFrame(cb_rows,
+                                  "sub int, code int, cv array<bigint>")
+    subs = pq_subvectors(vecs, pq_m, pq_d)
+    coded = subs.withColumn("code", _assign_code(pq_cb, pq_m, pq_k))
+    distortion = (coded.join(F.broadcast(cb_df), ["sub", "code"])
+                       .select(F.aggregate(
+                           F.zip_with("sv", "cv",
+                                      lambda x, c: (x - c) * (x - c)),
+                           F.lit(0).cast("long"),
+                           lambda acc, x: acc + x).alias("dd"))
+                       .agg(F.sum("dd")).collect()[0][0])
+    pq_ok = (code_stats["n_codes"] == pq_k ** pq_m
+             and code_stats["cmin"] == code_stats["cmax"] == pq_n // pq_k ** pq_m
+             and code_stats["ctot"] == pq_n
+             and distortion == 0)
+    t_pq = time.time() - t0
+
     out = {"job": "stress_check", "n_rows": n, "n_partitions": parts,
            "rank_ok": bool(rank_ok), "rank_sec": round(t_rank, 1),
            "prefix_sum_ok": bool(ps_ok), "prefix_sum_sec": round(t_ps, 1),
@@ -361,11 +416,12 @@ def main() -> int:
            "triangle_hub_ok": bool(tri_ok),
            "triangle_hub_sec": round(t_tri, 1),
            "substring_spans_ok": bool(spans_ok),
-           "substring_spans_sec": round(t_spans, 1)}
+           "substring_spans_sec": round(t_spans, 1),
+           "pq_1m_ok": bool(pq_ok), "pq_1m_sec": round(t_pq, 1)}
     print(json.dumps(out))
     return 0 if all((rank_ok, ps_ok, skew_ok, dedup_ok, inc_ok,
                      ann_ok, meta_ok, tl_ok, wj_ok, tri_ok,
-                     spans_ok)) else 1
+                     spans_ok, pq_ok)) else 1
 
 
 if __name__ == "__main__":
