@@ -126,7 +126,12 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "ann_index_stats",         # serving-index cell-balance observability
 )
 # Round-9 rotation plan: once CORRECTNESS_r08 lands green, fill freed
-# slots FIRST with this queue, THEN any round-8 REPROVE set, THEN
+# slots FIRST with this queue (14 rows — the r8 additions: substring
+# pipeline, ANN lifecycle, bloom/substring decontamination, linear
+# probe, the PQ/IVFPQ/IVFADC family, covariance, index stats), THEN
+# any round-8 REPROVE set (dup_spans was refactored through
+# _gram_rows/_gram_islands AFTER the r8 window froze, but it sits IN
+# that window, so its r8 row already certifies the refactor), THEN
 # weighted_sample_docs (the one last-green-r3 row deferred from the r8
 # window), THEN the last-green-r4 tier alphabetically (48 rows:
 # basket_pairs_lift, bpe_merges, cohort_retention, cube_revenue, ...);
