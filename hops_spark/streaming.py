@@ -696,3 +696,33 @@ def covariance_from_state(state: DataFrame) -> DataFrame:
         F.floor(F.col("psum")
                 / (F.col("n_rows").cast("double") * PCA_MICRO))
          .cast("long").alias("cov_micro"))
+
+
+def probe_score_stream(stream_docs: DataFrame, w: list, flags_dir: str,
+                       checkpoint: str, dim: int = 64,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       seed: str = "lp"):
+    """Continuous learned quality gate: score arriving docs against the
+    FROZEN linear-probe weights (ops/classify.linear_probe_scores — the
+    SAME derivation the batch gate uses, per the shared-derivation
+    rule) and append (id, margin, p_micro, pred) rows to ``flags_dir``.
+    The model is driver metadata (dim+1 ints, the codebook contract:
+    retraining is a re-baseline, not an increment); scoring is
+    stateless and within-doc only, so micro-batch boundaries cannot
+    move any score — each doc arrives whole in its batch. This is the
+    serving half of the fastText/DCLM recipe: train offline
+    (linear_probe_train), gate the ingest stream forever after."""
+    from hops_spark.ops.classify import linear_probe_scores
+
+    def score(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.withColumn("_y0", F.lit(0))
+        (linear_probe_scores(docs, w, id_col=id_col, text_col=text_col,
+                             y_col="_y0", dim=dim, seed=seed)
+         .select(F.col(id_col), "margin", "p_micro", "pred")
+         .write.mode("append").parquet(flags_dir))
+
+    return (stream_docs.writeStream.foreachBatch(score)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append"))

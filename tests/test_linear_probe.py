@@ -48,3 +48,32 @@ def test_features_length_invariant(spark):
     f1 = {(r["feat"], r["x"]) for r in hashed_features(d1).collect()}
     f3 = {(r["feat"], r["x"]) for r in hashed_features(d3).collect()}
     assert f1 == f3
+
+
+def test_probe_score_stream_equals_batch(spark, tmp_path):
+    """Draining a multi-file doc stream through probe_score_stream
+    (frozen weights) yields exactly the batch scores — the learned
+    gate can sit on the ingest path."""
+    from hops_spark.streaming import probe_score_stream
+
+    d = _separable_corpus(spark, n=80)
+    w = train_linear_probe(d, dim=32, iters=3)
+
+    src = str(tmp_path / "docs")
+    d.select("doc_id", "text").repartition(4) \
+     .write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    flags = str(tmp_path / "flags")
+    q = probe_score_stream(stream, w, flags, str(tmp_path / "ck"),
+                           dim=32).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["doc_id"]: (r["margin"], r["p_micro"], r["pred"])
+           for r in spark.read.parquet(flags).collect()}
+    from pyspark.sql import functions as FF
+    want = {r["doc_id"]: (r["margin"], r["p_micro"], r["pred"])
+            for r in linear_probe_scores(
+                d.withColumn("y", FF.lit(0)), w, dim=32).collect()}
+    assert got == want and len(want) == 80
