@@ -462,3 +462,78 @@ def dyadic_rank_estimates(cells: DataFrame, thresholds: DataFrame,
             .groupBy("t", "level").agg(F.min("cc").alias("e"))
             .groupBy("t").agg(F.sum("e").cast("long").alias("est_rank")))
     return est
+
+
+# --- Misra–Gries mergeable heavy-hitter summary ---------------------------
+
+
+def mg_truncate(counts: DataFrame, shard_col: str = "shard",
+                term_col: str = "term", cnt_col: str = "c",
+                k: int = 16) -> DataFrame:
+    """One Misra–Gries reduction per shard: subtract the (k+1)-th
+    largest counter value c' from every counter and keep the strictly
+    positive remainders. At most k counters survive (only ranks 1..k
+    can exceed c'), and the step is deterministic on VALUES alone —
+    survivors are exactly {cnt > c'}, so rank-ties need no tie-break
+    (the value at rank k+1 is the same under any tie order). The
+    window partitions by shard and every input shard holds at most a
+    per-shard key histogram (round 0) or ≤ 2k merged counters (later
+    rounds) — never a global single-partition sort."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(shard_col).orderBy(F.col(cnt_col).desc(),
+                                              term_col)
+    r = counts.withColumn("_rn", F.row_number().over(w))
+    cp = (r.groupBy(shard_col)
+           .agg(F.max(F.when(F.col("_rn") == k + 1, F.col(cnt_col))
+                       .otherwise(F.lit(0))).alias("_cp")))
+    return (r.join(cp, shard_col)
+             .select(shard_col, term_col,
+                     (F.col(cnt_col) - F.col("_cp")).alias(cnt_col))
+             .filter(F.col(cnt_col) > 0))
+
+
+def mg_merge(a: DataFrame, b: DataFrame, term_col: str = "term",
+             cnt_col: str = "c", k: int = 16) -> DataFrame:
+    """Merge two MG(k) summaries (single-shard frames): pointwise sum,
+    then one truncation — the mergeable-summaries MERGE (Agarwal,
+    Cormode, Huang, Phillips, Wei, Yi 2012 §3.1: the combined error
+    telescopes to ≤ n/(k+1) under ANY merge tree). Bounded: inputs are
+    ≤ k rows each, output ≤ k rows."""
+    both = (a.select(term_col, cnt_col)
+             .unionByName(b.select(term_col, cnt_col))
+             .groupBy(term_col).agg(F.sum(cnt_col).cast("long")
+                                     .alias(cnt_col))
+             .withColumn("_shard", F.lit(0)))
+    return (mg_truncate(both, "_shard", term_col, cnt_col, k)
+            .drop("_shard"))
+
+
+def mg_sharded_summary(toks: DataFrame, term_col: str = "term",
+                       shard_col: str = "shard", n_shards: int = 8,
+                       k: int = 16, cnt_col: str = "c") -> DataFrame:
+    """MG(k) heavy-hitter summary of a sharded stream, fully
+    relational: per-shard exact key histogram (ONE keyed aggregate with
+    map-side combine — the only data-proportional pass; an exact
+    histogram is an MG summary with zero error), per-shard truncation
+    to ≤ k counters, then log2(n_shards) unrolled binary-tree merge
+    rounds (shard ← shard div 2; sum + truncate). Every round after the
+    first histogram touches ≤ n_shards × k rows, so the whole merge
+    tree is metadata-sized regardless of data volume; at 1000 executors
+    n_shards is the partition count and the tree is log-depth. Final
+    guarantee (undercount ≤ n/(k+1); every item with true count >
+    n/(k+1) survives) rides as checked booleans in the registered
+    query. Returns (term, c) with shard eliminated."""
+    if n_shards & (n_shards - 1):
+        raise ValueError("n_shards must be a power of two")
+    h = (toks.groupBy(shard_col, term_col)
+             .agg(F.count("*").cast("long").alias(cnt_col)))
+    s = mg_truncate(h, shard_col, term_col, cnt_col, k)
+    n = n_shards
+    while n > 1:
+        n //= 2
+        m = (s.withColumn(shard_col, F.expr(f"{shard_col} div 2"))
+              .groupBy(shard_col, term_col)
+              .agg(F.sum(cnt_col).cast("long").alias(cnt_col)))
+        s = mg_truncate(m, shard_col, term_col, cnt_col, k)
+    return s.drop(shard_col)

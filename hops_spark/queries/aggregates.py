@@ -755,3 +755,134 @@ def cms_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                      <= F.expr(f"({CMSQ_LEVELS} * 3 * n) div {CMSQ_WIDTH}"))
                     .alias("within_eps"))
             .orderBy("q_ppm"))
+
+
+# --- Misra–Gries heavy hitters (mergeable summary) -----------------------
+
+MG_K = 16
+MG_SHARDS = 8
+
+# Deterministic SKEWED stream derived from lineitem (the fixtures are
+# uniform by construction, so heavy hitters are synthesized the same
+# way the celebrity-skew stress tier does): rows with l_orderkey % 16
+# = 0 (~1/16 of the stream) spread over the ~2k-part tail key
+# 'p<partkey>', everything else concentrates on the four hot keys
+# 'h0'..'h3' (~19-25% of the stream each — far above the n/(k+1)
+# heaviness threshold of ~5.9% at k=16).
+_MG_TERM = ("CASE WHEN l_orderkey % 16 = 0 "
+            "THEN concat('p', CAST(l_partkey AS STRING)) "
+            "ELSE concat('h', CAST(l_orderkey % 4 AS STRING)) END")
+_MG_SHARD = ("CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), "
+             "':', CAST(l_linenumber AS STRING))), 1, 7), 16, 10) "
+             f"AS BIGINT) % {MG_SHARDS}")
+
+
+def _duck_mg_ctes(k: int, n_shards: int) -> str:
+    """CTE chain rebuilding ops/sketch.mg_sharded_summary: per-shard
+    histogram, truncation, then the unrolled binary merge tree."""
+    term = _MG_TERM.replace("AS STRING", "AS VARCHAR")
+    shard = (f"(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':' "
+             f"|| CAST(l_linenumber AS VARCHAR)), 1, 7))::BIGINT) "
+             f"% {n_shards}")
+    parts = [f"""stream AS (
+        SELECT {term} AS term, {shard} AS shard FROM lineitem
+    ), h0 AS (
+        SELECT shard, term, CAST(count(*) AS BIGINT) AS c
+        FROM stream GROUP BY 1, 2
+    )"""]
+    src = "h0"
+    rounds = 0
+    n = n_shards
+    while n >= 1:
+        i = rounds
+        parts.append(f"""r{i} AS (
+        SELECT shard, term, c,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY c DESC, term) AS rn
+        FROM {src}
+    ), cp{i} AS (
+        SELECT shard, max(CASE WHEN rn = {k + 1} THEN c ELSE 0 END) AS cp
+        FROM r{i} GROUP BY shard
+    ), t{i} AS (
+        SELECT r{i}.shard, term, c - cp AS c
+        FROM r{i} JOIN cp{i} USING (shard) WHERE c - cp > 0
+    )""")
+        if n == 1:
+            break
+        n //= 2
+        rounds += 1
+        parts.append(f"""m{rounds} AS (
+        SELECT shard // 2 AS shard, term, CAST(sum(c) AS BIGINT) AS c
+        FROM t{rounds - 1} GROUP BY 1, 2
+    )""")
+        src = f"m{rounds}"
+    return ",\n    ".join(parts), f"t{rounds}"
+
+
+_MG_CTES, _MG_FINAL = _duck_mg_ctes(MG_K, MG_SHARDS)
+
+
+@register(
+    "mg_heavy_hitters",
+    sql=f"""
+    WITH {_MG_CTES}, exact AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS n_exact FROM stream
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total FROM stream
+    )
+    SELECT e.term, e.n_exact,
+           CAST(coalesce(s.c, 0) AS BIGINT) AS est_mg,
+           e.n_exact * {MG_K + 1} > t.n_total AS is_heavy,
+           coalesce(s.c, 0) <= e.n_exact AS underestimates,
+           e.n_exact - coalesce(s.c, 0) <= t.n_total // {MG_K + 1}
+               AS within_bound,
+           (NOT e.n_exact * {MG_K + 1} > t.n_total)
+               OR coalesce(s.c, 0) > 0 AS covered_if_heavy
+    FROM exact e CROSS JOIN tot t
+    LEFT JOIN {_MG_FINAL} s USING (term)
+    WHERE coalesce(s.c, 0) > 0 OR e.n_exact * {MG_K + 1} > t.n_total
+    ORDER BY e.n_exact DESC, e.term
+    """,
+    doc="Misra–Gries heavy hitters as a MERGEABLE summary (Misra & "
+        "Gries 1982; merge rule and the n/(k+1) telescoping bound from "
+        "Agarwal et al. 2012 'Mergeable summaries' §3.1) — the "
+        "deterministic counter-based sibling of the CMS heavy_hitters "
+        "query: no hashing, no overestimates, a hard ≤ k counters of "
+        "state. Per-shard exact key histograms (the one data-"
+        "proportional aggregate, map-side combined) truncate to MG(k) "
+        "and merge up a log2(shards) binary tree (sum + truncate, each "
+        "round ≤ shards × k rows — metadata-sized). Both guarantee "
+        "directions ride as checked booleans: estimates never exceed "
+        "truth, undercount ≤ n div (k+1), and every item heavier than "
+        "n/(k+1) SURVIVES (covered_if_heavy). The skewed stream is "
+        "derived deterministically from lineitem (fixture device — see "
+        "_MG_TERM). ops/sketch.mg_sharded_summary; oracle rebuilds the "
+        "identical merge tree counter-for-counter.",
+    tags=("agg", "sketch", "approx"),
+)
+def mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sketch import mg_sharded_summary
+
+    li = load_table(spark, sf_dir, "lineitem")
+    stream = li.select(F.expr(_MG_TERM).alias("term"),
+                       F.expr(_MG_SHARD).alias("shard"))
+    summ = (mg_sharded_summary(stream, "term", "shard",
+                               MG_SHARDS, MG_K)
+            .withColumnRenamed("c", "est_mg"))
+    exact = stream.groupBy("term").agg(F.count("*").cast("long")
+                                        .alias("n_exact"))
+    tot = stream.agg(F.count("*").cast("long").alias("n_total"))
+    bound = F.expr(f"n_total div {MG_K + 1}")
+    heavy = F.col("n_exact") * (MG_K + 1) > F.col("n_total")
+    est = F.coalesce("est_mg", F.lit(0)).cast("long")
+    return (exact.join(F.broadcast(summ), "term", "left")
+                 .crossJoin(F.broadcast(tot))
+                 .filter((est > 0) | heavy)
+                 .select("term", "n_exact", est.alias("est_mg"),
+                         heavy.alias("is_heavy"),
+                         (est <= F.col("n_exact")).alias("underestimates"),
+                         (F.col("n_exact") - est <= bound)
+                         .alias("within_bound"),
+                         (~heavy | (est > 0)).alias("covered_if_heavy"))
+                 .orderBy(F.col("n_exact").desc(), "term"))

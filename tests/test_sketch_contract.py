@@ -168,3 +168,67 @@ def test_dyadic_cms_merge_equals_union_build_and_rank_bounds(spark):
         assert r.est_rank >= r.exact_rank, (r.t, r.est_rank, r.exact_rank)
         assert r.est_rank - r.exact_rank <= bound, (r.t, r.est_rank,
                                                     r.exact_rank, bound)
+
+
+def _mg_stream(spark, lo, hi):
+    """Skewed stream: ids % 16 == 0 spread over a long tail, the rest
+    concentrated on four hot keys — the mg_heavy_hitters shape."""
+    return spark.range(lo, hi).select(
+        F.when(F.col("id") % 16 == 0,
+               F.concat(F.lit("p"), (F.col("id") % 499).cast("string")))
+         .otherwise(F.concat(F.lit("h"), (F.col("id") % 4).cast("string")))
+         .alias("term"),
+        F.expr("CAST(conv(substring(md5(CAST(id AS STRING)), 1, 7), 16, 10)"
+               " AS BIGINT) % 4").alias("shard"))
+
+
+def test_mg_summary_guarantee_and_merge_validity(spark):
+    """MG is NOT exactly mergeable (unlike the grid families) — the
+    contract is the Agarwal et al. 2012 bound instead: after any merge
+    tree, est <= exact, exact - est <= n/(k+1), and every item heavier
+    than n/(k+1) survives."""
+    from hops_spark.ops.sketch import mg_sharded_summary
+    k = 8
+    s = _mg_stream(spark, 0, 4000)
+    summ = {r["term"]: r["c"]
+            for r in mg_sharded_summary(s, n_shards=4, k=k).collect()}
+    exact = {r["term"]: r["n"]
+             for r in s.groupBy("term").agg(F.count("*").alias("n")).collect()}
+    n = sum(exact.values())
+    bound = n // (k + 1)
+    assert summ, "summary must be non-empty on a skewed stream"
+    assert len(summ) <= k
+    for t, est in summ.items():
+        assert 0 < est <= exact[t]
+    for t, c in exact.items():
+        assert c - summ.get(t, 0) <= bound
+        if c > bound:
+            assert t in summ, f"heavy item {t} must survive"
+
+
+def test_mg_merge_of_summaries_stays_valid(spark):
+    """mg_merge over two disjoint half-streams obeys the combined-n
+    bound (the §3.1 telescoping argument, asserted empirically)."""
+    from hops_spark.ops.sketch import mg_merge, mg_sharded_summary
+    k = 8
+    a, b = _mg_stream(spark, 0, 2000), _mg_stream(spark, 2000, 4500)
+    m = (mg_merge(mg_sharded_summary(a, n_shards=4, k=k),
+                  mg_sharded_summary(b, n_shards=4, k=k), k=k))
+    summ = {r["term"]: r["c"] for r in m.collect()}
+    u = a.unionAll(b)
+    exact = {r["term"]: r["n"]
+             for r in u.groupBy("term").agg(F.count("*").alias("n")).collect()}
+    n = sum(exact.values())
+    assert len(summ) <= k
+    for t, est in summ.items():
+        assert 0 < est <= exact[t]
+    for t, c in exact.items():
+        assert c - summ.get(t, 0) <= n // (k + 1)
+
+
+def test_mg_summary_deterministic(spark):
+    from hops_spark.ops.sketch import mg_sharded_summary
+    s = _mg_stream(spark, 0, 3000)
+    r1 = _rows(mg_sharded_summary(s, n_shards=4, k=6))
+    r2 = _rows(mg_sharded_summary(s, n_shards=4, k=6))
+    assert r1 == r2
