@@ -913,6 +913,62 @@ def sentence_dedup(df: DataFrame, id_col: str = "doc_id",
                 .orderBy(id_col))
 
 
+def boilerplate_strip(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", source_col: str = "source",
+                      split_re: str = r"[.!?]+",
+                      min_docs: int = 3, max_df_ppm: int = 100_000,
+                      joiner: str = " . ") -> DataFrame:
+    """Per-source boilerplate removal, the CCNet discipline (Wenzek et
+    al. 2020 drop paragraphs whose hash repeats across many documents
+    of a shard — navigation chrome, cookie banners, license footers):
+    a sentence is boilerplate within its SOURCE when it appears in at
+    least ``min_docs`` distinct documents AND in more than
+    ``max_df_ppm`` ppm of the source's documents; every occurrence is
+    dropped (unlike sentence_dedup, which keeps the first) and
+    documents are rebuilt from the survivors in original order.
+
+    Scale shape: one map-only sentence explode; the document-frequency
+    aggregate is keyed by (source, sentence-hash) with two-phase
+    countDistinct; the flag set joins back on the same key (a keyed
+    hash join — the flagged set is data-dependent, so no forced
+    broadcast; AQE may pick one when it is small); one reassembly
+    aggregate per doc. Nothing quadratic, nothing data-dependent
+    beyond the flagged-hash set.
+
+    Returns (id, source, n_sents, n_kept, clean_text)."""
+    parts = F.filter(
+        F.transform(F.split(F.col(text_col), split_re),
+                    lambda s: F.trim(s)),
+        lambda s: s != "")
+    sents = (df.select(F.col(id_col), F.col(source_col),
+                       F.posexplode(parts).alias("sentence_id", "sentence"))
+               .withColumn("sentence_id", F.col("sentence_id").cast("long"))
+               .withColumn("_h", F.md5("sentence")))
+    nd = df.groupBy(source_col).agg(
+        F.countDistinct(id_col).cast("long").alias("_nd"))
+    sdf = (sents.groupBy(source_col, "_h")
+                .agg(F.countDistinct(id_col).cast("long").alias("_df")))
+    boiler = (sdf.join(nd, source_col)
+                 .filter((F.col("_df") >= min_docs)
+                         & (F.col("_df") * 1_000_000
+                            > max_df_ppm * F.col("_nd")))
+                 .select(source_col, "_h", F.lit(True).alias("_boiler")))
+    kept = (sents.join(boiler, [source_col, "_h"], "left")
+                 .withColumn("_keep", F.col("_boiler").isNull()))
+    rebuilt = F.concat_ws(
+        joiner,
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("_keep"),
+                       F.struct("sentence_id", "sentence")))),
+            lambda s: s["sentence"]))
+    return (kept.groupBy(id_col, source_col)
+                .agg(F.count("*").cast("long").alias("n_sents"),
+                     F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+                     rebuilt.alias("clean_text"))
+                .orderBy(id_col))
+
+
 # ---------------------------------------------------------------------------
 # Weighted (tf-aware) Jaccard near-duplicates
 # ---------------------------------------------------------------------------

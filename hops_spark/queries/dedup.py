@@ -726,6 +726,74 @@ def sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("doc_id"))
 
 
+# Sentence-boundary regex for boilerplate_strip: the synthetic fixture
+# has no punctuation, so the frequent filler words act as delimiters —
+# short enough segments that cross-document repeats actually occur
+# (same fixture device as sentence_dedup's 'table' delimiter).
+_BP_SPLIT = r"[.!?]+|\s+(?:table|row|value|scan|hash|join|key)\s+"
+_BP_MIN_DOCS = 3
+_BP_MAX_DF_PPM = 100_000
+
+
+@register(
+    "boilerplate_strip",
+    sql=rf"""
+    WITH s AS (
+        SELECT doc_id, source,
+               unnest(list_filter(list_transform(
+                   string_split_regex(text, '{_BP_SPLIT}'),
+                   x -> trim(x)), x -> x <> '')) AS sentence,
+               unnest(range(len(list_filter(list_transform(
+                   string_split_regex(text, '{_BP_SPLIT}'),
+                   x -> trim(x)), x -> x <> '')))) AS sentence_id
+        FROM documents
+    ), nd AS (
+        SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+        FROM documents GROUP BY source
+    ), sdf AS (
+        SELECT source, md5(sentence) AS h,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM s GROUP BY 1, 2
+    ), boiler AS (
+        SELECT sdf.source, sdf.h
+        FROM sdf JOIN nd USING (source)
+        WHERE df >= {_BP_MIN_DOCS}
+          AND df * 1000000 > {_BP_MAX_DF_PPM} * nd
+    ), flagged AS (
+        SELECT s.doc_id, s.source, s.sentence_id, s.sentence,
+               (b.h IS NOT NULL) AS is_boiler
+        FROM s LEFT JOIN boiler b
+          ON b.source = s.source AND b.h = md5(s.sentence)
+    )
+    SELECT doc_id, any_value(source) AS source,
+           CAST(count(*) AS BIGINT) AS n_sents,
+           CAST(count(*) FILTER (WHERE NOT is_boiler) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(sentence, ' . ' ORDER BY sentence_id)
+                        FILTER (WHERE NOT is_boiler), '')) AS clean_hash
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Per-source boilerplate removal (CCNet, Wenzek et al. 2020: "
+        "drop paragraphs whose hash repeats across many documents of a "
+        "shard — navigation chrome, cookie banners, license footers): "
+        "a sentence is boilerplate within its source when >= 3 distinct "
+        "docs AND > 10% of the source's docs contain it; EVERY "
+        "occurrence is dropped (sentence_dedup keeps the first — "
+        "different cleaning contract), documents rebuilt from the "
+        "survivors. One explode + two keyed aggregates + one keyed "
+        "join; ops/dedup.boilerplate_strip.",
+    tags=("text", "dedup", "north-star"),
+)
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "text")
+    out = D.boilerplate_strip(d, split_re=_BP_SPLIT,
+                              min_docs=_BP_MIN_DOCS,
+                              max_df_ppm=_BP_MAX_DF_PPM)
+    return (out.select("doc_id", "source", "n_sents", "n_kept",
+                       F.md5("clean_text").alias("clean_hash"))
+               .orderBy("doc_id"))
+
+
 @register(
     "ngram_novelty",
     sql=f"""

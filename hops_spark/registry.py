@@ -124,6 +124,8 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "ivfpq_residual",          # IVFADC proper: residual codebooks + per-cell ADC
     "decontaminate_spans",     # substring-level decontamination (strict form)
     "ann_index_stats",         # serving-index cell-balance observability
+    "mg_heavy_hitters",        # Misra–Gries mergeable heavy-hitter summary
+    "boilerplate_strip",       # CCNet per-source boilerplate removal
 )
 # Round-9 rotation plan: once CORRECTNESS_r08 lands green, fill freed
 # slots FIRST with this queue (14 rows — the r8 additions: substring

@@ -441,3 +441,36 @@ def test_build_cell_index_gemm_path_equals_literal_path(spark, sf_dir,
     gemm = {(r["vec_id"], r["cell"]) for r in
             spark.read.parquet(gemm_dir).select("vec_id", "cell").collect()}
     assert gemm == lit
+
+
+def test_boilerplate_strip_drops_every_occurrence_per_source(spark):
+    """CCNet contract: a sentence over the per-source df threshold is
+    removed EVERYWHERE (unlike sentence_dedup's keep-first); the same
+    sentence in a different source with low df survives; low-df
+    sentences survive in place."""
+    from hops_spark.ops.dedup import boilerplate_strip
+    rows = [(i, "srcA", "cookie notice. unique %d" % i) for i in range(4)]
+    rows += [(10, "srcA", "rare line. tail"),
+             (20, "srcB", "cookie notice. other text"),
+             (21, "srcB", "solo line")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: (r["n_sents"], r["n_kept"], r["clean_text"])
+           for r in boilerplate_strip(docs, min_docs=3,
+                                      max_df_ppm=100_000).collect()}
+    # srcA has 5 docs; 'cookie notice' df=4 -> 800000 ppm > 100000, boiler
+    for i in range(4):
+        assert out[i] == (2, 1, "unique %d" % i)
+    assert out[10] == (2, 2, "rare line . tail")
+    # srcB: df=1 of 2 docs -> below min_docs, survives
+    assert out[20] == (2, 2, "cookie notice . other text")
+    assert out[21] == (1, 1, "solo line")
+
+
+def test_boilerplate_strip_deterministic(spark):
+    from hops_spark.ops.dedup import boilerplate_strip
+    rows = [(i, "s%d" % (i % 3), "shared seg. doc %d tail" % (i % 5))
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = sorted(tuple(r) for r in boilerplate_strip(docs).collect())
+    b = sorted(tuple(r) for r in boilerplate_strip(docs).collect())
+    assert a == b and a
