@@ -307,3 +307,105 @@ def phrase_occurrences(docs: DataFrame, phrase: list[str],
                          F.element_at(hits, 1).cast("long")
                           .alias("first_pos"))
                  .filter(F.col("n_occ") >= 1))
+
+
+# --- hybrid retrieval: reciprocal-rank fusion -----------------------------
+
+
+def hashed_sign_bucket(term: str, dim: int = 64,
+                       seed: str = "hbow") -> tuple[int, int]:
+    """Plan-time (bucket, sign) of one literal term under the EXACT
+    hashed_bow_embedding derivation — hashlib.md5 of the same
+    'seed|term' string the engines hash, first 7 hex chars mod dim,
+    sign from the parity of the 8th. Mirrored bit-for-bit by a unit
+    test against the Column derivation; lets a fixed query vector be
+    inlined as literals instead of re-deriving per row."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}|{term}".encode()).hexdigest()
+    return int(h[:7], 16) % dim, 1 if int(h[7], 16) % 2 == 0 else -1
+
+
+def query_bucket_weights(query_terms: list[str], dim: int = 64,
+                         seed: str = "hbow") -> dict[int, int]:
+    """Signed hashing-trick query vector as a sparse {bucket: weight}
+    dict (collisions between query terms sum, exactly as the doc side
+    sums signed tokens per bucket)."""
+    q: dict[int, int] = {}
+    for t in query_terms:
+        b, s = hashed_sign_bucket(t, dim, seed)
+        q[b] = q.get(b, 0) + s
+    return {b: w for b, w in sorted(q.items()) if w != 0}
+
+
+def hashed_dot_topk(docs: DataFrame, query_terms: list[str], k: int = 50,
+                    dim: int = 64, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    seed: str = "hbow") -> DataFrame:
+    """Integer inner-product retrieval (MIPS) against the hashing-trick
+    query vector: dot(q, d) = Σ_tokens sign(token) · q_weight[bucket
+    (token)] — an exact integer, no normalization, no floats. Only
+    tokens landing in the query's ≤ |terms| nonzero buckets contribute,
+    so the filter runs BEFORE the one per-doc aggregate and shuffle
+    volume is matching tokens collapsed to #docs rows. Top-k by (dot
+    desc, id) is a TakeOrdered — no global sort. Returns (id, dot)."""
+    from hops_spark.ops.text import words
+
+    q = query_bucket_weights(query_terms, dim, seed)
+    tok = docs.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col("w")))
+    bucket = F.pmod(F.conv(F.substring(h, 1, 7), 16, 10).cast("long"),
+                    F.lit(dim))
+    sign = F.when(F.conv(F.substring(h, 8, 1), 16, 10).cast("long") % 2 == 0,
+                  F.lit(1)).otherwise(F.lit(-1))
+    qw = F.lit(0)
+    for b, wgt in q.items():
+        qw = F.when(bucket == b, F.lit(wgt)).otherwise(qw)
+    scored = (tok.select(F.col(id_col), (sign * qw).alias("c"))
+                 .filter(F.col("c") != 0)
+                 .groupBy(id_col)
+                 .agg(F.sum("c").cast("long").alias("dot")))
+    return scored.orderBy(F.col("dot").desc(), F.col(id_col)).limit(k)
+
+
+def ranked_bounded(df: DataFrame, score_col: str,
+                   id_col: str = "doc_id",
+                   rank_col: str = "rank") -> DataFrame:
+    """1-based dense ranks of a BOUNDED list (top-k output, ≤ dozens of
+    rows) WITHOUT a single-partition window: rank(x) = 1 + count of
+    rows ordered strictly before x under (score desc, id asc) — an
+    O(k²) self-join on a k-row frame, engine-portable and lint-clean
+    by construction. Do not point this at unbounded data."""
+    a, b = df.alias("_ra"), df.alias("_rb")
+    sa, sb = F.col(f"_ra.{score_col}"), F.col(f"_rb.{score_col}")
+    ia, ib = F.col(f"_ra.{id_col}"), F.col(f"_rb.{id_col}")
+    before = (sb > sa) | ((sb == sa) & (ib < ia))
+    return (a.join(b, before, "left")
+             .groupBy(ia.alias(id_col), sa.alias(score_col))
+             .agg((F.count(ib) + 1).cast("long").alias(rank_col)))
+
+
+def rrf_fuse(lex_topk: DataFrame, dense_topk: DataFrame,
+             lex_score: str = "bm25", dense_score: str = "dot",
+             id_col: str = "doc_id", k_rrf: int = 60,
+             topk: int = 15) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of a
+    lexical and a dense candidate list: rrf(d) = Σ_lists 1/(k + rank_
+    list(d)), here in exact integer ppm (1000000 div (k + rank), 0 for
+    a doc absent from a list — the standard treatment). Both inputs
+    are bounded top-k lists, so ranking and fusion touch O(k²) rows
+    total no matter the corpus size. Returns (id, r_lex, r_dense,
+    rrf_ppm) top-``topk`` by (rrf desc, id)."""
+    lr = ranked_bounded(lex_topk, lex_score, id_col, "r_lex")
+    dr = ranked_bounded(dense_topk, dense_score, id_col, "r_dense")
+    fused = (lr.select(id_col, "r_lex")
+               .join(dr.select(id_col, "r_dense"), id_col, "full"))
+    contrib = (F.coalesce(F.expr(f"1000000 div ({k_rrf} + r_lex)"), F.lit(0))
+               + F.coalesce(F.expr(f"1000000 div ({k_rrf} + r_dense)"),
+                            F.lit(0)))
+    return (fused.select(id_col,
+                         F.coalesce("r_lex", F.lit(0)).alias("r_lex"),
+                         F.coalesce("r_dense", F.lit(0)).alias("r_dense"),
+                         contrib.cast("long").alias("rrf_ppm"))
+                 .orderBy(F.col("rrf_ppm").desc(), F.col(id_col))
+                 .limit(topk))

@@ -1249,3 +1249,77 @@ def term_stats_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.max("last_doc").alias("last_doc")))
     return (merged.filter(F.col("df") >= 3)
                   .orderBy("term"))
+
+
+# --- hybrid retrieval: reciprocal-rank fusion ----------------------------
+
+HY_L = 50          # candidate-list depth per system
+HY_TOPK = 15
+HY_K_RRF = 60      # the Cormack et al. 2009 constant
+HY_DIM = 64
+
+
+def _duck_hybrid_sql() -> str:
+    qw = R.query_bucket_weights(QUERY_TERMS, HY_DIM)
+    wcase = " ".join(f"WHEN {b} THEN {w}" for b, w in qw.items())
+    lex = _duck_bm25_sql(QUERY_TERMS, HY_L).strip()
+    return f"""
+    WITH lex AS (
+        {lex}
+    ), dtok AS (
+        SELECT doc_id, unnest({_DUCK_WORDS}) AS w FROM documents
+    ), dcell AS (
+        SELECT doc_id,
+               (CASE WHEN ('0x' || substring(md5('hbow|' || w), 8, 1))::BIGINT
+                          % 2 = 0 THEN 1 ELSE -1 END)
+               * (CASE ('0x' || substring(md5('hbow|' || w), 1, 7))::BIGINT
+                       % {HY_DIM} {wcase} ELSE 0 END) AS c
+        FROM dtok
+    ), dense AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS dot
+        FROM dcell WHERE c <> 0 GROUP BY doc_id
+        ORDER BY dot DESC, doc_id LIMIT {HY_L}
+    ), lexr AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+        FROM lex
+    ), denr AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY dot DESC, doc_id) AS r_dense
+        FROM dense
+    )
+    SELECT doc_id,
+           CAST(coalesce(r_lex, 0) AS BIGINT) AS r_lex,
+           CAST(coalesce(r_dense, 0) AS BIGINT) AS r_dense,
+           CAST(coalesce(1000000 // ({HY_K_RRF} + r_lex), 0)
+                + coalesce(1000000 // ({HY_K_RRF} + r_dense), 0) AS BIGINT)
+               AS rrf_ppm
+    FROM lexr FULL JOIN denr USING (doc_id)
+    ORDER BY rrf_ppm DESC, doc_id
+    LIMIT {HY_TOPK}
+    """
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    sql=_duck_hybrid_sql(),
+    doc="Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke "
+        "& Buettcher 2009): a BM25 lexical candidate list and a dense "
+        "integer inner-product list (the hashing-trick query vector of "
+        "hashed_bow_embedding, inlined as plan-time literals via "
+        "ops/retrieval.query_bucket_weights) each retrieve top-50, "
+        "then rrf(d) = Σ 1000000 div (60 + rank) in exact integer ppm. "
+        "Ranking of the bounded lists is the O(k²) join-count rank "
+        "(ops/retrieval.ranked_bounded) — no single-partition window; "
+        "both candidate retrievals are corpus-scale aggregates with "
+        "query-side filters BEFORE the shuffle. The two-system shape "
+        "(sparse + dense, fuse by rank not score) is the standard "
+        "production hybrid — score scales never need calibrating.",
+    tags=("retrieval", "text", "north-star"),
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lex = R.bm25_topk(d, QUERY_TERMS, HY_L)
+    dense = R.hashed_dot_topk(d, QUERY_TERMS, HY_L, HY_DIM)
+    return R.rrf_fuse(lex, dense, "bm25", "dot", "doc_id",
+                      HY_K_RRF, HY_TOPK)

@@ -478,3 +478,56 @@ def test_clean_corpus_mixture_mode(spark, sf_dir, tmp_path):
     n_src_base = (spark.read.parquet(str(tmp_path / "base" / "clean"))
                   .select("source").distinct().count())
     assert n_src_out == n_src_base
+
+
+# --- hybrid RRF ----------------------------------------------------------
+
+
+def test_hashed_sign_bucket_matches_engine_derivation(spark):
+    """The plan-time literal (bucket, sign) must be bit-identical to the
+    hashed_bow_embedding Column derivation for any term."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.ops.retrieval import hashed_sign_bucket
+    terms = ["spark", "merge", "vector", "zeta", "q0", ""]
+    df = spark.createDataFrame([(t,) for t in terms], "w string")
+    h = F.md5(F.concat_ws("|", F.lit("hbow"), F.col("w")))
+    got = {r["w"]: (r["b"], r["s"]) for r in df.select(
+        "w",
+        F.pmod(F.conv(F.substring(h, 1, 7), 16, 10).cast("long"),
+               F.lit(64)).alias("b"),
+        F.when(F.conv(F.substring(h, 8, 1), 16, 10).cast("long") % 2 == 0,
+               F.lit(1)).otherwise(F.lit(-1)).alias("s")).collect()}
+    for t in terms:
+        assert hashed_sign_bucket(t, 64) == got[t], t
+
+
+def test_ranked_bounded_equals_row_number(spark):
+    from pyspark.sql import functions as F
+
+    from hops_spark.ops.retrieval import ranked_bounded
+    rows = [(1, 5.0), (2, 7.0), (3, 5.0), (4, 1.0), (5, 7.0)]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    got = {r["doc_id"]: r["rank"]
+           for r in ranked_bounded(df, "s").collect()}
+    # (s desc, id asc): 2(7.0) 5(7.0) 1(5.0) 3(5.0) 4(1.0)
+    assert got == {2: 1, 5: 2, 1: 3, 3: 4, 4: 5}
+
+
+def test_rrf_fuse_known_answer(spark):
+    """Doc present in both lists at middling ranks must outrank a doc
+    that tops one list but misses the other (the point of RRF)."""
+    from hops_spark.ops.retrieval import rrf_fuse
+    lex = spark.createDataFrame(
+        [(10, 9.0), (11, 8.0), (12, 7.0)], "doc_id long, bm25 double")
+    den = spark.createDataFrame(
+        [(11, 90), (12, 80), (13, 70)], "doc_id long, dot long")
+    out = {r["doc_id"]: (r["r_lex"], r["r_dense"], r["rrf_ppm"])
+           for r in rrf_fuse(lex, den, topk=10).collect()}
+    # doc 11: ranks (2, 1) -> 1e6//62 + 1e6//61 = 16129 + 16393 = 32522
+    assert out[11] == (2, 1, 32522)
+    # doc 10: lex rank 1 only -> 1e6//61 = 16393
+    assert out[10] == (1, 0, 16393)
+    assert out[11][2] > out[10][2] and out[12][2] > out[10][2]
+    # absent-list rank contributes exactly 0, never 1e6//60
+    assert out[13] == (0, 3, 15873)
