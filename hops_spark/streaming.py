@@ -726,3 +726,50 @@ def probe_score_stream(stream_docs: DataFrame, w: list, flags_dir: str,
     return (stream_docs.writeStream.foreachBatch(score)
             .option("checkpointLocation", checkpoint)
             .outputMode("append"))
+
+
+def mg_hitters_stream(stream_docs: DataFrame, state_dir: str,
+                      checkpoint: str, k: int = 16,
+                      text_col: str = "text"):
+    """Continuous Misra–Gries heavy-hitter maintenance with the
+    summary as state — the streaming twin of ops/sketch.
+    mg_sharded_summary, foreachBatch like incremental_dedup_stream
+    (the truncation step is not an incremental aggregate, so this is
+    not a plain streaming groupBy): per batch, (1) the batch's exact
+    token histogram (one keyed aggregate — an MG summary with zero
+    error), (2) truncate to MG(k), (3) mg_merge into the stored
+    summary (sum + truncate — Agarwal et al. 2012 §3.1: the error
+    telescopes to ≤ n_seen/(k+1) under any merge tree, so a
+    batch-at-a-time left fold is covered), (4) overwrite the store
+    (merged summary materializes via localCheckpoint first, so the
+    write never races its own read). State is ≤ k rows FOREVER —
+    constant-size monitoring of an unbounded stream; per-batch cost
+    is the batch histogram, independent of history. The drained
+    summary equals the sequential batch fold exactly (asserted in
+    tests/test_streaming.py)."""
+    import os
+
+    from hops_spark.ops.sketch import mg_merge, mg_truncate
+    from hops_spark.ops.text import words
+
+    def upd(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        hist = (batch_df.select(F.explode(words(text_col)).alias("term"))
+                        .groupBy("term")
+                        .agg(F.count("*").cast("long").alias("c"))
+                        .withColumn("_shard", F.lit(0)))
+        batch_summ = mg_truncate(hist, "_shard", "term", "c", k) \
+            .drop("_shard")
+        if os.path.isdir(state_dir):
+            state = spark.read.parquet(state_dir)
+            merged = mg_merge(state, batch_summ, "term", "c", k)
+        else:
+            merged = batch_summ
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    return (stream_docs.writeStream.foreachBatch(upd)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append"))

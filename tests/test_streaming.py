@@ -588,3 +588,54 @@ def test_incremental_dedup_stream_folds_like_batch(spark, sf_dir, tmp_path):
                        .orderBy("doc_id").limit(1).collect()[0]["doc_id"] + 200000
     assert by_id[planted_exist][1] is True      # dup of seeded corpus
     assert by_id[planted_kept][1] is True       # dup of batch-1 keeper
+
+
+def test_mg_hitters_stream_folds_like_batch(spark, sf_dir, tmp_path):
+    """Drained MG state must equal the sequential batch fold (batch
+    histogram -> truncate -> merge) over the same micro-batches, stay
+    <= k rows, and keep the n/(k+1) undercount guarantee cumulatively."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops.sketch import mg_merge, mg_truncate
+    from hops_spark.ops.text import words
+    from hops_spark.streaming import mg_hitters_stream
+
+    k = 8
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    state = str(tmp_path / "mgstate")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    b1.coalesce(1).write.parquet(str(feed / "b1"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+                   .option("maxFilesPerTrigger", "1")
+                   .parquet(str(feed / "*")))
+    q = mg_hitters_stream(stream, state, str(tmp_path / "ck"), k=k).start()
+    q.processAllAvailable()
+    b2.coalesce(1).write.parquet(str(feed / "b2"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+
+    def summ(df):
+        h = (df.select(F.explode(words("text")).alias("term"))
+               .groupBy("term").agg(F.count("*").cast("long").alias("c"))
+               .withColumn("_shard", F.lit(0)))
+        return mg_truncate(h, "_shard", "term", "c", k).drop("_shard")
+
+    want_df = mg_merge(summ(b1), summ(b2), k=k)
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert got == want
+    assert len(got) <= k
+    # cumulative guarantee vs the full stream
+    toks = docs.select(F.explode(words("text")).alias("term"))
+    exact = {r["term"]: r["n"] for r in
+             toks.groupBy("term").agg(F.count("*").alias("n")).collect()}
+    n = sum(exact.values())
+    est = dict(got)
+    for t, c in exact.items():
+        assert c - est.get(t, 0) <= n // (k + 1)
