@@ -483,14 +483,16 @@ def mg_truncate(counts: DataFrame, shard_col: str = "shard",
 
     w = Window.partitionBy(shard_col).orderBy(F.col(cnt_col).desc(),
                                               term_col)
-    r = counts.withColumn("_rn", F.row_number().over(w))
-    cp = (r.groupBy(shard_col)
-           .agg(F.max(F.when(F.col("_rn") == k + 1, F.col(cnt_col))
-                       .otherwise(F.lit(0))).alias("_cp")))
-    return (r.join(cp, shard_col)
-             .select(shard_col, term_col,
-                     (F.col(cnt_col) - F.col("_cp")).alias(cnt_col))
-             .filter(F.col(cnt_col) > 0))
+    # c' rides a second window over the SAME partitioning — one sorted
+    # exchange, no aggregate + join back (4 fewer stages per round; the
+    # merge tree has log2(shards)+1 rounds of this).
+    wp = Window.partitionBy(shard_col)
+    cp = F.max(F.when(F.row_number().over(w) == k + 1, F.col(cnt_col))
+                .otherwise(F.lit(0))).over(wp)
+    return (counts.withColumn("_cp", cp)
+                  .select(shard_col, term_col,
+                          (F.col(cnt_col) - F.col("_cp")).alias(cnt_col))
+                  .filter(F.col(cnt_col) > 0))
 
 
 def mg_merge(a: DataFrame, b: DataFrame, term_col: str = "term",
