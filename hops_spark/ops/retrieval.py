@@ -409,3 +409,44 @@ def rrf_fuse(lex_topk: DataFrame, dense_topk: DataFrame,
                          contrib.cast("long").alias("rrf_ppm"))
                  .orderBy(F.col("rrf_ppm").desc(), F.col(id_col))
                  .limit(topk))
+
+
+def positional_postings(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(term, id, pos): the positional-postings inverted index rows,
+    1-based positions (the same coordinate system phrase_occurrences'
+    array offsets use). One explode — at serving scale this is the
+    PRE-BUILT index table (partitioned/bucketed by term); deriving it
+    inline here keeps the query self-contained."""
+    from hops_spark.ops.text import words
+
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(words(text_col)).alias("pos0", "term")
+    ).select("term", id_col, (F.col("pos0") + 1).cast("long").alias("pos"))
+
+
+def phrase_occurrences_indexed(docs: DataFrame, phrase: list[str],
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """Exact phrase search through the positional-postings index — the
+    classic posting-list intersection (Manning, Raghavan & Schütze
+    IR ch.2): term j's postings join term 0's on (doc, pos + j), so a
+    phrase start survives iff every term appears at its offset.
+    Complements the map-only scan (phrase_occurrences): the scan reads
+    EVERY document once; the index route touches only the phrase
+    terms' postings — at corpus scale with a prebuilt index that is
+    orders of magnitude less IO for rare phrases, and every join is a
+    keyed equi-join on (doc, adjusted pos) (AQE broadcasts the rarest
+    term's postings when small). Returns the identical (id, n_occ,
+    first_pos) contract, asserted equal to the scan in tests."""
+    post = positional_postings(docs, id_col, text_col)
+    starts = (post.filter(F.col("term") == phrase[0])
+                  .select(id_col, "pos"))
+    for j, t in enumerate(phrase[1:], start=1):
+        pj = (post.filter(F.col("term") == t)
+                  .select(F.col(id_col), (F.col("pos") - j).alias("pos")))
+        starts = starts.join(pj, [id_col, "pos"], "left_semi")
+    return (starts.groupBy(id_col)
+                  .agg(F.count("*").cast("long").alias("n_occ"),
+                       F.min("pos").cast("long").alias("first_pos")))

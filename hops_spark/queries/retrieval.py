@@ -1323,3 +1323,42 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = R.hashed_dot_topk(d, QUERY_TERMS, HY_L, HY_DIM)
     return R.rrf_fuse(lex, dense, "bm25", "dot", "doc_id",
                       HY_K_RRF, HY_TOPK)
+
+
+@register(
+    "phrase_search_postings",
+    sql=f"""
+    WITH post AS (
+        SELECT term, doc_id, pos
+        FROM (
+            SELECT doc_id, unnest(w) AS term,
+                   unnest(range(1, len(w) + 1)) AS pos
+            FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+        )
+    ), starts AS (
+        SELECT p0.doc_id, p0.pos
+        FROM post p0
+        {" ".join(
+            f"JOIN post p{j} ON p{j}.term = '{t}' "
+            f"AND p{j}.doc_id = p0.doc_id AND p{j}.pos = p0.pos + {j}"
+            for j, t in enumerate(_PHRASE) if j > 0)}
+        WHERE p0.term = '{_PHRASE[0]}'
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(min(pos) AS BIGINT) AS first_pos
+    FROM starts GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Exact phrase search through the positional-postings inverted "
+        "index (posting-list intersection, Manning et al. IR ch.2): "
+        "term j's postings semi-join term 0's on (doc, pos + j). The "
+        "SERVING-side twin of phrase_search's map-only scan: the scan "
+        "reads every document; this touches only the phrase terms' "
+        "postings — with a prebuilt term-bucketed index that is the "
+        "classic rare-phrase IO win. Identical output contract to "
+        "phrase_search (equality asserted in tests). "
+        "ops/retrieval.phrase_occurrences_indexed.",
+    tags=("retrieval", "text"),
+)
+def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return R.phrase_occurrences_indexed(d, _PHRASE).orderBy("doc_id")

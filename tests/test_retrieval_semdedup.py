@@ -531,3 +531,25 @@ def test_rrf_fuse_known_answer(spark):
     assert out[11][2] > out[10][2] and out[12][2] > out[10][2]
     # absent-list rank contributes exactly 0, never 1e6//60
     assert out[13] == (0, 3, 15873)
+
+
+def test_phrase_indexed_equals_scan(spark, sf_dir):
+    """Posting-list intersection must reproduce the map-only scan
+    exactly — including multi-occurrence counts and first positions,
+    and a phrase crossing itself ('x y x y' in 'x y x y x y')."""
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops.retrieval import (phrase_occurrences,
+                                          phrase_occurrences_indexed)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for phrase in (["order", "fast"], ["the"], ["no_such_tok", "order"]):
+        scan = sorted(tuple(r) for r in phrase_occurrences(d, phrase).collect())
+        idx = sorted(tuple(r) for r in
+                     phrase_occurrences_indexed(d, phrase).collect())
+        assert scan == idx, phrase
+    tiny = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "x x y y"), (3, "y x")],
+        "doc_id long, text string")
+    idx = {r["doc_id"]: (r["n_occ"], r["first_pos"]) for r in
+           phrase_occurrences_indexed(tiny, ["x", "y", "x", "y"]).collect()}
+    assert idx == {1: (2, 1)}
