@@ -222,3 +222,42 @@ def bottomk_sample(df: DataFrame, group_col: str, key_col: str,
               .withColumn("_prk", F.row_number().over(w))
               .filter(F.col("_prk") <= k)
               .drop("_pr", "_prk"))
+
+
+def quality_budget_head(docs: DataFrame, budget_ppm: int = 300_000,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Global quality-ranked token-budget selection — the data-
+    selection step after cleaning (RefinedWeb/DCLM shape: spend a
+    fixed token budget on the BEST documents corpus-wide, not a
+    uniform sample): rank every document by quality_score_ppm
+    descending (doc id tie-break), take the longest prefix whose
+    cumulative token count stays within ``budget_ppm`` ppm of the
+    corpus's total tokens. A document straddling the boundary is
+    dropped (conservative head).
+
+    Distributed shape: one feature pass (quality_score — map-only),
+    one 1-row total-tokens aggregate broadcast back, and the TeraSort-
+    style two-phase prefix sum over (neg quality, id) — range
+    partition + within-partition running sums + <= #partitions offset
+    rows to the driver; no single-partition data window, no budget-
+    sized collect. The budget comparison is integer cross-
+    multiplication (cum * 1e6 <= ppm * total), division-free on both
+    engines. Returns (id, quality_score_ppm, n_tokens, cum_tokens)
+    for the SELECTED head."""
+    from hops_spark.ops.sort import total_order_prefix_sum
+    from hops_spark.ops.text import quality_score
+
+    q = quality_score(docs).select(
+        F.col(id_col),
+        F.col("n_words").cast("long").alias("n_tokens"),
+        F.col("quality_score_ppm"))
+    tot = q.agg(F.sum("n_tokens").cast("long").alias("_tot"))
+    qq = q.withColumn("_neg_q", -F.col("quality_score_ppm"))
+    ps = total_order_prefix_sum(qq, "n_tokens", "_neg_q", id_col,
+                                out_col="cum_tokens")
+    return (ps.crossJoin(F.broadcast(tot))
+              .filter(F.col("cum_tokens") * 1_000_000
+                      <= F.lit(budget_ppm) * F.col("_tot"))
+              .select(id_col, "quality_score_ppm", "n_tokens",
+                      "cum_tokens"))

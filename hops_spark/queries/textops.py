@@ -1488,3 +1488,62 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "n_docs_total AS BIGINT)")
                           .alias("risky_share_ppm"))
                  .orderBy("lang", "source", "len_bucket"))
+
+
+QBH_BUDGET_PPM = 300_000
+
+
+@register(
+    "quality_budget_head",
+    sql=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               {{DW}} AS w,
+               length(text) AS n_chars_m,
+               CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{{{-~]', '', 'g')) AS BIGINT) AS n_punct
+        FROM documents
+    ), q AS (
+        SELECT doc_id,
+               len(w) AS n_words,
+               greatest(len(w), 1)::BIGINT AS nw1,
+               greatest(n_chars_m, 1)::BIGINT AS nc1,
+               n_punct,
+               CAST(len(list_filter(w, x -> list_contains({{SW}}, x))) AS BIGINT) AS n_sw,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq
+        FROM feats
+    ), s AS (
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens,
+               (least(n_words::BIGINT * 20000, 1000000)
+                + (1000000 - least(((n_punct * 1000000) // nc1) * 5, 1000000))
+                + least(((n_sw * 1000000) // nw1) * 4, 1000000)
+                + ((n_uniq * 1000000) // nw1)) AS quality_score_ppm
+        FROM q
+    ), tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM s
+    ), ps AS (
+        SELECT doc_id, quality_score_ppm, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   ORDER BY -quality_score_ppm, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM s
+    )
+    SELECT doc_id, quality_score_ppm, n_tokens, cum_tokens
+    FROM ps, tot
+    WHERE cum_tokens * 1000000 <= {QBH_BUDGET_PPM} * tot
+    ORDER BY cum_tokens, doc_id
+    """.replace("{DW}", _DUCK_WORDS).replace("{SW}", _duck_sw_list('en')),
+    doc="Quality-ranked token-budget selection (the RefinedWeb/DCLM "
+        "data-selection step: spend a fixed token budget on the BEST "
+        "documents corpus-wide): rank by quality_score_ppm desc, keep "
+        "the longest prefix within 30% of total corpus tokens — via "
+        "the TeraSort-style two-phase prefix sum over (neg quality, "
+        "id), so no single-partition data window and no driver-side "
+        "budget scan; the budget test is division-free integer cross-"
+        "multiplication. ops/sampling.quality_budget_head.",
+    tags=("text", "sampling", "north-star"),
+)
+def quality_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.sampling import quality_budget_head as qbh
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return qbh(d, QBH_BUDGET_PPM).orderBy("cum_tokens", "doc_id")

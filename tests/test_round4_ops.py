@@ -474,3 +474,29 @@ def test_boilerplate_strip_deterministic(spark):
     a = sorted(tuple(r) for r in boilerplate_strip(docs).collect())
     b = sorted(tuple(r) for r in boilerplate_strip(docs).collect())
     assert a == b and a
+
+
+def test_quality_budget_head_boundary_and_order(spark):
+    """Selection is the quality-desc prefix; the doc straddling the
+    budget is dropped; cum_tokens is the inclusive running total in
+    (quality desc, id) order."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.ops.sampling import quality_budget_head
+
+    # quality_score is dominated by n_words*20000 (capped at 50 words)
+    # on these stopword-free texts: longer docs -> higher score.
+    rows = [(1, "w " * 40), (2, "w " * 30), (3, "w " * 20), (4, "w " * 10)]
+    docs = spark.createDataFrame([(i, t.strip()) for i, t in rows],
+                                 "doc_id long, text string")
+    # total = 100 tokens; budget 75% = 75 -> doc1(40)+doc2(30)=70 in,
+    # doc3 would hit 90 > 75: dropped, and so is everything after.
+    got = {r["doc_id"]: r["cum_tokens"]
+           for r in quality_budget_head(docs, 750_000).collect()}
+    assert got == {1: 40, 2: 70}
+    # full budget admits everything
+    assert quality_budget_head(docs, 1_000_000).count() == 4
+    # deterministic under re-run (range-partition sampling must not leak)
+    a = sorted(tuple(r) for r in quality_budget_head(docs, 750_000).collect())
+    b = sorted(tuple(r) for r in quality_budget_head(docs, 750_000).collect())
+    assert a == b

@@ -38,6 +38,9 @@ _BOUNDED_SINGLE_PARTITION_OK = {
     # distinct-cents histogram (data side is the keyed prefix sum;
     # only the ≤ #partitions offset rows hit the single partition):
     "equidepth_histogram",
+    # same total_order_prefix_sum offsets window (≤ #partitions rows;
+    # the data side is the range-partitioned per-partition running sum):
+    "quality_budget_head",
     "distcp_atomic_plan",   # same distcp_plan total_order_rank offsets
     # total_order_rank offsets over the suffix-sort partitions
     # (<= #partitions rows; the data side is range-partitioned +
