@@ -913,6 +913,14 @@ def sentence_dedup(df: DataFrame, id_col: str = "doc_id",
                 .orderBy(id_col))
 
 
+#: Sentence-boundary regex used on the synthetic fixtures (no
+#: punctuation, so frequent filler words act as delimiters — the
+#: sentence_dedup 'table' device widened to 7 words so cross-document
+#: repeats actually occur). Shared by the boilerplate_strip registered
+#: query and the clean-corpus CLI so the two can never diverge.
+FIXTURE_SENTENCE_SPLIT = r"[.!?]+|\s+(?:table|row|value|scan|hash|join|key)\s+"
+
+
 def boilerplate_strip(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", source_col: str = "source",
                       split_re: str = r"[.!?]+",

@@ -726,11 +726,9 @@ def sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("doc_id"))
 
 
-# Sentence-boundary regex for boilerplate_strip: the synthetic fixture
-# has no punctuation, so the frequent filler words act as delimiters —
-# short enough segments that cross-document repeats actually occur
-# (same fixture device as sentence_dedup's 'table' delimiter).
-_BP_SPLIT = r"[.!?]+|\s+(?:table|row|value|scan|hash|join|key)\s+"
+# Sentence-boundary regex for boilerplate_strip: the fixture device is
+# shared with the clean-corpus CLI (ops/dedup.FIXTURE_SENTENCE_SPLIT).
+_BP_SPLIT = D.FIXTURE_SENTENCE_SPLIT
 _BP_MIN_DOCS = 3
 _BP_MAX_DF_PPM = 100_000
 

@@ -553,3 +553,36 @@ def test_phrase_indexed_equals_scan(spark, sf_dir):
     idx = {r["doc_id"]: (r["n_occ"], r["first_pos"]) for r in
            phrase_occurrences_indexed(tiny, ["x", "y", "x", "y"]).collect()}
     assert idx == {1: (2, 1)}
+
+
+def test_clean_corpus_boilerplate_and_budget_modes(spark, sf_dir, tmp_path):
+    """--strip-boilerplate cuts sentence mass before any gate;
+    --budget-ppm keeps only the quality-ranked token head. Both stay
+    deterministic and the budget is actually respected."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from clean_corpus import clean_corpus
+
+    from hops_spark.ops.text import words as _words
+
+    c1 = clean_corpus(spark, sf_dir, str(tmp_path / "a"),
+                      strip_boilerplate=True, budget_ppm=500_000)
+    assert c1["boiler_sents_cut"] > 0
+    assert c1["after_budget"] <= c1["after_perplexity"]
+    assert c1["written"] == c1["after_budget"] > 0
+    c2 = clean_corpus(spark, sf_dir, str(tmp_path / "b"),
+                      strip_boilerplate=True, budget_ppm=500_000)
+    assert c1 == c2
+    # the written head's token mass is within 50% of the pre-budget
+    # survivors' total (recomputed from the written corpus + the run
+    # WITHOUT the budget stage on the same flags)
+    c3 = clean_corpus(spark, sf_dir, str(tmp_path / "c"),
+                      strip_boilerplate=True)
+    from pyspark.sql import functions as F
+    kept = spark.read.parquet(str(tmp_path / "a" / "clean"))
+    full = spark.read.parquet(str(tmp_path / "c" / "clean"))
+    tk = kept.select(F.size(_words("text")).alias("n")) \
+             .agg(F.sum("n")).collect()[0][0]
+    tf = full.select(F.size(_words("text")).alias("n")) \
+             .agg(F.sum("n")).collect()[0][0]
+    assert tk * 1_000_000 <= 500_000 * tf

@@ -4,6 +4,10 @@ actually runs, wired from the registered operators.
     python tools/clean_corpus.py SF_DIR OUT_DIR [--bench-source src0]
 
 Stages (each map-only or cap-bounded — see SCALE.md):
+ -1. boilerplate    — optional (--strip-boilerplate): drop every
+                      sentence present in > 10% of its source's docs
+                      (CCNet; ops/dedup.boilerplate_strip) before any
+                      other gate sees the text
   0. span excision  — optional (--cut-spans): cut every >= 8-token range
                       duplicated corpus-wide and rebuild the text
                       (ops/dedup.suffix_dup_spans + excise_spans)
@@ -22,7 +26,10 @@ Stages (each map-only or cap-bounded — see SCALE.md):
   6. perplexity gate — drop the worst LM outliers: docs whose bigram-LM
                       avg NLL exceeds the corpus p90 threshold computed
                       from a 1-row aggregate (ops/lm.doc_nll_scores)
-  7. split          — hash-stable train/val/test assignment written as a
+  7. token budget   — optional (--budget-ppm N): keep only the
+                      quality-ranked head within N ppm of surviving
+                      corpus tokens (ops/sampling.quality_budget_head)
+  8. split          — hash-stable train/val/test assignment written as a
                       partition column (ops/sampling.split_assign)
 
 Writes the kept documents as parquet to OUT_DIR/clean (partitioned by
@@ -63,9 +70,30 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
                  weighted_dedup: bool = False,
                  mixture: bool = False,
                  cut_spans: bool = False,
-                 excise_bench: bool = False) -> dict:
+                 excise_bench: bool = False,
+                 strip_boilerplate: bool = False,
+                 budget_ppm: int | None = None) -> dict:
     d = load_table(spark, sf_dir, "documents")
     counts = {"input": d.count()}
+
+    if strip_boilerplate:
+        # CCNet per-source boilerplate removal FIRST (before even span
+        # excision): a sentence present in > 10% of a source's docs is
+        # chrome, and dropping it early keeps boilerplate mass out of
+        # the quality score, the LM threshold, and the dedup shingle
+        # sets (ops/dedup.boilerplate_strip; split device shared with
+        # the registered query).
+        from hops_spark.ops.dedup import (FIXTURE_SENTENCE_SPLIT,
+                                          boilerplate_strip)
+        bp = boilerplate_strip(d.select("doc_id", "source", "text"),
+                               split_re=FIXTURE_SENTENCE_SPLIT)
+        counts["boiler_sents_cut"] = bp.agg(
+            F.sum(F.col("n_sents") - F.col("n_kept")).cast("long")
+        ).collect()[0][0] or 0
+        d = (d.join(bp.select("doc_id", "clean_text"), "doc_id")
+              .withColumn("text", F.col("clean_text"))
+              .withColumn("n_chars", F.length("text").cast("long"))
+              .drop("clean_text"))
 
     if cut_spans:
         # sub-document excision FIRST (Lee et al. 2022 ExactSubstr):
@@ -206,6 +234,16 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
               .filter(hv < F.col("keep_ppm")).drop("keep_ppm"))
         counts["after_mixture"] = d.count()
 
+    if budget_ppm is not None:
+        # final data-selection step: spend the token budget on the
+        # highest-quality survivors corpus-wide (ops/sampling.
+        # quality_budget_head — two-phase prefix sum, integer budget
+        # test; the straddling doc is dropped).
+        from hops_spark.ops.sampling import quality_budget_head
+        head = quality_budget_head(d.select("doc_id", "text"), budget_ppm)
+        d = d.join(head.select("doc_id"), "doc_id", "left_semi")
+        counts["after_budget"] = d.count()
+
     d = split_assign(d, "doc_id", salt="split")
     out = os.path.join(out_dir, "clean")
     if out_format == "avro":
@@ -226,12 +264,18 @@ def main() -> None:
     mixture = "--mixture" in args
     cut_spans = "--cut-spans" in args
     excise_bench = "--excise-bench" in args
+    strip_boilerplate = "--strip-boilerplate" in args
+    budget_ppm = None
+    if "--budget-ppm" in args:
+        i = args.index("--budget-ppm")
+        budget_ppm = int(args[i + 1])
+        del args[i:i + 2]
     out_format = "avro" if "--avro" in args else "parquet"
     survivor = "quality" if "--survivor-quality" in args else "min_id"
     args = [a for a in args
             if a not in ("--nb-lang", "--avro", "--survivor-quality",
                          "--weighted-dedup", "--mixture", "--cut-spans",
-                         "--excise-bench")]
+                         "--excise-bench", "--strip-boilerplate")]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     out_dir = args[1] if len(args) > 1 else "/tmp/clean_corpus_out"
     bench_source = "src0"
@@ -242,7 +286,9 @@ def main() -> None:
                           nb_lang=nb_lang, out_format=out_format,
                           survivor=survivor, weighted_dedup=weighted_dedup,
                           mixture=mixture, cut_spans=cut_spans,
-                          excise_bench=excise_bench)
+                          excise_bench=excise_bench,
+                          strip_boilerplate=strip_boilerplate,
+                          budget_ppm=budget_ppm)
     print(json.dumps({"job": "clean_corpus", "sf_dir": sf_dir,
                       "out": os.path.join(out_dir, "clean"), **counts}))
 
