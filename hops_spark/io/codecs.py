@@ -204,3 +204,35 @@ def image_pixels(payload: bytes, kind: str) -> list[float]:
     else:
         _w, _h, _mx, px = ppm_decode(payload)
     return [float(b) for b in px]
+
+
+def image_dhash(payload: bytes, kind: str) -> list[float]:
+    """Perceptual difference-hash (dHash — the public 8x8 gradient
+    hash: NN-resample to 9x8, integer grayscale (r+g+b)//3, bit set
+    when the right neighbor is brighter) over REAL P6/BMP decode. The
+    resample uses the exact ppm_resize_nn floor mapping
+    (src = out*dim//out_dim) so a relational oracle can recompute
+    every bit. Packed as two exact 32-bit halves — doubles hold
+    integers <= 2^53, but the features contract is array<double> and
+    a 64-bit hash in one double would corrupt; bit i of the hash is
+    weight 2^(31-i) in half i//32."""
+    if payload is not None and payload[:2] == b"BM":
+        w, h, px = bmp_decode(payload)
+    else:
+        w, h, _maxval, px = ppm_decode(payload)
+    hi = lo = 0
+    for y in range(8):
+        sy = y * h // 8
+        grays = []
+        for x in range(9):
+            sx = x * w // 9
+            off = 3 * (sy * w + sx)
+            grays.append((px[off] + px[off + 1] + px[off + 2]) // 3)
+        for x in range(8):
+            if grays[x + 1] > grays[x]:
+                i = y * 8 + x
+                if i < 32:
+                    hi |= 1 << (31 - i)
+                else:
+                    lo |= 1 << (63 - i)
+    return [float(hi), float(lo)]

@@ -235,3 +235,43 @@ def synthetic_wav_media(spark: SparkSession, n: int = 64,
 
     return spark.range(n).mapInPandas(
         gen, schema="media_id long, kind string, mime string, payload binary")
+
+
+def synthetic_ppm_neardups(spark: SparkSession, n_groups: int = 20,
+                           copies: int = 3, seed: int = 42) -> DataFrame:
+    """Groups of planted NEAR-duplicate P6 images: copy 0 of group g is
+    the synthetic_ppm_media raster (md5-stream bytes, w,h keyed on g);
+    copies j > 0 replace the 7th 16-byte digest block (raster bytes
+    96..111) with md5('pert|seed|g|j'). Images with 3wh <= 96 never
+    reach the block — byte-identical copies (exact dups); larger ones
+    differ in <= 16 raster bytes (near dups: measured dHash hamming
+    <= 5 intra-group vs >= 10 inter-group on this construction). Both
+    engines can recompute every raster byte relationally from
+    (seed, g, j)."""
+    rows = spark.range(n_groups * copies)
+    gexp = f"id div {copies}"
+    return (rows
+            .withColumn("g", F.expr(gexp).cast("long"))
+            .withColumn("j", F.pmod("id", F.lit(copies)).cast("long"))
+            .withColumn("w", (F.lit(4) + F.pmod("g", F.lit(5))).cast("int"))
+            .withColumn("h", (F.lit(3) + F.pmod("g", F.lit(7))).cast("int"))
+            .withColumn("hx", F.md5(F.concat_ws(
+                "|", F.lit("ppmnd"), F.lit(str(seed)),
+                F.col("g").cast("string"))))
+            .withColumn("hxj", F.when(F.col("j") == 0, F.col("hx"))
+                         .otherwise(F.md5(F.concat_ws(
+                             "|", F.lit("pert"), F.lit(str(seed)),
+                             F.col("g").cast("string"),
+                             F.col("j").cast("string")))))
+            .withColumn("pix_all", F.unhex(F.concat(
+                F.repeat("hx", 6), F.col("hxj"), F.repeat("hx", 7))))
+            .select(
+                F.col("id").alias("media_id"),
+                F.lit("image").alias("kind"),
+                F.lit("image/x-portable-pixmap").alias("mime"),
+                F.concat(
+                    F.concat_ws("", F.lit("P6\n"), F.col("w").cast("string"),
+                                F.lit(" "), F.col("h").cast("string"),
+                                F.lit("\n255\n")).cast("binary"),
+                    F.expr("substring(pix_all, 1, 3 * w * h)"),
+                ).alias("payload")))

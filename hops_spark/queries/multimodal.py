@@ -442,3 +442,133 @@ def ppm_channel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .groupBy("channel", "bin")
                  .agg(F.count("*").alias("n_pixels"))
                  .orderBy("channel", "bin"))
+
+
+# --- perceptual near-dup: dHash over real decode --------------------------
+
+DH_GROUPS = 20
+DH_COPIES = 3
+DH_SEED = 42
+DH_THRESHOLD = 8     # measured: intra-group hamming <= 5, inter >= 10
+
+
+def _duck_dhash_sql() -> str:
+    g, c, s = DH_GROUPS, DH_COPIES, DH_SEED
+    byte = ("('0x' || substr(pix_hex, 2*(3*((y.y*h//8)*w + (x.x*w//9))"
+            "+{ch})+1, 2))::BIGINT")
+    gray = "(" + " + ".join(byte.format(ch=ch) for ch in range(3)) + ") // 3"
+    return f"""
+    WITH img AS (
+        SELECT gg.g * {c} + jj.j AS media_id, gg.g, jj.j,
+               4 + gg.g % 5 AS w, 3 + gg.g % 7 AS h,
+               md5('ppmnd|{s}|' || gg.g) AS hx,
+               CASE WHEN jj.j = 0 THEN md5('ppmnd|{s}|' || gg.g)
+                    ELSE md5('pert|{s}|' || gg.g || '|' || jj.j) END AS hxj
+        FROM (SELECT unnest(range(0, {g})) AS g) gg,
+             (SELECT unnest(range(0, {c})) AS j) jj
+    ), ph AS (
+        SELECT media_id, w, h,
+               repeat(hx, 6) || hxj || repeat(hx, 7) AS pix_hex
+        FROM img
+    ), cell AS (
+        SELECT media_id, y.y, x.x, {gray} AS gray
+        FROM ph, (SELECT unnest(range(0, 8)) AS y) y,
+                 (SELECT unnest(range(0, 9)) AS x) x
+    ), bits AS (
+        SELECT c1.media_id, c1.y * 8 + c1.x AS i,
+               CASE WHEN c2.gray > c1.gray THEN 1 ELSE 0 END AS bit
+        FROM cell c1 JOIN cell c2 ON c2.media_id = c1.media_id
+                                 AND c2.y = c1.y AND c2.x = c1.x + 1
+        WHERE c1.x < 8
+    ), hashes AS (
+        SELECT media_id,
+               CAST(sum(CASE WHEN i < 32 THEN
+                   bit * CAST(pow(2.0, 31 - i) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS hi,
+               CAST(sum(CASE WHEN i >= 32 THEN
+                   bit * CAST(pow(2.0, 63 - i) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS lo
+        FROM bits GROUP BY media_id
+    ), bands AS (
+        SELECT media_id, b.bi,
+               CASE b.bi WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+                         WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS bv
+        FROM hashes, (SELECT unnest(range(0, 4)) AS bi) b
+    ), cand AS (
+        SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b
+        FROM bands a JOIN bands b2 ON b2.bi = a.bi AND b2.bv = a.bv
+                                  AND b2.media_id > a.media_id
+    ), ham AS (
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(ha.hi, hb.hi))
+                    + bit_count(xor(ha.lo, hb.lo)) AS BIGINT) AS hamming
+        FROM cand JOIN hashes ha ON ha.media_id = id_a
+                  JOIN hashes hb ON hb.media_id = id_b
+    )
+    SELECT id_a, id_b, hamming,
+           (id_a // {c} = id_b // {c}) AS same_group
+    FROM ham WHERE hamming <= {DH_THRESHOLD}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "image_dhash_neardup",
+    sql=_duck_dhash_sql(),
+    doc="Perceptual image near-dup via dHash (the public 8x8 gradient "
+        "hash) over REAL binary-P6 decode inside Arrow mapInPandas "
+        "(io/codecs.image_dhash): NN-resample to 9x8 with the exact "
+        "ppm_resize_nn floor mapping, integer grayscale, 64 gradient "
+        "bits packed as two exact 32-bit halves. Candidates via the "
+        "simhash discipline — four 16-bit bands, bucket equi-join — "
+        "then verified by exact hamming (bit_count of xor) <= 8 "
+        "(measured on the planted construction: intra-group <= 5, "
+        "inter-group >= 10). The oracle recomputes every raster byte, "
+        "resample cell, and hash bit relationally from the generating "
+        "digests. At corpus scale the per-image hash is one map-only "
+        "decode and the band join is the capped-bucket LSH shape of "
+        "minhash_dedup_pairs.",
+    tags=("multimodal", "dedup", "north-star", "pandas-udf"),
+)
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.io.codecs import image_dhash
+    from hops_spark.io.multimodal import synthetic_ppm_neardups
+
+    media = synthetic_ppm_neardups(spark, DH_GROUPS, DH_COPIES, DH_SEED)
+    feats = extract_features(media, decoder=image_dhash)
+    hashes = feats.select(
+        "media_id",
+        F.col("features")[0].cast("long").alias("hi"),
+        F.col("features")[1].cast("long").alias("lo"))
+    bands = (hashes.select(
+        "media_id",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("bi"),
+                     F.expr("hi div 65536").alias("bv")),
+            F.struct(F.lit(1).alias("bi"),
+                     F.pmod("hi", F.lit(65536)).alias("bv")),
+            F.struct(F.lit(2).alias("bi"),
+                     F.expr("lo div 65536").alias("bv")),
+            F.struct(F.lit(3).alias("bi"),
+                     F.pmod("lo", F.lit(65536)).alias("bv")),
+        )).alias("b")).select("media_id", "b.bi", "b.bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("b.bi") == F.col("a.bi"))
+                   & (F.col("b.bv") == F.col("a.bv"))
+                   & (F.col("b.media_id") > F.col("a.media_id")))
+             .select(F.col("a.media_id").alias("id_a"),
+                     F.col("b.media_id").alias("id_b"))
+             .distinct())
+    ha = hashes.select(F.col("media_id").alias("id_a"),
+                       F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"))
+    hb = hashes.select(F.col("media_id").alias("id_b"),
+                       F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"))
+    return (cand.join(ha, "id_a").join(hb, "id_b")
+                .select("id_a", "id_b",
+                        (F.bit_count(F.expr("hi_a ^ hi_b"))
+                         + F.bit_count(F.expr("lo_a ^ lo_b")))
+                        .cast("long").alias("hamming"),
+                        F.expr(f"(id_a div {DH_COPIES}) = "
+                               f"(id_b div {DH_COPIES})").alias("same_group"))
+                .filter(F.col("hamming") <= DH_THRESHOLD)
+                .orderBy("id_a", "id_b"))

