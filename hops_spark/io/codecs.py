@@ -236,3 +236,27 @@ def image_dhash(payload: bytes, kind: str) -> list[float]:
                 else:
                     lo |= 1 << (63 - i)
     return [float(hi), float(lo)]
+
+
+def audio_energy_hash(payload: bytes, kind: str) -> list[float]:
+    """Acoustic fingerprint over REAL WAV decode — the energy-gradient
+    hash (the dHash idea on the time axis, the shape audio
+    fingerprinters like Chromaprint quantize: here 4-frame window
+    energies instead of chroma bins): bit i set when window i+1 has
+    higher integer energy (sum of squared int16 samples) than window
+    i, 64 bits packed as two exact 32-bit halves (the image_dhash
+    contract). Every quantity is integer arithmetic on decoded
+    samples, so a relational oracle recomputes the hash bit-for-bit."""
+    meta = wav_decode(payload)
+    n = meta["n_frames"] * meta["n_channels"]
+    samples = struct.unpack(f"<{n}h", meta["pcm"]) if n else ()
+    wins = [sum(x * x for x in samples[w * 4:(w + 1) * 4])
+            for w in range(n // 4)]
+    hi = lo = 0
+    for i in range(min(64, max(0, len(wins) - 1))):
+        if wins[i + 1] > wins[i]:
+            if i < 32:
+                hi |= 1 << (31 - i)
+            else:
+                lo |= 1 << (63 - i)
+    return [float(hi), float(lo)]

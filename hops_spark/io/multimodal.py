@@ -275,3 +275,43 @@ def synthetic_ppm_neardups(spark: SparkSession, n_groups: int = 20,
                                 F.lit("\n255\n")).cast("binary"),
                     F.expr("substring(pix_all, 1, 3 * w * h)"),
                 ).alias("payload")))
+
+
+def synthetic_wav_neardups(spark: SparkSession, n_groups: int = 20,
+                           copies: int = 3, seed: int = 42) -> DataFrame:
+    """Groups of planted NEAR-duplicate PCM WAV clips: 33 16-byte
+    digest blocks = 264 int16 frames per clip; copy 0 of group g uses
+    md5('wavnd|seed|g|b') for every block b, copies j > 0 replace
+    block 3 with md5('wpert|seed|g|j') — 8 perturbed samples touching
+    <= 3 energy windows (measured energy-hash hamming <= 3 intra-group
+    vs >= 20 inter-group). Per-block digests, NOT one repeated digest:
+    repetition would make window energies periodic and every clip's
+    gradient bits near-identical. Both engines recompute every sample
+    relationally from (seed, g, j, b)."""
+    import hashlib
+
+    import pandas as pd
+
+    from hops_spark.io.codecs import wav_encode
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                g, j = divmod(mid, copies)
+                pcm = b""
+                for b in range(33):
+                    if b == 3 and j > 0:
+                        pcm += hashlib.md5(
+                            f"wpert|{seed}|{g}|{j}".encode()).digest()
+                    else:
+                        pcm += hashlib.md5(
+                            f"wavnd|{seed}|{g}|{b}".encode()).digest()
+                out.append((mid, "audio", "audio/wav",
+                            wav_encode(pcm, 1, 2, 16000)))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "mime",
+                                             "payload"])
+
+    return spark.range(n_groups * copies).mapInPandas(
+        gen, schema="media_id long, kind string, mime string, payload binary")

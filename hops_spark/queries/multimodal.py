@@ -572,3 +572,134 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                f"(id_b div {DH_COPIES})").alias("same_group"))
                 .filter(F.col("hamming") <= DH_THRESHOLD)
                 .orderBy("id_a", "id_b"))
+
+
+AH_GROUPS = 20
+AH_COPIES = 3
+AH_SEED = 42
+AH_THRESHOLD = 8     # measured: intra-group hamming <= 3, inter >= 20
+
+
+def _duck_audio_hash_sql() -> str:
+    g, c, s = AH_GROUPS, AH_COPIES, AH_SEED
+    return f"""
+    WITH img AS (
+        SELECT gg.g * {c} + jj.j AS media_id, gg.g, jj.j
+        FROM (SELECT unnest(range(0, {g})) AS g) gg,
+             (SELECT unnest(range(0, {c})) AS j) jj
+    ), blk AS (
+        SELECT media_id,
+               b.b,
+               CASE WHEN b.b = 3 AND j > 0
+                    THEN md5('wpert|{s}|' || g || '|' || j)
+                    ELSE md5('wavnd|{s}|' || g || '|' || b.b) END AS hx
+        FROM img, (SELECT unnest(range(0, 33)) AS b) b
+    ), samp AS (
+        SELECT media_id, 8 * b + q.q AS sj,
+               ('0x' || substr(hx, 2 * (2 * q.q) + 1, 2))::BIGINT
+               + 256 * ('0x' || substr(hx, 2 * (2 * q.q + 1) + 1, 2))::BIGINT
+                   AS u
+        FROM blk, (SELECT unnest(range(0, 8)) AS q) q
+    ), sgn AS (
+        SELECT media_id, sj,
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS smp
+        FROM samp
+    ), win AS (
+        SELECT media_id, sj // 4 AS wid, CAST(sum(smp * smp) AS BIGINT) AS e
+        FROM sgn GROUP BY 1, 2
+    ), bits AS (
+        SELECT w1.media_id, w1.wid AS i,
+               CASE WHEN w2.e > w1.e THEN 1 ELSE 0 END AS bit
+        FROM win w1 JOIN win w2 ON w2.media_id = w1.media_id
+                               AND w2.wid = w1.wid + 1
+        WHERE w1.wid < 64
+    ), hashes AS (
+        SELECT media_id,
+               CAST(sum(CASE WHEN i < 32 THEN
+                   bit * CAST(pow(2.0, 31 - i) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS hi,
+               CAST(sum(CASE WHEN i >= 32 THEN
+                   bit * CAST(pow(2.0, 63 - i) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS lo
+        FROM bits GROUP BY media_id
+    ), bands AS (
+        SELECT media_id, b.bi,
+               CASE b.bi WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+                         WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS bv
+        FROM hashes, (SELECT unnest(range(0, 4)) AS bi) b
+    ), cand AS (
+        SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b
+        FROM bands a JOIN bands b2 ON b2.bi = a.bi AND b2.bv = a.bv
+                                  AND b2.media_id > a.media_id
+    ), ham AS (
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(ha.hi, hb.hi))
+                    + bit_count(xor(ha.lo, hb.lo)) AS BIGINT) AS hamming
+        FROM cand JOIN hashes ha ON ha.media_id = id_a
+                  JOIN hashes hb ON hb.media_id = id_b
+    )
+    SELECT id_a, id_b, hamming,
+           (id_a // {c} = id_b // {c}) AS same_group
+    FROM ham WHERE hamming <= {AH_THRESHOLD}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "audio_fingerprint_neardup",
+    sql=_duck_audio_hash_sql(),
+    doc="Acoustic near-dup via the energy-gradient fingerprint over "
+        "REAL RIFF/WAVE decode (io/codecs.audio_energy_hash inside "
+        "Arrow mapInPandas): 64 bits of 4-frame window-energy "
+        "gradients (the dHash idea on the time axis — the quantized "
+        "shape Chromaprint-class fingerprinters use), two exact 32-bit "
+        "halves, four 16-bit LSH bands, exact-hamming verify <= 8 "
+        "(measured on the planted construction: intra-group <= 3, "
+        "inter >= 20). Completes the multimodal dedup story: exact "
+        "bytes (media_dedup), image perceptual (image_dhash_neardup), "
+        "audio acoustic (this). Oracle recomputes every sample, window "
+        "energy, and hash bit relationally.",
+    tags=("multimodal", "dedup", "north-star", "pandas-udf"),
+)
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.io.codecs import audio_energy_hash
+    from hops_spark.io.multimodal import synthetic_wav_neardups
+
+    media = synthetic_wav_neardups(spark, AH_GROUPS, AH_COPIES, AH_SEED)
+    feats = extract_features(media, decoder=audio_energy_hash)
+    hashes = feats.select(
+        "media_id",
+        F.col("features")[0].cast("long").alias("hi"),
+        F.col("features")[1].cast("long").alias("lo"))
+    bands = (hashes.select(
+        "media_id",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("bi"),
+                     F.expr("hi div 65536").alias("bv")),
+            F.struct(F.lit(1).alias("bi"),
+                     F.pmod("hi", F.lit(65536)).alias("bv")),
+            F.struct(F.lit(2).alias("bi"),
+                     F.expr("lo div 65536").alias("bv")),
+            F.struct(F.lit(3).alias("bi"),
+                     F.pmod("lo", F.lit(65536)).alias("bv")),
+        )).alias("b")).select("media_id", "b.bi", "b.bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("b.bi") == F.col("a.bi"))
+                   & (F.col("b.bv") == F.col("a.bv"))
+                   & (F.col("b.media_id") > F.col("a.media_id")))
+             .select(F.col("a.media_id").alias("id_a"),
+                     F.col("b.media_id").alias("id_b"))
+             .distinct())
+    ha = hashes.select(F.col("media_id").alias("id_a"),
+                       F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"))
+    hb = hashes.select(F.col("media_id").alias("id_b"),
+                       F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"))
+    return (cand.join(ha, "id_a").join(hb, "id_b")
+                .select("id_a", "id_b",
+                        (F.bit_count(F.expr("hi_a ^ hi_b"))
+                         + F.bit_count(F.expr("lo_a ^ lo_b")))
+                        .cast("long").alias("hamming"),
+                        F.expr(f"(id_a div {AH_COPIES}) = "
+                               f"(id_b div {AH_COPIES})").alias("same_group"))
+                .filter(F.col("hamming") <= AH_THRESHOLD)
+                .orderBy("id_a", "id_b"))

@@ -130,6 +130,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "phrase_search_postings",  # posting-list intersection phrase search
     "quality_budget_head",     # quality-ranked token-budget selection
     "image_dhash_neardup",     # perceptual image near-dup (dHash + bands)
+    "audio_fingerprint_neardup",  # acoustic near-dup (energy-gradient hash)
 )
 # Round-9 rotation plan: once CORRECTNESS_r08 lands green, fill freed
 # slots FIRST with this queue (14 rows — the r8 additions: substring

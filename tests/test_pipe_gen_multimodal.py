@@ -577,3 +577,30 @@ def test_image_dhash_planted_recall_and_separation(spark):
     # decode sanity: payloads are real P6 the parser accepts
     w, h, mx, px = ppm_decode(bytes(rows[0]["payload"]))
     assert mx == 255 and len(px) == 3 * w * h
+
+
+def test_audio_energy_hash_planted_recall(spark):
+    """All planted WAV near-dup pairs within hamming 8; UDF hash equals
+    the pure-Python reference; payloads decode as real RIFF/WAVE."""
+    from hops_spark.io.codecs import audio_energy_hash, wav_decode
+    from hops_spark.io.multimodal import (extract_features,
+                                          synthetic_wav_neardups)
+
+    n_groups, copies = 6, 3
+    media = synthetic_wav_neardups(spark, n_groups, copies, seed=9)
+    rows = media.collect()
+    ref = {r["media_id"]: audio_energy_hash(bytes(r["payload"]), "audio")
+           for r in rows}
+    feats = {r["media_id"]: r["features"] for r in
+             extract_features(media, decoder=audio_energy_hash).collect()}
+    assert feats == ref
+
+    def ham(a, b):
+        return (bin(int(a[0]) ^ int(b[0])).count("1")
+                + bin(int(a[1]) ^ int(b[1])).count("1"))
+    import itertools
+    for g in range(n_groups):
+        for i, k in itertools.combinations(range(copies), 2):
+            assert ham(ref[g * copies + i], ref[g * copies + k]) <= 8
+    meta = wav_decode(bytes(rows[0]["payload"]))
+    assert meta["framerate"] == 16000 and meta["n_frames"] == 264
