@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from hops_spark.io.multimodal import (extract_features, frame_sample,
                                       resize_media, synthetic_media,
                                       synthetic_ppm_media)
+from hops_spark.ops.fingerprint import fingerprint_pairs
 from hops_spark.registry import register
 
 
@@ -540,38 +541,11 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         F.col("features")[0].cast("long").alias("hi"),
         F.col("features")[1].cast("long").alias("lo"))
-    bands = (hashes.select(
-        "media_id",
-        F.explode(F.array(
-            F.struct(F.lit(0).alias("bi"),
-                     F.expr("hi div 65536").alias("bv")),
-            F.struct(F.lit(1).alias("bi"),
-                     F.pmod("hi", F.lit(65536)).alias("bv")),
-            F.struct(F.lit(2).alias("bi"),
-                     F.expr("lo div 65536").alias("bv")),
-            F.struct(F.lit(3).alias("bi"),
-                     F.pmod("lo", F.lit(65536)).alias("bv")),
-        )).alias("b")).select("media_id", "b.bi", "b.bv"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("b.bi") == F.col("a.bi"))
-                   & (F.col("b.bv") == F.col("a.bv"))
-                   & (F.col("b.media_id") > F.col("a.media_id")))
-             .select(F.col("a.media_id").alias("id_a"),
-                     F.col("b.media_id").alias("id_b"))
-             .distinct())
-    ha = hashes.select(F.col("media_id").alias("id_a"),
-                       F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"))
-    hb = hashes.select(F.col("media_id").alias("id_b"),
-                       F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"))
-    return (cand.join(ha, "id_a").join(hb, "id_b")
-                .select("id_a", "id_b",
-                        (F.bit_count(F.expr("hi_a ^ hi_b"))
-                         + F.bit_count(F.expr("lo_a ^ lo_b")))
-                        .cast("long").alias("hamming"),
-                        F.expr(f"(id_a div {DH_COPIES}) = "
-                               f"(id_b div {DH_COPIES})").alias("same_group"))
-                .filter(F.col("hamming") <= DH_THRESHOLD)
-                .orderBy("id_a", "id_b"))
+    return (fingerprint_pairs(hashes, threshold=DH_THRESHOLD)
+            .select("id_a", "id_b", "hamming",
+                    F.expr(f"(id_a div {DH_COPIES}) = "
+                           f"(id_b div {DH_COPIES})").alias("same_group"))
+            .orderBy("id_a", "id_b"))
 
 
 AH_GROUPS = 20
@@ -671,35 +645,8 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         F.col("features")[0].cast("long").alias("hi"),
         F.col("features")[1].cast("long").alias("lo"))
-    bands = (hashes.select(
-        "media_id",
-        F.explode(F.array(
-            F.struct(F.lit(0).alias("bi"),
-                     F.expr("hi div 65536").alias("bv")),
-            F.struct(F.lit(1).alias("bi"),
-                     F.pmod("hi", F.lit(65536)).alias("bv")),
-            F.struct(F.lit(2).alias("bi"),
-                     F.expr("lo div 65536").alias("bv")),
-            F.struct(F.lit(3).alias("bi"),
-                     F.pmod("lo", F.lit(65536)).alias("bv")),
-        )).alias("b")).select("media_id", "b.bi", "b.bv"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("b.bi") == F.col("a.bi"))
-                   & (F.col("b.bv") == F.col("a.bv"))
-                   & (F.col("b.media_id") > F.col("a.media_id")))
-             .select(F.col("a.media_id").alias("id_a"),
-                     F.col("b.media_id").alias("id_b"))
-             .distinct())
-    ha = hashes.select(F.col("media_id").alias("id_a"),
-                       F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"))
-    hb = hashes.select(F.col("media_id").alias("id_b"),
-                       F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"))
-    return (cand.join(ha, "id_a").join(hb, "id_b")
-                .select("id_a", "id_b",
-                        (F.bit_count(F.expr("hi_a ^ hi_b"))
-                         + F.bit_count(F.expr("lo_a ^ lo_b")))
-                        .cast("long").alias("hamming"),
-                        F.expr(f"(id_a div {AH_COPIES}) = "
-                               f"(id_b div {AH_COPIES})").alias("same_group"))
-                .filter(F.col("hamming") <= AH_THRESHOLD)
-                .orderBy("id_a", "id_b"))
+    return (fingerprint_pairs(hashes, threshold=AH_THRESHOLD)
+            .select("id_a", "id_b", "hamming",
+                    F.expr(f"(id_a div {AH_COPIES}) = "
+                           f"(id_b div {AH_COPIES})").alias("same_group"))
+            .orderBy("id_a", "id_b"))

@@ -773,3 +773,58 @@ def mg_hitters_stream(stream_docs: DataFrame, state_dir: str,
     return (stream_docs.writeStream.foreachBatch(upd)
             .option("checkpointLocation", checkpoint)
             .outputMode("append"))
+
+
+def media_ingest_dedup_stream(stream_media: DataFrame, state_dir: str,
+                              flags_dir: str, checkpoint: str,
+                              decoder=None, threshold: int = 8):
+    """Continuous perceptual media dedup against the fingerprint store
+    — the incremental_dedup_stream discipline applied to binary media:
+    per batch, (1) fingerprint arriving payloads with the REAL decoder
+    (io/codecs.image_dhash / audio_energy_hash through Arrow
+    mapInPandas — the same derivation the batch queries use, via
+    ops/fingerprint shared by both), (2) flag near-dups asymmetrically
+    against the stored fingerprints AND against lower-id batch
+    neighbors (never store x store), (3) append flags, (4) append KEPT
+    fingerprints to the store. State is 16 bytes per kept item forever
+    — a billion-image store is ~16 GB of parquet, band-partitionable;
+    per-batch cost is batch-size x banded-bucket candidates,
+    independent of history beyond the band join. Flags materialize
+    before the store append so step 4 never races the read."""
+    import os
+
+    from hops_spark.io.multimodal import extract_features
+    from hops_spark.ops.fingerprint import fingerprint_pairs
+
+    def upd(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        hashes = (extract_features(batch_df, decoder=decoder)
+                  .select("media_id",
+                          F.col("features")[0].cast("long").alias("hi"),
+                          F.col("features")[1].cast("long").alias("lo"))
+                  .localCheckpoint(eager=True))
+        dup_ids = fingerprint_pairs(hashes, threshold=threshold) \
+            .select(F.col("id_b").alias("media_id"))
+        if os.path.isdir(state_dir):
+            store = spark.read.parquet(state_dir)
+            dup_ids = dup_ids.unionByName(
+                fingerprint_pairs(hashes, store, threshold=threshold)
+                .select(F.col("id_a").alias("media_id")))
+        flags = (hashes.join(dup_ids.distinct()
+                             .withColumn("_dup", F.lit(True)),
+                             "media_id", "left")
+                       .select("media_id", "hi", "lo",
+                               F.coalesce("_dup", F.lit(False))
+                                .alias("is_dup"))
+                       .localCheckpoint(eager=True))
+        flags.select("media_id", "is_dup").write.mode("append") \
+             .parquet(flags_dir)
+        (flags.filter(~F.col("is_dup"))
+              .select("media_id", "hi", "lo")
+              .write.mode("append").parquet(state_dir))
+
+    return (stream_media.writeStream.foreachBatch(upd)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append"))

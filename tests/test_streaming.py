@@ -639,3 +639,51 @@ def test_mg_hitters_stream_folds_like_batch(spark, sf_dir, tmp_path):
     est = dict(got)
     for t, c in exact.items():
         assert c - est.get(t, 0) <= n // (k + 1)
+
+
+def test_media_ingest_dedup_stream_folds_like_batch(spark, tmp_path):
+    """Drained media flags: a batch-2 copy of a batch-1 KEPT image is
+    flagged via the store; a batch-1 intra-batch near-dup is flagged
+    against its lower-id neighbor; originals are kept. Store holds
+    only kept fingerprints."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.codecs import image_dhash
+    from hops_spark.io.multimodal import synthetic_ppm_neardups
+    from hops_spark.streaming import media_ingest_dedup_stream
+
+    copies = 3
+    media = synthetic_ppm_neardups(spark, 6, copies, seed=11)
+    # batch 1: groups 0..2 (copies 0,1 of each); batch 2: copy 2 of
+    # groups 0..2 + all of groups 3..5
+    b1 = media.filter((F.col("media_id") % copies < 2)
+                      & (F.col("media_id") < 3 * copies))
+    b2 = media.filter((F.col("media_id") % copies == 2)
+                      | (F.col("media_id") >= 3 * copies))
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    state, flagd = str(tmp_path / "fpstate"), str(tmp_path / "fpflags")
+    b1.coalesce(1).write.parquet(str(feed / "b1"))
+    stream = (spark.readStream
+              .schema("media_id long, kind string, mime string, payload binary")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(feed / "*")))
+    q = media_ingest_dedup_stream(stream, state, flagd,
+                                  str(tmp_path / "ck"),
+                                  decoder=image_dhash).start()
+    q.processAllAvailable()
+    b2.coalesce(1).write.parquet(str(feed / "b2"))
+    q.processAllAvailable()
+    q.stop()
+
+    flags = {r["media_id"]: r["is_dup"]
+             for r in spark.read.parquet(flagd).collect()}
+    assert len(flags) == media.count()
+    for g in range(6):
+        base = g * copies
+        assert flags[base] is False,  "group base must be kept"
+        assert flags[base + 1] is True, "intra-batch near-dup flagged"
+        assert flags[base + 2] is True, "cross-batch near-dup flagged"
+    store_ids = {r["media_id"] for r in spark.read.parquet(state).collect()}
+    assert store_ids == {g * copies for g in range(6)}
