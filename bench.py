@@ -67,6 +67,14 @@ HEADLINE = [
     # round-8 additions (suffix-sort exact-substring dedup + excision)
     "exact_substring_spans",
     "span_excised_corpus",
+    # round-8 late additions (heavy-hitter summary, hybrid retrieval,
+    # boilerplate/budget selection, perceptual media dedup)
+    "mg_heavy_hitters",
+    "hybrid_rrf_retrieval",
+    "boilerplate_strip",
+    "quality_budget_head",
+    "image_dhash_neardup",
+    "audio_fingerprint_neardup",
 ]
 
 
