@@ -206,20 +206,13 @@ def image_pixels(payload: bytes, kind: str) -> list[float]:
     return [float(b) for b in px]
 
 
-def image_dhash(payload: bytes, kind: str) -> list[float]:
-    """Perceptual difference-hash (dHash — the public 8x8 gradient
-    hash: NN-resample to 9x8, integer grayscale (r+g+b)//3, bit set
-    when the right neighbor is brighter) over REAL P6/BMP decode. The
-    resample uses the exact ppm_resize_nn floor mapping
-    (src = out*dim//out_dim) so a relational oracle can recompute
-    every bit. Packed as two exact 32-bit halves — doubles hold
-    integers <= 2^53, but the features contract is array<double> and
-    a 64-bit hash in one double would corrupt; bit i of the hash is
-    weight 2^(31-i) in half i//32."""
-    if payload is not None and payload[:2] == b"BM":
-        w, h, px = bmp_decode(payload)
-    else:
-        w, h, _maxval, px = ppm_decode(payload)
+def _dhash_raster(w: int, h: int, px: bytes) -> tuple[int, int]:
+    """dHash core on a decoded RGB raster: NN-resample to 9x8 with the
+    exact ppm_resize_nn floor mapping (src = out*dim//out_dim),
+    integer grayscale (r+g+b)//3, bit set when the right neighbor is
+    brighter; returns the two exact 32-bit halves (bit i has weight
+    2^(31-i) in half i//32). Shared by the still-image and per-frame
+    video fingerprints."""
     hi = lo = 0
     for y in range(8):
         sy = y * h // 8
@@ -235,7 +228,40 @@ def image_dhash(payload: bytes, kind: str) -> list[float]:
                     hi |= 1 << (31 - i)
                 else:
                     lo |= 1 << (63 - i)
+    return hi, lo
+
+
+def image_dhash(payload: bytes, kind: str) -> list[float]:
+    """Perceptual difference-hash (dHash — the public 8x8 gradient
+    hash) over REAL P6/BMP decode — see _dhash_raster. Packed as two
+    exact 32-bit halves — doubles hold integers <= 2^53, but the
+    features contract is array<double> and a 64-bit hash in one
+    double would corrupt."""
+    if payload is not None and payload[:2] == b"BM":
+        w, h, px = bmp_decode(payload)
+    else:
+        w, h, _maxval, px = ppm_decode(payload)
+    hi, lo = _dhash_raster(w, h, px)
     return [float(hi), float(lo)]
+
+
+def video_frame_dhashes(payload: bytes, kind: str) -> list[float]:
+    """Per-frame perceptual fingerprints of a video stored as a
+    CONCATENATION OF CANONICAL P6 FILES (the container the synthetic
+    generator writes — each frame is a complete, self-describing P6
+    whose canonical header "P6\n{w} {h}\n{maxval}\n" plus 3wh raster
+    bytes gives the exact frame length, so a sequential parse walks
+    the stream without an index): one dHash per frame, flattened as
+    [hi0, lo0, hi1, lo1, ...]. The per-frame hash is _dhash_raster —
+    identical bits to image_dhash on the same frame."""
+    out: list[float] = []
+    pos = 0
+    while pos < len(payload):
+        w, h, maxval, px = ppm_decode(payload[pos:])
+        hi, lo = _dhash_raster(w, h, px)
+        out.extend([float(hi), float(lo)])
+        pos += len(f"P6\n{w} {h}\n{maxval}\n".encode()) + 3 * w * h
+    return out
 
 
 def audio_energy_hash(payload: bytes, kind: str) -> list[float]:

@@ -315,3 +315,41 @@ def synthetic_wav_neardups(spark: SparkSession, n_groups: int = 20,
 
     return spark.range(n_groups * copies).mapInPandas(
         gen, schema="media_id long, kind string, mime string, payload binary")
+
+
+def synthetic_video_neardups(spark: SparkSession, n_groups: int = 20,
+                             copies: int = 3, seed: int = 42,
+                             n_frames: int = 8) -> DataFrame:
+    """Groups of planted NEAR-duplicate videos: each payload is a
+    concatenation of ``n_frames`` canonical P6 files (w,h keyed on the
+    group, frame f's raster = repeat(md5('vfr|seed|g|f'), 14)
+    truncated to 3wh). Copies j > 0 REPLACE frames 2 and 5 wholesale
+    (raster from md5('vpert|seed|g|j|f')) — an edited clip: 6 of 8
+    frames byte-identical, 2 arbitrary. Both engines recompute every
+    frame byte relationally from (seed, g, j, f)."""
+    rows = spark.range(n_groups * copies)
+    g = F.expr(f"id div {copies}")
+    j = F.pmod("id", F.lit(copies))
+    w = (F.lit(4) + F.pmod(g, F.lit(5))).cast("int")
+    h = (F.lit(3) + F.pmod(g, F.lit(7))).cast("int")
+    header = F.concat_ws("", F.lit("P6\n"), w.cast("string"), F.lit(" "),
+                         h.cast("string"), F.lit("\n255\n")).cast("binary")
+    out = rows.withColumn("_w", w).withColumn("_h", h)
+    for f in range(n_frames):
+        base = F.md5(F.concat_ws("|", F.lit("vfr"), F.lit(str(seed)),
+                                 g.cast("string"), F.lit(str(f))))
+        pert = F.md5(F.concat_ws("|", F.lit("vpert"), F.lit(str(seed)),
+                                 g.cast("string"), j.cast("string"),
+                                 F.lit(str(f))))
+        hx = F.when(j > 0, pert).otherwise(base) if f in (2, 5) else base
+        out = out.withColumn(f"_hx{f}", hx)
+    payload = F.concat(*[
+        F.concat(header,
+                 F.expr(f"substring(unhex(repeat(_hx{f}, 14)), "
+                        f"1, 3 * _w * _h)"))
+        for f in range(n_frames)])
+    return out.select(
+        F.col("id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("video/x-ppm-stream").alias("mime"),
+        payload.alias("payload"))

@@ -650,3 +650,128 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr(f"(id_a div {AH_COPIES}) = "
                            f"(id_b div {AH_COPIES})").alias("same_group"))
             .orderBy("id_a", "id_b"))
+
+
+VH_GROUPS = 20
+VH_COPIES = 3
+VH_SEED = 42
+VH_FRAMES = 8
+VH_THRESHOLD = 8     # per-frame hamming (matched frames are byte-equal here)
+VH_MIN_FRAMES = 5    # videos sharing >= 5 of 8 frames are near-dups
+
+
+def _duck_video_hash_sql() -> str:
+    g, c, s, nf = VH_GROUPS, VH_COPIES, VH_SEED, VH_FRAMES
+    byte = ("('0x' || substr(pix_hex, 2*(3*((y.y*h//8)*w + (x.x*w//9))"
+            "+{ch})+1, 2))::BIGINT")
+    gray = "(" + " + ".join(byte.format(ch=ch) for ch in range(3)) + ") // 3"
+    return f"""
+    WITH vid AS (
+        SELECT gg.g * {c} + jj.j AS media_id, gg.g, jj.j,
+               4 + gg.g % 5 AS w, 3 + gg.g % 7 AS h
+        FROM (SELECT unnest(range(0, {g})) AS g) gg,
+             (SELECT unnest(range(0, {c})) AS j) jj
+    ), frm AS (
+        SELECT media_id * 16 + f.f AS fid, media_id, w, h,
+               repeat(CASE WHEN f.f IN (2, 5) AND j > 0
+                           THEN md5('vpert|{s}|' || g || '|' || j
+                                    || '|' || f.f)
+                           ELSE md5('vfr|{s}|' || g || '|' || f.f) END,
+                      14) AS pix_hex
+        FROM vid, (SELECT unnest(range(0, {nf})) AS f) f
+    ), cell AS (
+        SELECT fid, y.y, x.x, {gray} AS gray
+        FROM frm, (SELECT unnest(range(0, 8)) AS y) y,
+                  (SELECT unnest(range(0, 9)) AS x) x
+    ), bits AS (
+        SELECT c1.fid, c1.y * 8 + c1.x AS i,
+               CASE WHEN c2.gray > c1.gray THEN 1 ELSE 0 END AS bit
+        FROM cell c1 JOIN cell c2 ON c2.fid = c1.fid
+                                 AND c2.y = c1.y AND c2.x = c1.x + 1
+        WHERE c1.x < 8
+    ), hashes AS (
+        SELECT fid,
+               CAST(sum(CASE WHEN i < 32 THEN
+                   bit * CAST(pow(2.0, 31 - i) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS hi,
+               CAST(sum(CASE WHEN i >= 32 THEN
+                   bit * CAST(pow(2.0, 63 - i) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS lo
+        FROM bits GROUP BY fid
+    ), bands AS (
+        SELECT fid, b.bi,
+               CASE b.bi WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+                         WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS bv
+        FROM hashes, (SELECT unnest(range(0, 4)) AS bi) b
+    ), cand AS (
+        SELECT DISTINCT a.fid AS id_a, b2.fid AS id_b
+        FROM bands a JOIN bands b2 ON b2.bi = a.bi AND b2.bv = a.bv
+                                  AND b2.fid > a.fid
+                                  AND b2.fid // 16 <> a.fid // 16
+    ), ham AS (
+        SELECT id_a, id_b
+        FROM cand JOIN hashes ha ON ha.fid = id_a
+                  JOIN hashes hb ON hb.fid = id_b
+        WHERE bit_count(xor(ha.hi, hb.hi))
+              + bit_count(xor(ha.lo, hb.lo)) <= {VH_THRESHOLD}
+    )
+    SELECT id_a // 16 AS vid_a, id_b // 16 AS vid_b,
+           CAST(count(DISTINCT id_a) AS BIGINT) AS n_frames_matched,
+           ((id_a // 16) // {c} = (id_b // 16) // {c}) AS same_group
+    FROM ham
+    GROUP BY 1, 2, 4
+    HAVING count(DISTINCT id_a) >= {VH_MIN_FRAMES}
+    ORDER BY vid_a, vid_b
+    """
+
+
+@register(
+    "video_frame_neardup",
+    sql=_duck_video_hash_sql(),
+    doc="Video near-dup via frame-sampled perceptual hashing — the "
+        "edited-clip detector: payloads are concatenations of "
+        "canonical P6 frames walked by a REAL sequential parser "
+        "(io/codecs.video_frame_dhashes: each frame's canonical "
+        "header + 3wh raster gives the exact stride), one dHash per "
+        "frame (bit-identical to image_dhash via the shared "
+        "_dhash_raster core), frame-level banded LSH + hamming <= 8, "
+        "then videos sharing >= 5 of 8 near-dup frames pair up. The "
+        "planted construction replaces 2 of 8 frames in each copy "
+        "(an edit), so groups match on the 6 untouched frames. "
+        "Completes the modality triple: image (dHash), audio (energy "
+        "gradient), video (frame-set overlap). Frame volume is "
+        "n_videos x n_frames map-only decode; everything downstream "
+        "is the bounded band-join shape.",
+    tags=("multimodal", "dedup", "north-star", "pandas-udf"),
+)
+def video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.io.codecs import video_frame_dhashes
+    from hops_spark.io.multimodal import synthetic_video_neardups
+
+    media = synthetic_video_neardups(spark, VH_GROUPS, VH_COPIES,
+                                     VH_SEED, VH_FRAMES)
+    feats = extract_features(media, decoder=video_frame_dhashes)
+    frames = (feats.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.lit(VH_FRAMES - 1))).alias("f"),
+        "features")
+        .select((F.col("media_id") * 16 + F.col("f")).alias("fid"),
+                F.element_at("features", F.col("f") * 2 + 1)
+                 .cast("long").alias("hi"),
+                F.element_at("features", F.col("f") * 2 + 2)
+                 .cast("long").alias("lo")))
+    pairs = (fingerprint_pairs(frames, threshold=VH_THRESHOLD,
+                               id_col="fid")
+             .filter(F.expr("id_a div 16 != id_b div 16")))
+    return (pairs
+            .select(F.expr("id_a div 16").alias("vid_a"),
+                    F.expr("id_b div 16").alias("vid_b"),
+                    "id_a")
+            .groupBy("vid_a", "vid_b")
+            .agg(F.countDistinct("id_a").cast("long")
+                  .alias("n_frames_matched"))
+            .filter(F.col("n_frames_matched") >= VH_MIN_FRAMES)
+            .select("vid_a", "vid_b", "n_frames_matched",
+                    F.expr(f"(vid_a div {VH_COPIES}) = "
+                           f"(vid_b div {VH_COPIES})").alias("same_group"))
+            .orderBy("vid_a", "vid_b"))

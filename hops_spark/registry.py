@@ -131,6 +131,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "quality_budget_head",     # quality-ranked token-budget selection
     "image_dhash_neardup",     # perceptual image near-dup (dHash + bands)
     "audio_fingerprint_neardup",  # acoustic near-dup (energy-gradient hash)
+    "video_frame_neardup",     # edited-clip detection (frame-set overlap)
 )
 # Round-9 rotation plan: once CORRECTNESS_r08 lands green, fill freed
 # slots FIRST with this queue (14 rows — the r8 additions: substring

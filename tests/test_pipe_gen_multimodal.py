@@ -604,3 +604,32 @@ def test_audio_energy_hash_planted_recall(spark):
             assert ham(ref[g * copies + i], ref[g * copies + k]) <= 8
     meta = wav_decode(bytes(rows[0]["payload"]))
     assert meta["framerate"] == 16000 and meta["n_frames"] == 264
+
+
+def test_video_frame_dhash_parser_and_planted_overlap(spark):
+    """The sequential P6-stream parser recovers every frame; per-frame
+    bits equal image_dhash on the extracted frame; planted copies share
+    >= 6 of 8 frames and distinct groups share none."""
+    import itertools
+
+    from hops_spark.io.codecs import (image_dhash, ppm_decode,
+                                      video_frame_dhashes)
+    from hops_spark.io.multimodal import synthetic_video_neardups
+
+    rows = synthetic_video_neardups(spark, 4, 3, seed=13).collect()
+    H = {}
+    for r in rows:
+        payload = bytes(r["payload"])
+        fs = video_frame_dhashes(payload, "video")
+        assert len(fs) == 16
+        # frame 0 extracted by hand must hash identically via image_dhash
+        w, h, mx, px = ppm_decode(payload)
+        stride = len(f"P6\n{w} {h}\n{mx}\n".encode()) + 3 * w * h
+        assert image_dhash(payload[:stride], "image") == fs[:2]
+        H[r["media_id"]] = [(int(fs[2 * i]), int(fs[2 * i + 1]))
+                            for i in range(8)]
+    for g in range(4):
+        for i, k in itertools.combinations(range(3), 2):
+            a, b = H[g * 3 + i], H[g * 3 + k]
+            assert sum(x == y for x, y in zip(a, b)) >= 6
+    assert not any(H[0][f] == H[9][f2] for f in range(8) for f2 in range(8))
