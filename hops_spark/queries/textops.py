@@ -1547,3 +1547,112 @@ def quality_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return qbh(d, QBH_BUDGET_PPM).orderBy("cum_tokens", "doc_id")
+
+
+def _duck_unigram_sql() -> str:
+    from hops_spark.ops.unigram import (MAX_LEN, MAX_PIECE, MICRO,
+                                        MIN_COUNT, SEP, TOP_K)
+    gram_parts = "\n        UNION ALL ".join(
+        f"SELECT substr(w, i.i, {n}) AS piece, n_occ FROM wc, "
+        f"LATERAL (SELECT unnest(range(1, len - {n} + 2)) AS i) i "
+        f"WHERE len >= {n}"
+        for n in range(1, MAX_PIECE + 1))
+    ctes = [f"""wt AS (
+        SELECT {_DUCK_WORDS} AS w0 FROM documents
+    ), wc AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_occ,
+               CAST(len(w) AS INT) AS len
+        FROM (SELECT unnest(w0) AS w FROM wt) GROUP BY w
+    ), grams AS (
+        {gram_parts}
+    ), cnts AS (
+        SELECT piece, CAST(sum(n_occ) AS BIGINT) AS cnt
+        FROM grams GROUP BY piece
+    ), multi AS (
+        SELECT * FROM cnts
+        WHERE len(piece) > 1 AND cnt >= {MIN_COUNT}
+        ORDER BY cnt DESC, piece LIMIT {TOP_K}
+    ), pieces0 AS (
+        SELECT * FROM cnts WHERE len(piece) = 1
+        UNION ALL SELECT * FROM multi
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS nn,
+               CAST(count(*) AS BIGINT) AS v
+        FROM pieces0
+    ), pieces AS MATERIALIZED (
+        SELECT piece, CAST(round(-ln((cnt + 1) / CAST(nn + v AS DOUBLE))
+                         * {MICRO}, 0) AS BIGINT) AS pc
+        FROM pieces0, tot
+    ), b0 AS MATERIALIZED (
+        SELECT w, len, n_occ, CAST(0 AS BIGINT) AS cost,
+               CAST(0 AS BIGINT) AS np, '' AS seg
+        FROM wc WHERE len <= {MAX_LEN}
+    )"""]
+    for j in range(1, MAX_LEN + 1):
+        cands = "\n        UNION ALL ".join(
+            f"SELECT w, len, n_occ, cost + pc AS cost, np + 1 AS np, "
+            f"seg || (CASE WHEN seg = '' THEN '' ELSE '{SEP}' END) "
+            f"|| piece AS seg "
+            f"FROM b{j - n} JOIN pieces "
+            f"ON piece = substr(w, {j - n + 1}, {n}) WHERE len >= {j}"
+            for n in range(1, min(MAX_PIECE, j) + 1))
+        ctes.append(f"""c{j} AS (
+        {cands}
+    ), b{j} AS (
+        SELECT w, len, n_occ, m.cost AS cost, m.np AS np, m.seg AS seg
+        FROM (SELECT w, len, n_occ,
+                     min({{'cost': cost, 'np': np, 'seg': seg}}) AS m
+              FROM c{j} GROUP BY w, len, n_occ)
+    )""")
+    done = "\n        UNION ALL ".join(
+        f"SELECT * FROM b{j} WHERE len = {j}"
+        for j in range(1, MAX_LEN + 1))
+    ctes.append(f"""done AS (
+        {done}
+    ), fb AS (
+        SELECT w, len, n_occ, CAST(sum(pc) AS BIGINT) AS cost,
+               CAST(count(*) AS BIGINT) AS np,
+               string_agg(piece, '{SEP}' ORDER BY i) AS seg
+        FROM (SELECT w, len, n_occ, i.i AS i, substr(w, i.i, 1) AS ch
+              FROM wc, LATERAL (SELECT unnest(range(1, len + 1)) AS i) i
+              WHERE len > {MAX_LEN})
+        JOIN pieces ON piece = ch
+        GROUP BY w, len, n_occ
+    )""")
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT w, n_occ, seg, CAST(np AS BIGINT) AS n_pieces,
+           CAST(cost AS BIGINT) AS cost_micro
+    FROM (SELECT * FROM done UNION ALL SELECT * FROM fb)
+    ORDER BY w
+    """
+
+
+@register(
+    "unigram_tokenize",
+    sql=_duck_unigram_sql(),
+    doc="Unigram-LM subword tokenization (SentencePiece flavor, Kudo "
+        "2018): piece inventory = chars ∪ top-40 occurrence-weighted "
+        "2..4-grams, piece cost = add-one-smoothed -ln p in exact "
+        "integer micro-nats (the doc_perplexity discipline), and each "
+        "distinct word takes its Viterbi-minimal segmentation — the "
+        "DP is UNROLLED as max_len rounds of ≤ max_piece broadcast "
+        "joins + a lexicographic (cost, n_pieces, seg) struct-min per "
+        "round, every frame VOCAB-bounded (the corpus collapses to "
+        "the word histogram first; at 100 TB that histogram aggregate "
+        "is the only data-proportional pass — the BPE-apply shape). "
+        "Words longer than max_len take the char fallback (honest "
+        "bound of the unrolled plan). The oracle replays inventory, "
+        "costs, and all ten DP rounds struct-min-for-struct-min. "
+        "ops/unigram.py.",
+    tags=("text", "tokenize", "north-star"),
+)
+def unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.unigram import (piece_table, viterbi_segment,
+                                        word_counts)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wc = word_counts(d).cache()
+    pieces = piece_table(wc)
+    return viterbi_segment(wc, pieces).orderBy("w")

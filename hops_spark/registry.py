@@ -132,6 +132,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "image_dhash_neardup",     # perceptual image near-dup (dHash + bands)
     "audio_fingerprint_neardup",  # acoustic near-dup (energy-gradient hash)
     "video_frame_neardup",     # edited-clip detection (frame-set overlap)
+    "unigram_tokenize",        # SentencePiece-style Viterbi segmentation
 )
 # Round-9 rotation plan: once CORRECTNESS_r08 lands green, fill freed
 # slots FIRST with this queue (14 rows — the r8 additions: substring

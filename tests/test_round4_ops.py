@@ -500,3 +500,48 @@ def test_quality_budget_head_boundary_and_order(spark):
     a = sorted(tuple(r) for r in quality_budget_head(docs, 750_000).collect())
     b = sorted(tuple(r) for r in quality_budget_head(docs, 750_000).collect())
     assert a == b
+
+
+def test_unigram_viterbi_prefers_cheap_pieces_and_breaks_ties(spark):
+    """DP picks multi-char pieces when their micro-nat cost beats the
+    char sum, matches a hand-computed reference on every word, and the
+    char fallback covers words longer than max_len."""
+    import math
+
+    from hops_spark.ops.unigram import (MICRO, piece_table,
+                                        viterbi_segment, word_counts)
+
+    docs = spark.createDataFrame(
+        [(i, "abab cd cd cd xyxyxyxyxyxy") for i in range(4)],
+        "doc_id long, text string")
+    wc = word_counts(docs)
+    pieces = piece_table(wc, top_k=8, min_count=2, max_piece=4)
+    pm = {r["piece"]: r["cost_micro"] for r in pieces.collect()}
+    # cost formula replication for one piece
+    cnts = {r["piece"]: r["cnt"] for r in pieces.collect()}
+    nn, v = sum(cnts.values()), len(cnts)
+    assert pm["cd"] == round(-math.log((cnts["cd"] + 1) / (nn + v)) * MICRO)
+
+    got = {r["w"]: (r["seg"], r["n_pieces"], r["cost_micro"])
+           for r in viterbi_segment(wc, pieces, max_len=10).collect()}
+
+    def ref(w):
+        best = [(0, 0, "")] + [None] * len(w)
+        for j in range(1, len(w) + 1):
+            cand = []
+            for n in range(1, min(4, j) + 1):
+                p = w[j - n:j]
+                if p in pm:
+                    c0, n0, s0 = best[j - n]
+                    cand.append((c0 + pm[p], n0 + 1,
+                                 s0 + ("+" if s0 else "") + p))
+            best[j] = min(cand)
+        return best[len(w)]
+
+    for w in ("abab", "cd"):
+        c, n, s = ref(w)
+        assert got[w] == (s, n, c), w
+    # len 12 > max_len 10 -> char fallback
+    seg, n, c = got["xyxyxyxyxyxy"]
+    assert seg == "+".join("xyxyxyxyxyxy") and n == 12
+    assert c == sum(pm[ch] for ch in "xyxyxyxyxyxy")
