@@ -127,3 +127,30 @@ def viterbi_segment(wc: DataFrame, pieces: DataFrame,
     return wc.select("w", "n_occ").mapInPandas(
         seg_batch,
         "w string, n_occ long, seg string, n_pieces long, cost_micro long")
+
+
+def hard_em_recount(segments: DataFrame, pieces: DataFrame,
+                    sep: str = SEP) -> DataFrame:
+    """One hard-EM re-estimation (the M-step over Viterbi-hard
+    assignments — SentencePiece alternates exactly this with
+    re-segmentation, inventory held fixed until the pruning stage):
+    piece usage counts from the current segmentations weighted by word
+    occurrences (pieces the segmenter never used keep 0 and get the
+    add-one floor cost), costs renormalized over the SAME inventory.
+    Both passes are inventory-bounded aggregates. Returns (piece,
+    cnt_init, cnt_em, cost_em_micro)."""
+    used = (segments.select(
+        F.explode(F.split("seg", "\\" + sep)).alias("piece"), "n_occ")
+        .groupBy("piece").agg(F.sum("n_occ").cast("long").alias("cnt_em")))
+    base = (pieces.select("piece", F.col("cnt").alias("cnt_init"))
+                  .join(used, "piece", "left")
+                  .withColumn("cnt_em",
+                              F.coalesce("cnt_em", F.lit(0)).cast("long")))
+    tot = base.agg(F.sum("cnt_em").cast("long").alias("nn2"),
+                   F.count("*").cast("long").alias("v2"))
+    return (base.crossJoin(F.broadcast(tot))
+                .withColumn("cost_em_micro",
+                            F.expr(f"CAST(round(-ln((cnt_em + 1) / "
+                                   f"CAST(nn2 + v2 AS DOUBLE)) * {MICRO}, "
+                                   f"0) AS BIGINT)"))
+                .select("piece", "cnt_init", "cnt_em", "cost_em_micro"))

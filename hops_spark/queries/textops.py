@@ -1549,7 +1549,7 @@ def quality_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qbh(d, QBH_BUDGET_PPM).orderBy("cum_tokens", "doc_id")
 
 
-def _duck_unigram_sql() -> str:
+def _duck_unigram_ctes() -> str:
     from hops_spark.ops.unigram import (MAX_LEN, MAX_PIECE, MICRO,
                                         MIN_COUNT, SEP, TOP_K)
     gram_parts = "\n        UNION ALL ".join(
@@ -1619,12 +1619,18 @@ def _duck_unigram_sql() -> str:
         JOIN pieces ON piece = ch
         GROUP BY w, len, n_occ
     )""")
-    body = ",\n    ".join(ctes)
+    ctes.append("""allseg AS (
+        SELECT * FROM done UNION ALL SELECT * FROM fb
+    )""")
+    return ",\n    ".join(ctes)
+
+
+def _duck_unigram_sql() -> str:
     return f"""
-    WITH {body}
+    WITH {_duck_unigram_ctes()}
     SELECT w, n_occ, seg, CAST(np AS BIGINT) AS n_pieces,
            CAST(cost AS BIGINT) AS cost_micro
-    FROM (SELECT * FROM done UNION ALL SELECT * FROM fb)
+    FROM allseg
     ORDER BY w
     """
 
@@ -1656,3 +1662,49 @@ def unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = word_counts(d).cache()
     pieces = piece_table(wc)
     return viterbi_segment(wc, pieces).orderBy("w")
+
+
+@register(
+    "unigram_train_round",
+    sql=f"""
+    WITH {{CTES}}, used AS (
+        SELECT unnest(string_split(seg, '+')) AS piece, n_occ FROM allseg
+    ), em AS (
+        SELECT piece, CAST(sum(n_occ) AS BIGINT) AS cnt_em
+        FROM used GROUP BY piece
+    ), base AS (
+        SELECT p0.piece, p0.cnt AS cnt_init,
+               CAST(coalesce(em.cnt_em, 0) AS BIGINT) AS cnt_em
+        FROM pieces0 p0 LEFT JOIN em USING (piece)
+    ), tot2 AS (
+        SELECT CAST(sum(cnt_em) AS BIGINT) AS nn2,
+               CAST(count(*) AS BIGINT) AS v2
+        FROM base
+    )
+    SELECT piece, cnt_init, cnt_em,
+           CAST(round(-ln((cnt_em + 1) / CAST(nn2 + v2 AS DOUBLE))
+                * 1000000, 0) AS BIGINT) AS cost_em_micro
+    FROM base, tot2 ORDER BY piece
+    """.replace("{CTES}", _duck_unigram_ctes()),
+    doc="One hard-EM training round of the unigram LM (the M-step of "
+        "the SentencePiece loop, Kudo 2018 §3.2 with Viterbi-hard "
+        "assignments): re-estimate piece counts from the current "
+        "segmentations (weighted by word occurrences; unused pieces "
+        "drop to the add-one floor), renormalize costs over the fixed "
+        "inventory. Composes the unigram_tokenize DP wholesale — the "
+        "oracle replays segmentation AND re-estimation; a second "
+        "Viterbi pass over these costs is the next E-step. Both EM "
+        "passes are inventory-bounded aggregates — corpus size only "
+        "enters through the word histogram. ops/unigram."
+        "hard_em_recount.",
+    tags=("text", "tokenize", "north-star"),
+)
+def unigram_train_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.unigram import (hard_em_recount, piece_table,
+                                        viterbi_segment, word_counts)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wc = word_counts(d).cache()
+    pieces = piece_table(wc)
+    segs = viterbi_segment(wc, pieces)
+    return hard_em_recount(segs, pieces).orderBy("piece")

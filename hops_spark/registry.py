@@ -133,11 +133,15 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "audio_fingerprint_neardup",  # acoustic near-dup (energy-gradient hash)
     "video_frame_neardup",     # edited-clip detection (frame-set overlap)
     "unigram_tokenize",        # SentencePiece-style Viterbi segmentation
+    "unigram_train_round",     # hard-EM piece re-estimation (M-step)
 )
 # Round-9 rotation plan: once CORRECTNESS_r08 lands green, fill freed
-# slots FIRST with this queue (14 rows — the r8 additions: substring
+# slots FIRST with this queue (24 rows — the r8 additions: substring
 # pipeline, ANN lifecycle, bloom/substring decontamination, linear
-# probe, the PQ/IVFPQ/IVFADC family, covariance, index stats), THEN
+# probe, the PQ/IVFPQ/IVFADC family, covariance, index stats, the
+# late-session ten: MG summary, boilerplate, hybrid RRF, postings
+# phrase, budget head, image/audio/video perceptual dedup, unigram
+# tokenize + EM round), THEN
 # any round-8 REPROVE set (dup_spans was refactored through
 # _gram_rows/_gram_islands AFTER the r8 window froze, but it sits IN
 # that window, so its r8 row already certifies the refactor), THEN

@@ -545,3 +545,34 @@ def test_unigram_viterbi_prefers_cheap_pieces_and_breaks_ties(spark):
     seg, n, c = got["xyxyxyxyxyxy"]
     assert seg == "+".join("xyxyxyxyxyxy") and n == 12
     assert c == sum(pm[ch] for ch in "xyxyxyxyxyxy")
+
+
+def test_unigram_hard_em_counts_conserve_mass(spark):
+    """M-step invariants: sum over pieces of cnt_em equals the total
+    piece slots used by the segmentations (sum n_occ * n_pieces);
+    pieces never used drop to 0; every used piece is in the fixed
+    inventory."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.ops.unigram import (hard_em_recount, piece_table,
+                                        viterbi_segment, word_counts)
+
+    docs = spark.createDataFrame(
+        [(i, "abab cd cd ef abcd abcd") for i in range(3)],
+        "doc_id long, text string")
+    wc = word_counts(docs)
+    pieces = piece_table(wc, top_k=8, min_count=2)
+    segs = viterbi_segment(wc, pieces)
+    em = hard_em_recount(segs, pieces)
+    total_em = em.agg(F.sum("cnt_em")).collect()[0][0]
+    slots = segs.select((F.col("n_occ") * F.col("n_pieces")).alias("s")) \
+                .agg(F.sum("s")).collect()[0][0]
+    assert total_em == slots
+    rows = em.collect()
+    assert {r["piece"] for r in rows} == \
+        {r["piece"] for r in pieces.collect()}
+    assert any(r["cnt_em"] == 0 for r in rows)  # some gram goes unused
+    # cnt_em = 0 gives the add-one floor: the maximum possible cost
+    used_costs = [r["cost_em_micro"] for r in rows if r["cnt_em"] > 0]
+    unused_costs = [r["cost_em_micro"] for r in rows if r["cnt_em"] == 0]
+    assert min(unused_costs) >= max(used_costs)
