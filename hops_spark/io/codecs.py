@@ -237,7 +237,9 @@ def image_dhash(payload: bytes, kind: str) -> list[float]:
     exact 32-bit halves — doubles hold integers <= 2^53, but the
     features contract is array<double> and a 64-bit hash in one
     double would corrupt."""
-    if payload is not None and payload[:2] == b"BM":
+    if payload is None:
+        raise ValueError("null payload")
+    if payload[:2] == b"BM":
         w, h, px = bmp_decode(payload)
     else:
         w, h, _maxval, px = ppm_decode(payload)

@@ -804,6 +804,40 @@ def incremental_dedup_flags(new_df: DataFrame, existing_df: DataFrame,
         threshold=threshold, max_bucket=max_bucket)
 
 
+def intra_batch_dup_ids(parts: tuple[DataFrame, DataFrame, DataFrame],
+                        id_col: str = "doc_id", n_hashes: int = 16,
+                        bands: int = 4, threshold: float = 0.8,
+                        max_bucket: int = 1000) -> DataFrame:
+    """(id, exact_dup, near_dup) for documents duplicating a LOWER-id
+    document of the SAME parts frame — the within-batch half of
+    streaming incremental dedup. The asymmetric store comparison never
+    sees two same-batch arrivals, so without this pass a pair of
+    identical docs landing in one micro-batch would BOTH be kept and
+    BOTH enter the signature store forever. First occurrence wins by
+    id (the exact_dedup tie-break); only flagged ids are returned.
+
+    Cost: one digest self-equi-join plus the standard banded LSH +
+    Jaccard verify restricted to the batch — batch-sized, independent
+    of store history."""
+    digests, sigs, sh = parts
+    a = digests.select(F.col(id_col).alias("_ia"), F.col("_th"))
+    b = digests.select(F.col(id_col).alias("_ib"), F.col("_th"))
+    exact = (a.join(b, "_th")
+              .filter(F.col("_ib") < F.col("_ia"))
+              .select(F.col("_ia").alias(id_col)).distinct()
+              .withColumn("_ex", F.lit(True)))
+    cand = minhash_candidate_pairs(sigs, id_col, n_hashes, bands,
+                                   max_bucket)
+    sizes = sigs.select(id_col, "set_size")
+    near = (jaccard_verify(cand, sh, sizes, id_col, threshold)
+            .select(F.col("id_b").alias(id_col)).distinct()
+            .withColumn("_nr", F.lit(True)))
+    return (exact.join(near, id_col, "full")
+                 .select(id_col,
+                         F.coalesce("_ex", F.lit(False)).alias("exact_dup"),
+                         F.coalesce("_nr", F.lit(False)).alias("near_dup")))
+
+
 def incremental_flags_from_parts(
         new_parts: tuple[DataFrame, DataFrame, DataFrame],
         existing_parts: tuple[DataFrame, DataFrame, DataFrame],
@@ -830,12 +864,16 @@ def incremental_flags_from_parts(
             .filter(F.col("_n") <= max_bucket).select("band", "bhash"))
     # cand is consumed 4x below (verify join + two semi-join
     # reductions + the final left join); it is contractually tiny (LSH
-    # candidates, same broadcast contract as minhash_dedup_pairs' cache)
-    # — cache it so the band pipelines run once, not per consumer.
+    # candidates, same broadcast contract as minhash_dedup_pairs'
+    # cache). Materialize via EAGER localCheckpoint, not .cache(): the
+    # streaming twin calls this once per micro-batch forever, and a
+    # cached frame per batch would pin executor storage without bound
+    # (checkpoint RDDs are reclaimed by the ContextCleaner when the
+    # frame goes out of scope).
     cand = (bn.join(be.join(ok, ["band", "bhash"], "left_semi"),
                     ["band", "bhash"])
               .select("id_new", "id_old").distinct()
-              .cache())
+              .localCheckpoint(eager=True))
 
     # exact-Jaccard verify across the two corpora
     rows_n = rows_n_src.select(F.col(id_col).alias("id_new"), "shingle")

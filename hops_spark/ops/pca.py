@@ -110,7 +110,11 @@ def whiten_embeddings(df: DataFrame, d: int, eps: float = 1e-6,
     import numpy as np
     from pyspark.sql import types as T
 
-    cov_rows = covariance_pairs(df, d, id_col, vec_col).collect()
+    # means once: covariance_pairs would recompute the identical
+    # micro_means pass internally — pass them in and reuse for the
+    # centering vector below (one full data pass instead of two)
+    mu_int = micro_means(df, d, id_col, vec_col)
+    cov_rows = covariance_pairs(df, d, id_col, vec_col, mu=mu_int).collect()
     C = np.zeros((d, d), dtype=np.float64)
     for r in cov_rows:
         # cov_micro = floor(sum(c_i*c_j) / (n*1e6)) with c in micro
@@ -119,8 +123,7 @@ def whiten_embeddings(df: DataFrame, d: int, eps: float = 1e-6,
         v = float(r["cov_micro"]) / PCA_MICRO
         C[r["i"], r["j"]] = v
         C[r["j"], r["i"]] = v
-    mu = np.asarray(micro_means(df, d, id_col, vec_col),
-                    dtype=np.float64) / PCA_MICRO
+    mu = np.asarray(mu_int, dtype=np.float64) / PCA_MICRO
     lam, U = np.linalg.eigh(C)
     W = (U / np.sqrt(np.maximum(lam, 0.0) + eps)).T   # d x d
 

@@ -699,6 +699,16 @@ def compact_cell_index(spark, index_dir: str, id_col: str = "vec_id",
     import os
     import shutil
 
+    # Crash recovery FIRST: the two-rename swap below is not atomic —
+    # a death between rename(index, old) and rename(staging, index)
+    # leaves NO directory at index_dir and the whole index at the old
+    # sibling. Detect that state and roll the old dir back before
+    # reading, so a crashed compaction self-heals on the next call
+    # instead of failing every probe until an operator intervenes.
+    recover_old = index_dir.rstrip("/") + "_compact_old"
+    if not os.path.isdir(index_dir) and os.path.isdir(recover_old):
+        os.rename(recover_old, index_dir)
+
     vectors = spark.read.parquet(index_dir)
     n_before = vectors.count()
     tomb = read_tombstones(spark, index_dir)
@@ -713,8 +723,9 @@ def compact_cell_index(spark, index_dir: str, id_col: str = "vec_id",
               .write.mode("overwrite").partitionBy("cell")
               .parquet(staging))
     n_after = spark.read.parquet(staging).count()
-    # a previous compaction that died between its two renames may have
-    # left the old dir behind — clear it so this swap cannot fail
+    # a previous compaction that died AFTER its second rename may have
+    # left the old dir behind — clear it so this swap cannot fail (a
+    # death BETWEEN the renames is the recovery branch at the top)
     old = index_dir.rstrip("/") + "_compact_old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(index_dir, old)

@@ -579,8 +579,13 @@ def _duck_audio_hash_sql() -> str:
                CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS smp
         FROM samp
     ), win AS (
+        -- FULL 4-sample windows only (HAVING): the Python side builds
+        -- wins over range(n // 4) and drops the trailing partial
+        -- window — without this guard a clip whose sample count is
+        -- not a multiple of 4 would give the replay one extra
+        -- gradient bit and split the value hash
         SELECT media_id, sj // 4 AS wid, CAST(sum(smp * smp) AS BIGINT) AS e
-        FROM sgn GROUP BY 1, 2
+        FROM sgn GROUP BY 1, 2 HAVING count(*) = 4
     ), bits AS (
         SELECT w1.media_id, w1.wid AS i,
                CASE WHEN w2.e > w1.e THEN 1 ELSE 0 END AS bit

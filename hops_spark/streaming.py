@@ -526,7 +526,8 @@ def incremental_dedup_stream(stream_docs: DataFrame, state_dir: str,
     import os
 
     from hops_spark.ops.dedup import (dedup_state_parts,
-                                      incremental_flags_from_parts)
+                                      incremental_flags_from_parts,
+                                      intra_batch_dup_ids)
 
     part_names = ("digests", "sigs", "shingles")
 
@@ -545,10 +546,30 @@ def incremental_dedup_stream(stream_docs: DataFrame, state_dir: str,
         existing = tuple(
             spark.read.parquet(os.path.join(state_dir, n))
             for n in part_names)
-        flags = incremental_flags_from_parts(
+        store_flags = incremental_flags_from_parts(
             new_parts, existing, id_col=id_col, n_hashes=n_hashes,
             bands=bands, threshold=threshold,
-            max_bucket=max_bucket).localCheckpoint(eager=True)
+            max_bucket=max_bucket)
+        # WITHIN-batch duplicates: the asymmetric store pass never
+        # compares two same-batch arrivals, so without this both
+        # copies of an intra-batch duplicate would be kept and enter
+        # the store forever (first occurrence wins by id —
+        # ops/dedup.intra_batch_dup_ids)
+        intra = intra_batch_dup_ids(new_parts, id_col, n_hashes,
+                                    bands, threshold, max_bucket)
+        iex = F.coalesce("_iex", F.lit(False))
+        inr = F.coalesce("_inr", F.lit(False))
+        flags = (store_flags
+                 .join(intra.select(id_col,
+                                    F.col("exact_dup").alias("_iex"),
+                                    F.col("near_dup").alias("_inr")),
+                       id_col, "left")
+                 .select(id_col,
+                         (F.col("exact_dup") | iex).alias("exact_dup"),
+                         (F.col("near_dup") | inr).alias("near_dup"))
+                 .withColumn("is_kept",
+                             ~(F.col("exact_dup") | F.col("near_dup")))
+                 .localCheckpoint(eager=True))
         flags.write.mode("append").parquet(flags_dir)
         kept = flags.filter(F.col("is_kept")).select(id_col)
         for name, part in zip(part_names, new_parts):

@@ -271,3 +271,32 @@ def test_streaming_ann_ingest_equals_batch_build(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, top_s.select(*cols).collect())) \
         == sorted(map(tuple, top_b.select(*cols).collect()))
     assert cells_s == cells_b
+
+
+def test_compact_crash_between_renames_self_heals(spark, sf_dir, tmp_path):
+    """A compaction that died between rename(index, old) and
+    rename(staging, index) leaves no index dir; the next call must
+    roll the old sibling back and proceed normally."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = SIM.ivf_centroids(e, 8)
+    idx = str(tmp_path / "idx")
+    SIM.build_cell_index(e, cents, idx)
+    SIM.delete_from_cell_index(e.filter(F.col("vec_id") % 2 == 0), idx)
+    # simulate the mid-swap crash: index dir moved aside, no staging
+    os.rename(idx, idx + "_compact_old")
+    assert not os.path.isdir(idx)
+    stats = SIM.compact_cell_index(spark, idx, threshold=0.2)
+    assert os.path.isdir(idx) and stats["compacted"] is True
+    assert stats["n_after"] == stats["n_before"] - stats["n_tombstoned"]
+    q = (e.filter(F.col("vec_id") < 2)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    got, _cells = SIM.probe_cell_index(spark, idx, cents, q, k=3)
+    assert got.count() > 0

@@ -633,3 +633,18 @@ def test_video_frame_dhash_parser_and_planted_overlap(spark):
             a, b = H[g * 3 + i], H[g * 3 + k]
             assert sum(x == y for x, y in zip(a, b)) >= 6
     assert not any(H[0][f] == H[9][f2] for f in range(8) for f2 in range(8))
+
+
+def test_audio_energy_hash_drops_trailing_partial_window():
+    """Clips whose sample count is not a multiple of 4 must hash over
+    FULL windows only (the oracle's HAVING count(*) = 4 guard mirrors
+    this) — a 10-sample clip hashes identically to its 8-sample
+    truncation."""
+    from hops_spark.io.codecs import audio_energy_hash, wav_encode
+    import struct
+
+    samples = [100, -200, 300, -50, 7, 7, 7, 7, 999, -999]   # 10 samples
+    pcm10 = struct.pack("<10h", *samples)
+    pcm8 = struct.pack("<8h", *samples[:8])
+    assert audio_energy_hash(wav_encode(pcm10, 1, 2, 16000), "audio") == \
+        audio_energy_hash(wav_encode(pcm8, 1, 2, 16000), "audio")

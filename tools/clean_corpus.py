@@ -85,13 +85,20 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
         # the registered query).
         from hops_spark.ops.dedup import (FIXTURE_SENTENCE_SPLIT,
                                           boilerplate_strip)
+        # materialize once: the sentence explode + df aggregate feeds
+        # BOTH the counter collect and the corpus rewrite (lazy plans
+        # would re-run the stage per action)
         bp = boilerplate_strip(d.select("doc_id", "source", "text"),
-                               split_re=FIXTURE_SENTENCE_SPLIT)
+                               split_re=FIXTURE_SENTENCE_SPLIT) \
+            .localCheckpoint(eager=True)
         counts["boiler_sents_cut"] = bp.agg(
             F.sum(F.col("n_sents") - F.col("n_kept")).cast("long")
         ).collect()[0][0] or 0
-        d = (d.join(bp.select("doc_id", "clean_text"), "doc_id")
-              .withColumn("text", F.col("clean_text"))
+        # LEFT join + coalesce: a doc that yields zero sentences has no
+        # boilerplate_strip row (nothing to strip) — an inner join
+        # would silently delete it from the corpus uncounted
+        d = (d.join(bp.select("doc_id", "clean_text"), "doc_id", "left")
+              .withColumn("text", F.coalesce("clean_text", "text"))
               .withColumn("n_chars", F.length("text").cast("long"))
               .drop("clean_text"))
 
@@ -105,7 +112,10 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
         from hops_spark.ops.dedup import excise_spans, suffix_dup_spans
         spans = suffix_dup_spans(d, "doc_id", "text",
                                  min_tokens=8, prefix_cap=12)
-        ex = excise_spans(d, spans, "doc_id", "text")
+        # materialize once: the suffix-sort pipeline is the heaviest
+        # stage in the CLI and feeds both the counter and the rewrite
+        ex = excise_spans(d, spans, "doc_id", "text") \
+            .localCheckpoint(eager=True)
         d = (d.join(ex.select("doc_id", "n_cut", "clean_text"), "doc_id")
               .withColumn("text", F.col("clean_text"))
               .withColumn("n_chars", F.length("text").cast("long"))
@@ -180,7 +190,8 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
         from hops_spark.ops.dedup import contamination_spans, excise_spans
         bspans = contamination_spans(corpus, bench, "doc_id", "text",
                                      k=8, min_tokens=12)
-        bex = excise_spans(corpus, bspans, "doc_id", "text")
+        bex = excise_spans(corpus, bspans, "doc_id", "text") \
+            .localCheckpoint(eager=True)
         counts["bench_tokens_cut"] = bex.agg(
             F.sum("n_cut").cast("long")).collect()[0][0] or 0
         corpus = (corpus.join(bex.select("doc_id", "clean_text"), "doc_id")
