@@ -838,6 +838,41 @@ def intra_batch_dup_ids(parts: tuple[DataFrame, DataFrame, DataFrame],
                          F.coalesce("_nr", F.lit(False)).alias("near_dup")))
 
 
+def combined_incremental_flags(
+        new_parts: tuple[DataFrame, DataFrame, DataFrame],
+        existing_parts: tuple[DataFrame, DataFrame, DataFrame],
+        id_col: str = "doc_id", n_hashes: int = 16, bands: int = 4,
+        threshold: float = 0.8, max_bucket: int = 1000) -> DataFrame:
+    """Full per-micro-batch flag set of streaming incremental dedup:
+    the asymmetric store comparison (``incremental_flags_from_parts``)
+    OR'd with the within-batch pass (``intra_batch_dup_ids``) — a doc
+    is flagged if it duplicates the kept corpus OR a lower-id doc of
+    its own batch, and ``is_kept`` derives from the combined flags
+    (so only one copy of an intra-batch duplicate group can enter the
+    store). This is the SINGLE expression source for
+    ``streaming.incremental_dedup_stream`` and its batch-fold
+    equivalence test — the two cannot diverge (the round-8 lesson:
+    the stream grew the intra-batch pass while the test still folded
+    the plain store flags)."""
+    store_flags = incremental_flags_from_parts(
+        new_parts, existing_parts, id_col=id_col, n_hashes=n_hashes,
+        bands=bands, threshold=threshold, max_bucket=max_bucket)
+    intra = intra_batch_dup_ids(new_parts, id_col, n_hashes, bands,
+                                threshold, max_bucket)
+    iex = F.coalesce("_iex", F.lit(False))
+    inr = F.coalesce("_inr", F.lit(False))
+    return (store_flags
+            .join(intra.select(id_col,
+                               F.col("exact_dup").alias("_iex"),
+                               F.col("near_dup").alias("_inr")),
+                  id_col, "left")
+            .select(id_col,
+                    (F.col("exact_dup") | iex).alias("exact_dup"),
+                    (F.col("near_dup") | inr).alias("near_dup"))
+            .withColumn("is_kept",
+                        ~(F.col("exact_dup") | F.col("near_dup"))))
+
+
 def incremental_flags_from_parts(
         new_parts: tuple[DataFrame, DataFrame, DataFrame],
         existing_parts: tuple[DataFrame, DataFrame, DataFrame],

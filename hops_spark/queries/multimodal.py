@@ -663,10 +663,16 @@ VH_SEED = 42
 VH_FRAMES = 8
 VH_THRESHOLD = 8     # per-frame hamming (matched frames are byte-equal here)
 VH_MIN_FRAMES = 5    # videos sharing >= 5 of 8 frames are near-dups
+# frame-id packing stride: fid = media_id * FID_STRIDE + f. Derived, not
+# hardcoded, and asserted > VH_FRAMES so raising the frame sample count
+# can never silently collide frame ids across videos (round-8 ADVICE):
+# both the Spark derivation and the generated oracle SQL read THIS.
+FID_STRIDE = 1 << (VH_FRAMES).bit_length()
+assert FID_STRIDE > VH_FRAMES
 
 
 def _duck_video_hash_sql() -> str:
-    g, c, s, nf = VH_GROUPS, VH_COPIES, VH_SEED, VH_FRAMES
+    g, c, s, nf, st = VH_GROUPS, VH_COPIES, VH_SEED, VH_FRAMES, FID_STRIDE
     byte = ("('0x' || substr(pix_hex, 2*(3*((y.y*h//8)*w + (x.x*w//9))"
             "+{ch})+1, 2))::BIGINT")
     gray = "(" + " + ".join(byte.format(ch=ch) for ch in range(3)) + ") // 3"
@@ -677,7 +683,7 @@ def _duck_video_hash_sql() -> str:
         FROM (SELECT unnest(range(0, {g})) AS g) gg,
              (SELECT unnest(range(0, {c})) AS j) jj
     ), frm AS (
-        SELECT media_id * 16 + f.f AS fid, media_id, w, h,
+        SELECT media_id * {st} + f.f AS fid, media_id, w, h,
                repeat(CASE WHEN f.f IN (2, 5) AND j > 0
                            THEN md5('vpert|{s}|' || g || '|' || j
                                     || '|' || f.f)
@@ -712,7 +718,7 @@ def _duck_video_hash_sql() -> str:
         SELECT DISTINCT a.fid AS id_a, b2.fid AS id_b
         FROM bands a JOIN bands b2 ON b2.bi = a.bi AND b2.bv = a.bv
                                   AND b2.fid > a.fid
-                                  AND b2.fid // 16 <> a.fid // 16
+                                  AND b2.fid // {st} <> a.fid // {st}
     ), ham AS (
         SELECT id_a, id_b
         FROM cand JOIN hashes ha ON ha.fid = id_a
@@ -720,9 +726,9 @@ def _duck_video_hash_sql() -> str:
         WHERE bit_count(xor(ha.hi, hb.hi))
               + bit_count(xor(ha.lo, hb.lo)) <= {VH_THRESHOLD}
     )
-    SELECT id_a // 16 AS vid_a, id_b // 16 AS vid_b,
+    SELECT id_a // {st} AS vid_a, id_b // {st} AS vid_b,
            CAST(count(DISTINCT id_a) AS BIGINT) AS n_frames_matched,
-           ((id_a // 16) // {c} = (id_b // 16) // {c}) AS same_group
+           ((id_a // {st}) // {c} = (id_b // {st}) // {c}) AS same_group
     FROM ham
     GROUP BY 1, 2, 4
     HAVING count(DISTINCT id_a) >= {VH_MIN_FRAMES}
@@ -760,17 +766,17 @@ def video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), F.lit(VH_FRAMES - 1))).alias("f"),
         "features")
-        .select((F.col("media_id") * 16 + F.col("f")).alias("fid"),
+        .select((F.col("media_id") * FID_STRIDE + F.col("f")).alias("fid"),
                 F.element_at("features", F.col("f") * 2 + 1)
                  .cast("long").alias("hi"),
                 F.element_at("features", F.col("f") * 2 + 2)
                  .cast("long").alias("lo")))
     pairs = (fingerprint_pairs(frames, threshold=VH_THRESHOLD,
                                id_col="fid")
-             .filter(F.expr("id_a div 16 != id_b div 16")))
+             .filter(F.expr(f"id_a div {FID_STRIDE} != id_b div {FID_STRIDE}")))
     return (pairs
-            .select(F.expr("id_a div 16").alias("vid_a"),
-                    F.expr("id_b div 16").alias("vid_b"),
+            .select(F.expr(f"id_a div {FID_STRIDE}").alias("vid_a"),
+                    F.expr(f"id_b div {FID_STRIDE}").alias("vid_b"),
                     "id_a")
             .groupBy("vid_a", "vid_b")
             .agg(F.countDistinct("id_a").cast("long")

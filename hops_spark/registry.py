@@ -50,51 +50,46 @@ def register(name: str, sql: str | None = None, doc: str = "",
 # registration order after the listed ones; listed-but-unregistered names
 # are ignored (lets the list name queries added later in the round).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (10): avro_evolution (the r7 window's one
-    # hash-red row — a DECIMAL output-column representation bug, value-
-    # verified by the r7 judge; the sum_price column is now a rounded
-    # double and the decimal ban is structural) + the full r7
-    # NEXT_WINDOW_QUEUE, every row oracle-green at sf0.001 AND sf0.01
-    # locally AND in the judge's round-7 gate replica (VERDICT r7).
-    # Driving these closes the registry: 240/240 ever driver-green ---
-    "avro_evolution", "knn_graph_kcore", "distcp_preserve_plan",
-    "cms_quantiles", "shard_manifest", "mixture_schedule",
-    "xor_parity_audit", "rs_parity_audit", "rs_repair_audit",
-    "src_local_repair_audit",
-    # --- re-proofs: avro_roundtrip + avro_split_scan (io/avro.py codec
-    # sites refactored through the _codec_fns registry AFTER the r7
-    # rotation froze — their r6 green rows no longer certify the code);
-    # knn_gemm (r8 self-row pruning-mask fix in knn_bruteforce_gemm,
-    # round-7 ADVICE — its r7 green row predates the change) ---
-    "avro_roundtrip", "avro_split_scan", "knn_gemm",
-    # --- aging refresh, last-green-r3 (36 of the 37 remaining r3 rows,
-    # alphabetically first — the deterministic tier walk; only
-    # weighted_sample_docs defers to r9) ---
-    "distcp_plan_chunks", "distinct_rows", "doc_perplexity", "dup_spans",
-    "feature_hashing", "hash_surface", "incremental_dedup",
-    "ivf_refined_cells", "join_range_events", "knn_label_purity",
-    "knn_recall", "media_dedup", "media_resize", "meta_du_recursive",
-    "meta_subtree_rename", "mixture_plan", "multi_input_union",
-    "ngram_lm_counts", "normalize_text", "quality_filter_by_source",
-    "random_text_topwords", "random_writer_stats", "repetition_stats",
-    "salted_agg_revenue", "scan_md5_filter", "scan_nline_splits",
-    "scan_regex_filter", "semantic_dedup", "session_window_agg",
-    "set_except", "set_intersect", "source_token_budget",
-    "stratified_sample", "teragen_sorted", "teravalidate",
-    "tfidf_doc_pairs",
-    # --- flagship keeper (green r2..r7; stays in-window) ---
+    # --- never driver-checked (24): the full r8 NEXT_WINDOW_QUEUE —
+    # every row judge-verified green in the round-8 264/264 gate
+    # replica (VERDICT r8) and green in the local oracle replica at
+    # sf0.001 + sf0.01. Driving these re-closes the registry:
+    # 264/264 ever driver-green when it lands. The three media
+    # near-dup rows additionally certify the round-9 bucket-cap fix
+    # to ops/fingerprint.py (VERDICT r8 What's-wrong #2) ---
+    "exact_substring_spans", "ann_probe_delete", "span_excised_corpus",
+    "decontaminate_bloom", "linear_probe_train", "linear_probe_eval",
+    "pq_encode", "pq_adc_topk", "ivfpq_probe", "ivfpq_rerank",
+    "embedding_covariance", "ivfpq_residual", "decontaminate_spans",
+    "ann_index_stats", "mg_heavy_hitters", "boilerplate_strip",
+    "hybrid_rrf_retrieval", "phrase_search_postings",
+    "quality_budget_head", "image_dhash_neardup",
+    "audio_fingerprint_neardup", "video_frame_neardup",
+    "unigram_tokenize", "unigram_train_round",
+    # --- the one deferred last-green-r3 row (exhausts the r3 tier) ---
+    "weighted_sample_docs",
+    # --- aging refresh, last-green-r4 (alphabetically first 24 of the
+    # 48-row r4 tier — the deterministic tier walk continues) ---
+    "basket_pairs_lift", "bpe_merges", "cohort_retention",
+    "cube_revenue", "distcp_update_plan", "distribution_windows",
+    "equi_depth_bins", "exact_quantiles", "feature_store_pit",
+    "funnel_conversion", "grouped_outliers", "grouped_trend_ols",
+    "join_anti", "join_asof", "join_inner", "join_outer",
+    "join_override", "join_semi", "key_field_sort",
+    "media_decode_ppm", "media_resize_nn", "merge_upsert",
+    "meta_inline_read", "meta_rack_placement",
+    # --- flagship keeper (green r2..r8; stays in-window) ---
     "minhash_dedup_pairs",
 )
 # Cumulative hard-verification ledger (driver CORRECTNESS files):
 #  r1 green: TPC-H q1..q22, join/sort/setop/scan core
 #  r2 green: dedup/similarity/text/multimodal/pipeline/metadata/streaming
 #  r3..r7 green: 50/50 each round except r7's avro_evolution hash-red
-#  (decimal representation, value-correct — fixed this round).
-#  Union after r7: 230 distinct queries driver-green; avro_evolution is
-#  the only ever-checked query not green. r8 window (above): 10 never-
-#  green + 3 re-proofs + 36 last-green-r3 refreshes + keeper = 50 —
-#  full closure (every registered query ever driver-green) when it
-#  lands.
+#  (decimal representation, value-correct — fixed r8).
+#  r8 green: 50/50 — full closure of the 240 pre-r8 queries (every
+#  ever-registered query driver-green at least once).
+#  r9 window (above): the 24 r8 additions (never driver-checked) +
+#  weighted_sample_docs + 24 last-green-r4 refreshes + keeper = 50.
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -109,44 +104,10 @@ def load_all() -> dict[str, QuerySpec]:
 # (the window guard test enforces that overflow never-green queries are
 # exactly this queue).
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    # round-8 registrations land here as they are verified
-    "exact_substring_spans",   # suffix-array-grade ExactSubstr dedup
-    "ann_probe_delete",        # index lifecycle: tombstone + compact
-    "span_excised_corpus",     # duplicate-span excision (cleaning step)
-    "decontaminate_bloom",     # bloom-prefiltered exact decontamination
-    "linear_probe_train",      # fixed-point GD classifier: training replay
-    "linear_probe_eval",       # ... and its confusion matrix
-    "pq_encode",               # product quantization: train + packed codes
-    "pq_adc_topk",             # ... and the ADC probe ranking
-    "ivfpq_probe",             # IVF-PQ serving index: pruned cells + ADC
-    "ivfpq_rerank",            # two-stage serving: ADC shortlist + exact rerank
-    "embedding_covariance",    # fixed-point PCA input (whitening rides pytest)
-    "ivfpq_residual",          # IVFADC proper: residual codebooks + per-cell ADC
-    "decontaminate_spans",     # substring-level decontamination (strict form)
-    "ann_index_stats",         # serving-index cell-balance observability
-    "mg_heavy_hitters",        # Misra–Gries mergeable heavy-hitter summary
-    "boilerplate_strip",       # CCNet per-source boilerplate removal
-    "hybrid_rrf_retrieval",    # BM25 + dense MIPS, reciprocal-rank fusion
-    "phrase_search_postings",  # posting-list intersection phrase search
-    "quality_budget_head",     # quality-ranked token-budget selection
-    "image_dhash_neardup",     # perceptual image near-dup (dHash + bands)
-    "audio_fingerprint_neardup",  # acoustic near-dup (energy-gradient hash)
-    "video_frame_neardup",     # edited-clip detection (frame-set overlap)
-    "unigram_tokenize",        # SentencePiece-style Viterbi segmentation
-    "unigram_train_round",     # hard-EM piece re-estimation (M-step)
+    # round-9 registrations land here as they are verified
 )
-# Round-9 rotation plan: once CORRECTNESS_r08 lands green, fill freed
-# slots FIRST with this queue (24 rows — the r8 additions: substring
-# pipeline, ANN lifecycle, bloom/substring decontamination, linear
-# probe, the PQ/IVFPQ/IVFADC family, covariance, index stats, the
-# late-session ten: MG summary, boilerplate, hybrid RRF, postings
-# phrase, budget head, image/audio/video perceptual dedup, unigram
-# tokenize + EM round), THEN
-# any round-8 REPROVE set (dup_spans was refactored through
-# _gram_rows/_gram_islands AFTER the r8 window froze, but it sits IN
-# that window, so its r8 row already certifies the refactor), THEN
-# weighted_sample_docs (the one last-green-r3 row deferred from the r8
-# window), THEN the last-green-r4 tier alphabetically (48 rows:
-# basket_pairs_lift, bpe_merges, cohort_retention, cube_revenue, ...);
-# keep the keeper; re-prove anything whose implementation changes after
-# this rotation froze.
+# Round-10 rotation plan: fill freed slots FIRST with this queue, THEN
+# any round-9 REPROVE set (queries whose implementation changed after
+# the r9 window froze), THEN the remaining last-green-r4 tier
+# alphabetically (24 rows, meta_time_travel .. zorder_layout), THEN
+# the last-green-r5 tier; keep the keeper.

@@ -519,15 +519,17 @@ def incremental_dedup_stream(stream_docs: DataFrame, state_dir: str,
     with the deduplicated corpus, never with stream volume (every
     duplicate is flagged and dropped), and per-batch cost is
     batch-size x matched-candidates, independent of history size
-    beyond the banded bucket join. The drained flags equal folding
-    incremental_dedup_flags batch-by-batch over the same ingest order
-    (asserted in tests/test_streaming.py). Returns the unstarted
-    writer."""
+    beyond the banded bucket join. The drained flags equal folding the
+    SAME combined derivation (store flags OR intra-batch flags —
+    ops/dedup.combined_incremental_flags, the single expression source
+    for stream and fold) batch-by-batch over the same ingest order
+    (asserted in tests/test_streaming.py); note the contract is NOT
+    the plain incremental_dedup_flags fold, which never compares two
+    same-batch arrivals. Returns the unstarted writer."""
     import os
 
-    from hops_spark.ops.dedup import (dedup_state_parts,
-                                      incremental_flags_from_parts,
-                                      intra_batch_dup_ids)
+    from hops_spark.ops.dedup import (combined_incremental_flags,
+                                      dedup_state_parts)
 
     part_names = ("digests", "sigs", "shingles")
 
@@ -546,30 +548,15 @@ def incremental_dedup_stream(stream_docs: DataFrame, state_dir: str,
         existing = tuple(
             spark.read.parquet(os.path.join(state_dir, n))
             for n in part_names)
-        store_flags = incremental_flags_from_parts(
+        # store flags OR within-batch flags (the asymmetric store pass
+        # never compares two same-batch arrivals; without the intra
+        # pass both copies of an intra-batch duplicate would be kept
+        # and enter the store forever) — one shared derivation with
+        # the batch-fold equivalence test
+        flags = combined_incremental_flags(
             new_parts, existing, id_col=id_col, n_hashes=n_hashes,
             bands=bands, threshold=threshold,
-            max_bucket=max_bucket)
-        # WITHIN-batch duplicates: the asymmetric store pass never
-        # compares two same-batch arrivals, so without this both
-        # copies of an intra-batch duplicate would be kept and enter
-        # the store forever (first occurrence wins by id —
-        # ops/dedup.intra_batch_dup_ids)
-        intra = intra_batch_dup_ids(new_parts, id_col, n_hashes,
-                                    bands, threshold, max_bucket)
-        iex = F.coalesce("_iex", F.lit(False))
-        inr = F.coalesce("_inr", F.lit(False))
-        flags = (store_flags
-                 .join(intra.select(id_col,
-                                    F.col("exact_dup").alias("_iex"),
-                                    F.col("near_dup").alias("_inr")),
-                       id_col, "left")
-                 .select(id_col,
-                         (F.col("exact_dup") | iex).alias("exact_dup"),
-                         (F.col("near_dup") | inr).alias("near_dup"))
-                 .withColumn("is_kept",
-                             ~(F.col("exact_dup") | F.col("near_dup")))
-                 .localCheckpoint(eager=True))
+            max_bucket=max_bucket).localCheckpoint(eager=True)
         flags.write.mode("append").parquet(flags_dir)
         kept = flags.filter(F.col("is_kept")).select(id_col)
         for name, part in zip(part_names, new_parts):
@@ -756,12 +743,15 @@ def mg_hitters_stream(stream_docs: DataFrame, state_dir: str,
     summary as state — the streaming twin of ops/sketch.
     mg_sharded_summary, foreachBatch like incremental_dedup_stream
     (the truncation step is not an incremental aggregate, so this is
-    not a plain streaming groupBy): per batch, (1) the batch's exact
-    token histogram (one keyed aggregate — an MG summary with zero
-    error), (2) truncate to MG(k), (3) mg_merge into the stored
-    summary (sum + truncate — Agarwal et al. 2012 §3.1: the error
-    telescopes to ≤ n_seen/(k+1) under any merge tree, so a
-    batch-at-a-time left fold is covered), (4) overwrite the store
+    not a plain streaming groupBy): per batch, (1) the batch's MG(k)
+    summary via the hash-sharded truncate-and-merge tree
+    (ops/sketch.mg_hashed_summary — per-shard exact histograms, never
+    a single-partition sort of the batch vocabulary; the derivation
+    shared with the batch-fold equivalence test), (2) mg_merge into
+    the stored summary (sum + truncate — Agarwal et al. 2012 §3.1:
+    the error telescopes to ≤ n_seen/(k+1) under ANY merge tree, so
+    a batch-at-a-time left fold over hash-sharded per-batch trees is
+    covered), (3) overwrite the store
     (merged summary materializes via localCheckpoint first, so the
     write never races its own read). State is ≤ k rows FOREVER —
     constant-size monitoring of an unbounded stream; per-batch cost
@@ -770,19 +760,15 @@ def mg_hitters_stream(stream_docs: DataFrame, state_dir: str,
     tests/test_streaming.py)."""
     import os
 
-    from hops_spark.ops.sketch import mg_merge, mg_truncate
+    from hops_spark.ops.sketch import mg_hashed_summary, mg_merge
     from hops_spark.ops.text import words
 
     def upd(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        hist = (batch_df.select(F.explode(words(text_col)).alias("term"))
-                        .groupBy("term")
-                        .agg(F.count("*").cast("long").alias("c"))
-                        .withColumn("_shard", F.lit(0)))
-        batch_summ = mg_truncate(hist, "_shard", "term", "c", k) \
-            .drop("_shard")
+        toks = batch_df.select(F.explode(words(text_col)).alias("term"))
+        batch_summ = mg_hashed_summary(toks, "term", k=k)
         if os.path.isdir(state_dir):
             state = spark.read.parquet(state_dir)
             merged = mg_merge(state, batch_summ, "term", "c", k)
@@ -811,11 +797,15 @@ def media_ingest_dedup_stream(stream_media: DataFrame, state_dir: str,
     — a billion-image store is ~16 GB of parquet, band-partitionable;
     per-batch cost is batch-size x banded-bucket candidates,
     independent of history beyond the band join. Flags materialize
-    before the store append so step 4 never races the read."""
+    before the store append so step 4 never races the read. Flags
+    come from ops/fingerprint.fingerprint_dup_ids — the LINEAR-output
+    form (a micro-batch of a million identical silent clips yields a
+    million-1 flag rows, never the pairwise expansion; equivalence
+    with the pair op is pytest-asserted)."""
     import os
 
     from hops_spark.io.multimodal import extract_features
-    from hops_spark.ops.fingerprint import fingerprint_pairs
+    from hops_spark.ops.fingerprint import fingerprint_dup_ids
 
     def upd(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -826,13 +816,11 @@ def media_ingest_dedup_stream(stream_media: DataFrame, state_dir: str,
                           F.col("features")[0].cast("long").alias("hi"),
                           F.col("features")[1].cast("long").alias("lo"))
                   .localCheckpoint(eager=True))
-        dup_ids = fingerprint_pairs(hashes, threshold=threshold) \
-            .select(F.col("id_b").alias("media_id"))
+        dup_ids = fingerprint_dup_ids(hashes, threshold=threshold)
         if os.path.isdir(state_dir):
             store = spark.read.parquet(state_dir)
             dup_ids = dup_ids.unionByName(
-                fingerprint_pairs(hashes, store, threshold=threshold)
-                .select(F.col("id_a").alias("media_id")))
+                fingerprint_dup_ids(hashes, store, threshold=threshold))
         flags = (hashes.join(dup_ids.distinct()
                              .withColumn("_dup", F.lit(True)),
                              "media_id", "left")

@@ -531,27 +531,45 @@ def test_shard_manifest_stream_equals_batch(spark, sf_dir):
 
 def test_incremental_dedup_stream_folds_like_batch(spark, sf_dir, tmp_path):
     """Streaming incremental dedup (foreachBatch + signature store as
-    state): drained flags must equal folding the BATCH operator
-    sequentially over the same micro-batches — including a doc in
-    batch 2 duplicating a doc KEPT from batch 1 (the store-append
-    path), and duplicates of the seeded corpus flagged in batch 1."""
+    state): drained flags must equal folding the COMBINED derivation
+    (store flags OR intra-batch flags — the stream's own
+    ops/dedup.combined_incremental_flags, NOT the plain batch
+    operator, which never compares two same-batch arrivals)
+    sequentially over the same micro-batches. Planted paths: a dup of
+    the seeded corpus in batch 1 (store path), a batch-2 dup of a doc
+    KEPT in batch 1 (store-append path), an INTRA-batch duplicate pair
+    in batch 1 (keeper = lower id, victim flagged, only the keeper's
+    parts enter the store), and a batch-2 dup of that intra keeper
+    (flags via the store — proving the victim was excluded but the
+    keeper appended)."""
     from pyspark.sql import functions as F
 
     from hops_spark.io.readers import load_table
-    from hops_spark.ops.dedup import incremental_dedup_flags
+    from hops_spark.ops.dedup import (combined_incremental_flags,
+                                      dedup_state_parts)
     from hops_spark.streaming import incremental_dedup_stream, seed_dedup_state
 
     docs = load_table(spark, sf_dir, "documents") \
         .select("doc_id", "text")
     existing = docs.filter(F.col("doc_id") % 3 == 0)
-    # batch 1: fresh docs + one exact copy of an EXISTING doc
+    fresh1 = docs.filter(F.col("doc_id") % 3 == 1)
+    # batch 1: fresh docs + one exact copy of an EXISTING doc + an
+    # exact copy of a FRESH batch-1 doc (the intra-batch pair: the
+    # original is the keeper by lower id, the +300000 copy the victim)
     copy_of_existing = existing.orderBy("doc_id").limit(1).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text")
-    b1 = docs.filter(F.col("doc_id") % 3 == 1).unionByName(copy_of_existing)
+    intra_src = fresh1.orderBy("doc_id").limit(2).orderBy(F.desc("doc_id")).limit(1)
+    intra_victim = intra_src.select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text")
+    b1 = fresh1.unionByName(copy_of_existing).unionByName(intra_victim)
     # batch 2: fresh docs + one exact copy of a doc KEPT in batch 1
-    kept_b1_doc = docs.filter(F.col("doc_id") % 3 == 1).orderBy("doc_id").limit(1).select(
+    # + one exact copy of the intra-batch KEEPER (store path again)
+    kept_b1_doc = fresh1.orderBy("doc_id").limit(1).select(
         (F.col("doc_id") + 200000).alias("doc_id"), "text")
-    b2 = docs.filter(F.col("doc_id") % 3 == 2).unionByName(kept_b1_doc)
+    dup_of_intra_keeper = intra_src.select(
+        (F.col("doc_id") + 400000).alias("doc_id"), "text")
+    b2 = (docs.filter(F.col("doc_id") % 3 == 2)
+              .unionByName(kept_b1_doc).unionByName(dup_of_intra_keeper))
 
     state = str(tmp_path / "state")
     flags_dir = str(tmp_path / "flags")
@@ -572,32 +590,46 @@ def test_incremental_dedup_stream_folds_like_batch(spark, sf_dir, tmp_path):
     cols = ("doc_id", "exact_dup", "near_dup", "is_kept")
     got = sorted(tuple(r) for r in
                  spark.read.parquet(flags_dir).select(*cols).collect())
-    # reference: the batch operator folded sequentially with the same
-    # store updates (existing grows by each batch's kept docs)
-    f1 = incremental_dedup_flags(b1, existing)
+    # reference: the stream's OWN combined derivation (store flags OR
+    # intra-batch flags) folded sequentially with the same store
+    # updates — existing grows by each batch's COMBINED-kept docs
+    f1 = combined_incremental_flags(dedup_state_parts(b1),
+                                    dedup_state_parts(existing))
     kept1 = b1.join(f1.filter(F.col("is_kept")).select("doc_id"),
                     "doc_id", "left_semi")
-    f2 = incremental_dedup_flags(b2, existing.unionByName(kept1))
+    f2 = combined_incremental_flags(
+        dedup_state_parts(b2),
+        dedup_state_parts(existing.unionByName(kept1)))
     want = sorted(tuple(r) for r in
                   f1.unionByName(f2).select(*cols).collect())
     assert got == want and len(got) == b1.count() + b2.count()
     # the planted duplicates were flagged through the right path
     by_id = {r[0]: r for r in got}
     planted_exist = existing.orderBy("doc_id").limit(1).collect()[0]["doc_id"] + 100000
-    planted_kept = docs.filter(F.col("doc_id") % 3 == 1) \
-                       .orderBy("doc_id").limit(1).collect()[0]["doc_id"] + 200000
-    assert by_id[planted_exist][1] is True      # dup of seeded corpus
-    assert by_id[planted_kept][1] is True       # dup of batch-1 keeper
+    first_fresh = fresh1.orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    intra_keeper = intra_src.collect()[0]["doc_id"]
+    assert by_id[planted_exist][1] is True          # dup of seeded corpus
+    assert by_id[first_fresh + 200000][1] is True   # dup of batch-1 keeper
+    # intra-batch pair: keeper kept, same-batch victim flagged
+    assert by_id[intra_keeper][3] is True
+    assert by_id[intra_keeper + 300000][1] is True
+    # batch-2 dup of the intra KEEPER flags via the store — the
+    # keeper's parts were appended, the victim's were not (if the
+    # victim had entered the store this would still flag, but the
+    # keeper-kept assertion above plus equivalence pins the fold)
+    assert by_id[intra_keeper + 400000][1] is True
 
 
 def test_mg_hitters_stream_folds_like_batch(spark, sf_dir, tmp_path):
-    """Drained MG state must equal the sequential batch fold (batch
-    histogram -> truncate -> merge) over the same micro-batches, stay
-    <= k rows, and keep the n/(k+1) undercount guarantee cumulatively."""
+    """Drained MG state must equal the sequential batch fold (per-batch
+    hash-sharded MG summary -> merge; mg_hashed_summary is the SHARED
+    derivation, so batch and stream cannot diverge) over the same
+    micro-batches, stay <= k rows, and keep the n/(k+1) undercount
+    guarantee cumulatively."""
     from pyspark.sql import functions as F
 
     from hops_spark.io.readers import load_table
-    from hops_spark.ops.sketch import mg_merge, mg_truncate
+    from hops_spark.ops.sketch import mg_hashed_summary, mg_merge
     from hops_spark.ops.text import words
     from hops_spark.streaming import mg_hitters_stream
 
@@ -622,10 +654,8 @@ def test_mg_hitters_stream_folds_like_batch(spark, sf_dir, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(state).collect())
 
     def summ(df):
-        h = (df.select(F.explode(words("text")).alias("term"))
-               .groupBy("term").agg(F.count("*").cast("long").alias("c"))
-               .withColumn("_shard", F.lit(0)))
-        return mg_truncate(h, "_shard", "term", "c", k).drop("_shard")
+        toks = df.select(F.explode(words("text")).alias("term"))
+        return mg_hashed_summary(toks, "term", k=k)
 
     want_df = mg_merge(summ(b1), summ(b2), k=k)
     want = sorted(tuple(r) for r in want_df.collect())

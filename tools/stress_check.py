@@ -399,6 +399,52 @@ def main() -> int:
              and distortion == 0)
     t_pq = time.time() - t0
 
+    # --- media fingerprint dedup at 133k items with a 100k
+    # boilerplate mass (tier 13, round 9 — the cap fix's honest-scale
+    # proof): 100k IDENTICAL black-frame fingerprints (one distinct
+    # fingerprint after the collapse — the pre-fix band join would
+    # have built 10^10 candidate rows from this alone), 30k distinct
+    # items whose four 16-bit bands all equal their 1-based index
+    # (any two items share NO band and sit >= 4 bits apart — zero
+    # candidates by construction), 500 planted near-dup copies
+    # (bands 0/3 get bit 15 flipped -> hamming 2, found via untouched
+    # bands 1/2; idx <= 30000 < 0x8000 keeps the flipped values out
+    # of the item set), and a 2000-member HOT BAND group (constant
+    # band-0 value, unique other bands, adjacent members within
+    # hamming 8) discoverable ONLY through the hot band — the
+    # max_bucket=1000 cap must drop that band entirely, so the
+    # closed-form flag set is EXACTLY boilerplate-minus-min +
+    # planted copies: 100,499 rows. Uses the LINEAR flag form
+    # (fingerprint_dup_ids, the streaming path); output equality is
+    # exact, runtime bounds the candidate volume.
+    from hops_spark.ops.fingerprint import fingerprint_dup_ids
+    t0 = time.time()
+    n_boiler, n_items, n_copies, n_hot = 100_000, 30_000, 500, 2_000
+    c0 = n_boiler + n_items            # first copy id
+    h0 = c0 + n_copies                 # first hot id
+    n_media = h0 + n_hot
+    mid = F.col("id")
+    idx = (mid - n_boiler + 1)                      # items: 1..30000
+    s_ = (mid - c0 + 1)                             # copies: source idx
+    u_ = (mid - h0 + 40_000)                        # hot: unique bands
+    hi = (F.when(mid < n_boiler, F.lit(0))
+           .when(mid < c0, idx * 65536 + idx)
+           .when(mid < h0, s_.bitwiseOR(F.lit(0x8000)) * 65536 + s_)
+           .otherwise(F.lit(0x7FFF) * 65536 + u_)).cast("long")
+    lo = (F.when(mid < n_boiler, F.lit(0))
+           .when(mid < c0, idx * 65536 + idx)
+           .when(mid < h0, s_ * 65536 + s_.bitwiseOR(F.lit(0x8000)))
+           .otherwise(u_ * 65536 + u_)).cast("long")
+    media_fp = spark.range(0, n_media, 1, parts).select(
+        mid.alias("media_id"), hi.alias("hi"), lo.alias("lo"))
+    got_flags = {r["media_id"] for r in
+                 fingerprint_dup_ids(media_fp, threshold=8,
+                                     max_bucket=1000).collect()}
+    want_flags = (set(range(1, n_boiler))
+                  | set(range(c0, c0 + n_copies)))
+    media_ok = got_flags == want_flags
+    t_media = time.time() - t0
+
     out = {"job": "stress_check", "n_rows": n, "n_partitions": parts,
            "rank_ok": bool(rank_ok), "rank_sec": round(t_rank, 1),
            "prefix_sum_ok": bool(ps_ok), "prefix_sum_sec": round(t_ps, 1),
@@ -417,11 +463,13 @@ def main() -> int:
            "triangle_hub_sec": round(t_tri, 1),
            "substring_spans_ok": bool(spans_ok),
            "substring_spans_sec": round(t_spans, 1),
-           "pq_1m_ok": bool(pq_ok), "pq_1m_sec": round(t_pq, 1)}
+           "pq_1m_ok": bool(pq_ok), "pq_1m_sec": round(t_pq, 1),
+           "media_fp_ok": bool(media_ok),
+           "media_fp_sec": round(t_media, 1)}
     print(json.dumps(out))
     return 0 if all((rank_ok, ps_ok, skew_ok, dedup_ok, inc_ok,
                      ann_ok, meta_ok, tl_ok, wj_ok, tri_ok,
-                     spans_ok, pq_ok)) else 1
+                     spans_ok, pq_ok, media_ok)) else 1
 
 
 if __name__ == "__main__":
