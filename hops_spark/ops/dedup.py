@@ -575,9 +575,21 @@ def contamination_spans(corpus: DataFrame, benchmark: DataFrame,
             .filter(F.col("span_tokens") >= min_tokens))
 
 
+#: Auto-switch threshold for the dictionary-encoded suffix payload:
+#: above this many corpus tokens the suffix shuffle carries
+#: order-preserving int codes instead of token strings (identical
+#: output — proven on the stress tier). Measured crossover (SCALE.md
+#: note 88): at 270k tokens the encode overhead loses (2.9 vs 4.5 s
+#: warm), at 4M tokens the code path wins 1.4-3x (14.4 vs 20-46 s)
+#: and keeps winning as the payload ratio (~8 B vs ~34 B/token)
+#: dominates — so the switch sits between the two datapoints.
+SUFFIX_DICT_TOKENS = 2_000_000
+
+
 def suffix_dup_spans(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", min_tokens: int = 50,
-                     prefix_cap: int | None = None) -> DataFrame:
+                     prefix_cap: int | None = None,
+                     dict_encode: bool | None = None) -> DataFrame:
     """EXACT-substring duplicate spans, suffix-array grade — the
     distributed form of Lee et al. 2022 ("Deduplicating Training Data
     Makes Language Models Better") §4.2's ExactSubstr: find every
@@ -621,10 +633,21 @@ def suffix_dup_spans(df: DataFrame, id_col: str = "doc_id",
     the same order); every stage is key-partitioned (range on skey,
     hash on rank, keyed max, per-doc window) with no pair
     materialization, so a boilerplate passage selects suffix rows but
-    cannot multiply them. For production corpora, dictionary-encoding
-    tokens to order-preserving int ranks before step 2 shrinks the
-    shuffle ~3-5x; kept as strings here so the relational oracle
-    replays comparisons verbatim.
+    cannot multiply them.
+
+    ``dict_encode``: carry the suffix keys as ORDER-PRESERVING INT
+    CODES instead of token strings — one extra vocab-sized total-order
+    rank (tokens sorted once; Heaps'-law bounded) plus one keyed join
+    re-encodes every doc, then the range exchange, the rank sort, and
+    the adjacency join all ship ~8 bytes/token instead of the full
+    token text. Output is IDENTICAL by construction: the code map is a
+    strict order isomorphism on the vocabulary, so the suffix order is
+    the same permutation and code-LCP == token-LCP at every adjacent
+    pair (asserted against the string path on the 4M-suffix stress
+    tier). Default ``None`` auto-enables above ``SUFFIX_DICT_TOKENS``
+    corpus tokens (one narrow token-count pass — noise next to the
+    suffix sort itself); the relational oracle stays valid either way
+    because the OUTPUT, not the intermediate key, is what it replays.
 
     Returns (id, span_start, span_end, span_tokens): 0-based inclusive
     token ranges a cleaning pass would cut."""
@@ -638,6 +661,21 @@ def suffix_dup_spans(df: DataFrame, id_col: str = "doc_id",
     bound = (fan_out(df, id_col)
              .select(F.col(id_col),
                      F.explode(F.array(words(text_col))).alias("_w")))
+    if dict_encode is None:
+        n_tokens = (bound.agg(F.sum(F.size("_w"))).collect()[0][0]) or 0
+        dict_encode = n_tokens > SUFFIX_DICT_TOKENS
+    if dict_encode:
+        tok_rows = bound.select(F.col(id_col),
+                                F.posexplode("_w").alias("_tp", "_tok"))
+        codes = total_order_rank(tok_rows.select("_tok").distinct(),
+                                 "_tok", rank_col="_code")
+        bound = (tok_rows.join(codes, "_tok")
+                 .groupBy(id_col)
+                 .agg(F.array_sort(F.collect_list(
+                     F.struct("_tp", "_code"))).alias("_pc"))
+                 .select(F.col(id_col),
+                         F.transform("_pc", lambda s: s["_code"])
+                          .alias("_w")))
     w = F.col("_w")
     starts = F.when(F.size(w) >= L,
                     F.sequence(F.lit(1), F.size(w) - (L - 1))
@@ -682,6 +720,15 @@ def suffix_dup_spans(df: DataFrame, id_col: str = "doc_id",
                .agg(F.max("_lcp").alias("dup_len"))
                .filter(F.col("dup_len") >= L)
                .withColumn("_end", F.col("pos") + F.col("dup_len") - 1))
+    return _interval_islands(dup, id_col)
+
+
+def _interval_islands(dup: DataFrame, id_col: str) -> DataFrame:
+    """Merge (id, pos, _end) token intervals into maximal spans by
+    INTERVAL UNION (overlapping or touching intervals coalesce — the
+    union-of-windows semantics of Lee et al. 2022, contrast
+    ``_gram_islands``' stride-1 runs): per-doc window keyed on the doc
+    — never a global sort."""
     ws = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max("_end").over(ws.rowsBetween(Window.unboundedPreceding, -1))
     return (dup.withColumn("_new", F.when(
@@ -695,6 +742,66 @@ def suffix_dup_spans(df: DataFrame, id_col: str = "doc_id",
                .withColumn("span_tokens",
                            F.col("span_end") - F.col("span_start") + 1)
                .select(id_col, "span_start", "span_end", "span_tokens"))
+
+
+def contamination_exact_spans(corpus: DataFrame, benchmark: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              min_tokens: int = 12) -> DataFrame:
+    """COLLISION-FREE substring-level decontamination — the
+    suffix-grade guarantee of ``suffix_dup_spans`` applied
+    cross-corpus (Lee et al. 2022 decontaminate train-vs-eval with the
+    same ExactSubstr machinery): maximal corpus spans whose tokens
+    appear VERBATIM in the benchmark at length >= ``min_tokens``,
+    with no hashing anywhere — ``contamination_spans`` keys its semi
+    join on md5 k-gram fingerprints (collisions possible, stride-run
+    merge), this keys on the EXACT L-token text.
+
+    Why no suffix sort is needed cross-corpus: a shared substring of
+    length >= L contains a shared exact L-gram at every offset, and
+    anything shorter is below threshold by definition — so exact
+    L-gram equality (L = min_tokens) is both necessary and sufficient,
+    and the flagged positions' INTERVAL UNION ([pos, pos+L-1] windows
+    merged where overlapping/touching — ``_interval_islands``, the
+    suffix_dup_spans merge, not stride-1 runs) reconstructs every
+    maximal contaminated region exactly. The total-order suffix rank
+    buys its keep only for SELF-dedup, where the other side is the
+    whole corpus and per-position maximal match lengths vary; across
+    corpora the threshold is fixed and the semi-join form wins: one
+    map-only gram emit per side, benchmark grams reduced DISTINCT
+    (bounded by the eval suite), one keyed semi join (hot benchmark
+    boilerplate SELECTS corpus rows, never multiplies them), one
+    per-doc window. The join key is the raw L-token string
+    (whitespace-joined — injective over whitespace-split tokens), so
+    the shuffle ships ~L tokens per corpus position, the same payload
+    suffix rows carry at prefix_cap=L; at the 10^8-gram benchmark
+    scale the decontaminate_bloom bitmask composes in front of the
+    semi join exactly as it does for the fingerprint form.
+
+    Returns (id, span_start, span_end, span_tokens) — excise_spans
+    composes directly."""
+    L = min_tokens
+
+    def _grams(df: DataFrame) -> DataFrame:
+        bound = df.select(F.col(id_col),
+                          F.explode(F.array(words(text_col))).alias("_w"))
+        w = F.col("_w")
+        starts = F.when(F.size(w) >= L,
+                        F.sequence(F.lit(1), F.size(w) - (L - 1))
+                        ).otherwise(F.array().cast("array<int>"))
+        gram = F.transform(starts,
+                           lambda i: F.struct(
+                               (i - 1).cast("long").alias("pos"),
+                               F.concat_ws(" ", F.slice(w, i, L)).alias("g")))
+        return (bound.select(F.col(id_col), F.explode(gram).alias("x"))
+                     .select(id_col, F.col("x.pos").alias("pos"),
+                             F.col("x.g").alias("g")))
+
+    cg = _grams(corpus)
+    bg = _grams(benchmark).select("g").distinct()
+    flagged = (cg.join(bg, "g", "left_semi")
+                 .withColumn("_end", F.col("pos") + F.lit(L - 1)))
+    return _interval_islands(flagged.select(id_col, "pos", "_end"), id_col)
 
 
 def excise_spans(df: DataFrame, spans: DataFrame,

@@ -1088,3 +1088,63 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   k=DECON_SPAN_K,
                                   min_tokens=DECON_SPAN_MIN)
              .orderBy("doc_id", "span_start"))
+
+
+@register(
+    "decontaminate_exact_spans",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, source, {{DW}} AS w FROM documents
+    ), grams AS (
+        SELECT doc_id, (i.i - 1)::BIGINT AS pos,
+               array_to_string(w[i.i : i.i + {DECON_SPAN_MIN - 1}], ' ') AS g
+        FROM wt, LATERAL (SELECT unnest(range(1,
+                 greatest(len(w) - {DECON_SPAN_MIN - 1}, 0) + 1)) AS i) i
+        WHERE source <> 'src0'
+    ), bgrams AS (
+        SELECT DISTINCT
+               array_to_string(w[i.i : i.i + {DECON_SPAN_MIN - 1}], ' ') AS g
+        FROM wt, LATERAL (SELECT unnest(range(1,
+                 greatest(len(w) - {DECON_SPAN_MIN - 1}, 0) + 1)) AS i) i
+        WHERE source = 'src0'
+    ), dup AS (
+        SELECT gr.doc_id, gr.pos,
+               gr.pos + {DECON_SPAN_MIN - 1} AS e
+        FROM grams gr JOIN bgrams USING (g)
+    ), flagged AS (
+        SELECT doc_id, pos, e,
+               CASE WHEN pos <= max(e) OVER (PARTITION BY doc_id
+                        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) + 1
+                    THEN 0 ELSE 1 END AS newf
+        FROM dup
+    ), sp AS (
+        SELECT doc_id, pos, e,
+               sum(newf) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    )
+    SELECT doc_id, min(pos)::BIGINT AS span_start,
+           max(e)::BIGINT AS span_end,
+           (max(e) - min(pos) + 1)::BIGINT AS span_tokens
+    FROM sp GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="COLLISION-FREE substring decontamination "
+        "(ops/dedup.contamination_exact_spans): the suffix-grade "
+        "guarantee cross-corpus — exact L-token grams (L=12) as the "
+        "semi-join key instead of md5 fingerprints (a shared "
+        "substring >= L shares an exact L-gram at every offset, so "
+        "no suffix sort is needed across corpora), flagged windows "
+        "merged by INTERVAL UNION into maximal verbatim benchmark "
+        "passages. The oracle replays the exact gram text and the "
+        "running-max island merge relationally.",
+    tags=("dedup", "north-star"),
+)
+def decontaminate_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+    return (D.contamination_exact_spans(corpus, bench, "doc_id", "text",
+                                        min_tokens=DECON_SPAN_MIN)
+             .orderBy("doc_id", "span_start"))

@@ -105,6 +105,7 @@ def load_all() -> dict[str, QuerySpec]:
 # exactly this queue).
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # round-9 registrations land here as they are verified
+    "decontaminate_exact_spans",  # collision-free cross-corpus spans
 )
 # Round-10 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-9 REPROVE set (queries whose implementation changed after

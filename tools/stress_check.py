@@ -338,11 +338,21 @@ def main() -> int:
         F.col("id").alias("doc_id"),
         F.concat_ws(" ", *[_sword(w) for w in range(40)]).alias("text"))
     got_spans = {tuple(r) for r in suffix_dup_spans(
-        sdocs, min_tokens=12, prefix_cap=16).collect()}
+        sdocs, min_tokens=12, prefix_cap=16, dict_encode=False).collect()}
     want_spans = ({(i, 10, 29, 20) for i in range(n_span_pairs)}
                   | {(shalf + i, 5, 24, 20) for i in range(n_span_pairs)})
     spans_ok = got_spans == want_spans
     t_spans = time.time() - t0
+    # dictionary-encoded payload (round-9, SCALE.md note 88): the
+    # order-isomorphic int-code path must return the IDENTICAL span
+    # set at the 4M-suffix scale; its wall time rides along as the
+    # measured payoff of shipping 8-byte codes instead of 33-char
+    # md5 tokens through the range exchange + adjacency join.
+    t0 = time.time()
+    got_spans_int = {tuple(r) for r in suffix_dup_spans(
+        sdocs, min_tokens=12, prefix_cap=16, dict_encode=True).collect()}
+    spans_int_ok = got_spans_int == want_spans
+    t_spans_int = time.time() - t0
 
     # --- PQ encode + ADC at 1M vectors (map-only machinery): vectors
     # are EXACTLY representable — subvector s of vector i is planted
@@ -463,13 +473,15 @@ def main() -> int:
            "triangle_hub_sec": round(t_tri, 1),
            "substring_spans_ok": bool(spans_ok),
            "substring_spans_sec": round(t_spans, 1),
+           "substring_spans_int_ok": bool(spans_int_ok),
+           "substring_spans_int_sec": round(t_spans_int, 1),
            "pq_1m_ok": bool(pq_ok), "pq_1m_sec": round(t_pq, 1),
            "media_fp_ok": bool(media_ok),
            "media_fp_sec": round(t_media, 1)}
     print(json.dumps(out))
     return 0 if all((rank_ok, ps_ok, skew_ok, dedup_ok, inc_ok,
                      ann_ok, meta_ok, tl_ok, wj_ok, tri_ok,
-                     spans_ok, pq_ok, media_ok)) else 1
+                     spans_ok, spans_int_ok, pq_ok, media_ok)) else 1
 
 
 if __name__ == "__main__":
