@@ -295,6 +295,60 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "soft_dedup_weights",
+    sql=(_DUCK_SIGS_CTE + DUCK_MINHASH_VERIFIED_CTE).replace(
+        "WITH wt", "WITH RECURSIVE wt", 1) + """
+    , und AS (
+        SELECT id_a AS a, id_b AS b FROM verified
+        UNION SELECT id_b, id_a FROM verified
+    ), reach AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        WHERE r.a <> u.b
+    ), lab AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a
+    ), base AS (
+        SELECT d.doc_id,
+               coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN lab l USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS n_members,
+           CAST(1000000 // count(*) OVER (PARTITION BY cluster_id)
+               AS BIGINT) AS weight_ppm
+    FROM base
+    ORDER BY doc_id
+    """,
+    doc="SOFT dedup (drop-free reweighting): every doc keeps weight "
+        "1/|near-dup cluster| in integer ppm — the training-data "
+        "alternative to hard removal (duplicated content contributes "
+        "one document's worth of gradient mass in aggregate instead "
+        "of being cut; the SoftDeDup idea). Rides the same "
+        "large-star/small-star components as dedup_clusters plus ONE "
+        "keyed count + broadcast-back join; singletons weigh "
+        "1,000,000. Feeds pps_sample/token-budget selection as the "
+        "weight column.",
+    tags=("dedup", "north-star", "graph", "sampling"),
+)
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(d, "doc_id", "text", N_HASHES, BANDS,
+                                  SHINGLE_N, THRESHOLD)
+    labels = dedup_cluster_labels(d.select("doc_id"), pairs) \
+        .select("doc_id", "cluster_id")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"))
+    return (labels.join(F.broadcast(sizes), "cluster_id")
+                  .select("doc_id", "cluster_id", "n_members",
+                          F.expr("1000000 div n_members")
+                           .alias("weight_ppm"))
+                  .orderBy("doc_id"))
+
+
+@register(
     "decontaminate",
     sql=f"""
     WITH wt AS (

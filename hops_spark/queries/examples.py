@@ -87,6 +87,158 @@ def pi_qmc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("WITH " + _pi_sql("div", "DECIMAL(38,0)"))
 
 
+# --- pi hex-digit slices via BBP (examples/pi/distbbp parity) ----------------
+#
+# Bailey–Borwein–Plouffe digit extraction: the fractional part of
+# 16^d * pi comes from four modular-exponentiation series
+#   {16^d pi} = {4*S1 - 2*S4 - S5 - S6},
+#   Sj = sum_k (16^(d-k) mod (8k+j)) / (8k+j)  (k <= d)  + tiny tail,
+# so hex digits at any position are computed WITHOUT the earlier ones —
+# the reference distributes disjoint k-ranges over mappers
+# (hadoop-mapreduce-examples/pi/DistBbp.java); here the k-range is one
+# generated relation and each term is EXACT fixed-point integer
+# arithmetic (Q48: floor((16^(d-k) mod m) * 2^48 / m); 12 tail terms
+# bound the truncated remainder below 2^-48 * 16^12), with the modular
+# exponentiation UNROLLED as 12 chained square-and-multiply CTE steps
+# (inlining would double the expression per squaring — the materialize-
+# per-round lesson from the unigram DP applies to plans, not just
+# runtimes). Per-term truncation loses < 1 ulp; 8(d+13) terms lose
+# < 2^13 ulps at d=1000, so the TOP 24 bits (6 hex digits) are exact —
+# asserted against pi's known hex expansion 243F6A8885A308D3... in
+# tests. All arithmetic stays under 2^63 (m <= 8(d+12)+6 < 2^15 and
+# m * 2^48 < 2^63), so Spark BIGINT and DuckDB BIGINT agree bit-exactly.
+
+_BBP_SCALE = 1 << 48
+_BBP_D = (0, 10, 100, 500, 1000)
+
+
+def _bbp_body_sql(idiv: str) -> str:
+    """Engine-shared CTE chain from a ``bbp_rows`` relation
+    (d, k, m, coef, e, tail) to (d, frac_fp, hex6); only the
+    integer-division spelling differs between Spark SQL and DuckDB.
+    Square-and-multiply is INTERLEAVED — each step replaces the
+    (base q, accumulator r) pair under a fixed 7-column projection,
+    so the chain stays 12 narrow CTEs (the first draft's separate
+    p0..p11 + r0..r12 chains grew a SELECT * projection per step and
+    spent ~10 s in plan analysis for a 26k-row compute)."""
+    cols = "d, m, coef, e, tail"
+    ctes = [f"c0 AS (SELECT {cols}, CAST(16 % m AS BIGINT) AS q, "
+            "CAST(1 AS BIGINT) AS r FROM bbp_rows)"]
+    for i in range(12):
+        ctes.append(
+            f"c{i + 1} AS (SELECT {cols}, (q * q) % m AS q, "
+            f"(r * (CASE WHEN (e & {1 << i}) != 0 THEN q ELSE 1 END)) "
+            f"% m AS r FROM c{i})")
+    ctes.append(f"""terms AS (
+        SELECT d, coef * (CASE WHEN tail = 0
+                   THEN (r * {_BBP_SCALE}) {idiv} m
+                   ELSE {_BBP_SCALE} {idiv} (m * tail) END) AS t
+        FROM c12
+    )""")
+    ctes.append(f"""agg AS (
+        SELECT d, ((CAST(sum(t) AS BIGINT) % {_BBP_SCALE}) + {_BBP_SCALE})
+                  % {_BBP_SCALE} AS frac_fp
+        FROM terms GROUP BY d
+    )""")
+    hex6 = " || ".join(
+        f"substr('0123456789ABCDEF', CAST((frac_fp {idiv} "
+        f"{1 << (44 - 4 * i)}) % 16 AS INT) + 1, 1)" for i in range(6))
+    return (",\n".join(ctes)
+            + f"\nSELECT d, frac_fp, {hex6} AS hex6 FROM agg ORDER BY d")
+
+
+def _bbp_rows_duck() -> str:
+    dvals = ",".join(f"({d})" for d in _BBP_D)
+    return f"""bbp_rows AS (
+        SELECT CAST(dd.d AS BIGINT) AS d, kk.k,
+               CAST(8 * kk.k + jj.j AS BIGINT) AS m,
+               CAST(jj.coef AS BIGINT) AS coef,
+               CAST(CASE WHEN kk.k <= dd.d THEN dd.d - kk.k ELSE 0 END
+                    AS BIGINT) AS e,
+               CAST(CASE WHEN kk.k <= dd.d THEN 0
+                         ELSE (CAST(1 AS BIGINT) << (4 * (kk.k - dd.d)))
+                    END AS BIGINT) AS tail
+        FROM (VALUES {dvals}) dd(d),
+             LATERAL (SELECT unnest(range(0, dd.d + 13)) AS k) kk,
+             (VALUES (1, 4), (4, -2), (5, -1), (6, -1)) jj(j, coef)
+    )"""
+
+
+@register(
+    "pi_bbp",
+    sql="WITH " + _bbp_rows_duck() + ",\n" + _bbp_body_sql("//"),
+    doc="BBP hex-digit slices of pi at positions 0/10/100/500/1000 "
+        "(examples/pi/DistBbp parity): digit extraction without "
+        "computing earlier digits — per-(d,k,series) modular "
+        "exponentiation in 12 unrolled square-and-multiply steps, Q48 "
+        "fixed-point terms, one keyed sum per position. Everything is "
+        "exact BIGINT arithmetic so the oracle hash-matches; the top "
+        "6 hex digits are provably exact (truncation < 2^13 ulps of "
+        "2^48). The k-range is the distribution axis, exactly the "
+        "reference's mapper split.",
+    tags=("examples", "generator", "scale"),
+)
+def pi_bbp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # literal-array explodes, not createDataFrame (a 5-row local
+    # createDataFrame costs ~6 s of driver round-trips in this
+    # environment — measured; spark.range + explode is 0.3 s); the
+    # (d, k) axis — the reference's mapper split — then respreads the
+    # term rows across the executors in ONE small exchange
+    pos = spark.range(1).select(F.explode(F.array(
+        *[F.lit(v).cast("long") for v in _BBP_D])).alias("d"))
+    ks = pos.select("d", F.explode(
+        F.sequence(F.lit(0).cast("long"), F.col("d") + 12)).alias("k"))
+    jc = (spark.range(1).select(F.explode(F.array(*[
+        F.struct(F.lit(j).cast("long").alias("j"),
+                 F.lit(c).cast("long").alias("coef"))
+        for j, c in ((1, 4), (4, -2), (5, -1), (6, -1))])).alias("x"))
+        .select("x.j", "x.coef"))
+    k, d = F.col("k"), F.col("d")
+    rows = (ks.crossJoin(jc).select(
+        d, k, (8 * k + F.col("j")).alias("m"), F.col("coef"),
+        F.when(k <= d, d - k).otherwise(F.lit(0)).cast("long").alias("e"),
+        F.when(k <= d, F.lit(0).cast("long"))
+         .otherwise(F.expr("shiftleft(1L, cast(4 * (k - d) as int))"))
+         .cast("long").alias("tail"))
+        .repartition(32, "d", "k"))
+    # Spark runs the SAME square-and-multiply recurrence as the oracle
+    # SQL but with a Generate barrier (explode of a 1-element array)
+    # per step: q appears twice in q*q%m, so CollapseProject would
+    # otherwise inline the chain into a 2^12-leaf expression at
+    # physical planning (measured: ~10 s execution on a 26k-row frame;
+    # the unigram-DP tribonacci lesson, SCALE.md note 87 — barriers,
+    # not deeper chains)
+    keep = ["d", "m", "coef", "e", "tail"]
+    cur = rows.select(*keep,
+                      (F.lit(16) % F.col("m")).cast("long").alias("q"),
+                      F.lit(1).cast("long").alias("r"))
+    for i in range(12):
+        nxt = F.struct(
+            ((F.col("q") * F.col("q")) % F.col("m")).alias("q"),
+            ((F.col("r") * F.when(
+                F.col("e").bitwiseAND(F.lit(1 << i)) != 0,
+                F.col("q")).otherwise(F.lit(1).cast("long")))
+             % F.col("m")).alias("r"))
+        cur = (cur.select(*keep, F.explode(F.array(nxt)).alias("_s"))
+                  .select(*keep, F.col("_s.q").alias("q"),
+                          F.col("_s.r").alias("r")))
+    s = _BBP_SCALE
+    t = (F.col("coef")
+         * F.when(F.col("tail") == 0,
+                  F.expr(f"(r * {s}) div m"))
+            .otherwise(F.expr(f"{s} div (m * tail)")))
+    agg = (cur.select("d", t.alias("t"))
+              .groupBy("d").agg(F.sum("t").cast("long").alias("_t")))
+    frac = ((F.col("_t") % s) + s) % s
+    hx = F.concat(*[
+        F.expr(f"substr('0123456789ABCDEF', cast((frac_fp div "
+               f"{1 << (44 - 4 * i)}) % 16 as int) + 1, 1)")
+        for i in range(6)])
+    return (agg.select("d", frac.alias("frac_fp"))
+               .withColumn("hex6", hx)
+               .orderBy("d"))
+
+
 # --- market-basket pair mining ----------------------------------------------
 
 _MIN_SUPPORT = 3

@@ -106,6 +106,8 @@ def load_all() -> dict[str, QuerySpec]:
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # round-9 registrations land here as they are verified
     "decontaminate_exact_spans",  # collision-free cross-corpus spans
+    "pi_bbp",                     # BBP hex-digit slices (distbbp twin)
+    "soft_dedup_weights",         # drop-free 1/cluster-size reweighting
 )
 # Round-10 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-9 REPROVE set (queries whose implementation changed after

@@ -576,3 +576,16 @@ def test_unigram_hard_em_counts_conserve_mass(spark):
     used_costs = [r["cost_em_micro"] for r in rows if r["cnt_em"] > 0]
     unused_costs = [r["cost_em_micro"] for r in rows if r["cnt_em"] == 0]
     assert min(unused_costs) >= max(used_costs)
+
+
+def test_pi_bbp_known_hex_digits(spark):
+    """BBP digit slices must reproduce pi's known hex expansion
+    (3.243F6A8885A308D3...): position 0 -> 243F6A, 10 -> A308D3.
+    The Q48 fixed-point bound guarantees the top 6 digits exactly."""
+    from hops_spark.registry import load_all
+
+    rows = {r["d"]: r["hex6"]
+            for r in load_all()["pi_bbp"].fn(spark, "unused").collect()}
+    assert rows[0] == "243F6A"
+    assert rows[10] == "A308D3"
+    assert len(rows) == 5 and all(len(v) == 6 for v in rows.values())

@@ -148,3 +148,35 @@ def test_short_docs_and_no_duplicates(spark):
     duplicated window emits no spans at all."""
     docs = {0: "a b", 1: "c d e f g h", 2: "i j k l m n o"}
     assert _run(spark, docs, 6, 6) == []
+
+
+def test_contamination_exact_spans_planted(spark):
+    """Cross-corpus exact-gram decontamination: a verbatim benchmark
+    passage >= L tokens comes back with EXACT boundaries (interval
+    union of its L-gram windows); a passage one token short of L is
+    invisible; overlapping leaked windows merge into one span."""
+    from hops_spark.ops.dedup import contamination_exact_spans
+
+    bench_words = [f"b{i}" for i in range(30)]
+    # doc 1: tokens 7..21 verbatim = bench positions 3..17 (15 >= 12)
+    d1 = [f"x1{i}" for i in range(7)] + bench_words[3:18] \
+        + [f"y1{i}" for i in range(5)]
+    # doc 2: an 11-token leak (below L=12) -> no span
+    d2 = [f"x2{i}" for i in range(4)] + bench_words[0:11] \
+        + [f"y2{i}" for i in range(8)]
+    # doc 3: a 19-token verbatim leak (bench 0..18 at positions 2..20)
+    # -> its eight 12-gram windows (pos 2..9) interval-union into ONE
+    # maximal span 2..20
+    d3 = [f"x3{i}" for i in range(2)] + bench_words[0:19] \
+        + [f"y3{i}" for i in range(3)]
+    corpus = spark.createDataFrame(
+        [(1, " ".join(d1)), (2, " ".join(d2)), (3, " ".join(d3))],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(100, " ".join(bench_words))],
+                                  "doc_id long, text string")
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens)
+           for r in contamination_exact_spans(corpus, bench,
+                                              min_tokens=12).collect()}
+    assert (1, 7, 21, 15) in got
+    assert not any(r[0] == 2 for r in got)
+    assert [r for r in got if r[0] == 3] == [(3, 2, 20, 19)]
