@@ -747,7 +747,9 @@ def _interval_islands(dup: DataFrame, id_col: str) -> DataFrame:
 def contamination_exact_spans(corpus: DataFrame, benchmark: DataFrame,
                               id_col: str = "doc_id",
                               text_col: str = "text",
-                              min_tokens: int = 12) -> DataFrame:
+                              min_tokens: int = 12,
+                              bloom_m: int | None = None,
+                              bloom_k: int = 4) -> DataFrame:
     """COLLISION-FREE substring-level decontamination — the
     suffix-grade guarantee of ``suffix_dup_spans`` applied
     cross-corpus (Lee et al. 2022 decontaminate train-vs-eval with the
@@ -776,7 +778,13 @@ def contamination_exact_spans(corpus: DataFrame, benchmark: DataFrame,
     the shuffle ships ~L tokens per corpus position, the same payload
     suffix rows carry at prefix_cap=L; at the 10^8-gram benchmark
     scale the decontaminate_bloom bitmask composes in front of the
-    semi join exactly as it does for the fingerprint form.
+    semi join exactly as it does for the fingerprint form —
+    ``bloom_m`` enables it: the benchmark L-grams compress to an
+    m-bit literal bitmask evaluated MAP-SIDE in the corpus gram scan,
+    so non-candidate positions die before the shuffle; the exact semi
+    join then kills every bloom false positive, so the composition is
+    VALUE-EQUAL to the plain form (no false negatives by bloom
+    construction — the contamination_flags_bloom law, pytest).
 
     Returns (id, span_start, span_end, span_tokens) — excise_spans
     composes directly."""
@@ -799,6 +807,11 @@ def contamination_exact_spans(corpus: DataFrame, benchmark: DataFrame,
 
     cg = _grams(corpus)
     bg = _grams(benchmark).select("g").distinct()
+    if bloom_m is not None:
+        from hops_spark.ops.bloom import bloom_bitmask, bloom_join_filter
+        mask = bloom_bitmask(bg, "g", bloom_m, bloom_k, "exspan")
+        cg = cg.filter(bloom_join_filter(F.col("g"), mask, bloom_m,
+                                         bloom_k, "exspan"))
     flagged = (cg.join(bg, "g", "left_semi")
                  .withColumn("_end", F.col("pos") + F.lit(L - 1)))
     return _interval_islands(flagged.select(id_col, "pos", "_end"), id_col)

@@ -180,3 +180,23 @@ def test_contamination_exact_spans_planted(spark):
     assert (1, 7, 21, 15) in got
     assert not any(r[0] == 2 for r in got)
     assert [r for r in got if r[0] == 3] == [(3, 2, 20, 19)]
+
+
+def test_contamination_exact_spans_bloom_value_equal(spark, sf_dir):
+    """The bloom-prefiltered exact-gram form is VALUE-EQUAL to the
+    plain form (no false negatives by bloom construction; the semi
+    join kills bloom false positives) — the contamination_flags_bloom
+    law applied to the span variant."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops.dedup import contamination_exact_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+    plain = sorted(tuple(r) for r in contamination_exact_spans(
+        corpus, bench, min_tokens=12).collect())
+    bloomed = sorted(tuple(r) for r in contamination_exact_spans(
+        corpus, bench, min_tokens=12, bloom_m=1 << 14).collect())
+    assert plain == bloomed

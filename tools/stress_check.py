@@ -32,6 +32,12 @@ from hops_spark.session import get_spark
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
     parts = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    # 15 tiers share one JVM and several pin bounded caches /
+    # checkpoints; at the default 24g heap the suffix tiers' pinned
+    # shuffle-hash builds can tip GC over under concurrent load
+    # (observed once, round 9) — the stress battery declares the heap
+    # it needs instead of inheriting the query-scale default.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark("stress-check")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
