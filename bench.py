@@ -75,6 +75,10 @@ HEADLINE = [
     "quality_budget_head",
     "image_dhash_neardup",
     "audio_fingerprint_neardup",
+    # round-9 additions (collision-free cross-corpus decontamination,
+    # drop-free soft-dedup reweighting)
+    "decontaminate_exact_spans",
+    "soft_dedup_weights",
 ]
 
 

@@ -662,8 +662,16 @@ def suffix_dup_spans(df: DataFrame, id_col: str = "doc_id",
              .select(F.col(id_col),
                      F.explode(F.array(words(text_col))).alias("_w")))
     if dict_encode is None:
-        n_tokens = (bound.agg(F.sum(F.size("_w"))).collect()[0][0]) or 0
-        dict_encode = n_tokens > SUFFIX_DICT_TOKENS
+        # cheap ESTIMATE, not an exact token count: a narrow id-only
+        # count plus a 256-doc average-length probe (an exact
+        # sum(size(words)) pass re-tokenized the whole corpus and cost
+        # the sf0.1 suffix bench keys ~15% — measured r9; the decision
+        # only needs order-of-magnitude accuracy against the 2M-token
+        # threshold)
+        n_docs = bound.count()
+        avg = (bound.limit(256).agg(F.avg(F.size("_w"))).collect()[0][0]
+               if n_docs else 0) or 0
+        dict_encode = n_docs * avg > SUFFIX_DICT_TOKENS
     if dict_encode:
         tok_rows = bound.select(F.col(id_col),
                                 F.posexplode("_w").alias("_tp", "_tok"))

@@ -549,8 +549,12 @@ _SUFFIX_SPANS_CTES = f"""
 )
 def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # dict_encode=False explicitly: at oracle/bench SF the corpus sits
+    # far below SUFFIX_DICT_TOKENS and the string path wins (SCALE.md
+    # note 88); pinning it also skips the auto-probe's two tiny jobs
     return (D.suffix_dup_spans(d, "doc_id", "text",
-                               SUFFIX_SPAN_L, SUFFIX_SPAN_C)
+                               SUFFIX_SPAN_L, SUFFIX_SPAN_C,
+                               dict_encode=False)
              .orderBy("doc_id", "span_start"))
 
 
@@ -597,7 +601,8 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def span_excised_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     spans = D.suffix_dup_spans(d, "doc_id", "text",
-                               SUFFIX_SPAN_L, SUFFIX_SPAN_C)
+                               SUFFIX_SPAN_L, SUFFIX_SPAN_C,
+                               dict_encode=False)
     return (D.excise_spans(d, spans, "doc_id", "text")
              .withColumn("clean_md5", F.md5("clean_text"))
              .select("doc_id", "n_tokens", "n_cut", "clean_md5")
