@@ -752,6 +752,63 @@ def _interval_islands(dup: DataFrame, id_col: str) -> DataFrame:
                .select(id_col, "span_start", "span_end", "span_tokens"))
 
 
+def _exact_gram_rows(df: DataFrame, id_col: str, text_col: str,
+                     L: int) -> DataFrame:
+    """(id, pos, g) — one EXACT L-token gram string per position
+    (whitespace-joined, injective over whitespace-split tokens); the
+    collision-free twin of ``_gram_rows``' md5 fingerprints. Same
+    Generate-barrier idiom so the text tokenizes once."""
+    bound = df.select(F.col(id_col),
+                      F.explode(F.array(words(text_col))).alias("_w"))
+    w = F.col("_w")
+    starts = F.when(F.size(w) >= L,
+                    F.sequence(F.lit(1), F.size(w) - (L - 1))
+                    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(starts,
+                       lambda i: F.struct(
+                           (i - 1).cast("long").alias("pos"),
+                           F.concat_ws(" ", F.slice(w, i, L)).alias("g")))
+    return (bound.select(F.col(id_col), F.explode(gram).alias("x"))
+                 .select(id_col, F.col("x.pos").alias("pos"),
+                         F.col("x.g").alias("g")))
+
+
+def contamination_attribution(corpus: DataFrame, benchmark: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              min_tokens: int = 12) -> DataFrame:
+    """Per-BENCHMARK-doc leak report — the governance face of
+    decontamination: for every benchmark document, how many corpus
+    documents share at least one exact ``min_tokens``-gram with it
+    (n_corpus_docs) and how many of ITS OWN distinct grams occur
+    anywhere in the corpus (n_shared_grams). Answers "which eval items
+    are compromised, and how badly" — the question the span queries
+    (corpus-side, for excision) don't.
+
+    Shape: both gram emits are map-only; doc-level attribution
+    deduplicates (corpus_doc, gram) BEFORE the join so a gram repeated
+    within one corpus doc cannot multiply rows; the bench-side gram
+    coverage is a LEFT SEMI against distinct corpus grams (hot
+    boilerplate selects, never multiplies). The only true join is
+    bench-gram x corpus-doc — exactly the attribution being asked for;
+    its volume IS the leak volume. Returns
+    (bench_id, n_corpus_docs, n_shared_grams) for contaminated
+    benchmark docs only."""
+    L = min_tokens
+    bg = (_exact_gram_rows(benchmark, id_col, text_col, L)
+          .select(F.col(id_col).alias("bench_id"), "g").distinct())
+    cd = (_exact_gram_rows(corpus, id_col, text_col, L)
+          .select(F.col(id_col).alias("corpus_id"), "g").distinct())
+    docs = (bg.join(cd, "g")
+              .select("bench_id", "corpus_id").distinct()
+              .groupBy("bench_id")
+              .agg(F.count("*").alias("n_corpus_docs")))
+    grams = (bg.join(cd.select("g").distinct(), "g", "left_semi")
+               .groupBy("bench_id")
+               .agg(F.count("*").alias("n_shared_grams")))
+    return docs.join(grams, "bench_id")
+
+
 def contamination_exact_spans(corpus: DataFrame, benchmark: DataFrame,
                               id_col: str = "doc_id",
                               text_col: str = "text",
@@ -797,24 +854,9 @@ def contamination_exact_spans(corpus: DataFrame, benchmark: DataFrame,
     Returns (id, span_start, span_end, span_tokens) — excise_spans
     composes directly."""
     L = min_tokens
-
-    def _grams(df: DataFrame) -> DataFrame:
-        bound = df.select(F.col(id_col),
-                          F.explode(F.array(words(text_col))).alias("_w"))
-        w = F.col("_w")
-        starts = F.when(F.size(w) >= L,
-                        F.sequence(F.lit(1), F.size(w) - (L - 1))
-                        ).otherwise(F.array().cast("array<int>"))
-        gram = F.transform(starts,
-                           lambda i: F.struct(
-                               (i - 1).cast("long").alias("pos"),
-                               F.concat_ws(" ", F.slice(w, i, L)).alias("g")))
-        return (bound.select(F.col(id_col), F.explode(gram).alias("x"))
-                     .select(id_col, F.col("x.pos").alias("pos"),
-                             F.col("x.g").alias("g")))
-
-    cg = _grams(corpus)
-    bg = _grams(benchmark).select("g").distinct()
+    cg = _exact_gram_rows(corpus, id_col, text_col, L)
+    bg = _exact_gram_rows(benchmark, id_col, text_col, L) \
+        .select("g").distinct()
     if bloom_m is not None:
         from hops_spark.ops.bloom import bloom_bitmask, bloom_join_filter
         mask = bloom_bitmask(bg, "g", bloom_m, bloom_k, "exspan")

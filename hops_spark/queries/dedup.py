@@ -349,6 +349,64 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cluster_safe_split",
+    sql=(_DUCK_SIGS_CTE + DUCK_MINHASH_VERIFIED_CTE).replace(
+        "WITH wt", "WITH RECURSIVE wt", 1) + """
+    , und AS (
+        SELECT id_a AS a, id_b AS b FROM verified
+        UNION SELECT id_b, id_a FROM verified
+    ), reach AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        WHERE r.a <> u.b
+    ), lab AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a
+    ), base AS (
+        SELECT d.doc_id,
+               coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN lab l USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN h < 900000 THEN 'train'
+                WHEN h < 950000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_id,
+                 (('0x' || substring(md5('csplit|'
+                      || CAST(cluster_id AS VARCHAR)), 1, 7))::BIGINT
+                  % 1000000) AS h
+          FROM base)
+    ORDER BY doc_id
+    """,
+    doc="CLUSTER-SAFE train/val/test split: the hash bucket is taken "
+        "over the near-dup CLUSTER id, not the doc id, so a near-dup "
+        "pair can never straddle train and test (the leakage mode a "
+        "per-doc split like dataset_split_stats cannot rule out — a "
+        "one-word-edited copy of a test doc landing in train). Rides "
+        "the dedup_clusters components + one map-only hash; membership "
+        "is deterministic across engines, runs, and corpus growth "
+        "within a cluster.",
+    tags=("dedup", "sampling", "north-star"),
+)
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(d, "doc_id", "text", N_HASHES, BANDS,
+                                  SHINGLE_N, THRESHOLD)
+    labels = dedup_cluster_labels(d.select("doc_id"), pairs) \
+        .select("doc_id", "cluster_id")
+    h = (F.conv(F.substring(F.md5(F.concat(
+            F.lit("csplit|"), F.col("cluster_id").cast("string"))), 1, 7),
+         16, 10).cast("long") % 1_000_000)
+    return (labels.withColumn("_h", h)
+                  .select("doc_id", "cluster_id",
+                          F.when(F.col("_h") < 900_000, "train")
+                           .when(F.col("_h") < 950_000, "val")
+                           .otherwise("test").alias("split"))
+                  .orderBy("doc_id"))
+
+
+@register(
     "decontaminate",
     sql=f"""
     WITH wt AS (
@@ -1207,3 +1265,51 @@ def decontaminate_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (D.contamination_exact_spans(corpus, bench, "doc_id", "text",
                                         min_tokens=DECON_SPAN_MIN)
              .orderBy("doc_id", "span_start"))
+
+
+@register(
+    "decontaminate_attribution",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, source, {{DW}} AS w FROM documents
+    ), cg AS (
+        SELECT DISTINCT doc_id AS corpus_id,
+               array_to_string(w[i.i : i.i + {DECON_SPAN_MIN - 1}], ' ') AS g
+        FROM wt, LATERAL (SELECT unnest(range(1,
+                 greatest(len(w) - {DECON_SPAN_MIN - 1}, 0) + 1)) AS i) i
+        WHERE source <> 'src0'
+    ), bg AS (
+        SELECT DISTINCT doc_id AS bench_id,
+               array_to_string(w[i.i : i.i + {DECON_SPAN_MIN - 1}], ' ') AS g
+        FROM wt, LATERAL (SELECT unnest(range(1,
+                 greatest(len(w) - {DECON_SPAN_MIN - 1}, 0) + 1)) AS i) i
+        WHERE source = 'src0'
+    ), docs AS (
+        SELECT bench_id, CAST(count(*) AS BIGINT) AS n_corpus_docs
+        FROM (SELECT DISTINCT bench_id, corpus_id
+              FROM bg JOIN cg USING (g))
+        GROUP BY bench_id
+    ), grams AS (
+        SELECT bench_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+        FROM bg SEMI JOIN (SELECT DISTINCT g FROM cg) c USING (g)
+        GROUP BY bench_id
+    )
+    SELECT bench_id, n_corpus_docs, n_shared_grams
+    FROM docs JOIN grams USING (bench_id)
+    ORDER BY bench_id
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="Per-benchmark-doc leak attribution "
+        "(ops/dedup.contamination_attribution): which eval items are "
+        "compromised and how badly — distinct corpus docs sharing an "
+        "exact 12-gram with each benchmark doc, plus the benchmark "
+        "doc's own leaked-gram coverage. The governance complement to "
+        "the corpus-side span queries.",
+    tags=("dedup", "north-star"),
+)
+def decontaminate_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+    return (D.contamination_attribution(corpus, bench, "doc_id", "text",
+                                        min_tokens=DECON_SPAN_MIN)
+             .orderBy("bench_id"))

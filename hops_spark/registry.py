@@ -108,6 +108,8 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "decontaminate_exact_spans",  # collision-free cross-corpus spans
     "pi_bbp",                     # BBP hex-digit slices (distbbp twin)
     "soft_dedup_weights",         # drop-free 1/cluster-size reweighting
+    "cluster_safe_split",         # leakage-proof split by cluster hash
+    "decontaminate_attribution",  # per-benchmark-doc leak report
 )
 # Round-10 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-9 REPROVE set (queries whose implementation changed after
