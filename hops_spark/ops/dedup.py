@@ -429,11 +429,27 @@ def contamination_flags(corpus: DataFrame, benchmark: DataFrame,
     matching rows. No pair materialization anywhere (contrast
     ngram_jaccard_pairs: this reduces per doc, not per doc-pair), so
     there is no O(k²) bucket to cap."""
-    crows = (shingle_arrays(corpus, id_col, text_col, shingle_n)
-             .select(F.col(id_col), F.explode("shingle_arr").alias("shingle")))
     bsh = (shingle_arrays(benchmark, id_col, text_col, shingle_n)
            .select(F.explode("shingle_arr").alias("shingle"))
            .distinct())
+    return contamination_flags_from_shingles(corpus, bsh, id_col,
+                                             text_col, shingle_n,
+                                             min_overlap)
+
+
+def contamination_flags_from_shingles(corpus: DataFrame, bsh: DataFrame,
+                                      id_col: str = "doc_id",
+                                      text_col: str = "text",
+                                      shingle_n: int = 3,
+                                      min_overlap: int = 3) -> DataFrame:
+    """Core of ``contamination_flags`` over a PRE-MATERIALIZED distinct
+    benchmark shingle frame — the single expression source for the
+    batch wrapper and the streaming ingest twin
+    (``streaming.decontaminate_stream``), which persists the shingles
+    once and re-reads them per micro-batch (the benchmark is frozen
+    state, it never grows with the stream)."""
+    crows = (shingle_arrays(corpus, id_col, text_col, shingle_n)
+             .select(F.col(id_col), F.explode("shingle_arr").alias("shingle")))
     return (crows.join(F.broadcast(bsh), "shingle")
                  .groupBy(id_col)
                  .agg(F.count("*").alias("n_overlap"))

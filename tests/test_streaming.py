@@ -717,3 +717,56 @@ def test_media_ingest_dedup_stream_folds_like_batch(spark, tmp_path):
         assert flags[base + 2] is True, "cross-batch near-dup flagged"
     store_ids = {r["media_id"] for r in spark.read.parquet(state).collect()}
     assert store_ids == {g * copies for g in range(6)}
+
+
+def test_decontaminate_stream_folds_like_batch(spark, sf_dir, tmp_path):
+    """Drained streaming decontamination flags must equal applying the
+    batch operator (same shared from-shingles derivation) to the whole
+    feed — the benchmark is frozen state, so the fold is
+    batch-order-independent. Clean docs emit n_overlap = 0 rows (the
+    full-row contract); a planted verbatim benchmark doc is flagged."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops.dedup import contamination_flags
+    from hops_spark.streaming import decontaminate_stream, seed_decon_state
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    feed_docs = docs.filter(F.col("doc_id") % 7 != 0)
+    # planted leak: an exact copy of a benchmark doc arrives in batch 2
+    leak = bench.orderBy("doc_id").limit(1).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text")
+    b1 = feed_docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = feed_docs.filter(F.col("doc_id") % 2 == 1).unionByName(leak)
+
+    state = str(tmp_path / "decon_state")
+    flags_dir = str(tmp_path / "decon_flags")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    seed_decon_state(bench, state)
+    b1.coalesce(1).write.parquet(str(feed / "b1"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+                   .option("maxFilesPerTrigger", "1")
+                   .parquet(str(feed / "*")))
+    q = decontaminate_stream(stream, state, flags_dir,
+                             str(tmp_path / "ck")).start()
+    q.processAllAvailable()
+    b2.coalesce(1).write.parquet(str(feed / "b2"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(flags_dir)
+                 .select("doc_id", "n_overlap", "contaminated").collect())
+    all_docs = b1.unionByName(b2)
+    overl = contamination_flags(all_docs, bench)
+    want = sorted(tuple(r) for r in all_docs.select("doc_id")
+                  .join(overl, "doc_id", "left")
+                  .select("doc_id",
+                          F.coalesce("n_overlap", F.lit(0)).alias("n"),
+                          F.coalesce("contaminated", F.lit(False)).alias("c"))
+                  .collect())
+    assert got == want and len(got) == all_docs.count()
+    planted = bench.orderBy("doc_id").limit(1).collect()[0]["doc_id"] + 500000
+    by_id = {r[0]: r for r in got}
+    assert by_id[planted][2] is True
