@@ -591,15 +591,17 @@ def contamination_spans(corpus: DataFrame, benchmark: DataFrame,
             .filter(F.col("span_tokens") >= min_tokens))
 
 
-#: Auto-switch threshold for the dictionary-encoded suffix payload:
-#: above this many corpus tokens the suffix shuffle carries
-#: order-preserving int codes instead of token strings (identical
-#: output — proven on the stress tier). Measured crossover (SCALE.md
-#: note 88): at 270k tokens the encode overhead loses (2.9 vs 4.5 s
-#: warm), at 4M tokens the code path wins 1.4-3x (14.4 vs 20-46 s)
-#: and keeps winning as the payload ratio (~8 B vs ~34 B/token)
-#: dominates — so the switch sits between the two datapoints.
+#: Auto-switch thresholds for the dictionary-encoded suffix payload:
+#: int codes replace token strings only when the corpus is big AND its
+#: tokens are long — the win is PAYLOAD-RATIO-driven, not row-count-
+#: driven (measured, SCALE.md note 88): 4M 33-char md5 tokens win
+#: 1.4-3x on the code path (~8 B vs ~34 B/token through two wide
+#: exchanges), but 2.7M natural ~6-char tokens LOSE (6.8 s string vs
+#: 9.7 s int at sf1) because 8-byte codes save nothing over short
+#: strings while the encode join + regroup still costs. Output is
+#: identical either way (order isomorphism).
 SUFFIX_DICT_TOKENS = 2_000_000
+SUFFIX_DICT_MIN_CHARS = 12.0
 
 
 def suffix_dup_spans(df: DataFrame, id_col: str = "doc_id",
@@ -679,15 +681,22 @@ def suffix_dup_spans(df: DataFrame, id_col: str = "doc_id",
                      F.explode(F.array(words(text_col))).alias("_w")))
     if dict_encode is None:
         # cheap ESTIMATE, not an exact token count: a narrow id-only
-        # count plus a 256-doc average-length probe (an exact
-        # sum(size(words)) pass re-tokenized the whole corpus and cost
-        # the sf0.1 suffix bench keys ~15% — measured r9; the decision
-        # only needs order-of-magnitude accuracy against the 2M-token
-        # threshold)
+        # count plus a 256-doc probe of tokens/doc and chars/token (an
+        # exact sum(size(words)) pass re-tokenized the whole corpus and
+        # cost the sf0.1 suffix bench keys ~15% — measured r9; the
+        # decision only needs order-of-magnitude accuracy). Both gates
+        # must pass: scale AND long tokens (constant docstrings above).
         n_docs = bound.count()
-        avg = (bound.limit(256).agg(F.avg(F.size("_w"))).collect()[0][0]
-               if n_docs else 0) or 0
-        dict_encode = n_docs * avg > SUFFIX_DICT_TOKENS
+        probe = (bound.limit(256)
+                 .agg(F.avg(F.size("_w")).alias("t"),
+                      F.avg(F.length(F.concat_ws(" ", "_w"))
+                            / F.greatest(F.size("_w"), F.lit(1)))
+                       .alias("c"))
+                 .collect()[0] if n_docs else None)
+        avg_toks = (probe["t"] if probe else 0) or 0
+        avg_chars = (probe["c"] if probe else 0) or 0
+        dict_encode = (n_docs * avg_toks > SUFFIX_DICT_TOKENS
+                       and avg_chars >= SUFFIX_DICT_MIN_CHARS)
     if dict_encode:
         tok_rows = bound.select(F.col(id_col),
                                 F.posexplode("_w").alias("_tp", "_tok"))
