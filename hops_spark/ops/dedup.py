@@ -738,10 +738,15 @@ def suffix_dup_spans(df: DataFrame, id_col: str = "doc_id",
     # design never broadcastable (the checkpoint-backed plan defeats
     # size estimation: at the 4M-suffix stress scale the planner chose
     # a broadcast and collected ~1 GB to the driver before aborting on
-    # maxResultSize). Pin a shuffle hash join: millions of uniform
-    # unique rank keys, the exact shape SHJ is built for.
-    adj = (left.hint("shuffle_hash")
-               .join(right.hint("shuffle_hash"), "_rk")
+    # maxResultSize). Pin SORT-MERGE, not shuffle-hash: SHJ builds a
+    # per-task in-memory hash map of the wide suffix payload, which at
+    # the 4M-suffix stress scale OOM'd the 48g battery heap
+    # intermittently (LongToUnsafeRowMap.grow, 2 of 3 round-9 runs);
+    # SMJ sorts both sides — spillable, no build map, and measured at
+    # the same wall time as SHJ's good runs (round 9: merge 14-16 s vs
+    # shuffle-hash 14.8/29.1/OOM — robustness at equal speed).
+    adj = (left.hint("merge")
+               .join(right.hint("merge"), "_rk")
                .withColumn("_lcp", lcp))
     hits = adj.select(F.explode(F.array(
                F.struct(F.col("_da").alias(id_col), F.col("_pa").alias("pos")),

@@ -32,7 +32,7 @@ from hops_spark.session import get_spark
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
     parts = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-    # 15 tiers share one JVM and several pin bounded caches /
+    # 16 tiers share one JVM and several pin bounded caches /
     # checkpoints; at the default 24g heap the suffix tiers' pinned
     # shuffle-hash builds can tip GC over under concurrent load
     # (observed once, round 9) — the stress battery declares the heap
@@ -461,6 +461,43 @@ def main() -> int:
     media_ok = got_flags == want_flags
     t_media = time.time() - t0
 
+    # --- cross-corpus EXACT-span decontamination at 100k corpus docs
+    # vs a 1k-doc benchmark (tier 16, round 9): every doc on an
+    # id-salted md5 vocabulary (unplanted overlap impossible — the
+    # exact method hashes nothing), except 500 corpus docs that embed
+    # a verbatim 15-token passage of benchmark doc i at offset 7.
+    # With min_tokens=12 the expected output is CLOSED-FORM: exactly
+    # (c0+i, 7, 21, 15) per planted doc — maximal interval union of
+    # the four flagged 12-gram windows, exact boundaries, nothing
+    # else. Self-validating at any scale.
+    from hops_spark.ops.dedup import contamination_exact_spans
+    t0 = time.time()
+    n_cdocs, n_bdocs, n_leaks = 100_000, 1_000, 500
+    leak = F.col("id") < n_leaks
+
+    def _cword(w):
+        own = F.md5(F.concat_ws("|", F.lit(f"cw{w}"),
+                                F.col("id").cast("string")))
+        if 7 <= w <= 21:    # bench positions 3..17 of bench doc id
+            src = F.md5(F.concat_ws("|", F.lit(f"bw{w - 4}"),
+                                    F.col("id").cast("string")))
+            return F.when(leak, src).otherwise(own)
+        return own
+
+    cdocs = spark.range(0, n_cdocs, 1, parts).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[_cword(w) for w in range(40)]).alias("text"))
+    bdocs = spark.range(0, n_bdocs, 1, 32).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.md5(F.concat_ws("|", F.lit(f"bw{w}"),
+                              F.col("id").cast("string")))
+            for w in range(30)]).alias("text"))
+    got_decon = {tuple(r) for r in contamination_exact_spans(
+        cdocs, bdocs, min_tokens=12).collect()}
+    decon_ok = got_decon == {(i, 7, 21, 15) for i in range(n_leaks)}
+    t_decon = time.time() - t0
+
     out = {"job": "stress_check", "n_rows": n, "n_partitions": parts,
            "rank_ok": bool(rank_ok), "rank_sec": round(t_rank, 1),
            "prefix_sum_ok": bool(ps_ok), "prefix_sum_sec": round(t_ps, 1),
@@ -483,11 +520,13 @@ def main() -> int:
            "substring_spans_int_sec": round(t_spans_int, 1),
            "pq_1m_ok": bool(pq_ok), "pq_1m_sec": round(t_pq, 1),
            "media_fp_ok": bool(media_ok),
-           "media_fp_sec": round(t_media, 1)}
+           "media_fp_sec": round(t_media, 1),
+           "decon_spans_ok": bool(decon_ok),
+           "decon_spans_sec": round(t_decon, 1)}
     print(json.dumps(out))
     return 0 if all((rank_ok, ps_ok, skew_ok, dedup_ok, inc_ok,
                      ann_ok, meta_ok, tl_ok, wj_ok, tri_ok,
-                     spans_ok, spans_int_ok, pq_ok, media_ok)) else 1
+                     spans_ok, spans_int_ok, pq_ok, media_ok, decon_ok)) else 1
 
 
 if __name__ == "__main__":
