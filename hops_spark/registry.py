@@ -110,6 +110,12 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "soft_dedup_weights",         # drop-free 1/cluster-size reweighting
     "cluster_safe_split",         # leakage-proof split by cluster hash
     "decontaminate_attribution",  # per-benchmark-doc leak report
+    # RE-PROOF (r8 lesson — changed code after its last green row):
+    # decontaminate's contamination_flags was factored through
+    # contamination_flags_from_shingles in r9 (pure refactor for the
+    # streaming twin; local gate green) — its r6 driver row predates
+    # the change, so it takes a slot next rotation.
+    "decontaminate",
 )
 # Round-10 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-9 REPROVE set (queries whose implementation changed after
