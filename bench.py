@@ -79,6 +79,9 @@ HEADLINE = [
     # drop-free soft-dedup reweighting)
     "decontaminate_exact_spans",
     "soft_dedup_weights",
+    # round-9 session-2 additions (tokenizer trio completion + KN LM)
+    "wordpiece_tokenize",
+    "kn_doc_perplexity",
 ]
 
 

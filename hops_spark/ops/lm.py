@@ -186,3 +186,78 @@ def kl_from_counts(ref_counts: DataFrame, cur_counts: DataFrame,
                   .crossJoin(F.broadcast(total))
                   .orderBy(F.col("contrib").desc(), F.col("token").asc())
                   .limit(top_k))
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram scoring
+# ---------------------------------------------------------------------------
+
+D_KN = 0.75  # absolute discount; 3/4 is exact in binary (Chen & Goodman's fix)
+
+
+def kn_count_table(per_doc_counts: DataFrame) -> DataFrame:
+    """Kneser-Ney statistics over the per-doc bigram count table:
+    (w1, w2, n, n_ctx, n1f, n1b, t) where
+
+        n     = corpus count of (w1, w2)
+        n_ctx = Σ_w2 n                (context total — the denominator)
+        n1f   = |{w2 : c(w1,w2)>0}|   (continuation fan-OUT of w1 — the
+                                       interpolation weight numerator)
+        n1b   = |{w1 : c(w1,w2)>0}|   (continuation fan-IN of w2 — the
+                                       continuation-probability numerator)
+        t     = |bigram types|        (continuation denominator)
+
+    All four KN statistics are row/group COUNTS of the vocab-bounded
+    bigram table — two keyed aggregates and one 1-row aggregate beyond
+    the plain count table, nothing corpus-proportional."""
+    cnt = (per_doc_counts.groupBy("w1", "w2")
+                         .agg(F.sum("n_local").cast("long").alias("n")))
+    ctx = cnt.groupBy("w1").agg(F.sum("n").cast("long").alias("n_ctx"),
+                                F.count("*").cast("long").alias("n1f"))
+    cont = cnt.groupBy("w2").agg(F.count("*").cast("long").alias("n1b"))
+    tot = cnt.agg(F.count("*").cast("long").alias("t"))
+    return (cnt.join(ctx, "w1").join(cont, "w2")
+               .crossJoin(F.broadcast(tot)))
+
+
+def doc_kn_scores(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document interpolated Kneser-Ney bigram negative
+    log-likelihood: (id, n_bigrams, kn_nll_micro, avg_kn_nll_micro).
+
+    P_KN(w2|w1) = ( max(c(w1,w2) - D, 0) + D·N1+(w1,·)·P_cont(w2) )
+                  / c(w1),       P_cont(w2) = N1+(·,w2) / N1+(··)
+
+    — Kneser & Ney 1995 / Chen & Goodman 1999 eq. 4.24 (interpolated
+    form, fixed discount D = 0.75). This is the smoothing the add-one
+    scorer (doc_nll_scores) trades away: add-one flattens toward
+    uniform; KN backs off toward how PROMISCUOUS a word's left context
+    set is ("francisco" is frequent but follows only "san", so its
+    continuation weight is tiny). Scoring the corpus's own documents
+    means every scored bigram is in the count table — the unseen-event
+    branch never fires, exactly as in doc_nll_scores.
+
+    Determinism: per-bigram -ln P is snapped to integer micro-nats
+    before the per-doc sum (module contract). The probability itself
+    is ONE fixed-shape double expression over six int64 inputs, with
+    D = 0.75 exact in binary and left-to-right association mirrored in
+    the oracle SQL — both engines compute the identical IEEE double.
+
+    Plan: identical to doc_nll_scores — the cached per-doc count table
+    feeds both the corpus statistics and the scoring join; one shuffle
+    join on (w1, w2); order-free integer sums."""
+    per = doc_bigram_counts(docs, id_col, text_col).cache()
+    tbl = kn_count_table(per)
+    scored = tbl.withColumn(
+        "nlp_micro",
+        F.expr(f"CAST(round(-ln((greatest(CAST(n AS DOUBLE) - 0.75e0, 0e0)"
+               f" + 0.75e0 * n1f * (CAST(n1b AS DOUBLE) / t)) / n_ctx)"
+               f" * {MICRO}, 0) AS BIGINT)")
+    ).select("w1", "w2", "nlp_micro")
+    per_doc = (per.join(scored, ["w1", "w2"])
+                  .groupBy(id_col)
+                  .agg(F.sum("n_local").alias("n_bigrams"),
+                       F.sum(F.col("nlp_micro") * F.col("n_local"))
+                        .alias("kn_nll_micro")))
+    return per_doc.withColumn(
+        "avg_kn_nll_micro", F.expr("kn_nll_micro div n_bigrams"))

@@ -160,6 +160,57 @@ def cooccurrence_topk(docs: DataFrame, window: int = 2, k: int = 20,
                .limit(k))
 
 
+MIN_COOC_PMI = 5
+
+
+def pmi_topk(docs: DataFrame, window: int = 2, k: int = 20,
+             min_cooc: int = MIN_COOC_PMI, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Pointwise-mutual-information collocations (word_a, word_b,
+    n_cooc, pmi_micro): the association measure behind phrase/vocab
+    curation for tokenizer training (public: Church & Hanks 1990;
+    word2vec's phrase pass, Mikolov et al. 2013 §4, is the same score
+    with a discount). Shares the pair machinery with cooccurrence_topk
+    but ranks by ASSOCIATION rather than raw frequency — "los+angeles"
+    beats "of+the".
+
+    PMI uses endpoint marginals over the pair multiset: with
+    p(a,b) = n_ab/N and p(a) = m_a/(2N) (m = Σ pair counts touching
+    the word, N = Σ pair counts),
+
+        pmi = ln( 4·n_ab·N / (m_a·m_b) )
+
+    snapped to integer micro-nats — one fixed-shape double expression
+    over three int64 inputs, engine-exact under the module's
+    determinism contract. ``min_cooc`` suppresses the unstable
+    low-count tail (PMI's classic failure mode: a hapax pair has
+    maximal PMI), and is the scale control: the ranked set is the
+    vocab-bounded pair table AFTER the count filter.
+
+    Plan: one pair-count aggregate (map-side combined), one marginal
+    aggregate over the pair table, two broadcast joins, TakeOrdered
+    top-k. Nothing corpus-proportional past the first aggregate."""
+    bound = _bound_words(docs, id_col, text_col)
+    cnt = cooccurrence_edges(bound, window).filter(F.col("n_cooc") >= min_cooc)
+    marg = (cnt.select(F.col("word_a").alias("word"), "n_cooc")
+               .unionByName(cnt.select(F.col("word_b").alias("word"),
+                                       "n_cooc"))
+               .groupBy("word").agg(F.sum("n_cooc").cast("long").alias("m")))
+    tot = cnt.agg(F.sum("n_cooc").cast("long").alias("nn"))
+    ma = marg.select(F.col("word").alias("word_a"), F.col("m").alias("_ma"))
+    mb = marg.select(F.col("word").alias("word_b"), F.col("m").alias("_mb"))
+    return (cnt.join(F.broadcast(ma), "word_a")
+               .join(F.broadcast(mb), "word_b")
+               .crossJoin(F.broadcast(tot))
+               .withColumn("pmi_micro",
+                           F.expr("CAST(round(ln((4e0 * n_cooc * nn) / "
+                                  "(CAST(_ma AS DOUBLE) * _mb)) * 1000000, 0)"
+                                  " AS BIGINT)"))
+               .select("word_a", "word_b", "n_cooc", "pmi_micro")
+               .orderBy(F.col("pmi_micro").desc(), "word_a", "word_b")
+               .limit(k))
+
+
 def tfidf_postings(docs: DataFrame, min_df: int = 2, max_df: int = 10_000,
                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """TF-IDF postings (doc, term, w_milli): one tf aggregate over the

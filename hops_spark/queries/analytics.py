@@ -693,3 +693,54 @@ def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.coalesce("ndv_est", F.lit(0)).cast("long")
                           .alias("ndv_est"), "min_val", "max_val")
                  .orderBy("col_name"))
+
+
+@register(
+    "attribution_credit",
+    sql="""
+    WITH conv AS (
+        SELECT event_id AS conv_id, user_id, ts AS conv_ts
+        FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT event_id AS touch_id, user_id, ts AS touch_ts,
+               event_type AS channel
+        FROM events WHERE event_type IN ('click', 'view', 'signup')
+    ), j AS (
+        SELECT c.conv_id, t.touch_id, t.channel, t.touch_ts
+        FROM conv c JOIN touch t ON t.user_id = c.user_id
+        AND t.touch_ts < c.conv_ts
+        AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+    ), r AS (
+        SELECT conv_id, touch_id, channel,
+               CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
+                 AS n_touch,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY touch_ts DESC, touch_id DESC)
+                 AS rn
+        FROM j
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(1000000 // n_touch) AS BIGINT) AS linear_credit_ppm,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS last_touch_convs
+    FROM r GROUP BY channel ORDER BY channel
+    """,
+    doc="Multi-touch attribution over the event log: each purchase "
+        "distributes 1,000,000 ppm of credit equally (integer div — "
+        "order-free) across the user's click/view/signup touchpoints "
+        "in the trailing 7 days; last-touch conversions ride along "
+        "via a per-conversion row_number (touch_ts desc, touch_id "
+        "desc — the id tiebreak makes same-microsecond touches "
+        "deterministic). The user-equi + time-range join is the "
+        "join_range_events shape: SMJ on user_id with the range as "
+        "residual; both windows partition by conv_id (bounded per "
+        "key, never single-partition).",
+    tags=("events", "analytics"),
+)
+def attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.attribution import attribution_credit as attr
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type")
+    return attr(e)

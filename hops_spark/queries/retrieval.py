@@ -1362,3 +1362,103 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return R.phrase_occurrences_indexed(d, _PHRASE).orderBy("doc_id")
+
+
+@register(
+    "kn_doc_perplexity",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, {{DW}} AS w FROM documents
+    ), bg AS (
+        SELECT doc_id, w[i.i] AS w1, w[i.i + 1] AS w2
+        FROM wt, LATERAL (SELECT unnest(range(1, len(w))) AS i) i
+        WHERE len(w) >= 2
+    ), cnt AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+        FROM bg GROUP BY w1, w2
+    ), ctx AS (
+        SELECT w1, CAST(sum(n) AS BIGINT) AS n_ctx,
+               CAST(count(*) AS BIGINT) AS n1f
+        FROM cnt GROUP BY w1
+    ), cont AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM cnt GROUP BY w2
+    ), tt AS (
+        SELECT CAST(count(*) AS BIGINT) AS t FROM cnt
+    ), sc AS (
+        SELECT c.w1, c.w2,
+               CAST(round(-ln((greatest(CAST(n AS DOUBLE) - 0.75e0, 0e0)
+                    + 0.75e0 * n1f * (CAST(n1b AS DOUBLE) / t)) / n_ctx)
+                    * 1000000, 0) AS BIGINT) AS nlp_micro
+        FROM cnt c JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tt
+    )
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           CAST(sum(s.nlp_micro) AS BIGINT) AS kn_nll_micro,
+           CAST(sum(s.nlp_micro) AS BIGINT) // count(*) AS avg_kn_nll_micro
+    FROM bg b JOIN sc s ON b.w1 = s.w1 AND b.w2 = s.w2
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="Per-document interpolated Kneser-Ney bigram NLL (Kneser & Ney "
+        "1995; Chen & Goodman 1999 eq. 4.24, fixed discount D=0.75) — "
+        "the smoothing KenLM-grade perplexity filters actually use, "
+        "next to doc_perplexity's add-one baseline: mass discounted "
+        "from seen bigrams is reassigned by CONTINUATION counts (how "
+        "many left contexts a word follows), not raw frequency. All "
+        "four KN statistics are aggregates of the vocab-bounded count "
+        "table; per-bigram -ln P snapped to integer micro-nats before "
+        "the order-free per-doc sum. ops/lm.doc_kn_scores.",
+    tags=("retrieval", "text", "north-star"),
+)
+def kn_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.lm import doc_kn_scores
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return doc_kn_scores(d).orderBy("doc_id")
+
+
+@register(
+    "word_pmi",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, {{DW}} AS w FROM documents
+    ), prs AS (
+        SELECT least(w[i.i], w[i.i + d.d]) AS word_a,
+               greatest(w[i.i], w[i.i + d.d]) AS word_b
+        FROM wt,
+             LATERAL (SELECT unnest(range(1, len(w))) AS i) i,
+             LATERAL (SELECT unnest(range(1, least(2, len(w) - i.i) + 1)) AS d) d
+        WHERE len(w) >= 2
+    ), cnt AS (
+        SELECT word_a, word_b, CAST(count(*) AS BIGINT) AS n_cooc
+        FROM prs GROUP BY word_a, word_b
+        HAVING count(*) >= {R.MIN_COOC_PMI}
+    ), marg AS (
+        SELECT word, CAST(sum(n_cooc) AS BIGINT) AS m FROM (
+            SELECT word_a AS word, n_cooc FROM cnt
+            UNION ALL SELECT word_b AS word, n_cooc FROM cnt
+        ) GROUP BY word
+    ), tot AS (
+        SELECT CAST(sum(n_cooc) AS BIGINT) AS nn FROM cnt
+    )
+    SELECT c.word_a, c.word_b, c.n_cooc,
+           CAST(round(ln((4e0 * c.n_cooc * nn) /
+                (CAST(ma.m AS DOUBLE) * mb.m)) * 1000000, 0) AS BIGINT)
+             AS pmi_micro
+    FROM cnt c
+    JOIN marg ma ON ma.word = c.word_a
+    JOIN marg mb ON mb.word = c.word_b
+    CROSS JOIN tot
+    ORDER BY pmi_micro DESC, word_a, word_b
+    LIMIT 20
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="PMI-ranked collocations (Church & Hanks 1990; the word2vec "
+        "phrase pass, Mikolov et al. 2013 §4): same within-2 pair "
+        "machinery as word_cooccurrence but ranked by ASSOCIATION — "
+        "pmi = ln(4·n_ab·N / (m_a·m_b)) over endpoint marginals, in "
+        "exact integer micro-nats; n_cooc >= 5 suppresses the "
+        "max-PMI hapax tail. The vocab-curation input for tokenizer "
+        "training. ops/retrieval.pmi_topk.",
+    tags=("retrieval", "text"),
+)
+def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return R.pmi_topk(d, window=2, k=20)

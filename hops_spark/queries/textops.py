@@ -1708,3 +1708,116 @@ def unigram_train_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     pieces = piece_table(wc)
     segs = viterbi_segment(wc, pieces)
     return hard_em_recount(segs, pieces).orderBy("piece")
+
+
+def _duck_wordpiece_sql() -> str:
+    from hops_spark.ops.wordpiece import (CONT, MAX_LEN, MAX_PIECE,
+                                          MIN_COUNT, SEP, TOP_K)
+    gram_parts = "\n        UNION ALL ".join(
+        f"SELECT substr(w, 1, {n}) AS piece, n_occ FROM wc WHERE len >= {n}"
+        f"\n        UNION ALL "
+        f"SELECT '{CONT}' || substr(w, i.i, {n}) AS piece, n_occ FROM wc, "
+        f"LATERAL (SELECT unnest(range(2, len - {n} + 2)) AS i) i "
+        f"WHERE len >= {n} + 1"
+        for n in range(1, MAX_PIECE + 1))
+    cand_parts = "\n        UNION ALL ".join(
+        f"SELECT p.w, p.pos, v.piece, {n} AS plen FROM pos p JOIN vocab v "
+        f"ON v.piece = (CASE WHEN p.pos = 1 THEN substr(p.w, 1, {n}) "
+        f"ELSE '{CONT}' || substr(p.w, p.pos, {n}) END) "
+        f"WHERE p.pos + {n} - 1 <= p.len"
+        for n in range(1, MAX_PIECE + 1))
+    ctes = [f"""wt AS (
+        SELECT {_DUCK_WORDS} AS w0 FROM documents
+    ), wc AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_occ,
+               CAST(len(w) AS INT) AS len
+        FROM (SELECT unnest(w0) AS w FROM wt) GROUP BY w
+    ), grams AS (
+        {gram_parts}
+    ), cnts AS (
+        SELECT piece, CAST(sum(n_occ) AS BIGINT) AS cnt,
+               len(piece) - (CASE WHEN piece LIKE '{CONT}%' THEN 2 ELSE 0 END)
+                 AS core_len
+        FROM grams GROUP BY piece
+    ), multi AS (
+        SELECT piece FROM cnts
+        WHERE core_len > 1 AND cnt >= {MIN_COUNT}
+        ORDER BY cnt DESC, piece LIMIT {TOP_K}
+    ), vocab AS MATERIALIZED (
+        SELECT piece FROM cnts WHERE core_len = 1
+        UNION ALL SELECT piece FROM multi
+    ), pos AS (
+        SELECT w, len, i.i AS pos
+        FROM wc, LATERAL (SELECT unnest(range(1, len + 1)) AS i) i
+        WHERE len <= {MAX_LEN}
+    ), cand AS (
+        {cand_parts}
+    ), jump AS MATERIALIZED (
+        SELECT w, pos, arg_max(piece, plen) AS piece,
+               CAST(max(plen) AS INT) AS plen
+        FROM cand GROUP BY w, pos
+    ), s0 AS MATERIALIZED (
+        SELECT w, len, n_occ, CAST(1 AS INT) AS pos, '' AS seg,
+               CAST(0 AS BIGINT) AS np
+        FROM wc WHERE len <= {MAX_LEN}
+    )"""]
+    for j in range(1, MAX_LEN + 1):
+        ctes.append(f"""s{j} AS MATERIALIZED (
+        SELECT s.w, s.len, s.n_occ, CAST(s.pos + j.plen AS INT) AS pos,
+               s.seg || (CASE WHEN s.seg = '' THEN '' ELSE '{SEP}' END)
+                     || j.piece AS seg,
+               s.np + 1 AS np
+        FROM s{j - 1} s JOIN jump j ON j.w = s.w AND j.pos = s.pos
+        WHERE s.pos <= s.len
+        UNION ALL
+        SELECT * FROM s{j - 1} WHERE pos > len
+    )""")
+    ctes.append(f"""fb AS (
+        SELECT w, n_occ,
+               string_agg(CASE WHEN i = 1 THEN ch
+                               ELSE '{CONT}' || ch END, '{SEP}' ORDER BY i)
+                 AS seg,
+               CAST(count(*) AS BIGINT) AS np
+        FROM (SELECT w, n_occ, i.i AS i, substr(w, i.i, 1) AS ch
+              FROM wc, LATERAL (SELECT unnest(range(1, len + 1)) AS i) i
+              WHERE len > {MAX_LEN})
+        GROUP BY w, n_occ
+    ), allseg AS (
+        SELECT w, n_occ, seg, np FROM s{MAX_LEN} WHERE pos > len
+        UNION ALL SELECT w, n_occ, seg, np FROM fb
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT w, n_occ, seg, CAST(np AS BIGINT) AS n_pieces
+    FROM allseg
+    ORDER BY w
+    """
+
+
+@register(
+    "wordpiece_tokenize",
+    sql=_duck_wordpiece_sql(),
+    doc="WordPiece subword tokenization (Wu et al. 2016; Devlin et al. "
+        "2019 BERT): greedy longest-match-first with ##-prefixed "
+        "continuation pieces, inventory = every initial/## character "
+        "∪ top-40 occurrence-weighted 2..4-grams (counted separately "
+        "per form, as BERT vocabularies do). Completes the tokenizer "
+        "trio next to BPE and the unigram LM: same vocab-bounded "
+        "shape — the corpus collapses to the word histogram, the "
+        "greedy walk runs in one Arrow pass with the bounded piece "
+        "set as a driver codebook. Deterministic WITHOUT tie-break "
+        "machinery: at a position each length names one substring, so "
+        "the longest match is unique — the oracle replays it as a "
+        "jump table + ≤ max_len unrolled walk rounds. "
+        "ops/wordpiece.py.",
+    tags=("text", "tokenize", "north-star"),
+)
+def wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.unigram import word_counts
+    from hops_spark.ops.wordpiece import wp_greedy_segment, wp_piece_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wc = word_counts(d).cache()
+    pieces = wp_piece_table(wc)
+    return wp_greedy_segment(wc, pieces).orderBy("w")

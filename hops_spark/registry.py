@@ -116,6 +116,11 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # streaming twin; local gate green) — its r6 driver row predates
     # the change, so it takes a slot next rotation.
     "decontaminate",
+    # round-9 session-2 additions (oracle-green at sf0.001 + sf0.01):
+    "wordpiece_tokenize",    # greedy ##-continuation tokenizer (BERT)
+    "kn_doc_perplexity",     # interpolated Kneser-Ney bigram NLL
+    "word_pmi",              # PMI collocations over the pair table
+    "attribution_credit",    # multi-touch attribution over events
 )
 # Round-10 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-9 REPROVE set (queries whose implementation changed after
