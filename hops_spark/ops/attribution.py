@@ -11,6 +11,13 @@ trailing-window touches, bounded by touches-per-user-window rather than
 |conversions| × |touches|. Both downstream windows partition by
 conversion id (bounded per key); credit is integer ppm (1e6 div
 n_touch) so every aggregate is an order-free integer sum.
+
+``credit_by_channel`` is the SHARED derivation: the batch query feeds
+it the full log's conversions and touches; the streaming twin
+(streaming.attribution_stream) feeds it each micro-batch's conversions
+against the trailing touch store — same code path, so batch-fold
+equivalence is by construction (the incremental_dedup_stream
+discipline).
 """
 
 from __future__ import annotations
@@ -19,25 +26,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+TOUCH_TYPES = ("click", "view", "signup")
 
-def attribution_credit(events: DataFrame, conv_type: str = "purchase",
-                       touch_types: tuple[str, ...] = ("click", "view",
-                                                       "signup"),
-                       window_days: int = 7) -> DataFrame:
-    """(channel, n_touches, linear_credit_ppm, last_touch_convs) from an
-    event log (event_id, user_id, ts, event_type). Each conversion
-    spreads 1,000,000 ppm equally over its user's touch events in the
-    trailing ``window_days``; the last touch (ts desc, event_id desc —
-    the id tiebreak pins same-timestamp touches) claims the
-    last-touch conversion. Conversions with no touch in the window
-    simply contribute nothing (unattributable)."""
-    conv = (events.filter(F.col("event_type") == conv_type)
+
+def conv_rows(events: DataFrame, conv_type: str = "purchase") -> DataFrame:
+    """(conv_id, user_id, conv_ts) — the conversion stream."""
+    return (events.filter(F.col("event_type") == conv_type)
                   .select(F.col("event_id").alias("conv_id"), "user_id",
                           F.col("ts").alias("conv_ts")))
-    touch = (events.filter(F.col("event_type").isin(*touch_types))
-                   .select(F.col("event_id").alias("touch_id"), "user_id",
-                           F.col("ts").alias("touch_ts"),
-                           F.col("event_type").alias("channel")))
+
+
+def touch_rows(events: DataFrame,
+               touch_types: tuple[str, ...] = TOUCH_TYPES) -> DataFrame:
+    """(touch_id, user_id, touch_ts, channel) — the touchpoint stream."""
+    return (events.filter(F.col("event_type").isin(*touch_types))
+                  .select(F.col("event_id").alias("touch_id"), "user_id",
+                          F.col("ts").alias("touch_ts"),
+                          F.col("event_type").alias("channel")))
+
+
+def credit_by_channel(conv: DataFrame, touch: DataFrame,
+                      window_days: int = 7) -> DataFrame:
+    """(channel, n_touches, linear_credit_ppm, last_touch_convs): every
+    conversion spreads 1,000,000 ppm equally (integer div) over the
+    user's touches in the trailing ``window_days``; the last touch
+    (ts desc, id desc — the id tiebreak pins same-timestamp touches)
+    claims the last-touch conversion. Conversions with no touch in the
+    window contribute nothing (unattributable). Each conversion is
+    scored independently, so per-channel rows are ADDITIVE across
+    disjoint conversion sets — the property the streaming twin's
+    per-batch delta append relies on."""
     j = conv.join(
         touch,
         (conv["user_id"] == touch["user_id"])
@@ -57,3 +75,13 @@ def attribution_credit(events: DataFrame, conv_type: str = "purchase",
                   F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
                    .cast("long").alias("last_touch_convs"))
              .orderBy("channel"))
+
+
+def attribution_credit(events: DataFrame, conv_type: str = "purchase",
+                       touch_types: tuple[str, ...] = TOUCH_TYPES,
+                       window_days: int = 7) -> DataFrame:
+    """Batch face: (channel, n_touches, linear_credit_ppm,
+    last_touch_convs) from a full event log (event_id, user_id, ts,
+    event_type)."""
+    return credit_by_channel(conv_rows(events, conv_type),
+                             touch_rows(events, touch_types), window_days)

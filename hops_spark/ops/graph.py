@@ -266,3 +266,54 @@ def kcore(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
     return (cur.select(F.col("src").alias("node"))
                .unionAll(cur.select(F.col("dst").alias("node")))
                .groupBy("node").agg(F.count("*").alias("core_deg")))
+
+
+def label_propagation_sync(edges: DataFrame, iters: int = 3,
+                           src: str = "src", dst: str = "dst") -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, made
+    deterministic): every node starts as its own label; each round,
+    each node adopts the label MOST FREQUENT among its neighbors AND
+    itself (the self-vote is the synchronous-schedule oscillation
+    guard: a bare pair under pure neighbor voting swaps labels every
+    round forever — Raghavan et al. §3 flag exactly this bipartite
+    oscillation; with the self-vote a pair resolves to the smaller
+    label in one round and stays), ties to the smallest label — the (count desc, label asc) argmax is a
+    struct-min of (-count, label), so an independent engine replays
+    every round bit-for-bit (the unigram struct-min discipline; the
+    classic LPA breaks ties randomly, which can never hash-match).
+    Edges are symmetrized and deduped; isolated nodes keep their own
+    label. Returns (node, label) after ``iters`` synchronous rounds.
+
+    The iterative-graph-job shape of connected_components/pagerank_int:
+    per round one co-partitioned join edges⋈labels + one (node, label)
+    count aggregate (map-side combined) + one struct-min argmax per
+    node; label state is O(nodes), lineage cut per round with an eager
+    localCheckpoint. Fixed ``iters`` (no convergence test) keeps the
+    plan depth bounded and the oracle unrollable."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+              .filter(F.col("src") != F.col("dst")))
+    sym = (e.union(e.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+            .distinct())
+    nodes = sym.select(F.col("src").alias("node")).distinct() \
+               .localCheckpoint(eager=True)
+    # self-loops carry the self-vote through the same join+count path
+    symx = sym.union(nodes.select(F.col("node").alias("src"),
+                                  F.col("node").alias("dst"))) \
+              .localCheckpoint(eager=True)
+    labels = nodes.withColumn("lbl", F.col("node"))
+    for _ in range(iters):
+        cnt = (symx.join(labels, symx.src == labels.node)
+                   .groupBy(F.col("dst").alias("nd"), "lbl")
+                  .agg(F.count("*").cast("long").alias("c")))
+        pick = (cnt.groupBy("nd")
+                   .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                       F.col("lbl").alias("lbl")))
+                         .alias("m"))
+                   .select(F.col("nd").alias("node"),
+                           F.col("m.lbl").alias("new_lbl")))
+        labels = (labels.join(pick, "node", "left")
+                        .select("node",
+                                F.coalesce("new_lbl", "lbl").alias("lbl"))
+                        .localCheckpoint(eager=True))
+    return labels.select("node", F.col("lbl").alias("label"))

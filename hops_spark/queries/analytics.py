@@ -744,3 +744,57 @@ def attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type")
     return attr(e)
+
+
+@register(
+    "dau_wau_stickiness",
+    sql="""
+    WITH d AS (
+        SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+               CAST(ts AS DATE) AS day, user_id
+        FROM events
+    ), daily AS (
+        SELECT week, day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM d GROUP BY week, day
+    ), weekly AS (
+        SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM d GROUP BY week
+    ), agg AS (
+        SELECT week, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(dau) AS BIGINT) AS dau_sum
+        FROM daily GROUP BY week
+    )
+    SELECT a.week, a.n_days, a.dau_sum, w.wau,
+           CAST(a.dau_sum * 1000000 // (a.n_days * w.wau) AS BIGINT)
+             AS stickiness_ppm
+    FROM agg a JOIN weekly w USING (week)
+    ORDER BY week
+    """,
+    doc="DAU/WAU stickiness per ISO week (the product-analytics "
+        "engagement ratio): average daily active users over weekly "
+        "active users as one division-free integer ppm — stickiness = "
+        "Σ daily distinct · 1e6 div (n_days · weekly distinct). Both "
+        "engines truncate to the ISO Monday week. Two count-distinct "
+        "aggregates sharing one scan; at the 100 TB event log both "
+        "are map-side partial on (week, day) / (week) keys and the "
+        "output is weeks-bounded.",
+    tags=("events", "analytics"),
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    d = e.select(F.date_format(F.date_trunc("week", F.col("ts")),
+                               "yyyy-MM-dd").alias("week"),
+                 F.to_date("ts").alias("day"), "user_id")
+    daily = (d.groupBy("week", "day")
+              .agg(F.countDistinct("user_id").cast("long").alias("dau")))
+    weekly = (d.groupBy("week")
+               .agg(F.countDistinct("user_id").cast("long").alias("wau")))
+    agg = (daily.groupBy("week")
+                .agg(F.count("*").cast("long").alias("n_days"),
+                     F.sum("dau").cast("long").alias("dau_sum")))
+    return (agg.join(weekly, "week")
+               .select("week", "n_days", "dau_sum", "wau",
+                       F.expr("CAST(dau_sum * 1000000 div (n_days * wau) "
+                              "AS BIGINT)").alias("stickiness_ppm"))
+               .orderBy("week"))

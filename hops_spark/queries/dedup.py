@@ -1313,3 +1313,68 @@ def decontaminate_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (D.contamination_attribution(corpus, bench, "doc_id", "text",
                                         min_tokens=DECON_SPAN_MIN)
              .orderBy("bench_id"))
+
+
+_LPA_ITERS = 3
+_LPA_SQL_ITER = """, cnt{k} AS (
+        SELECT e.dst AS nd, l.lbl, CAST(count(*) AS BIGINT) AS c
+        FROM sym e JOIN l{p} l ON l.node = e.src
+        GROUP BY e.dst, l.lbl
+    ), m{k} AS (
+        SELECT node, m.lbl AS new_lbl FROM (
+            SELECT nd AS node, min({{'nc': -c, 'lbl': lbl}}) AS m
+            FROM cnt{k} GROUP BY nd)
+    ), l{k} AS (
+        SELECT l.node, coalesce(m.new_lbl, l.lbl) AS lbl
+        FROM l{p} l LEFT JOIN m{k} m USING (node)
+    )"""
+
+
+@register(
+    "label_propagation",
+    sql=_DUCK_SIGS_CTE + DUCK_MINHASH_VERIFIED_CTE + """
+    , sym0 AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION SELECT id_b AS src, id_a AS dst FROM verified
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM sym0
+    ), sym AS (
+        SELECT src, dst FROM sym0
+        UNION ALL SELECT node AS src, node AS dst FROM nodes
+    ), l0 AS (
+        SELECT node, node AS lbl FROM nodes
+    )""" + "".join(_LPA_SQL_ITER.format(k=k, p=k - 1)
+                   for k in range(1, _LPA_ITERS + 1)) + f"""
+    SELECT node AS doc_id, lbl AS community
+    FROM l{_LPA_ITERS}
+    ORDER BY doc_id
+    """,
+    doc="Label-propagation communities (Raghavan et al. 2007) over the "
+        "minhash near-dup graph, 3 synchronous rounds with the "
+        "deterministic (count desc, label asc) struct-min vote — the "
+        "classic random tie-break can never hash-match an independent "
+        "engine. The fixed-round alternative to dedup_clusters' "
+        "exact connected components: no convergence loop, bounded "
+        "plan depth, and each node votes its own current label too — "
+        "the synchronous-schedule oscillation guard (a bare pair "
+        "under pure neighbor voting swaps labels forever); on the "
+        "capped near-dup graph the tight clusters label identically "
+        "to CC (asserted in tests). "
+        "Per round: one co-partitioned edges⋈labels join + one "
+        "(node,label) count + one struct-min argmax; label state "
+        "O(nodes), localCheckpoint lineage cuts. "
+        "ops/graph.label_propagation_sync.",
+    tags=("graph", "dedup", "iterative", "north-star"),
+)
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.graph import label_propagation_sync
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(d, "doc_id", "text", N_HASHES, BANDS,
+                                  SHINGLE_N, THRESHOLD)
+    edges = pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
+    lp = label_propagation_sync(edges, iters=_LPA_ITERS)
+    return (lp.select(F.col("node").alias("doc_id"),
+                      F.col("label").alias("community"))
+              .orderBy("doc_id"))

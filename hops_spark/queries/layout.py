@@ -702,3 +702,4 @@ def mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "div c_total, 1) AS BIGINT)")
                         .alias("upsample_ppm"))
                .orderBy("source"))
+

@@ -121,6 +121,8 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "kn_doc_perplexity",     # interpolated Kneser-Ney bigram NLL
     "word_pmi",              # PMI collocations over the pair table
     "attribution_credit",    # multi-touch attribution over events
+    "label_propagation",     # deterministic LPA on the near-dup graph
+    "dau_wau_stickiness",    # weekly engagement ratio over events
 )
 # Round-10 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-9 REPROVE set (queries whose implementation changed after

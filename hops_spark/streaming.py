@@ -892,3 +892,104 @@ def media_ingest_dedup_stream(stream_media: DataFrame, state_dir: str,
     return (stream_media.writeStream.foreachBatch(upd)
             .option("checkpointLocation", checkpoint)
             .outputMode("append"))
+
+
+# ---------------------------------------------------------------------------
+# Continuous multi-touch attribution against a trailing touch store
+# ---------------------------------------------------------------------------
+
+_TOUCH_SCHEMA = "touch_id long, user_id long, touch_ts timestamp, channel string"
+
+
+def _latest_touch_epoch(spark: SparkSession, state_dir: str):
+    """Read the newest COMMITTED store epoch (epoch=<n> dir with a
+    _SUCCESS marker) — a crashed write leaves a markerless dir the
+    reader skips, so the store swap is crash-safe without a rename
+    dance (the compact_cell_index problem solved the cheap way: the
+    store is rewritten per batch anyway, so epochs ARE the staging)."""
+    import os
+
+    if not os.path.isdir(state_dir):
+        return None, -1
+    best = -1
+    for d in os.listdir(state_dir):
+        if d.startswith("epoch=") and os.path.exists(
+                os.path.join(state_dir, d, "_SUCCESS")):
+            best = max(best, int(d.split("=", 1)[1]))
+    if best < 0:
+        return None, -1
+    return spark.read.schema(_TOUCH_SCHEMA).parquet(
+        os.path.join(state_dir, f"epoch={best}")), best
+
+
+def seed_touch_state(events: DataFrame, state_dir: str,
+                     touch_types: tuple[str, ...] = ("click", "view",
+                                                     "signup")) -> None:
+    """Initialize the touch store from a pre-existing event log."""
+    from hops_spark.ops.attribution import touch_rows
+
+    touch_rows(events, touch_types).write.parquet(state_dir + "/epoch=0")
+
+
+def attribution_stream(stream_events: DataFrame, state_dir: str,
+                       credit_dir: str, checkpoint: str,
+                       conv_type: str = "purchase",
+                       touch_types: tuple[str, ...] = ("click", "view",
+                                                       "signup"),
+                       window_days: int = 7):
+    """Continuous multi-touch attribution (the incremental_dedup_stream
+    discipline applied to the marketing funnel): state is the trailing
+    TOUCH STORE — every touch within ``window_days`` of the newest
+    event time seen — and each micro-batch's conversions are scored
+    against store ∪ same-batch touches through the SAME
+    ops/attribution.credit_by_channel derivation the batch query uses.
+    Per-channel rows are appended as DELTAS; summing the delta log per
+    channel equals the batch operator on the full log (per-conversion
+    independence makes channel rows additive; batch-fold equivalence is
+    pytest-asserted) PROVIDED events arrive in event-time order — a
+    touch arriving after its conversion's batch is never retro-credited
+    (the store only moves forward; same late-data contract as the
+    watermarked windows, stated not hidden).
+
+    State is bounded: the store is rewritten each batch PRUNED to the
+    trailing window (touches older than window_days behind the batch
+    max can never attribute a future in-order conversion), written as
+    an epoch=<batch_id> dir whose _SUCCESS marker commits it — a crash
+    mid-write leaves the previous epoch authoritative. Per-batch cost:
+    one range join batch-conversions × window-touches + two
+    months-bounded aggregates + one window-sized store rewrite."""
+    import os
+    import shutil
+
+    from hops_spark.ops.attribution import (conv_rows, credit_by_channel,
+                                            touch_rows)
+
+    def upd(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = (batch_df.select("event_id", "user_id", "ts", "event_type")
+                         .localCheckpoint(eager=True))
+        store, prev_epoch = _latest_touch_epoch(spark, state_dir)
+        touches = touch_rows(batch, touch_types)
+        if store is not None:
+            touches = store.unionByName(touches)
+        touches = touches.localCheckpoint(eager=True)
+        conv = conv_rows(batch, conv_type)
+        (credit_by_channel(conv, touches, window_days)
+         .write.mode("append").parquet(credit_dir))
+        # prune + commit the next store epoch
+        max_ts = batch.agg(F.max("ts")).collect()[0][0]   # 1-row scalar
+        import datetime as _dt
+        cutoff = max_ts - _dt.timedelta(days=window_days)
+        epoch = prev_epoch + 1 if prev_epoch >= batch_id else batch_id
+        (touches.filter(F.col("touch_ts") >= F.lit(cutoff))
+                .write.parquet(os.path.join(state_dir, f"epoch={epoch}")))
+        for d in os.listdir(state_dir):
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch:
+                shutil.rmtree(os.path.join(state_dir, d),
+                              ignore_errors=True)
+
+    return (stream_events.writeStream.foreachBatch(upd)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append"))

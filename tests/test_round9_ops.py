@@ -167,3 +167,120 @@ def test_attribution_credit_reference(spark):
     assert got["click"] == (1 + 1 + 3, 500_000 + 500_000 + 3 * 333_333, 1)
     assert got["view"] == (2, 1_000_000, 2)
     assert "signup" not in got
+
+
+def test_label_propagation_self_vote_and_cc_agreement(spark):
+    """(1) An isolated pair resolves to the smaller label in one round
+    (the self-vote oscillation guard) and stays there; (2) a majority
+    vote beats the min label when counts differ; (3) on the sf0.001
+    minhash near-dup graph the 3-round labels equal connected
+    components' min-id labels (tight clusters)."""
+    from hops_spark.ops.graph import (connected_components,
+                                      label_propagation_sync)
+
+    # (1) pair: pure neighbor voting would swap 7<->9 forever
+    pair = spark.createDataFrame([(9, 7)], "src long, dst long")
+    got = {r["node"]: r["label"]
+           for r in label_propagation_sync(pair, iters=3).collect()}
+    assert got == {7: 7, 9: 7}
+
+    # (2) hub node 5 sees labels {1, 1, 9}: majority 1 wins over its
+    # own 5 even though 5 < 9; nodes 1,2 (clique with 5) keep 1
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 5), (2, 5), (9, 5)], "src long, dst long")
+    got = {r["node"]: r["label"]
+           for r in label_propagation_sync(edges, iters=3).collect()}
+    assert got[5] == 1 and got[1] == 1 and got[2] == 1
+
+    # (3) agreement with CC on the real near-dup graph
+    from hops_spark.io.readers import load_table
+    from hops_spark.ops import dedup as D
+    from hops_spark.queries.dedup import (BANDS, N_HASHES, SHINGLE_N,
+                                          THRESHOLD)
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = D.minhash_dedup_pairs(d, "doc_id", "text", N_HASHES, BANDS,
+                                  SHINGLE_N, THRESHOLD)
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    lpa = {r["node"]: r["label"]
+           for r in label_propagation_sync(e, iters=3).collect()}
+    cc = {r["node"]: r["component"]
+          for r in connected_components(e).collect()}
+    assert lpa == cc
+
+
+def test_attribution_stream_folds_like_batch(spark, tmp_path):
+    """Drained per-channel credit DELTAS summed over micro-batches must
+    equal the batch operator on the full log (same credit_by_channel
+    derivation; feeds split by event time). Planted paths: a batch-2
+    conversion whose window reaches back to a batch-1 touch (store
+    path), a same-batch touch (batch path), and a batch-1 touch
+    older than 7 days before the batch-2 conversion (pruned AND
+    ineligible). The store must hold exactly the trailing window after
+    the last batch, in a single committed epoch."""
+    import os
+
+    from hops_spark.ops.attribution import attribution_credit
+    from hops_spark.streaming import attribution_stream
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def ev(eid, uid, day_off, etype):
+        return (eid, uid, t0 + dt.timedelta(days=day_off), etype)
+
+    b1_rows = [
+        ev(1, 1, 0.0, "click"),      # > 7d before u1's conversion: stale
+        ev(2, 1, 5.0, "view"),       # in-window for the batch-2 conv
+        ev(3, 2, 5.5, "click"),
+        ev(4, 2, 6.0, "purchase"),   # batch-1 conversion, same-batch touch
+        ev(5, 3, 6.5, "signup"),
+    ]
+    b2_rows = [
+        ev(6, 1, 8.0, "click"),      # same-batch touch for eid 7
+        ev(7, 1, 9.0, "purchase"),   # window [2.0, 9.0): eids 2, 6 (not 1)
+        ev(8, 3, 9.5, "purchase"),   # u3: eid 5 via the store
+    ]
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    b1 = spark.createDataFrame(b1_rows, schema)
+    b2 = spark.createDataFrame(b2_rows, schema)
+    full = spark.createDataFrame(b1_rows + b2_rows, schema)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    state = str(tmp_path / "state")
+    credit = str(tmp_path / "credit")
+    b1.coalesce(1).write.parquet(str(feed / "b1"))
+    stream = (spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", "1")
+                   .parquet(str(feed / "*")))
+    q = attribution_stream(stream, state, credit,
+                           str(tmp_path / "ck")).start()
+    q.processAllAvailable()
+    b2.coalesce(1).write.parquet(str(feed / "b2"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["channel"]: (r["n_touches"], r["linear_credit_ppm"],
+                          r["last_touch_convs"])
+           for r in spark.read.parquet(credit).groupBy("channel")
+               .agg(F.sum("n_touches").cast("long").alias("n_touches"),
+                    F.sum("linear_credit_ppm").cast("long")
+                     .alias("linear_credit_ppm"),
+                    F.sum("last_touch_convs").cast("long")
+                     .alias("last_touch_convs")).collect()}
+    want = {r["channel"]: (r["n_touches"], r["linear_credit_ppm"],
+                           r["last_touch_convs"])
+            for r in attribution_credit(full).collect()}
+    assert got == want
+    # sanity on the planted paths: u1's conversion split 500k/500k over
+    # view(2) + click(6); click 6 is the last touch; stale click 1 unused
+    assert want["view"][1] == 500_000 + 0
+    assert want["signup"] == (1, 1_000_000, 1)
+
+    # store: single committed epoch, pruned to the trailing 7 days
+    # behind batch-2 max ts (day 9.5 -> cutoff day 2.5: eid 1 gone)
+    epochs = [d for d in os.listdir(state) if d.startswith("epoch=")]
+    assert len(epochs) == 1
+    kept = {r["touch_id"]
+            for r in spark.read.parquet(os.path.join(state, epochs[0]))
+                .collect()}
+    assert kept == {2, 3, 5, 6}
