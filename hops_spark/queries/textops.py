@@ -1710,85 +1710,93 @@ def unigram_train_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_em_recount(segs, pieces).orderBy("piece")
 
 
-def _duck_wordpiece_sql() -> str:
+def _duck_wordpiece_ctes(px: str = "") -> str:
+    """The WordPiece derivation as a CTE chain; ``px`` prefixes every
+    CTE name so the chain composes with the unigram CTEs (which use
+    the same wt/wc/grams/... names) in one statement — the
+    tokenizer_fertility oracle. The final table is ``{px}allseg``
+    (w, n_occ, seg, np)."""
     from hops_spark.ops.wordpiece import (CONT, MAX_LEN, MAX_PIECE,
                                           MIN_COUNT, SEP, TOP_K)
     gram_parts = "\n        UNION ALL ".join(
-        f"SELECT substr(w, 1, {n}) AS piece, n_occ FROM wc WHERE len >= {n}"
+        f"SELECT substr(w, 1, {n}) AS piece, n_occ FROM {px}wc WHERE len >= {n}"
         f"\n        UNION ALL "
-        f"SELECT '{CONT}' || substr(w, i.i, {n}) AS piece, n_occ FROM wc, "
+        f"SELECT '{CONT}' || substr(w, i.i, {n}) AS piece, n_occ FROM {px}wc, "
         f"LATERAL (SELECT unnest(range(2, len - {n} + 2)) AS i) i "
         f"WHERE len >= {n} + 1"
         for n in range(1, MAX_PIECE + 1))
     cand_parts = "\n        UNION ALL ".join(
-        f"SELECT p.w, p.pos, v.piece, {n} AS plen FROM pos p JOIN vocab v "
+        f"SELECT p.w, p.pos, v.piece, {n} AS plen FROM {px}pos p JOIN {px}vocab v "
         f"ON v.piece = (CASE WHEN p.pos = 1 THEN substr(p.w, 1, {n}) "
         f"ELSE '{CONT}' || substr(p.w, p.pos, {n}) END) "
         f"WHERE p.pos + {n} - 1 <= p.len"
         for n in range(1, MAX_PIECE + 1))
-    ctes = [f"""wt AS (
+    ctes = [f"""{px}wt AS (
         SELECT {_DUCK_WORDS} AS w0 FROM documents
-    ), wc AS MATERIALIZED (
+    ), {px}wc AS MATERIALIZED (
         SELECT w, CAST(count(*) AS BIGINT) AS n_occ,
                CAST(len(w) AS INT) AS len
         FROM (SELECT unnest(w0) AS w FROM wt) GROUP BY w
-    ), grams AS (
+    ), {px}grams AS (
         {gram_parts}
-    ), cnts AS (
+    ), {px}cnts AS (
         SELECT piece, CAST(sum(n_occ) AS BIGINT) AS cnt,
                len(piece) - (CASE WHEN piece LIKE '{CONT}%' THEN 2 ELSE 0 END)
                  AS core_len
-        FROM grams GROUP BY piece
-    ), multi AS (
-        SELECT piece FROM cnts
+        FROM {px}grams GROUP BY piece
+    ), {px}multi AS (
+        SELECT piece FROM {px}cnts
         WHERE core_len > 1 AND cnt >= {MIN_COUNT}
         ORDER BY cnt DESC, piece LIMIT {TOP_K}
-    ), vocab AS MATERIALIZED (
-        SELECT piece FROM cnts WHERE core_len = 1
-        UNION ALL SELECT piece FROM multi
-    ), pos AS (
+    ), {px}vocab AS MATERIALIZED (
+        SELECT piece FROM {px}cnts WHERE core_len = 1
+        UNION ALL SELECT piece FROM {px}multi
+    ), {px}pos AS (
         SELECT w, len, i.i AS pos
-        FROM wc, LATERAL (SELECT unnest(range(1, len + 1)) AS i) i
+        FROM {px}wc, LATERAL (SELECT unnest(range(1, len + 1)) AS i) i
         WHERE len <= {MAX_LEN}
-    ), cand AS (
+    ), {px}cand AS (
         {cand_parts}
-    ), jump AS MATERIALIZED (
+    ), {px}jump AS MATERIALIZED (
         SELECT w, pos, arg_max(piece, plen) AS piece,
                CAST(max(plen) AS INT) AS plen
-        FROM cand GROUP BY w, pos
-    ), s0 AS MATERIALIZED (
+        FROM {px}cand GROUP BY w, pos
+    ), {px}s0 AS MATERIALIZED (
         SELECT w, len, n_occ, CAST(1 AS INT) AS pos, '' AS seg,
                CAST(0 AS BIGINT) AS np
-        FROM wc WHERE len <= {MAX_LEN}
+        FROM {px}wc WHERE len <= {MAX_LEN}
     )"""]
     for j in range(1, MAX_LEN + 1):
-        ctes.append(f"""s{j} AS MATERIALIZED (
+        ctes.append(f"""{px}s{j} AS MATERIALIZED (
         SELECT s.w, s.len, s.n_occ, CAST(s.pos + j.plen AS INT) AS pos,
                s.seg || (CASE WHEN s.seg = '' THEN '' ELSE '{SEP}' END)
                      || j.piece AS seg,
                s.np + 1 AS np
-        FROM s{j - 1} s JOIN jump j ON j.w = s.w AND j.pos = s.pos
+        FROM {px}s{j - 1} s JOIN {px}jump j ON j.w = s.w AND j.pos = s.pos
         WHERE s.pos <= s.len
         UNION ALL
-        SELECT * FROM s{j - 1} WHERE pos > len
+        SELECT * FROM {px}s{j - 1} WHERE pos > len
     )""")
-    ctes.append(f"""fb AS (
+    ctes.append(f"""{px}fb AS (
         SELECT w, n_occ,
                string_agg(CASE WHEN i = 1 THEN ch
                                ELSE '{CONT}' || ch END, '{SEP}' ORDER BY i)
                  AS seg,
                CAST(count(*) AS BIGINT) AS np
         FROM (SELECT w, n_occ, i.i AS i, substr(w, i.i, 1) AS ch
-              FROM wc, LATERAL (SELECT unnest(range(1, len + 1)) AS i) i
+              FROM {px}wc, LATERAL (SELECT unnest(range(1, len + 1)) AS i) i
               WHERE len > {MAX_LEN})
         GROUP BY w, n_occ
-    ), allseg AS (
-        SELECT w, n_occ, seg, np FROM s{MAX_LEN} WHERE pos > len
-        UNION ALL SELECT w, n_occ, seg, np FROM fb
+    ), {px}allseg AS (
+        SELECT w, n_occ, seg, np FROM {px}s{MAX_LEN} WHERE pos > len
+        UNION ALL SELECT w, n_occ, seg, np FROM {px}fb
     )""")
-    joined = ",\n    ".join(ctes)
+    return ",\n    ".join(ctes)
+
+
+def _duck_wordpiece_sql() -> str:
     return f"""
-    WITH {joined}
+    WITH {_duck_wordpiece_ctes()}
     SELECT w, n_occ, seg, CAST(np AS BIGINT) AS n_pieces
     FROM allseg
     ORDER BY w
@@ -1821,3 +1829,72 @@ def wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = word_counts(d).cache()
     pieces = wp_piece_table(wc)
     return wp_greedy_segment(wc, pieces).orderBy("w")
+
+
+@register(
+    "tokenizer_fertility",
+    sql=f"""
+    WITH {_duck_unigram_ctes()},
+    {_duck_wordpiece_ctes('wp_')},
+    u AS (
+        SELECT 'unigram' AS tokenizer,
+               CAST(sum(n_occ) AS BIGINT) AS n_tokens,
+               CAST(sum(n_occ * np) AS BIGINT) AS total_pieces,
+               CAST(sum(n_occ * len(w)) AS BIGINT) AS total_chars
+        FROM allseg
+    ), p AS (
+        SELECT 'wordpiece' AS tokenizer,
+               CAST(sum(n_occ) AS BIGINT) AS n_tokens,
+               CAST(sum(n_occ * np) AS BIGINT) AS total_pieces,
+               CAST(sum(n_occ * len(w)) AS BIGINT) AS total_chars
+        FROM wp_allseg
+    ), b AS (
+        SELECT * FROM u UNION ALL SELECT * FROM p
+    )
+    SELECT tokenizer, n_tokens, total_pieces,
+           CAST(total_pieces * 1000000 // n_tokens AS BIGINT)
+             AS fertility_ppm,
+           CAST(total_chars * 1000 // total_pieces AS BIGINT)
+             AS chars_per_piece_milli
+    FROM b ORDER BY tokenizer
+    """,
+    doc="Tokenizer fertility comparison (pieces per word, the standard "
+        "tokenizer-QA metric — SentencePiece/mBERT papers report "
+        "exactly this): occurrence-weighted totals over the FULL "
+        "unigram-Viterbi and WordPiece-greedy segmentations of the "
+        "corpus, so the two summary rows hash-certify every per-word "
+        "segmentation of both families at once (any single divergent "
+        "word shifts the totals). fertility_ppm = Σ n_occ·pieces · 1e6 "
+        "div Σ n_occ; chars_per_piece_milli is the inverse compression "
+        "lens. BPE is omitted here: its apply is doc-level and its "
+        "merge training is already oracle-replayed by bpe_merges. "
+        "All inventory-bounded aggregates over the word histogram.",
+    tags=("text", "tokenize"),
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.unigram import (piece_table, viterbi_segment,
+                                        word_counts)
+    from hops_spark.ops.wordpiece import wp_greedy_segment, wp_piece_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wc = word_counts(d).cache()
+    uni = viterbi_segment(wc, piece_table(wc))
+    wp = wp_greedy_segment(wc, wp_piece_table(wc))
+
+    def summarize(seg: DataFrame, name: str) -> DataFrame:
+        return (seg.agg(
+            F.sum("n_occ").cast("long").alias("n_tokens"),
+            F.sum(F.col("n_occ") * F.col("n_pieces")).cast("long")
+             .alias("total_pieces"),
+            F.sum(F.col("n_occ") * F.length("w")).cast("long")
+             .alias("total_chars"))
+            .select(F.lit(name).alias("tokenizer"), "n_tokens",
+                    "total_pieces", "total_chars"))
+
+    b = summarize(uni, "unigram").unionByName(summarize(wp, "wordpiece"))
+    return (b.select("tokenizer", "n_tokens", "total_pieces",
+                     F.expr("CAST(total_pieces * 1000000 div n_tokens "
+                            "AS BIGINT)").alias("fertility_ppm"),
+                     F.expr("CAST(total_chars * 1000 div total_pieces "
+                            "AS BIGINT)").alias("chars_per_piece_milli"))
+             .orderBy("tokenizer"))

@@ -123,6 +123,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "attribution_credit",    # multi-touch attribution over events
     "label_propagation",     # deterministic LPA on the near-dup graph
     "dau_wau_stickiness",    # weekly engagement ratio over events
+    "tokenizer_fertility",   # unigram-vs-wordpiece pieces-per-word
 )
 # Round-10 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-9 REPROVE set (queries whose implementation changed after

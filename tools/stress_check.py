@@ -32,7 +32,7 @@ from hops_spark.session import get_spark
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
     parts = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-    # 16 tiers share one JVM and several pin bounded caches /
+    # 17 tiers share one JVM and several pin bounded caches /
     # checkpoints; at the default 24g heap the suffix tiers' pinned
     # shuffle-hash builds can tip GC over under concurrent load
     # (observed once, round 9) — the stress battery declares the heap
@@ -498,6 +498,40 @@ def main() -> int:
     decon_ok = got_decon == {(i, 7, 21, 15) for i in range(n_leaks)}
     t_decon = time.time() - t0
 
+    # label propagation at 1M nodes: 200k planted 5-node STARS
+    # (center g*5, members g*5+1..g*5+4) resolve to the center label in
+    # ROUND 1 under the self-vote (every vote count ties at 1, min
+    # label = center) and stay fixed — expected label(v) = 5*(v div 5)
+    # for every node, a closed form over the whole graph. A planted
+    # 6-node PATH (ids B..B+5) additionally certifies the propagation
+    # depth: with ties-to-min, round k gives node i label
+    # max(B, B+i-k), so after 3 rounds label(B+i) = B + max(0, i-3) —
+    # the fixed-round contract stated in the op docstring, asserted
+    # not assumed.
+    from hops_spark.ops.graph import label_propagation_sync
+    t0 = time.time()
+    n_lpa = 1_000_000
+    star_base = spark.range(0, n_lpa, 1, parts).filter(
+        F.col("id") % 5 != 0)
+    star_edges = star_base.select(
+        ((F.col("id") / 5).cast("long") * 5).alias("src"),
+        F.col("id").alias("dst"))
+    pb = 10_000_000
+    path_edges = spark.range(0, 5).select(
+        (F.col("id") + pb).alias("src"), (F.col("id") + pb + 1).alias("dst"))
+    lpa = label_propagation_sync(
+        star_edges.unionByName(path_edges), iters=3)
+    bad_stars = (lpa.filter(F.col("node") < n_lpa)
+                    .filter(F.col("label")
+                            != (F.col("node") / 5).cast("long") * 5)
+                    .count())
+    path_lbl = {r["node"] - pb: r["label"] - pb for r in
+                lpa.filter(F.col("node") >= pb).collect()}
+    lpa_ok = (bad_stars == 0
+              and lpa.count() == n_lpa + 6
+              and path_lbl == {i: max(0, i - 3) for i in range(6)})
+    t_lpa = time.time() - t0
+
     out = {"job": "stress_check", "n_rows": n, "n_partitions": parts,
            "rank_ok": bool(rank_ok), "rank_sec": round(t_rank, 1),
            "prefix_sum_ok": bool(ps_ok), "prefix_sum_sec": round(t_ps, 1),
@@ -522,11 +556,13 @@ def main() -> int:
            "media_fp_ok": bool(media_ok),
            "media_fp_sec": round(t_media, 1),
            "decon_spans_ok": bool(decon_ok),
-           "decon_spans_sec": round(t_decon, 1)}
+           "decon_spans_sec": round(t_decon, 1),
+           "lpa_1m_ok": bool(lpa_ok), "lpa_1m_sec": round(t_lpa, 1)}
     print(json.dumps(out))
     return 0 if all((rank_ok, ps_ok, skew_ok, dedup_ok, inc_ok,
                      ann_ok, meta_ok, tl_ok, wj_ok, tri_ok,
-                     spans_ok, spans_int_ok, pq_ok, media_ok, decon_ok)) else 1
+                     spans_ok, spans_int_ok, pq_ok, media_ok, decon_ok,
+                     lpa_ok)) else 1
 
 
 if __name__ == "__main__":
