@@ -86,3 +86,79 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum("n_chars").alias("total_chars"),
                      F.sum("n_words_ws").cast("long").alias("total_tokens"))
                 .orderBy("source"))
+
+
+@register(
+    "corpus_delta",
+    sql="""
+    WITH snew AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 1 THEN text || ' refreshed'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 2
+    ), old_sig AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(text), 1, 15))::BIGINT AS sig
+        FROM documents
+    ), new_sig AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(text), 1, 15))::BIGINT AS sig
+        FROM snew
+    ), d AS (
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               o.sig AS old_sig, n.sig AS new_sig,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.sig <> n.sig THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old_sig o FULL OUTER JOIN new_sig n USING (doc_id)
+    )
+    SELECT doc_id, status, old_sig, new_sig
+    FROM d WHERE status <> 'unchanged'
+    ORDER BY doc_id
+    """,
+    doc="Corpus snapshot delta (the incremental-crawl diff job a "
+        "training pipeline runs between ingests): added / removed / "
+        "changed docs by CONTENT signature (64-bit md5 prefix), via "
+        "one full-outer join on doc id — identity rename vs content "
+        "change distinguished without shipping text. The 'new' "
+        "snapshot is derived deterministically from the corpus "
+        "(10% removed, 10% edited, 10% re-added under new ids) so "
+        "both engines construct identical inputs. At 100 TB both "
+        "sides reduce to (id, 8-byte sig) before the join — the diff "
+        "moves signatures, never documents; downstream, 'added'+"
+        "'changed' is exactly the incremental-dedup ingest set.",
+    tags=("pipeline", "scan", "north-star"),
+)
+def corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    snew = (old.filter(F.col("doc_id") % 10 != 0)
+               .select("doc_id",
+                       F.when(F.col("doc_id") % 10 == 1,
+                              F.concat(F.col("text"), F.lit(" refreshed")))
+                        .otherwise(F.col("text")).alias("text"))
+               .unionByName(
+                   old.filter(F.col("doc_id") % 10 == 2)
+                      .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                              "text")))
+
+    def sig(df: DataFrame) -> DataFrame:
+        return df.select("doc_id",
+                         F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+                          .cast("long").alias("sig"))
+
+    o = sig(old).withColumnRenamed("sig", "old_sig")
+    n = sig(snew).withColumnRenamed("sig", "new_sig")
+    d = (o.join(n, "doc_id", "full_outer")
+          .withColumn("status",
+                      F.when(F.col("old_sig").isNull(), "added")
+                       .when(F.col("new_sig").isNull(), "removed")
+                       .when(F.col("old_sig") != F.col("new_sig"),
+                             "changed")
+                       .otherwise("unchanged")))
+    return (d.filter(F.col("status") != "unchanged")
+             .select("doc_id", "status", "old_sig", "new_sig")
+             .orderBy("doc_id"))

@@ -848,3 +848,46 @@ def fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.min(F.col("key").cast("long")).alias("min_key"),
                      F.max(F.col("key").cast("long")).alias("max_key"))
                 .orderBy("o_orderstatus"))
+
+
+@register(
+    "scan_xml_stream",
+    sql="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+    doc="StreamXmlRecordReader roundtrip (hadoop-streaming "
+        "StreamXmlRecordReader.java): the nation table is written as "
+        "XML part files whose <rec> records deliberately SPAN LINES "
+        "(fields separated by newlines — the property the reader's "
+        "(?s) regex exists for), re-read via io/readers."
+        "read_xml_chunks (wholetext + regexp chunk extraction), and "
+        "every field parsed back out; the full 25-row roundtrip must "
+        "hash-match the source parquet. Upgrades the XML reader from "
+        "pytest-only to oracle-proven. Scale: record-per-chunk XML "
+        "part files read file-parallel; a single multi-GB XML doc "
+        "would need a custom datasource (documented in the reader).",
+    tags=("io", "scan"),
+)
+def scan_xml_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hops_spark.io.readers import read_xml_chunks
+    from hops_spark.session import scratch_dir
+
+    nation = load_table(spark, sf_dir, "nation") \
+        .select("n_nationkey", "n_name", "n_regionkey")
+    xml = nation.select(F.format_string(
+        "<rec>\n  <k>%s</k>\n  <n>%s</n>\n  <r>%s</r>\n</rec>",
+        F.col("n_nationkey").cast("string"), F.col("n_name"),
+        F.col("n_regionkey").cast("string")).alias("value"))
+    path = os.path.join(scratch_dir("xml_rt", sf_dir), "nation")
+    xml.repartition(4).write.text(path)
+    recs = read_xml_chunks(spark, path + "/*.txt", "<rec>", "</rec>")
+    return (recs.select(
+        F.regexp_extract("record", r"<k>(\d+)</k>", 1).cast("long")
+         .alias("n_nationkey"),
+        F.regexp_extract("record", r"<n>([^<]*)</n>", 1).alias("n_name"),
+        F.regexp_extract("record", r"<r>(\d+)</r>", 1).cast("long")
+         .alias("n_regionkey"))
+        .orderBy("n_nationkey"))

@@ -124,6 +124,8 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "label_propagation",     # deterministic LPA on the near-dup graph
     "dau_wau_stickiness",    # weekly engagement ratio over events
     "tokenizer_fertility",   # unigram-vs-wordpiece pieces-per-word
+    "scan_xml_stream",       # StreamXmlRecordReader roundtrip
+    "corpus_delta",          # content-hash snapshot diff
 )
 # Round-10 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-9 REPROVE set (queries whose implementation changed after
