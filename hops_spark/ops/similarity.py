@@ -735,6 +735,41 @@ def compact_cell_index(spark, index_dir: str, id_col: str = "vec_id",
             "n_after": n_after, "compacted": True}
 
 
+def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                   dup_threshold: float = 0.3,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   qid_col: str = "q_id", qvec_col: str = "q_vec",
+                   qlabel_col: str = "q_label") -> DataFrame:
+    """Hard-negative mining for contrastive/metric training (public:
+    the in-batch-negatives literature, e.g. Xiong et al. 2021 ANCE —
+    the strongest negatives are the nearest DIFFERENT-CLASS vectors):
+    per query, the top-``k`` corpus vectors by cosine that (a) carry a
+    DIFFERENT label and (b) sit below ``dup_threshold`` — a same-class
+    or near-duplicate vector is a false negative that poisons the
+    loss, so both filters run BEFORE the ranking, not after (a
+    post-filtered top-k would silently return fewer than k).
+
+    Same guarded eval shape as knn_bruteforce (bounded query panel ×
+    corpus scan, deterministic (cos desc, id) ranking); at serving
+    scale the shortlist comes from the IVF/PQ index and these filters
+    apply to the probe result — this op is the exact-eval face the
+    recall checks need."""
+    scored = (corpus.crossJoin(F.broadcast(queries))
+                    .filter(F.col(id_col) != F.col(qid_col))
+                    .filter(F.col(label_col) != F.col(qlabel_col))
+                    .select(F.col(qid_col),
+                            F.col(id_col).alias("neighbor_id"),
+                            F.col(label_col).alias("neg_label"),
+                            F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
+                             .alias("cos_sim"))
+                    .filter(F.col("cos_sim") < dup_threshold))
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(),
+                                            F.col("neighbor_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= k))
+
+
 def knn_bruteforce_gemm(corpus: DataFrame, queries: DataFrame, k: int = 10,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         qid_col: str = "q_id", qvec_col: str = "q_vec",

@@ -1587,3 +1587,54 @@ def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.floor(F.col("n_vectors") * 1000000
                                      / F.lit(n)).cast("long"))
                  .orderBy("cell"))
+
+
+HN_DUP_T = NEAR_DUP_THRESHOLD
+
+
+@register(
+    "hard_negatives",
+    sql=f"""
+    WITH d AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    ), q AS (
+        SELECT vec_id AS q_id, v AS qv, label AS q_label
+        FROM d WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT q.q_id, d.vec_id AS neighbor_id,
+               CAST(d.label AS INT) AS neg_label,
+               round(list_cosine_similarity(d.v, q.qv), 6) AS cos_sim
+        FROM d CROSS JOIN q
+        WHERE d.vec_id <> q.q_id AND d.label <> q.q_label
+    ), ranked AS (
+        SELECT q_id, neighbor_id, neg_label, cos_sim,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored WHERE cos_sim < {HN_DUP_T}
+    )
+    SELECT q_id, neighbor_id, neg_label, cos_sim, rnk
+    FROM ranked WHERE rnk <= {K}
+    ORDER BY q_id, rnk
+    """,
+    doc="Hard-negative mining for contrastive training (ANCE-style, "
+        "Xiong et al. 2021): per query the nearest DIFFERENT-label "
+        "vectors below the near-dup threshold — same-class or "
+        "near-duplicate hits are false negatives and are filtered "
+        "BEFORE ranking so every query yields a full top-k. Exact-eval "
+        "face over the bounded query panel (the knn_recall "
+        "discipline); the serving path applies the same filters to "
+        "the IVF/PQ shortlist. ops/similarity.hard_negatives.",
+    tags=("similarity", "north-star"),
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = (e.filter(F.col("vec_id") < N_QUERIES)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec"),
+                        F.col("label").alias("q_label")))
+    return (SIM.hard_negatives(e.select("vec_id", "embedding", "label"),
+                               queries, K, HN_DUP_T)
+               .select("q_id", "neighbor_id",
+                       F.col("neg_label").cast("int").alias("neg_label"),
+                       "cos_sim", "rnk")
+               .orderBy("q_id", "rnk"))

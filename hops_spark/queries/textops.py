@@ -1898,3 +1898,95 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.expr("CAST(total_chars * 1000 div total_pieces "
                             "AS BIGINT)").alias("chars_per_piece_milli"))
              .orderBy("tokenizer"))
+
+
+PW_BATCH = 8
+PW_BUCKET = 16
+
+
+@register(
+    "padding_waste",
+    sql=f"""
+    WITH lens AS (
+        SELECT doc_id, CAST(len({{DW}}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), arrival AS (
+        SELECT 'arrival' AS strategy, doc_id // {PW_BATCH} AS batch_key,
+               n_tokens
+        FROM lens
+    ), bucketed0 AS (
+        SELECT doc_id, n_tokens,
+               ((n_tokens + {PW_BUCKET} - 1) // {PW_BUCKET}) AS bucket
+        FROM lens
+    ), bucketed AS (
+        SELECT 'bucketed' AS strategy,
+               bucket * 1000000000 +
+               (row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+                - 1) // {PW_BATCH} AS batch_key,
+               n_tokens
+        FROM bucketed0
+    ), boths AS (
+        SELECT * FROM arrival UNION ALL SELECT * FROM bucketed
+    ), per_batch AS (
+        SELECT strategy, batch_key,
+               CAST(count(*) AS BIGINT) AS n_seqs,
+               CAST(max(n_tokens) AS BIGINT) AS max_len,
+               CAST(sum(n_tokens) AS BIGINT) AS real_tokens
+        FROM boths GROUP BY strategy, batch_key
+    )
+    SELECT strategy,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(n_seqs * max_len) AS BIGINT) AS padded_tokens,
+           CAST(sum(real_tokens) AS BIGINT) AS real_tokens,
+           CAST((sum(n_seqs * max_len) - sum(real_tokens)) * 1000000
+                // sum(n_seqs * max_len) AS BIGINT) AS pad_waste_ppm
+    FROM per_batch GROUP BY strategy ORDER BY strategy
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="Dynamic-padding waste under length-bucketed vs arrival-order "
+        "batching (the training-throughput lever every data loader "
+        "tunes; HF's group_by_length / LengthGroupedSampler made "
+        "deterministic): batches of 8 pad to the batch max, arrival "
+        "order batches by dense doc id, bucketed batches within "
+        "ceil-to-16 token-length buckets (per-bucket row_number — a "
+        "PARTITIONED window, never a global one). The two summary "
+        "rows hash-certify every batch's max/sum; the ppm gap is the "
+        "measured claim that bucketing cuts padding. All integer "
+        "arithmetic.",
+    tags=("text", "sampling", "north-star"),
+)
+def padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from hops_spark.ops.text import words
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lens = d.select("doc_id", F.size(words("text")).cast("long")
+                     .alias("n_tokens"))
+    arrival = lens.select(F.lit("arrival").alias("strategy"),
+                          F.expr(f"doc_id div {PW_BATCH}").alias("batch_key"),
+                          "n_tokens")
+    bkt = lens.withColumn(
+        "bucket", F.expr(f"(n_tokens + {PW_BUCKET} - 1) div {PW_BUCKET}"))
+    wb = Window.partitionBy("bucket").orderBy("doc_id")
+    bucketed = (bkt.withColumn("rn", F.row_number().over(wb))
+                   .select(F.lit("bucketed").alias("strategy"),
+                           (F.col("bucket") * 1_000_000_000
+                            + F.expr(f"(rn - 1) div {PW_BATCH}"))
+                           .alias("batch_key"),
+                           "n_tokens"))
+    boths = arrival.unionByName(bucketed)
+    per_batch = (boths.groupBy("strategy", "batch_key")
+                      .agg(F.count("*").cast("long").alias("n_seqs"),
+                           F.max("n_tokens").cast("long").alias("max_len"),
+                           F.sum("n_tokens").cast("long")
+                            .alias("real_tokens")))
+    return (per_batch.groupBy("strategy")
+            .agg(F.count("*").cast("long").alias("n_batches"),
+                 F.sum(F.col("n_seqs") * F.col("max_len")).cast("long")
+                  .alias("padded_tokens"),
+                 F.sum("real_tokens").cast("long").alias("real_tokens"))
+            .select("strategy", "n_batches", "padded_tokens", "real_tokens",
+                    F.expr("CAST((padded_tokens - real_tokens) * 1000000 "
+                           "div padded_tokens AS BIGINT)")
+                     .alias("pad_waste_ppm"))
+            .orderBy("strategy"))

@@ -126,6 +126,8 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "tokenizer_fertility",   # unigram-vs-wordpiece pieces-per-word
     "scan_xml_stream",       # StreamXmlRecordReader roundtrip
     "corpus_delta",          # content-hash snapshot diff
+    "hard_negatives",        # ANCE-style different-label top-k mining
+    "padding_waste",         # bucketed-vs-arrival dynamic-padding ppm
 )
 # Round-10 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-9 REPROVE set (queries whose implementation changed after
