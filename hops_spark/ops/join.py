@@ -159,3 +159,48 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     return b.join(s, [on, "_salt"], how).drop("_salt")
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          bucket_width: int,
+                          l_start: str = "l_start", l_end: str = "l_end",
+                          r_start: str = "r_start", r_end: str = "r_end",
+                          ) -> DataFrame:
+    """Interval×interval OVERLAP join — the join Spark has no native
+    operator for (a raw `l_start <= r_end AND r_start <= l_end`
+    predicate plans as a CartesianProduct / BroadcastNestedLoop). The
+    standard distributed rewrite (the binning technique of the
+    interval-join literature, e.g. Flink's interval join and
+    Chawda et al. 2014 for the MapReduce form): replicate each
+    interval to every ``bucket_width`` bucket it spans, equi-join on
+    the bucket key, then keep a pair only in its REPORTING bucket —
+    ``max(floor(l_start/W), floor(r_start/W))`` — so every
+    overlapping pair is emitted EXACTLY ONCE with no distinct pass
+    (the later interval's first bucket is always a bucket both
+    intervals span at the moment they first overlap).
+
+    Inputs carry integer [start, end] columns (closed intervals,
+    epoch-seconds or any integer axis) plus any payload columns;
+    returns the joined rows (all left + right payload columns).
+
+    Scale: replication factor is ceil(span/W)+1 per row — pick W near
+    the TYPICAL span so it stays ~2; the shuffle is one hash exchange
+    per side on the bucket key, skew only where one bucket holds many
+    LONG intervals (then raise W or split the long tail into its own
+    pass — the standard two-tier refinement)."""
+    w = bucket_width
+    lb = left.withColumn(
+        "_b", F.explode(F.sequence(
+            (F.col(l_start) / w).cast("long"),
+            (F.col(l_end) / w).cast("long"))))
+    rb = right.withColumn(
+        "_b", F.explode(F.sequence(
+            (F.col(r_start) / w).cast("long"),
+            (F.col(r_end) / w).cast("long"))))
+    joined = (lb.join(rb, "_b")
+                .filter((F.col(l_start) <= F.col(r_end))
+                        & (F.col(r_start) <= F.col(l_end)))
+                .filter(F.col("_b") == F.greatest(
+                    (F.col(l_start) / w).cast("long"),
+                    (F.col(r_start) / w).cast("long"))))
+    return joined.drop("_b")

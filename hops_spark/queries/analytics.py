@@ -798,3 +798,58 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.expr("CAST(dau_sum * 1000000 div (n_days * wau) "
                               "AS BIGINT)").alias("stickiness_ppm"))
                .orderBy("week"))
+
+
+@register(
+    "interval_overlap_events",
+    sql="""
+    WITH clicks AS (
+        SELECT event_id AS click_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS l_start,
+               CAST(floor(epoch(ts)) AS BIGINT)
+               + CAST(round(value * 60, 0) AS BIGINT) AS l_end
+        FROM events WHERE event_type = 'click'
+    ), errors AS (
+        SELECT event_id AS error_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS r_start,
+               CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS r_end
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT e.error_id, CAST(count(*) AS BIGINT) AS n_concurrent
+    FROM errors e JOIN clicks c
+      ON c.l_start <= e.r_end AND e.r_start <= c.l_end
+    GROUP BY e.error_id
+    ORDER BY error_id
+    """,
+    doc="Interval×interval overlap join (click SESSIONS [ts, ts+value "
+        "min] against 30-min error windows — 'what was running when "
+        "the incident window was open'): Spark plans the raw overlap "
+        "predicate as a nested-loop cross, so the op rewrites it as "
+        "bucket replication + equi-join + exactly-once REPORTING-"
+        "bucket rule (no distinct pass) — "
+        "ops/join.interval_overlap_join, the Flink-style interval "
+        "join brought to the DataFrame layer. The oracle runs the "
+        "naive quadratic join; the Spark plan must contain NO "
+        "CartesianProduct (plan-lint enforced). Replication factor "
+        "~2 at the chosen 1h bucket vs ≤ 100-min spans.",
+    tags=("events", "analytics", "join"),
+)
+def interval_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.join import interval_overlap_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value")
+    clicks = (e.filter(F.col("event_type") == "click")
+               .select(F.col("event_id").alias("click_id"),
+                       F.unix_timestamp("ts").alias("l_start"),
+                       (F.unix_timestamp("ts")
+                        + F.round(F.col("value") * 60, 0).cast("long"))
+                       .alias("l_end")))
+    errors = (e.filter(F.col("event_type") == "error")
+               .select(F.col("event_id").alias("error_id"),
+                       F.unix_timestamp("ts").alias("r_start"),
+                       (F.unix_timestamp("ts") + 1800).alias("r_end")))
+    pairs = interval_overlap_join(clicks, errors, bucket_width=3600)
+    return (pairs.groupBy("error_id")
+                 .agg(F.count("*").cast("long").alias("n_concurrent"))
+                 .orderBy("error_id"))

@@ -128,6 +128,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "corpus_delta",          # content-hash snapshot diff
     "hard_negatives",        # ANCE-style different-label top-k mining
     "padding_waste",         # bucketed-vs-arrival dynamic-padding ppm
+    "interval_overlap_events",  # bucketed interval-overlap join
 )
 # Round-10 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-9 REPROVE set (queries whose implementation changed after

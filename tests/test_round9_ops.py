@@ -284,3 +284,35 @@ def test_attribution_stream_folds_like_batch(spark, tmp_path):
             for r in spark.read.parquet(os.path.join(state, epochs[0]))
                 .collect()}
     assert kept == {2, 3, 5, 6}
+
+
+def test_interval_overlap_join_exactly_once_vs_naive(spark):
+    """Every overlapping pair appears EXACTLY once (no distinct pass)
+    even when both intervals span several buckets; result set equals
+    the naive quadratic join on a grid of boundary-hugging cases."""
+    from hops_spark.ops.join import interval_overlap_join
+
+    # intervals engineered around the W=10 bucket grid: containment,
+    # straddle, exact-touch at a boundary, disjoint, multi-bucket span
+    left = spark.createDataFrame(
+        [(1, 0, 35),    # spans buckets 0..3
+         (2, 12, 14),   # inside bucket 1
+         (3, 29, 31),   # straddles 2|3
+         (4, 50, 50)],  # point
+        "click_id long, l_start long, l_end long")
+    right = spark.createDataFrame(
+        [(10, 5, 9),    # overlaps 1 only
+         (11, 14, 22),  # overlaps 1, 2, 3
+         (12, 31, 40),  # overlaps 1, 3
+         (13, 50, 59),  # overlaps 4 (exact touch at 50)
+         (14, 41, 49)], # overlaps nothing
+        "error_id long, r_start long, r_end long")
+    got = [(r["click_id"], r["error_id"]) for r in
+           interval_overlap_join(left, right, bucket_width=10).collect()]
+    naive = {(l[0], r[0])
+             for l in left.collect() for r in right.collect()
+             if l[1] <= r[2] and r[1] <= l[2]}
+    assert sorted(got) == sorted(naive)          # same SET
+    assert len(got) == len(set(got))             # exactly once each
+    assert (1, 11) in naive and (1, 12) in naive and (4, 13) in naive
+    assert all(p[1] != 14 for p in naive)
