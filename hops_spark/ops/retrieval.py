@@ -501,3 +501,115 @@ def phrase_occurrences_indexed(docs: DataFrame, phrase: list[str],
     return (starts.groupBy(id_col)
                   .agg(F.count("*").cast("long").alias("n_occ"),
                        F.min("pos").cast("long").alias("first_pos")))
+
+
+# --- late-interaction (MaxSim) retrieval --------------------------------
+
+
+MSIM_DIM = 16
+
+
+def _msim_grams(t):
+    n_grams = F.greatest(F.length(t) - 2, F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n_grams),
+                       lambda i: F.substring(t, i, 3))
+
+
+def term_vectors(terms: DataFrame, term_col: str = "term",
+                 dim: int = MSIM_DIM, seed: str = "msim") -> DataFrame:
+    """(term, v): unit-norm per-TERM embedding from signed feature
+    hashing of the term's character 3-grams (terms shorter than 3
+    chars contribute the whole term as one gram) — the
+    hashed_bow_embedding derivation at TERM granularity, so
+    orthographically close terms get close vectors with zero model
+    weights. Same explode→(term, bucket) aggregate→map-assemble shape
+    (a first draft folded the buckets per-row through nested
+    higher-order lambdas: 16 s of codegen/eval at sf0.01 vs ~1 s for
+    this aggregate form). Deterministic (md5), mirrored gram-for-gram
+    by the DuckDB oracle."""
+    # two selects: alias THEN explode — referencing the freshly aliased
+    # column inside the same select trips Spark's lateral-alias
+    # resolution (INTERNAL_ERROR LateralColumnAliasReference)
+    t0 = terms.select(F.col(term_col).alias("term"))
+    g = t0.select("term", F.explode(_msim_grams(F.col("term"))).alias("g"))
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col("g")))
+    bucket = F.pmod(F.conv(F.substring(h, 1, 7), 16, 10).cast("long"),
+                    F.lit(dim))
+    sign = F.when(F.conv(F.substring(h, 8, 1), 16, 10).cast("long") % 2 == 0,
+                  F.lit(1.0)).otherwise(F.lit(-1.0))
+    cells = (g.select("term", bucket.alias("b"), sign.alias("s"))
+              .groupBy("term", "b")
+              .agg(F.sum("s").cast("double").alias("v")))
+    m = (cells.groupBy("term")
+              .agg(F.map_from_entries(F.collect_list(F.struct("b", "v")))
+                    .alias("m")))
+    dense = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda j: F.coalesce(F.element_at(
+                            F.col("m"), j.cast("long")), F.lit(0.0)))
+    norm = F.sqrt(F.aggregate(dense, F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+    unit = F.when(norm == 0.0, dense).otherwise(
+        F.transform(dense, lambda x: x / norm))
+    return m.select("term", unit.alias("v"))
+
+
+def maxsim_topk(docs: DataFrame, query_terms: list[str], k: int = 15,
+                dim: int = MSIM_DIM, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Late-interaction retrieval, the ColBERT scoring rule (Khattab &
+    Zaharia 2020): score(doc) = Σ_q max_{t ∈ doc} cos(v_q, v_t) — each
+    query term finds its best-matching document term independently,
+    which is what makes late interaction beat single-vector retrieval
+    on multi-aspect queries. Here term vectors are the deterministic
+    char-3-gram hashing embeddings (term_hash_vec); an external
+    model's token embeddings drop into the same plan unchanged.
+
+    Plan (the 100 TB shape): one distinct (doc, term) aggregate — the
+    postings vocabulary, NOT the token stream — term vectors computed
+    map-side, ≤ |query| broadcast-joined similarity columns, one
+    (doc, qterm) max aggregate, per-term maxes summed in FIXED query
+    order (the bm25 float-determinism discipline), TakeOrdered top-k.
+    A real deployment prunes candidates with the inverted index first
+    (phrase/bm25 machinery) and MaxSims only the shortlist."""
+    from hops_spark.ops.similarity import cosine
+    from hops_spark.ops.text import words
+
+    dterms = (docs.select(F.col(id_col), F.explode(words(text_col))
+                           .alias("term"))
+                  .distinct())
+    # zero-norm guard: a term whose gram signs cancel in every bucket
+    # hashes to the zero vector (first seen at the sf1 fixture scale)
+    # and has no defined cosine — dropped on BOTH engines symmetrically
+    nonzero = F.aggregate(F.col("v"), F.lit(0.0),
+                          lambda a, x: a + x * x) > 0
+    tv = (term_vectors(dterms.select("term").distinct(), "term", dim)
+          .filter(nonzero))
+    dterms = dterms.join(tv, "term").withColumnRenamed("v", "tv")
+    # literal-array explode, not createDataFrame — a 3-row local
+    # createDataFrame costs ~6 s of driver round-trips here (the
+    # pi_bbp finding); range+explode is ~0.3 s
+    spark = docs.sparkSession
+    qt = (spark.range(1).select(F.explode(F.array(*[
+            F.struct(F.lit(i).cast("int").alias("qi"),
+                     F.lit(t).alias("qterm"))
+            for i, t in enumerate(query_terms)])).alias("x"))
+          .select("x.qi", "x.qterm"))
+    q = (qt.join(term_vectors(qt.select(F.col("qterm").alias("term")),
+                              "term", dim).filter(nonzero),
+                 qt["qterm"] == F.col("term"))
+           .select("qi", "qterm", F.col("v").alias("qv")))
+    per_q = (dterms.crossJoin(F.broadcast(q))
+                   .select(id_col, "qi",
+                           F.round(cosine(F.col("tv"), F.col("qv")), 6)
+                            .alias("c"))
+                   .groupBy(id_col, "qi").agg(F.max("c").alias("m")))
+    piv = per_q.groupBy(id_col).agg(
+        *[F.max(F.when(F.col("qi") == i, F.col("m"))).alias(f"c{i}")
+          for i in range(len(query_terms))])
+    score = None
+    for i in range(len(query_terms)):
+        c = F.coalesce(F.col(f"c{i}"), F.lit(0.0))
+        score = c if score is None else score + c
+    return (piv.select(F.col(id_col), F.round(score, 6).alias("maxsim"))
+               .orderBy(F.col("maxsim").desc(), id_col)
+               .limit(k))

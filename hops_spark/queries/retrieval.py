@@ -1462,3 +1462,91 @@ def kn_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return R.pmi_topk(d, window=2, k=20)
+
+
+def _duck_maxsim_sql(terms: list[str], k: int, dim: int) -> str:
+    qvals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(terms))
+    piv = ",\n           ".join(
+        f"max(CASE WHEN qi = {i} THEN m END) AS c{i}"
+        for i in range(len(terms)))
+    score = " + ".join(f"coalesce(c{i}, 0.0)" for i in range(len(terms)))
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest({{DW}}) AS term FROM documents
+    ), qterms AS (
+        SELECT * FROM (VALUES {qvals}) q(qi, qterm)
+    ), allterms AS (
+        SELECT DISTINCT term FROM toks
+        UNION SELECT qterm AS term FROM qterms
+    ), dg AS (
+        SELECT term, substr(term, i.i, 3) AS g
+        FROM allterms,
+             LATERAL (SELECT unnest(range(1, greatest(len(term) - 2, 1) + 1))
+                      AS i) i
+    ), dc AS (
+        SELECT term,
+               ('0x' || substring(md5('msim|' || g), 1, 7))::BIGINT % {dim}
+                 AS b,
+               CASE WHEN ('0x' || substring(md5('msim|' || g), 8, 1))::BIGINT
+                         % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM dg
+    ), cells AS (
+        SELECT term, b, CAST(sum(s) AS DOUBLE) AS v FROM dc GROUP BY term, b
+    ), grid AS (
+        SELECT a.term, r.j FROM allterms a,
+             LATERAL (SELECT unnest(range(0, {dim})) AS j) r
+    ), dvec AS (
+        SELECT g.term, list(coalesce(c.v, 0.0) ORDER BY g.j) AS raw
+        FROM grid g LEFT JOIN cells c ON c.term = g.term AND c.b = g.j
+        GROUP BY g.term
+    ), dunit AS (
+        SELECT term,
+               CASE WHEN sqrt(list_sum(list_transform(raw, x -> x * x))) = 0
+                    THEN raw
+                    ELSE list_transform(raw, x -> x /
+                         sqrt(list_sum(list_transform(raw, y -> y * y))))
+               END AS v
+        FROM dvec
+    ), scored AS (
+        SELECT t.doc_id, q.qi,
+               round(list_cosine_similarity(dv.v, qv.v), 6) AS c
+        FROM toks t
+        JOIN dunit dv ON dv.term = t.term
+             AND list_sum(list_transform(dv.v, x -> x * x)) > 0
+        CROSS JOIN qterms q
+        JOIN dunit qv ON qv.term = q.qterm
+             AND list_sum(list_transform(qv.v, x -> x * x)) > 0
+    ), mx AS (
+        SELECT doc_id, qi, max(c) AS m FROM scored GROUP BY doc_id, qi
+    ), piv AS (
+        SELECT doc_id,
+           {piv}
+        FROM mx GROUP BY doc_id
+    )
+    SELECT doc_id, round({score}, 6) AS maxsim
+    FROM piv
+    ORDER BY maxsim DESC, doc_id
+    LIMIT {k}
+    """.replace("{DW}", _DUCK_WORDS)
+
+
+@register(
+    "maxsim_retrieval",
+    sql=_duck_maxsim_sql(QUERY_TERMS, TOP_K, R.MSIM_DIM),
+    doc="Late-interaction retrieval, the ColBERT MaxSim rule (Khattab "
+        "& Zaharia 2020): score(doc) = Σ_q max_{t∈doc} cos(v_q, v_t) "
+        "— each query term independently finds its best document "
+        "term, the property that beats single-vector retrieval on "
+        "multi-aspect queries. Term vectors are deterministic "
+        "char-3-gram signed-hashing embeddings (an external model's "
+        "token embeddings drop into the same plan). One distinct "
+        "(doc, term) aggregate — the postings vocabulary, never the "
+        "token stream — vectors map-side, per-(doc, qterm) max, "
+        "fixed-order float sum (the bm25 discipline). "
+        "ops/retrieval.maxsim_topk.",
+    tags=("retrieval", "text", "north-star"),
+)
+def maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return R.maxsim_topk(d, QUERY_TERMS, TOP_K)

@@ -129,6 +129,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "hard_negatives",        # ANCE-style different-label top-k mining
     "padding_waste",         # bucketed-vs-arrival dynamic-padding ppm
     "interval_overlap_events",  # bucketed interval-overlap join
+    "maxsim_retrieval",      # ColBERT-style late-interaction MaxSim
 )
 # Round-10 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-9 REPROVE set (queries whose implementation changed after

@@ -316,3 +316,22 @@ def test_interval_overlap_join_exactly_once_vs_naive(spark):
     assert len(got) == len(set(got))             # exactly once each
     assert (1, 11) in naive and (1, 12) in naive and (4, 13) in naive
     assert all(p[1] != 14 for p in naive)
+
+
+def test_maxsim_ranks_exact_then_fuzzy_then_unrelated(spark):
+    """The exact-match doc scores ~|query| (each query term matches
+    itself, cos=1); a doc of orthographic variants (shared 3-grams)
+    outranks an unrelated doc; every per-term contribution is a max
+    over the doc's terms."""
+    from hops_spark.ops.retrieval import maxsim_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark merge vector"),
+         (2, "sparky merged vectors"),
+         (3, "banana apple cherry")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["maxsim"]
+           for r in maxsim_topk(docs, ["spark", "merge", "vector"],
+                                k=10).collect()}
+    assert abs(out[1] - 3.0) < 1e-6
+    assert out[1] > out[2] > out[3]
