@@ -853,3 +853,97 @@ def interval_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.groupBy("error_id")
                  .agg(F.count("*").cast("long").alias("n_concurrent"))
                  .orderBy("error_id"))
+
+
+NEYMAN_N = 1000
+
+
+@register(
+    "neyman_allocation",
+    sql=f"""
+    WITH s AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(count(*) AS BIGINT) AS n_h,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS sum_c,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS HUGEINT)
+                        * CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS HUGEINT) AS sumsq_c
+        FROM orders GROUP BY o_orderpriority
+    ), w AS (
+        SELECT stratum, n_h,
+               CAST(round(sqrt(CAST(CAST(n_h AS HUGEINT) * sumsq_c
+                                    - CAST(sum_c AS HUGEINT) * sum_c
+                                    AS DOUBLE)) / 1000, 0) AS BIGINT)
+                 AS w_milli
+        FROM s
+    ), tot AS (
+        SELECT CAST(sum(w_milli) AS BIGINT) AS tw FROM w
+    ), base AS (
+        SELECT stratum, n_h, w_milli,
+               ({NEYMAN_N} * w_milli) // tw AS base_n,
+               ({NEYMAN_N} * w_milli) % tw AS rem
+        FROM w, tot
+    ), leftover AS (
+        SELECT {NEYMAN_N} - CAST(sum(base_n) AS BIGINT) AS k FROM base
+    ), ranked AS (
+        SELECT b.stratum, b.n_h, b.w_milli, b.base_n,
+               (SELECT count(*) FROM base o
+                WHERE o.rem > b.rem
+                   OR (o.rem = b.rem AND o.stratum < b.stratum)) AS r
+        FROM base b
+    )
+    SELECT stratum, n_h, w_milli,
+           CAST(base_n + (CASE WHEN r < k THEN 1 ELSE 0 END) AS BIGINT)
+             AS alloc_n
+    FROM ranked, leftover
+    ORDER BY stratum
+    """,
+    doc="Neyman-optimal stratified sample allocation (Neyman 1934; "
+        "Cochran ch.5): allocate a fixed budget across strata "
+        "proportional to N_h·σ_h, using the integer identity "
+        "N·σ = sqrt(N·Σx² − (Σx)²) over exact cents so the weight is "
+        "ONE sqrt per stratum (same IEEE double both engines, snapped "
+        "to milli units); apportionment is largest-remainder "
+        "(Hamilton) in pure integer arithmetic with join-count ranks "
+        "over the strata-bounded frame — no window, no float "
+        "comparison, Σ alloc_n = budget exactly. The sampling-design "
+        "front end for stratified_sample/pps_sample.",
+    tags=("analytics", "sampling"),
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = NEYMAN_N
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("stratum"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"))
+    s = o.groupBy("stratum").agg(
+        F.count("*").cast("long").alias("n_h"),
+        F.sum("c").cast("long").alias("sum_c"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+         .cast("decimal(38,0)").alias("sumsq_c"))
+    w = s.select(
+        "stratum", "n_h",
+        F.expr("CAST(round(sqrt(CAST(CAST(n_h AS DECIMAL(38,0)) * sumsq_c "
+               "- CAST(sum_c AS DECIMAL(38,0)) * sum_c "
+               "AS DOUBLE)) / 1000, 0) AS BIGINT)").alias("w_milli"))
+    tot = w.agg(F.sum("w_milli").cast("long").alias("tw"))
+    base = (w.crossJoin(F.broadcast(tot))
+             .select("stratum", "n_h", "w_milli",
+                     F.expr(f"({n} * w_milli) div tw").alias("base_n"),
+                     F.expr(f"({n} * w_milli) % tw").alias("rem")))
+    leftover = base.agg((F.lit(n) - F.sum("base_n")).cast("long").alias("k"))
+    other = base.select(F.col("stratum").alias("o_stratum"),
+                        F.col("rem").alias("o_rem"))
+    ranked = (base.join(F.broadcast(other),
+                        (F.col("o_rem") > F.col("rem"))
+                        | ((F.col("o_rem") == F.col("rem"))
+                           & (F.col("o_stratum") < F.col("stratum"))),
+                        "left")
+                  .groupBy("stratum", "n_h", "w_milli", "base_n")
+                  .agg(F.count("o_stratum").alias("r")))
+    return (ranked.crossJoin(F.broadcast(leftover))
+                  .select("stratum", "n_h", "w_milli",
+                          (F.col("base_n")
+                           + F.when(F.col("r") < F.col("k"), 1).otherwise(0))
+                          .cast("long").alias("alloc_n"))
+                  .orderBy("stratum"))

@@ -1378,3 +1378,74 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (lp.select(F.col("node").alias("doc_id"),
                       F.col("label").alias("community"))
               .orderBy("doc_id"))
+
+
+@register(
+    "cross_source_dup_matrix",
+    sql=_DUCK_SIGS_CTE + DUCK_MINHASH_VERIFIED_CTE + """
+    , srcs AS (
+        SELECT doc_id, source FROM documents
+    ), scount AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM srcs GROUP BY source
+    ), m AS (
+        SELECT least(sa.source, sb.source) AS source_a,
+               greatest(sa.source, sb.source) AS source_b,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM verified v
+        JOIN srcs sa ON sa.doc_id = v.id_a
+        JOIN srcs sb ON sb.doc_id = v.id_b
+        GROUP BY 1, 2
+    )
+    SELECT m.source_a, m.source_b, m.n_pairs,
+           ca.n_docs AS n_docs_a, cb.n_docs AS n_docs_b,
+           CAST(m.n_pairs * 1000000 //
+                (CASE WHEN m.source_a = m.source_b
+                      THEN ca.n_docs * (ca.n_docs - 1) // 2
+                      ELSE ca.n_docs * cb.n_docs END) AS BIGINT)
+             AS pair_rate_ppm
+    FROM m
+    JOIN scount ca ON ca.source = m.source_a
+    JOIN scount cb ON cb.source = m.source_b
+    ORDER BY source_a, source_b
+    """,
+    doc="Cross-source duplication matrix (the curation diagnostic "
+        "behind source weighting decisions: which crawls copy which): "
+        "verified minhash near-dup pairs grouped by unordered source "
+        "pair, with the pair rate normalized by the possible-pair "
+        "count (n_a·n_b cross, n·(n−1)/2 within). Rides the capped "
+        "banded pair machinery + two broadcast source-count joins — "
+        "output is |sources|²-bounded.",
+    tags=("dedup", "analytics", "north-star"),
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(d, "doc_id", "text", N_HASHES, BANDS,
+                                  SHINGLE_N, THRESHOLD)
+    srcs = d.select("doc_id", "source")
+    scount = srcs.groupBy("source").agg(F.count("*").cast("long")
+                                         .alias("n_docs"))
+    sa = srcs.select(F.col("doc_id").alias("id_a"),
+                     F.col("source").alias("_sa"))
+    sb = srcs.select(F.col("doc_id").alias("id_b"),
+                     F.col("source").alias("_sb"))
+    m = (pairs.join(F.broadcast(sa), "id_a")
+              .join(F.broadcast(sb), "id_b")
+              .select(F.least("_sa", "_sb").alias("source_a"),
+                      F.greatest("_sa", "_sb").alias("source_b"))
+              .groupBy("source_a", "source_b")
+              .agg(F.count("*").cast("long").alias("n_pairs")))
+    ca = scount.select(F.col("source").alias("source_a"),
+                       F.col("n_docs").alias("n_docs_a"))
+    cb = scount.select(F.col("source").alias("source_b"),
+                       F.col("n_docs").alias("n_docs_b"))
+    return (m.join(F.broadcast(ca), "source_a")
+             .join(F.broadcast(cb), "source_b")
+             .select("source_a", "source_b", "n_pairs", "n_docs_a",
+                     "n_docs_b",
+                     F.expr("CAST(n_pairs * 1000000 div "
+                            "(CASE WHEN source_a = source_b "
+                            "THEN n_docs_a * (n_docs_a - 1) div 2 "
+                            "ELSE n_docs_a * n_docs_b END) AS BIGINT)")
+                      .alias("pair_rate_ppm"))
+             .orderBy("source_a", "source_b"))

@@ -130,6 +130,8 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "padding_waste",         # bucketed-vs-arrival dynamic-padding ppm
     "interval_overlap_events",  # bucketed interval-overlap join
     "maxsim_retrieval",      # ColBERT-style late-interaction MaxSim
+    "neyman_allocation",     # Neyman stratified-sample design
+    "cross_source_dup_matrix",  # which sources copy which
 )
 # Round-10 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-9 REPROVE set (queries whose implementation changed after
