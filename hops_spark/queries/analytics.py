@@ -947,3 +947,157 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                            + F.when(F.col("r") < F.col("k"), 1).otherwise(0))
                           .cast("long").alias("alloc_n"))
                   .orderBy("stratum"))
+
+
+@register(
+    "ab_test_welch",
+    sql="""
+    WITH assigned AS (
+        SELECT CASE WHEN ('0x' || substring(md5('ab|' ||
+                    CAST(user_id AS VARCHAR)), 1, 7))::BIGINT % 2 = 0
+                    THEN 'A' ELSE 'B' END AS variant,
+               CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase'
+    ), s AS (
+        SELECT variant,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS sum_c,
+               CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sumsq_c
+        FROM assigned GROUP BY variant
+    ), piv AS (
+        SELECT max(CASE WHEN variant = 'A' THEN n END) AS na,
+               max(CASE WHEN variant = 'A' THEN sum_c END) AS sa,
+               max(CASE WHEN variant = 'A' THEN sumsq_c END) AS qa,
+               max(CASE WHEN variant = 'B' THEN n END) AS nb,
+               max(CASE WHEN variant = 'B' THEN sum_c END) AS sb,
+               max(CASE WHEN variant = 'B' THEN sumsq_c END) AS qb
+        FROM s
+    )
+    SELECT na, nb,
+           CAST(sa * 1000000 // na AS BIGINT) AS mean_a_micro,
+           CAST(sb * 1000000 // nb AS BIGINT) AS mean_b_micro,
+           CAST(round((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)
+                / sqrt( (CAST(qa AS DOUBLE) / na
+                         - (CAST(sa AS DOUBLE) / na)
+                           * (CAST(sa AS DOUBLE) / na)) / na
+                      + (CAST(qb AS DOUBLE) / nb
+                         - (CAST(sb AS DOUBLE) / nb)
+                           * (CAST(sb AS DOUBLE) / nb)) / nb )
+                * 1000000, 0) AS BIGINT) AS welch_z_micro
+    FROM piv
+    """,
+    doc="Two-sample A/B analysis with the Welch z statistic (Welch "
+        "1947 — unpooled variances, the default for unequal groups): "
+        "variant assignment is a deterministic md5 hash of user_id "
+        "(the engine-portable randomization every experimentation "
+        "platform uses), purchase values in exact cents, and the z "
+        "score is ONE fixed-shape double expression over five int64/"
+        "int128 inputs snapped to integer micro-units — the neyman "
+        "discipline. One keyed aggregate + a 2-row pivot; at the "
+        "100 TB event log the aggregate is map-side partial and "
+        "everything after is O(1).",
+    tags=("events", "analytics"),
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events") \
+        .filter(F.col("event_type") == "purchase")
+    assigned = e.select(
+        F.when(F.conv(F.substring(F.md5(F.concat(
+            F.lit("ab|"), F.col("user_id").cast("string"))), 1, 7),
+            16, 10).cast("long") % 2 == 0, "A").otherwise("B")
+         .alias("variant"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"))
+    s = assigned.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sum_c"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+         .cast("decimal(38,0)").alias("sumsq_c"))
+    piv = s.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("sum_c"))).alias("sa"),
+        F.max(F.when(F.col("variant") == "A", F.col("sumsq_c"))).alias("qa"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("sum_c"))).alias("sb"),
+        F.max(F.when(F.col("variant") == "B", F.col("sumsq_c"))).alias("qb"))
+    return piv.select(
+        "na", "nb",
+        F.expr("CAST(sa * 1000000 div na AS BIGINT)").alias("mean_a_micro"),
+        F.expr("CAST(sb * 1000000 div nb AS BIGINT)").alias("mean_b_micro"),
+        F.expr("CAST(round((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)"
+               " / sqrt( (CAST(qa AS DOUBLE) / na"
+               " - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na)) / na"
+               " + (CAST(qb AS DOUBLE) / nb"
+               " - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb)) / nb )"
+               " * 1000000, 0) AS BIGINT)").alias("welch_z_micro"))
+
+
+@register(
+    "neyman_sample",
+    sql=f"""
+    WITH s AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(count(*) AS BIGINT) AS n_h,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS sum_c,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS HUGEINT)
+                        * CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS HUGEINT) AS sumsq_c
+        FROM orders GROUP BY o_orderpriority
+    ), w AS (
+        SELECT stratum, n_h,
+               CAST(round(sqrt(CAST(CAST(n_h AS HUGEINT) * sumsq_c
+                                    - CAST(sum_c AS HUGEINT) * sum_c
+                                    AS DOUBLE)) / 1000, 0) AS BIGINT)
+                 AS w_milli
+        FROM s
+    ), tot AS (
+        SELECT CAST(sum(w_milli) AS BIGINT) AS tw FROM w
+    ), base AS (
+        SELECT stratum, w_milli,
+               ({NEYMAN_N} * w_milli) // tw AS base_n,
+               ({NEYMAN_N} * w_milli) % tw AS rem
+        FROM w, tot
+    ), leftover AS (
+        SELECT {NEYMAN_N} - CAST(sum(base_n) AS BIGINT) AS k FROM base
+    ), alloc AS (
+        SELECT b.stratum,
+               CAST(b.base_n + (CASE WHEN (SELECT count(*) FROM base o
+                    WHERE o.rem > b.rem
+                       OR (o.rem = b.rem AND o.stratum < b.stratum))
+                    < (SELECT k FROM leftover) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS alloc_n
+        FROM base b
+    ), ranked AS (
+        SELECT o_orderkey, o_orderpriority AS stratum,
+               CAST(row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY md5('ney|' || CAST(o_orderkey AS VARCHAR)),
+                            o_orderkey) AS BIGINT) AS rk
+        FROM orders
+    )
+    SELECT r.o_orderkey, r.stratum, r.rk
+    FROM ranked r JOIN alloc a USING (stratum)
+    WHERE r.rk <= a.alloc_n
+    ORDER BY r.stratum, r.rk
+    """,
+    doc="EXECUTE the Neyman design (the pair to neyman_allocation — "
+        "design there, selection here, same CTE chain): within each "
+        "stratum take the alloc_n lowest md5-ranked order keys — a "
+        "deterministic uniform draw both engines replay (the "
+        "stratified_sample hash discipline), via a PARTITIONED "
+        "row_number per stratum. Exactly Σ alloc_n = 1000 rows out; "
+        "the per-stratum rank certifies the draw order itself.",
+    tags=("analytics", "sampling"),
+)
+def neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    alloc = neyman_allocation(spark, sf_dir).select("stratum", "alloc_n")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("stratum"))
+    wr = Window.partitionBy("stratum").orderBy(
+        F.md5(F.concat(F.lit("ney|"), F.col("o_orderkey").cast("string"))),
+        F.col("o_orderkey"))
+    ranked = o.withColumn("rk", F.row_number().over(wr).cast("long"))
+    return (ranked.join(F.broadcast(alloc), "stratum")
+                  .filter(F.col("rk") <= F.col("alloc_n"))
+                  .select("o_orderkey", "stratum", "rk")
+                  .orderBy("stratum", "rk"))

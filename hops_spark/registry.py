@@ -132,6 +132,8 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "maxsim_retrieval",      # ColBERT-style late-interaction MaxSim
     "neyman_allocation",     # Neyman stratified-sample design
     "cross_source_dup_matrix",  # which sources copy which
+    "ab_test_welch",         # hash-randomized two-sample z in micro
+    "neyman_sample",         # executes the Neyman design per stratum
 )
 # Round-10 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-9 REPROVE set (queries whose implementation changed after
