@@ -82,6 +82,10 @@ HEADLINE = [
     # round-9 session-2 additions (tokenizer trio completion + KN LM)
     "wordpiece_tokenize",
     "kn_doc_perplexity",
+    # round-9 session-2 late additions (late-interaction retrieval,
+    # bucketed interval-overlap join)
+    "maxsim_retrieval",
+    "interval_overlap_events",
 ]
 
 

@@ -135,8 +135,13 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "ab_test_welch",         # hash-randomized two-sample z in micro
     "neyman_sample",         # executes the Neyman design per stratum
 )
-# Round-10 rotation plan: fill freed slots FIRST with this queue, THEN
-# any round-9 REPROVE set (queries whose implementation changed after
-# the r9 window froze), THEN the remaining last-green-r4 tier
-# alphabetically (24 rows, meta_time_travel .. zorder_layout), THEN
-# the last-green-r5 tier; keep the keeper.
+# Round-10 rotation plan: fill freed slots FIRST with this queue (23
+# entries — 5 early-r9 additions + the decontaminate re-proof + 17
+# session-2 additions, every one oracle-green at sf0.001 AND sf0.01,
+# determinism-checked, and plan-lint clean), THEN any round-9 REPROVE
+# set (queries whose implementation changed after the r9 window froze
+# — none as of session 2: all session-2 work is additive, shared
+# modules only gained new functions), THEN the remaining
+# last-green-r4 tier alphabetically (meta_time_travel .. zorder_layout)
+# as slots allow; keep the keeper. 23 + keeper + 24 r4 rows = 48; the
+# last 2 slots start the last-green-r5 tier alphabetically.
