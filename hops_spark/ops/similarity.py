@@ -740,7 +740,8 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 10,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    label_col: str = "label",
                    qid_col: str = "q_id", qvec_col: str = "q_vec",
-                   qlabel_col: str = "q_label") -> DataFrame:
+                   qlabel_col: str = "q_label",
+                   allow_large: bool = False) -> DataFrame:
     """Hard-negative mining for contrastive/metric training (public:
     the in-batch-negatives literature, e.g. Xiong et al. 2021 ANCE —
     the strongest negatives are the nearest DIFFERENT-CLASS vectors):
@@ -750,11 +751,20 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 10,
     loss, so both filters run BEFORE the ranking, not after (a
     post-filtered top-k would silently return fewer than k).
 
-    Same guarded eval shape as knn_bruteforce (bounded query panel ×
-    corpus scan, deterministic (cos desc, id) ranking); at serving
+    Same guarded eval shape as knn_bruteforce — INCLUDING the
+    BRUTEFORCE_MAX_QUERIES guard (bounded query panel × corpus scan,
+    deterministic (cos desc, id) ranking); at serving
     scale the shortlist comes from the IVF/PQ index and these filters
     apply to the probe result — this op is the exact-eval face the
     recall checks need."""
+    if not allow_large:
+        n_q = queries.limit(BRUTEFORCE_MAX_QUERIES + 1).count()
+        if n_q > BRUTEFORCE_MAX_QUERIES:
+            raise ValueError(
+                f"hard_negatives: {n_q}+ queries exceeds the eval guard "
+                f"({BRUTEFORCE_MAX_QUERIES}); mine negatives from the "
+                "IVF/PQ shortlist at serving scale, or pass "
+                "allow_large=True for a deliberate exact sweep")
     scored = (corpus.crossJoin(F.broadcast(queries))
                     .filter(F.col(id_col) != F.col(qid_col))
                     .filter(F.col(label_col) != F.col(qlabel_col))

@@ -104,6 +104,14 @@ def wp_greedy_segment(wc: DataFrame, pieces: DataFrame,
                     out.append(form)
                     pos += n
                     break
+            else:
+                # totality violated (vocab not built from this corpus
+                # by wp_piece_table): fail loud — without this a
+                # missing char form would spin the executor forever
+                raise ValueError(
+                    f"wordpiece vocab lacks a piece for {w!r} at "
+                    f"position {pos}; build it with wp_piece_table "
+                    "over the same word histogram")
         return sep.join(out), len(out)
 
     def seg_batch(batches):

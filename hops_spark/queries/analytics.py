@@ -979,15 +979,16 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)
                 / sqrt( (CAST(qa AS DOUBLE) / na
                          - (CAST(sa AS DOUBLE) / na)
-                           * (CAST(sa AS DOUBLE) / na)) / na
+                           * (CAST(sa AS DOUBLE) / na)) / (na - 1)
                       + (CAST(qb AS DOUBLE) / nb
                          - (CAST(sb AS DOUBLE) / nb)
-                           * (CAST(sb AS DOUBLE) / nb)) / nb )
+                           * (CAST(sb AS DOUBLE) / nb)) / (nb - 1) )
                 * 1000000, 0) AS BIGINT) AS welch_z_micro
     FROM piv
     """,
     doc="Two-sample A/B analysis with the Welch z statistic (Welch "
-        "1947 — unpooled variances, the default for unequal groups): "
+        "1947 — UNBIASED sample variances s²=n/(n−1)·(E[x²]−mean²), "
+        "unpooled, the default for unequal groups): "
         "variant assignment is a deterministic md5 hash of user_id "
         "(the engine-portable randomization every experimentation "
         "platform uses), purchase values in exact cents, and the z "
@@ -1025,9 +1026,11 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sb * 1000000 div nb AS BIGINT)").alias("mean_b_micro"),
         F.expr("CAST(round((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)"
                " / sqrt( (CAST(qa AS DOUBLE) / na"
-               " - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na)) / na"
+               " - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na))"
+               " / (na - 1)"
                " + (CAST(qb AS DOUBLE) / nb"
-               " - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb)) / nb )"
+               " - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb))"
+               " / (nb - 1) )"
                " * 1000000, 0) AS BIGINT)").alias("welch_z_micro"))
 
 

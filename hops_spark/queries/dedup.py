@@ -1414,8 +1414,9 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "verified minhash near-dup pairs grouped by unordered source "
         "pair, with the pair rate normalized by the possible-pair "
         "count (n_a·n_b cross, n·(n−1)/2 within). Rides the capped "
-        "banded pair machinery + two broadcast source-count joins — "
-        "output is |sources|²-bounded.",
+        "banded pair machinery; the doc→source joins are plain "
+        "shuffle joins (|documents|-sized), only the source-count "
+        "joins broadcast — output is |sources|²-bounded.",
     tags=("dedup", "analytics", "north-star"),
 )
 def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1429,8 +1430,11 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("source").alias("_sa"))
     sb = srcs.select(F.col("doc_id").alias("id_b"),
                      F.col("source").alias("_sb"))
-    m = (pairs.join(F.broadcast(sa), "id_a")
-              .join(F.broadcast(sb), "id_b")
+    # plain shuffle joins: sa/sb are |documents|-sized (one row per
+    # doc) — broadcasting them is exactly the driver-OOM-at-scale
+    # mistake; only the |sources|-sized count joins below broadcast
+    m = (pairs.join(sa, "id_a")
+              .join(sb, "id_b")
               .select(F.least("_sa", "_sb").alias("source_a"),
                       F.greatest("_sa", "_sb").alias("source_b"))
               .groupBy("source_a", "source_b")

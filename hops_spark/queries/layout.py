@@ -702,4 +702,3 @@ def mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "div c_total, 1) AS BIGINT)")
                         .alias("upsample_ppm"))
                .orderBy("source"))
-

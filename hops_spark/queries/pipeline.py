@@ -97,7 +97,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE text END AS text
         FROM documents WHERE doc_id % 10 <> 0
         UNION ALL
-        SELECT doc_id + 1000000 AS doc_id, text
+        SELECT -doc_id - 1 AS doc_id, text
         FROM documents WHERE doc_id % 10 = 2
     ), old_sig AS (
         SELECT doc_id,
@@ -126,7 +126,9 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "one full-outer join on doc id — identity rename vs content "
         "change distinguished without shipping text. The 'new' "
         "snapshot is derived deterministically from the corpus "
-        "(10% removed, 10% edited, 10% re-added under new ids) so "
+        "(10% removed, 10% edited, 10% re-added under NEGATED ids — "
+        "a namespace disjoint from any non-negative id at any corpus "
+        "size, unlike a fixed offset) so "
         "both engines construct identical inputs. At 100 TB both "
         "sides reduce to (id, 8-byte sig) before the join — the diff "
         "moves signatures, never documents; downstream, 'added'+"
@@ -142,7 +144,7 @@ def corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .otherwise(F.col("text")).alias("text"))
                .unionByName(
                    old.filter(F.col("doc_id") % 10 == 2)
-                      .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                      .select((-F.col("doc_id") - 1).alias("doc_id"),
                               "text")))
 
     def sig(df: DataFrame) -> DataFrame:

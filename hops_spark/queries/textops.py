@@ -1736,7 +1736,7 @@ def _duck_wordpiece_ctes(px: str = "") -> str:
     ), {px}wc AS MATERIALIZED (
         SELECT w, CAST(count(*) AS BIGINT) AS n_occ,
                CAST(len(w) AS INT) AS len
-        FROM (SELECT unnest(w0) AS w FROM wt) GROUP BY w
+        FROM (SELECT unnest(w0) AS w FROM {px}wt) GROUP BY w
     ), {px}grams AS (
         {gram_parts}
     ), {px}cnts AS (

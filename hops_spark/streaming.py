@@ -901,12 +901,15 @@ def media_ingest_dedup_stream(stream_media: DataFrame, state_dir: str,
 _TOUCH_SCHEMA = "touch_id long, user_id long, touch_ts timestamp, channel string"
 
 
-def _latest_touch_epoch(spark: SparkSession, state_dir: str):
+def _latest_touch_epoch(spark: SparkSession, state_dir: str,
+                        at_most: int | None = None):
     """Read the newest COMMITTED store epoch (epoch=<n> dir with a
-    _SUCCESS marker) — a crashed write leaves a markerless dir the
-    reader skips, so the store swap is crash-safe without a rename
-    dance (the compact_cell_index problem solved the cheap way: the
-    store is rewritten per batch anyway, so epochs ARE the staging)."""
+    _SUCCESS marker), optionally capped at ``at_most`` — a crashed
+    write leaves a markerless dir the reader skips, and the cap is the
+    REPLAY guard: batch b always reads the newest epoch ≤ b (its
+    pre-batch state), so a re-delivered batch that already committed
+    its own epoch b+1 cannot read its own output (the foreachBatch
+    at-least-once contract made idempotent)."""
     import os
 
     if not os.path.isdir(state_dir):
@@ -915,7 +918,9 @@ def _latest_touch_epoch(spark: SparkSession, state_dir: str):
     for d in os.listdir(state_dir):
         if d.startswith("epoch=") and os.path.exists(
                 os.path.join(state_dir, d, "_SUCCESS")):
-            best = max(best, int(d.split("=", 1)[1]))
+            n = int(d.split("=", 1)[1])
+            if at_most is None or n <= at_most:
+                best = max(best, n)
     if best < 0:
         return None, -1
     return spark.read.schema(_TOUCH_SCHEMA).parquet(
@@ -925,10 +930,66 @@ def _latest_touch_epoch(spark: SparkSession, state_dir: str):
 def seed_touch_state(events: DataFrame, state_dir: str,
                      touch_types: tuple[str, ...] = ("click", "view",
                                                      "signup")) -> None:
-    """Initialize the touch store from a pre-existing event log."""
+    """Initialize the touch store from a pre-existing event log (epoch 0
+    = the state BEFORE batch 0; batch b commits epoch b + 1)."""
     from hops_spark.ops.attribution import touch_rows
 
     touch_rows(events, touch_types).write.parquet(state_dir + "/epoch=0")
+
+
+def attribution_batch_update(batch_df: DataFrame, batch_id: int,
+                             state_dir: str, credit_dir: str,
+                             conv_type: str = "purchase",
+                             touch_types: tuple[str, ...] = ("click", "view",
+                                                             "signup"),
+                             window_days: int = 7) -> None:
+    """One micro-batch of continuous attribution — module-level so the
+    replay-idempotence contract is directly testable. IDEMPOTENT under
+    foreachBatch's at-least-once redelivery:
+
+    - reads the newest committed epoch ≤ batch_id (never its own
+      output epoch batch_id+1, which a crashed-after-commit replay
+      would otherwise union with the batch a second time);
+    - writes this batch's credit DELTAS to credit_dir/batch=<id> with
+      overwrite (a replay replaces its own rows, never appends twice);
+    - rewrites store epoch batch_id+1 from scratch (replay replaces);
+    - retains the epoch it READ plus the one it wrote (≤ 2 on disk) —
+      the read epoch must survive until the NEXT batch commits, since
+      only the current batch can be redelivered."""
+    import datetime as _dt
+    import os
+    import shutil
+
+    from hops_spark.ops.attribution import (conv_rows, credit_by_channel,
+                                            touch_rows)
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    batch = (batch_df.select("event_id", "user_id", "ts", "event_type")
+                     .localCheckpoint(eager=True))
+    store, read_epoch = _latest_touch_epoch(spark, state_dir,
+                                            at_most=batch_id)
+    touches = touch_rows(batch, touch_types)
+    if store is not None:
+        touches = store.unionByName(touches)
+    touches = touches.localCheckpoint(eager=True)
+    conv = conv_rows(batch, conv_type)
+    (credit_by_channel(conv, touches, window_days)
+     .write.mode("overwrite")
+     .parquet(os.path.join(credit_dir, f"batch={batch_id}")))
+    # prune + commit the next store epoch (replay rewrites it)
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]   # 1-row scalar
+    cutoff = max_ts - _dt.timedelta(days=window_days)
+    out = os.path.join(state_dir, f"epoch={batch_id + 1}")
+    (touches.filter(F.col("touch_ts") >= F.lit(cutoff))
+            .write.mode("overwrite").parquet(out))
+    for d in os.listdir(state_dir):
+        if d.startswith("epoch="):
+            n = int(d.split("=", 1)[1])
+            if n != read_epoch and n != batch_id + 1:
+                shutil.rmtree(os.path.join(state_dir, d),
+                              ignore_errors=True)
 
 
 def attribution_stream(stream_events: DataFrame, state_dir: str,
@@ -943,52 +1004,27 @@ def attribution_stream(stream_events: DataFrame, state_dir: str,
     event time seen — and each micro-batch's conversions are scored
     against store ∪ same-batch touches through the SAME
     ops/attribution.credit_by_channel derivation the batch query uses.
-    Per-channel rows are appended as DELTAS; summing the delta log per
-    channel equals the batch operator on the full log (per-conversion
-    independence makes channel rows additive; batch-fold equivalence is
-    pytest-asserted) PROVIDED events arrive in event-time order — a
-    touch arriving after its conversion's batch is never retro-credited
-    (the store only moves forward; same late-data contract as the
-    watermarked windows, stated not hidden).
+    Per-channel DELTAS land in credit_dir/batch=<id>; summing the delta
+    log per channel equals the batch operator on the full log
+    (per-conversion independence makes channel rows additive;
+    batch-fold equivalence is pytest-asserted) PROVIDED events arrive
+    in event-time order — a touch arriving after its conversion's
+    batch is never retro-credited (the store only moves forward; same
+    late-data contract as the watermarked windows, stated not hidden).
 
+    Crash/replay contract (attribution_batch_update, directly
+    pytest-asserted): every write is keyed by batch_id and
+    overwrite-mode, the store read is capped at the batch's own id,
+    and ≤ 2 store epochs are retained — so foreachBatch's
+    at-least-once redelivery cannot double-count touches or deltas.
     State is bounded: the store is rewritten each batch PRUNED to the
     trailing window (touches older than window_days behind the batch
-    max can never attribute a future in-order conversion), written as
-    an epoch=<batch_id> dir whose _SUCCESS marker commits it — a crash
-    mid-write leaves the previous epoch authoritative. Per-batch cost:
-    one range join batch-conversions × window-touches + two
-    months-bounded aggregates + one window-sized store rewrite."""
-    import os
-    import shutil
-
-    from hops_spark.ops.attribution import (conv_rows, credit_by_channel,
-                                            touch_rows)
-
+    max can never attribute a future in-order conversion). Per-batch
+    cost: one range join batch-conversions × window-touches + two
+    channels-bounded aggregates + one window-sized store rewrite."""
     def upd(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        batch = (batch_df.select("event_id", "user_id", "ts", "event_type")
-                         .localCheckpoint(eager=True))
-        store, prev_epoch = _latest_touch_epoch(spark, state_dir)
-        touches = touch_rows(batch, touch_types)
-        if store is not None:
-            touches = store.unionByName(touches)
-        touches = touches.localCheckpoint(eager=True)
-        conv = conv_rows(batch, conv_type)
-        (credit_by_channel(conv, touches, window_days)
-         .write.mode("append").parquet(credit_dir))
-        # prune + commit the next store epoch
-        max_ts = batch.agg(F.max("ts")).collect()[0][0]   # 1-row scalar
-        import datetime as _dt
-        cutoff = max_ts - _dt.timedelta(days=window_days)
-        epoch = prev_epoch + 1 if prev_epoch >= batch_id else batch_id
-        (touches.filter(F.col("touch_ts") >= F.lit(cutoff))
-                .write.parquet(os.path.join(state_dir, f"epoch={epoch}")))
-        for d in os.listdir(state_dir):
-            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch:
-                shutil.rmtree(os.path.join(state_dir, d),
-                              ignore_errors=True)
+        attribution_batch_update(batch_df, batch_id, state_dir, credit_dir,
+                                 conv_type, touch_types, window_days)
 
     return (stream_events.writeStream.foreachBatch(upd)
             .option("checkpointLocation", checkpoint)

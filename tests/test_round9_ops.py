@@ -276,13 +276,16 @@ def test_attribution_stream_folds_like_batch(spark, tmp_path):
     assert want["view"][1] == 500_000 + 0
     assert want["signup"] == (1, 1_000_000, 1)
 
-    # store: single committed epoch, pruned to the trailing 7 days
-    # behind batch-2 max ts (day 9.5 -> cutoff day 2.5: eid 1 gone)
-    epochs = [d for d in os.listdir(state) if d.startswith("epoch=")]
-    assert len(epochs) == 1
+    # store: the replay-retention contract keeps the read epoch plus
+    # the written one (<= 2 dirs); the NEWEST is pruned to the trailing
+    # 7 days behind batch-2 max ts (day 9.5 -> cutoff day 2.5: eid 1
+    # gone)
+    epochs = sorted((int(d.split("=", 1)[1]) for d in os.listdir(state)
+                     if d.startswith("epoch=")))
+    assert 1 <= len(epochs) <= 2
     kept = {r["touch_id"]
-            for r in spark.read.parquet(os.path.join(state, epochs[0]))
-                .collect()}
+            for r in spark.read.parquet(
+                os.path.join(state, f"epoch={epochs[-1]}")).collect()}
     assert kept == {2, 3, 5, 6}
 
 
@@ -335,3 +338,50 @@ def test_maxsim_ranks_exact_then_fuzzy_then_unrelated(spark):
                                 k=10).collect()}
     assert abs(out[1] - 3.0) < 1e-6
     assert out[1] > out[2] > out[3]
+
+
+def test_attribution_batch_update_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a batch that
+    already committed its store epoch and delta dir must change
+    NOTHING — the store read is capped at the batch's own id and every
+    write is keyed by batch_id with overwrite mode."""
+    import os
+
+    from hops_spark.streaming import attribution_batch_update
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    b0 = spark.createDataFrame(
+        [(1, 1, t0, "click"),
+         (2, 1, t0 + dt.timedelta(hours=1), "purchase")], schema)
+    b1 = spark.createDataFrame(
+        [(3, 1, t0 + dt.timedelta(hours=2), "view"),
+         (4, 1, t0 + dt.timedelta(hours=3), "purchase")], schema)
+    state, credit = str(tmp_path / "st"), str(tmp_path / "cr")
+
+    def snapshot():
+        deltas = sorted(tuple(r) for r in
+                        spark.read.parquet(credit)
+                        .select("channel", "n_touches",
+                                "linear_credit_ppm").collect())
+        epochs = sorted(int(d.split("=", 1)[1])
+                        for d in os.listdir(state)
+                        if d.startswith("epoch="))
+        store = sorted(r["touch_id"] for r in spark.read.parquet(
+            os.path.join(state, f"epoch={epochs[-1]}")).collect())
+        return deltas, epochs[-1], store
+
+    attribution_batch_update(b0, 0, state, credit)
+    attribution_batch_update(b1, 1, state, credit)
+    first = snapshot()
+    # replay the LAST batch (the only one foreachBatch can redeliver)
+    attribution_batch_update(b1, 1, state, credit)
+    assert snapshot() == first
+    # and the deltas fold to the batch answer: purchase 2 <- click 1,
+    # purchase 4 <- click 1 + view 3 (500k each)
+    d = {r["channel"]: (r["n_touches"], r["linear_credit_ppm"])
+         for r in spark.read.parquet(credit).groupBy("channel")
+             .agg(F.sum("n_touches").cast("long").alias("n_touches"),
+                  F.sum("linear_credit_ppm").cast("long")
+                   .alias("linear_credit_ppm")).collect()}
+    assert d == {"click": (2, 1_500_000), "view": (1, 500_000)}
