@@ -1638,3 +1638,155 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("neg_label").cast("int").alias("neg_label"),
                        "cos_sim", "rnk")
                .orderBy("q_id", "rnk"))
+
+
+MP_CURVE = (1, 3, 5)
+
+
+def _mp_recall_curve_sql() -> str:
+    """Recall@K + candidate volume at nprobe ∈ MP_CURVE, sharing ONE
+    bucket/probe-ranking chain (qv→p→d→q→flips — identical to the
+    knn_multiprobe oracle) plus the brute-force truth; per nprobe only
+    the probe cutoff differs."""
+    p_cols = ",\n               ".join(
+        f"{_jl_p_expr(DIM, j)} AS p{j}" for j in range(MP_BITS))
+    bits = " + ".join(
+        f"(CASE WHEN p{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(MP_BITS))
+    abs_case = " ".join(
+        f"WHEN {j} THEN abs(p{j})" for j in range(MP_BITS))
+    p_list = ", ".join(f"p{j}" for j in range(MP_BITS))
+    per_np = []
+    finals = []
+    for np_ in MP_CURVE:
+        per_np.append(f"""probes{np_} AS (
+        SELECT q_id, bucket AS probe FROM q
+        UNION ALL
+        SELECT f.q_id, xor(q.bucket, 1 << f.j) AS probe
+        FROM flips f JOIN q USING (q_id) WHERE f.r <= {np_ - 1}
+    ), cand{np_} AS (
+        SELECT q.q_id, q.qv, d.vec_id AS neighbor_id, d.v
+        FROM probes{np_} pr JOIN q USING (q_id)
+        JOIN d ON d.bucket = pr.probe
+        WHERE d.vec_id <> q.q_id
+    ), app{np_} AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY round(list_cosine_similarity(v, qv), 6)
+                                DESC, neighbor_id) AS rnk
+            FROM cand{np_}
+        ) WHERE rnk <= {K}
+    )""")
+        finals.append(f"""
+        SELECT CAST({np_} AS BIGINT) AS nprobe,
+               CAST((SELECT count(*) FROM exact e JOIN app{np_} a
+                     USING (q_id, neighbor_id)) * 1000000 //
+                    (SELECT count(*) FROM exact) AS BIGINT)
+                 AS mean_recall_ppm,
+               CAST((SELECT count(*) FROM cand{np_}) AS BIGINT)
+                 AS total_cand""")
+    return f"""
+    WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE)
+                                              * {SIM.JL_QUANT}) AS BIGINT))
+                   AS q
+        FROM embeddings
+    ), p AS (
+        SELECT vec_id,
+               {p_cols}
+        FROM qv
+    ), d AS (
+        SELECT p.vec_id, e.embedding::DOUBLE[] AS v,
+               CAST({bits} AS BIGINT) AS bucket, {p_list}
+        FROM p JOIN embeddings e USING (vec_id)
+    ), q AS (
+        SELECT vec_id AS q_id, v AS qv, bucket, {p_list}
+        FROM d WHERE vec_id < {N_QUERIES}
+    ), flips AS (
+        SELECT q_id, j,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY CASE j {abs_case} END, j) AS r
+        FROM q CROSS JOIN (SELECT unnest(range({MP_BITS})) AS j) js
+    ), exact AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.q_id, d.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY round(list_cosine_similarity(d.v, q.qv), 6)
+                                DESC, d.vec_id) AS rnk
+            FROM d CROSS JOIN q WHERE d.vec_id <> q.q_id
+        ) WHERE rnk <= {K}
+    ), {", ".join(per_np)}
+    {" UNION ALL ".join(finals)}
+    ORDER BY nprobe
+    """
+
+
+@register(
+    "mp_recall_curve",
+    sql=_mp_recall_curve_sql(),
+    doc="The ANN serving TRADEOFF CURVE: mean recall@k and candidate "
+        "volume at nprobe ∈ (1, 3, 5) for the multi-probe SRP-LSH "
+        "path against brute-force truth — the eval every deployment "
+        "runs to pick its latency/recall operating point (Lv et al. "
+        "2007's headline figure as an oracle-hashed table). One "
+        "bucket/probe-ranking chain shared across the curve; only "
+        "the probe cutoff differs per row. total_cand certifies the "
+        "cost axis, mean_recall_ppm the quality axis.",
+    tags=("similarity", "eval", "north-star"),
+)
+def mp_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shared pipeline for the whole curve: the corpus is
+    projected+bucketed ONCE and candidates carry their probe RANK
+    (posexplode of the ranked probe keys) — a corpus item has exactly
+    one bucket, so the nprobe=N candidate set is just the rank<N
+    filter over one cached frame; only the cheap top-k/count jobs run
+    per curve point (first draft rebuilt the multiprobe pipeline per
+    nprobe: 25 s -> ~8 s at sf0.01)."""
+    from pyspark.sql.window import Window
+
+    from hops_spark.ops.similarity import (cosine, jl_project,
+                                           multiprobe_keys, srp_bucket)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", "embedding")
+    queries = (e.filter(F.col("vec_id") < N_QUERIES)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec")))
+    exact = (SIM.knn_bruteforce(corpus, queries, K)
+             .select("q_id", "neighbor_id").localCheckpoint(eager=True))
+    n_exact = exact.count()
+    max_np = max(MP_CURVE)
+    cb = (jl_project(corpus, "embedding", DIM, MP_BITS)
+          .withColumn("_bucket", srp_bucket(MP_BITS))
+          .select("vec_id", "embedding", "_bucket"))
+    qb = (jl_project(queries, "q_vec", DIM, MP_BITS)
+          .select("q_id", "q_vec",
+                  F.posexplode(multiprobe_keys(MP_BITS, max_np))
+                   .alias("_pr", "_probe")))
+    scored = (cb.join(F.broadcast(qb), cb["_bucket"] == qb["_probe"])
+                .filter(F.col("vec_id") != F.col("q_id"))
+                .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                        F.round(cosine(F.col("embedding"),
+                                       F.col("q_vec")), 6).alias("cos_sim"),
+                        "_pr")
+                .localCheckpoint(eager=True))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(),
+                                           F.col("neighbor_id").asc())
+    out = None
+    for np_ in MP_CURVE:
+        c = scored.filter(F.col("_pr") < np_)
+        top = (c.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= K))
+        hits = exact.join(top.select("q_id", "neighbor_id"),
+                          ["q_id", "neighbor_id"], "left_semi").count()
+        total_cand = c.count()
+        row = spark.range(1).select(
+            F.lit(np_).cast("long").alias("nprobe"),
+            F.lit(hits * 1_000_000 // n_exact).cast("long")
+             .alias("mean_recall_ppm"),
+            F.lit(int(total_cand)).cast("long").alias("total_cand"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")

@@ -135,6 +135,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "ab_test_welch",         # hash-randomized two-sample z in micro
     "neyman_sample",         # executes the Neyman design per stratum
     "minhash_bbit",          # b-bit minwise estimator vs exact Jaccard
+    "mp_recall_curve",       # recall@k vs nprobe tradeoff table
 )
 # Round-10 rotation plan: fill freed slots FIRST with this queue (23
 # entries — 5 early-r9 additions + the decontaminate re-proof + 17
