@@ -137,13 +137,15 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "minhash_bbit",          # b-bit minwise estimator vs exact Jaccard
     "mp_recall_curve",       # recall@k vs nprobe tradeoff table
 )
-# Round-10 rotation plan: fill freed slots FIRST with this queue (23
-# entries — 5 early-r9 additions + the decontaminate re-proof + 17
+# Round-10 rotation plan: fill freed slots FIRST with this queue (25
+# entries — 5 early-r9 additions + the decontaminate re-proof + 19
 # session-2 additions, every one oracle-green at sf0.001 AND sf0.01,
-# determinism-checked, and plan-lint clean), THEN any round-9 REPROVE
+# determinism-checked, and plan-lint clean; the whole registry also
+# passed one full sf0.1 sweep this session), THEN any round-9 REPROVE
 # set (queries whose implementation changed after the r9 window froze
-# — none as of session 2: all session-2 work is additive, shared
-# modules only gained new functions), THEN the remaining
+# — none: session-2 work is additive, and the six queries touched by
+# the session's self-review fixes are all IN this queue, so their
+# upcoming rows certify the fixed code), THEN the remaining
 # last-green-r4 tier alphabetically (meta_time_travel .. zorder_layout)
-# as slots allow; keep the keeper. 23 + keeper + 24 r4 rows = 48; the
-# last 2 slots start the last-green-r5 tier alphabetically.
+# as slots allow; keep the keeper. 25 + keeper + 24 r4 rows = 50 —
+# the r10 window is exactly full.
