@@ -50,35 +50,36 @@ def register(name: str, sql: str | None = None, doc: str = "",
 # registration order after the listed ones; listed-but-unregistered names
 # are ignored (lets the list name queries added later in the round).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (24): the full r8 NEXT_WINDOW_QUEUE —
-    # every row judge-verified green in the round-8 264/264 gate
-    # replica (VERDICT r8) and green in the local oracle replica at
+    # --- never driver-checked (24): the full r9 NEXT_WINDOW_QUEUE —
+    # every row judge-verified green in the round-9 288/288 gate
+    # replica (VERDICT r9) and green in the local oracle replica at
     # sf0.001 + sf0.01. Driving these re-closes the registry:
-    # 264/264 ever driver-green when it lands. The three media
-    # near-dup rows additionally certify the round-9 bucket-cap fix
-    # to ops/fingerprint.py (VERDICT r8 What's-wrong #2) ---
-    "exact_substring_spans", "ann_probe_delete", "span_excised_corpus",
-    "decontaminate_bloom", "linear_probe_train", "linear_probe_eval",
-    "pq_encode", "pq_adc_topk", "ivfpq_probe", "ivfpq_rerank",
-    "embedding_covariance", "ivfpq_residual", "decontaminate_spans",
-    "ann_index_stats", "mg_heavy_hitters", "boilerplate_strip",
-    "hybrid_rrf_retrieval", "phrase_search_postings",
-    "quality_budget_head", "image_dhash_neardup",
-    "audio_fingerprint_neardup", "video_frame_neardup",
-    "unigram_tokenize", "unigram_train_round",
-    # --- the one deferred last-green-r3 row (exhausts the r3 tier) ---
-    "weighted_sample_docs",
-    # --- aging refresh, last-green-r4 (alphabetically first 24 of the
-    # 48-row r4 tier — the deterministic tier walk continues) ---
-    "basket_pairs_lift", "bpe_merges", "cohort_retention",
-    "cube_revenue", "distcp_update_plan", "distribution_windows",
-    "equi_depth_bins", "exact_quantiles", "feature_store_pit",
-    "funnel_conversion", "grouped_outliers", "grouped_trend_ols",
-    "join_anti", "join_asof", "join_inner", "join_outer",
-    "join_override", "join_semi", "key_field_sort",
-    "media_decode_ppm", "media_resize_nn", "merge_upsert",
-    "meta_inline_read", "meta_rack_placement",
-    # --- flagship keeper (green r2..r8; stays in-window) ---
+    # every ever-registered query driver-green when it lands ---
+    "decontaminate_exact_spans", "pi_bbp", "soft_dedup_weights",
+    "cluster_safe_split", "decontaminate_attribution",
+    "wordpiece_tokenize", "kn_doc_perplexity", "word_pmi",
+    "attribution_credit", "label_propagation", "dau_wau_stickiness",
+    "tokenizer_fertility", "scan_xml_stream", "corpus_delta",
+    "hard_negatives", "padding_waste", "interval_overlap_events",
+    "maxsim_retrieval", "neyman_allocation", "cross_source_dup_matrix",
+    "ab_test_welch", "neyman_sample", "minhash_bbit", "mp_recall_curve",
+    # --- RE-PROOF (r8 lesson): decontaminate's contamination_flags was
+    # factored through contamination_flags_from_shingles in r9 (pure
+    # refactor for the streaming twin); its r6 driver row predates the
+    # change, so it takes a slot this rotation ---
+    "decontaminate",
+    # --- aging refresh, last-green-r4 (the remaining 24 of the 48-row
+    # r4 tier, alphabetically — this rotation EXHAUSTS the r4 tier) ---
+    "meta_time_travel", "numeric_corr_matrix", "numeric_histogram",
+    "pack_sequences", "pagerank_words", "pi_qmc",
+    "pivot_status_by_flag", "q2_min_cost_supplier",
+    "q3_shipping_priority", "ranking_windows", "resample_gap_fill",
+    "revenue_by_nation", "salted_join_skew", "scd2_history",
+    "secondary_sort", "sentence_split", "set_union_distinct",
+    "shard_shuffle", "table_profile", "top_customers",
+    "top_k_per_group", "total_order_sort", "triangle_count",
+    "zorder_layout",
+    # --- flagship keeper (green r2..r9; stays in-window) ---
     "minhash_dedup_pairs",
 )
 # Cumulative hard-verification ledger (driver CORRECTNESS files):
@@ -86,10 +87,12 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 #  r2 green: dedup/similarity/text/multimodal/pipeline/metadata/streaming
 #  r3..r7 green: 50/50 each round except r7's avro_evolution hash-red
 #  (decimal representation, value-correct — fixed r8).
-#  r8 green: 50/50 — full closure of the 240 pre-r8 queries (every
+#  r8 green: 50/50 — full closure of the 240 pre-r8 queries.
+#  r9 green: 50/50 — full closure of the 264 pre-r9 queries (every
 #  ever-registered query driver-green at least once).
-#  r9 window (above): the 24 r8 additions (never driver-checked) +
-#  weighted_sample_docs + 24 last-green-r4 refreshes + keeper = 50.
+#  r10 window (above): the 24 r9 additions (never driver-checked) +
+#  the decontaminate re-proof + 24 last-green-r4 refreshes (exhausting
+#  the r4 tier) + keeper = 50.
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -104,48 +107,9 @@ def load_all() -> dict[str, QuerySpec]:
 # (the window guard test enforces that overflow never-green queries are
 # exactly this queue).
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    # round-9 registrations land here as they are verified
-    "decontaminate_exact_spans",  # collision-free cross-corpus spans
-    "pi_bbp",                     # BBP hex-digit slices (distbbp twin)
-    "soft_dedup_weights",         # drop-free 1/cluster-size reweighting
-    "cluster_safe_split",         # leakage-proof split by cluster hash
-    "decontaminate_attribution",  # per-benchmark-doc leak report
-    # RE-PROOF (r8 lesson — changed code after its last green row):
-    # decontaminate's contamination_flags was factored through
-    # contamination_flags_from_shingles in r9 (pure refactor for the
-    # streaming twin; local gate green) — its r6 driver row predates
-    # the change, so it takes a slot next rotation.
-    "decontaminate",
-    # round-9 session-2 additions (oracle-green at sf0.001 + sf0.01):
-    "wordpiece_tokenize",    # greedy ##-continuation tokenizer (BERT)
-    "kn_doc_perplexity",     # interpolated Kneser-Ney bigram NLL
-    "word_pmi",              # PMI collocations over the pair table
-    "attribution_credit",    # multi-touch attribution over events
-    "label_propagation",     # deterministic LPA on the near-dup graph
-    "dau_wau_stickiness",    # weekly engagement ratio over events
-    "tokenizer_fertility",   # unigram-vs-wordpiece pieces-per-word
-    "scan_xml_stream",       # StreamXmlRecordReader roundtrip
-    "corpus_delta",          # content-hash snapshot diff
-    "hard_negatives",        # ANCE-style different-label top-k mining
-    "padding_waste",         # bucketed-vs-arrival dynamic-padding ppm
-    "interval_overlap_events",  # bucketed interval-overlap join
-    "maxsim_retrieval",      # ColBERT-style late-interaction MaxSim
-    "neyman_allocation",     # Neyman stratified-sample design
-    "cross_source_dup_matrix",  # which sources copy which
-    "ab_test_welch",         # hash-randomized two-sample z in micro
-    "neyman_sample",         # executes the Neyman design per stratum
-    "minhash_bbit",          # b-bit minwise estimator vs exact Jaccard
-    "mp_recall_curve",       # recall@k vs nprobe tradeoff table
+    # round-10 registrations land here as they are verified
 )
-# Round-10 rotation plan: fill freed slots FIRST with this queue (25
-# entries — 5 early-r9 additions + the decontaminate re-proof + 19
-# session-2 additions, every one oracle-green at sf0.001 AND sf0.01,
-# determinism-checked, and plan-lint clean; the whole registry also
-# passed one full sf0.1 sweep this session), THEN any round-9 REPROVE
-# set (queries whose implementation changed after the r9 window froze
-# — none: session-2 work is additive, and the six queries touched by
-# the session's self-review fixes are all IN this queue, so their
-# upcoming rows certify the fixed code), THEN the remaining
-# last-green-r4 tier alphabetically (meta_time_travel .. zorder_layout)
-# as slots allow; keep the keeper. 25 + keeper + 24 r4 rows = 50 —
-# the r10 window is exactly full.
+# Round-11 rotation plan: fill freed slots FIRST with this queue, THEN
+# any round-10 REPROVE set (queries whose implementation changed after
+# the r10 window froze), THEN the next aging tier — last-green-r5 —
+# alphabetically, as slots allow; keep the keeper.

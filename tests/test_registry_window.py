@@ -23,16 +23,17 @@ KEEPER_CORE = {"minhash_dedup_pairs"}
 
 # Queries whose implementation materially changed this round — their
 # old green rows no longer certify the current code (registry.py ledger).
-# Round 9: none yet — the media near-dup queries changed (fingerprint
-# bucket cap) but sit IN the r9 window, so their upcoming rows certify
-# the new code. Add here anything changed AFTER the r9 window freezes
-# (the r8 lesson: the final commit is the danger window).
-REPROVE: set[str] = set()
+# Round 10: decontaminate was refactored through
+# contamination_flags_from_shingles in r9 AFTER its last green row (r6),
+# so it holds a re-proof slot in the r10 window. Add here anything
+# changed AFTER the r10 window freezes (the r8 lesson: the final commit
+# is the danger window).
+REPROVE: set[str] = {"decontaminate"}
 
 
 def _green_rounds() -> dict[str, set[int]]:
     out: dict[str, set[int]] = {}
-    for rnd in (1, 2, 3, 4, 5, 6, 7, 8):  # r10 rotation: extend to 9 with
+    for rnd in (1, 2, 3, 4, 5, 6, 7, 8, 9):  # r11 rotation: extend to 10 with
         # the new window (memory/workflow: update range + REPROVE each round)
         path = os.path.join(_REPO, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.exists(path):
@@ -62,9 +63,8 @@ def test_every_never_green_query_is_in_window_or_queued():
 def test_no_window_slot_wasted():
     """Every slot holds a never-green query, a keeper, a changed-code
     re-proof, or an aging green row being refreshed (oldest greens
-    first: last-green round <= 4 as of the r9 rotation —
-    weighted_sample_docs exhausts the r3 tier, then the first 24 of
-    the 48-row r4 tier alphabetically)."""
+    first: last-green round <= 4 as of the r10 rotation — the
+    remaining 24 rows of the r4 tier, exhausting it)."""
     green = _green_rounds()
     wasted = [n for n in list(load_all())[:50]
               if n in green
