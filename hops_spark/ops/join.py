@@ -187,20 +187,28 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     the TYPICAL span so it stays ~2; the shuffle is one hash exchange
     per side on the bucket key, skew only where one bucket holds many
     LONG intervals (then raise W or split the long tail into its own
-    pass — the standard two-tier refinement)."""
+    pass — the standard two-tier refinement).
+
+    Bucket indices use EXACT integer floor division (a − pmod(a, W))
+    div W — all-bigint, floor semantics on negative axes, and exact
+    for |values| up to 2^63 − W (a double roundtrip would misbucket
+    past 2^53, e.g. nanosecond timestamps, and make bucket 0
+    double-width on negative axes)."""
     w = bucket_width
+
+    def _fdiv(name: str):
+        # exact floor division on longs: a - pmod(a, w) is the largest
+        # multiple of w <= a, so truncating `div` equals floor. No
+        # double anywhere; valid for values in [-2^63 + w, 2^63 - 1].
+        return F.expr(f"(({name}) - pmod({name}, {w})) div {w}")
+
     lb = left.withColumn(
-        "_b", F.explode(F.sequence(
-            (F.col(l_start) / w).cast("long"),
-            (F.col(l_end) / w).cast("long"))))
+        "_b", F.explode(F.sequence(_fdiv(l_start), _fdiv(l_end))))
     rb = right.withColumn(
-        "_b", F.explode(F.sequence(
-            (F.col(r_start) / w).cast("long"),
-            (F.col(r_end) / w).cast("long"))))
+        "_b", F.explode(F.sequence(_fdiv(r_start), _fdiv(r_end))))
     joined = (lb.join(rb, "_b")
                 .filter((F.col(l_start) <= F.col(r_end))
                         & (F.col(r_start) <= F.col(l_end)))
-                .filter(F.col("_b") == F.greatest(
-                    (F.col(l_start) / w).cast("long"),
-                    (F.col(r_start) / w).cast("long"))))
+                .filter(F.col("_b") == F.greatest(_fdiv(l_start),
+                                                  _fdiv(r_start))))
     return joined.drop("_b")

@@ -119,7 +119,17 @@ def wp_greedy_segment(wc: DataFrame, pieces: DataFrame,
             rows = []
             for w, n_occ in zip(pdf["w"], pdf["n_occ"]):
                 if len(w) > max_len:
+                    # per-char fallback: same fail-loud vocab-membership
+                    # contract as the greedy path (a foreign piece table
+                    # must not yield silent out-of-inventory pieces for
+                    # long words while raising for short ones)
                     forms = [w[0]] + [CONT + c for c in w[1:]]
+                    bad = next((f for f in forms if f not in vocab), None)
+                    if bad is not None:
+                        raise ValueError(
+                            f"wordpiece vocab lacks char piece {bad!r} "
+                            f"for over-length word {w!r}; build it with "
+                            "wp_piece_table over the same word histogram")
                     rows.append((w, int(n_occ), sep.join(forms), len(w)))
                     continue
                 seg, np_ = seg_word(w)

@@ -926,7 +926,16 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(sqrt(CAST(CAST(n_h AS DECIMAL(38,0)) * sumsq_c "
                "- CAST(sum_c AS DECIMAL(38,0)) * sum_c "
                "AS DOUBLE)) / 1000, 0) AS BIGINT)").alias("w_milli"))
-    tot = w.agg(F.sum("w_milli").cast("long").alias("tw"))
+    # Degenerate-input guard: all-constant strata give tw = 0, where
+    # DuckDB raises division-by-zero but Spark's `div` yields NULL rows
+    # — an engine-divergent silent failure. Fail loud on the Spark side
+    # too (raise_error evaluates on the 1-row aggregate only).
+    tot = (w.agg(F.sum("w_milli").cast("long").alias("tw"))
+            .select(F.expr(
+                "CASE WHEN tw > 0 THEN tw ELSE CAST(raise_error("
+                "'neyman_allocation: zero total stratum weight "
+                "(all strata constant-valued)') AS BIGINT) END"
+            ).alias("tw")))
     base = (w.crossJoin(F.broadcast(tot))
              .select("stratum", "n_h", "w_milli",
                      F.expr(f"({n} * w_milli) div tw").alias("base_n"),

@@ -909,11 +909,17 @@ def _latest_touch_epoch(spark: SparkSession, state_dir: str,
     REPLAY guard: batch b always reads the newest epoch ≤ b (its
     pre-batch state), so a re-delivered batch that already committed
     its own epoch b+1 cannot read its own output (the foreachBatch
-    at-least-once contract made idempotent)."""
+    at-least-once contract made idempotent).
+
+    Returns (df, epoch, cutoff): ``cutoff`` is the prune watermark the
+    epoch was written with (its ``_CUTOFF`` marker), or None for a
+    seed/legacy epoch — the next batch uses it to DETECT event-time
+    order violations instead of silently dropping late credit."""
+    import datetime as _dt
     import os
 
     if not os.path.isdir(state_dir):
-        return None, -1
+        return None, -1, None
     best = -1
     for d in os.listdir(state_dir):
         if d.startswith("epoch=") and os.path.exists(
@@ -922,9 +928,14 @@ def _latest_touch_epoch(spark: SparkSession, state_dir: str,
             if at_most is None or n <= at_most:
                 best = max(best, n)
     if best < 0:
-        return None, -1
-    return spark.read.schema(_TOUCH_SCHEMA).parquet(
-        os.path.join(state_dir, f"epoch={best}")), best
+        return None, -1, None
+    path = os.path.join(state_dir, f"epoch={best}")
+    cutoff = None
+    cpath = os.path.join(path, "_CUTOFF")
+    if os.path.exists(cpath):
+        with open(cpath) as f:
+            cutoff = _dt.datetime.fromisoformat(f.read().strip())
+    return spark.read.schema(_TOUCH_SCHEMA).parquet(path), best, cutoff
 
 
 def seed_touch_state(events: DataFrame, state_dir: str,
@@ -942,7 +953,8 @@ def attribution_batch_update(batch_df: DataFrame, batch_id: int,
                              conv_type: str = "purchase",
                              touch_types: tuple[str, ...] = ("click", "view",
                                                              "signup"),
-                             window_days: int = 7) -> None:
+                             window_days: int = 7,
+                             strict_order: bool = True) -> None:
     """One micro-batch of continuous attribution — module-level so the
     replay-idempotence contract is directly testable. IDEMPOTENT under
     foreachBatch's at-least-once redelivery:
@@ -955,7 +967,17 @@ def attribution_batch_update(batch_df: DataFrame, batch_id: int,
     - rewrites store epoch batch_id+1 from scratch (replay replaces);
     - retains the epoch it READ plus the one it wrote (≤ 2 on disk) —
       the read epoch must survive until the NEXT batch commits, since
-      only the current batch can be redelivered."""
+      only the current batch can be redelivered.
+
+    Event-time ORDER violations are detected, not silent: each store
+    epoch records its prune cutoff (``_CUTOFF`` marker), and a batch
+    whose min(ts) precedes the cutoff it read — rows whose touches may
+    already be pruned, diverging from the batch operator — raises
+    (``strict_order=True``, default) or writes the late-row count to
+    ``credit_dir/batch=<id>/_LATE_ROWS`` and proceeds. The check is one
+    scalar comparison on the min/max aggregate the prune already runs;
+    replay determinism is preserved (a replayed batch reads the same
+    epoch, hence the same cutoff)."""
     import datetime as _dt
     import os
     import shutil
@@ -968,22 +990,38 @@ def attribution_batch_update(batch_df: DataFrame, batch_id: int,
     spark = batch_df.sparkSession
     batch = (batch_df.select("event_id", "user_id", "ts", "event_type")
                      .localCheckpoint(eager=True))
-    store, read_epoch = _latest_touch_epoch(spark, state_dir,
-                                            at_most=batch_id)
+    store, read_epoch, read_cutoff = _latest_touch_epoch(spark, state_dir,
+                                                         at_most=batch_id)
+    min_ts, max_ts = batch.agg(F.min("ts"), F.max("ts")).collect()[0]
+    late_rows = 0
+    if read_cutoff is not None and min_ts < read_cutoff:
+        late_rows = batch.filter(F.col("ts") < F.lit(read_cutoff)).count()
+        if strict_order and late_rows:
+            raise ValueError(
+                f"attribution_batch_update: batch {batch_id} carries "
+                f"{late_rows} rows older than the store's prune cutoff "
+                f"{read_cutoff.isoformat()} — the in-event-time-order "
+                "arrival contract is violated and credit would silently "
+                "diverge from the batch operator (pass "
+                "strict_order=False to count-and-proceed)")
     touches = touch_rows(batch, touch_types)
     if store is not None:
         touches = store.unionByName(touches)
     touches = touches.localCheckpoint(eager=True)
     conv = conv_rows(batch, conv_type)
+    batch_credit_dir = os.path.join(credit_dir, f"batch={batch_id}")
     (credit_by_channel(conv, touches, window_days)
-     .write.mode("overwrite")
-     .parquet(os.path.join(credit_dir, f"batch={batch_id}")))
+     .write.mode("overwrite").parquet(batch_credit_dir))
+    if late_rows:   # observable divergence marker (strict_order=False)
+        with open(os.path.join(batch_credit_dir, "_LATE_ROWS"), "w") as f:
+            f.write(str(late_rows))
     # prune + commit the next store epoch (replay rewrites it)
-    max_ts = batch.agg(F.max("ts")).collect()[0][0]   # 1-row scalar
     cutoff = max_ts - _dt.timedelta(days=window_days)
     out = os.path.join(state_dir, f"epoch={batch_id + 1}")
     (touches.filter(F.col("touch_ts") >= F.lit(cutoff))
             .write.mode("overwrite").parquet(out))
+    with open(os.path.join(out, "_CUTOFF"), "w") as f:
+        f.write(cutoff.isoformat())
     for d in os.listdir(state_dir):
         if d.startswith("epoch="):
             n = int(d.split("=", 1)[1])
