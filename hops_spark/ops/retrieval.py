@@ -613,3 +613,35 @@ def maxsim_topk(docs: DataFrame, query_terms: list[str], k: int = 15,
     return (piv.select(F.col(id_col), F.round(score, 6).alias("maxsim"))
                .orderBy(F.col("maxsim").desc(), id_col)
                .limit(k))
+
+
+def maxsim_rerank(docs: DataFrame, query_terms: list[str],
+                  shortlist_k: int = 50, k: int = 10,
+                  dim: int = MSIM_DIM, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Retrieve-then-rerank cascade — the production two-stage shape
+    (Nogueira & Cho 2019's BERT reranker pipeline; ColBERT §5 uses the
+    same recall-stage-then-MaxSim split): a CHEAP high-recall stage
+    (BM25 over the postings) retrieves ``shortlist_k`` candidates,
+    then the EXPENSIVE scoring model (late-interaction MaxSim here; a
+    cross-encoder drops into the same slot) scores only the bounded
+    shortlist. Returns (id, lex_rank, bm25, maxsim) top-``k`` by the
+    reranker's score.
+
+    100 TB shape: stage 1 is the corpus-scale work (one postings
+    aggregate with the query-term filter pushed before the shuffle);
+    stage 2 touches ``shortlist_k`` docs REGARDLESS of corpus size —
+    the semi join broadcasts the k-row shortlist, so the rerank cost
+    is constant and the expensive model never sees the token stream.
+    lex_rank is the join-count rank over the bounded list (no
+    single-partition window), kept so rank MOVEMENT (recall-stage rank
+    vs final rank) is auditable — the number a relevance engineer
+    actually tunes against."""
+    lex = bm25_topk(docs, query_terms, shortlist_k, id_col=id_col,
+                    text_col=text_col)
+    lexr = ranked_bounded(lex, "bm25", id_col, "lex_rank")
+    cand = docs.join(F.broadcast(lex.select(id_col)), id_col, "semi")
+    rr = maxsim_topk(cand, query_terms, k, dim, id_col, text_col)
+    return (rr.join(F.broadcast(lexr), id_col)
+              .select(id_col, "lex_rank", F.col("bm25"), F.col("maxsim"))
+              .orderBy(F.col("maxsim").desc(), F.col(id_col)))

@@ -1464,15 +1464,16 @@ def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.pmi_topk(d, window=2, k=20)
 
 
-def _duck_maxsim_sql(terms: list[str], k: int, dim: int) -> str:
+def _duck_maxsim_core(terms: list[str], dim: int, toks_body: str) -> str:
+    """CTE chain toks→piv of the MaxSim oracle (no WITH keyword, no
+    final SELECT) — shared by the full-corpus query and the rerank
+    cascade, which restricts ``toks_body`` to a shortlist."""
     qvals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(terms))
     piv = ",\n           ".join(
         f"max(CASE WHEN qi = {i} THEN m END) AS c{i}"
         for i in range(len(terms)))
-    score = " + ".join(f"coalesce(c{i}, 0.0)" for i in range(len(terms)))
-    return f"""
-    WITH toks AS (
-        SELECT DISTINCT doc_id, unnest({{DW}}) AS term FROM documents
+    return f"""toks AS (
+        {toks_body}
     ), qterms AS (
         SELECT * FROM (VALUES {qvals}) q(qi, qterm)
     ), allterms AS (
@@ -1523,12 +1524,52 @@ def _duck_maxsim_sql(terms: list[str], k: int, dim: int) -> str:
         SELECT doc_id,
            {piv}
         FROM mx GROUP BY doc_id
-    )
-    SELECT doc_id, round({score}, 6) AS maxsim
+    )""".replace("{DW}", _DUCK_WORDS)
+
+
+def _maxsim_score_expr(terms: list[str]) -> str:
+    return " + ".join(f"coalesce(c{i}, 0.0)" for i in range(len(terms)))
+
+
+def _duck_maxsim_sql(terms: list[str], k: int, dim: int) -> str:
+    core = _duck_maxsim_core(
+        terms, dim,
+        f"SELECT DISTINCT doc_id, unnest({_DUCK_WORDS}) AS term "
+        "FROM documents")
+    return f"""
+    WITH {core}
+    SELECT doc_id, round({_maxsim_score_expr(terms)}, 6) AS maxsim
     FROM piv
     ORDER BY maxsim DESC, doc_id
     LIMIT {k}
-    """.replace("{DW}", _DUCK_WORDS)
+    """
+
+
+RR_SHORTLIST = 50   # stage-1 (BM25) recall depth
+RR_K = 10           # stage-2 (MaxSim) rerank output
+
+
+def _duck_rerank_sql(terms: list[str], shortlist_k: int, k: int,
+                     dim: int) -> str:
+    lex = _duck_bm25_sql(terms, shortlist_k).strip()
+    core = _duck_maxsim_core(
+        terms, dim,
+        f"SELECT DISTINCT d.doc_id, unnest({_DUCK_WORDS}) AS term "
+        "FROM documents d JOIN lex USING (doc_id)")
+    return f"""
+    WITH lex AS (
+        {lex}
+    ), lexr AS (
+        SELECT doc_id, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        FROM lex
+    ), {core}
+    SELECT p.doc_id, CAST(lr.lex_rank AS BIGINT) AS lex_rank, lr.bm25,
+           round({_maxsim_score_expr(terms)}, 6) AS maxsim
+    FROM piv p JOIN lexr lr USING (doc_id)
+    ORDER BY maxsim DESC, doc_id
+    LIMIT {k}
+    """
 
 
 @register(
@@ -1550,3 +1591,21 @@ def _duck_maxsim_sql(terms: list[str], k: int, dim: int) -> str:
 def maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return R.maxsim_topk(d, QUERY_TERMS, TOP_K)
+
+
+@register(
+    "rerank_maxsim",
+    sql=_duck_rerank_sql(QUERY_TERMS, RR_SHORTLIST, RR_K, R.MSIM_DIM),
+    doc="Retrieve-then-rerank cascade (Nogueira & Cho 2019; the "
+        "ColBERT §5 deployment shape): BM25 retrieves a top-50 "
+        "shortlist — the only corpus-scale stage — then the expensive "
+        "late-interaction MaxSim model scores ONLY the bounded "
+        "shortlist (broadcast semi join), so the reranker's cost is "
+        "constant in corpus size. Output keeps the recall-stage rank "
+        "beside the final order, the rank-movement table a relevance "
+        "engineer tunes against. ops/retrieval.maxsim_rerank.",
+    tags=("retrieval", "text", "north-star"),
+)
+def rerank_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return R.maxsim_rerank(d, QUERY_TERMS, RR_SHORTLIST, RR_K)

@@ -1106,6 +1106,67 @@ def linear_probe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("y", "pred"))
 
 
+LP_BINS = 10   # reliability-diagram bins over p in [0, 1]
+
+
+@register(
+    "probe_calibration",
+    sql=f"""{_LP_BASE_CTES}, {_lp_iter_ctes(LP_ITERS)},
+    {_lp_margin_cte("mf", f"w{LP_ITERS}")}, scored AS (
+        SELECT y,
+               CAST(least(greatest({LP_HALF} + FLOOR(margin / 4.0), 0),
+                          {LP_MICRO}) AS BIGINT) AS p
+        FROM mf
+    ), binned AS (
+        SELECT least(p // {LP_MICRO // LP_BINS}, {LP_BINS - 1}) AS bin,
+               y, p
+        FROM scored
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(p) // count(*) AS BIGINT) AS conf_micro,
+           CAST((sum(y) * {LP_MICRO}) // count(*) AS BIGINT) AS emp_micro,
+           CAST(abs(sum(p) // count(*)
+                    - (sum(y) * {LP_MICRO}) // count(*)) AS BIGINT)
+               AS gap_micro
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+    doc="Reliability diagram of the trained linear probe (Guo et al. "
+        "2017's calibration framing; DeGroot & Fienberg 1983): scores "
+        "bucketed into 10 equal-width probability bins, per bin the "
+        "mean predicted confidence vs the empirical positive rate and "
+        "their |gap| — all in integer micro-units off ONE keyed "
+        "histogram aggregate. The artifact that decides whether a "
+        "probe's keep-threshold can be trusted as a probability (the "
+        "per-bin gaps ARE the ECE terms, n-weighted). Training replays "
+        "inside the oracle exactly as linear_probe_train.",
+    tags=("text", "ml", "north-star"),
+)
+def probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.classify import (linear_probe_scores,
+                                         train_linear_probe)
+    d = _lp_docs(spark, sf_dir)
+    w = train_linear_probe(d, dim=LP_DIM, iters=LP_ITERS,
+                           lr_num=LP_LRN, lr_den=LP_LRD, seed=LP_SEED)
+    s = linear_probe_scores(d, w, dim=LP_DIM, seed=LP_SEED)
+    b = s.select(
+        F.least(F.expr(f"p_micro div {LP_MICRO // LP_BINS}"),
+                F.lit(LP_BINS - 1)).cast("long").alias("bin"),
+        F.col("_y").cast("long").alias("y"), "p_micro")
+    return (b.groupBy("bin")
+             .agg(F.count("*").cast("long").alias("n"),
+                  F.sum("y").cast("long").alias("n_pos"),
+                  F.expr("CAST(sum(p_micro) div count(*) AS BIGINT)")
+                   .alias("conf_micro"),
+                  F.expr(f"CAST((sum(y) * {LP_MICRO}) div count(*) "
+                         "AS BIGINT)").alias("emp_micro"))
+             .withColumn("gap_micro",
+                         F.abs(F.col("conf_micro") - F.col("emp_micro"))
+                          .cast("long"))
+             .orderBy("bin"))
+
+
 KL_TOP_K = 100
 
 
@@ -1295,6 +1356,144 @@ def domain_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.expr("CAST((n_docs * 1000000) div total_docs "
                                   "AS BIGINT)").alias("share_ppm"))
                    .orderBy("source"))
+
+
+# --- DoReMi-shaped mixture optimization ----------------------------------
+
+DRM_MILLI = 1000   # update-factor milli-scaling (keeps 1e6*s in int64)
+
+
+@register(
+    "domain_mixture_doremi",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ), bg AS (
+        SELECT doc_id, w[i.i] AS w1, w[i.i + 1] AS w2
+        FROM wt, LATERAL (SELECT unnest(range(1, len(w))) AS i) i
+        WHERE len(w) >= 2
+    ), cnt AS (
+        SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2
+    ), ctx AS (
+        SELECT w1, CAST(sum(n) AS BIGINT) AS n_ctx FROM cnt GROUP BY w1
+    ), v AS (
+        SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM cnt
+    ), sc AS (
+        SELECT c.w1, c.w2,
+               CAST(round(-ln((c.n + 1) / CAST(x.n_ctx + v.v AS DOUBLE))
+                          * 1000000, 0) AS BIGINT) AS nlp_micro
+        FROM cnt c JOIN ctx x USING (w1) CROSS JOIN v
+    ), per AS (
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(s.nlp_micro) AS BIGINT) AS nll_sum
+        FROM bg b
+        JOIN sc s ON b.w1 = s.w1 AND b.w2 = s.w2
+        JOIN documents d ON d.doc_id = b.doc_id
+        GROUP BY d.source
+    ), ref AS (
+        SELECT CAST(sum(nll_sum) // sum(n_tokens) AS BIGINT) AS ref_micro,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM per
+    ), m AS (
+        SELECT source, n_tokens,
+               nll_sum // n_tokens AS nll_tok_micro,
+               greatest(nll_sum // n_tokens - ref_micro, 0) AS excess_micro,
+               (n_tokens * 1000000) // total_tokens AS w0_ppm
+        FROM per, ref
+    ), s AS (
+        SELECT *, w0_ppm * ((1000000 + excess_micro) // {DRM_MILLI}) AS sw
+        FROM m
+    ), ts AS (
+        SELECT CAST(sum(sw) AS BIGINT) AS t FROM s
+    ), base AS (
+        SELECT s.*, (1000000 * sw) // ts.t AS base_n,
+               (1000000 * sw) % ts.t AS rem
+        FROM s, ts
+    ), leftover AS (
+        SELECT 1000000 - CAST(sum(base_n) AS BIGINT) AS k FROM base
+    ), ranked AS (
+        SELECT b.*,
+               (SELECT count(*) FROM base o
+                WHERE o.rem > b.rem
+                   OR (o.rem = b.rem AND o.source < b.source)) AS r
+        FROM base b
+    )
+    SELECT source, n_tokens,
+           CAST(nll_tok_micro AS BIGINT) AS nll_tok_micro,
+           CAST(excess_micro AS BIGINT) AS excess_micro,
+           CAST(w0_ppm AS BIGINT) AS w0_ppm,
+           CAST(base_n + (CASE WHEN r < k THEN 1 ELSE 0 END) AS BIGINT)
+               AS weight_ppm
+    FROM ranked, leftover
+    ORDER BY source
+    """,
+    doc="DoReMi-shaped training-mixture reweighting (Xie et al. 2023; "
+        "linearized multiplicative-weights step, Arora-Hazan-Kale "
+        "2012): per-domain EXCESS loss — mean bigram-LM micro-nats "
+        "per token above the corpus-wide reference, clipped at 0 — "
+        "drives w_d ∝ share_d · (1 + excess_d), so hard-for-the-proxy "
+        "domains get upweighted from their token share exactly as "
+        "DoReMi's update prescribes, in pure integer arithmetic (the "
+        "exp() form would hinge on cross-libm bit-equality). Final "
+        "weights are largest-remainder normalized to EXACTLY 1e6 ppm "
+        "(the neyman_allocation Hamilton machinery). Cost: the "
+        "doc_perplexity count-table job + one domain-bounded "
+        "aggregate; the mixture table a data-scheduling run consumes "
+        "directly. ops/lm.doc_nll_scores.",
+    tags=("text", "north-star", "ml"),
+)
+def domain_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.lm import doc_nll_scores
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    nll = doc_nll_scores(d.select("doc_id", "text"))
+    per = (nll.join(d.select("doc_id", "source"), "doc_id")
+              .groupBy("source")
+              .agg(F.sum("n_bigrams").cast("long").alias("n_tokens"),
+                   F.sum("nll_micro").cast("long").alias("nll_sum")))
+    ref = per.agg(
+        F.expr("CAST(sum(nll_sum) div sum(n_tokens) AS BIGINT)")
+         .alias("ref_micro"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"))
+    m = (per.crossJoin(F.broadcast(ref))
+            .select("source", "n_tokens",
+                    F.expr("nll_sum div n_tokens").alias("nll_tok_micro"),
+                    F.expr("greatest(nll_sum div n_tokens - ref_micro, 0)")
+                     .alias("excess_micro"),
+                    F.expr("(n_tokens * 1000000) div total_tokens")
+                     .alias("w0_ppm")))
+    s = m.withColumn(
+        "sw", F.expr(f"w0_ppm * ((1000000 + excess_micro) div {DRM_MILLI})"))
+    ts = s.agg(F.sum("sw").cast("long").alias("t"))
+    base = (s.crossJoin(F.broadcast(ts))
+             .select("source", "n_tokens", "nll_tok_micro", "excess_micro",
+                     "w0_ppm",
+                     F.expr("(1000000 * sw) div t").alias("base_n"),
+                     F.expr("(1000000 * sw) % t").alias("rem")))
+    leftover = base.agg((F.lit(1_000_000) - F.sum("base_n"))
+                        .cast("long").alias("k"))
+    other = base.select(F.col("source").alias("o_source"),
+                        F.col("rem").alias("o_rem"))
+    ranked = (base.join(F.broadcast(other),
+                        (F.col("o_rem") > F.col("rem"))
+                        | ((F.col("o_rem") == F.col("rem"))
+                           & (F.col("o_source") < F.col("source"))),
+                        "left")
+                  .groupBy("source", "n_tokens", "nll_tok_micro",
+                           "excess_micro", "w0_ppm", "base_n")
+                  .agg(F.count("o_source").alias("r")))
+    return (ranked.crossJoin(F.broadcast(leftover))
+                  .select("source", "n_tokens",
+                          F.col("nll_tok_micro").cast("long")
+                           .alias("nll_tok_micro"),
+                          F.col("excess_micro").cast("long")
+                           .alias("excess_micro"),
+                          F.col("w0_ppm").cast("long").alias("w0_ppm"),
+                          (F.col("base_n")
+                           + F.when(F.col("r") < F.col("k"), 1).otherwise(0))
+                          .cast("long").alias("weight_ppm"))
+                  .orderBy("source"))
 
 
 CR_DIM = 64   # hashed-BOW dimension for chunk vectors

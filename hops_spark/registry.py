@@ -108,6 +108,9 @@ def load_all() -> dict[str, QuerySpec]:
 # exactly this queue).
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # round-10 registrations land here as they are verified
+    "rerank_maxsim",          # BM25-shortlist → MaxSim rerank cascade
+    "probe_calibration",      # reliability bins for the linear probe
+    "domain_mixture_doremi",  # excess-loss multiplicative reweighting
 )
 # Round-11 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-10 REPROVE set (queries whose implementation changed after

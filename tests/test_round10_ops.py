@@ -1,0 +1,107 @@
+"""Round-10 operator tests: retrieve-then-rerank cascade, probe
+calibration bins, DoReMi-shaped mixture reweighting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_maxsim_rerank_scores_shortlist_only(spark):
+    """The reranker's output is a subset of the BM25 shortlist, carries
+    the recall-stage rank, and its MaxSim scores equal a direct MaxSim
+    run restricted to the same candidates (the cascade changes COST,
+    not the scoring model)."""
+    from hops_spark.ops.retrieval import bm25_topk, maxsim_rerank, maxsim_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark merge vector fast"),
+         (2, "sparky merged vectors"),
+         (3, "banana apple cherry"),
+         (4, "spark spark spark merge"),
+         (5, "unrelated words entirely"),
+         (6, "vector merge spark")],
+        "doc_id long, text string")
+    q = ["spark", "merge", "vector"]
+    shortlist = {r["doc_id"] for r in bm25_topk(docs, q, 3).collect()}
+    got = maxsim_rerank(docs, q, shortlist_k=3, k=3).collect()
+    assert {r["doc_id"] for r in got} <= shortlist
+    # lex_rank is the 1-based BM25 rank within the shortlist
+    assert {r["lex_rank"] for r in got} <= {1, 2, 3}
+    direct = {r["doc_id"]: r["maxsim"]
+              for r in maxsim_topk(
+                  docs.filter(F.col("doc_id").isin(list(shortlist))),
+                  q, 3).collect()}
+    for r in got:
+        assert abs(r["maxsim"] - direct[r["doc_id"]]) < 1e-9
+    # a doc outside the shortlist never surfaces, even with a perfect
+    # reranker score (doc 5 can't; doc 3 scores low anyway)
+    assert all(r["doc_id"] in shortlist for r in got)
+
+
+def test_maxsim_rerank_ordered_by_reranker(spark):
+    """Final order is the reranker's, not the recall stage's: a doc
+    BM25 ranks below another can come out on top after MaxSim."""
+    from hops_spark.ops.retrieval import maxsim_rerank
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark spark spark"),   # high BM25 on one term
+         (2, "spark merge vector"),              # covers all three terms
+         (3, "other text here")],
+        "doc_id long, text string")
+    got = maxsim_rerank(docs, ["spark", "merge", "vector"],
+                        shortlist_k=3, k=2).collect()
+    assert got[0]["doc_id"] == 2          # all-terms doc wins the rerank
+    assert got[0]["maxsim"] >= got[1]["maxsim"]
+
+
+def test_probe_calibration_bins_partition_and_bound(spark, tmp_path):
+    """Bins tile [0, 1e6] (n sums to the doc count), per-bin empirical
+    rate is n_pos/n in micro-units, and gap = |conf - emp| exactly."""
+    from hops_spark.queries.textops import probe_calibration
+
+    rows = [(i, f"src{i % 2}", " ".join(
+        ["alpha beta", "gamma delta epsilon"][i % 2] for _ in range(3)))
+        for i in range(40)]
+    spark.createDataFrame(rows, "doc_id long, source string, text string") \
+         .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = probe_calibration(spark, str(tmp_path)).collect()
+    assert sum(r["n"] for r in out) == 40
+    for r in out:
+        assert 0 <= r["bin"] <= 9
+        assert 0 <= r["conf_micro"] <= 1_000_000
+        assert r["emp_micro"] == r["n_pos"] * 1_000_000 // r["n"]
+        assert r["gap_micro"] == abs(r["conf_micro"] - r["emp_micro"])
+
+
+def test_domain_mixture_doremi_properties(spark, tmp_path):
+    """Weights sum to exactly 1e6; the clipped-excess update only ever
+    moves weight TOWARD high-loss domains (a domain at/below the
+    reference loss never gains share); equal-loss domains keep their
+    token shares."""
+    from hops_spark.queries.textops import domain_mixture_doremi
+
+    # srcA: repetitive (low bigram NLL), srcB: diverse (high NLL)
+    rows = ([(i, "srcA", "one two " * 20) for i in range(20)]
+            + [(100 + i, "srcB",
+                " ".join(f"w{i}x{j}" for j in range(40))) for i in range(20)])
+    spark.createDataFrame(rows, "doc_id long, source string, text string") \
+         .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in
+           domain_mixture_doremi(spark, str(tmp_path)).collect()}
+    assert sum(r["weight_ppm"] for r in out.values()) == 1_000_000
+    a, b = out["srcA"], out["srcB"]
+    assert b["excess_micro"] > 0 and a["excess_micro"] == 0
+    # the hard domain is upweighted from its share, the easy one down
+    assert b["weight_ppm"] > b["w0_ppm"]
+    assert a["weight_ppm"] < a["w0_ppm"]
+
+    # identical-loss case: weights == token shares (up to Hamilton ±1)
+    rows2 = ([(i, "s0", "p q r s t") for i in range(10)]
+             + [(50 + i, "s1", "p q r s t") for i in range(30)])
+    spark.createDataFrame(rows2, "doc_id long, source string, text string") \
+         .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out2 = {r["source"]: r for r in
+            domain_mixture_doremi(spark, str(tmp_path)).collect()}
+    assert sum(r["weight_ppm"] for r in out2.values()) == 1_000_000
+    for r in out2.values():
+        assert abs(r["weight_ppm"] - r["w0_ppm"]) <= 1
