@@ -186,8 +186,9 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     Scale: replication factor is ceil(span/W)+1 per row — pick W near
     the TYPICAL span so it stays ~2; the shuffle is one hash exchange
     per side on the bucket key, skew only where one bucket holds many
-    LONG intervals (then raise W or split the long tail into its own
-    pass — the standard two-tier refinement).
+    LONG intervals (then raise W, or use
+    ``interval_overlap_join_two_tier`` below — the long tail gets its
+    own coarse-width pass with bounded replication).
 
     Bucket indices use EXACT integer floor division (a − pmod(a, W))
     div W — all-bigint, floor semantics on negative axes, and exact
@@ -212,3 +213,54 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
                 .filter(F.col("_b") == F.greatest(_fdiv(l_start),
                                                   _fdiv(r_start))))
     return joined.drop("_b")
+
+
+def interval_replication(df: DataFrame, bucket_width: int,
+                         start: str, end: str) -> int:
+    """Audit helper: total replicated rows ``interval_overlap_join``
+    would emit for this side at this width — Σ(floor(e/W) − floor(s/W)
+    + 1). The number the two-tier split is bounding."""
+    w = bucket_width
+    return df.select(
+        (F.expr(f"(({end}) - pmod({end}, {w})) div {w}")
+         - F.expr(f"(({start}) - pmod({start}, {w})) div {w}")
+         + F.lit(1)).alias("_rep")).agg(F.sum("_rep")).collect()[0][0] or 0
+
+
+def interval_overlap_join_two_tier(left: DataFrame, right: DataFrame,
+                                   bucket_width: int,
+                                   long_factor: int = 32,
+                                   l_start: str = "l_start",
+                                   l_end: str = "l_end",
+                                   r_start: str = "r_start",
+                                   r_end: str = "r_end") -> DataFrame:
+    """``interval_overlap_join`` with the long-tail second tier (the
+    documented hazard of the single-width form: one bucket holding
+    many LONG intervals replicates span/W+1 copies of each — a
+    day-long session in 1-minute buckets is 1441 copies). Intervals
+    with span ≥ ``long_factor·bucket_width`` are routed through a
+    COARSE pass at width ``long_factor·bucket_width``, capping their
+    replication at span/(long_factor·W)+1 — a ``long_factor``×
+    reduction — while short intervals keep the fine width.
+
+    Pair classes partition exactly (no dedup pass): short×short joins
+    at the fine width; long×(anything) and short×long join at the
+    coarse width, where a short interval spans ≤ 2 coarse buckets.
+    Each class reuses ``interval_overlap_join``'s exactly-once
+    reporting-bucket rule at its own width, and the three classes are
+    disjoint by construction, so the union is exactly-once overall.
+
+    Choose ``long_factor`` ≈ (p99 span)/(typical span): the coarse
+    pass then catches only the tail, and its extra candidate pairs
+    (coarse buckets admit more non-overlapping candidates before the
+    exact filter) stay proportional to the tail row count."""
+    w2 = bucket_width * long_factor
+    l_long = (F.col(l_end) - F.col(l_start)) >= F.lit(w2)
+    r_long = (F.col(r_end) - F.col(r_start)) >= F.lit(w2)
+    ls, ll = left.filter(~l_long), left.filter(l_long)
+    rs, rl = right.filter(~r_long), right.filter(r_long)
+    args = (l_start, l_end, r_start, r_end)
+    ss = interval_overlap_join(ls, rs, bucket_width, *args)
+    l_any = interval_overlap_join(ll, right, w2, *args)
+    s_l = interval_overlap_join(ls, rl, w2, *args)
+    return ss.unionByName(l_any).unionByName(s_l)

@@ -54,6 +54,75 @@ def test_maxsim_rerank_ordered_by_reranker(spark):
     assert got[0]["maxsim"] >= got[1]["maxsim"]
 
 
+def test_two_tier_interval_join_equals_single_tier(spark):
+    """The two-tier split returns the SAME pair set as the single-width
+    form (and the naive quadratic join) on a mixed short/long workload
+    with boundary-hugging spans, including intervals exactly at the
+    long threshold."""
+    from hops_spark.ops.join import (interval_overlap_join,
+                                     interval_overlap_join_two_tier)
+
+    w, lf = 10, 4            # long threshold = span >= 40
+    left = spark.createDataFrame(
+        [(1, 0, 35),         # span 35 < 40: short
+         (2, 5, 45),         # span 40: exactly at threshold -> long
+         (3, 100, 600),      # long
+         (4, 52, 53),        # short
+         (5, 700, 701)],     # short, overlaps only the long #6
+        "click_id long, l_start long, l_end long")
+    right = spark.createDataFrame(
+        [(10, 30, 44),       # short; overlaps 1, 2
+         (11, 0, 999),       # very long; overlaps everything
+         (12, 550, 610),     # long (span 60); overlaps 3
+         (13, 46, 51),       # short; overlaps nothing but 11
+         (14, 41, 80)],      # long threshold 39 < 40 -> short; overlaps 2, 4
+        "error_id long, r_start long, r_end long")
+    naive = sorted(
+        (lr[0], rr[0])
+        for lr in left.collect() for rr in right.collect()
+        if lr[1] <= rr[2] and rr[1] <= lr[2])
+    one = sorted((r["click_id"], r["error_id"]) for r in
+                 interval_overlap_join(left, right, w).collect())
+    two = sorted((r["click_id"], r["error_id"]) for r in
+                 interval_overlap_join_two_tier(
+                     left, right, w, long_factor=lf).collect())
+    assert one == naive
+    assert two == naive
+    assert len(two) == len(set(two))      # exactly once across tiers
+
+
+def test_two_tier_interval_join_bounds_replication(spark):
+    """Planted long-interval skew: N long spans of 200·W each would
+    replicate ~201 copies at the fine width; the two-tier route caps
+    each at span/(long_factor·W)+1. The audit counter proves the cap
+    arithmetically and the result still matches the naive join."""
+    from hops_spark.ops.join import (interval_overlap_join_two_tier,
+                                     interval_replication)
+
+    w, lf, n_long = 10, 32, 50
+    span = 200 * w
+    left = spark.range(n_long).select(
+        F.col("id").alias("click_id"),
+        (F.col("id") * 7).alias("l_start"),
+        (F.col("id") * 7 + span).alias("l_end"))
+    right = spark.range(200).select(
+        F.col("id").alias("error_id"),
+        (F.col("id") * 13).alias("r_start"),
+        (F.col("id") * 13 + 5).alias("r_end"))
+    fine = interval_replication(left, w, "l_start", "l_end")
+    coarse = interval_replication(left, w * lf, "l_start", "l_end")
+    assert fine >= n_long * (span // w)          # ~201 copies each
+    assert coarse <= n_long * (span // (w * lf) + 2)   # lf-fold cut
+    got = sorted((r["click_id"], r["error_id"]) for r in
+                 interval_overlap_join_two_tier(
+                     left, right, w, long_factor=lf).collect())
+    naive = sorted(
+        (lr["click_id"], rr["error_id"])
+        for lr in left.collect() for rr in right.collect()
+        if lr["l_start"] <= rr["r_end"] and rr["r_start"] <= lr["l_end"])
+    assert got == naive and len(got) == len(set(got))
+
+
 def test_probe_calibration_bins_partition_and_bound(spark, tmp_path):
     """Bins tile [0, 1e6] (n sums to the doc count), per-bin empirical
     rate is n_pos/n in micro-units, and gap = |conf - emp| exactly."""

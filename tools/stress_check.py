@@ -32,7 +32,7 @@ from hops_spark.session import get_spark
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
     parts = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-    # 17 tiers share one JVM and several pin bounded caches /
+    # 18 tiers share one JVM and several pin bounded caches /
     # checkpoints; at the default 24g heap the suffix tiers' pinned
     # shuffle-hash builds can tip GC over under concurrent load
     # (observed once, round 9) — the stress battery declares the heap
@@ -532,6 +532,47 @@ def main() -> int:
               and path_lbl == {i: max(0, i - 3) for i in range(6)})
     t_lpa = time.time() - t0
 
+    # two-tier interval join under planted LONG-span skew: 100k long
+    # sessions of 2000·W each against 1M short point-events. The fine
+    # width would replicate each long row ~2001× (2·10^8 exploded
+    # rows); the coarse tier caps it at span/(64·W)+1 ≈ 32 — the audit
+    # counter asserts the arithmetic BEFORE the join runs, then the
+    # join itself is verified by a closed form: long session g covers
+    # [g·20000, g·20000+20000], events at e·1000 (exactly the session
+    # boundary multiples), so event e overlaps session g iff
+    # g = (e·1000 - 20000)/20000 .. e·1000/20000 intersected with the
+    # id ranges — total pairs = a computable constant.
+    from hops_spark.ops.join import (interval_overlap_join_two_tier,
+                                     interval_replication)
+    t0 = time.time()
+    w_iv, lf_iv = 10, 64
+    n_long, n_ev = 100_000, 1_000_000
+    span = 2000 * w_iv                                   # 20000
+    longs = spark.range(0, n_long, 1, parts).select(
+        F.col("id").alias("l_id"),
+        (F.col("id") * span).alias("l_start"),
+        (F.col("id") * span + span).alias("l_end"))
+    events = spark.range(0, n_ev, 1, parts).select(
+        F.col("id").alias("r_id"),
+        (F.col("id") * 1000).alias("r_start"),
+        (F.col("id") * 1000).alias("r_end"))
+    rep_fine = interval_replication(longs, w_iv, "l_start", "l_end")
+    rep_coarse = interval_replication(longs, w_iv * lf_iv,
+                                      "l_start", "l_end")
+    rep_ok = (rep_fine == n_long * (span // w_iv + 1)
+              and rep_coarse <= n_long * (span // (w_iv * lf_iv) + 2))
+    # closed form over the FULL join: event at t=e·1000 overlaps
+    # session g iff g·span <= t <= g·span+span, i.e. g in
+    # [ceil((t-span)/span), floor(t/span)] ∩ [0, n_long) — every t
+    # here is inside coverage, so each event pairs with exactly 2
+    # sessions when t is a positive multiple of span (e divisible by
+    # span/1000 = 20, e >= 20) and 1 otherwise.
+    expect_pairs = n_ev + (n_ev - 1) // (span // 1000)
+    got_pairs = interval_overlap_join_two_tier(
+        longs, events, w_iv, long_factor=lf_iv).count()
+    iv_ok = bool(rep_ok and got_pairs == expect_pairs)
+    t_iv = time.time() - t0
+
     out = {"job": "stress_check", "n_rows": n, "n_partitions": parts,
            "rank_ok": bool(rank_ok), "rank_sec": round(t_rank, 1),
            "prefix_sum_ok": bool(ps_ok), "prefix_sum_sec": round(t_ps, 1),
@@ -557,12 +598,16 @@ def main() -> int:
            "media_fp_sec": round(t_media, 1),
            "decon_spans_ok": bool(decon_ok),
            "decon_spans_sec": round(t_decon, 1),
-           "lpa_1m_ok": bool(lpa_ok), "lpa_1m_sec": round(t_lpa, 1)}
+           "lpa_1m_ok": bool(lpa_ok), "lpa_1m_sec": round(t_lpa, 1),
+           "interval_two_tier_ok": bool(iv_ok),
+           "interval_two_tier_sec": round(t_iv, 1),
+           "interval_rep_fine": int(rep_fine),
+           "interval_rep_coarse": int(rep_coarse)}
     print(json.dumps(out))
     return 0 if all((rank_ok, ps_ok, skew_ok, dedup_ok, inc_ok,
                      ann_ok, meta_ok, tl_ok, wj_ok, tri_ok,
                      spans_ok, spans_int_ok, pq_ok, media_ok, decon_ok,
-                     lpa_ok)) else 1
+                     lpa_ok, iv_ok)) else 1
 
 
 if __name__ == "__main__":
