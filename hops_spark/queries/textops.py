@@ -1362,11 +1362,9 @@ def domain_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DRM_MILLI = 1000   # update-factor milli-scaling (keeps 1e6*s in int64)
 
-
-@register(
-    "domain_mixture_doremi",
-    sql=f"""
-    WITH wt AS (
+# CTE chain producing the per-domain mixture table (shared by the
+# design query and the execution/sampling query below).
+_DRM_CTES = f"""wt AS (
         SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
     ), bg AS (
         SELECT doc_id, w[i.i] AS w1, w[i.i + 1] AS w2
@@ -1418,15 +1416,22 @@ DRM_MILLI = 1000   # update-factor milli-scaling (keeps 1e6*s in int64)
                 WHERE o.rem > b.rem
                    OR (o.rem = b.rem AND o.source < b.source)) AS r
         FROM base b
-    )
-    SELECT source, n_tokens,
-           CAST(nll_tok_micro AS BIGINT) AS nll_tok_micro,
-           CAST(excess_micro AS BIGINT) AS excess_micro,
-           CAST(w0_ppm AS BIGINT) AS w0_ppm,
-           CAST(base_n + (CASE WHEN r < k THEN 1 ELSE 0 END) AS BIGINT)
-               AS weight_ppm
-    FROM ranked, leftover
-    ORDER BY source
+    ), mixture AS (
+        SELECT source, n_tokens,
+               CAST(nll_tok_micro AS BIGINT) AS nll_tok_micro,
+               CAST(excess_micro AS BIGINT) AS excess_micro,
+               CAST(w0_ppm AS BIGINT) AS w0_ppm,
+               CAST(base_n + (CASE WHEN r < k THEN 1 ELSE 0 END) AS BIGINT)
+                   AS weight_ppm
+        FROM ranked, leftover
+    )"""
+
+
+@register(
+    "domain_mixture_doremi",
+    sql=f"""
+    WITH {_DRM_CTES}
+    SELECT * FROM mixture ORDER BY source
     """,
     doc="DoReMi-shaped training-mixture reweighting (Xie et al. 2023; "
         "linearized multiplicative-weights step, Arora-Hazan-Kale "
@@ -1444,14 +1449,24 @@ DRM_MILLI = 1000   # update-factor milli-scaling (keeps 1e6*s in int64)
     tags=("text", "north-star", "ml"),
 )
 def domain_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doremi_mixture(spark, sf_dir).orderBy("source")
+
+
+def _doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hops_spark.ops.lm import doc_nll_scores
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text")
     nll = doc_nll_scores(d.select("doc_id", "text"))
+    # Materialize the per-domain aggregate: it is <= #sources rows but
+    # its lineage is the whole bigram-scoring job, and SIX downstream
+    # consumers re-derive it otherwise (ref, the sw sum, leftover, the
+    # Hamilton rank self-join sides, and the sampler's rate table) —
+    # measured 47 s -> ~9 s at sf0.1 for mixture_schedule_sample.
     per = (nll.join(d.select("doc_id", "source"), "doc_id")
               .groupBy("source")
               .agg(F.sum("n_bigrams").cast("long").alias("n_tokens"),
-                   F.sum("nll_micro").cast("long").alias("nll_sum")))
+                   F.sum("nll_micro").cast("long").alias("nll_sum"))
+              .localCheckpoint(eager=True))
     ref = per.agg(
         F.expr("CAST(sum(nll_sum) div sum(n_tokens) AS BIGINT)")
          .alias("ref_micro"),
@@ -1494,6 +1509,100 @@ def domain_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
                            + F.when(F.col("r") < F.col("k"), 1).otherwise(0))
                           .cast("long").alias("weight_ppm"))
                   .orderBy("source"))
+
+
+@register(
+    "mixture_schedule_sample",
+    sql=f"""
+    WITH {_DRM_CTES}, rated AS (
+        SELECT source, w0_ppm, weight_ppm,
+               (weight_ppm * 1000000) // w0_ppm AS r_raw
+        FROM mixture
+    ), mx AS (
+        SELECT CAST(max(r_raw) AS BIGINT) AS m FROM rated
+    ), rates AS (
+        SELECT source, w0_ppm, weight_ppm,
+               (r_raw * 1000000) // m AS rate_ppm
+        FROM rated, mx
+    ), docs2 AS (
+        SELECT d.doc_id, d.source,
+               greatest(CAST(len({_DUCK_WORDS}) AS BIGINT) - 1, 0) AS nb,
+               ('0x' || substring(md5('mix|' || CAST(d.doc_id AS VARCHAR)),
+                                  1, 7))::BIGINT % 1000000 AS h
+        FROM documents d
+    ), gated AS (
+        SELECT d2.source, d2.nb, r.rate_ppm, r.weight_ppm,
+               (d2.h < r.rate_ppm) AS kept
+        FROM docs2 d2 JOIN rates r USING (source)
+    ), kept_per AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(max(rate_ppm) AS BIGINT) AS rate_ppm,
+               CAST(max(weight_ppm) AS BIGINT) AS target_ppm,
+               CAST(sum(CASE WHEN kept THEN nb ELSE 0 END) AS BIGINT)
+                   AS kept_tokens
+        FROM gated GROUP BY source
+    ), tk AS (
+        SELECT CAST(sum(kept_tokens) AS BIGINT) AS t FROM kept_per
+    )
+    SELECT source, n_docs, n_kept, rate_ppm, kept_tokens,
+           CAST((kept_tokens * 1000000) // tk.t AS BIGINT) AS achieved_ppm,
+           target_ppm
+    FROM kept_per, tk
+    ORDER BY source
+    """,
+    doc="EXECUTE the DoReMi mixture (the design/execution pairing of "
+        "neyman_allocation/neyman_sample): per-domain keep-rate ∝ "
+        "target weight / current token share, scaled so the most "
+        "upweighted domain keeps everything (downsample-only — "
+        "repetition is a schedule concern, not a filter's), gated per "
+        "doc by a deterministic md5 draw (engine-portable, "
+        "rerun-stable). Output: per-domain kept counts, the realized "
+        "kept-token share vs the target in ppm — the achieved-vs-"
+        "designed audit a mixing run ships with. One broadcast join "
+        "of the domain-bounded rate table + one scan.",
+    tags=("text", "ml", "sampling"),
+)
+def mixture_schedule_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mix = _doremi_mixture(spark, sf_dir).select(
+        "source", "w0_ppm", "weight_ppm")
+    rated = mix.withColumn(
+        "r_raw", F.expr("(weight_ppm * 1000000) div w0_ppm"))
+    mx = rated.agg(F.max("r_raw").cast("long").alias("m"))
+    rates = (rated.crossJoin(F.broadcast(mx))
+                  .select("source", "weight_ppm",
+                          F.expr("(r_raw * 1000000) div m")
+                           .alias("rate_ppm")))
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    docs2 = d.select(
+        "source",
+        F.greatest(F.size(words("text")).cast("long") - 1,
+                   F.lit(0)).alias("nb"),
+        F.pmod(F.conv(F.substring(
+            F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))),
+            1, 7), 16, 10).cast("long"), F.lit(1_000_000)).alias("h"))
+    gated = (docs2.join(F.broadcast(rates), "source")
+                  .withColumn("kept", F.col("h") < F.col("rate_ppm")))
+    per = (gated.groupBy("source")
+                .agg(F.count("*").cast("long").alias("n_docs"),
+                     F.sum(F.col("kept").cast("long")).cast("long")
+                      .alias("n_kept"),
+                     F.max("rate_ppm").cast("long").alias("rate_ppm"),
+                     F.max("weight_ppm").cast("long").alias("target_ppm"),
+                     F.sum(F.when(F.col("kept"), F.col("nb"))
+                            .otherwise(F.lit(0))).cast("long")
+                      .alias("kept_tokens")))
+    tk = per.agg(F.sum("kept_tokens").cast("long").alias("t"))
+    return (per.crossJoin(F.broadcast(tk))
+               .select("source", "n_docs", "n_kept", "rate_ppm",
+                       "kept_tokens",
+                       F.expr("CAST((kept_tokens * 1000000) div t AS BIGINT)")
+                        .alias("achieved_ppm"),
+                       "target_ppm")
+               .orderBy("source"))
 
 
 CR_DIM = 64   # hashed-BOW dimension for chunk vectors

@@ -111,6 +111,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "rerank_maxsim",          # BM25-shortlist → MaxSim rerank cascade
     "probe_calibration",      # reliability bins for the linear probe
     "domain_mixture_doremi",  # excess-loss multiplicative reweighting
+    "mixture_schedule_sample",  # executes the DoReMi design per domain
 )
 # Round-11 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-10 REPROVE set (queries whose implementation changed after

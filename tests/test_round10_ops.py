@@ -174,3 +174,33 @@ def test_domain_mixture_doremi_properties(spark, tmp_path):
     assert sum(r["weight_ppm"] for r in out2.values()) == 1_000_000
     for r in out2.values():
         assert abs(r["weight_ppm"] - r["w0_ppm"]) <= 1
+
+
+def test_mixture_schedule_sample_executes_design(spark, tmp_path):
+    """The most-upweighted domain keeps EVERYTHING (rate 1e6,
+    downsample-only contract); others are gated below it; counts
+    reconcile; the rate ordering follows weight/share."""
+    from hops_spark.queries.textops import (domain_mixture_doremi,
+                                            mixture_schedule_sample)
+
+    rows = ([(i, "easy", "one two " * 20) for i in range(60)]
+            + [(200 + i, "hard",
+                " ".join(f"h{i}w{j}" for j in range(40)))
+               for i in range(20)])
+    spark.createDataFrame(rows, "doc_id long, source string, text string") \
+         .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    plan = {r["source"]: r for r in
+            domain_mixture_doremi(spark, str(tmp_path)).collect()}
+    out = {r["source"]: r for r in
+           mixture_schedule_sample(spark, str(tmp_path)).collect()}
+    # hard domain has the max weight/share ratio -> keeps all docs
+    assert out["hard"]["rate_ppm"] == 1_000_000
+    assert out["hard"]["n_kept"] == out["hard"]["n_docs"] == 20
+    assert out["easy"]["rate_ppm"] < 1_000_000
+    assert 0 <= out["easy"]["n_kept"] <= out["easy"]["n_docs"]
+    # achieved shares sum to 1e6 up to integer-div slack per domain
+    assert sum(r["achieved_ppm"] for r in out.values()) <= 1_000_000
+    assert sum(r["achieved_ppm"] for r in out.values()) >= 1_000_000 - 2
+    # targets surfaced verbatim from the design
+    for s, r in out.items():
+        assert r["target_ppm"] == plan[s]["weight_ppm"]
