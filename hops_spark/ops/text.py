@@ -203,11 +203,16 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                      lambda x: F.trim(x) != "")
     wrds = words(F.col(text_col))
     # word bigrams via index-transform over the words array (the words
-    # array is a bound attribute below, so no re-evaluation per element)
-    bg = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("_w") - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.element_at("_w", i),
-                              F.element_at("_w", i + F.lit(1))))
+    # array is a bound attribute below, so no re-evaluation per element).
+    # Size guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, so a
+    # doc with < 2 words would hit element_at index 0/2 without it.
+    bg = F.when(
+        F.size("_w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("_w", i),
+                                  F.element_at("_w", i + F.lit(1))))
+    ).otherwise(F.array().cast("array<string>"))
     base = (df.select(F.col(id_col),
                       F.explode(F.array(wrds)).alias("_w"),
                       lines.alias("_lines"))
@@ -225,6 +230,77 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                          .alias("dup_line_ppm"),
                         F.expr(f"_db * {PPM} div greatest(_nb, 1)")
                          .alias("dup_bigram_ppm")))
+
+
+def top_ngram_chars(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    ns: tuple[int, ...] = (2, 3, 4)) -> DataFrame:
+    """Per-document TOP-n-gram character concentration — the other half
+    of the Gopher repetition-filter family (Rae et al. 2021, table A1;
+    ``repetition_stats`` covers the duplicate-FRACTION half): for each
+    n, the fraction of document characters covered by the single most
+    frequent word n-gram, count·len(gram)/len(normalized text) in exact
+    integer ppm (the DataTrove GopherRepetitionFilter arithmetic —
+    overlapping occurrences may push a degenerate doc past 1e6, which
+    is exactly what the filter wants to see). Tie-break: highest count,
+    then lexicographically smallest gram, so both engines pick the same
+    gram. ``keep`` applies the published thresholds (0.20 / 0.18 /
+    0.16 for n = 2 / 3 / 4).
+
+    Plan: one (doc, n, gram) explode → count aggregate → per-(doc, n)
+    argmin of struct(-count, gram) → pivot to columns → broadcast-less
+    join back to the per-doc length frame on the same id key. Gram
+    construction is array-side Column arithmetic (map-only); at 100 TB
+    the cost is the one keyed count aggregate per n."""
+    thresholds = {2: 200_000, 3: 180_000, 4: 160_000}
+    base = (df.select(F.col(id_col),
+                      F.explode(F.array(words(text_col))).alias("_w"))
+              .withColumn("_len",
+                          F.length(F.concat_ws(" ", F.col("_w")))
+                           .cast("long")))
+    lens = base.select(id_col, "_len")
+    def _grams(n: int):
+        # closure, not a default arg: F.transform reads the lambda's
+        # ARITY to decide (element) vs (element, index) — a second
+        # parameter would receive the index Column. The size guard is
+        # load-bearing: Spark's sequence(1, 0) is DESCENDING [1, 0],
+        # not empty, so a doc shorter than n words would index out of
+        # bounds without it.
+        g = F.transform(
+            F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("_w", i + F.lit(j)) for j in range(n)]))
+        return F.when(F.size("_w") >= n, g) \
+                .otherwise(F.array().cast("array<string>"))
+
+    gram_frames = []
+    for n in ns:
+        gram_frames.append(
+            base.select(F.col(id_col), F.lit(n).alias("_n"),
+                        F.explode(_grams(n)).alias("_g")))
+    grams = gram_frames[0]
+    for gf in gram_frames[1:]:
+        grams = grams.unionByName(gf)
+    cnt = grams.groupBy(id_col, "_n", "_g").agg(
+        F.count("*").cast("long").alias("_c"))
+    top = (cnt.groupBy(id_col, "_n")
+              .agg(F.min(F.struct((-F.col("_c")).alias("nc"),
+                                  F.col("_g").alias("g"))).alias("_t"))
+              .select(id_col, "_n",
+                      ((-F.col("_t.nc")) * F.length(F.col("_t.g")))
+                      .cast("long").alias("_chars")))
+    piv = (top.groupBy(id_col)
+              .pivot("_n", list(ns))
+              .agg(F.first("_chars")))
+    out = lens.join(piv, id_col, "left")
+    cols = [F.col(id_col)]
+    keep = F.lit(True)
+    for n in ns:
+        ppm = F.expr(f"coalesce(`{n}`, 0) * {PPM} div greatest(_len, 1)")
+        cols.append(ppm.cast("long").alias(f"top{n}_ppm"))
+        keep = keep & (ppm <= F.lit(thresholds[n]))
+    cols.append(keep.alias("keep"))
+    return out.select(*cols)
 
 
 def chunk_documents(df: DataFrame, id_col: str = "doc_id",

@@ -357,6 +357,73 @@ def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(d, "doc_id", "text").orderBy("doc_id")
 
 
+def _duck_topgram_cte(n: int) -> str:
+    gram = " || ' ' || ".join(f"w[i.i + {j}]" for j in range(n))
+    return f"""
+        SELECT doc_id, {n} AS n, {gram} AS g
+        FROM wt, LATERAL (SELECT unnest(range(1,
+             greatest(len(w) - {n - 1}, 0) + 1)) AS i) i"""
+
+
+@register(
+    "top_ngram_filters",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ), lens AS (
+        SELECT doc_id,
+               CAST(length(array_to_string(w, ' ')) AS BIGINT) AS len
+        FROM wt
+    ), grams AS (
+        {_duck_topgram_cte(2)}
+        UNION ALL {_duck_topgram_cte(3)}
+        UNION ALL {_duck_topgram_cte(4)}
+    ), cnt AS (
+        SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS c
+        FROM grams GROUP BY doc_id, n, g
+    ), top AS (
+        SELECT doc_id, n, c * length(g) AS chars,
+               row_number() OVER (PARTITION BY doc_id, n
+                                  ORDER BY c DESC, g) AS rn
+        FROM cnt
+    ), piv AS (
+        SELECT doc_id,
+               max(CASE WHEN n = 2 THEN chars END) AS c2,
+               max(CASE WHEN n = 3 THEN chars END) AS c3,
+               max(CASE WHEN n = 4 THEN chars END) AS c4
+        FROM top WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT l.doc_id,
+           CAST(coalesce(c2, 0) * 1000000 // greatest(len, 1) AS BIGINT)
+               AS top2_ppm,
+           CAST(coalesce(c3, 0) * 1000000 // greatest(len, 1) AS BIGINT)
+               AS top3_ppm,
+           CAST(coalesce(c4, 0) * 1000000 // greatest(len, 1) AS BIGINT)
+               AS top4_ppm,
+           (coalesce(c2, 0) * 1000000 // greatest(len, 1) <= 200000
+            AND coalesce(c3, 0) * 1000000 // greatest(len, 1) <= 180000
+            AND coalesce(c4, 0) * 1000000 // greatest(len, 1) <= 160000)
+               AS keep
+    FROM lens l LEFT JOIN piv USING (doc_id)
+    ORDER BY l.doc_id
+    """,
+    doc="Top-n-gram character concentration, the other half of the "
+        "Gopher repetition-filter family (Rae et al. 2021 table A1; "
+        "repetition_stats covers the duplicate-fraction half): per doc "
+        "and per n in {{2,3,4}}, the fraction of normalized-text "
+        "characters covered by the single most frequent word n-gram "
+        "(DataTrove GopherRepetitionFilter arithmetic, count·len(gram)"
+        "/len(text) in integer ppm, deterministic count-then-lexico "
+        "tie-break), plus the published keep gate (0.20/0.18/0.16). "
+        "One keyed count aggregate per n. ops/text.top_ngram_chars.",
+    tags=("text", "north-star"),
+)
+def top_ngram_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.text import top_ngram_chars
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return top_ngram_chars(d).orderBy("doc_id")
+
+
 @register(
     "chunk_documents",
     sql=f"""

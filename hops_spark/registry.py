@@ -112,6 +112,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "probe_calibration",      # reliability bins for the linear probe
     "domain_mixture_doremi",  # excess-loss multiplicative reweighting
     "mixture_schedule_sample",  # executes the DoReMi design per domain
+    "top_ngram_filters",      # Gopher top-n-gram char concentration
 )
 # Round-11 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-10 REPROVE set (queries whose implementation changed after
