@@ -86,6 +86,14 @@ HEADLINE = [
     # bucketed interval-overlap join)
     "maxsim_retrieval",
     "interval_overlap_events",
+    # round-10 additions (retrieve-then-rerank cascade, probe
+    # calibration, DoReMi mixture design+execution, Gopher top-n-gram
+    # concentration gate)
+    "rerank_maxsim",
+    "probe_calibration",
+    "domain_mixture_doremi",
+    "mixture_schedule_sample",
+    "top_ngram_filters",
 ]
 
 
