@@ -441,3 +441,33 @@ def test_typedbytes_map_with_list_key_decodes_as_tuple():
     tb.encode("v", buf)
     got = tb.decode(io.BytesIO(bytes(buf)))
     assert got == {(1, 2): "v"}
+
+
+_iv = st.tuples(st.integers(-60, 60), st.integers(0, 45))  # (start, span)
+
+
+@SET
+@given(left=st.lists(_iv, min_size=1, max_size=10),
+       right=st.lists(_iv, min_size=1, max_size=10),
+       w=st.integers(2, 12), lf=st.integers(2, 5))
+def test_interval_two_tier_matches_bruteforce(spark, left, right, w, lf):
+    """Two-tier interval overlap == exactly-once brute force for any
+    bucket width / long-factor split point, including negative axes
+    and spans straddling the long threshold."""
+    from hops_spark.ops.join import interval_overlap_join_two_tier
+
+    ldf = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(left)],
+        "lid int, l_start long, l_end long")
+    rdf = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(right)],
+        "rid int, r_start long, r_end long")
+    got = sorted((r.lid, r.rid) for r in interval_overlap_join_two_tier(
+        ldf, rdf, w, long_factor=lf).collect())
+    want = sorted(
+        (i, j)
+        for i, (ls, ld) in enumerate(left)
+        for j, (rs, rd) in enumerate(right)
+        if ls <= rs + rd and rs <= ls + ld)
+    assert got == want
+    assert len(got) == len(set(got))
