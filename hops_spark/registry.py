@@ -113,6 +113,12 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "domain_mixture_doremi",  # excess-loss multiplicative reweighting
     "mixture_schedule_sample",  # executes the DoReMi design per domain
     "top_ngram_filters",      # Gopher top-n-gram char concentration
+    # RE-PROOF (the r8 lesson — changed code after its last green row):
+    # repetition_stats gained the short-doc size guard in r10
+    # (sequence(1,0)-descending fix; value-identical on >= 2-word docs,
+    # crash -> defined on shorter) — its green row predates the change,
+    # so it takes a slot next rotation.
+    "repetition_stats",
 )
 # Round-11 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-10 REPROVE set (queries whose implementation changed after
