@@ -148,6 +148,111 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy("id_a", "id_b"))
 
 
+DR_MOD = 5   # recall-eval sample: md5(doc_id) % 5 == 0 (~20%)
+
+_DR_WHERE = ("WHERE ('0x' || substring(md5('dr|' || "
+             "CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % "
+             f"{DR_MOD} = 0")
+
+
+@register(
+    "lsh_recall_eval",
+    sql=_duck_sigs_cte(_DR_WHERE) + DUCK_MINHASH_VERIFIED_CTE + f"""
+    , tinter AS (
+        SELECT ra.doc_id AS id_a, rb.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM srows ra
+        JOIN srows rb ON ra.shingle = rb.shingle
+                     AND ra.doc_id < rb.doc_id
+        GROUP BY 1, 2
+    ), tpairs AS (
+        SELECT t.id_a, t.id_b
+        FROM tinter t
+        JOIN sigs za ON za.doc_id = t.id_a
+        JOIN sigs zb ON zb.doc_id = t.id_b
+        WHERE round(t.inter
+                    / CAST(za.set_size + zb.set_size - t.inter AS DOUBLE),
+                    6) >= {THRESHOLD}
+    ), counts AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM sigs) AS n_docs,
+               (SELECT CAST(count(*) AS BIGINT) FROM tpairs) AS n_true,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+               (SELECT CAST(count(*) AS BIGINT) FROM verified) AS n_pred
+    )
+    SELECT n_docs, n_true, n_cand, n_pred,
+           CAST(CASE WHEN n_true = 0 THEN 1000000
+                     ELSE (n_pred * 1000000) // n_true END AS BIGINT)
+               AS recall_ppm,
+           CAST(CASE WHEN n_cand = 0 THEN 0
+                     ELSE (n_pred * 1000000) // n_cand END AS BIGINT)
+               AS cand_yield_ppm
+    FROM counts
+    """,
+    doc="LSH recall evaluation for the near-dup pipeline (the dedup "
+        "counterpart of knn_recall/mp_recall_curve): on a ~20% "
+        "deterministic md5 sample, ground truth is the EXACT "
+        "shingle-join Jaccard over every sample pair, compared against "
+        "the production banding+cap+verify pipeline at the same "
+        "threshold. Output: one row — sample size, true/candidate/"
+        "predicted pair counts, recall (verify makes precision 1 by "
+        "construction, so recall IS the banding+cap miss rate) and "
+        "candidate yield (verified per candidate — the banding "
+        "selectivity a tuner trades against recall). The exact truth "
+        "join is quadratic-leaning BY DESIGN and bounded to the "
+        "sample; production fixes the absolute sample size where this "
+        "fixture-scale query fixes the rate.",
+    tags=("dedup", "approx", "north-star"),
+)
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("dr|"), F.col("doc_id").cast("string"))),
+            1, 7), 16, 10).cast("long"),
+        F.lit(DR_MOD))
+    sample = d.filter(h == 0).select("doc_id", "text")
+    # shingle rows feed the truth self-join (both sides), sizes, and
+    # the verify stage — materialize once (sample-bounded)
+    rows = D.shingle_rows(sample, "doc_id", "text", SHINGLE_N) \
+            .localCheckpoint(eager=True)
+    sizes = rows.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("set_size"))
+    ra = rows.select(F.col("doc_id").alias("id_a"), "shingle")
+    rb = rows.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (ra.join(rb, "shingle")
+               .filter(F.col("id_a") < F.col("id_b"))
+               .groupBy("id_a", "id_b")
+               .agg(F.count("*").cast("long").alias("inter")))
+    truth = (inter
+             .join(sizes.select(F.col("doc_id").alias("id_a"),
+                                F.col("set_size").alias("sa")), "id_a")
+             .join(sizes.select(F.col("doc_id").alias("id_b"),
+                                F.col("set_size").alias("sb")), "id_b")
+             .filter(F.round(F.col("inter")
+                             / (F.col("sa") + F.col("sb") - F.col("inter")),
+                             6) >= THRESHOLD))
+    sigs = D.minhash_signatures(sample, "doc_id", "text",
+                                N_HASHES, SHINGLE_N)
+    cand = D.minhash_candidate_pairs(sigs, "doc_id", N_HASHES, BANDS) \
+            .localCheckpoint(eager=True)     # counted AND verified
+    pred = D.jaccard_verify(cand, rows, sizes, "doc_id", THRESHOLD)
+    nd = sample.agg(F.count("*").cast("long").alias("n_docs"))
+    nt = truth.agg(F.count("*").cast("long").alias("n_true"))
+    nc = cand.agg(F.count("*").cast("long").alias("n_cand"))
+    npred = pred.agg(F.count("*").cast("long").alias("n_pred"))
+    out = (nd.crossJoin(F.broadcast(nt))
+             .crossJoin(F.broadcast(nc))
+             .crossJoin(F.broadcast(npred)))
+    return out.select(
+        "n_docs", "n_true", "n_cand", "n_pred",
+        F.expr("CAST(CASE WHEN n_true = 0 THEN 1000000 "
+               "ELSE (n_pred * 1000000) div n_true END AS BIGINT)")
+         .alias("recall_ppm"),
+        F.expr("CAST(CASE WHEN n_cand = 0 THEN 0 "
+               "ELSE (n_pred * 1000000) div n_cand END AS BIGINT)")
+         .alias("cand_yield_ppm"))
+
+
 def _duck_simhash_sql(bits: int = 32) -> str:
     votes = []
     for j in range(bits):

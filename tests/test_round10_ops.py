@@ -178,6 +178,37 @@ def test_probe_calibration_bins_partition_and_bound(spark, tmp_path):
         assert r["gap_micro"] == abs(r["conf_micro"] - r["emp_micro"])
 
 
+def test_lsh_recall_eval_counts_and_bounds(spark, tmp_path):
+    """On a corpus with planted exact duplicates inside the sample,
+    truth/pred counts line up, recall is exact ppm arithmetic, and
+    pred ⊆ truth (precision-1-by-construction) keeps recall <= 1e6."""
+    from hops_spark.queries.dedup import DR_MOD, lsh_recall_eval
+
+    # find doc ids that fall into the md5 % DR_MOD == 0 sample
+    import hashlib
+
+    def in_sample(i):
+        return int(hashlib.md5(f"dr|{i}".encode()).hexdigest()[:7],
+                   16) % DR_MOD == 0
+
+    ids = [i for i in range(500) if in_sample(i)]
+    a, b, c = ids[0], ids[1], ids[2]
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(a, base), (b, base),                        # planted dup pair
+            (c, "totally different words here entirely okay right"),
+            (ids[3], "another unrelated document text body four")]
+    # plus out-of-sample noise that must NOT affect the eval
+    rows += [(i, base) for i in range(500, 520) if not in_sample(i)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+         .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = lsh_recall_eval(spark, str(tmp_path)).collect()[0]
+    assert out["n_docs"] == 4
+    assert out["n_true"] == 1 and out["n_pred"] == 1
+    assert out["recall_ppm"] == 1_000_000
+    assert out["n_pred"] <= out["n_true"]          # pred ⊆ truth
+    assert 0 <= out["cand_yield_ppm"] <= 1_000_000
+
+
 def test_domain_mixture_doremi_properties(spark, tmp_path):
     """Weights sum to exactly 1e6; the clipped-excess update only ever
     moves weight TOWARD high-loss domains (a domain at/below the
