@@ -1582,14 +1582,21 @@ def _doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mixture_schedule_sample",
     sql=f"""
     WITH {_DRM_CTES}, rated AS (
+        -- zero-share guard: a domain under one-millionth of the tokens
+        -- has w0_ppm = 0; it cannot be upsampled, so it keeps
+        -- everything (rate 1e6) instead of dividing by zero (DuckDB
+        -- errors, Spark divs to NULL -- engine-divergent)
         SELECT source, w0_ppm, weight_ppm,
-               (weight_ppm * 1000000) // w0_ppm AS r_raw
+               CASE WHEN w0_ppm = 0 THEN NULL
+                    ELSE (weight_ppm * 1000000) // w0_ppm END AS r_raw
         FROM mixture
     ), mx AS (
         SELECT CAST(max(r_raw) AS BIGINT) AS m FROM rated
     ), rates AS (
         SELECT source, w0_ppm, weight_ppm,
-               (r_raw * 1000000) // m AS rate_ppm
+               CAST(CASE WHEN r_raw IS NULL THEN 1000000
+                         ELSE (r_raw * 1000000) // m END AS BIGINT)
+                   AS rate_ppm
         FROM rated, mx
     ), docs2 AS (
         SELECT d.doc_id, d.source,
@@ -1635,12 +1642,17 @@ def _doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mixture_schedule_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix = _doremi_mixture(spark, sf_dir).select(
         "source", "w0_ppm", "weight_ppm")
+    # zero-share guard: w0_ppm = 0 (domain under one ppm of the tokens)
+    # cannot be upsampled -> rate 1e6, never a division (DuckDB raises,
+    # Spark divs to NULL -- the engine-divergent failure mode)
     rated = mix.withColumn(
-        "r_raw", F.expr("(weight_ppm * 1000000) div w0_ppm"))
+        "r_raw", F.expr("CASE WHEN w0_ppm = 0 THEN NULL "
+                        "ELSE (weight_ppm * 1000000) div w0_ppm END"))
     mx = rated.agg(F.max("r_raw").cast("long").alias("m"))
     rates = (rated.crossJoin(F.broadcast(mx))
                   .select("source", "weight_ppm",
-                          F.expr("(r_raw * 1000000) div m")
+                          F.expr("CAST(CASE WHEN r_raw IS NULL THEN 1000000 "
+                                 "ELSE (r_raw * 1000000) div m END AS BIGINT)")
                            .alias("rate_ppm")))
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text")
