@@ -1427,7 +1427,8 @@ def domain_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- DoReMi-shaped mixture optimization ----------------------------------
 
-DRM_MILLI = 1000   # update-factor milli-scaling (keeps 1e6*s in int64)
+from hops_spark.ops.mixture import DRM_MILLI  # noqa: E402  (shared with
+# the online mixture controller — ops/mixture.py owns the arithmetic)
 
 # CTE chain producing the per-domain mixture table (shared by the
 # design query and the execution/sampling query below).
@@ -1520,62 +1521,21 @@ def domain_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain mixture table, SELF-scored (the LM is built from the
+    corpus being scored — the registered, oracle-replayed face). The
+    sufficient statistics feed the SAME mixture_from_domain_stats
+    derivation the online controller (streaming.mixture_batch_update,
+    frozen-scorer face) uses — one arithmetic, two scoring modes."""
     from hops_spark.ops.lm import doc_nll_scores
+    from hops_spark.ops.mixture import mixture_from_domain_stats
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text")
     nll = doc_nll_scores(d.select("doc_id", "text"))
-    # Materialize the per-domain aggregate: it is <= #sources rows but
-    # its lineage is the whole bigram-scoring job, and SIX downstream
-    # consumers re-derive it otherwise (ref, the sw sum, leftover, the
-    # Hamilton rank self-join sides, and the sampler's rate table) —
-    # measured 47 s -> ~9 s at sf0.1 for mixture_schedule_sample.
     per = (nll.join(d.select("doc_id", "source"), "doc_id")
               .groupBy("source")
               .agg(F.sum("n_bigrams").cast("long").alias("n_tokens"),
-                   F.sum("nll_micro").cast("long").alias("nll_sum"))
-              .localCheckpoint(eager=True))
-    ref = per.agg(
-        F.expr("CAST(sum(nll_sum) div sum(n_tokens) AS BIGINT)")
-         .alias("ref_micro"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"))
-    m = (per.crossJoin(F.broadcast(ref))
-            .select("source", "n_tokens",
-                    F.expr("nll_sum div n_tokens").alias("nll_tok_micro"),
-                    F.expr("greatest(nll_sum div n_tokens - ref_micro, 0)")
-                     .alias("excess_micro"),
-                    F.expr("(n_tokens * 1000000) div total_tokens")
-                     .alias("w0_ppm")))
-    s = m.withColumn(
-        "sw", F.expr(f"w0_ppm * ((1000000 + excess_micro) div {DRM_MILLI})"))
-    ts = s.agg(F.sum("sw").cast("long").alias("t"))
-    base = (s.crossJoin(F.broadcast(ts))
-             .select("source", "n_tokens", "nll_tok_micro", "excess_micro",
-                     "w0_ppm",
-                     F.expr("(1000000 * sw) div t").alias("base_n"),
-                     F.expr("(1000000 * sw) % t").alias("rem")))
-    leftover = base.agg((F.lit(1_000_000) - F.sum("base_n"))
-                        .cast("long").alias("k"))
-    other = base.select(F.col("source").alias("o_source"),
-                        F.col("rem").alias("o_rem"))
-    ranked = (base.join(F.broadcast(other),
-                        (F.col("o_rem") > F.col("rem"))
-                        | ((F.col("o_rem") == F.col("rem"))
-                           & (F.col("o_source") < F.col("source"))),
-                        "left")
-                  .groupBy("source", "n_tokens", "nll_tok_micro",
-                           "excess_micro", "w0_ppm", "base_n")
-                  .agg(F.count("o_source").alias("r")))
-    return (ranked.crossJoin(F.broadcast(leftover))
-                  .select("source", "n_tokens",
-                          F.col("nll_tok_micro").cast("long")
-                           .alias("nll_tok_micro"),
-                          F.col("excess_micro").cast("long")
-                           .alias("excess_micro"),
-                          F.col("w0_ppm").cast("long").alias("w0_ppm"),
-                          (F.col("base_n")
-                           + F.when(F.col("r") < F.col("k"), 1).otherwise(0))
-                          .cast("long").alias("weight_ppm"))
-                  .orderBy("source"))
+                   F.sum("nll_micro").cast("long").alias("nll_sum")))
+    return mixture_from_domain_stats(per)
 
 
 @register(

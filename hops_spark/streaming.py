@@ -1067,3 +1067,106 @@ def attribution_stream(stream_events: DataFrame, state_dir: str,
     return (stream_events.writeStream.foreachBatch(upd)
             .option("checkpointLocation", checkpoint)
             .outputMode("append"))
+
+
+# --- online training-mixture controller (DoReMi, frozen scorer) ----------
+
+_MIX_STATE_SCHEMA = "source string, n_tokens long, nll_sum long"
+
+
+def _latest_mix_epoch(spark: SparkSession, state_dir: str,
+                      at_most: int | None = None):
+    """Newest COMMITTED per-domain-stats epoch ≤ ``at_most`` (the
+    attribution epoch discipline: epoch=<n> + _SUCCESS; the cap is the
+    replay guard)."""
+    import os
+
+    if not os.path.isdir(state_dir):
+        return None, -1
+    best = -1
+    for d in os.listdir(state_dir):
+        if d.startswith("epoch=") and os.path.exists(
+                os.path.join(state_dir, d, "_SUCCESS")):
+            n = int(d.split("=", 1)[1])
+            if at_most is None or n <= at_most:
+                best = max(best, n)
+    if best < 0:
+        return None, -1
+    return spark.read.schema(_MIX_STATE_SCHEMA).parquet(
+        os.path.join(state_dir, f"epoch={best}")), best
+
+
+def seed_mixture_scorer(ref_docs: DataFrame, scorer_dir: str) -> None:
+    """Freeze the reference LM once (ops/mixture.frozen_scorer) — the
+    fixed proxy the online controller scores every batch against."""
+    from hops_spark.ops.mixture import frozen_scorer
+
+    frozen_scorer(ref_docs).write.parquet(scorer_dir)
+
+
+def mixture_batch_update(batch_df: DataFrame, batch_id: int,
+                         state_dir: str, mix_dir: str,
+                         scorer_dir: str) -> None:
+    """One micro-batch of the ONLINE mixture controller: per-domain
+    sufficient statistics (n_tokens, nll_sum under the FROZEN scorer —
+    additive by construction, ops/mixture.frozen_domain_stats) fold
+    into the store, and the CURRENT mixture table (the same
+    mixture_from_domain_stats derivation the batch query uses) lands
+    in mix_dir/batch=<id>. The data-scheduling loop reads the newest
+    batch dir for its weights — DoReMi's mixture-updates-while-the-
+    proxy-stays-fixed shape, continuously.
+
+    IDEMPOTENT under foreachBatch redelivery (the attribution_batch_
+    update contract): store read capped at batch_id, every write keyed
+    by batch_id with overwrite, store epoch batch_id+1 rewritten from
+    scratch, ≤ 2 epochs retained. State is DOMAIN-BOUNDED (one row per
+    source — the smallest state in the streaming family), so replay
+    and retention cost nothing."""
+    import os
+    import shutil
+
+    from hops_spark.ops.mixture import (frozen_domain_stats,
+                                        mixture_from_domain_stats)
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    scorer = spark.read.parquet(scorer_dir)
+    batch_stats = frozen_domain_stats(
+        batch_df.select("doc_id", "source", "text"), scorer)
+    store, read_epoch = _latest_mix_epoch(spark, state_dir,
+                                          at_most=batch_id)
+    stats = batch_stats if store is None else (
+        store.unionByName(batch_stats)
+             .groupBy("source")
+             .agg(F.sum("n_tokens").cast("long").alias("n_tokens"),
+                  F.sum("nll_sum").cast("long").alias("nll_sum")))
+    out = os.path.join(state_dir, f"epoch={batch_id + 1}")
+    stats.write.mode("overwrite").parquet(out)
+    folded = spark.read.schema(_MIX_STATE_SCHEMA).parquet(out)
+    (mixture_from_domain_stats(folded)
+     .write.mode("overwrite")
+     .parquet(os.path.join(mix_dir, f"batch={batch_id}")))
+    for d in os.listdir(state_dir):
+        if d.startswith("epoch="):
+            n = int(d.split("=", 1)[1])
+            if n != read_epoch and n != batch_id + 1:
+                shutil.rmtree(os.path.join(state_dir, d),
+                              ignore_errors=True)
+
+
+def mixture_stream(stream_docs: DataFrame, state_dir: str, mix_dir: str,
+                   scorer_dir: str, checkpoint: str):
+    """Continuous mixture control over a document stream: fold
+    per-domain stats, emit the refreshed DoReMi weights per batch.
+    Equivalence law (pytest-asserted): the mixture written after batch
+    k equals mixture_from_domain_stats(frozen_domain_stats(union of
+    batches 0..k)) — additivity of frozen-scored stats makes the fold
+    exact, and both faces share the ops/mixture derivation."""
+    def upd(batch_df: DataFrame, batch_id: int) -> None:
+        mixture_batch_update(batch_df, batch_id, state_dir, mix_dir,
+                             scorer_dir)
+
+    return (stream_docs.writeStream.foreachBatch(upd)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append"))
