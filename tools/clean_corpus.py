@@ -12,6 +12,9 @@ Stages (each map-only or cap-bounded — see SCALE.md):
                       duplicated corpus-wide and rebuild the text
                       (ops/dedup.suffix_dup_spans + excise_spans)
   1. quality gate   — integer-ppm score threshold (ops/text.quality_score)
+ 1b. gopher gate    — optional (--gopher-gate): drop docs whose most
+                      frequent 2/3/4-gram covers > 20/18/16% of the
+                      characters (Rae et al. 2021; ops/text.top_ngram_chars)
   2. language gate  — stopword-hit lang-id == 'en' (ops/text.lang_id_expr)
   3. exact dedup    — content-hash keep-min-id (ops/dedup.exact_dedup)
   4. near dedup     — MinHash+LSH pair graph -> connected components ->
@@ -72,6 +75,7 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
                  cut_spans: bool = False,
                  excise_bench: bool = False,
                  strip_boilerplate: bool = False,
+                 gopher_gate: bool = False,
                  budget_ppm: int | None = None) -> dict:
     d = load_table(spark, sf_dir, "documents")
     counts = {"input": d.count()}
@@ -129,6 +133,20 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
     d = (d.join(q, "doc_id")
           .filter(F.col("quality_score_ppm") >= QUALITY_MIN_PPM))
     counts["after_quality"] = d.count()
+
+    if gopher_gate:
+        # Gopher repetition gate (Rae et al. 2021 table A1): drop docs
+        # whose most frequent 2/3/4-gram covers > 20/18/16% of the
+        # characters (ops/text.top_ngram_chars) — the CONCENTRATION
+        # signal the ppm quality score (length/punct/stopword) and the
+        # dup-fraction stats don't see. Map-heavy + one keyed count
+        # aggregate per n; placed after the quality gate so it only
+        # scans survivors.
+        from hops_spark.ops.text import top_ngram_chars
+        keep = (top_ngram_chars(d.select("doc_id", "text"))
+                .filter("keep").select("doc_id"))
+        d = d.join(keep, "doc_id", "left_semi")
+        counts["after_gopher_gate"] = d.count()
 
     d = d.withColumn("_lang", lang_id_expr("text")) \
          .filter(F.col("_lang") == "en").drop("_lang")
@@ -276,6 +294,7 @@ def main() -> None:
     cut_spans = "--cut-spans" in args
     excise_bench = "--excise-bench" in args
     strip_boilerplate = "--strip-boilerplate" in args
+    gopher_gate = "--gopher-gate" in args
     budget_ppm = None
     if "--budget-ppm" in args:
         i = args.index("--budget-ppm")
@@ -286,7 +305,8 @@ def main() -> None:
     args = [a for a in args
             if a not in ("--nb-lang", "--avro", "--survivor-quality",
                          "--weighted-dedup", "--mixture", "--cut-spans",
-                         "--excise-bench", "--strip-boilerplate")]
+                         "--excise-bench", "--strip-boilerplate",
+                         "--gopher-gate")]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     out_dir = args[1] if len(args) > 1 else "/tmp/clean_corpus_out"
     bench_source = "src0"
@@ -299,6 +319,7 @@ def main() -> None:
                           mixture=mixture, cut_spans=cut_spans,
                           excise_bench=excise_bench,
                           strip_boilerplate=strip_boilerplate,
+                          gopher_gate=gopher_gate,
                           budget_ppm=budget_ppm)
     print(json.dumps({"job": "clean_corpus", "sf_dir": sf_dir,
                       "out": os.path.join(out_dir, "clean"), **counts}))
