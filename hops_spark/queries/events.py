@@ -347,3 +347,71 @@ def weekly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  & (F.abs(F.col("n_events") - F.col("prev_n")) * 2
                     > F.col("prev_n"))).alias("is_anomaly"))
             .orderBy("event_type", "week"))
+
+
+PATH_N = 3       # event-type n-gram length
+PATH_TOP = 20
+
+
+@register(
+    "event_path_mining",
+    sql=f"""
+    WITH seq AS (
+        SELECT user_id, list(event_type ORDER BY ts, event_id) AS w
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT w[i.i] || '>' || w[i.i + 1] || '>' || w[i.i + 2] AS path
+        FROM seq,
+             LATERAL (SELECT unnest(range(1,
+                  greatest(len(w) - {PATH_N - 1}, 0) + 1)) AS i) i
+        WHERE len(w) >= {PATH_N}
+    ), cnt AS (
+        SELECT path, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY path
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS t FROM g
+    )
+    SELECT path, n,
+           CAST((n * 1000000) // t AS BIGINT) AS share_ppm
+    FROM cnt, tot
+    ORDER BY n DESC, path
+    LIMIT {PATH_TOP}
+    """,
+    doc="Sequential path mining over the event log (the n-gram face of "
+        "frequent-sequence mining, Agrawal & Srikant 1995's use case; "
+        "the behavioral-path report funnels can't give because funnels "
+        "fix the pattern up front): per-user event-type sequences in "
+        "exact (ts, event_id) order — sort_array canonicalizes the "
+        "collect, so partition order never leaks — sliding 3-grams via "
+        "the size-guarded index transform, corpus-wide counts + share "
+        "ppm, top-20 with a lexicographic tie-break. One keyed shuffle "
+        "to assemble sequences, map-side gram explode, one count "
+        "aggregate. Scale note: the per-user array is the standard "
+        "sessionized-sequence bound — an unbounded actor gets "
+        "pre-chunked by (user, day) upstream, same plan shape.",
+    tags=("events", "analytics"),
+)
+def event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    seq = (e.groupBy("user_id")
+            .agg(F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type")))
+                 .alias("evs"))
+            .select(F.expr("transform(evs, x -> x.event_type)").alias("w")))
+    grams = F.when(
+        F.size("w") >= PATH_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - (PATH_N - 1)),
+            lambda i: F.concat_ws(
+                ">", *[F.element_at("w", i + F.lit(j))
+                       for j in range(PATH_N)]))
+    ).otherwise(F.array().cast("array<string>"))
+    g = seq.select(F.explode(grams).alias("path"))
+    cnt = g.groupBy("path").agg(F.count("*").cast("long").alias("n"))
+    tot = g.agg(F.count("*").cast("long").alias("t"))
+    return (cnt.crossJoin(F.broadcast(tot))
+               .select("path", "n",
+                       F.expr("CAST((n * 1000000) div t AS BIGINT)")
+                        .alias("share_ppm"))
+               .orderBy(F.col("n").desc(), "path")
+               .limit(PATH_TOP))

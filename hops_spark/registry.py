@@ -114,6 +114,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "mixture_schedule_sample",  # executes the DoReMi design per domain
     "top_ngram_filters",      # Gopher top-n-gram char concentration
     "lsh_recall_eval",        # sampled exact-truth recall of the LSH path
+    "event_path_mining",      # top event-type 3-gram behavioral paths
     # RE-PROOF (the r8 lesson — changed code after its last green row):
     # repetition_stats gained the short-doc size guard in r10
     # (sequence(1,0)-descending fix; value-identical on >= 2-word docs,

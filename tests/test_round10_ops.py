@@ -178,6 +178,41 @@ def test_probe_calibration_bins_partition_and_bound(spark, tmp_path):
         assert r["gap_micro"] == abs(r["conf_micro"] - r["emp_micro"])
 
 
+def test_event_path_mining_hand_computed(spark, tmp_path):
+    """Exact 3-gram path counts on a crafted log: per-user order is
+    (ts, event_id), short users contribute nothing, counts and share
+    ppm are exact."""
+    import datetime as dt
+
+    from hops_spark.queries.events import event_path_mining
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: view > click > purchase > view  -> grams v>c>p, c>p>v
+    for i, et in enumerate(["view", "click", "purchase", "view"]):
+        rows.append((10 + i, t0 + dt.timedelta(minutes=i), 1, et, 0.0, ""))
+    # user 2: view > click > purchase        -> gram v>c>p
+    for i, et in enumerate(["view", "click", "purchase"]):
+        rows.append((20 + i, t0 + dt.timedelta(minutes=i), 2, et, 0.0, ""))
+    # user 3: too short for a 3-gram
+    rows.append((30, t0, 3, "error", 0.0, ""))
+    # user 4: same-ts tie broken by event_id (41 before 42)
+    rows.append((41, t0, 4, "click", 0.0, ""))
+    rows.append((42, t0, 4, "view", 0.0, ""))
+    rows.append((43, t0 + dt.timedelta(minutes=1), 4, "purchase", 0.0, ""))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r["path"]: (r["n"], r["share_ppm"]) for r in
+           event_path_mining(spark, str(tmp_path)).collect()}
+    # total grams: 2 (user1) + 1 (user2) + 1 (user4) = 4
+    assert out["view>click>purchase"] == (2, 500_000)
+    assert out["click>purchase>view"] == (1, 250_000)
+    assert out["click>view>purchase"] == (1, 250_000)   # tie by event_id
+    assert len(out) == 3
+
+
 def test_mixture_stream_folds_like_batch(spark, tmp_path):
     """Online mixture controller: after each batch, the written
     mixture equals the batch derivation over the UNION of batches so
