@@ -471,3 +471,44 @@ def test_interval_two_tier_matches_bruteforce(spark, left, right, w, lf):
         if ls <= rs + rd and rs <= ls + ld)
     assert got == want
     assert len(got) == len(set(got))
+
+
+@SET
+@given(stats=st.lists(
+    st.tuples(st.integers(1, 4_000_000),      # n_tokens
+              st.integers(0, 20_000_000)),    # nll per token, micro-nats
+    min_size=1, max_size=6, unique_by=lambda t: t))
+def test_mixture_weights_model(spark, stats):
+    """mixture_from_domain_stats == a pure-python replay of the
+    linearized multiplicative-weights update + Hamilton apportionment,
+    for arbitrary domain stats; weights always sum to exactly 1e6."""
+    from hops_spark.ops.mixture import DRM_MILLI, mixture_from_domain_stats
+
+    rows = [(f"s{i}", n, n * nll_tok)
+            for i, (n, nll_tok) in enumerate(stats)]
+    per = spark.createDataFrame(
+        rows, "source string, n_tokens long, nll_sum long")
+    got = {r["source"]: r for r in mixture_from_domain_stats(per).collect()}
+
+    total = sum(n for _, n, _ in rows)
+    ref = sum(s for _, _, s in rows) // total
+    m = {}
+    for src, n, sm in rows:
+        nll_tok = sm // n
+        excess = max(nll_tok - ref, 0)
+        w0 = n * 1_000_000 // total
+        sw = w0 * ((1_000_000 + excess) // DRM_MILLI)
+        m[src] = (n, nll_tok, excess, w0, sw)
+    t = sum(v[4] for v in m.values())
+    base = {s: (1_000_000 * v[4]) // t for s, v in m.items()}
+    rem = {s: (1_000_000 * v[4]) % t for s, v in m.items()}
+    k = 1_000_000 - sum(base.values())
+    order = sorted(m, key=lambda s: (-rem[s], s))
+    want_w = {s: base[s] + (1 if order.index(s) < k else 0) for s in m}
+
+    assert sum(r["weight_ppm"] for r in got.values()) == 1_000_000
+    for s, (n, nll_tok, excess, w0, _) in m.items():
+        r = got[s]
+        assert (r["n_tokens"], r["nll_tok_micro"], r["excess_micro"],
+                r["w0_ppm"], r["weight_ppm"]) \
+            == (n, nll_tok, excess, w0, want_w[s])
