@@ -963,10 +963,10 @@ def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "weight_micro").orderBy("doc_id")
 
 
-@register(
-    "nb_lang_classifier",
-    sql=f"""
-    WITH d AS (
+# CTE chain ending in pred(doc_id, actual, predicted, rn) — the NB
+# classifier's doc-level decisions; shared by the confusion-matrix
+# query and the per-class P/R/F1 metrics query.
+_NB_PRED_CTES = f"""d AS (
         SELECT doc_id, lang, text FROM documents WHERE length(text) > 0
     ), tok AS (
         SELECT doc_id, lang AS actual, unnest({_DUCK_WORDS}) AS w FROM d
@@ -1002,7 +1002,13 @@ def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY doc_id
                                   ORDER BY nll, c) AS rn
         FROM with_prior
-    )
+    )"""
+
+
+@register(
+    "nb_lang_classifier",
+    sql=f"""
+    WITH {_NB_PRED_CTES}
     SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
     FROM pred WHERE rn = 1
     GROUP BY actual, predicted ORDER BY actual, predicted
@@ -1024,6 +1030,89 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("actual", "predicted")
             .agg(F.count("*").alias("n"))
             .orderBy("actual", "predicted"))
+
+
+@register(
+    "classifier_prf",
+    sql=f"""
+    WITH {_NB_PRED_CTES}, conf AS (
+        SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+        FROM pred WHERE rn = 1 GROUP BY actual, predicted
+    ), pside AS (
+        SELECT predicted AS class,
+               CAST(sum(n) AS BIGINT) AS n_pred,
+               CAST(sum(CASE WHEN actual = predicted THEN n ELSE 0 END)
+                    AS BIGINT) AS tp
+        FROM conf GROUP BY predicted
+    ), aside AS (
+        SELECT actual AS class, CAST(sum(n) AS BIGINT) AS n_actual
+        FROM conf GROUP BY actual
+    ), j AS (
+        SELECT class,
+               coalesce(n_actual, 0) AS n_actual,
+               coalesce(n_pred, 0) AS n_pred,
+               coalesce(tp, 0) AS tp
+        FROM pside FULL JOIN aside USING (class)
+    ), pr AS (
+        SELECT class, n_actual, n_pred, tp,
+               CASE WHEN n_pred = 0 THEN 0
+                    ELSE (tp * 1000000) // n_pred END AS precision_ppm,
+               CASE WHEN n_actual = 0 THEN 0
+                    ELSE (tp * 1000000) // n_actual END AS recall_ppm
+        FROM j
+    )
+    SELECT class, n_actual, n_pred, tp,
+           CAST(precision_ppm AS BIGINT) AS precision_ppm,
+           CAST(recall_ppm AS BIGINT) AS recall_ppm,
+           CAST(CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+                     ELSE (2 * precision_ppm * recall_ppm)
+                          // (precision_ppm + recall_ppm) END AS BIGINT)
+               AS f1_ppm
+    FROM pr ORDER BY class
+    """,
+    doc="Per-class precision / recall / F1 of the NB language "
+        "classifier in exact integer ppm — the evaluation table a "
+        "quality-gate owner reads, derived from the same doc-level "
+        "decision CTE chain as the confusion matrix (one shared "
+        "derivation, two reports). Zero-denominator classes (never "
+        "predicted / absent from truth) report 0, identically on both "
+        "engines; F1 is the ppm harmonic mean 2PR div (P+R). All "
+        "arithmetic on the class-bounded confusion frame — free at "
+        "any corpus size once the classifier has scored.",
+    tags=("text", "ml"),
+)
+def classifier_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.classify import nb_predict
+    d = load_table(spark, sf_dir, "documents")
+    conf = (nb_predict(d).groupBy("actual", "predicted")
+            .agg(F.count("*").cast("long").alias("n")))
+    pside = (conf.groupBy(F.col("predicted").alias("class"))
+                 .agg(F.sum("n").cast("long").alias("n_pred"),
+                      F.sum(F.when(F.col("actual") == F.col("predicted"),
+                                   F.col("n")).otherwise(F.lit(0)))
+                       .cast("long").alias("tp")))
+    aside = (conf.groupBy(F.col("actual").alias("class"))
+                 .agg(F.sum("n").cast("long").alias("n_actual")))
+    j = (pside.join(aside, "class", "full")
+              .select("class",
+                      F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
+                      F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+                      F.coalesce("tp", F.lit(0)).alias("tp")))
+    pr = j.select(
+        "class", "n_actual", "n_pred", "tp",
+        F.expr("CASE WHEN n_pred = 0 THEN 0 "
+               "ELSE (tp * 1000000) div n_pred END").alias("precision_ppm"),
+        F.expr("CASE WHEN n_actual = 0 THEN 0 "
+               "ELSE (tp * 1000000) div n_actual END").alias("recall_ppm"))
+    return (pr.select(
+                "class", "n_actual", "n_pred", "tp",
+                F.col("precision_ppm").cast("long").alias("precision_ppm"),
+                F.col("recall_ppm").cast("long").alias("recall_ppm"),
+                F.expr("CAST(CASE WHEN precision_ppm + recall_ppm = 0 "
+                       "THEN 0 ELSE (2 * precision_ppm * recall_ppm) "
+                       "div (precision_ppm + recall_ppm) END AS BIGINT)")
+                 .alias("f1_ppm"))
+              .orderBy("class"))
 
 
 # ---------------------------------------------------------------------------
