@@ -317,3 +317,39 @@ def label_propagation_sync(edges: DataFrame, iters: int = 3,
                                 F.coalesce("new_lbl", "lbl").alias("lbl"))
                         .localCheckpoint(eager=True))
     return labels.select("node", F.col("lbl").alias("label"))
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame, iters: int = 3,
+                  src: str = "src", dst: str = "dst") -> DataFrame:
+    """Multi-source BFS hop distances over the undirected graph, fixed
+    synchronous rounds (the Pregel frontier relaxation as DataFrame
+    ops): seeds start at distance 0; each round every reached node
+    relaxes its neighbors to min(current, mine + 1). Returns
+    (node, dist) for nodes REACHED within ``iters`` hops — unreached
+    nodes are absent by contract (the frontier semantics; more rounds
+    = more reach), which keeps state O(reached), never O(graph).
+
+    Same shape as label_propagation_sync/pagerank_int: per round one
+    co-partitioned join dist⋈edges + one keyed min aggregate
+    (map-side combined), lineage cut with an eager localCheckpoint.
+    Fixed ``iters`` keeps the plan depth bounded and the oracle
+    unrollable round-for-round. Determinism is free: min over longs
+    has no tie to break."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+              .filter(F.col("src") != F.col("dst")))
+    sym = (e.union(e.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+            .distinct()
+            .localCheckpoint(eager=True))
+    seed_col = seeds.columns[0]
+    dist = (seeds.select(F.col(seed_col).alias("node")).distinct()
+                 .withColumn("dist", F.lit(0).cast("long")))
+    for _ in range(iters):
+        prop = (sym.join(dist, sym["src"] == dist["node"])
+                   .select(F.col("dst").alias("node"),
+                           (F.col("dist") + 1).cast("long").alias("dist")))
+        dist = (dist.unionByName(prop)
+                    .groupBy("node")
+                    .agg(F.min("dist").cast("long").alias("dist"))
+                    .localCheckpoint(eager=True))
+    return dist

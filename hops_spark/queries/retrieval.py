@@ -1609,3 +1609,71 @@ def maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rerank_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return R.maxsim_rerank(d, QUERY_TERMS, RR_SHORTLIST, RR_K)
+
+
+BFS_SEED = "the"
+BFS_ITERS = 3
+
+
+def _duck_bfs_round(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT ed.t AS node, p.dist + 1 AS dist
+            FROM {prev} p JOIN ed ON ed.s = p.node
+        ) GROUP BY node
+    )"""
+
+
+@register(
+    "word_graph_bfs",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, {{DW}} AS w FROM documents
+    ), prs AS (
+        SELECT least(w[i.i], w[i.i + d.d]) AS word_a,
+               greatest(w[i.i], w[i.i + d.d]) AS word_b
+        FROM wt,
+             LATERAL (SELECT unnest(range(1, len(w))) AS i) i,
+             LATERAL (SELECT unnest(range(1, least(2, len(w) - i.i) + 1)) AS d) d
+        WHERE len(w) >= 2
+    ), cnt AS (
+        SELECT word_a, word_b
+        FROM prs WHERE word_a <> word_b
+        GROUP BY word_a, word_b
+        HAVING count(*) >= {R.MIN_COOC_PMI}
+    ), ed AS (
+        SELECT word_a AS s, word_b AS t FROM cnt
+        UNION
+        SELECT word_b AS s, word_a AS t FROM cnt
+    ), d0 AS (
+        SELECT '{BFS_SEED}' AS node, CAST(0 AS BIGINT) AS dist
+    ), {", ".join(_duck_bfs_round(f"d{i}", f"d{i + 1}")
+                  for i in range(BFS_ITERS))}
+    SELECT node AS word, dist FROM d{BFS_ITERS} ORDER BY word
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="Multi-source BFS hop distances over the word co-occurrence "
+        "graph (within-2 pairs, n_cooc >= 5 — the word_pmi edge "
+        "machinery), seeded at a query term: how many association "
+        "hops separate every vocabulary word from the seed — the "
+        "graph-expansion primitive behind query expansion and "
+        "related-term suggestion. Fixed 3 synchronous rounds, one "
+        "frontier join + keyed min per round; the oracle unrolls the "
+        "rounds relationally (the knn_graph_kcore discipline). "
+        "Unreached words absent by the frontier contract. "
+        "ops/graph.bfs_distances.",
+    tags=("retrieval", "text", "graph"),
+)
+def word_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.graph import bfs_distances
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bound = R._bound_words(d)
+    edges = (R.cooccurrence_edges(bound, window=2)
+              .filter(F.col("n_cooc") >= R.MIN_COOC_PMI)
+              .select(F.col("word_a").alias("src"),
+                      F.col("word_b").alias("dst")))
+    seeds = spark.range(1).select(F.lit(BFS_SEED).alias("node"))
+    return (bfs_distances(edges, seeds, BFS_ITERS)
+            .select(F.col("node").alias("word"), "dist")
+            .orderBy("word"))

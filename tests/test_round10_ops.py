@@ -178,6 +178,28 @@ def test_probe_calibration_bins_partition_and_bound(spark, tmp_path):
         assert r["gap_micro"] == abs(r["conf_micro"] - r["emp_micro"])
 
 
+def test_bfs_distances_path_and_multisource(spark):
+    """Hop distances on a crafted graph: a path certifies propagation
+    depth (nodes past `iters` hops are ABSENT, the frontier contract),
+    a multi-source seed set takes the min, and symmetrization makes
+    direction irrelevant."""
+    from hops_spark.ops.graph import bfs_distances
+
+    # path 0-1-2-3-4-5 plus an isolated edge 10-11
+    edges = spark.createDataFrame(
+        [(0, 1), (2, 1), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(edges, seeds, iters=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}      # 4, 5, 10, 11 unreached
+    # multi-source: seeding both ends halves the distances
+    seeds2 = spark.createDataFrame([(0,), (5,)], "node long")
+    got2 = {r["node"]: r["dist"]
+            for r in bfs_distances(edges, seeds2, iters=3).collect()}
+    assert got2 == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 0}
+
+
 def test_event_path_mining_hand_computed(spark, tmp_path):
     """Exact 3-gram path counts on a crafted log: per-user order is
     (ts, event_id), short users contribute nothing, counts and share
