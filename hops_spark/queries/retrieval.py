@@ -1677,3 +1677,55 @@ def word_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (bfs_distances(edges, seeds, BFS_ITERS)
             .select(F.col("node").alias("word"), "dist")
             .orderBy("word"))
+
+
+NEG_TOP = 50
+
+
+@register(
+    "negative_sampling_table",
+    sql=f"""
+    WITH toks AS (
+        SELECT unnest({{DW}}) AS word FROM documents
+    ), uni AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY word
+    ), wts AS (
+        SELECT word, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE) * sqrt(CAST(n AS DOUBLE))))
+                    AS BIGINT) AS w34
+        FROM uni
+    ), tot AS (
+        SELECT CAST(sum(w34) AS BIGINT) AS t FROM wts
+    )
+    SELECT word, n, w34,
+           CAST((w34 * 1000000) // t AS BIGINT) AS p_ppm
+    FROM wts, tot
+    ORDER BY n DESC, word
+    LIMIT {NEG_TOP}
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="Negative-sampling distribution for contrastive word/embedding "
+        "training (Mikolov et al. 2013 §2.2: unigram^(3/4) — the "
+        "smoothing that upweights rare words): the 3/4 power computed "
+        "as floor(sqrt(n·sqrt(n))) — two IEEE-correctly-rounded sqrts "
+        "instead of pow(), so both engines produce the identical "
+        "integer weight (the exp()/pow() cross-libm hazard avoided by "
+        "construction) — then sampling probability in ppm over the "
+        "full-vocabulary weight total. One vocab-bounded aggregate; "
+        "top-50 rows with a (count, word) tie-break.",
+    tags=("retrieval", "text", "ml", "sampling"),
+)
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.text import words
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    uni = (d.select(F.explode(words("text")).alias("word"))
+            .groupBy("word").agg(F.count("*").cast("long").alias("n")))
+    wts = uni.withColumn(
+        "w34", F.expr("CAST(floor(sqrt(CAST(n AS DOUBLE) "
+                      "* sqrt(CAST(n AS DOUBLE)))) AS BIGINT)"))
+    tot = wts.agg(F.sum("w34").cast("long").alias("t"))
+    return (wts.crossJoin(F.broadcast(tot))
+               .select("word", "n", "w34",
+                       F.expr("CAST((w34 * 1000000) div t AS BIGINT)")
+                        .alias("p_ppm"))
+               .orderBy(F.col("n").desc(), "word")
+               .limit(NEG_TOP))
