@@ -1364,11 +1364,11 @@ def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.phrase_occurrences_indexed(d, _PHRASE).orderBy("doc_id")
 
 
-@register(
-    "kn_doc_perplexity",
-    sql=f"""
-    WITH wt AS (
-        SELECT doc_id, {{DW}} AS w FROM documents
+# CTE chain wt..sc ending in sc(w1, w2, nlp_micro) — the corpus KN
+# bigram scorer; shared by the per-doc NLL query and the exportable
+# model-table query.
+_KN_SC_CTES = """wt AS (
+        SELECT doc_id, {DW} AS w FROM documents
     ), bg AS (
         SELECT doc_id, w[i.i] AS w1, w[i.i + 1] AS w2
         FROM wt, LATERAL (SELECT unnest(range(1, len(w))) AS i) i
@@ -1390,14 +1390,20 @@ def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + 0.75e0 * n1f * (CAST(n1b AS DOUBLE) / t)) / n_ctx)
                     * 1000000, 0) AS BIGINT) AS nlp_micro
         FROM cnt c JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tt
-    )
+    )""".replace("{DW}", _DUCK_WORDS)
+
+
+@register(
+    "kn_doc_perplexity",
+    sql=f"""
+    WITH {_KN_SC_CTES}
     SELECT b.doc_id, count(*) AS n_bigrams,
            CAST(sum(s.nlp_micro) AS BIGINT) AS kn_nll_micro,
            CAST(sum(s.nlp_micro) AS BIGINT) // count(*) AS avg_kn_nll_micro
     FROM bg b JOIN sc s ON b.w1 = s.w1 AND b.w2 = s.w2
     GROUP BY b.doc_id
     ORDER BY b.doc_id
-    """.replace("{DW}", _DUCK_WORDS),
+    """,
     doc="Per-document interpolated Kneser-Ney bigram NLL (Kneser & Ney "
         "1995; Chen & Goodman 1999 eq. 4.24, fixed discount D=0.75) — "
         "the smoothing KenLM-grade perplexity filters actually use, "
@@ -1729,3 +1735,41 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("p_ppm"))
                .orderBy(F.col("n").desc(), "word")
                .limit(NEG_TOP))
+
+
+@register(
+    "kn_bigram_table",
+    sql=f"""
+    WITH {_KN_SC_CTES}
+    SELECT c.w1, c.w2, c.n, s.nlp_micro,
+           CAST(round(0.75e0 * ctx.n1f / ctx.n_ctx * 1000000, 0) AS BIGINT)
+               AS bow_micro
+    FROM cnt c
+    JOIN sc s ON s.w1 = c.w1 AND s.w2 = c.w2
+    JOIN ctx ON ctx.w1 = c.w1
+    ORDER BY c.w1, c.w2
+    """,
+    doc="The exportable Kneser-Ney bigram MODEL (the ARPA-table role "
+        "KenLM consumers ship, Chen & Goodman 1999 eq. 4.24): one row "
+        "per seen bigram with its corpus count, interpolated -ln P in "
+        "integer micro-nats (identical expression to the per-doc "
+        "scorer — shared CTE chain), and the context's interpolation "
+        "weight D·N1+(w1,·)/c(w1) as bow_micro (one fixed-shape "
+        "double per context, D = 0.75 exact in binary). Vocab-bounded "
+        "output; downstream scorers join it instead of re-deriving "
+        "the LM. ops/lm.kn_count_table.",
+    tags=("retrieval", "text", "ml"),
+)
+def kn_bigram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.lm import MICRO, doc_bigram_counts, kn_count_table
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tbl = kn_count_table(doc_bigram_counts(d))
+    return (tbl.select(
+                "w1", "w2", "n",
+                F.expr(f"CAST(round(-ln((greatest(CAST(n AS DOUBLE) - 0.75e0,"
+                       f" 0e0) + 0.75e0 * n1f * (CAST(n1b AS DOUBLE) / t))"
+                       f" / n_ctx) * {MICRO}, 0) AS BIGINT)")
+                 .alias("nlp_micro"),
+                F.expr(f"CAST(round(0.75e0 * n1f / n_ctx * {MICRO}, 0) "
+                       "AS BIGINT)").alias("bow_micro"))
+               .orderBy("w1", "w2"))

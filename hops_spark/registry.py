@@ -118,6 +118,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "classifier_prf",         # per-class P/R/F1 ppm of the NB gate
     "word_graph_bfs",         # BFS hop distances on the co-occur graph
     "negative_sampling_table",  # unigram^(3/4) word2vec neg-sample dist
+    "kn_bigram_table",        # exportable KN bigram model (ARPA role)
     # RE-PROOF (the r8 lesson — changed code after its last green row):
     # repetition_stats gained the short-doc size guard in r10
     # (sequence(1,0)-descending fix; value-identical on >= 2-word docs,
