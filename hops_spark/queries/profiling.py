@@ -487,3 +487,113 @@ def bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("grp", F.col("decile").cast("long").alias("decile"),
                        "est_cents", "exact_cents")
                .orderBy("grp", "decile"))
+
+
+from hops_spark.queries.textops import _DUCK_WORDS as _DC_WORDS  # noqa: E402
+
+
+@register(
+    "corpus_data_card",
+    sql=f"""
+    WITH base AS (
+        SELECT doc_id, source, lang, text,
+               CAST(len({_DC_WORDS}) AS BIGINT) AS n_tok,
+               CAST(length(text) AS BIGINT) AS n_chr
+        FROM documents
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chr) AS BIGINT) AS n_chars,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+               CAST(max(n_tok) AS BIGINT) AS max_doc_tokens,
+               CAST(sum(CASE WHEN n_tok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_empty
+        FROM base
+    ), voc AS (
+        SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab FROM (
+            SELECT unnest({_DC_WORDS}) AS w FROM documents)
+    ), tops AS (
+        SELECT
+            (SELECT max(c) FROM (SELECT count(*) AS c FROM base
+                                 GROUP BY source)) AS top_src,
+            (SELECT max(c) FROM (SELECT count(*) AS c FROM base
+                                 GROUP BY lang)) AS top_lang
+    )
+    SELECT metric, CAST(value AS BIGINT) AS value FROM (
+        SELECT 'n_docs' AS metric, n_docs AS value FROM agg
+        UNION ALL SELECT 'n_tokens', n_tokens FROM agg
+        UNION ALL SELECT 'n_chars', n_chars FROM agg
+        UNION ALL SELECT 'vocab_size', vocab FROM voc
+        UNION ALL SELECT 'n_sources', n_sources FROM agg
+        UNION ALL SELECT 'n_langs', n_langs FROM agg
+        UNION ALL SELECT 'max_doc_tokens', max_doc_tokens FROM agg
+        UNION ALL SELECT 'mean_doc_tokens', n_tokens // n_docs FROM agg
+        UNION ALL SELECT 'exact_dup_ppm',
+            ((n_docs - n_distinct_texts) * 1000000) // n_docs FROM agg
+        UNION ALL SELECT 'empty_doc_ppm',
+            (n_empty * 1000000) // n_docs FROM agg
+        UNION ALL SELECT 'top_source_share_ppm',
+            (t.top_src * 1000000) // a.n_docs FROM tops t, agg a
+        UNION ALL SELECT 'top_lang_share_ppm',
+            (t.top_lang * 1000000) // a.n_docs FROM tops t, agg a
+    ) ORDER BY metric
+    """,
+    doc="The corpus DATA CARD (Datasheets for Datasets, Gebru et al. "
+        "2021; the summary block every published dataset ships): "
+        "size, vocabulary, source/language spread, exact-duplicate "
+        "and empty-document rates in ppm, concentration of the top "
+        "source/language — twelve (metric, value) rows, every one an "
+        "exact integer off two corpus aggregates (one doc-level, one "
+        "token-level) and two tiny group-bys. The at-a-glance "
+        "artifact the per-family reports (domain_mixture_report, "
+        "table_profile, repetition_stats) drill into.",
+    tags=("text", "profiling", "north-star"),
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.text import words
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", "lang", "text",
+                    F.size(words("text")).cast("long").alias("n_tok"),
+                    F.length("text").cast("long").alias("n_chr"))
+    agg = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_chr").cast("long").alias("n_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("text").cast("long").alias("n_distinct_texts"),
+        F.max("n_tok").cast("long").alias("max_doc_tokens"),
+        F.sum((F.col("n_tok") == 0).cast("long")).cast("long")
+         .alias("n_empty")).localCheckpoint(eager=True)
+    voc = (d.select(F.explode(words("text")).alias("w"))
+            .agg(F.countDistinct("w").cast("long").alias("vocab")))
+    top_src = (base.groupBy("source").count()
+                   .agg(F.max("count").cast("long").alias("top_src")))
+    top_lang = (base.groupBy("lang").count()
+                    .agg(F.max("count").cast("long").alias("top_lang")))
+    one = (agg.crossJoin(F.broadcast(voc))
+              .crossJoin(F.broadcast(top_src))
+              .crossJoin(F.broadcast(top_lang)))
+    rows = [
+        ("n_docs", F.col("n_docs")),
+        ("n_tokens", F.col("n_tokens")),
+        ("n_chars", F.col("n_chars")),
+        ("vocab_size", F.col("vocab")),
+        ("n_sources", F.col("n_sources")),
+        ("n_langs", F.col("n_langs")),
+        ("max_doc_tokens", F.col("max_doc_tokens")),
+        ("mean_doc_tokens", F.expr("n_tokens div n_docs")),
+        ("exact_dup_ppm",
+         F.expr("((n_docs - n_distinct_texts) * 1000000) div n_docs")),
+        ("empty_doc_ppm", F.expr("(n_empty * 1000000) div n_docs")),
+        ("top_source_share_ppm",
+         F.expr("(top_src * 1000000) div n_docs")),
+        ("top_lang_share_ppm",
+         F.expr("(top_lang * 1000000) div n_docs")),
+    ]
+    card = one.select(F.explode(F.array(*[
+        F.struct(F.lit(m).alias("metric"), v.cast("long").alias("value"))
+        for m, v in rows])).alias("r")).select("r.metric", "r.value")
+    return card.orderBy("metric")

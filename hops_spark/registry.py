@@ -119,6 +119,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "word_graph_bfs",         # BFS hop distances on the co-occur graph
     "negative_sampling_table",  # unigram^(3/4) word2vec neg-sample dist
     "kn_bigram_table",        # exportable KN bigram model (ARPA role)
+    "corpus_data_card",       # Datasheets-style corpus summary block
     # RE-PROOF (the r8 lesson — changed code after its last green row):
     # repetition_stats gained the short-doc size guard in r10
     # (sequence(1,0)-descending fix; value-identical on >= 2-word docs,
