@@ -178,6 +178,54 @@ def test_probe_calibration_bins_partition_and_bound(spark, tmp_path):
         assert r["gap_micro"] == abs(r["conf_micro"] - r["emp_micro"])
 
 
+def test_classifier_prf_perfect_and_mixed(spark, tmp_path):
+    """On a perfectly separable corpus every class scores 1e6 across
+    the board; with a planted mislabel the returned counts satisfy the
+    P/R/F1 integer identities exactly."""
+    from hops_spark.queries.textops import classifier_prf
+
+    rows = ([(i, "src0", "aa", "xx xx xx") for i in range(3)]
+            + [(10 + i, "src0", "bb", "yy yy yy") for i in range(3)])
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["class"]: r for r in classifier_prf(spark, str(tmp_path)).collect()}
+    for c in ("aa", "bb"):
+        r = out[c]
+        assert (r["precision_ppm"], r["recall_ppm"], r["f1_ppm"]) \
+            == (1_000_000, 1_000_000, 1_000_000)
+
+    rows.append((20, "src0", "aa", "yy yy yy"))   # mislabeled
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["class"]: r for r in classifier_prf(spark, str(tmp_path)).collect()}
+    for r in out.values():
+        assert r["tp"] <= min(r["n_pred"], r["n_actual"])
+        p = 0 if r["n_pred"] == 0 else r["tp"] * 1_000_000 // r["n_pred"]
+        q = 0 if r["n_actual"] == 0 else r["tp"] * 1_000_000 // r["n_actual"]
+        f = 0 if p + q == 0 else (2 * p * q) // (p + q)
+        assert (r["precision_ppm"], r["recall_ppm"], r["f1_ppm"]) == (p, q, f)
+    assert sum(r["n_actual"] for r in out.values()) == 7
+
+
+def test_negative_sampling_weights(spark, tmp_path):
+    """w34 = floor(sqrt(n*sqrt(n))) = floor(n^0.75) on exact powers;
+    ppm shares follow from the integer weights."""
+    from hops_spark.queries.retrieval import negative_sampling_table
+
+    text_a = " ".join(["aaa"] * 16)
+    spark.createDataFrame(
+        [(1, text_a), (2, "bbb")], "doc_id long, text string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["word"]: r for r in
+           negative_sampling_table(spark, str(tmp_path)).collect()}
+    assert out["aaa"]["w34"] == 8          # 16^0.75
+    assert out["bbb"]["w34"] == 1
+    assert out["aaa"]["p_ppm"] == 8 * 1_000_000 // 9
+    assert out["bbb"]["p_ppm"] == 1_000_000 // 9
+
+
 def test_bfs_distances_path_and_multisource(spark):
     """Hop distances on a crafted graph: a path certifies propagation
     depth (nodes past `iters` hops are ABSENT, the frontier contract),
