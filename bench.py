@@ -94,6 +94,15 @@ HEADLINE = [
     "domain_mixture_doremi",
     "mixture_schedule_sample",
     "top_ngram_filters",
+    # round-10 session-2 additions (dedup recall eval, path mining,
+    # classifier metrics, graph expansion, sampling/LM/model exports)
+    "lsh_recall_eval",
+    "event_path_mining",
+    "classifier_prf",
+    "word_graph_bfs",
+    "negative_sampling_table",
+    "kn_bigram_table",
+    "corpus_data_card",
 ]
 
 
