@@ -161,6 +161,15 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
     return b.join(s, [on, "_salt"], how).drop("_salt")
 
 
+def _floor_bucket(name: str, w: int):
+    """Exact integer floor division on longs: a - pmod(a, w) is the
+    largest multiple of w <= a, so truncating `div` equals floor. No
+    double anywhere; valid for values in [-2^63 + w, 2^63 - 1]. ONE
+    definition — the join's bucket explode and the replication audit
+    must count the same buckets."""
+    return F.expr(f"(({name}) - pmod({name}, {w})) div {w}")
+
+
 def interval_overlap_join(left: DataFrame, right: DataFrame,
                           bucket_width: int,
                           l_start: str = "l_start", l_end: str = "l_end",
@@ -198,10 +207,7 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     w = bucket_width
 
     def _fdiv(name: str):
-        # exact floor division on longs: a - pmod(a, w) is the largest
-        # multiple of w <= a, so truncating `div` equals floor. No
-        # double anywhere; valid for values in [-2^63 + w, 2^63 - 1].
-        return F.expr(f"(({name}) - pmod({name}, {w})) div {w}")
+        return _floor_bucket(name, w)
 
     lb = left.withColumn(
         "_b", F.explode(F.sequence(_fdiv(l_start), _fdiv(l_end))))
@@ -219,11 +225,11 @@ def interval_replication(df: DataFrame, bucket_width: int,
                          start: str, end: str) -> int:
     """Audit helper: total replicated rows ``interval_overlap_join``
     would emit for this side at this width — Σ(floor(e/W) − floor(s/W)
-    + 1). The number the two-tier split is bounding."""
+    + 1), over the SAME ``_floor_bucket`` expression the join
+    explodes. The number the two-tier split is bounding."""
     w = bucket_width
     return df.select(
-        (F.expr(f"(({end}) - pmod({end}, {w})) div {w}")
-         - F.expr(f"(({start}) - pmod({start}, {w})) div {w}")
+        (_floor_bucket(end, w) - _floor_bucket(start, w)
          + F.lit(1)).alias("_rep")).agg(F.sum("_rep")).collect()[0][0] or 0
 
 

@@ -84,6 +84,21 @@ def _count_table(per_doc_counts: DataFrame, id_col: str) -> DataFrame:
     return cnt.join(ctx, "w1")
 
 
+def addone_scored_counts(cnt: DataFrame) -> DataFrame:
+    """(w1, w2, nlp_micro): the add-one bigram scorer over a count
+    table — THE fixed-shape expression, factored so the batch scorer
+    (doc_nll_scores) and the frozen-scorer face (ops/mixture.
+    frozen_scorer) can never drift apart. V = distinct right-hand
+    words; 1-row aggregate broadcast back."""
+    vocab = cnt.agg(F.countDistinct("w2").cast("long").alias("v"))
+    return (cnt.crossJoin(F.broadcast(vocab))
+               .withColumn(
+                   "nlp_micro",
+                   F.expr(f"CAST(round(-ln((n + 1) / CAST(n_ctx + v AS DOUBLE))"
+                          f" * {MICRO}, 0) AS BIGINT)"))
+               .select("w1", "w2", "nlp_micro"))
+
+
 def doc_nll_scores(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """Per-document LM score: (id, n_bigrams, nll_micro, avg_nll_micro)
@@ -103,16 +118,7 @@ def doc_nll_scores(docs: DataFrame, id_col: str = "doc_id",
     an order-free integer sum, one shuffle join on (w1, w2)."""
     per = doc_bigram_counts(docs, id_col, text_col).cache()
     cnt = _count_table(per, id_col)
-    # V = number of distinct right-hand words in the count table; 1-row
-    # aggregate over the vocab-bounded table, broadcast back.
-    vocab = (cnt.agg(F.countDistinct("w2").cast("long").alias("v")))
-    scored_counts = (cnt.crossJoin(F.broadcast(vocab))
-                        .withColumn(
-                            "nlp_micro",
-                            F.expr(f"CAST(round(-ln((n + 1) / CAST(n_ctx + v AS DOUBLE))"
-                                   f" * {MICRO}, 0) AS BIGINT)"))
-                        .select("w1", "w2", "nlp_micro"))
-    per_doc = (per.join(scored_counts, ["w1", "w2"])
+    per_doc = (per.join(addone_scored_counts(cnt), ["w1", "w2"])
                   .groupBy(id_col)
                   .agg(F.sum("n_local").alias("n_bigrams"),
                        F.sum(F.col("nlp_micro") * F.col("n_local"))
@@ -220,6 +226,19 @@ def kn_count_table(per_doc_counts: DataFrame) -> DataFrame:
                .crossJoin(F.broadcast(tot)))
 
 
+def kn_scored_counts(tbl: DataFrame) -> DataFrame:
+    """``kn_count_table`` + the interpolated-KN cost column nlp_micro —
+    THE fixed-shape expression, factored so the per-doc scorer
+    (doc_kn_scores) and the exportable model table (queries/retrieval.
+    kn_bigram_table) can never drift apart. Keeps all statistic
+    columns (the export also reads n/n1f/n_ctx)."""
+    return tbl.withColumn(
+        "nlp_micro",
+        F.expr(f"CAST(round(-ln((greatest(CAST(n AS DOUBLE) - 0.75e0, 0e0)"
+               f" + 0.75e0 * n1f * (CAST(n1b AS DOUBLE) / t)) / n_ctx)"
+               f" * {MICRO}, 0) AS BIGINT)"))
+
+
 def doc_kn_scores(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Per-document interpolated Kneser-Ney bigram negative
@@ -248,12 +267,7 @@ def doc_kn_scores(docs: DataFrame, id_col: str = "doc_id",
     join on (w1, w2); order-free integer sums."""
     per = doc_bigram_counts(docs, id_col, text_col).cache()
     tbl = kn_count_table(per)
-    scored = tbl.withColumn(
-        "nlp_micro",
-        F.expr(f"CAST(round(-ln((greatest(CAST(n AS DOUBLE) - 0.75e0, 0e0)"
-               f" + 0.75e0 * n1f * (CAST(n1b AS DOUBLE) / t)) / n_ctx)"
-               f" * {MICRO}, 0) AS BIGINT)")
-    ).select("w1", "w2", "nlp_micro")
+    scored = kn_scored_counts(tbl).select("w1", "w2", "nlp_micro")
     per_doc = (per.join(scored, ["w1", "w2"])
                   .groupBy(id_col)
                   .agg(F.sum("n_local").alias("n_bigrams"),

@@ -25,7 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from hops_spark.ops.lm import MICRO, _count_table, doc_bigram_counts
+from hops_spark.ops.lm import (_count_table, addone_scored_counts,
+                               doc_bigram_counts)
 
 DRM_MILLI = 1000   # update-factor milli-scaling (keeps 1e6*s in int64)
 
@@ -35,18 +36,12 @@ DOMAIN_STATS_SCHEMA = "source string, n_tokens long, nll_sum long"
 def frozen_scorer(ref_docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """(w1, w2, nlp_micro): the add-one bigram scorer of a REFERENCE
-    corpus snapshot, identical arithmetic to ops/lm.doc_nll_scores —
+    corpus snapshot — the SAME ops/lm.addone_scored_counts expression
+    the batch scorer uses (shared derivation, never re-implemented) —
     built once, persisted, then held fixed while batches stream in.
     Vocabulary-bounded output (one row per distinct bigram)."""
     per = doc_bigram_counts(ref_docs, id_col, text_col)
-    cnt = _count_table(per, id_col)
-    vocab = cnt.agg(F.countDistinct("w2").cast("long").alias("v"))
-    return (cnt.crossJoin(F.broadcast(vocab))
-               .withColumn(
-                   "nlp_micro",
-                   F.expr(f"CAST(round(-ln((n + 1) / CAST(n_ctx + v AS DOUBLE))"
-                          f" * {MICRO}, 0) AS BIGINT)"))
-               .select("w1", "w2", "nlp_micro"))
+    return addone_scored_counts(_count_table(per, id_col))
 
 
 def frozen_domain_stats(docs: DataFrame, scorer: DataFrame,

@@ -637,8 +637,13 @@ def maxsim_rerank(docs: DataFrame, query_terms: list[str],
     single-partition window), kept so rank MOVEMENT (recall-stage rank
     vs final rank) is auditable — the number a relevance engineer
     actually tunes against."""
+    # materialize the shortlist: it is shortlist_k rows but its
+    # lineage is the corpus-scale BM25 aggregate, and FOUR consumers
+    # re-derive it otherwise (both ranked_bounded self-join sides, the
+    # semi-join filter, the final lexr join) — the mixture checkpoint
+    # lesson (SCALE.md 109) applied at birth
     lex = bm25_topk(docs, query_terms, shortlist_k, id_col=id_col,
-                    text_col=text_col)
+                    text_col=text_col).localCheckpoint(eager=True)
     lexr = ranked_bounded(lex, "bm25", id_col, "lex_rank")
     cand = docs.join(F.broadcast(lex.select(id_col)), id_col, "semi")
     rr = maxsim_topk(cand, query_terms, k, dim, id_col, text_col)

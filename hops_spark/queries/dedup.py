@@ -194,7 +194,9 @@ _DR_WHERE = ("WHERE ('0x' || substring(md5('dr|' || "
         "shingle-join Jaccard over every sample pair, compared against "
         "the production banding+cap+verify pipeline at the same "
         "threshold. Output: one row — sample size, true/candidate/"
-        "predicted pair counts, recall (verify makes precision 1 by "
+        "predicted pair counts (n_docs = sampled docs with >= 1 "
+        "shingle, the pairable population on both engines), recall "
+        "(verify makes precision 1 by "
         "construction, so recall IS the banding+cap miss rate) and "
         "candidate yield (verified per candidate — the banding "
         "selectivity a tuner trades against recall). The exact truth "
@@ -236,7 +238,10 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = D.minhash_candidate_pairs(sigs, "doc_id", N_HASHES, BANDS) \
             .localCheckpoint(eager=True)     # counted AND verified
     pred = D.jaccard_verify(cand, rows, sizes, "doc_id", THRESHOLD)
-    nd = sample.agg(F.count("*").cast("long").alias("n_docs"))
+    # n_docs counts docs WITH >= 1 shingle (the population that can
+    # pair — matches the oracle's sigs CTE; a < SHINGLE_N-word doc in
+    # the sample would otherwise diverge Spark-vs-DuckDB)
+    nd = sizes.agg(F.count("*").cast("long").alias("n_docs"))
     nt = truth.agg(F.count("*").cast("long").alias("n_true"))
     nc = cand.agg(F.count("*").cast("long").alias("n_cand"))
     npred = pred.agg(F.count("*").cast("long").alias("n_pred"))

@@ -408,7 +408,9 @@ def event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     g = seq.select(F.explode(grams).alias("path"))
     cnt = g.groupBy("path").agg(F.count("*").cast("long").alias("n"))
-    tot = g.agg(F.count("*").cast("long").alias("t"))
+    # total from the path-bounded aggregate, NOT a second pass over g
+    # (which would re-run the full sequence-assembly shuffle)
+    tot = cnt.agg(F.sum("n").cast("long").alias("t"))
     return (cnt.crossJoin(F.broadcast(tot))
                .select("path", "n",
                        F.expr("CAST((n * 1000000) div t AS BIGINT)")

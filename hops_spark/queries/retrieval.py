@@ -1761,15 +1761,12 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("retrieval", "text", "ml"),
 )
 def kn_bigram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hops_spark.ops.lm import MICRO, doc_bigram_counts, kn_count_table
+    from hops_spark.ops.lm import (MICRO, doc_bigram_counts,
+                                   kn_count_table, kn_scored_counts)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tbl = kn_count_table(doc_bigram_counts(d))
-    return (tbl.select(
-                "w1", "w2", "n",
-                F.expr(f"CAST(round(-ln((greatest(CAST(n AS DOUBLE) - 0.75e0,"
-                       f" 0e0) + 0.75e0 * n1f * (CAST(n1b AS DOUBLE) / t))"
-                       f" / n_ctx) * {MICRO}, 0) AS BIGINT)")
-                 .alias("nlp_micro"),
+    scored = kn_scored_counts(kn_count_table(doc_bigram_counts(d)))
+    return (scored.select(
+                "w1", "w2", "n", "nlp_micro",
                 F.expr(f"CAST(round(0.75e0 * n1f / n_ctx * {MICRO}, 0) "
                        "AS BIGINT)").alias("bow_micro"))
                .orderBy("w1", "w2"))

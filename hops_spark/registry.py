@@ -126,6 +126,12 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # crash -> defined on shorter) — its green row predates the change,
     # so it takes a slot next rotation.
     "repetition_stats",
+    # RE-PROOF: doc_perplexity's scorer was factored through
+    # ops/lm.addone_scored_counts in r10 (pure refactor shared with the
+    # frozen-scorer face; local gate green) — its green row predates
+    # the change. kn_doc_perplexity (same-session kn_scored_counts
+    # refactor) sits IN the r10 window, so its row certifies directly.
+    "doc_perplexity",
 )
 # Round-11 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-10 REPROVE set (queries whose implementation changed after

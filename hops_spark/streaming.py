@@ -901,25 +901,28 @@ def media_ingest_dedup_stream(stream_media: DataFrame, state_dir: str,
 _TOUCH_SCHEMA = "touch_id long, user_id long, touch_ts timestamp, channel string"
 
 
-def _latest_touch_epoch(spark: SparkSession, state_dir: str,
-                        at_most: int | None = None):
+def _latest_epoch(spark: SparkSession, state_dir: str, schema: str,
+                  at_most: int | None = None, read_cutoff: bool = False):
     """Read the newest COMMITTED store epoch (epoch=<n> dir with a
     _SUCCESS marker), optionally capped at ``at_most`` — a crashed
     write leaves a markerless dir the reader skips, and the cap is the
     REPLAY guard: batch b always reads the newest epoch ≤ b (its
     pre-batch state), so a re-delivered batch that already committed
     its own epoch b+1 cannot read its own output (the foreachBatch
-    at-least-once contract made idempotent).
+    at-least-once contract made idempotent). ONE implementation of the
+    epoch discipline for every foreachBatch store (touch store,
+    mixture-stats store, ...).
 
-    Returns (df, epoch, cutoff): ``cutoff`` is the prune watermark the
+    Returns (df, epoch) — or (df, epoch, cutoff) with
+    ``read_cutoff=True``, where ``cutoff`` is the prune watermark the
     epoch was written with (its ``_CUTOFF`` marker), or None for a
-    seed/legacy epoch — the next batch uses it to DETECT event-time
-    order violations instead of silently dropping late credit."""
+    seed/legacy epoch."""
     import datetime as _dt
     import os
 
+    empty = (None, -1, None) if read_cutoff else (None, -1)
     if not os.path.isdir(state_dir):
-        return None, -1, None
+        return empty
     best = -1
     for d in os.listdir(state_dir):
         if d.startswith("epoch=") and os.path.exists(
@@ -928,14 +931,25 @@ def _latest_touch_epoch(spark: SparkSession, state_dir: str,
             if at_most is None or n <= at_most:
                 best = max(best, n)
     if best < 0:
-        return None, -1, None
+        return empty
     path = os.path.join(state_dir, f"epoch={best}")
+    df = spark.read.schema(schema).parquet(path)
+    if not read_cutoff:
+        return df, best
     cutoff = None
     cpath = os.path.join(path, "_CUTOFF")
     if os.path.exists(cpath):
         with open(cpath) as f:
             cutoff = _dt.datetime.fromisoformat(f.read().strip())
-    return spark.read.schema(_TOUCH_SCHEMA).parquet(path), best, cutoff
+    return df, best, cutoff
+
+
+def _latest_touch_epoch(spark: SparkSession, state_dir: str,
+                        at_most: int | None = None):
+    """Touch-store face of ``_latest_epoch`` (with the prune-cutoff
+    marker the late-arrival check reads)."""
+    return _latest_epoch(spark, state_dir, _TOUCH_SCHEMA, at_most,
+                         read_cutoff=True)
 
 
 def seed_touch_state(events: DataFrame, state_dir: str,
@@ -1071,29 +1085,14 @@ def attribution_stream(stream_events: DataFrame, state_dir: str,
 
 # --- online training-mixture controller (DoReMi, frozen scorer) ----------
 
-_MIX_STATE_SCHEMA = "source string, n_tokens long, nll_sum long"
-
 
 def _latest_mix_epoch(spark: SparkSession, state_dir: str,
                       at_most: int | None = None):
-    """Newest COMMITTED per-domain-stats epoch ≤ ``at_most`` (the
-    attribution epoch discipline: epoch=<n> + _SUCCESS; the cap is the
-    replay guard)."""
-    import os
+    """Mixture-stats face of ``_latest_epoch`` (schema owned by
+    ops/mixture, where frozen_domain_stats produces the frame)."""
+    from hops_spark.ops.mixture import DOMAIN_STATS_SCHEMA
 
-    if not os.path.isdir(state_dir):
-        return None, -1
-    best = -1
-    for d in os.listdir(state_dir):
-        if d.startswith("epoch=") and os.path.exists(
-                os.path.join(state_dir, d, "_SUCCESS")):
-            n = int(d.split("=", 1)[1])
-            if at_most is None or n <= at_most:
-                best = max(best, n)
-    if best < 0:
-        return None, -1
-    return spark.read.schema(_MIX_STATE_SCHEMA).parquet(
-        os.path.join(state_dir, f"epoch={best}")), best
+    return _latest_epoch(spark, state_dir, DOMAIN_STATS_SCHEMA, at_most)
 
 
 def seed_mixture_scorer(ref_docs: DataFrame, scorer_dir: str) -> None:
@@ -1125,7 +1124,8 @@ def mixture_batch_update(batch_df: DataFrame, batch_id: int,
     import os
     import shutil
 
-    from hops_spark.ops.mixture import (frozen_domain_stats,
+    from hops_spark.ops.mixture import (DOMAIN_STATS_SCHEMA,
+                                        frozen_domain_stats,
                                         mixture_from_domain_stats)
 
     if batch_df.isEmpty():
@@ -1143,7 +1143,7 @@ def mixture_batch_update(batch_df: DataFrame, batch_id: int,
                   F.sum("nll_sum").cast("long").alias("nll_sum")))
     out = os.path.join(state_dir, f"epoch={batch_id + 1}")
     stats.write.mode("overwrite").parquet(out)
-    folded = spark.read.schema(_MIX_STATE_SCHEMA).parquet(out)
+    folded = spark.read.schema(DOMAIN_STATS_SCHEMA).parquet(out)
     (mixture_from_domain_stats(folded)
      .write.mode("overwrite")
      .parquet(os.path.join(mix_dir, f"batch={batch_id}")))
