@@ -529,15 +529,26 @@ from hops_spark.queries.textops import _DUCK_WORDS as _DC_WORDS  # noqa: E402
         UNION ALL SELECT 'n_sources', n_sources FROM agg
         UNION ALL SELECT 'n_langs', n_langs FROM agg
         UNION ALL SELECT 'max_doc_tokens', max_doc_tokens FROM agg
-        UNION ALL SELECT 'mean_doc_tokens', n_tokens // n_docs FROM agg
+        -- empty-table guard on every n_docs division: DuckDB raises
+        -- division-by-zero where Spark divs to NULL (engine-divergent)
+        UNION ALL SELECT 'mean_doc_tokens',
+            CASE WHEN n_docs = 0 THEN 0
+                 ELSE n_tokens // n_docs END FROM agg
         UNION ALL SELECT 'exact_dup_ppm',
-            ((n_docs - n_distinct_texts) * 1000000) // n_docs FROM agg
+            CASE WHEN n_docs = 0 THEN 0
+                 ELSE ((n_docs - n_distinct_texts) * 1000000) // n_docs
+            END FROM agg
         UNION ALL SELECT 'empty_doc_ppm',
-            (n_empty * 1000000) // n_docs FROM agg
+            CASE WHEN n_docs = 0 THEN 0
+                 ELSE (n_empty * 1000000) // n_docs END FROM agg
         UNION ALL SELECT 'top_source_share_ppm',
-            (t.top_src * 1000000) // a.n_docs FROM tops t, agg a
+            CASE WHEN a.n_docs = 0 THEN 0
+                 ELSE (t.top_src * 1000000) // a.n_docs END
+            FROM tops t, agg a
         UNION ALL SELECT 'top_lang_share_ppm',
-            (t.top_lang * 1000000) // a.n_docs FROM tops t, agg a
+            CASE WHEN a.n_docs = 0 THEN 0
+                 ELSE (t.top_lang * 1000000) // a.n_docs END
+            FROM tops t, agg a
     ) ORDER BY metric
     """,
     doc="The corpus DATA CARD (Datasheets for Datasets, Gebru et al. "
@@ -584,14 +595,23 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_sources", F.col("n_sources")),
         ("n_langs", F.col("n_langs")),
         ("max_doc_tokens", F.col("max_doc_tokens")),
-        ("mean_doc_tokens", F.expr("n_tokens div n_docs")),
+        # empty-table guard mirrored from the oracle: DuckDB raises on
+        # n_docs = 0 where Spark divs to NULL (engine-divergent)
+        ("mean_doc_tokens",
+         F.expr("CASE WHEN n_docs = 0 THEN 0 "
+                "ELSE n_tokens div n_docs END")),
         ("exact_dup_ppm",
-         F.expr("((n_docs - n_distinct_texts) * 1000000) div n_docs")),
-        ("empty_doc_ppm", F.expr("(n_empty * 1000000) div n_docs")),
+         F.expr("CASE WHEN n_docs = 0 THEN 0 ELSE "
+                "((n_docs - n_distinct_texts) * 1000000) div n_docs END")),
+        ("empty_doc_ppm",
+         F.expr("CASE WHEN n_docs = 0 THEN 0 "
+                "ELSE (n_empty * 1000000) div n_docs END")),
         ("top_source_share_ppm",
-         F.expr("(top_src * 1000000) div n_docs")),
+         F.expr("CASE WHEN n_docs = 0 THEN 0 "
+                "ELSE (top_src * 1000000) div n_docs END")),
         ("top_lang_share_ppm",
-         F.expr("(top_lang * 1000000) div n_docs")),
+         F.expr("CASE WHEN n_docs = 0 THEN 0 "
+                "ELSE (top_lang * 1000000) div n_docs END")),
     ]
     card = one.select(F.explode(F.array(*[
         F.struct(F.lit(m).alias("metric"), v.cast("long").alias("value"))

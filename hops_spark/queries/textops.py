@@ -1671,7 +1671,12 @@ def _doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(sum(kept_tokens) AS BIGINT) AS t FROM kept_per
     )
     SELECT source, n_docs, n_kept, rate_ppm, kept_tokens,
-           CAST((kept_tokens * 1000000) // tk.t AS BIGINT) AS achieved_ppm,
+           -- zero-total guard (same discipline as the w0_ppm guard
+           -- above): if every kept doc has < 2 words, t = 0 and the
+           -- division is engine-divergent (DuckDB raises, Spark NULLs)
+           CAST(CASE WHEN tk.t = 0 THEN 0
+                     ELSE (kept_tokens * 1000000) // tk.t END
+                AS BIGINT) AS achieved_ppm,
            target_ppm
     FROM kept_per, tk
     ORDER BY source
@@ -1727,8 +1732,12 @@ def mixture_schedule_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (per.crossJoin(F.broadcast(tk))
                .select("source", "n_docs", "n_kept", "rate_ppm",
                        "kept_tokens",
-                       F.expr("CAST((kept_tokens * 1000000) div t AS BIGINT)")
-                        .alias("achieved_ppm"),
+                       # zero-total guard mirrored from the oracle: if
+                       # every kept doc has < 2 words, t = 0 (DuckDB
+                       # raises, Spark divs to NULL -- engine-divergent)
+                       F.expr("CAST(CASE WHEN t = 0 THEN 0 "
+                              "ELSE (kept_tokens * 1000000) div t END "
+                              "AS BIGINT)").alias("achieved_ppm"),
                        "target_ppm")
                .orderBy("source"))
 

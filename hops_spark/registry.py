@@ -50,36 +50,37 @@ def register(name: str, sql: str | None = None, doc: str = "",
 # registration order after the listed ones; listed-but-unregistered names
 # are ignored (lets the list name queries added later in the round).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (24): the full r9 NEXT_WINDOW_QUEUE —
-    # every row judge-verified green in the round-9 288/288 gate
-    # replica (VERDICT r9) and green in the local oracle replica at
-    # sf0.001 + sf0.01. Driving these re-closes the registry:
-    # every ever-registered query driver-green when it lands ---
-    "decontaminate_exact_spans", "pi_bbp", "soft_dedup_weights",
-    "cluster_safe_split", "decontaminate_attribution",
-    "wordpiece_tokenize", "kn_doc_perplexity", "word_pmi",
-    "attribution_credit", "label_propagation", "dau_wau_stickiness",
-    "tokenizer_fertility", "scan_xml_stream", "corpus_delta",
-    "hard_negatives", "padding_waste", "interval_overlap_events",
-    "maxsim_retrieval", "neyman_allocation", "cross_source_dup_matrix",
-    "ab_test_welch", "neyman_sample", "minhash_bbit", "mp_recall_curve",
-    # --- RE-PROOF (r8 lesson): decontaminate's contamination_flags was
-    # factored through contamination_flags_from_shingles in r9 (pure
-    # refactor for the streaming twin); its r6 driver row predates the
-    # change, so it takes a slot this rotation ---
-    "decontaminate",
-    # --- aging refresh, last-green-r4 (the remaining 24 of the 48-row
-    # r4 tier, alphabetically — this rotation EXHAUSTS the r4 tier) ---
-    "meta_time_travel", "numeric_corr_matrix", "numeric_histogram",
-    "pack_sequences", "pagerank_words", "pi_qmc",
-    "pivot_status_by_flag", "q2_min_cost_supplier",
-    "q3_shipping_priority", "ranking_windows", "resample_gap_fill",
-    "revenue_by_nation", "salted_join_skew", "scd2_history",
-    "secondary_sort", "sentence_split", "set_union_distinct",
-    "shard_shuffle", "table_profile", "top_customers",
-    "top_k_per_group", "total_order_sort", "triangle_count",
-    "zorder_layout",
-    # --- flagship keeper (green r2..r9; stays in-window) ---
+    # --- never driver-checked (12): the full r10 NEXT_WINDOW_QUEUE
+    # additions — every row judge-verified green in the round-10
+    # 300/300 gate replica (VERDICT r10) + determinism-checked, green
+    # in the local oracle replica at sf0.001 + sf0.01. Driving these
+    # re-closes the registry: every ever-registered query driver-green
+    # when it lands ---
+    "rerank_maxsim", "probe_calibration", "domain_mixture_doremi",
+    "mixture_schedule_sample", "top_ngram_filters", "lsh_recall_eval",
+    "event_path_mining", "classifier_prf", "word_graph_bfs",
+    "negative_sampling_table", "kn_bigram_table", "corpus_data_card",
+    # --- RE-PROOFS (r8 lesson — code changed after the last green
+    # row): repetition_stats gained the short-doc size guard in r10;
+    # doc_perplexity's scorer was factored through
+    # ops/lm.addone_scored_counts in r10. Both last green r8. ---
+    "repetition_stats", "doc_perplexity",
+    # --- aging refresh, last-green-r5 (first 35 of the 47-row r5
+    # tier, alphabetically; the remaining 12 head the r12 tier) ---
+    "bpe_tokenize_docs", "cdc_chunks", "counting_bloom", "dq_audit",
+    "dsir_doc_weights", "dynamic_bloom", "embedding_quantize",
+    "fuzzy_match_parts", "grouped_deciles", "grouped_mode",
+    "meta_snapshot_diff", "meta_xattr_search", "ngram_novelty",
+    "order_lead_times", "q10_returned_items", "q11_important_stock",
+    "q12_priority_by_status", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
+    "q17_small_qty_revenue", "q18_large_orders",
+    "q19_disjunctive_filter", "q1_pricing_summary",
+    "q20_part_suppliers", "q21_sole_returner", "q22_dormant_customers",
+    "q4_order_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "rfm_segments",
+    # --- flagship keeper (green r2..r10; stays in-window) ---
     "minhash_dedup_pairs",
 )
 # Cumulative hard-verification ledger (driver CORRECTNESS files):
@@ -90,9 +91,13 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 #  r8 green: 50/50 — full closure of the 240 pre-r8 queries.
 #  r9 green: 50/50 — full closure of the 264 pre-r9 queries (every
 #  ever-registered query driver-green at least once).
-#  r10 window (above): the 24 r9 additions (never driver-checked) +
-#  the decontaminate re-proof + 24 last-green-r4 refreshes (exhausting
-#  the r4 tier) + keeper = 50.
+#  r10 green: 50/50 — full closure of the 288 pre-r10 queries (the 24
+#  r9 additions + decontaminate re-proof + 24 last-green-r4 refreshes,
+#  exhausting the r4 tier, + keeper).
+#  r11 window (above): the 12 r10 additions (never driver-checked) +
+#  the repetition_stats/doc_perplexity re-proofs + 35 last-green-r5
+#  refreshes (first 35 of the 47-row r5 tier, alphabetically) +
+#  keeper = 50.
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -107,33 +112,13 @@ def load_all() -> dict[str, QuerySpec]:
 # (the window guard test enforces that overflow never-green queries are
 # exactly this queue).
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    # round-10 registrations land here as they are verified
-    "rerank_maxsim",          # BM25-shortlist → MaxSim rerank cascade
-    "probe_calibration",      # reliability bins for the linear probe
-    "domain_mixture_doremi",  # excess-loss multiplicative reweighting
-    "mixture_schedule_sample",  # executes the DoReMi design per domain
-    "top_ngram_filters",      # Gopher top-n-gram char concentration
-    "lsh_recall_eval",        # sampled exact-truth recall of the LSH path
-    "event_path_mining",      # top event-type 3-gram behavioral paths
-    "classifier_prf",         # per-class P/R/F1 ppm of the NB gate
-    "word_graph_bfs",         # BFS hop distances on the co-occur graph
-    "negative_sampling_table",  # unigram^(3/4) word2vec neg-sample dist
-    "kn_bigram_table",        # exportable KN bigram model (ARPA role)
-    "corpus_data_card",       # Datasheets-style corpus summary block
-    # RE-PROOF (the r8 lesson — changed code after its last green row):
-    # repetition_stats gained the short-doc size guard in r10
-    # (sequence(1,0)-descending fix; value-identical on >= 2-word docs,
-    # crash -> defined on shorter) — its green row predates the change,
-    # so it takes a slot next rotation.
-    "repetition_stats",
-    # RE-PROOF: doc_perplexity's scorer was factored through
-    # ops/lm.addone_scored_counts in r10 (pure refactor shared with the
-    # frozen-scorer face; local gate green) — its green row predates
-    # the change. kn_doc_perplexity (same-session kn_scored_counts
-    # refactor) sits IN the r10 window, so its row certifies directly.
-    "doc_perplexity",
+    # round-11 registrations land here as they are verified
 )
-# Round-11 rotation plan: fill freed slots FIRST with this queue, THEN
-# any round-10 REPROVE set (queries whose implementation changed after
-# the r10 window froze), THEN the next aging tier — last-green-r5 —
-# alphabetically, as slots allow; keep the keeper.
+# Round-12 rotation plan: fill freed slots FIRST with this queue, THEN
+# any round-11 REPROVE set (queries whose implementation changed after
+# the r11 window froze), THEN the next aging tier — the remaining 12
+# last-green-r5 rows (robust_scale_stats, rolling_window_agg,
+# sentence_dedup, skew_profile, sls_fifo_replay, supplier_hhi,
+# value_histogram, vocab_coverage, weekly_anomaly, winsorized_stats,
+# wordcount, zorder_skipping) then last-green-r6 alphabetically, as
+# slots allow; keep the keeper.

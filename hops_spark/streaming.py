@@ -1006,6 +1006,19 @@ def attribution_batch_update(batch_df: DataFrame, batch_id: int,
                      .localCheckpoint(eager=True))
     store, read_epoch, read_cutoff = _latest_touch_epoch(spark, state_dir,
                                                          at_most=batch_id)
+    if store is not None and read_epoch > 0 and read_cutoff is None:
+        # A committed non-seed epoch with no _CUTOFF marker is the
+        # crash window between its parquet commit (_SUCCESS) and the
+        # marker write — epoch 0 (seed_touch_state) is the only
+        # legitimately markerless epoch. Recover the prune watermark
+        # from the store itself: the epoch was written filtered to
+        # touch_ts >= cutoff with cutoff = max(event ts) - window, so
+        # max(touch_ts) - window is a lower bound — conservative
+        # (never false-flags an on-time row) but never silently skips
+        # the late-arrival check the epoch protocol exists to run.
+        recovered = store.agg(F.max("touch_ts")).first()[0]
+        if recovered is not None:
+            read_cutoff = recovered - _dt.timedelta(days=window_days)
     min_ts, max_ts = batch.agg(F.min("ts"), F.max("ts")).collect()[0]
     late_rows = 0
     if read_cutoff is not None and min_ts < read_cutoff:
