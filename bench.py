@@ -103,6 +103,12 @@ HEADLINE = [
     "negative_sampling_table",
     "kn_bigram_table",
     "corpus_data_card",
+    # round-11 additions
+    "kn_trigram_arpa",
+    "response_length_bias",
+    "preference_pair_overlap",
+    "prompt_group_stats",
+    "mixture_anneal_schedule",
 ]
 
 

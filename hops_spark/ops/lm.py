@@ -239,6 +239,150 @@ def kn_scored_counts(tbl: DataFrame) -> DataFrame:
                f" * {MICRO}, 0) AS BIGINT)"))
 
 
+def trigram_rows(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, w1, w2, w3) — one row per adjacent token triple. Same
+    Generate-barrier + size-guard discipline as bigram_rows (Spark's
+    sequence(1, 0) is DESCENDING, not empty — docs under three words
+    must short-circuit to an empty array)."""
+    bound = docs.select(F.col(id_col),
+                        F.explode(F.array(words(text_col))).alias("_w"))
+    w = F.col("_w")
+    triples = F.when(F.size(w) >= 3, F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.struct(F.element_at(w, i).alias("w1"),
+                           F.element_at(w, i + 1).alias("w2"),
+                           F.element_at(w, i + 2).alias("w3")))
+    ).otherwise(F.array().cast(
+        "array<struct<w1:string,w2:string,w3:string>>"))
+    return (bound.select(F.col(id_col), F.explode(triples).alias("t"))
+                 .select(id_col, "t.w1", "t.w2", "t.w3"))
+
+
+def trigram_count_table(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Corpus trigram counts (w1, w2, w3, n) — the single
+    corpus-proportional aggregate every KN-trigram statistic derives
+    from (KenLM discipline: all lower-order stats are TYPE counts of
+    this table, never a second corpus pass)."""
+    return (trigram_rows(docs, id_col, text_col)
+            .groupBy("w1", "w2", "w3")
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+# The three fixed-shape double expressions of the interpolated-KN
+# trigram recursion (Chen & Goodman 1999 eq. 4.24 applied at each
+# order, fixed D = 0.75 — exact in binary). ONE text, injected into
+# both the Spark plan (F.expr) and the DuckDB oracle, so the two faces
+# can never drift: identical literals, casts, and left-to-right
+# association give the identical IEEE double on both engines.
+KN3_P1 = "(CAST(n1b3 AS DOUBLE) / t2)"
+KN3_P2 = (f"((greatest(CAST(cc AS DOUBLE) - 0.75e0, 0e0) "
+          f"+ 0.75e0 * n1fc2 * {KN3_P1}) / ccd2)")
+KN3_P3 = (f"((greatest(CAST(n AS DOUBLE) - 0.75e0, 0e0) "
+          f"+ 0.75e0 * n1f12 * {KN3_P2}) / c12)")
+
+
+def kn3_stat_tables(c3: DataFrame) -> dict[str, DataFrame]:
+    """The five Kneser-Ney statistic tables of a trigram model, all
+    TYPE/TOKEN counts of the trigram count table ``c3`` (w1,w2,w3,n):
+
+        c12   (w1, w2, c12, n1f12) — prefix-context totals and fan-out
+        cc2   (w2, w3, cc)         — continuation count N1+(·w2w3)
+        mid   (w2, ccd2, n1fc2)    — middle denominator N1+(·w2·) and
+                                     middle fan-out N1+(w2·)
+        uni   (w3, n1b3)           — unigram continuation N1+(··w3)
+        t2    (t2)                 — total suffix-pair types (1 row)
+
+    Every aggregate is keyed on words (map-side combine, vocab-bounded
+    output); t2 is a 1-row frame the callers broadcast."""
+    c12 = c3.groupBy("w1", "w2").agg(
+        F.sum("n").cast("long").alias("c12"),
+        F.count("*").cast("long").alias("n1f12"))
+    cc2 = c3.groupBy("w2", "w3").agg(
+        F.count("*").cast("long").alias("cc"))
+    mid = cc2.groupBy("w2").agg(
+        F.sum("cc").cast("long").alias("ccd2"),
+        F.count("*").cast("long").alias("n1fc2"))
+    uni = cc2.groupBy("w3").agg(F.count("*").cast("long").alias("n1b3"))
+    t2 = cc2.agg(F.count("*").cast("long").alias("t2"))
+    return {"c12": c12, "cc2": cc2, "mid": mid, "uni": uni, "t2": t2}
+
+
+def kn3_arpa(c3: DataFrame, prune3: int = 2) -> DataFrame:
+    """The interpolated-Kneser-Ney TRIGRAM model as an ARPA-shaped
+    table (ord, w1, w2, w3, n, nlp_micro, bow_micro) — the artifact a
+    KenLM-style perplexity-gating pipeline ships (Heafield 2011; Chen
+    & Goodman 1999 eq. 4.24 at every order, D = 0.75):
+
+    - ord 3: every trigram with count >= ``prune3`` (count-threshold
+      pruning, the standard ARPA prune; pruned trigrams score via
+      backoff), nlp_micro = -ln P_KN(w3|w1,w2) in integer micro-nats.
+      Trigram rows carry no backoff weight (highest order): bow 0.
+    - ord 2: the full bigram inventory — prefix contexts (from c12,
+      needed as backoff contexts of kept trigrams, so never pruned)
+      FULL OUTER suffix pairs (from cc2, which carry the middle-order
+      continuation probability). nlp_micro = -ln P_KN(w2|w1) in the
+      continuation-count form (NULL for a pure-prefix pair that never
+      occurs as a suffix — it is only ever a context); bow_micro =
+      round(D·N1+(w1w2·)/c(w1w2) · 1e6) linear-micro (0 for a pair
+      that is never a prefix: bow 1, pass-through — the kn_bigram_table
+      convention).
+    - ord 1: every continuation word, nlp_micro = -ln N1+(··w)/N1+(··),
+      bow_micro = round(D·N1+(w·)/N1+(·w·) · 1e6) (0 when the word
+      never appears as a middle — nothing ever backs off through it).
+
+    Determinism: each probability is ONE fixed-shape double expression
+    (KN3_P1/P2/P3 — literally the same text the oracle runs) over
+    int64 stats, snapped per-row to integer micro-nats; there are no
+    float aggregates at all. Scale: one corpus-proportional trigram
+    aggregate + five vocab-bounded keyed aggregates + keyed joins; the
+    output is type-bounded (seen trigrams), never token-proportional."""
+    st = kn3_stat_tables(c3)
+    c12, cc2, mid, uni, t2 = (st["c12"], st["cc2"], st["mid"], st["uni"],
+                              st["t2"])
+    pad = F.lit("")
+    ord3 = (c3.filter(F.col("n") >= prune3)
+              .join(c12, ["w1", "w2"]).join(cc2, ["w2", "w3"])
+              .join(mid, "w2").join(uni, "w3")
+              .crossJoin(F.broadcast(t2))
+              .select(F.lit(3).alias("ord"), "w1", "w2", "w3",
+                      F.col("n").cast("long").alias("n"),
+                      F.expr(f"CAST(round(-ln({KN3_P3}) * {MICRO}, 0) "
+                             "AS BIGINT)").alias("nlp_micro"),
+                      F.lit(0).cast("long").alias("bow_micro")))
+    sfx = (cc2.join(mid, "w2").join(uni, "w3")
+              .crossJoin(F.broadcast(t2))
+              .select(F.col("w2").alias("a"), F.col("w3").alias("b"),
+                      "cc",
+                      F.expr(f"CAST(round(-ln({KN3_P2}) * {MICRO}, 0) "
+                             "AS BIGINT)").alias("nlp_micro")))
+    pfx = c12.select(F.col("w1").alias("a"), F.col("w2").alias("b"),
+                     F.expr(f"CAST(round(0.75e0 * n1f12 / c12 * {MICRO}, 0) "
+                            "AS BIGINT)").alias("bow_micro"))
+    ord2 = (sfx.join(pfx, ["a", "b"], "full_outer")
+               .select(F.lit(2).alias("ord"),
+                       F.col("a").alias("w1"), F.col("b").alias("w2"),
+                       pad.alias("w3"),
+                       F.col("cc").cast("long").alias("n"),
+                       "nlp_micro",
+                       F.coalesce("bow_micro", F.lit(0)).cast("long")
+                        .alias("bow_micro")))
+    ord1 = (uni.join(mid, uni["w3"] == mid["w2"], "left")
+               .crossJoin(F.broadcast(t2))
+               .select(F.lit(1).alias("ord"),
+                       F.col("w3").alias("w1"), pad.alias("w2"),
+                       pad.alias("w3"),
+                       F.col("n1b3").cast("long").alias("n"),
+                       F.expr(f"CAST(round(-ln({KN3_P1}) * {MICRO}, 0) "
+                              "AS BIGINT)").alias("nlp_micro"),
+                       F.coalesce(
+                           F.expr(f"CAST(round(0.75e0 * n1fc2 / ccd2 "
+                                  f"* {MICRO}, 0) AS BIGINT)"),
+                           F.lit(0)).cast("long").alias("bow_micro")))
+    return ord1.unionByName(ord2).unionByName(ord3)
+
+
 def doc_kn_scores(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Per-document interpolated Kneser-Ney bigram negative

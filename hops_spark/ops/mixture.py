@@ -63,6 +63,66 @@ def frozen_domain_stats(docs: DataFrame, scorer: DataFrame,
                         .cast("long").alias("nll_sum")))
 
 
+def anneal_schedule(mix: DataFrame, steps: int = 4) -> DataFrame:
+    """Step-indexed mixture ANNEALING schedule: linear interpolation
+    from the optimized mixture (step 0) to uniform (step ``steps``) —
+    the curriculum/annealing execution plan between a DoReMi solution
+    and the uniform end-state (the 'anneal to uniform late in
+    training' recipe, e.g. MiniCPM's WSD data schedule / Blakeney et
+    al. 2024 'Does your data spark joy?' end-of-training reweighting).
+
+    Exact integer arithmetic throughout: the step-t raw weight is
+        rw(t, d) = (steps - t) · weight_ppm(d) · n_domains
+                   + t · 1_000_000
+    (multiplying through by n_domains avoids a uniform-share division;
+    at t=0 this is ∝ weight_ppm, at t=steps it is constant = uniform),
+    then Hamilton largest-remainder normalization PER STEP to exactly
+    1e6 ppm — the same apportionment the base mixture uses, partitioned
+    by step via one broadcast self-join. (steps+1)·n_domains rows
+    total; every frame is domain-bounded, every join broadcasts.
+
+    Input ``mix``: (source, weight_ppm) — localCheckpointed on entry
+    (domain-bounded, multi-consumer lineage: the note-109 rule)."""
+    mix = mix.select("source", "weight_ppm").localCheckpoint(eager=True)
+    nd = mix.agg(F.count("*").cast("long").alias("n_dom"))
+    raw = (mix.crossJoin(F.broadcast(nd))
+              .select("source",
+                      F.explode(F.sequence(F.lit(0), F.lit(steps)))
+                       .alias("step"),
+                      "weight_ppm", "n_dom")
+              .select("step", "source",
+                      ((F.lit(steps) - F.col("step"))
+                       * F.col("weight_ppm") * F.col("n_dom")
+                       + F.col("step") * F.lit(1_000_000))
+                      .cast("long").alias("rw")))
+    tt = raw.groupBy("step").agg(F.sum("rw").cast("long").alias("t"))
+    base = (raw.join(F.broadcast(tt), "step")
+               .select("step", "source",
+                       F.expr("(1000000 * rw) div t").alias("base_n"),
+                       F.expr("(1000000 * rw) % t").alias("rem")))
+    lo = base.groupBy("step").agg(
+        (F.lit(1_000_000) - F.sum("base_n")).cast("long").alias("k"))
+    other = base.select(F.col("step").alias("o_step"),
+                        F.col("source").alias("o_source"),
+                        F.col("rem").alias("o_rem"))
+    ranked = (base.join(F.broadcast(other),
+                        (F.col("o_step") == F.col("step"))
+                        & ((F.col("o_rem") > F.col("rem"))
+                           | ((F.col("o_rem") == F.col("rem"))
+                              & (F.col("o_source") < F.col("source")))),
+                        "left")
+                  .groupBy("step", "source", "base_n")
+                  .agg(F.count("o_source").alias("r")))
+    return (ranked.join(F.broadcast(lo), "step")
+                  .select(F.col("step").cast("int").alias("step"),
+                          "source",
+                          (F.col("base_n")
+                           + F.when(F.col("r") < F.col("k"), 1)
+                              .otherwise(0))
+                          .cast("long").alias("weight_ppm"))
+                  .orderBy("step", "source"))
+
+
 def mixture_from_domain_stats(per: DataFrame) -> DataFrame:
     """(source, n_tokens, nll_tok_micro, excess_micro, w0_ppm,
     weight_ppm): the DoReMi-shaped mixture table from per-domain

@@ -24,6 +24,7 @@ from hops_spark.queries import (  # noqa: F401
     retrieval,
     analytics,
     layout,
+    preference,
     profiling,
     examples,
 )

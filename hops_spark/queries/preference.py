@@ -1,0 +1,189 @@
+"""Preference/instruction-data queries — the RLHF-era data card over
+the derived pair view (ops/preference: adjacent documents form pairs,
+chosen = higher quality_score_ppm, reward = the exact-integer corpus
+quality score). Public shape: Stiennon et al. 2020, Bai et al. 2022
+(HH-RLHF), Touvron et al. 2023 (Llama 2 §3.1 — the length-bias audit
+and preference-set dedup these queries implement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hops_spark.io.readers import load_table
+from hops_spark.ops.preference import (NEAR_DUP_PPM, length_bias_audit,
+                                       pair_overlap, preference_pairs,
+                                       prompt_group_stats, scored_docs)
+from hops_spark.queries.textops import _DUCK_WORDS, _duck_sw_list
+from hops_spark.registry import register
+
+# The quality-score + pair-view oracle chain, mirrored from
+# ops/text.quality_score (the doc_quality expression) and
+# ops/preference.preference_pairs. Shared by all three preference
+# oracles so the derivation can never fork.
+_PREF_CTES = f"""qf AS (
+        SELECT doc_id, source, text, {_DUCK_WORDS} AS w,
+               CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]',
+                                          '', 'g')) AS BIGINT) AS n_punct
+        FROM documents
+    ), q AS (
+        SELECT doc_id, source, text,
+               CAST(len(w) AS BIGINT) AS n_words,
+               greatest(len(w), 1)::BIGINT AS nw1,
+               greatest(length(text), 1)::BIGINT AS nc1,
+               n_punct,
+               CAST(len(list_filter(w,
+                    x -> list_contains({_duck_sw_list('en')}, x)))
+                    AS BIGINT) AS n_sw,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq
+        FROM qf
+    ), psc AS (
+        SELECT doc_id, source, text, n_words,
+               (least(n_words * 20000, 1000000)
+                + (1000000 - least(((n_punct * 1000000) // nc1) * 5,
+                                   1000000))
+                + least(((n_sw * 1000000) // nw1) * 4, 1000000)
+                + (n_uniq * 1000000) // nw1) AS score
+        FROM q
+    ), pr AS (
+        SELECT a.doc_id // 2 AS pair_id, a.source,
+               CASE WHEN a.score >= b.score THEN a.doc_id
+                    ELSE b.doc_id END AS chosen_id,
+               CASE WHEN a.score >= b.score THEN b.doc_id
+                    ELSE a.doc_id END AS rejected_id,
+               CASE WHEN a.score >= b.score THEN a.score
+                    ELSE b.score END AS chosen_score,
+               CASE WHEN a.score >= b.score THEN b.score
+                    ELSE a.score END AS rejected_score,
+               CASE WHEN a.score >= b.score THEN a.n_words
+                    ELSE b.n_words END AS chosen_words,
+               CASE WHEN a.score >= b.score THEN b.n_words
+                    ELSE a.n_words END AS rejected_words,
+               CASE WHEN a.score >= b.score THEN a.text
+                    ELSE b.text END AS chosen_text,
+               CASE WHEN a.score >= b.score THEN b.text
+                    ELSE a.text END AS rejected_text
+        FROM psc a JOIN psc b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 2 = 0
+    )"""
+
+
+@register(
+    "response_length_bias",
+    sql=f"""
+    WITH {_PREF_CTES}
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN chosen_words > rejected_words
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_chosen_longer,
+           CAST(sum(CASE WHEN chosen_words = rejected_words
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ties,
+           CAST(CASE WHEN count(*) = sum(CASE WHEN chosen_words =
+                          rejected_words THEN 1 ELSE 0 END) THEN 0
+                ELSE (sum(CASE WHEN chosen_words > rejected_words
+                          THEN 1 ELSE 0 END) * 1000000)
+                     // (count(*) - sum(CASE WHEN chosen_words =
+                          rejected_words THEN 1 ELSE 0 END))
+                END AS BIGINT) AS chosen_longer_ppm,
+           CAST(sum(chosen_words - rejected_words) AS BIGINT)
+               AS word_delta_sum,
+           CAST(sum(chosen_score - rejected_score) // count(*) AS BIGINT)
+               AS mean_margin_ppm
+    FROM pr GROUP BY source ORDER BY source
+    """,
+    doc="Response-length-bias audit of the preference set (Llama 2 "
+        "§3.1 / Singhal et al. 2023: RLHF reward models latch onto "
+        "length — a preference set where 'chosen' systematically "
+        "means 'longer' trains a length heuristic, not a quality "
+        "model): per source, the rate at which the chosen response is "
+        "strictly longer (ppm over non-tied pairs, zero-guarded), the "
+        "raw word-delta sum (undivided: it can be negative, and "
+        "trunc-div vs floor-div diverge on negatives across engines) "
+        "and the mean reward margin. One #sources-bounded keyed "
+        "aggregate over the pair view. ops/preference.",
+    tags=("text", "ml", "preference", "north-star"),
+)
+def response_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    return (length_bias_audit(preference_pairs(scored_docs(d)))
+            .orderBy("source"))
+
+
+@register(
+    "preference_pair_overlap",
+    sql=f"""
+    WITH {_PREF_CTES}, ov AS (
+        SELECT pair_id, source, chosen_id, rejected_id,
+               CAST(len(list_intersect(list_distinct({{CW}}),
+                                       list_distinct({{RW}})))
+                    AS BIGINT) AS i,
+               CAST(len(list_distinct(list_concat(
+                        list_distinct({{CW}}), list_distinct({{RW}}))))
+                    AS BIGINT) AS u
+        FROM pr
+    )
+    SELECT pair_id, source, chosen_id, rejected_id,
+           CAST(CASE WHEN u > 0 THEN (i * 1000000) // u ELSE 0 END
+                AS BIGINT) AS jaccard_ppm,
+           CAST(CASE WHEN (CASE WHEN u > 0 THEN (i * 1000000) // u
+                           ELSE 0 END) >= {NEAR_DUP_PPM}
+                     THEN 1 ELSE 0 END AS INT) AS near_dup
+    FROM ov ORDER BY pair_id
+    """.replace("{CW}", _DUCK_WORDS.replace("text", "chosen_text"))
+       .replace("{RW}", _DUCK_WORDS.replace("text", "rejected_text")),
+    doc="Within-pair chosen/rejected near-duplicate gate (Llama 2 "
+        "§3.1 dedups preference pairs whose two responses are near-"
+        "identical — they carry no preference signal and dilute the "
+        "reward-model gradient): distinct-word Jaccard of the two "
+        "responses in exact integer ppm plus the >= 0.6 flag. Pure "
+        "per-row array arithmetic over the pair view — no join, no "
+        "shuffle, trivially 100-TB-safe. ops/preference.pair_overlap.",
+    tags=("text", "ml", "preference", "dedup"),
+)
+def preference_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    return (pair_overlap(preference_pairs(scored_docs(d)))
+            .orderBy("pair_id"))
+
+
+@register(
+    "prompt_group_stats",
+    sql=f"""
+    WITH {_PREF_CTES}, g AS (
+        SELECT doc_id // 4 AS group_id, doc_id, n_words, score FROM psc
+    ), a AS (
+        SELECT group_id,
+               CAST(count(*) AS BIGINT) AS n_responses,
+               CAST(max(score) AS BIGINT) AS best_score,
+               CAST(min(score) AS BIGINT) AS worst_score,
+               CAST(sum(n_words) AS BIGINT) AS total_words
+        FROM g GROUP BY group_id
+    ), b AS (
+        SELECT g.group_id, CAST(min(g.doc_id) AS BIGINT) AS best_doc_id
+        FROM g JOIN a ON a.group_id = g.group_id AND g.score = a.best_score
+        GROUP BY g.group_id
+    )
+    SELECT a.group_id, n_responses, best_score, worst_score,
+           CAST(best_score - worst_score AS BIGINT) AS score_margin,
+           best_doc_id, total_words
+    FROM a JOIN b ON a.group_id = b.group_id
+    ORDER BY a.group_id
+    """,
+    doc="Per-prompt response-group statistics (the K-responses-per-"
+        "prompt shape reward-model training data ships in — Stiennon "
+        "et al. 2020 collect 4-64 summaries per post): groups of four "
+        "adjacent docs; emits response count, best/worst reward, "
+        "margin, argmax response id (tie -> lower doc_id) and total "
+        "words — the group-level spread a preference-data card "
+        "reports (zero-margin groups are ranking noise). One keyed "
+        "aggregate; the argmax is a struct-max, no window. "
+        "ops/preference.prompt_group_stats.",
+    tags=("text", "ml", "preference"),
+)
+def prompt_group_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    return (prompt_group_stats(scored_docs(d), group_size=4)
+            .orderBy("group_id"))

@@ -1770,3 +1770,95 @@ def kn_bigram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"CAST(round(0.75e0 * n1f / n_ctx * {MICRO}, 0) "
                        "AS BIGINT)").alias("bow_micro"))
                .orderBy("w1", "w2"))
+
+
+from hops_spark.ops.lm import KN3_P1, KN3_P2, KN3_P3  # noqa: E402
+
+
+@register(
+    "kn_trigram_arpa",
+    sql=f"""
+    WITH wt AS (
+        SELECT doc_id, {{DW}} AS w FROM documents
+    ), tg AS (
+        SELECT w[i.i] AS w1, w[i.i + 1] AS w2, w[i.i + 2] AS w3
+        FROM wt, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+        WHERE len(w) >= 3
+    ), c3 AS (
+        SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS n
+        FROM tg GROUP BY w1, w2, w3
+    ), p12 AS (
+        SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c12,
+               CAST(count(*) AS BIGINT) AS n1f12
+        FROM c3 GROUP BY w1, w2
+    ), cc2 AS (
+        SELECT w2, w3, CAST(count(*) AS BIGINT) AS cc
+        FROM c3 GROUP BY w2, w3
+    ), mid AS (
+        SELECT w2, CAST(sum(cc) AS BIGINT) AS ccd2,
+               CAST(count(*) AS BIGINT) AS n1fc2
+        FROM cc2 GROUP BY w2
+    ), uni AS (
+        SELECT w3, CAST(count(*) AS BIGINT) AS n1b3 FROM cc2 GROUP BY w3
+    ), t2t AS (
+        SELECT CAST(count(*) AS BIGINT) AS t2 FROM cc2
+    ), ord3 AS (
+        SELECT 3 AS ord, c.w1, c.w2, c.w3, c.n,
+               CAST(round(-ln({KN3_P3}) * 1000000, 0) AS BIGINT)
+                   AS nlp_micro,
+               CAST(0 AS BIGINT) AS bow_micro
+        FROM c3 c JOIN p12 USING (w1, w2) JOIN cc2 USING (w2, w3)
+        JOIN mid USING (w2) JOIN uni USING (w3) CROSS JOIN t2t
+        WHERE c.n >= 2
+    ), sfx AS (
+        SELECT cc2.w2 AS a, cc2.w3 AS b, cc,
+               CAST(round(-ln({KN3_P2}) * 1000000, 0) AS BIGINT)
+                   AS nlp_micro
+        FROM cc2 JOIN mid USING (w2) JOIN uni USING (w3) CROSS JOIN t2t
+    ), pfx AS (
+        SELECT w1 AS a, w2 AS b,
+               CAST(round(0.75e0 * n1f12 / c12 * 1000000, 0) AS BIGINT)
+                   AS bow_micro
+        FROM p12
+    ), ord2 AS (
+        SELECT 2 AS ord, COALESCE(s.a, p.a) AS w1,
+               COALESCE(s.b, p.b) AS w2, '' AS w3,
+               CAST(s.cc AS BIGINT) AS n, s.nlp_micro,
+               CAST(COALESCE(p.bow_micro, 0) AS BIGINT) AS bow_micro
+        FROM sfx s FULL OUTER JOIN pfx p ON s.a = p.a AND s.b = p.b
+    ), ord1 AS (
+        SELECT 1 AS ord, u.w3 AS w1, '' AS w2, '' AS w3, u.n1b3 AS n,
+               CAST(round(-ln({KN3_P1}) * 1000000, 0) AS BIGINT)
+                   AS nlp_micro,
+               CAST(COALESCE(round(0.75e0 * n1fc2 / ccd2 * 1000000, 0), 0)
+                    AS BIGINT) AS bow_micro
+        FROM uni u LEFT JOIN mid m ON m.w2 = u.w3 CROSS JOIN t2t
+    )
+    SELECT CAST(ord AS INT) AS ord, w1, w2, w3, n, nlp_micro, bow_micro
+    FROM (SELECT * FROM ord1 UNION ALL SELECT * FROM ord2
+          UNION ALL SELECT * FROM ord3)
+    ORDER BY ord, w1, w2, w3
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="The interpolated-Kneser-Ney TRIGRAM model as an ARPA-shaped "
+        "table (the artifact every KenLM-style perplexity-gating "
+        "pipeline ships; Heafield 2011, Chen & Goodman 1999 eq. 4.24 "
+        "at each order, D = 0.75): ord-3 rows are count>=2-pruned "
+        "trigrams with -ln P_KN(w3|w1,w2) in integer micro-nats; ord-2 "
+        "rows are the full bigram inventory (prefix contexts FULL "
+        "OUTER suffix pairs) carrying the continuation-count bigram "
+        "probability and the trigram backoff weight "
+        "D*N1+(w1w2.)/c(w1w2) in linear micro; ord-1 rows are "
+        "continuation unigrams with the bigram backoff weight. All "
+        "probabilities are fixed-shape double expressions (ops/lm."
+        "KN3_P1/P2/P3 — the identical text runs on both engines) over "
+        "integer type-counts of ONE corpus trigram aggregate, snapped "
+        "per row to micro-nats — no float aggregate anywhere. "
+        "Downstream scorers join the table instead of re-deriving the "
+        "LM (the kn_bigram_table role, one order up). ops/lm.kn3_arpa.",
+    tags=("retrieval", "text", "ml", "north-star"),
+)
+def kn_trigram_arpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.lm import kn3_arpa, trigram_count_table
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (kn3_arpa(trigram_count_table(d), prune3=2)
+            .orderBy("ord", "w1", "w2", "w3"))

@@ -1742,6 +1742,64 @@ def mixture_schedule_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("source"))
 
 
+ANNEAL_K = 4   # anneal steps: step 0 = DoReMi mixture, step K = uniform
+
+
+@register(
+    "mixture_anneal_schedule",
+    sql=f"""
+    WITH {_DRM_CTES}, stp AS (
+        SELECT unnest(range(0, {ANNEAL_K} + 1)) AS step
+    ), nd AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_dom FROM mixture
+    ), araw AS (
+        SELECT s.step, m.source,
+               CAST(({ANNEAL_K} - s.step) * m.weight_ppm * nd.n_dom
+                    + s.step * 1000000 AS BIGINT) AS rw
+        FROM mixture m, stp s, nd
+    ), att AS (
+        SELECT step, CAST(sum(rw) AS BIGINT) AS t FROM araw GROUP BY step
+    ), abase AS (
+        SELECT r.step, r.source,
+               (1000000 * rw) // t AS base_n,
+               (1000000 * rw) % t AS rem
+        FROM araw r JOIN att USING (step)
+    ), alo AS (
+        SELECT step, 1000000 - CAST(sum(base_n) AS BIGINT) AS k
+        FROM abase GROUP BY step
+    ), ark AS (
+        SELECT b.*,
+               (SELECT count(*) FROM abase o
+                WHERE o.step = b.step
+                  AND (o.rem > b.rem
+                       OR (o.rem = b.rem AND o.source < b.source))) AS r
+        FROM abase b
+    )
+    SELECT CAST(ark.step AS INT) AS step, ark.source,
+           CAST(base_n + (CASE WHEN r < k THEN 1 ELSE 0 END) AS BIGINT)
+               AS weight_ppm
+    FROM ark JOIN alo ON alo.step = ark.step
+    ORDER BY step, source
+    """,
+    doc="Step-indexed mixture ANNEALING schedule: linear interpolation "
+        "from the DoReMi-optimized mixture (step 0) to uniform (step "
+        f"{ANNEAL_K}) — the curriculum/annealing plan between an "
+        "optimized data mixture and the anneal-to-uniform end state "
+        "(MiniCPM's WSD data schedule; Blakeney et al. 2024 end-of-"
+        "training reweighting). Raw step weights are exact integers "
+        "(multiplying through by n_domains avoids the uniform-share "
+        "division); each step is Hamilton-normalized to EXACTLY 1e6 "
+        "ppm — per-step apportionment via one broadcast self-join. "
+        "(K+1)*n_domains rows; every frame domain-bounded. "
+        "ops/mixture.anneal_schedule.",
+    tags=("text", "ml", "sampling"),
+)
+def mixture_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.mixture import anneal_schedule
+    mix = _doremi_mixture(spark, sf_dir)
+    return anneal_schedule(mix, steps=ANNEAL_K)
+
+
 CR_DIM = 64   # hashed-BOW dimension for chunk vectors
 CR_K = 5
 CR_NQ = 3     # query panel: chunk 0 of docs 0..2

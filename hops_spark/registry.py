@@ -113,6 +113,11 @@ def load_all() -> dict[str, QuerySpec]:
 # exactly this queue).
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # round-11 registrations land here as they are verified
+    "kn_trigram_arpa",         # interpolated-KN trigram ARPA export
+    "response_length_bias",    # RLHF length-bias audit per source
+    "preference_pair_overlap",  # within-pair near-dup gate (Jaccard ppm)
+    "prompt_group_stats",      # per-prompt response-group reward stats
+    "mixture_anneal_schedule",  # DoReMi -> uniform per-step Hamilton
 )
 # Round-12 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-11 REPROVE set (queries whose implementation changed after
