@@ -235,3 +235,37 @@ def linear_probe_scores(docs: DataFrame, w: list[int],
     return m.select(F.col(id_col), F.col("_y"), F.col("margin"),
                     p.alias("p_micro"),
                     (p >= LP_HALF).cast("int").alias("pred"))
+
+
+def calibration_bin_stats(scored: DataFrame, bins: int = 10) -> DataFrame:
+    """(bin, n, n_pos, p_sum): ADDITIVE per-bin sufficient statistics
+    of a reliability diagram over linear_probe_scores output — under a
+    FROZEN weight vector every column is a plain sum, so stats fold
+    across micro-batches exactly (the frozen_domain_stats property,
+    applied to calibration). ≤ ``bins`` rows out of one keyed
+    aggregate. Shared by the batch probe_calibration query and the
+    streaming calibration-drift monitor — one derivation, two faces."""
+    b = scored.select(
+        F.least(F.expr(f"p_micro div {LP_MICRO // bins}"),
+                F.lit(bins - 1)).cast("long").alias("bin"),
+        F.col("_y").cast("long").alias("y"), "p_micro")
+    return b.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("p_micro").cast("long").alias("p_sum"))
+
+
+def calibration_from_bin_stats(stats: DataFrame) -> DataFrame:
+    """(bin, n, n_pos, conf_micro, emp_micro, gap_micro): the derived
+    reliability table — a pure integer function of the additive bin
+    stats (mean confidence vs empirical positive rate and their |gap|,
+    the n-weighted ECE terms)."""
+    return (stats.select(
+                "bin", "n", "n_pos",
+                F.expr("CAST(p_sum div n AS BIGINT)").alias("conf_micro"),
+                F.expr(f"CAST((n_pos * {LP_MICRO}) div n AS BIGINT)")
+                 .alias("emp_micro"))
+            .withColumn("gap_micro",
+                        F.abs(F.col("conf_micro") - F.col("emp_micro"))
+                         .cast("long"))
+            .orderBy("bin"))

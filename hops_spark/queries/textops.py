@@ -1300,27 +1300,20 @@ LP_BINS = 10   # reliability-diagram bins over p in [0, 1]
     tags=("text", "ml", "north-star"),
 )
 def probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hops_spark.ops.classify import (linear_probe_scores,
+    # the bin stats + derived table are the SHARED derivation the
+    # streaming calibration monitor folds (ops/classify.calibration_*)
+    from hops_spark.ops.classify import (calibration_bin_stats,
+                                         calibration_from_bin_stats,
+                                         linear_probe_scores,
                                          train_linear_probe)
     d = _lp_docs(spark, sf_dir)
     w = train_linear_probe(d, dim=LP_DIM, iters=LP_ITERS,
                            lr_num=LP_LRN, lr_den=LP_LRD, seed=LP_SEED)
     s = linear_probe_scores(d, w, dim=LP_DIM, seed=LP_SEED)
-    b = s.select(
-        F.least(F.expr(f"p_micro div {LP_MICRO // LP_BINS}"),
-                F.lit(LP_BINS - 1)).cast("long").alias("bin"),
-        F.col("_y").cast("long").alias("y"), "p_micro")
-    return (b.groupBy("bin")
-             .agg(F.count("*").cast("long").alias("n"),
-                  F.sum("y").cast("long").alias("n_pos"),
-                  F.expr("CAST(sum(p_micro) div count(*) AS BIGINT)")
-                   .alias("conf_micro"),
-                  F.expr(f"CAST((sum(y) * {LP_MICRO}) div count(*) "
-                         "AS BIGINT)").alias("emp_micro"))
-             .withColumn("gap_micro",
-                         F.abs(F.col("conf_micro") - F.col("emp_micro"))
-                          .cast("long"))
-             .orderBy("bin"))
+    return (calibration_from_bin_stats(calibration_bin_stats(s, LP_BINS))
+            .select("bin", "n", "n_pos", "conf_micro", "emp_micro",
+                    "gap_micro")
+            .orderBy("bin"))
 
 
 KL_TOP_K = 100

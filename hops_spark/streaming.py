@@ -1183,3 +1183,111 @@ def mixture_stream(stream_docs: DataFrame, state_dir: str, mix_dir: str,
     return (stream_docs.writeStream.foreachBatch(upd)
             .option("checkpointLocation", checkpoint)
             .outputMode("append"))
+
+
+# --- online probe-calibration drift monitor (frozen weights) --------------
+
+CALIB_STATS_SCHEMA = "bin long, n long, n_pos long, p_sum long"
+
+
+def _latest_calib_epoch(spark: SparkSession, state_dir: str,
+                        at_most: int | None = None):
+    """Calibration-bin-stats face of ``_latest_epoch`` (schema owned by
+    ops/classify.calibration_bin_stats)."""
+    return _latest_epoch(spark, state_dir, CALIB_STATS_SCHEMA, at_most)
+
+
+def seed_probe_weights(ref_docs: DataFrame, weights_dir: str,
+                       dim: int = 64, iters: int = 3, lr_num: int = 1,
+                       lr_den: int = 1, seed: str = "lp") -> None:
+    """Train the linear probe ONCE on a labeled reference snapshot and
+    freeze the weight vector to parquet (feat, w_micro) — the fixed
+    scorer the online calibration monitor reads every batch (the
+    seed_mixture_scorer shape: calibration stats are only additive
+    while the model is held fixed)."""
+    from hops_spark.ops.classify import train_linear_probe
+
+    w = train_linear_probe(ref_docs, dim=dim, iters=iters,
+                           lr_num=lr_num, lr_den=lr_den, seed=seed)
+    rows = [(i, int(wi)) for i, wi in enumerate(w)]
+    (ref_docs.sparkSession
+     .createDataFrame(rows, "feat bigint, w_micro bigint")
+     .write.parquet(weights_dir))
+
+
+def calibration_batch_update(batch_df: DataFrame, batch_id: int,
+                             state_dir: str, calib_dir: str,
+                             weights_dir: str, dim: int = 64,
+                             seed: str = "lp", bins: int = 10) -> None:
+    """One micro-batch of the ONLINE calibration-drift monitor: the
+    batch's labeled docs (doc_id, text, y) are scored under the FROZEN
+    probe weights, their per-bin sufficient statistics (ops/classify.
+    calibration_bin_stats — additive by construction) fold into the
+    ≤ ``bins``-row store, and the derived reliability table (the SAME
+    calibration_from_bin_stats the batch probe_calibration query
+    reads) lands in calib_dir/batch=<id>. A quality-gate deployment
+    watches the per-bin gaps drift as the corpus shifts under a fixed
+    keep-threshold probe — the score-drift companion of the mixture
+    controller.
+
+    IDEMPOTENT under foreachBatch redelivery (the attribution/mixture
+    contract): store read capped at batch_id, every write keyed by
+    batch_id with overwrite, store epoch batch_id+1 rewritten from
+    scratch, ≤ 2 epochs retained. State is BIN-BOUNDED (≤ bins rows —
+    with the mixture store, the smallest state in the family); the
+    frozen weight vector is dim+1 rows of driver metadata (codebook
+    idiom)."""
+    import os
+    import shutil
+
+    from hops_spark.ops.classify import (calibration_bin_stats,
+                                         calibration_from_bin_stats,
+                                         linear_probe_scores)
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    w = [int(r["w_micro"]) for r in
+         spark.read.parquet(weights_dir).orderBy("feat").collect()]
+    scored = linear_probe_scores(batch_df.select("doc_id", "text", "y"),
+                                 w, dim=dim, seed=seed)
+    batch_stats = calibration_bin_stats(scored, bins)
+    store, read_epoch = _latest_calib_epoch(spark, state_dir,
+                                            at_most=batch_id)
+    stats = batch_stats if store is None else (
+        store.unionByName(batch_stats)
+             .groupBy("bin")
+             .agg(F.sum("n").cast("long").alias("n"),
+                  F.sum("n_pos").cast("long").alias("n_pos"),
+                  F.sum("p_sum").cast("long").alias("p_sum")))
+    out = os.path.join(state_dir, f"epoch={batch_id + 1}")
+    stats.write.mode("overwrite").parquet(out)
+    folded = spark.read.schema(CALIB_STATS_SCHEMA).parquet(out)
+    (calibration_from_bin_stats(folded)
+     .write.mode("overwrite")
+     .parquet(os.path.join(calib_dir, f"batch={batch_id}")))
+    for d in os.listdir(state_dir):
+        if d.startswith("epoch="):
+            n = int(d.split("=", 1)[1])
+            if n != read_epoch and n != batch_id + 1:
+                shutil.rmtree(os.path.join(state_dir, d),
+                              ignore_errors=True)
+
+
+def calibration_stream(stream_docs: DataFrame, state_dir: str,
+                       calib_dir: str, weights_dir: str, checkpoint: str,
+                       dim: int = 64, seed: str = "lp", bins: int = 10):
+    """Continuous probe-calibration monitoring over a labeled document
+    stream. Equivalence law (pytest-asserted): the reliability table
+    written after batch k equals calibration_from_bin_stats(
+    calibration_bin_stats(scores of the union of batches 0..k)) under
+    the same frozen weights — additivity of per-bin sufficient stats
+    makes the fold exact, and both faces share the ops/classify
+    derivation."""
+    def upd(batch_df: DataFrame, batch_id: int) -> None:
+        calibration_batch_update(batch_df, batch_id, state_dir, calib_dir,
+                                 weights_dir, dim, seed, bins)
+
+    return (stream_docs.writeStream.foreachBatch(upd)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append"))
