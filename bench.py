@@ -109,6 +109,7 @@ HEADLINE = [
     "preference_pair_overlap",
     "prompt_group_stats",
     "mixture_anneal_schedule",
+    "kn_trigram_perplexity",
 ]
 
 

@@ -383,6 +383,87 @@ def kn3_arpa(c3: DataFrame, prune3: int = 2) -> DataFrame:
     return ord1.unionByName(ord2).unionByName(ord3)
 
 
+# Per-trigram scoring cost against the ARPA table, ARPA-consumer
+# semantics (backoff evaluation over the STORED integer micro values —
+# what a KenLM reader does with the shipped file): a seen (unpruned)
+# trigram costs its stored nlp3; a pruned one backs off through the
+# (w1,w2) context weight to the bigram row; a bigram miss backs off
+# again to the continuation unigram. ONE text on both engines. The
+# greatest(..., 1) floor guards ln(0) for a bow that rounds to 0 micro
+# (possible only for contexts with > ~1.5M/n1f tokens — cheap
+# insurance at 100 TB).
+KN3_BO = ("CAST(round(-ln(CAST(greatest({b}, 1) AS DOUBLE) / 1000000e0)"
+          " * 1000000, 0) AS BIGINT)")
+KN3_COST = (f"CASE WHEN nlp3 IS NOT NULL THEN nlp3 "
+            f"WHEN nlp2 IS NOT NULL THEN {KN3_BO.format(b='bow2')} + nlp2 "
+            f"ELSE {KN3_BO.format(b='bow2')} + {KN3_BO.format(b='bow1')} "
+            f"+ nlp1 END")
+
+
+def kn3_doc_scores(docs: DataFrame, prune3: int = 2,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document trigram Kneser-Ney NLL scored AGAINST THE EXPORTED
+    MODEL TABLE (the ARPA-consumer path — the point of shipping
+    kn3_arpa is that scorers join it instead of re-deriving the LM):
+    (id, n_trigrams, n_backoff, nll3_micro, avg_nll3_micro), where
+    n_backoff counts trigram tokens that missed the pruned ord-3
+    section and scored through the backoff chain (KN3_COST — the
+    stored-integer evaluation both engines run verbatim).
+
+    Plan: the per-doc trigram count table (distinct per doc — hot
+    trigrams collapse before any join) LEFT-joins the three model
+    sections on their keys: (w1,w2,w3) for nlp3, pair (w2,w3) for
+    nlp2, pair (w1,w2) for bow2, unigram w3/w2 for nlp1/bow1 — five
+    keyed joins against a TYPE-BOUNDED model (at cluster scale the
+    model is bucketed or broadcast; nothing here is
+    corpus-proportional except the one per-doc count aggregate).
+    Self-scoring note: every corpus trigram's (w2,w3) is a suffix pair
+    and (w1,w2) a prefix context by construction, so the double-
+    backoff branch only fires for OUT-of-corpus text — the branch is
+    total anyway. Integer micro-nat sums; order-free."""
+    per = (trigram_rows(docs, id_col, text_col)
+           .groupBy(id_col, "w1", "w2", "w3")
+           .agg(F.count("*").cast("long").alias("n_local")))
+    per = per.localCheckpoint(eager=True)   # feeds the model AND scoring
+    c3 = per.groupBy("w1", "w2", "w3").agg(
+        F.sum("n_local").cast("long").alias("n"))
+    arpa = kn3_arpa(c3, prune3=prune3)
+    m3 = (arpa.filter("ord = 3")
+              .select("w1", "w2", "w3", F.col("nlp_micro").alias("nlp3")))
+    m2 = arpa.filter("ord = 2").select(
+        F.col("w1").alias("a"), F.col("w2").alias("b"),
+        F.col("nlp_micro").alias("nlp2"), F.col("bow_micro").alias("bw"))
+    m1 = arpa.filter("ord = 1").select(
+        F.col("w1").alias("u"), F.col("nlp_micro").alias("nlp1"),
+        F.col("bow_micro").alias("b1"))
+    j = (per.join(m3, ["w1", "w2", "w3"], "left")
+            .join(m2.select(F.col("a"), F.col("b"),
+                            F.col("nlp2")),
+                  (F.col("a") == F.col("w2")) & (F.col("b") == F.col("w3")),
+                  "left").drop("a", "b")
+            .join(m2.select(F.col("a").alias("a2"), F.col("b").alias("b2"),
+                            F.col("bw").alias("bow2")),
+                  (F.col("a2") == F.col("w1")) & (F.col("b2") == F.col("w2")),
+                  "left").drop("a2", "b2")
+            .join(m1.select(F.col("u"), F.col("nlp1")),
+                  F.col("u") == F.col("w3"), "left").drop("u")
+            .join(m1.select(F.col("u").alias("u2"),
+                            F.col("b1").alias("bow1")),
+                  F.col("u2") == F.col("w2"), "left").drop("u2"))
+    scored = j.withColumn("cost", F.expr(KN3_COST)) \
+              .withColumn("backoff",
+                          F.col("nlp3").isNull().cast("long"))
+    out = (scored.groupBy(id_col)
+                 .agg(F.sum("n_local").cast("long").alias("n_trigrams"),
+                      F.sum(F.col("backoff") * F.col("n_local"))
+                       .cast("long").alias("n_backoff"),
+                      F.sum(F.col("cost") * F.col("n_local"))
+                       .cast("long").alias("nll3_micro")))
+    return out.withColumn("avg_nll3_micro",
+                          F.expr("nll3_micro div n_trigrams"))
+
+
 def doc_kn_scores(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Per-document interpolated Kneser-Ney bigram negative

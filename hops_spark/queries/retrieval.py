@@ -1774,11 +1774,9 @@ def kn_bigram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from hops_spark.ops.lm import KN3_P1, KN3_P2, KN3_P3  # noqa: E402
 
-
-@register(
-    "kn_trigram_arpa",
-    sql=f"""
-    WITH wt AS (
+# The trigram-KN ARPA derivation, shared verbatim by the export query
+# and the ARPA-consumer perplexity oracle (one chain, two faces).
+_KN3_CTES = f"""wt AS (
         SELECT doc_id, {{DW}} AS w FROM documents
     ), tg AS (
         SELECT w[i.i] AS w1, w[i.i + 1] AS w2, w[i.i + 2] AS w3
@@ -1833,12 +1831,18 @@ from hops_spark.ops.lm import KN3_P1, KN3_P2, KN3_P3  # noqa: E402
                CAST(COALESCE(round(0.75e0 * n1fc2 / ccd2 * 1000000, 0), 0)
                     AS BIGINT) AS bow_micro
         FROM uni u LEFT JOIN mid m ON m.w2 = u.w3 CROSS JOIN t2t
-    )
+    )""".replace("{DW}", _DUCK_WORDS)
+
+
+@register(
+    "kn_trigram_arpa",
+    sql=f"""
+    WITH {_KN3_CTES}
     SELECT CAST(ord AS INT) AS ord, w1, w2, w3, n, nlp_micro, bow_micro
     FROM (SELECT * FROM ord1 UNION ALL SELECT * FROM ord2
           UNION ALL SELECT * FROM ord3)
     ORDER BY ord, w1, w2, w3
-    """.replace("{DW}", _DUCK_WORDS),
+    """,
     doc="The interpolated-Kneser-Ney TRIGRAM model as an ARPA-shaped "
         "table (the artifact every KenLM-style perplexity-gating "
         "pipeline ships; Heafield 2011, Chen & Goodman 1999 eq. 4.24 "
@@ -1862,3 +1866,68 @@ def kn_trigram_arpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return (kn3_arpa(trigram_count_table(d), prune3=2)
             .orderBy("ord", "w1", "w2", "w3"))
+
+
+from hops_spark.ops.lm import KN3_COST  # noqa: E402
+
+
+@register(
+    "kn_trigram_perplexity",
+    sql=f"""
+    WITH {_KN3_CTES}, o3 AS (
+        SELECT w1, w2, w3, nlp_micro AS nlp3 FROM ord3
+    ), o2 AS (
+        SELECT w1 AS a, w2 AS b, nlp_micro AS nlp2, bow_micro AS bw
+        FROM ord2
+    ), o1 AS (
+        SELECT w1 AS u, nlp_micro AS nlp1, bow_micro AS b1 FROM ord1
+    ), dtg AS (
+        SELECT doc_id, w[i.i] AS w1, w[i.i + 1] AS w2, w[i.i + 2] AS w3
+        FROM wt, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+        WHERE len(w) >= 3
+    ), dpc AS (
+        SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS n_local
+        FROM dtg GROUP BY doc_id, w1, w2, w3
+    ), sc3 AS (
+        SELECT d.doc_id, d.n_local, o3.nlp3, s.nlp2, p.bw AS bow2,
+               u1.nlp1, ub.b1 AS bow1
+        FROM dpc d
+        LEFT JOIN o3 ON o3.w1 = d.w1 AND o3.w2 = d.w2 AND o3.w3 = d.w3
+        LEFT JOIN o2 s ON s.a = d.w2 AND s.b = d.w3
+        LEFT JOIN o2 p ON p.a = d.w1 AND p.b = d.w2
+        LEFT JOIN o1 u1 ON u1.u = d.w3
+        LEFT JOIN o1 ub ON ub.u = d.w2
+    ), costed AS (
+        SELECT doc_id, n_local,
+               {KN3_COST} AS cost,
+               CASE WHEN nlp3 IS NULL THEN 1 ELSE 0 END AS backoff
+        FROM sc3
+    )
+    SELECT doc_id,
+           CAST(sum(n_local) AS BIGINT) AS n_trigrams,
+           CAST(sum(backoff * n_local) AS BIGINT) AS n_backoff,
+           CAST(sum(cost * n_local) AS BIGINT) AS nll3_micro,
+           CAST(sum(cost * n_local) // sum(n_local) AS BIGINT)
+               AS avg_nll3_micro
+    FROM costed GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Per-document trigram KN perplexity scored AGAINST THE "
+        "EXPORTED MODEL TABLE — the ARPA-CONSUMER path that justifies "
+        "shipping kn_trigram_arpa (downstream jobs join the model's "
+        "stored integer micro values instead of re-deriving the LM; "
+        "the oracle shares the export's CTE chain verbatim): seen "
+        "trigrams cost their stored nlp3; count-pruned ones back off "
+        "through the stored (w1,w2) context weight to the bigram row "
+        "(n_backoff audits how often — nonzero by construction at "
+        "prune3=2). Five keyed LEFT joins of the per-doc trigram "
+        "count table against a type-bounded model; integer micro-nat "
+        "order-free sums. ops/lm.kn3_doc_scores / KN3_COST.",
+    tags=("retrieval", "text", "ml", "north-star"),
+)
+def kn_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.lm import kn3_doc_scores
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (kn3_doc_scores(d, prune3=2)
+            .select("doc_id", "n_trigrams", "n_backoff", "nll3_micro",
+                    "avg_nll3_micro")
+            .orderBy("doc_id"))

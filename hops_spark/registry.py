@@ -118,6 +118,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "preference_pair_overlap",  # within-pair near-dup gate (Jaccard ppm)
     "prompt_group_stats",      # per-prompt response-group reward stats
     "mixture_anneal_schedule",  # DoReMi -> uniform per-step Hamilton
+    "kn_trigram_perplexity",   # ARPA-consumer backoff scoring
 )
 # Round-12 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-11 REPROVE set (queries whose implementation changed after

@@ -254,3 +254,40 @@ def test_calibration_stream_folds_like_batch(spark, tmp_path):
     calibration_batch_update(b1, 1, state, calib, weights, dim=16,
                              seed="ct")
     assert (written(0), written(1)) == before
+
+
+def test_kn3_doc_scores_backoff_replays_stored_table(spark):
+    """The consumer's per-doc NLL equals a python replay over the
+    exported ARPA table: seen trigrams cost stored nlp3, pruned ones
+    cost -ln(bow2/1e6) + nlp2 off the stored integers."""
+    import math
+
+    from hops_spark.ops.lm import (kn3_arpa, kn3_doc_scores,
+                                   trigram_count_table)
+
+    docs = _docs(spark, [(1, "a b c a b c x y z"), (2, "a b c q")])
+    c3 = trigram_count_table(docs)
+    arpa = {(r["ord"], r["w1"], r["w2"], r["w3"]): r
+            for r in kn3_arpa(c3, prune3=2).collect()}
+
+    def cost(w1, w2, w3):
+        t = arpa.get((3, w1, w2, w3))
+        if t is not None:
+            return t["nlp_micro"]
+        bo = arpa[(2, w1, w2, "")]["bow_micro"]
+        bo_c = int(round(-math.log(max(bo, 1) / 1e6) * 1e6))
+        return bo_c + arpa[(2, w2, w3, "")]["nlp_micro"]
+
+    truth = {}
+    for did, text in [(1, "a b c a b c x y z"), (2, "a b c q")]:
+        w = text.split()
+        tris = [(w[i], w[i + 1], w[i + 2]) for i in range(len(w) - 2)]
+        nll = sum(cost(*t) for t in tris)
+        nb = sum(1 for t in tris if (3, *t) not in arpa)
+        truth[did] = (len(tris), nb, nll)
+    got = {r["doc_id"]: (r["n_trigrams"], r["n_backoff"], r["nll3_micro"])
+           for r in kn3_doc_scores(docs, prune3=2).collect()}
+    assert got == truth
+    # the pruned path fired at least once (abc appears 2x -> kept;
+    # every other trigram is a singleton -> backoff)
+    assert any(nb > 0 for _, nb, _ in truth.values())
