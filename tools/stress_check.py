@@ -573,6 +573,66 @@ def main() -> int:
     iv_ok = bool(rep_ok and got_pairs == expect_pairs)
     t_iv = time.time() - t0
 
+    # tier 19 — trigram-KN ARPA export + ARPA-consumer scoring at 500k
+    # docs / ~1M model rows, fully closed-form (round 11). Corpus:
+    # 1000 groups x 500 docs, doc d in group g is
+    # "a_g b_g c_g a_g b_g c_g x_d" — per group the trigram counts are
+    # abc=2m, bca=m, cab=m plus one singleton bcx_d per doc, so the
+    # section sizes are exact (ord3 = 3g kept at prune>=2, ord2 =
+    # 3g + n pairs, ord1 = 3g + n words) and EVERY doc scores
+    # identically: 5 trigram tokens, exactly 1 through the backoff
+    # branch (the pruned singleton). The consumer total is
+    # cross-checked against the exported table's own stored integers
+    # (only the -ln(bow) term is recomputed, +-1 micro tolerance for
+    # the last-ulp ln difference between python and the engines).
+    import math
+
+    from hops_spark.ops.lm import kn3_arpa, kn3_doc_scores, trigram_count_table
+    t0 = time.time()
+    kg, km = 1000, 500
+    n_kn = kg * km
+    kdocs = spark.range(0, n_kn, 1, parts).select(
+        F.col("id").alias("doc_id"),
+        F.format_string("a%d b%d c%d a%d b%d c%d x%d",
+                        F.col("id") % kg, F.col("id") % kg,
+                        F.col("id") % kg, F.col("id") % kg,
+                        F.col("id") % kg, F.col("id") % kg,
+                        F.col("id")).alias("text"))
+    arpa = kn3_arpa(trigram_count_table(kdocs), prune3=2)
+    sec = {r["ord"]: (r["cnt"], r["dn"]) for r in
+           arpa.groupBy("ord").agg(
+               F.count("*").alias("cnt"),
+               F.countDistinct("nlp_micro").alias("dn")).collect()}
+    # ord3: 3 per group, each role (abc/bca/cab) one distinct nlp value
+    # corpus-wide; ord2: 3g + n rows; ord1: 3g + n rows
+    arpa_ok = (sec[3] == (3 * kg, 3)
+               and sec[2][0] == 3 * kg + n_kn
+               and sec[1][0] == 3 * kg + n_kn)
+    scored = kn3_doc_scores(kdocs, prune3=2)
+    st = scored.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_trigrams").alias("tt"),
+        F.sum("n_backoff").alias("tb"),
+        F.countDistinct("nll3_micro").alias("dnll"),
+        F.max("nll3_micro").alias("nll")).collect()[0]
+    # stored-integer replay of the identical per-doc cost: group-0
+    # rows stand for all (dnll == 1 certifies corpus-wide identity)
+    rows = {(r["ord"], r["w1"], r["w2"], r["w3"]): r
+            for r in arpa.filter(
+                F.col("w1").isin("a0", "b0", "c0")
+                | F.col("w2").isin("a0", "b0", "c0")).collect()}
+    bow_bc = rows[(2, "b0", "c0", "")]["bow_micro"]
+    nlp2_cx = rows[(2, "c0", "x0", "")]["nlp_micro"]
+    expect_doc = (2 * rows[(3, "a0", "b0", "c0")]["nlp_micro"]
+                  + rows[(3, "b0", "c0", "a0")]["nlp_micro"]
+                  + rows[(3, "c0", "a0", "b0")]["nlp_micro"]
+                  + int(round(-math.log(bow_bc / 1e6) * 1e6)) + nlp2_cx)
+    kn_ok = bool(arpa_ok and st["docs"] == n_kn
+                 and st["tt"] == 5 * n_kn and st["tb"] == n_kn
+                 and st["dnll"] == 1
+                 and abs(st["nll"] - expect_doc) <= 1)
+    t_kn = time.time() - t0
+
     out = {"job": "stress_check", "n_rows": n, "n_partitions": parts,
            "rank_ok": bool(rank_ok), "rank_sec": round(t_rank, 1),
            "prefix_sum_ok": bool(ps_ok), "prefix_sum_sec": round(t_ps, 1),
@@ -602,12 +662,14 @@ def main() -> int:
            "interval_two_tier_ok": bool(iv_ok),
            "interval_two_tier_sec": round(t_iv, 1),
            "interval_rep_fine": int(rep_fine),
-           "interval_rep_coarse": int(rep_coarse)}
+           "interval_rep_coarse": int(rep_coarse),
+           "kn_trigram_ok": bool(kn_ok),
+           "kn_trigram_sec": round(t_kn, 1)}
     print(json.dumps(out))
     return 0 if all((rank_ok, ps_ok, skew_ok, dedup_ok, inc_ok,
                      ann_ok, meta_ok, tl_ok, wj_ok, tri_ok,
                      spans_ok, spans_int_ok, pq_ok, media_ok, decon_ok,
-                     lpa_ok, iv_ok)) else 1
+                     lpa_ok, iv_ok, kn_ok)) else 1
 
 
 if __name__ == "__main__":
