@@ -110,6 +110,7 @@ HEADLINE = [
     "prompt_group_stats",
     "mixture_anneal_schedule",
     "kn_trigram_perplexity",
+    "kn_heldout_perplexity",
 ]
 
 

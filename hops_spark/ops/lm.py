@@ -386,18 +386,22 @@ def kn3_arpa(c3: DataFrame, prune3: int = 2) -> DataFrame:
 # Per-trigram scoring cost against the ARPA table, ARPA-consumer
 # semantics (backoff evaluation over the STORED integer micro values —
 # what a KenLM reader does with the shipped file): a seen (unpruned)
-# trigram costs its stored nlp3; a pruned one backs off through the
-# (w1,w2) context weight to the bigram row; a bigram miss backs off
-# again to the continuation unigram. ONE text on both engines. The
-# greatest(..., 1) floor guards ln(0) for a bow that rounds to 0 micro
-# (possible only for contexts with > ~1.5M/n1f tokens — cheap
-# insurance at 100 TB).
-KN3_BO = ("CAST(round(-ln(CAST(greatest({b}, 1) AS DOUBLE) / 1000000e0)"
-          " * 1000000, 0) AS BIGINT)")
+# trigram costs its stored nlp3; a pruned/unseen one backs off through
+# the (w1,w2) context weight to the bigram row; a bigram miss backs
+# off again to the continuation unigram; an out-of-vocabulary word
+# costs the <unk> floor -ln(1/(N1+(··)+1)) = ln(t2+1). A MISSING
+# backoff context contributes bow 1 (cost 0) — the standard ARPA
+# missing-context rule, via coalesce to 1e6 linear-micro. ONE text on
+# both engines. The greatest(..., 1) floor guards ln(0) for a bow
+# that rounds to 0 micro (contexts beyond ~1.5M/n1f tokens).
+KN3_BO = ("CAST(round(-ln(CAST(greatest(coalesce({b}, 1000000), 1) "
+          "AS DOUBLE) / 1000000e0) * 1000000, 0) AS BIGINT)")
+KN3_UNK = ("CAST(round(ln(CAST(t2 + 1 AS DOUBLE)) * 1000000, 0) "
+           "AS BIGINT)")
 KN3_COST = (f"CASE WHEN nlp3 IS NOT NULL THEN nlp3 "
             f"WHEN nlp2 IS NOT NULL THEN {KN3_BO.format(b='bow2')} + nlp2 "
             f"ELSE {KN3_BO.format(b='bow2')} + {KN3_BO.format(b='bow1')} "
-            f"+ nlp1 END")
+            f"+ coalesce(nlp1, {KN3_UNK}) END")
 
 
 def kn3_doc_scores(docs: DataFrame, prune3: int = 2,
@@ -428,7 +432,17 @@ def kn3_doc_scores(docs: DataFrame, prune3: int = 2,
     per = per.localCheckpoint(eager=True)   # feeds the model AND scoring
     c3 = per.groupBy("w1", "w2", "w3").agg(
         F.sum("n_local").cast("long").alias("n"))
-    arpa = kn3_arpa(c3, prune3=prune3)
+    return kn3_score_docs(per, kn3_arpa(c3, prune3=prune3), id_col)
+
+
+def kn3_score_docs(per_doc_counts: DataFrame, arpa: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Consumer core: score a per-doc trigram count table against ANY
+    exported ARPA table (the model need not come from the scored
+    corpus — the held-out face passes a model trained elsewhere).
+    Reads ONLY the model's stored columns — t2 for the <unk> floor is
+    recovered as the count of suffix-pair rows (ord-2 rows carrying a
+    probability), so a shipped table is self-sufficient."""
     m3 = (arpa.filter("ord = 3")
               .select("w1", "w2", "w3", F.col("nlp_micro").alias("nlp3")))
     m2 = arpa.filter("ord = 2").select(
@@ -437,31 +451,56 @@ def kn3_doc_scores(docs: DataFrame, prune3: int = 2,
     m1 = arpa.filter("ord = 1").select(
         F.col("w1").alias("u"), F.col("nlp_micro").alias("nlp1"),
         F.col("bow_micro").alias("b1"))
-    j = (per.join(m3, ["w1", "w2", "w3"], "left")
-            .join(m2.select(F.col("a"), F.col("b"),
-                            F.col("nlp2")),
-                  (F.col("a") == F.col("w2")) & (F.col("b") == F.col("w3")),
-                  "left").drop("a", "b")
-            .join(m2.select(F.col("a").alias("a2"), F.col("b").alias("b2"),
-                            F.col("bw").alias("bow2")),
-                  (F.col("a2") == F.col("w1")) & (F.col("b2") == F.col("w2")),
-                  "left").drop("a2", "b2")
-            .join(m1.select(F.col("u"), F.col("nlp1")),
-                  F.col("u") == F.col("w3"), "left").drop("u")
-            .join(m1.select(F.col("u").alias("u2"),
-                            F.col("b1").alias("bow1")),
-                  F.col("u2") == F.col("w2"), "left").drop("u2"))
-    scored = j.withColumn("cost", F.expr(KN3_COST)) \
-              .withColumn("backoff",
-                          F.col("nlp3").isNull().cast("long"))
+    t2f = (arpa.filter("ord = 2 AND nlp_micro IS NOT NULL")
+               .agg(F.count("*").cast("long").alias("t2")))
+    j = (per_doc_counts
+         .join(m3, ["w1", "w2", "w3"], "left")
+         .join(m2.select(F.col("a"), F.col("b"), F.col("nlp2")),
+               (F.col("a") == F.col("w2")) & (F.col("b") == F.col("w3")),
+               "left").drop("a", "b")
+         .join(m2.select(F.col("a").alias("a2"), F.col("b").alias("b2"),
+                         F.col("bw").alias("bow2")),
+               (F.col("a2") == F.col("w1")) & (F.col("b2") == F.col("w2")),
+               "left").drop("a2", "b2")
+         .join(m1.select(F.col("u"), F.col("nlp1")),
+               F.col("u") == F.col("w3"), "left").drop("u")
+         .join(m1.select(F.col("u").alias("u2"),
+                         F.col("b1").alias("bow1")),
+               F.col("u2") == F.col("w2"), "left").drop("u2")
+         .crossJoin(F.broadcast(t2f)))
+    scored = (j.withColumn("cost", F.expr(KN3_COST))
+               .withColumn("backoff", F.col("nlp3").isNull().cast("long"))
+               .withColumn("oov", (F.col("nlp3").isNull()
+                                   & F.col("nlp2").isNull()
+                                   & F.col("nlp1").isNull()).cast("long")))
     out = (scored.groupBy(id_col)
                  .agg(F.sum("n_local").cast("long").alias("n_trigrams"),
                       F.sum(F.col("backoff") * F.col("n_local"))
                        .cast("long").alias("n_backoff"),
+                      F.sum(F.col("oov") * F.col("n_local"))
+                       .cast("long").alias("n_oov"),
                       F.sum(F.col("cost") * F.col("n_local"))
                        .cast("long").alias("nll3_micro")))
     return out.withColumn("avg_nll3_micro",
                           F.expr("nll3_micro div n_trigrams"))
+
+
+def kn3_heldout_scores(train_docs: DataFrame, test_docs: DataFrame,
+                       prune3: int = 2, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Held-out trigram-KN perplexity (the CCNet gating shape, Wenzek
+    et al. 2020: score crawl documents under an LM trained on a CLEAN
+    reference — here the model corpus and the scored corpus are
+    disjoint): kn3_arpa on ``train_docs``, kn3_score_docs on
+    ``test_docs``. Unlike the self-scoring face, the unseen-bigram
+    double-backoff branch and the <unk> floor genuinely fire here —
+    n_backoff/n_oov per doc make the miss rates auditable."""
+    arpa = kn3_arpa(trigram_count_table(train_docs, id_col, text_col),
+                    prune3=prune3)
+    per = (trigram_rows(test_docs, id_col, text_col)
+           .groupBy(id_col, "w1", "w2", "w3")
+           .agg(F.count("*").cast("long").alias("n_local")))
+    return kn3_score_docs(per, arpa, id_col)
 
 
 def doc_kn_scores(docs: DataFrame, id_col: str = "doc_id",

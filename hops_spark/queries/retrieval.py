@@ -1890,13 +1890,14 @@ from hops_spark.ops.lm import KN3_COST  # noqa: E402
         FROM dtg GROUP BY doc_id, w1, w2, w3
     ), sc3 AS (
         SELECT d.doc_id, d.n_local, o3.nlp3, s.nlp2, p.bw AS bow2,
-               u1.nlp1, ub.b1 AS bow1
+               u1.nlp1, ub.b1 AS bow1, t2t.t2
         FROM dpc d
         LEFT JOIN o3 ON o3.w1 = d.w1 AND o3.w2 = d.w2 AND o3.w3 = d.w3
         LEFT JOIN o2 s ON s.a = d.w2 AND s.b = d.w3
         LEFT JOIN o2 p ON p.a = d.w1 AND p.b = d.w2
         LEFT JOIN o1 u1 ON u1.u = d.w3
         LEFT JOIN o1 ub ON ub.u = d.w2
+        CROSS JOIN t2t
     ), costed AS (
         SELECT doc_id, n_local,
                {KN3_COST} AS cost,
@@ -1930,4 +1931,79 @@ def kn_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (kn3_doc_scores(d, prune3=2)
             .select("doc_id", "n_trigrams", "n_backoff", "nll3_micro",
                     "avg_nll3_micro")
+            .orderBy("doc_id"))
+
+
+# the model chain over the EVEN-doc training split only (the one
+# `FROM documents` in the shared chain is wt's)
+_KN3_CTES_EVEN = _KN3_CTES.replace(
+    "FROM documents", "FROM documents WHERE doc_id % 2 = 0")
+
+
+@register(
+    "kn_heldout_perplexity",
+    sql=f"""
+    WITH {_KN3_CTES_EVEN}, o3 AS (
+        SELECT w1, w2, w3, nlp_micro AS nlp3 FROM ord3
+    ), o2 AS (
+        SELECT w1 AS a, w2 AS b, nlp_micro AS nlp2, bow_micro AS bw
+        FROM ord2
+    ), o1 AS (
+        SELECT w1 AS u, nlp_micro AS nlp1, bow_micro AS b1 FROM ord1
+    ), wto AS (
+        SELECT doc_id, {{DW}} AS w FROM documents WHERE doc_id % 2 = 1
+    ), dtg AS (
+        SELECT doc_id, w[i.i] AS w1, w[i.i + 1] AS w2, w[i.i + 2] AS w3
+        FROM wto, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+        WHERE len(w) >= 3
+    ), dpc AS (
+        SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS n_local
+        FROM dtg GROUP BY doc_id, w1, w2, w3
+    ), sc3 AS (
+        SELECT d.doc_id, d.n_local, o3.nlp3, s.nlp2, p.bw AS bow2,
+               u1.nlp1, ub.b1 AS bow1, t2t.t2
+        FROM dpc d
+        LEFT JOIN o3 ON o3.w1 = d.w1 AND o3.w2 = d.w2 AND o3.w3 = d.w3
+        LEFT JOIN o2 s ON s.a = d.w2 AND s.b = d.w3
+        LEFT JOIN o2 p ON p.a = d.w1 AND p.b = d.w2
+        LEFT JOIN o1 u1 ON u1.u = d.w3
+        LEFT JOIN o1 ub ON ub.u = d.w2
+        CROSS JOIN t2t
+    ), costed AS (
+        SELECT doc_id, n_local,
+               {KN3_COST} AS cost,
+               CASE WHEN nlp3 IS NULL THEN 1 ELSE 0 END AS backoff,
+               CASE WHEN nlp3 IS NULL AND nlp2 IS NULL AND nlp1 IS NULL
+                    THEN 1 ELSE 0 END AS oov
+        FROM sc3
+    )
+    SELECT doc_id,
+           CAST(sum(n_local) AS BIGINT) AS n_trigrams,
+           CAST(sum(backoff * n_local) AS BIGINT) AS n_backoff,
+           CAST(sum(oov * n_local) AS BIGINT) AS n_oov,
+           CAST(sum(cost * n_local) AS BIGINT) AS nll3_micro,
+           CAST(sum(cost * n_local) // sum(n_local) AS BIGINT)
+               AS avg_nll3_micro
+    FROM costed GROUP BY doc_id ORDER BY doc_id
+    """.replace("{DW}", _DUCK_WORDS),
+    doc="HELD-OUT trigram-KN perplexity — the CCNet corpus-gating "
+        "shape (Wenzek et al. 2020: score crawl docs under an LM "
+        "trained on a clean reference): the ARPA model is built from "
+        "the EVEN doc_ids only and the ODD docs are scored against it "
+        "through the full backoff chain — unseen trigrams route "
+        "through the stored context weight, unseen bigrams "
+        "double-back-off to the continuation unigram, out-of-"
+        "vocabulary words cost the <unk> floor ln(N1+(..)+1); missing "
+        "backoff contexts contribute bow 1 (the ARPA missing-context "
+        "rule, coalesce in KN3_COST). n_backoff / n_oov make the miss "
+        "rates auditable per doc. ops/lm.kn3_heldout_scores.",
+    tags=("retrieval", "text", "ml", "north-star"),
+)
+def kn_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.lm import kn3_heldout_scores
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (kn3_heldout_scores(d.filter("doc_id % 2 = 0"),
+                               d.filter("doc_id % 2 = 1"), prune3=2)
+            .select("doc_id", "n_trigrams", "n_backoff", "n_oov",
+                    "nll3_micro", "avg_nll3_micro")
             .orderBy("doc_id"))

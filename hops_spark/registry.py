@@ -119,6 +119,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "prompt_group_stats",      # per-prompt response-group reward stats
     "mixture_anneal_schedule",  # DoReMi -> uniform per-step Hamilton
     "kn_trigram_perplexity",   # ARPA-consumer backoff scoring
+    "kn_heldout_perplexity",   # CCNet-shaped held-out gating
 )
 # Round-12 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-11 REPROVE set (queries whose implementation changed after

@@ -291,3 +291,48 @@ def test_kn3_doc_scores_backoff_replays_stored_table(spark):
     # the pruned path fired at least once (abc appears 2x -> kept;
     # every other trigram is a singleton -> backoff)
     assert any(nb > 0 for _, nb, _ in truth.values())
+
+
+def test_kn3_heldout_all_backoff_branches(spark):
+    """Held-out scoring fires every branch: seen trigram, pruned->bow2
+    backoff, unseen-bigram double backoff, and the <unk> OOV floor —
+    each replayed from the stored table in python."""
+    import math
+
+    from hops_spark.ops.lm import (kn3_arpa, kn3_heldout_scores,
+                                   trigram_count_table)
+
+    train = _docs(spark, [(0, "a b c a b c"), (2, "a b c d e f")])
+    #               trigrams: abc x2 (kept), bca, cab (pruned),
+    #               bcd, cde, def (singletons, pruned)
+    test = _docs(spark, [
+        (1, "a b c"),       # seen trigram (kept)
+        (3, "a b d"),       # pruned/unseen trigram, (b,d) unseen pair:
+                            # double backoff, d in vocab
+        (5, "a b zz")])     # zz out of vocabulary -> <unk> floor
+    got = {r["doc_id"]: r for r in
+           kn3_heldout_scores(train, test, prune3=2).collect()}
+    arpa = {(r["ord"], r["w1"], r["w2"], r["w3"]): r
+            for r in kn3_arpa(
+                trigram_count_table(train), prune3=2).collect()}
+    t2 = sum(1 for k, r in arpa.items()
+             if k[0] == 2 and r["nlp_micro"] is not None)
+
+    def bo(key):
+        r = arpa.get(key)
+        b = r["bow_micro"] if r is not None else 1_000_000
+        return int(round(-math.log(max(b, 1) / 1e6) * 1e6))
+
+    # doc 1: stored nlp3 of (a,b,c); no backoff, no oov
+    assert (got[1]["n_backoff"], got[1]["n_oov"]) == (0, 0)
+    assert got[1]["nll3_micro"] == arpa[(3, "a", "b", "c")]["nlp_micro"]
+    # doc 3: bow2(a,b) + bow1(b) + nlp1(d) — double backoff, in-vocab
+    assert (got[3]["n_backoff"], got[3]["n_oov"]) == (1, 0)
+    exp3 = (bo((2, "a", "b", "")) + bo((1, "b", "", ""))
+            + arpa[(1, "d", "", "")]["nlp_micro"])
+    assert abs(got[3]["nll3_micro"] - exp3) <= 2
+    # doc 5: same chain but <unk> floor for zz
+    assert (got[5]["n_backoff"], got[5]["n_oov"]) == (1, 1)
+    exp5 = (bo((2, "a", "b", "")) + bo((1, "b", "", ""))
+            + int(round(math.log(t2 + 1) * 1e6)))
+    assert abs(got[5]["nll3_micro"] - exp5) <= 2
