@@ -111,6 +111,7 @@ HEADLINE = [
     "mixture_anneal_schedule",
     "kn_trigram_perplexity",
     "kn_heldout_perplexity",
+    "anneal_step_sample",
 ]
 
 

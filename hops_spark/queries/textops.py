@@ -1737,19 +1737,25 @@ def mixture_schedule_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANNEAL_K = 4   # anneal steps: step 0 = DoReMi mixture, step K = uniform
 
-
-@register(
-    "mixture_anneal_schedule",
-    sql=f"""
-    WITH {_DRM_CTES}, stp AS (
+# The per-step Hamilton anneal chain, shared by the schedule query and
+# its execution companion (anneal_step_sample) — one derivation.
+_ANL_CTES = f"""{_DRM_CTES}, mixmat AS MATERIALIZED (
+        -- DuckDB inlines plain CTEs PER REFERENCE; the DoReMi chain
+        -- behind `mixture` is the whole count-table job, and the
+        -- anneal/execution queries reference it several times —
+        -- materialize the <= n_domains-row result once (measured
+        -- 190 s -> seconds on anneal_step_sample's oracle face; the
+        -- Spark face's localCheckpoint is the same fix, note 109)
+        SELECT * FROM mixture
+    ), stp AS (
         SELECT unnest(range(0, {ANNEAL_K} + 1)) AS step
     ), nd AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_dom FROM mixture
+        SELECT CAST(count(*) AS BIGINT) AS n_dom FROM mixmat
     ), araw AS (
         SELECT s.step, m.source,
                CAST(({ANNEAL_K} - s.step) * m.weight_ppm * nd.n_dom
                     + s.step * 1000000 AS BIGINT) AS rw
-        FROM mixture m, stp s, nd
+        FROM mixmat m, stp s, nd
     ), att AS (
         SELECT step, CAST(sum(rw) AS BIGINT) AS t FROM araw GROUP BY step
     ), abase AS (
@@ -1767,12 +1773,19 @@ ANNEAL_K = 4   # anneal steps: step 0 = DoReMi mixture, step K = uniform
                   AND (o.rem > b.rem
                        OR (o.rem = b.rem AND o.source < b.source))) AS r
         FROM abase b
-    )
-    SELECT CAST(ark.step AS INT) AS step, ark.source,
-           CAST(base_n + (CASE WHEN r < k THEN 1 ELSE 0 END) AS BIGINT)
-               AS weight_ppm
-    FROM ark JOIN alo ON alo.step = ark.step
-    ORDER BY step, source
+    ), anneal AS MATERIALIZED (
+        SELECT CAST(ark.step AS INT) AS step, ark.source,
+               CAST(base_n + (CASE WHEN r < k THEN 1 ELSE 0 END)
+                    AS BIGINT) AS weight_ppm
+        FROM ark JOIN alo ON alo.step = ark.step
+    )"""
+
+
+@register(
+    "mixture_anneal_schedule",
+    sql=f"""
+    WITH {_ANL_CTES}
+    SELECT step, source, weight_ppm FROM anneal ORDER BY step, source
     """,
     doc="Step-indexed mixture ANNEALING schedule: linear interpolation "
         "from the DoReMi-optimized mixture (step 0) to uniform (step "
@@ -1791,6 +1804,123 @@ def mixture_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hops_spark.ops.mixture import anneal_schedule
     mix = _doremi_mixture(spark, sf_dir)
     return anneal_schedule(mix, steps=ANNEAL_K)
+
+
+@register(
+    "anneal_step_sample",
+    sql=f"""
+    WITH {_ANL_CTES}, arated AS (
+        -- zero-share guard: the mixture_schedule_sample rule, per step
+        SELECT a.step, a.source, m.w0_ppm, a.weight_ppm,
+               CASE WHEN m.w0_ppm = 0 THEN NULL
+                    ELSE (a.weight_ppm * 1000000) // m.w0_ppm END AS r_raw
+        FROM anneal a JOIN mixmat m USING (source)
+    ), amx AS (
+        SELECT step, CAST(max(r_raw) AS BIGINT) AS mx
+        FROM arated GROUP BY step
+    ), arates AS (
+        SELECT r.step, r.source, r.weight_ppm,
+               CAST(CASE WHEN r_raw IS NULL THEN 1000000
+                         ELSE (r_raw * 1000000) // mx END AS BIGINT)
+                   AS rate_ppm
+        FROM arated r JOIN amx USING (step)
+    ), adocs AS (
+        SELECT d.source,
+               greatest(CAST(len({_DUCK_WORDS}) AS BIGINT) - 1, 0) AS nb,
+               ('0x' || substring(md5('mix|' || CAST(d.doc_id AS VARCHAR)),
+                                  1, 7))::BIGINT % 1000000 AS h
+        FROM documents d
+    ), agated AS (
+        SELECT r.step, d.source, d.nb, r.rate_ppm, r.weight_ppm,
+               (d.h < r.rate_ppm) AS kept
+        FROM adocs d JOIN arates r USING (source)
+    ), akept AS MATERIALIZED (
+        SELECT step, source,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(max(rate_ppm) AS BIGINT) AS rate_ppm,
+               CAST(max(weight_ppm) AS BIGINT) AS target_ppm,
+               CAST(sum(CASE WHEN kept THEN nb ELSE 0 END) AS BIGINT)
+                   AS kept_tokens
+        FROM agated GROUP BY step, source
+    ), atot AS (
+        SELECT step, CAST(sum(kept_tokens) AS BIGINT) AS t
+        FROM akept GROUP BY step
+    )
+    SELECT k.step, k.source, n_kept, rate_ppm, kept_tokens,
+           CAST(CASE WHEN t = 0 THEN 0
+                     ELSE (kept_tokens * 1000000) // t END AS BIGINT)
+               AS achieved_ppm,
+           target_ppm
+    FROM akept k JOIN atot USING (step)
+    ORDER BY step, source
+    """,
+    doc="EXECUTE the annealing curriculum (the design/execution "
+        "pairing of mixture_anneal_schedule, exactly as neyman_sample "
+        "executes neyman_allocation): per training step, per-domain "
+        "keep-rates ∝ step weight / token share scaled so the most "
+        "upweighted domain keeps everything, gated per doc by the "
+        "SAME deterministic md5 draw at every step — so a domain's "
+        "kept sets are NESTED across steps (a doc that survives a "
+        "tighter step survives every looser one: the curriculum "
+        "property that lets shards be materialized once and "
+        "prefix-sliced per step). Emits realized vs target token "
+        "share per (step, domain). ONE corpus scan joined to the "
+        "(K+1)·n_domains broadcast rate table; two bounded keyed "
+        "aggregates. ops/mixture.anneal_schedule.",
+    tags=("text", "ml", "sampling"),
+)
+def anneal_step_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.mixture import anneal_schedule
+    mix = (_doremi_mixture(spark, sf_dir)
+           .select("source", "w0_ppm", "weight_ppm")
+           .localCheckpoint(eager=True))
+    ann = anneal_schedule(mix.select("source", "weight_ppm"),
+                          steps=ANNEAL_K)
+    arated = (ann.join(mix.select("source", "w0_ppm"), "source")
+                 .withColumn("r_raw",
+                             F.expr("CASE WHEN w0_ppm = 0 THEN NULL "
+                                    "ELSE (weight_ppm * 1000000) div "
+                                    "w0_ppm END")))
+    amx = arated.groupBy("step").agg(
+        F.max("r_raw").cast("long").alias("mx"))
+    arates = (arated.join(F.broadcast(amx), "step")
+                    .select("step", "source", "weight_ppm",
+                            F.expr("CAST(CASE WHEN r_raw IS NULL THEN "
+                                   "1000000 ELSE (r_raw * 1000000) div mx "
+                                   "END AS BIGINT)").alias("rate_ppm")))
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    adocs = d.select(
+        "source",
+        F.greatest(F.size(words("text")).cast("long") - 1,
+                   F.lit(0)).alias("nb"),
+        F.pmod(F.conv(F.substring(
+            F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))),
+            1, 7), 16, 10).cast("long"), F.lit(1_000_000)).alias("h"))
+    gated = (adocs.join(F.broadcast(arates), "source")
+                  .withColumn("kept", F.col("h") < F.col("rate_ppm")))
+    per = (gated.groupBy("step", "source")
+                .agg(F.sum(F.col("kept").cast("long")).cast("long")
+                      .alias("n_kept"),
+                     F.max("rate_ppm").cast("long").alias("rate_ppm"),
+                     F.max("weight_ppm").cast("long").alias("target_ppm"),
+                     F.sum(F.when(F.col("kept"), F.col("nb"))
+                            .otherwise(F.lit(0))).cast("long")
+                      .alias("kept_tokens"))
+                # (K+1)·n_domains rows, two consumers (atot + the final
+                # join) whose lineage is the corpus scan — note-109 rule
+                .localCheckpoint(eager=True))
+    atot = per.groupBy("step").agg(
+        F.sum("kept_tokens").cast("long").alias("t"))
+    return (per.join(F.broadcast(atot), "step")
+               .select("step", "source", "n_kept", "rate_ppm",
+                       "kept_tokens",
+                       F.expr("CAST(CASE WHEN t = 0 THEN 0 "
+                              "ELSE (kept_tokens * 1000000) div t END "
+                              "AS BIGINT)").alias("achieved_ppm"),
+                       "target_ppm")
+               .orderBy("step", "source"))
 
 
 CR_DIM = 64   # hashed-BOW dimension for chunk vectors

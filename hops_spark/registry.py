@@ -120,6 +120,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "mixture_anneal_schedule",  # DoReMi -> uniform per-step Hamilton
     "kn_trigram_perplexity",   # ARPA-consumer backoff scoring
     "kn_heldout_perplexity",   # CCNet-shaped held-out gating
+    "anneal_step_sample",      # executes the annealing curriculum
 )
 # Round-12 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-11 REPROVE set (queries whose implementation changed after

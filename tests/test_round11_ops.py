@@ -336,3 +336,37 @@ def test_kn3_heldout_all_backoff_branches(spark):
     exp5 = (bo((2, "a", "b", "")) + bo((1, "b", "", ""))
             + int(round(math.log(t2 + 1) * 1e6)))
     assert abs(got[5]["nll3_micro"] - exp5) <= 2
+
+
+def test_anneal_step_sample_nested_and_consistent(spark, tmp_path):
+    """Curriculum execution properties: (1) per-source kept counts are
+    monotone across steps in the direction of the weight change (the
+    shared md5 draw makes kept sets NESTED); (2) step 0 reproduces
+    mixture_schedule_sample's kept counts exactly (same rates, same
+    draw)."""
+    from hops_spark.queries.textops import (anneal_step_sample,
+                                            mixture_schedule_sample)
+
+    rows = []
+    for i in range(40):
+        src = f"s{i % 2}"
+        text = ("common words here again and again"
+                if i % 2 else "rare mix of highly varied tokens")
+        rows.append((i, src, "en", text + f" tail{i}"))
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = anneal_step_sample(spark, str(tmp_path)).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["source"], {})[r["step"]] = r
+    for src, steps in by.items():
+        ks = [steps[s]["n_kept"] for s in sorted(steps)]
+        assert ks == sorted(ks) or ks == sorted(ks, reverse=True), (src, ks)
+        rates = [steps[s]["rate_ppm"] for s in sorted(steps)]
+        assert max(rates) <= 1_000_000
+    step0 = {(r["source"]): (r["n_kept"], r["kept_tokens"])
+             for r in got if r["step"] == 0}
+    base = {r["source"]: (r["n_kept"], r["kept_tokens"])
+            for r in mixture_schedule_sample(spark, str(tmp_path)).collect()}
+    assert step0 == base
