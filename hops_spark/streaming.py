@@ -1291,3 +1291,80 @@ def calibration_stream(stream_docs: DataFrame, state_dir: str,
     return (stream_docs.writeStream.foreachBatch(upd)
             .option("checkpointLocation", checkpoint)
             .outputMode("append"))
+
+
+# --- continuously-refreshed trigram-KN ARPA model ------------------------
+
+TRI_STATS_SCHEMA = "w1 string, w2 string, w3 string, n long"
+
+
+def _latest_tri_epoch(spark: SparkSession, state_dir: str,
+                      at_most: int | None = None):
+    """Trigram-count face of ``_latest_epoch`` (schema owned by
+    ops/lm.trigram_count_table)."""
+    return _latest_epoch(spark, state_dir, TRI_STATS_SCHEMA, at_most)
+
+
+def arpa_batch_update(batch_df: DataFrame, batch_id: int, state_dir: str,
+                      model_dir: str, prune3: int = 2) -> None:
+    """One micro-batch of the continuously-refreshed language model:
+    the batch's trigram counts (ops/lm.trigram_count_table) fold into
+    the count store — raw counts are additive UNCONDITIONALLY, no
+    frozen anything needed, the simplest fold in the streaming family
+    — and the full interpolated-KN ARPA table (the SAME ops/lm.
+    kn3_arpa derivation the batch export uses) is rebuilt from the
+    folded counts into model_dir/batch=<id>. Downstream perplexity
+    gates (kn3_score_docs) read the newest batch dir — the KenLM
+    nightly-rebuild shape, continuously.
+
+    IDEMPOTENT under foreachBatch redelivery (the attribution/mixture/
+    calibration contract): store read capped at batch_id, writes keyed
+    by batch_id with overwrite, epoch batch_id+1 rewritten from
+    scratch, ≤ 2 epochs retained. State is TYPE-bounded (one row per
+    distinct trigram — the count-table store class, same as
+    term_stats_incremental), never token-proportional."""
+    import os
+    import shutil
+
+    from hops_spark.ops.lm import kn3_arpa, trigram_count_table
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    batch_counts = trigram_count_table(
+        batch_df.select("doc_id", "text"))
+    store, read_epoch = _latest_tri_epoch(spark, state_dir,
+                                          at_most=batch_id)
+    counts = batch_counts if store is None else (
+        store.unionByName(batch_counts)
+             .groupBy("w1", "w2", "w3")
+             .agg(F.sum("n").cast("long").alias("n")))
+    out = os.path.join(state_dir, f"epoch={batch_id + 1}")
+    counts.write.mode("overwrite").parquet(out)
+    folded = spark.read.schema(TRI_STATS_SCHEMA).parquet(out)
+    (kn3_arpa(folded, prune3=prune3)
+     .write.mode("overwrite")
+     .parquet(os.path.join(model_dir, f"batch={batch_id}")))
+    for d in os.listdir(state_dir):
+        if d.startswith("epoch="):
+            n = int(d.split("=", 1)[1])
+            if n != read_epoch and n != batch_id + 1:
+                shutil.rmtree(os.path.join(state_dir, d),
+                              ignore_errors=True)
+
+
+def arpa_stream(stream_docs: DataFrame, state_dir: str, model_dir: str,
+                checkpoint: str, prune3: int = 2):
+    """Continuous LM maintenance over a document stream: fold trigram
+    counts, rebuild the exported ARPA table per batch. Equivalence law
+    (pytest-asserted): the model written after batch k equals
+    kn3_arpa(trigram_count_table(union of batches 0..k)) — count
+    additivity makes the fold exact, and both faces share the
+    ops/lm derivation (the shared-derivation rule, LM edition)."""
+    def upd(batch_df: DataFrame, batch_id: int) -> None:
+        arpa_batch_update(batch_df, batch_id, state_dir, model_dir,
+                          prune3)
+
+    return (stream_docs.writeStream.foreachBatch(upd)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append"))

@@ -370,3 +370,35 @@ def test_anneal_step_sample_nested_and_consistent(spark, tmp_path):
     base = {r["source"]: (r["n_kept"], r["kept_tokens"])
             for r in mixture_schedule_sample(spark, str(tmp_path)).collect()}
     assert step0 == base
+
+
+def test_arpa_stream_folds_like_batch(spark, tmp_path):
+    """Continuously-refreshed LM: after each batch, the written ARPA
+    table equals the batch export over the UNION of batches so far
+    (count additivity), and redelivering the last batch changes
+    nothing."""
+    from hops_spark.ops.lm import kn3_arpa, trigram_count_table
+    from hops_spark.streaming import arpa_batch_update
+
+    b0 = _docs(spark, [(1, "a b c a b c"), (2, "a b d e")])
+    b1 = _docs(spark, [(3, "b c a b c"), (4, "c a b d")])
+    state, model = str(tmp_path / "st"), str(tmp_path / "m")
+
+    def written(bid):
+        return sorted(tuple(r) for r in
+                      spark.read.parquet(f"{model}/batch={bid}").collect())
+
+    def batch_answer(df):
+        return sorted(tuple(r) for r in
+                      kn3_arpa(trigram_count_table(df), prune3=2).collect())
+
+    arpa_batch_update(b0, 0, state, model)
+    assert written(0) == batch_answer(b0)
+    arpa_batch_update(b1, 1, state, model)
+    assert written(1) == batch_answer(b0.unionByName(b1))
+    # the fold genuinely moved the model: (a,b,c) count 2 -> 4 and new
+    # trigrams crossed the prune threshold
+    assert written(1) != written(0)
+    before = (written(0), written(1))
+    arpa_batch_update(b1, 1, state, model)   # replay idempotence
+    assert (written(0), written(1)) == before
