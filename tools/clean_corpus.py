@@ -28,7 +28,11 @@ Stages (each map-only or cap-bounded — see SCALE.md):
                       (ops/dedup.contamination_flags)
   6. perplexity gate — drop the worst LM outliers: docs whose bigram-LM
                       avg NLL exceeds the corpus p90 threshold computed
-                      from a 1-row aggregate (ops/lm.doc_nll_scores)
+                      from a 1-row aggregate (ops/lm.doc_nll_scores);
+                      --kn3-gate swaps the scorer for the trigram-KN
+                      ARPA consumer (ops/lm.kn3_doc_scores — the
+                      stored-model backoff evaluation, CCNet-grade
+                      smoothing instead of add-one)
   7. token budget   — optional (--budget-ppm N): keep only the
                       quality-ranked head within N ppm of surviving
                       corpus tokens (ops/sampling.quality_budget_head)
@@ -76,6 +80,7 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
                  excise_bench: bool = False,
                  strip_boilerplate: bool = False,
                  gopher_gate: bool = False,
+                 kn3_gate: bool = False,
                  budget_ppm: int | None = None) -> dict:
     d = load_table(spark, sf_dir, "documents")
     counts = {"input": d.count()}
@@ -226,7 +231,14 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
     # SURVIVING corpus (1-row percentile aggregate, broadcast back) —
     # CCNet keeps the low-perplexity head; the integer micro-nat scores
     # make the cut deterministic.
-    scores = doc_nll_scores(d.select("doc_id", "text"))
+    if kn3_gate:
+        # trigram-KN smoothing via the exported-model consumer path —
+        # same gate shape, better-calibrated tail (KN vs add-one)
+        from hops_spark.ops.lm import kn3_doc_scores
+        scores = kn3_doc_scores(d.select("doc_id", "text")).select(
+            "doc_id", F.col("avg_nll3_micro").alias("avg_nll_micro"))
+    else:
+        scores = doc_nll_scores(d.select("doc_id", "text"))
     thr = scores.agg(F.expr(
         "CAST(percentile_approx(avg_nll_micro, 0.9, 10000) AS BIGINT)")
         .alias("thr"))
@@ -295,6 +307,7 @@ def main() -> None:
     excise_bench = "--excise-bench" in args
     strip_boilerplate = "--strip-boilerplate" in args
     gopher_gate = "--gopher-gate" in args
+    kn3_gate = "--kn3-gate" in args
     budget_ppm = None
     if "--budget-ppm" in args:
         i = args.index("--budget-ppm")
@@ -306,7 +319,7 @@ def main() -> None:
             if a not in ("--nb-lang", "--avro", "--survivor-quality",
                          "--weighted-dedup", "--mixture", "--cut-spans",
                          "--excise-bench", "--strip-boilerplate",
-                         "--gopher-gate")]
+                         "--gopher-gate", "--kn3-gate")]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     out_dir = args[1] if len(args) > 1 else "/tmp/clean_corpus_out"
     bench_source = "src0"
@@ -319,7 +332,7 @@ def main() -> None:
                           mixture=mixture, cut_spans=cut_spans,
                           excise_bench=excise_bench,
                           strip_boilerplate=strip_boilerplate,
-                          gopher_gate=gopher_gate,
+                          gopher_gate=gopher_gate, kn3_gate=kn3_gate,
                           budget_ppm=budget_ppm)
     print(json.dumps({"job": "clean_corpus", "sf_dir": sf_dir,
                       "out": os.path.join(out_dir, "clean"), **counts}))
