@@ -512,3 +512,37 @@ def test_mixture_weights_model(spark, stats):
         assert (r["n_tokens"], r["nll_tok_micro"], r["excess_micro"],
                 r["w0_ppm"], r["weight_ppm"]) \
             == (n, nll_tok, excess, w0, want_w[s])
+
+
+@SET
+@given(w=st.lists(st.integers(min_value=0, max_value=1_000_000),
+                  min_size=2, max_size=6).filter(lambda v: sum(v) > 0),
+       steps=st.integers(min_value=1, max_value=5))
+def test_anneal_schedule_partition_law(spark, w, steps):
+    """For ANY weight vector and step count: every step's weights sum
+    to exactly 1e6 (Hamilton partition law), step 0 reproduces the
+    input when it is already a 1e6 partition, and all weights are
+    nonnegative."""
+    from hops_spark.ops.mixture import anneal_schedule
+
+    # normalize the random vector to an exact 1e6 partition first
+    # (largest-remainder by index), so the step-0 identity is testable;
+    # sum(w) > 0 by the strategy filter (leftover <= len(w) - 1 holds)
+    tot = sum(w)
+    base = [x * 1_000_000 // tot for x in w]
+    rem = sorted(range(len(w)),
+                 key=lambda i: (-(w[i] * 1_000_000 % tot), i))
+    for i in rem[:1_000_000 - sum(base)]:
+        base[i] += 1
+    mix = spark.createDataFrame(
+        [(f"s{i:02d}", b) for i, b in enumerate(base)],
+        "source string, weight_ppm long")
+    out = anneal_schedule(mix, steps=steps).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["step"], {})[r["source"]] = r["weight_ppm"]
+    assert set(per) == set(range(steps + 1))
+    for s, m in per.items():
+        assert sum(m.values()) == 1_000_000, s
+        assert all(v >= 0 for v in m.values())
+    assert per[0] == {f"s{i:02d}": b for i, b in enumerate(base)}
