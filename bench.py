@@ -112,6 +112,7 @@ HEADLINE = [
     "kn_trigram_perplexity",
     "kn_heldout_perplexity",
     "anneal_step_sample",
+    "arpa_model_card",
 ]
 
 

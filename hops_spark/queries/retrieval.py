@@ -2007,3 +2007,46 @@ def kn_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_trigrams", "n_backoff", "n_oov",
                     "nll3_micro", "avg_nll3_micro")
             .orderBy("doc_id"))
+
+
+@register(
+    "arpa_model_card",
+    sql=f"""
+    WITH {_KN3_CTES}, allrows AS (
+        SELECT * FROM ord1 UNION ALL SELECT * FROM ord2
+        UNION ALL SELECT * FROM ord3
+    )
+    SELECT CAST(ord AS INT) AS ord,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n) AS BIGINT) AS count_mass,
+           CAST(count(nlp_micro) AS BIGINT) AS n_scored,
+           CAST(sum(nlp_micro) // count(nlp_micro) AS BIGINT)
+               AS mean_nlp_micro,
+           CAST(sum(CASE WHEN bow_micro = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bow_passthrough
+    FROM allrows GROUP BY ord ORDER BY ord
+    """,
+    doc="The exported model's own data card — the per-order summary a "
+        "KenLM build prints (n-gram counts line of the ARPA header, "
+        "plus health columns): rows per section, raw count mass, how "
+        "many rows carry a probability (ord-2 pure-context rows do "
+        "not), mean stored cost in micro-nats, and how many contexts "
+        "back off with weight 1 (pass-through). Three rows off one "
+        "grouped aggregate over the model table — the sanity check a "
+        "pipeline runs before shipping the LM to its perplexity "
+        "gates. ops/lm.kn3_arpa.",
+    tags=("retrieval", "text", "ml"),
+)
+def arpa_model_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.lm import kn3_arpa, trigram_count_table
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    arpa = kn3_arpa(trigram_count_table(d), prune3=2)
+    return (arpa.groupBy(F.col("ord").cast("int").alias("ord"))
+                .agg(F.count("*").cast("long").alias("n_rows"),
+                     F.sum("n").cast("long").alias("count_mass"),
+                     F.count("nlp_micro").cast("long").alias("n_scored"),
+                     F.expr("CAST(sum(nlp_micro) div count(nlp_micro) "
+                            "AS BIGINT)").alias("mean_nlp_micro"),
+                     F.sum((F.col("bow_micro") == 0).cast("long"))
+                      .cast("long").alias("n_bow_passthrough"))
+                .orderBy("ord"))

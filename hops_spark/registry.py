@@ -121,6 +121,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "kn_trigram_perplexity",   # ARPA-consumer backoff scoring
     "kn_heldout_perplexity",   # CCNet-shaped held-out gating
     "anneal_step_sample",      # executes the annealing curriculum
+    "arpa_model_card",         # per-order model summary (ARPA header)
 )
 # Round-12 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-11 REPROVE set (queries whose implementation changed after
