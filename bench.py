@@ -113,6 +113,7 @@ HEADLINE = [
     "kn_heldout_perplexity",
     "anneal_step_sample",
     "arpa_model_card",
+    "preference_margin_deciles",
 ]
 
 

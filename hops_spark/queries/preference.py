@@ -187,3 +187,59 @@ def prompt_group_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text")
     return (prompt_group_stats(scored_docs(d), group_size=4)
             .orderBy("group_id"))
+
+
+@register(
+    "preference_margin_deciles",
+    sql=f"""
+    WITH {_PREF_CTES}, mg AS (
+        SELECT source, chosen_score - rejected_score AS margin
+        FROM pr
+    ), rk AS (
+        SELECT source, margin,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY margin, source) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM mg
+    )
+    SELECT source, CAST(d.d AS BIGINT) AS decile,
+           CAST(max(margin) AS BIGINT) AS margin_ppm
+    FROM rk, LATERAL (SELECT unnest(range(1, 10)) AS d) d
+    WHERE (d.d * n + 9) // 10 = rn
+    GROUP BY source, d.d
+    ORDER BY source, decile
+    """,
+    doc="Per-source reward-MARGIN deciles of the preference set (the "
+        "difficulty curve reward-model training data ships with: a "
+        "source whose lower deciles sit near zero contributes ranking "
+        "noise, one whose margins are uniformly huge contributes "
+        "nothing the model can't already separate — Stiennon et al. "
+        "2020 §3 weight by inter-labeler agreement for exactly this "
+        "reason). Exact deciles at ceiling rank (d*n+9) div 10 via "
+        "ONE per-source window (partitioned — never a single-"
+        "partition sort) over the pair view; integer ppm margins "
+        "end-to-end. ops/preference.preference_pairs.",
+    tags=("text", "ml", "preference"),
+)
+def preference_margin_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    mg = preference_pairs(scored_docs(d)).select(
+        "source",
+        (F.col("chosen_score") - F.col("rejected_score")).alias("margin"))
+    w = Window.partitionBy("source").orderBy("margin", "source")
+    ranked = (mg.withColumn("rn", F.row_number().over(w))
+                .withColumn("n", F.count("*").over(
+                    Window.partitionBy("source"))))
+    hit = F.filter(F.sequence(F.lit(1), F.lit(9)),
+                   lambda dd: ((dd * F.col("n") + 9) / 10).cast("long")
+                   == F.col("rn"))
+    return (ranked.select("source", "margin",
+                          F.explode(hit).alias("decile"))
+                  .groupBy("source", F.col("decile").cast("long")
+                           .alias("decile"))
+                  .agg(F.max("margin").cast("long").alias("margin_ppm"))
+                  .orderBy("source", "decile"))

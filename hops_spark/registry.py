@@ -122,6 +122,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "kn_heldout_perplexity",   # CCNet-shaped held-out gating
     "anneal_step_sample",      # executes the annealing curriculum
     "arpa_model_card",         # per-order model summary (ARPA header)
+    "preference_margin_deciles",  # reward-margin difficulty curve
 )
 # Round-12 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-11 REPROVE set (queries whose implementation changed after
