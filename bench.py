@@ -3,6 +3,13 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The full per-key timing dict (now 75+ keys) exceeds the driver's
+2,000-char output-tail capture, so the printed line keeps ``queries``
+BOUNDED to the 27 r1-common anchor keys (the round-over-round
+comparison suite BASELINE.md tracks) plus suite totals, and the
+complete dict is written to ``BENCH.json`` at the repo root
+(``queries_file`` in the printed line points there).
+
 Each query executes its full plan via a count-style action (noop write),
 so scan+shuffle+agg costs are real; results are not collected to the
 driver (collect would bench the driver, not the engine).
@@ -24,6 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hops_spark.registry import load_all
 from hops_spark.session import get_spark
+
+# The first 27 HEADLINE entries = the BENCH_r01 suite; every round's
+# anchor comparison ("27 r1-common keys vs 33.067 s") reads exactly
+# these, so they are the dict the printed line must always carry whole.
+N_R1_COMMON = 27
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -160,16 +172,38 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(timings.values()), 3)
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
         "metric": "inventory_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        full["errors"] = errors
+    bench_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH.json")
+    with open(bench_path, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    # the driver captures only the output TAIL (~2k chars): print a
+    # line bounded for good — the stable 27-key anchor dict + totals +
+    # where the complete per-key dict lives. 2-dp values, no spaces.
+    anchor = {k: round(timings[k], 2) for k in HEADLINE[:N_R1_COMMON]
+              if k in timings}
+    line = {
+        "metric": "inventory_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": anchor,
+        "sf": sf_val,
+        "r1_common_sum": round(sum(anchor.values()), 2),
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries_file": "BENCH.json",
+    }
+    print(json.dumps(line, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -246,7 +246,11 @@ def calibration_bin_stats(scored: DataFrame, bins: int = 10) -> DataFrame:
     aggregate. Shared by the batch probe_calibration query and the
     streaming calibration-drift monitor — one derivation, two faces."""
     b = scored.select(
-        F.least(F.expr(f"p_micro div {LP_MICRO // bins}"),
+        # (p * bins) div SCALE, not p div (SCALE div bins): the latter
+        # misallocates the top bins whenever bins does not divide the
+        # scale evenly (e.g. bins=7). The product caps at bins only
+        # for p_micro == LP_MICRO exactly — the least() folds it back.
+        F.least(F.expr(f"(p_micro * {bins}) div {LP_MICRO}"),
                 F.lit(bins - 1)).cast("long").alias("bin"),
         F.col("_y").cast("long").alias("y"), "p_micro")
     return b.groupBy("bin").agg(

@@ -309,6 +309,13 @@ def kn3_stat_tables(c3: DataFrame) -> dict[str, DataFrame]:
     return {"c12": c12, "cc2": cc2, "mid": mid, "uni": uni, "t2": t2}
 
 
+# Stored linear-micro encoding of "backoff weight 1" (pass-through): a
+# context nothing ever backs off through. KN3_BO decodes it as cost
+# -ln(1e6/1e6) = 0. Distinct by construction from every genuine weight
+# (all <= round(0.75e6)) and from genuinely-rounded-to-zero weights.
+BOW_PASSTHROUGH = 1_000_000
+
+
 def kn3_arpa(c3: DataFrame, prune3: int = 2) -> DataFrame:
     """The interpolated-Kneser-Ney TRIGRAM model as an ARPA-shaped
     table (ord, w1, w2, w3, n, nlp_micro, bow_micro) — the artifact a
@@ -325,12 +332,19 @@ def kn3_arpa(c3: DataFrame, prune3: int = 2) -> DataFrame:
       continuation probability). nlp_micro = -ln P_KN(w2|w1) in the
       continuation-count form (NULL for a pure-prefix pair that never
       occurs as a suffix — it is only ever a context); bow_micro =
-      round(D·N1+(w1w2·)/c(w1w2) · 1e6) linear-micro (0 for a pair
-      that is never a prefix: bow 1, pass-through — the kn_bigram_table
-      convention).
+      round(D·N1+(w1w2·)/c(w1w2) · 1e6) linear-micro. A pair that is
+      never a prefix backs off with weight 1 (pass-through) and stores
+      BOW_PASSTHROUGH = 1e6 linear-micro, which KN3_BO decodes as cost
+      -ln(1) = 0 — never 0, which the consumer would mis-decode as
+      bow 1e-6 (a ~13.8-nat penalty per hop). 1e6 is unambiguous: a
+      genuine weight is D·N1+/c <= D = 0.75, so it rounds to at most
+      750000; stored 0 is reserved for genuine weights that round to
+      zero (contexts past ~1.5M tokens per fan-out unit, possible at
+      corpus scale — KN3_BO's greatest(..,1) floor keeps those finite).
     - ord 1: every continuation word, nlp_micro = -ln N1+(··w)/N1+(··),
-      bow_micro = round(D·N1+(w·)/N1+(·w·) · 1e6) (0 when the word
-      never appears as a middle — nothing ever backs off through it).
+      bow_micro = round(D·N1+(w·)/N1+(·w·) · 1e6) (BOW_PASSTHROUGH
+      when the word never appears as a middle — nothing ever backs off
+      through it, so the weight is 1).
 
     Determinism: each probability is ONE fixed-shape double expression
     (KN3_P1/P2/P3 — literally the same text the oracle runs) over
@@ -366,8 +380,8 @@ def kn3_arpa(c3: DataFrame, prune3: int = 2) -> DataFrame:
                        pad.alias("w3"),
                        F.col("cc").cast("long").alias("n"),
                        "nlp_micro",
-                       F.coalesce("bow_micro", F.lit(0)).cast("long")
-                        .alias("bow_micro")))
+                       F.coalesce("bow_micro", F.lit(BOW_PASSTHROUGH))
+                        .cast("long").alias("bow_micro")))
     ord1 = (uni.join(mid, uni["w3"] == mid["w2"], "left")
                .crossJoin(F.broadcast(t2))
                .select(F.lit(1).alias("ord"),
@@ -379,7 +393,8 @@ def kn3_arpa(c3: DataFrame, prune3: int = 2) -> DataFrame:
                        F.coalesce(
                            F.expr(f"CAST(round(0.75e0 * n1fc2 / ccd2 "
                                   f"* {MICRO}, 0) AS BIGINT)"),
-                           F.lit(0)).cast("long").alias("bow_micro")))
+                           F.lit(BOW_PASSTHROUGH)).cast("long")
+                        .alias("bow_micro")))
     return ord1.unionByName(ord2).unionByName(ord3)
 
 
@@ -391,9 +406,11 @@ def kn3_arpa(c3: DataFrame, prune3: int = 2) -> DataFrame:
 # off again to the continuation unigram; an out-of-vocabulary word
 # costs the <unk> floor -ln(1/(N1+(··)+1)) = ln(t2+1). A MISSING
 # backoff context contributes bow 1 (cost 0) — the standard ARPA
-# missing-context rule, via coalesce to 1e6 linear-micro. ONE text on
+# missing-context rule, via coalesce to 1e6 linear-micro; a stored
+# BOW_PASSTHROUGH (= 1e6) row decodes identically, so never-prefix /
+# never-middle contexts also pass through at cost 0. ONE text on
 # both engines. The greatest(..., 1) floor guards ln(0) for a bow
-# that rounds to 0 micro (contexts beyond ~1.5M/n1f tokens).
+# that GENUINELY rounds to 0 micro (contexts beyond ~1.5M/n1f tokens).
 KN3_BO = ("CAST(round(-ln(CAST(greatest(coalesce({b}, 1000000), 1) "
           "AS DOUBLE) / 1000000e0) * 1000000, 0) AS BIGINT)")
 KN3_UNK = ("CAST(round(ln(CAST(t2 + 1 AS DOUBLE)) * 1000000, 0) "

@@ -48,13 +48,15 @@ def preference_pairs(scored: DataFrame) -> DataFrame:
     rejected_score, chosen_words, rejected_words, chosen_text,
     rejected_text)."""
     a = scored.filter(F.col("doc_id") % 2 == 0).select(
-        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        # integer div, not float /: float division is only exact below
+        # 2^53 and the DuckDB oracle's // is integer throughout
+        F.expr("doc_id div 2").cast("long").alias("pair_id"),
         "source",
         F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"),
         F.col("n_words").alias("a_words"),
         F.col("quality_score_ppm").alias("a_score"))
     b = scored.filter(F.col("doc_id") % 2 == 1).select(
-        ((F.col("doc_id") - 1) / 2).cast("long").alias("pair_id"),
+        F.expr("(doc_id - 1) div 2").cast("long").alias("pair_id"),
         F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"),
         F.col("n_words").alias("b_words"),
         F.col("quality_score_ppm").alias("b_score"))
@@ -141,7 +143,8 @@ def prompt_group_stats(scored: DataFrame, group_size: int = 4) -> DataFrame:
     #groups rows; the argmax is a max over (score, -doc_id) structs —
     no window, no second pass."""
     g = scored.withColumn(
-        "group_id", (F.col("doc_id") / group_size).cast("long"))
+        "group_id",
+        F.expr(f"doc_id div {int(group_size)}").cast("long"))
     best = F.max(F.struct(F.col("quality_score_ppm").alias("s"),
                           (-F.col("doc_id")).alias("nid")))
     return (g.groupBy("group_id")

@@ -1822,13 +1822,14 @@ _KN3_CTES = f"""wt AS (
         SELECT 2 AS ord, COALESCE(s.a, p.a) AS w1,
                COALESCE(s.b, p.b) AS w2, '' AS w3,
                CAST(s.cc AS BIGINT) AS n, s.nlp_micro,
-               CAST(COALESCE(p.bow_micro, 0) AS BIGINT) AS bow_micro
+               CAST(COALESCE(p.bow_micro, 1000000) AS BIGINT) AS bow_micro
         FROM sfx s FULL OUTER JOIN pfx p ON s.a = p.a AND s.b = p.b
     ), ord1 AS (
         SELECT 1 AS ord, u.w3 AS w1, '' AS w2, '' AS w3, u.n1b3 AS n,
                CAST(round(-ln({KN3_P1}) * 1000000, 0) AS BIGINT)
                    AS nlp_micro,
-               CAST(COALESCE(round(0.75e0 * n1fc2 / ccd2 * 1000000, 0), 0)
+               CAST(COALESCE(round(0.75e0 * n1fc2 / ccd2 * 1000000, 0),
+                             1000000)
                     AS BIGINT) AS bow_micro
         FROM uni u LEFT JOIN mid m ON m.w2 = u.w3 CROSS JOIN t2t
     )""".replace("{DW}", _DUCK_WORDS)
@@ -1868,7 +1869,7 @@ def kn_trigram_arpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("ord", "w1", "w2", "w3"))
 
 
-from hops_spark.ops.lm import KN3_COST  # noqa: E402
+from hops_spark.ops.lm import BOW_PASSTHROUGH, KN3_COST  # noqa: E402
 
 
 @register(
@@ -2022,8 +2023,8 @@ def kn_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(nlp_micro) AS BIGINT) AS n_scored,
            CAST(sum(nlp_micro) // count(nlp_micro) AS BIGINT)
                AS mean_nlp_micro,
-           CAST(sum(CASE WHEN bow_micro = 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_bow_passthrough
+           CAST(sum(CASE WHEN bow_micro = 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bow_passthrough
     FROM allrows GROUP BY ord ORDER BY ord
     """,
     doc="The exported model's own data card — the per-order summary a "
@@ -2047,6 +2048,7 @@ def arpa_model_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.count("nlp_micro").cast("long").alias("n_scored"),
                      F.expr("CAST(sum(nlp_micro) div count(nlp_micro) "
                             "AS BIGINT)").alias("mean_nlp_micro"),
-                     F.sum((F.col("bow_micro") == 0).cast("long"))
+                     F.sum((F.col("bow_micro") == BOW_PASSTHROUGH)
+                           .cast("long"))
                       .cast("long").alias("n_bow_passthrough"))
                 .orderBy("ord"))

@@ -1274,7 +1274,7 @@ LP_BINS = 10   # reliability-diagram bins over p in [0, 1]
                           {LP_MICRO}) AS BIGINT) AS p
         FROM mf
     ), binned AS (
-        SELECT least(p // {LP_MICRO // LP_BINS}, {LP_BINS - 1}) AS bin,
+        SELECT least((p * {LP_BINS}) // {LP_MICRO}, {LP_BINS - 1}) AS bin,
                y, p
         FROM scored
     )

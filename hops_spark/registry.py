@@ -50,37 +50,38 @@ def register(name: str, sql: str | None = None, doc: str = "",
 # registration order after the listed ones; listed-but-unregistered names
 # are ignored (lets the list name queries added later in the round).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (12): the full r10 NEXT_WINDOW_QUEUE
-    # additions — every row judge-verified green in the round-10
-    # 300/300 gate replica (VERDICT r10) + determinism-checked, green
-    # in the local oracle replica at sf0.001 + sf0.01. Driving these
-    # re-closes the registry: every ever-registered query driver-green
-    # when it lands ---
-    "rerank_maxsim", "probe_calibration", "domain_mixture_doremi",
-    "mixture_schedule_sample", "top_ngram_filters", "lsh_recall_eval",
-    "event_path_mining", "classifier_prf", "word_graph_bfs",
-    "negative_sampling_table", "kn_bigram_table", "corpus_data_card",
-    # --- RE-PROOFS (r8 lesson — code changed after the last green
-    # row): repetition_stats gained the short-doc size guard in r10;
-    # doc_perplexity's scorer was factored through
-    # ops/lm.addone_scored_counts in r10. Both last green r8. ---
-    "repetition_stats", "doc_perplexity",
-    # --- aging refresh, last-green-r5 (first 35 of the 47-row r5
-    # tier, alphabetically; the remaining 12 head the r12 tier) ---
-    "bpe_tokenize_docs", "cdc_chunks", "counting_bloom", "dq_audit",
-    "dsir_doc_weights", "dynamic_bloom", "embedding_quantize",
-    "fuzzy_match_parts", "grouped_deciles", "grouped_mode",
-    "meta_snapshot_diff", "meta_xattr_search", "ngram_novelty",
-    "order_lead_times", "q10_returned_items", "q11_important_stock",
-    "q12_priority_by_status", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
-    "q17_small_qty_revenue", "q18_large_orders",
-    "q19_disjunctive_filter", "q1_pricing_summary",
-    "q20_part_suppliers", "q21_sole_returner", "q22_dormant_customers",
-    "q4_order_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "rfm_segments",
-    # --- flagship keeper (green r2..r10; stays in-window) ---
+    # --- never driver-checked (10): the full r11 NEXT_WINDOW_QUEUE
+    # additions — every row judge-verified green in the round-11
+    # 310/310 gate replica (VERDICT r11) + determinism-checked (10/10),
+    # green in the local oracle replica at sf0.001 + sf0.01 after the
+    # r12 ADVICE fixes (KN3 pass-through backoff encoding, integer
+    # pair/group ids). Driving these re-closes the registry ---
+    "kn_trigram_arpa", "response_length_bias", "preference_pair_overlap",
+    "prompt_group_stats", "mixture_anneal_schedule",
+    "kn_trigram_perplexity", "kn_heldout_perplexity",
+    "anneal_step_sample", "arpa_model_card", "preference_margin_deciles",
+    # --- RE-PROOF (r8 lesson — code changed after the last green
+    # row): probe_calibration flows through calibration_bin_stats,
+    # whose bin formula changed this round (ADVICE r11 low #3;
+    # value-identical at the registered bins=10, re-proven anyway) ---
+    "probe_calibration",
+    # --- aging refresh: the remaining 12 last-green-r5 rows
+    # (exhausting the r5 tier) ---
+    "robust_scale_stats", "rolling_window_agg", "sentence_dedup",
+    "skew_profile", "sls_fifo_replay", "supplier_hhi",
+    "value_histogram", "vocab_coverage", "weekly_anomaly",
+    "winsorized_stats", "wordcount", "zorder_skipping",
+    # --- aging refresh, last-green-r6 (first 26 of the 46-row r6
+    # tier, alphabetically; the remaining 20 head the r13 tier) ---
+    "ann_probe", "approx_distinct_parts", "dedup_exact",
+    "doc_fingerprint", "doc_hash_embed", "doc_quality",
+    "embedding_near_dup", "event_dedup", "field_selection", "grep",
+    "hbow_knn", "hilbert_layout", "hilbert_skipping", "inverse_map",
+    "json_extract_events", "kmv_audience_overlap", "knn_bruteforce",
+    "knn_ivf", "knn_lsh", "lang_id", "late_data_policy",
+    "media_decode_wav", "media_features", "media_frame_sample",
+    "meta_batched_lookup", "meta_block_report",
+    # --- flagship keeper (green r2..r11; stays in-window) ---
     "minhash_dedup_pairs",
 )
 # Cumulative hard-verification ledger (driver CORRECTNESS files):
@@ -94,10 +95,13 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 #  r10 green: 50/50 — full closure of the 288 pre-r10 queries (the 24
 #  r9 additions + decontaminate re-proof + 24 last-green-r4 refreshes,
 #  exhausting the r4 tier, + keeper).
-#  r11 window (above): the 12 r10 additions (never driver-checked) +
-#  the repetition_stats/doc_perplexity re-proofs + 35 last-green-r5
-#  refreshes (first 35 of the 47-row r5 tier, alphabetically) +
-#  keeper = 50.
+#  r11 green: 50/50 — full closure of the 300 pre-r11 queries (the 12
+#  r10 additions + repetition_stats/doc_perplexity re-proofs + 35
+#  last-green-r5 refreshes + keeper).
+#  r12 window (above): the 10 r11 additions (never driver-checked) +
+#  the probe_calibration re-proof (bin-formula change) + the final 12
+#  last-green-r5 rows (r5 tier exhausted) + 26 last-green-r6 rows
+#  (first 26 of 46, alphabetically) + keeper = 50.
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -112,23 +116,17 @@ def load_all() -> dict[str, QuerySpec]:
 # (the window guard test enforces that overflow never-green queries are
 # exactly this queue).
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    # round-11 registrations land here as they are verified
-    "kn_trigram_arpa",         # interpolated-KN trigram ARPA export
-    "response_length_bias",    # RLHF length-bias audit per source
-    "preference_pair_overlap",  # within-pair near-dup gate (Jaccard ppm)
-    "prompt_group_stats",      # per-prompt response-group reward stats
-    "mixture_anneal_schedule",  # DoReMi -> uniform per-step Hamilton
-    "kn_trigram_perplexity",   # ARPA-consumer backoff scoring
-    "kn_heldout_perplexity",   # CCNet-shaped held-out gating
-    "anneal_step_sample",      # executes the annealing curriculum
-    "arpa_model_card",         # per-order model summary (ARPA header)
-    "preference_margin_deciles",  # reward-margin difficulty curve
+    # round-12 registrations land here as they are verified
 )
-# Round-12 rotation plan: fill freed slots FIRST with this queue, THEN
-# any round-11 REPROVE set (queries whose implementation changed after
-# the r11 window froze), THEN the next aging tier — the remaining 12
-# last-green-r5 rows (robust_scale_stats, rolling_window_agg,
-# sentence_dedup, skew_profile, sls_fifo_replay, supplier_hhi,
-# value_histogram, vocab_coverage, weekly_anomaly, winsorized_stats,
-# wordcount, zorder_skipping) then last-green-r6 alphabetically, as
-# slots allow; keep the keeper.
+# Round-13 rotation plan: fill freed slots FIRST with this queue, THEN
+# any round-12 REPROVE set (queries whose implementation changed after
+# the r12 window froze), THEN the next aging tier — the remaining 20
+# last-green-r6 rows (meta_content_summary onward, alphabetically:
+# meta_content_summary, meta_expired_leases, meta_get_listing,
+# meta_glob_status, meta_path_resolve, meta_point_lookup,
+# meta_quota_rollup, meta_subtree_delete, meta_under_replicated,
+# minhash_signatures, nb_lang_classifier, ngram_jaccard_pairs,
+# pii_scrub, pipeline_clean_corpus, retouched_bloom,
+# simhash_near_pairs, simhash_signatures, sliding_window_agg,
+# token_counts, tumbling_window_agg) then last-green-r7
+# alphabetically, as slots allow; keep the keeper.

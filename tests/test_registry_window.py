@@ -23,19 +23,19 @@ KEEPER_CORE = {"minhash_dedup_pairs"}
 
 # Queries whose implementation materially changed this round — their
 # old green rows no longer certify the current code (registry.py ledger).
-# Round 11: repetition_stats (short-doc size guard, r10) and
-# doc_perplexity (scorer factored through ops/lm.addone_scored_counts,
-# r10) both changed AFTER their last green rows (r8) — each holds a
-# re-proof slot in the r11 window. Add here anything changed AFTER the
-# r11 window freezes (the r8 lesson: the final commit is the danger
-# window).
-REPROVE: set[str] = {"repetition_stats", "doc_perplexity"}
+# Round 12: probe_calibration flows through calibration_bin_stats,
+# whose bin formula changed with the r11 ADVICE fix (value-identical
+# at the registered bins=10, re-proven anyway). The KN3/preference
+# fixes only touch queries still in the never-green queue. Add here
+# anything changed AFTER the r12 window freezes (the r8 lesson: the
+# final commit is the danger window).
+REPROVE: set[str] = {"probe_calibration"}
 
 
 def _green_rounds() -> dict[str, set[int]]:
     out: dict[str, set[int]] = {}
-    for rnd in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10):  # r12 rotation: extend to 11
-        # with the new window (memory/workflow: update range + REPROVE each round)
+    for rnd in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11):  # r13 rotation: extend
+        # to 12 with the new window (update range + REPROVE each round)
         path = os.path.join(_REPO, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.exists(path):
             with open(path) as f:
@@ -64,14 +64,15 @@ def test_every_never_green_query_is_in_window_or_queued():
 def test_no_window_slot_wasted():
     """Every slot holds a never-green query, a keeper, a changed-code
     re-proof, or an aging green row being refreshed (oldest greens
-    first: last-green round <= 5 as of the r11 rotation — the first
-    35 rows of the 47-row r5 tier, alphabetically)."""
+    first: last-green round <= 6 as of the r12 rotation — the final 12
+    r5-tier rows plus the first 26 of the 46-row r6 tier,
+    alphabetically)."""
     green = _green_rounds()
     wasted = [n for n in list(load_all())[:50]
               if n in green
               and n not in KEEPER_CORE
               and n not in REPROVE
-              and max(green[n]) > 5]
+              and max(green[n]) > 6]
     assert not wasted, f"window slots wasted: {wasted}"
 
 

@@ -90,9 +90,9 @@ def test_kn3_arpa_probabilities_sum_to_one_per_context(spark):
 
 def test_kn3_arpa_sections_and_padding(spark):
     """Section shape: ord-3 rows pruned at n>=2; ord-2 rows cover the
-    full prefix∪suffix pair inventory with bow 0 for never-prefix
-    pairs and NULL nlp for never-suffix pairs; ord-1 covers every
-    continuation word."""
+    full prefix∪suffix pair inventory with bow 1 (pass-through,
+    stored 1e6 linear-micro) for never-prefix pairs and NULL nlp for
+    never-suffix pairs; ord-1 covers every continuation word."""
     from hops_spark.ops.lm import kn3_arpa, trigram_count_table
 
     c3 = trigram_count_table(_docs(spark, [(1, "x y z w"),
@@ -104,8 +104,9 @@ def test_kn3_arpa_sections_and_padding(spark):
     # (x, y) occurs only doc-initially -> never a suffix pair: NULL nlp
     assert o2[("x", "y")]["nlp_micro"] is None
     assert o2[("x", "y")]["bow_micro"] > 0
-    # (z, w) is doc-final -> never a prefix: bow 0, real nlp
-    assert o2[("z", "w")]["bow_micro"] == 0
+    # (z, w) is doc-final -> never a prefix: bow 1 (pass-through,
+    # stored 1e6 so the consumer decodes cost -ln(1) = 0), real nlp
+    assert o2[("z", "w")]["bow_micro"] == 1_000_000
     assert o2[("z", "w")]["nlp_micro"] is not None
     o1 = {r["w1"] for r in out if r["ord"] == 1}
     assert o1 == {"z", "w", "q"}  # every w3 of some trigram
