@@ -126,6 +126,12 @@ HEADLINE = [
     "anneal_step_sample",
     "arpa_model_card",
     "preference_margin_deciles",
+    # round-12 additions (reward-model evaluation + tokenizer family
+    # close)
+    "pairwise_winrate",
+    "bradley_terry_strengths",
+    "annotator_agreement",
+    "tokenizer_compression",
 ]
 
 

@@ -13,9 +13,10 @@ the reward is the exact-integer ``quality_score_ppm`` the corpus
 pipeline already computes (ops/text.quality_score — one shared
 derivation, the same discipline as the decontamination split views).
 
-Scale posture (100 TB): the pair assembly is ONE self-join keyed on
-doc_id (a real preference table skips it entirely — these operators
-take any frame with the pair columns); every audit below it is a keyed
+Scale posture (100 TB): the pair assembly is ONE keyed aggregation —
+a single corpus scan and a single shuffle on pair_id (_pair_sides; a
+real preference table skips it entirely — these operators take any
+frame with the pair columns); every audit below it is a keyed
 aggregate bounded by #sources or #pairs. The within-pair overlap is a
 per-row array expression — no join at all.
 """
@@ -39,41 +40,59 @@ def scored_docs(docs: DataFrame) -> DataFrame:
         "quality_score_ppm")
 
 
+def _pair_sides(scored: DataFrame, cols: list[str]) -> DataFrame:
+    """One row per COMPLETE adjacent pair (2k, 2k+1) with the even
+    doc's values as a_<col> and the odd doc's as b_<col>.
+
+    Assembled by ONE keyed aggregation — a single corpus scan and a
+    single shuffle — instead of the even/odd self-join (which reads
+    the corpus twice and, past the broadcast threshold, shuffles both
+    sides). Each side contributes exactly one row per pair, so the
+    struct-max of a when() is simply "that side's row if present";
+    incomplete pairs (a trailing unpartnered doc) drop, matching the
+    inner-join semantics. pair_id is integer div — exact for any
+    int64 doc_id (float / is only exact below 2^53; the DuckDB
+    oracles use integer // throughout)."""
+    side = F.col("doc_id") % 2
+    st = F.struct(*[F.col(c).alias(c) for c in cols])
+    g = (scored
+         .groupBy(F.expr("doc_id div 2").cast("long").alias("pair_id"))
+         .agg(F.max(F.when(side == 0, st)).alias("_a"),
+              F.max(F.when(side == 1, st)).alias("_b"))
+         .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull()))
+    return g.select(
+        "pair_id",
+        *[F.col(f"_a.{c}").alias(f"a_{c}") for c in cols],
+        *[F.col(f"_b.{c}").alias(f"b_{c}") for c in cols])
+
+
 def preference_pairs(scored: DataFrame) -> DataFrame:
     """Pair view over a scored corpus: docs (2k, 2k+1) form pair k;
     chosen = higher quality_score_ppm, tie -> lower doc_id (the even
-    doc). One keyed self-join on doc_id; pair source = the even doc's.
+    doc). One keyed aggregation (_pair_sides); pair source = the even
+    doc's.
 
     Output: (pair_id, source, chosen_id, rejected_id, chosen_score,
     rejected_score, chosen_words, rejected_words, chosen_text,
     rejected_text)."""
-    a = scored.filter(F.col("doc_id") % 2 == 0).select(
-        # integer div, not float /: float division is only exact below
-        # 2^53 and the DuckDB oracle's // is integer throughout
-        F.expr("doc_id div 2").cast("long").alias("pair_id"),
-        "source",
-        F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"),
-        F.col("n_words").alias("a_words"),
-        F.col("quality_score_ppm").alias("a_score"))
-    b = scored.filter(F.col("doc_id") % 2 == 1).select(
-        F.expr("(doc_id - 1) div 2").cast("long").alias("pair_id"),
-        F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"),
-        F.col("n_words").alias("b_words"),
-        F.col("quality_score_ppm").alias("b_score"))
-    j = a.join(b, "pair_id")
-    a_wins = F.col("a_score") >= F.col("b_score")   # tie -> even doc
+    j = _pair_sides(scored, ["doc_id", "source", "text", "n_words",
+                             "quality_score_ppm"])
+    a_wins = (F.col("a_quality_score_ppm")
+              >= F.col("b_quality_score_ppm"))     # tie -> even doc
     pick = (lambda ac, bc: F.when(a_wins, F.col(ac))
             .otherwise(F.col(bc)))
     anti = (lambda ac, bc: F.when(a_wins, F.col(bc))
             .otherwise(F.col(ac)))
     return j.select(
-        "pair_id", "source",
-        pick("a_id", "b_id").alias("chosen_id"),
-        anti("a_id", "b_id").alias("rejected_id"),
-        pick("a_score", "b_score").alias("chosen_score"),
-        anti("a_score", "b_score").alias("rejected_score"),
-        pick("a_words", "b_words").alias("chosen_words"),
-        anti("a_words", "b_words").alias("rejected_words"),
+        "pair_id", F.col("a_source").alias("source"),
+        pick("a_doc_id", "b_doc_id").alias("chosen_id"),
+        anti("a_doc_id", "b_doc_id").alias("rejected_id"),
+        pick("a_quality_score_ppm", "b_quality_score_ppm")
+        .alias("chosen_score"),
+        anti("a_quality_score_ppm", "b_quality_score_ppm")
+        .alias("rejected_score"),
+        pick("a_n_words", "b_n_words").alias("chosen_words"),
+        anti("a_n_words", "b_n_words").alias("rejected_words"),
         pick("a_text", "b_text").alias("chosen_text"),
         anti("a_text", "b_text").alias("rejected_text"))
 
@@ -132,6 +151,173 @@ def pair_overlap(pairs: DataFrame) -> DataFrame:
             .withColumn("near_dup",
                         (F.col("jaccard_ppm") >= NEAR_DUP_PPM)
                         .cast("int")))
+
+
+def cross_model_outcomes(scored: DataFrame) -> DataFrame:
+    """Cross-policy comparison outcomes — the evaluation view a
+    reward-model report is built from (Stiennon et al. 2020 §3 /
+    Touvron et al. 2023 §3.4 report win rates BETWEEN policies): each
+    derived pair whose two responses come from DIFFERENT sources
+    becomes one head-to-head outcome between those sources ("models").
+    Same-source pairs carry no cross-model signal and are dropped.
+
+    Output: (pair_id, model_a, model_b, winner_model) with
+    model_a < model_b canonically (string order), winner = the source
+    of the higher-reward response (tie -> the even doc, the
+    preference_pairs convention). One keyed aggregation (_pair_sides:
+    single scan, single shuffle)."""
+    j = (_pair_sides(scored, ["source", "quality_score_ppm"])
+         .filter(F.col("a_source") != F.col("b_source")))
+    winner = F.when(F.col("a_quality_score_ppm")
+                    >= F.col("b_quality_score_ppm"),
+                    F.col("a_source")).otherwise(F.col("b_source"))
+    return j.select(
+        "pair_id",
+        F.least("a_source", "b_source").alias("model_a"),
+        F.greatest("a_source", "b_source").alias("model_b"),
+        winner.alias("winner_model"))
+
+
+def pairwise_win_matrix(outcomes: DataFrame) -> DataFrame:
+    """The pairwise win-rate matrix over cross-model outcomes: one row
+    per unordered model pair with the head-to-head record and model_a's
+    win rate in exact integer ppm. #models²-bounded keyed aggregate."""
+    g = outcomes.groupBy("model_a", "model_b").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum((F.col("winner_model") == F.col("model_a")).cast("long"))
+         .cast("long").alias("wins_a"))
+    return g.select(
+        "model_a", "model_b", "n_pairs", "wins_a",
+        (F.col("n_pairs") - F.col("wins_a")).cast("long").alias("wins_b"),
+        F.expr(f"(wins_a * {PPM}) div n_pairs").cast("long")
+         .alias("winrate_a_ppm"))
+
+
+# Bradley-Terry fixed-point: iteration count and the integer scales.
+# BT_BIG keeps the per-term truncation of the minorize-maximize update
+# below 1 part in ~1e5 of each denominator term; strengths are
+# re-normalized every iteration to sum to #models * 1e6 micro, so all
+# intermediates stay well inside int64 for corpus-scale pair counts
+# (n_ij * BT_BIG caps int64 at ~9.2M pairs per model pair — past that,
+# widen to DECIMAL(38,0)/HUGEINT, the sum-of-squares precedent).
+BT_ITERS = 8
+BT_BIG = 10 ** 12
+BT_SCALE = 1_000_000
+
+
+def bradley_terry_fit(win_matrix_rows: list[tuple[str, str, int, int]],
+                      iters: int = BT_ITERS) -> dict[str, int]:
+    """Exact-integer Bradley-Terry strength fit (Bradley & Terry 1952)
+    via Hunter 2004's minorize-maximize update, run on the collected
+    #models²-bounded win matrix (bounded driver-side metadata — the
+    bpe_train / linear-probe pattern; the corpus-proportional work is
+    the upstream outcome aggregation, never this loop):
+
+        s_i <- W_i / sum_j n_ij / (s_i + s_j),   then normalize.
+
+    Every operation is integer floor-division at BT_BIG scale, so the
+    DuckDB oracle replays the identical iteration as unrolled CTEs and
+    lands on the identical micro values. ``win_matrix_rows`` is
+    [(model_a, model_b, wins_a, wins_b), ...]; returns
+    {model: strength_micro} with sum = #models * BT_SCALE (floor
+    remainder left on no model — both engines drop it identically)."""
+    wins: dict[str, int] = {}
+    n: dict[tuple[str, str], int] = {}
+    for ma, mb, wa, wb in win_matrix_rows:
+        wins[ma] = wins.get(ma, 0) + int(wa)
+        wins[mb] = wins.get(mb, 0) + int(wb)
+        n[(ma, mb)] = n.get((ma, mb), 0) + int(wa) + int(wb)
+    models = sorted(wins)
+    m = len(models)
+    s = {i: BT_SCALE for i in models}
+    for _ in range(int(iters)):
+        den = {i: 0 for i in models}
+        for (ma, mb), nij in n.items():
+            t_ab = (nij * BT_BIG) // max(s[ma] + s[mb], 1)
+            den[ma] += t_ab
+            den[mb] += t_ab
+        raw = {i: (wins[i] * BT_BIG) // max(den[i], 1) for i in models}
+        tot = max(sum(raw.values()), 1)
+        s = {i: (raw[i] * m * BT_SCALE) // tot for i in models}
+    return s
+
+
+def pair_judge_votes(scored: DataFrame) -> DataFrame:
+    """Derived multi-judge view over the pair corpus — three
+    deterministic annotators each pick a side of every pair (the
+    testdata ships no human labels; a real preference table with K
+    judge columns plugs straight into the same aggregate):
+
+        quality  — higher quality_score_ppm wins
+        length   — more words wins
+        lexdiv   — more DISTINCT words wins
+
+    Ties break to the even doc (side A) under every judge, the
+    preference_pairs convention. Output: (pair_id, source, votes_a)
+    with votes_a in 0..3 — the per-item category count Fleiss' kappa
+    consumes. One keyed aggregation (_pair_sides); everything else is
+    per-row."""
+    base = scored.select(
+        "doc_id", "source", "quality_score_ppm", "n_words",
+        F.size(F.array_distinct(words("text"))).cast("long")
+         .alias("n_uniq"))
+    j = _pair_sides(base, ["source", "quality_score_ppm", "n_words",
+                           "n_uniq"])
+    vote = (lambda ac, bc: (F.col(ac) >= F.col(bc)).cast("long"))
+    return j.select(
+        "pair_id", F.col("a_source").alias("source"),
+        (vote("a_quality_score_ppm", "b_quality_score_ppm")
+         + vote("a_n_words", "b_n_words")
+         + vote("a_n_uniq", "b_n_uniq")).cast("long").alias("votes_a"))
+
+
+def fleiss_agreement(votes: DataFrame, n_judges: int = 3) -> DataFrame:
+    """Per-source inter-annotator agreement over the K-judge pair view
+    (Fleiss 1971; Stiennon et al. 2020 §3 weight training data by
+    exactly this agreement): percent-unanimous, mean pairwise
+    agreement P-bar, chance agreement P-e, and Fleiss' kappa — all in
+    exact integer ppm off ONE #sources-bounded keyed aggregate.
+
+    Integer-exactness: kappa = (P-P_e)/(1-P_e) is assembled as one
+    rational num/den and evaluated as ((num+den)*PPM) div den - PPM,
+    which equals floor(kappa * PPM) on BOTH engines — the +den shift
+    keeps the numerator nonnegative (kappa >= -1/(K-1) always), so
+    Spark's truncating div and DuckDB's flooring // agree. The den = 0
+    edge (every vote the same category) is defined as kappa = PPM
+    (P-bar is 1 there too). Sums of squares ride in DECIMAL(38,0) /
+    HUGEINT — per-source pair counts overflow int64 squares at corpus
+    scale (the sum-of-cents² precedent)."""
+    k = int(n_judges)
+    v = votes.select(
+        "source",
+        F.col("votes_a").alias("na"),
+        (F.lit(k) - F.col("votes_a")).alias("nb"))
+    g = v.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(((F.col("na") == 0) | (F.col("na") == k)).cast("long"))
+         .cast("long").alias("n_unanimous"),
+        F.sum(F.col("na") * (F.col("na") - 1)
+              + F.col("nb") * (F.col("nb") - 1))
+         .cast("long").alias("s_agree"),
+        F.sum("na").cast("long").alias("a_votes"))
+    kk = k * (k - 1)
+    dec = "CAST({} AS DECIMAL(38,0))"
+    nk = dec.format(f"n_pairs * {k}")
+    sq = (f"({dec.format('a_votes')} * a_votes "
+          f"+ ({nk} - a_votes) * ({nk} - a_votes))")
+    num = f"({dec.format('s_agree')} * {nk} * {nk} - {sq} * n_pairs * {kk})"
+    den = f"({dec.format(f'n_pairs * {kk}')} * ({nk} * {nk} - {sq}))"
+    return g.select(
+        "source", "n_pairs", "n_unanimous",
+        F.expr(f"(n_unanimous * {PPM}) div n_pairs").cast("long")
+         .alias("unanimous_ppm"),
+        F.expr(f"(s_agree * {PPM}) div (n_pairs * {kk})").cast("long")
+         .alias("pbar_ppm"),
+        F.expr(f"CAST(({sq} * {PPM}) div ({nk} * {nk}) AS BIGINT)")
+         .alias("pe_ppm"),
+        F.expr(f"CAST(CASE WHEN {den} = 0 THEN {PPM} ELSE "
+               f"(({num} + {den}) * {PPM}) div {den} - {PPM} END "
+               "AS BIGINT)").alias("kappa_ppm"))
 
 
 def prompt_group_stats(scored: DataFrame, group_size: int = 4) -> DataFrame:

@@ -11,8 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from hops_spark.io.readers import load_table
-from hops_spark.ops.preference import (NEAR_DUP_PPM, length_bias_audit,
-                                       pair_overlap, preference_pairs,
+from hops_spark.ops.preference import (BT_BIG, BT_ITERS, BT_SCALE,
+                                       NEAR_DUP_PPM, bradley_terry_fit,
+                                       cross_model_outcomes,
+                                       fleiss_agreement, length_bias_audit,
+                                       pair_judge_votes, pair_overlap,
+                                       pairwise_win_matrix,
+                                       preference_pairs,
                                        prompt_group_stats, scored_docs)
 from hops_spark.queries.textops import _DUCK_WORDS, _duck_sw_list
 from hops_spark.registry import register
@@ -38,7 +43,7 @@ _PREF_CTES = f"""qf AS (
                CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq
         FROM qf
     ), psc AS (
-        SELECT doc_id, source, text, n_words,
+        SELECT doc_id, source, text, n_words, n_uniq,
                (least(n_words * 20000, 1000000)
                 + (1000000 - least(((n_punct * 1000000) // nc1) * 5,
                                    1000000))
@@ -187,6 +192,216 @@ def prompt_group_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text")
     return (prompt_group_stats(scored_docs(d), group_size=4)
             .orderBy("group_id"))
+
+
+# Cross-model outcome view: every different-source pair becomes a
+# head-to-head between its two sources, canonicalized model_a < model_b,
+# winner = higher score (tie -> even doc). Shared by the win-rate
+# matrix and the Bradley-Terry oracle.
+_XO_CTE = """xo AS (
+        SELECT a.doc_id // 2 AS pair_id,
+               least(a.source, b.source) AS model_a,
+               greatest(a.source, b.source) AS model_b,
+               CASE WHEN a.score >= b.score THEN a.source
+                    ELSE b.source END AS winner_model
+        FROM psc a JOIN psc b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 2 = 0 AND a.source <> b.source
+    )"""
+
+
+@register(
+    "pairwise_winrate",
+    sql=f"""
+    WITH {_PREF_CTES}, {_XO_CTE}
+    SELECT model_a, model_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN winner_model = model_a THEN 1 ELSE 0 END)
+                AS BIGINT) AS wins_a,
+           CAST(count(*) - sum(CASE WHEN winner_model = model_a
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+               AS wins_b,
+           CAST((sum(CASE WHEN winner_model = model_a THEN 1 ELSE 0 END)
+                 * 1000000) // count(*) AS BIGINT) AS winrate_a_ppm
+    FROM xo GROUP BY model_a, model_b ORDER BY model_a, model_b
+    """,
+    doc="Pairwise model win-rate matrix — the head-to-head table every "
+        "reward-model / policy evaluation reports (Stiennon et al. "
+        "2020 §3, Touvron et al. 2023 §3.4 report exactly these "
+        "cross-policy win rates): each different-source pair is one "
+        "outcome between its two sources ('models'), winner = the "
+        "higher-reward response; one row per unordered model pair "
+        "with the record and model_a's win rate in integer ppm. One "
+        "keyed pair aggregation + one #models²-bounded aggregate — the "
+        "matrix never exceeds #sources² rows regardless of corpus "
+        "size. ops/preference.pairwise_win_matrix.",
+    tags=("text", "ml", "preference", "north-star"),
+)
+def pairwise_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    return (pairwise_win_matrix(cross_model_outcomes(scored_docs(d)))
+            .orderBy("model_a", "model_b"))
+
+
+def _bt_iter_ctes(iters: int) -> str:
+    """The Bradley-Terry minorize-maximize iteration unrolled as CTEs
+    (the _lp_iter_ctes pattern): s{k} -> d{k} (per-model denominator)
+    -> r{k} (raw update) -> s{k+1} (normalized to m * 1e6). Every
+    operation is integer floor-division at BT_BIG scale — the literal
+    replay of ops/preference.bradley_terry_fit's python loop."""
+    parts = [f"""wm AS MATERIALIZED (
+        SELECT model_a, model_b,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN winner_model = model_a THEN 1 ELSE 0
+                        END) AS BIGINT) AS wa
+        FROM xo GROUP BY model_a, model_b
+    ), wins AS MATERIALIZED (
+        SELECT model, CAST(sum(w) AS BIGINT) AS wins,
+               CAST(sum(n) AS BIGINT) AS n_pairs
+        FROM (SELECT model_a AS model, wa AS w, n FROM wm
+              UNION ALL SELECT model_b, n - wa, n FROM wm)
+        GROUP BY model
+    ), mc AS (
+        SELECT CAST(count(*) AS BIGINT) AS m FROM wins
+    ), ps AS MATERIALIZED (
+        SELECT model_a AS mi, model_b AS mj, n FROM wm
+        UNION ALL SELECT model_b, model_a, n FROM wm
+    ), s0 AS (
+        SELECT model, CAST({BT_SCALE} AS BIGINT) AS s FROM wins
+    )"""]
+    for k in range(iters):
+        parts.append(f""", d{k} AS (
+        SELECT p.mi AS model,
+               CAST(sum((p.n * {BT_BIG}) // greatest(si.s + sj.s, 1))
+                    AS BIGINT) AS den
+        FROM ps p JOIN s{k} si ON si.model = p.mi
+                  JOIN s{k} sj ON sj.model = p.mj
+        GROUP BY p.mi
+    ), r{k} AS MATERIALIZED (
+        SELECT w.model,
+               CAST((w.wins * {BT_BIG}) // greatest(d.den, 1) AS BIGINT)
+                   AS raw
+        FROM wins w JOIN d{k} d ON d.model = w.model
+    ), s{k + 1} AS (
+        SELECT r.model,
+               CAST((r.raw * m.m * {BT_SCALE})
+                    // greatest((SELECT sum(raw) FROM r{k}), 1)
+                    AS BIGINT) AS s
+        FROM r{k} r CROSS JOIN mc m
+    )""")
+    return "".join(parts)
+
+
+@register(
+    "bradley_terry_strengths",
+    sql=f"""
+    WITH {_PREF_CTES}, {_XO_CTE}, {_bt_iter_ctes(BT_ITERS)}
+    SELECT w.model, w.wins AS n_wins, w.n_pairs,
+           s.s AS strength_micro
+    FROM wins w JOIN s{BT_ITERS} s ON s.model = w.model
+    ORDER BY w.model
+    """,
+    doc="Bradley-Terry model-strength fit over the pairwise outcomes "
+        "(Bradley & Terry 1952; the Elo-style aggregate every "
+        "multi-policy evaluation reduces its win-rate matrix to — "
+        "Chatbot-Arena-shape): strengths s_i with P(i beats j) = "
+        "s_i/(s_i+s_j), fitted by 8 rounds of Hunter 2004's "
+        "minorize-maximize update s_i <- W_i / Σ_j n_ij/(s_i+s_j), "
+        "renormalized to Σs = #models·1e6 each round. The heavy work "
+        "is ONE corpus-proportional outcome aggregate; the iteration "
+        "runs on the collected #models²-bounded matrix in exact "
+        "integer arithmetic at 1e12 scale, replayed verbatim by the "
+        "oracle's unrolled CTEs — identical micro values on both "
+        "engines, no float anywhere. ops/preference.bradley_terry_fit.",
+    tags=("text", "ml", "preference", "iterative", "north-star"),
+)
+def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    wm = pairwise_win_matrix(cross_model_outcomes(scored_docs(d)))
+    rows = wm.collect()     # #models²-bounded driver-side metadata
+    s = bradley_terry_fit(
+        [(r["model_a"], r["model_b"], r["wins_a"], r["wins_b"])
+         for r in rows], iters=BT_ITERS)
+    wins: dict[str, int] = {}
+    pairs: dict[str, int] = {}
+    for r in rows:
+        wins[r["model_a"]] = wins.get(r["model_a"], 0) + r["wins_a"]
+        wins[r["model_b"]] = wins.get(r["model_b"], 0) + r["wins_b"]
+        pairs[r["model_a"]] = pairs.get(r["model_a"], 0) + r["n_pairs"]
+        pairs[r["model_b"]] = pairs.get(r["model_b"], 0) + r["n_pairs"]
+    return spark.createDataFrame(
+        [(m, wins[m], pairs[m], s[m]) for m in sorted(s)],
+        "model string, n_wins long, n_pairs long, strength_micro long"
+    ).orderBy("model")
+
+
+@register(
+    "annotator_agreement",
+    sql=f"""
+    WITH {_PREF_CTES}, jv AS (
+        SELECT a.doc_id // 2 AS pair_id, a.source,
+               (CASE WHEN a.score >= b.score THEN 1 ELSE 0 END
+                + CASE WHEN a.n_words >= b.n_words THEN 1 ELSE 0 END
+                + CASE WHEN a.n_uniq >= b.n_uniq THEN 1 ELSE 0 END)
+                   AS na
+        FROM psc a JOIN psc b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 2 = 0
+    ), ag AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN na IN (0, 3) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unanimous,
+               CAST(sum(na * (na - 1) + (3 - na) * (2 - na)) AS BIGINT)
+                   AS s_agree,
+               CAST(sum(na) AS BIGINT) AS a_votes
+        FROM jv GROUP BY source
+    ), wide AS (
+        SELECT source, n_pairs, n_unanimous, s_agree, a_votes,
+               CAST(n_pairs AS HUGEINT) * 3 AS nk,
+               CAST(a_votes AS HUGEINT) * a_votes
+                 + (CAST(n_pairs AS HUGEINT) * 3 - a_votes)
+                   * (CAST(n_pairs AS HUGEINT) * 3 - a_votes) AS sq
+        FROM ag
+    )
+    SELECT source, n_pairs, n_unanimous,
+           CAST((n_unanimous * 1000000) // n_pairs AS BIGINT)
+               AS unanimous_ppm,
+           CAST((s_agree * 1000000) // (n_pairs * 6) AS BIGINT)
+               AS pbar_ppm,
+           CAST((sq * 1000000) // (nk * nk) AS BIGINT) AS pe_ppm,
+           CAST(CASE WHEN CAST(n_pairs AS HUGEINT) * 6 * (nk * nk - sq)
+                          = 0 THEN 1000000
+                ELSE ((CAST(s_agree AS HUGEINT) * nk * nk
+                       - sq * n_pairs * 6
+                       + CAST(n_pairs AS HUGEINT) * 6 * (nk * nk - sq))
+                      * 1000000)
+                     // (CAST(n_pairs AS HUGEINT) * 6 * (nk * nk - sq))
+                     - 1000000 END AS BIGINT) AS kappa_ppm
+    FROM wide ORDER BY source
+    """,
+    doc="Per-source inter-annotator agreement over a derived 3-judge "
+        "view (Fleiss 1971 kappa; Stiennon et al. 2020 §3 weight "
+        "preference data by labeler agreement — low-agreement slices "
+        "are ranking noise): judges = reward, length, and "
+        "lexical-diversity orderings of each pair (deterministic "
+        "stand-ins; a real K-judge table feeds the same aggregate). "
+        "Emits unanimity rate, mean pairwise agreement P-bar, chance "
+        "agreement P-e, and Fleiss' kappa — all exact integer ppm. "
+        "kappa can be negative, so it is evaluated as "
+        "((num+den)·1e6) div den − 1e6 = floor(kappa·1e6): the shift "
+        "keeps the numerator nonnegative (kappa >= -1/(K-1)), making "
+        "Spark's truncating div and DuckDB's flooring // agree; sums "
+        "of squares ride in DECIMAL(38,0)/HUGEINT (the Σcents² "
+        "precedent). One pair aggregation + one #sources-bounded "
+        "aggregate. "
+        "ops/preference.fleiss_agreement.",
+    tags=("text", "ml", "preference", "north-star"),
+)
+def annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    return (fleiss_agreement(pair_judge_votes(scored_docs(d)), n_judges=3)
+            .orderBy("source"))
 
 
 @register(

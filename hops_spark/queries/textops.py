@@ -2526,6 +2526,117 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy("tokenizer"))
 
 
+def _duck_bpe_hist_sym() -> str:
+    """The fixed _TOKENIZE_MERGES replay over a single word ``w`` —
+    the same chained left-to-right replace as bpe_tokenize_docs,
+    applied to the word HISTOGRAM instead of per doc (identical token
+    counts, vocab-bounded work)."""
+    sym = "array_to_string(regexp_extract_all(w, '.'), ' ')"
+    for left, right in _TOKENIZE_MERGES:
+        sym = (f"trim(replace(' ' || {sym} || ' ', "
+               f"' {left} {right} ', ' {left}{right} '))")
+    return sym
+
+
+@register(
+    "tokenizer_compression",
+    sql=f"""
+    WITH {_duck_unigram_ctes()},
+    {_duck_wordpiece_ctes('wp_')},
+    bt AS (
+        SELECT n_occ, w,
+               CAST(len(string_split({_duck_bpe_hist_sym()}, ' '))
+                    AS BIGINT) AS np
+        FROM wc
+    ), rows_ AS (
+        SELECT 'bpe' AS tokenizer,
+               CAST(sum(n_occ * np) AS BIGINT) AS n_tokens,
+               CAST(sum(n_occ * strlen(w)) AS BIGINT) AS total_bytes,
+               CAST(sum(n_occ * length(w)) AS BIGINT) AS total_chars
+        FROM bt
+        UNION ALL
+        SELECT 'unigram',
+               CAST(sum(n_occ * np) AS BIGINT),
+               CAST(sum(n_occ * strlen(w)) AS BIGINT),
+               CAST(sum(n_occ * length(w)) AS BIGINT)
+        FROM allseg
+        UNION ALL
+        SELECT 'whitespace',
+               CAST(sum(n_occ) AS BIGINT),
+               CAST(sum(n_occ * strlen(w)) AS BIGINT),
+               CAST(sum(n_occ * length(w)) AS BIGINT)
+        FROM wc
+        UNION ALL
+        SELECT 'wordpiece',
+               CAST(sum(n_occ * np) AS BIGINT),
+               CAST(sum(n_occ * strlen(w)) AS BIGINT),
+               CAST(sum(n_occ * length(w)) AS BIGINT)
+        FROM wp_allseg
+    )
+    SELECT tokenizer, n_tokens, total_bytes, total_chars,
+           CAST(total_bytes * 1000 // n_tokens AS BIGINT)
+               AS bytes_per_token_milli,
+           CAST(total_chars * 1000 // n_tokens AS BIGINT)
+               AS chars_per_token_milli
+    FROM rows_ ORDER BY tokenizer
+    """,
+    doc="Tokenizer compression benchmark — bytes/token and chars/token "
+        "for all three shipped subword tokenizers plus the whitespace "
+        "baseline on the SAME corpus slice (the metric tokenizer "
+        "papers lead with: Rust et al. 2021, the SentencePiece/"
+        "tiktoken compression tables — fewer bytes per token = more "
+        "text per context window): occurrence-weighted totals over "
+        "the shared word histogram, with BPE's fixed merge list "
+        "replayed per DISTINCT word (vocab-bounded, not corpus-"
+        "bounded — same counts as the per-doc apply). Closes the "
+        "tokenizer family next to tokenizer_fertility's pieces-per-"
+        "word lens: one word-histogram aggregate feeds four summary "
+        "rows, each hash-certifying its full segmentation. "
+        "ops/bpe.bpe_apply, ops/unigram, ops/wordpiece.",
+    tags=("text", "tokenize", "north-star"),
+)
+def tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.unigram import (piece_table, viterbi_segment,
+                                        word_counts)
+    from hops_spark.ops.wordpiece import wp_greedy_segment, wp_piece_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wc = word_counts(d).cache()
+    sym = "array_join(regexp_extract_all(w, '.', 0), ' ')"
+    for left, right in _TOKENIZE_MERGES:
+        sym = (f"trim(replace(' ' || {sym} || ' ', "
+               f"' {left} {right} ', ' {left}{right} '))")
+    faces = [
+        ("whitespace", wc.withColumn("n_pieces", F.lit(1))),
+        ("bpe", wc.withColumn(
+            "n_pieces", F.expr(f"size(split({sym}, ' '))"))),
+        ("wordpiece", wp_greedy_segment(wc, wp_piece_table(wc))),
+        ("unigram", viterbi_segment(wc, piece_table(wc))),
+    ]
+
+    def summarize(name: str, seg: DataFrame) -> DataFrame:
+        return (seg.agg(
+            F.sum(F.col("n_occ") * F.col("n_pieces")).cast("long")
+             .alias("n_tokens"),
+            F.sum(F.col("n_occ") * F.octet_length("w")).cast("long")
+             .alias("total_bytes"),
+            F.sum(F.col("n_occ") * F.length("w")).cast("long")
+             .alias("total_chars"))
+            .select(F.lit(name).alias("tokenizer"), "n_tokens",
+                    "total_bytes", "total_chars"))
+
+    b = summarize(*faces[0])
+    for name, seg in faces[1:]:
+        b = b.unionByName(summarize(name, seg))
+    return (b.select(
+                "tokenizer", "n_tokens", "total_bytes", "total_chars",
+                F.expr("CAST(total_bytes * 1000 div n_tokens AS BIGINT)")
+                 .alias("bytes_per_token_milli"),
+                F.expr("CAST(total_chars * 1000 div n_tokens AS BIGINT)")
+                 .alias("chars_per_token_milli"))
+             .orderBy("tokenizer"))
+
+
 PW_BATCH = 8
 PW_BUCKET = 16
 

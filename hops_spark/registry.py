@@ -117,6 +117,10 @@ def load_all() -> dict[str, QuerySpec]:
 # exactly this queue).
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # round-12 registrations land here as they are verified
+    "pairwise_winrate",          # cross-model head-to-head win rates
+    "bradley_terry_strengths",   # integer MM strength fit (Elo-style)
+    "annotator_agreement",       # Fleiss kappa over derived 3-judge view
+    "tokenizer_compression",     # bytes/chars per token, all tokenizers
 )
 # Round-13 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-12 REPROVE set (queries whose implementation changed after

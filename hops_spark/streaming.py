@@ -1368,3 +1368,136 @@ def arpa_stream(stream_docs: DataFrame, state_dir: str, model_dir: str,
     return (stream_docs.writeStream.foreachBatch(upd)
             .option("checkpointLocation", checkpoint)
             .outputMode("append"))
+
+
+# --- continuously-refreshed cross-model win matrix + strengths -----------
+
+PAIR_SIDE_SCHEMA = "pair_id long, side int, source string, score long"
+WIN_MATRIX_SCHEMA = "model_a string, model_b string, n long, wa long"
+
+
+def winrate_batch_update(batch_df: DataFrame, batch_id: int,
+                         state_dir: str, out_dir: str) -> None:
+    """One micro-batch of the continuously-refreshed model-evaluation
+    card: batch docs are scored (the shared ops/preference reward
+    derivation), matched into adjacent pairs AGAINST the pending-side
+    store — a pair whose two docs arrive in different batches
+    completes when the second side lands, the stream-stream-join shape
+    with the pair store as state — and every completed cross-source
+    outcome folds into the additive win-count matrix. The per-batch
+    artifact (out_dir/batch=<id>) is the Bradley-Terry strength table
+    rebuilt from the folded matrix via the SAME
+    ops/preference.bradley_terry_fit integer iteration the batch query
+    runs.
+
+    State: pending sides (bounded by in-flight incomplete pairs) +
+    the #models²-bounded matrix — never corpus-proportional.
+    IDEMPOTENT under foreachBatch redelivery: store reads capped at
+    batch_id, writes keyed by batch_id with overwrite, epochs pruned
+    to ≤ 2 (the attribution/mixture/calibration/arpa contract)."""
+    import os
+    import shutil
+
+    from hops_spark.ops.preference import (BT_ITERS, bradley_terry_fit,
+                                           scored_docs)
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    pend_dir = os.path.join(state_dir, "pending")
+    mat_dir = os.path.join(state_dir, "matrix")
+
+    scored = scored_docs(batch_df.select("doc_id", "source", "text"))
+    sides = scored.select(
+        F.expr("doc_id div 2").cast("long").alias("pair_id"),
+        (F.col("doc_id") % 2).cast("int").alias("side"),
+        "source",
+        F.col("quality_score_ppm").cast("long").alias("score"))
+    pend, pe = _latest_epoch(spark, pend_dir, PAIR_SIDE_SCHEMA,
+                             at_most=batch_id)
+    allsides = sides if pend is None else pend.unionByName(sides)
+    st = F.struct(F.col("source").alias("source"),
+                  F.col("score").alias("score"))
+    g = (allsides.groupBy("pair_id")
+         .agg(F.max(F.when(F.col("side") == 0, st)).alias("_a"),
+              F.max(F.when(F.col("side") == 1, st)).alias("_b")))
+    g = g.localCheckpoint(eager=True)   # feeds 3 consumers, cut lineage
+    complete = g.filter(F.col("_a").isNotNull()
+                        & F.col("_b").isNotNull())
+    still = g.filter(F.col("_a").isNull() | F.col("_b").isNull())
+    new_pend = (still.filter(F.col("_a").isNotNull())
+                .select("pair_id", F.lit(0).alias("side"),
+                        F.col("_a.source").alias("source"),
+                        F.col("_a.score").alias("score"))
+                .unionByName(
+                    still.filter(F.col("_b").isNotNull())
+                    .select("pair_id", F.lit(1).alias("side"),
+                            F.col("_b.source").alias("source"),
+                            F.col("_b.score").alias("score"))))
+    winner = F.when(F.col("_a.score") >= F.col("_b.score"),
+                    F.col("_a.source")).otherwise(F.col("_b.source"))
+    batch_mat = (complete
+                 .filter(F.col("_a.source") != F.col("_b.source"))
+                 .select(F.least("_a.source", "_b.source")
+                         .alias("model_a"),
+                         F.greatest("_a.source", "_b.source")
+                         .alias("model_b"),
+                         winner.alias("winner_model"))
+                 .groupBy("model_a", "model_b")
+                 .agg(F.count("*").cast("long").alias("n"),
+                      F.sum((F.col("winner_model") == F.col("model_a"))
+                            .cast("long")).cast("long").alias("wa")))
+    mat, me = _latest_epoch(spark, mat_dir, WIN_MATRIX_SCHEMA,
+                            at_most=batch_id)
+    folded = batch_mat if mat is None else (
+        mat.unionByName(batch_mat)
+           .groupBy("model_a", "model_b")
+           .agg(F.sum("n").cast("long").alias("n"),
+                F.sum("wa").cast("long").alias("wa")))
+    new_pend.write.mode("overwrite").parquet(
+        os.path.join(pend_dir, f"epoch={batch_id + 1}"))
+    folded.write.mode("overwrite").parquet(
+        os.path.join(mat_dir, f"epoch={batch_id + 1}"))
+    for d, keep in ((pend_dir, pe), (mat_dir, me)):
+        for e in os.listdir(d):
+            if e.startswith("epoch="):
+                n = int(e.split("=", 1)[1])
+                if n != keep and n != batch_id + 1:
+                    shutil.rmtree(os.path.join(d, e),
+                                  ignore_errors=True)
+    rows = spark.read.schema(WIN_MATRIX_SCHEMA).parquet(
+        os.path.join(mat_dir, f"epoch={batch_id + 1}")).collect()
+    s = bradley_terry_fit([(r["model_a"], r["model_b"], r["wa"],
+                            r["n"] - r["wa"]) for r in rows],
+                          iters=BT_ITERS)
+    wins: dict[str, int] = {}
+    pairs: dict[str, int] = {}
+    for r in rows:
+        wins[r["model_a"]] = wins.get(r["model_a"], 0) + r["wa"]
+        wins[r["model_b"]] = (wins.get(r["model_b"], 0)
+                              + r["n"] - r["wa"])
+        pairs[r["model_a"]] = pairs.get(r["model_a"], 0) + r["n"]
+        pairs[r["model_b"]] = pairs.get(r["model_b"], 0) + r["n"]
+    spark.createDataFrame(
+        [(m, wins[m], pairs[m], s[m]) for m in sorted(s)],
+        "model string, n_wins long, n_pairs long, strength_micro long"
+    ).write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch={batch_id}"))
+
+
+def winrate_stream(stream_docs: DataFrame, state_dir: str, out_dir: str,
+                   checkpoint: str):
+    """Continuous reward-model evaluation over a document stream: fold
+    completed cross-source pair outcomes into the win matrix, rebuild
+    the Bradley-Terry strength table per batch. Equivalence law
+    (pytest-asserted): the table written after batch k equals the
+    batch bradley_terry_strengths derivation over the union of batches
+    0..k — outcome-count additivity plus the pending-side store makes
+    the fold exact even when a pair's two docs arrive in DIFFERENT
+    batches; both faces share the ops/preference derivations."""
+    def upd(batch_df: DataFrame, batch_id: int) -> None:
+        winrate_batch_update(batch_df, batch_id, state_dir, out_dir)
+
+    return (stream_docs.writeStream.foreachBatch(upd)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append"))
