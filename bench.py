@@ -132,6 +132,8 @@ HEADLINE = [
     "bradley_terry_strengths",
     "annotator_agreement",
     "tokenizer_compression",
+    "best_of_n_curve",
+    "bt_calibration",
 ]
 
 

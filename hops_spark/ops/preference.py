@@ -320,6 +320,87 @@ def fleiss_agreement(votes: DataFrame, n_judges: int = 3) -> DataFrame:
                "AS BIGINT)").alias("kappa_ppm"))
 
 
+def _choose(n: int, r: int) -> int:
+    if r < 0 or r > n:
+        return 0
+    out = 1
+    for i in range(r):
+        out = out * (n - i) // (i + 1)
+    return out
+
+
+def best_of_n_curve(scored: DataFrame, group_size: int = 4,
+                    ks: tuple[int, ...] = (1, 2, 4)) -> DataFrame:
+    """Exact best-of-k reward curve over K-response prompt groups —
+    the rejection-sampling yield curve (Nakano et al. 2021 WebGPT
+    §4.2 best-of-n; Gao et al. 2023 reward-model overoptimization
+    plot exactly E[max reward of k samples] vs k): for each complete
+    group with ascending scores s_(1)..s_(K), the expectation over
+    uniformly-random k-subsets is the order-statistic identity
+
+        E[max of k] = sum_i s_(i) * C(i-1, k-1) / C(K, k),
+
+    evaluated EXACTLY in integers: per-group weighted numerators sum
+    across groups, ONE division at the end per k. Per group the sort
+    is over a K-element collected array (sort_array — no window, no
+    per-group shuffle beyond the one keyed aggregate); output is
+    len(ks) rows. Incomplete groups (corpus tail) drop — the subset
+    combinatorics require exactly K."""
+    K = int(group_size)
+    g = (scored
+         .groupBy(F.expr(f"doc_id div {K}").cast("long")
+                  .alias("group_id"))
+         .agg(F.sort_array(F.collect_list(
+              F.col("quality_score_ppm").cast("long"))).alias("ss"),
+              F.count("*").alias("nr"))
+         .filter(F.col("nr") == K))
+    faces = []
+    for k in ks:
+        denom = _choose(K, int(k))
+        num = None
+        for i in range(1, K + 1):
+            w = _choose(i - 1, int(k) - 1)
+            if w == 0:
+                continue
+            term = F.element_at("ss", i) * F.lit(w)
+            num = term if num is None else num + term
+        faces.append(g.agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum(num).cast("long").alias("_num"))
+            .select(F.lit(int(k)).cast("long").alias("k"), "n_groups",
+                    F.expr(f"CAST(_num div ({denom} * n_groups) "
+                           "AS BIGINT)").alias("best_of_k_mean_ppm")))
+    out = faces[0]
+    for f in faces[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("k")
+
+
+def bt_calibration(win_matrix: DataFrame,
+                   strengths: dict[str, int]) -> DataFrame:
+    """Bradley-Terry fit diagnostics — predicted vs empirical win rate
+    per model pair (the model-eval analogue of the probe reliability
+    diagram; Hunter 2004 checks fits exactly this way): for each
+    matrix row, pred_ppm = s_a·1e6 div (s_a + s_b) off the fitted
+    integer strengths, next to the empirical rate and their |gap|.
+    The strengths ride as a broadcast literal map (#models-bounded);
+    one pass over the #models²-bounded matrix."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in sorted(strengths.items()) for x in kv])
+    base = win_matrix.select(
+        "model_a", "model_b", "n_pairs",
+        F.col("winrate_a_ppm").alias("emp_ppm"),
+        mapping[F.col("model_a")].cast("long").alias("_sa"),
+        mapping[F.col("model_b")].cast("long").alias("_sb"))
+    return (base.select(
+        "model_a", "model_b", "n_pairs", "emp_ppm",
+        F.expr(f"CAST((_sa * {PPM}) div greatest(_sa + _sb, 1) "
+               "AS BIGINT)").alias("pred_ppm"))
+        .withColumn("gap_ppm",
+                    F.abs(F.col("emp_ppm") - F.col("pred_ppm"))
+                     .cast("long")))
+
+
 def prompt_group_stats(scored: DataFrame, group_size: int = 4) -> DataFrame:
     """Per-prompt response-group statistics (the K-responses-per-prompt
     shape reward-model training data ships in — Stiennon et al. 2020

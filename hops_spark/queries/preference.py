@@ -337,6 +337,94 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "best_of_n_curve",
+    sql=f"""
+    WITH {_PREF_CTES}, grp AS (
+        SELECT doc_id // 4 AS group_id,
+               list_sort(list(score)) AS ss,
+               count(*) AS nr
+        FROM psc GROUP BY doc_id // 4
+    ), cg AS (
+        SELECT ss FROM grp WHERE nr = 4
+    )
+    SELECT CAST(1 AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(ss[1] + ss[2] + ss[3] + ss[4]) // (4 * count(*))
+                AS BIGINT) AS best_of_k_mean_ppm
+    FROM cg
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT),
+           CAST(sum(ss[2] + 2 * ss[3] + 3 * ss[4]) // (6 * count(*))
+                AS BIGINT)
+    FROM cg
+    UNION ALL
+    SELECT 4, CAST(count(*) AS BIGINT),
+           CAST(sum(ss[4]) // count(*) AS BIGINT)
+    FROM cg
+    ORDER BY k
+    """,
+    doc="Exact best-of-k reward curve over the 4-response prompt "
+        "groups — the rejection-sampling yield curve (Nakano et al. "
+        "2021 WebGPT §4.2; Gao et al. 2023 plot E[max reward of k "
+        "samples] vs k to locate reward-model overoptimization): the "
+        "order-statistic identity E[max of k] = Σ s_(i)·C(i-1,k-1)/"
+        "C(K,k) evaluated exactly in integers — per-group weighted "
+        "numerators over the sorted 4-element score array (sort_array "
+        "of a collected group, no window), summed corpus-wide, ONE "
+        "division per k. Three rows certify every group's full order "
+        "statistics. ops/preference.best_of_n_curve.",
+    tags=("text", "ml", "preference", "north-star"),
+)
+def best_of_n_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.preference import best_of_n_curve
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    return best_of_n_curve(scored_docs(d), group_size=4, ks=(1, 2, 4))
+
+
+@register(
+    "bt_calibration",
+    sql=f"""
+    WITH {_PREF_CTES}, {_XO_CTE}, {_bt_iter_ctes(BT_ITERS)}
+    SELECT w.model_a, w.model_b,
+           CAST(w.n AS BIGINT) AS n_pairs,
+           CAST((w.wa * 1000000) // w.n AS BIGINT) AS emp_ppm,
+           CAST((sa.s * 1000000) // greatest(sa.s + sb.s, 1) AS BIGINT)
+               AS pred_ppm,
+           CAST(abs((w.wa * 1000000) // w.n
+                    - (sa.s * 1000000) // greatest(sa.s + sb.s, 1))
+                AS BIGINT) AS gap_ppm
+    FROM wm w JOIN s{BT_ITERS} sa ON sa.model = w.model_a
+              JOIN s{BT_ITERS} sb ON sb.model = w.model_b
+    ORDER BY w.model_a, w.model_b
+    """,
+    doc="Bradley-Terry fit diagnostics — predicted vs empirical win "
+        "rate per model pair (the model-eval reliability diagram; the "
+        "goodness check Hunter 2004 / Chatbot-Arena-style reports run "
+        "before trusting fitted strengths): pred_ppm = s_a·1e6 div "
+        "(s_a+s_b) off the fitted integer strengths next to the "
+        "observed rate and their |gap|. A pair with a large gap marks "
+        "intransitivity the single-scalar model cannot express. The "
+        "fitted strengths ride back as a broadcast literal map over "
+        "the #models²-bounded matrix (localCheckpointed once — the "
+        "bounded-frame re-derivation rule); the oracle replays fit "
+        "AND diagnosis off the same unrolled CTE chain. "
+        "ops/preference.bt_calibration.",
+    tags=("text", "ml", "preference"),
+)
+def bt_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.preference import bt_calibration
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    wm = pairwise_win_matrix(cross_model_outcomes(scored_docs(d)))
+    wm = wm.localCheckpoint(eager=True)   # feeds the collect AND the join
+    s = bradley_terry_fit(
+        [(r["model_a"], r["model_b"], r["wins_a"], r["wins_b"])
+         for r in wm.collect()], iters=BT_ITERS)
+    return bt_calibration(wm, s).orderBy("model_a", "model_b")
+
+
+@register(
     "annotator_agreement",
     sql=f"""
     WITH {_PREF_CTES}, jv AS (

@@ -121,6 +121,8 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "bradley_terry_strengths",   # integer MM strength fit (Elo-style)
     "annotator_agreement",       # Fleiss kappa over derived 3-judge view
     "tokenizer_compression",     # bytes/chars per token, all tokenizers
+    "best_of_n_curve",           # exact E[max of k] rejection-sampling
+    "bt_calibration",            # BT predicted vs empirical win rate
 )
 # Round-13 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-12 REPROVE set (queries whose implementation changed after

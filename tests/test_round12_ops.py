@@ -225,3 +225,112 @@ def test_winrate_stream_folds_like_batch(spark, tmp_path):
     before = (written(0), written(1))
     winrate_batch_update(b1, 1, state, out)
     assert (written(0), written(1)) == before
+
+
+def test_best_of_n_exact_subset_enumeration(spark):
+    """The order-statistic identity equals literal enumeration of all
+    C(4,k) subsets on a hand-built group, and the incomplete trailing
+    group drops."""
+    from itertools import combinations
+
+    from hops_spark.ops.preference import best_of_n_curve
+
+    scores = [100, 400, 200, 300]          # group 0 (docs 0..3)
+    docs = spark.createDataFrame(
+        [(i, "s", s) for i, s in enumerate(scores)]
+        + [(4, "s", 999)],                  # incomplete group 1: drops
+        "doc_id long, source string, quality_score_ppm long")
+    got = {r["k"]: r for r in
+           best_of_n_curve(docs, group_size=4, ks=(1, 2, 4)).collect()}
+    for k in (1, 2, 4):
+        subs = list(combinations(scores, k))
+        truth = sum(max(s) for s in subs) // len(subs)   # exact: 1 group
+        assert got[k]["n_groups"] == 1
+        assert got[k]["best_of_k_mean_ppm"] == truth, k
+    assert got[1]["best_of_k_mean_ppm"] == 250
+    assert got[4]["best_of_k_mean_ppm"] == 400
+
+
+def test_bt_calibration_pred_and_gap(spark):
+    """pred_ppm is the exact integer s_a*1e6 div (s_a+s_b) and gap is
+    |emp - pred|; a two-model matrix fits its own empirical rate
+    almost exactly (BT with two models is saturated)."""
+    from hops_spark.ops.preference import (bradley_terry_fit,
+                                           bt_calibration)
+
+    wm = spark.createDataFrame(
+        [("a", "b", 10, 7, 3, 700_000)],
+        "model_a string, model_b string, n_pairs long, wins_a long,"
+        "wins_b long, winrate_a_ppm long")
+    s = bradley_terry_fit([("a", "b", 7, 3)])
+    r = bt_calibration(wm, s).collect()[0]
+    assert r["pred_ppm"] == s["a"] * 1_000_000 // (s["a"] + s["b"])
+    assert r["gap_ppm"] == abs(r["emp_ppm"] - r["pred_ppm"])
+    assert abs(r["pred_ppm"] - 700_000) < 100   # saturated 2-model fit
+
+
+# --- hypothesis property laws for the Bradley-Terry integer fit ---------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_models = ["a", "b", "c", "d"]
+_cell = st.tuples(st.integers(0, 3), st.integers(0, 3),
+                  st.integers(0, 50), st.integers(0, 50))
+
+
+def _mat(cells):
+    """Build a valid unordered win matrix from raw hypothesis cells."""
+    agg = {}
+    for i, j, wa, wb in cells:
+        if i == j or wa + wb == 0:
+            continue
+        ma, mb = sorted((_models[i], _models[j]))
+        pa, pb = (wa, wb) if _models[i] == ma else (wb, wa)
+        oa, ob = agg.get((ma, mb), (0, 0))
+        agg[(ma, mb)] = (oa + pa, ob + pb)
+    return [(ma, mb, wa, wb) for (ma, mb), (wa, wb) in sorted(agg.items())]
+
+
+@settings(max_examples=40, deadline=None)
+@given(cells=st.lists(_cell, min_size=1, max_size=10),
+       scale=st.integers(2, 20))
+def test_bt_fit_count_scale_invariance(cells, scale):
+    """Multiplying every cell of the win matrix by a constant leaves
+    the fitted strengths essentially unchanged (Bradley-Terry depends
+    only on win FRACTIONS; the integer pipeline may wobble by a few
+    micro from truncation)."""
+    from hops_spark.ops.preference import bradley_terry_fit
+
+    mat = _mat(cells)
+    if not mat:
+        return
+    s1 = bradley_terry_fit(mat)
+    s2 = bradley_terry_fit([(a, b, wa * scale, wb * scale)
+                            for a, b, wa, wb in mat])
+    for m in s1:
+        assert abs(s1[m] - s2[m]) <= max(5, s1[m] // 100_000), (m, s1, s2)
+
+
+@settings(max_examples=40, deadline=None)
+@given(cells=st.lists(_cell, min_size=1, max_size=10))
+def test_bt_fit_label_permutation_equivariance(cells):
+    """Renaming the models permutes the strengths with them — the fit
+    depends on the matrix, not on label identity (iteration order in
+    the python loop never leaks into the result)."""
+    from hops_spark.ops.preference import bradley_terry_fit
+
+    mat = _mat(cells)
+    if not mat:
+        return
+    ren = {"a": "z9", "b": "y8", "c": "x7", "d": "w6"}
+    flipped = []
+    for a, b, wa, wb in mat:
+        ra, rb = ren[a], ren[b]
+        if ra <= rb:
+            flipped.append((ra, rb, wa, wb))
+        else:
+            flipped.append((rb, ra, wb, wa))
+    s1 = bradley_terry_fit(mat)
+    s2 = bradley_terry_fit(flipped)
+    assert {ren[m]: v for m, v in s1.items()} == s2

@@ -633,6 +633,92 @@ def main() -> int:
                  and abs(st["nll"] - expect_doc) <= 1)
     t_kn = time.time() - t0
 
+    # tier 20 — preference/reward-model-eval family at 2M docs / 1M
+    # pairs, fully closed-form (round 12). Scored sides are synthesized
+    # directly (the ops take any frame with the pair columns): pair k
+    # pits source m{k%10} against m{(k%10+1+k%9)%10} (offset 1..9, so
+    # never self), with scores 1000+k%7 vs 1000+(k+3)%7 — every
+    # outcome is a pure function of k mod lcm(10,9,7)=630, so the
+    # exact #models² win matrix is a 630-cycle count replicated in
+    # python and compared row-for-row against the distributed
+    # single-aggregation pair assembly. Fleiss kappa runs over 1M
+    # constructed votes (votes_a = k%4, per-source cycle 20) against
+    # exact-Fraction per-source truth.
+    from fractions import Fraction as _Fr
+
+    from hops_spark.ops.preference import (bradley_terry_fit,
+                                           cross_model_outcomes,
+                                           fleiss_agreement,
+                                           pairwise_win_matrix)
+    t0 = time.time()
+    n_pref = 2_000_000
+    n_pp = n_pref // 2
+    sides = spark.range(0, n_pref, 1, parts).select(
+        F.col("id").alias("doc_id"),
+        F.lit("").alias("text"),
+        F.expr("concat('m', CASE WHEN id % 2 = 0 "
+               "THEN (id div 2) % 10 "
+               "ELSE ((id div 2) % 10 + 1 + (id div 2) % 9) % 10 END)"
+               ).alias("source"),
+        F.expr("CASE WHEN id % 2 = 0 THEN 1000 + (id div 2) % 7 "
+               "ELSE 1000 + ((id div 2) + 3) % 7 END").cast("long")
+         .alias("quality_score_ppm"),
+        F.lit(1).cast("long").alias("n_words"))
+    got_wm = {(r["model_a"], r["model_b"]): (r["n_pairs"], r["wins_a"])
+              for r in pairwise_win_matrix(
+                  cross_model_outcomes(sides)).collect()}
+
+    def _pref_truth(n_pairs):
+        acc = {}
+        cyc = 630
+        base = {}
+        for k in range(cyc):
+            a, b = k % 10, (k % 10 + 1 + k % 9) % 10
+            sa, sb = 1000 + k % 7, 1000 + (k + 3) % 7
+            ma, mb = f"m{min(a, b)}", f"m{max(a, b)}"
+            win_a = ((sa >= sb) == (a <= b))  # canonical side's win
+            np_, wa_ = base.get((ma, mb), (0, 0))
+            base[(ma, mb)] = (np_ + 1, wa_ + (1 if win_a else 0))
+        full, rem = divmod(n_pairs, cyc)
+        for key, (np_, wa_) in base.items():
+            acc[key] = (np_ * full, wa_ * full)
+        for k in range(rem):
+            a, b = k % 10, (k % 10 + 1 + k % 9) % 10
+            sa, sb = 1000 + k % 7, 1000 + (k + 3) % 7
+            ma, mb = f"m{min(a, b)}", f"m{max(a, b)}"
+            win_a = ((sa >= sb) == (a <= b))
+            np_, wa_ = acc.get((ma, mb), (0, 0))
+            acc[(ma, mb)] = (np_ + 1, wa_ + (1 if win_a else 0))
+        return {k: v for k, v in acc.items() if v[0] > 0}
+
+    wm_ok = got_wm == _pref_truth(n_pp)
+    st_bt = bradley_terry_fit(
+        [(a, b, wa_, np_ - wa_)
+         for (a, b), (np_, wa_) in sorted(got_wm.items())])
+    bt_ok = (len(st_bt) == 10 and min(st_bt.values()) > 0
+             and abs(sum(st_bt.values()) - 10 * 1_000_000) <= 10)
+    votes = spark.range(0, n_pp, 1, parts).select(
+        F.col("id").alias("pair_id"),
+        F.expr("concat('m', id % 10)").alias("source"),
+        (F.col("id") % 4).cast("long").alias("votes_a"))
+    got_fl = {r["source"]: (r["n_pairs"], r["kappa_ppm"])
+              for r in fleiss_agreement(votes, n_judges=3).collect()}
+
+    def _fl_truth(src_i, n_pairs):
+        vs = [k % 4 for k in range(src_i, n_pairs, 10)]
+        n = len(vs)
+        s = sum(v * (v - 1) + (3 - v) * (2 - v) for v in vs)
+        a = sum(vs)
+        pe = _Fr(a * a + (3 * n - a) ** 2, (3 * n) ** 2)
+        if pe == 1:
+            return (n, 1_000_000)
+        kap = (_Fr(s, 6 * n) - pe) / (1 - pe)
+        return (n, (kap.numerator * 1_000_000) // kap.denominator)
+
+    fl_ok = all(got_fl[f"m{i}"] == _fl_truth(i, n_pp) for i in range(10))
+    pref_ok = bool(wm_ok and bt_ok and fl_ok)
+    t_pref = time.time() - t0
+
     out = {"job": "stress_check", "n_rows": n, "n_partitions": parts,
            "rank_ok": bool(rank_ok), "rank_sec": round(t_rank, 1),
            "prefix_sum_ok": bool(ps_ok), "prefix_sum_sec": round(t_ps, 1),
@@ -664,12 +750,14 @@ def main() -> int:
            "interval_rep_fine": int(rep_fine),
            "interval_rep_coarse": int(rep_coarse),
            "kn_trigram_ok": bool(kn_ok),
-           "kn_trigram_sec": round(t_kn, 1)}
+           "kn_trigram_sec": round(t_kn, 1),
+           "preference_2m_ok": bool(pref_ok),
+           "preference_2m_sec": round(t_pref, 1)}
     print(json.dumps(out))
     return 0 if all((rank_ok, ps_ok, skew_ok, dedup_ok, inc_ok,
                      ann_ok, meta_ok, tl_ok, wj_ok, tri_ok,
                      spans_ok, spans_int_ok, pq_ok, media_ok, decon_ok,
-                     lpa_ok, iv_ok, kn_ok)) else 1
+                     lpa_ok, iv_ok, kn_ok, pref_ok)) else 1
 
 
 if __name__ == "__main__":
