@@ -134,6 +134,8 @@ HEADLINE = [
     "tokenizer_compression",
     "best_of_n_curve",
     "bt_calibration",
+    "matryoshka_recall",
+    "adaptive_prefix_rerank",
 ]
 
 

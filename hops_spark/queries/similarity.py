@@ -256,6 +256,173 @@ def knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("q_id"))
 
 
+TRUNC_DIMS = (8, 16, 32)
+
+
+def _matryoshka_sql() -> str:
+    """One exact full-dim truth CTE + one truncated-prefix approx CTE
+    per truncation dim, unioned into (d_trunc, q_id, recall_ppm)."""
+    parts = [f"""
+    WITH d AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS q_id, v AS qv FROM d WHERE vec_id < {N_QUERIES}
+    ), exact AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.q_id, d.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY round(list_cosine_similarity(d.v, q.qv), 6)
+                                DESC, d.vec_id) AS rnk
+            FROM d CROSS JOIN q WHERE d.vec_id <> q.q_id
+        ) WHERE rnk <= {K}
+    )"""]
+    for dt in TRUNC_DIMS:
+        parts.append(f""", t{dt} AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.q_id, d.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY round(list_cosine_similarity(
+                                    d.v[1:{dt}], q.qv[1:{dt}]), 6)
+                                DESC, d.vec_id) AS rnk
+            FROM d CROSS JOIN q WHERE d.vec_id <> q.q_id
+        ) WHERE rnk <= {K}
+    )""")
+    faces = "\n    UNION ALL ".join(
+        f"""SELECT CAST({dt} AS BIGINT) AS d_trunc, e.q_id,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0
+                    END) * 1000000 // {K} AS BIGINT) AS recall_ppm
+    FROM exact e LEFT JOIN t{dt} a USING (q_id, neighbor_id)
+    GROUP BY e.q_id""" for dt in TRUNC_DIMS)
+    parts.append(f"\n    {faces}\n    ORDER BY d_trunc, q_id")
+    return "".join(parts)
+
+
+@register(
+    "matryoshka_recall",
+    sql=_matryoshka_sql(),
+    doc="Matryoshka truncation-recall curve (Kusupati et al. 2022 MRL; "
+        "the dimension-vs-quality tradeoff every 2024-era embedding "
+        "deployment measures before serving truncated vectors): "
+        "recall@k of top-k retrieval using only the FIRST 8/16/32 of "
+        "the 64 embedding components against the full-dimension exact "
+        "top-k, per query in integer ppm. The adaptive-retrieval "
+        "pattern this certifies — shortlist on a cheap prefix, rerank "
+        "on the full vector — is the ANN analogue of rerank_maxsim's "
+        "cascade. Full-dim truth is computed once (localCheckpointed, "
+        "N_QUERIES·k rows) and each truncation face joins against it; "
+        "all faces are bounded query panels over the guarded "
+        "brute-force eval path. ops/similarity.knn_bruteforce over "
+        "F.slice prefixes.",
+    tags=("similarity", "eval", "ml", "north-star"),
+)
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = (e.filter(F.col("vec_id") < N_QUERIES)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec")))
+    corpus = e.select("vec_id", "embedding")
+    exact = (SIM.knn_bruteforce(corpus, queries, K)
+             .select("q_id", "neighbor_id")
+             .localCheckpoint(eager=True))   # truth feeds every face
+    out = None
+    for dt in TRUNC_DIMS:
+        ct = corpus.select("vec_id",
+                           F.slice("embedding", 1, dt).alias("embedding"))
+        qt = queries.select("q_id",
+                            F.slice("q_vec", 1, dt).alias("q_vec"))
+        ap = (SIM.knn_bruteforce(ct, qt, K)
+              .select("q_id", "neighbor_id").withColumn("_hit", F.lit(1)))
+        face = (exact.join(ap, ["q_id", "neighbor_id"], "left")
+                .groupBy("q_id")
+                .agg(F.expr(f"CAST(sum(coalesce(_hit, 0)) * 1000000 "
+                            f"div {K} AS BIGINT)").alias("recall_ppm"))
+                .select(F.lit(dt).cast("long").alias("d_trunc"),
+                        "q_id", "recall_ppm"))
+        out = face if out is None else out.unionByName(face)
+    return out.orderBy("d_trunc", "q_id")
+
+
+PREFIX_DIM = 8          # shortlist on this prefix
+SHORTLIST_K = 30        # candidates the cheap stage hands the reranker
+
+
+@register(
+    "adaptive_prefix_rerank",
+    sql=f"""
+    WITH d AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS q_id, v AS qv FROM d WHERE vec_id < {N_QUERIES}
+    ), short AS (
+        SELECT q_id, neighbor_id, rnk AS prefix_rnk FROM (
+            SELECT q.q_id, d.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY round(list_cosine_similarity(
+                                    d.v[1:{PREFIX_DIM}],
+                                    q.qv[1:{PREFIX_DIM}]), 6)
+                                DESC, d.vec_id) AS rnk
+            FROM d CROSS JOIN q WHERE d.vec_id <> q.q_id
+        ) WHERE rnk <= {SHORTLIST_K}
+    ), rer AS (
+        SELECT s.q_id, s.neighbor_id, s.prefix_rnk,
+               round(list_cosine_similarity(d.v, q.qv), 6) AS cos_sim
+        FROM short s JOIN d ON d.vec_id = s.neighbor_id
+                     JOIN q ON q.q_id = s.q_id
+    ), fin AS (
+        SELECT q_id, neighbor_id, cos_sim, prefix_rnk,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM rer
+    )
+    SELECT q_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk,
+           CAST(prefix_rnk AS BIGINT) AS prefix_rnk
+    FROM fin WHERE rnk <= {K}
+    ORDER BY q_id, rnk
+    """,
+    doc="Adaptive retrieval cascade EXECUTED (the serving pattern "
+        "matryoshka_recall certifies; Kusupati et al. 2022 §4 propose "
+        "exactly this shortlist-then-rerank): stage 1 ranks by the "
+        "8-component prefix (at scale: an IVF/LSH index built on the "
+        "cheap prefix — 8/64ths of the scan bytes and FLOPs), stage 2 "
+        "reranks only the 30-candidate shortlist with full vectors. "
+        "Output carries both ranks, so the rank-movement audit rides "
+        "along (the rerank_maxsim contract for dense vectors). Stage "
+        "2 joins a bounded shortlist — constant cost per query "
+        "regardless of corpus size.",
+    tags=("similarity", "north-star"),
+)
+def adaptive_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = (e.filter(F.col("vec_id") < N_QUERIES)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec")))
+    corpus = e.select("vec_id", "embedding")
+    short = (SIM.knn_bruteforce(
+        corpus.select("vec_id",
+                      F.slice("embedding", 1, PREFIX_DIM)
+                      .alias("embedding")),
+        queries.select("q_id",
+                       F.slice("q_vec", 1, PREFIX_DIM).alias("q_vec")),
+        SHORTLIST_K)
+        .select("q_id", "neighbor_id",
+                F.col("rnk").cast("long").alias("prefix_rnk")))
+    from pyspark.sql.window import Window
+    rer = (short.join(corpus.withColumnRenamed("vec_id", "neighbor_id"),
+                      "neighbor_id")
+                .join(F.broadcast(queries), "q_id")
+                .select("q_id", "neighbor_id", "prefix_rnk",
+                        F.round(SIM.cosine(F.col("embedding"),
+                                           F.col("q_vec")), 6)
+                         .alias("cos_sim")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(),
+                                           F.col("neighbor_id"))
+    return (rer.withColumn("rnk", F.row_number().over(w).cast("long"))
+               .filter(F.col("rnk") <= K)
+               .select("q_id", "neighbor_id", "cos_sim", "rnk",
+                       "prefix_rnk")
+               .orderBy("q_id", "rnk"))
+
+
 @register(
     "ivf_refined_cells",
     sql=f"""

@@ -123,6 +123,8 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "tokenizer_compression",     # bytes/chars per token, all tokenizers
     "best_of_n_curve",           # exact E[max of k] rejection-sampling
     "bt_calibration",            # BT predicted vs empirical win rate
+    "matryoshka_recall",         # truncated-dim recall@k curve (MRL)
+    "adaptive_prefix_rerank",    # prefix shortlist -> full rerank
 )
 # Round-13 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-12 REPROVE set (queries whose implementation changed after

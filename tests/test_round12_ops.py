@@ -334,3 +334,20 @@ def test_bt_fit_label_permutation_equivariance(cells):
     s1 = bradley_terry_fit(mat)
     s2 = bradley_terry_fit(flipped)
     assert {ren[m]: v for m, v in s1.items()} == s2
+
+
+def test_matryoshka_prefix_sufficiency(spark, monkeypatch):
+    """When all information lives in the first 8 components (rest
+    zero), every truncation level d >= 8 reproduces the full-dim
+    top-k exactly: recall 1e6 across the whole curve."""
+    import hops_spark.queries.similarity as S
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]
+             + [0.0] * 56, 0) for i in range(20)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(S, "load_table",
+                        lambda spark_, sf_dir, name: emb)
+    out = S.matryoshka_recall(spark, "ignored").collect()
+    assert len(out) == 3 * 5            # 3 truncation dims x 5 queries
+    assert all(r["recall_ppm"] == 1_000_000 for r in out)
