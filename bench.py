@@ -136,6 +136,7 @@ HEADLINE = [
     "bt_calibration",
     "matryoshka_recall",
     "adaptive_prefix_rerank",
+    "pass_at_k",
 ]
 
 

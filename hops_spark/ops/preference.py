@@ -376,6 +376,53 @@ def best_of_n_curve(scored: DataFrame, group_size: int = 4,
     return out.orderBy("k")
 
 
+PASS_THRESHOLD_PPM = 2_500_000   # a response "passes" above this reward
+
+
+def pass_at_k(scored: DataFrame, group_size: int = 4,
+              ks: tuple[int, ...] = (1, 2, 4),
+              threshold_ppm: int = PASS_THRESHOLD_PPM) -> DataFrame:
+    """Exact pass@k over K-response prompt groups (Chen et al. 2021
+    HumanEval §2.1 — the unbiased estimator every code/reasoning eval
+    reports): with c of the K responses passing the gate,
+
+        pass@k = 1 - C(K-c, k) / C(K, k),
+
+    averaged over groups EXACTLY in integers — per-group numerators
+    C(K,k) - C(K-c,k) sum corpus-wide, one division per k (the
+    best_of_n_curve discipline applied to the binomial identity
+    instead of order statistics). One keyed aggregate (count of
+    passing responses per group), len(ks) rows out; incomplete
+    trailing groups drop."""
+    K = int(group_size)
+    g = (scored
+         .groupBy(F.expr(f"doc_id div {K}").cast("long")
+                  .alias("group_id"))
+         .agg(F.sum((F.col("quality_score_ppm") >= threshold_ppm)
+                    .cast("long")).alias("c"),
+              F.count("*").alias("nr"))
+         .filter(F.col("nr") == K))
+    faces = []
+    for k in ks:
+        denom = _choose(K, int(k))
+        # numerator per group: C(K,k) - C(K-c,k), c in 0..K — a small
+        # CASE ladder both engines evaluate identically
+        lad = "CASE c " + " ".join(
+            f"WHEN {c} THEN {denom - _choose(K - c, int(k))}"
+            for c in range(K + 1)) + " END"
+        faces.append(g.agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum(F.expr(lad)).cast("long").alias("_num"))
+            .select(F.lit(int(k)).cast("long").alias("k"), "n_groups",
+                    F.expr(f"CAST((_num * {PPM}) div "
+                           f"({denom} * n_groups) AS BIGINT)")
+                    .alias("pass_at_k_ppm")))
+    out = faces[0]
+    for f in faces[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("k")
+
+
 def bt_calibration(win_matrix: DataFrame,
                    strengths: dict[str, int]) -> DataFrame:
     """Bradley-Terry fit diagnostics — predicted vs empirical win rate

@@ -424,6 +424,58 @@ def bt_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt_calibration(wm, s).orderBy("model_a", "model_b")
 
 
+def _pass_at_k_sql() -> str:
+    from hops_spark.ops.preference import PASS_THRESHOLD_PPM, _choose
+    K = 4
+    faces = []
+    for k in (1, 2, 4):
+        denom = _choose(K, k)
+        lad = "CASE c " + " ".join(
+            f"WHEN {c} THEN {denom - _choose(K - c, k)}"
+            for c in range(K + 1)) + " END"
+        faces.append(
+            f"""SELECT CAST({k} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST((sum({lad}) * 1000000) // ({denom} * count(*))
+                AS BIGINT) AS pass_at_k_ppm
+    FROM cg""")
+    u = "\n    UNION ALL ".join(faces)
+    return f"""
+    WITH {_PREF_CTES}, grp AS (
+        SELECT doc_id // {K} AS group_id,
+               sum(CASE WHEN score >= {PASS_THRESHOLD_PPM}
+                   THEN 1 ELSE 0 END) AS c,
+               count(*) AS nr
+        FROM psc GROUP BY doc_id // {K}
+    ), cg AS (
+        SELECT c FROM grp WHERE nr = {K}
+    )
+    {u}
+    ORDER BY k
+    """
+
+
+@register(
+    "pass_at_k",
+    sql=_pass_at_k_sql(),
+    doc="Exact pass@k over the 4-response prompt groups (Chen et al. "
+        "2021 HumanEval §2.1 — the unbiased estimator every code/"
+        "reasoning eval reports; a response 'passes' above the fixed "
+        "reward gate): per group with c passing responses, pass@k = "
+        "1 - C(K-c,k)/C(K,k), averaged EXACTLY in integers — the "
+        "per-group numerator is a 5-way CASE ladder on c (both "
+        "engines evaluate the identical literal table), summed "
+        "corpus-wide with one division per k. One keyed aggregate; "
+        "three rows. ops/preference.pass_at_k.",
+    tags=("text", "ml", "preference", "eval", "north-star"),
+)
+def pass_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.preference import pass_at_k
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    return pass_at_k(scored_docs(d), group_size=4, ks=(1, 2, 4))
+
+
 @register(
     "annotator_agreement",
     sql=f"""

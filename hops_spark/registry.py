@@ -125,6 +125,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "bt_calibration",            # BT predicted vs empirical win rate
     "matryoshka_recall",         # truncated-dim recall@k curve (MRL)
     "adaptive_prefix_rerank",    # prefix shortlist -> full rerank
+    "pass_at_k",                 # HumanEval unbiased estimator
 )
 # Round-13 rotation plan: fill freed slots FIRST with this queue, THEN
 # any round-12 REPROVE set (queries whose implementation changed after

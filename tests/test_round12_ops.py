@@ -351,3 +351,30 @@ def test_matryoshka_prefix_sufficiency(spark, monkeypatch):
     out = S.matryoshka_recall(spark, "ignored").collect()
     assert len(out) == 3 * 5            # 3 truncation dims x 5 queries
     assert all(r["recall_ppm"] == 1_000_000 for r in out)
+
+
+def test_pass_at_k_exact_subset_enumeration(spark):
+    """pass@k equals literal enumeration over all C(4,k) subsets
+    ('passes iff any member passes') for every passing-count c."""
+    from itertools import combinations
+
+    from hops_spark.ops.preference import pass_at_k
+
+    # groups engineered to c = 0, 1, 2, 3 passing responses
+    T = 2_500_000
+    rows = []
+    for g, c in enumerate([0, 1, 2, 3]):
+        for j in range(4):
+            rows.append((g * 4 + j, "s", T + 1 if j < c else 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, quality_score_ppm long")
+    got = {r["k"]: r["pass_at_k_ppm"]
+           for r in pass_at_k(docs, group_size=4, ks=(1, 2, 4)).collect()}
+    for k in (1, 2, 4):
+        num = den = 0
+        for c in [0, 1, 2, 3]:
+            flags = [1] * c + [0] * (4 - c)
+            subs = list(combinations(flags, k))
+            num += sum(1 for s in subs if any(s))
+            den += len(subs)
+        assert got[k] == num * 1_000_000 // den, k
