@@ -295,12 +295,19 @@ def kn3_stat_tables(c3: DataFrame) -> dict[str, DataFrame]:
         t2    (t2)                 — total suffix-pair types (1 row)
 
     Every aggregate is keyed on words (map-side combine, vocab-bounded
-    output); t2 is a 1-row frame the callers broadcast."""
+    output); t2 is a 1-row frame the callers broadcast.
+
+    cc2 is materialized eagerly: three of the five tables (mid, uni,
+    t2) derive from it and the ARPA assembly references each table
+    several times — without the checkpoint Catalyst re-runs the cc2
+    aggregate once per reference (guide §3.3: materialize a
+    multi-consumer intermediate to truncate the plan). cc2 is
+    type-bounded (distinct suffix pairs), far smaller than c3."""
     c12 = c3.groupBy("w1", "w2").agg(
         F.sum("n").cast("long").alias("c12"),
         F.count("*").cast("long").alias("n1f12"))
     cc2 = c3.groupBy("w2", "w3").agg(
-        F.count("*").cast("long").alias("cc"))
+        F.count("*").cast("long").alias("cc")).localCheckpoint(eager=True)
     mid = cc2.groupBy("w2").agg(
         F.sum("cc").cast("long").alias("ccd2"),
         F.count("*").cast("long").alias("n1fc2"))
@@ -351,7 +358,20 @@ def kn3_arpa(c3: DataFrame, prune3: int = 2) -> DataFrame:
     int64 stats, snapped per-row to integer micro-nats; there are no
     float aggregates at all. Scale: one corpus-proportional trigram
     aggregate + five vocab-bounded keyed aggregates + keyed joins; the
-    output is type-bounded (seen trigrams), never token-proportional."""
+    output is type-bounded (seen trigrams), never token-proportional.
+
+    Materialization (optimization r12, guide §2.4/§3.3): c3 is the one
+    corpus-proportional input and EVERY branch of the union references
+    it (directly or through a stat table) — unmaterialized, Catalyst
+    re-runs the corpus trigram aggregate once per reference (measured
+    52 parquet scans / 144 Exchanges in the kn_trigram_perplexity
+    plan). The eager localCheckpoint computes it once; the returned
+    ARPA table is likewise checkpointed because consumers
+    (kn3_score_docs, arpa_model_card) reference it up to six times,
+    and a materialized type-bounded model lets AQE broadcast the
+    scoring joins. At cluster scale this is the "write the model once,
+    read it everywhere" contract the docstrings already state."""
+    c3 = c3.localCheckpoint(eager=True)
     st = kn3_stat_tables(c3)
     c12, cc2, mid, uni, t2 = (st["c12"], st["cc2"], st["mid"], st["uni"],
                               st["t2"])
@@ -395,7 +415,8 @@ def kn3_arpa(c3: DataFrame, prune3: int = 2) -> DataFrame:
                                   f"* {MICRO}, 0) AS BIGINT)"),
                            F.lit(BOW_PASSTHROUGH)).cast("long")
                         .alias("bow_micro")))
-    return ord1.unionByName(ord2).unionByName(ord3)
+    return (ord1.unionByName(ord2).unionByName(ord3)
+                .localCheckpoint(eager=True))
 
 
 # Per-trigram scoring cost against the ARPA table, ARPA-consumer
