@@ -39,12 +39,14 @@ MICRO = 1_000_000
 
 
 def bigram_rows(docs: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
-    """(id, w1, w2) — one row per adjacent token pair. The words array
-    is bound behind a Generate barrier (explode of a 1-element array) so
-    the split runs once per doc, not once per element_at (the
-    CollapseProject trap shingle_arrays documents)."""
-    bound = docs.select(F.col(id_col),
+                text_col: str = "text",
+                carry: tuple[str, ...] = ()) -> DataFrame:
+    """(id, *carry, w1, w2) — one row per adjacent token pair. The
+    words array is bound behind a Generate barrier (explode of a
+    1-element array) so the split runs once per doc, not once per
+    element_at (the CollapseProject trap shingle_arrays documents).
+    ``carry`` columns ride along unchanged (see doc_bigram_counts)."""
+    bound = docs.select(F.col(id_col), *[F.col(c) for c in carry],
                         F.explode(F.array(words(text_col))).alias("_w"))
     w = F.col("_w")
     pairs = F.when(F.size(w) >= 2, F.transform(
@@ -52,19 +54,27 @@ def bigram_rows(docs: DataFrame, id_col: str = "doc_id",
         lambda i: F.struct(F.element_at(w, i).alias("w1"),
                            F.element_at(w, i + 1).alias("w2")))
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    return (bound.select(F.col(id_col), F.explode(pairs).alias("b"))
-                 .select(id_col, "b.w1", "b.w2"))
+    return (bound.select(F.col(id_col), *[F.col(c) for c in carry],
+                         F.explode(pairs).alias("b"))
+                 .select(id_col, *carry, "b.w1", "b.w2"))
 
 
 def doc_bigram_counts(docs: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
-    """(id, w1, w2, n_local): per-document bigram counts — ONE corpus
-    explode + one aggregate. Everything downstream (corpus count table,
-    per-doc scoring) derives from this table, so the token stream is
-    scanned exactly once, and hot bigrams ("of the" × 50 in one doc)
-    collapse to a single row before any join."""
-    return (bigram_rows(docs, id_col, text_col)
-            .groupBy(id_col, "w1", "w2")
+                      text_col: str = "text",
+                      carry: tuple[str, ...] = ()) -> DataFrame:
+    """(id, *carry, w1, w2, n_local): per-document bigram counts — ONE
+    corpus explode + one aggregate. Everything downstream (corpus count
+    table, per-doc scoring) derives from this table, so the token
+    stream is scanned exactly once, and hot bigrams ("of the" × 50 in
+    one doc) collapse to a single row before any join.
+
+    ``carry`` columns (functionally dependent on the doc id, e.g. the
+    domain label) ride through the aggregate without changing its cell
+    count — so a per-DOMAIN consumer can aggregate directly instead of
+    re-joining the doc table for the label (guide §2.4: one fewer
+    shuffle + one fewer scan)."""
+    return (bigram_rows(docs, id_col, text_col, carry)
+            .groupBy(id_col, *carry, "w1", "w2")
             .agg(F.count("*").alias("n_local")))
 
 

@@ -44,6 +44,31 @@ def frozen_scorer(ref_docs: DataFrame, id_col: str = "doc_id",
     return addone_scored_counts(_count_table(per, id_col))
 
 
+def self_scored_domain_stats(docs: DataFrame, id_col: str = "doc_id",
+                             source_col: str = "source",
+                             text_col: str = "text") -> DataFrame:
+    """(source, n_tokens, nll_sum) SELF-scored (the LM is the add-one
+    bigram scorer of the corpus itself — ops/lm.addone_scored_counts,
+    the same shared expression as doc_nll_scores): the batch DoReMi
+    face's sufficient statistics.
+
+    Optimization (r12, guide §2.4): the domain label rides THROUGH the
+    per-doc bigram count table (functionally dependent on the doc id,
+    so the aggregate's cell count is unchanged) and the stats aggregate
+    directly by source — the former per-doc aggregate + doc_id→source
+    join (one extra shuffle + one extra scan of the doc table) are
+    gone. Integer sums regrouped, values identical."""
+    per = doc_bigram_counts(docs.select(id_col, source_col, text_col),
+                            id_col, text_col,
+                            carry=(source_col,)).cache()
+    cnt = _count_table(per.drop(source_col), id_col)
+    return (per.join(addone_scored_counts(cnt), ["w1", "w2"])
+               .groupBy(F.col(source_col).alias("source"))
+               .agg(F.sum("n_local").cast("long").alias("n_tokens"),
+                    F.sum(F.col("nlp_micro") * F.col("n_local"))
+                     .cast("long").alias("nll_sum")))
+
+
 def frozen_domain_stats(docs: DataFrame, scorer: DataFrame,
                         id_col: str = "doc_id",
                         source_col: str = "source",

@@ -1608,16 +1608,15 @@ def _doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient statistics feed the SAME mixture_from_domain_stats
     derivation the online controller (streaming.mixture_batch_update,
     frozen-scorer face) uses — one arithmetic, two scoring modes."""
-    from hops_spark.ops.lm import doc_nll_scores
-    from hops_spark.ops.mixture import mixture_from_domain_stats
+    from hops_spark.ops.mixture import (mixture_from_domain_stats,
+                                        self_scored_domain_stats)
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text")
-    nll = doc_nll_scores(d.select("doc_id", "text"))
-    per = (nll.join(d.select("doc_id", "source"), "doc_id")
-              .groupBy("source")
-              .agg(F.sum("n_bigrams").cast("long").alias("n_tokens"),
-                   F.sum("nll_micro").cast("long").alias("nll_sum")))
-    return mixture_from_domain_stats(per)
+    # the domain label rides through the per-doc count table, so the
+    # stats aggregate by source directly — no per-doc aggregate, no
+    # doc_id→source join (optimization r12, guide §2.4); the integer
+    # sums regroup to identical values
+    return mixture_from_domain_stats(self_scored_domain_stats(d))
 
 
 @register(
