@@ -196,10 +196,38 @@ def train_linear_probe(docs: DataFrame, id_col: str = "doc_id",
     (the house fold-order rule), the gradient sum stays BIGINT-exact
     (|g| <= 1e6 * n_docs — int64 holds past 10^12 docs), and the
     update floor(g*lr_num / (4.0*lr_den*n)) uses IEEE ops only, so
-    the DuckDB oracle replays training to the last bit."""
-    feats = hashed_features(docs, id_col, text_col, y_col, dim, seed)
-    feats = feats.persist()
+    the DuckDB oracle replays training to the last bit.
+
+    The feature table persists HASH-PARTITIONED BY DOC ID (one
+    up-front exchange): the per-doc margin aggregate, the error join
+    and the scoring pass are then all partition-local — each GD
+    iteration's only exchange is the dim+1-cell gradient aggregate
+    (optimization r12, guide §2.4: establish the partitioning once,
+    reuse it every pass)."""
+    feats, n_docs = _persisted_feats(docs, id_col, text_col, y_col,
+                                     dim, seed)
+    w = _train_on_feats(feats, n_docs, id_col, iters, lr_num, lr_den,
+                        dim)
+    feats.unpersist()
+    return w
+
+
+def _persisted_feats(docs: DataFrame, id_col: str, text_col: str,
+                     y_col: str, dim: int, seed: str
+                     ) -> tuple[DataFrame, int]:
+    """Build + persist the hashed feature table partitioned by doc id;
+    returns (feats, n_docs). Callers that train AND score reuse the
+    same persisted table for both (probe_calibration builds features
+    once, not twice)."""
+    feats = (hashed_features(docs, id_col, text_col, y_col, dim, seed)
+             .repartition(F.col(id_col)).persist())
     n_docs = docs.count()
+    return feats, n_docs
+
+
+def _train_on_feats(feats: DataFrame, n_docs: int, id_col: str,
+                    iters: int, lr_num: int, lr_den: int,
+                    dim: int) -> list[int]:
     import math
     w = [0] * (dim + 1)
     denom = 4.0 * lr_den * n_docs
@@ -216,17 +244,21 @@ def train_linear_probe(docs: DataFrame, id_col: str = "doc_id",
         gmap = {int(r["feat"]): int(r["g"]) for r in g}
         w = [wi - math.floor(gmap.get(i, 0) * lr_num / denom)
              for i, wi in enumerate(w)]
-    feats.unpersist()
     return w
 
 
 def linear_probe_scores(docs: DataFrame, w: list[int],
                         id_col: str = "doc_id", text_col: str = "text",
                         y_col: str = "y", dim: int = 64,
-                        seed: str = "lp") -> DataFrame:
+                        seed: str = "lp",
+                        feats: DataFrame | None = None) -> DataFrame:
     """(id, _y, margin, p_micro, pred): score docs against a trained
-    weight list. One keyed aggregate; the model rides as a literal."""
-    feats = hashed_features(docs, id_col, text_col, y_col, dim, seed)
+    weight list. One keyed aggregate; the model rides as a literal.
+    Pass ``feats`` (a hashed_features table of the same docs) to skip
+    rebuilding the features — a train-then-score caller already has
+    the persisted table (optimization r12)."""
+    if feats is None:
+        feats = hashed_features(docs, id_col, text_col, y_col, dim, seed)
     m = _probe_margin(feats, w, id_col)
     p = F.least(F.greatest(F.lit(LP_HALF)
                            + F.floor(F.col("margin") / F.lit(4.0)),

@@ -1251,12 +1251,18 @@ def linear_probe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "ml"),
 )
 def linear_probe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hops_spark.ops.classify import (linear_probe_scores,
-                                         train_linear_probe)
+    from hops_spark.ops.classify import (_persisted_feats,
+                                         _train_on_feats,
+                                         linear_probe_scores)
     d = _lp_docs(spark, sf_dir)
-    w = train_linear_probe(d, dim=LP_DIM, iters=LP_ITERS,
-                           lr_num=LP_LRN, lr_den=LP_LRD, seed=LP_SEED)
-    return (linear_probe_scores(d, w, dim=LP_DIM, seed=LP_SEED)
+    # one persisted id-partitioned feature table feeds training AND the
+    # scoring pass (optimization r12 — the features were built twice)
+    feats, n_docs = _persisted_feats(d, "doc_id", "text", "y",
+                                     LP_DIM, LP_SEED)
+    w = _train_on_feats(feats, n_docs, "doc_id", LP_ITERS,
+                        LP_LRN, LP_LRD, LP_DIM)
+    return (linear_probe_scores(d, w, dim=LP_DIM, seed=LP_SEED,
+                                feats=feats)
             .groupBy(F.col("_y").alias("y"), "pred")
             .agg(F.count("*").alias("n"))
             .orderBy("y", "pred"))
@@ -1302,14 +1308,19 @@ LP_BINS = 10   # reliability-diagram bins over p in [0, 1]
 def probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the bin stats + derived table are the SHARED derivation the
     # streaming calibration monitor folds (ops/classify.calibration_*)
-    from hops_spark.ops.classify import (calibration_bin_stats,
+    from hops_spark.ops.classify import (_persisted_feats,
+                                         _train_on_feats,
+                                         calibration_bin_stats,
                                          calibration_from_bin_stats,
-                                         linear_probe_scores,
-                                         train_linear_probe)
+                                         linear_probe_scores)
     d = _lp_docs(spark, sf_dir)
-    w = train_linear_probe(d, dim=LP_DIM, iters=LP_ITERS,
-                           lr_num=LP_LRN, lr_den=LP_LRD, seed=LP_SEED)
-    s = linear_probe_scores(d, w, dim=LP_DIM, seed=LP_SEED)
+    # one persisted id-partitioned feature table feeds training AND the
+    # scoring pass (optimization r12 — the features were built twice)
+    feats, n_docs = _persisted_feats(d, "doc_id", "text", "y",
+                                     LP_DIM, LP_SEED)
+    w = _train_on_feats(feats, n_docs, "doc_id", LP_ITERS,
+                        LP_LRN, LP_LRD, LP_DIM)
+    s = linear_probe_scores(d, w, dim=LP_DIM, seed=LP_SEED, feats=feats)
     return (calibration_from_bin_stats(calibration_bin_stats(s, LP_BINS))
             .select("bin", "n", "n_pos", "conf_micro", "emp_micro",
                     "gap_micro")
