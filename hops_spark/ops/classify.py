@@ -47,17 +47,26 @@ def nb_predict(docs: DataFrame, id_col: str = "doc_id",
         tok = tok.withColumn("w", F.pmod(
             F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long"),
             F.lit(hash_features)).cast("string"))
+    # ONE corpus explode: the per-(doc, word) count table feeds the
+    # vocab size, the (class, word) model counts, the class totals AND
+    # the scoring join (optimization r12, guide §2.3/§2.4 — the
+    # explode formerly ran once per consumer, and scoring shipped every
+    # token occurrence instead of distinct (doc, word) cells weighted
+    # by their local count; the integer sums regroup identically).
+    tw = (tok.groupBy(F.col(id_col), "actual", "w")
+             .agg(F.count("*").cast("long").alias("n_local"))
+             .localCheckpoint(eager=True))
     cls_rows = (d.groupBy(F.col(class_col).alias("c"))
                  .agg(F.count("*").alias("n_docs")).collect())
     classes = sorted(r["c"] for r in cls_rows)
     n_docs_of = {r["c"]: r["n_docs"] for r in cls_rows}
     n_total = sum(n_docs_of.values())
-    v = tok.select("w").distinct().count()
+    v = tw.select("w").distinct().count()
 
-    cnt = (tok.groupBy(F.col("actual").alias("c"), "w")
-              .agg(F.count("*").alias("n")))
-    ctok = (tok.groupBy(F.col("actual").alias("c"))
-               .agg(F.count("*").alias("n_tok")))
+    cnt = (tw.groupBy(F.col("actual").alias("c"), "w")
+             .agg(F.sum("n_local").alias("n")))
+    ctok = (tw.groupBy(F.col("actual").alias("c"))
+              .agg(F.sum("n_local").alias("n_tok")))
 
     import math
     prior_micro = {c: int(round(-math.log(n_docs_of[c] / n_total) * 1e6))
@@ -69,16 +78,17 @@ def nb_predict(docs: DataFrame, id_col: str = "doc_id",
     # cnt is vocab x C rows: let AQE pick broadcast-vs-shuffle (tiny at
     # fixture scale, a keyed shuffle join on a web-scale vocab); ctok
     # is C rows — always broadcast.
-    per_class = (tok.withColumn("c", F.explode(F.array(
+    per_class = (tw.withColumn("c", F.explode(F.array(
                      *[F.lit(c) for c in classes])))
-                    .join(cnt, ["c", "w"], "left")
-                    .join(F.broadcast(ctok), "c")
-                    .withColumn("nlp_micro", F.expr(
-                        f"CAST(round(-ln((coalesce(n, 0) + 1) / "
-                        f"CAST(n_tok + {v} AS DOUBLE)) * 1000000, 0) "
-                        f"AS BIGINT)")))
+                   .join(cnt, ["c", "w"], "left")
+                   .join(F.broadcast(ctok), "c")
+                   .withColumn("nlp_micro", F.expr(
+                       f"CAST(round(-ln((coalesce(n, 0) + 1) / "
+                       f"CAST(n_tok + {v} AS DOUBLE)) * 1000000, 0) "
+                       f"AS BIGINT)")))
     scored = (per_class.groupBy(id_col, "actual", "c")
-                       .agg(F.sum("nlp_micro").alias("_tok_nll"))
+                       .agg(F.sum(F.col("nlp_micro") * F.col("n_local"))
+                             .alias("_tok_nll"))
                        .withColumn("nll_micro",
                                    F.col("_tok_nll")
                                    + prior_col[F.col("c")].cast("long")))
