@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hops_spark.ops.litfast import lit_array
 from hops_spark.ops.text import words
 
 
@@ -164,7 +165,7 @@ def _probe_margin(feats: DataFrame, w: list[int], id_col: str):
     micro-units. The weights ride as ONE literal long-array (dim+1
     entries — codebook-sized, far under the ~4k-literal Catalyst
     analysis wall)."""
-    arr = F.lit(w).cast("array<long>")
+    arr = lit_array(w, "long")
     contrib = F.element_at(arr, (F.col("feat") + 1).cast("int")) * F.col("x")
     return (feats.groupBy(F.col(id_col), F.col("_y"))
                  .agg(F.floor(F.sum(contrib) / F.lit(float(LP_MICRO)))

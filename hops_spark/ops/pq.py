@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hops_spark.ops.litfast import lit_array
+
 PQ_MICRO = 1_000_000
 
 Codebook = dict[tuple[int, int], list[int]]   # (sub, code) -> centroid micros
@@ -56,7 +58,7 @@ def _sq_dist(sv, cvec: list[int]):
     """Integer squared L2 distance between a subvector column and one
     literal centroid."""
     return F.aggregate(
-        F.zip_with(sv, F.lit(cvec).cast("array<long>"),
+        F.zip_with(sv, lit_array(cvec, "long"),
                    lambda x, c: (x - c) * (x - c)),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
 
@@ -313,8 +315,8 @@ def centroid_micro_map(centroids: list[tuple[int, list[float]]]):
     entries = []
     for cid, v in centroids:
         entries.append(F.lit(cid).cast("long"))
-        entries.append(F.lit([math.floor(float(y) * PQ_MICRO) for y in v])
-                        .cast("array<long>"))
+        entries.append(lit_array([math.floor(float(y) * PQ_MICRO)
+                                  for y in v], "long"))
     return F.create_map(*entries)
 
 

@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hops_spark.ops.litfast import lit_array
+
 
 def _dbl(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -182,9 +184,13 @@ def _cell_sims(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
     job (~2 s per analysis at 16×64 — measured, see SCALE.md); the
     lambda form is ~16× smaller and semantically identical (struct
     field order (sim, cell) preserves the max/sort tie-break toward the
-    larger cell id)."""
-    cells = F.lit([cid for cid, _ in centroids])
-    mat = F.lit([cvec for _, cvec in centroids])
+    larger cell id). The literals are built via ops/litfast.lit_array
+    (one parsed SQL expression, value-identical) — per-element py4j
+    literal conversion cost ~0.5-1 s PER CODEBOOK on the driver and was
+    the dominant plan-construction cost of the IVF family
+    (optimization r12)."""
+    cells = lit_array([cid for cid, _ in centroids], "int")
+    mat = lit_array([cvec for _, cvec in centroids], "double")
     sims = F.transform(mat, lambda cv: F.round(cosine(vec, cv), 6))
     return F.zip_with(sims, cells,
                       lambda sim, c: F.struct(sim.alias("sim"),
@@ -265,8 +271,8 @@ def two_level_cell(vec: Column, centroids: list[tuple[int, list[float]]],
     coarse, gcells, gvecs = coarse_codebook(centroids, n_coarse)
     probes = F.slice(F.reverse(F.array_sort(_cell_sims(vec, coarse))),
                      1, min(coarse_probes, n_coarse))
-    gc = F.lit(gcells)
-    gv = F.lit(gvecs)
+    gc = lit_array(gcells, "int")
+    gv = lit_array(gvecs, "double")
     cand_cells = F.flatten(F.transform(
         probes, lambda p: F.element_at(gc, p.getField("cell") + 1)))
     cand_vecs = F.flatten(F.transform(
