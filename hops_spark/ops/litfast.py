@@ -84,3 +84,40 @@ def lit_array(values, dtype: str = "double") -> Column:
     if rendered is None:
         return F.expr(f"CAST(array() AS {_sql_type(dtype, 1)})")
     return F.expr(rendered)
+
+
+def lit_struct_rows(rows, fields) -> Column:
+    """Literal array<struct<...>> for a SMALL row list (bounded by
+    construction — domain tables, schedules; the codebook idiom).
+    ``fields``: [(name, 'long'|'int'|'string'), ...]. Rendered as one
+    SQL named_struct array — same exactness contract as lit_array;
+    strings are single-quote-escaped."""
+    def fmt(v, t):
+        if t == "long":
+            return f"{int(v)}L"
+        if t == "int":
+            return str(int(v))
+        if t == "string":
+            s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{s}'"
+        raise ValueError(f"unsupported field type: {t}")
+
+    structs = ",".join(
+        "named_struct(" + ",".join(f"'{n}',{fmt(r[n], t)}"
+                                   for n, t in fields) + ")"
+        for r in rows)
+    return F.expr(f"array({structs})")
+
+
+def df_from_rows(spark, rows, fields):
+    """Small literal DataFrame from ``rows`` via one parsed expression
+    (a local createDataFrame costs seconds of driver round-trips — the
+    pi_bbp finding; range+explode of a literal array is ~ms)."""
+    sql_types = {"long": "bigint", "int": "int", "string": "string"}
+    schema = ", ".join(f"{n} {sql_types[t]}" for n, t in fields)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return (spark.range(1)
+                 .select(F.explode(lit_struct_rows(rows, fields))
+                          .alias("_r"))
+                 .select("_r.*"))

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from hops_spark.ops.litfast import df_from_rows
 from hops_spark.ops.lm import (_count_table, addone_scored_counts,
                                doc_bigram_counts)
 
@@ -106,46 +107,47 @@ def anneal_schedule(mix: DataFrame, steps: int = 4) -> DataFrame:
     by step via one broadcast self-join. (steps+1)·n_domains rows
     total; every frame is domain-bounded, every join broadcasts.
 
-    Input ``mix``: (source, weight_ppm) — localCheckpointed on entry
-    (domain-bounded, multi-consumer lineage: the note-109 rule)."""
-    mix = mix.select("source", "weight_ppm").localCheckpoint(eager=True)
-    nd = mix.agg(F.count("*").cast("long").alias("n_dom"))
-    raw = (mix.crossJoin(F.broadcast(nd))
-              .select("source",
-                      F.explode(F.sequence(F.lit(0), F.lit(steps)))
-                       .alias("step"),
-                      "weight_ppm", "n_dom")
-              .select("step", "source",
-                      ((F.lit(steps) - F.col("step"))
-                       * F.col("weight_ppm") * F.col("n_dom")
-                       + F.col("step") * F.lit(1_000_000))
-                      .cast("long").alias("rw")))
-    tt = raw.groupBy("step").agg(F.sum("rw").cast("long").alias("t"))
-    base = (raw.join(F.broadcast(tt), "step")
-               .select("step", "source",
-                       F.expr("(1000000 * rw) div t").alias("base_n"),
-                       F.expr("(1000000 * rw) % t").alias("rem")))
-    lo = base.groupBy("step").agg(
-        (F.lit(1_000_000) - F.sum("base_n")).cast("long").alias("k"))
-    other = base.select(F.col("step").alias("o_step"),
-                        F.col("source").alias("o_source"),
-                        F.col("rem").alias("o_rem"))
-    ranked = (base.join(F.broadcast(other),
-                        (F.col("o_step") == F.col("step"))
-                        & ((F.col("o_rem") > F.col("rem"))
-                           | ((F.col("o_rem") == F.col("rem"))
-                              & (F.col("o_source") < F.col("source")))),
-                        "left")
-                  .groupBy("step", "source", "base_n")
-                  .agg(F.count("o_source").alias("r")))
-    return (ranked.join(F.broadcast(lo), "step")
-                  .select(F.col("step").cast("int").alias("step"),
-                          "source",
-                          (F.col("base_n")
-                           + F.when(F.col("r") < F.col("k"), 1)
-                              .otherwise(0))
-                          .cast("long").alias("weight_ppm"))
-                  .orderBy("step", "source"))
+    Input ``mix``: (source, weight_ppm) — collected to the driver (the
+    frame is ≤ #domains rows BY CONSTRUCTION, the codebook idiom) and
+    the per-step Hamilton apportionment computed in exact Python
+    integer arithmetic; the (steps+1)·n_domains schedule returns as
+    ONE literal frame. Optimization r12: the former broadcast-join
+    chain spent ~15 tiny exchanges on frames that never exceed a few
+    dozen rows — pure per-stage overhead locally and at scale alike.
+    Every quantity is a non-negative int, so Python ``//``/``%`` agree
+    with SQL ``div``/``%`` exactly; the DuckDB oracle CTEs replay the
+    identical arithmetic."""
+    spark = mix.sparkSession
+    rows = mix.select("source", "weight_ppm").collect()
+    out: list[dict] = []
+    for step in range(steps + 1):
+        raw = [(r["source"],
+                (steps - step) * int(r["weight_ppm"]) * len(rows)
+                + step * 1_000_000) for r in rows]
+        out.extend(_hamilton_ppm(raw, extra={"step": step}))
+    out.sort(key=lambda r: (r["step"], r["source"]))
+    return df_from_rows(spark, out,
+                        [("step", "int"), ("source", "string"),
+                         ("weight_ppm", "long")])
+
+
+def _hamilton_ppm(raw: list[tuple[str, int]], extra: dict | None = None
+                  ) -> list[dict]:
+    """Largest-remainder apportionment of 1e6 ppm over (source, rw)
+    pairs — the shared exact-integer rule: base = (1e6·rw) div t,
+    leftover k = 1e6 - Σ base goes +1 each to the k largest
+    remainders (ties to the lexicographically smaller source). All
+    inputs non-negative ints, so // and % match SQL div/% exactly."""
+    t = sum(rw for _, rw in raw)
+    base = {s: (1_000_000 * rw) // t for s, rw in raw}
+    rem = {s: (1_000_000 * rw) % t for s, rw in raw}
+    k = 1_000_000 - sum(base.values())
+    ahead = {s: sum(1 for s2, _ in raw
+                    if rem[s2] > rem[s] or (rem[s2] == rem[s] and s2 < s))
+             for s, _ in raw}
+    return [dict(**(extra or {}), source=s,
+                 weight_ppm=base[s] + (1 if ahead[s] < k else 0))
+            for s, _ in raw]
 
 
 def mixture_from_domain_stats(per: DataFrame) -> DataFrame:
@@ -156,49 +158,39 @@ def mixture_from_domain_stats(per: DataFrame) -> DataFrame:
     largest-remainder normalization to EXACTLY 1e6 ppm. Pure integer
     arithmetic; ≤ #domains rows throughout (every join broadcasts).
 
-    The input frame is materialized once (eager localCheckpoint): it
-    is domain-bounded but six downstream consumers re-derive its
-    lineage otherwise (measured 47 s -> 3 s at sf0.1, SCALE.md 109)."""
-    per = per.localCheckpoint(eager=True)
-    ref = per.agg(
-        F.expr("CAST(sum(nll_sum) div sum(n_tokens) AS BIGINT)")
-         .alias("ref_micro"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"))
-    m = (per.crossJoin(F.broadcast(ref))
-            .select("source", "n_tokens",
-                    F.expr("nll_sum div n_tokens").alias("nll_tok_micro"),
-                    F.expr("greatest(nll_sum div n_tokens - ref_micro, 0)")
-                     .alias("excess_micro"),
-                    F.expr("(n_tokens * 1000000) div total_tokens")
-                     .alias("w0_ppm")))
-    s = m.withColumn(
-        "sw", F.expr(f"w0_ppm * ((1000000 + excess_micro) div {DRM_MILLI})"))
-    ts = s.agg(F.sum("sw").cast("long").alias("t"))
-    base = (s.crossJoin(F.broadcast(ts))
-             .select("source", "n_tokens", "nll_tok_micro", "excess_micro",
-                     "w0_ppm",
-                     F.expr("(1000000 * sw) div t").alias("base_n"),
-                     F.expr("(1000000 * sw) % t").alias("rem")))
-    leftover = base.agg((F.lit(1_000_000) - F.sum("base_n"))
-                        .cast("long").alias("k"))
-    other = base.select(F.col("source").alias("o_source"),
-                        F.col("rem").alias("o_rem"))
-    ranked = (base.join(F.broadcast(other),
-                        (F.col("o_rem") > F.col("rem"))
-                        | ((F.col("o_rem") == F.col("rem"))
-                           & (F.col("o_source") < F.col("source"))),
-                        "left")
-                  .groupBy("source", "n_tokens", "nll_tok_micro",
-                           "excess_micro", "w0_ppm", "base_n")
-                  .agg(F.count("o_source").alias("r")))
-    return (ranked.crossJoin(F.broadcast(leftover))
-                  .select("source", "n_tokens",
-                          F.col("nll_tok_micro").cast("long")
-                           .alias("nll_tok_micro"),
-                          F.col("excess_micro").cast("long")
-                           .alias("excess_micro"),
-                          F.col("w0_ppm").cast("long").alias("w0_ppm"),
-                          (F.col("base_n")
-                           + F.when(F.col("r") < F.col("k"), 1).otherwise(0))
-                          .cast("long").alias("weight_ppm"))
-                  .orderBy("source"))
+    The stats frame is collected to the driver (≤ #domains rows BY
+    CONSTRUCTION — the codebook idiom; one collect executes the
+    corpus-scale lineage exactly once, replacing the former eager
+    localCheckpoint) and the clipping / multiplicative-weights /
+    Hamilton arithmetic runs in exact Python integers — optimization
+    r12: the broadcast-join chain spent ~10 tiny exchanges on
+    domain-bounded frames, pure per-stage overhead at every scale.
+    All quantities are non-negative ints, so Python ``//``/``%``
+    match SQL ``div``/``%`` exactly; the DuckDB CTEs replay the
+    identical arithmetic and the oracle hash-verifies every value."""
+    spark = per.sparkSession
+    stats = [(r["source"], int(r["n_tokens"]), int(r["nll_sum"]))
+             for r in per.collect()]
+    total_tokens = sum(n for _, n, _ in stats)
+    ref_micro = (sum(nll for _, _, nll in stats)
+                 // total_tokens) if total_tokens else 0
+    rows = []
+    for src, n, nll in stats:
+        nll_tok = nll // n
+        excess = max(nll_tok - ref_micro, 0)
+        w0 = (n * 1_000_000) // total_tokens
+        sw = w0 * ((1_000_000 + excess) // DRM_MILLI)
+        rows.append({"source": src, "n_tokens": n,
+                     "nll_tok_micro": nll_tok, "excess_micro": excess,
+                     "w0_ppm": w0, "_sw": sw})
+    wt = {r["source"]: r["weight_ppm"]
+          for r in _hamilton_ppm([(r["source"], r["_sw"]) for r in rows])}
+    for r in rows:
+        r["weight_ppm"] = wt[r["source"]]
+        del r["_sw"]
+    rows.sort(key=lambda r: r["source"])
+    return df_from_rows(spark, rows,
+                        [("source", "string"), ("n_tokens", "long"),
+                         ("nll_tok_micro", "long"),
+                         ("excess_micro", "long"), ("w0_ppm", "long"),
+                         ("weight_ppm", "long")])

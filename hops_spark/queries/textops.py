@@ -1697,20 +1697,29 @@ def _doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "ml", "sampling"),
 )
 def mixture_schedule_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mix = _doremi_mixture(spark, sf_dir).select(
-        "source", "w0_ppm", "weight_ppm")
-    # zero-share guard: w0_ppm = 0 (domain under one ppm of the tokens)
-    # cannot be upsampled -> rate 1e6, never a division (DuckDB raises,
-    # Spark divs to NULL -- the engine-divergent failure mode)
-    rated = mix.withColumn(
-        "r_raw", F.expr("CASE WHEN w0_ppm = 0 THEN NULL "
-                        "ELSE (weight_ppm * 1000000) div w0_ppm END"))
-    mx = rated.agg(F.max("r_raw").cast("long").alias("m"))
-    rates = (rated.crossJoin(F.broadcast(mx))
-                  .select("source", "weight_ppm",
-                          F.expr("CAST(CASE WHEN r_raw IS NULL THEN 1000000 "
-                                 "ELSE (r_raw * 1000000) div m END AS BIGINT)")
-                           .alias("rate_ppm")))
+    from hops_spark.ops.litfast import df_from_rows
+    # the mixture is a literal domain-bounded frame (codebook idiom);
+    # the keep-rate arithmetic is exact Python ints off one cheap
+    # collect — the former 3-step broadcast-join chain spent tiny
+    # exchanges on ≤ #domains rows (optimization r12). Zero-share
+    # guard: w0_ppm = 0 (domain under one ppm of the tokens) cannot
+    # be upsampled -> rate 1e6, never a division (the DuckDB-raises /
+    # Spark-NULLs engine divergence).
+    mrows = (_doremi_mixture(spark, sf_dir)
+             .select("source", "w0_ppm", "weight_ppm").collect())
+    r_raw = {r["source"]: (None if r["w0_ppm"] == 0 else
+                           (r["weight_ppm"] * 1_000_000) // r["w0_ppm"])
+             for r in mrows}
+    mxs = [v for v in r_raw.values() if v is not None]
+    m = max(mxs) if mxs else None
+    rates = df_from_rows(
+        spark,
+        [{"source": r["source"], "weight_ppm": r["weight_ppm"],
+          "rate_ppm": (1_000_000 if r_raw[r["source"]] is None
+                       else (r_raw[r["source"]] * 1_000_000) // m)}
+         for r in mrows],
+        [("source", "string"), ("weight_ppm", "long"),
+         ("rate_ppm", "long")])
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text")
     docs2 = d.select(
@@ -1881,24 +1890,38 @@ def mixture_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "ml", "sampling"),
 )
 def anneal_step_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hops_spark.ops.litfast import df_from_rows
     from hops_spark.ops.mixture import anneal_schedule
-    mix = (_doremi_mixture(spark, sf_dir)
-           .select("source", "w0_ppm", "weight_ppm")
-           .localCheckpoint(eager=True))
+    # mixture + anneal schedule are literal domain-bounded frames
+    # (codebook idiom); the per-step keep-rate arithmetic runs in
+    # exact Python ints off two cheap collects — the former
+    # join/agg/join chain spent tiny exchanges on ≤ (K+1)·#domains
+    # rows (optimization r12). Zero-share guard per step, as in
+    # mixture_schedule_sample.
+    mix = _doremi_mixture(spark, sf_dir)
+    w0 = {r["source"]: r["w0_ppm"]
+          for r in mix.select("source", "w0_ppm").collect()}
     ann = anneal_schedule(mix.select("source", "weight_ppm"),
-                          steps=ANNEAL_K)
-    arated = (ann.join(mix.select("source", "w0_ppm"), "source")
-                 .withColumn("r_raw",
-                             F.expr("CASE WHEN w0_ppm = 0 THEN NULL "
-                                    "ELSE (weight_ppm * 1000000) div "
-                                    "w0_ppm END")))
-    amx = arated.groupBy("step").agg(
-        F.max("r_raw").cast("long").alias("mx"))
-    arates = (arated.join(F.broadcast(amx), "step")
-                    .select("step", "source", "weight_ppm",
-                            F.expr("CAST(CASE WHEN r_raw IS NULL THEN "
-                                   "1000000 ELSE (r_raw * 1000000) div mx "
-                                   "END AS BIGINT)").alias("rate_ppm")))
+                          steps=ANNEAL_K).collect()
+    r_raw = {(r["step"], r["source"]):
+             (None if w0[r["source"]] == 0 else
+              (r["weight_ppm"] * 1_000_000) // w0[r["source"]])
+             for r in ann}
+    mx: dict[int, int] = {}
+    for (step, _src), v in r_raw.items():
+        if v is not None and (step not in mx or v > mx[step]):
+            mx[step] = v
+    arates = df_from_rows(
+        spark,
+        [{"step": r["step"], "source": r["source"],
+          "weight_ppm": r["weight_ppm"],
+          "rate_ppm": (1_000_000
+                       if r_raw[(r["step"], r["source"])] is None
+                       else (r_raw[(r["step"], r["source"])] * 1_000_000)
+                       // mx[r["step"]])}
+         for r in ann],
+        [("step", "int"), ("source", "string"), ("weight_ppm", "long"),
+         ("rate_ppm", "long")])
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text")
     adocs = d.select(
