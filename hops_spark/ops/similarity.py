@@ -54,6 +54,21 @@ def cosine(a: Column, b: Column) -> Column:
 BRUTEFORCE_MAX_QUERIES = 1024
 
 
+def guard_query_panel(queries: DataFrame, caller: str) -> None:
+    """Enforce the bounded-query-panel contract of the brute-force eval
+    paths: ONE count job, raises when the panel exceeds
+    ``BRUTEFORCE_MAX_QUERIES``. Callers that sweep the same panel more
+    than once (multi-prefix evals) guard once up front instead of once
+    per sweep."""
+    n_q = queries.limit(BRUTEFORCE_MAX_QUERIES + 1).count()
+    if n_q > BRUTEFORCE_MAX_QUERIES:
+        raise ValueError(
+            f"{caller}: {n_q}+ queries exceeds the eval guard "
+            f"({BRUTEFORCE_MAX_QUERIES}); use knn_lsh/knn_ivf for "
+            "serving, or pass allow_large=True for a deliberate "
+            "exact sweep")
+
+
 def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    qid_col: str = "q_id", qvec_col: str = "q_vec",
@@ -66,13 +81,7 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
     serving paths are knn_lsh / knn_ivf; this exists to measure their
     recall (knn_recall) on bounded query panels."""
     if not allow_large:
-        n_q = queries.limit(BRUTEFORCE_MAX_QUERIES + 1).count()
-        if n_q > BRUTEFORCE_MAX_QUERIES:
-            raise ValueError(
-                f"knn_bruteforce: {n_q}+ queries exceeds the eval guard "
-                f"({BRUTEFORCE_MAX_QUERIES}); use knn_lsh/knn_ivf for "
-                "serving, or pass allow_large=True for a deliberate "
-                "exact sweep")
+        guard_query_panel(queries, "knn_bruteforce")
     scored = (corpus.crossJoin(F.broadcast(queries))
                     .filter(F.col(id_col) != F.col(qid_col))
                     .select(F.col(qid_col),

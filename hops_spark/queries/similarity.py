@@ -311,35 +311,51 @@ def _matryoshka_sql() -> str:
         "cascade. Full-dim truth is computed once (localCheckpointed, "
         "N_QUERIES·k rows) and each truncation face joins against it; "
         "all faces are bounded query panels over the guarded "
-        "brute-force eval path. ops/similarity.knn_bruteforce over "
-        "F.slice prefixes.",
+        "brute-force eval shape, FUSED into one corpus×panel pass: "
+        "every prefix cosine and the full-dim truth rank are computed "
+        "per pair in a single cross join (one guard, one sweep instead "
+        "of four), and a face hit is the rank coincidence "
+        "rnk_full<=k AND rnk_prefix<=k on the same row — no face "
+        "joins. Identical arithmetic per face (same sliced-fold "
+        "cosine, same round-6 rank, same tie-break), so the result is "
+        "bit-equal to the four-sweep composition.",
     tags=("similarity", "eval", "ml", "north-star"),
 )
 def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
     e = load_table(spark, sf_dir, "embeddings")
     queries = (e.filter(F.col("vec_id") < N_QUERIES)
                 .select(F.col("vec_id").alias("q_id"),
                         F.col("embedding").alias("q_vec")))
     corpus = e.select("vec_id", "embedding")
-    exact = (SIM.knn_bruteforce(corpus, queries, K)
-             .select("q_id", "neighbor_id")
-             .localCheckpoint(eager=True))   # truth feeds every face
-    out = None
-    for dt in TRUNC_DIMS:
-        ct = corpus.select("vec_id",
-                           F.slice("embedding", 1, dt).alias("embedding"))
-        qt = queries.select("q_id",
-                            F.slice("q_vec", 1, dt).alias("q_vec"))
-        ap = (SIM.knn_bruteforce(ct, qt, K)
-              .select("q_id", "neighbor_id").withColumn("_hit", F.lit(1)))
-        face = (exact.join(ap, ["q_id", "neighbor_id"], "left")
-                .groupBy("q_id")
-                .agg(F.expr(f"CAST(sum(coalesce(_hit, 0)) * 1000000 "
-                            f"div {K} AS BIGINT)").alias("recall_ppm"))
-                .select(F.lit(dt).cast("long").alias("d_trunc"),
-                        "q_id", "recall_ppm"))
-        out = face if out is None else out.unionByName(face)
-    return out.orderBy("d_trunc", "q_id")
+    SIM.guard_query_panel(queries, "matryoshka_recall")
+    pairs = (corpus.crossJoin(F.broadcast(queries))
+             .filter(F.col("vec_id") != F.col("q_id"))
+             .select(
+                 "q_id", F.col("vec_id").alias("neighbor_id"),
+                 F.round(SIM.cosine(F.col("embedding"), F.col("q_vec")),
+                         6).alias("s_full"),
+                 *[F.round(SIM.cosine(F.slice("embedding", 1, dt),
+                                      F.slice("q_vec", 1, dt)), 6)
+                    .alias(f"s_{dt}") for dt in TRUNC_DIMS]))
+    for col in ["s_full"] + [f"s_{dt}" for dt in TRUNC_DIMS]:
+        w = Window.partitionBy("q_id").orderBy(
+            F.col(col).desc(), F.col("neighbor_id").asc())
+        pairs = pairs.withColumn(f"r_{col}", F.row_number().over(w))
+    hits = (pairs.filter(F.col("r_s_full") <= K)
+            .groupBy("q_id")
+            .agg(*[F.sum(F.when(F.col(f"r_s_{dt}") <= K, 1)
+                          .otherwise(0)).alias(f"h_{dt}")
+                   for dt in TRUNC_DIMS]))
+    faces = ", ".join(
+        f"CAST({dt} AS BIGINT), CAST(h_{dt} * 1000000 div {K} AS BIGINT)"
+        for dt in TRUNC_DIMS)
+    return (hits.select(
+                "q_id",
+                F.expr(f"stack({len(TRUNC_DIMS)}, {faces}) "
+                       "AS (d_trunc, recall_ppm)"))
+            .select("d_trunc", "q_id", "recall_ppm")
+            .orderBy("d_trunc", "q_id"))
 
 
 PREFIX_DIM = 8          # shortlist on this prefix
