@@ -23,7 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hops_spark.ops.text import words
@@ -73,22 +73,30 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
     stats = per_doc.agg(F.count("*").cast("double").alias("n_docs"),
                         F.avg("dl").alias("avgdl"), *df_cols)
     scored = per_doc.crossJoin(F.broadcast(stats))
-    # Fixed-order sum over the query-term list: a left-to-right column
-    # add, not a float SUM aggregate whose partition fold order varies —
-    # an independent engine reproduces the double bit-for-bit.
+    score, n_matched = _bm25_score_cols(len(query_terms), k1, b)
+    return (scored.filter(n_matched > 0)
+                  .select(F.col(id_col),
+                          n_matched.cast("long").alias("n_terms_matched"),
+                          F.round(score, 6).alias("bm25")))
+
+
+def _bm25_score_cols(n_terms: int, k1: float = K1,
+                     b: float = B) -> tuple[Column, Column]:
+    """(score, n_matched) columns over a (dl, tf_0.., df_0.., n_docs,
+    avgdl) row — ONE expression text shared by every BM25 consumer.
+    Fixed-order sum over the query-term list: a left-to-right column
+    add, not a float SUM aggregate whose partition fold order varies —
+    an independent engine reproduces the double bit-for-bit."""
     score = F.lit(0.0)
     n_matched = F.lit(0)
-    for i in range(len(query_terms)):
+    for i in range(n_terms):
         tf, dfc = F.col(f"tf_{i}"), F.col(f"df_{i}")
         idf = F.log((F.col("n_docs") - dfc + 0.5) / (dfc + 0.5) + 1.0)
         contrib = (idf * tf * (k1 + 1)
                    / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
         score = score + F.when(tf > 0, contrib).otherwise(F.lit(0.0))
         n_matched = n_matched + F.when(tf > 0, 1).otherwise(0)
-    return (scored.filter(n_matched > 0)
-                  .select(F.col(id_col),
-                          n_matched.cast("long").alias("n_terms_matched"),
-                          F.round(score, 6).alias("bm25")))
+    return score, n_matched
 
 
 def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
@@ -434,6 +442,67 @@ def ranked_bounded(df: DataFrame, score_col: str,
     return (a.join(b, before, "left")
              .groupBy(ia.alias(id_col), sa.alias(score_col))
              .agg((F.count(ib) + 1).cast("long").alias(rank_col)))
+
+
+def hybrid_candidate_lists(docs: DataFrame, query_terms: list[str],
+                           k: int = 50, dim: int = 64, k1: float = K1,
+                           b: float = B, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           seed: str = "hbow") -> tuple[DataFrame,
+                                                        DataFrame]:
+    """Both RRF candidate lists — BM25 top-k and hashed-dot top-k —
+    from ONE exploded-token pass (guide §2.4: two consumers keyed the
+    same way share one aggregate). The separate routes each ran their
+    own corpus explode, and the dense list's un-cached aggregate was
+    re-derived per downstream reference (9 parquet scans measured in
+    the hybrid_rrf_retrieval plan); here a single per-doc aggregate
+    carries dl, every query-term tf, the signed-hash dot and the
+    matching-token count, and is cached (#docs rows) for all
+    consumers.
+
+    Exactness: the BM25 face reads the identical (dl, tf_i) columns
+    and scores through the shared _bm25_score_cols expression; the
+    dense face's integer dot gains only zero-contribution tokens
+    (sum unchanged), and ``n_dot_match > 0`` reproduces the original
+    pre-aggregate ``c != 0`` membership filter, so both lists are
+    row-identical to the separate routes."""
+    q = query_bucket_weights(query_terms, dim, seed)
+    toks = docs.select(F.col(id_col),
+                       F.explode(words(text_col)).alias("term"))
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col("term")))
+    bucket = F.pmod(F.conv(F.substring(h, 1, 7), 16, 10).cast("long"),
+                    F.lit(dim))
+    sign = F.when(F.conv(F.substring(h, 8, 1), 16, 10).cast("long") % 2
+                  == 0, F.lit(1)).otherwise(F.lit(-1))
+    qw = F.lit(0)
+    for bkt, wgt in q.items():
+        qw = F.when(bucket == bkt, F.lit(wgt)).otherwise(qw)
+    tf_cols = [F.sum((F.col("term") == t).cast("long")).alias(f"tf_{i}")
+               for i, t in enumerate(query_terms)]
+    per_doc = (toks.withColumn("_c", sign * qw)
+                   .groupBy(id_col)
+                   .agg(F.count("*").alias("dl"), *tf_cols,
+                        F.sum("_c").cast("long").alias("dot"),
+                        F.sum((F.col("_c") != 0).cast("long"))
+                         .alias("n_dot_match"))
+                   .cache())
+    df_cols = [F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+               for i in range(len(query_terms))]
+    stats = per_doc.agg(F.count("*").cast("double").alias("n_docs"),
+                        F.avg("dl").alias("avgdl"), *df_cols)
+    score, n_matched = _bm25_score_cols(len(query_terms), k1, b)
+    lex = (per_doc.crossJoin(F.broadcast(stats))
+                  .filter(n_matched > 0)
+                  .select(F.col(id_col),
+                          n_matched.cast("long").alias("n_terms_matched"),
+                          F.round(score, 6).alias("bm25"))
+                  .orderBy(F.col("bm25").desc(), F.col(id_col))
+                  .limit(k))
+    dense = (per_doc.filter(F.col("n_dot_match") > 0)
+                    .select(F.col(id_col), F.col("dot"))
+                    .orderBy(F.col("dot").desc(), F.col(id_col))
+                    .limit(k))
+    return lex, dense
 
 
 def rrf_fuse(lex_topk: DataFrame, dense_topk: DataFrame,

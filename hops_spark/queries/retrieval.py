@@ -1319,8 +1319,7 @@ def _duck_hybrid_sql() -> str:
 )
 def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    lex = R.bm25_topk(d, QUERY_TERMS, HY_L)
-    dense = R.hashed_dot_topk(d, QUERY_TERMS, HY_L, HY_DIM)
+    lex, dense = R.hybrid_candidate_lists(d, QUERY_TERMS, HY_L, HY_DIM)
     return R.rrf_fuse(lex, dense, "bm25", "dot", "doc_id",
                       HY_K_RRF, HY_TOPK)
 

@@ -168,3 +168,29 @@ def test_kn3_score_docs_keys_path_matches_default(spark):
     assert default == keyed
     assert set(default) == {2, 3, 4}
     assert default[3]["n_oov"] > 0          # x/y/z never trained
+
+
+def test_hybrid_candidate_lists_match_separate_routes(spark):
+    """Optimization r12: hybrid_candidate_lists derives the BM25 and
+    hashed-dot top-k lists from one exploded-token aggregate. Both
+    lists must be row-identical to the separate bm25_topk /
+    hashed_dot_topk routes, including the membership rule (a doc
+    whose matching tokens cancel to dot 0 stays IN; a doc with no
+    matching token stays OUT)."""
+    from hops_spark.ops import retrieval as R
+
+    docs = _docs(spark, [
+        (0, "spark shuffle join spark"),
+        (1, "quick brown fox"),
+        (2, "spark spark spark shuffle shuffle"),
+        (3, "join the queue"),
+        (4, "unrelated words only here"),
+    ])
+    terms = ["spark", "shuffle", "join"]
+    lex_f, dense_f = R.hybrid_candidate_lists(docs, terms, k=4, dim=16)
+    lex_s = R.bm25_topk(docs, terms, k=4)
+    dense_s = R.hashed_dot_topk(docs, terms, k=4, dim=16)
+    assert [r.asDict() for r in lex_f.collect()] == \
+           [r.asDict() for r in lex_s.collect()]
+    assert [(r["doc_id"], r["dot"]) for r in dense_f.collect()] == \
+           [(r["doc_id"], r["dot"]) for r in dense_s.collect()]
