@@ -333,8 +333,7 @@ def kn3_stat_tables(c3: DataFrame) -> dict[str, DataFrame]:
 BOW_PASSTHROUGH = 1_000_000
 
 
-def kn3_arpa(c3: DataFrame, prune3: int = 2,
-             materialized: bool = False) -> DataFrame:
+def kn3_arpa(c3: DataFrame, prune3: int = 2) -> DataFrame:
     """The interpolated-Kneser-Ney TRIGRAM model as an ARPA-shaped
     table (ord, w1, w2, w3, n, nlp_micro, bow_micro) — the artifact a
     KenLM-style perplexity-gating pipeline ships (Heafield 2011; Chen
@@ -381,13 +380,8 @@ def kn3_arpa(c3: DataFrame, prune3: int = 2,
     (kn3_score_docs, arpa_model_card) reference it up to six times,
     and a materialized type-bounded model lets AQE broadcast the
     scoring joins. At cluster scale this is the "write the model once,
-    read it everywhere" contract the docstrings already state.
-    ``materialized=True`` declares that the caller already holds c3
-    as an eager localCheckpoint (kn3_doc_scores reuses it as the
-    distinct-trigram key table) and skips the redundant second
-    materialization pass."""
-    if not materialized:
-        c3 = c3.localCheckpoint(eager=True)
+    read it everywhere" contract the docstrings already state."""
+    c3 = c3.localCheckpoint(eager=True)
     st = kn3_stat_tables(c3)
     c12, cc2, mid, uni, t2 = (st["c12"], st["cc2"], st["mid"], st["uni"],
                               st["t2"])
@@ -484,35 +478,19 @@ def kn3_doc_scores(docs: DataFrame, prune3: int = 2,
            .groupBy(id_col, "w1", "w2", "w3")
            .agg(F.count("*").cast("long").alias("n_local")))
     per = per.localCheckpoint(eager=True)   # feeds the model AND scoring
-    c3 = (per.groupBy("w1", "w2", "w3")
-             .agg(F.sum("n_local").cast("long").alias("n"))
-             .localCheckpoint(eager=True))  # model input AND key table
-    return kn3_score_docs(per, kn3_arpa(c3, prune3=prune3,
-                                        materialized=True),
-                          id_col, keys=c3.select("w1", "w2", "w3"))
+    c3 = per.groupBy("w1", "w2", "w3").agg(
+        F.sum("n_local").cast("long").alias("n"))
+    return kn3_score_docs(per, kn3_arpa(c3, prune3=prune3), id_col)
 
 
 def kn3_score_docs(per_doc_counts: DataFrame, arpa: DataFrame,
-                   id_col: str = "doc_id",
-                   keys: DataFrame | None = None) -> DataFrame:
+                   id_col: str = "doc_id") -> DataFrame:
     """Consumer core: score a per-doc trigram count table against ANY
     exported ARPA table (the model need not come from the scored
     corpus — the held-out face passes a model trained elsewhere).
     Reads ONLY the model's stored columns — t2 for the <unk> floor is
     recovered as the count of suffix-pair rows (ord-2 rows carrying a
-    probability), so a shipped table is self-sufficient.
-
-    A trigram's cost under the stored model is doc-independent, so the
-    five model joins run over the DISTINCT trigram key table — not the
-    per-doc count table, which carries every (doc, trigram) pairing
-    and is a Zipf-factor larger — and one keyed join attaches the
-    per-key (cost, backoff, oov) back to the per-doc rows (guide
-    §2.3/§8: route the multi-join decision work through the small key
-    frame, touch the big frame once). ``keys`` lets a caller that
-    already holds the distinct table (kn3_doc_scores' c3) pass it in;
-    otherwise it is derived here. Each key matches exactly one row in
-    every model section, so the attach join is 1:1 and the per-doc
-    sums regroup to identical integers."""
+    probability), so a shipped table is self-sufficient."""
     m3 = (arpa.filter("ord = 3")
               .select("w1", "w2", "w3", F.col("nlp_micro").alias("nlp3")))
     m2 = arpa.filter("ord = 2").select(
@@ -523,9 +501,7 @@ def kn3_score_docs(per_doc_counts: DataFrame, arpa: DataFrame,
         F.col("bow_micro").alias("b1"))
     t2f = (arpa.filter("ord = 2 AND nlp_micro IS NOT NULL")
                .agg(F.count("*").cast("long").alias("t2")))
-    if keys is None:
-        keys = per_doc_counts.select("w1", "w2", "w3").distinct()
-    j = (keys
+    j = (per_doc_counts
          .join(m3, ["w1", "w2", "w3"], "left")
          .join(m2.select(F.col("a"), F.col("b"), F.col("nlp2")),
                (F.col("a") == F.col("w2")) & (F.col("b") == F.col("w3")),
@@ -540,13 +516,11 @@ def kn3_score_docs(per_doc_counts: DataFrame, arpa: DataFrame,
                          F.col("b1").alias("bow1")),
                F.col("u2") == F.col("w2"), "left").drop("u2")
          .crossJoin(F.broadcast(t2f)))
-    costed = (j.withColumn("cost", F.expr(KN3_COST))
+    scored = (j.withColumn("cost", F.expr(KN3_COST))
                .withColumn("backoff", F.col("nlp3").isNull().cast("long"))
                .withColumn("oov", (F.col("nlp3").isNull()
                                    & F.col("nlp2").isNull()
-                                   & F.col("nlp1").isNull()).cast("long"))
-               .select("w1", "w2", "w3", "cost", "backoff", "oov"))
-    scored = per_doc_counts.join(costed, ["w1", "w2", "w3"])
+                                   & F.col("nlp1").isNull()).cast("long")))
     out = (scored.groupBy(id_col)
                  .agg(F.sum("n_local").cast("long").alias("n_trigrams"),
                       F.sum(F.col("backoff") * F.col("n_local"))

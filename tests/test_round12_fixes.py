@@ -142,34 +142,6 @@ def test_calibration_bins_exact_for_nondivisible_bin_count(spark):
     assert got10 == {8: 1, 9: 2}
 
 
-def test_kn3_score_docs_keys_path_matches_default(spark):
-    """Optimization r12: kn3_score_docs routes the five model joins
-    through the DISTINCT trigram key table and attaches per-key costs
-    back with one keyed join. The explicit ``keys`` fast path (what
-    kn3_doc_scores passes as c3) must produce row-identical output to
-    the derive-it-myself default, including backoff/oov tallies on
-    out-of-training text."""
-    from hops_spark.ops.lm import (kn3_arpa, kn3_score_docs,
-                                   trigram_count_table, trigram_rows)
-
-    train = _docs(spark, [(0, "a b c d a b c"), (1, "b c d e b c d")])
-    test = _docs(spark, [(2, "a b c d e"), (3, "x y z a b"),
-                         (4, "c d a b c d")])
-    arpa = kn3_arpa(trigram_count_table(train), prune3=2)
-    per = (trigram_rows(test)
-           .groupBy("doc_id", "w1", "w2", "w3")
-           .agg(F.count("*").cast("long").alias("n_local")))
-    default = {r["doc_id"]: r.asDict()
-               for r in kn3_score_docs(per, arpa).collect()}
-    keyed = {r["doc_id"]: r.asDict()
-             for r in kn3_score_docs(
-                 per, arpa,
-                 keys=per.select("w1", "w2", "w3").distinct()).collect()}
-    assert default == keyed
-    assert set(default) == {2, 3, 4}
-    assert default[3]["n_oov"] > 0          # x/y/z never trained
-
-
 def test_hybrid_candidate_lists_match_separate_routes(spark):
     """Optimization r12: hybrid_candidate_lists derives the BM25 and
     hashed-dot top-k lists from one exploded-token aggregate. Both
