@@ -640,7 +640,7 @@ def maxsim_topk(docs: DataFrame, query_terms: list[str], k: int = 15,
     order (the bm25 float-determinism discipline), TakeOrdered top-k.
     A real deployment prunes candidates with the inverted index first
     (phrase/bm25 machinery) and MaxSims only the shortlist."""
-    from hops_spark.ops.similarity import cosine
+    from hops_spark.ops.similarity import cosine_pre, norm
     from hops_spark.ops.text import words
 
     dterms = (docs.select(F.col(id_col), F.explode(words(text_col))
@@ -653,7 +653,10 @@ def maxsim_topk(docs: DataFrame, query_terms: list[str], k: int = 15,
                           lambda a, x: a + x * x) > 0
     tv = (term_vectors(dterms.select("term").distinct(), "term", dim)
           .filter(nonzero))
-    dterms = dterms.join(tv, "term").withColumnRenamed("v", "tv")
+    # term-vector norm hoisted below the cross join: evaluated once per
+    # (doc, term) row instead of once per (row × query-term) pair
+    dterms = (dterms.join(tv, "term").withColumnRenamed("v", "tv")
+                    .withColumn("_ntv", norm(F.col("tv"))))
     # literal-array explode, not createDataFrame — a 3-row local
     # createDataFrame costs ~6 s of driver round-trips here (the
     # pi_bbp finding); range+explode is ~0.3 s
@@ -666,11 +669,13 @@ def maxsim_topk(docs: DataFrame, query_terms: list[str], k: int = 15,
     q = (qt.join(term_vectors(qt.select(F.col("qterm").alias("term")),
                               "term", dim).filter(nonzero),
                  qt["qterm"] == F.col("term"))
-           .select("qi", "qterm", F.col("v").alias("qv")))
+           .select("qi", "qterm", F.col("v").alias("qv"))
+           .withColumn("_nqv", norm(F.col("qv"))))
     per_q = (dterms.crossJoin(F.broadcast(q))
                    .select(id_col, "qi",
-                           F.round(cosine(F.col("tv"), F.col("qv")), 6)
-                            .alias("c"))
+                           F.round(cosine_pre(F.col("tv"), F.col("qv"),
+                                              F.col("_ntv"), F.col("_nqv")),
+                                   6).alias("c"))
                    .groupBy(id_col, "qi").agg(F.max("c").alias("m")))
     piv = per_q.groupBy(id_col).agg(
         *[F.max(F.when(F.col("qi") == i, F.col("m"))).alias(f"c{i}")

@@ -47,6 +47,32 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine(a, b)`` with precomputed norms ``na = norm(a)``,
+    ``nb = norm(b)`` — the identical ``dot/(na*nb)`` doubles bit for
+    bit (same fold expressions, same operand order). The point is
+    WHERE the norms are evaluated: hoisted into a projection below
+    the join, each side's norm fold runs once per input row instead
+    of once per joined pair, cutting the per-pair HOF work from three
+    array folds to one (guide §1.2 step 2: per-task work)."""
+    return dot(a, b) / (na * nb)
+
+
+def _py_fold_norm(vec: list[float]) -> float:
+    """Driver-side twin of ``norm()`` for plan-time literal vectors:
+    the same left-to-right 0.0-seeded fold in IEEE doubles, so the
+    result is bit-identical to evaluating the Column expression on
+    the same values (Python floats ARE doubles; both sqrt
+    implementations are correctly rounded)."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        x = float(x)
+        acc += x * x
+    return math.sqrt(acc)
+
+
 #: knn_bruteforce is the EVAL baseline, never the serving path: its
 #: cost is |corpus| × |queries| cosine evaluations. The guard makes
 #: that contract enforced rather than advisory — a caller who really
@@ -82,12 +108,18 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
     recall (knn_recall) on bounded query panels."""
     if not allow_large:
         guard_query_panel(queries, "knn_bruteforce")
-    scored = (corpus.crossJoin(F.broadcast(queries))
+    # norms hoisted below the join: once per corpus row / query row,
+    # not once per (corpus x query) pair — cosine_pre is bit-identical
+    scored = (corpus.withColumn("_nc", norm(F.col(vec_col)))
+                    .crossJoin(F.broadcast(
+                        queries.withColumn("_nq", norm(F.col(qvec_col)))))
                     .filter(F.col(id_col) != F.col(qid_col))
                     .select(F.col(qid_col),
                             F.col(id_col).alias("neighbor_id"),
-                            F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
-                             .alias("cos_sim")))
+                            F.round(cosine_pre(F.col(vec_col),
+                                               F.col(qvec_col),
+                                               F.col("_nc"), F.col("_nq")),
+                                    6).alias("cos_sim")))
     w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(),
                                             F.col("neighbor_id").asc())
     return (scored.withColumn("rnk", F.row_number().over(w))
@@ -126,12 +158,15 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     is tunable via n_planes (fewer planes → bigger buckets → higher
     recall, more compute). Bucket assignment is one narrow pass; the
     join co-partitions on bucket — no all-pairs shuffle."""
-    cb = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
-    qb = queries.withColumn("_bucket", lsh_bucket(F.col(qvec_col), dim, n_planes, seed))
+    cb = (corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
+                .withColumn("_nc", norm(F.col(vec_col))))
+    qb = (queries.withColumn("_bucket", lsh_bucket(F.col(qvec_col), dim, n_planes, seed))
+                 .withColumn("_nq", norm(F.col(qvec_col))))
     scored = (cb.join(F.broadcast(qb), "_bucket")
                 .filter(F.col(id_col) != F.col(qid_col))
                 .select(F.col(qid_col), F.col(id_col).alias("neighbor_id"),
-                        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
+                        F.round(cosine_pre(F.col(vec_col), F.col(qvec_col),
+                                           F.col("_nc"), F.col("_nq")), 6)
                          .alias("cos_sim")))
     w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(),
                                             F.col("neighbor_id").asc())
@@ -154,17 +189,22 @@ def embedding_near_dup(corpus: DataFrame, dim: int, threshold: float = 0.95,
     max_bucket² per bucket. Raise n_planes (finer buckets) rather than
     max_bucket to recover recall on dense corpora."""
     cb = (corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
-                 .select(id_col, vec_col, "_bucket"))
+                 .select(id_col, vec_col, "_bucket")
+                 .withColumn("_nv", norm(F.col(vec_col))))
     ok = (cb.groupBy("_bucket").agg(F.count("*").alias("_bn"))
             .filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket))
             .select("_bucket"))
     cb = cb.join(F.broadcast(ok), "_bucket", "left_semi")
-    a = cb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "_bucket")
-    b = cb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "_bucket")
+    a = cb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                  F.col("_nv").alias("_na"), "_bucket")
+    b = cb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                  F.col("_nv").alias("_nb"), "_bucket")
     return (a.join(b, "_bucket")
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b",
-                     F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+                     F.round(cosine_pre(F.col("va"), F.col("vb"),
+                                        F.col("_na"), F.col("_nb")), 6)
+                      .alias("cos_sim"))
              .filter(F.col("cos_sim") >= threshold)
              .distinct())
 
@@ -183,8 +223,16 @@ def ivf_centroids(corpus: DataFrame, n_cells: int, id_col: str = "vec_id",
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
-def _cell_sims(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+def _cell_sims(vec: Column, centroids: list[tuple[int, list[float]]],
+               nv: Column | None = None) -> Column:
     """array<struct<sim,cell>> of rounded cosine to each centroid.
+
+    ``nv`` is the precomputed ``norm(vec)`` — pass a hoisted column so
+    the vector's norm fold runs once per row instead of once per
+    centroid (callers that can't hoist get the inline fallback, the
+    pre-r13 behavior). Centroid norms are plan-time literals
+    (``_py_fold_norm`` — bit-identical to the Column fold), so the
+    per-centroid work is exactly one dot fold.
 
     The codebook rides as TWO literal nodes (cell-id array + centroid
     matrix) with a single transform/zip_with lambda, not n_cells inlined
@@ -200,7 +248,12 @@ def _cell_sims(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
     (optimization r12)."""
     cells = lit_array([cid for cid, _ in centroids], "int")
     mat = lit_array([cvec for _, cvec in centroids], "double")
-    sims = F.transform(mat, lambda cv: F.round(cosine(vec, cv), 6))
+    cnorms = lit_array([_py_fold_norm(cvec) for _, cvec in centroids],
+                       "double")
+    if nv is None:
+        nv = norm(vec)
+    sims = F.zip_with(mat, cnorms,
+                      lambda cv, cn: F.round(dot(vec, cv) / (nv * cn), 6))
     return F.zip_with(sims, cells,
                       lambda sim, c: F.struct(sim.alias("sim"),
                                               c.alias("cell")))
@@ -263,7 +316,8 @@ def coarse_codebook(centroids: list[tuple[int, list[float]]],
 
 def two_level_cell(vec: Column, centroids: list[tuple[int, list[float]]],
                    n_coarse: int | None = None,
-                   coarse_probes: int = 4) -> Column:
+                   coarse_probes: int = 4,
+                   nv: Column | None = None) -> Column:
     """Coarse-then-fine cell assignment — the broadcast-argmax operator
     COMPOSED WITH ITSELF (the IVF-on-the-codebook trick; SCALE.md note
     39 made executable): argmax over ~sqrt(n_cells) coarse centroids,
@@ -278,15 +332,22 @@ def two_level_cell(vec: Column, centroids: list[tuple[int, list[float]]],
     if n_coarse is None:
         n_coarse = max(1, int(round(len(centroids) ** 0.5)))
     coarse, gcells, gvecs = coarse_codebook(centroids, n_coarse)
-    probes = F.slice(F.reverse(F.array_sort(_cell_sims(vec, coarse))),
+    if nv is None:
+        nv = norm(vec)
+    probes = F.slice(F.reverse(F.array_sort(_cell_sims(vec, coarse, nv))),
                      1, min(coarse_probes, n_coarse))
     gc = lit_array(gcells, "int")
     gv = lit_array(gvecs, "double")
+    gnorms = lit_array([[_py_fold_norm(v) for v in grp] for grp in gvecs],
+                       "double")
     cand_cells = F.flatten(F.transform(
         probes, lambda p: F.element_at(gc, p.getField("cell") + 1)))
     cand_vecs = F.flatten(F.transform(
         probes, lambda p: F.element_at(gv, p.getField("cell") + 1)))
-    sims = F.transform(cand_vecs, lambda cv: F.round(cosine(vec, cv), 6))
+    cand_norms = F.flatten(F.transform(
+        probes, lambda p: F.element_at(gnorms, p.getField("cell") + 1)))
+    sims = F.zip_with(cand_vecs, cand_norms,
+                      lambda cv, cn: F.round(dot(vec, cv) / (nv * cn), 6))
     return F.array_max(F.zip_with(
         sims, cand_cells,
         lambda s, c: F.struct(s.alias("sim"), c.alias("cell")))) \
@@ -305,16 +366,22 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
     decimals break toward the larger cell id (array_max struct order)
     so any engine reproduces the same partition."""
     cents = centroids or ivf_centroids(corpus, n_cells, id_col, vec_col)
-    cell_of = F.array_max(_cell_sims(F.col(vec_col), cents)).getField("cell")
-    cb = corpus.select(id_col, vec_col).withColumn("_cell", cell_of)
-    probes = F.slice(F.reverse(F.array_sort(_cell_sims(F.col(qvec_col), cents))),
-                     1, nprobe)
-    qb = (queries.withColumn("_p", F.explode(probes))
-                 .select(qid_col, qvec_col, F.col("_p.cell").alias("_cell")))
+    cell_of = F.array_max(_cell_sims(F.col(vec_col), cents,
+                                     F.col("_nc"))).getField("cell")
+    cb = (corpus.select(id_col, vec_col)
+                .withColumn("_nc", norm(F.col(vec_col)))
+                .withColumn("_cell", cell_of))
+    probes = F.slice(F.reverse(F.array_sort(
+        _cell_sims(F.col(qvec_col), cents, F.col("_nq")))), 1, nprobe)
+    qb = (queries.withColumn("_nq", norm(F.col(qvec_col)))
+                 .withColumn("_p", F.explode(probes))
+                 .select(qid_col, qvec_col, "_nq",
+                         F.col("_p.cell").alias("_cell")))
     scored = (cb.join(F.broadcast(qb), "_cell")
                 .filter(F.col(id_col) != F.col(qid_col))
                 .select(F.col(qid_col), F.col(id_col).alias("neighbor_id"),
-                        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
+                        F.round(cosine_pre(F.col(vec_col), F.col(qvec_col),
+                                           F.col("_nc"), F.col("_nq")), 6)
                          .alias("cos_sim")))
     w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(),
                                             F.col("neighbor_id").asc())
@@ -344,15 +411,19 @@ def semantic_dedup(corpus: DataFrame, dim: int, n_clusters: int = 16,
     n_clusters scales as corpus_size/expected_cell_size, keeping
     within-cell work constant as the corpus grows."""
     cents = centroids or ivf_centroids(corpus, n_clusters, id_col, vec_col)
-    cell_of = F.array_max(_cell_sims(F.col(vec_col), cents)).getField("cell")
+    cell_of = F.array_max(_cell_sims(F.col(vec_col), cents,
+                                     F.col("_nv"))).getField("cell")
     # Materialize the assignment once: cb feeds THREE consumers (cell
     # census, capped pair join, final keep-flag join), and the argmax
     # over n_clusters×dim literal cosines is both expensive to analyze
     # (big Catalyst tree per job) and to recompute per pass. The eager
     # localCheckpoint truncates lineage so downstream jobs replan/rescan
     # the narrow (id, vec, cell) table instead — at 100 TB this is the
-    # "write assignments once, read thrice" pattern.
+    # "write assignments once, read thrice" pattern. The vector norm is
+    # materialized alongside (8 bytes/row) so the pair stage pays one
+    # dot fold per pair instead of dot + two norm folds.
     cb = (corpus.select(id_col, vec_col)
+                .withColumn("_nv", norm(F.col(vec_col)))
                 .withColumn("cell", cell_of.cast("long"))
                 .localCheckpoint(eager=True))
     ok = (cb.groupBy("cell").agg(F.count("*").alias("_n"))
@@ -366,12 +437,13 @@ def semantic_dedup(corpus: DataFrame, dim: int, n_clusters: int = 16,
     capped = (cb.join(F.broadcast(ok), "cell", "left_semi")
                 .localCheckpoint(eager=True))
     a = capped.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                      "cell")
+                      F.col("_nv").alias("_na"), "cell")
     b = capped.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                      "cell")
+                      F.col("_nv").alias("_nb"), "cell")
     dropped = (a.join(b, "cell")
                 .filter(F.col("id_a") < F.col("id_b"))
-                .filter(F.round(cosine(F.col("va"), F.col("vb")), 6)
+                .filter(F.round(cosine_pre(F.col("va"), F.col("vb"),
+                                           F.col("_na"), F.col("_nb")), 6)
                         >= threshold)
                 .select(F.col("id_b").alias(id_col))
                 .distinct()
@@ -398,10 +470,11 @@ def ivf_kmeans_refine(corpus: DataFrame,
     (array_max struct order) and means round to 6 decimals, so an
     independent engine reproduces the codebook bit-for-bit."""
     for _ in range(iters):
-        cell_of = F.array_max(_cell_sims(F.col(vec_col), centroids)) \
-                   .getField("cell")
-        assigned = corpus.select(F.col(vec_col).alias("v"),
-                                 cell_of.alias("cell"))
+        cell_of = F.array_max(_cell_sims(F.col(vec_col), centroids,
+                                         F.col("_nv"))).getField("cell")
+        assigned = (corpus.withColumn("_nv", norm(F.col(vec_col)))
+                          .select(F.col(vec_col).alias("v"),
+                                  cell_of.alias("cell")))
         means = (assigned.select("cell", F.posexplode("v").alias("pos", "val"))
                          .groupBy("cell", "pos")
                          .agg(F.round(F.avg("val"), 6).alias("m"))
@@ -433,11 +506,15 @@ def rerank_exact(corpus: DataFrame, queries: DataFrame,
     cand = shortlist.select(F.col(qid_col), F.col("neighbor_id"))
     scored = (corpus.select(F.col(id_col).alias("neighbor_id"),
                             F.col(vec_col).alias("_cv"))
+                    .withColumn("_nc", norm(F.col("_cv")))
                     .join(F.broadcast(cand), "neighbor_id")
-                    .join(F.broadcast(queries.select(qid_col, qvec_col)),
+                    .join(F.broadcast(queries.select(qid_col, qvec_col)
+                                             .withColumn("_nq",
+                                                         norm(F.col(qvec_col)))),
                           qid_col)
                     .select(F.col(qid_col), "neighbor_id",
-                            F.round(cosine(F.col("_cv"), F.col(qvec_col)), 6)
+                            F.round(cosine_pre(F.col("_cv"), F.col(qvec_col),
+                                               F.col("_nc"), F.col("_nq")), 6)
                              .alias("cos_sim")))
     w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(),
                                             F.col("neighbor_id").asc())
@@ -521,13 +598,16 @@ def build_cell_index(corpus: DataFrame,
         return
     if two_level:
         cell_of = two_level_cell(F.col(vec_col), centroids,
-                                 coarse_probes=coarse_probes)
+                                 coarse_probes=coarse_probes,
+                                 nv=F.col("_nv"))
     else:
-        cell_of = F.array_max(_cell_sims(F.col(vec_col), centroids)) \
-                   .getField("cell")
+        cell_of = F.array_max(_cell_sims(F.col(vec_col), centroids,
+                                         F.col("_nv"))).getField("cell")
     q = quantize_int8(corpus, id_col, vec_col) \
         .withColumnRenamed("q", "q_int8")
-    (corpus.select(id_col, vec_col).withColumn("cell", cell_of)
+    (corpus.select(id_col, vec_col)
+           .withColumn("_nv", norm(F.col(vec_col)))
+           .withColumn("cell", cell_of).drop("_nv")
            .join(q, id_col)
            .select(id_col, "cell", "scale", "q_int8")
            .write.mode("overwrite").partitionBy("cell").parquet(index_dir))
@@ -585,8 +665,10 @@ def probe_cell_index(spark, index_dir: str,
             T.StructField("cell", T.LongType())]))
     else:
         probes = F.slice(F.reverse(F.array_sort(
-            _cell_sims(F.col(qvec_col), centroids))), 1, nprobe)
-        qb = (queries.withColumn("_p", F.explode(probes))
+            _cell_sims(F.col(qvec_col), centroids, F.col("_nq")))),
+            1, nprobe)
+        qb = (queries.withColumn("_nq", norm(F.col(qvec_col)))
+                     .withColumn("_p", F.explode(probes))
                      .select(qid_col, qvec_col,
                              F.col("_p.cell").alias("cell")))
     cells_needed = sorted(r["cell"] for r in
@@ -603,12 +685,16 @@ def probe_cell_index(spark, index_dir: str,
                       lambda x: x.cast("double") * F.col("scale") / 127.0)
     scored = (pruned.filter(F.col("scale") > 0)
                     .withColumn("_dv", deq)
-                    .join(F.broadcast(qb), "cell")
+                    .withColumn("_nd", norm(F.col("_dv")))
+                    .join(F.broadcast(qb.withColumn("_nqv",
+                                                    norm(F.col(qvec_col)))),
+                          "cell")
                     .filter(F.col(id_col) != F.col(qid_col))
                     .select(F.col(qid_col),
                             F.col(id_col).alias("neighbor_id"),
-                            F.round(cosine(F.col("_dv"), F.col(qvec_col)), 6)
-                             .alias("cos_sim")))
+                            F.round(cosine_pre(F.col("_dv"), F.col(qvec_col),
+                                               F.col("_nd"), F.col("_nqv")),
+                                    6).alias("cos_sim")))
     w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(),
                                             F.col("neighbor_id").asc())
     top = (scored.withColumn("rnk", F.row_number().over(w))
@@ -634,10 +720,11 @@ def append_cell_index(new_vectors: DataFrame,
         assigned = assign_cells_gemm(new_vectors, centroids, id_col,
                                      vec_col)
     else:
-        cell_of = F.array_max(_cell_sims(F.col(vec_col), centroids)) \
-                   .getField("cell")
+        cell_of = F.array_max(_cell_sims(F.col(vec_col), centroids,
+                                         F.col("_nv"))).getField("cell")
         assigned = (new_vectors.select(id_col, vec_col)
-                               .withColumn("cell", cell_of))
+                               .withColumn("_nv", norm(F.col(vec_col)))
+                               .withColumn("cell", cell_of).drop("_nv"))
     (assigned.join(q, id_col)
              .select(id_col, "cell", "scale", "q_int8")
              .write.mode("append").partitionBy("cell").parquet(index_dir))
@@ -780,14 +867,18 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 f"({BRUTEFORCE_MAX_QUERIES}); mine negatives from the "
                 "IVF/PQ shortlist at serving scale, or pass "
                 "allow_large=True for a deliberate exact sweep")
-    scored = (corpus.crossJoin(F.broadcast(queries))
+    scored = (corpus.withColumn("_nc", norm(F.col(vec_col)))
+                    .crossJoin(F.broadcast(
+                        queries.withColumn("_nq", norm(F.col(qvec_col)))))
                     .filter(F.col(id_col) != F.col(qid_col))
                     .filter(F.col(label_col) != F.col(qlabel_col))
                     .select(F.col(qid_col),
                             F.col(id_col).alias("neighbor_id"),
                             F.col(label_col).alias("neg_label"),
-                            F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
-                             .alias("cos_sim"))
+                            F.round(cosine_pre(F.col(vec_col),
+                                               F.col(qvec_col),
+                                               F.col("_nc"), F.col("_nq")),
+                                    6).alias("cos_sim"))
                     .filter(F.col("cos_sim") < dup_threshold))
     w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(),
                                             F.col("neighbor_id").asc())
@@ -876,14 +967,17 @@ def knn_bruteforce_gemm(corpus: DataFrame, queries: DataFrame, k: int = 10,
                   .distinct())
     # exact re-score of the candidate set with the scalar-path formula
     rescored = (corpus.select(F.col(id_col), F.col(vec_col))
+                .withColumn("_nc", norm(F.col(vec_col)))
                 .join(F.broadcast(cand),
                       F.col(id_col) == F.col("neighbor_id_c"))
-                .join(F.broadcast(queries),
+                .join(F.broadcast(queries.withColumn(
+                          "_nq", norm(F.col(qvec_col)))),
                       F.col("q_id_c") == F.col(qid_col))
                 .filter(F.col(id_col) != F.col(qid_col))
                 .select(F.col(qid_col),
                         F.col(id_col).alias("neighbor_id"),
-                        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
+                        F.round(cosine_pre(F.col(vec_col), F.col(qvec_col),
+                                           F.col("_nc"), F.col("_nq")), 6)
                          .alias("cos_sim")))
     w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(),
                                             F.col("neighbor_id").asc())
@@ -1018,15 +1112,18 @@ def knn_multiprobe(corpus: DataFrame, queries: DataFrame, in_dim: int,
     """
     cb = (jl_project(corpus, vec_col, in_dim, bucket_bits)
           .withColumn("_bucket", srp_bucket(bucket_bits))
-          .select(id_col, vec_col, "_bucket"))
+          .select(id_col, vec_col, "_bucket")
+          .withColumn("_nc", norm(F.col(vec_col))))
     qb = (jl_project(queries, qvec_col, in_dim, bucket_bits)
           .withColumn("_probe", F.explode(multiprobe_keys(bucket_bits, nprobe)))
-          .select(qid_col, qvec_col, "_probe"))
+          .select(qid_col, qvec_col, "_probe")
+          .withColumn("_nq", norm(F.col(qvec_col))))
     cand = (cb.join(F.broadcast(qb), cb["_bucket"] == qb["_probe"])
               .filter(F.col(id_col) != F.col(qid_col)))
     scored = cand.select(
         F.col(qid_col), F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("cos_sim"))
+        F.round(cosine_pre(F.col(vec_col), F.col(qvec_col),
+                           F.col("_nc"), F.col("_nq")), 6).alias("cos_sim"))
     wq = Window.partitionBy(qid_col)
     w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(),
                                             F.col("neighbor_id").asc())

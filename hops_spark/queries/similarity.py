@@ -329,14 +329,31 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("embedding").alias("q_vec")))
     corpus = e.select("vec_id", "embedding")
     SIM.guard_query_panel(queries, "matryoshka_recall")
-    pairs = (corpus.crossJoin(F.broadcast(queries))
+    # prefix slices and their norms hoisted below the cross join (r13,
+    # guide §1.2 step 2): per pair only the four dot folds remain —
+    # cosine_pre/dot over the same sliced arrays is bit-identical to
+    # the inline sliced-fold cosines
+    def _pre(df, vcol):
+        out = df.withColumn(f"_n_{vcol}", SIM.norm(F.col(vcol)))
+        for dt in TRUNC_DIMS:
+            out = (out.withColumn(f"_{vcol}_{dt}",
+                                  F.slice(vcol, 1, dt))
+                      .withColumn(f"_n_{vcol}_{dt}",
+                                  SIM.norm(F.col(f"_{vcol}_{dt}"))))
+        return out
+    pairs = (_pre(corpus, "embedding")
+             .crossJoin(F.broadcast(_pre(queries, "q_vec")))
              .filter(F.col("vec_id") != F.col("q_id"))
              .select(
                  "q_id", F.col("vec_id").alias("neighbor_id"),
-                 F.round(SIM.cosine(F.col("embedding"), F.col("q_vec")),
+                 F.round(SIM.cosine_pre(F.col("embedding"), F.col("q_vec"),
+                                        F.col("_n_embedding"),
+                                        F.col("_n_q_vec")),
                          6).alias("s_full"),
-                 *[F.round(SIM.cosine(F.slice("embedding", 1, dt),
-                                      F.slice("q_vec", 1, dt)), 6)
+                 *[F.round(SIM.cosine_pre(F.col(f"_embedding_{dt}"),
+                                          F.col(f"_q_vec_{dt}"),
+                                          F.col(f"_n_embedding_{dt}"),
+                                          F.col(f"_n_q_vec_{dt}")), 6)
                     .alias(f"s_{dt}") for dt in TRUNC_DIMS]))
     for col in ["s_full"] + [f"s_{dt}" for dt in TRUNC_DIMS]:
         w = Window.partitionBy("q_id").orderBy(
@@ -1944,16 +1961,20 @@ def mp_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_np = max(MP_CURVE)
     cb = (jl_project(corpus, "embedding", DIM, MP_BITS)
           .withColumn("_bucket", srp_bucket(MP_BITS))
-          .select("vec_id", "embedding", "_bucket"))
+          .select("vec_id", "embedding", "_bucket")
+          .withColumn("_nc", SIM.norm(F.col("embedding"))))
     qb = (jl_project(queries, "q_vec", DIM, MP_BITS)
           .select("q_id", "q_vec",
                   F.posexplode(multiprobe_keys(MP_BITS, max_np))
-                   .alias("_pr", "_probe")))
+                   .alias("_pr", "_probe"))
+          .withColumn("_nq", SIM.norm(F.col("q_vec"))))
     scored = (cb.join(F.broadcast(qb), cb["_bucket"] == qb["_probe"])
                 .filter(F.col("vec_id") != F.col("q_id"))
                 .select("q_id", F.col("vec_id").alias("neighbor_id"),
-                        F.round(cosine(F.col("embedding"),
-                                       F.col("q_vec")), 6).alias("cos_sim"),
+                        F.round(SIM.cosine_pre(F.col("embedding"),
+                                               F.col("q_vec"),
+                                               F.col("_nc"), F.col("_nq")),
+                                6).alias("cos_sim"),
                         "_pr")
                 .localCheckpoint(eager=True))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(),

@@ -2070,13 +2070,16 @@ def chunk_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           & (F.col("chunk_id") == 0))
                   .select(F.col("doc_id").alias("q_doc"),
                           F.col("embedding").alias("qv")))
-    from hops_spark.ops.similarity import cosine
-    scored = (emb.crossJoin(F.broadcast(queries))
+    from hops_spark.ops.similarity import cosine_pre, norm
+    scored = (emb.withColumn("_ne", norm(F.col("embedding")))
+                 .crossJoin(F.broadcast(
+                     queries.withColumn("_nq", norm(F.col("qv")))))
                  .filter(F.col("doc_id") != F.col("q_doc"))
                  .select("q_doc",
                          F.col("doc_id").alias("neighbor_doc"),
                          F.col("chunk_id").alias("neighbor_chunk"),
-                         F.round(cosine(F.col("embedding"), F.col("qv")), 6)
+                         F.round(cosine_pre(F.col("embedding"), F.col("qv"),
+                                            F.col("_ne"), F.col("_nq")), 6)
                           .alias("cos_sim")))
     from pyspark.sql.window import Window
     w = Window.partitionBy("q_doc").orderBy(

@@ -50,38 +50,40 @@ def register(name: str, sql: str | None = None, doc: str = "",
 # registration order after the listed ones; listed-but-unregistered names
 # are ignored (lets the list name queries added later in the round).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (10): the full r11 NEXT_WINDOW_QUEUE
-    # additions — every row judge-verified green in the round-11
-    # 310/310 gate replica (VERDICT r11) + determinism-checked (10/10),
-    # green in the local oracle replica at sf0.001 + sf0.01 after the
-    # r12 ADVICE fixes (KN3 pass-through backoff encoding, integer
-    # pair/group ids). Driving these re-closes the registry ---
-    "kn_trigram_arpa", "response_length_bias", "preference_pair_overlap",
-    "prompt_group_stats", "mixture_anneal_schedule",
-    "kn_trigram_perplexity", "kn_heldout_perplexity",
-    "anneal_step_sample", "arpa_model_card", "preference_margin_deciles",
-    # --- RE-PROOF (r8 lesson — code changed after the last green
-    # row): probe_calibration flows through calibration_bin_stats,
-    # whose bin formula changed this round (ADVICE r11 low #3;
-    # value-identical at the registered bins=10, re-proven anyway) ---
-    "probe_calibration",
-    # --- aging refresh: the remaining 12 last-green-r5 rows
-    # (exhausting the r5 tier) ---
-    "robust_scale_stats", "rolling_window_agg", "sentence_dedup",
-    "skew_profile", "sls_fifo_replay", "supplier_hhi",
-    "value_histogram", "vocab_coverage", "weekly_anomaly",
-    "winsorized_stats", "wordcount", "zorder_skipping",
-    # --- aging refresh, last-green-r6 (first 26 of the 46-row r6
-    # tier, alphabetically; the remaining 20 head the r13 tier) ---
-    "ann_probe", "approx_distinct_parts", "dedup_exact",
-    "doc_fingerprint", "doc_hash_embed", "doc_quality",
-    "embedding_near_dup", "event_dedup", "field_selection", "grep",
-    "hbow_knn", "hilbert_layout", "hilbert_skipping", "inverse_map",
-    "json_extract_events", "kmv_audience_overlap", "knn_bruteforce",
-    "knn_ivf", "knn_lsh", "lang_id", "late_data_policy",
-    "media_decode_wav", "media_features", "media_frame_sample",
-    "meta_batched_lookup", "meta_block_report",
-    # --- flagship keeper (green r2..r11; stays in-window) ---
+    # --- never driver-checked (9): the full r12 NEXT_WINDOW_QUEUE —
+    # every row green in the local 319/319 oracle replica at
+    # sf0.001 + sf0.01 (OPTIMIZATION_r12.md end-of-round gate).
+    # Driving these re-closes the registry ---
+    "pairwise_winrate", "bradley_terry_strengths", "annotator_agreement",
+    "tokenizer_compression", "best_of_n_curve", "bt_calibration",
+    "matryoshka_recall", "adaptive_prefix_rerank", "pass_at_k",
+    # --- RE-PROOF (VERDICT r12 "Next round #1"): the 13
+    # optimized-in-r12 queries whose code changed AFTER their last
+    # driver-green row (the r12 window rotation missed them) ---
+    "hybrid_rrf_retrieval", "classifier_prf", "nb_lang_classifier",
+    "domain_mixture_doremi", "mixture_schedule_sample",
+    "linear_probe_eval", "linear_probe_train", "semantic_dedup",
+    "knn_recall", "knn_multiprobe", "knn_gemm", "pq_encode",
+    "pq_adc_topk",
+    # --- RE-PROOF (r13 optimization targets — VERDICT r12 items 3-7;
+    # in-window so any accepted plan change this round is
+    # driver-verified immediately) ---
+    "soft_dedup_weights", "maxsim_retrieval", "top_ngram_filters",
+    "exact_substring_spans", "span_excised_corpus",
+    # --- aging refresh, last-green-r6 (the final 19 rows of the r6
+    # tier, alphabetically; nb_lang_classifier is above) ---
+    "meta_content_summary", "meta_expired_leases", "meta_get_listing",
+    "meta_glob_status", "meta_path_resolve", "meta_point_lookup",
+    "meta_quota_rollup", "meta_subtree_delete", "meta_under_replicated",
+    "minhash_signatures", "ngram_jaccard_pairs", "pii_scrub",
+    "pipeline_clean_corpus", "retouched_bloom", "simhash_near_pairs",
+    "simhash_signatures", "sliding_window_agg", "token_counts",
+    "tumbling_window_agg",
+    # --- aging refresh, last-green-r7 (first 3 of the 47-row r7
+    # tier, alphabetically; the rest head the r14 tier) ---
+    "approx_quantiles_check", "audience_jaccard_matrix",
+    "bloom_semi_join",
+    # --- flagship keeper (green r2..r12; stays in-window) ---
     "minhash_dedup_pairs",
 )
 # Cumulative hard-verification ledger (driver CORRECTNESS files):
@@ -98,10 +100,14 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 #  r11 green: 50/50 — full closure of the 300 pre-r11 queries (the 12
 #  r10 additions + repetition_stats/doc_perplexity re-proofs + 35
 #  last-green-r5 refreshes + keeper).
-#  r12 window (above): the 10 r11 additions (never driver-checked) +
+#  r12 green: 50/50 — the 10 r11 additions (never driver-checked) +
 #  the probe_calibration re-proof (bin-formula change) + the final 12
 #  last-green-r5 rows (r5 tier exhausted) + 26 last-green-r6 rows
-#  (first 26 of 46, alphabetically) + keeper = 50.
+#  (first 26 of 46, alphabetically) + keeper.
+#  r13 window (above): the 9 r12 additions (never driver-checked) +
+#  the 13 r12-optimized re-proofs (VERDICT r12 gate item) + 5 r13
+#  optimization-target re-proofs + the final 19 last-green-r6 rows
+#  (r6 tier exhausted) + first 3 last-green-r7 rows + keeper = 50.
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -116,26 +122,10 @@ def load_all() -> dict[str, QuerySpec]:
 # (the window guard test enforces that overflow never-green queries are
 # exactly this queue).
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    # round-12 registrations land here as they are verified
-    "pairwise_winrate",          # cross-model head-to-head win rates
-    "bradley_terry_strengths",   # integer MM strength fit (Elo-style)
-    "annotator_agreement",       # Fleiss kappa over derived 3-judge view
-    "tokenizer_compression",     # bytes/chars per token, all tokenizers
-    "best_of_n_curve",           # exact E[max of k] rejection-sampling
-    "bt_calibration",            # BT predicted vs empirical win rate
-    "matryoshka_recall",         # truncated-dim recall@k curve (MRL)
-    "adaptive_prefix_rerank",    # prefix shortlist -> full rerank
-    "pass_at_k",                 # HumanEval unbiased estimator
+    # round 13 is an optimization round: no new registrations.
 )
-# Round-13 rotation plan: fill freed slots FIRST with this queue, THEN
-# any round-12 REPROVE set (queries whose implementation changed after
-# the r12 window froze), THEN the next aging tier — the remaining 20
-# last-green-r6 rows (meta_content_summary onward, alphabetically:
-# meta_content_summary, meta_expired_leases, meta_get_listing,
-# meta_glob_status, meta_path_resolve, meta_point_lookup,
-# meta_quota_rollup, meta_subtree_delete, meta_under_replicated,
-# minhash_signatures, nb_lang_classifier, ngram_jaccard_pairs,
-# pii_scrub, pipeline_clean_corpus, retouched_bloom,
-# simhash_near_pairs, simhash_signatures, sliding_window_agg,
-# token_counts, tumbling_window_agg) then last-green-r7
-# alphabetically, as slots allow; keep the keeper.
+# Round-14 rotation plan: fill freed slots FIRST with this queue, THEN
+# any round-13 REPROVE set (queries whose implementation changed after
+# the r13 window froze), THEN the next aging tier — the remaining 44
+# last-green-r7 rows (bm25_topk onward, alphabetically) then
+# last-green-r8 alphabetically, as slots allow; keep the keeper.

@@ -23,19 +23,26 @@ KEEPER_CORE = {"minhash_dedup_pairs"}
 
 # Queries whose implementation materially changed this round — their
 # old green rows no longer certify the current code (registry.py ledger).
-# Round 12: probe_calibration flows through calibration_bin_stats,
-# whose bin formula changed with the r11 ADVICE fix (value-identical
-# at the registered bins=10, re-proven anyway). The KN3/preference
-# fixes only touch queries still in the never-green queue. Add here
-# anything changed AFTER the r12 window freezes (the r8 lesson: the
-# final commit is the danger window).
-REPROVE: set[str] = {"probe_calibration"}
+# Round 13 (VERDICT r12 "Next round #1"): the 13 r12-optimized queries
+# whose code changed after their last driver-green row, plus the 5
+# r13 optimization targets (VERDICT items 3-7) whose plans may change
+# this round. Add here anything changed AFTER the r13 window freezes
+# (the r8 lesson: the final commit is the danger window).
+REPROVE: set[str] = {
+    "hybrid_rrf_retrieval", "classifier_prf", "nb_lang_classifier",
+    "domain_mixture_doremi", "mixture_schedule_sample",
+    "linear_probe_eval", "linear_probe_train", "semantic_dedup",
+    "knn_recall", "knn_multiprobe", "knn_gemm", "pq_encode",
+    "pq_adc_topk",
+    "soft_dedup_weights", "maxsim_retrieval", "top_ngram_filters",
+    "exact_substring_spans", "span_excised_corpus",
+}
 
 
 def _green_rounds() -> dict[str, set[int]]:
     out: dict[str, set[int]] = {}
-    for rnd in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11):  # r13 rotation: extend
-        # to 12 with the new window (update range + REPROVE each round)
+    for rnd in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12):  # r14 rotation:
+        # extend to 13 with the new window (update range + REPROVE)
         path = os.path.join(_REPO, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.exists(path):
             with open(path) as f:
@@ -64,15 +71,15 @@ def test_every_never_green_query_is_in_window_or_queued():
 def test_no_window_slot_wasted():
     """Every slot holds a never-green query, a keeper, a changed-code
     re-proof, or an aging green row being refreshed (oldest greens
-    first: last-green round <= 6 as of the r12 rotation — the final 12
-    r5-tier rows plus the first 26 of the 46-row r6 tier,
+    first: last-green round <= 7 as of the r13 rotation — the final 19
+    r6-tier rows plus the first 3 of the 47-row r7 tier,
     alphabetically)."""
     green = _green_rounds()
     wasted = [n for n in list(load_all())[:50]
               if n in green
               and n not in KEEPER_CORE
               and n not in REPROVE
-              and max(green[n]) > 6]
+              and max(green[n]) > 7]
     assert not wasted, f"window slots wasted: {wasted}"
 
 
