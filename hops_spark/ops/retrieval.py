@@ -287,6 +287,33 @@ def tfidf_cosine_topk(docs: DataFrame, k: int = 20, min_df: int = 2,
 # --- hashed bag-of-words embedding (the feature-hashing vectorizer) -----
 
 
+def signed_bucket_cols(token, dim: int, seed: str):
+    """(bucket, sign) Columns of one token under the canonical signed
+    hashing-trick derivation: md5('seed|token'), first 7 hex chars mod
+    ``dim`` → bucket, parity of the 8th → ±1 sign. ONE definition
+    shared by hashed_bow_embedding / hashed_dot_topk /
+    hybrid_candidate_lists (ADVICE r12: the derivation was copy-pasted
+    in three places; drift in any copy would silently break the
+    row-identity guarantee with the oracle). Mirrored plan-time by
+    ``hashed_sign_bucket`` and bit-for-bit by the DuckDB oracle."""
+    h = F.md5(F.concat_ws("|", F.lit(seed), token))
+    bucket = F.pmod(F.conv(F.substring(h, 1, 7), 16, 10).cast("long"),
+                    F.lit(dim))
+    sign = F.when(F.conv(F.substring(h, 8, 1), 16, 10).cast("long") % 2 == 0,
+                  F.lit(1)).otherwise(F.lit(-1))
+    return bucket, sign
+
+
+def query_weight_col(bucket, q: dict[int, int]):
+    """Per-token query weight: chained CASE mapping the token's bucket
+    to the sparse query vector's weight (0 elsewhere) — the shared
+    companion of ``signed_bucket_cols`` for the dot-product faces."""
+    qw = F.lit(0)
+    for b, wgt in q.items():
+        qw = F.when(bucket == b, F.lit(wgt)).otherwise(qw)
+    return qw
+
+
 def hashed_bow_embedding(docs: DataFrame, dim: int = 64,
                          id_col: str = "doc_id", text_col: str = "text",
                          seed: str = "hbow") -> DataFrame:
@@ -303,11 +330,7 @@ def hashed_bow_embedding(docs: DataFrame, dim: int = 64,
     array<double> of unit L2 norm; all-zero docs -> zero vector)."""
     from hops_spark.ops.text import words
     tok = docs.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
-    h = F.md5(F.concat_ws("|", F.lit(seed), F.col("w")))
-    bucket = F.pmod(F.conv(F.substring(h, 1, 7), 16, 10).cast("long"),
-                    F.lit(dim))
-    sign = F.when(F.conv(F.substring(h, 8, 1), 16, 10).cast("long") % 2 == 0,
-                  F.lit(1)).otherwise(F.lit(-1))
+    bucket, sign = signed_bucket_cols(F.col("w"), dim, seed)
     cells = (tok.select(id_col, bucket.alias("b"), sign.alias("s"))
                 .groupBy(id_col, "b")
                 .agg(F.sum("s").cast("double").alias("v")))
@@ -412,14 +435,8 @@ def hashed_dot_topk(docs: DataFrame, query_terms: list[str], k: int = 50,
 
     q = query_bucket_weights(query_terms, dim, seed)
     tok = docs.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
-    h = F.md5(F.concat_ws("|", F.lit(seed), F.col("w")))
-    bucket = F.pmod(F.conv(F.substring(h, 1, 7), 16, 10).cast("long"),
-                    F.lit(dim))
-    sign = F.when(F.conv(F.substring(h, 8, 1), 16, 10).cast("long") % 2 == 0,
-                  F.lit(1)).otherwise(F.lit(-1))
-    qw = F.lit(0)
-    for b, wgt in q.items():
-        qw = F.when(bucket == b, F.lit(wgt)).otherwise(qw)
+    bucket, sign = signed_bucket_cols(F.col("w"), dim, seed)
+    qw = query_weight_col(bucket, q)
     scored = (tok.select(F.col(id_col), (sign * qw).alias("c"))
                  .filter(F.col("c") != 0)
                  .groupBy(id_col)
@@ -469,16 +486,15 @@ def hybrid_candidate_lists(docs: DataFrame, query_terms: list[str],
     q = query_bucket_weights(query_terms, dim, seed)
     toks = docs.select(F.col(id_col),
                        F.explode(words(text_col)).alias("term"))
-    h = F.md5(F.concat_ws("|", F.lit(seed), F.col("term")))
-    bucket = F.pmod(F.conv(F.substring(h, 1, 7), 16, 10).cast("long"),
-                    F.lit(dim))
-    sign = F.when(F.conv(F.substring(h, 8, 1), 16, 10).cast("long") % 2
-                  == 0, F.lit(1)).otherwise(F.lit(-1))
-    qw = F.lit(0)
-    for bkt, wgt in q.items():
-        qw = F.when(bucket == bkt, F.lit(wgt)).otherwise(qw)
+    bucket, sign = signed_bucket_cols(F.col("term"), dim, seed)
+    qw = query_weight_col(bucket, q)
     tf_cols = [F.sum((F.col("term") == t).cast("long")).alias(f"tf_{i}")
                for i, t in enumerate(query_terms)]
+    # intentionally session-lived, like bm25_scores' per_doc cache: the
+    # two returned lists are lazy, so there is no safe point inside
+    # this function to unpersist; the cache is one #docs-row aggregate
+    # and Spark's cache manager evicts it LRU under memory pressure
+    # (ADVICE r12 low #1 — documented rather than unpersisted).
     per_doc = (toks.withColumn("_c", sign * qw)
                    .groupBy(id_col)
                    .agg(F.count("*").alias("dl"), *tf_cols,

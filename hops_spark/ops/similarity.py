@@ -47,6 +47,25 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """``dot(a, b)`` unrolled at plan time for a statically known
+    ``dim``: lit(0.0) + a₁·b₁ + a₂·b₂ + … chained left-associative —
+    operand-for-operand the aggregate fold's evaluation order
+    (including the 0.0 seed, so even a -0.0 first product folds the
+    same), hence bit-identical doubles. The payoff is HOW it executes:
+    the unrolled form is plain arithmetic that whole-stage codegen
+    compiles, where the ``aggregate``/``zip_with`` fold runs on the
+    interpreted HOF path once per joined pair (guide §4 — the pair
+    stage is the one place per-element interpretation multiplies by
+    |pairs|·dim). Callers must guarantee both arrays carry exactly
+    ``dim`` elements (beyond ``dim`` the fold and the unroll diverge)."""
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + (F.element_at(a, i).cast("double")
+                     * F.element_at(b, i).cast("double"))
+    return acc
+
+
 def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
     """``cosine(a, b)`` with precomputed norms ``na = norm(a)``,
     ``nb = norm(b)`` — the identical ``dot/(na*nb)`` doubles bit for
@@ -165,8 +184,9 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     scored = (cb.join(F.broadcast(qb), "_bucket")
                 .filter(F.col(id_col) != F.col(qid_col))
                 .select(F.col(qid_col), F.col(id_col).alias("neighbor_id"),
-                        F.round(cosine_pre(F.col(vec_col), F.col(qvec_col),
-                                           F.col("_nc"), F.col("_nq")), 6)
+                        F.round(dot_fixed(F.col(vec_col), F.col(qvec_col),
+                                          dim)
+                                / (F.col("_nc") * F.col("_nq")), 6)
                          .alias("cos_sim")))
     w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(),
                                             F.col("neighbor_id").asc())
@@ -202,8 +222,8 @@ def embedding_near_dup(corpus: DataFrame, dim: int, threshold: float = 0.95,
     return (a.join(b, "_bucket")
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b",
-                     F.round(cosine_pre(F.col("va"), F.col("vb"),
-                                        F.col("_na"), F.col("_nb")), 6)
+                     F.round(dot_fixed(F.col("va"), F.col("vb"), dim)
+                             / (F.col("_na") * F.col("_nb")), 6)
                       .alias("cos_sim"))
              .filter(F.col("cos_sim") >= threshold)
              .distinct())
@@ -377,11 +397,15 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  .withColumn("_p", F.explode(probes))
                  .select(qid_col, qvec_col, "_nq",
                          F.col("_p.cell").alias("_cell")))
+    # dim is static at plan time (the centroid vectors carry it), so
+    # the rescoring dot unrolls codegen-compilable (no HOF per pair)
+    dim = len(cents[0][1])
     scored = (cb.join(F.broadcast(qb), "_cell")
                 .filter(F.col(id_col) != F.col(qid_col))
                 .select(F.col(qid_col), F.col(id_col).alias("neighbor_id"),
-                        F.round(cosine_pre(F.col(vec_col), F.col(qvec_col),
-                                           F.col("_nc"), F.col("_nq")), 6)
+                        F.round(dot_fixed(F.col(vec_col), F.col(qvec_col),
+                                          dim)
+                                / (F.col("_nc") * F.col("_nq")), 6)
                          .alias("cos_sim")))
     w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(),
                                             F.col("neighbor_id").asc())
@@ -440,10 +464,13 @@ def semantic_dedup(corpus: DataFrame, dim: int, n_clusters: int = 16,
                       F.col("_nv").alias("_na"), "cell")
     b = capped.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                       F.col("_nv").alias("_nb"), "cell")
+    # pair-stage cosine: dot unrolled at the registered dim (no HOF in
+    # the pair stage — r13; norms were hoisted into cb above), divided
+    # by the materialized norms. Bit-identical to cosine(va, vb).
     dropped = (a.join(b, "cell")
                 .filter(F.col("id_a") < F.col("id_b"))
-                .filter(F.round(cosine_pre(F.col("va"), F.col("vb"),
-                                           F.col("_na"), F.col("_nb")), 6)
+                .filter(F.round(dot_fixed(F.col("va"), F.col("vb"), dim)
+                                / (F.col("_na") * F.col("_nb")), 6)
                         >= threshold)
                 .select(F.col("id_b").alias(id_col))
                 .distinct()

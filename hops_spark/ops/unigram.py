@@ -76,6 +76,32 @@ def piece_table(wc: DataFrame, top_k: int = TOP_K,
                   .select("piece", "cnt", "cost_micro"))
 
 
+def viterbi_word(w: str, pm: dict, max_len: int = MAX_LEN,
+                 max_piece: int = MAX_PIECE,
+                 sep: str = SEP) -> tuple[str, int, int]:
+    """The per-word Viterbi DP of ``viterbi_segment``, extracted
+    verbatim (identical arithmetic, identical lexicographic
+    (cost, n_pieces, seg) tie-break) so the fused single-Arrow-pass
+    consumer (ops/wordpiece.fused_piece_counts) reuses the SAME code
+    path instead of a copy. Returns (seg, n_pieces, cost_micro)."""
+    L = len(w)
+    if L > max_len:
+        return sep.join(w), L, sum(pm[c] for c in w)
+    best = [(0, 0, "")] + [None] * L
+    for j in range(1, L + 1):
+        cand = []
+        for n in range(1, min(max_piece, j) + 1):
+            piece = w[j - n:j]
+            prev = best[j - n]
+            if piece in pm and prev is not None:
+                c0, n0, s0 = prev
+                cand.append((c0 + pm[piece], n0 + 1,
+                             s0 + (sep if s0 else "") + piece))
+        best[j] = min(cand)
+    c, np_, segs = best[L]
+    return segs, np_, c
+
+
 def viterbi_segment(wc: DataFrame, pieces: DataFrame,
                     max_len: int = MAX_LEN, max_piece: int = MAX_PIECE,
                     sep: str = SEP) -> DataFrame:
@@ -103,23 +129,7 @@ def viterbi_segment(wc: DataFrame, pieces: DataFrame,
         for pdf in batches:
             rows = []
             for w, n_occ in zip(pdf["w"], pdf["n_occ"]):
-                L = len(w)
-                if L > max_len:
-                    cost = sum(pm[c] for c in w)
-                    rows.append((w, int(n_occ), sep.join(w), L, cost))
-                    continue
-                best = [(0, 0, "")] + [None] * L
-                for j in range(1, L + 1):
-                    cand = []
-                    for n in range(1, min(max_piece, j) + 1):
-                        piece = w[j - n:j]
-                        prev = best[j - n]
-                        if piece in pm and prev is not None:
-                            c0, n0, s0 = prev
-                            cand.append((c0 + pm[piece], n0 + 1,
-                                         s0 + (sep if s0 else "") + piece))
-                    best[j] = min(cand)
-                c, np_, segs = best[L]
+                segs, np_, c = viterbi_word(w, pm, max_len, max_piece, sep)
                 rows.append((w, int(n_occ), segs, np_, c))
             yield pd.DataFrame(rows, columns=["w", "n_occ", "seg",
                                               "n_pieces", "cost_micro"])

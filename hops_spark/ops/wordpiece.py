@@ -94,48 +94,89 @@ def wp_greedy_segment(wc: DataFrame, pieces: DataFrame,
 
     vocab = {r["piece"] for r in pieces.select("piece").collect()}
 
-    def seg_word(w: str) -> tuple[str, int]:
-        out = []
-        pos, L = 0, len(w)
-        while pos < L:
-            for n in range(min(max_piece, L - pos), 0, -1):
-                form = w[pos:pos + n] if pos == 0 else CONT + w[pos:pos + n]
-                if form in vocab:
-                    out.append(form)
-                    pos += n
-                    break
-            else:
-                # totality violated (vocab not built from this corpus
-                # by wp_piece_table): fail loud — without this a
-                # missing char form would spin the executor forever
-                raise ValueError(
-                    f"wordpiece vocab lacks a piece for {w!r} at "
-                    f"position {pos}; build it with wp_piece_table "
-                    "over the same word histogram")
-        return sep.join(out), len(out)
-
     def seg_batch(batches):
         for pdf in batches:
             rows = []
             for w, n_occ in zip(pdf["w"], pdf["n_occ"]):
-                if len(w) > max_len:
-                    # per-char fallback: same fail-loud vocab-membership
-                    # contract as the greedy path (a foreign piece table
-                    # must not yield silent out-of-inventory pieces for
-                    # long words while raising for short ones)
-                    forms = [w[0]] + [CONT + c for c in w[1:]]
-                    bad = next((f for f in forms if f not in vocab), None)
-                    if bad is not None:
-                        raise ValueError(
-                            f"wordpiece vocab lacks char piece {bad!r} "
-                            f"for over-length word {w!r}; build it with "
-                            "wp_piece_table over the same word histogram")
-                    rows.append((w, int(n_occ), sep.join(forms), len(w)))
-                    continue
-                seg, np_ = seg_word(w)
+                seg, np_ = wp_word(w, vocab, max_len, max_piece, sep)
                 rows.append((w, int(n_occ), seg, np_))
             yield pd.DataFrame(rows, columns=["w", "n_occ", "seg",
                                               "n_pieces"])
 
     return wc.select("w", "n_occ").mapInPandas(
         seg_batch, "w string, n_occ long, seg string, n_pieces long")
+
+
+def wp_word(w: str, vocab: set, max_len: int = MAX_LEN,
+            max_piece: int = MAX_PIECE, sep: str = SEP) -> tuple[str, int]:
+    """The per-word greedy walk of ``wp_greedy_segment``, extracted
+    verbatim (same longest-match rule, same over-length character
+    fallback, same fail-loud vocab-membership contract) so the fused
+    single-Arrow-pass consumer (``fused_piece_counts``) reuses the
+    SAME code path instead of a copy. Returns (seg, n_pieces)."""
+    L = len(w)
+    if L > max_len:
+        # per-char fallback: same fail-loud vocab-membership
+        # contract as the greedy path (a foreign piece table
+        # must not yield silent out-of-inventory pieces for
+        # long words while raising for short ones)
+        forms = [w[0]] + [CONT + c for c in w[1:]]
+        bad = next((f for f in forms if f not in vocab), None)
+        if bad is not None:
+            raise ValueError(
+                f"wordpiece vocab lacks char piece {bad!r} "
+                f"for over-length word {w!r}; build it with "
+                "wp_piece_table over the same word histogram")
+        return sep.join(forms), L
+    out = []
+    pos = 0
+    while pos < L:
+        for n in range(min(max_piece, L - pos), 0, -1):
+            form = w[pos:pos + n] if pos == 0 else CONT + w[pos:pos + n]
+            if form in vocab:
+                out.append(form)
+                pos += n
+                break
+        else:
+            # totality violated (vocab not built from this corpus
+            # by wp_piece_table): fail loud — without this a
+            # missing char form would spin the executor forever
+            raise ValueError(
+                f"wordpiece vocab lacks a piece for {w!r} at "
+                f"position {pos}; build it with wp_piece_table "
+                "over the same word histogram")
+    return sep.join(out), len(out)
+
+
+def fused_piece_counts(wc: DataFrame, wp_pieces: DataFrame,
+                       uni_pieces: DataFrame,
+                       max_len: int = MAX_LEN, max_piece: int = MAX_PIECE,
+                       sep: str = SEP) -> DataFrame:
+    """(w, n_occ, np_wp, np_uni): BOTH subword piece counts per
+    distinct word from ONE Arrow pass (guide §4.5 — heavyweight init
+    once per task, one Python worker round-trip instead of two).
+    Runs the exact ``wp_word`` greedy walk and ``viterbi_word`` DP the
+    standalone ops run — piece counts are bit-identical by shared
+    code, only the segmentation strings are not materialized. Built
+    for tokenizer_compression, whose four faces need only the counts;
+    any consumer needing ``seg`` keeps the standalone ops."""
+    import pandas as pd
+
+    from hops_spark.ops.unigram import viterbi_word
+
+    vocab = {r["piece"] for r in wp_pieces.select("piece").collect()}
+    pm = {r["piece"]: int(r["cost_micro"])
+          for r in uni_pieces.select("piece", "cost_micro").collect()}
+
+    def seg_batch(batches):
+        for pdf in batches:
+            rows = []
+            for w, n_occ in zip(pdf["w"], pdf["n_occ"]):
+                _, np_wp = wp_word(w, vocab, max_len, max_piece, sep)
+                _, np_uni, _ = viterbi_word(w, pm, max_len, max_piece, sep)
+                rows.append((w, int(n_occ), np_wp, np_uni))
+            yield pd.DataFrame(rows, columns=["w", "n_occ",
+                                              "np_wp", "np_uni"])
+
+    return wc.select("w", "n_occ").mapInPandas(
+        seg_batch, "w string, n_occ long, np_wp long, np_uni long")

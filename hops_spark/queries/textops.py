@@ -2632,9 +2632,8 @@ def _duck_bpe_hist_sym() -> str:
     tags=("text", "tokenize", "north-star"),
 )
 def tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hops_spark.ops.unigram import (piece_table, viterbi_segment,
-                                        word_counts)
-    from hops_spark.ops.wordpiece import wp_greedy_segment, wp_piece_table
+    from hops_spark.ops.unigram import piece_table, word_counts
+    from hops_spark.ops.wordpiece import fused_piece_counts, wp_piece_table
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     wc = word_counts(d).cache()
@@ -2642,28 +2641,33 @@ def tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     for left, right in _TOKENIZE_MERGES:
         sym = (f"trim(replace(' ' || {sym} || ' ', "
                f"' {left} {right} ', ' {left}{right} '))")
-    faces = [
-        ("whitespace", wc.withColumn("n_pieces", F.lit(1))),
-        ("bpe", wc.withColumn(
-            "n_pieces", F.expr(f"size(split({sym}, ' '))"))),
-        ("wordpiece", wp_greedy_segment(wc, wp_piece_table(wc))),
-        ("unigram", viterbi_segment(wc, piece_table(wc))),
-    ]
-
-    def summarize(name: str, seg: DataFrame) -> DataFrame:
-        return (seg.agg(
-            F.sum(F.col("n_occ") * F.col("n_pieces")).cast("long")
-             .alias("n_tokens"),
-            F.sum(F.col("n_occ") * F.octet_length("w")).cast("long")
-             .alias("total_bytes"),
-            F.sum(F.col("n_occ") * F.length("w")).cast("long")
-             .alias("total_chars"))
-            .select(F.lit(name).alias("tokenizer"), "n_tokens",
-                    "total_bytes", "total_chars"))
-
-    b = summarize(*faces[0])
-    for name, seg in faces[1:]:
-        b = b.unionByName(summarize(name, seg))
+    # The wordpiece greedy walk and the unigram Viterbi share ONE
+    # Arrow round-trip (fused_piece_counts — same per-word code paths
+    # as the standalone ops, so the counts are bit-identical), and a
+    # single aggregate folds those faces with whitespace and the
+    # byte/char totals (face-independent — every face weighs the same
+    # histogram). The BPE merge replay stays its own JVM-only
+    # aggregate over the cached histogram: routing the heavy chained
+    # replace through the Python stage's output measured 15-20%
+    # slower at sf1 (r13 A/B). Integer sums, so regrouping changes
+    # nothing; the oracle SQL is untouched.
+    fused = fused_piece_counts(wc, wp_piece_table(wc), piece_table(wc))
+    row = fused.agg(
+        F.sum("n_occ").cast("long").alias("t_ws"),
+        F.sum(F.col("n_occ") * F.col("np_wp")).cast("long").alias("t_wp"),
+        F.sum(F.col("n_occ") * F.col("np_uni")).cast("long").alias("t_uni"),
+        F.sum(F.col("n_occ") * F.octet_length("w")).cast("long")
+         .alias("total_bytes"),
+        F.sum(F.col("n_occ") * F.length("w")).cast("long")
+         .alias("total_chars"))
+    bpe_row = wc.agg(
+        F.sum(F.col("n_occ") * F.expr(f"size(split({sym}, ' '))"))
+         .cast("long").alias("t_bpe"))
+    b = row.crossJoin(bpe_row).select(
+        F.expr("stack(4, 'bpe', t_bpe, 'unigram', t_uni, "
+               "'whitespace', t_ws, 'wordpiece', t_wp) "
+               "AS (tokenizer, n_tokens)"),
+        "total_bytes", "total_chars")
     return (b.select(
                 "tokenizer", "n_tokens", "total_bytes", "total_chars",
                 F.expr("CAST(total_bytes * 1000 div n_tokens AS BIGINT)")

@@ -151,18 +151,27 @@ def test_hybrid_candidate_lists_match_separate_routes(spark):
     matching token stays OUT)."""
     from hops_spark.ops import retrieval as R
 
+    # doc 5 constructs the edge the membership rule leans on: 'spark'
+    # and 'green' both hash to bucket 15 at dim=16 with OPPOSITE signs
+    # (hashed_sign_bucket: +1 / -1), so with 'spark' in the query both
+    # tokens match (n_dot_match = 2) yet the signed contributions
+    # cancel to dot == 0 — the doc must remain IN the dense list
+    # (ADVICE r12 low #3: `dot == 0` is not `no match`)
     docs = _docs(spark, [
         (0, "spark shuffle join spark"),
         (1, "quick brown fox"),
         (2, "spark spark spark shuffle shuffle"),
         (3, "join the queue"),
         (4, "unrelated words only here"),
+        (5, "spark green"),
     ])
     terms = ["spark", "shuffle", "join"]
-    lex_f, dense_f = R.hybrid_candidate_lists(docs, terms, k=4, dim=16)
-    lex_s = R.bm25_topk(docs, terms, k=4)
-    dense_s = R.hashed_dot_topk(docs, terms, k=4, dim=16)
+    lex_f, dense_f = R.hybrid_candidate_lists(docs, terms, k=6, dim=16)
+    lex_s = R.bm25_topk(docs, terms, k=6)
+    dense_s = R.hashed_dot_topk(docs, terms, k=6, dim=16)
     assert [r.asDict() for r in lex_f.collect()] == \
            [r.asDict() for r in lex_s.collect()]
-    assert [(r["doc_id"], r["dot"]) for r in dense_f.collect()] == \
-           [(r["doc_id"], r["dot"]) for r in dense_s.collect()]
+    dense_f_rows = [(r["doc_id"], r["dot"]) for r in dense_f.collect()]
+    dense_s_rows = [(r["doc_id"], r["dot"]) for r in dense_s.collect()]
+    assert dense_f_rows == dense_s_rows
+    assert (5, 0) in dense_f_rows and (5, 0) in dense_s_rows

@@ -133,10 +133,19 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
             F.sum("n_cut").cast("long")).collect()[0][0] or 0
         d = d.drop("n_cut")
 
+    # Each gate below is materialized once (eager localCheckpoint)
+    # before its accounting count: the job takes 7-10 actions (stage
+    # counts + final write), and without a cut after stage k the whole
+    # k-stage prefix re-executes for EVERY later action — O(N²) stage
+    # executions per run (guide §2.4: a multi-consumer intermediate is
+    # written once, read N times). The checkpoint also truncates the
+    # growing plan tree, so Catalyst re-analysis stops compounding.
+    # Counts are deterministic either way; only execution count changes.
     q = (quality_score(d.select("doc_id", "text"))
          .select("doc_id", "quality_score_ppm"))
     d = (d.join(q, "doc_id")
-          .filter(F.col("quality_score_ppm") >= QUALITY_MIN_PPM))
+          .filter(F.col("quality_score_ppm") >= QUALITY_MIN_PPM)
+          .localCheckpoint(eager=True))
     counts["after_quality"] = d.count()
 
     if gopher_gate:
@@ -150,7 +159,7 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
         from hops_spark.ops.text import top_ngram_chars
         keep = (top_ngram_chars(d.select("doc_id", "text"))
                 .filter("keep").select("doc_id"))
-        d = d.join(keep, "doc_id", "left_semi")
+        d = d.join(keep, "doc_id", "left_semi").localCheckpoint(eager=True)
         counts["after_gopher_gate"] = d.count()
 
     d = d.withColumn("_lang", lang_id_expr("text")) \
@@ -165,10 +174,10 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
         agree = (nb_predict(d, class_col="lang")
                  .filter(F.col("predicted") == F.col("actual"))
                  .select("doc_id"))
-        d = d.join(agree, "doc_id", "left_semi")
+        d = d.join(agree, "doc_id", "left_semi").localCheckpoint(eager=True)
         counts["after_nb_lang"] = d.count()
 
-    d = exact_dedup(d, ["text"], "doc_id")
+    d = exact_dedup(d, ["text"], "doc_id").localCheckpoint(eager=True)
     counts["after_exact_dedup"] = d.count()
 
     pairs = minhash_dedup_pairs(d, "doc_id", "text",
@@ -198,7 +207,7 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
                     .filter(F.col("_rn") == 1).select("doc_id"))
     else:
         keep_ids = labels.filter("is_kept").select("doc_id")
-    d = d.join(keep_ids, "doc_id", "left_semi")
+    d = d.join(keep_ids, "doc_id", "left_semi").localCheckpoint(eager=True)
     counts["after_near_dedup"] = d.count()
 
     bench = d.filter(F.col("source") == bench_source)
@@ -224,7 +233,8 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
     flags = contamination_flags(corpus, bench, "doc_id", "text",
                                 shingle_n=SHINGLE_N, min_overlap=3)
     contaminated = flags.filter("contaminated").select("doc_id")
-    d = corpus.join(contaminated, "doc_id", "left_anti")
+    d = (corpus.join(contaminated, "doc_id", "left_anti")
+               .localCheckpoint(eager=True))
     counts["after_decontaminate"] = d.count()
 
     # LM-perplexity gate: threshold = p90 of avg_nll_micro over the
@@ -239,6 +249,9 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
             "doc_id", F.col("avg_nll3_micro").alias("avg_nll_micro"))
     else:
         scores = doc_nll_scores(d.select("doc_id", "text"))
+    # three consumers (threshold aggregate, keep semi-join, unscored
+    # anti-join) — materialize the LM pass once
+    scores = scores.localCheckpoint(eager=True)
     thr = scores.agg(F.expr(
         "CAST(percentile_approx(avg_nll_micro, 0.9, 10000) AS BIGINT)")
         .alias("thr"))
@@ -248,7 +261,8 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
     # docs too short to have a bigram never scored — keep them (the
     # length gates upstream own that decision).
     d = d.join(keep, "doc_id", "left_semi").unionByName(
-        d.join(scores.select("doc_id"), "doc_id", "left_anti"))
+        d.join(scores.select("doc_id"), "doc_id", "left_anti")) \
+         .localCheckpoint(eager=True)
     counts["after_perplexity"] = d.count()
 
     if mixture:
@@ -272,7 +286,8 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
             F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 7),
             16, 10).cast("long"), F.lit(1_000_000))
         d = (d.join(F.broadcast(rates), "source")
-              .filter(hv < F.col("keep_ppm")).drop("keep_ppm"))
+              .filter(hv < F.col("keep_ppm")).drop("keep_ppm")
+              .localCheckpoint(eager=True))
         counts["after_mixture"] = d.count()
 
     if budget_ppm is not None:
@@ -282,7 +297,8 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
         # test; the straddling doc is dropped).
         from hops_spark.ops.sampling import quality_budget_head
         head = quality_budget_head(d.select("doc_id", "text"), budget_ppm)
-        d = d.join(head.select("doc_id"), "doc_id", "left_semi")
+        d = (d.join(head.select("doc_id"), "doc_id", "left_semi")
+              .localCheckpoint(eager=True))
         counts["after_budget"] = d.count()
 
     d = split_assign(d, "doc_id", salt="split")

@@ -60,18 +60,27 @@ def make_training_shards(spark, clean_dir: str, out_dir: str,
 
     # tokenize: BPE symbol stream per doc, space-joined so the chunker
     # (whitespace-token windows) operates directly on BPE tokens.
+    # materialized once (guide §2.4): the chained-replace BPE replay is
+    # the job's heaviest map and tok feeds BOTH the token-count
+    # accounting aggregate and the chunker; without the cut it re-runs
+    # per downstream action
     tok = (bpe_apply(d, merges).select(
         "doc_id", "split",
         F.array_join(F.flatten(F.transform(
             F.col("bpe_tokens"), lambda s: F.split(s, " "))), " ")
-        .alias("bpe_text")))
+        .alias("bpe_text"))
+        .localCheckpoint(eager=True))
     counts["tokens"] = (tok.select(
         F.sum(F.size(F.split("bpe_text", " "))).alias("n"))
         .collect()[0]["n"])
 
     chunks = chunk_documents(tok.withColumnRenamed("bpe_text", "text"),
                              chunk_tokens=chunk_tokens, overlap=overlap)
-    chunks = chunks.join(d.select("doc_id", "split"), "doc_id")
+    # chunks feeds the accounting count plus, per split, an isEmpty
+    # probe and the pack+write pass (~7 actions) — one cut stops the
+    # explode+join prefix re-running for each
+    chunks = (chunks.join(d.select("doc_id", "split"), "doc_id")
+                    .localCheckpoint(eager=True))
     counts["chunks"] = chunks.count()
 
     shard_counts = {}
