@@ -723,31 +723,45 @@ def suffix_dup_spans(df: DataFrame, id_col: str = "doc_id",
            .select(id_col, F.col("s.pos").alias("pos"),
                    F.col("s.skey").alias("skey")))
     ranked = total_order_rank(suf, "skey", id_col, "pos", rank_col="_rk")
-    left = ranked.select(F.col("_rk"),
-                         F.col(id_col).alias("_da"), F.col("pos").alias("_pa"),
-                         F.col("skey").alias("_ka"))
-    right = ranked.select((F.col("_rk") - 1).alias("_rk"),
-                          F.col(id_col).alias("_db"), F.col("pos").alias("_pb"),
-                          F.col("skey").alias("_kb"))
     ka, kb = F.col("_ka"), F.col("_kb")
     mism = F.filter(F.sequence(F.lit(1), F.least(F.size(ka), F.size(kb))),
                     lambda i: F.element_at(ka, i) != F.element_at(kb, i))
     lcp = F.when(F.size(mism) > 0, F.element_at(mism, 1) - 1) \
            .otherwise(F.least(F.size(ka), F.size(kb))).cast("long")
-    # The adjacency join's sides are both the FULL suffix payload — by
-    # design never broadcastable (the checkpoint-backed plan defeats
-    # size estimation: at the 4M-suffix stress scale the planner chose
-    # a broadcast and collected ~1 GB to the driver before aborting on
-    # maxResultSize). Pin SORT-MERGE, not shuffle-hash: SHJ builds a
-    # per-task in-memory hash map of the wide suffix payload, which at
-    # the 4M-suffix stress scale OOM'd the 48g battery heap
-    # intermittently (LongToUnsafeRowMap.grow, 2 of 3 round-9 runs);
-    # SMJ sorts both sides — spillable, no build map, and measured at
-    # the same wall time as SHJ's good runs (round 9: merge 14-16 s vs
-    # shuffle-hash 14.8/29.1/OOM — robustness at equal speed).
-    adj = (left.hint("merge")
-               .join(right.hint("merge"), "_rk")
-               .withColumn("_lcp", lcp))
+    # Block-partitioned lead adjacency (guide §2.3 — fewer shuffled
+    # bytes): the rank self-join shipped the FULL suffix payload
+    # through TWO hash exchanges (and was pinned sort-merge because
+    # the payload is never broadcastable and SHJ's build map OOM'd at
+    # the 4M-suffix stress tier — round 9). Here each suffix row moves
+    # through ONE exchange into its 1024-rank block, a lead() window
+    # pairs consecutive ranks inside the block (ranks are contiguous
+    # 1-based by total_order_rank's contract), and only the 2/1024
+    # block-boundary rows take a second (tiny) exchange — spillable
+    # sort-based window, same robustness story as the SMJ it replaces.
+    # Pair set is identical: {(r, r+1)} = in-block pairs (r % B != 0)
+    # ∪ boundary pairs (r % B == 0).
+    BLK = 1024
+    rb = ranked.withColumn("_blk", F.expr(f"(_rk - 1) div {BLK}"))
+    wb = Window.partitionBy("_blk").orderBy("_rk")
+    within = (rb.select(
+                  F.col("_rk"),
+                  F.col(id_col).alias("_da"), F.col("pos").alias("_pa"),
+                  F.col("skey").alias("_ka"),
+                  F.lead(F.col(id_col)).over(wb).alias("_db"),
+                  F.lead(F.col("pos")).over(wb).alias("_pb"),
+                  F.lead(F.col("skey")).over(wb).alias("_kb"))
+                .filter(F.col("_db").isNotNull()))
+    lasts = (rb.filter(F.col("_rk") % BLK == 0)
+               .select(F.col("_rk"),
+                       F.col(id_col).alias("_da"), F.col("pos").alias("_pa"),
+                       F.col("skey").alias("_ka")))
+    firsts = (rb.filter((F.col("_rk") % BLK == 1) & (F.col("_rk") > 1))
+                .select((F.col("_rk") - 1).alias("_rk"),
+                        F.col(id_col).alias("_db"), F.col("pos").alias("_pb"),
+                        F.col("skey").alias("_kb")))
+    adj = (within.drop("_rk")
+                 .unionByName(lasts.join(firsts, "_rk").drop("_rk"))
+                 .withColumn("_lcp", lcp))
     hits = adj.select(F.explode(F.array(
                F.struct(F.col("_da").alias(id_col), F.col("_pa").alias("pos")),
                F.struct(F.col("_db").alias(id_col), F.col("_pb").alias("pos"))

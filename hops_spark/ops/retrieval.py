@@ -661,7 +661,8 @@ def maxsim_topk(docs: DataFrame, query_terms: list[str], k: int = 15,
 
     dterms = (docs.select(F.col(id_col), F.explode(words(text_col))
                            .alias("term"))
-                  .distinct())
+                  .distinct()
+                  .localCheckpoint(eager=True))
     # zero-norm guard: a term whose gram signs cancel in every bucket
     # hashes to the zero vector (first seen at the sf1 fixture scale)
     # and has no defined cosine — dropped on BOTH engines symmetrically

@@ -273,16 +273,17 @@ def top_ngram_chars(df: DataFrame, id_col: str = "doc_id",
         return F.when(F.size("_w") >= n, g) \
                 .otherwise(F.array().cast("array<string>"))
 
-    gram_frames = []
-    for n in ns:
-        gram_frames.append(
-            base.select(F.col(id_col), F.lit(n).alias("_n"),
-                        F.explode(_grams(n)).alias("_g")))
-    grams = gram_frames[0]
-    for gf in gram_frames[1:]:
-        grams = grams.unionByName(gf)
-    cnt = grams.groupBy(id_col, "_n", "_g").agg(
-        F.count("*").cast("long").alias("_c"))
+    def _tagged(n: int):
+        return F.transform(_grams(n),
+                           lambda g: F.concat(F.lit(str(n)), g))
+
+    all_grams = F.flatten(F.array(*[_tagged(n) for n in ns]))
+    grams = base.select(F.col(id_col), F.explode(all_grams).alias("_tg"))
+    cnt = (grams.groupBy(id_col, "_tg")
+                .agg(F.count("*").cast("long").alias("_c"))
+                .select(F.col(id_col),
+                        F.substring("_tg", 1, 1).cast("int").alias("_n"),
+                        F.expr("substring(_tg, 2)").alias("_g"), "_c"))
     top = (cnt.groupBy(id_col, "_n")
               .agg(F.min(F.struct((-F.col("_c")).alias("nc"),
                                   F.col("_g").alias("g"))).alias("_t"))

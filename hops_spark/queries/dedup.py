@@ -449,9 +449,15 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   SHINGLE_N, THRESHOLD)
     labels = dedup_cluster_labels(d.select("doc_id"), pairs) \
         .select("doc_id", "cluster_id")
-    sizes = labels.groupBy("cluster_id").agg(
-        F.count("*").alias("n_members"))
-    return (labels.join(F.broadcast(sizes), "cluster_id")
+    # window count over cluster_id (exactly the oracle's count(*) OVER)
+    # instead of a groupBy + broadcast-back join: one shuffle fewer,
+    # and no driver-side broadcast of a ~#docs-row sizes table (almost
+    # every cluster is a singleton, so |sizes| ~ |corpus| — a driver
+    # OOM at 100 TB, not just a local cost) (r13, guide §2.1/§5.2)
+    from pyspark.sql.window import Window
+    wcl = Window.partitionBy("cluster_id")
+    return (labels.withColumn("n_members",
+                              F.count("*").over(wcl).cast("long"))
                   .select("doc_id", "cluster_id", "n_members",
                           F.expr("1000000 div n_members")
                            .alias("weight_ppm"))
