@@ -58,7 +58,16 @@ def dot_fixed(a: Column, b: Column, dim: int) -> Column:
     interpreted HOF path once per joined pair (guide §4 — the pair
     stage is the one place per-element interpretation multiplies by
     |pairs|·dim). Callers must guarantee both arrays carry exactly
-    ``dim`` elements (beyond ``dim`` the fold and the unroll diverge)."""
+    ``dim`` elements (beyond ``dim`` the fold and the unroll diverge).
+
+    STATUS (r13): built for the semantic_dedup / embedding_near_dup /
+    knn_lsh / knn_ivf pair stages and MEASURED THERE 5-6x SLOWER at
+    sf1 (139 vs 27 s; 40 vs 6.8 s) — at dim=64 the unrolled chain
+    falls out of whole-stage codegen and evaluates interpreted per
+    pair, which loses badly to the single vectorized HOF fold. All
+    pair stages were reverted to ``cosine_pre``. Kept (with its
+    bit-equality test) as the documented negative result; safe for
+    SMALL dims only."""
     acc: Column = F.lit(0.0)
     for i in range(1, dim + 1):
         acc = acc + (F.element_at(a, i).cast("double")
@@ -184,9 +193,8 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     scored = (cb.join(F.broadcast(qb), "_bucket")
                 .filter(F.col(id_col) != F.col(qid_col))
                 .select(F.col(qid_col), F.col(id_col).alias("neighbor_id"),
-                        F.round(dot_fixed(F.col(vec_col), F.col(qvec_col),
-                                          dim)
-                                / (F.col("_nc") * F.col("_nq")), 6)
+                        F.round(cosine_pre(F.col(vec_col), F.col(qvec_col),
+                                           F.col("_nc"), F.col("_nq")), 6)
                          .alias("cos_sim")))
     w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(),
                                             F.col("neighbor_id").asc())
@@ -208,9 +216,20 @@ def embedding_near_dup(corpus: DataFrame, dim: int, threshold: float = 0.95,
     dropped before the join, so the join output is bounded by
     max_bucket² per bucket. Raise n_planes (finer buckets) rather than
     max_bucket to recover recall on dense corpora."""
-    cb = (corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
+    # fan_out + bucket-partitioned eager checkpoint (the semantic_dedup
+    # r13 pattern): the bucketing/norm map feeds THREE consumers
+    # (census, both pair-join sides) — materialize it once, already
+    # hash-partitioned on the join key with an explicit partition
+    # count (a bare repartition(col) is AQE-coalesced by BYTES, and
+    # this table is byte-light but pair-CPU-heavy).
+    from hops_spark.ops.dedup import fan_out
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    cb = (fan_out(corpus, id_col)
+                 .withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
                  .select(id_col, vec_col, "_bucket")
-                 .withColumn("_nv", norm(F.col(vec_col))))
+                 .withColumn("_nv", norm(F.col(vec_col)))
+                 .repartition(n_part, "_bucket")
+                 .localCheckpoint(eager=True))
     ok = (cb.groupBy("_bucket").agg(F.count("*").alias("_bn"))
             .filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket))
             .select("_bucket"))
@@ -222,8 +241,8 @@ def embedding_near_dup(corpus: DataFrame, dim: int, threshold: float = 0.95,
     return (a.join(b, "_bucket")
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b",
-                     F.round(dot_fixed(F.col("va"), F.col("vb"), dim)
-                             / (F.col("_na") * F.col("_nb")), 6)
+                     F.round(cosine_pre(F.col("va"), F.col("vb"),
+                                        F.col("_na"), F.col("_nb")), 6)
                       .alias("cos_sim"))
              .filter(F.col("cos_sim") >= threshold)
              .distinct())
@@ -388,7 +407,11 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
     cents = centroids or ivf_centroids(corpus, n_cells, id_col, vec_col)
     cell_of = F.array_max(_cell_sims(F.col(vec_col), cents,
                                      F.col("_nc"))).getField("cell")
-    cb = (corpus.select(id_col, vec_col)
+    # fan_out: a single-file corpus otherwise runs the n_cells×dim
+    # assignment AND the broadcast-probe scoring on one core (the
+    # broadcast join inherits cb's partitioning) — r13 stage profile
+    from hops_spark.ops.dedup import fan_out
+    cb = (fan_out(corpus.select(id_col, vec_col), id_col)
                 .withColumn("_nc", norm(F.col(vec_col)))
                 .withColumn("_cell", cell_of))
     probes = F.slice(F.reverse(F.array_sort(
@@ -397,15 +420,11 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  .withColumn("_p", F.explode(probes))
                  .select(qid_col, qvec_col, "_nq",
                          F.col("_p.cell").alias("_cell")))
-    # dim is static at plan time (the centroid vectors carry it), so
-    # the rescoring dot unrolls codegen-compilable (no HOF per pair)
-    dim = len(cents[0][1])
     scored = (cb.join(F.broadcast(qb), "_cell")
                 .filter(F.col(id_col) != F.col(qid_col))
                 .select(F.col(qid_col), F.col(id_col).alias("neighbor_id"),
-                        F.round(dot_fixed(F.col(vec_col), F.col(qvec_col),
-                                          dim)
-                                / (F.col("_nc") * F.col("_nq")), 6)
+                        F.round(cosine_pre(F.col(vec_col), F.col(qvec_col),
+                                           F.col("_nc"), F.col("_nq")), 6)
                          .alias("cos_sim")))
     w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(),
                                             F.col("neighbor_id").asc())
@@ -446,9 +465,27 @@ def semantic_dedup(corpus: DataFrame, dim: int, n_clusters: int = 16,
     # "write assignments once, read thrice" pattern. The vector norm is
     # materialized alongside (8 bytes/row) so the pair stage pays one
     # dot fold per pair instead of dot + two norm folds.
-    cb = (corpus.select(id_col, vec_col)
+    # fan_out: a small single-file corpus otherwise runs the whole
+    # n_clusters×dim assignment on ONE core (r13 stage profile: the
+    # query was a single 2.7 s task); the repartition("cell") puts the
+    # checkpoint IN the pair join's partitioning, so the census
+    # aggregate and both self-join sides read it exchange-free and the
+    # byte-light/CPU-heavy pair stage can no longer be AQE-coalesced
+    # to one task (guide §2.1: establish partitioning once). At scale
+    # this replaces the pair join's own shuffle — same bytes, moved
+    # before the checkpoint.
+    from hops_spark.ops.dedup import fan_out
+    # explicit partition count: repartition("cell") without N is a
+    # REPARTITION_BY_COL shuffle that AQE coalesces by BYTES — the
+    # 0.7 MB assignment table collapsed back to one partition and the
+    # pair stage ran as a single 2.6 s task. Pair cost is Σ|cell|²
+    # compute, not bytes, so parallelism is pinned to the cluster's
+    # defaultParallelism (cores locally, executors×cores deployed).
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    cb = (fan_out(corpus.select(id_col, vec_col), id_col)
                 .withColumn("_nv", norm(F.col(vec_col)))
                 .withColumn("cell", cell_of.cast("long"))
+                .repartition(n_part, "cell")
                 .localCheckpoint(eager=True))
     ok = (cb.groupBy("cell").agg(F.count("*").alias("_n"))
             .filter((F.col("_n") >= 2) & (F.col("_n") <= max_cell))
@@ -464,13 +501,16 @@ def semantic_dedup(corpus: DataFrame, dim: int, n_clusters: int = 16,
                       F.col("_nv").alias("_na"), "cell")
     b = capped.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                       F.col("_nv").alias("_nb"), "cell")
-    # pair-stage cosine: dot unrolled at the registered dim (no HOF in
-    # the pair stage — r13; norms were hoisted into cb above), divided
-    # by the materialized norms. Bit-identical to cosine(va, vb).
+    # pair-stage cosine: ONE HOF fold (the dot) per pair — the norms
+    # were hoisted into cb above. The no-HOF unrolled form (dot_fixed)
+    # was tried here and MEASURED 5-6x slower at sf1 (139 vs 27 s —
+    # the 64-term element_at chain leaves codegen and evaluates
+    # interpreted per pair, far worse than the single vectorized
+    # fold); reverted, r13.
     dropped = (a.join(b, "cell")
                 .filter(F.col("id_a") < F.col("id_b"))
-                .filter(F.round(dot_fixed(F.col("va"), F.col("vb"), dim)
-                                / (F.col("_na") * F.col("_nb")), 6)
+                .filter(F.round(cosine_pre(F.col("va"), F.col("vb"),
+                                           F.col("_na"), F.col("_nb")), 6)
                         >= threshold)
                 .select(F.col("id_b").alias(id_col))
                 .distinct()
