@@ -638,6 +638,44 @@ def term_vectors(terms: DataFrame, term_col: str = "term",
     return m.select("term", unit.alias("v"))
 
 
+def _py_term_vector(term: str, dim: int = MSIM_DIM,
+                    seed: str = "msim") -> list[float] | None:
+    """Driver-side twin of ``term_vectors`` for ONE literal term — the
+    same md5 gram hashing, ±1.0 bucket sums, and left-to-right norm
+    fold in IEEE doubles, so the unit vector is bit-identical to the
+    Column derivation on the same term (pinned by
+    tests/test_round13_fixes.py::test_py_term_vector_bit_identical).
+    Returns None for a zero-norm vector (every gram's signs cancel in
+    every bucket) — the caller drops it exactly like the ``nonzero``
+    filter drops the Column-side row.
+
+    Why it exists (r13 continuation, guide §1.2 "don't distribute
+    driver-metadata-sized work"): the QUERY side of MaxSim is a
+    handful of literal terms; deriving their vectors through the
+    corpus-side term_vectors subplan (gram explode → two aggregates →
+    map assembly → join) costs two extra AQE jobs and a broadcast per
+    run to compute ~3 small constant vectors."""
+    import hashlib
+
+    n_grams = max(len(term) - 2, 1)
+    cells: dict[int, float] = {}
+    for i in range(n_grams):
+        g = term[i:i + 3]
+        h = hashlib.md5(f"{seed}|{g}".encode("utf-8")).hexdigest()
+        b = int(h[:7], 16) % dim
+        s = 1.0 if int(h[7], 16) % 2 == 0 else -1.0
+        cells[b] = cells.get(b, 0.0) + s
+    dense = [cells.get(j, 0.0) for j in range(dim)]
+    acc = 0.0
+    for x in dense:
+        acc += x * x
+    import math
+    nrm = math.sqrt(acc)
+    if nrm == 0.0:
+        return None
+    return [x / nrm for x in dense]
+
+
 def maxsim_topk(docs: DataFrame, query_terms: list[str], k: int = 15,
                 dim: int = MSIM_DIM, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
@@ -651,12 +689,19 @@ def maxsim_topk(docs: DataFrame, query_terms: list[str], k: int = 15,
 
     Plan (the 100 TB shape): one distinct (doc, term) aggregate — the
     postings vocabulary, NOT the token stream — term vectors computed
-    map-side, ≤ |query| broadcast-joined similarity columns, one
-    (doc, qterm) max aggregate, per-term maxes summed in FIXED query
-    order (the bm25 float-determinism discipline), TakeOrdered top-k.
-    A real deployment prunes candidates with the inverted index first
-    (phrase/bm25 machinery) and MaxSims only the shortlist."""
-    from hops_spark.ops.similarity import cosine_pre, norm
+    map-side, per-query-term cosines attached to the VOCABULARY table
+    as plan-time-literal-query columns (r13 continuation: the query
+    vectors are driver-side metadata — _py_term_vector is the
+    bit-identical twin of the Column derivation — so the cosine is
+    computed once per distinct term, not once per (doc, term, qterm)
+    pair, and the former broadcast cross join + (doc, qterm) max
+    aggregate collapse into ONE per-doc aggregate), per-term maxes
+    summed in FIXED query order (the bm25 float-determinism
+    discipline), TakeOrdered top-k. A real deployment prunes
+    candidates with the inverted index first (phrase/bm25 machinery)
+    and MaxSims only the shortlist."""
+    from hops_spark.ops.litfast import lit_array
+    from hops_spark.ops.similarity import _py_fold_norm, cosine_pre, norm
     from hops_spark.ops.text import words
 
     dterms = (docs.select(F.col(id_col), F.explode(words(text_col))
@@ -666,40 +711,39 @@ def maxsim_topk(docs: DataFrame, query_terms: list[str], k: int = 15,
     # zero-norm guard: a term whose gram signs cancel in every bucket
     # hashes to the zero vector (first seen at the sf1 fixture scale)
     # and has no defined cosine — dropped on BOTH engines symmetrically
+    # (query side: _py_term_vector returns None for the same terms)
     nonzero = F.aggregate(F.col("v"), F.lit(0.0),
                           lambda a, x: a + x * x) > 0
+    # term-vector norm computed once per DISTINCT term (it rode on the
+    # (doc, term) rows before — same fold, same doubles, fewer rows)
     tv = (term_vectors(dterms.select("term").distinct(), "term", dim)
-          .filter(nonzero))
-    # term-vector norm hoisted below the cross join: evaluated once per
-    # (doc, term) row instead of once per (row × query-term) pair
-    dterms = (dterms.join(tv, "term").withColumnRenamed("v", "tv")
-                    .withColumn("_ntv", norm(F.col("tv"))))
-    # literal-array explode, not createDataFrame — a 3-row local
-    # createDataFrame costs ~6 s of driver round-trips here (the
-    # pi_bbp finding); range+explode is ~0.3 s
-    spark = docs.sparkSession
-    qt = (spark.range(1).select(F.explode(F.array(*[
-            F.struct(F.lit(i).cast("int").alias("qi"),
-                     F.lit(t).alias("qterm"))
-            for i, t in enumerate(query_terms)])).alias("x"))
-          .select("x.qi", "x.qterm"))
-    q = (qt.join(term_vectors(qt.select(F.col("qterm").alias("term")),
-                              "term", dim).filter(nonzero),
-                 qt["qterm"] == F.col("term"))
-           .select("qi", "qterm", F.col("v").alias("qv"))
-           .withColumn("_nqv", norm(F.col("qv"))))
-    per_q = (dterms.crossJoin(F.broadcast(q))
-                   .select(id_col, "qi",
-                           F.round(cosine_pre(F.col("tv"), F.col("qv"),
-                                              F.col("_ntv"), F.col("_nqv")),
-                                   6).alias("c"))
-                   .groupBy(id_col, "qi").agg(F.max("c").alias("m")))
-    piv = per_q.groupBy(id_col).agg(
-        *[F.max(F.when(F.col("qi") == i, F.col("m"))).alias(f"c{i}")
-          for i in range(len(query_terms))])
+          .filter(nonzero)
+          .withColumn("_ntv", norm(F.col("v"))))
+    qvecs = [(i, u) for i, u in
+             ((i, _py_term_vector(t, dim)) for i, t in
+              enumerate(query_terms))
+             if u is not None]
+    if not qvecs:     # every query term hashed to the zero vector —
+        # same empty result (and schema) the cross-join shape produced
+        return (dterms.select(F.col(id_col))
+                      .limit(0)
+                      .withColumn("maxsim", F.lit(0.0)))
+    # round(dot/(norms), 6) per (term, query term) — the identical
+    # cosine_pre expression the pair projection evaluated, now with
+    # the query side a literal; values are unchanged bit for bit
+    for i, u in qvecs:
+        tv = tv.withColumn(f"_c{i}", F.round(
+            cosine_pre(F.col("v"), lit_array(u, "double"),
+                       F.col("_ntv"), F.lit(_py_fold_norm(u))), 6))
+    sims = dterms.join(
+        tv.select("term", *[f"_c{i}" for i, _ in qvecs]), "term")
+    piv = sims.groupBy(id_col).agg(
+        *[F.max(f"_c{i}").alias(f"c{i}") for i, _ in qvecs])
+    have = {i for i, _ in qvecs}
     score = None
     for i in range(len(query_terms)):
-        c = F.coalesce(F.col(f"c{i}"), F.lit(0.0))
+        c = (F.coalesce(F.col(f"c{i}"), F.lit(0.0)) if i in have
+             else F.lit(0.0))
         score = c if score is None else score + c
     return (piv.select(F.col(id_col), F.round(score, 6).alias("maxsim"))
                .orderBy(F.col("maxsim").desc(), id_col)

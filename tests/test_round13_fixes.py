@@ -99,3 +99,94 @@ def test_py_fold_norm_matches_naive_math():
     for x in v:
         acc += x * x
     assert _bits(_py_fold_norm(v)) == _bits(math.sqrt(acc))
+
+
+def test_py_term_vector_bit_identical_to_column_derivation(spark):
+    """Driver-side query-term vectors (_py_term_vector) == the Column
+    term_vectors derivation, element for element bit for bit — the
+    invariant that lets maxsim_topk inline the query side as literals.
+    Covers short (<3 char) terms, long multi-gram terms, unicode, and
+    a scan for zero-norm terms (where the twin returns None and the
+    Column side is dropped by the nonzero filter)."""
+    from pyspark.sql import functions as F
+
+    from hops_spark.ops.retrieval import MSIM_DIM, _py_term_vector, \
+        term_vectors
+
+    terms = ["spark", "merge", "vector", "a", "ab", "abc",
+             "internationalization", "sûreté", "the", "zzzzzz",
+             "data2026", "x" * 40]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    tv = term_vectors(df, "term", MSIM_DIM)
+    nonzero = F.aggregate(F.col("v"), F.lit(0.0),
+                          lambda a, x: a + x * x) > 0
+    got = {r["term"]: list(r["v"])
+           for r in tv.filter(nonzero).collect()}
+    for t in terms:
+        u = _py_term_vector(t, MSIM_DIM)
+        if u is None:
+            assert t not in got        # dropped on both sides
+        else:
+            assert [_bits(x) for x in u] == [_bits(x) for x in got[t]], t
+
+
+def test_maxsim_literal_query_equals_cross_join_shape(spark):
+    """maxsim_topk (literal-query shape) == the pre-r13-continuation
+    cross-join evaluation, value for value, on a fixture whose vocab
+    overlaps the query terms partially (hits, misses, repeated terms
+    across docs)."""
+    from hops_spark.ops.retrieval import maxsim_topk, term_vectors
+    from hops_spark.ops.similarity import cosine_pre, norm
+    from hops_spark.ops.text import words
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle merge spill"),
+         (2, "vector index probe"),
+         (3, "merge sort vector spark"),
+         (4, "unrelated words entirely"),
+         (5, "spark spark spark")],
+        "doc_id long, text string")
+    qterms = ["spark", "merge", "vector"]
+    got = {r["doc_id"]: r["maxsim"]
+           for r in maxsim_topk(docs, qterms, k=10).collect()}
+
+    # reference: the former cross-join shape, reconstructed verbatim
+    dterms = (docs.select("doc_id",
+                          F.explode(words(F.col("text"))).alias("term"))
+                  .distinct())
+    nonzero = F.aggregate(F.col("v"), F.lit(0.0),
+                          lambda a, x: a + x * x) > 0
+    tv = term_vectors(dterms.select("term").distinct(), "term").filter(
+        nonzero)
+    dt = (dterms.join(tv, "term").withColumnRenamed("v", "tv")
+                .withColumn("_ntv", norm(F.col("tv"))))
+    qt = (spark.range(1).select(F.explode(F.array(*[
+            F.struct(F.lit(i).cast("int").alias("qi"),
+                     F.lit(t).alias("qterm"))
+            for i, t in enumerate(qterms)])).alias("x"))
+          .select("x.qi", "x.qterm"))
+    q = (qt.join(term_vectors(qt.select(F.col("qterm").alias("term")),
+                              "term").filter(nonzero),
+                 qt["qterm"] == F.col("term"))
+           .select("qi", F.col("v").alias("qv"))
+           .withColumn("_nqv", norm(F.col("qv"))))
+    per_q = (dt.crossJoin(F.broadcast(q))
+               .select("doc_id", "qi",
+                       F.round(cosine_pre(F.col("tv"), F.col("qv"),
+                                          F.col("_ntv"), F.col("_nqv")),
+                               6).alias("c"))
+               .groupBy("doc_id", "qi").agg(F.max("c").alias("m")))
+    piv = per_q.groupBy("doc_id").agg(
+        *[F.max(F.when(F.col("qi") == i, F.col("m"))).alias(f"c{i}")
+          for i in range(len(qterms))])
+    score = None
+    for i in range(len(qterms)):
+        c = F.coalesce(F.col(f"c{i}"), F.lit(0.0))
+        score = c if score is None else score + c
+    want = {r["doc_id"]: r["maxsim"] for r in
+            piv.select("doc_id", F.round(score, 6).alias("maxsim"))
+               .collect()}
+    assert set(got) == set(want)
+    for d in got:
+        assert _bits(got[d]) == _bits(want[d]), d
